@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central accessor for the driver-provided parquet testdata
+  * (see /root/repo/TESTDATA.md). Every `SparkEntry.queries` function
+  * receives `(spark, sfDir)` and resolves tables through here, so scans
+  * stay lazy parquet reads that Catalyst can prune/push into.
+  *
+  * At 100 TB these paths would be date-partitioned table roots; the
+  * accessor is the single seam where partition pruning predicates and
+  * bucketing metadata would attach.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame  = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as epoch-nanos
+    * via the legacy conf and truncate to microseconds — the same ns→µs
+    * truncation DuckDB applies when it casts TIMESTAMP_NS, so both engines
+    * see identical values. NTZ keeps the wall-clock identical to the
+    * oracle's naive timestamps regardless of writer tz flags.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}

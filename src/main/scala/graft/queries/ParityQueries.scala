@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Transforms
+
+/** Parity surface: every operator family from SURVEY.md §2 phrased as a
+  * deterministic query over the driver testdata, paired with an ANSI-SQL
+  * oracle for DuckDB. Conventions that make the hash-compare stable:
+  *
+  *  - every query ends in a TOTAL ORDER (tie-break keys included);
+  *  - aggregate doubles are round(_, 2) in BOTH engines (double summation
+  *    order differs across engines; projection doubles stay exact);
+  *  - timestamps stay NTZ microseconds on both sides (see Tables.events);
+  *  - every computed column is aliased identically in Spark and SQL.
+  *
+  * Each entry cites the reference operator it re-expresses (file:line in
+  * /root/reference). Type is (SparkSession, sfDir) => DataFrame per the
+  * driver contract in SparkEntry.
+  */
+object ParityQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** O1 flagship — the reference's signature read-back query: top-10 latest
+    * rows, multi-key sort (etl/api_fetcher.py:205-210 `ORDER BY timestamptz
+    * DESC, currency ASC LIMIT 10`). Planned as TakeOrderedAndProject: a
+    * bounded per-partition heap, never a global sort — the only top-k plan
+    * that survives 100 TB.
+    */
+  val flagship: Q = (s, dir) =>
+    Transforms.topK(10,
+      col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)(
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"))
+
+  val flagshipSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem WHERE l_quantity > 0
+      |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "flagship_topk_latest" -> flagship,
+
+    // F1+C2 — calendar-month range window (etl/csv_loader.py:54-58).
+    "f1_window_months" -> ((s, dir) =>
+      Transforms.windowMonths("o_orderdate",
+        lit("2001-06-01").cast("date"), 3)(Tables.orders(s, dir))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // F2+F3 — null-rejection + positive-domain (etl/csv_loader.py:99-102).
+    "f2_f3_clean_project" -> ((s, dir) =>
+      Transforms.positiveDomain("l_quantity")(
+        Transforms.dropNullRequired(Seq("l_quantity", "l_extendedprice", "l_shipdate"))(
+          Tables.lineitem(s, dir)))
+        .filter(col("l_discount") >= 0 && col("l_discount") <= 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F5 — incremental delta window, anchored to max event time
+    // (services/supabase.py:57-61 `created_at >= now - 20 minutes`).
+    "f5_recent_delta" -> ((s, dir) =>
+      Transforms.recentDeltaFromMax("ts", 20)(Tables.events(s, dir))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // P1 — explicit column-list projection (etl/api_fetcher.py:205-210).
+    "p1_projection" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // P2 — all-but-key projection via dynamic drop (services/supabase.py:17-20).
+    "p2_all_but_key" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .drop("c_custkey")
+        .orderBy("c_name")),
+
+    // O1/O2 — top-k multi-key sort over event time (etl/web_scraper.py:182-187).
+    "o1_topk_events" -> ((s, dir) =>
+      Transforms.topK(10, col("ts").desc, col("user_id").asc, col("event_id").asc)(
+        Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type"))),
+
+    // O3 — dynamic sort spec: keys used only if present (scripts/inspect_db.py:19-21).
+    "o3_dynamic_sort" -> ((s, dir) =>
+      Transforms.topKDynamic(20, Seq(
+        ("o_orderdate", false), ("no_such_column", true), ("o_orderkey", true)))(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice"))),
+
+    // A1 — exact distinct (etl/csv_loader.py:98 drop_duplicates).
+    "a1_distinct_pairs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .orderBy("user_id", "event_type")),
+
+    // A2 — keyed dedup with deterministic keep-first (etl/web_scraper.py:116-118).
+    "a2_dedup_keepfirst" -> ((s, dir) =>
+      Transforms.dedupKeyedKeepFirst(
+        Seq("user_id", "event_type"), Seq(col("ts").asc, col("event_id").asc))(
+        Tables.events(s, dir).select("user_id", "event_type", "event_id", "ts"))
+        .orderBy("user_id", "event_type")),
+
+    // A3 — count (len(df) analog, etl/csv_loader.py:66).
+    "a3_count" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))),
+
+    // K5 — THE central sink semantic: idempotent insert-if-absent as a
+    // left-anti equi-join on the natural key (etl/api_fetcher.py:168-172
+    // INSERT OR IGNORE vs UNIQUE(currency, timestamptz)).
+    "k5_upsert_antijoin" -> ((s, dir) => {
+      val incoming = Tables.lineitem(s, dir)
+      val existing = incoming.filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      incoming.join(existing.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // K9 — delta row-count accounting (etl/api_fetcher.py:189).
+    "k9_delta_count" -> ((s, dir) => {
+      val incoming = Tables.lineitem(s, dir)
+      val existing = incoming.filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      incoming.join(existing.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // U1 + §1.2 schema drift — union-by-name with null fill for absent
+    // columns (services/supabase.py:17-20,35 column-union schema merge).
+    "u1_union_drift" -> ((s, dir) => {
+      val a = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"), lit("orders").as("src"))
+      val b = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("id"), col("l_extendedprice").as("amount"),
+        lit("lineitem").as("src"))
+      Transforms.unionBySchema(Seq(a, b)).orderBy("src", "id", "amount")
+    }),
+
+    // C2/C6-C10 — scalar derivation family (etl/csv_loader.py:166,
+    // etl/web_scraper.py:91-92, etl/api_fetcher.py:86-88).
+    "c_scalar_family" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        upper(col("o_orderstatus")).as("status_up"),
+        trim(col("o_orderpriority")).as("priority_trim"),
+        round(col("o_totalprice"), 1).as("price_round"),
+        col("o_totalprice").cast("string").cast("double").as("price_roundtrip"))
+        .orderBy("o_orderkey")),
+
+    // C1 — permissive parse: null on unparseable, never error
+    // (pd.to_datetime errors="coerce", etl/csv_loader.py:52).
+    "c1_permissive_parse" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("raw",
+          when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .select(col("o_orderkey"), col("raw"), expr("try_to_date(raw)").as("parsed"))
+        .orderBy("o_orderkey")),
+
+    // C3 — event-time synthesis: civil date + 10 hours (etl/csv_loader.py:105-108).
+    "c3_event_time_synth" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("timestamptz", col("o_orderdate") + expr("INTERVAL 10 HOURS"))
+        .select("o_orderkey", "timestamptz")
+        .orderBy("o_orderkey")),
+
+    // C11 — map→rows wide-to-long pivot (etl/api_fetcher.py:85).
+    "c11_map_explode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 160)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(map(
+            lit("quantity"), col("l_quantity"),
+            lit("price"), col("l_extendedprice"))).as(Seq("metric", "val")))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Aggregation showcase (§2.5 analogs generalized): TPC-H-Q1-shaped
+    // pricing summary — partial (map-side) aggregation + single shuffle.
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Broadcast-dim join + agg: the small side is broadcast explicitly —
+    // at 100 TB the fact side never shuffles for dim joins.
+    "join_broadcast_segment" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // Star join: fact → orders → customer → nation → region, dims broadcast.
+    "join_star_region" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Window function: per-customer running total in event-time order —
+    // one shuffle on the partition key, sort within partitions.
+    "win_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("run_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.9 — tumbling-window event-time aggregation (batch form of the
+    // Structured Streaming ingest; see graft.streaming for the stream form).
+    "stream_windowed_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("window_start", "event_type"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "flagship_topk_latest" -> flagshipSql,
+
+    "f1_window_months" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= DATE '2001-06-01' - INTERVAL 3 MONTH
+        |  AND o_orderdate <= DATE '2001-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f2_f3_clean_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_shipdate IS NOT NULL AND l_quantity > 0
+        |  AND l_discount >= 0 AND l_discount <= 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f5_recent_delta" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 20 MINUTE
+        |ORDER BY event_id""".stripMargin,
+
+    "p1_projection" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+
+    "p2_all_but_key" ->
+      """SELECT c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_name""".stripMargin,
+
+    "o1_topk_events" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY ts DESC, user_id ASC, event_id ASC LIMIT 10""".stripMargin,
+
+    "o3_dynamic_sort" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "a1_distinct_pairs" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "a2_dedup_keepfirst" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "a3_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "k5_upsert_antijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem e
+        |  WHERE e.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |    AND e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "k9_delta_count" ->
+      """SELECT count(*) AS cnt FROM lineitem i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem e
+        |  WHERE e.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |    AND e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)""".stripMargin,
+
+    "u1_union_drift" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS amount,
+        |         o_orderpriority AS priority, 'orders' AS src FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, l_extendedprice, NULL, 'lineitem' FROM lineitem) u
+        |ORDER BY src, id, amount""".stripMargin,
+
+    "c_scalar_family" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  upper(o_orderstatus) AS status_up,
+        |  trim(o_orderpriority) AS priority_trim,
+        |  round(o_totalprice, 1) AS price_round,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c1_permissive_parse" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw,
+        |  TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c3_event_time_synth" ->
+      """SELECT o_orderkey, o_orderdate + INTERVAL 10 HOUR AS timestamptz
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c11_map_explode" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+        |  FROM lineitem WHERE l_orderkey <= 160
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 160) m
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_broadcast_segment" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_star_region" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "win_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "stream_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}
