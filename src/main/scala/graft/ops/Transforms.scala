@@ -110,7 +110,7 @@ object Transforms {
     df.withColumn("timestamptz",
       to_utc_timestamp(
         to_timestamp(concat(date_format(col(dateCol), "yyyy-MM-dd"), lit(" 16:00:00"))),
-        "CET"))
+        "CET").cast("timestamp_ntz"))
 
   /** C1 — permissive timestamp parse: null on unparseable, never error
     * (pd.to_datetime errors="coerce", etl/csv_loader.py:52). Spark 4 is

@@ -171,6 +171,14 @@ object ParityQueries {
         .select("o_orderkey", "timestamptz")
         .orderBy("o_orderkey")),
 
+    // C4 — event-time synthesis: civil date @ 16:00 CET → UTC, DST-aware
+    // (etl/api_fetcher.py:72-82; etl/config.py:32-33). Orders span summer
+    // and winter dates so both CET offsets (+1/+2) are exercised.
+    "c4_cet_to_utc" -> ((s, dir) =>
+      Transforms.synthesizeEventTimeApi("o_orderdate")(Tables.orders(s, dir))
+        .select("o_orderkey", "timestamptz")
+        .orderBy("o_orderkey")),
+
     // C11 — map→rows wide-to-long pivot (etl/api_fetcher.py:85).
     "c11_map_explode" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -337,6 +345,12 @@ object ParityQueries {
 
     "c3_event_time_synth" ->
       """SELECT o_orderkey, o_orderdate + INTERVAL 10 HOUR AS timestamptz
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c4_cet_to_utc" ->
+      """SELECT o_orderkey,
+        |  ((o_orderdate + INTERVAL 16 HOUR) AT TIME ZONE 'CET') AT TIME ZONE 'UTC'
+        |    AS timestamptz
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "c11_map_explode" ->

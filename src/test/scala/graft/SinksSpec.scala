@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{MergeOverwrite, RestSink, UpsertIgnore}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String, Double)*) =
+    rows.toDF("currency", "timestamptz", "rate")
+
+  test("K5 upsert-ignore: first run inserts all, rerun inserts none (idempotent)") {
+    val dir = tmpDir("k5") + "/t"
+    val b = batch(("USD", "2026-08-11T16:00", 1.08), ("GBP", "2026-08-11T16:00", 0.84))
+    val r1 = UpsertIgnore(spark, b, dir, Seq("currency", "timestamptz"))
+    assert(r1 == UpsertIgnore.Result(inserted = 2, skipped = 0))
+    val r2 = UpsertIgnore(spark, b, dir, Seq("currency", "timestamptz"))
+    assert(r2 == UpsertIgnore.Result(inserted = 0, skipped = 2))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("K5: overlapping batch inserts only the unseen keys") {
+    val dir = tmpDir("k5b") + "/t"
+    UpsertIgnore(spark, batch(("USD", "d1", 1.0), ("GBP", "d1", 2.0)), dir,
+      Seq("currency", "timestamptz"))
+    val r = UpsertIgnore(spark,
+      batch(("USD", "d1", 9.9), ("JPY", "d1", 3.0)), dir,
+      Seq("currency", "timestamptz"))
+    assert(r == UpsertIgnore.Result(inserted = 1, skipped = 1))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 3)
+    // existing USD row untouched (INSERT OR IGNORE, not upsert-update)
+    assert(t.filter(col("currency") === "USD").select("rate").head().getDouble(0) == 1.0)
+  }
+
+  test("K5 with pruneCol: prunes existing scan by batch key range, still correct") {
+    val dir = tmpDir("k5c") + "/t"
+    val old = Seq(("USD", java.sql.Timestamp.valueOf("2026-01-01 16:00:00"), 1.0))
+      .toDF("currency", "timestamptz", "rate")
+    UpsertIgnore(spark, old, dir, Seq("currency", "timestamptz"), Some("timestamptz"))
+    val newer = Seq(
+      ("USD", java.sql.Timestamp.valueOf("2026-01-01 16:00:00"), 1.0), // dup key
+      ("USD", java.sql.Timestamp.valueOf("2026-08-11 16:00:00"), 1.1)
+    ).toDF("currency", "timestamptz", "rate")
+    val r = UpsertIgnore(spark, newer, dir, Seq("currency", "timestamptz"), Some("timestamptz"))
+    assert(r == UpsertIgnore.Result(inserted = 1, skipped = 1))
+  }
+
+  test("K5 property: batches commute — same final keyset regardless of order") {
+    val a = batch(("USD", "d1", 1.0), ("GBP", "d1", 2.0))
+    val b = batch(("GBP", "d1", 5.0), ("JPY", "d1", 3.0))
+    def runBoth(first: org.apache.spark.sql.DataFrame, second: org.apache.spark.sql.DataFrame) = {
+      val dir = tmpDir("k5p") + "/t"
+      UpsertIgnore(spark, first, dir, Seq("currency", "timestamptz"))
+      UpsertIgnore(spark, second, dir, Seq("currency", "timestamptz"))
+      spark.read.parquet(dir).select("currency", "timestamptz")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(runBoth(a, b) == runBoth(b, a))
+  }
+
+  test("K2 merge-overwrite keeps the EXISTING row on key collision") {
+    val dir = tmpDir("k2") + "/d"
+    val day1 = Seq(("US Dollar", "2026-08-11T18:00", 1.08))
+      .toDF("currency_name", "timestamptz", "rate")
+    MergeOverwrite(spark, day1, dir, Seq("currency_name", "timestamptz"), "timestamptz")
+    val rescrape = Seq(
+      ("US Dollar", "2026-08-11T18:00", 9.99), // same key, new value
+      ("Swiss Franc", "2026-08-11T18:00", 0.97)
+    ).toDF("currency_name", "timestamptz", "rate")
+    MergeOverwrite(spark, rescrape, dir, Seq("currency_name", "timestamptz"), "timestamptz")
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 2)
+    assert(t.filter(col("currency_name") === "US Dollar")
+      .select("rate").head().getDouble(0) == 1.08) // existing wins
+  }
+
+  test("K7 rest sink ships every row in partition-side batches") {
+    RestSinkTestHarness.acc.clear()
+    RestSinkTestHarness.deliver(spark)
+    assert(RestSinkTestHarness.acc.size() == 7)
+  }
+}
+
+/** The K7 delivery closure runs on executors after closure serialization,
+  * so the sink target must be a JVM singleton reached via static (object)
+  * access — a captured local queue would be a deserialized copy and the
+  * assertions would see nothing, even in local mode.
+  */
+object RestSinkTestHarness {
+  val acc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def deliver(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val df = (1 to 7).map(i => (i, s"row$i")).toDF("id", "v")
+    RestSink(df, batchSize = 3) { recs => recs.foreach(RestSinkTestHarness.acc.add) }
+  }
+}
