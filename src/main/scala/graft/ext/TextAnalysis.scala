@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operators for LLM-data pipelines (SURVEY §2.11):
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is a pure Column expression — narrow, codegen-friendly,
+  * no UDFs, no shuffle — so at 100 TB these run at parquet-scan speed and
+  * stack inside whole-stage codegen with the scan's filters.
+  *
+  * Cross-engine note (DuckDB oracle parity): inputs are trimmed before
+  * splitting because Spark's `split` drops trailing empty strings while
+  * DuckDB's `string_split_regex` keeps them.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (trim first — see note above). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alphanumeric runs and single punctuation marks
+    * each count as one token — a cheap, deterministic proxy for subword
+    * tokenizers when sizing corpora.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) /
+      greatest(length(text), lit(1)), 6)
+
+  /** English-stopword ratio over whitespace tokens. */
+  val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+  def stopwordRatio(text: Column): Column = {
+    val pattern = s"\\b(${StopwordsEn.mkString("|")})\\b"
+    round(size(regexp_extract_all(lower(text), lit(pattern), lit(0))) /
+      greatest(tokenCount(text), lit(1)), 6)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * moderate stopword presence (natural text has some). Deterministic
+    * arithmetic only, so it is oracle-checkable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
+    round((lenScore * 0.4) + (punctPenalty * 0.3) + (stopScore * 0.3), 6)
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts, argmax with
+    * a deterministic tie-break (earlier language in the list wins). The
+    * marker sets are small on purpose — this is the n-gram/stopword
+    * heuristic of SURVEY §2.11, not a trained model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit(s"\\b(${markers.mkString("|")})\\b"), lit(0)))
+
+  def langId(text: Column): Column = {
+    // argmax via a fold: keep (bestLang, bestScore), strict > so the
+    // earlier language wins ties — deterministic on both engines.
+    val init = struct(lit("und").as("lang"), lit(-1).as("score"))
+    LangMarkers.foldLeft(init) { case (best, (lang, markers)) =>
+      val s = langScore(text, markers)
+      when(s > best.getField("score"),
+        struct(lit(lang).as("lang"), s.as("score"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Normalization fingerprint: md5 of whitespace-normalized text — equal
+    * for documents differing only in whitespace. Oracle-checkable.
+    */
+  def fingerprintNormalized(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive, unlike
+    * a bag hash): acc = acc * P + xxhash64(token), 64-bit wraparound.
+    * Spark-native xxhash64 — deterministic across runs/partitions but not
+    * SQL-portable, so its queries get the rows-only check.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
+  * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
+  * conventions as ParityQueries); ops built on Spark-native hashing
+  * (xxhash64) or the stub codec are deterministic but not SQL-portable, so
+  * they take the driver's rows-only check — each such query is phrased to
+  * return rows at every scale factor (top-k forms, not bare thresholds).
+  */
+object ExtQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+
+    // ---- text analysis (oracled) ------------------------------------
+    "ext_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id")),
+
+    "ext_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "ext_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "ext_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintNormalized(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup (oracled where portable) -----------------------------
+    "ext_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .orderBy("content_hash")),
+
+    // keyed dedup generalization: first doc per (lang, source)
+    "ext_dedup_keyed" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+        .orderBy("lang", "source")),
+
+    // MinHash-LSH near-dups (xxhash64 → rows-only). Unigram shingles:
+    // the corpus plants exact token-bag duplicates, so jaccard>=0.5
+    // yields real pairs at every SF.
+    "ext_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5, numHashes = 32, bands = 8, shingleN = 1)
+        .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100)),
+
+    // SimHash signatures (rows-only: xxhash64-based).
+    "ext_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs, closest-first (rows-only).
+    "ext_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 63, prefixBits = 4)
+        .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+        .limit(100)),
+
+    // n-gram Jaccard pairs over a bounded id range (oracled via DuckDB
+    // list ops would be fragile — rows-only; top-k form, never empty).
+    "ext_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          Dedup.ngramJaccard(col("x.text"), col("y.text"), 3).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    }),
+
+    // ---- similarity search ------------------------------------------
+    // Brute-force exact cosine top-k vs the vec_id=0 embedding (oracled).
+    "ext_cosine_topk" -> ((s, dir) => {
+      val q = queryVector(s, dir)
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
+    }),
+
+    // Pairwise cosine above threshold on a bounded subset (oracled).
+    "ext_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairsAbove(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)),
+
+    // IVF approximate top-k (rows-only; recall measured in spec).
+    "ext_ivf_topk" -> ((s, dir) => {
+      val q = queryVector(s, dir)
+      Similarity.ivfTopK(s, Tables.embeddings(s, dir), "vec_id", "embedding",
+        q, k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
+    // ---- multimodal (stub codec → rows-only) ------------------------
+    "ext_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables.documents(s, dir))
+        .select(col("doc_id"), octet_length(col("media")).as("byte_len"),
+          col("format"), col("width"), col("height"))
+        .orderBy("doc_id")),
+
+    "ext_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.mediaTable(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("checksum"))
+        .orderBy("doc_id"))
+  )
+
+  /** The query vector: embedding of vec_id=0, fetched driver-side as a
+    * query PARAMETER (one row — not a data collect).
+    */
+  private def queryVector(s: SparkSession, dir: String): Seq[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  def oracleSql: Map[String, String] = Map(
+    "ext_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens_bpe,
+        |  CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |      / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(len(regexp_extract_all(lower(text),
+        |        '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |      AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, punct_ratio, stopword_ratio,
+        |  round((least(length(text) / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
+        |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    [len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')),
+        |     len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')),
+        |     len(regexp_extract_all(lower(text), '\b(le|les|des|et|une)\b')),
+        |     len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')),
+        |     len(regexp_extract_all(lower(text), '\b(de|shi|le|bu|wo)\b'))] AS scores
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  (['en','es','fr','de','zh'])[list_position(scores, list_max(scores))]
+        |    AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ext_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "ext_dedup_keyed" ->
+      """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "ext_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |    AS score
+        |FROM e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ext_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < 500)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  round(list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |    AS score
+        |FROM e x, e y WHERE x.vec_id < y.vec_id
+        |  AND list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45
+        |ORDER BY score DESC, id_a ASC, id_b ASC""".stripMargin,
+
+    "ext_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  'fake/rgb8' AS format,
+        |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+        |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -57,10 +57,12 @@ object UpsertIgnore {
         val existingAll = spark.read.parquet(targetPath)
         val existing = pruneCol match {
           case Some(c) =>
-            val Row(lo: Any, hi: Any) =
-              batch.agg(min(col(c)), max(col(c))).head()
-            if (lo == null) existingAll
-            else existingAll.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+            // head() not pattern-matched: an empty batch yields null bounds
+            // (typed patterns don't match null) — fall back to no pruning.
+            val bounds = batch.agg(min(col(c)), max(col(c))).head()
+            if (bounds.isNullAt(0)) existingAll
+            else existingAll.filter(
+              col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
           case None => existingAll
         }
         batch.join(broadcast(existing.select(keys.map(col): _*)), keys, "left_anti")

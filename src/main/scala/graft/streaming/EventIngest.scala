@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.sinks.UpsertIgnore
+
+/** [EXT] Structured-Streaming form of the reference's scheduled-micro-batch
+  * ingestion (SURVEY §2.9): the daily cron + idempotent K5 sink maps to
+  * `Trigger.AvailableNow` (run-once micro-batch per tick) + watermarked
+  * dedup + a foreachBatch upsert-ignore sink. The watermark constant
+  * mirrors the reference's 20-minute delta window
+  * (services/supabase.py:57-61).
+  *
+  * Exactly-once-per-key comes from the SINK's idempotence (anti-join on
+  * the natural key), not from fragile checkpoint coupling — reprocessing a
+  * file after a checkpoint loss inserts nothing, same as the reference's
+  * INSERT OR IGNORE re-runs.
+  */
+object EventIngest {
+
+  /** Raw schema of events.parquet under nanosAsLong (see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream with normalized µs event time. Watermarks
+    * require TIMESTAMP (with-local-tz), not NTZ, so the stream keeps LTZ
+    * `ts` (session is pinned UTC — same wall clock); sinks cast to NTZ at
+    * the boundary to match the batch tables.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation (the streaming form of the
+    * `stream_windowed_agg` batch query — same results on closed windows).
+    */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Run-once ingest: stream → watermark → in-batch natural-key dedup →
+    * idempotent upsert sink. Returns total rows inserted across batches.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      targetPath: String,
+      checkpointDir: String): Long = {
+    val inserted = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = readEventStream(spark, srcDir)
+      .withWatermark("ts", "20 minutes")
+      .dropDuplicates("event_id")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ntz = batch.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        val r = UpsertIgnore(ntz.sparkSession, ntz, targetPath,
+          keys = Seq("event_id"), pruneCol = Some("ts"))
+        inserted.addAndGet(r.inserted)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    inserted.get()
+  }
+}

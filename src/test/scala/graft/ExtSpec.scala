@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash near-dup finds exact and near pairs, not dissimilar ones") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // dissimilar excluded
+  }
+
+  test("minhash jaccard of an exact dup is 1.0") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3).collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(exact.exists(_.getDouble(2) == 1.0))
+  }
+
+  test("simhash: identical text -> identical hash; near text -> small hamming") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <
+           java.lang.Long.bitCount(sh(1L) ^ sh(3L)))
+  }
+
+  test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
+    val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c")).as("disj"),
+      Dedup.ngramJaccard(col("c"), col("a")).as("disj_sym")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(1) == r.getDouble(2))
+  }
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)))
+      .toDF("x", "y", "nx")
+    val r = df.select(
+      Similarity.cosine(col("x"), col("y")).as("orth"),
+      Similarity.cosine(col("x"), col("x")).as("self"),
+      Similarity.cosine(col("x"), col("nx")).as("opp")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("ivf top-k achieves high recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", q, 10,
+      nCentroids = 16, nProbe = 8).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
+    assert(approx.contains(0L)) // the query vector itself is always found
+  }
+
+  test("text analysis: token counts, ratios, langId deterministic tie-break") {
+    val r = Seq(("the cat and the dog!!", "  spaced   out  "))
+      .toDF("a", "b").select(
+        TextAnalysis.tokenCount(col("a")).as("n"),
+        TextAnalysis.tokenCount(col("b")).as("n_trim"),
+        TextAnalysis.punctRatio(col("a")).as("punct"),
+        TextAnalysis.langId(col("a")).as("lang")).head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 2) // trim prevents empty-token inflation
+    assert(r.getDouble(2) > 0)
+    assert(r.getString(3) == "en")
+  }
+
+  test("multimodal: batched stub decode preserves every row, deterministic") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val f1 = Multimodal.extractFeatures(spark, media, batchSize = 7)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    val f2 = Multimodal.extractFeatures(spark, media, batchSize = 64)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(f1.size == 500)
+    assert(f1 == f2) // batch size never changes results
+  }
+
+  test("multimodal: frame sampling yields frames for every non-trivial doc") {
+    val media = Multimodal.mediaTable(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val frames = Multimodal.sampleFrames(media, stride = 16, frame = 8)
+    assert(frames.select("doc_id").distinct().count() == 500)
+    assert(frames.filter(octet_length(col("frame_bytes")) > 8).count() == 0)
+  }
+
+  test("exact dedup groups identical content") {
+    val d = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(d.count() == 3) // 1&4 collapse
+    assert(d.filter(col("dup_count") === 2).select("keep_id").head().getLong(0) == 1L)
+  }
+}
