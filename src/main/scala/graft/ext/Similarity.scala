@@ -58,12 +58,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int): DataFrame = {
+    // Norms precomputed per row/centroid — a cosine per (row, centroid)
+    // pair would otherwise recompute both norms nCentroids times per row.
     val centroids = embeddings
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     embeddings.select(col(idCol), col(vecCol))
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__vnorm", norm(col("__v")))
       .crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(asDouble(col(vecCol)), col("cvec")))
+      .withColumn("cos", dot(col("__v"), col("cvec")) / (col("__vnorm") * col("cnorm")))
       .groupBy(col(idCol), col(vecCol))
       .agg(max_by(col("centroid_id"), col("cos")).as("centroid_id"))
   }
@@ -107,9 +112,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    // Per-row norms computed once before the join — identical values to a
+    // per-pair recompute (same inputs, deterministic IEEE ops), ~2x fewer
+    // array traversals per pair.
     val e = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
-      .withColumn("score", round(cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("score",
+        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
       .filter(col("score") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("score"))
   }
@@ -125,9 +135,12 @@ object Similarity {
       nCentroids: Int = 16): DataFrame = {
     val assigned = ivfAssign(embeddings, idCol, vecCol, nCentroids)
       .select(col(idCol).as("id"), col("centroid_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .persist()
     assigned.as("x").join(assigned.as("y"),
         col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
-      .withColumn("score", round(cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("score",
+        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
       .filter(col("score") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("score"))
   }

@@ -58,12 +58,13 @@ object ExtQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
         .orderBy("lang", "source")),
 
-    // MinHash-LSH near-dups (xxhash64 → rows-only). Unigram shingles:
-    // the corpus plants exact token-bag duplicates, so jaccard>=0.5
-    // yields real pairs at every SF.
+    // MinHash-LSH near-dups (xxhash64 → rows-only). 3-word shingles: the
+    // corpus shares one small vocabulary, so unigram jaccard is ~1.0 for
+    // ALL pairs (a quadratic answer); order-sensitive shingles isolate
+    // the genuinely planted near-dup pairs (jaccard 0.97+ at sf0.01).
     "ext_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.5, numHashes = 32, bands = 8, shingleN = 1)
+        threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
@@ -73,10 +74,12 @@ object ExtQueries {
         col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs, closest-first (rows-only).
+    // SimHash near-dup pairs, closest-first (rows-only). maxHamming=3 →
+    // pigeonhole chunk-blocking with 4 chunks; the corpus's planted
+    // bag-duplicates have hamming 0, so rows exist at every SF.
     "ext_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 63, prefixBits = 4)
+        maxHamming = 3)
         .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
