@@ -29,6 +29,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with automatic dispatch to the native codegen'd Expression
+    * (graft.functions.CosineSimilarity) when the session has
+    * GraftExtensions installed, else the declarative HOF form. Both
+    * compute bit-identical doubles (asserted in ExtSpec), so the
+    * dispatch never changes results — only speed (~10x on pair joins).
+    */
+  def cosineAuto(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   /** Exact brute-force top-k by cosine against a literal query vector.
     * Ties broken by id for determinism. Plans as scan → project →
     * TakeOrderedAndProject: no shuffle, bounded memory.
@@ -40,9 +50,10 @@ object Similarity {
       query: Seq[Double],
       k: Int): DataFrame = {
     val q = lit(query.toArray)
+    val cos = cosineAuto(embeddings.sparkSession) _
     embeddings
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), q), 6).as("score"))
+        round(cos(asDouble(col(vecCol)), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -95,9 +106,10 @@ object Similarity {
         cosine(asDouble(col(vecCol)), q).as("cos"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
       .limit(nProbe)
+    val cos = cosineAuto(spark) _
     assigned.join(broadcast(probeIds.select("centroid_id")), Seq("centroid_id"))
       .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), q), 6).as("score"))
+        round(cos(asDouble(col(vecCol)), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -117,9 +129,12 @@ object Similarity {
     // array traversals per pair.
     val e = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
+    val score =
+      if (embeddings.sparkSession.catalog.functionExists("graft_cosine"))
+        call_function("graft_cosine", col("x.v"), col("y.v"))
+      else dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
-      .withColumn("score",
-        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
+      .withColumn("score", round(score, 6))
       .filter(col("score") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("score"))
   }
@@ -137,10 +152,13 @@ object Similarity {
       .select(col(idCol).as("id"), col("centroid_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
       .persist()
+    val score =
+      if (embeddings.sparkSession.catalog.functionExists("graft_cosine"))
+        call_function("graft_cosine", col("x.v"), col("y.v"))
+      else dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))
     assigned.as("x").join(assigned.as("y"),
         col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
-      .withColumn("score",
-        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))
+      .withColumn("score", round(score, 6))
       .filter(col("score") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("score"))
   }

@@ -37,6 +37,14 @@ class ExtSpec extends SparkSpec {
            java.lang.Long.bitCount(sh(1L) ^ sh(3L)))
   }
 
+  test("simhash agg form (inside nearDups) matches the Column-expression form") {
+    // nearDups with maxHamming=0 returns exactly the identical-simhash
+    // pairs; per the expression form that's the (1,4) exact-dup pair.
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 4L)))
+  }
+
   test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
     val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
     val r = df.select(
@@ -71,6 +79,22 @@ class ExtSpec extends SparkSpec {
     val recall = (exact & approx).size / 10.0
     assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
     assert(approx.contains(0L)) // the query vector itself is always found
+  }
+
+  test("native graft_cosine Expression is bit-identical to the HOF form") {
+    assert(spark.catalog.functionExists("graft_cosine"),
+      "GraftExtensions not installed in test session")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 1).select("v").head().getSeq[Double](0)
+    val both = emb.select(col("vec_id"),
+      Similarity.cosine(col("v"), lit(q.toArray)).as("hof"),
+      call_function("graft_cosine", col("v"), lit(q.toArray)).as("native"))
+    // BIT-identical, not approximately equal: same IEEE fold order.
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    // and the codegen path actually plans the native expression
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cosine"))
   }
 
   test("text analysis: token counts, ratios, langId deterministic tie-break") {
