@@ -36,19 +36,28 @@ object UpsertIgnore {
   private def targetExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(f => f.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.getPath.getName.endsWith(".parquet") ||
+        (f.isDirectory && f.getPath.getName.contains("=")))
   }
 
   /** Anti-join `incoming` against the live target and append the delta.
     * Returns inserted/skipped counts (K9 row-count accounting,
     * etl/api_fetcher.py:189).
     */
+  /** @param partitionBy physical partition columns for the target (e.g.
+    *        a date column). With it, `pruneCol` bounds become PARTITION
+    *        pruning on the existing scan (PartitionFilters, zero data
+    *        files read outside the batch's range) — the layout SURVEY §6
+    *        prescribes for the 100 TB target table.
+    */
   def apply(
       spark: SparkSession,
       incoming: DataFrame,
       targetPath: String,
       keys: Seq[String],
-      pruneCol: Option[String] = None): Result = {
+      pruneCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Result = {
     val batch = incoming.cache()
     val total = batch.count()
     val delta =
@@ -68,8 +77,11 @@ object UpsertIgnore {
         batch.join(broadcast(existing.select(keys.map(col): _*)), keys, "left_anti")
       }
     val inserted = delta.count()
-    if (inserted > 0)
-      delta.write.mode("append").parquet(targetPath)
+    if (inserted > 0) {
+      val writer = delta.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(targetPath)
+    }
     batch.unpersist()
     Result(inserted, total - inserted)
   }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.sinks.UpsertIgnore
+
+/** Scale-mechanics specs: partitioned upsert targets and salted
+  * aggregation — correctness of the structures the 100 TB layout uses.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("K5 over a date-partitioned target: layout + idempotence + pruning") {
+    val dir = tmpDir("k5part") + "/t"
+    val day1 = Seq(
+      ("USD", "2026-08-10", 1.0), ("GBP", "2026-08-10", 2.0)
+    ).toDF("currency", "date", "rate")
+    val day2 = Seq(
+      ("USD", "2026-08-11", 1.1), ("USD", "2026-08-10", 9.9) // dup key
+    ).toDF("currency", "date", "rate")
+
+    val r1 = UpsertIgnore(spark, day1, dir, Seq("currency", "date"),
+      pruneCol = Some("date"), partitionBy = Seq("date"))
+    assert(r1 == UpsertIgnore.Result(2, 0))
+    // physical layout is date-partitioned
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains("="))
+    assert(dirs.contains("date=2026-08-10"))
+
+    val r2 = UpsertIgnore(spark, day2, dir, Seq("currency", "date"),
+      pruneCol = Some("date"), partitionBy = Seq("date"))
+    assert(r2 == UpsertIgnore.Result(1, 1))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 3)
+    assert(t.filter(col("currency") === "USD" && col("date") === "2026-08-10")
+      .select("rate").head().getDouble(0) == 1.0) // original kept
+
+    // the prune filter lands as a PARTITION filter, not a data filter
+    val pruned = spark.read.parquet(dir).filter(col("date") === "2026-08-11")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), s"plan:\n$plan")
+  }
+
+  test("salted aggregation equals plain aggregation (hot-key safe)") {
+    // one hot key (90% of rows) + long tail
+    val rows = (1 to 10000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"k${i % 97}"
+      (i.toLong, k, i.toDouble)
+    }
+    val df = rows.toDF("id", "key", "v")
+    val plain = df.groupBy("key")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("key"), saltFactor = 8,
+      idCols = Seq(col("id")),
+      partials = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      combines = Seq(sum("s").as("s"), sum("c").as("c")))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    for ((k, (s, c)) <- plain) {
+      assert(salted(k)._2 == c, s"count mismatch for $k")
+      assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
+    }
+  }
+
+  test("salt is deterministic and spreads a key over saltFactor buckets") {
+    val df = (1L to 1000L).toDF("id")
+    val s1 = df.select(Skew.salt(8, col("id")).as("s")).collect().map(_.getLong(0))
+    val s2 = df.select(Skew.salt(8, col("id")).as("s")).collect().map(_.getLong(0))
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.distinct.sorted.toSeq == (0L to 7L))
+  }
+}
