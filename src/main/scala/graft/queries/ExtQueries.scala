@@ -83,8 +83,8 @@ object ExtQueries {
         .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
-    // n-gram Jaccard pairs over a bounded id range (oracled via DuckDB
-    // list ops would be fragile — rows-only; top-k form, never empty).
+    // n-gram Jaccard pairs over a bounded id range (oracled: DuckDB list
+    // comprehension mirrors charNgrams exactly).
     "ext_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text"))
@@ -115,6 +115,15 @@ object ExtQueries {
       Similarity.ivfTopK(s, Tables.embeddings(s, dir), "vec_id", "embedding",
         q, k = 10, nCentroids = 16, nProbe = 4)
     }),
+
+    // IVF-bucketed near-dup pair search: only same-cluster pairs compared
+    // (the scale path; rows-only — cluster assignment is engine-defined).
+    "ext_cosine_pairs_ivf" -> ((s, dir) =>
+      Similarity.cosinePairsAboveIvf(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.25, nCentroids = 8)
+        .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100)),
 
     // ---- multimodal (stub codec → rows-only) ------------------------
     "ext_multimodal_meta" -> ((s, dir) =>
@@ -210,6 +219,18 @@ object ExtQueries {
         |  AND list_dot_product(x.v, y.v)
         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45
         |ORDER BY score DESC, id_a ASC, id_b ASC""".stripMargin,
+
+    "ext_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  round(len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

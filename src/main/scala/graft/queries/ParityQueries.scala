@@ -242,6 +242,14 @@ object ParityQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Grouped top-k via the typed bounded-buffer Aggregator
+    // (ops.GroupedTopK) — map-side combinable O(k) state per group; the
+    // oracle states the same semantics as a row_number window.
+    "grouped_topk_agg" -> ((s, dir) =>
+      graft.ops.GroupedTopK(s,
+        Tables.events(s, dir), "event_type", "value", "event_id", k = 3)
+        .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)),
+
     // §2.9 — tumbling-window event-time aggregation (batch form of the
     // Structured Streaming ingest; see graft.streaming for the stream form).
     "stream_windowed_agg" -> ((s, dir) =>
@@ -398,6 +406,15 @@ object ParityQueries {
         |        ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "grouped_topk_agg" ->
+      """SELECT event_type, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin,
 
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
