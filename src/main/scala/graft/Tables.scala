@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Central accessor for the driver-provided parquet testdata
@@ -41,4 +41,23 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  /** Typed surfaces (SURVEY §1.1): case-class Datasets where field safety
+    * helps. Same lazy scans underneath — `.as[T]` adds only an Encoder.
+    */
+  object typed {
+    import graft.schema._
+    def lineitem(s: SparkSession, dir: String): Dataset[Lineitem] =
+      { import s.implicits._; Tables.lineitem(s, dir).as[Lineitem] }
+    def orders(s: SparkSession, dir: String): Dataset[Order] =
+      { import s.implicits._; Tables.orders(s, dir).as[Order] }
+    def customer(s: SparkSession, dir: String): Dataset[Customer] =
+      { import s.implicits._; Tables.customer(s, dir).as[Customer] }
+    def events(s: SparkSession, dir: String): Dataset[Event] =
+      { import s.implicits._; Tables.events(s, dir).as[Event] }
+    def documents(s: SparkSession, dir: String): Dataset[Document] =
+      { import s.implicits._; Tables.documents(s, dir).as[Document] }
+    def embeddings(s: SparkSession, dir: String): Dataset[Embedding] =
+      { import s.implicits._; Tables.embeddings(s, dir).as[Embedding] }
+  }
 }
