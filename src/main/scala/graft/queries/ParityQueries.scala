@@ -250,6 +250,40 @@ object ParityQueries {
         Tables.events(s, dir), "event_type", "value", "event_id", k = 3)
         .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)),
 
+    // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
+    // oracle because Spark's ASC default is nulls-first, DuckDB's is
+    // nulls-last — the rollup's subtotal rows are null-keyed.
+    "agg_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Wide pivot: one column per l_linestatus value (conditional-agg oracle).
+    "agg_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")),
+
+    // Left-semi join (EXISTS): customers having at least one urgent order.
+    "join_semi_exists" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // EXCEPT ALL set difference (multiset semantics preserved).
+    "set_except_all" -> ((s, dir) => {
+      val all = Tables.orders(s, dir).select("o_custkey")
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      all.exceptAll(urgent).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt")).orderBy("o_custkey")
+    }),
+
     // §2.9 — tumbling-window event-time aggregation (batch form of the
     // Structured Streaming ingest; see graft.streaming for the stream form).
     "stream_windowed_agg" -> ((s, dir) =>
@@ -406,6 +440,32 @@ object ParityQueries {
         |        ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT o_custkey, count(*) AS cnt FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "grouped_topk_agg" ->
       """SELECT event_type, value, event_id FROM (
