@@ -284,6 +284,19 @@ object ParityQueries {
         .agg(count(lit(1)).as("cnt")).orderBy("o_custkey")
     }),
 
+    // Gap-based sessionization via the native session_window operator —
+    // the oracle reproduces the merge semantics with lag + cumulative sum
+    // (a new session starts when the gap is >= 30 minutes; window end =
+    // last event + gap).
+    "sessionization" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // §2.9 — tumbling-window event-time aggregation (batch form of the
     // Structured Streaming ingest; see graft.streaming for the stream form).
     "stream_windowed_agg" -> ((s, dir) =>
@@ -475,6 +488,25 @@ object ParityQueries {
         |  FROM events) t
         |WHERE rn <= 3
         |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin,
+
+    "sessionization" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -30,6 +30,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/events_table").count() == 1000)
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window semantics") {
+    val work = tmpDir("sess")
+    val q = graft.streaming.Sessionize(spark,
+      EventIngest.readEventStream(spark, srcDir), gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("session_end").cast("timestamp_ntz"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    // Batch truth: session_window over the same events. Sessions closed
+    // by a LATER event always stream; each user's final session streams
+    // only if the end-of-stream watermark passed its timeout (AvailableNow
+    // runs a final no-data batch where event-time timeouts fire). So:
+    // streamed ⊆ all, all∖streamed ⊆ {per-user last}, non-last ⊆ streamed.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_start").desc)
+    val batchDf = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("cnt"), col("sum_value"))
+      .withColumn("__rn", row_number().over(w))
+    val batchAll = batchDf.drop("__rn").collect().map(_.toSeq).toSet
+    val batchLast = batchDf.filter(col("__rn") === 1).drop("__rn")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.subsetOf(batchAll), "streamed a session batch truth lacks")
+    assert((batchAll -- streamed).subsetOf(batchLast),
+      "failed to stream a session that a later event had closed")
+    assert((batchAll -- batchLast).subsetOf(streamed))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(
