@@ -68,6 +68,14 @@ object ExtQueries {
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
+    // Corpus-level dedup: near-dup graph -> connected components ->
+    // canonical doc per cluster (rows-only: built on xxhash64 minhash).
+    "ext_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // SimHash signatures (rows-only: xxhash64-based).
     "ext_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(

@@ -154,6 +154,18 @@ object ParityQueries {
         col("o_totalprice").cast("string").cast("double").as("price_roundtrip"))
         .orderBy("o_orderkey")),
 
+    // String + null-handling scalar family (C8/C9 cousins generalized).
+    "c_string_family" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        instr(col("c_name"), "1").as("pos1"),
+        col("c_name").like("%1%").as("has1"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"))
+        .orderBy("c_custkey")),
+
     // C1 — permissive parse: null on unparseable, never error
     // (pd.to_datetime errors="coerce", etl/csv_loader.py:52).
     "c1_permissive_parse" -> ((s, dir) =>
@@ -389,6 +401,16 @@ object ParityQueries {
         |  round(o_totalprice, 1) AS price_round,
         |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c_string_family" ->
+      """SELECT c_custkey,
+        |  concat_ws('-', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  CAST(strpos(c_name, '1') AS INTEGER) AS pos1,
+        |  c_name LIKE '%1%' AS has1,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "c1_permissive_parse" ->
       """SELECT o_orderkey,

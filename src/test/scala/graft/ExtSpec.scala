@@ -129,6 +129,16 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(octet_length(col("frame_bytes")) > 8).count() == 0)
   }
 
+  test("dedupCorpus: transitive near-dups collapse to one canonical doc") {
+    // 1~2 (near), 1==4 (exact): {1,2,4} is one component even though the
+    // 2~4 edge may be absent; 3 is alone.
+    val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(4L) == 1L && labels(2L) == 1L)
+    assert(labels(3L) == 3L)
+  }
+
   test("exact dedup groups identical content") {
     val d = Dedup.exact(docs, "doc_id", Seq("text"))
     assert(d.count() == 3) // 1&4 collapse
