@@ -131,12 +131,16 @@ class ExtSpec extends SparkSpec {
 
   test("dedupCorpus: transitive near-dups collapse to one canonical doc") {
     // 1~2 (near), 1==4 (exact): {1,2,4} is one component even though the
-    // 2~4 edge may be absent; 3 is alone.
-    val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
-      threshold = 0.5, shingleN = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels(1L) == 1L && labels(4L) == 1L && labels(2L) == 1L)
-    assert(labels(3L) == 3L)
+    // 2~4 edge may be absent; 3 is alone. Both component engines (driver
+    // union-find and distributed label propagation) must agree.
+    for (driverMax <- Seq(Long.MaxValue, 0L)) {
+      val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(1L) == 1L && labels(4L) == 1L && labels(2L) == 1L,
+        s"driverMaxEdges=$driverMax: $labels")
+      assert(labels(3L) == 3L)
+    }
   }
 
   test("exact dedup groups identical content") {
