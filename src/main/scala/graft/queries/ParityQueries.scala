@@ -262,6 +262,77 @@ object ParityQueries {
         Tables.events(s, dir), "event_type", "value", "event_id", k = 3)
         .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)),
 
+    // Math scalar family.
+    "c_math_family" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_v"),
+          ceil(col("l_quantity") / 7).cast("long").as("ceil_v"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("floor_v"),
+          round(pow(col("l_tax") + 1, 2), 6).as("pow_v"),
+          pmod(col("l_orderkey"), lit(13)).as("mod_v"),
+          round(log(col("l_extendedprice") + 1), 6).as("ln_v"),
+          signum(col("l_discount") - 0.05).cast("int").as("sign_v"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("great_v"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Date/time scalar family (dow normalized: Spark is 1=Sunday..7,
+    // DuckDB 0=Sunday..6).
+    "c_date_family" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("days_to_anchor"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 45).as("plus45"),
+        weekofyear(col("o_orderdate")).cast("int").as("iso_week"))
+        .orderBy("o_orderkey")),
+
+    // Exact distinct-count aggregation per group.
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Statistical aggregates (sample stddev/variance rounded; median =
+    // continuous percentile, same interpolation both engines).
+    "agg_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("l_returnflag")),
+
+    // TPC-H-Q5-shaped local-volume query: 6-way join where customer and
+    // supplier share a nation, grouped by nation. All dims broadcast.
+    "tpch_q5_local_volume" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                  col("o_orderdate") <  lit("1998-01-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")),
+
     // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
     // oracle because Spark's ASC default is nulls-first, DuckDB's is
     // nulls-last — the rollup's subtotal rows are null-keyed.
@@ -475,6 +546,58 @@ object ParityQueries {
         |        ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "c_math_family" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_v,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_v,
+        |  round(pow(l_tax + 1, 2), 6) AS pow_v,
+        |  l_orderkey % 13 AS mod_v,
+        |  round(ln(l_extendedprice + 1), 6) AS ln_v,
+        |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sign_v,
+        |  greatest(l_quantity, l_discount * 100) AS great_v
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c_date_family" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS INTEGER) AS days_to_anchor,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "tpch_q5_local_volume" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
