@@ -262,6 +262,44 @@ object ParityQueries {
         Tables.events(s, dir), "event_type", "value", "event_id", k = 3)
         .orderBy(col("event_type").asc, col("value").desc, col("event_id").asc)),
 
+    // JSON extraction from string payloads (events.props is one-key JSON).
+    "c_json_family" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        expr("from_json(props, 'k INT').k").as("k_struct"))
+        .orderBy("event_id")),
+
+    // Array/list function family over embeddings.
+    "c_array_family" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("n_dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+        round(element_at(col("embedding"), 64).cast("double"), 6).as("last_v"),
+        round(aggregate(transform(slice(col("embedding"), 1, 4), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("head_sum"))
+        .orderBy("vec_id")),
+
+    // Regex scalar family over documents.
+    "c_regex_family" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        size(regexp_extract_all(col("text"), lit("data"), lit(0))).cast("int").as("n_data"),
+        col("text").rlike("spark").as("mentions_spark"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("int").as("len_novowel"))
+        .orderBy("doc_id")),
+
+    // INTERSECT set op: customers appearing in both priority classes.
+    "set_intersect" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val high = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+      urgent.intersect(high).orderBy("o_custkey")
+    }),
+
     // Math scalar family.
     "c_math_family" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -546,6 +584,35 @@ object ParityQueries {
         |        ORDER BY o_orderdate, o_orderkey
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "c_json_family" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "c_array_family" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n_dim,
+        |  round(embedding[1]::DOUBLE, 6) AS first_v,
+        |  round(embedding[64]::DOUBLE, 6) AS last_v,
+        |  round(list_sum(list_slice(embedding::DOUBLE[], 1, 4)), 6) AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "c_regex_family" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, 'data')) AS INTEGER) AS n_data,
+        |  regexp_matches(text, 'spark') AS mentions_spark,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER)
+        |    AS len_novowel
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
 
     "c_math_family" ->
       """SELECT l_orderkey, l_linenumber,
