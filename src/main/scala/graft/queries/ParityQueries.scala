@@ -31,7 +31,8 @@ object ParityQueries {
     */
   val flagship: Q = (s, dir) =>
     Transforms.topK(10,
-      col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)(
+      col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc,
+      col("l_quantity").asc, col("l_extendedprice").asc)(
       Tables.lineitem(s, dir)
         .filter(col("l_quantity") > 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"))
@@ -39,7 +40,8 @@ object ParityQueries {
   val flagshipSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
       |FROM lineitem WHERE l_quantity > 0
-      |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+      |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice LIMIT 10""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "flagship_topk_latest" -> flagship,
@@ -58,7 +60,7 @@ object ParityQueries {
           Tables.lineitem(s, dir)))
         .filter(col("l_discount") >= 0 && col("l_discount") <= 1)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
 
     // F5 — incremental delta window, anchored to max event time
     // (services/supabase.py:57-61 `created_at >= now - 20 minutes`).
@@ -117,7 +119,7 @@ object ParityQueries {
       incoming.join(existing.select("l_orderkey", "l_linenumber"),
           Seq("l_orderkey", "l_linenumber"), "left_anti")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
     }),
 
     // K9 — delta row-count accounting (etl/api_fetcher.py:189).
@@ -199,7 +201,7 @@ object ParityQueries {
           explode(map(
             lit("quantity"), col("l_quantity"),
             lit("price"), col("l_extendedprice"))).as(Seq("metric", "val")))
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")),
 
     // Aggregation showcase (§2.5 analogs generalized): TPC-H-Q1-shaped
     // pricing summary — partial (map-side) aggregation + single shuffle.
@@ -314,7 +316,8 @@ object ParityQueries {
           round(log(col("l_extendedprice") + 1), 6).as("ln_v"),
           signum(col("l_discount") - 0.05).cast("int").as("sign_v"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("great_v"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "floor_v", "ln_v", "abs_v",
+          "ceil_v", "pow_v", "great_v")),
 
     // Date/time scalar family (dow normalized: Spark is 1=Sunday..7,
     // DuckDB 0=Sunday..6).
@@ -442,7 +445,7 @@ object ParityQueries {
         |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         |  AND l_shipdate IS NOT NULL AND l_quantity > 0
         |  AND l_discount >= 0 AND l_discount <= 1
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "f5_recent_delta" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
@@ -484,7 +487,7 @@ object ParityQueries {
         |  SELECT 1 FROM lineitem e
         |  WHERE e.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
         |    AND e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin,
 
     "k9_delta_count" ->
       """SELECT count(*) AS cnt FROM lineitem i
@@ -546,7 +549,7 @@ object ParityQueries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
         |  FROM lineitem WHERE l_orderkey <= 160) m
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -625,7 +628,8 @@ object ParityQueries {
         |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sign_v,
         |  greatest(l_quantity, l_discount * 100) AS great_v
         |FROM lineitem WHERE l_orderkey <= 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, floor_v, ln_v, abs_v, ceil_v,
+        |  pow_v, great_v""".stripMargin,
 
     "c_date_family" ->
       """SELECT o_orderkey,
