@@ -133,6 +133,26 @@ object ExtQueries {
         .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
+    // Per-label embedding statistics: mean vector norm per cluster label.
+    "ext_embedding_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          Similarity.norm(Similarity.asDouble(col("embedding"))).as("n"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg("n"), 4).as("avg_norm"),
+          round(min("n"), 6).as("min_norm"),
+          round(max("n"), 6).as("max_norm"))
+        .orderBy("label")),
+
+    // Corpus length histogram per source: bucketed doc sizes.
+    "ext_length_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"), (floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(length(col("text"))), 2).as("avg_len"))
+        .orderBy("source", "len_bucket")),
+
     // ---- multimodal (stub codec → rows-only) ------------------------
     "ext_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaTable(Tables.documents(s, dir))
@@ -239,6 +259,22 @@ object ExtQueries {
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard
         |FROM g x, g y WHERE x.doc_id < y.doc_id
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+    "ext_embedding_stats" ->
+      """WITH n AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[])) AS n FROM embeddings)
+        |SELECT label, count(*) AS cnt,
+        |  round(avg(n), 4) AS avg_norm,
+        |  round(min(n), 6) AS min_norm,
+        |  round(max(n), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "ext_length_histogram" ->
+      """SELECT source,
+        |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS cnt, round(avg(length(text)), 2) AS avg_len
+        |FROM documents GROUP BY source, len_bucket
+        |ORDER BY source, len_bucket""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
