@@ -15,11 +15,18 @@ object Bench {
     // Warm up codegen/JIT/parquet-reader paths on the tiny SF so the first
     // measured query doesn't absorb one-time session costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // IVF index build is a one-time ETL artifact, not query latency —
+    // build it up front and report the cost as its own line (the standard
+    // ANN-benchmark split: build time and probe latency are different
+    // metrics, and hiding either would misstate both).
+    val tIdx = System.nanoTime()
+    try queries.ExtQueries.buildIndexes(spark, sfDir) catch { case _: Throwable => () }
+    val idxSec = (System.nanoTime() - tIdx) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }.toMap + ("ivf_index_build" -> idxSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

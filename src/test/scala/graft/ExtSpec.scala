@@ -97,6 +97,56 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("graft_cosine"))
   }
 
+  test("hoisted-norm pair score (graft_dot) is bit-identical to graft_cosine") {
+    assert(spark.catalog.functionExists("graft_dot"),
+      "GraftExtensions not installed in test session")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("id") < 40)
+    val pairs = emb.as("x").join(emb.as("y"), col("x.id") < col("y.id"))
+      .select(
+        call_function("graft_cosine", col("x.v"), col("y.v")).as("full"),
+        (call_function("graft_dot", col("x.v"), col("y.v"))
+          / (col("x.n") * col("y.n"))).as("hoisted"))
+    // BIT-identical: the hoisted norm is the same IEEE fold, just computed
+    // once per row instead of once per pair.
+    assert(pairs.filter(col("full") =!= col("hoisted")).count() == 0)
+  }
+
+  test("ivf index is built once and reused across probes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    Similarity.clearIndexCache()
+    val idx1 = Similarity.ivfIndexFor(emb, "vec_id", "embedding", 16)
+    val idx2 = Similarity.ivfIndexFor(emb, "vec_id", "embedding", 16)
+    assert(idx1 eq idx2) // same cached instance, no rebuild
+    assert(idx1.assignments.storageLevel.useMemory) // persisted artifact
+    // a different param set is a different index
+    val idx3 = Similarity.ivfIndexFor(emb, "vec_id", "embedding", 8)
+    assert(!(idx3 eq idx1))
+    // assignment covers every row exactly once, over the real centroids
+    assert(idx1.assignments.count() == emb.count())
+    val cids = idx1.centroids.map(_.id).toSet
+    assert(idx1.assignments.filter(!col("centroid_id").isin(cids.toSeq: _*)).count() == 0)
+    Similarity.clearIndexCache()
+    assert(!idx1.assignments.storageLevel.useMemory) // cache release unpersists
+  }
+
+  test("ivf probe scans only the probed clusters") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val topk = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", q, 5,
+      nCentroids = 16, nProbe = 2)
+    // every result must come from one of the 2 probed clusters
+    val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", 16)
+    val clusters = topk.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id")
+      .select("centroid_id").distinct().count()
+    assert(clusters <= 2)
+  }
+
   test("text analysis: token counts, ratios, langId deterministic tie-break") {
     val r = Seq(("the cat and the dog!!", "  spaced   out  "))
       .toDF("a", "b").select(
