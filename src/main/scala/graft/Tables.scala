@@ -33,12 +33,19 @@ object Tables {
     * truncation DuckDB applies when it casts TIMESTAMP_NS, so both engines
     * see identical values. NTZ keeps the wall-clock identical to the
     * oracle's naive timestamps regardless of writer tz flags.
+    *
+    * The legacy conf must be set AT SESSION CONSTRUCTION
+    * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")` — Bench,
+    * Verify, and the test harness all do). It cannot be scoped per-read:
+    * executors consult the job-propagated session SQLConf, not the reader
+    * options. This accessor deliberately does NOT mutate the session as a
+    * side effect of building a plan; a session without the conf fails
+    * loudly with PARQUET_TYPE_ILLEGAL rather than silently changing how
+    * every later parquet read surfaces NANOS columns.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -85,15 +85,21 @@ object Dedup {
       shingleN: Int = 3,
       maxBucket: Int = 2000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Shingles are hashed to longs ONCE and persisted — every later stage
-    // (signatures, verification) works on the long array. Embedding the
-    // shingle-building expression inside the per-seed signature lambda
+    // Shingles are hashed to longs ONCE and materialized — every later
+    // stage (signatures, verification) works on the long array. Embedding
+    // the shingle-building expression inside the per-seed signature lambda
     // would re-evaluate it numHashes times per row (measured 30x slower).
+    // localCheckpoint (lazy) rather than persist: lineage is truncated at
+    // first use, and the storage is released by the ContextCleaner as soon
+    // as the caller drops the returned plan — cache lifetime is bounded by
+    // plan reachability, not by the session. (At cluster scale the durable
+    // form is a written intermediate; single-JVM local mode cannot lose
+    // checkpoint blocks.)
     val hashed = df.select(
       col(idCol).as("doc_id"),
       array_distinct(transform(shingles(col(textCol), shingleN),
         sh => xxhash64(sh))).as("hset"))
-      .persist()
+      .localCheckpoint(false)
 
     // Signatures via explode + codegen'd min-aggregates: partial (map-side)
     // min per seed, one shuffle on doc_id — the whole-stage-codegen path,
@@ -156,10 +162,12 @@ object Dedup {
       shingleN: Int = 3,
       maxIters: Int = 10,
       driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
-    // pairs is consumed twice (forward + reversed) — persist, or the whole
-    // minhash pipeline runs twice.
+    // pairs is consumed twice (forward + reversed) — materialize, or the
+    // whole minhash pipeline runs twice. Lazy localCheckpoint: same reuse
+    // as persist, but lineage-truncated and released on plan GC rather
+    // than leaked for the session (see minhashNearDups).
     val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleN = shingleN)
-      .select("id_a", "id_b").persist()
+      .select("id_a", "id_b").localCheckpoint(false)
 
     // The candidate graph is tiny relative to the corpus in any healthy
     // dedup run (dup pairs << docs). Under driverMaxEdges, union-find on
@@ -172,13 +180,13 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .withColumnRenamed("id_a", "id").withColumnRenamed("id_b", "nbr")
-      .persist()
+      .localCheckpoint(false)
 
     // Propagate only over docs that appear in the graph — isolated docs
     // (the overwhelming majority) trivially keep their own label and are
     // unioned back at the end, so each round's join touches the near-dup
     // subgraph, not the corpus.
-    val nodes = edges.select("id").distinct().persist()
+    val nodes = edges.select("id").distinct().localCheckpoint(false)
     var labels = nodes.withColumn("canonical_id", col("id")).persist()
     var converged = false
     var i = 0
@@ -201,10 +209,13 @@ object Dedup {
     val isolated = df.select(col(idCol).as("id"))
       .join(nodes, Seq("id"), "left_anti")
       .withColumn("canonical_id", col("id"))
-    // pairs/edges/nodes stay persisted: the returned plan references them
-    // lazily, and unpersisting here would re-run the whole minhash
-    // pipeline when the caller evaluates. They are small (graph-sized).
-    labels.unionByName(isolated)
+    // The converged result is checkpointed EAGERLY (this path already runs
+    // jobs per round, so laziness is long gone) and the loop's last persist
+    // is dropped immediately: the returned plan depends only on checkpoint
+    // blocks, which the ContextCleaner releases once the caller lets go.
+    val result = labels.unionByName(isolated).localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** Driver-side exact connected components over a collected edge list:

@@ -41,6 +41,48 @@ object UpsertIgnore {
         (f.isDirectory && f.getPath.getName.contains("=")))
   }
 
+  /** The anti-join delta plan: incoming rows whose key is absent from the
+    * existing target. Exposed for plan-shape tests (PlanSpec/SinksSpec
+    * assert the broadcast decision without writing anything).
+    *
+    * Range pruning applies ONLY when `pruneCol` is one of the join keys:
+    * then an existing row that matches a batch row on all keys has its
+    * pruneCol value inside the batch's [min,max] by definition, so pruning
+    * can never hide a matching key. For a NON-key pruneCol the same-key
+    * row may carry a drifted value outside the range (clock skew, replays
+    * with corrected timestamps) — pruning there would re-insert the key
+    * and break idempotence, so it falls back to the unpruned join.
+    *
+    * The pruned existing side is broadcast only while its estimated size
+    * stays under `spark.sql.autoBroadcastJoinThreshold` — an unconditional
+    * broadcast of an unpruned 100 TB target is the failure mode this guard
+    * exists for. Above the threshold Catalyst plans a shuffle anti-join.
+    */
+  private[graft] def deltaPlan(
+      spark: SparkSession,
+      batch: DataFrame,
+      existingAll: DataFrame,
+      keys: Seq[String],
+      pruneCol: Option[String]): DataFrame = {
+    val existing = pruneCol match {
+      case Some(c) if keys.contains(c) =>
+        // head() not pattern-matched: an empty batch yields null bounds
+        // (typed patterns don't match null) — fall back to no pruning.
+        val bounds = batch.agg(min(col(c)), max(col(c))).head()
+        if (bounds.isNullAt(0)) existingAll
+        else existingAll.filter(
+          col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
+      case _ => existingAll
+    }
+    val keySide = existing.select(keys.map(col): _*)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val estBytes = keySide.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && estBytes <= BigInt(threshold))
+      batch.join(broadcast(keySide), keys, "left_anti")
+    else
+      batch.join(keySide, keys, "left_anti")
+  }
+
   /** Anti-join `incoming` against the live target and append the delta.
     * Returns inserted/skipped counts (K9 row-count accounting,
     * etl/api_fetcher.py:189).
@@ -62,20 +104,7 @@ object UpsertIgnore {
     val total = batch.count()
     val delta =
       if (!targetExists(spark, targetPath)) batch
-      else {
-        val existingAll = spark.read.parquet(targetPath)
-        val existing = pruneCol match {
-          case Some(c) =>
-            // head() not pattern-matched: an empty batch yields null bounds
-            // (typed patterns don't match null) — fall back to no pruning.
-            val bounds = batch.agg(min(col(c)), max(col(c))).head()
-            if (bounds.isNullAt(0)) existingAll
-            else existingAll.filter(
-              col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
-          case None => existingAll
-        }
-        batch.join(broadcast(existing.select(keys.map(col): _*)), keys, "left_anti")
-      }
+      else deltaPlan(spark, batch, spark.read.parquet(targetPath), keys, pruneCol)
     val inserted = delta.count()
     if (inserted > 0) {
       val writer = delta.write.mode("append")

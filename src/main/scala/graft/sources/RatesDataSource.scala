@@ -14,6 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 `TableProvider` for the two external rate feeds — the
   * idiomatic `spark.read.format("graft-rates")` form of S5/S6-S8 (SURVEY
@@ -80,13 +81,20 @@ private class RatesTable(kind: String, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
+      // The session's Hadoop conf (credentials, custom filesystem schemes),
+      // captured at plan time on the driver and shipped to executors inside
+      // the reader factory — `new Configuration()` would silently drop any
+      // user FS settings, diverging from how Sinks resolves paths.
+      private val hadoopConf = new SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
       override def build(): Scan = this
       override def readSchema(): StructType = schema()
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
         val p = new Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val files =
           if (fs.isDirectory(p)) fs.listStatus(p).map(_.getPath)
           else fs.globStatus(p).map(_.getPath)
@@ -95,18 +103,19 @@ private class RatesTable(kind: String, path: String)
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new RatesReaderFactory
+        new RatesReaderFactory(hadoopConf)
     }
 }
 
 private case class RatesPartition(kind: String, file: String) extends InputPartition
 
-private class RatesReaderFactory extends PartitionReaderFactory {
+private class RatesReaderFactory(hadoopConf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val RatesPartition(kind, file) = partition
     val text = {
       val p = new Path(file)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hadoopConf.value)
       val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()

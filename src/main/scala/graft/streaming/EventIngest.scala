@@ -35,7 +35,11 @@ object EventIngest {
     * the boundary to match the batch tables.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries INT64(NANOS) timestamps: set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
+        "(see graft.Tables.events) — not mutated here as a side effect")
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
@@ -70,8 +74,13 @@ object EventIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ntz = batch.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        // No pruneCol: ts is NOT part of the key, so range-pruning the
+        // target on it could miss an existing event_id whose ts drifted
+        // (replay with corrected clock) and re-insert the key. UpsertIgnore
+        // enforces this (prunes only on key columns); stated here too so
+        // the exactly-once-per-key guarantee is visibly unconditional.
         val r = UpsertIgnore(ntz.sparkSession, ntz, targetPath,
-          keys = Seq("event_id"), pruneCol = Some("ts"))
+          keys = Seq("event_id"))
         inserted.addAndGet(r.inserted)
         ()
       }

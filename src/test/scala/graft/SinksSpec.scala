@@ -46,6 +46,43 @@ class SinksSpec extends SparkSpec {
     assert(r == UpsertIgnore.Result(inserted = 1, skipped = 1))
   }
 
+  test("K5: non-key pruneCol is ignored — drifted replay cannot duplicate a key") {
+    val dir = tmpDir("k5d") + "/t"
+    val first = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "a"))
+      .toDF("event_id", "ts", "v")
+    UpsertIgnore(spark, first, dir, Seq("event_id"), pruneCol = Some("ts"))
+    // same key, ts drifted far outside the original: range-pruning on the
+    // non-key ts would hide the existing row and re-insert the key.
+    val replay = Seq((1L, java.sql.Timestamp.valueOf("2026-08-11 00:00:00"), "a"))
+      .toDF("event_id", "ts", "v")
+    val r = UpsertIgnore(spark, replay, dir, Seq("event_id"), pruneCol = Some("ts"))
+    assert(r == UpsertIgnore.Result(inserted = 0, skipped = 1))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("K5: existing side above broadcast threshold plans a shuffle anti-join") {
+    val dir = tmpDir("k5e") + "/t"
+    batch(("USD", "d1", 1.0), ("GBP", "d1", 2.0)).write.parquet(dir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // a 1-byte threshold makes ANY real target "too big to broadcast"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val delta = UpsertIgnore.deltaPlan(spark, batch(("JPY", "d1", 3.0)),
+        spark.read.parquet(dir), Seq("currency", "timestamptz"), None)
+      val p = delta.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"broadcast of oversized target:\n$p")
+      assert(delta.count() == 1) // and the fallback join is still correct
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("K5: small existing side still broadcasts (build on pruned side)") {
+    val dir = tmpDir("k5f") + "/t"
+    batch(("USD", "d1", 1.0)).write.parquet(dir)
+    val delta = UpsertIgnore.deltaPlan(spark, batch(("JPY", "d1", 3.0)),
+      spark.read.parquet(dir), Seq("currency", "timestamptz"), None)
+    assert(delta.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("K5 property: batches commute — same final keyset regardless of order") {
     val a = batch(("USD", "d1", 1.0), ("GBP", "d1", 2.0))
     val b = batch(("GBP", "d1", 5.0), ("JPY", "d1", 3.0))

@@ -27,5 +27,6 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }

@@ -72,4 +72,22 @@ class TransformsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
+
+  test("GroupedTopK bounded heap matches the window formulation at k=100") {
+    // deterministic pseudo-random scores with planted ties: exercises the
+    // heap's accept/reject/sift paths and the (score DESC, id ASC)
+    // tie-break well past the k=3 production query.
+    val df = spark.range(5000)
+      .withColumn("key", (col("id") % 4).cast("string"))
+      .withColumn("score", (xxhash64(col("id")) % 500).cast("double"))
+    val got = graft.ops.GroupedTopK(spark, df, "key", "score", "id", 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rn") <= 100).select("key", "score", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
