@@ -324,6 +324,54 @@ object Dedup {
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => substr(c, i, lit(n))))
 
+  /** All-pairs character-n-gram-Jaccard ground truth over a BOUNDED
+    * universe: (id_a, id_b, jaccard3) for every pair at or above
+    * `threshold`. Grams are computed once per document (not per pair) and
+    * the arithmetic mirrors the DuckDB oracle exactly
+    * (len(intersect)/len(distinct-union), round 6), so recall queries can
+    * hash-compare: a near-dup pipeline that misses any planted pair
+    * produces fewer rows than the oracle and fails the gate outright.
+    * Quadratic BY DESIGN — this is the measuring stick, not the pipeline;
+    * callers bound the universe (doc_id range) before calling.
+    */
+  def ngramGroundTruthPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    // Gram sets are xxhash64'd to longs: array_distinct / array_intersect
+    // on non-primitive (string) arrays fall off Spark's primitive fast
+    // path into quadratic equality scans — ~50x slower on 2k-gram docs.
+    // Set SIZES are identical to the string form absent a 64-bit collision
+    // (P < 1e-8 for a 1M-gram corpus, and deterministic for fixed data),
+    // so the jaccard matches the string-based DuckDB oracle bit-for-bit —
+    // proven by the ext_minhash_recall/ext_corpus_recall gate each round.
+    val raw = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+      i => xxhash64(substr(col(textCol), i, lit(n))))
+    val g = df.select(col(idCol).as("gid"), array_distinct(raw).as("grams"))
+      .withColumn("ng", size(col("grams")))
+    // A bounded-universe scan arrives as ONE input split, which would run
+    // the whole quadratic pair loop on a single core; spread the stream
+    // side so the broadcast join parallelizes. (Shuffles only the few
+    // hundred gram arrays of the universe — negligible.)
+    val gx = g.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // Lossless length prefilter: jaccard = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
+    // so any pair at or above `threshold` must have gram-set sizes within
+    // that ratio — evaluated as part of the join condition, it prunes the
+    // quadratic pair set to near-dup-length pairs before the expensive
+    // set intersection runs. (Slack of 1e-3 covers the round(_, 6) edge.)
+    gx.as("x").join(g.as("y"), col("x.gid") < col("y.gid") &&
+        least(col("x.ng"), col("y.ng")).cast("double") >=
+          greatest(col("x.ng"), col("y.ng")) * lit(threshold - 0.001))
+      .select(col("x.gid").as("id_a"), col("y.gid").as("id_b"),
+        round(size(array_intersect(col("x.grams"), col("y.grams"))) /
+          greatest(size(array_union(col("x.grams"), col("y.grams"))), lit(1))
+            .cast("double"), 6).as("jaccard3"))
+      .filter(col("jaccard3") >= threshold)
+  }
+
   /** Character n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val ga = charNgrams(a, n)

@@ -103,6 +103,43 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // Quantified-recall gates for the engine-hash near-dup pipelines
+    // (whose raw pair output is xxhash64-based and so not SQL-portable):
+    // the PLANTED ground truth IS oracle-able via char-3-gram Jaccard.
+    // Each query returns the ground-truth pairs the pipeline FOUND, while
+    // the oracle returns ALL ground-truth pairs — an exact hash match
+    // therefore proves recall = 1.0, and any missed pair fails the gate.
+    // Universe bounded to doc_id < 500 (the whole corpus at sf<=0.01,
+    // where the correctness gate runs) because the measuring stick is
+    // all-pairs quadratic by design.
+    "ext_minhash_recall" -> ((s, dir) => {
+      // repartition: the bounded universe is one input split; the shingle
+      // hashing + signature work should spread across cores.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val found = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+        .select("id_a", "id_b")
+      gt.join(found, Seq("id_a", "id_b"), "left_semi")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "ext_corpus_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+      // a ground-truth pair is "found" iff corpus dedup put both docs in
+      // the same component (directly or transitively)
+      gt.join(labels.select(col("id").as("id_a"), col("canonical_id").as("ca")), "id_a")
+        .join(labels.select(col("id").as("id_b"), col("canonical_id").as("cb")), "id_b")
+        .filter(col("ca") === col("cb"))
+        .select("id_a", "id_b", "jaccard3")
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search ------------------------------------------
     // Brute-force exact cosine top-k vs the vec_id=0 embedding (oracled).
     "ext_cosine_topk" -> ((s, dir) => {
@@ -265,6 +302,36 @@ object ExtQueries {
         |  AND list_dot_product(x.v, y.v)
         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45
         |ORDER BY score DESC, id_a ASC, id_b ASC""".stripMargin,
+
+    // ALL planted ground-truth pairs; the Spark side returns the pairs the
+    // near-dup pipeline found, so hash equality == proof of recall 1.0.
+    "ext_minhash_recall" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  round(len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard3
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |  AND len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_corpus_recall" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  round(len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard3
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |  AND len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ext_ngram_jaccard" ->
       """WITH g AS (
