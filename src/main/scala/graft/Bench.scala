@@ -14,8 +14,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet-reader paths on the tiny SF so the first
-    // measured query doesn't absorb one-time session costs.
+    // measured query doesn't absorb one-time session costs. The document
+    // pipelines compile large generated classes (tokenize/shingle/minhash/
+    // simhash); a LIMITed pass pre-JITs them the way any long-lived
+    // cluster session would be warm — measured queries then time the
+    // operator, not the first-compile.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try {
+      val tinyDocs = Tables.documents(spark, sfDir).limit(64)
+      graft.ext.Dedup.minhashNearDups(tinyDocs, "doc_id", "text").count()
+      graft.ext.Dedup.simhashNearDups(tinyDocs, "doc_id", "text").count()
+      graft.ext.Dedup.ngramGroundTruthPairs(tinyDocs, "doc_id", "text", 3, 0.9).count()
+    } catch { case _: Throwable => () }
     // IVF index build is a one-time ETL artifact, not query latency —
     // build it up front and report the cost as its own line (the standard
     // ANN-benchmark split: build time and probe latency are different

@@ -101,16 +101,28 @@ object Dedup {
         sh => xxhash64(sh))).as("hset"))
       .localCheckpoint(false)
 
-    // Signatures via explode + codegen'd min-aggregates: partial (map-side)
-    // min per seed, one shuffle on doc_id — the whole-stage-codegen path,
-    // not an interpreted higher-order-function loop.
-    val aggCols = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    val sigs = hashed
-      .select(col("doc_id"), explode(col("hset")).as("h"))
-      .groupBy("doc_id")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    // Signatures: the native single-pass expression (graft_minhash) when
+    // the session has GraftExtensions — map-side at scan speed, NO shuffle
+    // — else explode + codegen'd min-aggregates (map-side partial min per
+    // seed, one shuffle on doc_id). The fallback exists so an
+    // uninstrumented session still works; the permutation schemes differ
+    // (fmix64 vs seeded xxhash64) but both are sound MinHash families —
+    // recall against planted ground truth is gated either way
+    // (ext_minhash_recall, RecallSpec).
+    val sigs =
+      if (df.sparkSession.catalog.functionExists("graft_minhash"))
+        hashed.select(col("doc_id"),
+          call_function("graft_minhash", col("hset"), lit(numHashes)).as("sig"))
+      else {
+        val aggCols =
+          (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+        hashed
+          .select(col("doc_id"), explode(col("hset")).as("h"))
+          .groupBy("doc_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+      }
 
     // (band, bucket) -> sorted member list -> in-bucket pairs. One shuffle.
     // Buckets above maxBucket are degenerate (a corpus-wide similarity
@@ -277,22 +289,29 @@ object Dedup {
       maxBucket: Int = 2000): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    // SimHash via explode + codegen'd sum-aggregates (same ±1 majority as
-    // the Column-expression `simhash`, same values — asserted in specs):
-    // map-side partial sums, one shuffle on doc_id, whole-stage codegen
-    // instead of 64 interpreted array traversals per row. Persisted: the
-    // hash is consumed twice (blocking + verification).
-    val tokenHashes = df.select(col(idCol).as("doc_id"),
-      explode(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))).as("h"))
-    val bitCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val packed = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sh = tokenHashes
-      .groupBy("doc_id")
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), packed.as("sh"))
-      .persist()
+    // SimHash: the native single-pass expression (graft_simhash) when the
+    // session has GraftExtensions — one traversal of the token-hash array,
+    // map-side, NO shuffle, bit-identical to the declarative forms
+    // (asserted in specs) — else explode + 64 codegen'd sum-aggregates
+    // (map-side partial sums, one shuffle on doc_id). Materialized lazily:
+    // the hash is consumed twice (blocking + verification); checkpoint
+    // storage is released on plan GC (see minhashNearDups).
+    val tokenHashArr = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
+    val sh0 =
+      if (df.sparkSession.catalog.functionExists("graft_simhash"))
+        df.select(col(idCol).as("doc_id"),
+          call_function("graft_simhash", tokenHashArr).as("sh"))
+      else {
+        val bitCols = (0 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+        val packed = (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+        df.select(col(idCol).as("doc_id"), explode(tokenHashArr).as("h"))
+          .groupBy("doc_id")
+          .agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"), packed.as("sh"))
+      }
+    val sh = sh0.localCheckpoint(false)
     val chunkStructs = (0 until nChunks).map { c =>
       val piece =
         if (c == nChunks - 1) shiftrightunsigned(col("sh"), c * chunkBits)

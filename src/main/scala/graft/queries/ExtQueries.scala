@@ -58,20 +58,26 @@ object ExtQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
         .orderBy("lang", "source")),
 
-    // MinHash-LSH near-dups (xxhash64 → rows-only). 3-word shingles: the
-    // corpus shares one small vocabulary, so unigram jaccard is ~1.0 for
-    // ALL pairs (a quadratic answer); order-sensitive shingles isolate
+    // MinHash-LSH near-dups (engine-hash → rows-only). 3-word shingles:
+    // the corpus shares one small vocabulary, so unigram jaccard is ~1.0
+    // for ALL pairs (a quadratic answer); order-sensitive shingles isolate
     // the genuinely planted near-dup pairs (jaccard 0.97+ at sf0.01).
+    // spreadDocs: the per-doc hashing is now fully map-side (native
+    // graft_minhash/graft_simhash — no explode shuffle), so scan
+    // parallelism IS the parallelism; the testdata corpus arrives as one
+    // single-row-group parquet split and must be spread explicitly. At
+    // 100 TB the input is already thousands of splits and the repartition
+    // of a sub-MB corpus here costs nothing.
     "ext_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashNearDups(spreadDocs(s, dir), "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
     // Corpus-level dedup: near-dup graph -> connected components ->
-    // canonical doc per cluster (rows-only: built on xxhash64 minhash).
+    // canonical doc per cluster (rows-only: built on engine-hash minhash).
     "ext_dedup_corpus" -> ((s, dir) =>
-      Dedup.dedupCorpus(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.dedupCorpus(spreadDocs(s, dir), "doc_id", "text",
         threshold = 0.5, shingleN = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
@@ -86,7 +92,7 @@ object ExtQueries {
     // pigeonhole chunk-blocking with 4 chunks; the corpus's planted
     // bag-duplicates have hamming 0, so rows exist at every SF.
     "ext_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.simhashNearDups(spreadDocs(s, dir), "doc_id", "text",
         maxHamming = 3)
         .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
@@ -204,6 +210,13 @@ object ExtQueries {
         .select(col("doc_id"), col("byte_len"), col("checksum"))
         .orderBy("doc_id"))
   )
+
+  /** The documents corpus spread across cores: a single-row-group parquet
+    * arrives as ONE split, which would serialize the (now shuffle-free)
+    * map-side hashing pipelines. See the ext_minhash_neardup comment.
+    */
+  private def spreadDocs(s: SparkSession, dir: String) =
+    Tables.documents(s, dir).repartition(s.sessionState.conf.numShufflePartitions)
 
   /** The query vector: embedding of vec_id=0, fetched driver-side as a
     * query PARAMETER (one row — not a data collect).
