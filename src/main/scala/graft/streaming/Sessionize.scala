@@ -36,6 +36,35 @@ object Sessionize {
   final case class OpenSession(
       start: Long, last: Long, cnt: Long, total: Double) // micros
 
+  /** Fold ONE event into a sorted list of disjoint session intervals —
+    * merging is ORDER-INDEPENDENT (an event extends the interval it lands
+    * within gap of, bridging at most one neighbor; property-tested in
+    * GraftProperties), so the per-batch group iterator needs no buffering
+    * or sorting. Memory per (key, batch) is O(#disjoint sessions in the
+    * batch's event-time span) <= span/gap + 1 — bounded by TIME, not by
+    * event count; a hot key with millions of events per batch folds in
+    * O(1) state per event. (The previous implementation collected and
+    * sorted the whole group per batch: unbounded per-group memory.)
+    */
+  private[graft] def mergeEvent(gapMicros: Long)(
+      ivs: List[OpenSession], t: Long, v: Double): List[OpenSession] = {
+    val (before, rest) = ivs.span(s => s.last + gapMicros <= t)
+    rest match {
+      case s :: tail if t + gapMicros > s.start =>
+        val ext = OpenSession(
+          math.min(s.start, t), math.max(s.last, t), s.cnt + 1, s.total + v)
+        tail match {
+          // extending the right edge can bridge into (at most) the next
+          // interval; the >= gap separation invariant blocks cascades
+          case n :: rest2 if n.start - ext.last < gapMicros =>
+            before ::: OpenSession(ext.start, math.max(ext.last, n.last),
+              ext.cnt + n.cnt, ext.total + n.total) :: rest2
+          case _ => before ::: ext :: tail
+        }
+      case _ => before ::: OpenSession(t, t, 1, v) :: rest
+    }
+  }
+
   def apply(
       spark: SparkSession,
       events: DataFrame, // streaming DF with ts TIMESTAMP (LTZ), user_id, value
@@ -68,25 +97,18 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.map { case (_, t, v) => (micros(t), v) }.toSeq.sortBy(_._1)
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { case (t, v) =>
-              open match {
-                case Some(s) if t - s.last < gapMicros =>
-                  open = Some(OpenSession(s.start, t, s.cnt + 1, s.total + v))
-                case Some(s) =>
-                  closed += emit(s, uid)
-                  open = Some(OpenSession(t, t, 1, v))
-                case None =>
-                  open = Some(OpenSession(t, t, 1, v))
-              }
+            val merge = mergeEvent(gapMicros) _
+            var ivs: List[OpenSession] = state.getOption.toList
+            rows.foreach { case (_, t, v) => ivs = merge(ivs, micros(t), v) }
+            if (ivs.isEmpty) Iterator.empty
+            else {
+              // every interval but the latest is followed by an OBSERVED
+              // gap >= gapMinutes — closed; the latest stays open in state
+              val open = ivs.last
+              state.update(open)
+              state.setTimeoutTimestamp(open.last / 1000 + gapMinutes * 60L * 1000)
+              ivs.init.map(emit(_, uid)).iterator
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last / 1000 + gapMinutes * 60L * 1000)
-            }
-            closed.result().iterator
           }
         })
   }

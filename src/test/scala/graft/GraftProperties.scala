@@ -81,6 +81,34 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("sessionize interval-merge is order-independent and gap-sound") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0.0, 10.0))),
+      Gen.choose(50L, 500L)) { (events, gap) =>
+      import graft.streaming.Sessionize
+      val merge = Sessionize.mergeEvent(gap) _
+      def fold(ev: Seq[(Long, Double)]) =
+        ev.foldLeft(List.empty[Sessionize.OpenSession]) {
+          case (acc, (t, v)) => merge(acc, t, v)
+        }
+      val sorted = fold(events.sortBy(_._1))
+      val shuffled = fold(scala.util.Random.shuffle(events))
+      // same sessions regardless of arrival order (totals compared to 1e-6:
+      // double summation order differs)
+      val normEq = sorted.size == shuffled.size &&
+        sorted.zip(shuffled).forall { case (a, b) =>
+          a.start == b.start && a.last == b.last && a.cnt == b.cnt &&
+            math.abs(a.total - b.total) < 1e-6
+        }
+      // invariants: intervals sorted, disjoint by >= gap, counts add up
+      val inv = sorted.sliding(2).forall {
+        case List(a, b) => b.start - a.last >= gap
+        case _ => true
+      } && sorted.map(_.cnt).sum == events.size &&
+        sorted.forall(s => s.start <= s.last)
+      normEq && inv
+    }
+
   property("windowMonths output is contained in [anchor-m, anchor]") =
     forAll(Gen.listOfN(6, Gen.choose(-120L, 60L)), Gen.choose(1, 6)) { (offsets, m) =>
       import spark.implicits._
