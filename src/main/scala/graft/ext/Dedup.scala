@@ -287,8 +287,6 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 2000): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
     // SimHash: the native single-pass expression (graft_simhash) when the
     // session has GraftExtensions — one traversal of the token-hash array,
     // map-side, NO shuffle, bit-identical to the declarative forms
@@ -312,6 +310,27 @@ object Dedup {
           .select(col("doc_id"), packed.as("sh"))
       }
     val sh = sh0.localCheckpoint(false)
+    hammingCandidates(sh, maxHamming, maxBucket)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Pigeonhole chunk-blocking over a 64-bit signature table
+    * `(doc_id, sh)`: split the hash into maxHamming+1 chunks — any pair
+    * with hamming <= maxHamming must agree on at least one whole chunk —
+    * and emit the same-chunk-value candidate pairs. Shared by SimHash
+    * near-dup (text) and random-hyperplane LSH (embeddings); callers
+    * verify candidates with their own exact metric.
+    */
+  private[graft] def hammingCandidates(
+      sh: DataFrame, // (doc_id, sh: long)
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
     val chunkStructs = (0 until nChunks).map { c =>
       val piece =
         if (c == nChunks - 1) shiftrightunsigned(col("sh"), c * chunkBits)
@@ -319,7 +338,7 @@ object Dedup {
           .bitwiseAND(lit((1L << chunkBits) - 1))
       struct(lit(c).as("chunk"), piece.as("cval"))
     }
-    val candidates = sh
+    sh
       .select(col("doc_id"), explode(array(chunkStructs: _*)).as("cc"))
       .groupBy(col("cc.chunk"), col("cc.cval"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -327,12 +346,6 @@ object Dedup {
       .select(explode(pairExpansion(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   // ------------------------------------------------------------- n-gram Jaccard

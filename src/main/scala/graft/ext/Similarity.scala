@@ -226,6 +226,46 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("score"))
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH (signed random
+    * projections): each vector gets a 64-bit signature whose Hamming
+    * distance estimates the angle (P(bit differs) = angle/π), candidate
+    * pairs come from the same pigeonhole chunk-blocking SimHash uses, and
+    * every candidate is verified with the EXACT cosine — so the output is
+    * precise, only recall is approximate (the spec quantifies it against
+    * the brute-force pair search on planted near-identical vectors).
+    *
+    * This is the third cosine-pair strategy alongside brute-force
+    * (cosinePairsAbove) and IVF bucketing (cosinePairsAboveIvf): unlike
+    * IVF it needs no centroid metadata and its candidate generation is a
+    * pure map-side signature + one groupBy — the right shape when the
+    * corpus is too wide for any driver-held index. Requires
+    * GraftExtensions (`graft_rplsh` has no declarative fallback: its
+    * fmix64 bit pattern cannot be replicated in ANSI-safe Column
+    * arithmetic).
+    */
+  def rpNearDups(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxHamming: Int = 6,
+      maxBucket: Int = 2000): DataFrame = {
+    val spark = embeddings.sparkSession
+    require(spark.catalog.functionExists("graft_rplsh"),
+      "rpNearDups needs GraftExtensions (spark.sql.extensions=graft.functions.GraftExtensions)")
+    val dt = dotAuto(spark) _
+    val e = embeddings.select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dt(col("v"), col("v"))))
+      .withColumn("sh", call_function("graft_rplsh", col("v"), lit(64)))
+      .localCheckpoint(false)
+    Dedup.hammingCandidates(e.select("doc_id", "sh"), maxHamming, maxBucket)
+      .join(e.select(col("doc_id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(e.select(col("doc_id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("score", round(dt(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** Same-cluster candidate pairs above a cosine threshold: the IVF-bucketed
     * scale path for near-dup pairs (compares only within clusters).
     * Consumes the cached index — norms and assignment computed once per

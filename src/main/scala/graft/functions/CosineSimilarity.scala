@@ -165,5 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSignature(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rplsh"),
+      new ExpressionInfo(classOf[RandomHyperplaneHash].getName, "graft_rplsh"),
+      (children: Seq[Expression]) => RandomHyperplaneHash(children.head, children(1))))
   }
 }

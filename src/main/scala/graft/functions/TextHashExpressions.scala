@@ -103,6 +103,87 @@ object MinHashSignature {
   }
 }
 
+/** `graft_rplsh(array<double>, nBits) -> long`: random-hyperplane LSH
+  * (signed random projection) for cosine similarity — bit b is the sign
+  * of the projection of the vector onto the b-th pseudo-random Rademacher
+  * (±1) hyperplane, where dim i's ±1 pattern across all 64 bits comes
+  * from `fmix64((i+1) * Golden)`. P(bit differs) = angle/π, so Hamming
+  * distance estimates the angle and the SimHash chunk-blocking machinery
+  * applies unchanged to embedding near-dup search. One traversal of the
+  * vector, 64 accumulators; nBits <= 64 (one mixed long per dimension).
+  */
+case class RandomHyperplaneHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_rplsh expects (array<double>, foldable int), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rplsh"
+
+  override protected def nullSafeEval(arr: Any, nb: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = nb.asInstanceOf[Int]
+    val acc = new Array[Double](n)
+    var i = 0
+    while (i < a.numElements()) {
+      val v = a.getDouble(i)
+      val bits = MinHashSignature.mix((i + 1) * MinHashSignature.Golden)
+      var b = 0
+      while (b < n) {
+        if (((bits >>> b) & 1L) == 1L) acc(b) += v else acc(b) -= v
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < n) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val v = ctx.freshName("v")
+      val bits = ctx.freshName("bits")
+      val out = ctx.freshName("out")
+      val golden = s"${MinHashSignature.Golden}L"
+      s"""
+         |double[] $acc = new double[$n];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.getDouble($i);
+         |  long $bits = ($i + 1) * $golden;
+         |  $bits ^= $bits >>> 33; $bits *= 0xFF51AFD7ED558CCDL;
+         |  $bits ^= $bits >>> 33; $bits *= 0xC4CEB9FE1A85EC53L;
+         |  $bits ^= $bits >>> 33;
+         |  for (int $b = 0; $b < $n; $b++) {
+         |    $acc[$b] += ((($bits >>> $b) & 1L) == 1L) ? $v : -$v;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < $n; $b++) {
+         |  if ($acc[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RandomHyperplaneHash =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_minhash(array<long>, n) -> array<long>`: MinHash signature over
   * a pre-hashed shingle set — sig[j] = min over elements of
   * `fmix64(elem ^ (Golden * (j+1)))`. One pass per permutation over the

@@ -98,16 +98,16 @@ object ExtQueries {
         .limit(100)),
 
     // n-gram Jaccard pairs over a bounded id range (oracled: DuckDB list
-    // comprehension mirrors charNgrams exactly).
-    "ext_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"), col("text"))
-      d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          Dedup.ngramJaccard(col("x.text"), col("y.text"), 3).as("jaccard"))
+    // comprehension mirrors the gram sets exactly; threshold 0.0 keeps
+    // every pair, so this is the unfiltered top-20 — computed on hashed
+    // gram sets, grams per doc built once, not per pair).
+    "ext_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramGroundTruthPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 0.0)
+        .withColumnRenamed("jaccard3", "jaccard")
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Quantified-recall gates for the engine-hash near-dup pipelines
     // (whose raw pair output is xxhash64-based and so not SQL-portable):

@@ -147,6 +147,30 @@ class ExtSpec extends SparkSpec {
     assert(clusters <= 2)
   }
 
+  test("rp-lsh near-dup finds every planted near-identical embedding pair") {
+    // deterministic synthetic corpus: 200 base vectors + 20 planted
+    // near-dups (tiny perturbation => cosine ~0.999); the real embeddings
+    // table plants no near-dup pairs (max pair cosine ~0.6), so the
+    // operator is proven here instead of an oracled query.
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (1000L + i, v.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val df = spark.createDataFrame((base ++ dups).map { case (i, v) =>
+      (i, v.map(_.toFloat))
+    }).toDF("vec_id", "embedding")
+    val found = Similarity.rpNearDups(df, "vec_id", "embedding",
+      threshold = 0.98, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"planting failed: ${exact.size}")
+    assert(found == exact, // recall 1.0 on this corpus, precision exact
+      s"missed=${exact -- found} invented=${found -- exact}")
+  }
+
   test("text analysis: token counts, ratios, langId deterministic tie-break") {
     val r = Seq(("the cat and the dog!!", "  spaced   out  "))
       .toDF("a", "b").select(
