@@ -49,4 +49,41 @@ class PlanSpec extends SparkSpec {
     // in an unresolved AdaptiveSparkPlan) and shows codegen spans as *(n).
     assert(plan("flagship_topk_latest").contains("*("), "no codegen spans")
   }
+
+  private def extPlan(name: String): String =
+    graft.queries.ExtQueries.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("native simhash/minhash signatures plan map-side with ZERO exchanges") {
+    // the near-dup pipelines checkpoint their signature stage, which hides
+    // it from their executed plans — assert the claim on the stage itself:
+    // one select, native expression, no Exchange anywhere.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val toks = transform(graft.ext.TextAnalysis.tokens(col("text")), t => xxhash64(t))
+    val sim = docs.select(call_function("graft_simhash", toks).as("sh"))
+      .queryExecution.executedPlan.toString
+    assert(sim.contains("graft_simhash") && !sim.contains("Exchange"),
+      s"simhash signature not a pure map stage:\n$sim")
+    val mh = docs.select(call_function("graft_minhash",
+        array_distinct(toks), lit(32)).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(mh.contains("graft_minhash") && !mh.contains("Exchange"),
+      s"minhash signature not a pure map stage:\n$mh")
+  }
+
+  test("simhash near-dup pipeline carries no explode-aggregate shuffle") {
+    // the fallback's 64 per-bit sum-aggregates would appear as partial_sum
+    // over exploded token rows; the native path has none anywhere
+    val p = extPlan("ext_simhash_neardup")
+    assert(!p.contains("partial_sum"), s"explode-agg fallback in plan:\n$p")
+  }
+
+  test("ivf probe reads the persisted index, not the parquet corpus") {
+    val q = graft.ext.Similarity // force index build through the query path
+    graft.queries.ExtQueries.buildIndexes(spark, dir)
+    val p = extPlan("ext_ivf_topk")
+    assert(p.contains("InMemoryTableScan"), s"probe bypasses the index:\n$p")
+    assert(p.contains("centroid_id"), "probe does not prune by cluster")
+  }
 }
