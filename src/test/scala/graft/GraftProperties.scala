@@ -81,6 +81,22 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("minhash signature of a union is the elementwise min (LSH soundness)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.long), Gen.nonEmptyListOf(Gen.long)) { (a, b) =>
+      import spark.implicits._
+      // sig(A ∪ B)[j] == min(sig(A)[j], sig(B)[j]) — the property that
+      // makes per-band bucket agreement a necessary condition for high
+      // Jaccard; exercised through the registered native expression.
+      val df = Seq((a, b, a ++ b)).toDF("a", "b", "u")
+      val r = df.select(
+        call_function("graft_minhash", col("a"), lit(8)).as("sa"),
+        call_function("graft_minhash", col("b"), lit(8)).as("sb"),
+        call_function("graft_minhash", col("u"), lit(8)).as("su")).head()
+      val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1); val su = r.getSeq[Long](2)
+      su == sa.zip(sb).map { case (x, y) => math.min(x, y) }
+    }
+
   property("sessionize interval-merge is order-independent and gap-sound") =
     forAll(
       Gen.listOf(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0.0, 10.0))),
