@@ -379,10 +379,12 @@ object Dedup {
     // (P < 1e-8 for a 1M-gram corpus, and deterministic for fixed data),
     // so the jaccard matches the string-based DuckDB oracle bit-for-bit —
     // proven by the ext_minhash_recall/ext_corpus_recall gate each round.
+    // Sorted once per doc: the per-pair intersection is then a zero-alloc
+    // merge walk (graft_isect) instead of a hash-set build per pair.
     val raw = transform(
       sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
       i => xxhash64(substr(col(textCol), i, lit(n))))
-    val g = df.select(col(idCol).as("gid"), array_distinct(raw).as("grams"))
+    val g = df.select(col(idCol).as("gid"), sort_array(array_distinct(raw)).as("grams"))
       .withColumn("ng", size(col("grams")))
     // A bounded-universe scan arrives as ONE input split, which would run
     // the whole quadratic pair loop on a single core; spread the stream
@@ -394,12 +396,21 @@ object Dedup {
     // that ratio — evaluated as part of the join condition, it prunes the
     // quadratic pair set to near-dup-length pairs before the expensive
     // set intersection runs. (Slack of 1e-3 covers the round(_, 6) edge.)
+    // |A∩B| via merge walk on the sorted sets when the native expression
+    // is registered; |A∪B| = |A| + |B| - |A∩B|. Counts — and therefore
+    // the jaccard — are identical to the array_intersect/array_union
+    // fallback (asserted in ExtSpec).
+    val inter =
+      if (df.sparkSession.catalog.functionExists("graft_isect"))
+        call_function("graft_isect", col("x.grams"), col("y.grams"))
+      else size(array_intersect(col("x.grams"), col("y.grams")))
     gx.as("x").join(g.as("y"), col("x.gid") < col("y.gid") &&
         least(col("x.ng"), col("y.ng")).cast("double") >=
           greatest(col("x.ng"), col("y.ng")) * lit(threshold - 0.001))
+      .withColumn("__i", inter)
       .select(col("x.gid").as("id_a"), col("y.gid").as("id_b"),
-        round(size(array_intersect(col("x.grams"), col("y.grams"))) /
-          greatest(size(array_union(col("x.grams"), col("y.grams"))), lit(1))
+        round(col("__i") /
+          greatest(col("x.ng") + col("y.ng") - col("__i"), lit(1))
             .cast("double"), 6).as("jaccard3"))
       .filter(col("jaccard3") >= threshold)
   }

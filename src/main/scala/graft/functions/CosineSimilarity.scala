@@ -169,5 +169,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rplsh"),
       new ExpressionInfo(classOf[RandomHyperplaneHash].getName, "graft_rplsh"),
       (children: Seq[Expression]) => RandomHyperplaneHash(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect"),
+      (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1))))
   }
 }

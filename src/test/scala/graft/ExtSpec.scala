@@ -147,6 +147,19 @@ class ExtSpec extends SparkSpec {
     assert(clusters <= 2)
   }
 
+  test("graft_isect merge walk matches array_intersect counts exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L until 300L).toList).take(rnd.nextInt(200) + 1).sorted.toArray,
+      rnd.shuffle((0L until 300L).toList).take(rnd.nextInt(200) + 1).sorted.toArray))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val mismatches = df.select(
+      call_function("graft_isect", col("a"), col("b")).as("walk"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("walk") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("rp-lsh near-dup finds every planted near-identical embedding pair") {
     // deterministic synthetic corpus: 200 base vectors + 20 planted
     // near-dups (tiny perturbation => cosine ~0.999); the real embeddings
