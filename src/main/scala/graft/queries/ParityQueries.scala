@@ -355,6 +355,25 @@ object ParityQueries {
           round(max("l_extendedprice"), 2).as("max_price"))
         .orderBy("l_returnflag")),
 
+    // Backward as-of join (point-in-time lookup): each event matched to
+    // the latest order by the same key at or before the event time — the
+    // "rate in effect at t" lookup the reference's rates table implies,
+    // as a union + window fill (ONE shuffle, no pair blowup; ops.AsOfJoin).
+    "asof_latest_order" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      val ord = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_ts"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      graft.ops.AsOfJoin.backward(ev, ord,
+          leftOn = Seq("user_id"), rightOn = Seq("o_custkey"),
+          leftTime = "ts", rightTime = "o_ts", tiebreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey"), col("o_ts"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
     // TPC-H-Q5-shaped local-volume query: 6-way join where customer and
     // supplier share a nation, grouped by nation. All dims broadcast.
     "tpch_q5_local_volume" -> ((s, dir) =>
@@ -655,6 +674,20 @@ object ParityQueries {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "asof_latest_order" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+        |    CAST(o.o_orderdate AS TIMESTAMP) AS o_ts,
+        |    round(o.o_totalprice, 2) AS o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY CAST(o.o_orderdate AS TIMESTAMP) DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id
+        |   AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey, o_ts, o_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "tpch_q5_local_volume" ->
       """SELECT r_name, n_name,

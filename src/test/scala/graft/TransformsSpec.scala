@@ -73,6 +73,64 @@ class TransformsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
 
+  test("AsOfJoin.backward: inclusive match, latest-wins, nulls when none") {
+    val trades = Seq(
+      (1L, "A", 10L), // before any quote -> null payload
+      (2L, "A", 20L), // exactly at quote t=20 -> inclusive match
+      (3L, "A", 35L), // between quotes -> latest earlier (t=30)
+      (4L, "B", 50L), // other key
+      (5L, "C", 50L)  // key with no quotes at all
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 20L, 101L, 1.0),
+      ("A", 30L, 102L, 2.0),
+      ("A", 30L, 103L, 3.0), // same (key, time): greatest tiebreak wins
+      ("B", 40L, 104L, 4.0)
+    ).toDF("q_sym", "q_t", "quote_id", "px")
+    val out = graft.ops.AsOfJoin.backward(trades, quotes,
+        leftOn = Seq("sym"), rightOn = Seq("q_sym"),
+        leftTime = "t", rightTime = "q_t", tiebreak = Seq("quote_id"))
+      .select("trade_id", "quote_id", "px")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains((101L, 1.0)))
+    assert(out(3L).contains((103L, 3.0))) // t=30, tiebreak picks quote 103
+    assert(out(4L).contains((104L, 4.0)))
+    assert(out(5L).isEmpty)
+  }
+
+  test("AsOfJoin fills the payload as one row — never stitches columns") {
+    // quote 202 has a NULL px: a per-column last(ignoreNulls) fill would
+    // pair 202's id with 201's px; the struct fill must keep them together
+    val trades = Seq((1L, "A", 50L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 10L, 201L, Some(9.0)),
+      ("A", 20L, 202L, None)
+    ).toDF("q_sym", "q_t", "quote_id", "px")
+    val r = graft.ops.AsOfJoin.backward(trades, quotes,
+        leftOn = Seq("sym"), rightOn = Seq("q_sym"),
+        leftTime = "t", rightTime = "q_t", tiebreak = Seq("quote_id"))
+      .select("quote_id", "px").head()
+    assert(r.getLong(0) == 202L)
+    assert(r.isNullAt(1), "px must be 202's NULL, not stitched from 201")
+  }
+
+  test("AsOfJoin plans one exchange: union + window, no pair-blowup join") {
+    val trades = spark.range(100).toDF("trade_id")
+      .withColumn("sym", (col("trade_id") % 4).cast("string"))
+      .withColumn("t", col("trade_id") * 10)
+    val quotes = spark.range(50).toDF("quote_id")
+      .withColumn("q_sym", (col("quote_id") % 4).cast("string"))
+      .withColumn("q_t", col("quote_id") * 7)
+    val p = graft.ops.AsOfJoin.backward(trades, quotes,
+        Seq("sym"), Seq("q_sym"), "t", "q_t", Seq("quote_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), "expected window fill")
+    assert(p.split("Exchange").length - 1 <= 1, s"more than one exchange:\n$p")
+  }
+
   test("GroupedTopK bounded heap matches the window formulation at k=100") {
     // deterministic pseudo-random scores with planted ties: exercises the
     // heap's accept/reject/sift paths and the (score DESC, id ASC)
