@@ -374,6 +374,30 @@ object ParityQueries {
         .orderBy("event_id")
     }),
 
+    // Binned range join (point-in-interval): for each lineitem shipdate,
+    // how many sampled orders were "open" (within 30 days of their order
+    // date) — an inequality join Spark would otherwise plan as a
+    // BroadcastNestedLoopJoin cross product (ops.RangeJoin: bin equi-join,
+    // every matching pair met exactly once).
+    "range_join_open_orders" -> ((s, dir) => {
+      val day = 86400L
+      // repartition: the single-row-group parquet arrives as one split and
+      // the intervals broadcast, so without it the whole expansion+agg
+      // would run on one core (real 100 TB inputs arrive pre-split)
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .withColumn("p", unix_timestamp(col("l_shipdate")))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val ivs = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 300 === 0)
+        .select(unix_timestamp(col("o_orderdate").cast("timestamp_ntz")).as("lo"))
+        .withColumn("hi", col("lo") + lit(30L * day))
+      graft.ops.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 30L * day)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("open_orders"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // TPC-H-Q5-shaped local-volume query: 6-way join where customer and
     // supplier share a nation, grouped by nation. All dims broadcast.
     "tpch_q5_local_volume" -> ((s, dir) =>
@@ -688,6 +712,14 @@ object ParityQueries {
         |   AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
         |SELECT event_id, user_id, ts, o_orderkey, o_ts, o_totalprice
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "range_join_open_orders" ->
+      """SELECT l.l_orderkey, l.l_linenumber, count(*) AS open_orders
+        |FROM lineitem l JOIN orders o
+        |  ON o.o_orderkey % 300 = 0
+        | AND epoch(l.l_shipdate) >= epoch(CAST(o.o_orderdate AS TIMESTAMP))
+        | AND epoch(l.l_shipdate) <= epoch(CAST(o.o_orderdate AS TIMESTAMP)) + 30*86400
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tpch_q5_local_volume" ->
       """SELECT r_name, n_name,

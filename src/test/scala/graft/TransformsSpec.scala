@@ -131,6 +131,35 @@ class TransformsSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 1, s"more than one exchange:\n$p")
   }
 
+  test("RangeJoin matches the naive inequality join, each pair exactly once") {
+    // deterministic points and intervals with boundary cases: intervals
+    // spanning multiple bins, zero-width intervals, points on bin edges
+    val pts = spark.range(200).toDF("pid").withColumn("p", col("pid") * 3 % 97)
+    val ivs = spark.range(60).toDF("iid")
+      .withColumn("lo", col("iid") * 7 % 89)
+      .withColumn("hi", col("lo") + col("iid") % 25) // widths 0..24
+    val binned = graft.ops.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 10)
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length == binned.distinct.length, "pair emitted twice")
+    assert(binned.toSet == naive.toSet)
+    assert(binned.nonEmpty)
+  }
+
+  test("RangeJoin plans a shuffled equi-join on the bin, not a nested loop") {
+    val pts = spark.range(2000).toDF("pid").withColumn("p", col("pid"))
+    val ivs = spark.range(500).toDF("iid")
+      .withColumn("lo", col("iid") * 4).withColumn("hi", col("lo") + 10)
+    val p = graft.ops.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("Join"), "expected an equi-join on the bin")
+  }
+
   test("GroupedTopK bounded heap matches the window formulation at k=100") {
     // deterministic pseudo-random scores with planted ties: exercises the
     // heap's accept/reject/sift paths and the (score DESC, id ASC)
