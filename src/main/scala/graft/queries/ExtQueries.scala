@@ -196,6 +196,29 @@ object ExtQueries {
           round(avg(length(col("text"))), 2).as("avg_len"))
         .orderBy("source", "len_bucket")),
 
+    // Deterministic hash-based sampling: keep ~20% of docs per stratum by
+    // md5 prefix of (doc_id, lang) — the reproducible alternative to
+    // seeded RNG sampling for training-data curation (same rows on every
+    // engine, every run, any partitioning; pure filter, no shuffle).
+    "ext_sample_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))),
+          1, 2) < lit("33"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Corpus-wide bigram vocabulary: explode word 2-shingles, count, top
+    // 50 — the vocab-building aggregation of a tokenizer pipeline
+    // (map-side partial counts, one shuffle, TakeOrdered).
+    "ext_bigram_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc)
+        .limit(50)),
+
     // ---- multimodal (stub codec → rows-only) ------------------------
     "ext_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaTable(Tables.documents(s, dir))
@@ -373,6 +396,24 @@ object ExtQueries {
         |  count(*) AS cnt, round(avg(length(text)), 2) AS avg_len
         |FROM documents GROUP BY source, len_bucket
         |ORDER BY source, len_bucket""".stripMargin,
+
+    "ext_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < '33'
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_bigram_vocab" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |         END AS grams
+        |  FROM t)
+        |SELECT u.gram, count(*) AS cnt
+        |FROM g, unnest(g.grams) AS u(gram)
+        |GROUP BY u.gram ORDER BY cnt DESC, u.gram ASC LIMIT 50""".stripMargin,
 
     "ext_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
