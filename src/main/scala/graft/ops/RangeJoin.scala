@@ -45,4 +45,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join: pairs every `a` row with the `b`
+    * rows whose `[bLo, bHi]` intersects its `[aLo, aHi]` (closed bounds).
+    * Same binning as pointInInterval, but a pair can now co-occupy MANY
+    * bins — the first-shared-bin condition
+    * (`bin == max(firstBin(a), firstBin(b))`) emits each pair exactly
+    * once without a distinct pass: overlapping intervals share the bin
+    * range `[max(startBins), min(endBins)]`, whose first element is that
+    * max. Column names of `a` and `b` must be disjoint.
+    */
+  def intervalOverlap(
+      a: DataFrame,
+      aLo: String,
+      aHi: String,
+      b: DataFrame,
+      bLo: String,
+      bHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val collisions = a.columns.toSet & b.columns.toSet
+    require(collisions.isEmpty, s"column names must be disjoint: $collisions")
+    val aBinned = a.filter(col(aLo) <= col(aHi)).withColumn("__bin",
+      explode(sequence(floor(col(aLo) / binWidth), floor(col(aHi) / binWidth))))
+    val bBinned = b.filter(col(bLo) <= col(bHi)).withColumn("__bin",
+      explode(sequence(floor(col(bLo) / binWidth), floor(col(bHi) / binWidth))))
+    aBinned.join(bBinned, Seq("__bin"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__bin") ===
+        greatest(floor(col(aLo) / binWidth), floor(col(bLo) / binWidth)))
+      .drop("__bin")
+  }
 }

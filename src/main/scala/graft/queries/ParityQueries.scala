@@ -398,6 +398,26 @@ object ParityQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Interval-overlap join: per sampled order window, count of lineitem
+    // 7-day ship windows intersecting it (ops.RangeJoin.intervalOverlap —
+    // first-shared-bin emits each pair exactly once, no distinct).
+    "interval_overlap_shipments" -> ((s, dir) => {
+      val day = 86400L
+      val ship = Tables.lineitem(s, dir)
+        .select(unix_timestamp(col("l_shipdate")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + lit(7L * day))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val win = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp_ntz")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + lit(30L * day))
+      graft.ops.RangeJoin.intervalOverlap(ship, "a_lo", "a_hi", win, "b_lo", "b_hi", 30L * day)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("overlapping_shipments"))
+        .orderBy("o_orderkey")
+    }),
+
     // TPC-H-Q5-shaped local-volume query: 6-way join where customer and
     // supplier share a nation, grouped by nation. All dims broadcast.
     "tpch_q5_local_volume" -> ((s, dir) =>
@@ -712,6 +732,14 @@ object ParityQueries {
         |   AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
         |SELECT event_id, user_id, ts, o_orderkey, o_ts, o_totalprice
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "interval_overlap_shipments" ->
+      """SELECT o.o_orderkey, count(*) AS overlapping_shipments
+        |FROM orders o JOIN lineitem l
+        |  ON o.o_orderkey % 300 = 0
+        | AND epoch(l.l_shipdate) <= epoch(CAST(o.o_orderdate AS TIMESTAMP)) + 30*86400
+        | AND epoch(CAST(o.o_orderdate AS TIMESTAMP)) <= epoch(l.l_shipdate) + 7*86400
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "range_join_open_orders" ->
       """SELECT l.l_orderkey, l.l_linenumber, count(*) AS open_orders

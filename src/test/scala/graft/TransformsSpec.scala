@@ -149,6 +149,22 @@ class TransformsSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("RangeJoin.intervalOverlap matches naive, each pair exactly once") {
+    val as = spark.range(120).toDF("aid")
+      .withColumn("a_lo", col("aid") * 5 % 83)
+      .withColumn("a_hi", col("a_lo") + col("aid") % 31) // spans 0..30
+    val bs = spark.range(70).toDF("bid")
+      .withColumn("b_lo", col("bid") * 11 % 79)
+      .withColumn("b_hi", col("b_lo") + col("bid") % 17)
+    val binned = graft.ops.RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi", 10)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = as.join(bs, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length == binned.distinct.length, "pair emitted twice")
+    assert(binned.toSet == naive.toSet)
+    assert(binned.nonEmpty)
+  }
+
   test("RangeJoin plans a shuffled equi-join on the bin, not a nested loop") {
     val pts = spark.range(2000).toDF("pid").withColumn("p", col("pid"))
     val ivs = spark.range(500).toDF("iid")
