@@ -21,7 +21,9 @@ val headline = Seq(
   ("tpch_q5_local_volume", "6-way star join: dims broadcast, one fact shuffle"),
   ("ext_ivf_topk", "IVF probe: persisted index scan, cluster pruning, TakeOrdered"),
   ("ext_simhash_neardup", "SimHash near-dup: native signature, chunk-block candidates"),
-  ("ext_minhash_recall", "recall gate: length-prefiltered ground truth semi-join"))
+  ("ext_minhash_recall", "recall gate: length-prefiltered ground truth semi-join"),
+  ("asof_latest_order", "as-of join: union + window fill, one exchange, no pair blowup"),
+  ("range_join_open_orders", "binned range join: equi-join on bin, no nested loop"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {

@@ -212,7 +212,7 @@ object ExtQueries {
     // 50 — the vocab-building aggregation of a tokenizer pipeline
     // (map-side partial counts, one shuffle, TakeOrdered).
     "ext_bigram_vocab" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      spreadDocs(s, dir)
         .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("cnt"))
