@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   * right rows sharing (key, time) the one greatest by `tiebreak` wins —
   * deterministic, mirrors `row_number() ORDER BY time DESC, tiebreak
   * DESC` in the oracle.
+  *
+  * NULL keys: the window partitioning groups null keys TOGETHER (null ==
+  * null), unlike SQL join semantics where null matches nothing — filter
+  * null-keyed rows out first if SQL semantics are required.
   */
 object AsOfJoin {
 
@@ -48,6 +52,9 @@ object AsOfJoin {
     val payloadCols = right.columns.toSeq.filterNot(rightOn.contains)
     val collisions = payloadCols.toSet & left.columns.toSet
     require(collisions.isEmpty, s"right payload collides with left columns: $collisions")
+    val reserved = Set("__t", "__side", "__p", "__match")
+    require((left.columns.toSet ++ right.columns.toSet).intersect(reserved).isEmpty,
+      s"column names $reserved are reserved by AsOfJoin")
 
     val leftRest = left.columns.toSeq.filterNot(leftOn.contains)
 

@@ -25,6 +25,7 @@ case class ScoredRow(key: String, score: Double, id: Long)
   * point of a bounded structure.)
   */
 final class BoundedTopK(val k: Int) extends Serializable {
+  require(k >= 1, s"top-k needs k >= 1, got $k") // k=0 would index an empty heap
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
   private var n = 0

@@ -133,10 +133,11 @@ class TransformsSpec extends SparkSpec {
 
   test("RangeJoin matches the naive inequality join, each pair exactly once") {
     // deterministic points and intervals with boundary cases: intervals
-    // spanning multiple bins, zero-width intervals, points on bin edges
-    val pts = spark.range(200).toDF("pid").withColumn("p", col("pid") * 3 % 97)
+    // spanning multiple bins, zero-width intervals, points on bin edges,
+    // and NEGATIVE coordinates (floor division must round toward -inf)
+    val pts = spark.range(200).toDF("pid").withColumn("p", col("pid") * 3 % 97 - 40)
     val ivs = spark.range(60).toDF("iid")
-      .withColumn("lo", col("iid") * 7 % 89)
+      .withColumn("lo", col("iid") * 7 % 89 - 40)
       .withColumn("hi", col("lo") + col("iid") % 25) // widths 0..24
     val binned = graft.ops.RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 10)
       .select("pid", "iid")
