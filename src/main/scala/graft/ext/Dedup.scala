@@ -329,6 +329,10 @@ object Dedup {
       sh: DataFrame, // (doc_id, sh: long)
       maxHamming: Int,
       maxBucket: Int): DataFrame = {
+    // 64/(maxHamming+1) must leave >= 1 bit per chunk or every row lands
+    // in one degenerate bucket (all chunk values 0) — reject loudly
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"chunk blocking needs 0 <= maxHamming <= 31, got $maxHamming")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val chunkStructs = (0 until nChunks).map { c =>

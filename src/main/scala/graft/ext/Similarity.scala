@@ -131,8 +131,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int): IvfIndex = {
+    require(nCentroids >= 1, s"IVF needs nCentroids >= 1, got $nCentroids")
     val spark = embeddings.sparkSession
     val cents = centroidsOf(embeddings, idCol, vecCol, nCentroids)
+    require(cents.nonEmpty, "cannot build an IVF index over an empty corpus")
     val dt = dotAuto(spark) _
     val scored = cents.map { c =>
       struct(

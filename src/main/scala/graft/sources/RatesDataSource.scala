@@ -95,9 +95,13 @@ private class RatesTable(kind: String, path: String)
       override def planInputPartitions(): Array[InputPartition] = {
         val p = new Path(path)
         val fs = p.getFileSystem(hadoopConf.value)
+        // globStatus handles both concrete paths and glob patterns; a
+        // single directory match expands to its children
+        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
         val files =
-          if (fs.isDirectory(p)) fs.listStatus(p).map(_.getPath)
-          else fs.globStatus(p).map(_.getPath)
+          if (matched.length == 1 && matched(0).isDirectory)
+            fs.listStatus(matched(0).getPath).map(_.getPath)
+          else matched.map(_.getPath)
         files.sortBy(_.toString)
           .map(f => RatesPartition(kind, f.toString): InputPartition)
       }
