@@ -159,14 +159,17 @@ object Similarity {
     * a session probes; `clearIndexCache()` releases everything (tests).
     */
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), IvfIndex]
 
   def ivfIndexFor(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       nCentroids: Int): IvfIndex = {
-    val key = (embeddings.queryExecution.analyzed.semanticHash(), nCentroids)
+    // keyed by the full canonicalized plan, not its 32-bit semanticHash —
+    // a hash collision here would silently serve the WRONG index
+    val key = (embeddings.queryExecution.analyzed.canonicalized.toString,
+      idCol, vecCol, nCentroids)
     indexCache.getOrElseUpdate(key, ivfBuild(embeddings, idCol, vecCol, nCentroids))
   }
 
