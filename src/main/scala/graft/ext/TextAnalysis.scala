@@ -94,4 +94,32 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  // ---- PII redaction ------------------------------------------------
+  // Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+  // (DuckDB oracle): no backreferences, no lookaround.
+
+  /** Email addresses (pragmatic form, not full RFC 5322). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** http/https URLs up to the next whitespace. */
+  val UrlRe = "https?://[^\\s]+"
+  /** Standalone digit runs of 6+ (phone/account/SSN-shaped). */
+  val IdRe = "\\b[0-9]{6,}\\b"
+
+  /** Count of pattern hits — redaction accounting, computed on the raw
+    * text BEFORE replacement. Pure Column expression, scan-speed.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact URLs, then emails, then long digit runs, each with a typed
+    * placeholder. URL first: a URL path may embed @-forms and digit runs
+    * that must disappear as part of the URL, not as separate hits.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      IdRe, "<ID>")
 }

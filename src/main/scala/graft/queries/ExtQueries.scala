@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -219,6 +219,41 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("gram").asc)
         .limit(50)),
 
+    // TF-IDF top-3 terms per document (oracled): corpus-statistics
+    // keyword extraction — tf shuffle is map-combinable, df and the
+    // corpus count broadcast (see ext.Tfidf scale notes).
+    "ext_tfidf_topterms" -> ((s, dir) =>
+      Tfidf.topTerms(spreadDocs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn")),
+
+    // PII redaction (oracled end-to-end): the corpus text is clean by
+    // construction, so deterministic synthetic PII derived from doc_id is
+    // appended first — the query then proves detection counts AND the
+    // redacted output both match the oracle exactly.
+    "ext_pii_redact" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via https://ex.org/u/"), col("doc_id").cast("string"),
+          lit(" ref "), (col("doc_id") * 1234567L + 999999L).cast("string")).as("raw"))
+      raw.select(col("doc_id"),
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.EmailRe).cast("int").as("n_email"),
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.UrlRe).cast("int").as("n_url"),
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.IdRe).cast("int").as("n_id"),
+        TextAnalysis.redactPii(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 scalar quantization of embeddings (oracled): per-vector range
+    // codes + reconstruction error — the ANN-serving compression step.
+    "ext_embed_quantize" -> ((s, dir) =>
+      Quantize.int8WithError(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("q_sum"),
+          col("recon_mae"))
+        .orderBy("vec_id")),
+
     // ---- multimodal (stub codec → rows-only) ------------------------
     "ext_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaTable(Tables.documents(s, dir))
@@ -420,6 +455,52 @@ object ExtQueries {
         |  'fake/rgb8' AS format,
         |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
         |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_tfidf_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rn FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "ext_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via https://ex.org/u/' || CAST(doc_id AS VARCHAR)
+        |    || ' ref ' || CAST(doc_id * 1234567 + 999999 AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS INTEGER) AS n_url,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{6,}\b')) AS INTEGER) AS n_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{6,}\b', '<ID>', 'g') AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "ext_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM v)
+        |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  CAST(list_sum(list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE round((x - lo) / scale) END AS INTEGER))) AS BIGINT) AS q_sum,
+        |  round(list_sum(list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE abs(x - (round((x - lo) / scale) * scale + lo)) END)) / len(v), 6)
+        |    AS recon_mae
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 }

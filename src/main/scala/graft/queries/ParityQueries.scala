@@ -491,7 +491,72 @@ object ParityQueries {
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // Navigation/ranking window family (lag, lead, first_value, ntile,
+    // percent_rank) — per-customer order sequence. One shuffle on the
+    // partition key; the in-partition order (o_orderdate, o_orderkey) is a
+    // total order, so every rank/navigation value is deterministic.
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_total"),
+        lead("o_totalprice", 1).over(w).as("next_total"),
+        first("o_orderkey").over(wRows).as("first_key"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // FULL OUTER join with key coalescing: month-over-month customer
+    // activity (customers active in Jan, Feb, or both). Both sides are
+    // pre-aggregated to the join key before the join — the aggregate
+    // shuffle and the join shuffle share the o_custkey partitioning, so
+    // the outer join adds no extra exchange.
+    "join_full_outer" -> ((s, dir) => {
+      def monthCnt(m: Int, alias: String) =
+        Tables.orders(s, dir)
+          .filter(month(col("o_orderdate")) === m)
+          .groupBy("o_custkey").agg(count(lit(1)).as(alias))
+      monthCnt(1, "cnt_jan").join(monthCnt(2, "cnt_feb"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("cnt_jan"), lit(0L)).as("cnt_jan"),
+          coalesce(col("cnt_feb"), lit(0L)).as("cnt_feb"))
+        .orderBy("o_custkey")
+    }),
+
+    // arg-min/arg-max aggregation (max_by/min_by): first and last order
+    // value per priority class, keyed by the unique o_orderkey so the
+    // selection is deterministic. Single map-combinable aggregate — the
+    // 100 TB plan is one shuffle carrying O(groups) state.
+    "agg_argminmax" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("max_by(o_totalprice, o_orderkey)").as("last_total"),
+          expr("min_by(o_totalprice, o_orderkey)").as("first_total"),
+          max("o_orderkey").as("max_key"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // Multi-quantile exact percentiles per group (continuous
+    // interpolation — identical formula to DuckDB's quantile_cont). The
+    // exact form is the oracle-able baseline; the scale path is
+    // approx_percentile (t-digest sketch, mergeable, bounded memory) —
+    // error-bounded against this exact form in ExtOpsSpec.
+    "agg_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          round(avg("l_extendedprice"), 2).as("mean_price"))
+        .orderBy("l_linestatus"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -820,6 +885,45 @@ object ParityQueries {
     "stream_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_total,
+        |  lead(o_totalprice) OVER w AS next_total,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS first_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH jan AS (SELECT o_custkey, count(*) AS cnt_jan FROM orders
+        |             WHERE month(o_orderdate) = 1 GROUP BY 1),
+        |     feb AS (SELECT o_custkey, count(*) AS cnt_feb FROM orders
+        |             WHERE month(o_orderdate) = 2 GROUP BY 1)
+        |SELECT o_custkey, coalesce(cnt_jan, 0) AS cnt_jan,
+        |  coalesce(cnt_feb, 0) AS cnt_feb
+        |FROM jan FULL JOIN feb USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "agg_argminmax" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_totalprice, o_orderkey) AS last_total,
+        |  arg_min(o_totalprice, o_orderkey) AS first_total,
+        |  max(o_orderkey) AS max_key, count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  round(avg(l_extendedprice), 2) AS mean_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Quantize, TextAnalysis, Tfidf}
+
+/** Specs for the round-2 text/embedding operators: TF-IDF keyword
+  * extraction, PII redaction, int8 embedding quantization, and the
+  * sketch-vs-exact error bounds of the approximate aggregates that stand
+  * in for the exact forms at 100 TB.
+  */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TF-IDF -------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "common common rare1"),
+    (2L, "common common other"),
+    (3L, "common filler words here"),
+    (4L, "common filler words again")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: corpus-wide term scores 0, doc-unique term ranks first") {
+    val top = Tfidf.topTerms(corpus, "doc_id", "text", k = 3)
+    val rows = top.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(3), r.getInt(4)))
+    // "common" appears in every doc -> idf = ln(1) = 0 -> tfidf 0
+    assert(rows.filter(_._2 == "common").forall(_._3 == 0.0))
+    // doc 1's unique term is its top-ranked keyword
+    val doc1First = rows.filter(r => r._1 == 1L && r._4 == 1).head
+    assert(doc1First._2 == "rare1")
+    // never more than k rows per doc, ranks contiguous from 1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("tfidf: ties rank deterministically by term") {
+    // docs 3 and 4 share {filler, words} with equal tf and df -> equal
+    // tfidf; term order must break the tie alphabetically
+    val top = Tfidf.topTerms(corpus, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 3L).orderBy("rn")
+      .collect().map(_.getString(1))
+    val fillerIdx = top.indexOf("filler")
+    val wordsIdx = top.indexOf("words")
+    assert(fillerIdx >= 0 && wordsIdx >= 0 && fillerIdx < wordsIdx)
+  }
+
+  test("tfidf: k guard rejects k=0") {
+    intercept[IllegalArgumentException] {
+      Tfidf.topTerms(corpus, "doc_id", "text", k = 0)
+    }
+  }
+
+  // ---- PII redaction ------------------------------------------------
+
+  test("pii: emails, urls, and long digit runs redact; short runs survive") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "see https://ex.org/path?q=1234567 for details",
+      "account 12345678 but room 42 and zip 12345",
+      "no pii here at all"
+    ).toDF("raw").select(TextAnalysis.redactPii(col("raw")).as("clean"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    // URL consumed as a unit — its embedded digit run must NOT surface as <ID>
+    assert(out(1) == "see <URL> for details")
+    assert(out(2) == "account <ID> but room 42 and zip 12345")
+    assert(out(3) == "no pii here at all")
+  }
+
+  test("pii: counts match the hits actually redacted") {
+    val df = Seq("a@b.co c@d.io and https://x.y plus 9999999")
+      .toDF("raw").select(
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.EmailRe).as("e"),
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.UrlRe).as("u"),
+        TextAnalysis.piiCount(col("raw"), TextAnalysis.IdRe).as("i"))
+    val r = df.head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+  }
+
+  // ---- int8 quantization --------------------------------------------
+
+  private val vecs = Seq(
+    (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),
+    (2L, Array(-5.0f, 0.0f, 5.0f, 10.0f)),
+    (3L, Array(7.5f, 7.5f, 7.5f, 7.5f)) // degenerate: all equal
+  ).toDF("vec_id", "embedding")
+
+  test("quantize: codes span [0,255], endpoints exact") {
+    val q = Quantize.int8(vecs, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L).head == 0 && q(1L).last == 255)
+    assert(q(1L).forall(c => c >= 0 && c <= 255))
+    assert(q(2L).head == 0 && q(2L).last == 255)
+  }
+
+  test("quantize: degenerate all-equal vector -> code 0, zero error") {
+    val r = Quantize.int8WithError(vecs, "vec_id", "embedding")
+      .filter(col("vec_id") === 3L).head()
+    assert(r.getSeq[Int](r.fieldIndex("codes")).forall(_ == 0))
+    assert(r.getDouble(r.fieldIndex("recon_mae")) == 0.0)
+  }
+
+  test("quantize: reconstruction error bounded by half a step") {
+    val rows = Quantize.int8WithError(vecs, "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), col("recon_mae")).collect()
+    rows.foreach { r =>
+      val halfStep = r.getDouble(1) / 2.0
+      assert(r.getDouble(2) <= halfStep + 1e-9,
+        s"vec ${r.getLong(0)}: mae ${r.getDouble(2)} > half-step $halfStep")
+    }
+  }
+
+  // ---- approximate aggregates vs exact (the 100 TB forms) -----------
+
+  test("approx_percentile tracks exact percentile within its accuracy bound") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = df.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    // accuracy=1000 -> rank error <= n/1000; translate to a loose 5% value
+    // tolerance for this distribution
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_count_distinct within documented 5% of exact") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = df.agg(
+      countDistinct("l_partkey").as("exact"),
+      approx_count_distinct("l_partkey", rsd = 0.05).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+}
