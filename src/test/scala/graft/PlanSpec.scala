@@ -86,4 +86,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"probe bypasses the index:\n$p")
     assert(p.contains("centroid_id"), "probe does not prune by cluster")
   }
+
+  test("win_lag_lead: all five window functions share ONE shuffle and ONE Window node") {
+    val p = plan("win_lag_lead")
+    def cnt(sub: String) = p.sliding(sub.length).count(_ == sub)
+    assert(cnt("Exchange hashpartitioning") == 1,
+      s"window family should reuse a single partitioning:\n$p")
+    assert(cnt("Window [") <= 1, s"window functions not collapsed into one node:\n$p")
+  }
+
+  test("full outer join plans as a join, not a union-rebuild") {
+    val p = plan("join_full_outer")
+    assert(p.contains("FullOuter"), s"no FullOuter join operator:\n$p")
+  }
+
+  test("argminmax and percentiles aggregate with map-side partials, one exchange") {
+    for (q <- Seq("agg_argminmax", "agg_percentiles")) {
+      val p = plan(q)
+      assert(p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") == 1, s"$q: extra shuffle:\n$p")
+      assert(p.contains("partial_"), s"$q: no map-side partial aggregation:\n$p")
+    }
+  }
+
+  test("pii redaction and quantization are pure map stages (no hash shuffle)") {
+    for (q <- Seq("ext_pii_redact", "ext_embed_quantize")) {
+      val p = extPlan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: row-local operator acquired a shuffle:\n$p")
+    }
+  }
+
+  test("tfidf reuses the tf shuffle at runtime (one pass over text)") {
+    // the tf aggregate feeds both the scoring join and the df aggregate;
+    // AQE must dedupe the identical shuffle stages, otherwise the corpus
+    // is tokenized twice — the dominant cost at 100 TB. Reuse only shows
+    // in the FINAL adaptive plan, so execute first.
+    val df = graft.queries.ExtQueries.queries("ext_tfidf_topterms")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"tf shuffle not reused — corpus scanned twice:\n$p")
+  }
 }
