@@ -57,6 +57,38 @@ object EventIngest {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Stream-static enrichment join: the static dimension is broadcast to
+    * every task, so the stream is never shuffled and no state store is
+    * involved — the stateless fast path for attaching reference data
+    * (user segments, currency metadata) to an event stream. At 100 TB/day
+    * the stream side stays partition-parallel; only the dim (small by
+    * definition) moves.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Stream-stream interval correlation (e.g. click → purchase within N
+    * minutes, same user): both sides watermarked, and the join's time
+    * range BOUNDS THE STATE STORE — a buffered row is dropped as soon as
+    * the watermark passes its `ts + within`, so state is O(events in the
+    * interval window), not O(stream history). Inner-join matches emit as
+    * found (no watermark wait on the emit path).
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      withinMinutes: Int): DataFrame = {
+    require(withinMinutes >= 1, s"withinMinutes must be >= 1, got $withinMinutes")
+    val l = left.withWatermark("ts", "20 minutes")
+      .select(col(key), col("ts").as("ts_l"), col("event_id").as("id_l"))
+    val r = right.withWatermark("ts", "20 minutes")
+      .select(col(key).as("__rkey"), col("ts").as("ts_r"), col("event_id").as("id_r"))
+    l.join(r,
+      col(key) === col("__rkey") &&
+        col("ts_r") >= col("ts_l") &&
+        col("ts_r") <= col("ts_l") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop("__rkey")
+  }
+
   /** Run-once ingest: stream → watermark → in-batch natural-key dedup →
     * idempotent upsert sink. Returns total rows inserted across batches.
     */

@@ -70,6 +70,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join matches batch; dim broadcast, stream unshuffled") {
+    val work = tmpDir("streamdim")
+    // static dim derived deterministically from the same table
+    val dim = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").as("d_user_id")).distinct()
+      .withColumn("segment", (col("d_user_id") % 3).cast("int"))
+    val q = EventIngest.enrichWithDim(
+      EventIngest.readEventStream(spark, srcDir), dim, "user_id", "d_user_id")
+      .select("event_id", "user_id", "segment")
+      .writeStream
+      .format("memory").queryName("enriched").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("enriched").collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .join(broadcast(dim), col("user_id") === col("d_user_id"), "left")
+      .select("event_id", "user_id", "segment")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream interval join: click->purchase pairs match the batch join") {
+    val work = tmpDir("streamss")
+    val clicks = EventIngest.readEventStream(spark, srcDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventIngest.readEventStream(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+    val q = EventIngest.correlate(clicks, purchases, "user_id", withinMinutes = 60)
+      .select("user_id", "id_l", "id_r")
+      .writeStream
+      .format("memory").queryName("correlated").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("correlated").collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("ts_l"), col("event_id").as("id_l"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("ts_r"), col("event_id").as("id_r"))
+    val batch = c.join(p,
+      col("user_id") === col("u2") &&
+        col("ts_r") >= col("ts_l") &&
+        col("ts_r") <= col("ts_l") + expr("INTERVAL 60 MINUTES"))
+      .select("user_id", "id_l", "id_r")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(
