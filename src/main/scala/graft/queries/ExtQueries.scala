@@ -219,6 +219,20 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("gram").asc)
         .limit(50)),
 
+    // Deterministic per-group top-n sampling: hash-ranked row_number
+    // caps every stratum at exactly 20 docs (vs ext_sample_stratified's
+    // rate-based filter) — quota sampling for balanced training mixes,
+    // reproducible on any engine/partitioning.
+    "ext_sample_pergroup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    }),
+
     // TF-IDF top-3 terms per document (oracled): corpus-statistics
     // keyword extraction — tf shuffle is map-combinable, df and the
     // corpus count broadcast (see ext.Tfidf scale notes).
@@ -456,6 +470,12 @@ object ExtQueries {
         |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
         |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_pergroup" ->
+      """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     "ext_tfidf_topterms" ->
       """WITH t AS (

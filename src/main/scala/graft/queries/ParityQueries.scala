@@ -556,7 +556,64 @@ object ParityQueries {
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
           round(avg("l_extendedprice"), 2).as("mean_price"))
-        .orderBy("l_linestatus"))
+        .orderBy("l_linestatus")),
+
+    // SCD2 history-preserving dimension merge (sinks.Scd2): snapshot
+    // synthesized deterministically from customer — acctbal bumped for
+    // key%10==0 (changed), key%7==0 absent (stays open), 5 brand-new
+    // keys. The result proves close-out, carry-through, and new-version
+    // rows all at once against the oracle's CTE re-statement.
+    "scd2_merge" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val dim = cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        lit("2000-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"))
+      val snap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") < 5)
+          .select((col("c_custkey") + 9000000L).as("c_custkey"),
+            lit(500.0).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
+      graft.sinks.Scd2.merge(dim, snap,
+          keys = Seq("c_custkey"), attrs = Seq("c_acctbal", "c_mktsegment"),
+          asOfCol = lit("2003-06-15 00:00:00").cast("timestamp_ntz"))
+        .orderBy(col("c_custkey").asc, col("valid_from").asc)
+    }),
+
+    // Time-range rolling window (RANGE frame over event time): 7-day
+    // rolling revenue per customer — the frame is defined by the TIME
+    // interval, not a row count, so duplicate dates are peers in both
+    // engines. One shuffle on the partition key.
+    "win_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("ots"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("ots", unix_timestamp(col("o_orderdate").cast("timestamp_ntz")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("roll_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // CUBE aggregation with grouping_id (all 4 grouping sets + the
+    // bitmask that tells subtotal levels apart — both engines encode the
+    // first cube column as the MSB).
+    "agg_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Ordinal-preserving flatten (posexplode): token position survives
+    // the explode — the structure-aware variant of C11's map explode.
+    "c_posexplode" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -924,6 +981,62 @@ object ParityQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         |  round(avg(l_extendedprice), 2) AS mean_price
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment,
+        |    TIMESTAMP '2000-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |snap AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+        |         ELSE c_acctbal END AS s_bal,
+        |    c_mktsegment AS s_seg
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, 500.0, 'NEWSEG'
+        |  FROM customer WHERE c_custkey < 5),
+        |j AS (
+        |  SELECT d.c_custkey AS d_key, d.c_acctbal, d.c_mktsegment,
+        |         d.valid_from, d.valid_to, s.c_custkey AS s_key, s.s_bal, s.s_seg,
+        |         (d.c_acctbal IS NOT DISTINCT FROM s.s_bal
+        |          AND d.c_mktsegment IS NOT DISTINCT FROM s.s_seg) AS same
+        |  FROM dim d FULL JOIN snap s ON d.c_custkey = s.c_custkey)
+        |SELECT d_key AS c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to
+        |FROM j WHERE d_key IS NOT NULL AND (s_key IS NULL OR same)
+        |UNION ALL
+        |SELECT d_key, c_acctbal, c_mktsegment, valid_from,
+        |  TIMESTAMP '2003-06-15 00:00:00'
+        |FROM j WHERE d_key IS NOT NULL AND s_key IS NOT NULL AND NOT same
+        |UNION ALL
+        |SELECT s_key, s_bal, s_seg, TIMESTAMP '2003-06-15 00:00:00',
+        |  CAST(NULL AS TIMESTAMP)
+        |FROM j WHERE s_key IS NOT NULL AND (d_key IS NULL OR NOT same)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "win_rolling_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS roll_7d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "c_posexplode" ->
+      """SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |  unnest(toks) AS token
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }
