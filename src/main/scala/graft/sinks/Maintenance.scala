@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance operators: the table-layout jobs that keep a 100 TB
+  * parquet lake scannable. The reference never needs them (SQLite has no
+  * file layout), but any lake the engine writes at scale does:
+  *
+  *  - COMPACTION: streaming/incremental ingest (EventIngest, UpsertIgnore
+  *    appends) accumulates small files; scans then pay per-file open cost
+  *    and lose row-group parallelism. Rewrite to ~target-sized files.
+  *  - CLUSTERING: range-partition + sort by a filter column so every file
+  *    covers a disjoint value range — parquet footer min/max then prunes
+  *    whole files for range predicates, the file-level analog of
+  *    partition-directory pruning (for columns too high-cardinality to
+  *    partition by).
+  */
+object Maintenance {
+
+  /** Total bytes of data files under `path` (non-recursive beyond one
+    * level of partition dirs; hidden/_SUCCESS files excluded).
+    */
+  private[graft] def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(dir: Path): Long = {
+      fs.listStatus(dir).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) walk(st.getPath)
+        else st.getLen
+      }.sum
+    }
+    if (fs.exists(p)) walk(p) else 0L
+  }
+
+  /** Rewrite `path` into ceil(totalBytes/targetFileBytes) files.
+    * Round-robin repartition (not coalesce): coalesce collapses scan
+    * parallelism AND inherits skewed input splits; an even shuffle costs
+    * one pass and yields uniform files.
+    *
+    * Returns (filesBefore, filesAfter). Writes via a temp sibling dir +
+    * atomic-ish rename so a failed compaction never destroys the table.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes >= 1024 * 1024,
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = fs.listStatus(p).count(st =>
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val bytes = dataBytes(spark, path)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(p.getParent, s".${p.getName}__compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage $path aside")
+    if (!fs.rename(tmp, p)) { fs.rename(bak, p); sys.error(s"compact: swap failed for $path") }
+    fs.delete(bak, true)
+    val after = fs.listStatus(p).count(st =>
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    (before, after)
+  }
+
+  /** Range-clustered write: repartitionByRange + sortWithinPartitions on
+    * `clusterCol`, so each output file covers a disjoint range of the
+    * column and footer min/max stats prune whole files for range filters.
+    */
+  def clusterBy(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
