@@ -57,6 +57,17 @@ object EventIngest {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming dedup with BOUNDED state: duplicate keys are only tracked
+    * within the watermark horizon, so the state store holds O(events per
+    * 20 minutes), not every key ever seen — the difference between a
+    * dedup that runs forever and one that OOMs in week two. (The ingest
+    * path's plain dropDuplicates is per-micro-batch + idempotent sink;
+    * this is the cross-batch form for pipelines without a keyed sink.)
+    */
+  def dedupedStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "20 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment join: the static dimension is broadcast to
     * every task, so the stream is never shuffled and no state store is
     * involved — the stateless fast path for attaching reference data

@@ -135,4 +135,15 @@ object GraftProperties extends Properties("graft") {
         .as[java.sql.Date].collect().map(_.toLocalDate)
       out.forall(d => !d.isAfter(anchor) && !d.isBefore(anchor.minusMonths(m)))
     }
+
+  property("int8 quantization: codes in [0,255], reconstruction within half a step") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0f, 100.0f))) { xs =>
+      import spark.implicits._
+      val df = Seq((1L, xs.toArray)).toDF("vec_id", "embedding")
+      val r = graft.ext.Quantize.int8WithError(df, "vec_id", "embedding").head()
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val mae = r.getDouble(r.fieldIndex("recon_mae"))
+      codes.forall(c => c >= 0 && c <= 255) && mae <= scale / 2 + 1e-9
+    }
 }

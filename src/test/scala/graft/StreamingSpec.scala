@@ -70,6 +70,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark: a replayed file dedupes with bounded state") {
+    val dupDir = tmpDir("events_dup")
+    // same table staged twice = full replay arriving as a second file
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(dupDir, s"$n.parquet"))
+    val work = tmpDir("streamdedup")
+    val q = graft.streaming.EventIngest.dedupedStream(
+      graft.streaming.EventIngest.readEventStream(spark, dupDir))
+      .select("event_id")
+      .writeStream
+      .format("memory").queryName("deduped").outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("deduped").collect().map(_.getLong(0))
+    assert(ids.length == 1000, s"expected 1000 unique events, got ${ids.length}")
+    assert(ids.toSet.size == 1000)
+  }
+
   test("stream-static enrichment join matches batch; dim broadcast, stream unshuffled") {
     val work = tmpDir("streamdim")
     // static dim derived deterministically from the same table
