@@ -23,7 +23,10 @@ val headline = Seq(
   ("ext_simhash_neardup", "SimHash near-dup: native signature, chunk-block candidates"),
   ("ext_minhash_recall", "recall gate: length-prefiltered ground truth semi-join"),
   ("asof_latest_order", "as-of join: union + window fill, one exchange, no pair blowup"),
-  ("range_join_open_orders", "binned range join: equi-join on bin, no nested loop"))
+  ("range_join_open_orders", "binned range join: equi-join on bin, no nested loop"),
+  ("win_lag_lead", "window family: five functions, one shuffle, one Window node"),
+  ("scd2_merge", "SCD2 merge: one open-slice join, closed history shuffle-free"),
+  ("ext_tfidf_topterms", "TF-IDF: tf shuffle AQE-reused, vocab-sized df broadcast"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
