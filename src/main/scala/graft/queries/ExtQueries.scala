@@ -233,6 +233,14 @@ object ExtQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Token-window document chunking (oracled): 20-token windows with
+    // stride 15 (5-token overlap) — the corpus-to-training-pieces step.
+    // Narrow map-side plan (tokenize once, explode offsets, slice).
+    "ext_chunk_documents" -> ((s, dir) =>
+      graft.ext.Chunker.chunkByTokens(Tables.documents(s, dir),
+          "doc_id", "text", window = 20, stride = 15)
+        .orderBy("doc_id", "chunk_id")),
+
     // TF-IDF top-3 terms per document (oracled): corpus-statistics
     // keyword extraction — tf shuffle is map-combinable, df and the
     // corpus count broadcast (see ext.Tfidf scale notes).
@@ -476,6 +484,20 @@ object ExtQueries {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "ext_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range(0, greatest(len(toks) - 5, 1), 15)) AS INTEGER)
+        |      AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 15 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[start+1:start+20], ' ') AS chunk,
+        |  CAST(least(20, len(toks) - start) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "ext_tfidf_topterms" ->
       """WITH t AS (

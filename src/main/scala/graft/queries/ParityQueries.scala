@@ -613,7 +613,57 @@ object ParityQueries {
       Tables.documents(s, dir).filter(col("doc_id") < 20)
         .select(col("doc_id"),
           posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // Ordered string aggregation (LISTAGG/string_agg): collect + sort +
+    // join INSIDE the aggregate, so the concatenated value is
+    // deterministic under any partitioning. Bounded keyspace (< 60) —
+    // collect_list is only safe when the group payload is.
+    "agg_string_agg" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") < 60)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            k => k.cast("string")), ",").as("keys"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // Conditional aggregates: count_if / bool_or / bool_and — predicate
+    // logic folded into one map-combinable aggregate pass.
+    "agg_bool" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Null-handling scalar family: nullif manufactures nulls, coalesce /
+    // nvl2 / ifnull consume them — the drift-tolerant projection idioms.
+    "c_null_family" -> ((s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("nullif(l_linestatus, 'F')").as("nf"),
+          coalesce(expr("nullif(l_linestatus, 'F')"), lit("FALLBACK")).as("co"),
+          expr("nvl2(nullif(l_linestatus, 'F'), 'has', 'was_null')").as("nv"),
+          expr("ifnull(nullif(l_returnflag, 'N'), 'none')").as("ifn"))
+        .orderBy("l_orderkey", "l_linenumber", "nf", "ifn")),
+
+    // UNPIVOT/melt — the inverse of agg_pivot: wide measure columns back
+    // to (measure, value) rows. Narrow op: each input row fans out to
+    // k rows map-side, no shuffle beyond the source aggregation.
+    "agg_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          round(sum("l_discount"), 2).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "value")
+        .orderBy("l_returnflag", "measure"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1037,6 +1087,43 @@ object ParityQueries {
         |  unnest(toks) AS token
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |      FROM documents WHERE doc_id < 20)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "agg_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |    AS keys,
+        |  count(*) AS cnt
+        |FROM orders WHERE o_orderkey < 60
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_or(l_discount > 0.09) AS any_deep,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "c_null_family" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_linestatus, 'F') AS nf,
+        |  coalesce(nullif(l_linestatus, 'F'), 'FALLBACK') AS co,
+        |  CASE WHEN nullif(l_linestatus, 'F') IS NOT NULL
+        |       THEN 'has' ELSE 'was_null' END AS nv,
+        |  ifnull(nullif(l_returnflag, 'N'), 'none') AS ifn
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, nf NULLS FIRST, ifn""".stripMargin,
+
+    "agg_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin
   )
 }
