@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Chunker, Dedup, TextAnalysis}
+import graft.ops.Quality
+import graft.sources.TableIO
+
+/** End-to-end training-data curation: the composition the [EXT] operators
+  * exist for. One pipeline takes a raw document corpus to training-ready
+  * chunks:
+  *
+  *   quality gate -> PII redaction -> exact dedup -> near-dup dedup
+  *   (MinHash-LSH -> connected components, keep canonical) -> token-window
+  *   chunking -> lang-partitioned parquet
+  *
+  * Stage order is the cost order: the cheap scan-speed gates (quality,
+  * redaction, exact-dup hash) shrink the corpus BEFORE the shuffling
+  * near-dup stage, and chunking (which multiplies rows) runs last. The
+  * expensive tail (chunk+write) reports its count via observe, riding
+  * the write; stage counts before it are count()s over the checkpointed
+  * post-dedup frame or the scan-speed gate — cheap, but real actions.
+  */
+object Curation {
+
+  /** Stage-by-stage row accounting (the pipeline's audit trail). */
+  final case class Report(
+      input: Long, afterQuality: Long, afterExact: Long,
+      afterNearDup: Long, chunks: Long)
+
+  /** @param minQuality  quality-score gate in [0,1] (TextAnalysis.qualityScore)
+    * @param threshold   near-dup jaccard threshold for MinHash-LSH
+    * @param window      chunk window (tokens); `stride` = window - overlap
+    */
+  def run(spark: SparkSession, docs: DataFrame, outPath: String,
+      idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
+      minQuality: Double = 0.2, threshold: Double = 0.9,
+      window: Int = 200, stride: Int = 150): Report = {
+    require(minQuality >= 0 && minQuality <= 1, s"minQuality in [0,1], got $minQuality")
+    val input = docs.count()
+
+    // 1+2: quality gate + PII redaction — pure Column exprs, one scan.
+    val gated = docs
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+
+    // 3: exact dedup — keep the min-id doc per content hash (one
+    // map-combinable shuffle; left-semi back to rows keeps all columns).
+    val keepExact = Dedup.exact(gated, idCol, Seq(textCol))
+      .select(col("keep_id").as(idCol))
+    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
+      // checkpoint: consumed by dedupCorpus (shingle pipeline) AND the
+      // final semi-join — without it the quality+redact+dedup prefix
+      // runs twice. Lazy: released on plan GC (see Dedup notes).
+      .localCheckpoint(false)
+    val afterExact = exactDeduped.count()
+
+    // 4: near-dup dedup — banded MinHash-LSH candidates, components,
+    // keep only canonical docs.
+    val labels = Dedup.dedupCorpus(exactDeduped, idCol, textCol, threshold)
+    val canonical = labels.filter(col("id") === col("canonical_id"))
+      .select(col("id").as(idCol))
+    val nearDeduped = exactDeduped.join(canonical, Seq(idCol), "left_semi")
+
+    // 5: chunk + write, metrics riding the write action. Chunker keeps
+    // only (id, chunk) columns, so the partition column joins back from
+    // the (small, post-dedup) doc->lang map via broadcast.
+    val chunks = Chunker.chunkByTokens(
+        nearDeduped.select(col(idCol), col(textCol)),
+        idCol, textCol, window, stride)
+      .join(broadcast(nearDeduped.select(col(idCol), col(langCol))), Seq(idCol))
+    val (observed, obs) = Quality.observed(chunks, requiredCols = Seq("chunk"))
+    TableIO.write(observed, TableIO.Parquet, outPath,
+      partitionCols = Seq(langCol))
+    val nChunks = obs.get("n_rows").asInstanceOf[Long]
+
+    Report(input, gated.count(), afterExact,
+      nearDeduped.count(), nChunks)
+  }
+}
