@@ -62,6 +62,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-aware SMJ)") {
+    // one key owning ~95% of the fact: the classic hot-partition join.
+    // Thresholds are shrunk so local-mode data sizes trip the optimizer —
+    // the assertion is that the FINAL adaptive plan marks the join/reader
+    // as skew-handled, i.e. the hot partition was split across tasks
+    // instead of serializing one reducer (the 100 TB failure mode salting
+    // guards against; AQE is the runtime half of that defense).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (1 to 120000).map(i =>
+        (if (i % 20 != 0) 1L else (i % 50).toLong + 2, i.toDouble)).toDF("k", "v")
+      val dim = (1L to 60L).map(k => (k, s"d$k")).toDF("k", "name")
+      val j = fact.join(dim, "k")
+      // execute j's OWN plan (count() would build and run a different
+      // tree, leaving j's adaptive plan unfinalized)
+      assert(j.collect().length == 120000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt is deterministic and spreads a key over saltFactor buckets") {
     val df = (1L to 1000L).toDF("id")
     val s1 = df.select(Skew.salt(8, col("id")).as("s")).collect().map(_.getLong(0))
