@@ -146,4 +146,42 @@ object GraftProperties extends Properties("graft") {
       val mae = r.getDouble(r.fieldIndex("recon_mae"))
       codes.forall(c => c >= 0 && c <= 255) && mae <= scale / 2 + 1e-9
     }
+
+  property("chunker: full token coverage, in-order, stride-indexed chunk ids") =
+    forAll(
+      Gen.choose(0, 60), Gen.choose(2, 12), Gen.choose(1, 12)) { (nTok, window, strideRaw) =>
+      val stride = math.min(strideRaw, window)
+      import spark.implicits._
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val chunks = graft.ext.Chunker.chunkByTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", window, stride)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      val toks = chunks.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val expected = text.split(" ").filter(_.nonEmpty)
+      // ids are 0..n-1; every token of the doc appears (in order within
+      // stride-sized prefixes); the first chunk starts at token 1
+      chunks.map(_._1).toSeq == chunks.indices.map(_.toLong) &&
+        toks.toSet == expected.toSet &&
+        (expected.isEmpty || chunks.head._2.startsWith(expected.head))
+    }
+
+  property("binned range join == naive inequality join") =
+    forAll(
+      Gen.listOfN(12, Gen.choose(0L, 400L)),
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 400L), Gen.choose(0L, 80L))),
+      Gen.choose(10L, 100L)) { (pts, ivsRaw, bin) =>
+      import spark.implicits._
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+      val maxSpan = ivsRaw.map(_._2).foldLeft(0L)(math.max)
+      val ivs = ivsRaw.map { case (lo, span) => (lo, lo + span) }.toDF("lo", "hi")
+      val binned = graft.ops.RangeJoin.pointInInterval(
+          p, "p", ivs, "lo", "hi", math.max(bin, math.max(maxSpan, 1)))
+        .select("pid", "p", "lo", "hi")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val naive = p.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "p", "lo", "hi")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      binned == naive // same multiset: every pair exactly once, none invented
+    }
 }
