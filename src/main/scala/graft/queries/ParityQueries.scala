@@ -663,7 +663,18 @@ object ParityQueries {
           round(sum("l_discount"), 2).as("disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("price"), col("disc")), "measure", "value")
-        .orderBy("l_returnflag", "measure"))
+        .orderBy("l_returnflag", "measure")),
+
+    // Date-series generation (sequence + explode): weekly follow-up
+    // schedule per sampled order — row-local array expansion, no shuffle.
+    "c_sequence_dates" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          explode(sequence(
+            col("o_orderdate").cast("date"),
+            date_add(col("o_orderdate").cast("date"), 28),
+            expr("INTERVAL 7 DAY"))).as("followup"))
+        .orderBy("o_orderkey", "followup"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1124,6 +1135,14 @@ object ParityQueries {
         |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
         |UNION ALL SELECT l_returnflag, 'price', price FROM a
         |UNION ALL SELECT l_returnflag, 'disc', disc FROM a
-        |ORDER BY l_returnflag, measure""".stripMargin
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "c_sequence_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+        |    CAST(o_orderdate AS DATE) + 28, INTERVAL 7 DAY)) AS DATE)
+        |    AS followup
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey, followup""".stripMargin
   )
 }

@@ -67,6 +67,30 @@ class FormatsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 10)
   }
 
+  test("CSV roundtrip survives quotes, embedded commas, newlines, and unicode") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "quote \" inside"),
+      (4L, "line\nbreak"),
+      (5L, "tab\tand unicode: naïve 日本語 🚀"),
+      (6L, "")
+    ).toDF("id", "s")
+    val path = tmpDir("fmt_csvedge") + "/t"
+    TableIO.write(nasty, TableIO.Csv, path)
+    val back = spark.read.format("csv").schema(nasty.schema)
+      .option("header", "true").option("multiLine", "true") // quoted newlines span lines
+      .load(path)
+    val a = back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = nasty.orderBy("id").collect().map(r =>
+      // CSV cannot distinguish empty string from null without a marker;
+      // Spark reads "" back as null — normalize for the comparison and
+      // keep that caveat visible here
+      (r.getLong(0), Option(r.getString(1)).filter(_.nonEmpty).orNull)).toSeq
+    assert(a == b)
+  }
+
   test("PERMISSIVE row-format read surfaces malformed rows as nulls, not failures") {
     val path = tmpDir("fmt_bad")
     java.nio.file.Files.writeString(
