@@ -18,20 +18,27 @@ object Chunker {
   /** Chunk start offsets run 0, S, 2S, ... while start < max(len-(W-S), 1)
     * — every token lands in at least one chunk, no chunk is fully
     * contained in its predecessor, and empty/short docs yield exactly one
-    * chunk.
+    * chunk. Null-text docs yield NO chunks (they are rejected rows, not
+    * empty documents — size(null) = -1 would otherwise fabricate a
+    * corrupt chunk with n_tokens = -1). `keepCols` pass through to every
+    * chunk row (e.g. the partition/language column) so downstream stages
+    * need no join back to the doc table.
     */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
-      window: Int, stride: Int): DataFrame = {
+      window: Int, stride: Int, keepCols: Seq[String] = Nil): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got stride=$stride window=$window")
     val overlap = window - stride
-    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val kept = keepCols.map(col)
+    docs.filter(col(textCol).isNotNull)
+      .select((col(idCol) +: TextAnalysis.tokens(col(textCol)).as("toks") +: kept): _*)
       .withColumn("start", explode(sequence(lit(0),
         greatest(size(col("toks")) - overlap, lit(1)) - 1, lit(stride))))
-      .select(col(idCol),
-        (col("start") / stride).cast("long").as("chunk_id"),
-        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ").as("chunk"),
-        least(lit(window), size(col("toks")) - col("start")).cast("int").as("n_tokens"))
+      .select((col(idCol) +:
+        (col("start") / stride).cast("long").as("chunk_id") +:
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ").as("chunk") +:
+        least(lit(window), size(col("toks")) - col("start")).cast("int").as("n_tokens") +:
+        kept): _*)
   }
 }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Adds `v` (double-cast vector), `lo`, `hi`, `scale`, `codes`
-    * (int array in [0,255]) to each input row.
+  /** PROJECTS each row to (id, v, lo, hi, scale, codes) — `v` the
+    * double-cast vector, `codes` the int array in [0,255]. Other input
+    * columns are dropped; join back on the id if payload is needed.
     */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))

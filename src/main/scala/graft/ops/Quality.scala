@@ -26,11 +26,13 @@ object Quality {
     (requiredCols ++ positiveCols).foreach(c =>
       require(df.columns.contains(c), s"unknown column $c"))
     val obs = Observation()
+    // coalesce: sum over ZERO rows is SQL null — an empty (vacuously
+    // clean) dataset must gate as clean, not fail on null counters
     val metrics = count(lit(1)).as("n_rows") +:
       (requiredCols.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")) ++
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"nulls_$c")) ++
        positiveCols.map(c =>
-        sum(when(col(c) <= 0, 1L).otherwise(0L)).as(s"nonpos_$c")))
+        coalesce(sum(when(col(c) <= 0, 1L).otherwise(0L)), lit(0L)).as(s"nonpos_$c")))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 

@@ -62,13 +62,13 @@ object Curation {
       .select(col("id").as(idCol))
     val nearDeduped = exactDeduped.join(canonical, Seq(idCol), "left_semi")
 
-    // 5: chunk + write, metrics riding the write action. Chunker keeps
-    // only (id, chunk) columns, so the partition column joins back from
-    // the (small, post-dedup) doc->lang map via broadcast.
+    // 5: chunk + write, metrics riding the write action. The partition
+    // column rides THROUGH the chunker (keepCols) — a join back to the
+    // doc->lang map would be O(surviving docs), broadcastable nowhere
+    // near 100 TB.
     val chunks = Chunker.chunkByTokens(
-        nearDeduped.select(col(idCol), col(textCol)),
-        idCol, textCol, window, stride)
-      .join(broadcast(nearDeduped.select(col(idCol), col(langCol))), Seq(idCol))
+      nearDeduped.select(col(idCol), col(textCol), col(langCol)),
+      idCol, textCol, window, stride, keepCols = Seq(langCol))
     val (observed, obs) = Quality.observed(chunks, requiredCols = Seq("chunk"))
     TableIO.write(observed, TableIO.Parquet, outPath,
       partitionCols = Seq(langCol))

@@ -585,12 +585,16 @@ object ParityQueries {
     // Time-range rolling window (RANGE frame over event time): 7-day
     // rolling revenue per customer — the frame is defined by the TIME
     // interval, not a row count, so duplicate dates are peers in both
-    // engines. One shuffle on the partition key.
+    // engines. Ordered by CALENDAR day number (datediff from epoch), not
+    // epoch seconds: a fixed 604800-second frame would drift from the
+    // oracle's INTERVAL 7 DAY across DST transitions in non-UTC
+    // sessions. One shuffle on the partition key.
     "win_rolling_range" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy(col("ots"))
-        .rangeBetween(-7L * 86400, 0)
+      val w = Window.partitionBy("o_custkey").orderBy(col("od"))
+        .rangeBetween(-7, 0)
       Tables.orders(s, dir)
-        .withColumn("ots", unix_timestamp(col("o_orderdate").cast("timestamp_ntz")))
+        .withColumn("od", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")))
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum("o_totalprice").over(w), 2).as("roll_7d"))
         .orderBy("o_custkey", "o_orderkey")

@@ -36,13 +36,44 @@ object Maintenance {
     if (fs.exists(p)) walk(p) else 0L
   }
 
-  /** Rewrite `path` into ceil(totalBytes/targetFileBytes) files.
+  /** Count of DATA FILES under `path`, descending into partition dirs. */
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(dir: Path): Int = fs.listStatus(dir).map { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) 0
+      else if (st.isDirectory) walk(st.getPath) else 1
+    }.sum
+    if (fs.exists(p)) walk(p) else 0
+  }
+
+  /** Partition columns of a directory-partitioned table, outermost first
+    * (`k=v` directory levels), empty for flat tables.
+    */
+  private[graft] def partitionColsOf(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def firstLevels(dir: Path, acc: Seq[String]): Seq[String] = {
+      val kids = fs.listStatus(dir).filterNot(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      kids.find(st => st.isDirectory && st.getPath.getName.contains("=")) match {
+        case Some(d) =>
+          firstLevels(d.getPath, acc :+ d.getPath.getName.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    firstLevels(new Path(path), Nil)
+  }
+
+  /** Rewrite `path` into ~ceil(totalBytes/targetFileBytes) files.
     * Round-robin repartition (not coalesce): coalesce collapses scan
     * parallelism AND inherits skewed input splits; an even shuffle costs
-    * one pass and yields uniform files.
+    * one pass and yields uniform files. A directory-partitioned table is
+    * rewritten WITH its partition layout (detected from the `k=v` dirs) —
+    * compaction must never trade away directory pruning.
     *
-    * Returns (filesBefore, filesAfter). Writes via a temp sibling dir +
-    * atomic-ish rename so a failed compaction never destroys the table.
+    * Returns (dataFilesBefore, dataFilesAfter). Writes via a temp sibling
+    * dir + rename swap so a failed compaction never destroys the table.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -50,21 +81,25 @@ object Maintenance {
       s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val before = fs.listStatus(p).count(st =>
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val before = dataFileCount(spark, path)
+    val partCols = partitionColsOf(spark, path)
     val bytes = dataBytes(spark, path)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // partitioned: shuffle BY the partition columns so each partition
+    // value lands in one task -> one file per value, not nFiles per value
+    val base = spark.read.parquet(path)
+    val df =
+      if (partCols.nonEmpty) base.repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+      else base.repartition(nFiles)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     val bak = new Path(p.getParent, s".${p.getName}__compact_old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage $path aside")
     if (!fs.rename(tmp, p)) { fs.rename(bak, p); sys.error(s"compact: swap failed for $path") }
     fs.delete(bak, true)
-    val after = fs.listStatus(p).count(st =>
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    (before, after)
+    (before, dataFileCount(spark, path))
   }
 
   /** Range-clustered write: repartitionByRange + sortWithinPartitions on

@@ -37,29 +37,35 @@ object Scd2 {
     val closed = dim.filter(col("valid_to").isNotNull)
     val open = dim.filter(col("valid_to").isNull)
 
+    // Presence is tracked with explicit literal flags, NOT key null-ness:
+    // a (pathological but possible) null natural key would otherwise look
+    // like "side absent" and silently vanish from the merge. The join is
+    // null-safe (<=>) for the same reason — null keys match each other.
+    val openFlagged = open.withColumn("__d_present", lit(true))
     val snapCols = keys.map(k => col(k).as(s"__s_$k")) ++
       attrs.map(a => col(a).as(s"__s_$a"))
-    val snap = snapshot.select(snapCols: _*)
-    val keyCond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val snap = snapshot.select(snapCols: _*).withColumn("__s_present", lit(true))
+    val keyCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
     // null-safe attr comparison: a null->value or value->null flip IS a change
     val changedCond = attrs.map(a => !(col(a) <=> col(s"__s_$a"))).reduce(_ || _)
 
-    val j = open.join(snap, keyCond, "full_outer")
+    val jf = openFlagged.join(snap, keyCond, "full_outer")
+    // the flag is a literal true on its own side, null when the outer
+    // join found no match — isNotNull is two-valued, never tri-state
+    val dPresent = col("__d_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
 
     val dimSideCols = dim.columns.map(col)
     // open rows with no snapshot match, or matching with equal attrs: keep as-is
-    val keep = j.filter(col(keys.head).isNotNull &&
-        (col(s"__s_${keys.head}").isNull || !changedCond))
+    val keep = jf.filter(dPresent && (!sPresent || !changedCond))
       .select(dimSideCols: _*)
     // matched and changed: close the old version at asOf
-    val toClose = j.filter(col(keys.head).isNotNull &&
-        col(s"__s_${keys.head}").isNotNull && changedCond)
+    val toClose = jf.filter(dPresent && sPresent && changedCond)
     val closedNow = toClose.select(
       (dim.columns.filterNot(_ == "valid_to").map(col) :+
         asOfCol.cast("timestamp_ntz").as("valid_to")): _*)
     // changed or brand-new keys: open a fresh version from the snapshot side
-    val openNew = j.filter(col(s"__s_${keys.head}").isNotNull &&
-        (col(keys.head).isNull || changedCond))
+    val openNew = jf.filter(sPresent && (!dPresent || changedCond))
     val newVersions = openNew.select(
       (dim.columns.map {
         case "valid_from" => asOfCol.cast("timestamp_ntz").as("valid_from")

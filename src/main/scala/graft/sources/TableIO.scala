@@ -32,7 +32,12 @@ object TableIO {
   def read(spark: SparkSession, fmt: Format, path: String, schema: StructType): DataFrame = {
     val r = spark.read.format(fmt.name).schema(schema)
     fmt match {
-      case Csv => r.option("header", "true").option("mode", "PERMISSIVE").load(path)
+      // multiLine: our own writer quotes embedded newlines, so the reader
+      // must parse records, not physical lines — without it a quoted
+      // "a\nb" field splits into malformed rows that PERMISSIVE silently
+      // nulls (wrong row count, no error)
+      case Csv => r.option("header", "true").option("mode", "PERMISSIVE")
+        .option("multiLine", "true").load(path)
       case JsonLines => r.option("mode", "PERMISSIVE").load(path)
       case _ => r.load(path)
     }

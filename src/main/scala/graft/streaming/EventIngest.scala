@@ -76,8 +76,16 @@ object EventIngest {
     * definition) moves.
     */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
-      streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+      streamKey: String, dimKey: String): DataFrame = {
+    // the natural call shape shares the key name on both sides, which
+    // would make col(key) ambiguous — rename the dim key internally
+    require(!dim.columns.contains("__graft_dim_key") &&
+      !stream.columns.contains("__graft_dim_key"), "__graft_dim_key is reserved")
+    stream.join(
+        broadcast(dim.withColumnRenamed(dimKey, "__graft_dim_key")),
+        col(streamKey) === col("__graft_dim_key"), "left")
+      .drop("__graft_dim_key")
+  }
 
   /** Stream-stream interval correlation (e.g. click → purchase within N
     * minutes, same user): both sides watermarked, and the join's time

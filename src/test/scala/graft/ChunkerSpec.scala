@@ -40,6 +40,16 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks.flatten.toSeq == text.split(" ").toSeq) // exact partition, order kept
   }
 
+  test("null text yields no chunks; keepCols ride through") {
+    val df = Seq((1L, "a b c", "en"), (2L, null.asInstanceOf[String], "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = Chunker.chunkByTokens(df, "doc_id", "text", 20, 15,
+      keepCols = Seq("lang")).collect()
+    assert(out.length == 1) // null-text doc rejected, not fabricated
+    assert(out.head.getLong(0) == 1L && out.head.getString(4) == "en")
+    assert(out.head.getInt(3) == 3) // n_tokens sane, never -1
+  }
+
   test("guards: window and stride bounds") {
     intercept[IllegalArgumentException] {
       Chunker.chunkByTokens(doc("a"), "doc_id", "text", 0, 1)

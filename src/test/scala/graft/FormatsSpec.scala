@@ -79,9 +79,9 @@ class FormatsSpec extends SparkSpec {
     ).toDF("id", "s")
     val path = tmpDir("fmt_csvedge") + "/t"
     TableIO.write(nasty, TableIO.Csv, path)
-    val back = spark.read.format("csv").schema(nasty.schema)
-      .option("header", "true").option("multiLine", "true") // quoted newlines span lines
-      .load(path)
+    // TableIO.read must roundtrip its own writer's output, including
+    // quoted newlines (multiLine is set inside the seam)
+    val back = TableIO.read(spark, TableIO.Csv, path, nasty.schema)
     val a = back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val b = nasty.orderBy("id").collect().map(r =>
       // CSV cannot distinguish empty string from null without a marker;

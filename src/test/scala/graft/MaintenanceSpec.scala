@@ -21,6 +21,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).schema == src.schema)
   }
 
+  test("compact preserves a partitioned table's directory layout") {
+    val path = tmpDir("compact_part") + "/t"
+    Tables.orders(spark, dir).repartition(10)
+      .write.partitionBy("o_orderpriority").parquet(path)
+    val rowsBefore = spark.read.parquet(path).count()
+    val (before, after) = Maintenance.compact(spark, path,
+      targetFileBytes = 8L * 1024 * 1024)
+    assert(after < before, s"no compaction: $before -> $after")
+    // partition dirs survive the rewrite; pruning still works
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("o_orderpriority=")),
+      s"partition layout destroyed: ${dirs.toSeq}")
+    val pruned = spark.read.parquet(path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(o_orderpriority"))
+    assert(spark.read.parquet(path).count() == rowsBefore)
+  }
+
   test("compact: guard rejects sub-MiB targets") {
     intercept[IllegalArgumentException] {
       Maintenance.compact(spark, tmpDir("x"), targetFileBytes = 1000)

@@ -27,6 +27,16 @@ class QualitySpec extends SparkSpec {
     assert(spark.read.parquet(written).count() == 4) // rows unaffected
   }
 
+  test("empty dataset gates as clean (sum-over-zero-rows is not a violation)") {
+    val empty = df.filter(col("id") < 0)
+    val (instrumented, obs) = Quality.observed(empty,
+      requiredCols = Seq("amount"), positiveCols = Seq("amount"))
+    instrumented.count()
+    val m = obs.get
+    assert(m("n_rows") == 0L && m("nulls_amount") == 0L && m("nonpos_amount") == 0L)
+    assert(Quality.clean(m))
+  }
+
   test("clean data passes the gate") {
     val good = df.filter(col("id") === 1L)
     val (instrumented, obs) = Quality.observed(good,

@@ -75,6 +75,28 @@ class Scd2Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a null natural key neither vanishes nor duplicates (null-safe merge)") {
+    val dimN = Seq(
+      (Option(1L), 100.0, "A", "2000-01-01 00:00:00"),
+      (Option.empty[Long], 50.0, "X", "2000-01-01 00:00:00")
+    ).toDF("k", "bal", "seg", "vf")
+      .select(col("k"), col("bal"), col("seg"),
+        col("vf").cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"))
+    // snapshot also carries the null key, with a changed attribute
+    val snapN = Seq((Option(1L), 100.0, "A"), (Option.empty[Long], 60.0, "X"))
+      .toDF("k", "bal", "seg")
+    val m = Scd2.merge(dimN, snapN, Seq("k"), Seq("bal", "seg"),
+      ts("2001-06-01 00:00:00"))
+    val nullRows = m.filter(col("k").isNull).orderBy("valid_from").collect()
+    // null key matched null key (<=>): old closed, new opened — 2 rows
+    assert(nullRows.length == 2, s"null-key rows: ${nullRows.length}")
+    assert(!nullRows(0).isNullAt(nullRows(0).fieldIndex("valid_to")))
+    assert(nullRows(1).isNullAt(nullRows(1).fieldIndex("valid_to")))
+    assert(nullRows(1).getDouble(1) == 60.0)
+    assert(m.filter(col("k") === 1L).count() == 1) // unchanged row untouched
+  }
+
   test("guards: empty keys or attrs rejected") {
     intercept[IllegalArgumentException] {
       Scd2.merge(dim0, snap, Nil, Seq("bal"), ts("2001-06-01 00:00:00"))

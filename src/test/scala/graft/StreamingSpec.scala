@@ -94,12 +94,14 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-static enrichment join matches batch; dim broadcast, stream unshuffled") {
     val work = tmpDir("streamdim")
-    // static dim derived deterministically from the same table
+    // static dim derived deterministically from the same table — and
+    // deliberately SHARING the key column name (the natural call shape
+    // the internal rename exists for)
     val dim = Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("user_id").as("d_user_id")).distinct()
-      .withColumn("segment", (col("d_user_id") % 3).cast("int"))
+      .select(col("user_id")).distinct()
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
     val q = EventIngest.enrichWithDim(
-      EventIngest.readEventStream(spark, srcDir), dim, "user_id", "d_user_id")
+      EventIngest.readEventStream(spark, srcDir), dim, "user_id", "user_id")
       .select("event_id", "user_id", "segment")
       .writeStream
       .format("memory").queryName("enriched").outputMode("append")
@@ -109,7 +111,8 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     val streamed = spark.table("enriched").collect().map(_.toSeq).toSet
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
-      .join(broadcast(dim), col("user_id") === col("d_user_id"), "left")
+      .join(broadcast(dim.withColumnRenamed("user_id", "d_user_id")),
+        col("user_id") === col("d_user_id"), "left")
       .select("event_id", "user_id", "segment")
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
