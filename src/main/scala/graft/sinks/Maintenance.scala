@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lake-maintenance operators: the table-layout jobs that keep a 100 TB
@@ -111,6 +111,50 @@ object Maintenance {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     df.repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** 32-bit Morton/Z value: interleaves the low 16 bits of two
+    * non-negative long columns (a in even positions, b in odd). Pure
+    * bitwise Column expression — stays inside codegen.
+    */
+  private[graft] def z16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ORDER clustered write over TWO columns: each column is min/max
+    * normalized to 16 bits, the bits interleaved into a Morton code, and
+    * files range-partitioned by that code — so every file covers a small
+    * rectangle in (colA, colB) space and footer stats prune files for
+    * range predicates on EITHER column. 1-D clusterBy can only serve one
+    * column; this is the standard multi-dimensional layout (Delta/Iceberg
+    * OPTIMIZE ZORDER) for tables filtered along two axes.
+    *
+    * The min/max normalization stats are one tiny aggregate collected to
+    * the driver (4 longs) — a query parameter, not a data collect.
+    */
+  def zOrderBy(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(colA != colB, "zOrderBy needs two distinct columns")
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("loA"), max(col(colA)).cast("double").as("hiA"),
+      min(col(colB)).cast("double").as("loB"), max(col(colB)).cast("double").as("hiB"))
+      .head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+        .cast("long")
+    val z = z16(
+      norm(colA, stats.getDouble(0), stats.getDouble(1)),
+      norm(colB, stats.getDouble(2), stats.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

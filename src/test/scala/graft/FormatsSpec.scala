@@ -57,6 +57,20 @@ class FormatsSpec extends SparkSpec {
     assert(!p.contains("o_orderstatus"), "ORC scan reads pruned columns")
   }
 
+  test("schema evolution: mergeSchema unions old and new parquet layouts") {
+    import spark.implicits._
+    val path = tmpDir("fmt_evolve") + "/t"
+    // generation 1: (id, a) — written before the column was added
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$path/gen=1")
+    // generation 2: (id, a, b) — the evolved layout
+    Seq((2L, "y", 3.5)).toDF("id", "a", "b").write.parquet(s"$path/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "gen", "id"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // old rows: new col null
+    assert(rows(1).getDouble(rows(1).fieldIndex("b")) == 3.5)
+  }
+
   test("append mode accumulates, overwrite replaces") {
     val path = tmpDir("fmt_mode") + "/t"
     val in = sample.limit(10)

@@ -64,6 +64,43 @@ class MaintenanceSpec extends SparkSpec {
       Tables.orders(spark, dir).count())
   }
 
+  test("zOrderBy: files cover small rectangles of (a,b) space on average") {
+    val path = tmpDir("zorder") + "/t"
+    Maintenance.zOrderBy(Tables.orders(spark, dir), path,
+      "o_custkey", "o_orderkey", numFiles = 8)
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("loA"), max("o_custkey").as("hiA"),
+        min("o_orderkey").as("loB"), max("o_orderkey").as("hiB"))
+      .collect()
+    assert(spans.length == 8)
+    val g = Tables.orders(spark, dir)
+      .agg(min("o_custkey"), max("o_custkey"), min("o_orderkey"), max("o_orderkey"))
+      .head()
+    val (gSpanA, gSpanB) =
+      ((g.getLong(1) - g.getLong(0)).toDouble, (g.getLong(3) - g.getLong(2)).toDouble)
+    // z-range boundaries are sampled quantiles, so an individual file can
+    // straddle a quadrant edge and span one full dimension — the layout
+    // guarantee is about covered AREA: on average each file covers a
+    // small rectangle of (a,b) space, where 1-D clustering pins one
+    // dimension but leaves the other at ~full span (area ~ 1/numFiles
+    // only in the clustered dimension: avg area ~ 0.125*1.0 = 0.125 is
+    // achievable on the clustered col but the OTHER col's filter prunes
+    // nothing; z-order serves range filters on either column)
+    val areas = spans.map { r =>
+      ((r.getLong(2) - r.getLong(1)).toDouble / gSpanA) *
+        ((r.getLong(4) - r.getLong(3)).toDouble / gSpanB)
+    }
+    assert(areas.sum / areas.length <= 0.35,
+      s"mean covered area ${areas.sum / areas.length} (areas: ${areas.toSeq})")
+    // and the second dimension is genuinely constrained on average —
+    // the thing 1-D clustering cannot do
+    val spanBs = spans.map(r => (r.getLong(4) - r.getLong(3)).toDouble / gSpanB)
+    assert(spanBs.sum / spanBs.length <= 0.7,
+      s"mean o_orderkey span ${spanBs.sum / spanBs.length}")
+    assert(spark.read.parquet(path).count() == Tables.orders(spark, dir).count())
+  }
+
   test("clusterBy: range filter after clustering prunes at the scan") {
     val path = tmpDir("cluster2") + "/t"
     Maintenance.clusterBy(Tables.orders(spark, dir), path, "o_orderkey", numFiles = 4)
