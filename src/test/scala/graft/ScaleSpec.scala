@@ -10,6 +10,8 @@ import graft.sinks.UpsertIgnore
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  private val dir = "/root/testdata/sf0.001"
+
   test("K5 over a date-partitioned target: layout + idempotence + pruning") {
     val dir = tmpDir("k5part") + "/t"
     val day1 = Seq(
@@ -94,6 +96,61 @@ class ScaleSpec extends SparkSpec {
       val p = j.queryExecution.executedPlan.toString
       assert(p.contains("skew=true") || p.contains("skewed"),
         s"AQE did not split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions") {
+    // fact partitioned by the join key's dimension attribute; filtering
+    // the dim must inject a runtime subquery that skips fact partitions —
+    // at 100 TB this is the difference between scanning one partition
+    // and scanning the table.
+    val factPath = tmpDir("dpp") + "/fact"
+    val dimPath = tmpDir("dpp_dim") + "/dim"
+    Tables.orders(spark, dir)
+      .write.partitionBy("o_orderpriority").parquet(factPath)
+    // the dim must be a REAL scan: a LocalRelation's filter constant-folds
+    // away and DPP then sees no selective predicate to prune with
+    Seq(("1-URGENT", "now"), ("5-LOW", "later"))
+      .toDF("prio", "speed").write.parquet(dimPath)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast join side feeds the pruning subquery
+      val q = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath).filter(col("speed") === "now"),
+          col("o_orderpriority") === col("prio"))
+      assert(q.count() ==
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT").count())
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+        s"no dynamic partition pruning in plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // parquet scans (not LocalRelation) so the optimizer sees sizes
+      val fact = Tables.lineitem(spark, dir)
+      val dimSel = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective creation side
+      val q = fact.join(dimSel, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        s"no runtime bloom filter in plan:\n$p")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
