@@ -29,6 +29,10 @@ object Chunker {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got stride=$stride window=$window")
+    val reserved = Set("toks", "start", "chunk_id", "chunk", "n_tokens")
+    val clash = (keepCols :+ idCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column names reserved by chunkByTokens in use: ${clash.toSet}")
     val overlap = window - stride
     val kept = keepCols.map(col)
     docs.filter(col(textCol).isNotNull)

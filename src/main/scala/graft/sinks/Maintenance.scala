@@ -19,34 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Total bytes of data files under `path` (non-recursive beyond one
-    * level of partition dirs; hidden/_SUCCESS files excluded).
+  /** One recursive listing of the table: data-file count, total bytes,
+    * and leaf-directory count (= partition-value count for partitioned
+    * tables, 1 for flat). On object stores LIST is the dominant metadata
+    * cost — everything compact needs comes from this single walk.
     */
-  private[graft] def dataBytes(spark: SparkSession, path: String): Long = {
+  private[graft] final case class TableStats(files: Int, bytes: Long, leafDirs: Int)
+
+  private[graft] def tableStats(spark: SparkSession, path: String): TableStats = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def walk(dir: Path): Long = {
-      fs.listStatus(dir).map { st =>
+    def walk(dir: Path): TableStats = {
+      val kids = fs.listStatus(dir).filterNot { st =>
         val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) 0L
-        else if (st.isDirectory) walk(st.getPath)
-        else st.getLen
-      }.sum
+        n.startsWith("_") || n.startsWith(".")
+      }
+      val (dirs, files) = kids.partition(_.isDirectory)
+      if (dirs.isEmpty) TableStats(files.length, files.map(_.getLen).sum, 1)
+      else {
+        val sub = dirs.map(d => walk(d.getPath))
+        TableStats(
+          files.length + sub.map(_.files).sum,
+          files.map(_.getLen).sum + sub.map(_.bytes).sum,
+          sub.map(_.leafDirs).sum)
+      }
     }
-    if (fs.exists(p)) walk(p) else 0L
+    if (fs.exists(p)) walk(p) else TableStats(0, 0L, 0)
   }
 
-  /** Count of DATA FILES under `path`, descending into partition dirs. */
-  private[graft] def dataFileCount(spark: SparkSession, path: String): Int = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def walk(dir: Path): Int = fs.listStatus(dir).map { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) 0
-      else if (st.isDirectory) walk(st.getPath) else 1
-    }.sum
-    if (fs.exists(p)) walk(p) else 0
-  }
+  /** Total data bytes under `path` (recursive, hidden files excluded). */
+  private[graft] def dataBytes(spark: SparkSession, path: String): Long =
+    tableStats(spark, path).bytes
+
+  /** Count of data files under `path`, descending into partition dirs. */
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Int =
+    tableStats(spark, path).files
 
   /** Partition columns of a directory-partitioned table, outermost first
     * (`k=v` directory levels), empty for flat tables.
@@ -65,12 +72,23 @@ object Maintenance {
     firstLevels(new Path(path), Nil)
   }
 
-  /** Rewrite `path` into ~ceil(totalBytes/targetFileBytes) files.
+  /** Rewrite `path` into ~targetFileBytes-sized files.
     * Round-robin repartition (not coalesce): coalesce collapses scan
     * parallelism AND inherits skewed input splits; an even shuffle costs
-    * one pass and yields uniform files. A directory-partitioned table is
-    * rewritten WITH its partition layout (detected from the `k=v` dirs) —
-    * compaction must never trade away directory pruning.
+    * one pass and yields uniform files.
+    *
+    * A directory-partitioned table is rewritten WITH its partition layout
+    * (detected from the `k=v` dirs) — compaction must never trade away
+    * directory pruning. Two details that keep "layout-preserving" true:
+    *  - partition values are read AS STRINGS (type inference off for the
+    *    rewrite scan), so directory names round-trip byte-identically
+    *    (`k=007` stays `k=007`, not `k=7`);
+    *  - rows shuffle on (partition cols, salt) where the salt fans each
+    *    value over ~perValueFiles = ceil(bytes/leafDirs/target) buckets —
+    *    a hot partition gets multiple target-sized files and multiple
+    *    write tasks instead of one giant single-task file. (perValueFiles
+    *    assumes near-even partitions; a skewed-beyond-average partition
+    *    still compacts, just with proportionally larger files.)
     *
     * Returns (dataFilesBefore, dataFilesAfter). Writes via a temp sibling
     * dir + rename swap so a failed compaction never destroys the table.
@@ -81,25 +99,39 @@ object Maintenance {
       s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val before = dataFileCount(spark, path)
+    val stats = tableStats(spark, path)
     val partCols = partitionColsOf(spark, path)
-    val bytes = dataBytes(spark, path)
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val nFiles = math.max(1, math.ceil(stats.bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
-    // partitioned: shuffle BY the partition columns so each partition
-    // value lands in one task -> one file per value, not nFiles per value
-    val base = spark.read.parquet(path)
+
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val savedInfer = spark.conf.get(inferKey)
+    val base =
+      if (partCols.isEmpty) spark.read.parquet(path)
+      else try {
+        spark.conf.set(inferKey, "false")
+        spark.read.parquet(path)
+      } finally spark.conf.set(inferKey, savedInfer)
+
     val df =
-      if (partCols.nonEmpty) base.repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
-      else base.repartition(nFiles)
+      if (partCols.nonEmpty) {
+        val perValueFiles = math.max(1, math.ceil(
+          stats.bytes.toDouble / math.max(stats.leafDirs, 1) / targetFileBytes).toInt)
+        val dataCols = base.columns.filterNot(partCols.contains).map(col)
+        val salt =
+          if (dataCols.isEmpty) lit(0)
+          else pmod(hash(dataCols: _*), lit(perValueFiles))
+        base.repartition(nFiles, (partCols.map(col) :+ salt): _*)
+      } else base.repartition(nFiles)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+
     val bak = new Path(p.getParent, s".${p.getName}__compact_old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(p, bak)) sys.error(s"compact: cannot stage $path aside")
     if (!fs.rename(tmp, p)) { fs.rename(bak, p); sys.error(s"compact: swap failed for $path") }
     fs.delete(bak, true)
-    (before, dataFileCount(spark, path))
+    (stats.files, dataFileCount(spark, path))
   }
 
   /** Range-clustered write: repartitionByRange + sortWithinPartitions on
@@ -134,16 +166,24 @@ object Maintenance {
     * OPTIMIZE ZORDER) for tables filtered along two axes.
     *
     * The min/max normalization stats are one tiny aggregate collected to
-    * the driver (4 longs) — a query parameter, not a data collect.
+    * the driver (4 longs) — a query parameter, not a data collect. An
+    * empty input (or all-null/non-numeric cluster column: null min/max)
+    * degrades to a plain write rather than failing — there is nothing to
+    * order.
     */
   def zOrderBy(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(colA != colB, "zOrderBy needs two distinct columns")
+    require(!df.columns.contains("__z"), "__z is reserved by zOrderBy")
     val stats = df.agg(
       min(col(colA)).cast("double").as("loA"), max(col(colA)).cast("double").as("hiA"),
       min(col(colB)).cast("double").as("loB"), max(col(colB)).cast("double").as("hiB"))
       .head()
+    if (stats.anyNull) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     def norm(c: String, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)

@@ -34,6 +34,10 @@ object Scd2 {
       attrs: Seq[String], asOfCol: Column): DataFrame = {
     require(keys.nonEmpty, "SCD2 requires at least one key column")
     require(attrs.nonEmpty, "SCD2 requires at least one tracked attribute")
+    val reserved = Seq("__d_present", "__s_present") ++
+      (keys ++ attrs).map(c => s"__s_$c")
+    val clash = (dim.columns ++ snapshot.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"columns reserved by Scd2.merge in use: $clash")
     val closed = dim.filter(col("valid_to").isNotNull)
     val open = dim.filter(col("valid_to").isNull)
 

@@ -28,16 +28,21 @@ object TableIO {
   /** Schema-explicit read. PERMISSIVE parse for row formats: malformed
     * rows surface as nulls (the F4 malformed-row guard filters them),
     * never abort a 1000-executor job at row 10^12.
+    *
+    * `csvMultiLine` (default true) makes CSV reads parse RECORDS rather
+    * than physical lines — required to roundtrip this module's own writer,
+    * which quotes embedded newlines (line-based parsing would split such
+    * a record into malformed null rows with no error). The cost: a
+    * multiLine CSV file is NOT SPLITTABLE, so each file parses in one
+    * task. For huge EXTERNAL line-delimited CSVs (no quoted newlines by
+    * contract), pass csvMultiLine = false to keep scans split-parallel.
     */
-  def read(spark: SparkSession, fmt: Format, path: String, schema: StructType): DataFrame = {
+  def read(spark: SparkSession, fmt: Format, path: String, schema: StructType,
+      csvMultiLine: Boolean = true): DataFrame = {
     val r = spark.read.format(fmt.name).schema(schema)
     fmt match {
-      // multiLine: our own writer quotes embedded newlines, so the reader
-      // must parse records, not physical lines — without it a quoted
-      // "a\nb" field splits into malformed rows that PERMISSIVE silently
-      // nulls (wrong row count, no error)
       case Csv => r.option("header", "true").option("mode", "PERMISSIVE")
-        .option("multiLine", "true").load(path)
+        .option("multiLine", csvMultiLine.toString).load(path)
       case JsonLines => r.option("mode", "PERMISSIVE").load(path)
       case _ => r.load(path)
     }

@@ -57,6 +57,12 @@ class ChunkerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Chunker.chunkByTokens(doc("a"), "doc_id", "text", 10, 11)
     }
+    // keepCols may not collide with the chunker's output columns
+    intercept[IllegalArgumentException] {
+      Chunker.chunkByTokens(
+        doc("a").withColumn("chunk", col("text")),
+        "doc_id", "text", 10, 10, keepCols = Seq("chunk"))
+    }
   }
 
   test("chunking is a pure map plan: no exchange") {

@@ -40,6 +40,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == rowsBefore)
   }
 
+  test("compact round-trips numeric-looking partition directory names byte-identically") {
+    import spark.implicits._
+    val path = tmpDir("compact_names") + "/t"
+    Seq((1L, "007"), (2L, "007"), (3L, "08"))
+      .toDF("id", "p").repartition(4)
+      .write.partitionBy("p").parquet(path)
+    Maintenance.compact(spark, path, targetFileBytes = 8L * 1024 * 1024)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("p=")).sorted.toSeq
+    // type inference would have rewritten these as p=7 / p=8
+    assert(dirs == Seq("p=007", "p=08"), s"partition names mangled: $dirs")
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("zOrderBy on empty input degrades to a plain write, not an NPE") {
+    val path = tmpDir("zorder_empty") + "/t"
+    Maintenance.zOrderBy(
+      Tables.orders(spark, dir).filter(col("o_orderkey") < 0),
+      path, "o_custkey", "o_orderkey", numFiles = 4)
+    assert(spark.read.parquet(path).count() == 0)
+  }
+
+  test("zOrderBy rejects a reserved __z column") {
+    intercept[IllegalArgumentException] {
+      Maintenance.zOrderBy(
+        Tables.orders(spark, dir).withColumn("__z", col("o_orderkey")),
+        tmpDir("zz"), "o_custkey", "o_orderkey", 2)
+    }
+  }
+
   test("compact: guard rejects sub-MiB targets") {
     intercept[IllegalArgumentException] {
       Maintenance.compact(spark, tmpDir("x"), targetFileBytes = 1000)

@@ -117,7 +117,9 @@ class ScaleSpec extends SparkSpec {
       .toDF("prio", "speed").write.parquet(dimPath)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      // broadcast join side feeds the pruning subquery
+      // pin the threshold high: the pruning subquery rides the BROADCAST
+      // of the dim, and a neighboring test in this suite sets -1
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
       val q = spark.read.parquet(factPath)
         .join(spark.read.parquet(dimPath).filter(col("speed") === "now"),
           col("o_orderpriority") === col("prio"))

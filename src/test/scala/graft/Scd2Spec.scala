@@ -97,6 +97,17 @@ class Scd2Spec extends SparkSpec {
     assert(m.filter(col("k") === 1L).count() == 1) // unchanged row untouched
   }
 
+  test("guards: reserved internal column names rejected") {
+    intercept[IllegalArgumentException] {
+      Scd2.merge(dim0.withColumn("__d_present", lit(1)), snap,
+        Seq("k"), Seq("bal"), ts("2001-06-01 00:00:00"))
+    }
+    intercept[IllegalArgumentException] {
+      Scd2.merge(dim0, snap.withColumn("__s_bal", lit(1)),
+        Seq("k"), Seq("bal"), ts("2001-06-01 00:00:00"))
+    }
+  }
+
   test("guards: empty keys or attrs rejected") {
     intercept[IllegalArgumentException] {
       Scd2.merge(dim0, snap, Nil, Seq("bal"), ts("2001-06-01 00:00:00"))
