@@ -128,6 +128,28 @@ class ExtOpsSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("mergeable HLL sketches: per-day sketches union to the whole-table answer") {
+    // THE incremental-distinct pattern at 100 TB: store one tiny sketch
+    // per partition/day, answer "distinct over any date range" by
+    // unioning sketches — no rescan of history. Correctness claim:
+    // union-of-parts == sketch-of-whole, and the estimate tracks exact.
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("d", dayofmonth(col("o_orderdate")))
+    val perDay = df.groupBy("d")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val unioned = perDay
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val whole = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est"))
+      .head().getLong(0)
+    val exact = df.select(countDistinct("o_custkey")).head().getLong(0)
+    assert(unioned == whole,
+      s"sketch union is not lossless vs one-shot: $unioned vs $whole")
+    assert(math.abs(unioned - exact).toDouble / exact < 0.05,
+      s"estimate $unioned vs exact $exact")
+  }
+
   test("approx_count_distinct within documented 5% of exact") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val r = df.agg(
