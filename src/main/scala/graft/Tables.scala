@@ -49,6 +49,17 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
+  /** Register every testdata table as a temp view so the FULL query
+    * surface is reachable through `spark.sql(...)` as well as the
+    * DataFrame API — same lazy scans, same Catalyst plans; a view adds
+    * no materialization. (SURVEY §1.1: both surfaces are first-class.)
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** Typed surfaces (SURVEY §1.1): case-class Datasets where field safety
     * helps. Same lazy scans underneath — `.as[T]` adds only an Encoder.
     */

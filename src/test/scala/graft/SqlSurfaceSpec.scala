@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL string surface: Tables.registerAll exposes every table as a
+  * temp view, and spark.sql produces the same results AND the same
+  * physical plans as the DataFrame API — one Catalyst underneath.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spark.sql over registered views equals the DataFrame API result") {
+    Tables.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaDf = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaDf)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("views stay lazy scans: SQL filter pushes down to the parquet scan") {
+    Tables.registerAll(spark, dir)
+    val q = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
+      s"view indirection lost pushdown:\n$p")
+    assert(!p.contains("l_extendedprice"), "view indirection lost column pruning")
+  }
+
+  test("native graft_* expressions are callable from SQL") {
+    Tables.registerAll(spark, dir)
+    val r = spark.sql(
+      """SELECT doc_id, graft_simhash(transform(split(trim(text), '\\s+'),
+        |  t -> xxhash64(t))) AS sh
+        |FROM documents WHERE doc_id < 3 ORDER BY doc_id""".stripMargin)
+      .collect()
+    assert(r.length == 3 && r.forall(!_.isNullAt(1)))
+  }
+}
