@@ -104,7 +104,23 @@ object UpsertIgnore {
     val total = batch.count()
     val delta =
       if (!targetExists(spark, targetPath)) batch
-      else deltaPlan(spark, batch, spark.read.parquet(targetPath), keys, pruneCol)
+      else {
+        val existingAll = spark.read.parquet(targetPath)
+        // Schema drift is handled UPSTREAM (column-union, §1.2) — the
+        // sink is strict: silently appending a different column set
+        // would leave the table with per-file schemas that plain reads
+        // resolve unpredictably. Column ORDER may differ (normalized
+        // below so data files stay uniform).
+        val tCols = existingAll.columns.toSeq
+        val missing = tCols.toSet -- batch.columns
+        val extra = batch.columns.toSet -- tCols
+        require(missing.isEmpty && extra.isEmpty,
+          s"batch schema drifted from target $targetPath " +
+            s"(missing=$missing, extra=$extra); align with " +
+            "unionByName/drop before the sink")
+        deltaPlan(spark, batch, existingAll, keys, pruneCol)
+          .select(tCols.map(col): _*)
+      }
     val inserted = delta.count()
     if (inserted > 0) {
       val writer = delta.write.mode("append")

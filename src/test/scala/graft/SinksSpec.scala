@@ -96,6 +96,28 @@ class SinksSpec extends SparkSpec {
     assert(runBoth(a, b) == runBoth(b, a))
   }
 
+  test("K5 rejects a schema-drifted batch instead of corrupting the table") {
+    val dir = tmpDir("k5drift") + "/t"
+    UpsertIgnore(spark, batch(("USD", "d1", 1.0)), dir, Seq("currency", "timestamptz"))
+    // batch missing `rate`, carrying `ratio` instead — must fail loudly
+    val drifted = Seq(("GBP", "d1", 2.0)).toDF("currency", "timestamptz", "ratio")
+    intercept[IllegalArgumentException] {
+      UpsertIgnore(spark, drifted, dir, Seq("currency", "timestamptz"))
+    }
+    assert(spark.read.parquet(dir).count() == 1) // table untouched
+  }
+
+  test("K5 normalizes a reordered-column batch to the target's layout") {
+    val dir = tmpDir("k5order") + "/t"
+    UpsertIgnore(spark, batch(("USD", "d1", 1.0)), dir, Seq("currency", "timestamptz"))
+    val reordered = Seq((2.0, "d1", "GBP")).toDF("rate", "timestamptz", "currency")
+    val r = UpsertIgnore(spark, reordered, dir, Seq("currency", "timestamptz"))
+    assert(r == UpsertIgnore.Result(1, 0))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 2)
+    assert(t.filter(col("currency") === "GBP").select("rate").head().getDouble(0) == 2.0)
+  }
+
   test("K2 merge-overwrite keeps the EXISTING row on key collision") {
     val dir = tmpDir("k2") + "/d"
     val day1 = Seq(("US Dollar", "2026-08-11T18:00", 1.08))
