@@ -55,10 +55,19 @@ object Tables {
     * no materialization. (SURVEY §1.1: both surfaces are first-class.)
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    All.foreach { name =>
-      val df = if (name == "events") events(spark, dir) else load(spark, dir, name)
-      df.createOrReplaceTempView(name)
+    accessors.foreach { case (name, acc) =>
+      acc(spark, dir).createOrReplaceTempView(name)
     }
+
+  /** name -> accessor, the ONE place that knows which tables need
+    * load-time normalization (events: ns->us cast) — registerAll and any
+    * future callers dispatch through it rather than re-deciding.
+    */
+  private val accessors: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+    "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
 
   /** Typed surfaces (SURVEY §1.1): case-class Datasets where field safety
     * helps. Same lazy scans underneath — `.as[T]` adds only an Encoder.

@@ -101,34 +101,49 @@ object UpsertIgnore {
       pruneCol: Option[String] = None,
       partitionBy: Seq[String] = Nil): Result = {
     val batch = incoming.cache()
-    val total = batch.count()
-    val delta =
-      if (!targetExists(spark, targetPath)) batch
-      else {
-        val existingAll = spark.read.parquet(targetPath)
-        // Schema drift is handled UPSTREAM (column-union, §1.2) — the
-        // sink is strict: silently appending a different column set
-        // would leave the table with per-file schemas that plain reads
-        // resolve unpredictably. Column ORDER may differ (normalized
-        // below so data files stay uniform).
-        val tCols = existingAll.columns.toSeq
-        val missing = tCols.toSet -- batch.columns
-        val extra = batch.columns.toSet -- tCols
-        require(missing.isEmpty && extra.isEmpty,
-          s"batch schema drifted from target $targetPath " +
-            s"(missing=$missing, extra=$extra); align with " +
-            "unionByName/drop before the sink")
-        deltaPlan(spark, batch, existingAll, keys, pruneCol)
-          .select(tCols.map(col): _*)
+    try {
+      val total = batch.count()
+      val delta =
+        if (!targetExists(spark, targetPath)) batch
+        else {
+          val existingAll = spark.read.parquet(targetPath)
+          // Schema drift is handled UPSTREAM (column-union, §1.2) — the
+          // sink is strict: silently appending a different column set OR
+          // a same-name/different-type column would leave the table with
+          // per-file schemas that plain reads resolve unpredictably.
+          // Name matching follows the session's resolver (case-insensitive
+          // unless spark.sql.caseSensitive); column ORDER may differ
+          // (normalized below so data files stay uniform).
+          val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+          def canon(n: String) = if (caseSensitive) n else n.toLowerCase
+          val tTypes = existingAll.schema.map(f => canon(f.name) -> f.dataType).toMap
+          val bTypes = batch.schema.map(f => canon(f.name) -> f.dataType).toMap
+          val missing = tTypes.keySet -- bTypes.keySet
+          val extra = bTypes.keySet -- tTypes.keySet
+          require(missing.isEmpty && extra.isEmpty,
+            s"batch schema drifted from target $targetPath " +
+              s"(missing=$missing, extra=$extra); align with " +
+              "unionByName/drop before the sink")
+          // partition columns are exempt from the TYPE check: their values
+          // are stored as directory NAMES, so the read-back type is
+          // inference (a "2026-08-10" string partition reads as DateType),
+          // not a statement about the batch's storage type
+          val partSet = partitionBy.map(canon).toSet
+          val retyped = (tTypes.keySet -- partSet).filter(k => tTypes(k) != bTypes(k))
+          require(retyped.isEmpty,
+            s"batch column types drifted from target $targetPath: " +
+              retyped.map(k => s"$k: ${tTypes(k)} -> ${bTypes(k)}").mkString(", "))
+          deltaPlan(spark, batch, existingAll, keys, pruneCol)
+            .select(existingAll.columns.toSeq.map(col): _*)
+        }
+      val inserted = delta.count()
+      if (inserted > 0) {
+        val writer = delta.write.mode("append")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+          .parquet(targetPath)
       }
-    val inserted = delta.count()
-    if (inserted > 0) {
-      val writer = delta.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(targetPath)
-    }
-    batch.unpersist()
-    Result(inserted, total - inserted)
+      Result(inserted, total - inserted)
+    } finally batch.unpersist()
   }
 }
 

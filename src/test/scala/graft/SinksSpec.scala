@@ -107,6 +107,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1) // table untouched
   }
 
+  test("K5 rejects same-name different-TYPE drift too") {
+    val dir = tmpDir("k5type") + "/t"
+    UpsertIgnore(spark, batch(("USD", "d1", 1.0)), dir, Seq("currency", "timestamptz"))
+    // rate arrives as string — names match, types don't
+    val retyped = Seq(("GBP", "d1", "2.0")).toDF("currency", "timestamptz", "rate")
+    intercept[IllegalArgumentException] {
+      UpsertIgnore(spark, retyped, dir, Seq("currency", "timestamptz"))
+    }
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("K5 normalizes a reordered-column batch to the target's layout") {
     val dir = tmpDir("k5order") + "/t"
     UpsertIgnore(spark, batch(("USD", "d1", 1.0)), dir, Seq("currency", "timestamptz"))

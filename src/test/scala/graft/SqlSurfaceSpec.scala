@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 class SqlSurfaceSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+  // one registration for the suite — views persist in the shared session
+  private lazy val registered: Unit = Tables.registerAll(spark, dir)
 
   test("spark.sql over registered views equals the DataFrame API result") {
-    Tables.registerAll(spark, dir)
+    registered
     val viaSql = spark.sql(
       """SELECT c.c_mktsegment, count(*) AS cnt,
         |  round(sum(o.o_totalprice), 2) AS revenue
@@ -31,7 +33,7 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("views stay lazy scans: SQL filter pushes down to the parquet scan") {
-    Tables.registerAll(spark, dir)
+    registered
     val q = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
@@ -40,7 +42,7 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("native graft_* expressions are callable from SQL") {
-    Tables.registerAll(spark, dir)
+    registered
     val r = spark.sql(
       """SELECT doc_id, graft_simhash(transform(split(trim(text), '\\s+'),
         |  t -> xxhash64(t))) AS sh
