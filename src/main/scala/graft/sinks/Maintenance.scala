@@ -91,12 +91,23 @@ object Maintenance {
     *    still compacts, just with proportionally larger files.)
     *
     * Returns (dataFilesBefore, dataFilesAfter). Writes via a temp sibling
-    * dir + rename swap so a failed compaction never destroys the table.
+    * dir + rename swap, and every call starts with `recover(path)` so a
+    * crash between the two swap renames is healed on the next attempt.
+    *
+    * CONTRACT — single writer, no concurrent readers during the swap.
+    * The two-rename swap is not atomic: a reader listing the path between
+    * rename(p, bak) and rename(tmp, p) sees a missing table, and a crash
+    * in that window leaves the data parked in the hidden backup until
+    * `recover` runs. On object stores directory "rename" is an O(data)
+    * copy, widening that window — there the production answer is a
+    * manifest/pointer commit (Delta/Iceberg style), which is out of scope
+    * for a plain-parquet lake; this compact is the maintenance-window tool.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetFileBytes >= 1024 * 1024,
       s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    recover(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val stats = tableStats(spark, path)
@@ -132,6 +143,32 @@ object Maintenance {
     if (!fs.rename(tmp, p)) { fs.rename(bak, p); sys.error(s"compact: swap failed for $path") }
     fs.delete(bak, true)
     (stats.files, dataFileCount(spark, path))
+  }
+
+  /** Heal a table whose previous compact crashed mid-swap: if the table
+    * path is MISSING but the staged-aside backup exists, rename the backup
+    * back into place; stale rewrite temp dirs are dropped either way (the
+    * next compact rewrites from the restored table). Idempotent and safe
+    * to call at startup or before any read of a compact-managed table;
+    * compact itself calls it first. Returns true when a restore happened.
+    *
+    * When BOTH the table and the backup exist, the crash happened after
+    * the forward swap succeeded (or delete(bak) failed) — the live table
+    * is the newer, complete rewrite, so the backup is simply discarded.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new Path(p.getParent, s".${p.getName}__compact_old")
+    val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(p) && fs.exists(bak)) {
+      if (!fs.rename(bak, p)) sys.error(s"compact recover: cannot restore $path")
+      true
+    } else {
+      if (fs.exists(p) && fs.exists(bak)) fs.delete(bak, true)
+      false
+    }
   }
 
   /** Range-clustered write: repartitionByRange + sortWithinPartitions on

@@ -28,12 +28,34 @@ object Scd2 {
     *                  new version)
     * @param asOfCol   literal timestamp column for the new version's
     *                  valid_from / the closed version's valid_to
+    * @param validateKeys assert (one small aggregate each) that the
+    *                  snapshot has at most one row per key and the dim at
+    *                  most one OPEN row per key. A duplicated key would
+    *                  fan out through the full_outer join into duplicate
+    *                  close-outs and multiple simultaneously-open versions
+    *                  — silent corruption of the open-row invariant, so
+    *                  the default is to fail loudly up front. Disable only
+    *                  when the caller has already enforced uniqueness.
     * @return the merged dimension (same schema as `dim`)
     */
   def merge(dim: DataFrame, snapshot: DataFrame, keys: Seq[String],
-      attrs: Seq[String], asOfCol: Column): DataFrame = {
+      attrs: Seq[String], asOfCol: Column,
+      validateKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "SCD2 requires at least one key column")
     require(attrs.nonEmpty, "SCD2 requires at least one tracked attribute")
+    if (validateKeys) {
+      // struct() is never null, so count_distinct sees null keys too
+      def dupCheck(df: DataFrame, what: String): Unit = {
+        val r = df.agg(count(lit(1)).as("n"),
+          count_distinct(struct(keys.map(col): _*)).as("d")).head()
+        require(r.getLong(0) == r.getLong(1),
+          s"Scd2.merge: $what has ${r.getLong(0) - r.getLong(1)} duplicate " +
+            s"rows per key ${keys.mkString("(", ",", ")")} — dedup upstream " +
+            "or pass validateKeys=false after enforcing uniqueness")
+      }
+      dupCheck(snapshot, "snapshot")
+      dupCheck(dim.filter(col("valid_to").isNull), "dimension open slice")
+    }
     val reserved = Seq("__d_present", "__s_present") ++
       (keys ++ attrs).map(c => s"__s_$c")
     val clash = (dim.columns ++ snapshot.columns).toSet.intersect(reserved.toSet)

@@ -116,6 +116,19 @@ object UpsertIgnore {
           // (normalized below so data files stay uniform).
           val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
           def canon(n: String) = if (caseSensitive) n else n.toLowerCase
+          // Columns differing only in case would silently collapse in the
+          // toMap below, pass the drift check, and surface later as an
+          // opaque ambiguous-reference error — fail here with the drift
+          // message instead.
+          def caseClash(names: Seq[String], side: String): Unit = {
+            val clashes = names.groupBy(canon).values
+              .filter(_.size > 1).map(_.mkString("/"))
+            require(clashes.isEmpty,
+              s"$side columns collide under the case-insensitive resolver: " +
+                s"${clashes.mkString(", ")} — rename or set spark.sql.caseSensitive")
+          }
+          caseClash(batch.columns.toSeq, "batch")
+          caseClash(existingAll.columns.toSeq, s"target $targetPath")
           val tTypes = existingAll.schema.map(f => canon(f.name) -> f.dataType).toMap
           val bTypes = batch.schema.map(f => canon(f.name) -> f.dataType).toMap
           val missing = tTypes.keySet -- bTypes.keySet

@@ -95,11 +95,16 @@ object EventIngest {
     * found (no watermark wait on the emit path).
     */
   def correlate(left: DataFrame, right: DataFrame, key: String,
-      withinMinutes: Int): DataFrame = {
+      withinMinutes: Int, latenessMinutes: Int = 20): DataFrame = {
     require(withinMinutes >= 1, s"withinMinutes must be >= 1, got $withinMinutes")
-    val l = left.withWatermark("ts", "20 minutes")
+    require(latenessMinutes >= 1, s"latenessMinutes must be >= 1, got $latenessMinutes")
+    // Lateness tolerance must cover the join horizon: a watermark shorter
+    // than `withinMinutes` would expire buffered left rows while matching
+    // right rows are still admissible, silently dropping in-window pairs.
+    val wm = s"${math.max(withinMinutes, latenessMinutes)} minutes"
+    val l = left.withWatermark("ts", wm)
       .select(col(key), col("ts").as("ts_l"), col("event_id").as("id_l"))
-    val r = right.withWatermark("ts", "20 minutes")
+    val r = right.withWatermark("ts", wm)
       .select(col(key).as("__rkey"), col("ts").as("ts_r"), col("event_id").as("id_r"))
     l.join(r,
       col(key) === col("__rkey") &&

@@ -54,6 +54,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("compact crash mid-swap: recover restores the table; next compact heals itself") {
+    val path = tmpDir("compact_crash") + "/t"
+    Tables.orders(spark, dir).repartition(8).write.parquet(path)
+    val rows = spark.read.parquet(path).count()
+    // simulate a crash between rename(p, bak) and rename(tmp, p): the
+    // table path is gone, data parked in the hidden backup
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_old")
+    assert(fs.rename(p, bak))
+    assert(!fs.exists(p))
+    assert(Maintenance.recover(spark, path), "recover reported no restore")
+    assert(spark.read.parquet(path).count() == rows)
+    // and recover is idempotent / no-op on a healthy table
+    assert(!Maintenance.recover(spark, path))
+    // a crashed state is also healed implicitly by the next compact call
+    assert(fs.rename(p, bak))
+    val (_, after) = Maintenance.compact(spark, path, targetFileBytes = 8L * 1024 * 1024)
+    assert(after == 1 && spark.read.parquet(path).count() == rows)
+  }
+
   test("zOrderBy on empty input degrades to a plain write, not an NPE") {
     val path = tmpDir("zorder_empty") + "/t"
     Maintenance.zOrderBy(

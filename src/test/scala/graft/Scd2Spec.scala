@@ -108,6 +108,32 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("guards: duplicate snapshot keys rejected (fan-out corruption)") {
+    val dupSnap = snap.unionByName(Seq((2L, 999.0, "Q")).toDF("k", "bal", "seg"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(dim0, dupSnap, Seq("k"), Seq("bal", "seg"),
+        ts("2001-06-01 00:00:00")).collect()
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // validateKeys=false restores the caller-enforced-precondition path
+    Scd2.merge(dim0, snap, Seq("k"), Seq("bal", "seg"),
+      ts("2001-06-01 00:00:00"), validateKeys = false).collect()
+  }
+
+  test("guards: multiple OPEN dim rows per key rejected") {
+    val brokenDim = dim0.unionByName(
+      Seq((1L, 111.0, "A2", "2000-06-01 00:00:00", null.asInstanceOf[String]))
+        .toDF("k", "bal", "seg", "vf", "vt")
+        .select(col("k"), col("bal"), col("seg"),
+          col("vf").cast("timestamp_ntz").as("valid_from"),
+          col("vt").cast("timestamp_ntz").as("valid_to")))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.merge(brokenDim, snap, Seq("k"), Seq("bal", "seg"),
+        ts("2001-06-01 00:00:00")).collect()
+    }
+    assert(e.getMessage.contains("open slice"), e.getMessage)
+  }
+
   test("guards: empty keys or attrs rejected") {
     intercept[IllegalArgumentException] {
       Scd2.merge(dim0, snap, Nil, Seq("bal"), ts("2001-06-01 00:00:00"))

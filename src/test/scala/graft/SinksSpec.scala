@@ -129,6 +129,21 @@ class SinksSpec extends SparkSpec {
     assert(t.filter(col("currency") === "GBP").select("rate").head().getDouble(0) == 2.0)
   }
 
+  test("K5 rejects case-colliding batch columns with the drift message, not ambiguity") {
+    val dir = tmpDir("k5case") + "/t"
+    UpsertIgnore(spark, batch(("USD", "d1", 1.0)), dir, Seq("currency", "timestamptz"))
+    // 'Rate' and 'rate' collapse under the default case-insensitive
+    // resolver — must fail as drift up front, not as an opaque
+    // ambiguous-reference error in the normalizing select
+    val collided = Seq(("GBP", "d1", 2.0, 3.0))
+      .toDF("currency", "timestamptz", "rate", "Rate")
+    val e = intercept[IllegalArgumentException] {
+      UpsertIgnore(spark, collided, dir, Seq("currency", "timestamptz"))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("K2 merge-overwrite keeps the EXISTING row on key collision") {
     val dir = tmpDir("k2") + "/d"
     val day1 = Seq(("US Dollar", "2026-08-11T18:00", 1.08))

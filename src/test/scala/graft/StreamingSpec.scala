@@ -149,6 +149,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("correlate's watermark covers the join horizon (no silent in-window drops)") {
+    // a 20-min watermark with a 45-min join window would expire buffered
+    // rows while matching rows are still admissible — the delay must
+    // stretch to the horizon
+    val s = EventIngest.readEventStream(spark, srcDir)
+    val j = EventIngest.correlate(
+      s.filter(col("event_type") === "click"),
+      s.filter(col("event_type") === "purchase"),
+      "user_id", withinMinutes = 45)
+    val plan = j.queryExecution.analyzed.toString
+    assert(plan.contains("45 minutes"), s"watermark not derived from horizon:\n$plan")
+    assert(!plan.contains("20 minutes"), s"hardcoded 20-min watermark survived:\n$plan")
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(
