@@ -17,11 +17,27 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup by content hash: keep the lowest-id row per distinct
-    * value of `cols` — one hash shuffle, map-side combinable.
+    * value of `cols` — one hash shuffle, map-side combinable. Returns the
+    * dedup REPORT (content_hash, keep_id, dup_count); `exactSurvivors`
+    * materializes the surviving rows themselves.
     */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
     df.groupBy(md5(concat_ws("\u0000", cols.map(col): _*)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup returning the SURVIVING ROWS (all original columns): the
+    * lowest-id row per distinct value of `cols`. The row-level complement
+    * of `exact`'s report — what a curation pipeline actually keeps
+    * (Curation composes it).
+    *
+    * Shape: the same one map-combinable hash shuffle as `exact`, then a
+    * semi-join of the corpus against the keep-id set on the (unique) id —
+    * O(distinct contents) build side, never a second content shuffle.
+    */
+  def exactSurvivors(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    df.join(
+      exact(df, idCol, cols).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
 
   // ---------------------------------------------------------------- MinHash
 
@@ -392,9 +408,9 @@ object Dedup {
       .withColumn("ng", size(col("grams")))
     // A bounded-universe scan arrives as ONE input split, which would run
     // the whole quadratic pair loop on a single core; spread the stream
-    // side so the broadcast join parallelizes. (Shuffles only the few
-    // hundred gram arrays of the universe — negligible.)
-    val gx = g.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // side so the broadcast join parallelizes — but only when actually
+    // under-split (a pre-split input pays no exchange).
+    val gx = graft.ops.Transforms.spreadIfNarrow(g)
     // Lossless length prefilter: jaccard = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
     // so any pair at or above `threshold` must have gram-set sizes within
     // that ratio — evaluated as part of the join condition, it prunes the

@@ -224,9 +224,9 @@ object Similarity {
     val dt = dotAuto(embeddings.sparkSession) _
     val e = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", sqrt(dt(col("v"), col("v"))))
-    // spread the stream side: a bounded corpus arrives as one input split,
-    // which would run the whole quadratic pair loop on a single core
-    val ex = e.repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
+    // spread the stream side ONLY when the corpus arrives under-split
+    // (local single-row-group case) — a pre-split input pays no exchange
+    val ex = graft.ops.Transforms.spreadIfNarrow(e)
     ex.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .withColumn("score",
         round(dt(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))

@@ -96,6 +96,21 @@ object Transforms {
   def withSource(tag: String)(df: DataFrame): DataFrame =
     df.withColumn("source", lit(tag))
 
+  /** Spread an under-split input across cores — CONDITIONALLY. A bounded
+    * local corpus often arrives as one parquet row-group = one input
+    * split, which would run an entire downstream map-heavy or
+    * pair-expansion stage on a single core; a 100 TB input is already
+    * thousands of splits and must NOT pay an extra exchange. So the
+    * round-robin repartition applies only when the scan's actual split
+    * count is below the session's parallelism — inspected from the
+    * physical RDD (plan-time metadata; no job runs). Pre-split production
+    * inputs pass through untouched.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** C3 — event-time synthesis for history rows: civil date + 10h, UTC
     * (etl/csv_loader.py:105-108). Session TZ is pinned UTC (build.sbt).
     */

@@ -45,10 +45,8 @@ object Curation {
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     // 3: exact dedup — keep the min-id doc per content hash (one
-    // map-combinable shuffle; left-semi back to rows keeps all columns).
-    val keepExact = Dedup.exact(gated, idCol, Seq(textCol))
-      .select(col("keep_id").as(idCol))
-    val exactDeduped = gated.join(keepExact, Seq(idCol), "left_semi")
+    // map-combinable shuffle; semi-join back to rows keeps all columns).
+    val exactDeduped = Dedup.exactSurvivors(gated, idCol, Seq(textCol))
       // checkpoint: consumed by dedupCorpus (shingle pipeline) AND the
       // final semi-join — without it the quality+redact+dedup prefix
       // runs twice. Lazy: released on plan GC (see Dedup notes).

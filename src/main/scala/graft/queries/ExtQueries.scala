@@ -51,6 +51,13 @@ object ExtQueries {
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
         .orderBy("content_hash")),
 
+    // Exact-dedup SURVIVOR ROWS (oracled): the curated corpus itself —
+    // lowest doc_id per distinct text, all columns intact.
+    "ext_dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // keyed dedup generalization: first doc per (lang, source)
     "ext_dedup_keyed" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -119,10 +126,10 @@ object ExtQueries {
     // where the correctness gate runs) because the measuring stick is
     // all-pairs quadratic by design.
     "ext_minhash_recall" -> ((s, dir) => {
-      // repartition: the bounded universe is one input split; the shingle
-      // hashing + signature work should spread across cores.
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      // spread (when under-split): the bounded universe is one input
+      // split locally; the shingle hashing should cross cores.
+      val docs = graft.ops.Transforms.spreadIfNarrow(
+        Tables.documents(s, dir).filter(col("doc_id") < 500))
       val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
       val found = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
@@ -132,8 +139,8 @@ object ExtQueries {
     }),
 
     "ext_corpus_recall" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      val docs = graft.ops.Transforms.spreadIfNarrow(
+        Tables.documents(s, dir).filter(col("doc_id") < 500))
       val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
       val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 3)
@@ -143,6 +150,23 @@ object ExtQueries {
         .join(labels.select(col("id").as("id_b"), col("canonical_id").as("cb")), "id_b")
         .filter(col("ca") === col("cb"))
         .select("id_a", "id_b", "jaccard3")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Quantified-recall gate for RP-LSH embedding near-dup (the
+    // embedding-side analog of ext_minhash_recall): the corpus has no
+    // natural near-identical vectors (max background cosine 0.51), so
+    // near-dups are PLANTED deterministically — each vec_id < 200 gets a
+    // perturbed twin (exact integer-mod arithmetic, bit-reproducible in
+    // DuckDB) at cosine >= 0.997. The oracle returns ALL planted pairs by
+    // exact cosine; the query returns the ones rpNearDups found — hash
+    // equality proves recall 1.0, any missed pair fails the gate.
+    "ext_rplsh_recall" -> ((s, dir) => {
+      val corpus = plantedNearDupVectors(s, dir)
+      val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      val found = Similarity.rpNearDups(corpus, "vec_id", "v",
+        threshold = 0.99, maxHamming = 10).select("id_a", "id_b")
+      gt.join(found, Seq("id_a", "id_b"), "left_semi")
         .orderBy("id_a", "id_b")
     }),
 
@@ -296,7 +320,29 @@ object ExtQueries {
     * map-side hashing pipelines. See the ext_minhash_neardup comment.
     */
   private def spreadDocs(s: SparkSession, dir: String) =
-    Tables.documents(s, dir).repartition(s.sessionState.conf.numShufflePartitions)
+    graft.ops.Transforms.spreadIfNarrow(Tables.documents(s, dir))
+
+  /** Bounded vector universe with planted near-identical twins for the
+    * RP-LSH recall gate: base vectors (vec_id < 200) plus, for each, a
+    * twin at vec_id + 10000 perturbed by an exact integer-mod formula —
+    * (vec_id*31 + i*7) % 11 - 5, scaled by 0.003 per element (i 1-based)
+    * — so both engines rebuild IDENTICAL doubles (integer ops exact, one
+    * IEEE multiply + add each). Unit-norm inputs put twins at cosine
+    * >= 0.997 vs a 0.51 background: unambiguous ground truth.
+    */
+  private[graft] def plantedNearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    // perturb FIRST (with the original id), re-id second — the same
+    // two-step shape as the oracle's CTE, so neither engine can bind the
+    // formula's vec_id to the shifted alias
+    val planted = base.select(col("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + ((col("vec_id") * 31 + (i + 1) * 7) % 11 - 5) * lit(0.003)).as("pv"))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("pv").as("v"))
+    base.unionByName(planted)
+  }
 
   /** The query vector: embedding of vec_id=0, fetched driver-side as a
     * query PARAMETER (one row — not a data collect).
@@ -375,6 +421,11 @@ object ExtQueries {
       """SELECT lang, source, min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    "ext_dedup_exact_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
     "ext_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -395,6 +446,26 @@ object ExtQueries {
         |  AND list_dot_product(x.v, y.v)
         |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45
         |ORDER BY score DESC, id_a ASC, id_b ASC""".stripMargin,
+
+    // ALL planted vector pairs by exact cosine; the Spark side returns
+    // the pairs RP-LSH found — hash equality == proof of recall 1.0.
+    "ext_rplsh_recall" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |              FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id,
+        |  [v[i] + ((vec_id*31 + i*7) % 11 - 5) * 0.003
+        |    for i in range(1, len(v) + 1)] AS pv
+        |  FROM base),
+        |c AS (SELECT vec_id, v FROM base
+        |      UNION ALL SELECT vec_id + 10000, pv FROM planted)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  round(list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |    AS score
+        |FROM c x, c y WHERE x.vec_id < y.vec_id
+        |  AND list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // ALL planted ground-truth pairs; the Spark side returns the pairs the
     // near-dup pipeline found, so hash equality == proof of recall 1.0.

@@ -384,10 +384,9 @@ object ParityQueries {
       // repartition: the single-row-group parquet arrives as one split and
       // the intervals broadcast, so without it the whole expansion+agg
       // would run on one core (real 100 TB inputs arrive pre-split)
-      val pts = Tables.lineitem(s, dir)
+      val pts = Transforms.spreadIfNarrow(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .withColumn("p", unix_timestamp(col("l_shipdate")))
-        .repartition(s.sessionState.conf.numShufflePartitions)
+        .withColumn("p", unix_timestamp(col("l_shipdate"))))
       val ivs = Tables.orders(s, dir)
         .filter(col("o_orderkey") % 300 === 0)
         .select(unix_timestamp(col("o_orderdate").cast("timestamp_ntz")).as("lo"))
@@ -403,10 +402,9 @@ object ParityQueries {
     // first-shared-bin emits each pair exactly once, no distinct).
     "interval_overlap_shipments" -> ((s, dir) => {
       val day = 86400L
-      val ship = Tables.lineitem(s, dir)
+      val ship = Transforms.spreadIfNarrow(Tables.lineitem(s, dir)
         .select(unix_timestamp(col("l_shipdate")).as("a_lo"))
-        .withColumn("a_hi", col("a_lo") + lit(7L * day))
-        .repartition(s.sessionState.conf.numShufflePartitions)
+        .withColumn("a_hi", col("a_lo") + lit(7L * day)))
       val win = Tables.orders(s, dir)
         .filter(col("o_orderkey") % 300 === 0)
         .select(col("o_orderkey"),

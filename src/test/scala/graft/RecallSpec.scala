@@ -63,6 +63,22 @@ class RecallSpec extends SparkSpec {
       s"blocking lost ${brute -- blocked}, invented ${blocked -- brute}")
   }
 
+  test("rp-lsh finds every planted near-identical vector pair (recall 1.0)") {
+    val corpus = graft.queries.ExtQueries.plantedNearDupVectors(spark, dir)
+    val gt = graft.ext.Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gt.size == 200, s"expected 200 planted pairs, got ${gt.size}")
+    val found = graft.ext.Similarity.rpNearDups(corpus, "vec_id", "v",
+      threshold = 0.99, maxHamming = 10)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gt.subsetOf(found), s"rp-lsh missed ${gt -- found}")
+    // and precision is exact by construction (candidates verified with
+    // the exact cosine): nothing below threshold sneaks in
+    assert(found.subsetOf(gt), s"invented pairs ${found -- gt}")
+  }
+
   test("simhash near-dups quantified vs 3-gram ground truth") {
     val gt = gtPairs
     val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)

@@ -177,6 +177,17 @@ class TransformsSpec extends SparkSpec {
     assert(p.contains("Join"), "expected an equi-join on the bin")
   }
 
+  test("spreadIfNarrow: spreads an under-split scan, passes a pre-split input by reference") {
+    val target = spark.sessionState.conf.numShufflePartitions
+    val narrow = Tables.documents(spark, "/root/testdata/sf0.001") // one row-group
+    assert(narrow.rdd.getNumPartitions < target, "fixture no longer narrow")
+    assert(graft.ops.Transforms.spreadIfNarrow(narrow)
+      .rdd.getNumPartitions == target)
+    val wide = narrow.repartition(target)
+    // an already-split input must gain NO exchange — same plan, by reference
+    assert(graft.ops.Transforms.spreadIfNarrow(wide) eq wide)
+  }
+
   test("GroupedTopK bounded heap matches the window formulation at k=100") {
     // deterministic pseudo-random scores with planted ties: exercises the
     // heap's accept/reject/sift paths and the (score DESC, id ASC)
