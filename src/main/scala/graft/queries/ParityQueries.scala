@@ -580,6 +580,34 @@ object ParityQueries {
         .orderBy(col("c_custkey").asc, col("valid_from").asc)
     }),
 
+    // SCD1 merge-with-update (sinks.Upsert) — exercised AGAINST THE REAL
+    // SINK, not restated: seed a segment-partitioned parquet dimension
+    // from customer, upsert a batch of changed + brand-new rows through
+    // the partition-local swap, read the table back. The oracle restates
+    // last-writer-wins per (segment, custkey). Result is eagerly
+    // checkpointed so the temp table can be deleted before consumption.
+    "scd1_upsert" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_scd1").toString
+      val target = s"$work/dim"
+      val keys = Seq("c_mktsegment", "c_custkey")
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      graft.sinks.Upsert(s, cust, target, keys, partitionBy = Seq("c_mktsegment"))
+      val batch = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") <= 3)
+          .select((col("c_custkey") + 900000L).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), lit(42.0).as("c_acctbal"), col("c_mktsegment")))
+      graft.sinks.Upsert(s, batch, target, keys, partitionBy = Seq("c_mktsegment"))
+      val out = s.read.parquet(target)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey", "c_mktsegment")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Time-range rolling window (RANGE frame over event time): 7-day
     // rolling revenue per customer — the frame is defined by the TIME
     // interval, not a row count, so duplicate dates are peers in both
@@ -1078,6 +1106,24 @@ object ParityQueries {
         |  CAST(NULL AS TIMESTAMP)
         |FROM j WHERE s_key IS NOT NULL AND (d_key IS NULL OR NOT same)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "scd1_upsert" ->
+      """WITH batch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 900000, c_name, c_nationkey, 42.0, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 3),
+        |dim AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+        |    WHERE b.c_custkey = c.c_custkey
+        |      AND b.c_mktsegment = c.c_mktsegment)
+        |  UNION ALL SELECT * FROM batch)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM dim ORDER BY c_custkey, c_mktsegment""".stripMargin,
 
     "win_rolling_range" ->
       """SELECT o_custkey, o_orderkey,

@@ -33,7 +33,7 @@ object UpsertIgnore {
 
   final case class Result(inserted: Long, skipped: Long)
 
-  private def targetExists(spark: SparkSession, path: String): Boolean = {
+  private[sinks] def targetExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(f =>
@@ -107,45 +107,7 @@ object UpsertIgnore {
         if (!targetExists(spark, targetPath)) batch
         else {
           val existingAll = spark.read.parquet(targetPath)
-          // Schema drift is handled UPSTREAM (column-union, §1.2) — the
-          // sink is strict: silently appending a different column set OR
-          // a same-name/different-type column would leave the table with
-          // per-file schemas that plain reads resolve unpredictably.
-          // Name matching follows the session's resolver (case-insensitive
-          // unless spark.sql.caseSensitive); column ORDER may differ
-          // (normalized below so data files stay uniform).
-          val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
-          def canon(n: String) = if (caseSensitive) n else n.toLowerCase
-          // Columns differing only in case would silently collapse in the
-          // toMap below, pass the drift check, and surface later as an
-          // opaque ambiguous-reference error — fail here with the drift
-          // message instead.
-          def caseClash(names: Seq[String], side: String): Unit = {
-            val clashes = names.groupBy(canon).values
-              .filter(_.size > 1).map(_.mkString("/"))
-            require(clashes.isEmpty,
-              s"$side columns collide under the case-insensitive resolver: " +
-                s"${clashes.mkString(", ")} — rename or set spark.sql.caseSensitive")
-          }
-          caseClash(batch.columns.toSeq, "batch")
-          caseClash(existingAll.columns.toSeq, s"target $targetPath")
-          val tTypes = existingAll.schema.map(f => canon(f.name) -> f.dataType).toMap
-          val bTypes = batch.schema.map(f => canon(f.name) -> f.dataType).toMap
-          val missing = tTypes.keySet -- bTypes.keySet
-          val extra = bTypes.keySet -- tTypes.keySet
-          require(missing.isEmpty && extra.isEmpty,
-            s"batch schema drifted from target $targetPath " +
-              s"(missing=$missing, extra=$extra); align with " +
-              "unionByName/drop before the sink")
-          // partition columns are exempt from the TYPE check: their values
-          // are stored as directory NAMES, so the read-back type is
-          // inference (a "2026-08-10" string partition reads as DateType),
-          // not a statement about the batch's storage type
-          val partSet = partitionBy.map(canon).toSet
-          val retyped = (tTypes.keySet -- partSet).filter(k => tTypes(k) != bTypes(k))
-          require(retyped.isEmpty,
-            s"batch column types drifted from target $targetPath: " +
-              retyped.map(k => s"$k: ${tTypes(k)} -> ${bTypes(k)}").mkString(", "))
+          SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
           deltaPlan(spark, batch, existingAll, keys, pruneCol)
             .select(existingAll.columns.toSeq.map(col): _*)
         }
@@ -157,6 +119,179 @@ object UpsertIgnore {
       }
       Result(inserted, total - inserted)
     } finally batch.unpersist()
+  }
+}
+
+/** Strict batch-vs-target schema alignment, shared by the keyed sinks.
+  * Schema drift is handled UPSTREAM (column-union, §1.2) — the sinks are
+  * strict: silently appending a different column set OR a same-name/
+  * different-type column would leave the table with per-file schemas that
+  * plain reads resolve unpredictably. Name matching follows the session's
+  * resolver (case-insensitive unless spark.sql.caseSensitive); column
+  * ORDER may differ (callers normalize so data files stay uniform).
+  */
+private[sinks] object SchemaGuard {
+  def requireAligned(
+      spark: SparkSession,
+      batch: DataFrame,
+      existing: DataFrame,
+      partitionBy: Seq[String],
+      targetPath: String): Unit = {
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def canon(n: String) = if (caseSensitive) n else n.toLowerCase
+    // Columns differing only in case would silently collapse in the
+    // toMap below, pass the drift check, and surface later as an opaque
+    // ambiguous-reference error — fail here with the drift message.
+    def caseClash(names: Seq[String], side: String): Unit = {
+      val clashes = names.groupBy(canon).values
+        .filter(_.size > 1).map(_.mkString("/"))
+      require(clashes.isEmpty,
+        s"$side columns collide under the case-insensitive resolver: " +
+          s"${clashes.mkString(", ")} — rename or set spark.sql.caseSensitive")
+    }
+    caseClash(batch.columns.toSeq, "batch")
+    caseClash(existing.columns.toSeq, s"target $targetPath")
+    val tTypes = existing.schema.map(f => canon(f.name) -> f.dataType).toMap
+    val bTypes = batch.schema.map(f => canon(f.name) -> f.dataType).toMap
+    val missing = tTypes.keySet -- bTypes.keySet
+    val extra = bTypes.keySet -- tTypes.keySet
+    require(missing.isEmpty && extra.isEmpty,
+      s"batch schema drifted from target $targetPath " +
+        s"(missing=$missing, extra=$extra); align with " +
+        "unionByName/drop before the sink")
+    // partition columns are exempt from the TYPE check: their values are
+    // stored as directory NAMES, so the read-back type is inference (a
+    // "2026-08-10" string partition reads as DateType), not a statement
+    // about the batch's storage type
+    val partSet = partitionBy.map(canon).toSet
+    val retyped = (tTypes.keySet -- partSet).filter(k => tTypes(k) != bTypes(k))
+    require(retyped.isEmpty,
+      s"batch column types drifted from target $targetPath: " +
+        retyped.map(k => s"$k: ${tTypes(k)} -> ${bTypes(k)}").mkString(", "))
+  }
+}
+
+/** SCD1 merge-with-update sink (last-writer-wins upsert): incoming rows
+  * REPLACE same-key rows in the target and absent keys insert — the
+  * overwrite-latest semantics of the reference's unified Supabase table
+  * (services/supabase.py:35 keeps only the latest value per row),
+  * completing the keyed-sink triad: UpsertIgnore keeps the EXISTING row
+  * (K5), Scd2 keeps BOTH as history, Upsert keeps the INCOMING row.
+  *
+  * Scale design — the merge is O(touched partitions), never O(table):
+  * partition columns are REQUIRED to be key columns, so a key's partition
+  * is immutable and a matched row can only live in a partition the batch
+  * itself names. Only those partitions are read (partition-pruned scan),
+  * merged, rewritten to a staging dir, and swapped in; untouched
+  * partition directories are never listed, read, or replaced —
+  * byte-identical after the run (asserted in SinksSpec). The touched
+  * partition values are collected driver-side as a query parameter
+  * (O(partitions in the batch), not a data collect). Flat targets fall
+  * back to a full merge rewrite through the same staging + swap.
+  *
+  * CONTRACT — single writer, no concurrent readers during the swap (same
+  * as Maintenance.compact): the per-partition directory renames are not
+  * atomic as a set.
+  */
+object Upsert {
+
+  /** updated = keys that replaced an existing row; inserted = new keys. */
+  final case class Result(updated: Long, inserted: Long)
+
+  def apply(
+      spark: SparkSession,
+      incoming: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      partitionBy: Seq[String] = Nil): Result = {
+    require(keys.nonEmpty, "Upsert requires at least one key column")
+    require(partitionBy.forall(keys.contains),
+      s"Upsert partition columns must be key columns (a key's partition " +
+        s"must be immutable for partition-local merge): " +
+        s"partitionBy=$partitionBy keys=$keys")
+    val batch = incoming.cache()
+    try {
+      val total = batch.count()
+      if (total == 0) return Result(0, 0)
+      // "replace the row with the incoming value" is ambiguous when the
+      // batch itself carries a key twice — reject, same as Scd2
+      val distinctKeys = batch
+        .agg(count_distinct(struct(keys.map(col): _*))).head().getLong(0)
+      require(distinctKeys == total,
+        s"Upsert batch has ${total - distinctKeys} duplicate keys " +
+          s"${keys.mkString("(", ",", ")")} — last-writer is undefined; " +
+          "dedup the batch first")
+      if (!UpsertIgnore.targetExists(spark, targetPath)) {
+        val w = batch.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(targetPath)
+        return Result(0, total)
+      }
+      val existingAll = spark.read.parquet(targetPath)
+      SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
+
+      // prune the existing scan to the partitions the batch touches
+      val existing =
+        if (partitionBy.isEmpty) existingAll
+        else {
+          val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
+          val cond = touched.map(r =>
+            partitionBy.zipWithIndex
+              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+              .reduce(_ && _)).reduce(_ || _)
+          existingAll.filter(cond)
+        }
+      val updated = batch
+        .join(existing.select(keys.map(col): _*), keys, "left_semi").count()
+      val kept = existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
+      val merged = kept
+        .unionByName(batch.select(existingAll.columns.toSeq.map(col): _*))
+
+      val p = new Path(targetPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(p.getParent, s".${p.getName}__upsert_staging")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val w = merged.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.toString)
+
+      if (partitionBy.isEmpty) {
+        fs.delete(p, true)
+        if (!fs.rename(tmp, p)) sys.error(s"Upsert: swap failed for $targetPath")
+      } else {
+        // swap ONLY the touched leaf partition dirs; everything else stays.
+        // Qualify the staging root first: listStatus returns scheme-
+        // qualified paths, so an unqualified prefix would not strip and
+        // the relative path would be garbage.
+        val tmpQ = fs.makeQualified(tmp)
+        for (leaf <- leafPartitionDirs(fs, tmpQ)) {
+          val rel = leaf.toString.stripPrefix(tmpQ.toString).stripPrefix("/")
+          require(rel.nonEmpty && !rel.contains(":"),
+            s"Upsert: cannot relativize staging leaf $leaf against $tmpQ")
+          val dst = new Path(p, rel)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(leaf, dst))
+            sys.error(s"Upsert: partition swap failed for $dst")
+        }
+        fs.delete(tmp, true)
+      }
+      Result(updated, total - updated)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Leaf `k=v` directories under a partitioned write (nested for
+    * multi-level partitioning) — the unit of the swap.
+    */
+  private def leafPartitionDirs(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Path] = {
+    val kids = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath)
+    kids.flatMap { d =>
+      val sub = leafPartitionDirs(fs, d)
+      if (sub.isEmpty) Seq(d) else sub
+    }.toSeq
   }
 }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 import graft.ops.Transforms
-import graft.sinks.UpsertIgnore
+import graft.sinks.{Upsert, UpsertIgnore}
 
 /** ScalaCheck properties (SURVEY §5.3): the algebraic guarantees of the
   * engine's core semantics — K5 idempotence and batch commutativity,
@@ -69,6 +69,39 @@ object GraftProperties extends Properties("graft") {
         val ab = keys(a, b)
         val ba = keys(b, a)
         ab == ba
+      }
+    }
+
+  /** Key-unique batch for Upsert (its precondition): keep-first per key. */
+  private def uniq(rows: List[(String, String, Double)]) =
+    rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+
+  property("scd1 upsert rerun is a content no-op (idempotence)") =
+    forAll(batchGen) { rows =>
+      val u = uniq(rows)
+      u.isEmpty || {
+        val dir = freshDir()
+        val df = toDf(u)
+        Upsert(spark, df, dir, Seq("currency", "timestamptz"))
+        val once = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+        val r2 = Upsert(spark, df, dir, Seq("currency", "timestamptz"))
+        r2.inserted == 0 &&
+          spark.read.parquet(dir).collect().map(_.toSeq).toSet == once
+      }
+    }
+
+  property("scd1 upsert is last-writer-wins per key") =
+    forAll(batchGen, batchGen) { (a, b) =>
+      val (ua, ub) = (uniq(a), uniq(b))
+      ua.isEmpty || ub.isEmpty || {
+        val dir = freshDir()
+        Upsert(spark, toDf(ua), dir, Seq("currency", "timestamptz"))
+        Upsert(spark, toDf(ub), dir, Seq("currency", "timestamptz"))
+        val got = spark.read.parquet(dir).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        val want = ua.map(r => (r._1, r._2) -> r._3).toMap ++
+          ub.map(r => (r._1, r._2) -> r._3).toMap
+        got == want
       }
     }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sinks.{MergeOverwrite, RestSink, UpsertIgnore}
+import graft.sinks.{MergeOverwrite, RestSink, Upsert, UpsertIgnore}
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
@@ -141,6 +141,90 @@ class SinksSpec extends SparkSpec {
       UpsertIgnore(spark, collided, dir, Seq("currency", "timestamptz"))
     }
     assert(e.getMessage.contains("collide"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  // ---- SCD1 Upsert (merge-with-update) ------------------------------
+
+  private def seedPartitioned(dir: String) = {
+    val seed = Seq(
+      ("2026-01-01", 1L, 1.0), ("2026-01-01", 2L, 2.0),
+      ("2026-01-02", 3L, 3.0), ("2026-01-03", 4L, 4.0))
+      .toDF("day", "k", "v")
+    Upsert(spark, seed, dir, keys = Seq("day", "k"), partitionBy = Seq("day"))
+  }
+
+  test("SCD1 upsert: matched keys replaced in place, new keys inserted") {
+    val dir = tmpDir("scd1") + "/t"
+    assert(seedPartitioned(dir) == Upsert.Result(updated = 0, inserted = 4))
+    val batch = Seq(("2026-01-01", 2L, 9.9), ("2026-01-01", 7L, 7.0))
+      .toDF("day", "k", "v")
+    val r = Upsert(spark, batch, dir, Seq("day", "k"), Seq("day"))
+    assert(r == Upsert.Result(updated = 1, inserted = 1))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 5)
+    assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 9.9)
+    assert(t.filter(col("k") === 1L).select("v").head().getDouble(0) == 1.0)
+  }
+
+  test("SCD1 upsert: untouched partitions are byte-identical (never rewritten)") {
+    val dir = tmpDir("scd1b") + "/t"
+    seedPartitioned(dir)
+    def snapshot(day: String) = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.isFile).map(f =>
+        (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val before02 = snapshot("2026-01-02")
+    val before03 = snapshot("2026-01-03")
+    Upsert(spark,
+      Seq(("2026-01-01", 1L, 5.5)).toDF("day", "k", "v"),
+      dir, Seq("day", "k"), Seq("day"))
+    assert(snapshot("2026-01-02") == before02, "untouched partition rewritten")
+    assert(snapshot("2026-01-03") == before03, "untouched partition rewritten")
+    assert(spark.read.parquet(dir).filter(col("k") === 1L)
+      .select("v").head().getDouble(0) == 5.5)
+  }
+
+  test("SCD1 upsert: rerunning the same batch is a no-op on contents (idempotent)") {
+    val dir = tmpDir("scd1c") + "/t"
+    seedPartitioned(dir)
+    val batch = Seq(("2026-01-02", 3L, 8.0), ("2026-01-02", 9L, 9.0))
+      .toDF("day", "k", "v")
+    Upsert(spark, batch, dir, Seq("day", "k"), Seq("day"))
+    val first = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val r2 = Upsert(spark, batch, dir, Seq("day", "k"), Seq("day"))
+    assert(r2 == Upsert.Result(updated = 2, inserted = 0))
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == first)
+  }
+
+  test("SCD1 upsert: flat (unpartitioned) target merges correctly") {
+    val dir = tmpDir("scd1d") + "/t"
+    val seed = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Upsert(spark, seed, dir, Seq("k"))
+    val r = Upsert(spark, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    assert(r == Upsert.Result(1, 1))
+    val t = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(t == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("SCD1 upsert guards: duplicate batch keys and non-key partition cols rejected") {
+    val dir = tmpDir("scd1e") + "/t"
+    intercept[IllegalArgumentException] {
+      Upsert(spark, Seq((1L, "a"), (1L, "b")).toDF("k", "v"), dir, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert(spark, Seq((1L, "a")).toDF("k", "v"), dir,
+        keys = Seq("k"), partitionBy = Seq("v"))
+    }
+  }
+
+  test("SCD1 upsert rejects schema drift like K5") {
+    val dir = tmpDir("scd1f") + "/t"
+    Upsert(spark, Seq((1L, "a")).toDF("k", "v"), dir, Seq("k"))
+    intercept[IllegalArgumentException] {
+      Upsert(spark, Seq((2L, "b")).toDF("k", "w"), dir, Seq("k"))
+    }
     assert(spark.read.parquet(dir).count() == 1)
   }
 
