@@ -101,10 +101,10 @@ object Similarity {
     def unpersist(): Unit = { assignments.unpersist(); () }
   }
 
-  /** Centroids are the first `nCentroids` corpus vectors by id (a
-    * deterministic, training-free choice standing in for k-means — the
-    * index structure, probing, and pruning are the real subject).
-    * Collected driver-side: this is index metadata, not a data collect.
+  /** Seed centroids: the first `nCentroids` corpus vectors by id — a
+    * deterministic starting point that `lloydRefine` trains into real
+    * cluster centers. Collected driver-side: index metadata, not a data
+    * collect.
     */
   private def centroidsOf(
       embeddings: DataFrame,
@@ -119,22 +119,13 @@ object Similarity {
         IvfCentroid(r.getLong(0), v, math.sqrt(dotLocal(v, v)))
       }
 
-  /** Build the IVF index: one map-only pass over the corpus computing the
-    * hoisted norm and the argmax-cosine centroid per row against the
-    * broadcast (literal) centroid metadata — no cross join, no shuffle.
-    * Ties pick the LOWEST centroid id (greatest over (cos, -id) structs).
-    * The result is persisted; at scale this is the write side of the
-    * index artifact.
+  /** The per-row best-centroid expression (argmax cosine, ties to the
+    * LOWEST centroid id via greatest over (cos, -id) structs) — shared by
+    * the index build and every Lloyd iteration. Expects columns `v`
+    * (double vector) and `n` (its norm).
     */
-  def ivfBuild(
-      embeddings: DataFrame,
-      idCol: String,
-      vecCol: String,
-      nCentroids: Int): IvfIndex = {
-    require(nCentroids >= 1, s"IVF needs nCentroids >= 1, got $nCentroids")
-    val spark = embeddings.sparkSession
-    val cents = centroidsOf(embeddings, idCol, vecCol, nCentroids)
-    require(cents.nonEmpty, "cannot build an IVF index over an empty corpus")
+  private def bestCentroidExpr(
+      spark: SparkSession, cents: Array[IvfCentroid]): Column = {
     val dt = dotAuto(spark) _
     val scored = cents.map { c =>
       struct(
@@ -144,12 +135,99 @@ object Similarity {
     val best =
       if (scored.length == 1) scored.head
       else greatest(scored.toIndexedSeq: _*)
-    val assignments = embeddings
+    -best.getField("neg_id")
+  }
+
+  /** Lloyd (spherical k-means) refinement of the centroid set: each
+    * iteration reuses the SAME map-side argmax the index build runs
+    * (assign), then replaces each centroid with the elementwise SUM of
+    * its members — cosine is scale-invariant, so the member sum IS the
+    * mean direction (no divide, no renormalize). The per-cluster sums
+    * shuffle only k*d map-side partials per partition and the k*d result
+    * is collected as index METADATA (same convention as centroidsOf).
+    * Empty clusters keep their previous centroid. Trained centroids keep
+    * their seed ids, so probe selection and tie-breaking are unchanged.
+    */
+  private def lloydRefine(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Array[IvfCentroid],
+      iters: Int): Array[IvfCentroid] = {
+    val spark = embeddings.sparkSession
+    val dt = dotAuto(spark) _
+    val base = embeddings
+      .select(asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dt(col("v"), col("v"))))
+    var cur = seed
+    for (_ <- 0 until iters) {
+      val sums = base
+        .withColumn("cid", bestCentroidExpr(spark, cur))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sx"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cur = cur.map { c =>
+        byCid.get(c.id) match {
+          case Some(rows) =>
+            val v = new Array[Double](rows.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            val nrm = math.sqrt(dotLocal(v, v))
+            if (nrm > 0) IvfCentroid(c.id, v, nrm) else c
+          case None => c // empty cluster: keep previous center
+        }
+      }
+    }
+    cur
+  }
+
+  /** Build the IVF index: train centroids (`iters` Lloyd rounds over the
+    * deterministic seed — 0 = untrained seed), then one map-only pass
+    * over the corpus computing the hoisted norm and the argmax-cosine
+    * centroid per row against the broadcast (literal) centroid metadata —
+    * no cross join, no shuffle. Ties pick the LOWEST centroid id. The
+    * result is persisted; at scale this is the write side of the index
+    * artifact (see ivfBuildPersisted).
+    */
+  def ivfBuild(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int = 0): IvfIndex = {
+    val spark = embeddings.sparkSession
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters)
+    val assignments = assignmentsFor(embeddings, idCol, vecCol, cents).persist()
+    IvfIndex(assignments, cents, nCentroids)
+  }
+
+  /** Seed + optional Lloyd training, shared by the build paths. */
+  private def trainedCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int): Array[IvfCentroid] = {
+    require(nCentroids >= 1, s"IVF needs nCentroids >= 1, got $nCentroids")
+    require(iters >= 0, s"IVF needs iters >= 0, got $iters")
+    val seed = centroidsOf(embeddings, idCol, vecCol, nCentroids)
+    require(seed.nonEmpty, "cannot build an IVF index over an empty corpus")
+    if (iters == 0) seed
+    else lloydRefine(embeddings, idCol, vecCol, seed, iters)
+  }
+
+  /** The per-row index tuple (id, v, n, centroid_id): one map-only pass. */
+  private def assignmentsFor(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[IvfCentroid]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dt = dotAuto(spark) _
+    embeddings
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", sqrt(dt(col("v"), col("v"))))
-      .withColumn("centroid_id", -best.getField("neg_id"))
-      .persist()
-    IvfIndex(assignments, cents, nCentroids)
+      .withColumn("centroid_id", bestCentroidExpr(spark, cents))
   }
 
   /** Session-lifetime index cache keyed by the input plan's semantic hash
@@ -159,23 +237,26 @@ object Similarity {
     * a session probes; `clearIndexCache()` releases everything (tests).
     */
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int), IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int), IvfIndex]
 
   def ivfIndexFor(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      nCentroids: Int): IvfIndex = {
+      nCentroids: Int,
+      iters: Int = 0): IvfIndex = {
     // keyed by the full canonicalized plan, not its 32-bit semanticHash —
     // a hash collision here would silently serve the WRONG index
     val key = (embeddings.queryExecution.analyzed.canonicalized.toString,
-      idCol, vecCol, nCentroids)
-    indexCache.getOrElseUpdate(key, ivfBuild(embeddings, idCol, vecCol, nCentroids))
+      idCol, vecCol, nCentroids, iters)
+    indexCache.getOrElseUpdate(key,
+      ivfBuild(embeddings, idCol, vecCol, nCentroids, iters))
   }
 
   def clearIndexCache(): Unit = {
     indexCache.values.foreach(_.unpersist())
     indexCache.clear()
+    centroidCache.clear()
   }
 
   /** IVF top-k probe: score the query against the driver-side centroid
@@ -193,8 +274,9 @@ object Similarity {
       query: Seq[Double],
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val idx = ivfIndexFor(embeddings, idCol, vecCol, nCentroids)
+      nProbe: Int = 4,
+      iters: Int = 0): DataFrame = {
+    val idx = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters)
     val qArr = query.toArray
     val qNorm = math.sqrt(dotLocal(qArr, qArr))
     val probes = idx.centroids
@@ -204,6 +286,90 @@ object Similarity {
       .map(_._1)
     val dt = dotAuto(spark) _
     idx.assignments
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col("id").as(idCol),
+        round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------- persisted IVF artifact
+
+  /** Build the IVF index as a DURABLE PARQUET ARTIFACT at `path`:
+    *
+    *   path/assignments/centroid_id=<id>/...   (id, v, n) — partitioned
+    *   path/centroids/...                      (id, vec, norm) — metadata
+    *
+    * Because the assignments table is physically partitioned BY
+    * `centroid_id`, a probe's cluster selection is PARTITION PRUNING on
+    * the scan (PartitionFilters, asserted in PlanSpec): only the nProbe
+    * directories are listed or read — at 100 TB the other
+    * nCentroids - nProbe directories cost nothing. This is the durable
+    * form of ivfBuild's session-cached index (same centroids, same
+    * assignment pass); the centroid table is the driver-held metadata,
+    * persisted beside the data so any session can probe.
+    */
+  def ivfBuildPersisted(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int,
+      iters: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters)
+    assignmentsFor(embeddings, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assignments")
+    import spark.implicits._
+    cents.toSeq.map(c => (c.id, c.vec.toSeq, c.norm))
+      .toDF("id", "vec", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroidCache.put(s"$path/centroids", cents)
+    ()
+  }
+
+  /** Driver-side cache of persisted-index centroid METADATA (nCentroids ×
+    * d doubles per path): probe selection needs it on every call, and a
+    * Spark job to re-read a kilobyte of metadata per probe would double
+    * probe latency. Refreshed by ivfBuildPersisted, cleared with the
+    * index cache.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[IvfCentroid]]
+
+  /** True when a persisted index exists at `path`. */
+  def persistedIndexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Probe a persisted IVF index: centroid metadata is one tiny read
+    * (nCentroids rows), probe selection is nCentroids local dots, and the
+    * scan of path/assignments carries `centroid_id IN (probes)` — which
+    * Spark turns into partition-directory pruning, the layout's whole
+    * point. Output columns: (idCol, score), ties broken by id.
+    */
+  def ivfTopKPersisted(
+      spark: SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "id"): DataFrame = {
+    val cents = centroidCache.getOrElseUpdate(s"$path/centroids",
+      spark.read.parquet(s"$path/centroids")
+        .select(col("id"), col("vec"), col("norm")).collect()
+        .map(r => IvfCentroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+    val qArr = query.toArray
+    val qNorm = math.sqrt(dotLocal(qArr, qArr))
+    val probes = cents
+      .map(c => (c.id, dotLocal(c.vec, qArr) / (c.norm * qNorm)))
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nProbe)
+      .map(_._1)
+    val dt = dotAuto(spark) _
+    spark.read.parquet(s"$path/assignments")
       .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
       .select(col("id").as(idCol),
         round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
@@ -284,9 +450,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16,
+      iters: Int = 0): DataFrame = {
     val dt = dotAuto(embeddings.sparkSession) _
-    val a = ivfIndexFor(embeddings, idCol, vecCol, nCentroids).assignments
+    val a = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters).assignments
     a.as("x").join(a.as("y"),
         col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
       .withColumn("score",

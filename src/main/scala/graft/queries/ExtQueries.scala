@@ -184,11 +184,22 @@ object ExtQueries {
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)),
 
-    // IVF approximate top-k (rows-only; recall measured in spec).
+    // IVF approximate top-k (rows-only; recall measured in spec) —
+    // probes the Lloyd-TRAINED index (2 rounds; see buildIndexes).
     "ext_ivf_topk" -> ((s, dir) => {
       val q = queryVector(s, dir)
       Similarity.ivfTopK(s, Tables.embeddings(s, dir), "vec_id", "embedding",
-        q, k = 10, nCentroids = 16, nProbe = 4)
+        q, k = 10, nCentroids = 16, nProbe = 4, iters = IvfIters)
+    }),
+
+    // IVF top-k against the DURABLE index artifact: probe selection is
+    // partition-directory pruning on centroid_id (PlanSpec asserts
+    // PartitionFilters) — the 100 TB layout, built once per corpus
+    // (rows-only: cluster assignment is engine-defined).
+    "ext_ivf_topk_persisted" -> ((s, dir) => {
+      ensurePersistedIndex(s, dir)
+      Similarity.ivfTopKPersisted(s, indexPath(dir), queryVector(s, dir),
+        k = 10, nProbe = 4, idCol = "vec_id")
     }),
 
     // IVF-bucketed near-dup pair search: only same-cluster pairs compared
@@ -196,7 +207,8 @@ object ExtQueries {
     "ext_cosine_pairs_ivf" -> ((s, dir) =>
       Similarity.cosinePairsAboveIvf(
         Tables.embeddings(s, dir).filter(col("vec_id") < 500),
-        "vec_id", "embedding", threshold = 0.25, nCentroids = 8)
+        "vec_id", "embedding", threshold = 0.25, nCentroids = 8,
+        iters = IvfIters)
         .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
@@ -358,16 +370,42 @@ object ExtQueries {
     * entry, so the cost is visible, not hidden. Safe to call repeatedly:
     * the session index cache makes it a no-op after the first build.
     */
+  /** Lloyd training rounds for every IVF index the queries probe: trained
+    * centroids follow the corpus's real cluster structure, so recall at
+    * fixed nProbe dominates the untrained seed (RecallSpec quantifies).
+    */
+  private[graft] val IvfIters = 2
+
   def buildIndexes(s: SparkSession, dir: String): Unit = {
     val full = Similarity.ivfIndexFor(
-      Tables.embeddings(s, dir), "vec_id", "embedding", 16)
+      Tables.embeddings(s, dir), "vec_id", "embedding", 16, iters = IvfIters)
     val bounded = Similarity.ivfIndexFor(
       Tables.embeddings(s, dir).filter(col("vec_id") < 500),
-      "vec_id", "embedding", 8)
+      "vec_id", "embedding", 8, iters = IvfIters)
     full.assignments.count()
     bounded.assignments.count()
-    ()
+    // the durable artifact: rebuilt (not reused) here so the bench's
+    // ivf_index_build line reports the real cost each round
+    Similarity.ivfBuildPersisted(Tables.embeddings(s, dir), "vec_id",
+      "embedding", indexPath(dir), nCentroids = 16, iters = IvfIters)
   }
+
+  /** Filesystem home of the persisted IVF artifact for a testdata dir —
+    * one index per (corpus, nCentroids, iters), under the system temp
+    * root so reruns reuse it and rounds start clean.
+    */
+  private[graft] def indexPath(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16_i$IvfIters"
+  }
+
+  /** Build the durable index only when absent (Verify-path economics:
+    * first query pays the build, every later probe is pruning-only).
+    */
+  private def ensurePersistedIndex(s: SparkSession, dir: String): Unit =
+    if (!Similarity.persistedIndexExists(s, indexPath(dir)))
+      Similarity.ivfBuildPersisted(Tables.embeddings(s, dir), "vec_id",
+        "embedding", indexPath(dir), nCentroids = 16, iters = IvfIters)
 
   def oracleSql: Map[String, String] = Map(
     "ext_token_stats" ->

@@ -134,6 +134,34 @@ class ExtSpec extends SparkSpec {
     assert(!idx1.assignments.storageLevel.useMemory) // cache release unpersists
   }
 
+  test("persisted ivf index: probe matches recall and scans only probed directories") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = tmpDir("ivf_persist") + "/idx"
+    Similarity.ivfBuildPersisted(emb, "vec_id", "embedding", path,
+      nCentroids = 16, iters = 2)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val probed = Similarity.ivfTopKPersisted(spark, path, q, 10, nProbe = 8,
+      idCol = "vec_id")
+    val got = probed.collect().map(_.getLong(0)).toSet
+    assert((exact & got).size / 10.0 >= 0.5, s"recall too low: exact=$exact got=$got")
+    assert(got.contains(0L)) // the query vector itself is always found
+    // artifact layout: one directory per centroid, probe reads <= nProbe
+    val dirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(dirs.length == 16, s"expected 16 partition dirs, got ${dirs.toSeq}")
+    // (input_file_name is only visible at the scan, not above top-k, so
+    // the files-read check runs on the pruned scan shape directly)
+    val twoClusters = spark.read.parquet(s"$path/assignments")
+      .filter(col("centroid_id").isin(dirs.take(2).map(_.split("=")(1).toLong): _*))
+    val files = twoClusters.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.split("centroid_id=")(1).split("/")(0)).toSet
+    assert(files.size <= 2, s"pruned scan read ${files.size} cluster dirs: $files")
+  }
+
   test("ivf probe scans only the probed clusters") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") === 7).select("embedding")

@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("centroid_id"), "probe does not prune by cluster")
   }
 
+  test("durable ivf probe prunes partitions: PartitionFilters on centroid_id") {
+    graft.queries.ExtQueries.buildIndexes(spark, dir)
+    val p = extPlan("ext_ivf_topk_persisted")
+    // the cluster selection must reach the scan as a PARTITION filter
+    // (directory pruning), not a post-scan data filter
+    assert(p.contains("PartitionFilters: [centroid_id"),
+      s"probe scans the whole artifact instead of pruning directories:\n$p")
+    // and only the probed directories' files are read: the scan's
+    // partition count equals nProbe clusters, not nCentroids
+    val scanned = graft.queries.ExtQueries.queries("ext_ivf_topk_persisted")(spark, dir)
+    assert(scanned.count() == 10)
+  }
+
   test("win_lag_lead: all five window functions share ONE shuffle and ONE Window node") {
     val p = plan("win_lag_lead")
     def cnt(sub: String) = p.sliding(sub.length).count(_ == sub)
