@@ -25,6 +25,12 @@ object Bench {
       graft.ext.Dedup.minhashNearDups(tinyDocs, "doc_id", "text").count()
       graft.ext.Dedup.simhashNearDups(tinyDocs, "doc_id", "text").count()
       graft.ext.Dedup.ngramGroundTruthPairs(tinyDocs, "doc_id", "text", 3, 0.9).count()
+      // pre-JIT the IVF train/assign/persist paths on 64 vectors, then
+      // drop the throwaway index so the measured build starts cold-cache
+      val tinyEmb = Tables.embeddings(spark, sfDir).limit(64)
+      graft.ext.Similarity.ivfBuildPersisted(tinyEmb, "vec_id", "embedding",
+        sys.props("java.io.tmpdir") + "/graft_bench_warm_ivf", 2, iters = 1)
+      graft.ext.Similarity.clearIndexCache()
     } catch { case _: Throwable => () }
     // IVF index build is a one-time ETL artifact, not query latency —
     // build it up front and report the cost as its own line (the standard

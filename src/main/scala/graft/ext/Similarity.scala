@@ -316,9 +316,23 @@ object Similarity {
       path: String,
       nCentroids: Int,
       iters: Int = 0): Unit = {
-    val spark = embeddings.sparkSession
     val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters)
-    assignmentsFor(embeddings, idCol, vecCol, cents)
+    writeIndexArtifact(assignmentsFor(embeddings, idCol, vecCol, cents), cents, path)
+  }
+
+  /** Persist an ALREADY-BUILT in-memory index as the durable artifact —
+    * training and assignment are not repeated (a session that benches or
+    * serves both forms pays for them once).
+    */
+  def persistIndex(idx: IvfIndex, path: String): Unit =
+    writeIndexArtifact(idx.assignments, idx.centroids, path)
+
+  private def writeIndexArtifact(
+      assignments: DataFrame,
+      cents: Array[IvfCentroid],
+      path: String): Unit = {
+    val spark = assignments.sparkSession
+    assignments
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/assignments")
     import spark.implicits._
