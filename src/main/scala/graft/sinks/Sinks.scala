@@ -231,16 +231,7 @@ object Upsert {
       SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
 
       // prune the existing scan to the partitions the batch touches
-      val existing =
-        if (partitionBy.isEmpty) existingAll
-        else {
-          val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
-          val cond = touched.map(r =>
-            partitionBy.zipWithIndex
-              .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-              .reduce(_ && _)).reduce(_ || _)
-          existingAll.filter(cond)
-        }
+      val existing = prunedExisting(batch, existingAll, partitionBy)
       val updated = batch
         .join(existing.select(keys.map(col): _*), keys, "left_semi").count()
       val kept = existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
@@ -279,6 +270,26 @@ object Upsert {
       Result(updated, total - updated)
     } finally { batch.unpersist(); () }
   }
+
+  /** The merge's read side: the existing table filtered to the partition
+    * values the batch names. On a directory-partitioned target the filter
+    * is pure PARTITION pruning (PartitionFilters on the scan, zero data
+    * files read outside the touched set — plan-asserted in SinksSpec).
+    * Exposed for plan-shape tests.
+    */
+  private[graft] def prunedExisting(
+      batch: DataFrame,
+      existingAll: DataFrame,
+      partitionBy: Seq[String]): DataFrame =
+    if (partitionBy.isEmpty) existingAll
+    else {
+      val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
+      val cond = touched.map(r =>
+        partitionBy.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)).reduce(_ || _)
+      existingAll.filter(cond)
+    }
 
   /** Leaf `k=v` directories under a partitioned write (nested for
     * multi-level partitioning) — the unit of the swap.

@@ -124,7 +124,12 @@ object EventIngest {
     val inserted = new java.util.concurrent.atomic.AtomicLong(0)
     val q = readEventStream(spark, srcDir)
       .withWatermark("ts", "20 minutes")
-      .dropDuplicates("event_id")
+      // within-watermark dedup: duplicate keys are tracked only inside
+      // the lateness horizon, so state is O(events per 20 minutes) — the
+      // plain dropDuplicates form would keep EVERY key forever, the
+      // state-store leak that kills a long-running ingest. Cross-horizon
+      // replays are still absorbed by the idempotent sink's anti-join.
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

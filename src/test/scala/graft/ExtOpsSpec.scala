@@ -150,6 +150,35 @@ class ExtOpsSpec extends SparkSpec {
       s"estimate $unioned vs exact $exact")
   }
 
+  test("mergeable count-min sketches: per-day merge == whole-table, counts never under") {
+    // the heavy-hitter companion to the HLL pattern: store one tiny CMS
+    // per partition/day, answer "how often did key k appear over any
+    // range" by merging sketches — no history rescan. Claims: (1) merge
+    // of parts is LOSSLESS vs one-shot (same width/depth/seed), (2) CMS
+    // error is one-sided — estimate >= true, <= true + eps*N.
+    import org.apache.spark.util.sketch.CountMinSketch
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("d", dayofmonth(col("o_orderdate")))
+    val cmsExpr = "count_min_sketch(o_custkey, 0.001d, 0.99d, 42)"
+    val perDay = df.groupBy("d").agg(expr(cmsExpr).as("sk"))
+      .collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+    val merged = perDay.reduce { (a, b) => a.mergeInPlace(b); a }
+    val whole = CountMinSketch.readFrom(
+      df.agg(expr(cmsExpr).as("sk")).head().getAs[Array[Byte]]("sk"))
+    val n = df.count()
+    val slack = math.ceil(0.001 * n).toLong
+    val truth = df.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("o_custkey")).limit(8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    truth.foreach { case (k, c) =>
+      val est = merged.estimateCount(k)
+      assert(est == whole.estimateCount(k),
+        s"merge not lossless for key $k: $est vs ${whole.estimateCount(k)}")
+      assert(est >= c && est <= c + slack,
+        s"key $k: estimate $est outside [$c, ${c + slack}]")
+    }
+  }
+
   test("approx_count_distinct within documented 5% of exact") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val r = df.agg(

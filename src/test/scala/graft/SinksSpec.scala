@@ -186,6 +186,19 @@ class SinksSpec extends SparkSpec {
       .select("v").head().getDouble(0) == 5.5)
   }
 
+  test("SCD1 upsert: merge read is PARTITION-pruned (PartitionFilters on the scan)") {
+    val dir = tmpDir("scd1plan") + "/t"
+    seedPartitioned(dir)
+    val batch = Seq(("2026-01-01", 1L, 5.5)).toDF("day", "k", "v")
+    val pruned = Upsert.prunedExisting(batch, spark.read.parquet(dir), Seq("day"))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filter on merge read:\n$p")
+    assert(p.contains("day#") && p.contains("2026-01-01"),
+      s"touched-partition predicate missing:\n$p")
+    // and only the touched partition's rows are read
+    assert(pruned.count() == 2)
+  }
+
   test("SCD1 upsert: rerunning the same batch is a no-op on contents (idempotent)") {
     val dir = tmpDir("scd1c") + "/t"
     seedPartitioned(dir)
