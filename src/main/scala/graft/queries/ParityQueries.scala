@@ -538,6 +538,22 @@ object ParityQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Ranking window family completion: rank / dense_rank / cume_dist /
+    // nth_value over the same total in-partition order as win_lag_lead —
+    // one shuffle, one Window node (PlanSpec pattern).
+    "win_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value(col("o_totalprice"), 2).over(wRows).as("second_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // FULL OUTER join with key coalescing: month-over-month customer
     // activity (customers active in Jan, Feb, or both). Both sides are
     // pre-aggregated to the join key before the join — the aggregate
@@ -1080,6 +1096,18 @@ object ParityQueries {
         |    ROWS UNBOUNDED PRECEDING) AS first_key,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,

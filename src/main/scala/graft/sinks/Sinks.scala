@@ -122,6 +122,39 @@ object UpsertIgnore {
   }
 }
 
+/** Directory swap with stage-aside semantics, shared by the rewriting
+  * sinks (same discipline as Maintenance.compact): the live directory is
+  * renamed aside before the staged replacement moves in, so a failed
+  * forward rename can restore it — `delete + rename` would lose the
+  * table to a crash in between. A crash BETWEEN the two renames still
+  * leaves the data parked in the hidden `.<name>__old` sibling; callers
+  * inherit compact's single-writer/no-concurrent-reader contract, and
+  * `Maintenance.recover`-style healing applies (restore `__old` when the
+  * destination is missing).
+  */
+private[sinks] object SwapUtil {
+  def stageAsideSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dst: Path,
+      staged: Path,
+      who: String,
+      dstMayBeAbsent: Boolean = false): Unit = {
+    val bak = new Path(dst.getParent, s".${dst.getName}__old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadDst = fs.exists(dst)
+    if (!hadDst && !dstMayBeAbsent)
+      sys.error(s"$who: swap destination $dst is missing")
+    if (hadDst && !fs.rename(dst, bak))
+      sys.error(s"$who: cannot stage $dst aside")
+    if (!fs.rename(staged, dst)) {
+      if (hadDst) fs.rename(bak, dst)
+      sys.error(s"$who: swap failed for $dst")
+    }
+    if (hadDst) fs.delete(bak, true)
+    ()
+  }
+}
+
 /** Strict batch-vs-target schema alignment, shared by the keyed sinks.
   * Schema drift is handled UPSTREAM (column-union, §1.2) — the sinks are
   * strict: silently appending a different column set OR a same-name/
@@ -247,8 +280,7 @@ object Upsert {
         .parquet(tmp.toString)
 
       if (partitionBy.isEmpty) {
-        fs.delete(p, true)
-        if (!fs.rename(tmp, p)) sys.error(s"Upsert: swap failed for $targetPath")
+        SwapUtil.stageAsideSwap(fs, p, tmp, "Upsert")
       } else {
         // swap ONLY the touched leaf partition dirs; everything else stays.
         // Qualify the staging root first: listStatus returns scheme-
@@ -260,10 +292,8 @@ object Upsert {
           require(rel.nonEmpty && !rel.contains(":"),
             s"Upsert: cannot relativize staging leaf $leaf against $tmpQ")
           val dst = new Path(p, rel)
-          if (fs.exists(dst)) fs.delete(dst, true)
           fs.mkdirs(dst.getParent)
-          if (!fs.rename(leaf, dst))
-            sys.error(s"Upsert: partition swap failed for $dst")
+          SwapUtil.stageAsideSwap(fs, dst, leaf, "Upsert", dstMayBeAbsent = true)
         }
         fs.delete(tmp, true)
       }
@@ -346,14 +376,14 @@ object MergeOverwrite {
           .drop("__prio")
       }
     // Overwriting the path we read from: materialize through a staging
-    // location would be the production pattern; single-driver harness
-    // simply recomputes into a temp dir then swaps.
-    val tmp = path + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    val p = new Path(path); val t = new Path(tmp)
+    // dir, then swap with the stage-aside discipline (a failed forward
+    // rename restores the original — never delete-then-rename).
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    val t = new Path(p.getParent, s".${p.getName}__staging")
+    if (fs.exists(t)) fs.delete(t, true)
+    merged.write.mode("overwrite").parquet(t.toString)
+    SwapUtil.stageAsideSwap(fs, p, t, "MergeOverwrite", dstMayBeAbsent = true)
   }
 }
 

@@ -211,6 +211,35 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == first)
   }
 
+  test("SCD1 upsert: TWO-LEVEL partitioning swaps at the leaf, siblings untouched") {
+    val dir = tmpDir("scd1multi") + "/t"
+    val seed = Seq(
+      ("2026-01-01", "a", 1L, 1.0), ("2026-01-01", "b", 2L, 2.0),
+      ("2026-01-02", "a", 3L, 3.0))
+      .toDF("day", "shard", "k", "v")
+    Upsert(spark, seed, dir, keys = Seq("day", "shard", "k"),
+      partitionBy = Seq("day", "shard"))
+    def files(rel: String) = {
+      val d = new java.io.File(s"$dir/$rel")
+      d.listFiles().filter(_.isFile).map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val sibling = files("day=2026-01-01/shard=b")
+    val otherDay = files("day=2026-01-02/shard=a")
+    // touch only (2026-01-01, a): its SIBLING under the same day must
+    // survive byte-identical — a first-level swap would destroy it
+    val r = Upsert(spark,
+      Seq(("2026-01-01", "a", 1L, 9.0), ("2026-01-01", "a", 8L, 8.0))
+        .toDF("day", "shard", "k", "v"),
+      dir, Seq("day", "shard", "k"), Seq("day", "shard"))
+    assert(r == Upsert.Result(updated = 1, inserted = 1))
+    assert(files("day=2026-01-01/shard=b") == sibling, "sibling leaf rewritten")
+    assert(files("day=2026-01-02/shard=a") == otherDay)
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 4)
+    assert(t.filter(col("k") === 1L).select("v").head().getDouble(0) == 9.0)
+    assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 2.0)
+  }
+
   test("SCD1 upsert: flat (unpartitioned) target merges correctly") {
     val dir = tmpDir("scd1d") + "/t"
     val seed = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
