@@ -10,8 +10,9 @@ here: pushed filters + pruned ReadSchema at every scan,
 TakeOrderedAndProject for top-k, BroadcastHashJoin LeftAnti BuildRight
 for the K5 upsert, partial->final HashAggregate pairs, codegen stage
 spans, the native graft_* expressions in the dedup/similarity stages,
-and the IVF probe reading the persisted index (InMemoryTableScan +
-centroid_id filter) instead of the corpus.
+and the IVF probes reading the index instead of the corpus — the
+session-cached form (InMemoryTableScan + centroid_id filter) and the
+durable artifact (PartitionFilters pruning centroid_id directories).
 
 """
 val headline = Seq(
@@ -20,6 +21,7 @@ val headline = Seq(
   ("q1_pricing_summary", "partial->final aggregation"),
   ("tpch_q5_local_volume", "6-way star join: dims broadcast, one fact shuffle"),
   ("ext_ivf_topk", "IVF probe: persisted index scan, cluster pruning, TakeOrdered"),
+  ("ext_ivf_topk_persisted", "durable IVF probe: PartitionFilters prune centroid_id dirs"),
   ("ext_simhash_neardup", "SimHash near-dup: native signature, chunk-block candidates"),
   ("ext_minhash_recall", "recall gate: length-prefiltered ground truth semi-join"),
   ("asof_latest_order", "as-of join: union + window fill, one exchange, no pair blowup"),

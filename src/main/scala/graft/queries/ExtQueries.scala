@@ -184,6 +184,30 @@ object ExtQueries {
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)),
 
+    // BATCH similarity serving (oracled): many query vectors against the
+    // corpus in ONE job — the query set broadcast (tiny side), scores
+    // computed map-side along the corpus scan, per-query top-k via the
+    // bounded-heap Aggregator (O(k) state per query per partition; no
+    // global sort, no per-query job). This is the realistic ANN serving
+    // shape: at 100 TB the corpus scan happens once for the whole batch.
+    "ext_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dt = Similarity.dotAuto(s) _
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(dt(col("qv"), col("qv"))))
+      val corpus = emb
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("n", sqrt(dt(col("v"), col("v"))))
+      val scored = corpus.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          round(dt(col("v"), col("qv")) / (col("n") * col("qn")), 6).as("score"))
+      graft.ops.GroupedTopK(s, scored, "q_id", "score", "vec_id", 5)
+        .select(col("q_id").cast("long").as("q_id"), col("score"), col("vec_id"))
+        .orderBy(col("q_id").asc, col("score").desc, col("vec_id").asc)
+    }),
+
     // IVF approximate top-k (rows-only; recall measured in spec) —
     // probes the Lloyd-TRAINED index (2 rounds; see buildIndexes).
     "ext_ivf_topk" -> ((s, dir) => {
@@ -471,6 +495,20 @@ object ExtQueries {
         |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
         |    AS score
         |FROM e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ext_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |  round(list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |    AS score
+        |  FROM e, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, vec_id) AS rn FROM s)
+        |SELECT q_id, score, vec_id FROM r WHERE rn <= 5
+        |ORDER BY q_id, score DESC, vec_id""".stripMargin,
 
     "ext_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
