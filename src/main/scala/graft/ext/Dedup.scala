@@ -406,11 +406,13 @@ object Dedup {
       i => xxhash64(substr(col(textCol), i, lit(n))))
     val g = df.select(col(idCol).as("gid"), sort_array(array_distinct(raw)).as("grams"))
       .withColumn("ng", size(col("grams")))
-    // A bounded-universe scan arrives as ONE input split, which would run
-    // the whole quadratic pair loop on a single core; spread the stream
-    // side so the broadcast join parallelizes — but only when actually
-    // under-split (a pre-split input pays no exchange).
-    val gx = graft.ops.Transforms.spreadIfNarrow(g)
+    // UNCONDITIONAL spread, deliberately: callers bound the universe with
+    // a pushed filter (doc_id range), which on a multi-split corpus can
+    // leave every surviving row in ONE split — a split-COUNT check
+    // (spreadIfNarrow) would pass it through and run the quadratic pair
+    // loop on a single core. The shuffled payload is the bounded
+    // universe's gram arrays — negligible by construction.
+    val gx = g.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     // Lossless length prefilter: jaccard = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|),
     // so any pair at or above `threshold` must have gram-set sizes within
     // that ratio — evaluated as part of the join condition, it prunes the

@@ -277,15 +277,31 @@ object Similarity {
       nProbe: Int = 4,
       iters: Int = 0): DataFrame = {
     val idx = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters)
+    probeAssignments(idx.assignments, idx.centroids, idCol, query, k, nProbe)
+  }
+
+  /** THE probe, shared verbatim by the session-cached and persisted index
+    * forms (they are documented to agree — one implementation makes that
+    * structural): select the nProbe nearest centroids driver-side, filter
+    * the assignment table to those clusters, score with the hoisted
+    * norms, bounded top-k with id tie-break.
+    */
+  private def probeAssignments(
+      assignments: DataFrame,
+      cents: Array[IvfCentroid],
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
     val qArr = query.toArray
     val qNorm = math.sqrt(dotLocal(qArr, qArr))
-    val probes = idx.centroids
+    val probes = cents
       .map(c => (c.id, dotLocal(c.vec, qArr) / (c.norm * qNorm)))
       .sortBy { case (id, cos) => (-cos, id) }
       .take(nProbe)
       .map(_._1)
-    val dt = dotAuto(spark) _
-    idx.assignments
+    val dt = dotAuto(assignments.sparkSession) _
+    assignments
       .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
       .select(col("id").as(idCol),
         round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
@@ -332,13 +348,23 @@ object Similarity {
       cents: Array[IvfCentroid],
       path: String): Unit = {
     val spark = assignments.sparkSession
+    // build the whole artifact in a staging sibling, then one atomic-ish
+    // stage-aside swap — a concurrent probe never observes a half-written
+    // index (assignments present, centroids missing)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging =
+      new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
     assignments
       .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/assignments")
+      .parquet(s"$staging/assignments")
     import spark.implicits._
     cents.toSeq.map(c => (c.id, c.vec.toSeq, c.norm))
       .toDF("id", "vec", "norm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, "ivf index",
+      dstMayBeAbsent = true)
     centroidCache.put(s"$path/centroids", cents)
     ()
   }
@@ -375,20 +401,8 @@ object Similarity {
       spark.read.parquet(s"$path/centroids")
         .select(col("id"), col("vec"), col("norm")).collect()
         .map(r => IvfCentroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
-    val qArr = query.toArray
-    val qNorm = math.sqrt(dotLocal(qArr, qArr))
-    val probes = cents
-      .map(c => (c.id, dotLocal(c.vec, qArr) / (c.norm * qNorm)))
-      .sortBy { case (id, cos) => (-cos, id) }
-      .take(nProbe)
-      .map(_._1)
-    val dt = dotAuto(spark) _
-    spark.read.parquet(s"$path/assignments")
-      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
-      .select(col("id").as(idCol),
-        round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    probeAssignments(spark.read.parquet(s"$path/assignments"), cents,
+      idCol, query, k, nProbe)
   }
 
   /** All pairs above a cosine threshold — near-dup detection by embedding.

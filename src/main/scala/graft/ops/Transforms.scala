@@ -102,9 +102,18 @@ object Transforms {
     * pair-expansion stage on a single core; a 100 TB input is already
     * thousands of splits and must NOT pay an extra exchange. So the
     * round-robin repartition applies only when the scan's actual split
-    * count is below the session's parallelism — inspected from the
-    * physical RDD (plan-time metadata; no job runs). Pre-split production
-    * inputs pass through untouched.
+    * count is below the session's parallelism.
+    *
+    * PRECONDITIONS, load-bearing:
+    *  - MAP-ONLY INPUT PLANS ONLY (scan/filter/project). `df.rdd` forces
+    *    physical planning, and under AQE an input containing a shuffle
+    *    would EXECUTE its upstream stages eagerly just to read a
+    *    partition count — then again when the plan runs.
+    *  - The check is split COUNT, not balance: a pre-split input whose
+    *    pushed filter concentrates the rows in one split passes through
+    *    untouched. Quadratic bounded-universe stages keep their
+    *    unconditional spread for exactly that reason
+    *    (Dedup.ngramGroundTruthPairs).
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -126,10 +126,12 @@ object ExtQueries {
     // where the correctness gate runs) because the measuring stick is
     // all-pairs quadratic by design.
     "ext_minhash_recall" -> ((s, dir) => {
-      // spread (when under-split): the bounded universe is one input
-      // split locally; the shingle hashing should cross cores.
-      val docs = graft.ops.Transforms.spreadIfNarrow(
-        Tables.documents(s, dir).filter(col("doc_id") < 500))
+      // unconditional spread: the doc_id filter can concentrate the
+      // bounded universe in one split of a pre-split corpus, and the
+      // shuffled payload is bounded by construction (see
+      // Dedup.ngramGroundTruthPairs).
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
       val found = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
@@ -139,8 +141,8 @@ object ExtQueries {
     }),
 
     "ext_corpus_recall" -> ((s, dir) => {
-      val docs = graft.ops.Transforms.spreadIfNarrow(
-        Tables.documents(s, dir).filter(col("doc_id") < 500))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
       val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 3)
@@ -222,7 +224,7 @@ object ExtQueries {
     // (rows-only: cluster assignment is engine-defined).
     "ext_ivf_topk_persisted" -> ((s, dir) => {
       ensurePersistedIndex(s, dir)
-      Similarity.ivfTopKPersisted(s, indexPath(dir), queryVector(s, dir),
+      Similarity.ivfTopKPersisted(s, indexPath(s, dir), queryVector(s, dir),
         k = 10, nProbe = 4, idCol = "vec_id")
     }),
 
@@ -410,25 +412,40 @@ object ExtQueries {
     bounded.assignments.count()
     // the durable artifact reuses the in-memory index's training and
     // assignment (one build, two forms) — the write is the only extra
-    Similarity.persistIndex(full, indexPath(dir))
+    Similarity.persistIndex(full, indexPath(s, dir))
   }
 
   /** Filesystem home of the persisted IVF artifact for a testdata dir —
-    * one index per (corpus, nCentroids, iters), under the system temp
-    * root so reruns reuse it and rounds start clean.
+    * keyed by build params AND a fingerprint of the source parquet's
+    * file metadata (names, sizes, mtimes: an O(1) listing, no job), so a
+    * regenerated corpus at the same path can never be served by a stale
+    * index; reruns over unchanged data reuse it.
     */
-  private[graft] def indexPath(dir: String): String = {
+  private[graft] def indexPath(s: SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16_i$IvfIters"
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16_i${IvfIters}_${corpusFp(s, dir)}"
+  }
+
+  private def corpusFp(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
   }
 
   /** Build the durable index only when absent (Verify-path economics:
     * first query pays the build, every later probe is pruning-only).
     */
   private def ensurePersistedIndex(s: SparkSession, dir: String): Unit =
-    if (!Similarity.persistedIndexExists(s, indexPath(dir)))
+    if (!Similarity.persistedIndexExists(s, indexPath(s, dir)))
       Similarity.ivfBuildPersisted(Tables.embeddings(s, dir), "vec_id",
-        "embedding", indexPath(dir), nCentroids = 16, iters = IvfIters)
+        "embedding", indexPath(s, dir), nCentroids = 16, iters = IvfIters)
 
   def oracleSql: Map[String, String] = Map(
     "ext_token_stats" ->

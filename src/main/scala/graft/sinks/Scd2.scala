@@ -54,7 +54,17 @@ object Scd2 {
             "or pass validateKeys=false after enforcing uniqueness")
       }
       dupCheck(snapshot, "snapshot")
-      dupCheck(dim.filter(col("valid_to").isNull), "dimension open slice")
+      // open-slice check restricted to the keys THIS snapshot touches: a
+      // dup key outside the snapshot passes through untouched (no fan-out
+      // through the join), so checking it would scan the whole dimension
+      // for no merge-protection — this form is O(open rows matching the
+      // batch), not O(dim), via a broadcastable snapshot-key semi-join
+      val snapKeys = snapshot
+        .select(keys.map(k => col(k).as(s"__s_$k")): _*).distinct()
+      val touchCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+      dupCheck(
+        dim.filter(col("valid_to").isNull).join(snapKeys, touchCond, "left_semi"),
+        "dimension open slice (snapshot keys)")
     }
     val reserved = Seq("__d_present", "__s_present") ++
       (keys ++ attrs).map(c => s"__s_$c")

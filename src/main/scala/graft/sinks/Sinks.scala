@@ -132,15 +132,15 @@ object UpsertIgnore {
   * `Maintenance.recover`-style healing applies (restore `__old` when the
   * destination is missing).
   */
-private[sinks] object SwapUtil {
+private[graft] object SwapUtil {
   def stageAsideSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       dst: Path,
       staged: Path,
       who: String,
       dstMayBeAbsent: Boolean = false): Unit = {
+    recoverOne(fs, dst) // heal a previous crash before touching anything
     val bak = new Path(dst.getParent, s".${dst.getName}__old")
-    if (fs.exists(bak)) fs.delete(bak, true)
     val hadDst = fs.exists(dst)
     if (!hadDst && !dstMayBeAbsent)
       sys.error(s"$who: swap destination $dst is missing")
@@ -152,6 +152,48 @@ private[sinks] object SwapUtil {
     }
     if (hadDst) fs.delete(bak, true)
     ()
+  }
+
+  /** Heal one swap destination: live dir missing + `.name__old` parked →
+    * restore the backup; both present → the forward swap had completed,
+    * drop the stale backup. Idempotent. Returns true when a restore ran.
+    */
+  def recoverOne(fs: org.apache.hadoop.fs.FileSystem, dst: Path): Boolean = {
+    val bak = new Path(dst.getParent, s".${dst.getName}__old")
+    if (!fs.exists(bak)) false
+    else if (!fs.exists(dst)) {
+      if (!fs.rename(bak, dst)) sys.error(s"swap recover: cannot restore $dst")
+      true
+    } else { fs.delete(bak, true); false }
+  }
+
+  /** Heal a whole table: the root itself plus every `.X__old` parked
+    * beside a partition directory at any nesting depth. MUST run before
+    * any read that feeds a rewrite — a rewrite computed from a
+    * crash-truncated table would otherwise commit the data loss (the
+    * kept-rows side would silently be empty for the crashed partition).
+    */
+  def recoverUnder(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    recoverOne(fs, root)
+    if (!fs.exists(root)) return
+    def walk(dir: Path): Unit = {
+      fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith(".") && n.endsWith("__old")
+      }.foreach { st =>
+        val live = new Path(dir,
+          st.getPath.getName.stripPrefix(".").stripSuffix("__old"))
+        recoverOne(fs, live)
+      }
+      // re-list AFTER restores (a restored dir must be walked for nested
+      // backups), and never descend into hidden/backup dirs themselves
+      fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }.foreach(st => walk(st.getPath))
+    }
+    walk(root)
   }
 }
 
@@ -254,13 +296,33 @@ object Upsert {
         s"Upsert batch has ${total - distinctKeys} duplicate keys " +
           s"${keys.mkString("(", ",", ")")} — last-writer is undefined; " +
           "dedup the batch first")
+      // heal any crashed previous swap BEFORE reading: a merge computed
+      // from a crash-truncated table would commit the data loss
+      locally {
+        val p0 = new Path(targetPath)
+        SwapUtil.recoverUnder(
+          p0.getFileSystem(spark.sparkContext.hadoopConfiguration), p0)
+      }
       if (!UpsertIgnore.targetExists(spark, targetPath)) {
         val w = batch.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(targetPath)
         return Result(0, total)
       }
-      val existingAll = spark.read.parquet(targetPath)
+      // Partition values are read AS STRINGS (type inference off, same
+      // discipline as Maintenance.compact): an inferred type ("01" -> 1)
+      // would make the rewrite emit a DIVERGENT sibling directory
+      // (day=1 beside day=01) and fragment the layout the swap relies on.
+      val existingAll =
+        if (partitionBy.isEmpty) spark.read.parquet(targetPath)
+        else {
+          val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+          val saved = spark.conf.get(inferKey)
+          try {
+            spark.conf.set(inferKey, "false")
+            spark.read.parquet(targetPath)
+          } finally spark.conf.set(inferKey, saved)
+        }
       SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
 
       // prune the existing scan to the partitions the batch touches
@@ -314,9 +376,15 @@ object Upsert {
     if (partitionBy.isEmpty) existingAll
     else {
       val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
+      // literals are cast to the EXISTING column's type (string under the
+      // inference-off read), keeping the predicate a bare partition-column
+      // comparison — a cast landing on the column side instead would
+      // still prune but muddy the plan
       val cond = touched.map(r =>
         partitionBy.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .map { case (c, i) =>
+            col(c) <=> lit(r.get(i)).cast(existingAll.schema(c).dataType)
+          }
           .reduce(_ && _)).reduce(_ || _)
       existingAll.filter(cond)
     }
@@ -361,6 +429,7 @@ object MergeOverwrite {
     val exists = {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SwapUtil.recoverOne(fs, p) // heal a crashed previous swap first
       fs.exists(p)
     }
     val merged =

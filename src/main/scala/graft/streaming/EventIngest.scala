@@ -60,9 +60,11 @@ object EventIngest {
   /** Streaming dedup with BOUNDED state: duplicate keys are only tracked
     * within the watermark horizon, so the state store holds O(events per
     * 20 minutes), not every key ever seen — the difference between a
-    * dedup that runs forever and one that OOMs in week two. (The ingest
-    * path's plain dropDuplicates is per-micro-batch + idempotent sink;
-    * this is the cross-batch form for pipelines without a keyed sink.)
+    * dedup that runs forever and one that OOMs in week two.
+    * `ingestAvailableNow` uses the same within-watermark form; the
+    * difference is downstream — the ingest ALSO has the idempotent keyed
+    * sink absorbing cross-horizon replays, while this standalone form is
+    * for pipelines whose sink has no key to dedup on.
     */
   def dedupedStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "20 minutes")

@@ -240,6 +240,47 @@ class SinksSpec extends SparkSpec {
     assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 2.0)
   }
 
+  test("SCD1 upsert: crash mid-swap + rerun loses NO unmatched rows (recovery)") {
+    val dir = tmpDir("scd1crash") + "/t"
+    seedPartitioned(dir)
+    // simulate a crash between rename(dst, bak) and rename(staged, dst):
+    // the live leaf is gone, old rows parked in the hidden backup
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leaf = new org.apache.hadoop.fs.Path(s"$dir/day=2026-01-01")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/.day=2026-01-01__old")
+    assert(fs.rename(leaf, bak))
+    // rerun the same upsert: recovery must restore the parked rows FIRST,
+    // so key 2 (absent from the batch) survives the merge
+    val r = Upsert(spark,
+      Seq(("2026-01-01", 1L, 7.7)).toDF("day", "k", "v"),
+      dir, Seq("day", "k"), Seq("day"))
+    assert(r == Upsert.Result(updated = 1, inserted = 0))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 4, "crash recovery lost rows")
+    assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 2.0)
+    assert(t.filter(col("k") === 1L).select("v").head().getDouble(0) == 7.7)
+  }
+
+  test("SCD1 upsert: numeric-looking STRING partition values never fragment the layout") {
+    val dir = tmpDir("scd1names") + "/t"
+    val seed = Seq(("01", 1L, 1.0), ("01", 2L, 2.0), ("2", 3L, 3.0))
+      .toDF("bucket", "k", "v")
+    Upsert(spark, seed, dir, keys = Seq("bucket", "k"), partitionBy = Seq("bucket"))
+    // type inference would read "01" back as 1 and the rewrite would emit
+    // a divergent bucket=1 sibling beside bucket=01
+    Upsert(spark, Seq(("01", 1L, 9.0)).toDF("bucket", "k", "v"),
+      dir, Seq("bucket", "k"), Seq("bucket"))
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("bucket=01", "bucket=2"), s"layout fragmented: $dirs")
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 3)
+    assert(t.filter(col("k") === 1L).select("v").head().getDouble(0) == 9.0)
+    assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 2.0)
+  }
+
   test("SCD1 upsert: flat (unpartitioned) target merges correctly") {
     val dir = tmpDir("scd1d") + "/t"
     val seed = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
