@@ -625,6 +625,35 @@ object ParityQueries {
         .orderBy(col("c_custkey").asc, col("valid_from").asc)
     }),
 
+    // Incremental rollup maintenance (sinks.IncrementalRollup) — run
+    // AGAINST THE REAL SINK: lineitem split into two delta batches, each
+    // folded into a ym-partitioned standing aggregate in O(delta); the
+    // read-back must equal the direct one-shot aggregate (the oracle) —
+    // the invariant that makes O(delta) maintenance sound. Sums are over
+    // integer-valued doubles (l_quantity), so partial-merge order cannot
+    // perturb a bit.
+    "rollup_incremental" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      val target = s"$work/rollup"
+      val li = Tables.lineitem(s, dir)
+        .withColumn("ym", date_format(col("l_shipdate"), "yyyy-MM"))
+        .select("ym", "l_returnflag", "l_quantity", "l_orderkey")
+      for (parity <- Seq(0, 1))
+        graft.sinks.IncrementalRollup(s,
+          li.filter(col("l_orderkey") % 2 === parity),
+          target, groupCols = Seq("ym", "l_returnflag"),
+          sumCols = Seq("l_quantity" -> "sum_qty"),
+          partitionBy = Seq("ym"))
+      val out = s.read.parquet(target)
+        .select(col("ym"), col("l_returnflag"), col("cnt"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("ym", "l_returnflag")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // SCD1 merge-with-update (sinks.Upsert) — exercised AGAINST THE REAL
     // SINK, not restated: seed a segment-partitioned parquet dimension
     // from customer, upsert a batch of changed + brand-new rows through
@@ -1170,6 +1199,11 @@ object ParityQueries {
         |  CAST(NULL AS TIMESTAMP)
         |FROM j WHERE s_key IS NOT NULL AND (d_key IS NULL OR NOT same)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "rollup_incremental" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_returnflag,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY ym, l_returnflag""".stripMargin,
 
     "scd1_upsert" ->
       """WITH batch AS (

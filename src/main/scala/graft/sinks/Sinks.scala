@@ -309,20 +309,8 @@ object Upsert {
           .parquet(targetPath)
         return Result(0, total)
       }
-      // Partition values are read AS STRINGS (type inference off, same
-      // discipline as Maintenance.compact): an inferred type ("01" -> 1)
-      // would make the rewrite emit a DIVERGENT sibling directory
-      // (day=1 beside day=01) and fragment the layout the swap relies on.
       val existingAll =
-        if (partitionBy.isEmpty) spark.read.parquet(targetPath)
-        else {
-          val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-          val saved = spark.conf.get(inferKey)
-          try {
-            spark.conf.set(inferKey, "false")
-            spark.read.parquet(targetPath)
-          } finally spark.conf.set(inferKey, saved)
-        }
+        MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty)
       SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
 
       // prune the existing scan to the partitions the batch touches
@@ -333,32 +321,7 @@ object Upsert {
       val merged = kept
         .unionByName(batch.select(existingAll.columns.toSeq.map(col): _*))
 
-      val p = new Path(targetPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new Path(p.getParent, s".${p.getName}__upsert_staging")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      val w = merged.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(tmp.toString)
-
-      if (partitionBy.isEmpty) {
-        SwapUtil.stageAsideSwap(fs, p, tmp, "Upsert")
-      } else {
-        // swap ONLY the touched leaf partition dirs; everything else stays.
-        // Qualify the staging root first: listStatus returns scheme-
-        // qualified paths, so an unqualified prefix would not strip and
-        // the relative path would be garbage.
-        val tmpQ = fs.makeQualified(tmp)
-        for (leaf <- leafPartitionDirs(fs, tmpQ)) {
-          val rel = leaf.toString.stripPrefix(tmpQ.toString).stripPrefix("/")
-          require(rel.nonEmpty && !rel.contains(":"),
-            s"Upsert: cannot relativize staging leaf $leaf against $tmpQ")
-          val dst = new Path(p, rel)
-          fs.mkdirs(dst.getParent)
-          SwapUtil.stageAsideSwap(fs, dst, leaf, "Upsert", dstMayBeAbsent = true)
-        }
-        fs.delete(tmp, true)
-      }
+      MergeWrite.commitStaged(spark, merged, targetPath, partitionBy, "Upsert")
       Result(updated, total - updated)
     } finally { batch.unpersist(); () }
   }
@@ -388,6 +351,70 @@ object Upsert {
           .reduce(_ && _)).reduce(_ || _)
       existingAll.filter(cond)
     }
+
+}
+
+/** Shared machinery for the merge-rewrite sinks (Upsert,
+  * IncrementalRollup): inference-off reads of partitioned targets and
+  * the staged write + flat/per-leaf stage-aside swap commit.
+  */
+private[sinks] object MergeWrite {
+
+  /** Read `path` with partition-value type inference OFF when the table
+    * is partitioned (compact's discipline): an inferred type ("01" -> 1)
+    * would make a rewrite emit a DIVERGENT sibling directory (day=1
+    * beside day=01) and fragment the layout the swap relies on.
+    */
+  def readNoInference(
+      spark: SparkSession, path: String, partitioned: Boolean): DataFrame =
+    if (!partitioned) spark.read.parquet(path)
+    else {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val saved = spark.conf.get(inferKey)
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.parquet(path)
+      } finally spark.conf.set(inferKey, saved)
+    }
+
+  /** Write `merged` to a hidden staging sibling, then commit: whole-dir
+    * stage-aside swap for flat targets, per-LEAF swap for partitioned
+    * ones — only the partitions present in `merged` are replaced;
+    * untouched directories are never listed, read, or rewritten.
+    */
+  def commitStaged(
+      spark: SparkSession,
+      merged: DataFrame,
+      targetPath: String,
+      partitionBy: Seq[String],
+      who: String): Unit = {
+    val p = new Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}__staging")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val w = merged.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+
+    if (partitionBy.isEmpty) {
+      SwapUtil.stageAsideSwap(fs, p, tmp, who, dstMayBeAbsent = true)
+    } else {
+      // swap ONLY the touched leaf partition dirs; everything else stays.
+      // Qualify the staging root first: listStatus returns scheme-
+      // qualified paths, so an unqualified prefix would not strip and
+      // the relative path would be garbage.
+      val tmpQ = fs.makeQualified(tmp)
+      for (leaf <- leafPartitionDirs(fs, tmpQ)) {
+        val rel = leaf.toString.stripPrefix(tmpQ.toString).stripPrefix("/")
+        require(rel.nonEmpty && !rel.contains(":"),
+          s"$who: cannot relativize staging leaf $leaf against $tmpQ")
+        val dst = new Path(p, rel)
+        fs.mkdirs(dst.getParent)
+        SwapUtil.stageAsideSwap(fs, dst, leaf, who, dstMayBeAbsent = true)
+      }
+      fs.delete(tmp, true)
+    }
+  }
 
   /** Leaf `k=v` directories under a partitioned write (nested for
     * multi-level partitioning) — the unit of the swap.

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sinks.{MergeOverwrite, RestSink, Upsert, UpsertIgnore}
+import graft.sinks.{IncrementalRollup, MergeOverwrite, RestSink, Upsert, UpsertIgnore}
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
@@ -309,6 +309,55 @@ class SinksSpec extends SparkSpec {
       Upsert(spark, Seq((2L, "b")).toDF("k", "w"), dir, Seq("k"))
     }
     assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  // ---- incremental rollup maintenance -------------------------------
+
+  test("incremental rollup: two delta maintains == one direct aggregate") {
+    val dir = tmpDir("rollup") + "/t"
+    val b1 = Seq(("d1", "A", 2L), ("d1", "B", 3L), ("d2", "A", 5L))
+      .toDF("day", "grp", "qty")
+    val b2 = Seq(("d1", "A", 7L), ("d3", "C", 1L)).toDF("day", "grp", "qty")
+    IncrementalRollup(spark, b1, dir, Seq("day", "grp"),
+      Seq("qty" -> "sum_qty"), Seq("day"))
+    IncrementalRollup(spark, b2, dir, Seq("day", "grp"),
+      Seq("qty" -> "sum_qty"), Seq("day"))
+    val got = spark.read.parquet(dir)
+      .select("day", "grp", "cnt", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = b1.unionByName(b2).groupBy("day", "grp")
+      .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("incremental rollup: untouched partitions are never rewritten") {
+    val dir = tmpDir("rollup2") + "/t"
+    IncrementalRollup(spark,
+      Seq(("d1", 1L), ("d2", 2L)).toDF("day", "qty"),
+      dir, Seq("day"), Seq("qty" -> "sum_qty"), Seq("day"))
+    def snap(d: String) = new java.io.File(s"$dir/day=$d").listFiles()
+      .filter(_.isFile).map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    val before = snap("d2")
+    IncrementalRollup(spark, Seq(("d1", 10L)).toDF("day", "qty"),
+      dir, Seq("day"), Seq("qty" -> "sum_qty"), Seq("day"))
+    assert(snap("d2") == before, "untouched partition rewritten")
+    val d1 = spark.read.parquet(dir).filter(col("day") === "d1").head()
+    assert(d1.getAs[Long]("cnt") == 2 && d1.getAs[Long]("sum_qty") == 11L)
+  }
+
+  test("incremental rollup guards: non-group partition col and alias clash rejected") {
+    val df = Seq(("d1", 1L)).toDF("day", "qty")
+    intercept[IllegalArgumentException] {
+      IncrementalRollup(spark, df, tmpDir("r3"), Seq("day"),
+        Seq("qty" -> "sum_qty"), Seq("qty"))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalRollup(spark, df, tmpDir("r4"), Seq("day"),
+        Seq("qty" -> "cnt"), Seq("day"))
+    }
   }
 
   test("K2 merge-overwrite keeps the EXISTING row on key collision") {
