@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -170,6 +170,18 @@ object ExtQueries {
         threshold = 0.99, maxHamming = 10).select("id_a", "id_b")
       gt.join(found, Seq("id_a", "id_b"), "left_semi")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Benchmark decontamination (oracled): every 50th doc plays the eval
+    // set; training docs sharing ANY word 4-gram with it are flagged.
+    // The benchmark gram set broadcasts; the corpus is never shuffled.
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = spreadDocs(s, dir)
+      Decontaminate.contaminatedIds(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
     }),
 
     // ---- similarity search ------------------------------------------
@@ -512,6 +524,23 @@ object ExtQueries {
         |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
         |    AS score
         |FROM e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ext_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+3], ' ')
+        |               for i in range(1, len(toks) - 2)] END AS grams
+        |  FROM t),
+        |bench AS (SELECT DISTINCT u.gram
+        |          FROM g, unnest(g.grams) AS u(gram) WHERE doc_id % 50 = 0)
+        |SELECT DISTINCT g.doc_id
+        |FROM g, unnest(g.grams) AS u(gram)
+        |WHERE g.doc_id % 50 <> 0 AND u.gram IN (SELECT gram FROM bench)
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_batch_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

@@ -114,6 +114,42 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- decontamination ----------------------------------------------
+
+  test("decontaminate: planted overlap flagged, clean + contaminated partition train") {
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "totally unrelated content about spark engines here"),
+      (2L, "he said the quick brown fox appeared at dawn"), // shares a 4-gram
+      (3L, "quick brown dogs sleep"), // shares words but no 4-gram
+      (4L, "tiny doc") // short-doc fallback: whole text, no benchmark match
+    ).toDF("doc_id", "text")
+    val flagged = graft.ext.Decontaminate
+      .contaminatedIds(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L), s"flagged $flagged")
+    val clean = graft.ext.Decontaminate
+      .removeContaminated(train, bench, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 3L, 4L))
+    // exact partition: clean and contaminated are disjoint and cover train
+    assert((clean ++ flagged) == Set(1L, 2L, 3L, 4L) && (clean & flagged).isEmpty)
+  }
+
+  test("decontaminate: short benchmark doc matches only identical short docs") {
+    // the short-doc fallback hashes the WHOLE token string, so a 2-token
+    // benchmark doc flags an identical train doc but not a superset doc
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "tiny doc"),
+      (2L, "a tiny doc with more words around it")).toDF("doc_id", "text")
+    val flagged = graft.ext.Decontaminate
+      .contaminatedIds(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L), s"flagged $flagged")
+  }
+
   // ---- approximate aggregates vs exact (the 100 TB forms) -----------
 
   test("approx_percentile tracks exact percentile within its accuracy bound") {
