@@ -282,6 +282,17 @@ object ExtQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Training-mix sampling (oracled): the largest subset whose language
+    // proportions hit the target recipe (40% en, 15% each of es/fr/de/zh)
+    // — deterministic md5-rank quotas, same sample on every engine.
+    "ext_sample_mix" -> ((s, dir) =>
+      graft.ext.Mix.sampleToDistribution(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.4, "es" -> 0.15, "fr" -> 0.15,
+          "de" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // Corpus-wide bigram vocabulary: explode word 2-shingles, count, top
     // 50 — the vocab-building aggregation of a tokenizer pipeline
     // (map-side partial counts, one shuffle, TakeOrdered).
@@ -670,6 +681,21 @@ object ExtQueries {
         |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
         |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_mix" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('es', 0.15), ('fr', 0.15),
+        |                           ('de', 0.15), ('zh', 0.15)),
+        |c AS (SELECT d.lang, count(*) AS n, any_value(wt) AS wt
+        |      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+        |t AS (SELECT min(floor(n / wt)) AS T FROM c),
+        |q AS (SELECT c.lang, CAST(floor(c.wt * t.T) AS BIGINT) AS quota
+        |      FROM c, t),
+        |r AS (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, r.lang, source FROM r JOIN q ON r.lang = q.lang
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     "ext_sample_pergroup" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (

@@ -114,6 +114,40 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- training-mix sampling ----------------------------------------
+
+  test("mix sampling: output proportions hit the target quotas exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val weights = Map("en" -> 0.4, "es" -> 0.15, "fr" -> 0.15,
+      "de" -> 0.15, "zh" -> 0.15)
+    val out = graft.ext.Mix
+      .sampleToDistribution(docs, "lang", "doc_id", weights)
+    val got = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact feasible quotas: T = min floor(n_g / w_g), quota = floor(w*T)
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (g, w) => math.floor(n(g) / w) }.min
+    weights.foreach { case (g, w) =>
+      assert(got(g) == math.floor(w * t).toLong, s"$g: ${got(g)}")
+    }
+    // deterministic: same call, same rows
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id", weights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("mix sampling guards: empty and out-of-range weights rejected") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    intercept[IllegalArgumentException] {
+      graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id", Map("en" -> 1.5))
+    }
+  }
+
   // ---- decontamination ----------------------------------------------
 
   test("decontaminate: planted overlap flagged, clean + contaminated partition train") {
