@@ -190,12 +190,32 @@ object Dedup {
       shingleN: Int = 3,
       maxIters: Int = 10,
       driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
-    // pairs is consumed twice (forward + reversed) — materialize, or the
-    // whole minhash pipeline runs twice. Lazy localCheckpoint: same reuse
-    // as persist, but lineage-truncated and released on plan GC rather
-    // than leaked for the session (see minhashNearDups).
-    val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleN = shingleN)
-      .select("id_a", "id_b").localCheckpoint(false)
+    componentsFromPairs(df, idCol,
+      minhashNearDups(df, idCol, textCol, threshold, shingleN = shingleN),
+      maxIters, driverMaxEdges)
+  }
+
+  /** Connected components over an explicit duplicate-pair graph
+    * `(id_a, id_b)`: the component machinery of `dedupCorpus`, exposed so
+    * ANY pair source (minhash, simhash, RP-LSH, an oracle-able exact
+    * ground truth) can drive the same canonical-id assignment. Returns
+    * (id, canonical_id) over the full corpus; docs in no pair keep
+    * themselves. `driverMaxEdges = 0` forces the distributed
+    * label-propagation path (used by the correctness gate to oracle BOTH
+    * paths against the same DuckDB recursive-CTE restatement).
+    */
+  def componentsFromPairs(
+      df: DataFrame,
+      idCol: String,
+      pairsIn: DataFrame,
+      maxIters: Int = 10,
+      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
+    // pairs is consumed repeatedly (count, then forward + reversed or a
+    // driver collect) — materialize, or the whole upstream pair pipeline
+    // runs per use. Lazy localCheckpoint: same reuse as persist, but
+    // lineage-truncated and released on plan GC rather than leaked for
+    // the session (see minhashNearDups).
+    val pairs = pairsIn.select("id_a", "id_b").localCheckpoint(false)
 
     // The candidate graph is tiny relative to the corpus in any healthy
     // dedup run (dup pairs << docs). Under driverMaxEdges, union-find on

@@ -101,10 +101,13 @@ object Similarity {
     def unpersist(): Unit = { assignments.unpersist(); () }
   }
 
-  /** Seed centroids: the first `nCentroids` corpus vectors by id — a
+  /** Naive seed centroids: the first `nCentroids` corpus vectors by id — a
     * deterministic starting point that `lloydRefine` trains into real
-    * cluster centers. Collected driver-side: index metadata, not a data
-    * collect.
+    * cluster centers. Kept as the `"first"` seeding scheme (and the
+    * RecallSpec baseline k-means++ is measured against): when the leading
+    * ids all fall in one region of the space, this seed is degenerate and
+    * recall collapses — exactly the failure `"kmeans++"` exists to fix.
+    * Collected driver-side: index metadata, not a data collect.
     */
   private def centroidsOf(
       embeddings: DataFrame,
@@ -118,6 +121,80 @@ object Similarity {
         val v = r.getSeq[Double](1).toArray
         IvfCentroid(r.getLong(0), v, math.sqrt(dotLocal(v, v)))
       }
+
+  /** Rows a k-means++ seeding pass may hold driver-side: seeding quality
+    * needs a REPRESENTATIVE sample, not the corpus — 2048 rows bound the
+    * collect to metadata scale (2048 × d doubles) no matter how large the
+    * input is.
+    */
+  private[graft] val SeedSampleMax = 2048
+
+  /** Deterministic k-means++ seeding: greedy farthest-point selection by
+    * cosine distance over a hash-ranked bounded sample.
+    *
+    * Scale shape: ONE TakeOrdered job collects `SeedSampleMax` sample rows
+    * chosen by md5(id) rank — engine- and partitioning-independent (the
+    * same deterministic-sampling convention as ext_sample_stratified), and
+    * at 100 TB the sample job is a scan + bounded heap, never a full sort.
+    * Seeding itself is driver-side on the sample: k·|sample| local dots —
+    * index metadata work, not a Spark job per center (classic k-means++
+    * D²-sampling needs k sequential corpus passes; the sampled greedy
+    * variant is the standard scalable substitute, cf. k-means||).
+    *
+    * Determinism: the classic algorithm samples centers with probability
+    * ∝ D²; this variant takes the ARGMAX of the min-distance-to-chosen
+    * (ties → lowest sample rank), so the seed is a pure function of the
+    * data. First center = lowest-md5-rank sample row. Chosen centers get
+    * ids 0..k-1 in selection order (probe selection and tie-breaking only
+    * need distinct ids).
+    */
+  private def kmeansPPCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): Array[IvfCentroid] = {
+    val sample = embeddings
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(SeedSampleMax)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (v, math.sqrt(dotLocal(v, v)))
+      }
+      .filter(_._2 > 0)
+    require(sample.nonEmpty, "cannot seed an IVF index over an empty corpus")
+    val k = math.min(nCentroids, sample.length)
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    // minDist(i) = min over chosen centers of cosine distance to sample(i)
+    val minDist = sample.map { case (v, n) =>
+      1.0 - dotLocal(v, sample(0)._1) / (n * sample(0)._2)
+    }
+    var c = 1
+    while (c < k) {
+      var best = 0
+      var i = 1
+      while (i < sample.length) {
+        if (minDist(i) > minDist(best)) best = i // strict > : ties → lowest rank
+        i += 1
+      }
+      chosen(c) = best
+      val (bv, bn) = sample(best)
+      i = 0
+      while (i < sample.length) {
+        val (v, n) = sample(i)
+        val d = 1.0 - dotLocal(v, bv) / (n * bn)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    chosen.zipWithIndex.map { case (si, ci) =>
+      val (v, n) = sample(si)
+      IvfCentroid(ci.toLong, v, n)
+    }
+  }
 
   /** The per-row best-centroid expression (argmax cosine, ties to the
     * LOWEST centroid id via greatest over (cos, -id) structs) — shared by
@@ -194,23 +271,34 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iters: Int = 0): IvfIndex = {
+      iters: Int = 0,
+      seeding: String = "kmeans++"): IvfIndex = {
     val spark = embeddings.sparkSession
-    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters)
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters, seeding)
     val assignments = assignmentsFor(embeddings, idCol, vecCol, cents).persist()
     IvfIndex(assignments, cents, nCentroids)
   }
 
-  /** Seed + optional Lloyd training, shared by the build paths. */
+  /** Seed + optional Lloyd training, shared by the build paths.
+    * `seeding`: "kmeans++" (deterministic greedy D²-argmax over a bounded
+    * sample — the default) or "first" (first k rows by id — the naive
+    * legacy seed, kept so RecallSpec can measure the gap).
+    */
   private def trainedCentroids(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iters: Int): Array[IvfCentroid] = {
+      iters: Int,
+      seeding: String): Array[IvfCentroid] = {
     require(nCentroids >= 1, s"IVF needs nCentroids >= 1, got $nCentroids")
     require(iters >= 0, s"IVF needs iters >= 0, got $iters")
-    val seed = centroidsOf(embeddings, idCol, vecCol, nCentroids)
+    val seed = seeding match {
+      case "kmeans++" => kmeansPPCentroids(embeddings, idCol, vecCol, nCentroids)
+      case "first"    => centroidsOf(embeddings, idCol, vecCol, nCentroids)
+      case other => throw new IllegalArgumentException(
+        s"unknown IVF seeding '$other' (expected kmeans++ or first)")
+    }
     require(seed.nonEmpty, "cannot build an IVF index over an empty corpus")
     if (iters == 0) seed
     else lloydRefine(embeddings, idCol, vecCol, seed, iters)
@@ -237,20 +325,21 @@ object Similarity {
     * a session probes; `clearIndexCache()` releases everything (tests).
     */
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int), IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int, String), IvfIndex]
 
   def ivfIndexFor(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       nCentroids: Int,
-      iters: Int = 0): IvfIndex = {
+      iters: Int = 0,
+      seeding: String = "kmeans++"): IvfIndex = {
     // keyed by the full canonicalized plan, not its 32-bit semanticHash —
     // a hash collision here would silently serve the WRONG index
     val key = (embeddings.queryExecution.analyzed.canonicalized.toString,
-      idCol, vecCol, nCentroids, iters)
+      idCol, vecCol, nCentroids, iters, seeding)
     indexCache.getOrElseUpdate(key,
-      ivfBuild(embeddings, idCol, vecCol, nCentroids, iters))
+      ivfBuild(embeddings, idCol, vecCol, nCentroids, iters, seeding))
   }
 
   def clearIndexCache(): Unit = {
@@ -275,8 +364,9 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 0): DataFrame = {
-    val idx = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters)
+      iters: Int = 0,
+      seeding: String = "kmeans++"): DataFrame = {
+    val idx = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters, seeding)
     probeAssignments(idx.assignments, idx.centroids, idCol, query, k, nProbe)
   }
 
@@ -331,8 +421,9 @@ object Similarity {
       vecCol: String,
       path: String,
       nCentroids: Int,
-      iters: Int = 0): Unit = {
-    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters)
+      iters: Int = 0,
+      seeding: String = "kmeans++"): Unit = {
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCentroids, iters, seeding)
     writeIndexArtifact(assignmentsFor(embeddings, idCol, vecCol, cents), cents, path)
   }
 
@@ -365,18 +456,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, "ivf index",
       dstMayBeAbsent = true)
-    centroidCache.put(s"$path/centroids", cents)
+    centroidCache.put((path, centroidToken(spark, path)), cents)
     ()
   }
 
   /** Driver-side cache of persisted-index centroid METADATA (nCentroids ×
     * d doubles per path): probe selection needs it on every call, and a
     * Spark job to re-read a kilobyte of metadata per probe would double
-    * probe latency. Refreshed by ivfBuildPersisted, cleared with the
-    * index cache.
+    * probe latency. Keyed by (path, content token) — NOT the bare path —
+    * so a long-lived serving session that probes an artifact REBUILT by
+    * another process never pairs fresh assignments with stale cached
+    * centroids: the rebuild changes the centroids directory's file
+    * listing, the token moves, and the next probe re-reads. Superseded
+    * entries linger until clearIndexCache (bounded by rebuild count —
+    * kilobytes each).
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[IvfCentroid]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[IvfCentroid]]
+
+  /** O(1) content token for a persisted index's centroid metadata: the
+    * centroids directory's file names + lengths + mtimes (one listStatus,
+    * no job — the same fingerprint convention as ExtQueries.corpusFp).
+    */
+  private def centroidToken(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   /** True when a persisted index exists at `path`. */
   def persistedIndexExists(spark: SparkSession, path: String): Boolean = {
@@ -397,7 +505,7 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "id"): DataFrame = {
-    val cents = centroidCache.getOrElseUpdate(s"$path/centroids",
+    val cents = centroidCache.getOrElseUpdate((path, centroidToken(spark, path)),
       spark.read.parquet(s"$path/centroids")
         .select(col("id"), col("vec"), col("norm")).collect()
         .map(r => IvfCentroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
@@ -472,6 +580,17 @@ object Similarity {
     * scale path for near-dup pairs (compares only within clusters).
     * Consumes the cached index — norms and assignment computed once per
     * (dataset, nCentroids), not per invocation.
+    *
+    * `maxCluster` applies the same degenerate-bucket discipline as every
+    * LSH path (Dedup.hammingCandidates): the in-cluster join is quadratic
+    * in cluster size BY DESIGN, so one skewed mega-cluster (an
+    * all-near-identical corpus, or under-trained centroids) must not be
+    * allowed to blow up the job — clusters above the bound are dropped,
+    * exactly as oversized LSH buckets are. Collapse exact duplicates
+    * first, raise nCentroids, or train more rounds to handle such
+    * corpora. The size census is one map-combinable count on centroid_id
+    * over the already-persisted assignments; the nCentroids-row result
+    * broadcasts into the prune join.
     */
   def cosinePairsAboveIvf(
       embeddings: DataFrame,
@@ -479,10 +598,15 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nCentroids: Int = 16,
-      iters: Int = 0): DataFrame = {
+      iters: Int = 0,
+      maxCluster: Int = 100000): DataFrame = {
     val dt = dotAuto(embeddings.sparkSession) _
-    val a = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters).assignments
-    a.as("x").join(a.as("y"),
+    val all = ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters).assignments
+    val bounded = all.join(
+      broadcast(all.groupBy("centroid_id").agg(count(lit(1)).as("__csz"))
+        .filter(col("__csz") <= maxCluster).select("centroid_id")),
+      Seq("centroid_id"))
+    bounded.as("x").join(bounded.as("y"),
         col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
       .withColumn("score",
         round(dt(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6))

@@ -155,6 +155,37 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corpus-dedup component ASSIGNMENT, fully oracled (upgrades the
+    // rows-only trust chain of ext_dedup_corpus): the same connected-
+    // components machinery dedupCorpus runs (componentsFromPairs), driven
+    // by the SQL-restatable exact char-3-gram ground-truth pair graph
+    // instead of engine-hash minhash pairs. The DuckDB oracle recomputes
+    // the identical pair set and resolves components with a recursive CTE
+    // (min reachable id), so the canonical-id assignment — not just pair
+    // recall — is hash-matched end-to-end. Default driverMaxEdges →
+    // exercises the driver union-find path.
+    "ext_corpus_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      Dedup.componentsFromPairs(docs, "doc_id", gt)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Same assignment, FORCING the distributed min-label-propagation path
+    // (driverMaxEdges = 0) — the >driver-memory escape hatch is now held
+    // to the same recursive-CTE oracle as the union-find path, so both
+    // component engines carry a hard hash-match signal.
+    "ext_corpus_components_dist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      Dedup.componentsFromPairs(docs, "doc_id", gt, driverMaxEdges = 0L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Quantified-recall gate for RP-LSH embedding near-dup (the
     // embedding-side analog of ext_minhash_recall): the corpus has no
     // natural near-identical vectors (max background cosine 0.51), so
@@ -446,7 +477,9 @@ object ExtQueries {
     */
   private[graft] def indexPath(s: SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16_i${IvfIters}_${corpusFp(s, dir)}"
+    // "pp" marks the kmeans++ seeding generation — a pre-seeding artifact
+    // at the same corpus fingerprint must not be reused
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16pp_i${IvfIters}_${corpusFp(s, dir)}"
   }
 
   private def corpusFp(s: SparkSession, dir: String): String = {
@@ -469,6 +502,29 @@ object ExtQueries {
     if (!Similarity.persistedIndexExists(s, indexPath(s, dir)))
       Similarity.ivfBuildPersisted(Tables.embeddings(s, dir), "vec_id",
         "embedding", indexPath(s, dir), nCentroids = 16, iters = IvfIters)
+
+  private val CorpusComponentsSql =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substr(text, i, 3)
+      |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+      |  FROM documents WHERE doc_id < 500),
+      |p AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x, g y WHERE x.doc_id < y.doc_id
+      |    AND len(list_intersect(x.grams, y.grams))
+      |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+      |e AS (SELECT id_a AS id, id_b AS nbr FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+      |  UNION
+      |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id),
+      |lab AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+      |SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+      |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+      |WHERE d.doc_id < 500
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext_token_stats" ->
@@ -628,6 +684,15 @@ object ExtQueries {
         |  AND len(list_intersect(x.grams, y.grams))
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components by recursive CTE: reach(id, r) enumerates every
+    // node r reachable from id over the undirected ground-truth pair graph
+    // (UNION-distinct terminates the recursion); canonical = min reachable
+    // id, which includes id itself via the base case — exactly the
+    // min-label semantics of Dedup.componentsFromPairs. Docs in no pair
+    // keep themselves via the LEFT JOIN + coalesce.
+    "ext_corpus_components" -> CorpusComponentsSql,
+    "ext_corpus_components_dist" -> CorpusComponentsSql,
 
     "ext_ngram_jaccard" ->
       """WITH g AS (

@@ -134,6 +134,34 @@ class ExtSpec extends SparkSpec {
     assert(!idx1.assignments.storageLevel.useMemory) // cache release unpersists
   }
 
+  test("cosinePairsAboveIvf caps degenerate mega-clusters (maxCluster)") {
+    // 200 near-identical vectors form one mega-cluster (quadratic pair
+    // count by definition) plus 10 spread vectors; the cap must drop the
+    // mega-cluster exactly as LSH paths drop oversized buckets, bounding
+    // the join to sum-over-surviving-clusters of |c|^2.
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val rows = (0 until 200).map { i =>
+      (i.toLong, base.map(_ + 0.001 * rnd.nextGaussian()).toSeq)
+    } ++ (200 until 210).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    Similarity.clearIndexCache()
+    // threshold -1 keeps every scored pair: counts below are pure
+    // candidate-pair counts
+    val uncapped = Similarity.cosinePairsAboveIvf(
+      emb, "vec_id", "v", threshold = -1.0, nCentroids = 4).count()
+    val capped = Similarity.cosinePairsAboveIvf(
+      emb, "vec_id", "v", threshold = -1.0, nCentroids = 4,
+      maxCluster = 50).count()
+    Similarity.clearIndexCache()
+    assert(uncapped >= 200L * 199 / 2,
+      s"mega-cluster did not form: $uncapped pairs") // quadratic uncapped
+    assert(capped <= 4L * 50 * 49 / 2,
+      s"cap failed to bound the in-cluster join: $capped pairs")
+  }
+
   test("persisted ivf index: probe matches recall and scans only probed directories") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val path = tmpDir("ivf_persist") + "/idx"
@@ -255,6 +283,22 @@ class ExtSpec extends SparkSpec {
       assert(labels(1L) == 1L && labels(4L) == 1L && labels(2L) == 1L,
         s"driverMaxEdges=$driverMax: $labels")
       assert(labels(3L) == 3L)
+    }
+  }
+
+  test("componentsFromPairs: explicit pair graph, both engines, min label") {
+    import spark.implicits._
+    // chain 10-20, 20-30 (transitive), island 40-50, isolated 60: min-label
+    // canonicals regardless of which engine resolves the components
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L, 60L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    for (driverMax <- Seq(Long.MaxValue, 0L)) {
+      val labels = Dedup.componentsFromPairs(corpus, "doc_id", pairs,
+        driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+        40L -> 40L, 50L -> 40L, 60L -> 60L),
+        s"driverMaxEdges=$driverMax: $labels")
     }
   }
 

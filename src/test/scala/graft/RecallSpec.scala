@@ -63,34 +63,111 @@ class RecallSpec extends SparkSpec {
       s"blocking lost ${brute -- blocked}, invented ${blocked -- brute}")
   }
 
-  test("lloyd-trained IVF centroids dominate the untrained seed at fixed nProbe") {
+  /** Mean recall@10 of ivfTopK vs bruteForceTopK over 20 spread-out
+    * queries from the real corpus, at the given operating point.
+    */
+  private def ivfMeanRecall(
+      emb: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int, iters: Int, seeding: String): Double = {
+    import graft.ext.Similarity
+    val queryIds = (0L until 1000L by 50L).toSeq
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol))
+      .collect().map { r =>
+        r.get(1) match {
+          case s: scala.collection.Seq[_] => s.map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toSeq
+        }
+      }
+    val per = queries.map { q =>
+      val exact = Similarity.bruteForceTopK(emb, idCol, vecCol, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(spark, emb, idCol, vecCol, q,
+        10, nCentroids = nCentroids, nProbe = nProbe, iters = iters,
+        seeding = seeding)
+        .collect().map(_.getLong(0)).toSet
+      (exact & approx).size / 10.0
+    }
+    per.sum / per.length
+  }
+
+  test("lloyd-trained IVF centroids dominate the untrained naive seed at fixed nProbe") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, dir)
     Similarity.clearIndexCache()
-    val queryIds = (0L until 1000L by 50L).toSeq // 20 spread-out queries
-    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-    def meanRecall(iters: Int): Double = {
-      val per = queries.map { case (_, q) =>
-        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
-          .collect().map(_.getLong(0)).toSet
-        val approx = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", q,
-          10, nCentroids = 16, nProbe = 2, iters = iters)
-          .collect().map(_.getLong(0)).toSet
-        (exact & approx).size / 10.0
-      }
-      per.sum / per.length
-    }
-    val untrained = meanRecall(0)
-    val trained = meanRecall(graft.queries.ExtQueries.IvfIters)
+    // the "first" (naive first-k) seed is what Lloyd training must rescue;
+    // kmeans++ already starts well-spread, so the margin is measured on
+    // the legacy seed — measured at r3: untrained 0.39, trained 0.50
+    // (nProbe=2/16), with slack for last-ulp variation in the distributed
+    // Lloyd sums
+    val untrained = ivfMeanRecall(emb, "vec_id", "embedding", 16, 2, 0, "first")
+    val trained = ivfMeanRecall(emb, "vec_id", "embedding", 16, 2,
+      graft.queries.ExtQueries.IvfIters, "first")
     Similarity.clearIndexCache()
-    // measured at r3: untrained 0.39, trained 0.50 (nProbe=2/16) — the
-    // margin asserts a REAL improvement, not a tie, with slack for
-    // last-ulp variation in the distributed Lloyd sums
     assert(trained >= untrained + 0.05,
       s"training no longer improves recall: trained=$trained untrained=$untrained")
     assert(trained >= 0.45, s"trained recall $trained too low at nProbe=2")
+  }
+
+  test("IVF recall/nProbe sweep: published point (16 centroids, nProbe=12) >= 0.9") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.clearIndexCache()
+    val iters = graft.queries.ExtQueries.IvfIters
+    // The corpus is ISOTROPIC (same-label and cross-label mean cosine are
+    // both ~0.002): with no cluster structure, recall at fixed scan
+    // fraction is information-limited, and the honest high-recall
+    // operating point probes most clusters. The sweep documents the whole
+    // curve; the serving gate is the published point. (On clustered data
+    // the same machinery reaches 0.9 at nProbe=2 — the planted-cluster
+    // test below proves that.)
+    val curve = Seq(2, 4, 8, 12).map { nProbe =>
+      nProbe -> ivfMeanRecall(emb, "vec_id", "embedding", 16, nProbe, iters, "kmeans++")
+    }
+    Similarity.clearIndexCache()
+    info(s"recall@10 curve (k=16, kmeans++, iters=$iters): " +
+      curve.map { case (p, r) => f"nProbe=$p%d:$r%.3f" }.mkString(" "))
+    // monotone in nProbe by construction (supersets of candidates)
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a - 1e-9, s"recall curve not monotone: $curve")
+    }
+    val published = curve.last._2
+    assert(published >= 0.9,
+      s"published point (16, nProbe=12) recall $published < 0.9; curve=$curve")
+  }
+
+  test("kmeans++ seeding reaches 0.9 recall@10 at nProbe=2 on clustered data " +
+    "where the naive seed collapses") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // Deterministic 16-cluster mixture in 64d, ids ordered so the first
+    // 16 rows ALL land in cluster 0 — the naive "first" seed is
+    // degenerate by construction, the exact failure kmeans++ fixes.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16) {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 512).map { i =>
+      val c = centers(i / 32) // contiguous blocks per cluster
+      val v = c.map(_ + 0.15 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    Similarity.clearIndexCache()
+    val naive = ivfMeanRecall(emb, "vec_id", "v", 16, 2, 0, "first")
+    val pp = ivfMeanRecall(emb, "vec_id", "v", 16, 2,
+      graft.queries.ExtQueries.IvfIters, "kmeans++")
+    Similarity.clearIndexCache()
+    info(f"planted clusters: naive-seed untrained $naive%.3f vs kmeans++ trained $pp%.3f")
+    assert(pp >= 0.9, s"kmeans++ trained recall $pp < 0.9 on clustered data")
+    assert(pp >= naive + 0.2,
+      s"kmeans++ no longer dominates the degenerate naive seed: pp=$pp naive=$naive")
   }
 
   test("rp-lsh finds every planted near-identical vector pair (recall 1.0)") {
