@@ -28,37 +28,61 @@ object Decontaminate {
   private def gramHashes(text: Column, n: Int): Column =
     array_distinct(transform(Dedup.shingles(text, n), g => xxhash64(g)))
 
+  /** Distinct word n-grams, unhashed — the exact-match join key. */
+  private def gramStrings(text: Column, n: Int): Column =
+    array_distinct(Dedup.shingles(text, n))
+
   /** Ids of training documents sharing at least one n-gram with any
     * benchmark document. Output: (doc_id) distinct.
+    *
+    * COLLISION SEMANTICS (default `exact = false`): the match joins on
+    * xxhash64 of the gram, so an unrelated training gram colliding with
+    * any benchmark gram in 64 bits falsely flags (and removeContaminated
+    * silently drops) a clean document. At full corpus scale — trillions
+    * of distinct train grams against millions of bench grams — the
+    * birthday expectation is a handful of false flags. The error
+    * direction is CONSERVATIVE (over-removal only; contamination is
+    * never missed, since equal grams always hash equal), which is the
+    * right default for decontamination. Set `exact = true` to join on
+    * the gram string itself when a false positive is unacceptable: the
+    * broadcast side stays the tiny benchmark set, but the join key is
+    * a string (wider shuffle-free probe rows, same plan shape).
     */
   def contaminatedIds(
       train: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 13): DataFrame = {
+      n: Int = 13,
+      exact: Boolean = false): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams: Column => Column =
+      if (exact) gramStrings(_, n) else gramHashes(_, n)
     val benchGrams = benchmark
-      .select(explode(gramHashes(col(textCol), n)).as("g"))
+      .select(explode(grams(col(textCol))).as("g"))
       .distinct()
     train
-      .select(col(idCol).as("doc_id"), explode(gramHashes(col(textCol), n)).as("g"))
+      .select(col(idCol).as("doc_id"), explode(grams(col(textCol))).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select("doc_id")
       .distinct()
   }
 
   /** The clean corpus: training rows whose document shares no n-gram
-    * with the benchmark set (all columns pass through).
+    * with the benchmark set (all columns pass through). Inherits
+    * `contaminatedIds`' collision semantics: the hashed default can
+    * over-remove (never under-remove); `exact = true` removes exactly
+    * the overlapping documents.
     */
   def removeContaminated(
       train: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 13): DataFrame =
+      n: Int = 13,
+      exact: Boolean = false): DataFrame =
     train.join(
-      contaminatedIds(train, benchmark, idCol, textCol, n)
+      contaminatedIds(train, benchmark, idCol, textCol, n, exact)
         .withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
 }

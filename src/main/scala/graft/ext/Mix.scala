@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
 object Mix {
 
   /** @param weights target proportion per group value; groups absent
-    *                from the map are excluded from the sample
+    *                from the map are excluded from the sample. Every
+    *                weights key MUST have at least one corpus row —
+    *                a missing group makes the only exact-proportion
+    *                sample the EMPTY one (T=0), which is never what a
+    *                mixing recipe means, so it fails fast instead of
+    *                silently returning a sample with drifted shares.
+    *                Intersect the map with the present groups first if
+    *                partial coverage is intended.
     */
   def sampleToDistribution(
       df: DataFrame,
@@ -37,8 +44,19 @@ object Mix {
     val spark = df.sparkSession
     import spark.implicits._
     val wDf = weights.toSeq.toDF(groupCol, "__w")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .join(broadcast(wDf), groupCol)
+    // LEFT join from the weights so a weight group with no corpus rows
+    // SURFACES (null __n) rather than dropping out of the quota math —
+    // an inner join here would shrink the min() over present groups only
+    // and silently violate the exact-proportions contract.
+    val counts = broadcast(wDf)
+      .join(df.groupBy(groupCol).agg(count(lit(1)).as("__n")),
+        Seq(groupCol), "left")
+    val absent = counts.filter(col("__n").isNull)
+      .select(groupCol).collect().map(_.get(0))
+    require(absent.isEmpty,
+      s"sampleToDistribution: weight groups absent from the corpus: " +
+        s"${absent.mkString(", ")} — the largest exact-proportion sample " +
+        "would be empty (T=0); drop these keys or fix the corpus")
     val feasibleT = counts.agg(min(floor(col("__n") / col("__w"))).as("__T"))
     val quotas = counts.crossJoin(broadcast(feasibleT))
       .select(col(groupCol),

@@ -331,25 +331,75 @@ object Upsert {
     * is pure PARTITION pruning (PartitionFilters on the scan, zero data
     * files read outside the touched set — plan-asserted in SinksSpec).
     * Exposed for plan-shape tests.
+    *
+    * Two prune strategies, switched on the touched-partition count:
+    *
+    *  - Up to `literalPruneMax` touched partitions: an OR-of-ANDs literal
+    *    predicate — STATIC partition pruning, resolved at plan time, the
+    *    cheapest possible scan for the daily-batch case.
+    *  - Above it (a backfill naming 10⁴–10⁵ partitions): the literal
+    *    chain would itself become a megabyte EXPRESSION TREE that
+    *    Catalyst re-walks on every rule pass, so switch to one IN-set
+    *    per partition column (a single InSet node each — O(columns)
+    *    tree nodes regardless of the touched count, still STATIC
+    *    partition pruning on the scan) conjoined with an exact
+    *    broadcast LEFT SEMI join on the full partition tuple. The
+    *    per-column sets prune a (possibly proper) superset of the
+    *    touched tuples under multi-level partitioning — the semi-join
+    *    restores tuple exactness so cross-product extras are never
+    *    treated as touched (and never rewritten by the commit).
+    *  - A batch naming more than `setPruneMax` distinct tuples is a
+    *    rewrite of essentially the whole table: pruning buys nothing,
+    *    so it degrades to the bare semi-join (full scan — which IS the
+    *    workload at that point) rather than collecting unbounded state
+    *    onto the driver.
     */
   private[graft] def prunedExisting(
       batch: DataFrame,
       existingAll: DataFrame,
-      partitionBy: Seq[String]): DataFrame =
+      partitionBy: Seq[String],
+      literalPruneMax: Int = 1000,
+      setPruneMax: Int = 1000000): DataFrame =
     if (partitionBy.isEmpty) existingAll
     else {
-      val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
-      // literals are cast to the EXISTING column's type (string under the
-      // inference-off read), keeping the predicate a bare partition-column
-      // comparison — a cast landing on the column side instead would
-      // still prune but muddy the plan
-      val cond = touched.map(r =>
-        partitionBy.zipWithIndex
-          .map { case (c, i) =>
-            col(c) <=> lit(r.get(i)).cast(existingAll.schema(c).dataType)
-          }
-          .reduce(_ && _)).reduce(_ || _)
-      existingAll.filter(cond)
+      // the batch's partition values are cast to the EXISTING column's
+      // type (string under the inference-off read) BEFORE collecting, so
+      // every predicate below compares a BARE partition column against a
+      // same-typed literal — a cast landing on the column side instead
+      // would still prune but muddy the plan
+      val touchedDf = batch.select(partitionBy.map(c =>
+        col(c).cast(existingAll.schema(c).dataType)
+          .as(s"__touched_$c")): _*).distinct()
+      val touched = touchedDf.limit(setPruneMax + 1).collect()
+      if (touched.length <= literalPruneMax) {
+        val cond = touched.map(r =>
+          partitionBy.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)).reduce(_ || _)
+        existingAll.filter(cond)
+      } else {
+        val joinCond = partitionBy.map(c =>
+          existingAll(c) <=> touchedDf(s"__touched_$c")).reduce(_ && _)
+        val semi = (df: DataFrame) =>
+          df.join(broadcast(touchedDf), joinCond, "left_semi")
+        if (touched.length > setPruneMax) semi(existingAll)
+        else {
+          val perCol = partitionBy.zipWithIndex.map { case (c, i) =>
+            val vals = touched.map(_.get(i)).distinct.toSeq
+            val nonNull = vals.filter(_ != null)
+            // In over a null input row (or a null list value) yields
+            // NULL, which filter drops — widen with an isNull branch
+            // when the batch names the default partition. The set only
+            // has to be a PRUNING SUPERSET; tuple exactness is the
+            // semi-join's job.
+            val in =
+              if (nonNull.isEmpty) lit(false)
+              else col(c).isin(nonNull: _*)
+            if (nonNull.length < vals.length) in || col(c).isNull else in
+          }.reduce(_ && _)
+          semi(existingAll.filter(perCol))
+        }
+      }
     }
 
 }

@@ -148,6 +148,19 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix sampling: weight group with zero corpus rows fails fast") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // "xx" never appears in the corpus: an inner-join formulation would
+    // silently minimize T over the PRESENT groups and return a sample
+    // whose proportions no longer match the target — the contract is to
+    // refuse instead.
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id",
+        Map("en" -> 0.4, "xx" -> 0.6)).count()
+    }
+    assert(e.getMessage.contains("xx"))
+  }
+
   // ---- decontamination ----------------------------------------------
 
   test("decontaminate: planted overlap flagged, clean + contaminated partition train") {
@@ -169,6 +182,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(clean == Set(1L, 3L, 4L))
     // exact partition: clean and contaminated are disjoint and cover train
     assert((clean ++ flagged) == Set(1L, 2L, 3L, 4L) && (clean & flagged).isEmpty)
+  }
+
+  test("decontaminate: exact-gram mode agrees with hashed mode on real docs") {
+    // same flagged set either way here (no 64-bit collisions in a small
+    // corpus); `exact` exists for the trillion-gram regime where the
+    // hashed join's conservative over-removal is not acceptable
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select("doc_id", "text")
+    val hashed = graft.ext.Decontaminate
+      .contaminatedIds(docs, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val exact = graft.ext.Decontaminate
+      .contaminatedIds(docs, bench, "doc_id", "text", n = 5, exact = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(hashed == exact)
+    assert(exact.nonEmpty) // the benchmark docs at least flag themselves
   }
 
   test("decontaminate: short benchmark doc matches only identical short docs") {

@@ -199,6 +199,46 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("SCD1 upsert: join-based prune above the literal threshold, same rows") {
+    val dir = tmpDir("scd1join") + "/t"
+    // 40 partitions on disk, batch touching 30 of them
+    val seed = (1 to 40).map(d => (s"d$d", d.toLong, d.toDouble))
+      .toDF("day", "k", "v")
+    Upsert(spark, seed, dir, keys = Seq("day", "k"), partitionBy = Seq("day"))
+    val batch = (1 to 30).map(d => (s"d$d", d.toLong, -d.toDouble))
+      .toDF("day", "k", "v")
+    val existingAll = spark.read.parquet(dir)
+    val literal = Upsert.prunedExisting(batch, existingAll, Seq("day"))
+    val joined = Upsert.prunedExisting(batch, existingAll, Seq("day"),
+      literalPruneMax = 10)
+    // both paths read exactly the touched partitions' rows
+    assert(literal.collect().map(_.toSeq).toSet ==
+      joined.collect().map(_.toSeq).toSet)
+    assert(joined.count() == 30)
+    val p = joined.queryExecution.executedPlan.toString
+    // the set-prune path keeps STATIC partition pruning on the scan (a
+    // single IN-set partition filter, not a 30-term OR-of-<=> chain)...
+    assert(p.contains("PartitionFilters: [day#") &&
+      (p.contains(" INSET ") || p.contains(" IN ")),
+      s"no IN-set partition filter on the join-pruned scan:\n$p")
+    assert(!p.contains("<=> d29"), s"literal <=> chain leaked into plan:\n$p")
+    // ...with the broadcast semi-join restoring tuple exactness
+    assert(p.contains("LeftSemi"), s"no exactness semi-join:\n$p")
+  }
+
+  test("SCD1 upsert: join-based prune keeps the plan bounded at 10^4 touched") {
+    // plan-size check only (no 10^4 directories on disk): the literal
+    // path at this cardinality would build a ~10^4-term OR chain
+    val batch = spark.range(10000).selectExpr("concat('d', id) AS day",
+      "id AS k", "cast(id AS double) AS v")
+    val existingAll = Seq(("d1", 1L, 1.0)).toDF("day", "k", "v")
+    val pruned = Upsert.prunedExisting(batch, existingAll, Seq("day"),
+      literalPruneMax = 1000)
+    val planLen = pruned.queryExecution.optimizedPlan.toString.length
+    assert(planLen < 50000, s"join-pruned plan not bounded: $planLen chars")
+    assert(pruned.count() == 1)
+  }
+
   test("SCD1 upsert: rerunning the same batch is a no-op on contents (idempotent)") {
     val dir = tmpDir("scd1c") + "/t"
     seedPartitioned(dir)
