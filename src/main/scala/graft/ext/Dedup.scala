@@ -86,10 +86,81 @@ object Dedup {
     * self-join — no recomputation of the upstream pipeline on two join
     * sides, no join at all for candidate generation.
     */
-  private def pairExpansion(ids: Column): Column =
+  private[graft] def pairExpansion(ids: Column): Column =
     flatten(transform(sequence(lit(1), size(ids) - 1),
       i => transform(slice(ids, i + lit(1), size(ids) - i),
         y => struct(element_at(ids, i).as("id_a"), y.as("id_b")))))
+
+  /** (doc_id, hset): distinct xxhash64'd shingles per document — the
+    * materialization every MinHash stage (signatures, exact-Jaccard
+    * verification, the durable signature store) works from.
+    *
+    * Shingles are hashed to longs ONCE: embedding the shingle-building
+    * expression inside the per-seed signature lambda would re-evaluate
+    * it numHashes times per row (measured 30x slower). Callers
+    * localCheckpoint the result when it is consumed more than once.
+    */
+  private[graft] def hashedShingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(transform(shingles(col(textCol), shingleN),
+        sh => xxhash64(sh))).as("hset"))
+
+  /** (doc_id, sig) MinHash signatures over hashed shingle sets: the
+    * native single-pass expression (graft_minhash) when the session has
+    * GraftExtensions — map-side at scan speed, NO shuffle — else
+    * explode + codegen'd min-aggregates (map-side partial min per seed,
+    * one shuffle on doc_id). The fallback exists so an uninstrumented
+    * session still works; the permutation schemes differ (fmix64 vs
+    * seeded xxhash64) but both are sound MinHash families — recall
+    * against planted ground truth is gated either way
+    * (ext_minhash_recall, RecallSpec).
+    */
+  private[graft] def minhashSigsOf(hashed: DataFrame, numHashes: Int): DataFrame =
+    if (hashed.sparkSession.catalog.functionExists("graft_minhash"))
+      hashed.select(col("doc_id"),
+        call_function("graft_minhash", col("hset"), lit(numHashes)).as("sig"))
+    else {
+      val aggCols =
+        (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+      hashed
+        .select(col("doc_id"), explode(col("hset")).as("h"))
+        .groupBy("doc_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    }
+
+  /** (doc_id, band, bucket) LSH band rows — the join key space of
+    * candidate generation, and the row format of the durable signature
+    * store (IncrementalDedup).
+    */
+  private[graft] def bandRowsOf(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Exact-Jaccard verification of candidate pairs against the hashed
+    * shingle sets, threshold-filtered. `setsA`/`setsB` may be different
+    * tables (IncrementalDedup verifies a new batch against the stored
+    * corpus sets).
+    */
+  private[graft] def verifyJaccard(
+      candidates: DataFrame, // (id_a, id_b)
+      setsA: DataFrame,      // (doc_id, hset)
+      setsB: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(setsA.select(col("doc_id").as("id_a"), col("hset").as("set_a")), "id_a")
+      .join(setsB.select(col("doc_id").as("id_b"), col("hset").as("set_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("set_a"), col("set_b"))) /
+          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   def minhashNearDups(
       df: DataFrame,
@@ -101,53 +172,23 @@ object Dedup {
       shingleN: Int = 3,
       maxBucket: Int = 2000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Shingles are hashed to longs ONCE and materialized — every later
-    // stage (signatures, verification) works on the long array. Embedding
-    // the shingle-building expression inside the per-seed signature lambda
-    // would re-evaluate it numHashes times per row (measured 30x slower).
     // localCheckpoint (lazy) rather than persist: lineage is truncated at
     // first use, and the storage is released by the ContextCleaner as soon
     // as the caller drops the returned plan — cache lifetime is bounded by
     // plan reachability, not by the session. (At cluster scale the durable
     // form is a written intermediate; single-JVM local mode cannot lose
     // checkpoint blocks.)
-    val hashed = df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(transform(shingles(col(textCol), shingleN),
-        sh => xxhash64(sh))).as("hset"))
+    val hashed = hashedShingleSets(df, idCol, textCol, shingleN)
       .localCheckpoint(false)
-
-    // Signatures: the native single-pass expression (graft_minhash) when
-    // the session has GraftExtensions — map-side at scan speed, NO shuffle
-    // — else explode + codegen'd min-aggregates (map-side partial min per
-    // seed, one shuffle on doc_id). The fallback exists so an
-    // uninstrumented session still works; the permutation schemes differ
-    // (fmix64 vs seeded xxhash64) but both are sound MinHash families —
-    // recall against planted ground truth is gated either way
-    // (ext_minhash_recall, RecallSpec).
-    val sigs =
-      if (df.sparkSession.catalog.functionExists("graft_minhash"))
-        hashed.select(col("doc_id"),
-          call_function("graft_minhash", col("hset"), lit(numHashes)).as("sig"))
-      else {
-        val aggCols =
-          (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-        hashed
-          .select(col("doc_id"), explode(col("hset")).as("h"))
-          .groupBy("doc_id")
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(col("doc_id"),
-            array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-      }
+    val sigs = minhashSigsOf(hashed, numHashes)
 
     // (band, bucket) -> sorted member list -> in-bucket pairs. One shuffle.
     // Buckets above maxBucket are degenerate (a corpus-wide similarity
     // cluster): their pair count is quadratic by definition, so they are
     // dropped rather than allowed to blow up the job — collapse exact
     // duplicates first or raise the threshold to handle such corpora.
-    val candidates = sigs
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bucket"))
+    val candidates = bandRowsOf(sigs, bands, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairExpansion(col("ids"))).as("p"))
@@ -155,17 +196,7 @@ object Dedup {
       .distinct()
 
     // Exact Jaccard verification on hashed shingle sets, candidates only.
-    val sets = hashed.select(col("doc_id"), col("hset"))
-    candidates
-      .join(sets.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("hset", "set_a"), "id_a")
-      .join(sets.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("hset", "set_b"), "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("set_a"), col("set_b"))) /
-          greatest(size(array_union(col("set_a"), col("set_b"))), lit(1)), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(candidates, hashed, hashed, threshold)
   }
 
   /** Full corpus-level dedup: near-dup pairs → connected components →

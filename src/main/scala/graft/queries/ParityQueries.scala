@@ -654,6 +654,54 @@ object ParityQueries {
       out
     }),
 
+    // The TRANSACTIONAL rollup (sinks.TxTable manifest commit) — same
+    // two-delta fold as rollup_incremental, but committed through the
+    // atomic manifest log with per-delta replay protection, INCLUDING a
+    // crashed-and-rerun middle maintain (the fold lands exactly once).
+    // A hash match against the one-shot aggregate oracle proves the
+    // snapshot-isolated commit path end-to-end: data generations,
+    // manifest publish, deltaId ledger, manifest-resolved read.
+    "rollup_tx_incremental" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_txroll").toString
+      val target = s"$work/rollup"
+      // one shipdate year: the commit-path semantics are identical at any
+      // size, and the bench entry should time the MANIFEST machinery
+      // (3 commits + ledger + manifest-resolved reads), not a second copy
+      // of rollup_incremental's full-table fold I/O
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between("1997-01-01", "1997-12-31"))
+        .withColumn("ym", date_format(col("l_shipdate"), "yyyy-MM"))
+        .select("ym", "l_returnflag", "l_quantity", "l_orderkey")
+      def maintain(parity: Int): Unit =
+        graft.sinks.IncrementalRollup(s,
+          li.filter(col("l_orderkey") % 2 === parity),
+          target, groupCols = Seq("ym", "l_returnflag"),
+          sumCols = Seq("l_quantity" -> "sum_qty"),
+          partitionBy = Seq("ym"),
+          deltaId = Some(s"parity$parity"), transactional = true)
+      maintain(0)
+      // crash the second fold after its data lands but before the
+      // manifest publishes, then rerun it: the ledger + atomic publish
+      // must make the result identical to a clean two-fold run
+      try graft.sinks.TxTable.commit(s,
+          li.filter(col("l_orderkey") % 2 === 1).limit(1)
+            .groupBy("ym", "l_returnflag")
+            .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty")),
+          target, Seq("ym"), deltaId = Some("parity1"),
+          failpoint = st => if (st == "before-publish") sys.error("crash"))
+      catch { case _: RuntimeException => () }
+      maintain(1)
+      maintain(1) // replay after success: no-op
+      val out = graft.sinks.TxTable.read(s, target).get
+        .select(col("ym"), col("l_returnflag"), col("cnt"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("ym", "l_returnflag")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // SCD1 merge-with-update (sinks.Upsert) — exercised AGAINST THE REAL
     // SINK, not restated: seed a segment-partitioned parquet dimension
     // from customer, upsert a batch of changed + brand-new rows through
@@ -1204,6 +1252,16 @@ object ParityQueries {
       """SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_returnflag,
         |  count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY ym, l_returnflag""".stripMargin,
+
+    // same restatement as rollup_incremental over the 1997 slice: the
+    // transactional commit path must produce the same standing
+    // aggregate, crash or no crash
+    "rollup_tx_incremental" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_returnflag,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1, 2 ORDER BY ym, l_returnflag""".stripMargin,
 
     "scd1_upsert" ->
       """WITH batch AS (

@@ -24,19 +24,43 @@ import org.apache.spark.sql.functions._
   * shuffle), the standing table is read PARTITION-PRUNED to the groups
   * the delta touches (partition cols ⊆ group cols, same immutability
   * rule as Upsert), combined with one more small aggregation over
-  * O(touched groups) rows, and committed with the partition-local
-  * stage-aside swap — untouched partitions are never listed, read, or
-  * rewritten. Shares MergeWrite/SwapUtil crash discipline (heal-first,
-  * never delete-then-rename).
+  * O(touched groups) rows, and committed touched-partitions-only —
+  * untouched partitions are never listed, read, or rewritten.
+  *
+  * CRASH SAFETY — the fold is NON-idempotent (re-applying a delta
+  * double-counts), so reruns need replay protection:
+  *
+  *  - `transactional = true` (recommended): commits through TxTable.
+  *    The fold and its `deltaId` publish in ONE atomic manifest rename,
+  *    so at every crash point the table holds either zero or exactly
+  *    one application of the delta, and a rerun consults
+  *    `appliedDeltaIds` and folds only if needed. Concurrent readers
+  *    are safe throughout (snapshot isolation).
+  *  - legacy layout (default, plain parquet directories): an applied-
+  *    delta marker (`_applied/<deltaId>`) is written AFTER the commit
+  *    and checked BEFORE folding, which makes rerun-after-SUCCESS a
+  *    no-op. A crash INSIDE the multi-leaf commit window still leaves
+  *    partially-swapped leaves that a rerun would double-fold — that
+  *    window is inherent to non-atomic per-leaf renames: REBUILD the
+  *    rollup from scratch after a crashed maintain(), or use the
+  *    transactional mode, which closes the window completely.
   */
 object IncrementalRollup {
 
-  /** @param groupCols   grouping key of the maintained rollup
-    * @param sumCols     measure -> stored-column-alias pairs; each stored
-    *                    column is `sum(measure)` (exact for integral or
-    *                    integer-valued-double measures; floating sums
-    *                    merge associatively only up to reordering)
-    * @param partitionBy physical partition cols, must be group cols
+  /** @param groupCols     grouping key of the maintained rollup
+    * @param sumCols       measure -> stored-column-alias pairs; each stored
+    *                      column is `sum(measure)` (exact for integral or
+    *                      integer-valued-double measures; floating sums
+    *                      merge associatively only up to reordering)
+    * @param partitionBy   physical partition cols, must be group cols
+    * @param deltaId       stable identifier of this delta batch (e.g. the
+    *                      source partition/date it came from); enables
+    *                      replay protection — reruns of an already-applied
+    *                      delta are no-ops instead of double-counting
+    * @param transactional commit through the TxTable manifest log (atomic
+    *                      multi-partition publish, concurrent-reader safe,
+    *                      crash+rerun exact); read the table back with
+    *                      `TxTable.read`, not a plain parquet read
     */
   def apply(
       spark: SparkSession,
@@ -44,7 +68,9 @@ object IncrementalRollup {
       targetPath: String,
       groupCols: Seq[String],
       sumCols: Seq[(String, String)],
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      deltaId: Option[String] = None,
+      transactional: Boolean = false): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
@@ -54,38 +80,68 @@ object IncrementalRollup {
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
 
-    val aggs = count(lit(1)).as("cnt") +:
-      sumCols.map { case (m, a) => sum(col(m)).as(a) }
-    val deltaAgg = delta
-      .groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-
-    // heal a crashed previous swap BEFORE reading (see Upsert)
-    val p0 = new Path(targetPath)
-    SwapUtil.recoverUnder(
-      p0.getFileSystem(spark.sparkContext.hadoopConfiguration), p0)
-
-    if (!UpsertIgnore.targetExists(spark, targetPath)) {
-      val w = deltaAgg.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(targetPath)
-      return
+    def deltaAgg = {
+      val aggs = count(lit(1)).as("cnt") +:
+        sumCols.map { case (m, a) => sum(col(m)).as(a) }
+      delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
-    val existingAll =
-      MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty)
-    SchemaGuard.requireAligned(spark, deltaAgg, existingAll, partitionBy, targetPath)
-    val existing = Upsert.prunedExisting(deltaAgg, existingAll, partitionBy)
-
-    // partials merge by the same op: counts add, sums add
     val mergeAggs = sum(col("cnt")).as("cnt") +:
       sumCols.map { case (_, a) => sum(col(a)).as(a) }
-    val combined = existing
-      .unionByName(deltaAgg.select(existingAll.columns.toSeq.map(col): _*))
-      .groupBy(groupCols.map(col): _*)
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
-      .select(existingAll.columns.toSeq.map(col): _*)
+    def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
+      existing
+        .unionByName(agg.select(cols.map(col): _*))
+        .groupBy(groupCols.map(col): _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .select(cols.map(col): _*)
 
-    MergeWrite.commitStaged(spark, combined, targetPath, partitionBy,
-      "IncrementalRollup")
+    if (transactional) {
+      TxTable.currentManifest(spark, targetPath) match {
+        case cur if deltaId.exists(id =>
+            cur.exists(_.deltaIds.contains(id))) =>
+          () // already folded — atomic with the fold itself, so this
+             // check is exact at every crash point
+        case None =>
+          TxTable.commit(spark, deltaAgg, targetPath, partitionBy,
+            deltaId, replaceAll = true)
+          ()
+        case Some(m) =>
+          val existingAll = TxTable.read(spark, targetPath).get
+          val agg = deltaAgg
+          SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
+          val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
+          TxTable.commit(spark,
+            fold(existing, agg, existingAll.columns.toSeq),
+            targetPath, partitionBy, deltaId,
+            expectedVersion = Some(m.version))
+          ()
+      }
+      return
+    }
+
+    // ---- legacy plain-directory layout ------------------------------
+    val p0 = new Path(targetPath)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = deltaId.map(id => new Path(p0, s"_applied/$id"))
+    if (marker.exists(fs.exists(_))) return // rerun after success: no-op
+
+    // heal a crashed previous swap BEFORE reading (see Upsert)
+    SwapUtil.recoverUnder(fs, p0)
+
+    if (!UpsertIgnore.targetExists(spark, targetPath)) {
+      // staged, not written in place: a crash mid-first-write must not
+      // leave a partial table that the next run folds a delta into
+      MergeWrite.commitStaged(spark, deltaAgg, targetPath, partitionBy,
+        "IncrementalRollup")
+    } else {
+      val existingAll =
+        MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty)
+      val agg = deltaAgg
+      SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
+      val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
+      MergeWrite.commitStaged(spark,
+        fold(existing, agg, existingAll.columns.toSeq),
+        targetPath, partitionBy, "IncrementalRollup")
+    }
+    marker.foreach { mk => fs.mkdirs(mk.getParent); fs.create(mk, true).close() }
   }
 }

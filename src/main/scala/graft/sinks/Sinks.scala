@@ -273,12 +273,19 @@ object Upsert {
   /** updated = keys that replaced an existing row; inserted = new keys. */
   final case class Result(updated: Long, inserted: Long)
 
+  /** @param transactional commit through the TxTable manifest log: the
+    *        multi-partition replace publishes atomically (concurrent
+    *        readers see the old or new snapshot, never a torn mix) and
+    *        the merge is optimistically version-checked. Read the table
+    *        back with `TxTable.read`, not a plain parquet read.
+    */
   def apply(
       spark: SparkSession,
       incoming: DataFrame,
       targetPath: String,
       keys: Seq[String],
-      partitionBy: Seq[String] = Nil): Result = {
+      partitionBy: Seq[String] = Nil,
+      transactional: Boolean = false): Result = {
     require(keys.nonEmpty, "Upsert requires at least one key column")
     require(partitionBy.forall(keys.contains),
       s"Upsert partition columns must be key columns (a key's partition " +
@@ -296,33 +303,50 @@ object Upsert {
         s"Upsert batch has ${total - distinctKeys} duplicate keys " +
           s"${keys.mkString("(", ",", ")")} — last-writer is undefined; " +
           "dedup the batch first")
-      // heal any crashed previous swap BEFORE reading: a merge computed
-      // from a crash-truncated table would commit the data loss
-      locally {
-        val p0 = new Path(targetPath)
-        SwapUtil.recoverUnder(
-          p0.getFileSystem(spark.sparkContext.hadoopConfiguration), p0)
-      }
-      if (!UpsertIgnore.targetExists(spark, targetPath)) {
-        val w = batch.write.mode("overwrite")
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-          .parquet(targetPath)
-        return Result(0, total)
-      }
-      val existingAll =
-        MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty)
-      SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
 
-      // prune the existing scan to the partitions the batch touches
-      val existing = prunedExisting(batch, existingAll, partitionBy)
-      val updated = batch
-        .join(existing.select(keys.map(col): _*), keys, "left_semi").count()
-      val kept = existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
-      val merged = kept
-        .unionByName(batch.select(existingAll.columns.toSeq.map(col): _*))
+      def merge(existingAll: DataFrame): (DataFrame, Long) = {
+        SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
+        // prune the existing scan to the partitions the batch touches
+        val existing = prunedExisting(batch, existingAll, partitionBy)
+        val updated = batch
+          .join(existing.select(keys.map(col): _*), keys, "left_semi").count()
+        val kept = existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
+        (kept.unionByName(batch.select(existingAll.columns.toSeq.map(col): _*)),
+          updated)
+      }
 
-      MergeWrite.commitStaged(spark, merged, targetPath, partitionBy, "Upsert")
-      Result(updated, total - updated)
+      if (transactional) {
+        TxTable.currentManifest(spark, targetPath) match {
+          case None =>
+            TxTable.commit(spark, batch, targetPath, partitionBy,
+              replaceAll = true)
+            Result(0, total)
+          case Some(m) =>
+            val (merged, updated) =
+              merge(TxTable.read(spark, targetPath).get)
+            TxTable.commit(spark, merged, targetPath, partitionBy,
+              expectedVersion = Some(m.version))
+            Result(updated, total - updated)
+        }
+      } else {
+        // heal any crashed previous swap BEFORE reading: a merge computed
+        // from a crash-truncated table would commit the data loss
+        locally {
+          val p0 = new Path(targetPath)
+          SwapUtil.recoverUnder(
+            p0.getFileSystem(spark.sparkContext.hadoopConfiguration), p0)
+        }
+        if (!UpsertIgnore.targetExists(spark, targetPath)) {
+          val w = batch.write.mode("overwrite")
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+            .parquet(targetPath)
+          return Result(0, total)
+        }
+        val (merged, updated) = merge(
+          MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty))
+        MergeWrite.commitStaged(spark, merged, targetPath, partitionBy, "Upsert")
+        Result(updated, total - updated)
+      }
     } finally { batch.unpersist(); () }
   }
 

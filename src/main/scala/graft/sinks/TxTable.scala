@@ -1,0 +1,282 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed table: the transactional upgrade of the rewriting
+  * sinks' per-leaf directory swap. `MergeWrite.commitStaged` renames one
+  * leaf partition at a time, so a reader racing a multi-leaf replace can
+  * see a TORN table (some partitions new, some old) — acceptable under
+  * the documented single-writer/no-concurrent-reader contract, but at
+  * 100 TB a maintenance window over every reader is not a real option.
+  *
+  * This format removes the caveat with the standard log-structured
+  * design (the idea behind every table format built on object stores —
+  * snapshot isolation via an atomically-published metadata pointer over
+  * immutable data files):
+  *
+  *  - DATA IS IMMUTABLE. Each commit writes its partitions into a fresh
+  *    generation directory `data/gen=<v>/...` and never mutates or
+  *    renames existing ones.
+  *  - COMMIT IS ONE ATOMIC RENAME. A version manifest
+  *    `_log/v<%08d>.manifest` names the live directory for every
+  *    partition. It is written to a hidden temp file and renamed into
+  *    place — a same-directory rename, atomic on HDFS and POSIX — so
+  *    the new snapshot becomes visible to every reader at one instant.
+  *  - READERS RESOLVE THROUGH THE LOG. `read` lists `_log`, takes the
+  *    highest complete manifest, and scans exactly the directories it
+  *    names. A reader never lists `data/` itself, so half-written
+  *    generations (crashed commits) and superseded generations are
+  *    invisible by construction. Any point of the commit sequence
+  *    crashes to a state where the PREVIOUS manifest is still the
+  *    newest — nothing to heal before reading (contrast SwapUtil's
+  *    mandatory heal-first discipline).
+  *
+  * Concurrency contract: many readers, one writer (optimistic version
+  * check — a commit racing another commit fails cleanly rather than
+  * silently losing one of them). Failed/crashed commits leave only an
+  * orphan generation directory, reclaimed by the next commit at the
+  * same version number or by `vacuum`.
+  *
+  * Idempotent re-application: a commit can carry a `deltaId`; applied
+  * ids accumulate in the manifest, and `appliedDeltaIds` lets a caller
+  * (IncrementalRollup) skip a delta that already folded — the
+  * crash+rerun double-count hazard of non-idempotent maintenance
+  * becomes a manifest lookup.
+  *
+  * Older manifests stay readable (`readAt`) until `vacuum` drops them:
+  * time travel for audits/reproducibility, and the reason concurrent
+  * readers of the PREVIOUS snapshot keep working mid-commit.
+  */
+object TxTable {
+
+  final case class Manifest(
+      version: Long,
+      deltaIds: Seq[String],
+      // partition rel-path (e.g. "day=2026-01-01", "" for flat) ->
+      // live data dir rel to data/ (e.g. "gen=3/day=2026-01-01")
+      entries: Map[String, String])
+
+  private val LogDir = "_log"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestName(v: Long): String = f"v$v%08d.manifest"
+
+  /** Highest complete manifest, or None for an absent/empty table. */
+  def currentManifest(spark: SparkSession, target: String): Option[Manifest] = {
+    val log = new Path(target, LogDir)
+    val f = fs(spark, log)
+    if (!f.exists(log)) return None
+    val versions = f.listStatus(log).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (versions.isEmpty) None
+    else Some(readManifest(f, log, versions.max))
+  }
+
+  private def readManifest(f: FileSystem, log: Path, v: Long): Manifest = {
+    val in = f.open(new Path(log, manifestName(v)))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // line format, no JSON dependency: header lines then TAB-separated
+    // entry lines. Partition rel-paths never contain TAB/newline (Spark
+    // %-escapes control characters in partition dir names).
+    var deltaIds = Seq.empty[String]
+    val entries = Map.newBuilder[String, String]
+    text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+      if (line == "deltaIds" || line.startsWith("deltaIds "))
+        deltaIds = line.split(" ").toSeq.drop(1)
+      else if (!line.startsWith("version ")) {
+        val parts = line.split("\t", -1)
+        require(parts.length == 2, s"malformed manifest line in v$v: $line")
+        entries += (parts(0) -> parts(1))
+      }
+    }
+    Manifest(v, deltaIds, entries.result())
+  }
+
+  private def writeManifest(f: FileSystem, log: Path, m: Manifest): Unit = {
+    f.mkdirs(log)
+    val tmp = new Path(log, s".${manifestName(m.version)}.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      sb.append("version ").append(m.version).append('\n')
+      sb.append("deltaIds")
+      m.deltaIds.foreach(id => sb.append(' ').append(id))
+      sb.append('\n')
+      m.entries.toSeq.sortBy(_._1).foreach { case (p, d) =>
+        sb.append(p).append('\t').append(d).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+      // flush to stable storage BEFORE the publishing rename: an atomic
+      // rename of an unflushed file could publish a truncated manifest
+      out.hsync()
+    } finally out.close()
+    val dst = new Path(log, manifestName(m.version))
+    if (!f.rename(tmp, dst))
+      sys.error(s"TxTable: manifest publish failed for $dst " +
+        "(concurrent writer? TxTable is single-writer)")
+  }
+
+  /** Deltas already folded into the current snapshot. */
+  def appliedDeltaIds(spark: SparkSession, target: String): Set[String] =
+    currentManifest(spark, target).map(_.deltaIds.toSet).getOrElse(Set.empty)
+
+  /** Commit `df` as the new content of the partitions it contains (all
+    * other partitions carry over from the current snapshot); with
+    * `replaceAll` the new snapshot is exactly `df`. Readers see the old
+    * snapshot until the single manifest rename, then the new one —
+    * never a mix.
+    *
+    * @param expectedVersion optimistic-concurrency guard: when set, the
+    *        commit fails if the table advanced past it since the caller
+    *        read (lost-update detection for read-modify-write sinks)
+    * @param failpoint test hook, called with a stage label at each
+    *        crash-window boundary; production callers leave the default
+    */
+  def commit(
+      spark: SparkSession,
+      df: DataFrame,
+      target: String,
+      partitionBy: Seq[String],
+      deltaId: Option[String] = None,
+      replaceAll: Boolean = false,
+      expectedVersion: Option[Long] = None,
+      failpoint: String => Unit = _ => ()): Manifest = {
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val cur = currentManifest(spark, target)
+    expectedVersion.foreach { ev =>
+      val got = cur.map(_.version).getOrElse(0L)
+      require(got == ev,
+        s"TxTable: concurrent commit detected on $target " +
+          s"(expected version $ev, found $got) — single-writer contract")
+    }
+    deltaId.foreach { id =>
+      require(!cur.exists(_.deltaIds.contains(id)),
+        s"TxTable: delta '$id' already applied to $target " +
+          "(check appliedDeltaIds before folding)")
+    }
+    val newV = cur.map(_.version).getOrElse(0L) + 1
+    val genRel = s"gen=$newV"
+    val genDir = new Path(new Path(root, DataDir), genRel)
+    // a crashed previous attempt at this version left an unreferenced
+    // orphan — reclaim it (readers never saw it)
+    if (f.exists(genDir)) f.delete(genDir, true)
+    failpoint("before-data")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(genDir.toString)
+    failpoint("after-data")
+
+    // leaves actually written this generation (data is already on disk)
+    val newLeaves: Seq[String] =
+      if (partitionBy.isEmpty) Seq("")
+      else leafRelPaths(f, genDir).map(_.stripPrefix("/"))
+    // an empty partitioned write produces zero leaves; publishing it
+    // would poison the manifest with an unreadable empty snapshot —
+    // fail AT the commit, where the cause (empty input) is diagnosable
+    require(newLeaves.nonEmpty,
+      s"TxTable: commit wrote no partitions to $target — empty input?")
+    val newEntries = newLeaves.map(l =>
+      l -> (if (l.isEmpty) genRel else s"$genRel/$l")).toMap
+    val carried =
+      if (replaceAll) Map.empty[String, String]
+      else cur.map(_.entries.filterNot { case (p, _) =>
+        newEntries.contains(p)
+      }).getOrElse(Map.empty)
+    val m = Manifest(newV,
+      cur.map(_.deltaIds).getOrElse(Nil) ++ deltaId.toSeq,
+      carried ++ newEntries)
+    failpoint("before-publish")
+    writeManifest(f, new Path(root, LogDir), m)
+    m
+  }
+
+  private def leafRelPaths(f: FileSystem, gen: Path): Seq[String] = {
+    val genQ = f.makeQualified(gen)
+    def walk(d: Path): Seq[Path] = {
+      val kids = f.listStatus(d)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath)
+      kids.flatMap { k =>
+        val sub = walk(k)
+        if (sub.isEmpty) Seq(k) else sub
+      }.toSeq
+    }
+    walk(genQ).map(_.toString.stripPrefix(genQ.toString))
+  }
+
+  /** The current snapshot as a DataFrame (partition columns restored
+    * from directory names, partition-value type inference OFF — same
+    * discipline as MergeWrite.readNoInference). Returns None for an
+    * absent/never-committed table.
+    *
+    * The scan lists ONLY the directories the manifest names: driver-side
+    * partition pruning against the manifest composes with Spark's own
+    * partition pruning inside them.
+    */
+  def read(spark: SparkSession, target: String): Option[DataFrame] =
+    currentManifest(spark, target).map(m => readManifestData(spark, target, m))
+
+  /** Snapshot as of a specific version (time travel; available until
+    * vacuumed).
+    */
+  def readAt(spark: SparkSession, target: String, version: Long): DataFrame = {
+    val log = new Path(target, LogDir)
+    readManifestData(spark, target,
+      readManifest(fs(spark, log), log, version))
+  }
+
+  private def readManifestData(
+      spark: SparkSession, target: String, m: Manifest): DataFrame = {
+    val dataRoot = new Path(target, DataDir).toString
+    val dirs = m.entries.values.toSeq.sorted.map(rel => s"$dataRoot/$rel")
+    require(dirs.nonEmpty, s"TxTable: manifest v${m.version} of $target is empty")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(inferKey)
+    val df =
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.option("basePath", dataRoot).parquet(dirs: _*)
+      } finally spark.conf.set(inferKey, saved)
+    df.drop("gen") // the generation id is commit metadata, not data
+  }
+
+  /** Drop generations and manifests not reachable from the newest
+    * `keepVersions` manifests. With the default (1) only the live
+    * snapshot survives; readers of already-resolved older snapshots may
+    * fail after a vacuum — the standard snapshot-retention tradeoff,
+    * under the caller's control.
+    */
+  def vacuum(
+      spark: SparkSession, target: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "vacuum must keep at least the live snapshot")
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val log = new Path(root, LogDir)
+    if (!f.exists(log)) return
+    val versions = f.listStatus(log).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+    if (versions.isEmpty) return
+    val keep = versions.takeRight(keepVersions)
+    val liveGens: Set[String] = keep.flatMap { v =>
+      readManifest(f, log, v).entries.values.map(_.split("/", 2)(0))
+    }.toSet
+    val dataRoot = new Path(root, DataDir)
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen=") && !liveGens(p.getName))
+        .foreach(p => f.delete(p, true))
+    versions.dropRight(keepVersions).foreach(v =>
+      f.delete(new Path(log, manifestName(v)), false))
+  }
+
+}

@@ -264,6 +264,79 @@ class ExtSpec extends SparkSpec {
     assert(f1 == f2) // batch size never changes results
   }
 
+  test("multimodal: ContainerCodec parses real PNG and WAV fixture bytes") {
+    import java.io.ByteArrayOutputStream
+
+    // a REAL (header-valid) PNG: signature + CRC-correct IHDR + IEND
+    def pngBytes(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val ihdr = new ByteArrayOutputStream()
+      ihdr.write("IHDR".getBytes("US-ASCII"))
+      for (v <- Seq(w, h))
+        ihdr.write(Array((v >> 24).toByte, (v >> 16).toByte,
+          (v >> 8).toByte, v.toByte))
+      ihdr.write(bitDepth); ihdr.write(colorType)
+      ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
+      val body = ihdr.toByteArray
+      out.write(Array[Byte](0, 0, 0, 13)) // IHDR payload length
+      out.write(body)
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      val c = crc.getValue
+      out.write(Array((c >> 24).toByte, (c >> 16).toByte, (c >> 8).toByte, c.toByte))
+      out.write(Array[Byte](0, 0, 0, 0)); out.write("IEND".getBytes("US-ASCII"))
+      out.toByteArray
+    }
+
+    // a REAL WAV: RIFF/WAVE, PCM fmt chunk, data = 1 second of a
+    // full-scale square wave at 8 kHz mono 16-bit (RMS = 1.0 exactly)
+    def wavBytes(sampleRate: Int, seconds: Int): Array[Byte] = {
+      val n = sampleRate * seconds
+      val dataLen = n * 2
+      val out = new ByteArrayOutputStream()
+      def le16(v: Int) = out.write(Array(v.toByte, (v >> 8).toByte))
+      def le32(v: Int) = out.write(Array(v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte))
+      out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(16)
+      le16(1); le16(1); le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+      out.write("data".getBytes("US-ASCII")); le32(dataLen)
+      for (i <- 0 until n) le16(if (i % 2 == 0) -32768 else 32767)
+      out.toByteArray
+    }
+
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(640, 480, 8, 2), "image/png", 0, 0),
+      Multimodal.MediaRow(2L, wavBytes(8000, 1), "audio/wav", 0, 0),
+      Multimodal.MediaRow(3L, "not a media file".getBytes, "text/plain", 0, 0))
+      .toDF()
+    val f = Multimodal.extractFeatures(spark, media, batchSize = 2)
+      .collect().map(x => x.doc_id -> x).toMap
+    // PNG geometry straight from the (CRC-verified) IHDR
+    assert(f(1L).format == "image/png")
+    assert(f(1L).feature.toSeq == Seq(640f, 480f, 8f, 2f))
+    // WAV geometry from the fmt/data chunks; RMS of a full-scale square
+    // wave is 1.0 (up to the -32768 vs 32767 asymmetry)
+    assert(f(2L).format == "audio/wav")
+    assert(f(2L).feature(0) == 1f && f(2L).feature(1) == 8000f)
+    assert(math.abs(f(2L).feature(2) - 1.0f) < 1e-6, s"duration ${f(2L).feature(2)}")
+    assert(math.abs(f(2L).feature(3) - 1.0f) < 1e-4, s"rms ${f(2L).feature(3)}")
+    // unrecognized bytes fall back to the deterministic byte-stats form
+    assert(f(3L).format == "text/plain")
+    assert(f(3L).byte_len == 16)
+
+    // a corrupted IHDR CRC must NOT yield garbage geometry
+    val bad = pngBytes(640, 480, 8, 2)
+    bad(20) = (bad(20) ^ 0xff).toByte // flip a width byte, CRC now wrong
+    val fb = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(9L, bad, "image/png", 0, 0)).toDF())
+      .collect().head
+    assert(fb.feature.forall(_ <= 1f), "corrupt PNG parsed as geometry")
+  }
+
   test("multimodal: frame sampling yields frames for every non-trivial doc") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, "/root/testdata/sf0.001"))

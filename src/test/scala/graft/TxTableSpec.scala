@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{IncrementalRollup, TxTable, Upsert}
+
+/** Manifest-committed table format: snapshot isolation for the
+  * rewriting sinks. The legacy per-leaf swap documents a no-concurrent-
+  * reader contract; these specs prove the TxTable commit REMOVES it —
+  * a reader racing a multi-partition replace sees the old snapshot or
+  * the new one, never a torn mix — and that the deltaId ledger makes
+  * non-idempotent rollup maintenance crash+rerun exact.
+  */
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(tag: Int) =
+    (1 to 4).map(p => (s"p$p", p.toLong, tag)).toDF("part", "k", "tag")
+
+  test("roundtrip: partitioned commit + read, partial replace carries the rest") {
+    val dir = tmpDir("txr") + "/t"
+    TxTable.commit(spark, seed(1), dir, Seq("part"))
+    val t1 = TxTable.read(spark, dir).get
+    assert(t1.count() == 4)
+    assert(t1.columns.sorted.toSeq == Seq("k", "part", "tag"))
+    // replace only p1/p2; p3/p4 carry over from gen=1
+    val delta = Seq(("p1", 10L, 2), ("p2", 20L, 2)).toDF("part", "k", "tag")
+    TxTable.commit(spark, delta, dir, Seq("part"))
+    val t2 = TxTable.read(spark, dir).get
+    assert(t2.count() == 4)
+    assert(t2.filter(col("part").isin("p1", "p2"))
+      .select("tag").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(t2.filter(col("part").isin("p3", "p4"))
+      .select("tag").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("flat table: commit replaces the whole snapshot atomically") {
+    val dir = tmpDir("txf") + "/t"
+    TxTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), dir, Nil)
+    TxTable.commit(spark, Seq((2L, "b"), (3L, "c")).toDF("k", "v"), dir, Nil,
+      replaceAll = true)
+    val t = TxTable.read(spark, dir).get
+    assert(t.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("a crash at EVERY commit stage leaves the previous snapshot intact") {
+    val dir = tmpDir("txc") + "/t"
+    TxTable.commit(spark, seed(1), dir, Seq("part"))
+    for (stage <- Seq("before-data", "after-data", "before-publish")) {
+      val e = intercept[RuntimeException] {
+        TxTable.commit(spark, seed(9), dir, Seq("part"),
+          failpoint = s => if (s == stage) sys.error(s"crash at $s"))
+      }
+      assert(e.getMessage.contains(stage))
+      // reader still sees the v1 snapshot, complete and consistent
+      val t = TxTable.read(spark, dir).get
+      assert(t.count() == 4, s"torn read after crash at $stage")
+      assert(t.select("tag").distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(1), s"torn read after crash at $stage")
+    }
+    // the rerun reclaims the orphan generation and commits cleanly
+    TxTable.commit(spark, seed(2), dir, Seq("part"))
+    assert(TxTable.read(spark, dir).get.select("tag").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("concurrent reader during multi-partition replaces never sees a torn table") {
+    val dir = tmpDir("txrace") + "/t"
+    TxTable.commit(spark, seed(0), dir, Seq("part"))
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        // invariant: every commit rewrites ALL FOUR partitions with one
+        // tag, so a consistent snapshot has exactly one distinct tag on
+        // exactly 4 rows — the per-leaf swap breaks this, the manifest
+        // commit must not
+        val rows = TxTable.read(spark, dir).get
+          .groupBy("tag").agg(count(lit(1)).as("n")).collect()
+        if (rows.length != 1 || rows(0).getLong(1) != 4)
+          torn.set(rows.mkString(", "))
+      }
+    })
+    reader.start()
+    try
+      for (i <- 1 to 8) {
+        TxTable.commit(spark, seed(i), dir, Seq("part"))
+        assert(torn.get() == null, s"torn read observed: ${torn.get()}")
+      }
+    finally { stop.set(true); reader.join(30000) }
+    assert(torn.get() == null, s"torn read observed: ${torn.get()}")
+  }
+
+  test("deltaId ledger: applied ids accumulate and replays are rejected") {
+    val dir = tmpDir("txd") + "/t"
+    TxTable.commit(spark, seed(1), dir, Seq("part"), deltaId = Some("b1"))
+    TxTable.commit(spark, seed(2), dir, Seq("part"), deltaId = Some("b2"))
+    assert(TxTable.appliedDeltaIds(spark, dir) == Set("b1", "b2"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commit(spark, seed(3), dir, Seq("part"), deltaId = Some("b1"))
+    }
+    assert(e.getMessage.contains("already applied"))
+  }
+
+  test("optimistic version check detects a lost update") {
+    val dir = tmpDir("txv") + "/t"
+    TxTable.commit(spark, seed(1), dir, Seq("part"))
+    // writer A reads v1, writer B commits v2, writer A's commit must fail
+    TxTable.commit(spark, seed(2), dir, Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commit(spark, seed(3), dir, Seq("part"),
+        expectedVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
+  test("time travel until vacuum; vacuum drops unreferenced generations") {
+    val dir = tmpDir("txvac") + "/t"
+    for (i <- 1 to 3) TxTable.commit(spark, seed(i), dir, Seq("part"))
+    assert(TxTable.readAt(spark, dir, 1).select("tag").distinct()
+      .head().getInt(0) == 1)
+    TxTable.vacuum(spark, dir, keepVersions = 1)
+    val gens = new java.io.File(s"$dir/data").listFiles().map(_.getName).toSet
+    assert(gens == Set("gen=3"), s"gens after vacuum: $gens")
+    assert(TxTable.read(spark, dir).get.select("tag").distinct()
+      .head().getInt(0) == 3)
+    intercept[Exception] { TxTable.readAt(spark, dir, 1).collect() }
+  }
+
+  // ---- sink integration --------------------------------------------
+
+  test("transactional rollup: crash mid-maintain + rerun folds the delta EXACTLY once") {
+    val dir = tmpDir("txroll") + "/t"
+    val b1 = Seq(("p1", 1.0), ("p1", 2.0), ("p2", 3.0)).toDF("part", "x")
+    val b2 = Seq(("p1", 10.0), ("p3", 5.0)).toDF("part", "x")
+    def maintain(b: org.apache.spark.sql.DataFrame, id: String) =
+      IncrementalRollup(spark, b, dir, groupCols = Seq("part"),
+        sumCols = Seq("x" -> "sum_x"), partitionBy = Seq("part"),
+        deltaId = Some(id), transactional = true)
+    maintain(b1, "b1")
+    // the ADVICE scenario: a failed maintain() followed by a rerun of
+    // the SAME delta must not double-count. Simulate the crash by
+    // failing the underlying commit after data lands but before the
+    // manifest publishes.
+    intercept[RuntimeException] {
+      val agg = b2.groupBy("part").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      val existing = TxTable.read(spark, dir).get
+      val folded = existing.unionByName(agg.select(existing.columns.map(col).toSeq: _*))
+        .groupBy("part").agg(sum("cnt").as("cnt"), sum("sum_x").as("sum_x"))
+        .select(existing.columns.map(col).toSeq: _*)
+      TxTable.commit(spark, folded, dir, Seq("part"), deltaId = Some("b2"),
+        failpoint = s => if (s == "before-publish") sys.error("crash at before-publish"))
+    }
+    maintain(b2, "b2") // rerun: folds b2 (the crash published nothing)
+    maintain(b2, "b2") // replay after success: no-op via the ledger
+    val t = TxTable.read(spark, dir).get
+      .select("part", "cnt", "sum_x").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(t == Map("p1" -> ((3L, 13.0)), "p2" -> ((1L, 3.0)), "p3" -> ((1L, 5.0))),
+      s"got $t")
+  }
+
+  test("legacy rollup: deltaId marker makes rerun-after-success a no-op") {
+    val dir = tmpDir("legroll") + "/t"
+    val b = Seq(("p1", 1.0), ("p2", 2.0)).toDF("part", "x")
+    def maintain() = IncrementalRollup(spark, b, dir,
+      groupCols = Seq("part"), sumCols = Seq("x" -> "sum_x"),
+      partitionBy = Seq("part"), deltaId = Some("b1"))
+    maintain(); maintain() // second run must not double-count
+    val t = spark.read.parquet(dir).select("part", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("p1" -> 1L, "p2" -> 1L), s"got $t")
+  }
+
+  test("transactional upsert: last-writer-wins merge under the manifest log") {
+    val dir = tmpDir("txups") + "/t"
+    val seed0 = Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("part", "k", "v")
+    val r1 = Upsert(spark, seed0, dir, keys = Seq("part", "k"),
+      partitionBy = Seq("part"), transactional = true)
+    assert(r1 == Upsert.Result(updated = 0, inserted = 2))
+    val batch = Seq(("p1", 1L, "A"), ("p3", 3L, "c")).toDF("part", "k", "v")
+    val r2 = Upsert(spark, batch, dir, keys = Seq("part", "k"),
+      partitionBy = Seq("part"), transactional = true)
+    assert(r2 == Upsert.Result(updated = 1, inserted = 1))
+    val t = TxTable.read(spark, dir).get.collect()
+      .map(r => (r.getString(r.fieldIndex("part")), r.getLong(r.fieldIndex("k"))) ->
+        r.getString(r.fieldIndex("v"))).toMap
+    assert(t == Map(("p1", 1L) -> "A", ("p2", 2L) -> "b", ("p3", 3L) -> "c"))
+    // untouched partition's generation directory is immutable: p2 still
+    // resolves into gen=1
+    val m = TxTable.currentManifest(spark, dir).get
+    assert(m.entries("part=p2").startsWith("gen=1/"), m.entries.toString)
+  }
+}
