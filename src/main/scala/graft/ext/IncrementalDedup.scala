@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.UpsertIgnore
+
+/** [EXT] Incremental near-duplicate detection against a DURABLE
+  * signature store: the form a growing 100 TB corpus actually needs.
+  * One-shot `Dedup.minhashNearDups` re-derives signatures and re-forms
+  * every bucket on each run — O(corpus) per ingest; this operator makes
+  * each ingest O(batch + collisions) by persisting the MinHash artifacts
+  * once and probing them forever after:
+  *
+  *   store/
+  *     bands/     (doc_id, band, bucket)   — LSH probe surface
+  *     shingles/  (doc_id, hset)           — exact-verify surface
+  *
+  * Per-ingest dataflow (batch small, store huge — the asymmetry every
+  * step exploits):
+  *
+  *  1. The batch's shingle sets, signatures and band rows compute
+  *     map-side (native `graft_minhash`, no shuffle).
+  *  2. The batch's distinct (band, bucket) keys BROADCAST against ONE
+  *     scan of the stored band rows — the store is never shuffled, and
+  *     only rows whose bucket collides with the batch survive (tiny by
+  *     the LSH contract).
+  *  3. Colliding store buckets above `maxBucket` are dropped — the same
+  *     degenerate-bucket discipline as every LSH path here; a bucket
+  *     that huge means near-identical boilerplate that exact dedup
+  *     should have collapsed first.
+  *  4. Candidates (new-vs-store, plus new-vs-new from in-batch buckets)
+  *     verify by exact Jaccard on shingle sets; the store's sets are
+  *     read semi-join-pruned to the colliding ids only.
+  *  5. The batch's artifacts append through UpsertIgnore keyed on
+  *     (doc_id[, band]) with doc_id range pruning — idempotent growth:
+  *     a crashed-and-rerun ingest neither duplicates store rows nor
+  *     (thanks to the key anti-join) re-registers re-delivered docs.
+  *
+  * Determinism: signatures/buckets derive from seeded xxhash64 (or the
+  * bit-compatible-per-session native expression), so an incremental run
+  * over batches B1..Bn finds exactly the pairs the one-shot run over
+  * B1 ∪ .. ∪ Bn finds (asserted in IncrementalDedupSpec; recall vs the
+  * planted ground truth is oracled by `ext_incremental_recall`).
+  */
+object IncrementalDedup {
+
+  final case class Params(
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 2000) {
+    require(numHashes % bands == 0, s"bands must divide numHashes: $this")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Ingest a batch: returns the near-dup pairs the batch introduces —
+    * (id_a, id_b, jaccard) with id_a < id_b, covering new-vs-stored and
+    * new-vs-new — then registers the batch in the store. Pairs wholly
+    * inside the existing store are NOT re-emitted (they were returned by
+    * the ingest that introduced them); re-ingesting an already-stored
+    * doc re-emits its pairs but cannot duplicate store rows.
+    */
+  def ingest(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      p: Params = Params()): DataFrame = {
+    val bandsPath = s"$storePath/bands"
+    val shinglesPath = s"$storePath/shingles"
+
+    // consumed by candidates, verification AND the store append
+    val hashed = Dedup.hashedShingleSets(batch, idCol, textCol, p.shingleN)
+      .localCheckpoint(false)
+    val newBands = Dedup.bandRowsOf(
+      Dedup.minhashSigsOf(hashed, p.numHashes), p.bands, p.rowsPerBand)
+      .localCheckpoint(false)
+
+    // new-vs-new: the one-shot candidate machinery on the batch alone
+    val inBatch = newBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= p.maxBucket)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("pp"))
+      .select(col("pp.id_a"), col("pp.id_b"))
+
+    val pairs =
+      if (!exists(spark, bandsPath))
+        Dedup.verifyJaccard(inBatch.distinct(), hashed, hashed, p.threshold)
+      else {
+        // one store scan, probe keys broadcast — the store side never
+        // shuffles, and only colliding rows continue
+        val probe = newBands.select("band", "bucket").distinct()
+        val hot = spark.read.parquet(bandsPath)
+          .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+          .localCheckpoint(false)
+        // degenerate-bucket cap on the STORE side of the collision
+        val hotOk = hot.join(
+          hot.groupBy("band", "bucket").count()
+            .filter(col("count") <= p.maxBucket)
+            .select("band", "bucket"),
+          Seq("band", "bucket"), "left_semi")
+        val cross = newBands
+          .join(hotOk.withColumnRenamed("doc_id", "store_id"), Seq("band", "bucket"))
+          // re-ingested docs collide with their own stored signature
+          .filter(col("doc_id") =!= col("store_id"))
+          .select(least(col("doc_id"), col("store_id")).as("id_a"),
+            greatest(col("doc_id"), col("store_id")).as("id_b"))
+        val candidates = cross.unionByName(inBatch).distinct()
+          .localCheckpoint(false)
+        // verify sets: batch sets + stored sets of the colliding ids only
+        // (semi-join prune — the shingle table is read O(collisions))
+        val storedSets = spark.read.parquet(shinglesPath)
+          .join(
+            candidates.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+              .distinct(),
+            Seq("doc_id"), "left_semi")
+        // a re-ingested doc appears in both sides with an IDENTICAL hset
+        // (same params, same hash family) — any representative works
+        val sets = hashed.unionByName(storedSets)
+          .groupBy("doc_id").agg(first("hset").as("hset"))
+        Dedup.verifyJaccard(candidates, sets, sets, p.threshold)
+      }
+    // materialize results BEFORE mutating the store: the returned plan
+    // must not re-probe a store that now contains the batch itself
+    val out = pairs.orderBy("id_a", "id_b").localCheckpoint(true)
+
+    // idempotent registration: keyed anti-join append with doc_id range
+    // pruning (monotone id batches touch only their own store region).
+    // hset is cast to the nullable array form parquet reads back as, or
+    // the second ingest's schema guard would flag containsNull drift.
+    UpsertIgnore(spark,
+      hashed.select(col("doc_id"),
+        col("hset").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)).as("hset")),
+      shinglesPath, keys = Seq("doc_id"), pruneCol = Some("doc_id"))
+    UpsertIgnore(spark, newBands, bandsPath,
+      keys = Seq("doc_id", "band"), pruneCol = Some("doc_id"))
+    out
+  }
+
+  /** Stored doc count (distinct registered documents). */
+  def storedDocs(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/shingles")) 0L
+    else spark.read.parquet(s"$storePath/shingles").count()
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Decontaminate, Dedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Decontaminate, Dedup, IncrementalDedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -138,6 +138,32 @@ object ExtQueries {
         .select("id_a", "id_b")
       gt.join(found, Seq("id_a", "id_b"), "left_semi")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Recall gate for the INCREMENTAL signature-store pipeline: the same
+    // planted ground truth as ext_minhash_recall, but found across TWO
+    // separate ingests against a durable store (cross-batch pairs must
+    // surface via store-bucket collisions, not an in-memory one-shot
+    // run). Hash equality with the all-pairs oracle proves the
+    // incremental path loses nothing at the batch boundary.
+    "ext_incremental_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_incdedup").toString + "/store"
+      val found =
+        IncrementalDedup.ingest(s, docs.filter(col("doc_id") < 250),
+            "doc_id", "text", store)
+          .unionByName(
+            IncrementalDedup.ingest(s, docs.filter(col("doc_id") >= 250),
+              "doc_id", "text", store))
+          .select("id_a", "id_b")
+      val out = gt.join(found, Seq("id_a", "id_b"), "left_semi")
+        .orderBy("id_a", "id_b").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }),
 
     "ext_corpus_recall" -> ((s, dir) => {
@@ -658,6 +684,23 @@ object ExtQueries {
     // ALL planted ground-truth pairs; the Spark side returns the pairs the
     // near-dup pipeline found, so hash equality == proof of recall 1.0.
     "ext_minhash_recall" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  round(len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard3
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |  AND len(list_intersect(x.grams, y.grams))
+        |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same all-pairs oracle as ext_minhash_recall: the incremental
+    // store-backed pipeline must find every ground-truth pair across
+    // the two-ingest split, or the hash differs
+    "ext_incremental_recall" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([substr(text, i, 3)

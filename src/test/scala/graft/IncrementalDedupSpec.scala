@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, IncrementalDedup}
+
+/** The durable-signature-store form of near-dup detection must be
+  * EQUIVALENT to the one-shot run over the accumulated corpus — that is
+  * the whole contract: ingest-by-ingest results union to exactly the
+  * pairs minhashNearDups finds on the union, with no recomputation of
+  * old-vs-old work.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental ingests find exactly the one-shot pairs, batch by batch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = tmpDir("incdedup") + "/store"
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val p1 = pairsOf(IncrementalDedup.ingest(spark, b1, "doc_id", "text", store))
+    val p2 = pairsOf(IncrementalDedup.ingest(spark, b2, "doc_id", "text", store))
+    val oneShot = pairsOf(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    val oneShotB1 = pairsOf(Dedup.minhashNearDups(b1, "doc_id", "text"))
+    // first ingest == one-shot over b1; second ingest adds exactly the
+    // pairs that involve a b2 doc
+    assert(p1 == oneShotB1)
+    assert((p1 ++ p2) == oneShot,
+      s"missing=${oneShot -- (p1 ++ p2)} extra=${(p1 ++ p2) -- oneShot}")
+    assert(p2.forall { case (a, b) => a >= 250 || b >= 250 },
+      "second ingest re-emitted store-only pairs")
+    assert(IncrementalDedup.storedDocs(spark, store) == docs.count())
+  }
+
+  test("re-ingesting a batch is idempotent on the store and re-emits its pairs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = tmpDir("incdedup2") + "/store"
+    val b = docs.filter(col("doc_id") < 100)
+    val first = pairsOf(IncrementalDedup.ingest(spark, b, "doc_id", "text", store))
+    val n1 = IncrementalDedup.storedDocs(spark, store)
+    val again = pairsOf(IncrementalDedup.ingest(spark, b, "doc_id", "text", store))
+    assert(IncrementalDedup.storedDocs(spark, store) == n1,
+      "re-ingest duplicated store rows")
+    // every original pair resurfaces (now via store collisions), none lost
+    assert(again == first, s"missing=${first -- again} extra=${again -- first}")
+  }
+
+  test("degenerate store buckets are capped, spread docs still match") {
+    val store = tmpDir("incdedup3") + "/store"
+    // 30 identical docs -> every band bucket has 30 members; with
+    // maxBucket=10 the store side must drop those buckets rather than
+    // produce 30*29/2-scale join work; the distinct pair (100,101) in
+    // its own bucket must survive
+    val boiler = (0L until 30L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val distinctPair = Seq(
+      (100L, "one two three four five six seven"),
+      (101L, "one two three four five six seven"))
+    val b1 = (boiler ++ distinctPair).toDF("doc_id", "text")
+    val p = graft.ext.IncrementalDedup.Params(maxBucket = 10)
+    IncrementalDedup.ingest(spark, b1, "doc_id", "text", store, p)
+    // new batch: one more boilerplate doc + one more copy of the pair text
+    val b2 = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta"),
+      (201L, "one two three four five six seven")).toDF("doc_id", "text")
+    val pairs = pairsOf(IncrementalDedup.ingest(spark, b2, "doc_id", "text", store, p))
+    assert(pairs.contains((100L, 201L)) && pairs.contains((101L, 201L)),
+      s"distinct-bucket match lost: $pairs")
+    assert(!pairs.exists { case (a, b) => b == 200L && a < 30L },
+      s"capped mega-bucket leaked pairs: $pairs")
+  }
+}
