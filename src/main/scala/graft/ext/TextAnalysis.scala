@@ -80,6 +80,42 @@ object TextAnalysis {
     }.getField("lang")
   }
 
+  // ---- repetition filters (Gopher-style quality signals) -------------
+  // Published pre-training recipes drop documents dominated by repeated
+  // content (boilerplate, listicles, scraper loops). Both signals below
+  // are single-pass Column expressions over the token array — no
+  // shuffle, no UDF — and restate exactly in DuckDB, so they carry a
+  // full hash-match oracle (ext_repetition).
+
+  /** Fraction of the document owned by its most frequent token
+    * (max token frequency / token count). Computed as the longest run in
+    * the SORTED token array — one linear fold, no per-token grouping.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val sorted = array_sort(toks)
+    val mx = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    round(mx / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same document: 1 - distinct/total. Shares Dedup.shingles' gram
+    * definition (short docs collapse to one whole-doc gram → 0.0).
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val grams = Dedup.shingles(text, n)
+    round((size(grams) - size(array_distinct(grams))) /
+      greatest(size(grams), lit(1)).cast("double"), 6)
+  }
+
   /** Normalization fingerprint: md5 of whitespace-normalized text — equal
     * for documents differing only in whitespace. Oracle-checkable.
     */

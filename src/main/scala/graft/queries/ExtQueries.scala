@@ -34,6 +34,17 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filters (oracled): documents dominated by
+    // a single token or by repeated n-grams are the classic boilerplate
+    // signature every published pre-training recipe screens for.
+    "ext_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.topTokenFraction(col("text")).as("top_token_frac"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy("doc_id")),
+
     "ext_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang").as("labeled_lang"),
@@ -575,6 +586,33 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS total FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+1], ' ')
+        |            for i in range(1, len(toks))] END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ')
+        |            for i in range(1, len(toks) - 1)] END AS g3
+        |  FROM t)
+        |SELECT t.doc_id,
+        |  round(mx / greatest(total, 1), 6) AS top_token_frac,
+        |  round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 6)
+        |    AS dup_2gram_frac,
+        |  round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1), 6)
+        |    AS dup_3gram_frac
+        |FROM t JOIN freq USING (doc_id) JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_lang_id" ->
       """WITH s AS (

@@ -253,6 +253,23 @@ class ExtSpec extends SparkSpec {
     assert(r.getString(3) == "en")
   }
 
+  test("repetition filters: known fractions on a hand-built doc") {
+    val df = Seq(("a a a b", "x y z w", "")).toDF("r", "c", "e")
+    val row = df.select(
+      TextAnalysis.topTokenFraction(col("r")).as("top_r"),
+      TextAnalysis.duplicateNgramFraction(col("r"), 2).as("d2_r"),
+      TextAnalysis.duplicateNgramFraction(col("r"), 3).as("d3_r"),
+      TextAnalysis.topTokenFraction(col("c")).as("top_c"),
+      TextAnalysis.duplicateNgramFraction(col("c"), 2).as("d2_c"),
+      TextAnalysis.duplicateNgramFraction(col("e"), 2).as("d2_e")).head()
+    assert(row.getDouble(0) == 0.75)     // "a" owns 3 of 4 tokens
+    assert(row.getDouble(1) == 0.333333) // "a a" repeats: 3 bigrams, 2 distinct
+    assert(row.getDouble(2) == 0.0)      // trigrams all distinct
+    assert(row.getDouble(3) == 0.25)     // uniform doc
+    assert(row.getDouble(4) == 0.0)
+    assert(row.getDouble(5) == 0.0)      // empty doc degrades to 0, not NaN
+  }
+
   test("multimodal: batched stub decode preserves every row, deterministic") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, "/root/testdata/sf0.001"))
