@@ -80,10 +80,22 @@ object IncrementalRollup {
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
 
+    // One file per partition, GUARANTEED: without aligning write tasks
+    // to the partition columns, every task carrying rows for a leaf
+    // emits its own file there — tasks × partitions small files. On a
+    // tiny rollup AQE's shuffle coalescing masks it (few tasks anyway);
+    // on a large one (millions of groups, no coalesce) the maintain
+    // would fragment the very table it rereads on every run. The
+    // repartition shuffles only the aggregated rows — O(groups), noise
+    // next to the delta aggregation itself.
+    def partitionAligned(df: DataFrame): DataFrame =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(col): _*)
     def deltaAgg = {
       val aggs = count(lit(1)).as("cnt") +:
         sumCols.map { case (m, a) => sum(col(m)).as(a) }
-      delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      partitionAligned(
+        delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
     val mergeAggs = sum(col("cnt")).as("cnt") +:
       sumCols.map { case (_, a) => sum(col(a)).as(a) }
@@ -110,7 +122,7 @@ object IncrementalRollup {
           SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
           val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
           TxTable.commit(spark,
-            fold(existing, agg, existingAll.columns.toSeq),
+            partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
             targetPath, partitionBy, deltaId,
             expectedVersion = Some(m.version))
           ()
@@ -139,7 +151,7 @@ object IncrementalRollup {
       SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
       val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
       MergeWrite.commitStaged(spark,
-        fold(existing, agg, existingAll.columns.toSeq),
+        partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
         targetPath, partitionBy, "IncrementalRollup")
     }
     marker.foreach { mk => fs.mkdirs(mk.getParent); fs.create(mk, true).close() }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ext.IncrementalDedup
+
+/** [EXT §2.9 × §2.11] Continuous near-duplicate detection over a
+  * document STREAM: each micro-batch runs one `IncrementalDedup.ingest`
+  * against the durable signature store, so every arriving document is
+  * checked against the whole accumulated corpus — in O(batch +
+  * collisions), never O(corpus) — and then becomes part of the corpus
+  * the next batch checks against.
+  *
+  * This is the shape a production curation stream actually needs:
+  * the state is NOT in the streaming state store (which is sized for
+  * per-key windows, not a corpus of shingle sets) but in the keyed
+  * parquet store, which survives checkpoint loss and is shared with
+  * batch ingests. Crash semantics compose from the parts:
+  *
+  *  - Store registration is idempotent (UpsertIgnore keyed anti-join),
+  *    so a replayed micro-batch cannot duplicate store rows.
+  *  - A replayed batch re-emits its pairs; the pair SINK is therefore
+  *    appended per-batch with the batchId, and downstream readers
+  *    dedup on (id_a, id_b) — exactly-once EFFECT via an idempotent
+  *    consumer, the same discipline as EventIngest's keyed sink.
+  */
+object StreamingDedup {
+
+  /** Run-once (AvailableNow) streaming ingest: documents under `srcDir`
+    * stream in, near-dup pairs append to `pairsPath`, signatures
+    * register in `storePath`. Returns the number of micro-batches run.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      params: IncrementalDedup.Params = IncrementalDedup.Params(),
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = IncrementalDedup.ingest(
+          batch.sparkSession, batch, idCol, textCol, storePath, params)
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** The accumulated pair log, deduped on the pair key (replayed
+    * batches re-emit; the consumer-side distinct restores exactly-once
+    * effect). Empty DataFrame with the pair schema when nothing has
+    * been emitted yet.
+    */
+  def pairs(spark: SparkSession, pairsPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pairsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+    else
+      spark.read.parquet(pairsPath)
+        .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
+  }
+}

@@ -163,6 +163,44 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("20 minutes"), s"hardcoded 20-min watermark survived:\n$plan")
   }
 
+  test("streaming near-dup ingest over micro-batches == one-shot pairs; replay-safe") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val work = tmpDir("streamdedup")
+    // stage the corpus as TWO files so maxFilesPerTrigger=1 forces two
+    // micro-batches — the cross-batch pairs must come from the STORE
+    for (half <- Seq(0, 1))
+      docs.filter(col("doc_id") % 2 === half).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val nb = graft.streaming.StreamingDedup.ingestAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/pairs", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    val streamed = graft.streaming.StreamingDedup.pairs(spark, s"$work/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ext.Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot,
+      s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
+    // checkpoint loss => full replay; the keyed store absorbs it and the
+    // consumer-side distinct keeps the pair log exactly-once in effect
+    graft.streaming.StreamingDedup.ingestAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/pairs", s"$work/ckpt2",
+      maxFilesPerTrigger = Some(1))
+    val replayed = graft.streaming.StreamingDedup.pairs(spark, s"$work/pairs")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == oneShot)
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(
