@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Decontaminate, Dedup, IncrementalDedup, Multimodal, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Decontaminate, Dedup, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -32,6 +32,16 @@ object ExtQueries {
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Sequence packing (oracled): concat-and-split token-budget
+    // assignment via the distributed prefix sum — the single window
+    // expression DuckDB restates it as is exactly the single-partition
+    // bottleneck the Spark implementation exists to avoid.
+    "ext_pack_sequences" -> ((s, dir) =>
+      Packer.packBudget(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), 512)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
     // Gopher-style repetition filters (oracled): documents dominated by
@@ -586,6 +596,23 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS s
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(s / 512) AS BIGINT) AS pack_id,
+        |  s % 512 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_repetition" ->
       """WITH t AS (
