@@ -151,4 +151,21 @@ object IncrementalDedup {
   def storedDocs(spark: SparkSession, storePath: String): Long =
     if (!exists(spark, s"$storePath/shingles")) 0L
     else spark.read.parquet(s"$storePath/shingles").count()
+
+  /** Compact both store tables: every ingest appends a small file set,
+    * so a long-lived store accumulates exactly the small-file problem
+    * `Maintenance.compact` exists for — and the probe scan's cost is
+    * file-count-sensitive (one store scan per ingest). Run between
+    * ingests (compact shares the sink family's single-writer contract).
+    * Returns (filesBefore, filesAfter) summed over both tables.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    Seq(s"$storePath/bands", s"$storePath/shingles")
+      .filter(exists(spark, _))
+      .map(graft.sinks.Maintenance.compact(spark, _, targetFileBytes))
+      .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+  }
 }

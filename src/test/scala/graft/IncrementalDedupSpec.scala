@@ -47,6 +47,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(again == first, s"missing=${first -- again} extra=${again -- first}")
   }
 
+  test("store compaction shrinks the file count without changing results") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = tmpDir("incdedup4") + "/store"
+    for (k <- 0 until 3)
+      IncrementalDedup.ingest(spark,
+        docs.filter(col("doc_id") % 3 === k), "doc_id", "text", store)
+    val (before, after) = IncrementalDedup.compactStore(spark, store)
+    assert(after < before, s"no compaction: $before -> $after")
+    // a fourth ingest against the compacted store still matches one-shot
+    val extra = Seq((9001L, docs.filter(col("doc_id") === 0)
+      .select("text").head().getString(0))).toDF("doc_id", "text")
+    val pairs = IncrementalDedup.ingest(spark, extra, "doc_id", "text", store)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(_._2 == 9001L), s"post-compaction probe lost pairs: $pairs")
+    assert(IncrementalDedup.storedDocs(spark, store) == docs.count() + 1)
+  }
+
   test("degenerate store buckets are capped, spread docs still match") {
     val store = tmpDir("incdedup3") + "/store"
     // 30 identical docs -> every band bucket has 30 members; with
