@@ -435,6 +435,42 @@ object ParityQueries {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("r_name", "n_name")),
 
+    // TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
+    // broadcasts into the orders⨝lineitem fact join; unshipped-revenue
+    // top-10 via TakeOrderedAndProject (never a global sort).
+    "tpch_q3_shipping_priority" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp_ntz"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // TPC-H-Q10-shaped returned-item report: which customers returned
+    // the most revenue in a quarter — fact join + broadcast dims,
+    // per-customer aggregate, top-20.
+    "tpch_q10_returned" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                  col("o_orderdate") <  lit("1997-04-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
     // oracle because Spark's ASC default is nulls-first, DuckDB's is
     // nulls-last — the rollup's subtotal rows are null-keyed.
@@ -1083,6 +1119,31 @@ object ParityQueries {
         | AND epoch(l.l_shipdate) >= epoch(CAST(o.o_orderdate AS TIMESTAMP))
         | AND epoch(l.l_shipdate) <= epoch(CAST(o.o_orderdate AS TIMESTAMP)) + 30*86400
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tpch_q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "tpch_q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "tpch_q5_local_volume" ->
       """SELECT r_name, n_name,

@@ -248,6 +248,45 @@ object TxTable {
     df.drop("gen") // the generation id is commit metadata, not data
   }
 
+  /** Small-file compaction WITHOUT the maintenance window: rewrite the
+    * live snapshot into one fresh generation (right-sized files, one
+    * per partition for partitioned tables) and publish it as a normal
+    * commit. Readers racing the compaction resolve the old manifest
+    * until the atomic publish — the torn-read caveat
+    * `Maintenance.compact` documents for plain directories does not
+    * exist here. Old generations stay readable until `vacuum`.
+    *
+    * Returns (filesBefore, filesAfter) over the live snapshot.
+    */
+  def compact(spark: SparkSession, target: String): (Int, Int) = {
+    val m = currentManifest(spark, target).getOrElse(
+      return (0, 0))
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val dataRoot = new Path(root, DataDir)
+    def parquetFiles(rel: String): Int = {
+      def walk(p: Path): Int = f.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+      walk(new Path(dataRoot, rel))
+    }
+    val before = m.entries.values.toSeq.map(parquetFiles).sum
+    // partition columns are recoverable from any leaf rel path (k=v/..)
+    val partitionBy = m.entries.keys.find(_.nonEmpty)
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Nil)
+    val snapshot = readManifestData(spark, target, m)
+    val aligned =
+      if (partitionBy.isEmpty) snapshot.coalesce(1)
+      else snapshot.repartition(partitionBy.map(
+        org.apache.spark.sql.functions.col): _*)
+    val m2 = commit(spark, aligned, target, partitionBy,
+      replaceAll = true, expectedVersion = Some(m.version))
+    val after = m2.entries.values.toSeq.map(parquetFiles).sum
+    (before, after)
+  }
+
   /** Drop generations and manifests not reachable from the newest
     * `keepVersions` manifests. With the default (1) only the live
     * snapshot survives; readers of already-resolved older snapshots may

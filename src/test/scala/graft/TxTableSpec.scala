@@ -126,6 +126,24 @@ class TxTableSpec extends SparkSpec {
     intercept[Exception] { TxTable.readAt(spark, dir, 1).collect() }
   }
 
+  test("compaction is a normal commit: fewer files, same rows, reader-safe") {
+    val dir = tmpDir("txcompact") + "/t"
+    // five small commits -> five generations' worth of files live? No —
+    // each commit REPLACES the partitions it carries; accumulate small
+    // files by committing one partition at a time
+    for (p <- 1 to 4)
+      TxTable.commit(spark,
+        Seq((s"p$p", p.toLong, 1)).toDF("part", "k", "tag"), dir, Seq("part"))
+    val before = TxTable.read(spark, dir).get.collect().map(_.toSeq).toSet
+    val (nb, na) = TxTable.compact(spark, dir)
+    assert(na <= nb && na == 4, s"files $nb -> $na")
+    assert(TxTable.read(spark, dir).get.collect().map(_.toSeq).toSet == before)
+    // old snapshot still resolvable until vacuum (reader-safety window)
+    assert(TxTable.readAt(spark, dir, 4).count() == 4)
+    TxTable.vacuum(spark, dir)
+    assert(TxTable.read(spark, dir).get.collect().map(_.toSeq).toSet == before)
+  }
+
   // ---- sink integration --------------------------------------------
 
   test("transactional rollup: crash mid-maintain + rerun folds the delta EXACTLY once") {
