@@ -92,6 +92,12 @@ object UpsertIgnore {
     *        pruning on the existing scan (PartitionFilters, zero data
     *        files read outside the batch's range) — the layout SURVEY §6
     *        prescribes for the 100 TB target table.
+    * @param transactional commit through the TxTable manifest log: the
+    *        append publishes atomically (a reader racing the insert sees
+    *        the batch entirely or not at all — a plain append exposes
+    *        files as the committer moves them), and a crashed append
+    *        leaves only an orphan generation the rerun reclaims. Read
+    *        the table back with `TxTable.read`.
     */
   def apply(
       spark: SparkSession,
@@ -99,10 +105,30 @@ object UpsertIgnore {
       targetPath: String,
       keys: Seq[String],
       pruneCol: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Result = {
+      partitionBy: Seq[String] = Nil,
+      transactional: Boolean = false): Result = {
     val batch = incoming.cache()
     try {
       val total = batch.count()
+      if (transactional) {
+        TxTable.currentManifest(spark, targetPath) match {
+          case None =>
+            if (total > 0)
+              TxTable.commit(spark, batch, targetPath, partitionBy,
+                replaceAll = true)
+            return Result(total, 0)
+          case Some(m) =>
+            val existingAll = TxTable.read(spark, targetPath).get
+            SchemaGuard.requireAligned(spark, batch, existingAll, partitionBy, targetPath)
+            val delta = deltaPlan(spark, batch, existingAll, keys, pruneCol)
+              .select(existingAll.columns.toSeq.map(col): _*)
+            val inserted = delta.count()
+            if (inserted > 0)
+              TxTable.commit(spark, delta, targetPath, partitionBy,
+                append = true, expectedVersion = Some(m.version))
+            return Result(inserted, total - inserted)
+        }
+      }
       val delta =
         if (!targetExists(spark, targetPath)) batch
         else {

@@ -53,9 +53,14 @@ object TxTable {
   final case class Manifest(
       version: Long,
       deltaIds: Seq[String],
-      // partition rel-path (e.g. "day=2026-01-01", "" for flat) ->
-      // live data dir rel to data/ (e.g. "gen=3/day=2026-01-01")
-      entries: Map[String, String])
+      // (partition rel-path, live data dir rel to data/) pairs, e.g.
+      // ("day=2026-01-01", "gen=3/day=2026-01-01"); "" partition = flat
+      // table. A partition may map to SEVERAL dirs — append commits add
+      // a generation without retiring the previous ones.
+      entries: Seq[(String, String)]) {
+    def dirs: Seq[String] = entries.map(_._2)
+    def partitions: Set[String] = entries.map(_._1).toSet
+  }
 
   private val LogDir = "_log"
   private val DataDir = "data"
@@ -86,7 +91,7 @@ object TxTable {
     // entry lines. Partition rel-paths never contain TAB/newline (Spark
     // %-escapes control characters in partition dir names).
     var deltaIds = Seq.empty[String]
-    val entries = Map.newBuilder[String, String]
+    val entries = Seq.newBuilder[(String, String)]
     text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
       if (line == "deltaIds" || line.startsWith("deltaIds "))
         deltaIds = line.split(" ").toSeq.drop(1)
@@ -109,7 +114,7 @@ object TxTable {
       sb.append("deltaIds")
       m.deltaIds.foreach(id => sb.append(' ').append(id))
       sb.append('\n')
-      m.entries.toSeq.sortBy(_._1).foreach { case (p, d) =>
+      m.entries.sortBy(e => (e._1, e._2)).foreach { case (p, d) =>
         sb.append(p).append('\t').append(d).append('\n')
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -129,9 +134,13 @@ object TxTable {
 
   /** Commit `df` as the new content of the partitions it contains (all
     * other partitions carry over from the current snapshot); with
-    * `replaceAll` the new snapshot is exactly `df`. Readers see the old
-    * snapshot until the single manifest rename, then the new one —
-    * never a mix.
+    * `replaceAll` the new snapshot is exactly `df`, and with `append`
+    * the commit ADDS `df` to the touched partitions instead of
+    * replacing them (the new generation's directories join the
+    * partitions' existing ones — atomic multi-file append for the
+    * insert-only sinks; `compact` later collapses the accumulation).
+    * Readers see the old snapshot until the single manifest rename,
+    * then the new one — never a mix.
     *
     * @param expectedVersion optimistic-concurrency guard: when set, the
     *        commit fails if the table advanced past it since the caller
@@ -146,8 +155,10 @@ object TxTable {
       partitionBy: Seq[String],
       deltaId: Option[String] = None,
       replaceAll: Boolean = false,
+      append: Boolean = false,
       expectedVersion: Option[Long] = None,
       failpoint: String => Unit = _ => ()): Manifest = {
+    require(!(replaceAll && append), "commit: replaceAll and append conflict")
     val root = new Path(target)
     val f = fs(spark, root)
     val cur = currentManifest(spark, target)
@@ -184,12 +195,12 @@ object TxTable {
     require(newLeaves.nonEmpty,
       s"TxTable: commit wrote no partitions to $target — empty input?")
     val newEntries = newLeaves.map(l =>
-      l -> (if (l.isEmpty) genRel else s"$genRel/$l")).toMap
+      l -> (if (l.isEmpty) genRel else s"$genRel/$l"))
+    val touched = newEntries.map(_._1).toSet
     val carried =
-      if (replaceAll) Map.empty[String, String]
-      else cur.map(_.entries.filterNot { case (p, _) =>
-        newEntries.contains(p)
-      }).getOrElse(Map.empty)
+      if (replaceAll) Seq.empty[(String, String)]
+      else if (append) cur.map(_.entries).getOrElse(Nil)
+      else cur.map(_.entries.filterNot(e => touched(e._1))).getOrElse(Nil)
     val m = Manifest(newV,
       cur.map(_.deltaIds).getOrElse(Nil) ++ deltaId.toSeq,
       carried ++ newEntries)
@@ -236,7 +247,7 @@ object TxTable {
   private def readManifestData(
       spark: SparkSession, target: String, m: Manifest): DataFrame = {
     val dataRoot = new Path(target, DataDir).toString
-    val dirs = m.entries.values.toSeq.sorted.map(rel => s"$dataRoot/$rel")
+    val dirs = m.dirs.distinct.sorted.map(rel => s"$dataRoot/$rel")
     require(dirs.nonEmpty, s"TxTable: manifest v${m.version} of $target is empty")
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val saved = spark.conf.get(inferKey)
@@ -271,9 +282,9 @@ object TxTable {
       }.sum
       walk(new Path(dataRoot, rel))
     }
-    val before = m.entries.values.toSeq.map(parquetFiles).sum
+    val before = m.dirs.distinct.map(parquetFiles).sum
     // partition columns are recoverable from any leaf rel path (k=v/..)
-    val partitionBy = m.entries.keys.find(_.nonEmpty)
+    val partitionBy = m.entries.map(_._1).find(_.nonEmpty)
       .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
       .getOrElse(Nil)
     val snapshot = readManifestData(spark, target, m)
@@ -283,7 +294,7 @@ object TxTable {
         org.apache.spark.sql.functions.col): _*)
     val m2 = commit(spark, aligned, target, partitionBy,
       replaceAll = true, expectedVersion = Some(m.version))
-    val after = m2.entries.values.toSeq.map(parquetFiles).sum
+    val after = m2.dirs.distinct.map(parquetFiles).sum
     (before, after)
   }
 
@@ -307,7 +318,7 @@ object TxTable {
     if (versions.isEmpty) return
     val keep = versions.takeRight(keepVersions)
     val liveGens: Set[String] = keep.flatMap { v =>
-      readManifest(f, log, v).entries.values.map(_.split("/", 2)(0))
+      readManifest(f, log, v).dirs.map(_.split("/", 2)(0))
     }.toSet
     val dataRoot = new Path(root, DataDir)
     if (f.exists(dataRoot))

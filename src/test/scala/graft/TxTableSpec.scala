@@ -189,6 +189,43 @@ class TxTableSpec extends SparkSpec {
     assert(t == Map("p1" -> 1L, "p2" -> 1L), s"got $t")
   }
 
+  test("transactional upsert-ignore: atomic keyed append, idempotent, crash-safe") {
+    val dir = tmpDir("txk5") + "/t"
+    val b1 = Seq(("p1", 1L, 1.0), ("p2", 2L, 2.0)).toDF("part", "k", "v")
+    def upsert(b: org.apache.spark.sql.DataFrame) =
+      graft.sinks.UpsertIgnore(spark, b, dir, keys = Seq("part", "k"),
+        partitionBy = Seq("part"), transactional = true)
+    assert(upsert(b1) == graft.sinks.UpsertIgnore.Result(2, 0))
+    // rerun: the anti-join vs the snapshot inserts nothing (idempotent)
+    assert(upsert(b1) == graft.sinks.UpsertIgnore.Result(0, 2))
+    // overlapping batch: only the unseen key lands, appended atomically
+    val b2 = Seq(("p1", 1L, 9.9), ("p1", 7L, 7.0)).toDF("part", "k", "v")
+    assert(upsert(b2) == graft.sinks.UpsertIgnore.Result(1, 1))
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 3)
+    // the existing p1/k=1 row kept its original value (insert-IGNORE)
+    assert(t.filter(col("part") === "p1" && col("k") === 1L)
+      .select("v").head().getDouble(0) == 1.0)
+    // p1 now resolves through TWO generations (append, not replace)...
+    val m = TxTable.currentManifest(spark, dir).get
+    assert(m.entries.count(_._1 == "part=p1") == 2, m.entries.toString)
+    // ...until compaction collapses the accumulation, contents unchanged
+    TxTable.compact(spark, dir)
+    val m2 = TxTable.currentManifest(spark, dir).get
+    assert(m2.entries.count(_._1 == "part=p1") == 1, m2.entries.toString)
+    assert(TxTable.read(spark, dir).get.count() == 3)
+    // a crashed append (data written, manifest unpublished) is invisible;
+    // the rerun reclaims the orphan and inserts exactly once
+    val b3 = Seq(("p3", 3L, 3.0)).toDF("part", "k", "v")
+    intercept[RuntimeException] {
+      TxTable.commit(spark, b3, dir, Seq("part"), append = true,
+        failpoint = s => if (s == "before-publish") sys.error("crash"))
+    }
+    assert(TxTable.read(spark, dir).get.count() == 3)
+    assert(upsert(b3) == graft.sinks.UpsertIgnore.Result(1, 0))
+    assert(TxTable.read(spark, dir).get.count() == 4)
+  }
+
   test("transactional upsert: last-writer-wins merge under the manifest log") {
     val dir = tmpDir("txups") + "/t"
     val seed0 = Seq(("p1", 1L, "a"), ("p2", 2L, "b")).toDF("part", "k", "v")
@@ -206,6 +243,7 @@ class TxTableSpec extends SparkSpec {
     // untouched partition's generation directory is immutable: p2 still
     // resolves into gen=1
     val m = TxTable.currentManifest(spark, dir).get
-    assert(m.entries("part=p2").startsWith("gen=1/"), m.entries.toString)
+    assert(m.entries.filter(_._1 == "part=p2").map(_._2)
+      .forall(_.startsWith("gen=1/")), m.entries.toString)
   }
 }
