@@ -199,6 +199,59 @@ object GraftProperties extends Properties("graft") {
         (expected.isEmpty || chunks.head._2.startsWith(expected.head))
     }
 
+  // ---- TxTable: model-based commit semantics ------------------------
+  // Random sequences of replace/append/compact/vacuum against a plain
+  // Map model: whatever the operation order, the snapshot a reader
+  // resolves must equal the model exactly. This is the property form of
+  // TxTableSpec's example tests — it explores interleavings (append
+  // after compact, vacuum mid-sequence, repeated appends to one
+  // partition) that examples don't enumerate.
+  private sealed trait TxOp
+  private case class TxReplace(part: Int, vals: List[Int]) extends TxOp
+  private case class TxAppend(part: Int, vals: List[Int]) extends TxOp
+  private case object TxCompact extends TxOp
+  private case object TxVacuum extends TxOp
+
+  private val txOpGen: Gen[TxOp] = Gen.frequency(
+    3 -> (for { p <- Gen.choose(0, 2); n <- Gen.choose(1, 3)
+                vs <- Gen.listOfN(n, Gen.choose(0, 99)) } yield TxReplace(p, vs)),
+    3 -> (for { p <- Gen.choose(0, 2); n <- Gen.choose(1, 3)
+                vs <- Gen.listOfN(n, Gen.choose(0, 99)) } yield TxAppend(p, vs)),
+    1 -> Gen.const(TxCompact),
+    1 -> Gen.const(TxVacuum))
+
+  property("TxTable: any replace/append/compact/vacuum sequence == Map model") =
+    forAll(Gen.listOfN(6, txOpGen)) { ops =>
+      import spark.implicits._
+      import graft.sinks.TxTable
+      val dir = Files.createTempDirectory("txprop").toString + "/t"
+      var model = Map.empty[Int, Vector[Int]]
+      ops.foreach {
+        case TxReplace(p, vs) =>
+          TxTable.commit(spark,
+            vs.map(v => (s"p$p", v)).toDF("part", "v"), dir, Seq("part"))
+          model += p -> vs.toVector
+        case TxAppend(p, vs) =>
+          TxTable.commit(spark,
+            vs.map(v => (s"p$p", v)).toDF("part", "v"), dir, Seq("part"),
+            append = true)
+          model += p -> (model.getOrElse(p, Vector.empty) ++ vs)
+        case TxCompact => TxTable.compact(spark, dir); ()
+        case TxVacuum => TxTable.vacuum(spark, dir); ()
+      }
+      val got: Map[Int, Vector[Int]] = TxTable.read(spark, dir) match {
+        case None => Map.empty
+        case Some(df) => df.collect()
+          .map(r => (r.getString(r.fieldIndex("part")).stripPrefix("p").toInt,
+            r.getInt(r.fieldIndex("v"))))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).sorted.toVector).toMap
+      }
+      val want = model.filter(_._2.nonEmpty).view
+        .mapValues(_.sorted).toMap
+      got == want
+    }
+
   property("binned range join == naive inequality join") =
     forAll(
       Gen.listOfN(12, Gen.choose(0L, 400L)),
