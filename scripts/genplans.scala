@@ -28,7 +28,9 @@ val headline = Seq(
   ("range_join_open_orders", "binned range join: equi-join on bin, no nested loop"),
   ("win_lag_lead", "window family: five functions, one shuffle, one Window node"),
   ("scd2_merge", "SCD2 merge: one open-slice join, closed history shuffle-free"),
-  ("ext_tfidf_topterms", "TF-IDF: tf shuffle AQE-reused, vocab-sized df broadcast"))
+  ("ext_tfidf_topterms", "TF-IDF: tf shuffle AQE-reused, vocab-sized df broadcast"),
+  ("ext_pack_sequences", "sequence packing: distributed prefix sum, no SinglePartition window"),
+  ("tpch_q10_returned", "Q10-shaped report: fact shuffle once, dims broadcast, TakeOrdered"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
