@@ -159,6 +159,11 @@ object TxTable {
       expectedVersion: Option[Long] = None,
       failpoint: String => Unit = _ => ()): Manifest = {
     require(!(replaceAll && append), "commit: replaceAll and append conflict")
+    // the generation id is stored as a directory level (data/gen=N), so
+    // a data column named "gen" would collide with the read-side
+    // partition derivation and silently shadow user data
+    require(!df.columns.exists(_.equalsIgnoreCase("gen")),
+      "TxTable: column name 'gen' is reserved for the generation id")
     val root = new Path(target)
     val f = fs(spark, root)
     val cur = currentManifest(spark, target)

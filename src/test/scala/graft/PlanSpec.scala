@@ -39,6 +39,19 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("tpch q3/q10 broadcast every dim and top-k without a global sort") {
+    for (q <- Seq("tpch_q3_shipping_priority", "tpch_q10_returned")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact-side shuffle join crept in")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: top-k global-sorted")
+      assert(p.contains("partial_sum"), s"$q: no map-side partial aggregation")
+    }
+    // the segment filter reaches the customer scan as a pushed filter
+    assert(plan("tpch_q3_shipping_priority").contains("EqualTo(c_mktsegment,BUILDING)"),
+      "q3 segment filter not pushed to the dim scan")
+  }
+
   test("projection prunes unread columns at the scan") {
     val p = plan("p1_projection")
     assert(!p.contains("c_mktsegment"), "scan reads columns the query never uses")

@@ -90,6 +90,25 @@ class TxTableSpec extends SparkSpec {
     assert(torn.get() == null, s"torn read observed: ${torn.get()}")
   }
 
+  test("reserved 'gen' column rejected; commit is O(touched) at 100 partitions") {
+    val dir = tmpDir("txg") + "/t"
+    intercept[IllegalArgumentException] {
+      TxTable.commit(spark, Seq((1L, 2L)).toDF("k", "gen"), dir, Nil)
+    }
+    // 100-partition table; a single-partition commit writes ONE leaf in
+    // its generation and carries the other 99 entries untouched
+    val wide = (1 to 100).map(p => (s"p$p", p.toLong)).toDF("part", "k")
+    TxTable.commit(spark, wide, dir, Seq("part"))
+    TxTable.commit(spark, Seq(("p37", 999L)).toDF("part", "k"), dir, Seq("part"))
+    val m = TxTable.currentManifest(spark, dir).get
+    assert(m.entries.count(_._2.startsWith("gen=2/")) == 1, "non-touched leaves rewritten")
+    assert(m.entries.size == 100)
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 100)
+    assert(t.filter(col("part") === "p37").head().getLong(
+      t.schema.fieldIndex("k")) == 999L)
+  }
+
   test("deltaId ledger: applied ids accumulate and replays are rejected") {
     val dir = tmpDir("txd") + "/t"
     TxTable.commit(spark, seed(1), dir, Seq("part"), deltaId = Some("b1"))
