@@ -690,6 +690,37 @@ object ParityQueries {
       out
     }),
 
+    // Incremental COUNT DISTINCT maintenance (sinks.IncrementalRollup
+    // distinctCols): two deltas with overlapping customers fold into a
+    // stored mergeable HLL sketch per month; the read-back estimate must
+    // equal the one-shot COUNT(DISTINCT) oracle. Cardinality is bounded
+    // (custkey % 100) so the sketch stays in its EXACT coupon regime at
+    // every SF — the oracle is well-defined; unbounded cardinalities get
+    // the published HLL error instead (that approximation is the point
+    // at 100 TB, where exact distinct does not fold across batches).
+    "rollup_distinct_hll" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_hllroll").toString
+      val target = s"$work/rollup"
+      val od = Tables.orders(s, dir)
+        .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("cust_bucket", col("o_custkey") % 100)
+        .select("ym", "cust_bucket", "o_orderkey")
+      for (parity <- Seq(0, 1))
+        graft.sinks.IncrementalRollup(s,
+          od.filter(col("o_orderkey") % 2 === parity),
+          target, groupCols = Seq("ym"), sumCols = Nil,
+          distinctCols = Seq("cust_bucket" -> "cust_sk"))
+      val out = s.read.parquet(target)
+        .select(col("ym"), col("cnt"),
+          graft.sinks.IncrementalRollup.distinctEstimate(col("cust_sk"))
+            .as("distinct_buckets"))
+        .orderBy("ym")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // The TRANSACTIONAL rollup (sinks.TxTable manifest commit) — same
     // two-delta fold as rollup_incremental, but committed through the
     // atomic manifest log with per-delta replay protection, INCLUDING a
@@ -1313,6 +1344,12 @@ object ParityQueries {
       """SELECT strftime(l_shipdate, '%Y-%m') AS ym, l_returnflag,
         |  count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY ym, l_returnflag""".stripMargin,
+
+    "rollup_distinct_hll" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  count(*) AS cnt,
+        |  count(DISTINCT o_custkey % 100) AS distinct_buckets
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
 
     // same restatement as rollup_incremental over the 1997 slice: the
     // transactional commit path must produce the same standing

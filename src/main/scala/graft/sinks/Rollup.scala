@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   * the aggregate over all history, which is the difference between a
   * maintenance job that reads a day and one that reads 100 TB.
   *
-  * Only DISTRIBUTIVE aggregates are maintained (count, sum — min/max
-  * would also qualify): stored partials merge by the SAME operation, so
-  * `maintain(b1); maintain(b2)` is exactly `aggregate(b1 UNION b2)` —
-  * the invariant the oracled `rollup_incremental` query proves against
-  * DuckDB. Averages and other algebraic forms derive at read time
-  * (sum/cnt); holistic aggregates (exact percentiles) need the sketch
-  * path (ExtOpsSpec's t-digest/HLL/CMS family) instead.
+  * Only MERGEABLE aggregates are maintained: distributive ones (count,
+  * sum — min/max would also qualify), whose stored partials merge by
+  * the SAME operation, and SKETCH ones (`distinctCols` — DataSketches
+  * HLL via `hll_sketch_agg`, merged with `hll_union_agg`), which make
+  * COUNT DISTINCT maintainable in O(delta) — the aggregate a naive
+  * rollup cannot fold because distinct is not distributive over
+  * batches. Either way `maintain(b1); maintain(b2)` equals
+  * `aggregate(b1 UNION b2)` — exactly for count/sum (the invariant the
+  * oracled `rollup_incremental` query proves against DuckDB) and
+  * within the published HLL error for sketches (spec-gated). Averages
+  * and other algebraic forms derive at read time (sum/cnt); holistic
+  * aggregates (exact percentiles) need the t-digest/CMS family
+  * (ExtOpsSpec) instead.
   *
   * Scale shape: the delta is pre-aggregated (one map-combinable
   * shuffle), the standing table is read PARTITION-PRUNED to the groups
@@ -52,6 +58,10 @@ object IncrementalRollup {
     *                      column is `sum(measure)` (exact for integral or
     *                      integer-valued-double measures; floating sums
     *                      merge associatively only up to reordering)
+    * @param distinctCols  measure -> stored-column-alias pairs maintained
+    *                      as mergeable HLL sketches (binary column);
+    *                      estimate at read time with
+    *                      `IncrementalRollup.distinctEstimate`
     * @param partitionBy   physical partition cols, must be group cols
     * @param deltaId       stable identifier of this delta batch (e.g. the
     *                      source partition/date it came from); enables
@@ -70,12 +80,13 @@ object IncrementalRollup {
       sumCols: Seq[(String, String)],
       partitionBy: Seq[String] = Nil,
       deltaId: Option[String] = None,
-      transactional: Boolean = false): Unit = {
+      transactional: Boolean = false,
+      distinctCols: Seq[(String, String)] = Nil): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
         s"groupCols=$groupCols")
-    val reserved = "cnt" +: sumCols.map(_._2)
+    val reserved = "cnt" +: (sumCols ++ distinctCols).map(_._2)
     require(reserved.distinct.size == reserved.size &&
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
@@ -92,13 +103,15 @@ object IncrementalRollup {
       if (partitionBy.isEmpty) df
       else df.repartition(partitionBy.map(col): _*)
     def deltaAgg = {
-      val aggs = count(lit(1)).as("cnt") +:
-        sumCols.map { case (m, a) => sum(col(m)).as(a) }
+      val aggs = (count(lit(1)).as("cnt") +:
+        sumCols.map { case (m, a) => sum(col(m)).as(a) }) ++
+        distinctCols.map { case (m, a) => hll_sketch_agg(col(m)).as(a) }
       partitionAligned(
         delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
-    val mergeAggs = sum(col("cnt")).as("cnt") +:
-      sumCols.map { case (_, a) => sum(col(a)).as(a) }
+    val mergeAggs = (sum(col("cnt")).as("cnt") +:
+      sumCols.map { case (_, a) => sum(col(a)).as(a) }) ++
+      distinctCols.map { case (_, a) => hll_union_agg(col(a)).as(a) }
     def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
       existing
         .unionByName(agg.select(cols.map(col): _*))
@@ -156,4 +169,10 @@ object IncrementalRollup {
     }
     marker.foreach { mk => fs.mkdirs(mk.getParent); fs.create(mk, true).close() }
   }
+
+  /** Read-time distinct estimate over a stored HLL sketch column (the
+    * `distinctCols` stored form). Pure Column expression.
+    */
+  def distinctEstimate(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hll_sketch_estimate(sketch)
 }

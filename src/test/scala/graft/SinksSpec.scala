@@ -388,6 +388,28 @@ class SinksSpec extends SparkSpec {
     assert(d1.getAs[Long]("cnt") == 2 && d1.getAs[Long]("sum_qty") == 11L)
   }
 
+  test("incremental rollup maintains COUNT DISTINCT via mergeable HLL sketches") {
+    val dir = tmpDir("rollhll") + "/t"
+    // two deltas with OVERLAPPING user sets per group: a naive
+    // sum-of-per-batch-distincts would overcount; the merged sketch
+    // must see each user once
+    val b1 = (1 to 60).map(u => ("g1", u.toLong, 1.0)) ++
+      (1 to 30).map(u => ("g2", u.toLong, 1.0))
+    val b2 = (31 to 90).map(u => ("g1", u.toLong, 1.0)) ++ // 31..60 repeat
+      (1 to 30).map(u => ("g2", u.toLong, 1.0))            // all repeat
+    for (b <- Seq(b1, b2))
+      IncrementalRollup(spark, b.toDF("g", "user_id", "x"), dir,
+        groupCols = Seq("g"), sumCols = Seq("x" -> "sum_x"),
+        distinctCols = Seq("user_id" -> "users_sk"))
+    val got = spark.read.parquet(dir)
+      .select(col("g"),
+        IncrementalRollup.distinctEstimate(col("users_sk")).as("users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DataSketches HLL is exact at these cardinalities (sparse mode)
+    assert(got("g1") == 90L, s"g1 distinct: ${got("g1")}")
+    assert(got("g2") == 30L, s"g2 distinct: ${got("g2")}")
+  }
+
   test("incremental rollup guards: non-group partition col and alias clash rejected") {
     val df = Seq(("d1", 1L)).toDF("day", "qty")
     intercept[IllegalArgumentException] {
