@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Decontaminate, Dedup, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -33,6 +33,14 @@ object ExtQueries {
         TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // Exact top-k frequent tokens with NO token-level shuffle (oracled):
+    // per-partition Misra-Gries candidate summaries, broadcast-filtered
+    // exact recount, runtime exactness certificate with a full-aggregate
+    // fallback — the counts are exact either way, so DuckDB's plain
+    // unnest+count restates them.
+    "ext_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.topTokens(Tables.documents(s, dir), "text", 30)),
 
     // Sequence packing (oracled): concat-and-split token-budget
     // assignment via the distributed prefix sum — the single window
@@ -596,6 +604,12 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_heavy_hitters" ->
+      """SELECT tok AS token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 30""".stripMargin,
 
     "ext_pack_sequences" ->
       """WITH t AS (

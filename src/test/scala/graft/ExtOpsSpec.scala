@@ -161,6 +161,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("xx"))
   }
 
+  // ---- heavy hitters ------------------------------------------------
+
+  test("heavy hitters: exact top-k with a skewed corpus (certificate path)") {
+    // 40 "hot" docs of one token vs a long tail: the MG candidates
+    // certainly contain the hot tokens and the certificate holds
+    val docs = ((1 to 40).map(i => (i.toLong, "hot " * (50 - i % 3))) ++
+      (100 to 300).map(i => (i.toLong, s"tail$i rare$i")))
+      .toDF("doc_id", "text")
+    val top = graft.ext.HeavyHitters.topTokens(docs, "text", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
+      .limit(1).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == exact.toSeq, s"got ${top.toSeq} want ${exact.toSeq}")
+  }
+
+  test("heavy hitters: FLAT corpus falls back and still returns the exact top-k") {
+    // every token unique -> no frequency beats n/capacity; the
+    // certificate fails and the fallback full aggregate must kick in
+    val docs = (1 to 400).map(i => (i.toLong, s"u$i v$i")).toDF("doc_id", "text")
+    val top = graft.ext.HeavyHitters.topTokens(docs, "text", 5, expand = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
+      .limit(5).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == exact, s"got $top want $exact")
+  }
+
+  test("heavy hitters misra-gries: summary always contains every majority token") {
+    val stream = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      (1 to 40).map(i => s"x$i")
+    val (cand, n) = graft.ext.HeavyHitters.misraGries(
+      scala.util.Random.shuffle(stream).iterator, 8)
+    assert(n == 130)
+    // a (freq 60) and b (freq 30) both exceed n/(capacity+1) ~ 14.4
+    assert(cand.contains("a") && cand.contains("b"), cand.toString)
+  }
+
   // ---- decontamination ----------------------------------------------
 
   test("decontaminate: planted overlap flagged, clean + contaminated partition train") {
