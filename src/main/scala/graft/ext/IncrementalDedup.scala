@@ -137,13 +137,23 @@ object IncrementalDedup {
     // pruning (monotone id batches touch only their own store region).
     // hset is cast to the nullable array form parquet reads back as, or
     // the second ingest's schema guard would flag containsNull drift.
-    UpsertIgnore(spark,
-      hashed.select(col("doc_id"),
-        col("hset").cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, containsNull = true)).as("hset")),
-      shinglesPath, keys = Seq("doc_id"), pruneCol = Some("doc_id"))
-    UpsertIgnore(spark, newBands, bandsPath,
-      keys = Seq("doc_id", "band"), pruneCol = Some("doc_id"))
+    val shingleRows = hashed.select(col("doc_id"),
+      col("hset").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true)).as("hset"))
+    if (!exists(spark, bandsPath)) {
+      // FIRST ingest: nothing to anti-join against — plain overwrite
+      // writes are equivalent (and a crash between the two leaves a
+      // state the existence check above re-classifies as absent, so the
+      // rerun overwrites both — same result, still idempotent). Skips
+      // UpsertIgnore's cache/count/anti-join job overhead per table.
+      shingleRows.write.mode("overwrite").parquet(shinglesPath)
+      newBands.write.mode("overwrite").parquet(bandsPath)
+    } else {
+      UpsertIgnore(spark, shingleRows, shinglesPath,
+        keys = Seq("doc_id"), pruneCol = Some("doc_id"))
+      UpsertIgnore(spark, newBands, bandsPath,
+        keys = Seq("doc_id", "band"), pruneCol = Some("doc_id"))
+    }
     out
   }
 
