@@ -96,11 +96,7 @@ object IncrementalDedup {
       if (!exists(spark, bandsPath))
         Dedup.verifyJaccard(inBatch.distinct(), hashed, hashed, p.threshold)
       else {
-        // one store scan, probe keys broadcast — the store side never
-        // shuffles, and only colliding rows continue
-        val probe = newBands.select("band", "bucket").distinct()
-        val hot = spark.read.parquet(bandsPath)
-          .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+        val hot = probeHot(spark, bandsPath, newBands)
           .localCheckpoint(false)
         // degenerate-bucket cap on the STORE side of the collision
         val hotOk = hot.join(
@@ -156,6 +152,18 @@ object IncrementalDedup {
     }
     out
   }
+
+  /** The store-probe plan: ONE scan of the stored band rows, the
+    * batch's distinct bucket keys broadcast as the semi-join build side.
+    * The store side must never shuffle — that single property is what
+    * makes ingest O(batch + collisions) instead of O(corpus), so its
+    * plan shape is asserted directly (IncrementalDedupSpec).
+    */
+  private[graft] def probeHot(
+      spark: SparkSession, bandsPath: String, newBands: DataFrame): DataFrame =
+    spark.read.parquet(bandsPath)
+      .join(broadcast(newBands.select("band", "bucket").distinct()),
+        Seq("band", "bucket"), "left_semi")
 
   /** Stored doc count (distinct registered documents). */
   def storedDocs(spark: SparkSession, storePath: String): Long =

@@ -47,6 +47,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(again == first, s"missing=${first -- again} extra=${again -- first}")
   }
 
+  test("store probe plan: ONE store scan, probe broadcast, store never shuffled") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = tmpDir("incdedupplan") + "/store"
+    IncrementalDedup.ingest(spark,
+      docs.filter(col("doc_id") < 250), "doc_id", "text", store)
+    // the next batch's probe against the populated store
+    val hashed = graft.ext.Dedup.hashedShingleSets(
+      docs.filter(col("doc_id") >= 250), "doc_id", "text", 3)
+    val newBands = graft.ext.Dedup.bandRowsOf(
+      graft.ext.Dedup.minhashSigsOf(hashed, 32), 8, 4)
+    val hot = IncrementalDedup.probeHot(spark, s"$store/bands", newBands)
+    hot.count() // let AQE finalize
+    val p = hot.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"probe is not a broadcast semi-join:\n$p")
+    // the STORE side must stream straight from its scan into the join:
+    // an exchange there would mean the corpus-sized side shuffles per
+    // ingest — the exact O(corpus) cost this design removes. (The
+    // broadcast BUILD side legitimately aggregates the O(batch) probe
+    // keys, so the assertion is scoped to the store branch: the text
+    // between the join node and the store scan.)
+    val storeBranch = p.substring(
+      p.indexOf("BroadcastHashJoin"), p.indexOf("store/bands"))
+    assert(!storeBranch.contains("Exchange"),
+      s"store side shuffled in the probe plan:\n$p")
+  }
+
   test("store compaction shrinks the file count without changing results") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val store = tmpDir("incdedup4") + "/store"
