@@ -54,9 +54,13 @@ object Bench {
     val tIdx = System.nanoTime()
     try queries.ExtQueries.buildIndexes(spark, sfDir) catch { case _: Throwable => () }
     val idxSec = (System.nanoTime() - tIdx) / 1e9
+    // a query that THROWS at this SF must be visible in the output, not
+    // silently timed as a fast failure — collect names for the JSON line
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap + ("ivf_index_build" -> idxSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -75,7 +79,8 @@ object Bench {
     // capture keeps only the tail of long output, so the trailing
     // "slowest"/"total_sec" keys survive truncation even when the
     // per-query map does not; full-line parsers read the leading keys.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"n_queries":${results.size},"total_sec":$total}""")
+    val errs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }
