@@ -270,6 +270,58 @@ class ExtSpec extends SparkSpec {
     assert(row.getDouble(5) == 0.0)      // empty doc degrades to 0, not NaN
   }
 
+  test("fallback paths (no native expressions) produce equivalent dedup results") {
+    // every near-dup pipeline documents an explode+aggregate fallback for
+    // sessions without GraftExtensions — prove those branches actually
+    // run and agree with the native path, by dropping the functions from
+    // the registry for the duration (restored in finally)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    val names = Seq("graft_minhash", "graft_simhash", "graft_isect")
+    val saved = names.map { n =>
+      val fid = FunctionIdentifier(n)
+      (fid, reg.lookupFunction(fid).get, reg.lookupFunctionBuilder(fid).get)
+    }
+    val nativeSim = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nativeMinhashPairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    try {
+      saved.foreach { case (fid, _, _) => reg.dropFunction(fid) }
+      assert(!spark.catalog.functionExists("graft_minhash"))
+      // simhash fallback is BIT-identical (same bit-vote arithmetic,
+      // explode+aggregate instead of the single-pass expression)
+      val fb = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fb == Set((1L, 4L)), s"fallback simhash pairs: $fb")
+      // minhash fallback uses a different (still sound) permutation
+      // family: the exact-dup pair must survive with jaccard 1.0, the
+      // dissimilar doc must stay excluded, and VERIFIED jaccards agree
+      // with the native run (verification shares the hset arithmetic)
+      val fbPairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(fbPairs.contains((1L, 4L)) && fbPairs((1L, 4L)) == 1.0)
+      assert(!fbPairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+      fbPairs.keySet.intersect(nativeMinhashPairs.keySet).foreach { p =>
+        assert(fbPairs(p) == nativeMinhashPairs(p), s"jaccard drift at $p")
+      }
+      // and the ground-truth oracle path (graft_isect fallback) matches
+      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gt.contains((1L, 4L)))
+    } finally
+      saved.foreach { case (fid, info, builder) =>
+        reg.registerFunction(fid, info, builder)
+      }
+    // natives restored: the single-pass expression is live again
+    assert(spark.catalog.functionExists("graft_minhash"))
+    val sim2 = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim2 == nativeSim)
+  }
+
   test("multimodal: batched stub decode preserves every row, deterministic") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, "/root/testdata/sf0.001"))
