@@ -69,11 +69,13 @@ object Packer {
       }.toMap
     }
     // pass 2: parallel per-partition running sum + broadcast prefix.
-    // The prefix lookup is a tiny CASE chain over partition ids (bounded
-    // by the shuffle-partition count), evaluated map-side.
-    val prefixExpr = prefixByPid.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    // The prefix lookup is one FLAT array literal indexed by partition
+    // id — constant expression depth however many partitions the
+    // cluster runs (a nested CASE chain here would grow with the
+    // partition count and eventually trip codegen's method-size limit).
+    val prefixExpr = element_at(
+      array((0 until parts).map(pid => lit(prefixByPid(pid))): _*),
+      col("__pid") + 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy("id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -308,10 +308,29 @@ object TxTable {
     * snapshot survives; readers of already-resolved older snapshots may
     * fail after a vacuum — the standard snapshot-retention tradeoff,
     * under the caller's control.
+    *
+    * The applied-delta ledger grows by one id per delta commit — at
+    * batch cadence that is trivial forever, but a per-minute streaming
+    * writer accumulates ~0.5M ids/year of manifest weight. Pass
+    * `keepDeltaIds` to truncate the ledger to its newest N entries,
+    * published atomically as a new manifest version: replay protection
+    * then covers only the retained window (the same retention contract
+    * as every production table format), so keep it comfortably larger
+    * than the furthest plausible replay.
     */
   def vacuum(
-      spark: SparkSession, target: String, keepVersions: Int = 1): Unit = {
+      spark: SparkSession, target: String, keepVersions: Int = 1,
+      keepDeltaIds: Int = Int.MaxValue): Unit = {
     require(keepVersions >= 1, "vacuum must keep at least the live snapshot")
+    require(keepDeltaIds >= 0, "keepDeltaIds must be >= 0")
+    currentManifest(spark, target).foreach { m =>
+      if (m.deltaIds.length > keepDeltaIds) {
+        val root = new Path(target)
+        writeManifest(fs(spark, root), new Path(root, LogDir),
+          m.copy(version = m.version + 1,
+            deltaIds = m.deltaIds.takeRight(keepDeltaIds)))
+      }
+    }
     val root = new Path(target)
     val f = fs(spark, root)
     val log = new Path(root, LogDir)

@@ -132,6 +132,23 @@ class TxTableSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent commit"))
   }
 
+  test("vacuum can truncate the delta ledger atomically (retention window)") {
+    val dir = tmpDir("txledger") + "/t"
+    for (i <- 1 to 5)
+      TxTable.commit(spark, seed(i), dir, Seq("part"), deltaId = Some(s"d$i"))
+    TxTable.vacuum(spark, dir, keepDeltaIds = 2)
+    assert(TxTable.appliedDeltaIds(spark, dir) == Set("d4", "d5"))
+    // the truncation is itself a manifest version; data is untouched
+    assert(TxTable.read(spark, dir).get.select("tag").distinct()
+      .head().getInt(0) == 5)
+    // inside the retained window replays are still rejected...
+    intercept[IllegalArgumentException] {
+      TxTable.commit(spark, seed(9), dir, Seq("part"), deltaId = Some("d5"))
+    }
+    // ...outside it the id can recommit (the documented tradeoff)
+    TxTable.commit(spark, seed(1), dir, Seq("part"), deltaId = Some("d1"))
+  }
+
   test("time travel until vacuum; vacuum drops unreferenced generations") {
     val dir = tmpDir("txvac") + "/t"
     for (i <- 1 to 3) TxTable.commit(spark, seed(i), dir, Seq("part"))
