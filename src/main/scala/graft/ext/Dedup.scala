@@ -488,6 +488,40 @@ object Dedup {
       .filter(col("jaccard3") >= threshold)
   }
 
+  /** Exact substring-match dedup (the "shares any >= minLen-character
+    * substring" criterion of published exact-substring deduplication):
+    * document pairs where one string of `minLen` characters appears
+    * verbatim in both. Long thresholds make this the high-precision
+    * complement of MinHash — boilerplate quotations and copy-paste spans
+    * match even when the documents' overall Jaccard is low.
+    *
+    * Shape: every doc's distinct minLen-grams hash to longs map-side;
+    * one groupBy on the gram hash forms buckets; in-bucket ordered pair
+    * expansion with the standard `maxBucket` degenerate-gram cap (a gram
+    * shared by thousands of docs is template boilerplate — cap it like
+    * every LSH bucket here). Equality is by 64-bit gram hash —
+    * deterministic, with the same negligible-collision argument as the
+    * hashed-gram ground truth (`ngramGroundTruthPairs`).
+    */
+  def sharedSubstringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      maxBucket: Int = 2000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (minLen - 1), lit(1))),
+      i => xxhash64(substr(col(textCol), i, lit(minLen)))))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(pairExpansion(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** Character n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val ga = charNgrams(a, n)

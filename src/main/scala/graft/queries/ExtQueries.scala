@@ -133,6 +133,17 @@ object ExtQueries {
         .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
+    // Exact substring-match dedup (oracled): pairs sharing any verbatim
+    // 40-char span — high-precision copy-paste detection, the complement
+    // of Jaccard-threshold near-dup. Universe bounded (all-pairs oracle);
+    // the operator itself is bucket-bounded, not all-pairs.
+    "ext_substring_pairs" -> ((s, dir) =>
+      Dedup.sharedSubstringPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .repartition(s.sessionState.conf.numShufflePartitions),
+        "doc_id", "text", minLen = 40)
+        .orderBy("id_a", "id_b")),
+
     // n-gram Jaccard pairs over a bounded id range (oracled: DuckDB list
     // comprehension mirrors the gram sets exactly; threshold 0.0 keeps
     // every pair, so this is the unfiltered top-20 — computed on hashed
@@ -774,6 +785,17 @@ object ExtQueries {
         |FROM g x, g y WHERE x.doc_id < y.doc_id
         |  AND len(list_intersect(x.grams, y.grams))
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_substring_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 40)
+        |      for i in range(1, greatest(length(text) - 39, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |  AND len(list_intersect(x.grams, y.grams)) > 0
         |ORDER BY id_a, id_b""".stripMargin,
 
     // same all-pairs oracle as ext_minhash_recall: the incremental

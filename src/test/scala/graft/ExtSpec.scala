@@ -45,6 +45,24 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((1L, 4L)))
   }
 
+  test("shared-substring pairs: verbatim span found, dissimilar excluded, capped") {
+    val span = "this exact forty character span is shared!"  // 42 chars
+    val rows = Seq(
+      (1L, s"first document header $span first trailer with other words"),
+      (2L, s"completely different framing text $span and another ending"),
+      (3L, "no shared content here at all, just ordinary filler text"),
+      (4L, "another unrelated document with its own words and nothing copied"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedSubstringPairs(rows, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // degenerate grams (shared by > maxBucket docs) are capped out
+    val boiler = (0L until 30L).map(i => (i, s"$span tail$i")).toDF("doc_id", "text")
+    val capped = Dedup.sharedSubstringPairs(boiler, "doc_id", "text",
+      minLen = 40, maxBucket = 10).count()
+    assert(capped == 0, "mega-gram bucket not capped")
+  }
+
   test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
     val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
     val r = df.select(
