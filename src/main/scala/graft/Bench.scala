@@ -75,12 +75,20 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Native-expression resolution, in the artifact itself: the dedup
+    // families run ~7-10x slower through their declarative fallbacks, so
+    // a timing read without knowing WHICH path executed is ambiguous
+    // (the r4 simhash outlier sat exactly on the fallback's number).
+    val natives = Seq("graft_minhash", "graft_simhash", "graft_isect",
+        "graft_cosine", "graft_dot", "graft_rplsh")
+      .map(n => s"\"" + n + "\":" + spark.catalog.functionExists(n))
+      .mkString("{", ",", "}")
     // One JSON line, headline duplicated at BOTH ends: the driver's
     // capture keeps only the tail of long output, so the trailing
     // "slowest"/"total_sec" keys survive truncation even when the
     // per-query map does not; full-line parsers read the leading keys.
     val errs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"n_queries":${results.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"natives":$natives,"n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }
