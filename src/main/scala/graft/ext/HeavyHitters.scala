@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   *    filtered aggregate counts ONLY candidate tokens (map-side combine
   *    over ≤ c distinct keys — negligible shuffle).
   *
-  * EXACTNESS: the result is provably the true top-k whenever the k-th
-  * recounted frequency exceeds n/c — checked at runtime; if the corpus
-  * is too flat for the chosen `expand` the operator FALLS BACK to the
-  * full exact aggregation rather than returning a silently approximate
-  * answer. The returned counts are always exact either way (which is
-  * what makes `ext_heavy_hitters` oracle-able against DuckDB).
+  * EXACTNESS: the result is provably the true top-k only when the
+  * recount yields a FULL k rows and the k-th frequency exceeds n/c (MG
+  * guarantees every token above n/c is a candidate, so nothing outside
+  * the candidate set can outrank the k-th) — checked at runtime. Any
+  * other outcome — a flat corpus, or MG's decrement evictions leaving
+  * fewer than k candidates at all — FALLS BACK to the full exact
+  * aggregation rather than returning a silently approximate (or
+  * silently truncated) answer. The returned counts are always exact
+  * either way (which is what makes `ext_heavy_hitters` oracle-able
+  * against DuckDB).
   */
 object HeavyHitters {
 
@@ -83,25 +87,34 @@ object HeavyHitters {
     val candidates = summaries.collect { case (t, -1L) => t }.distinct
     val n = summaries.collect { case (_, np) if np >= 0 => np }.sum
 
-    // pass 2: candidate-bounded exact recount (broadcast IN-set filter,
-    // map-side combine over <= capacity keys)
-    def exactOver(base: Dataset[String]) = base
+    // pass 2: candidate-bounded exact recount. The candidate filter is a
+    // broadcast LEFT-SEMI join against a candidates DataFrame, not an
+    // `isin` literal chain: at cluster partition counts the literal form
+    // is an O(partitions·capacity)-term expression tree (the same
+    // plan-size disease Upsert.prunedExisting bounds), while the join's
+    // plan is constant-size whatever the candidate count.
+    def exactOver(base: DataFrame) = base
       .groupBy(col("t").as("token"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
     val counted =
       if (candidates.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else exactOver(toks.filter(col("t").isin(candidates.toSeq: _*)))
+      else exactOver(toks.join(
+        broadcast(candidates.toSeq.toDF("t")), Seq("t"), "left_semi"))
         .collect()
 
-    // exactness certificate: the k-th count must beat the MG threshold
-    // n/capacity, else a non-candidate could outrank it — fall back
+    // exactness certificate: only a FULL k rows whose k-th count beats
+    // the MG threshold n/capacity proves no non-candidate can outrank
+    // the cut. Fewer than k surviving candidates proves NOTHING — MG's
+    // decrement evictions can strip candidates on flat distributions
+    // while sub-threshold non-candidates still belong in the true top-k
+    // — so that case falls back too (never silently truncate).
     val exactGuaranteed =
-      counted.length < k || counted.last.getLong(1) > n / capacity
+      counted.length == k && counted.last.getLong(1) > n / capacity
     val rows =
       if (exactGuaranteed) counted.toSeq
-      else exactOver(toks).collect().toSeq // flat corpus: full aggregate
+      else exactOver(toks.toDF()).collect().toSeq // flat corpus: full aggregate
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       org.apache.spark.sql.types.StructType(Seq(
