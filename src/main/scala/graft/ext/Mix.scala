@@ -12,12 +12,27 @@ import org.apache.spark.sql.functions._
   * engine, any partitioning, every run.
   *
   * Feasible total T = min over groups of floor(n_g / w_g); each group
-  * keeps quota_g = floor(w_g * T) rows. Both derive from one tiny
-  * group-count aggregate (O(groups) rows, broadcast back) — no second
-  * pass over the data. The per-group md5 ranking is a window sort within
-  * each group: the exact-quota cost. When an approximate rate is enough,
-  * the cheaper filter-only form is `ext_sample_stratified`'s md5-prefix
-  * sampling (no shuffle at all).
+  * keeps quota_g = floor(w_g * T) rows. Scale shape:
+  *
+  *  - ONE corpus aggregate: the per-group counts (O(groups) rows) are
+  *    collected once and the absence check, T, and every quota derive
+  *    from that driver-held array — never a second pass, never a
+  *    re-aggregation (the counts are sample METADATA, like Packer's
+  *    partition totals or the IVF centroid table).
+  *  - The exact-quota selection is the Packer prefix-sum trick applied
+  *    PER GROUP, not a `Window.partitionBy(group)` full sort: that
+  *    window caps parallelism at #groups and hands a 40%-share group's
+  *    entire sort to ONE task at 100 TB. Instead the (group, rank-key)
+  *    projection range-repartitions so every partition holds a
+  *    contiguous slice of the global (group, key) order, per-(partition,
+  *    group) counts come back as O(partitions + groups) driver rows,
+  *    and each partition ranks its own slice in parallel offset by its
+  *    group's exclusive prefix. The checkpointed intermediate carries
+  *    only (group, id, key) — survivors join back to the corpus by id.
+  *
+  * The selected set is a pure function of (corpus, weights) — identical
+  * at any partition count (asserted in ExtOpsSpec) and restatable as
+  * DuckDB's window form for the oracle (`ext_sample_mix`).
   */
 object Mix {
 
@@ -39,33 +54,70 @@ object Mix {
     require(weights.nonEmpty, "sampleToDistribution needs target weights")
     require(weights.values.forall(w => w > 0 && w <= 1),
       s"weights must be in (0, 1]: $weights")
-    require(!df.columns.exists(Set("__w", "__n", "__T", "__quota", "__rn")),
-      "columns __w/__n/__T/__quota/__rn are reserved by sampleToDistribution")
+    val reserved = Set("__g", "__id", "__k", "__pid", "__rn", "__quota", "__prefix")
+    require(!reserved(groupCol) && !reserved(idCol),
+      s"column names ${reserved.mkString("/")} are reserved by sampleToDistribution")
     val spark = df.sparkSession
     import spark.implicits._
-    val wDf = weights.toSeq.toDF(groupCol, "__w")
-    // LEFT join from the weights so a weight group with no corpus rows
-    // SURFACES (null __n) rather than dropping out of the quota math —
-    // an inner join here would shrink the min() over present groups only
-    // and silently violate the exact-proportions contract.
-    val counts = broadcast(wDf)
-      .join(df.groupBy(groupCol).agg(count(lit(1)).as("__n")),
-        Seq(groupCol), "left")
-    val absent = counts.filter(col("__n").isNull)
-      .select(groupCol).collect().map(_.get(0))
+
+    // THE corpus aggregate — one job, O(groups) rows to the driver.
+    // Everything downstream (absence check, T, quotas) is driver math on
+    // this array; re-deriving any of it from the DataFrame would re-run
+    // the corpus aggregation per use (it used to run 3x per call).
+    val counts: Map[String, Long] = df
+      .filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absent = weights.keySet -- counts.keySet
     require(absent.isEmpty,
       s"sampleToDistribution: weight groups absent from the corpus: " +
-        s"${absent.mkString(", ")} — the largest exact-proportion sample " +
-        "would be empty (T=0); drop these keys or fix the corpus")
-    val feasibleT = counts.agg(min(floor(col("__n") / col("__w"))).as("__T"))
-    val quotas = counts.crossJoin(broadcast(feasibleT))
-      .select(col(groupCol),
-        floor(col("__w") * col("__T")).cast("long").as("__quota"))
-    val rankW = Window.partitionBy(groupCol)
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(rankW))
-      .join(broadcast(quotas), groupCol)
-      .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__quota")
+        s"${absent.toSeq.sorted.mkString(", ")} — the largest " +
+        "exact-proportion sample would be empty (T=0); drop these keys " +
+        "or fix the corpus")
+    // same IEEE double arithmetic as the previous Column form (and the
+    // DuckDB oracle): floor(n / w), then floor(w * T)
+    val feasibleT = weights.map { case (g, w) =>
+      math.floor(counts(g) / w).toLong
+    }.min
+    val quotas = weights.map { case (g, w) =>
+      g -> math.floor(w * feasibleT).toLong
+    }
+
+    // ---- exact per-group top-quota by (md5(id), id) rank, distributed.
+    // Partition i holds a contiguous slice of the global (group, key)
+    // order; a group spanning partitions p..q ranks each slice locally
+    // (window keyed by (__pid, __g): parallelism = partition count, not
+    // group count) and offsets by the group's rows in partitions < pid.
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df
+      .select(col(groupCol).cast("string").as("__g"), col(idCol).as("__id"))
+      .join(broadcast(quotas.keys.toSeq.toDF("__g")), "__g")
+      .withColumn("__k", md5(col("__id").cast("string")))
+      .repartitionByRange(parts, col("__g"), col("__k"), col("__id"))
+      .sortWithinPartitions("__g", "__k", "__id")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // pid must be identical in both passes
+
+    // O(partitions + groups) driver rows: each partition holds 1-2
+    // groups' slices, so the cell census is metadata, not data
+    val cells = ranged.groupBy("__pid", "__g").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val prefixRows = cells.groupBy(_._2).toSeq.flatMap { case (g, gc) =>
+      var acc = 0L
+      gc.sortBy(_._1).map { case (pid, _, c) =>
+        val row = (pid, g, acc); acc += c; row
+      }
+    }
+
+    val w = Window.partitionBy("__pid", "__g").orderBy("__k", "__id")
+    val keep = ranged
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(prefixRows.toDF("__pid", "__g", "__prefix")),
+        Seq("__pid", "__g"))
+      .join(broadcast(quotas.toSeq.toDF("__g", "__quota")), Seq("__g"))
+      .filter(col("__prefix") + col("__rn") <= col("__quota"))
+      .select(col("__id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 }

@@ -138,6 +138,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mix sampling: selection matches the single-window reference at any partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = Map("en" -> 0.4, "es" -> 0.15, "fr" -> 0.15,
+      "de" -> 0.15, "zh" -> 0.15)
+    // reference: the naive Window.partitionBy(group) full-sort form the
+    // distributed prefix-sum selection must reproduce row-for-row
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (g, w) => math.floor(n(g) / w) }.min
+    val quotas = weights.map { case (g, w) => g -> math.floor(w * t).toLong }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val want = docs.withColumn("__rn", row_number().over(w))
+      .join(quotas.toSeq.toDF("lang", "__q"), "lang")
+      .filter(col("__rn") <= col("__q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Seq(docs, docs.repartition(3), docs.repartition(17)).foreach { d =>
+      val got = graft.ext.Mix.sampleToDistribution(d, "lang", "doc_id", weights)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    }
+  }
+
+  test("mix sampling plan: no per-group global sort, corpus scanned once in the result") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = Map("en" -> 0.4, "es" -> 0.15, "fr" -> 0.15,
+      "de" -> 0.15, "zh" -> 0.15)
+    val out = graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id", weights)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the rank window must be keyed by (__pid, __g) — parallelism =
+    // partition count; a windowspecdefinition over the bare group column
+    // would hand each group's whole sort to one task at scale
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("windowspecdefinition(lang"), plan)
+    // quotas/T are driver math over ONE collected aggregate: the returned
+    // plan re-reads the corpus only for the final survivor semi-join
+    val scans = out.queryExecution.optimizedPlan.collectLeaves().count {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    assert(scans == 1, s"expected 1 corpus scan in the result plan, got $scans\n$plan")
+  }
+
   test("mix sampling guards: empty and out-of-range weights rejected") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     intercept[IllegalArgumentException] {
@@ -187,6 +230,22 @@ class ExtOpsSpec extends SparkSpec {
       .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
       .limit(5).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(top == exact, s"got $top want $exact")
+  }
+
+  test("heavy hitters: decrement evictions leaving < k candidates still return k exact rows") {
+    // one partition, all-unique token stream sized so MG's decrement-all
+    // step clears the summary on every 5th token (capacity k*expand = 4):
+    // after 40 tokens the summary is empty, token 41 leaves ONE candidate.
+    // A certificate that treated "< k candidates" as exact would silently
+    // return 1 row; the true top-2 has 2 rows — the fallback must fire.
+    val docs = Seq((1L, (1 to 41).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+    val top = graft.ext.HeavyHitters.topTokens(docs, "text", 2, expand = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t").asc)
+      .limit(2).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.length == 2 && top == exact, s"got $top want $exact")
   }
 
   test("heavy hitters misra-gries: summary always contains every majority token") {
