@@ -116,9 +116,33 @@ object Dedup {
     * seeded xxhash64) but both are sound MinHash families — recall
     * against planted ground truth is gated either way
     * (ext_minhash_recall, RecallSpec).
+    *
+    * `family` pins the permutation scheme regardless of what the session
+    * has: signatures from different families are mutually meaningless,
+    * so anything DURABLE (the IncrementalDedup store) must force the
+    * family it was created with — `Some("native")` fails loudly when the
+    * session cannot reproduce fmix64, `Some("fallback")` runs the seeded
+    * xxhash64 form even when the native expression is available.
     */
-  private[graft] def minhashSigsOf(hashed: DataFrame, numHashes: Int): DataFrame =
-    if (hashed.sparkSession.catalog.functionExists("graft_minhash"))
+  private[graft] def minhashSigsOf(
+      hashed: DataFrame,
+      numHashes: Int,
+      family: Option[String] = None): DataFrame = {
+    val useNative = family match {
+      case Some("native") =>
+        require(hashed.sparkSession.catalog.functionExists("graft_minhash"),
+          "minhash family 'native' required (durable signatures were built " +
+            "with graft_minhash/fmix64) but this session has no " +
+            "GraftExtensions — its signatures would be disjoint from the " +
+            "stored ones; install spark.sql.extensions=" +
+            "graft.functions.GraftExtensions")
+        true
+      case Some("fallback") => false
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown minhash family '$other'")
+      case None => hashed.sparkSession.catalog.functionExists("graft_minhash")
+    }
+    if (useNative)
       hashed.select(col("doc_id"),
         call_function("graft_minhash", col("hset"), lit(numHashes)).as("sig"))
     else {
@@ -131,6 +155,7 @@ object Dedup {
         .select(col("doc_id"),
           array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
     }
+  }
 
   /** (doc_id, band, bucket) LSH band rows — the join key space of
     * candidate generation, and the row format of the durable signature
@@ -493,33 +518,86 @@ object Dedup {
     * document pairs where one string of `minLen` characters appears
     * verbatim in both. Long thresholds make this the high-precision
     * complement of MinHash — boilerplate quotations and copy-paste spans
-    * match even when the documents' overall Jaccard is low.
+    * match even when the documents' overall Jaccard is low. Documents
+    * shorter than minLen cannot contain such a span and emit nothing
+    * (two identical 10-char docs are NOT a 40-char substring match).
     *
-    * Shape: every doc's distinct minLen-grams hash to longs map-side;
-    * one groupBy on the gram hash forms buckets; in-bucket ordered pair
-    * expansion with the standard `maxBucket` degenerate-gram cap (a gram
-    * shared by thousands of docs is template boilerplate — cap it like
-    * every LSH bucket here). Equality is by 64-bit gram hash —
-    * deterministic, with the same negligible-collision argument as the
-    * hashed-gram ground truth (`ngramGroundTruthPairs`).
+    * Shape — winnowed fingerprints, then exact verification:
+    *
+    *  1. Each doc hashes its g-grams (g = minLen - window + 1) map-side
+    *     and SELECTS only each window-of-`window`'s minimum hash — the
+    *     winnowing scheme of Schleimer et al. (SIGMOD'03, MOSS). The
+    *     selection depends only on content, so any two docs sharing a
+    *     span of >= g + window - 1 = minLen chars share a whole window
+    *     of identical gram hashes and therefore its selected minimum:
+    *     candidate recall is 1.0 BY CONSTRUCTION while only ~2/window
+    *     of the gram rows ever leave the scan (the naive one-row-per-
+    *     position explode is the corpus's character count).
+    *  2. One groupBy on the fingerprint forms buckets; in-bucket ordered
+    *     pair expansion with the standard `maxBucket` degenerate-gram
+    *     cap (a fingerprint shared by thousands of docs is template
+    *     boilerplate — cap it like every LSH bucket here).
+    *  3. A selected g-gram match only proves a shared g-char span, so
+    *     candidates VERIFY against the full minLen-gram sets — computed
+    *     only for the colliding docs (semi-join pruned, the
+    *     IncrementalDedup discipline), never for the corpus.
+    *
+    * Equality is by 64-bit gram hash — deterministic, with the same
+    * negligible-collision argument as the hashed-gram ground truth
+    * (`ngramGroundTruthPairs`).
     */
   def sharedSubstringPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minLen: Int,
-      maxBucket: Int = 2000): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(length(col(textCol)) - (minLen - 1), lit(1))),
-      i => xxhash64(substr(col(textCol), i, lit(minLen)))))
-    df.select(col(idCol).as("doc_id"), explode(grams).as("g"))
-      .groupBy("g")
+      maxBucket: Int = 2000,
+      window: Int = 16): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minLen >= window + 1,
+      s"minLen must be >= window + 1 (need gram length >= 2), got minLen=$minLen window=$window")
+    val g = minLen - window + 1
+    // docs below minLen chars have no minLen-span — no grams, no pairs
+    val eligible = df
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .localCheckpoint(false) // consumed by fingerprints AND verification
+    val gramHashes = transform(
+      sequence(lit(1), length(col("__text")) - (g - 1)),
+      i => xxhash64(substr(col("__text"), i, lit(g))))
+    // winnowing: min of every `window` consecutive gram hashes; eligible
+    // docs have length >= minLen = g + window - 1, so at least 1 window
+    val fingerprints = array_distinct(transform(
+      sequence(lit(1), size(col("__fp_h")) - (window - 1)),
+      j => array_min(slice(col("__fp_h"), j, lit(window)))))
+    val candidates = eligible
+      .withColumn("__fp_h", gramHashes)
+      .select(col("doc_id"), explode(fingerprints).as("fp"))
+      .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairExpansion(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      .localCheckpoint(false) // prunes the verify sets AND joins them
+    // exact verification on full minLen-gram sets of colliding docs only
+    val fullSets = eligible
+      .join(candidates
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(array_distinct(transform(
+        sequence(lit(1), length(col("__text")) - (minLen - 1)),
+        i => xxhash64(substr(col("__text"), i, lit(minLen)))))).as("grams"))
+    val shared =
+      if (df.sparkSession.catalog.functionExists("graft_isect"))
+        call_function("graft_isect", col("ga"), col("gb")) > 0
+      else size(array_intersect(col("ga"), col("gb"))) > 0
+    candidates
+      .join(fullSets.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(fullSets.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .filter(shared)
+      .select("id_a", "id_b")
   }
 
   /** Character n-gram Jaccard similarity between two text columns. */

@@ -787,12 +787,14 @@ object ExtQueries {
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // docs shorter than 40 chars cannot contain a 40-char span and are
+    // excluded outright (mirrors the operator's eligibility filter)
     "ext_substring_pairs" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([substr(text, i, 40)
-        |      for i in range(1, greatest(length(text) - 39, 1) + 1)]) AS grams
-        |  FROM documents WHERE doc_id < 300)
+        |      for i in range(1, length(text) - 39 + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 300 AND length(text) >= 40)
         |SELECT x.doc_id AS id_a, y.doc_id AS id_b
         |FROM g x, g y WHERE x.doc_id < y.doc_id
         |  AND len(list_intersect(x.grams, y.grams)) > 0

@@ -63,6 +63,54 @@ class ExtSpec extends SparkSpec {
     assert(capped == 0, "mega-gram bucket not capped")
   }
 
+  test("shared-substring pairs: docs shorter than minLen never match, even identical") {
+    // two identical 24-char docs cannot contain a 40-char shared span —
+    // the old whole-text gram clamp reported them anyway
+    val rows = Seq(
+      (1L, "identical short snippet"),
+      (2L, "identical short snippet"),
+      (3L, "a long filler document easily exceeding the forty character floor here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSubstringPairs(rows, "doc_id", "text", minLen = 40).count() == 0)
+  }
+
+  test("shared-substring pairs: winnowed candidates match the all-gram reference") {
+    // winnowing must find exactly the pairs the naive one-row-per-
+    // position gram explode finds: recall 1.0 by the Schleimer window
+    // guarantee, precision restored by the exact verify. Overlap cases:
+    // span at doc start / middle / end, barely-minLen span, long span,
+    // g-length (sub-minLen) decoy overlap that winnowing may surface as
+    // a candidate but the verify must reject.
+    val span40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40
+    val span90 = ("shared long paragraph that runs on and on with plenty of " +
+      "verbatim characters to cross windows!")
+    val decoy25 = "tinydecoyoverlaptwentyfiv" // 25 = g at window 16
+    val rows = Seq(
+      (1L, s"$span40 then some unique trailing content for doc one here"),
+      (2L, s"unique leading content for doc two then $span40"),
+      (3L, s"doc three embeds $span90 in the middle of unrelated words"),
+      (4L, s"fourth document also carries $span90 but elsewhere in text"),
+      (5L, s"decoy doc five holds $decoy25 and nothing else shared at all"),
+      (6L, s"decoy doc six also has $decoy25 padding out to length easily"),
+      (7L, "entirely unrelated seventh document with no copied spans at all"))
+      .toDF("doc_id", "text")
+    val naive = {
+      val grams = array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 39),
+        i => xxhash64(substr(col("text"), i, lit(40)))))
+      val e = rows.filter(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(grams).as("g"))
+      e.as("x").join(e.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Dedup.sharedSubstringPairs(rows, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got want $naive")
+    assert(naive == Set((1L, 2L), (3L, 4L)), s"reference unexpected: $naive")
+  }
+
   test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
     val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
     val r = df.select(
