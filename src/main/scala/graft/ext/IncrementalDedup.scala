@@ -60,6 +60,60 @@ object IncrementalDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The MinHash permutation family a store's signatures were built
+    * with, recorded at `storePath/_family` on first ingest. Signatures
+    * from different families (native fmix64 vs seeded-xxhash64 fallback)
+    * are mutually meaningless: a store written native and probed by an
+    * uninstrumented session would produce DISJOINT buckets and silently
+    * miss every cross-batch pair — so the marker makes every later
+    * ingest reproduce the stored family, or fail loudly when it cannot
+    * (see Dedup.minhashSigsOf).
+    */
+  private val FamilyFile = "_family"
+
+  private[graft] def storedFamily(
+      spark: SparkSession, storePath: String): Option[String] = {
+    val p = new Path(storePath, FamilyFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeFamily(
+      spark: SparkSession, storePath: String, family: String): Unit = {
+    val p = new Path(storePath, FamilyFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try { out.write(family.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+  }
+
+  /** Resolve the signature family for this ingest: first ingest pins the
+    * session's best available family into the marker; later ingests must
+    * reproduce the stored one (auto-selected — a native session probing
+    * a fallback-built store silently switches to the fallback scheme).
+    */
+  private def resolveFamily(
+      spark: SparkSession, storePath: String, storeExists: Boolean): String =
+    if (!storeExists) {
+      val fam = if (spark.catalog.functionExists("graft_minhash")) "native"
+        else "fallback"
+      // marker first: a crash before the data writes leaves a store the
+      // existence check still classifies as absent, and the rerun just
+      // overwrites the marker — idempotent either way
+      writeFamily(spark, storePath, fam)
+      fam
+    } else storedFamily(spark, storePath).getOrElse(
+      sys.error(s"IncrementalDedup: store $storePath has no $FamilyFile " +
+        "marker (created before hash-family tracking?) — its signatures' " +
+        "permutation scheme is unknowable, so probing it risks silently " +
+        "disjoint buckets; rebuild the store (or write _family manually " +
+        "if the building session's scheme is known)"))
+
   /** Ingest a batch: returns the near-dup pairs the batch introduces —
     * (id_a, id_b, jaccard) with id_a < id_b, covering new-vs-stored and
     * new-vs-new — then registers the batch in the store. Pairs wholly
@@ -76,12 +130,15 @@ object IncrementalDedup {
       p: Params = Params()): DataFrame = {
     val bandsPath = s"$storePath/bands"
     val shinglesPath = s"$storePath/shingles"
+    val storeExists = exists(spark, bandsPath)
+    val family = resolveFamily(spark, storePath, storeExists)
 
     // consumed by candidates, verification AND the store append
     val hashed = Dedup.hashedShingleSets(batch, idCol, textCol, p.shingleN)
       .localCheckpoint(false)
     val newBands = Dedup.bandRowsOf(
-      Dedup.minhashSigsOf(hashed, p.numHashes), p.bands, p.rowsPerBand)
+      Dedup.minhashSigsOf(hashed, p.numHashes, Some(family)),
+      p.bands, p.rowsPerBand)
       .localCheckpoint(false)
 
     // new-vs-new: the one-shot candidate machinery on the batch alone
@@ -93,7 +150,7 @@ object IncrementalDedup {
       .select(col("pp.id_a"), col("pp.id_b"))
 
     val pairs =
-      if (!exists(spark, bandsPath))
+      if (!storeExists)
         Dedup.verifyJaccard(inBatch.distinct(), hashed, hashed, p.threshold)
       else {
         val hot = probeHot(spark, bandsPath, newBands)
@@ -136,7 +193,7 @@ object IncrementalDedup {
     val shingleRows = hashed.select(col("doc_id"),
       col("hset").cast(org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType, containsNull = true)).as("hset"))
-    if (!exists(spark, bandsPath)) {
+    if (!storeExists) {
       // FIRST ingest: nothing to anti-join against — plain overwrite
       // writes are equivalent (and a crash between the two leaves a
       // state the existence check above re-classifies as absent, so the

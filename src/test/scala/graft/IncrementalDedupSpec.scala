@@ -92,6 +92,63 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.storedDocs(spark, store) == docs.count() + 1)
   }
 
+  test("hash-family marker: store pins its permutation scheme across sessions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally different words in this one here")).toDF("doc_id", "text")
+    val reg = spark.sessionState.functionRegistry
+    val fid = FunctionIdentifier("graft_minhash")
+    val saved = (reg.lookupFunction(fid).get, reg.lookupFunctionBuilder(fid).get)
+
+    // 1: a native-session store records "native", and probing it from a
+    // session WITHOUT the native expression fails loudly (its seeded-
+    // xxhash64 signatures would be disjoint — silence is the bug)
+    val storeN = tmpDir("incdedup_fam_n") + "/store"
+    IncrementalDedup.ingest(spark, docs.filter(col("doc_id") < 3),
+      "doc_id", "text", storeN)
+    assert(IncrementalDedup.storedFamily(spark, storeN).contains("native"))
+    try {
+      reg.dropFunction(fid)
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.ingest(spark, docs.filter(col("doc_id") === 3),
+          "doc_id", "text", storeN)
+      }
+      assert(e.getMessage.contains("native"), e.getMessage)
+
+      // 2: a store built under the FALLBACK records that family...
+      val storeF = tmpDir("incdedup_fam_f") + "/store"
+      IncrementalDedup.ingest(spark, docs.filter(col("doc_id") < 3),
+        "doc_id", "text", storeF)
+      assert(IncrementalDedup.storedFamily(spark, storeF).contains("fallback"))
+      reg.registerFunction(fid, saved._1, saved._2)
+      // ...and a native session probing it AUTO-SELECTS the fallback
+      // scheme: the cross-batch exact-dup pair must surface (disjoint
+      // families would find nothing)
+      val pairs = pairsOf(IncrementalDedup.ingest(spark,
+        Seq((9L, "one two three four five six seven eight")).toDF("doc_id", "text"),
+        "doc_id", "text", storeF))
+      assert(pairs == Set((1L, 9L), (2L, 9L)), s"cross-family probe lost pairs: $pairs")
+    } finally {
+      if (!spark.catalog.functionExists("graft_minhash"))
+        reg.registerFunction(fid, saved._1, saved._2)
+    }
+
+    // 3: a marker-less pre-existing store refuses to guess
+    val storeL = tmpDir("incdedup_fam_l") + "/store"
+    IncrementalDedup.ingest(spark, docs.filter(col("doc_id") < 3),
+      "doc_id", "text", storeL)
+    val fs = new org.apache.hadoop.fs.Path(storeL, "_family")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storeL, "_family"), false)
+    val e = intercept[RuntimeException] {
+      IncrementalDedup.ingest(spark, docs.filter(col("doc_id") === 3),
+        "doc_id", "text", storeL)
+    }
+    assert(e.getMessage.contains("_family"), e.getMessage)
+  }
+
   test("degenerate store buckets are capped, spread docs still match") {
     val store = tmpDir("incdedup3") + "/store"
     // 30 identical docs -> every band bucket has 30 members; with
