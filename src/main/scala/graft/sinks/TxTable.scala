@@ -57,7 +57,13 @@ object TxTable {
       // ("day=2026-01-01", "gen=3/day=2026-01-01"); "" partition = flat
       // table. A partition may map to SEVERAL dirs — append commits add
       // a generation without retiring the previous ones.
-      entries: Seq[(String, String)]) {
+      entries: Seq[(String, String)],
+      // the snapshot's logical schema, versioned IN the log (every
+      // production table format does): generations written before a
+      // column was added read back with that column null-filled instead
+      // of resolving to whichever file's physical schema wins. None only
+      // for manifests written before schema tracking (legacy reads).
+      schema: Option[org.apache.spark.sql.types.StructType] = None) {
     def dirs: Seq[String] = entries.map(_._2)
     def partitions: Set[String] = entries.map(_._1).toSet
   }
@@ -91,17 +97,22 @@ object TxTable {
     // entry lines. Partition rel-paths never contain TAB/newline (Spark
     // %-escapes control characters in partition dir names).
     var deltaIds = Seq.empty[String]
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
     val entries = Seq.newBuilder[(String, String)]
     text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
       if (line == "deltaIds" || line.startsWith("deltaIds "))
         deltaIds = line.split(" ").toSeq.drop(1)
+      else if (line.startsWith("schema "))
+        schema = Some(org.apache.spark.sql.types.DataType
+          .fromJson(line.stripPrefix("schema "))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
       else if (!line.startsWith("version ")) {
         val parts = line.split("\t", -1)
         require(parts.length == 2, s"malformed manifest line in v$v: $line")
         entries += (parts(0) -> parts(1))
       }
     }
-    Manifest(v, deltaIds, entries.result())
+    Manifest(v, deltaIds, entries.result(), schema)
   }
 
   private def writeManifest(f: FileSystem, log: Path, m: Manifest): Unit = {
@@ -114,6 +125,8 @@ object TxTable {
       sb.append("deltaIds")
       m.deltaIds.foreach(id => sb.append(' ').append(id))
       sb.append('\n')
+      // StructType.json is one line (no newline/tab can appear in it)
+      m.schema.foreach(s => sb.append("schema ").append(s.json).append('\n'))
       m.entries.sortBy(e => (e._1, e._2)).foreach { case (p, d) =>
         sb.append(p).append('\t').append(d).append('\n')
       }
@@ -131,6 +144,42 @@ object TxTable {
   /** Deltas already folded into the current snapshot. */
   def appliedDeltaIds(spark: SparkSession, target: String): Set[String] =
     currentManifest(spark, target).map(_.deltaIds.toSet).getOrElse(Set.empty)
+
+  /** Record `deltaId` as applied WITHOUT committing any data: the
+    * zero-survivor path of batch pipelines. A batch whose rows all gate
+    * or dedup away still consumed side effects (signature-store growth)
+    * and must not reprocess on rerun — but `commit` rightly refuses an
+    * empty write, so the ledger gets the id through a metadata-only
+    * manifest version carrying the current entries and schema forward.
+    */
+  def recordDelta(
+      spark: SparkSession,
+      target: String,
+      deltaId: String,
+      expectedVersion: Option[Long] = None): Manifest = {
+    require(deltaId.nonEmpty &&
+        !deltaId.exists(c => c.isWhitespace || c.isControl),
+      s"TxTable: deltaId '$deltaId' must be non-empty with no whitespace/" +
+        "control characters (it is stored on a space-separated manifest line)")
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val cur = currentManifest(spark, target)
+    expectedVersion.foreach { ev =>
+      val got = cur.map(_.version).getOrElse(0L)
+      require(got == ev,
+        s"TxTable: concurrent commit detected on $target " +
+          s"(expected version $ev, found $got) — single-writer contract")
+    }
+    require(!cur.exists(_.deltaIds.contains(deltaId)),
+      s"TxTable: delta '$deltaId' already applied to $target " +
+        "(check appliedDeltaIds before folding)")
+    val m = Manifest(cur.map(_.version).getOrElse(0L) + 1,
+      cur.map(_.deltaIds).getOrElse(Nil) :+ deltaId,
+      cur.map(_.entries).getOrElse(Nil),
+      cur.flatMap(_.schema))
+    writeManifest(f, new Path(root, LogDir), m)
+    m
+  }
 
   /** Commit `df` as the new content of the partitions it contains (all
     * other partitions carry over from the current snapshot); with
@@ -174,6 +223,13 @@ object TxTable {
           s"(expected version $ev, found $got) — single-writer contract")
     }
     deltaId.foreach { id =>
+      // ids serialize space-separated on one manifest line: whitespace
+      // would split one id into several (replay protection silently
+      // weakened) and control chars would corrupt manifest parsing —
+      // same reserved-format discipline as the 'gen' column guard
+      require(id.nonEmpty && !id.exists(c => c.isWhitespace || c.isControl),
+        s"TxTable: deltaId '$id' must be non-empty with no whitespace/" +
+          "control characters (it is stored on a space-separated manifest line)")
       require(!cur.exists(_.deltaIds.contains(id)),
         s"TxTable: delta '$id' already applied to $target " +
           "(check appliedDeltaIds before folding)")
@@ -206,12 +262,53 @@ object TxTable {
       if (replaceAll) Seq.empty[(String, String)]
       else if (append) cur.map(_.entries).getOrElse(Nil)
       else cur.map(_.entries.filterNot(e => touched(e._1))).getOrElse(Nil)
+    // the snapshot schema, versioned with the data it describes:
+    // replaceAll resets it to the incoming shape; partial/append commits
+    // MERGE — columns the snapshot already has keep their type (drift in
+    // type fails here, at the commit, where it is diagnosable), columns
+    // the incoming delta adds join as nullable (older generations
+    // null-fill on read, the u1_union_drift semantics transactionally)
+    val newSchema =
+      if (replaceAll) df.schema
+      else cur.flatMap(_.schema) match {
+        case None      => df.schema // first commit, or legacy table
+        case Some(old) => mergeSchemas(old, df.schema, target)
+      }
     val m = Manifest(newV,
       cur.map(_.deltaIds).getOrElse(Nil) ++ deltaId.toSeq,
-      carried ++ newEntries)
+      carried ++ newEntries,
+      Some(newSchema))
     failpoint("before-publish")
     writeManifest(f, new Path(root, LogDir), m)
     m
+  }
+
+  /** Union-of-columns schema merge for partial/append commits: fields
+    * present in both sides must agree on type exactly (a silent cast
+    * across generations is data corruption — type changes go through a
+    * replaceAll rewrite); a field only one side has survives as
+    * nullable, because some generation lacks it and reads null there.
+    */
+  private def mergeSchemas(
+      old: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType,
+      target: String): org.apache.spark.sql.types.StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = old.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(nf) =>
+          require(nf.dataType == f.dataType,
+            s"TxTable: schema drift on $target column '${f.name}': " +
+              s"${f.dataType.simpleString} -> ${nf.dataType.simpleString} " +
+              "— type changes need a replaceAll commit")
+          f.copy(nullable = f.nullable || nf.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = incoming.fields
+      .filterNot(f => old.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(merged ++ added)
   }
 
   private def leafRelPaths(f: FileSystem, gen: Path): Seq[String] = {
@@ -238,7 +335,11 @@ object TxTable {
     * partition pruning inside them.
     */
   def read(spark: SparkSession, target: String): Option[DataFrame] =
-    currentManifest(spark, target).map(m => readManifestData(spark, target, m))
+    currentManifest(spark, target)
+      // a ledger-only manifest with no recorded schema (recordDelta on a
+      // never-written table) has no readable shape yet — treat as absent
+      .filter(m => m.entries.nonEmpty || m.schema.nonEmpty)
+      .map(m => readManifestData(spark, target, m))
 
   /** Snapshot as of a specific version (time travel; available until
     * vacuumed).
@@ -253,13 +354,39 @@ object TxTable {
       spark: SparkSession, target: String, m: Manifest): DataFrame = {
     val dataRoot = new Path(target, DataDir).toString
     val dirs = m.dirs.distinct.sorted.map(rel => s"$dataRoot/$rel")
-    require(dirs.nonEmpty, s"TxTable: manifest v${m.version} of $target is empty")
+    // a ledger-only table (recordDelta before any data commit) reads as
+    // an empty frame when the schema is known
+    if (dirs.isEmpty)
+      return m.schema
+        .map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(sys.error(
+          s"TxTable: manifest v${m.version} of $target names no data " +
+            "and records no schema — nothing to read"))
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val saved = spark.conf.get(inferKey)
     val df =
       try {
         spark.conf.set(inferKey, "false")
-        spark.read.option("basePath", dataRoot).parquet(dirs: _*)
+        val reader = spark.read.option("basePath", dataRoot)
+        m.schema match {
+          case Some(sch) =>
+            // the manifest's schema pins the DATA columns, so every
+            // generation resolves to the snapshot's logical shape —
+            // files missing a later-added column read it as null.
+            // Partition columns come from directory names (inference
+            // off, string — the established read convention), so they
+            // are stripped from the reader schema and re-appended by
+            // partition discovery.
+            val partCols = m.entries.map(_._1).find(_.nonEmpty)
+              .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+              .getOrElse(Nil)
+            val dataSchema = org.apache.spark.sql.types.StructType(
+              sch.fields.filterNot(f =>
+                partCols.exists(_.equalsIgnoreCase(f.name))))
+            reader.schema(dataSchema).parquet(dirs: _*)
+          case None => reader.parquet(dirs: _*) // legacy manifest
+        }
       } finally spark.conf.set(inferKey, saved)
     df.drop("gen") // the generation id is commit metadata, not data
   }
@@ -275,8 +402,9 @@ object TxTable {
     * Returns (filesBefore, filesAfter) over the live snapshot.
     */
   def compact(spark: SparkSession, target: String): (Int, Int) = {
-    val m = currentManifest(spark, target).getOrElse(
-      return (0, 0))
+    val m = currentManifest(spark, target)
+      .filter(_.entries.nonEmpty)
+      .getOrElse(return (0, 0))
     val root = new Path(target)
     val f = fs(spark, root)
     val dataRoot = new Path(root, DataDir)

@@ -33,6 +33,77 @@ class TxTableSpec extends SparkSpec {
       .select("tag").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("schema evolution: an append that adds a column reads back null-filled") {
+    val dir = tmpDir("txse") + "/t"
+    TxTable.commit(spark, Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k"),
+      dir, Seq("part"))
+    // the delta carries a NEW column `score`; the gen=1 files lack it
+    TxTable.commit(spark,
+      Seq(("p1", 10L, 0.5), ("p3", 30L, 0.7)).toDF("part", "k", "score"),
+      dir, Seq("part"), append = true)
+    val t = TxTable.read(spark, dir).get
+    assert(t.columns.sorted.toSeq == Seq("k", "part", "score"),
+      t.columns.mkString(","))
+    val rows = t.select("k", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(rows == Map(1L -> null, 2L -> null, 10L -> 0.5, 30L -> 0.7), rows)
+    // and the OLD column is null-filled the other way: a later
+    // generation dropping `score` again still reads the snapshot shape
+    TxTable.commit(spark, Seq(("p4", 40L)).toDF("part", "k"),
+      dir, Seq("part"), append = true)
+    val t2 = TxTable.read(spark, dir).get
+    assert(t2.columns.sorted.toSeq == Seq("k", "part", "score"))
+    assert(t2.filter(col("k") === 40L).select("score").head().isNullAt(0))
+    assert(t2.filter(col("k") === 10L).select("score").head().getDouble(0) == 0.5)
+  }
+
+  test("schema drift guard: a type change needs replaceAll, not a silent cast") {
+    val dir = tmpDir("txsd") + "/t"
+    TxTable.commit(spark, Seq(("p1", 1L)).toDF("part", "k"), dir, Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commit(spark, Seq(("p2", "oops")).toDF("part", "k"),
+        dir, Seq("part"), append = true)
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // replaceAll resets the recorded schema legitimately
+    TxTable.commit(spark, Seq(("p2", "ok")).toDF("part", "k"),
+      dir, Seq("part"), replaceAll = true)
+    assert(TxTable.read(spark, dir).get.select("k").head().getString(0) == "ok")
+  }
+
+  test("deltaId charset guard: whitespace/control ids rejected at commit") {
+    val dir = tmpDir("txdc") + "/t"
+    for (bad <- Seq("a b", "a\tb", "a\nb", "")) {
+      val e = intercept[IllegalArgumentException] {
+        TxTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), dir, Nil,
+          deltaId = Some(bad))
+      }
+      assert(e.getMessage.contains("deltaId"), s"'$bad': ${e.getMessage}")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.recordDelta(spark, dir, "a b")
+    }
+  }
+
+  test("recordDelta: zero-survivor batches enter the ledger without data") {
+    val dir = tmpDir("txrd") + "/t"
+    TxTable.commit(spark, Seq(("p1", 1L)).toDF("part", "k"), dir, Seq("part"),
+      deltaId = Some("b1"))
+    TxTable.recordDelta(spark, dir, "b2")
+    assert(TxTable.appliedDeltaIds(spark, dir) == Set("b1", "b2"))
+    // replay of the recorded id is rejected like any other delta
+    intercept[IllegalArgumentException] { TxTable.recordDelta(spark, dir, "b2") }
+    // the snapshot is untouched: same rows, schema carried forward
+    val t = TxTable.read(spark, dir).get
+    assert(t.count() == 1 && t.columns.sorted.toSeq == Seq("k", "part"))
+    // a ledger-only table (no data ever committed) is readable as absent
+    val dir2 = tmpDir("txrd2") + "/t"
+    TxTable.recordDelta(spark, dir2, "only")
+    assert(TxTable.appliedDeltaIds(spark, dir2) == Set("only"))
+    assert(TxTable.read(spark, dir2).isEmpty)
+  }
+
   test("flat table: commit replaces the whole snapshot atomically") {
     val dir = tmpDir("txf") + "/t"
     TxTable.commit(spark, Seq((1L, "a")).toDF("k", "v"), dir, Nil)
