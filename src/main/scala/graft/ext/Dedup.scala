@@ -562,17 +562,10 @@ object Dedup {
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .localCheckpoint(false) // consumed by fingerprints AND verification
-    val gramHashes = transform(
-      sequence(lit(1), length(col("__text")) - (g - 1)),
-      i => xxhash64(substr(col("__text"), i, lit(g))))
-    // winnowing: min of every `window` consecutive gram hashes; eligible
-    // docs have length >= minLen = g + window - 1, so at least 1 window
-    val fingerprints = array_distinct(transform(
-      sequence(lit(1), size(col("__fp_h")) - (window - 1)),
-      j => array_min(slice(col("__fp_h"), j, lit(window)))))
     val candidates = eligible
-      .withColumn("__fp_h", gramHashes)
-      .select(col("doc_id"), explode(fingerprints).as("fp"))
+      .withColumn("__fp_h", gramHashes(col("__text"), g))
+      .select(col("doc_id"),
+        explode(winnowSelect(col("__fp_h"), window)).as("fp"))
       .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -586,19 +579,48 @@ object Dedup {
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
           .distinct(),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), sort_array(array_distinct(transform(
-        sequence(lit(1), length(col("__text")) - (minLen - 1)),
-        i => xxhash64(substr(col("__text"), i, lit(minLen)))))).as("grams"))
-    val shared =
-      if (df.sparkSession.catalog.functionExists("graft_isect"))
-        call_function("graft_isect", col("ga"), col("gb")) > 0
-      else size(array_intersect(col("ga"), col("gb"))) > 0
+      .select(col("doc_id"), fullGramSet(col("__text"), minLen).as("grams"))
     candidates
       .join(fullSets.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(fullSets.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
-      .filter(shared)
+      .filter(sharesGram(df.sparkSession, col("ga"), col("gb")))
       .select("id_a", "id_b")
   }
+
+  /** xxhash64 of every g-char gram at every position of `text` — the
+    * raw input to winnowing; callers materialize it in a column before
+    * `winnowSelect` so the array is built once per row, not re-derived
+    * inside the selection lambda.
+    */
+  private[graft] def gramHashes(text: Column, g: Int): Column =
+    transform(sequence(lit(1), length(text) - (g - 1)),
+      i => xxhash64(substr(text, i, lit(g))))
+
+  /** Winnowing selection (Schleimer et al.): the minimum hash of every
+    * `window` consecutive gram hashes, deduped. Content-determined, so
+    * two texts sharing any span of >= g + window - 1 chars share a
+    * selected fingerprint.
+    */
+  private[graft] def winnowSelect(hashCol: Column, window: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(hashCol) - (window - 1)),
+      j => array_min(slice(hashCol, j, lit(window)))))
+
+  /** The full sorted minLen-gram hash set — the exact-verification
+    * surface for winnowed candidates (sorted so `graft_isect` can merge-
+    * walk it).
+    */
+  private[graft] def fullGramSet(text: Column, minLen: Int): Column =
+    sort_array(array_distinct(gramHashes(text, minLen)))
+
+  /** Non-empty gram-set intersection, via the native merge walk when the
+    * session has it.
+    */
+  private[graft] def sharesGram(
+      spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_isect"))
+      call_function("graft_isect", a, b) > 0
+    else size(array_intersect(a, b)) > 0
 
   /** Character n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {

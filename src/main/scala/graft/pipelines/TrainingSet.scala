@@ -2,27 +2,34 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Decontaminate, Dedup, IncrementalDedup, Packer, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, HeavyHitters, IncrementalDedup, IncrementalSubstring, Packer, TextAnalysis}
 import graft.sinks.TxTable
 
 /** End-to-end training-SET construction over a GROWING corpus — the
   * composition the round-4 operators exist for, and the batch-cadence
   * complement of `Curation` (which curates one static corpus):
   *
-  *   repetition + quality gates -> benchmark decontamination ->
-  *   exact dedup -> INCREMENTAL near-dup vs the durable signature
-  *   store -> token-budget sequence packing -> transactional commit
+  *   repetition + quality gates [+ heavy-hitter stopword gate] ->
+  *   benchmark decontamination -> exact dedup -> INCREMENTAL near-dup
+  *   vs the durable signature store [-> INCREMENTAL verbatim-span dedup
+  *   vs the durable fingerprint store] -> token-budget sequence packing
+  *   -> transactional commit
   *
   * Each `ingest` call processes one batch and folds it into a durable,
   * snapshot-isolated training table:
   *
-  *  - Near-dup state lives in the IncrementalDedup store, so a batch is
+  *  - Near-dup and substring state live in durable stores, so a batch is
   *    checked against EVERYTHING ingested before it in O(batch +
-  *    collisions) — corpus growth never reprocesses the corpus.
+  *    collisions) — corpus growth never reprocesses the corpus. The
+  *    stores record SEEN content (including docs a later stage drops):
+  *    content that lost to an earlier copy still marks later re-copies
+  *    as duplicates.
   *  - The packed assignment is committed through TxTable with the batch
   *    id as the applied-delta id: a crashed run publishes nothing, a
   *    rerun of an already-committed batch is a no-op, and readers of
   *    the training table are never exposed to a half-ingested batch.
+  *    A batch whose rows ALL gate or dedup away still enters the ledger
+  *    (TxTable.recordDelta) — its store side effects must not replay.
   *  - Packs are per-batch (pack key = (batch deltaId, pack_id)): packing
   *    is an order-dependent global fold, so cross-batch repacking would
   *    rewrite history — instead each batch packs its own survivors,
@@ -30,19 +37,29 @@ import graft.sinks.TxTable
   *
   * Drop rules: a new doc is dropped if it fails a gate, shares an
   * n-gram with the benchmark, duplicates content inside the batch
-  * (exact or near), or near-duplicates an ALREADY-STORED doc (the
-  * stored doc wins — first-ingested-wins, deterministic).
+  * (exact, near, or verbatim-span), or near-duplicates / shares a
+  * >= substringMinLen-char span with an ALREADY-SEEN doc (the stored
+  * doc wins — first-ingested-wins, deterministic).
   */
 object TrainingSet {
 
   final case class Report(
       input: Long, afterGates: Long, afterDecontaminate: Long,
-      afterExact: Long, afterNearDup: Long, packs: Long,
-      alreadyApplied: Boolean)
+      afterExact: Long, afterNearDup: Long, afterSubstring: Long,
+      packs: Long, alreadyApplied: Boolean)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
     * @param budget    tokens per training sequence
+    * @param substringMinLen when set, drop docs sharing a verbatim span
+    *        of this many characters with any seen doc (the exact-
+    *        substring complement of the Jaccard near-dup stage, durable
+    *        across batches via IncrementalSubstring)
+    * @param hhStopwordK when > 0, derive the batch's top-K tokens
+    *        (exact heavy hitters) and gate docs whose token stream is
+    *        dominated by them — the data-driven stopword screen
+    * @param maxHhStopwordFrac ceiling on the heavy-hitter token fraction
+    *        (only with hhStopwordK > 0)
     */
   def ingest(
       spark: SparkSession,
@@ -58,17 +75,35 @@ object TrainingSet {
       maxTopTokenFrac: Double = 0.4,
       maxDupNgramFrac: Double = 0.5,
       decontaminateN: Int = 8,
-      nearDupThreshold: Double = 0.9): Report = {
+      nearDupThreshold: Double = 0.9,
+      substringMinLen: Option[Int] = None,
+      hhStopwordK: Int = 0,
+      maxHhStopwordFrac: Double = 0.8): Report = {
     if (TxTable.appliedDeltaIds(spark, targetPath).contains(deltaId))
-      return Report(0, 0, 0, 0, 0, 0, alreadyApplied = true)
+      return Report(0, 0, 0, 0, 0, 0, 0, alreadyApplied = true)
     val input = batch.count()
 
     // 1: scan-speed gates (quality + repetition) — shrink the corpus
     // before anything that shuffles
-    val gated = batch.filter(
+    val gated0 = batch.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.topTokenFraction(col(textCol)) <= maxTopTokenFrac &&
         TextAnalysis.duplicateNgramFraction(col(textCol), 2) <= maxDupNgramFrac)
+    // 1b (optional): heavy-hitter stopword screen — the batch's exact
+    // top-K tokens (two-pass Misra-Gries, O(partitions·capacity) driver
+    // rows) become a data-driven stopword list; a doc whose token
+    // stream is mostly those corpus-common tokens is connective-tissue
+    // boilerplate the fixed per-doc gates cannot see
+    val gated =
+      if (hhStopwordK <= 0) gated0
+      else {
+        val hot = HeavyHitters.topTokens(gated0, textCol, hhStopwordK)
+          .select("token").collect().map(_.getString(0))
+        val toks = TextAnalysis.tokens(col(textCol))
+        val hhFrac = size(filter(toks, t => t.isin(hot.toSeq: _*))) /
+          greatest(size(toks), lit(1)).cast("double")
+        gated0.filter(hhFrac <= maxHhStopwordFrac)
+      }
     val afterGates = gated.count()
 
     // 2: benchmark decontamination — bench gram set broadcasts, the
@@ -83,16 +118,61 @@ object TrainingSet {
       .localCheckpoint(false) // consumed by store ingest AND final join
     val afterExact = exact.count()
 
-    // 4: incremental near-dup vs the durable store. Drop rules:
-    //  - CROSS pair (one side already stored): the batch side loses,
-    //    whatever the id order — first-ingested-wins.
-    //  - IN-BATCH pair: the larger id loses (keep-first by id; chains
-    //    collapse to their minimum like dedupCorpus's canonical doc).
-    val pairs = IncrementalDedup.ingest(spark, exact, idCol, textCol,
+    // 4: incremental near-dup vs the durable store (batch side loses to
+    // stored content; in-batch chains collapse to their minimum id)
+    val nearPairs = IncrementalDedup.ingest(spark, exact, idCol, textCol,
       storePath, IncrementalDedup.Params(threshold = nearDupThreshold))
+    val survivors = dropPairLosers(exact, nearPairs, idCol)
+      .localCheckpoint(false)
+    val afterNearDup = survivors.count()
+
+    // 5 (optional): incremental verbatim-span dedup vs the durable
+    // fingerprint store — high-precision copy-paste screening that
+    // Jaccard near-dup misses when the surrounding text differs. Same
+    // drop rules; only near-dup survivors register (already-dropped
+    // batch docs must not claim spans they never contributed).
+    val spanSurvivors = substringMinLen match {
+      case None => survivors
+      case Some(minLen) =>
+        val spanPairs = IncrementalSubstring.ingest(spark, survivors,
+          idCol, textCol, s"$storePath/substr", minLen)
+        dropPairLosers(survivors, spanPairs, idCol).localCheckpoint(false)
+    }
+    val afterSubstring = spanSurvivors.count()
+
+    // 6: pack the survivors into token-budget sequences (per-batch packs;
+    // see the header for why packs never span batches)
+    val packed = spanSurvivors.join(
+      Packer.packBudget(spanSurvivors, idCol,
+          TextAnalysis.tokenCount(col(textCol)), budget)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol))
+      .withColumn("batch_id", lit(deltaId))
+    val packs = packed.select("pack_id").distinct().count()
+
+    // 7: atomic append into the training table, replay-protected even
+    // when nothing survived (the store side effects above are real)
+    if (afterSubstring > 0)
+      TxTable.commit(spark, packed, targetPath, partitionBy = Seq("batch_id"),
+        deltaId = Some(deltaId), append = true)
+    else
+      TxTable.recordDelta(spark, targetPath, deltaId)
+    Report(input, afterGates, afterDecontaminate, afterExact, afterNearDup,
+      afterSubstring, packs, alreadyApplied = false)
+  }
+
+  /** The shared duplicate-pair drop rule: a CROSS pair (one side not in
+    * the batch, i.e. already stored) drops the batch side whatever the
+    * id order — first-ingested-wins; an IN-BATCH pair drops the larger
+    * id (keep-first by id; chains collapse to their minimum like
+    * dedupCorpus's canonical doc).
+    */
+  private def dropPairLosers(
+      batch: DataFrame, pairs0: DataFrame, idCol: String): DataFrame = {
+    val pairs = pairs0.select("id_a", "id_b")
       .localCheckpoint(false) // consumed by three classification joins
-    val idsA = exact.select(col(idCol).as("id_a"))
-    val idsB = exact.select(col(idCol).as("id_b"))
+    val idsA = batch.select(col(idCol).as("id_a"))
+    val idsB = batch.select(col(idCol).as("id_b"))
     val aInBatch = pairs.join(idsA, Seq("id_a"), "left_semi")
     val dropIds =
       // id_a in batch, id_b stored -> drop id_a
@@ -106,25 +186,6 @@ object TrainingSet {
       .unionByName(aInBatch.join(idsB, Seq("id_b"), "left_semi")
         .select(col("id_b").as(idCol)))
       .distinct()
-    val survivors = exact.join(dropIds, Seq(idCol), "left_anti")
-      .localCheckpoint(false)
-    val afterNearDup = survivors.count()
-
-    // 5: pack the survivors into token-budget sequences (per-batch packs;
-    // see the header for why packs never span batches)
-    val packed = survivors.join(
-      Packer.packBudget(survivors, idCol,
-          TextAnalysis.tokenCount(col(textCol)), budget)
-        .withColumnRenamed("id", idCol),
-      Seq(idCol))
-      .withColumn("batch_id", lit(deltaId))
-    val packs = packed.select("pack_id").distinct().count()
-
-    // 6: atomic append into the training table, replay-protected
-    if (afterNearDup > 0)
-      TxTable.commit(spark, packed, targetPath, partitionBy = Seq("batch_id"),
-        deltaId = Some(deltaId), append = true)
-    Report(input, afterGates, afterDecontaminate, afterExact, afterNearDup,
-      packs, alreadyApplied = false)
+    batch.join(dropIds, Seq(idCol), "left_anti")
   }
 }

@@ -111,6 +111,35 @@ class ExtSpec extends SparkSpec {
     assert(naive == Set((1L, 2L), (3L, 4L)), s"reference unexpected: $naive")
   }
 
+  test("incremental substring ingests find exactly the one-shot pairs") {
+    val span40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val span90 = ("shared long paragraph that runs on and on with plenty of " +
+      "verbatim characters to cross windows!")
+    val decoy25 = "tinydecoyoverlaptwentyfiv" // g-length: candidate, verify rejects
+    val rows = Seq(
+      (1L, s"$span40 then some unique trailing content for doc one here"),
+      (2L, s"unique leading content for doc two then $span40"),
+      (3L, s"doc three embeds $span90 in the middle of unrelated words"),
+      (4L, s"fourth document also carries $span90 but elsewhere in text"),
+      (5L, s"decoy doc five holds $decoy25 and nothing else shared at all"),
+      (6L, s"decoy doc six also has $decoy25 padding out to length easily"),
+      (7L, "entirely unrelated seventh document with no copied spans at all"))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.sharedSubstringPairs(rows, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val store = tmpDir("incsub") + "/store"
+    def ingest(pred: org.apache.spark.sql.Column) =
+      graft.ext.IncrementalSubstring.ingest(spark, rows.filter(pred),
+        "doc_id", "text", store, minLen = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = ingest(col("doc_id") % 2 === 1) // docs 1,3,5,7
+    val p2 = ingest(col("doc_id") % 2 === 0) // docs 2,4,6
+    assert(p1.isEmpty, s"odd docs share no span: $p1")
+    assert((p1 ++ p2) == oneShot,
+      s"missing=${oneShot -- (p1 ++ p2)} extra=${(p1 ++ p2) -- oneShot}")
+    assert(oneShot == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
     val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
     val r = df.select(

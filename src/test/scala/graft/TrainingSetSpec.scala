@@ -75,4 +75,81 @@ class TrainingSetSpec extends SparkSpec {
     assert(t.filter(col("pack_id").isNull || col("pack_offset").isNull).count() == 0)
     assert(t.select("batch_id").distinct().count() == 2)
   }
+
+  test("substring gate: a cross-batch verbatim span is dropped by exactly that stage") {
+    val work = tmpDir("trainsub")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    // NOTE: the good() template shares long verbatim runs between any
+    // two docs — exactly what this gate screens — so this test uses
+    // fully distinct texts with ONE planted span
+    val span = "varied natural text for the engine to keep" // 43 chars
+    val b1 = Seq(
+      (1L, s"the first document narrates $span alongside its own original " +
+        "phrasing that no other record in the corpus repeats anywhere"),
+      (2L, "the second document covers completely separate subject matter " +
+        "with vocabulary chosen to overlap nothing in the first at all"))
+      .toDF("doc_id", "text")
+    val r1 = TrainingSet.ingest(spark, b1, benchmark, store, target, "b1",
+      minQuality = 0.0, substringMinLen = Some(40))
+    assert(r1.afterSubstring == 2, s"$r1")
+
+    // doc 11 is textually DISSIMILAR to everything stored (low shingle
+    // jaccard -> survives the near-dup stage) but embeds the 43-char
+    // span verbatim; doc 12 is clean
+    val b2 = Seq(
+      (11L, "entirely different content discussing other topics where " +
+        s"$span appears quoted wholesale among fresh surrounding words " +
+        "padding this document well past every quality gate threshold"),
+      (12L, "a third clean document about yet another independent theme " +
+        "sharing no copied span with anything ingested before it here"))
+      .toDF("doc_id", "text")
+    val r2 = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2",
+      minQuality = 0.0, substringMinLen = Some(40))
+    assert(r2.afterNearDup == 2, s"near-dup stage wrongly dropped: $r2")
+    assert(r2.afterSubstring == 1, s"substring stage missed the span: $r2")
+    val kept = TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 12L), s"$kept")
+  }
+
+  test("zero-survivor batch still enters the replay ledger") {
+    val work = tmpDir("trainzero")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val b1 = Seq(good(1L, "alpha")).toDF("doc_id", "text")
+    assert(TrainingSet.ingest(spark, b1, benchmark, store, target, "b1")
+      .afterNearDup == 1)
+    // batch 2 is ONE near-dup of stored content: everything dedups away,
+    // yet the store grew (doc 21 is now 'seen') — a rerun must be a
+    // no-op, not a reprocess
+    val b2 = Seq((21L, good(1L, "alpha")._2 + " extra tail")).toDF("doc_id", "text")
+    val r2 = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2")
+    assert(!r2.alreadyApplied && r2.afterNearDup == 0, s"$r2")
+    assert(TxTable.appliedDeltaIds(spark, target) == Set("b1", "b2"))
+    val r2b = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2")
+    assert(r2b.alreadyApplied, "zero-survivor batch was reprocessed on rerun")
+    assert(TxTable.read(spark, target).get.count() == 1)
+  }
+
+  test("heavy-hitter stopword gate drops corpus-common-token boilerplate") {
+    val work = tmpDir("trainhh")
+    val common = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    // six docs: mostly unique words + two common ones (hhFrac ~ 0.11);
+    // one boilerplate doc made ONLY of the corpus-common tokens in
+    // varied order (no single token dominates, bigrams mostly unique —
+    // the fixed repetition gates cannot see it)
+    def unique(i: Long) = (0 until 16).map(j => s"w${i}x$j").mkString(" ")
+    val boiler = (common ++ common.reverse ++ common.sorted).mkString(" ")
+    val docs = ((1L to 6L).map(i => (i, s"${unique(i)} alpha beta")) :+
+      (7L, boiler)).toDF("doc_id", "text")
+    val r = TrainingSet.ingest(spark, docs, benchmark,
+      s"$work/store", s"$work/train", "b1",
+      minQuality = 0.0, hhStopwordK = 10, maxHhStopwordFrac = 0.8)
+    assert(r.input == 7 && r.afterGates == 6, s"$r")
+    val kept = TxTable.read(spark, s"$work/train").get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 6L).toSet, s"$kept")
+  }
 }
