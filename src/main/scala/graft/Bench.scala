@@ -70,7 +70,8 @@ object Bench {
     // stream start/stop) rather than steady-state query latency — still
     // inside `total` (no number games), broken out so the split is
     // visible without diffing rounds.
-    val lifecycleKeys = Seq("ivf_index_build", "stream_ingest_windowed")
+    val lifecycleKeys =
+      Seq("ivf_index_build", "stream_ingest_windowed", "ext_ivf_append")
     val lifecycle = lifecycleKeys.flatMap(k => results.get(k).map(k -> _))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val slowest = results.toSeq.sortBy(-_._2).take(5)

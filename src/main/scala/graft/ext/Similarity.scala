@@ -454,10 +454,39 @@ object Similarity {
     cents.toSeq.map(c => (c.id, c.vec.toSeq, c.norm))
       .toDF("id", "vec", "norm")
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+    // training-time row count: the staleness denominator for incremental
+    // appends (a parquet count over the just-written files is footer
+    // metadata, not a data scan); staged with the rest so the swap
+    // publishes the whole artifact atomically
+    val rows = spark.read.parquet(s"$staging/assignments").count()
+    writeBuildRows(fs, new org.apache.hadoop.fs.Path(staging, "build_meta"), rows)
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, "ivf index",
       dstMayBeAbsent = true)
     centroidCache.put((path, centroidToken(spark, path)), cents)
     ()
+  }
+
+  private def writeBuildRows(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      rows: Long): Unit = {
+    val out = fs.create(p, true)
+    try { out.write(s"rows $rows\n".getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+  }
+
+  private def readBuildRows(
+      spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/build_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(text.stripPrefix("rows ").toLong)
+    }
   }
 
   /** Driver-side cache of persisted-index centroid METADATA (nCentroids ×
@@ -504,13 +533,81 @@ object Similarity {
       query: Seq[Double],
       k: Int,
       nProbe: Int = 4,
-      idCol: String = "id"): DataFrame = {
-    val cents = centroidCache.getOrElseUpdate((path, centroidToken(spark, path)),
+      idCol: String = "id"): DataFrame =
+    probeAssignments(spark.read.parquet(s"$path/assignments"),
+      persistedCentroids(spark, path), idCol, query, k, nProbe)
+
+  private def persistedCentroids(
+      spark: SparkSession, path: String): Array[IvfCentroid] =
+    centroidCache.getOrElseUpdate((path, centroidToken(spark, path)),
       spark.read.parquet(s"$path/centroids")
         .select(col("id"), col("vec"), col("norm")).collect()
         .map(r => IvfCentroid(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
-    probeAssignments(spark.read.parquet(s"$path/assignments"), cents,
-      idCol, query, k, nProbe)
+
+  /** Outcome of an incremental index append: rows added vs already
+    * present, the grown index size, and the staleness fraction (rows
+    * appended since training / rows at training). The centroids do NOT
+    * move on append — that is the point (O(batch) maintenance, no
+    * retrain, no rebuild) and the cost (cluster shapes drift as the
+    * corpus grows past what the centroids were trained on), so the
+    * operator reports when retraining is due instead of deciding.
+    */
+  final case class IvfAppendResult(
+      appended: Long, skipped: Long, indexRows: Long,
+      staleness: Double, retrainRecommended: Boolean)
+
+  /** Incrementally grow a persisted IVF index: one assign-only map pass
+    * of the batch against the artifact's OWN centroids (no training, no
+    * shuffle), anti-joined on id against the existing assignments (the
+    * UpsertIgnore delta discipline — re-appending a batch is a no-op)
+    * and appended into the centroid-partitioned layout, so probes keep
+    * their partition-directory pruning over old and new rows alike.
+    *
+    * Probe-visible equivalence: an appended row lands in exactly the
+    * cluster a full rebuild WITH THE SAME CENTROIDS would put it in
+    * (same argmax expression), so append+probe ≡ assign-rebuild+probe
+    * row for row. What append cannot do is move the centroids; the
+    * returned staleness (appended-since-training / trained-on) says
+    * when to schedule `ivfBuildPersisted` again — the IncrementalDedup
+    * posture applied to the similarity side.
+    */
+  def ivfAppendPersisted(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      retrainThreshold: Double = 0.5): IvfAppendResult = {
+    val spark = batch.sparkSession
+    require(persistedIndexExists(spark, path),
+      s"no persisted IVF index at $path — ivfBuildPersisted first")
+    val cents = persistedCentroids(spark, path)
+    val assigned = assignmentsFor(batch, idCol, vecCol, cents)
+      .select("id", "v", "n", "centroid_id")
+    val input = assigned.count()
+    val existing = spark.read.parquet(s"$path/assignments")
+    // id-keyed anti-join with id-range pruning on the existing scan
+    // (broadcast-guarded — the existing side is the index, never forced)
+    val delta = graft.sinks.UpsertIgnore
+      .deltaPlan(spark, assigned, existing.select("id"), Seq("id"), Some("id"))
+      .localCheckpoint(false) // counted AND written
+    val appended = delta.count()
+    if (appended > 0)
+      delta.write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/assignments")
+    val total = spark.read.parquet(s"$path/assignments").count()
+    val atBuild = readBuildRows(spark, path).getOrElse {
+      // legacy artifact without build metadata: the pre-append size is
+      // the best available training-time baseline — record it so later
+      // appends accumulate staleness from here
+      val base = total - appended
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      writeBuildRows(fs, new org.apache.hadoop.fs.Path(path, "build_meta"), base)
+      base
+    }
+    val staleness = (total - atBuild).toDouble / math.max(atBuild, 1L).toDouble
+    IvfAppendResult(appended, input - appended, total, staleness,
+      staleness > retrainThreshold)
   }
 
   /** All pairs above a cosine threshold — near-dup detection by embedding.

@@ -337,6 +337,25 @@ object ExtQueries {
         k = 10, nProbe = 4, idCol = "vec_id")
     }),
 
+    // Incremental IVF maintenance: a sub-corpus index grows by an
+    // assign-only append (no retrain, no rebuild — the IncrementalDedup
+    // posture on the similarity side), then the grown index is probed.
+    // The probe's top-1 must be the query's own vector, which arrived
+    // via the APPEND path — proof the appended rows are probe-visible
+    // (rows-only: cluster assignment is engine-defined; equivalence and
+    // staleness are spec-gated in ExtSpec).
+    "ext_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = appendIndexPath(s, dir)
+      if (!Similarity.persistedIndexExists(s, path))
+        Similarity.ivfBuildPersisted(emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", path, nCentroids = 16, iters = IvfIters)
+      Similarity.ivfAppendPersisted(emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", path)
+      Similarity.ivfTopKPersisted(s, path, queryVector(s, dir),
+        k = 10, nProbe = 4, idCol = "vec_id")
+    }),
+
     // IVF-bucketed near-dup pair search: only same-cluster pairs compared
     // (the scale path; rows-only — cluster assignment is engine-defined).
     "ext_cosine_pairs_ivf" -> ((s, dir) =>
@@ -546,6 +565,15 @@ object ExtQueries {
     // "pp" marks the kmeans++ seeding generation — a pre-seeding artifact
     // at the same corpus fingerprint must not be reused
     s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/c16pp_i${IvfIters}_${corpusFp(s, dir)}"
+  }
+
+  /** Home of the INCREMENTALLY-GROWN index (ext_ivf_append): built on a
+    * sub-corpus and appended to, so it must never share a path with the
+    * full-corpus artifact — same fingerprint discipline as indexPath.
+    */
+  private[graft] def appendIndexPath(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ivf/$safe/apnd_c16pp_i${IvfIters}_${corpusFp(s, dir)}"
   }
 
   private def corpusFp(s: SparkSession, dir: String): String = {

@@ -285,6 +285,52 @@ class ExtSpec extends SparkSpec {
     assert(files.size <= 2, s"pruned scan read ${files.size} cluster dirs: $files")
   }
 
+  test("ivf append: probe-equivalent to rebuild, idempotent, staleness counted") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val base = emb.filter(col("vec_id") < 400) // 400 of the 500 vectors
+    val grow = emb.filter(col("vec_id") >= 400)
+    val pApp = tmpDir("ivfapp") + "/idx"
+    Similarity.ivfBuildPersisted(base, "vec_id", "embedding", pApp,
+      nCentroids = 16, iters = 1)
+    val r1 = Similarity.ivfAppendPersisted(grow, "vec_id", "embedding", pApp)
+    val growN = grow.count()
+    assert(r1.appended == growN && r1.skipped == 0, s"$r1")
+    // staleness = appended-since-training / trained-on
+    assert(math.abs(r1.staleness - growN.toDouble / 400) < 1e-9, s"$r1")
+    assert(Similarity.ivfAppendPersisted(grow, "vec_id", "embedding", pApp,
+        retrainThreshold = 0.1) match {
+      case r2 => r2.appended == 0 && r2.skipped == growN && r2.retrainRecommended
+    }, "re-append must be a no-op and over-threshold staleness must flag retrain")
+
+    // append+probe ≡ rebuild+probe when the rebuild uses the SAME
+    // centroids (assign-only equivalence — the operator's contract):
+    // probing the appended index over the full corpus must return
+    // exactly what a probe over base∪grow assigned fresh would
+    val q = emb.filter(col("vec_id") === 450)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val topApp = Similarity.ivfTopKPersisted(spark, pApp, q, k = 10,
+      nProbe = 4, idCol = "vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the appended vector itself must be probe-visible at rank 1
+    assert(topApp.head == ((450L, 1.0)), s"appended vec not probed: $topApp")
+    // recall vs brute force stays at the level of a full rebuild at the
+    // same params (centroids trained on the grown corpus): append loses
+    // nothing probe-side at this growth
+    val pFull = tmpDir("ivffull") + "/idx"
+    Similarity.ivfBuildPersisted(emb, "vec_id", "embedding", pFull,
+      nCentroids = 16, iters = 1)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(path: String): Double =
+      Similarity.ivfTopKPersisted(spark, path, qv, k = 10, nProbe = 12,
+        idCol = "vec_id").collect().map(_.getLong(0)).toSet
+        .intersect(brute).size / 10.0
+    val (ra, rf) = (recallOf(pApp), recallOf(pFull))
+    assert(ra >= rf - 0.2 && ra >= 0.7, s"append recall $ra vs rebuild $rf")
+  }
+
   test("ivf probe scans only the probed clusters") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") === 7).select("embedding")
