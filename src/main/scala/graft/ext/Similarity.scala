@@ -673,6 +673,53 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** SemDeDup-style SEMANTIC dedup: embedding-space near-duplicate pairs
+    * collapse to one canonical document per duplicate cluster — the
+    * embedding-side analog of `Dedup.dedupCorpus` (pairs alone
+    * under-merge when A~B and B~C but A!~C). Component resolution is
+    * the shared min-label machinery, so the output contract matches the
+    * text pipeline exactly: (id, canonical_id), canonical = min id of
+    * the component, docs with no semantic near-dup keep themselves.
+    *
+    * Pair-generation `strategy` — precision is exact under all three
+    * (candidates verify with the exact cosine); they differ in RECALL
+    * and cost:
+    *  - "rplsh" (default): random-hyperplane signatures + pigeonhole
+    *    blocking — no trained state, map-side candidates; misses a pair
+    *    only when its signatures differ in every chunk (quantified
+    *    recall 1.0 on the planted gate, `ext_rplsh_recall`). This
+    *    recall profile is why it is the default: the IVF variant
+    *    measurably splits boundary twins across clusters (the spec
+    *    pins one such case).
+    *  - "ivf": same-cluster pairs only — cheapest at scale, but a pair
+    *    straddling a centroid boundary is lost.
+    *  - "brute": the O(n²) exact baseline for bounded universes.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      strategy: String = "rplsh",
+      nCentroids: Int = 16,
+      iters: Int = 0,
+      maxHamming: Int = 10,
+      maxBucket: Int = 2000,
+      maxCluster: Int = 100000): DataFrame = {
+    val pairs = strategy match {
+      case "rplsh" =>
+        rpNearDups(embeddings, idCol, vecCol, threshold, maxHamming, maxBucket)
+      case "ivf" =>
+        cosinePairsAboveIvf(embeddings, idCol, vecCol, threshold,
+          nCentroids, iters, maxCluster)
+      case "brute" =>
+        cosinePairsAbove(embeddings, idCol, vecCol, threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown semanticDedup strategy '$other' (rplsh | ivf | brute)")
+    }
+    Dedup.componentsFromPairs(embeddings, idCol, pairs)
+  }
+
   /** Same-cluster candidate pairs above a cosine threshold: the IVF-bucketed
     * scale path for near-dup pairs (compares only within clusters).
     * Consumes the cached index — norms and assignment computed once per

@@ -366,6 +366,19 @@ object ExtQueries {
         .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
         .limit(100)),
 
+    // Semantic dedup, fully ORACLED end-to-end: RP-LSH cosine pairs
+    // over the planted-twin corpus -> connected components -> canonical
+    // vector per semantic cluster. The DuckDB oracle recomputes the
+    // exact-cosine pair graph and resolves components with the
+    // recursive CTE (min reachable id) — a single twin pair missed by
+    // the LSH blocking, or one wrong canonical assignment, breaks the
+    // hash.
+    "ext_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(plantedNearDupVectors(s, dir),
+          "vec_id", "v", threshold = 0.99)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // Per-label embedding statistics: mean vector norm per cluster label.
     "ext_embedding_stats" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -879,6 +892,34 @@ object ExtQueries {
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1), 6) AS jaccard
         |FROM g x, g y WHERE x.doc_id < y.doc_id
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+    // exact-cosine pair graph over the planted corpus + recursive-CTE
+    // components (min reachable id) — the embedding-side analog of
+    // ext_corpus_components' oracle
+    "ext_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id,
+        |  [v[i] + ((vec_id*31 + i*7) % 11 - 5) * 0.003
+        |    for i in range(1, len(v) + 1)] AS pv
+        |  FROM base),
+        |c AS (SELECT vec_id, v FROM base
+        |      UNION ALL SELECT vec_id + 10000, pv FROM planted),
+        |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM c x, c y WHERE x.vec_id < y.vec_id
+        |    AND list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.99),
+        |e AS (SELECT id_a AS id, id_b AS nbr FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id),
+        |lab AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+        |SELECT c.vec_id, coalesce(l.canonical_id, c.vec_id) AS canonical_id
+        |FROM c LEFT JOIN lab l ON c.vec_id = l.id
+        |ORDER BY c.vec_id""".stripMargin,
 
     "ext_embedding_stats" ->
       """WITH n AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],

@@ -285,6 +285,30 @@ class ExtSpec extends SparkSpec {
     assert(files.size <= 2, s"pruned scan read ${files.size} cluster dirs: $files")
   }
 
+  test("semantic dedup: planted twins collapse to their base, background intact") {
+    val corpus = queries.ExtQueries.plantedNearDupVectors(spark, "/root/testdata/sf0.001")
+    // default (rplsh) strategy must equal the brute-force ground truth
+    val got = Similarity.semanticDedup(corpus, "vec_id", "v", 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Similarity.semanticDedup(corpus, "vec_id", "v", 0.99,
+        strategy = "brute")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(got(10005L) == 5L && got(5L) == 5L, "twin did not collapse to base")
+    assert(got(7L) == 7L, "background vector wrongly merged")
+    // the ivf strategy's precision is exact even where its recall is
+    // not: every merge it makes is a true merge (it measurably splits
+    // boundary twins across clusters — the reason rplsh is the default)
+    val ivf = Similarity.semanticDedup(corpus, "vec_id", "v", 0.99,
+        strategy = "ivf", nCentroids = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ivf.forall { case (id, c) => c == id || want(id) == c },
+      "ivf strategy merged a non-pair")
+    assert(ivf.count { case (id, c) => c != id } <=
+      want.count { case (id, c) => c != id })
+  }
+
   test("ivf append: probe-equivalent to rebuild, idempotent, staleness counted") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val base = emb.filter(col("vec_id") < 400) // 400 of the 500 vectors
