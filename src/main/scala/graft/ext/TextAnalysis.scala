@@ -29,6 +29,19 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Out-of-vocabulary fraction: share of a doc's whitespace tokens not
+    * in `vocab` — the coverage statistic a tokenizer/vocab build is
+    * judged by (pair with HeavyHitters.topTokens for a data-derived
+    * vocabulary). The vocab is one literal array (constant plan size;
+    * vocabularies here are top-K lists, not full lexicons — for a
+    * 100k-term lexicon use a broadcast join instead).
+    */
+  def oovFraction(text: Column, vocab: Seq[String]): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => !array_contains(lit(vocab.toArray), t))) /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
   /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) /

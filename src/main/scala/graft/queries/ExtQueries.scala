@@ -63,6 +63,27 @@ object ExtQueries {
         TextAnalysis.duplicateNgramFraction(col("text"), 3).as("dup_3gram_frac"))
         .orderBy("doc_id")),
 
+    // Deterministic corpus shuffle + shard assignment (oracled): global
+    // position by md5(salt:id) rank via the distributed prefix sum —
+    // the single-window form DuckDB restates it as is exactly the
+    // one-partition sort the Spark implementation avoids.
+    "ext_shuffle_shard" -> ((s, dir) =>
+      graft.ext.Shuffle.shuffleShard(Tables.documents(s, dir),
+          "doc_id", salt = "epoch1", numShards = 8)
+        .orderBy("doc_id")),
+
+    // Vocabulary coverage (oracled): the corpus's exact top-100 tokens
+    // (heavy hitters — no token-level shuffle) become the vocabulary;
+    // each doc reports its out-of-vocabulary token fraction.
+    "ext_oov_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = HeavyHitters.topTokens(docs, "text", 100)
+        .select("token").collect().map(_.getString(0)).toSeq
+      docs.select(col("doc_id"),
+        TextAnalysis.oovFraction(col("text"), vocab).as("oov_frac"))
+        .orderBy("doc_id")
+    }),
+
     "ext_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang").as("labeled_lang"),
@@ -706,6 +727,28 @@ object ExtQueries {
         |    AS dup_3gram_frac
         |FROM t JOIN freq USING (doc_id) JOIN g USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_shuffle_shard" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
+        |  CAST(pos AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t AS tok FROM tok
+        |      GROUP BY t ORDER BY count(*) DESC, tok ASC LIMIT 100)
+        |SELECT doc_id,
+        |  round(sum(CASE WHEN t NOT IN (SELECT tok FROM v)
+        |      THEN 1 ELSE 0 END) / greatest(count(*), 1), 6) AS oov_frac
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_lang_id" ->
       """WITH s AS (

@@ -204,6 +204,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("xx"))
   }
 
+  // ---- deterministic shuffle-shard -----------------------------------
+
+  test("shuffle-shard: positions match the single-window reference at any partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val want = docs.withColumn("pos", row_number().over(w) - 1)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    Seq(docs, docs.repartition(3), docs.repartition(17)).foreach { d =>
+      val got = graft.ext.Shuffle.shuffleShard(d, "doc_id", "epoch1", 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(g => g._1 -> g._3).toMap == want)
+      assert(got.forall { case (_, shard, pos) => shard == pos % 8 })
+    }
+    // a different salt is a different epoch: the order must change
+    val other = graft.ext.Shuffle.shuffleShard(docs, "doc_id", "epoch2", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(other != want, "salt did not reshuffle")
+    // round-robin sharding: shard sizes within 1 of each other
+    val sizes = graft.ext.Shuffle.shuffleShard(docs, "doc_id", "epoch1", 8)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.max - sizes.min <= 1, sizes.toSeq)
+  }
+
+  test("shuffle-shard plan: no single-partition global sort") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ext.Shuffle.shuffleShard(docs, "doc_id", "epoch1", 8)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    // an empty-partitionBy window spec would be the one-task global sort
+    assert(!plan.contains("windowspecdefinition(__k"), plan)
+  }
+
   // ---- heavy hitters ------------------------------------------------
 
   test("heavy hitters: exact top-k with a skewed corpus (certificate path)") {
