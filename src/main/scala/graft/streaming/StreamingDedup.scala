@@ -63,6 +63,61 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the incremental VERBATIM-SPAN dedup
+    * (`IncrementalSubstring`): each micro-batch probes and grows the
+    * durable winnowed-fingerprint store, so copy-paste spans are caught
+    * across the entire accumulated stream with the same O(batch +
+    * collisions) per-batch cost and the same crash semantics as the
+    * near-dup form above (idempotent store, batchId-stamped pair log,
+    * consumer-side distinct).
+    */
+  def ingestSubstringAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      minLen: Int,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalSubstring.ingest(
+            batch.sparkSession, batch, idCol, textCol, storePath, minLen)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** The substring-pair log, deduped on the pair key (see `pairs`). */
+  def substringPairs(spark: SparkSession, pairsPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pairsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(pairsPath).select("id_a", "id_b").distinct()
+  }
+
   /** The accumulated pair log, deduped on the pair key (replayed
     * batches re-emit; the consumer-side distinct restores exactly-once
     * effect). Empty DataFrame with the pair schema when nothing has

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventIngest
 
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   /** FileStreamSource requires a DIRECTORY; the testdata table is a single
     * file, so stage it into a temp dir once for the suite.
@@ -199,6 +200,45 @@ class StreamingSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed == oneShot)
+  }
+
+  test("streaming substring ingest over micro-batches == one-shot pairs; replay-safe") {
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val docs = Seq(
+      (1L, s"$span leading copy plus plenty of original trailing words here"),
+      (2L, "a completely independent document with no span copied anywhere"),
+      (3L, s"later arrival that quotes $span inside fresh surrounding text"),
+      (4L, "another independent arrival with its own vocabulary only"))
+      .toDF("doc_id", "text")
+    val work = tmpDir("streamsub")
+    for (half <- Seq(0, 1)) // two files -> two forced micro-batches
+      docs.filter(col("doc_id") % 2 === (1 - half)).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val nb = graft.streaming.StreamingDedup.ingestSubstringAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/pairs", s"$work/ckpt",
+      minLen = 40, maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    def logged = graft.streaming.StreamingDedup
+      .substringPairs(spark, s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ext.Dedup
+      .sharedSubstringPairs(docs, "doc_id", "text", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(logged == oneShot && oneShot == Set((1L, 3L)),
+      s"streamed=$logged oneShot=$oneShot")
+    // checkpoint loss => full replay; idempotent store + consumer-side
+    // distinct keep the pair log exactly-once in effect
+    graft.streaming.StreamingDedup.ingestSubstringAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/pairs", s"$work/ckpt2",
+      minLen = 40, maxFilesPerTrigger = Some(1))
+    assert(logged == oneShot)
   }
 
   test("streaming windowed agg matches the batch computation") {
