@@ -471,6 +471,31 @@ object ParityQueries {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
+    // TPC-H-Q18-shaped large-volume orders: the aggregate-THEN-join
+    // shape — lineitem aggregates once, only the qualifying (tiny)
+    // order-key set joins to orders/customer, never the raw fact. The
+    // anti-shape (join first, aggregate the multiplied rows) is the
+    // classic plan mistake at 100 TB.
+    "tpch_q18_large_orders" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // Column profiling: per-column null/distinct/min/max census via
+    // concurrent pruned-scan jobs (see ops.Profile) — restated
+    // column-by-column in the oracle.
+    "profile_columns" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))),
+
     // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
     // oracle because Spark's ASC default is nulls-first, DuckDB's is
     // nulls-last — the rollup's subtotal rows are null-keyed.
@@ -1189,6 +1214,42 @@ object ParityQueries {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "profile_columns" ->
+      """SELECT 'l_orderkey' AS col_name,
+        |  count(*) - count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*) - count(l_shipdate),
+        |  count(DISTINCT l_shipdate),
+        |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
