@@ -746,6 +746,39 @@ object ParityQueries {
       out
     }),
 
+    // Incremental QUANTILE maintenance (sinks.IncrementalRollup
+    // quantileCols): percentiles are holistic — they do not fold across
+    // delta batches — so the rollup stores a mergeable KLL sketch
+    // (functions.Kll) per group and estimates at read time. The measure
+    // (l_linenumber, uniform 1-7) has ~14%-wide rank bands, an order of
+    // magnitude beyond KLL's ~1.65% published rank error at k=200, so
+    // the estimate provably equals the one-shot quantile_disc oracle —
+    // the sketch path is verified end-to-end (build, binary storage,
+    // two-delta merge, estimate) with an honest hash match; unbounded
+    // distributions get the published rank error instead (spec-gated).
+    "rollup_quantile_kll" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_kllroll").toString
+      val target = s"$work/rollup"
+      val li = Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linenumber", "l_orderkey")
+      for (parity <- Seq(0, 1))
+        graft.sinks.IncrementalRollup(s,
+          li.filter(col("l_orderkey") % 2 === parity),
+          target, groupCols = Seq("l_returnflag"), sumCols = Nil,
+          quantileCols = Seq("l_linenumber" -> "linenum_sk"))
+      val out = s.read.parquet(target)
+        .select(col("l_returnflag"), col("cnt"),
+          graft.sinks.IncrementalRollup.quantileEstimate(col("linenum_sk"), 0.5)
+            .cast("long").as("median_linenum"),
+          graft.sinks.IncrementalRollup.quantileEstimate(col("linenum_sk"), 0.93)
+            .cast("long").as("p93_linenum"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // The TRANSACTIONAL rollup (sinks.TxTable manifest commit) — same
     // two-delta fold as rollup_incremental, but committed through the
     // atomic manifest log with per-delta replay protection, INCLUDING a
@@ -1411,6 +1444,12 @@ object ParityQueries {
         |  count(*) AS cnt,
         |  count(DISTINCT o_custkey % 100) AS distinct_buckets
         |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin,
+
+    "rollup_quantile_kll" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(quantile_disc(l_linenumber, 0.5) AS BIGINT) AS median_linenum,
+        |  CAST(quantile_disc(l_linenumber, 0.93) AS BIGINT) AS p93_linenum
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // same restatement as rollup_incremental over the 1997 slice: the
     // transactional commit path must produce the same standing

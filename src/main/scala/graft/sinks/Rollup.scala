@@ -71,6 +71,12 @@ object IncrementalRollup {
     *                      multi-partition publish, concurrent-reader safe,
     *                      crash+rerun exact); read the table back with
     *                      `TxTable.read`, not a plain parquet read
+    * @param quantileCols  measure -> stored-column-alias pairs maintained
+    *                      as mergeable KLL quantile sketches (binary
+    *                      column, `functions.Kll`); estimate at read time
+    *                      with `IncrementalRollup.quantileEstimate` —
+    *                      published normalized-rank error, the fold-able
+    *                      form of the holistic percentile
     */
   def apply(
       spark: SparkSession,
@@ -81,12 +87,13 @@ object IncrementalRollup {
       partitionBy: Seq[String] = Nil,
       deltaId: Option[String] = None,
       transactional: Boolean = false,
-      distinctCols: Seq[(String, String)] = Nil): Unit = {
+      distinctCols: Seq[(String, String)] = Nil,
+      quantileCols: Seq[(String, String)] = Nil): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
         s"groupCols=$groupCols")
-    val reserved = "cnt" +: (sumCols ++ distinctCols).map(_._2)
+    val reserved = "cnt" +: (sumCols ++ distinctCols ++ quantileCols).map(_._2)
     require(reserved.distinct.size == reserved.size &&
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
@@ -105,13 +112,17 @@ object IncrementalRollup {
     def deltaAgg = {
       val aggs = (count(lit(1)).as("cnt") +:
         sumCols.map { case (m, a) => sum(col(m)).as(a) }) ++
-        distinctCols.map { case (m, a) => hll_sketch_agg(col(m)).as(a) }
+        distinctCols.map { case (m, a) => hll_sketch_agg(col(m)).as(a) } ++
+        quantileCols.map { case (m, a) =>
+          graft.functions.Kll.sketchAgg(col(m)).as(a) }
       partitionAligned(
         delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
     val mergeAggs = (sum(col("cnt")).as("cnt") +:
       sumCols.map { case (_, a) => sum(col(a)).as(a) }) ++
-      distinctCols.map { case (_, a) => hll_union_agg(col(a)).as(a) }
+      distinctCols.map { case (_, a) => hll_union_agg(col(a)).as(a) } ++
+      quantileCols.map { case (_, a) =>
+        graft.functions.Kll.mergeAgg(col(a)).as(a) }
     def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
       existing
         .unionByName(agg.select(cols.map(col): _*))
@@ -175,4 +186,10 @@ object IncrementalRollup {
     */
   def distinctEstimate(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hll_sketch_estimate(sketch)
+
+  /** Read-time q-quantile estimate over a stored KLL sketch column (the
+    * `quantileCols` stored form). O(groups) rows.
+    */
+  def quantileEstimate(sketch: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column =
+    graft.functions.Kll.quantile(sketch, q)
 }
