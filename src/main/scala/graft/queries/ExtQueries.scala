@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -453,6 +453,28 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram").asc)
         .limit(50)),
+
+    // BPE tokenizer training, corpus pass: the bounded word histogram
+    // (one map-combinable shuffle, deterministic top-k) that the driver
+    // merge loop trains from — the corpus is read ONCE regardless of
+    // merge count (ext.Bpe).
+    "ext_bpe_wordhist" -> ((s, dir) =>
+      Bpe.wordHistogram(spreadDocs(s, dir), "text", 60)),
+
+    // BPE end-to-end: train merges from the corpus histogram, then
+    // count subword tokens per document (scan-only mapPartitions with a
+    // per-partition word->length memo). The merge budget is kept BELOW
+    // full-merge for this corpus (its synthetic vocabulary is ~31
+    // words) so the output genuinely exercises subword splitting —
+    // tokens > words. Not SQL-expressible — rows-only here; BpeSpec
+    // pins the merge rule, determinism, and the distributed-vs-driver
+    // encode equivalence.
+    "ext_bpe_tokens" -> ((s, dir) => {
+      val docs = spreadDocs(s, dir)
+      val merges = Bpe.train(Bpe.wordHistogram(docs, "text", 20000), 25)
+      Bpe.tokenCounts(s, docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
 
     // Deterministic per-group top-n sampling: hash-ranked row_number
     // caps every stratum at exactly 20 docs (vs ext_sample_stratified's
@@ -985,6 +1007,15 @@ object ExtQueries {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2) < '33'
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_bpe_wordhist" ->
+      """WITH w AS (
+        |  SELECT u.word
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |        FROM documents) t,
+        |  unnest(t.ws) AS u(word))
+        |SELECT word, count(*) AS cnt FROM w
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 60""".stripMargin,
 
     "ext_bigram_vocab" ->
       """WITH t AS (

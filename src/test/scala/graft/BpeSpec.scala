@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  val classic = Seq( // Sennrich et al.'s worked example corpus
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("bpe: most frequent pair merges first; training is deterministic") {
+    val m1 = Bpe.trainLocal(classic, 4)
+    val m2 = Bpe.trainLocal(classic, 4)
+    assert(m1 === m2)
+    // "es" appears in newest(6)+widest(3)=9 — the classic first merge
+    assert(m1.head === (("e", "s")))
+    assert(m1(1) === (("es", "t")))
+  }
+
+  test("bpe: with enough merges every training word becomes one token") {
+    val merges = Bpe.trainLocal(classic, 100)
+    val ranks = merges.zipWithIndex.toMap
+    for ((w, _) <- classic)
+      assert(Bpe.encodeWord(w, ranks).length === 1, s"word $w")
+    // an unseen word still encodes (to learned subwords + leftovers)
+    val toks = Bpe.encodeWord("lowest", ranks)
+    assert(toks.nonEmpty && toks.mkString == "lowest" + Bpe.EndOfWord)
+  }
+
+  test("bpe: distributed histogram + token counts match driver encode") {
+    val df = Seq(
+      (1L, "low low lower"),
+      (2L, "newest newest widest"),
+      (3L, "")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(df, "text", 100).as[(String, Long)]
+      .collect().toMap
+    assert(hist === Map("low" -> 2L, "lower" -> 1L,
+      "newest" -> 2L, "widest" -> 1L))
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text", 100), 3)
+    val ranks = merges.zipWithIndex.toMap
+    val got = Bpe.tokenCounts(spark, df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect = Seq(
+      (1L, "low low lower"), (2L, "newest newest widest"), (3L, ""))
+      .map { case (id, t) =>
+        val ws = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        (id, ws.map(w => Bpe.encodeWord(w, ranks).length.toLong).sum,
+          ws.size.toLong)
+      }
+    assert(got.toSeq === expect)
+  }
+}
