@@ -391,6 +391,58 @@ object TxTable {
     df.drop("gen") // the generation id is commit metadata, not data
   }
 
+  /** What changed between two snapshots, at generation-directory
+    * granularity — directories are immutable once published, so the
+    * manifest diff IS the physical change log, computed from two
+    * manifest reads without touching data.
+    *
+    * `appendOnly` is true when every `from` directory survives into
+    * `to`: then `addedBetween` returns EXACTLY the rows committed in
+    * between. A compaction/replaceAll in the window retires directories
+    * (appendOnly=false) and row-level attribution needs table keys
+    * instead — the same caveat every manifest-log format carries.
+    */
+  final case class Diff(
+      fromVersion: Long,
+      toVersion: Long,
+      addedDirs: Seq[String],
+      removedDirs: Seq[String],
+      newDeltaIds: Seq[String]) {
+    def appendOnly: Boolean = removedDirs.isEmpty
+  }
+
+  def diff(spark: SparkSession, target: String, from: Long, to: Long): Diff = {
+    require(from <= to, s"TxTable.diff: from=$from > to=$to")
+    val log = new Path(target, LogDir)
+    val f = fs(spark, log)
+    val mFrom = readManifest(f, log, from)
+    val mTo = readManifest(f, log, to)
+    Diff(from, to,
+      (mTo.dirs.toSet -- mFrom.dirs).toSeq.sorted,
+      (mFrom.dirs.toSet -- mTo.dirs).toSeq.sorted,
+      mTo.deltaIds.filterNot(mFrom.deltaIds.toSet))
+  }
+
+  /** Rows in directories published between two versions (exactly the
+    * appended rows when `diff(...).appendOnly`; reads ONLY the added
+    * directories, never the standing table). Empty-but-typed when
+    * nothing was added.
+    */
+  def addedBetween(
+      spark: SparkSession, target: String, from: Long, to: Long): DataFrame = {
+    val log = new Path(target, LogDir)
+    val f = fs(spark, log)
+    val mTo = readManifest(f, log, to)
+    val added = diff(spark, target, from, to).addedDirs.toSet
+    val m = mTo.copy(entries = mTo.entries.filter(e => added(e._2)))
+    if (m.entries.isEmpty && mTo.schema.isEmpty)
+      // legacy manifest with no schema and no new dirs: nothing to shape
+      // an empty frame with — surface it rather than guess
+      sys.error(s"TxTable: no directories added between v$from and v$to " +
+        s"of $target and no recorded schema for an empty read")
+    readManifestData(spark, target, m)
+  }
+
   /** Small-file compaction WITHOUT the maintenance window: rewrite the
     * live snapshot into one fresh generation (right-sized files, one
     * per partition for partitioned tables) and publish it as a normal

@@ -33,6 +33,29 @@ class TxTableSpec extends SparkSpec {
       .select("tag").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("diff: manifest diff attributes appended rows; compaction flags non-append") {
+    val dir = tmpDir("txdiff") + "/t"
+    TxTable.commit(spark, seed(1), dir, Seq("part"), deltaId = Some("d1"))
+    val v1 = TxTable.currentManifest(spark, dir).get.version
+    TxTable.commit(spark,
+      Seq(("p1", 100L, 9), ("p5", 500L, 9)).toDF("part", "k", "tag"),
+      dir, Seq("part"), deltaId = Some("d2"), append = true)
+    val v2 = TxTable.currentManifest(spark, dir).get.version
+    val d = TxTable.diff(spark, dir, v1, v2)
+    assert(d.appendOnly && d.removedDirs.isEmpty && d.newDeltaIds == Seq("d2"))
+    // addedBetween reads ONLY the new generation's rows
+    val added = TxTable.addedBetween(spark, dir, v1, v2)
+      .select("part", "k").as[(String, Long)].collect().sortBy(_._1)
+    assert(added.toSeq == Seq(("p1", 100L), ("p5", 500L)))
+    // self-diff is empty but typed
+    assert(TxTable.addedBetween(spark, dir, v2, v2).count() == 0)
+    // compaction rewrites the snapshot: dirs retire, appendOnly is false
+    TxTable.compact(spark, dir)
+    val v3 = TxTable.currentManifest(spark, dir).get.version
+    val dc = TxTable.diff(spark, dir, v2, v3)
+    assert(!dc.appendOnly && dc.removedDirs.nonEmpty)
+  }
+
   test("schema evolution: an append that adds a column reads back null-filled") {
     val dir = tmpDir("txse") + "/t"
     TxTable.commit(spark, Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k"),
