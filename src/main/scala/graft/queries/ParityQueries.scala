@@ -779,6 +779,36 @@ object ParityQueries {
       out
     }),
 
+    // Incremental TOP-K maintenance (sinks.IncrementalRollup topkCols):
+    // "most frequent values per group" is holistic like percentiles, so
+    // the rollup stores a mergeable frequent-items sketch
+    // (functions.FreqItems, Misra-Gries) per group. The measure has 7
+    // distinct values — far inside the sketch's exact regime (no counter
+    // evictions at mapSize 64) — so estimates ARE the true counts and
+    // the two-delta fold hash-matches the one-shot group-count oracle;
+    // unbounded cardinalities get the published MG error (spec-gated).
+    "rollup_topk_freq" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_fitop").toString
+      val target = s"$work/rollup"
+      val li = Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linenumber", "l_orderkey")
+      for (parity <- Seq(0, 1))
+        graft.sinks.IncrementalRollup(s,
+          li.filter(col("l_orderkey") % 2 === parity),
+          target, groupCols = Seq("l_returnflag"), sumCols = Nil,
+          topkCols = Seq("l_linenumber" -> "ln_sk"))
+      val out = s.read.parquet(target)
+        .select(col("l_returnflag"),
+          posexplode(graft.sinks.IncrementalRollup.topkEstimate(col("ln_sk"), 3)))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("linenum"), col("col._2").as("cnt_est"))
+        .orderBy("l_returnflag", "rnk")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // The TRANSACTIONAL rollup (sinks.TxTable manifest commit) — same
     // two-delta fold as rollup_incremental, but committed through the
     // atomic manifest log with per-delta replay protection, INCLUDING a
@@ -1450,6 +1480,18 @@ object ParityQueries {
         |  CAST(quantile_disc(l_linenumber, 0.5) AS BIGINT) AS median_linenum,
         |  CAST(quantile_disc(l_linenumber, 0.93) AS BIGINT) AS p93_linenum
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "rollup_topk_freq" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS linenum,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY cnt DESC, linenum ASC) AS rnk
+        |  FROM c)
+        |SELECT l_returnflag, rnk, linenum, cnt AS cnt_est
+        |FROM r WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin,
 
     // same restatement as rollup_incremental over the 1997 slice: the
     // transactional commit path must produce the same standing

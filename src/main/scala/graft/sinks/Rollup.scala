@@ -77,6 +77,12 @@ object IncrementalRollup {
     *                      with `IncrementalRollup.quantileEstimate` —
     *                      published normalized-rank error, the fold-able
     *                      form of the holistic percentile
+    * @param topkCols      measure -> stored-column-alias pairs maintained
+    *                      as mergeable frequent-items sketches (binary
+    *                      column, `functions.FreqItems`); read with
+    *                      `IncrementalRollup.topkEstimate` — exact in the
+    *                      bounded-cardinality regime, published
+    *                      Misra-Gries error otherwise
     */
   def apply(
       spark: SparkSession,
@@ -88,12 +94,14 @@ object IncrementalRollup {
       deltaId: Option[String] = None,
       transactional: Boolean = false,
       distinctCols: Seq[(String, String)] = Nil,
-      quantileCols: Seq[(String, String)] = Nil): Unit = {
+      quantileCols: Seq[(String, String)] = Nil,
+      topkCols: Seq[(String, String)] = Nil): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
         s"groupCols=$groupCols")
-    val reserved = "cnt" +: (sumCols ++ distinctCols ++ quantileCols).map(_._2)
+    val reserved = "cnt" +:
+      (sumCols ++ distinctCols ++ quantileCols ++ topkCols).map(_._2)
     require(reserved.distinct.size == reserved.size &&
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
@@ -114,7 +122,9 @@ object IncrementalRollup {
         sumCols.map { case (m, a) => sum(col(m)).as(a) }) ++
         distinctCols.map { case (m, a) => hll_sketch_agg(col(m)).as(a) } ++
         quantileCols.map { case (m, a) =>
-          graft.functions.Kll.sketchAgg(col(m)).as(a) }
+          graft.functions.Kll.sketchAgg(col(m)).as(a) } ++
+        topkCols.map { case (m, a) =>
+          graft.functions.FreqItems.sketchAgg(col(m)).as(a) }
       partitionAligned(
         delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
@@ -122,7 +132,9 @@ object IncrementalRollup {
       sumCols.map { case (_, a) => sum(col(a)).as(a) }) ++
       distinctCols.map { case (_, a) => hll_union_agg(col(a)).as(a) } ++
       quantileCols.map { case (_, a) =>
-        graft.functions.Kll.mergeAgg(col(a)).as(a) }
+        graft.functions.Kll.mergeAgg(col(a)).as(a) } ++
+      topkCols.map { case (_, a) =>
+        graft.functions.FreqItems.mergeAgg(col(a)).as(a) }
     def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
       existing
         .unionByName(agg.select(cols.map(col): _*))
@@ -192,4 +204,11 @@ object IncrementalRollup {
     */
   def quantileEstimate(sketch: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column =
     graft.functions.Kll.quantile(sketch, q)
+
+  /** Read-time top-k estimate over a stored frequent-items sketch column
+    * (the `topkCols` stored form): array of (item, estimate), count-desc.
+    * O(groups) rows.
+    */
+  def topkEstimate(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    graft.functions.FreqItems.topK(sketch, k)
 }
