@@ -36,6 +36,30 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
+  /** Temperature-scaled target distribution from the corpus itself:
+    * p_g = n_g^alpha / sum(n^alpha) — the standard multilingual
+    * rebalancing (alpha=1 keeps natural proportions, alpha=0 is
+    * uniform, published recipes use ~0.3-0.7 to up-sample low-resource
+    * groups without flattening entirely). One O(groups) aggregate; the
+    * returned map feeds `sampleToDistribution`.
+    */
+  def temperatureWeights(
+      df: DataFrame, groupCol: String, alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1]: $alpha")
+    // sortBy group key: double summation order must not depend on the
+    // nondeterministic collect order, or the weights (and every floor
+    // boundary downstream) wobble by ULPs between runs
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureWeights: empty corpus")
+    val powed = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val z = powed.map(_._2).sum
+    powed.map { case (g, p) => g -> p / z }.toMap
+  }
+
   /** @param weights target proportion per group value; groups absent
     *                from the map are excluded from the sample. Every
     *                weights key MUST have at least one corpus row —

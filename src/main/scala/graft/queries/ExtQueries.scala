@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -442,6 +442,20 @@ object ExtQueries {
           "de" -> 0.15, "zh" -> 0.15))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+
+    // Temperature-scaled mix (alpha=0.5): the target distribution is
+    // DERIVED from corpus counts (p ∝ n^alpha — the published
+    // low-resource up-sampling recipe) by one O(groups) aggregate, then
+    // the same exact-quota sampler runs. Weights are computed over
+    // groups sorted by key so the double summation is deterministic;
+    // the oracle re-derives them independently in DuckDB.
+    "ext_sample_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Mix.sampleToDistribution(docs, "lang", "doc_id",
+        Mix.temperatureWeights(docs, "lang", 0.5))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
 
     // Corpus-wide bigram vocabulary: explode word 2-shingles, count, top
     // 50 — the vocab-building aggregation of a tokenizer pipeline
@@ -1044,6 +1058,21 @@ object ExtQueries {
         |t AS (SELECT min(floor(n / wt)) AS T FROM c),
         |q AS (SELECT c.lang, CAST(floor(c.wt * t.T) AS BIGINT) AS quota
         |      FROM c, t),
+        |r AS (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, r.lang, source FROM r JOIN q ON r.lang = q.lang
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c) AS wt
+        |      FROM c),
+        |t AS (SELECT min(floor(n / wt)) AS T FROM w),
+        |q AS (SELECT w.lang, CAST(floor(w.wt * t.T) AS BIGINT) AS quota
+        |      FROM w, t),
         |r AS (SELECT doc_id, lang, source,
         |        row_number() OVER (PARTITION BY lang
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn

@@ -204,6 +204,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("xx"))
   }
 
+  test("temperature weights: alpha=1 natural, alpha=0 uniform, low-resource rises") {
+    import spark.implicits._
+    val docs = (Seq.fill(90)("en") ++ Seq.fill(10)("sw")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val natural = graft.ext.Mix.temperatureWeights(docs, "lang", 1.0)
+    assert(math.abs(natural("en") - 0.9) < 1e-12 &&
+      math.abs(natural("sw") - 0.1) < 1e-12)
+    val uniform = graft.ext.Mix.temperatureWeights(docs, "lang", 0.0)
+    assert(math.abs(uniform("en") - 0.5) < 1e-12 &&
+      math.abs(uniform("sw") - 0.5) < 1e-12)
+    val mid = graft.ext.Mix.temperatureWeights(docs, "lang", 0.5)
+    assert(mid("sw") > 0.1 && mid("sw") < 0.5, mid)
+    assert(math.abs(mid.values.sum - 1.0) < 1e-12)
+  }
+
   // ---- deterministic shuffle-shard -----------------------------------
 
   test("shuffle-shard: positions match the single-window reference at any partitioning") {
