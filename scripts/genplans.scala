@@ -30,7 +30,8 @@ val headline = Seq(
   ("scd2_merge", "SCD2 merge: one open-slice join, closed history shuffle-free"),
   ("ext_tfidf_topterms", "TF-IDF: tf shuffle AQE-reused, vocab-sized df broadcast"),
   ("ext_pack_sequences", "sequence packing: distributed prefix sum, no SinglePartition window"),
-  ("tpch_q10_returned", "Q10-shaped report: fact shuffle once, dims broadcast, TakeOrdered"))
+  ("tpch_q10_returned", "Q10-shaped report: fact shuffle once, dims broadcast, TakeOrdered"),
+  ("tpch_q18_large_orders", "Q18 shape: aggregate THEN join — only qualifying keys reach the join"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {

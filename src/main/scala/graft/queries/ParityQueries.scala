@@ -481,8 +481,12 @@ object ParityQueries {
         .groupBy("l_orderkey")
         .agg(round(sum("l_quantity"), 2).as("total_qty"))
         .filter(col("total_qty") > 150)
+        // no broadcast hints: the qualifying key set's size is only
+        // known at runtime, and AQE picks the build side from actual
+        // stats — at 100 TB it would broadcast the filtered aggregate,
+        // not a dimension pinned by a compile-time hint
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
+        .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
           "o_totalprice", "total_qty")
