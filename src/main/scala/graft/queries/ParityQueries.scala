@@ -493,6 +493,37 @@ object ParityQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(100)),
 
+    // TPC-H-Q21-shaped waiting-suppliers: the semi + anti SELF-JOIN
+    // shape — EXISTS(another supplier in the order) AND NOT EXISTS
+    // (another LATE supplier in the order). The fact shuffles on
+    // l_orderkey for each self-join side and never expands: left-semi /
+    // left-anti emit at most one probe row per input row, so the
+    // multi-supplier order fan-out that a plain inner self-join would
+    // multiply through stays bounded at 100 TB. ("late" = shipped in
+    // the trailing window; the synthetic schema has no commit/receipt
+    // dates.)
+    "tpch_q21_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li.filter(col("l_shipdate") >= "1998-06-01")
+      val withOther = late.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      val soleLate = withOther.as("l1").join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      soleLate
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc, col("n_name").asc)
+        .limit(100)
+    }),
+
     // Column profiling: per-column null/distinct/min/max census via
     // concurrent pruned-scan jobs (see ops.Profile) — restated
     // column-by-column in the oracle.
@@ -1293,6 +1324,23 @@ object ParityQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "tpch_q21_waiting_supplier" ->
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE l1.l_shipdate >= TIMESTAMP '1998-06-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate >= TIMESTAMP '1998-06-01')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_name ASC, n_name ASC LIMIT 100""".stripMargin,
 
     "profile_columns" ->
       """SELECT 'l_orderkey' AS col_name,
