@@ -264,4 +264,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming rollup maintenance: micro-batches == direct agg; checkpoint loss cannot double-count") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("a", 4L), ("b", 20L),
+      ("c", 100L)).toDF("grp", "v")
+    val work = tmpDir("streamroll")
+    for (half <- Seq(0, 1)) // two files -> two forced micro-batches
+      rows.filter(col("v") % 2 === half).coalesce(1)
+        .write.mode("append").parquet(s"$work/src")
+    def maintain(ckpt: String): Long =
+      graft.streaming.StreamingRollup.maintainAvailableNow(spark,
+        s"$work/src", schema, s"$work/rollup",
+        groupCols = Seq("grp"), sumCols = Seq("v" -> "sum_v"),
+        checkpointDir = s"$work/$ckpt", streamId = "s1",
+        maxFilesPerTrigger = Some(1))
+    assert(maintain("ckpt") >= 2)
+    def state = graft.sinks.TxTable.read(spark, s"$work/rollup").get
+      .select("grp", "cnt", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Set(("a", 3L, 7L), ("b", 2L, 30L), ("c", 1L, 100L))
+    assert(state == direct)
+    // checkpoint LOSS replays every micro-batch; the TxTable deltaId
+    // ledger recognizes s1-<batchId> and skips the fold — the standing
+    // aggregate cannot double-count (true exactly-once, no consumer-side
+    // dedup involved)
+    maintain("ckpt2")
+    assert(state == direct)
+  }
 }
