@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two datasets (reference batch vs
+  * current batch) — the data-quality gate a production feed runs before
+  * trusting an ingest: Population Stability Index over a binned value
+  * column. PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref); the working
+  * convention is <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+  *
+  * Scale shape: both sides are scanned ONCE through a single unioned
+  * aggregation (tag + groupBy(bin) with conditional counts — one
+  * map-combinable shuffle of O(bins) groups); proportions and
+  * contributions are window math over the O(bins) result. Pure Column
+  * expressions end to end — no UDF, no driver loop, restatable in SQL
+  * (the oracle does exactly that).
+  */
+object Drift {
+
+  /** Per-bin PSI report over fixed uniform bins [lo, hi) — edges are
+    * caller-pinned so the report is reproducible across engines and
+    * batches (quantile-derived edges belong to the sketch family; pin
+    * them from `Kll.quantile` output when adaptive bins are wanted).
+    * Out-of-range values clamp into the edge bins, so both tails are
+    * visible rather than dropped.
+    *
+    * @return (bin, n_ref, n_cur, p_ref, p_cur, contrib) ordered by bin;
+    *         PSI = sum(contrib). Proportions are epsilon-clamped so an
+    *         empty bin contributes a large-but-finite term.
+    */
+  def psiFixedBins(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and bins > 0: [$lo,$hi) x$nBins")
+    val w = (hi - lo) / nBins
+    def bin(c: Column): Column =
+      least(greatest(floor((c - lit(lo)) / lit(w)), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long")
+    val tagged = ref.select(bin(col(valueCol)).as("bin"), lit("ref").as("side"))
+      .unionByName(
+        cur.select(bin(col(valueCol)).as("bin"), lit("cur").as("side")))
+    val counts = tagged
+      .groupBy("bin")
+      .agg(count(when(col("side") === "ref", 1)).as("n_ref"),
+        count(when(col("side") === "cur", 1)).as("n_cur"))
+    // totals via window over the O(bins) aggregate — no second scan
+    val W = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    def clamped(n: Column, tot: Column): Column =
+      greatest(n.cast("double") / tot, lit(eps))
+    counts
+      .withColumn("p_ref", clamped(col("n_ref"), sum("n_ref").over(W)))
+      .withColumn("p_cur", clamped(col("n_cur"), sum("n_cur").over(W)))
+      .withColumn("contrib",
+        round((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref")), 9))
+      .withColumn("p_ref", round(col("p_ref"), 9))
+      .withColumn("p_cur", round(col("p_cur"), 9))
+      .orderBy("bin")
+  }
+
+  /** Scalar PSI (sum of contributions). Action. */
+  def psi(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): Double =
+    psiFixedBins(ref, cur, valueCol, lo, hi, nBins)
+      .agg(sum("contrib")).head().getDouble(0)
+}

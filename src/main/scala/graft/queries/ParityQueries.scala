@@ -531,6 +531,18 @@ object ParityQueries {
       graft.ops.Profile.profile(Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))),
 
+    // Distribution drift (PSI) between two batches of the same feed —
+    // the pre-ingest data-quality gate: one unioned scan, O(bins)
+    // aggregate, pure Column math (ops.Drift). Bin edges are pinned
+    // literals so both engines bin identically.
+    "drift_psi_price" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Drift.psiFixedBins(
+        li.filter(col("l_shipdate") < "1998-01-01"),
+        li.filter(col("l_shipdate") >= "1998-01-01"),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 10)
+    }),
+
     // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
     // oracle because Spark's ASC default is nulls-first, DuckDB's is
     // nulls-last — the rollup's subtotal rows are null-keyed.
@@ -1365,6 +1377,29 @@ object ParityQueries {
         |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "drift_psi_price" ->
+      """WITH t AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((l_extendedprice - 900.0) / 10410.0), 0), 9) AS BIGINT)
+        |      AS bin,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |      THEN 'ref' ELSE 'cur' END AS side
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT bin,
+        |    count(*) FILTER (WHERE side = 'ref') AS n_ref,
+        |    count(*) FILTER (WHERE side = 'cur') AS n_cur
+        |  FROM t GROUP BY bin),
+        |p AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    greatest(n_ref * 1.0 / sum(n_ref) OVER (), 1e-6) AS p_ref0,
+        |    greatest(n_cur * 1.0 / sum(n_cur) OVER (), 1e-6) AS p_cur0
+        |  FROM c)
+        |SELECT bin, n_ref, n_cur,
+        |  round(p_ref0, 9) AS p_ref, round(p_cur0, 9) AS p_cur,
+        |  round((p_cur0 - p_ref0) * ln(p_cur0 / p_ref0), 9) AS contrib
+        |FROM p ORDER BY bin""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
