@@ -63,7 +63,13 @@ object TxTable {
       // column was added read back with that column null-filled instead
       // of resolving to whichever file's physical schema wins. None only
       // for manifests written before schema tracking (legacy reads).
-      schema: Option[org.apache.spark.sql.types.StructType] = None) {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      // per-directory column statistics (dir -> col -> (min, max), as
+      // doubles): the data-skipping metadata every production table
+      // format logs. Populated by commit(statsCols = ...); directories
+      // without stats for a column are never pruned (correct-by-default
+      // for legacy generations).
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty) {
     def dirs: Seq[String] = entries.map(_._2)
     def partitions: Set[String] = entries.map(_._1).toSet
   }
@@ -99,6 +105,8 @@ object TxTable {
     var deltaIds = Seq.empty[String]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     val entries = Seq.newBuilder[(String, String)]
+    val stats = scala.collection.mutable.HashMap
+      .empty[String, Map[String, (Double, Double)]]
     text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
       if (line == "deltaIds" || line.startsWith("deltaIds "))
         deltaIds = line.split(" ").toSeq.drop(1)
@@ -106,13 +114,19 @@ object TxTable {
         schema = Some(org.apache.spark.sql.types.DataType
           .fromJson(line.stripPrefix("schema "))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else if (line.startsWith("stats ")) {
+        val parts = line.stripPrefix("stats ").split("\t", -1)
+        require(parts.length == 4, s"malformed stats line in v$v: $line")
+        stats(parts(0)) = stats.getOrElse(parts(0), Map.empty) +
+          (parts(1) -> ((parts(2).toDouble, parts(3).toDouble)))
+      }
       else if (!line.startsWith("version ")) {
         val parts = line.split("\t", -1)
         require(parts.length == 2, s"malformed manifest line in v$v: $line")
         entries += (parts(0) -> parts(1))
       }
     }
-    Manifest(v, deltaIds, entries.result(), schema)
+    Manifest(v, deltaIds, entries.result(), schema, stats.toMap)
   }
 
   private def writeManifest(f: FileSystem, log: Path, m: Manifest): Unit = {
@@ -129,6 +143,12 @@ object TxTable {
       m.schema.foreach(s => sb.append("schema ").append(s.json).append('\n'))
       m.entries.sortBy(e => (e._1, e._2)).foreach { case (p, d) =>
         sb.append(p).append('\t').append(d).append('\n')
+      }
+      m.stats.toSeq.sortBy(_._1).foreach { case (d, cols) =>
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          sb.append("stats ").append(d).append('\t').append(c)
+            .append('\t').append(lo).append('\t').append(hi).append('\n')
+        }
       }
       out.write(sb.toString.getBytes("UTF-8"))
       // flush to stable storage BEFORE the publishing rename: an atomic
@@ -176,7 +196,8 @@ object TxTable {
     val m = Manifest(cur.map(_.version).getOrElse(0L) + 1,
       cur.map(_.deltaIds).getOrElse(Nil) :+ deltaId,
       cur.map(_.entries).getOrElse(Nil),
-      cur.flatMap(_.schema))
+      cur.flatMap(_.schema),
+      cur.map(_.stats).getOrElse(Map.empty))
     writeManifest(f, new Path(root, LogDir), m)
     m
   }
@@ -206,7 +227,11 @@ object TxTable {
       replaceAll: Boolean = false,
       append: Boolean = false,
       expectedVersion: Option[Long] = None,
-      failpoint: String => Unit = _ => ()): Manifest = {
+      failpoint: String => Unit = _ => (),
+      // columns to log per-directory min/max for (cast to double) —
+      // the data-skipping metadata readWhere prunes on. Columns absent
+      // from stats never prune, so partial adoption is safe.
+      statsCols: Seq[String] = Nil): Manifest = {
     require(!(replaceAll && append), "commit: replaceAll and append conflict")
     // the generation id is stored as a directory level (data/gen=N), so
     // a data column named "gen" would collide with the read-side
@@ -274,14 +299,122 @@ object TxTable {
         case None      => df.schema // first commit, or legacy table
         case Some(old) => mergeSchemas(old, df.schema, target)
       }
+    val newStats = statsFor(df, statsCols, partitionBy, genRel,
+      newEntries.map(_._2).toSet)
+    val liveDirs = (carried ++ newEntries).map(_._2).toSet
+    val mergedStats =
+      cur.map(_.stats).getOrElse(Map.empty)
+        .filter(kv => liveDirs(kv._1)) ++ newStats
     val m = Manifest(newV,
       cur.map(_.deltaIds).getOrElse(Nil) ++ deltaId.toSeq,
       carried ++ newEntries,
-      Some(newSchema))
+      Some(newSchema),
+      mergedStats)
     failpoint("before-publish")
     writeManifest(f, new Path(root, LogDir), m)
     m
   }
+
+  /** Per-directory min/max of `statsCols` (as doubles) for the freshly
+    * written generation: ONE small aggregate over the commit's own
+    * DataFrame (grouped by the partition columns for partitioned
+    * tables), never a re-read of written files. Groups whose derived
+    * directory name does not match a written leaf (exotic partition-
+    * value escaping, null partition values) simply get no stats — an
+    * unpruned directory is always correct.
+    */
+  private def statsFor(
+      df: DataFrame,
+      statsCols: Seq[String],
+      partitionBy: Seq[String],
+      genRel: String,
+      writtenDirs: Set[String]): Map[String, Map[String, (Double, Double)]] = {
+    if (statsCols.isEmpty) return Map.empty
+    statsCols.foreach { c =>
+      require(df.columns.contains(c), s"TxTable: statsCol '$c' not in commit")
+      require(!c.exists(ch => ch == '\t' || ch.isControl || ch == ' '),
+        s"TxTable: statsCol '$c' must not contain whitespace/control chars")
+    }
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    def colsOf(r: org.apache.spark.sql.Row): Map[String, (Double, Double)] =
+      statsCols.flatMap { c =>
+        val li = r.fieldIndex(s"__lo_$c"); val hi = r.fieldIndex(s"__hi_$c")
+        if (r.isNullAt(li) || r.isNullAt(hi)) None
+        else Some(c -> ((r.getDouble(li), r.getDouble(hi))))
+      }.toMap
+    if (partitionBy.isEmpty) {
+      val m = colsOf(df.agg(aggs.head, aggs.tail: _*).head())
+      if (m.isEmpty) Map.empty else Map(genRel -> m)
+    } else {
+      val rows = df
+        .groupBy(partitionBy.map(c => col(c).cast("string").as(c)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      rows.flatMap { r =>
+        val vals = partitionBy.map(c => Option(r.getAs[String](c)))
+        if (vals.exists(_.isEmpty)) None
+        else {
+          val rel = partitionBy.zip(vals.map(_.get)).map { case (k, v) =>
+            s"$k=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(v)
+          }.mkString("/")
+          val dir = s"$genRel/$rel"
+          val m = colsOf(r)
+          if (m.isEmpty || !writtenDirs(dir)) None else Some(dir -> m)
+        }
+      }.toMap
+    }
+  }
+
+  /** Snapshot read PRUNED by the manifest's column statistics: only
+    * directories whose recorded [min, max] intersects [lower, upper]
+    * are listed/read (directories without stats for the column always
+    * read — correct by default), then the row-level filter applies on
+    * top. This is manifest-level data skipping — for an append stream
+    * whose batches cover disjoint key ranges (time, id blocks), a
+    * narrow predicate reads O(matching generations), not the table.
+    */
+  def readWhere(
+      spark: SparkSession,
+      target: String,
+      colName: String,
+      lower: Double,
+      upper: Double): Option[DataFrame] =
+    currentManifest(spark, target)
+      .filter(m => m.entries.nonEmpty || m.schema.nonEmpty)
+      .map { m =>
+        val pruned = m.copy(entries = m.entries.filter(e =>
+          statsOverlap(m, e._2, colName, lower, upper)))
+        import org.apache.spark.sql.functions.col
+        readManifestData(spark, target, pruned)
+          .filter(col(colName).cast("double").between(lower, upper))
+      }
+
+  /** (directories kept, directories total) that `readWhere` with these
+    * bounds would scan — the observable pruning effect, for tests and
+    * operational visibility.
+    */
+  def pruneEffect(
+      spark: SparkSession,
+      target: String,
+      colName: String,
+      lower: Double,
+      upper: Double): (Int, Int) =
+    currentManifest(spark, target).map { m =>
+      val dirs = m.dirs.distinct
+      (dirs.count(statsOverlap(m, _, colName, lower, upper)), dirs.size)
+    }.getOrElse((0, 0))
+
+  private def statsOverlap(
+      m: Manifest, dir: String, colName: String,
+      lower: Double, upper: Double): Boolean =
+    m.stats.get(dir).flatMap(_.get(colName)) match {
+      case Some((lo, hi)) => !(hi < lower || lo > upper)
+      case None           => true
+    }
 
   /** Union-of-columns schema merge for partial/append commits: fields
     * present in both sides must agree on type exactly (a silent cast

@@ -56,6 +56,46 @@ class TxTableSpec extends SparkSpec {
     assert(!dc.appendOnly && dc.removedDirs.nonEmpty)
   }
 
+  test("stats skipping: narrow predicate reads only matching generations") {
+    val dir = tmpDir("txstats") + "/t"
+    // an append STREAM whose batches cover disjoint time ranges — the
+    // canonical skipping layout (each generation = one day's ingest)
+    for (day <- 1 to 5)
+      TxTable.commit(spark,
+        (0 until 10).map(i => (day * 100L + i, day.toLong))
+          .toDF("ts", "payload"),
+        dir, Nil, append = day > 1, statsCols = Seq("ts"))
+    // predicate covering one day's range: 1 of 5 directories scans
+    assert(TxTable.pruneEffect(spark, dir, "ts", 300.0, 309.0) === ((1, 5)))
+    val got = TxTable.readWhere(spark, dir, "ts", 300.0, 309.0).get
+      .select("ts").as[Long].collect().sorted
+    assert(got.toSeq === (300L to 309L))
+    // stats survive further appends (carry-over) and vacuum-irrelevant
+    // columns without stats never prune
+    assert(TxTable.pruneEffect(spark, dir, "payload", 99.0, 99.5) === ((5, 5)))
+    // row filter still applies inside the kept directory
+    assert(TxTable.readWhere(spark, dir, "ts", 305.0, 306.0).get.count() === 2)
+    // full-range predicate keeps everything
+    assert(TxTable.pruneEffect(spark, dir, "ts", 0.0, 1e9) === ((5, 5)))
+  }
+
+  test("stats skipping: partitioned commit logs per-leaf stats") {
+    val dir = tmpDir("txstatsp") + "/t"
+    TxTable.commit(spark,
+      Seq(("p1", 1L), ("p1", 5L), ("p2", 100L), ("p2", 200L))
+        .toDF("part", "k"),
+      dir, Seq("part"), statsCols = Seq("k"))
+    assert(TxTable.pruneEffect(spark, dir, "k", 0.0, 10.0) === ((1, 2)))
+    val got = TxTable.readWhere(spark, dir, "k", 0.0, 10.0).get
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 5L))
+    // a replace of p1 without statsCols retires the old stats with the
+    // directory; the new unstatted directory reads unconditionally
+    TxTable.commit(spark, Seq(("p1", 7L)).toDF("part", "k"), dir, Seq("part"))
+    assert(TxTable.pruneEffect(spark, dir, "k", 0.0, 10.0) === ((1, 2)))
+    assert(TxTable.readWhere(spark, dir, "k", 0.0, 10.0).get.count() === 1)
+  }
+
   test("schema evolution: an append that adds a column reads back null-filled") {
     val dir = tmpDir("txse") + "/t"
     TxTable.commit(spark, Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k"),
