@@ -412,6 +412,20 @@ object ExtQueries {
           round(max("n"), 6).as("max_norm"))
         .orderBy("label")),
 
+    // Embedding-space drift: per-dimension centroid comparison of two
+    // embedding populations (labels 0/1 stand in for ref/new batches) —
+    // the encoder-regression check of ext.EmbeddingDrift. One tagged
+    // union scan into O(dims) groups.
+    "ext_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ext.EmbeddingDrift.perDimCentroids(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "embedding")
+        .select(col("pos"),
+          round(col("mean_ref"), 6).as("mean_ref"),
+          round(col("mean_cur"), 6).as("mean_cur"))
+    }),
+
     // Corpus length histogram per source: bucketed doc sizes.
     "ext_length_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1008,6 +1022,18 @@ object ExtQueries {
         |  round(min(n), 6) AS min_norm,
         |  round(max(n), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "ext_embedding_drift" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN label = 0 THEN 'ref' ELSE 'cur' END AS side,
+        |    CAST(o.p AS INTEGER) AS pos,
+        |    CAST(embedding[CAST(o.p AS INTEGER) + 1] AS DOUBLE) AS val
+        |  FROM embeddings, unnest(range(len(embedding))) AS o(p)
+        |  WHERE label IN (0, 1))
+        |SELECT pos,
+        |  round(avg(val) FILTER (WHERE side = 'ref'), 6) AS mean_ref,
+        |  round(avg(val) FILTER (WHERE side = 'cur'), 6) AS mean_cur
+        |FROM t GROUP BY pos ORDER BY pos""".stripMargin,
 
     "ext_length_histogram" ->
       """SELECT source,
