@@ -101,4 +101,27 @@ object FreqItems {
       if (b == null) 0L
       else ItemsSketch.getInstance(Memory.wrap(b), serde).getMaximumError)
       .apply(sketch)
+
+  /** SQL string surface: `graft_fi_agg(string)`,
+    * `graft_fi_merge(binary)`, `graft_fi_topk(binary, int)` (array of
+    * (item, estimate) structs). Session-scoped, like `Kll.register`.
+    */
+  def register(
+      spark: org.apache.spark.sql.SparkSession,
+      mapSize: Int = DefaultMapSize): Unit = {
+    spark.udf.register("graft_fi_agg",
+      org.apache.spark.sql.functions.udaf(new SketchAgg(mapSize), Encoders.STRING))
+    spark.udf.register("graft_fi_merge",
+      org.apache.spark.sql.functions.udaf(new MergeAgg(mapSize), Encoders.BINARY))
+    spark.udf.register("graft_fi_topk",
+      (b: Array[Byte], k: Int) =>
+        if (b == null) None
+        else {
+          val sk = ItemsSketch.getInstance(Memory.wrap(b), serde)
+          Some(sk.getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+            .map(r => (r.getItem, r.getEstimate))
+            .sortBy { case (item, est) => (-est, item) }
+            .take(k).toSeq)
+        })
+  }
 }

@@ -97,4 +97,24 @@ object Kll {
     udf((b: Array[Byte]) =>
       if (b == null) 0L else KllDoublesSketch.heapify(Memory.wrap(b)).getN)
       .apply(sketch)
+
+  /** Expose the sketch family on the SQL string surface:
+    * `graft_kll_agg(double)`, `graft_kll_merge(binary)`,
+    * `graft_kll_quantile(binary, double)`. Session-scoped registration
+    * (udaf-backed aggregates cannot ride SparkSessionExtensions'
+    * expression injection).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession, k: Int = DefaultK): Unit = {
+    spark.udf.register("graft_kll_agg",
+      org.apache.spark.sql.functions.udaf(new SketchAgg(k), Encoders.DOUBLE))
+    spark.udf.register("graft_kll_merge",
+      org.apache.spark.sql.functions.udaf(new MergeAgg(k), Encoders.BINARY))
+    spark.udf.register("graft_kll_quantile",
+      (b: Array[Byte], q: Double) =>
+        if (b == null) None
+        else {
+          val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+          if (sk.isEmpty) None else Some(sk.getQuantile(q))
+        })
+  }
 }

@@ -98,6 +98,10 @@ object UpsertIgnore {
     *        files as the committer moves them), and a crashed append
     *        leaves only an orphan generation the rerun reclaims. Read
     *        the table back with `TxTable.read`.
+    * @param statsCols transactional only: log per-generation min/max of
+    *        these columns in the manifest so `TxTable.readWhere` can
+    *        skip generations — an append stream keyed by time or id
+    *        blocks gets range-pruned reads for free.
     */
   def apply(
       spark: SparkSession,
@@ -106,7 +110,8 @@ object UpsertIgnore {
       keys: Seq[String],
       pruneCol: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      transactional: Boolean = false): Result = {
+      transactional: Boolean = false,
+      statsCols: Seq[String] = Nil): Result = {
     val batch = incoming.cache()
     try {
       val total = batch.count()
@@ -115,7 +120,7 @@ object UpsertIgnore {
           case None =>
             if (total > 0)
               TxTable.commit(spark, batch, targetPath, partitionBy,
-                replaceAll = true)
+                replaceAll = true, statsCols = statsCols)
             return Result(total, 0)
           case Some(m) =>
             val existingAll = TxTable.read(spark, targetPath).get
@@ -125,7 +130,8 @@ object UpsertIgnore {
             val inserted = delta.count()
             if (inserted > 0)
               TxTable.commit(spark, delta, targetPath, partitionBy,
-                append = true, expectedVersion = Some(m.version))
+                append = true, expectedVersion = Some(m.version),
+                statsCols = statsCols)
             return Result(inserted, total - inserted)
         }
       }

@@ -50,4 +50,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()
     assert(r.length == 3 && r.forall(!_.isNullAt(1)))
   }
+
+  test("sketch aggregates are callable from SQL and match the exact answer") {
+    registered
+    graft.functions.Kll.register(spark)
+    graft.functions.FreqItems.register(spark)
+    // l_linenumber is uniform 1-7: wide rank bands make the KLL median
+    // deterministic, and 7 distinct values keep the FI sketch exact
+    val row = spark.sql(
+      """SELECT
+        |  CAST(graft_kll_quantile(
+        |    graft_kll_agg(CAST(l_linenumber AS DOUBLE)), 0.5) AS BIGINT)
+        |    AS med,
+        |  graft_fi_topk(graft_fi_agg(CAST(l_linenumber AS STRING)), 1)
+        |    AS top1
+        |FROM lineitem""".stripMargin).head()
+    val exact = spark.sql(
+      """SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_linenumber)
+        |  AS BIGINT) FROM lineitem""".stripMargin).head().getLong(0)
+    assert(row.getLong(0) === exact)
+    val top = row.getSeq[org.apache.spark.sql.Row](1).head
+    val exactTop = spark.sql(
+      """SELECT CAST(l_linenumber AS STRING) AS v, count(*) AS c
+        |FROM lineitem GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 1""".stripMargin)
+      .head()
+    assert(top.getString(0) === exactTop.getString(0) &&
+      top.getLong(1) === exactTop.getLong(1))
+  }
 }

@@ -96,6 +96,17 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.readWhere(spark, dir, "k", 0.0, 10.0).get.count() === 1)
   }
 
+  test("stats skipping: transactional upsert-ignore appends carry statsCols") {
+    val dir = tmpDir("txstatsu") + "/t"
+    import graft.sinks.UpsertIgnore
+    for (block <- 1 to 3) // disjoint id blocks per append — time/id-keyed ingest
+      UpsertIgnore(spark,
+        (0 until 20).map(i => (block * 1000L + i, s"v$block")).toDF("id", "v"),
+        dir, keys = Seq("id"), transactional = true, statsCols = Seq("id"))
+    assert(TxTable.pruneEffect(spark, dir, "id", 2000.0, 2019.0) === ((1, 3)))
+    assert(TxTable.readWhere(spark, dir, "id", 2000.0, 2019.0).get.count() === 20)
+  }
+
   test("schema evolution: an append that adds a column reads back null-filled") {
     val dir = tmpDir("txse") + "/t"
     TxTable.commit(spark, Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k"),
