@@ -154,4 +154,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"tf shuffle not reused — corpus scanned twice:\n$p")
   }
+
+  test("q18 aggregates the fact BEFORE joining; no hint pins the build side") {
+    val p = plan("tpch_q18_large_orders")
+    // partial->final aggregate of lineitem feeds the join, never the
+    // other way round (the anti-shape multiplies rows pre-aggregate)
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"aggregate does not feed the join (agg@$aggIdx join@$joinIdx)")
+    assert(p.contains("TakeOrderedAndProject"), "top-k global-sorted")
+  }
+
+  test("q21 self-joins stay semi/anti — no nested loop, no row multiplication") {
+    val p = plan("tpch_q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as left-semi:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as left-anti:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi self-join degenerated to a nested loop:\n$p")
+  }
+
+  test("psi drift is one unioned aggregation into O(bins) groups") {
+    val p = plan("drift_psi_price")
+    // both sides scan lineitem with their shipdate filter pushed down;
+    // the union aggregates once (partial+final), then window math runs
+    // over the O(bins) result
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 fact scans (ref+cur sides), got $scans")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate split not pushed to the scans")
+  }
 }
