@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] BM25 keyword retrieval over the document corpus — the lexical
+  * search half of a retrieval stack (the embedding top-k is the other
+  * half; production RAG pipelines run both and fuse).
+  *
+  * Scale shape: the corpus is scanned ONCE — tokens explode, non-query
+  * terms drop IMMEDIATELY (the query term set broadcasts as a literal
+  * in-filter, so the explode's output is O(matching postings), never a
+  * full posting list), term frequencies aggregate map-combinably, the
+  * O(|query|) document-frequency table broadcast-joins back, and the
+  * final per-document score is a TakeOrdered top-k. Corpus constants
+  * (N, average document length) are one tiny driver aggregate — sample
+  * METADATA, like the IVF centroid table.
+  */
+object Bm25 {
+
+  /** Okapi BM25 with the non-negative idf variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    *
+    * @return (idCol, score, matched) top-k by score (ties broken by id),
+    *         score rounded to 6 decimals for cross-engine stability.
+    */
+  def search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    // corpus constants: O(1) driver metadata from one aggregate
+    val cRow = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+    val n = cRow.getLong(0)
+    val avgdl = cRow.getDouble(1)
+    require(n > 0, "BM25 over an empty corpus")
+
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(query: _*))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency per query term: O(|query|) rows, broadcast back
+    val dfT = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    tf.join(broadcast(dfT), "__term")
+      .withColumn("__score",
+        idf * col("__tf") * (lit(k1) + 1.0) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg(round(sum("__score"), 6).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

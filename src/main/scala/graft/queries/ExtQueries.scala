@@ -426,6 +426,14 @@ object ExtQueries {
           round(col("mean_cur"), 6).as("mean_cur"))
     }),
 
+    // BM25 keyword retrieval (ext.Bm25): one corpus scan, postings
+    // pruned to the query terms at the explode, O(|query|) df table
+    // broadcast back, TakeOrdered top-k — the lexical half of a
+    // retrieval stack next to ext_cosine_topk's embedding half.
+    "ext_bm25_search" -> ((s, dir) =>
+      graft.ext.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "filter", "scan"), k = 25)),
+
     // Corpus length histogram per source: bucketed doc sizes.
     "ext_length_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1034,6 +1042,26 @@ object ExtQueries {
         |  round(avg(val) FILTER (WHERE side = 'ref'), 6) AS mean_ref,
         |  round(avg(val) FILTER (WHERE side = 'cur'), 6) AS mean_cur
         |FROM t GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "ext_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, u.term, count(*) AS tf
+        |  FROM base, unnest(toks) AS u(term)
+        |  WHERE u.term IN ('join', 'filter', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) CROSS JOIN c)
+        |SELECT doc_id, round(sum(s), 6) AS score, count(*) AS matched
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     "ext_length_histogram" ->
       """SELECT source,
