@@ -434,6 +434,23 @@ object ExtQueries {
       graft.ext.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
         Seq("join", "filter", "scan"), k = 25)),
 
+    // Hybrid retrieval: RRF fusion of the BM25 lexical list and the
+    // embedding cosine list (doc_id == vec_id in the testdata) — the
+    // production hybrid-search composition; fusion is rank-only, so no
+    // cross-ranker score calibration.
+    "ext_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.ext.Retrieval.ranked(
+        graft.ext.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
+          Seq("join", "filter", "scan"), k = 25),
+        "doc_id", "score")
+      val sem = graft.ext.Retrieval.ranked(
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+            "embedding", queryVector(s, dir), 25)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "score")
+      graft.ext.Retrieval.rrf(Seq(lex, sem), "doc_id", k = 10)
+    }),
+
     // Corpus length histogram per source: bucketed doc sizes.
     "ext_length_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1062,6 +1079,41 @@ object ExtQueries {
         |SELECT doc_id, round(sum(s), 6) AS score, count(*) AS matched
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    "ext_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, u.term, count(*) AS tf
+        |  FROM base, unnest(toks) AS u(term)
+        |  WHERE u.term IN ('join', 'filter', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) CROSS JOIN c),
+        |bm AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc
+        |       GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 25),
+        |bmr AS (SELECT doc_id, row_number() OVER (
+        |          ORDER BY score DESC, doc_id ASC) AS rank FROM bm),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |         round(list_dot_product(e.v, q.qv)
+        |           / (sqrt(list_dot_product(e.v, e.v))
+        |              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+        |       FROM e, q ORDER BY score DESC, doc_id ASC LIMIT 25),
+        |csr AS (SELECT doc_id, row_number() OVER (
+        |          ORDER BY score DESC, doc_id ASC) AS rank FROM cs),
+        |u AS (SELECT * FROM bmr UNION ALL SELECT * FROM csr)
+        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "ext_length_histogram" ->
       """SELECT source,

@@ -32,4 +32,22 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id", "matched").as[(Long, Long)].collect().toMap
     assert(got(1L) === 2L && got(2L) === 2L && got(4L) === 1L)
   }
+
+  test("rrf: fused score is the sum of reciprocal ranks; single-list ids survive") {
+    import graft.ext.Retrieval
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((20L, 0.99), (40L, 0.5)).toDF("doc_id", "score")
+    val fused = Retrieval.rrf(
+      Seq(Retrieval.ranked(a, "doc_id", "score"),
+        Retrieval.ranked(b, "doc_id", "score")),
+      "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byId = fused.map(t => t._1 -> t).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    // 20 appears rank2 in a, rank1 in b
+    assert(math.abs(byId(20L)._2 - math.rint((rr(2) + rr(1)) * 1e6) / 1e6) < 1e-9)
+    assert(byId(20L)._3 === 2L && byId(40L)._3 === 1L)
+    // both-lists doc outranks every single-list doc here
+    assert(fused.head._1 === 20L)
+  }
 }
