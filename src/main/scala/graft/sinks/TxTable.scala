@@ -416,6 +416,74 @@ object TxTable {
       case None           => true
     }
 
+  /** Delete rows with `colName` in [lower, upper] — the
+    * right-to-be-forgotten operation — rewriting ONLY the directories
+    * whose recorded stats ranges can contain matching rows: untouched
+    * generations carry over by manifest reference, byte-identical and
+    * never read. With per-batch key ranges logged at ingest
+    * (`commit(statsCols=...)`), deleting one batch's key block rewrites
+    * O(matching generations), not the table. Publication is one atomic
+    * manifest rename like every commit; deleted rows stay reachable via
+    * time travel until `vacuum`.
+    *
+    * @return number of rows deleted (0 = no directory overlapped or no
+    *         row matched; a no-match overlap still rewrites the
+    *         directories it had to read to know)
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      target: String,
+      colName: String,
+      lower: Double,
+      upper: Double,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val m = currentManifest(spark, target).getOrElse(return 0L)
+    if (m.entries.isEmpty) return 0L
+    val touched = m.entries.filter(e =>
+      statsOverlap(m, e._2, colName, lower, upper))
+    if (touched.isEmpty) return 0L
+    val touchedDirs = touched.map(_._2).toSet
+    val untouched = m.entries.filterNot(e => touchedDirs(e._2))
+
+    val partCols = touched.map(_._1).find(_.nonEmpty)
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Nil)
+    val touchedDf = readManifestData(spark, target, m.copy(entries = touched))
+    val surviving = touchedDf
+      .filter(!col(colName).cast("double").between(lower, upper))
+      .localCheckpoint(false)
+    val deleted = touchedDf.count() - surviving.count()
+
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val newV = m.version + 1
+    val genRel = s"gen=$newV"
+    val genDir = new Path(new Path(root, DataDir), genRel)
+    if (f.exists(genDir)) f.delete(genDir, true)
+    val hasSurvivors = !surviving.isEmpty
+    val newEntries: Seq[(String, String)] =
+      if (!hasSurvivors) Nil
+      else {
+        val w = surviving.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(genDir.toString)
+        val leaves =
+          if (partCols.isEmpty) Seq("")
+          else leafRelPaths(f, genDir).map(_.stripPrefix("/"))
+        leaves.map(l => l -> (if (l.isEmpty) genRel else s"$genRel/$l"))
+      }
+    val newStats =
+      if (!hasSurvivors) Map.empty[String, Map[String, (Double, Double)]]
+      else statsFor(surviving, statsCols, partCols, genRel,
+        newEntries.map(_._2).toSet)
+    val liveDirs = (untouched ++ newEntries).map(_._2).toSet
+    writeManifest(f, new Path(root, LogDir),
+      Manifest(newV, m.deltaIds, untouched ++ newEntries, m.schema,
+        m.stats.filter(kv => liveDirs(kv._1)) ++ newStats))
+    deleted
+  }
+
   /** Union-of-columns schema merge for partial/append commits: fields
     * present in both sides must agree on type exactly (a silent cast
     * across generations is data corruption — type changes go through a

@@ -107,6 +107,36 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.readWhere(spark, dir, "id", 2000.0, 2019.0).get.count() === 20)
   }
 
+  test("deleteWhere: stats-pruned delete rewrites only overlapping generations") {
+    val dir = tmpDir("txdel") + "/t"
+    for (day <- 1 to 4)
+      TxTable.commit(spark,
+        (0 until 10).map(i => (day * 100L + i, s"d$day")).toDF("ts", "tag"),
+        dir, Nil, append = day > 1, statsCols = Seq("ts"))
+    val before = TxTable.currentManifest(spark, dir).get
+    // delete day 2's block: only its generation overlaps
+    val deleted = TxTable.deleteWhere(spark, dir, "ts", 200.0, 299.0,
+      statsCols = Seq("ts"))
+    assert(deleted === 10L)
+    val after = TxTable.currentManifest(spark, dir).get
+    // three untouched generations carry over BY REFERENCE (same dirs)
+    val carried = before.dirs.toSet.intersect(after.dirs.toSet)
+    assert(carried.size === 3, s"carried=$carried")
+    val left = TxTable.read(spark, dir).get.select("ts").as[Long]
+      .collect().sorted
+    assert(left.length === 30 && !left.exists(t => t >= 200 && t <= 299))
+    // time travel still sees the deleted rows until vacuum
+    assert(TxTable.readAt(spark, dir, before.version).count() === 40)
+    // delete with no overlapping stats range touches nothing
+    assert(TxTable.deleteWhere(spark, dir, "ts", 9000.0, 9999.0) === 0L)
+    assert(TxTable.currentManifest(spark, dir).get.version === after.version)
+    // deleting a range with survivors inside the touched generation
+    val d2 = TxTable.deleteWhere(spark, dir, "ts", 100.0, 104.0,
+      statsCols = Seq("ts"))
+    assert(d2 === 5L)
+    assert(TxTable.read(spark, dir).get.count() === 25)
+  }
+
   test("schema evolution: an append that adds a column reads back null-filled") {
     val dir = tmpDir("txse") + "/t"
     TxTable.commit(spark, Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k"),
