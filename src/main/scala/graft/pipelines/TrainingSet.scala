@@ -151,10 +151,13 @@ object TrainingSet {
     val packs = packed.select("pack_id").distinct().count()
 
     // 7: atomic append into the training table, replay-protected even
-    // when nothing survived (the store side effects above are real)
+    // when nothing survived (the store side effects above are real).
+    // Doc-id stats ride the manifest so a later takedown request
+    // (TxTable.deleteWhere on the id) rewrites only the batches that
+    // can contain the id — not the whole training table.
     if (afterSubstring > 0)
       TxTable.commit(spark, packed, targetPath, partitionBy = Seq("batch_id"),
-        deltaId = Some(deltaId), append = true)
+        deltaId = Some(deltaId), append = true, statsCols = Seq(idCol))
     else
       TxTable.recordDelta(spark, targetPath, deltaId)
     Report(input, afterGates, afterDecontaminate, afterExact, afterNearDup,
