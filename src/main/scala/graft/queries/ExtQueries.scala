@@ -165,6 +165,27 @@ object ExtQueries {
         "doc_id", "text", minLen = 40)
         .orderBy("id_a", "id_b")),
 
+    // Incremental substring dedup, FULLY oracled (upgrades the spec-only
+    // trust chain): two store-backed ingests over a split corpus must
+    // report exactly the pairs the one-shot operator (and the DuckDB
+    // all-pairs oracle) reports over the union — winnowing guarantees
+    // candidate recall, the gram-set verify keeps precision exact, so
+    // the hash must match, not just overlap.
+    "ext_substring_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_incsub").toString + "/store"
+      val out = graft.ext.IncrementalSubstring.ingest(s,
+          docs.filter(col("doc_id") < 150), "doc_id", "text", store, 40)
+        .unionByName(graft.ext.IncrementalSubstring.ingest(s,
+          docs.filter(col("doc_id") >= 150), "doc_id", "text", store, 40))
+        .orderBy("id_a", "id_b").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // n-gram Jaccard pairs over a bounded id range (oracled: DuckDB list
     // comprehension mirrors the gram sets exactly; threshold 0.0 keeps
     // every pair, so this is the unfiltered top-20 — computed on hashed
@@ -949,6 +970,19 @@ object ExtQueries {
     // docs shorter than 40 chars cannot contain a 40-char span and are
     // excluded outright (mirrors the operator's eligibility filter)
     "ext_substring_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 40)
+        |      for i in range(1, length(text) - 39 + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 300 AND length(text) >= 40)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM g x, g y WHERE x.doc_id < y.doc_id
+        |  AND len(list_intersect(x.grams, y.grams)) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical oracle to ext_substring_pairs: the incremental two-
+    // ingest run must equal the one-shot answer exactly
+    "ext_substring_incr" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([substr(text, i, 40)
