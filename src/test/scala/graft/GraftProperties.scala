@@ -270,4 +270,26 @@ object GraftProperties extends Properties("graft") {
         .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
       binned == naive // same multiset: every pair exactly once, none invented
     }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString).map(_.take(12))
+  private val histGen: Gen[List[(String, Long)]] = for {
+    words <- Gen.nonEmptyListOf(wordGen).map(_.distinct.take(20))
+    cnts <- Gen.listOfN(words.size, Gen.choose(1L, 50L))
+  } yield words.zip(cnts)
+
+  property("bpe: encode tokens always reassemble the word; training is histogram-order independent") =
+    forAll(histGen) { hist =>
+      import graft.ext.Bpe
+      val merges = Bpe.trainLocal(hist, 30)
+      val shuffled = Bpe.trainLocal(hist.reverse, 30)
+      val ranks = merges.zipWithIndex.toMap
+      val reassembles = hist.forall { case (w, _) =>
+        val toks = Bpe.encodeWord(w, ranks)
+        toks.nonEmpty && toks.mkString == w + Bpe.EndOfWord
+      }
+      // a distributed collect delivers the histogram in arbitrary order;
+      // the learned merges must not depend on it
+      (merges == shuffled) && reassembles
+    }
 }
