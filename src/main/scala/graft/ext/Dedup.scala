@@ -417,25 +417,34 @@ object Dedup {
     * near-dup (text) and random-hyperplane LSH (embeddings); callers
     * verify candidates with their own exact metric.
     */
+  /** Pigeonhole signature chunks of a 64-bit simhash/RP-LSH signature:
+    * maxHamming+1 disjoint bit ranges as (chunk, cval) structs — two
+    * signatures within `maxHamming` bits MUST agree on at least one
+    * chunk, the blocking guarantee both the one-shot and incremental
+    * embedding dedups probe on.
+    */
+  private[graft] def shChunks(sh: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"chunk blocking needs 0 <= maxHamming <= 31, got $maxHamming")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    array((0 until nChunks).map { c =>
+      val piece =
+        if (c == nChunks - 1) shiftrightunsigned(sh, c * chunkBits)
+        else shiftrightunsigned(sh, c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))
+      struct(lit(c).as("chunk"), piece.as("cval"))
+    }: _*)
+  }
+
   private[graft] def hammingCandidates(
       sh: DataFrame, // (doc_id, sh: long)
       maxHamming: Int,
       maxBucket: Int): DataFrame = {
     // 64/(maxHamming+1) must leave >= 1 bit per chunk or every row lands
     // in one degenerate bucket (all chunk values 0) — reject loudly
-    require(maxHamming >= 0 && maxHamming <= 31,
-      s"chunk blocking needs 0 <= maxHamming <= 31, got $maxHamming")
-    val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
-    val chunkStructs = (0 until nChunks).map { c =>
-      val piece =
-        if (c == nChunks - 1) shiftrightunsigned(col("sh"), c * chunkBits)
-        else shiftrightunsigned(col("sh"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))
-      struct(lit(c).as("chunk"), piece.as("cval"))
-    }
     sh
-      .select(col("doc_id"), explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("doc_id"), explode(shChunks(col("sh"), maxHamming)).as("cc"))
       .groupBy(col("cc.chunk"), col("cc.cval"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
