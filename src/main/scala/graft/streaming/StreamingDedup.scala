@@ -103,6 +103,46 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the incremental EMBEDDING near-dup
+    * (`IncrementalEmbedDedup`): each micro-batch of vectors probes and
+    * grows the durable signature store — every arriving embedding is
+    * checked against the accumulated corpus in O(batch + collisions),
+    * same crash semantics as the text forms (idempotent store,
+    * batchId-stamped pair log, consumer-side distinct).
+    */
+  def ingestEmbeddingsAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      vecCol: String,
+      storePath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      params: graft.ext.IncrementalEmbedDedup.Params =
+        graft.ext.IncrementalEmbedDedup.Params(),
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalEmbedDedup.ingest(
+            batch.sparkSession, batch, idCol, vecCol, storePath, params)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** The substring-pair log, deduped on the pair key (see `pairs`). */
   def substringPairs(spark: SparkSession, pairsPath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsPath)

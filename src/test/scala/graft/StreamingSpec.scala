@@ -296,4 +296,34 @@ class StreamingSpec extends SparkSpec {
     maintain("ckpt2")
     assert(state == direct)
   }
+
+  test("streaming embedding ingest over micro-batches == one-shot pairs") {
+    val vecs = graft.queries.ExtQueries
+      .plantedNearDupVectors(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val schema = vecs.schema
+    val work = tmpDir("streamembed")
+    // base vectors and their planted twins in separate files -> separate
+    // micro-batches: every twin pair must surface cross-batch
+    for (half <- Seq(0, 1))
+      vecs.filter(if (half == 0) col("vec_id") < 10000
+                  else col("vec_id") >= 10000)
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val P = graft.ext.IncrementalEmbedDedup.Params(
+      threshold = 0.99, maxHamming = 10)
+    val nb = graft.streaming.StreamingDedup.ingestEmbeddingsAvailableNow(
+      spark, s"$work/src", schema, "vec_id", "v",
+      s"$work/store", s"$work/pairs", s"$work/ckpt", P,
+      maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    val streamed = spark.read.parquet(s"$work/pairs")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ext.Similarity
+      .rpNearDups(vecs, "vec_id", "v", threshold = 0.99, maxHamming = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot && oneShot.nonEmpty,
+      s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
+  }
 }
