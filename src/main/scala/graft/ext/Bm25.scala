@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * search half of a retrieval stack (the embedding top-k is the other
   * half; production RAG pipelines run both and fuse).
   *
-  * Scale shape: the corpus is scanned ONCE — tokens explode, non-query
+  * Scale shape: one constants pass (count + average length; skippable
+  * via the `constants` parameter) plus ONE postings pass — tokens
+  * explode, non-query
   * terms drop IMMEDIATELY (the query term set broadcasts as a literal
   * in-filter, so the explode's output is O(matching postings), never a
   * full posting list), term frequencies aggregate map-combinably, the
@@ -31,16 +33,23 @@ object Bm25 {
       query: Seq[String],
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      // (corpus size, average doc length): supply from table stats to
+      // skip the constants pass at scale
+      constants: Option[(Long, Double)] = None): DataFrame = {
     require(query.nonEmpty, "BM25 needs at least one query term")
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
-    // corpus constants: O(1) driver metadata from one aggregate
-    val cRow = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
-    val n = cRow.getLong(0)
-    val avgdl = cRow.getDouble(1)
-    require(n > 0, "BM25 over an empty corpus")
+    // corpus constants: O(1) driver metadata from one aggregate. This
+    // is a second pass over the text column (the postings pass is the
+    // other); at scale pass `constants` in from table stats instead.
+    val (n, avgdl) = constants.getOrElse {
+      val cRow = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+      require(cRow.getLong(0) > 0, "BM25 over an empty corpus")
+      (cRow.getLong(0), cRow.getDouble(1))
+    }
+    require(n > 0, "BM25 needs a positive corpus count")
 
     val tf = base
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))

@@ -2,7 +2,7 @@ package graft.ext
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training and application — the tokenizer
@@ -164,25 +164,32 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       merges.zipWithIndex.toMap: Map[(String, String), Int])
     val wordRe = WordRe.r
-    val in: Dataset[(Long, String)] = df
-      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
-      .as[(Long, String)]
+    // Row-based mapPartitions so the id keeps its ORIGINAL type — a
+    // cast("long") would null out string ids and crash the encoder
+    val in = df.select(col(idCol), coalesce(col(textCol), lit("")).as("__text"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields.head,
+      org.apache.spark.sql.types.StructField("bpe_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("words",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     in.mapPartitions { it =>
       val ranks = bc.value
       val memo = mutable.HashMap.empty[String, Int]
-      it.map { case (id, text) =>
+      it.map { row =>
+        val text = row.getString(1)
         var toks = 0L
         var nWords = 0L
         wordRe.findAllIn(text.toLowerCase).foreach { w =>
           nWords += 1
           toks += memo.getOrElseUpdate(w, encodeWord(w, ranks).length)
         }
-        (id, toks, nWords)
+        org.apache.spark.sql.Row(row.get(0), toks, nWords)
       }
-    }.toDF(idCol, "bpe_tokens", "words")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF(idCol, "bpe_tokens", "words")
   }
 }

@@ -40,7 +40,17 @@ object EmbeddingDrift {
     */
   def centroidShift(
       ref: DataFrame, cur: DataFrame, vecCol: String): (Double, Double, Double, Double) = {
-    val rows = perDimCentroids(ref, cur, vecCol).collect()
+    val raw = perDimCentroids(ref, cur, vecCol).collect()
+    // a null mean = that side has no value at this dimension (different
+    // dimensionality, or an empty side): a cosine between spaces of
+    // different shape is meaningless — fail with the diagnosis instead
+    // of a bare NPE
+    val badDims = raw.filter(r =>
+      r.isNullAt(r.fieldIndex("mean_ref")) || r.isNullAt(r.fieldIndex("mean_cur")))
+    require(badDims.isEmpty,
+      s"centroidShift: ref/cur disagree on dimensionality or a side is " +
+        s"empty (dims ${badDims.map(_.getInt(0)).toSeq.sorted.take(5).mkString(",")}...)")
+    val rows = raw
       .map(r => (r.getDouble(r.fieldIndex("mean_ref")),
         r.getDouble(r.fieldIndex("mean_cur"))))
     val dot = rows.map { case (a, b) => a * b }.sum

@@ -25,8 +25,9 @@ import graft.sinks.UpsertIgnore
   * Per-ingest shape, mirroring `IncrementalDedup.ingest`:
   *  - the batch's distinct (chunk, cval) keys BROADCAST against ONE scan
   *    of the stored sigs (the store is never shuffled);
-  *  - store-side buckets above `maxBucket` drop as degenerate hubs, the
-  *    same cap the one-shot blocking applies;
+  *  - buckets whose COMBINED (batch + stored) size exceeds `maxBucket`
+  *    drop as degenerate hubs — the same cap, measured over the same
+  *    union, as the one-shot blocking;
   *  - candidates verify by exact cosine against stored vectors read
   *    semi-join-pruned to the colliding ids;
   *  - precision is exact (every reported pair passed the cosine), and
@@ -67,6 +68,10 @@ object IncrementalEmbedDedup {
 
     val e = batch
       .select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("v"))
+      // ids are keys: a duplicated id in one batch would self-pair,
+      // multiply candidate joins, and write duplicate store rows the
+      // keyed registration could never clean up
+      .dropDuplicates("doc_id")
       .withColumn("n", sqrt(dt(col("v"), col("v"))))
       .withColumn("sh", call_function("graft_rplsh", col("v"), lit(64)))
       .localCheckpoint(false) // chunks, verify, registration all read it
@@ -77,16 +82,27 @@ object IncrementalEmbedDedup {
         col("cc.cval").as("cval"))
       .localCheckpoint(false) // probe, in-batch buckets, registration
 
-    // new-vs-new: the one-shot bucket machinery on the batch alone
-    val inBatch = chunks
+    // the cap must apply to the COMBINED (batch + stored) bucket, or the
+    // incremental run diverges from the one-shot operator at the cap
+    // boundary in both directions: a union bucket over the cap would
+    // expand here, and a degenerate batch hub would bypass the store-
+    // side-only cap. Bucket sizes are O(keys) metadata. (A re-ingested
+    // doc counts on both sides, so its buckets drop marginally earlier —
+    // the idempotent-replay path, documented, never the growth path.)
+    val batchCnt = chunks.groupBy("chunk", "cval").count()
+      .withColumnRenamed("count", "__bc")
+    def inBatchPairs(okKeys: DataFrame) = chunks
+      .join(okKeys, Seq("chunk", "cval"), "left_semi")
       .groupBy("chunk", "cval")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= params.maxBucket)
+      .filter(size(col("ids")) > 1)
       .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
     val candidates =
-      (if (!storeExists) inBatch
+      (if (!storeExists)
+         inBatchPairs(batchCnt.filter(col("__bc") <= params.maxBucket)
+           .select("chunk", "cval"))
        else {
          // ONE store scan, batch chunk keys broadcast — the store side
          // never shuffles (the IncrementalDedup.probeHot shape)
@@ -94,18 +110,21 @@ object IncrementalEmbedDedup {
            .join(broadcast(chunks.select("chunk", "cval").distinct()),
              Seq("chunk", "cval"), "left_semi")
            .localCheckpoint(false)
-         val hotOk = hot.join(
-           hot.groupBy("chunk", "cval").count()
-             .filter(col("count") <= params.maxBucket)
-             .select("chunk", "cval"),
-           Seq("chunk", "cval"), "left_semi")
+         val okKeys = hot.groupBy("chunk", "cval").count()
+           .withColumnRenamed("count", "__sc")
+           .join(batchCnt, Seq("chunk", "cval"), "full_outer")
+           .filter(coalesce(col("__sc"), lit(0L)) +
+             coalesce(col("__bc"), lit(0L)) <= params.maxBucket)
+           .select("chunk", "cval")
+           .localCheckpoint(false) // gates the cross AND in-batch sides
          val cross = chunks
-           .join(hotOk.withColumnRenamed("doc_id", "store_id"),
+           .join(hot.join(okKeys, Seq("chunk", "cval"), "left_semi")
+             .withColumnRenamed("doc_id", "store_id"),
              Seq("chunk", "cval"))
            .filter(col("doc_id") =!= col("store_id"))
            .select(least(col("doc_id"), col("store_id")).as("id_a"),
              greatest(col("doc_id"), col("store_id")).as("id_b"))
-         cross.unionByName(inBatch)
+         cross.unionByName(inBatchPairs(okKeys))
        })
         .distinct()
         .localCheckpoint(false) // prunes the verify side AND joins it

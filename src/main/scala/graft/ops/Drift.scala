@@ -42,9 +42,13 @@ object Drift {
     def bin(c: Column): Column =
       least(greatest(floor((c - lit(lo)) / lit(w)), lit(0.0)),
         lit((nBins - 1).toDouble)).cast("long")
-    val tagged = ref.select(bin(col(valueCol)).as("bin"), lit("ref").as("side"))
-      .unionByName(
-        cur.select(bin(col(valueCol)).as("bin"), lit("cur").as("side")))
+    // nulls are EXCLUDED on both sides: PSI compares distributions of
+    // observed values; null-rate drift is a separate check (count the
+    // nulls, don't let them silently deflate every real bin's share)
+    val tagged = ref.filter(col(valueCol).isNotNull)
+      .select(bin(col(valueCol)).as("bin"), lit("ref").as("side"))
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select(bin(col(valueCol)).as("bin"), lit("cur").as("side")))
     val counts = tagged
       .groupBy("bin")
       .agg(count(when(col("side") === "ref", 1)).as("n_ref"),
@@ -68,7 +72,9 @@ object Drift {
   /** Scalar PSI (sum of contributions). Action. */
   def psi(
       ref: DataFrame, cur: DataFrame, valueCol: String,
-      lo: Double, hi: Double, nBins: Int): Double =
-    psiFixedBins(ref, cur, valueCol, lo, hi, nBins)
-      .agg(sum("contrib")).head().getDouble(0)
+      lo: Double, hi: Double, nBins: Int): Double = {
+    val r = psiFixedBins(ref, cur, valueCol, lo, hi, nBins)
+      .agg(sum("contrib")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // both sides empty = no drift signal
+  }
 }

@@ -50,4 +50,12 @@ class Bm25Spec extends SparkSpec {
     // both-lists doc outranks every single-list doc here
     assert(fused.head._1 === 20L)
   }
+
+  test("bm25: empty corpus fails with the diagnostic, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.search(empty, "doc_id", "text", Seq("join"), 5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
 }

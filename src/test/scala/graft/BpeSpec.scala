@@ -49,4 +49,12 @@ class BpeSpec extends SparkSpec {
       }
     assert(got.toSeq === expect)
   }
+
+  test("bpe: token counts preserve non-numeric id types") {
+    val df = Seq(("doc-a", "low low"), ("doc-b", "widest")).toDF("id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text", 100), 2)
+    val got = Bpe.tokenCounts(spark, df, "id", "text", merges)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq === Seq(("doc-a", 2L), ("doc-b", 1L)))
+  }
 }

@@ -25,4 +25,14 @@ class DriftSpec extends SparkSpec {
     val psi = Drift.psi(ref, cur, "v", 0, 100, 4)
     assert(!psi.isNaN && psi > 0)
   }
+
+  test("psi: nulls are excluded, not binned; empty inputs score 0") {
+    val ref = Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)).toDF("v")
+    val curWithNulls = Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0),
+      None, None).toDF("v")
+    // same observed distribution + nulls: drift must be ~0
+    assert(math.abs(Drift.psi(ref, curWithNulls, "v", 0, 50, 5)) < 1e-9)
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    assert(Drift.psi(empty, empty, "v", 0, 50, 5) === 0.0)
+  }
 }

@@ -30,4 +30,13 @@ class EmbeddingDriftSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     assert(rows.toSeq === Seq((0, 2.0, 5.0), (1, 15.0, 40.0)))
   }
+
+  test("dimension mismatch fails with a diagnosis, not an NPE") {
+    val ref = vecs(Seq(Array(1f, 2f)))
+    val cur = vecs(Seq(Array(1f, 2f, 3f)))
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingDrift.centroidShift(ref, cur, "embedding")
+    }
+    assert(e.getMessage.contains("dimensionality"))
+  }
 }

@@ -53,4 +53,14 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(storeRows == n1, "re-ingest duplicated store rows")
     assert(again == first, s"missing=${first -- again} extra=${again -- first}")
   }
+
+  test("duplicated ids in one batch neither self-pair nor duplicate the store") {
+    val store = tmpDir("incembed3") + "/store"
+    val v = universe.filter(col("vec_id") < 10)
+    val doubled = v.unionByName(v) // every id twice in one batch
+    val pairs = pairsOf(IncrementalEmbedDedup.ingest(spark, doubled, "vec_id",
+      "v", store, P))
+    assert(pairs.forall { case (a, b) => a != b }, s"self-pairs in $pairs")
+    assert(spark.read.parquet(s"$store/vecs").count() === v.count())
+  }
 }
