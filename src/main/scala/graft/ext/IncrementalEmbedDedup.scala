@@ -67,7 +67,12 @@ object IncrementalEmbedDedup {
     val dt = dotAuto(spark) _
 
     val e = batch
-      .select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("v"))
+      // normalize to array<double> WITH nullable elements: parquet reads
+      // arrays back element-nullable, so a containsNull=false batch
+      // (typed Dataset encoders produce those) would trip the store's
+      // schema-drift guard on the second ingest
+      .select(col(idCol).as("doc_id"),
+        asDouble(col(vecCol)).cast("array<double>").as("v"))
       // ids are keys: a duplicated id in one batch would self-pair,
       // multiply candidate joins, and write duplicate store rows the
       // keyed registration could never clean up

@@ -614,4 +614,31 @@ class ExtSpec extends SparkSpec {
     assert(d.count() == 3) // 1&4 collapse
     assert(d.filter(col("dup_count") === 2).select("keep_id").head().getLong(0) == 1L)
   }
+
+  test("multimodal dedup composes: duplicate payloads found via the embed store") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val media = graft.ext.Multimodal.mediaTable(docs)
+    // plant a byte-identical duplicate of doc 3 under a new id in the
+    // SECOND batch: its decoded feature vector is identical, so the
+    // cross-batch probe must surface (3, 9003) at cosine ~1
+    val dup = media.filter(col("doc_id") === 3)
+      .withColumn("doc_id", lit(9003L))
+    val feats = graft.ext.Multimodal
+      .extractFeatures(spark, media.unionByName(dup),
+        codec = graft.ext.Multimodal.StubCodec)
+      .toDF().select(col("doc_id"), col("feature"))
+    val store = tmpDir("mmdedup") + "/store"
+    val P = graft.ext.IncrementalEmbedDedup.Params(
+      threshold = 0.999999, maxHamming = 10)
+    val p1 = graft.ext.IncrementalEmbedDedup.ingest(spark,
+      feats.filter(col("doc_id") < 9000), "doc_id", "feature", store, P)
+    val p2 = graft.ext.IncrementalEmbedDedup.ingest(spark,
+      feats.filter(col("doc_id") >= 9000), "doc_id", "feature", store, P)
+    val pairs = p1.unionByName(p2).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 9003L)),
+      s"planted duplicate payload not found: $pairs")
+  }
 }
