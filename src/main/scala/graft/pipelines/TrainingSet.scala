@@ -9,11 +9,11 @@ import graft.sinks.TxTable
   * composition the round-4 operators exist for, and the batch-cadence
   * complement of `Curation` (which curates one static corpus):
   *
-  *   repetition + quality gates [+ heavy-hitter stopword gate] ->
-  *   benchmark decontamination -> exact dedup -> INCREMENTAL near-dup
-  *   vs the durable signature store [-> INCREMENTAL verbatim-span dedup
-  *   vs the durable fingerprint store] -> token-budget sequence packing
-  *   -> transactional commit
+  *   repetition + quality gates [+ heavy-hitter stopword gate]
+  *   [+ LM perplexity gate] -> benchmark decontamination -> exact dedup
+  *   -> INCREMENTAL near-dup vs the durable signature store
+  *   [-> INCREMENTAL verbatim-span dedup vs the durable fingerprint
+  *   store] -> token-budget sequence packing -> transactional commit
   *
   * Each `ingest` call processes one batch and folds it into a durable,
   * snapshot-isolated training table:
@@ -60,6 +60,11 @@ object TrainingSet {
     *        dominated by them — the data-driven stopword screen
     * @param maxHhStopwordFrac ceiling on the heavy-hitter token fraction
     *        (only with hhStopwordK > 0)
+    * @param perplexityModel when set, gate docs scoring above
+    *        `maxPerplexity` under this n-gram LM (`NgramLm.train` on a
+    *        trusted reference corpus) — the learned quality screen
+    *        (CCNet-style) beside the rule-based gates
+    * @param maxPerplexity perplexity ceiling (only with perplexityModel)
     */
   def ingest(
       spark: SparkSession,
@@ -78,7 +83,9 @@ object TrainingSet {
       nearDupThreshold: Double = 0.9,
       substringMinLen: Option[Int] = None,
       hhStopwordK: Int = 0,
-      maxHhStopwordFrac: Double = 0.8): Report = {
+      maxHhStopwordFrac: Double = 0.8,
+      perplexityModel: Option[graft.ext.NgramLm.Model] = None,
+      maxPerplexity: Double = Double.MaxValue): Report = {
     if (TxTable.appliedDeltaIds(spark, targetPath).contains(deltaId))
       return Report(0, 0, 0, 0, 0, 0, 0, alreadyApplied = true)
     val input = batch.count()
@@ -104,12 +111,22 @@ object TrainingSet {
           greatest(size(toks), lit(1)).cast("double")
         gated0.filter(hhFrac <= maxHhStopwordFrac)
       }
-    val afterGates = gated.count()
+    // 1c (optional): LM perplexity gate — the learned complement of the
+    // fixed heuristics above: docs that don't look like the trusted
+    // reference corpus (high cross-entropy under its bigram model) drop
+    // here. Model tables are pre-materialized in the Model, so this adds
+    // gram-key joins + one map-combinable fold, never a corpus re-scan.
+    val gatedLm = perplexityModel match {
+      case None    => gated
+      case Some(m) =>
+        graft.ext.NgramLm.perplexityFilter(gated, idCol, textCol, m, maxPerplexity)
+    }
+    val afterGates = gatedLm.count()
 
     // 2: benchmark decontamination — bench gram set broadcasts, the
     // batch is never shuffled to find contamination
     val clean = Decontaminate.removeContaminated(
-      gated, benchmark, idCol, textCol, n = decontaminateN)
+      gatedLm, benchmark, idCol, textCol, n = decontaminateN)
     val afterDecontaminate = clean.count()
 
     // 3: exact dedup inside the batch (cross-batch exact dups are also

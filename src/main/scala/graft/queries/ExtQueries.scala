@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -51,6 +51,17 @@ object ExtQueries {
           TextAnalysis.tokenCount(col("text")), 512)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // N-gram LM perplexity (oracled): the CCNet/Gopher-class learned
+    // quality score — train add-k bigram counts on the corpus itself,
+    // score every document's cross-entropy under them. Training is two
+    // map-combinable aggregates; scoring joins gram keys against the
+    // materialized model tables (AQE broadcasts bounded models).
+    "ext_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = NgramLm.train(docs, "text", k = 0.1)
+      NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
 
     // Gopher-style repetition filters (oracled): documents dominated by
     // a single token or by repeated n-grams are the classic boilerplate
@@ -857,6 +868,27 @@ object ExtQueries {
         |SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
         |  CAST(pos AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t)),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(a) AS w FROM t) GROUP BY w),
+        |big AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS vs FROM uni)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(-avg(log2((big.c + 0.1) / (uni.c + 0.1 * v.vs))), 6)
+        |    AS cross_entropy,
+        |  round(pow(2, -avg(log2((big.c + 0.1) / (uni.c + 0.1 * v.vs)))), 6)
+        |    AS perplexity
+        |FROM bg JOIN big USING (w1, w2) JOIN uni ON bg.w1 = uni.w
+        |  CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_oov_rate" ->
       """WITH tok AS (

@@ -152,4 +152,34 @@ class TrainingSetSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == (1L to 6L).toSet, s"$kept")
   }
+
+  test("LM perplexity gate drops out-of-domain gibberish the rules can't see") {
+    val work = tmpDir("trainlm")
+    // trusted reference corpus: natural-looking english with shared
+    // bigram structure
+    val reference = (1L to 20L).map(i =>
+      (100L + i, s"the quick brown fox number $i jumps over the lazy dog " +
+        s"and the quick dog runs past the brown fox again"))
+      .toDF("doc_id", "text")
+    val model = graft.ext.NgramLm.train(reference, "text", k = 0.1)
+    // gibberish doc: unique non-repeating tokens — passes every fixed
+    // gate (no dominant token, no dup bigrams, fine quality ratios) but
+    // every transition takes the smoothed floor probability
+    val gibberish = (0 until 24).map(j => s"qz${j}v wx${j}k").mkString(" ")
+    val docs = ((1L to 4L).map(i =>
+      (i, s"the quick brown fox also jumps over the lazy dog number $i " +
+        s"and then the brown dog runs past the quick fox")) :+
+      (5L, gibberish)).toDF("doc_id", "text")
+    val ceiling = graft.ext.NgramLm
+      .score(docs.filter(col("doc_id") <= 4), "doc_id", "text", model)
+      .agg(max("perplexity")).collect().head.getDouble(0)
+    val r = TrainingSet.ingest(spark, docs, benchmark,
+      s"$work/store", s"$work/train", "b1",
+      minQuality = 0.0, perplexityModel = Some(model),
+      maxPerplexity = ceiling + 1)
+    assert(r.input == 5 && r.afterGates == 4, s"$r")
+    val kept = TxTable.read(spark, s"$work/train").get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 4L).toSet, s"$kept")
+  }
 }
