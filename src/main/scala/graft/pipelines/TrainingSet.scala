@@ -10,7 +10,8 @@ import graft.sinks.TxTable
   * complement of `Curation` (which curates one static corpus):
   *
   *   repetition + quality gates [+ heavy-hitter stopword gate]
-  *   [+ LM perplexity gate] -> benchmark decontamination -> exact dedup
+  *   [+ LM perplexity gate] [+ NB classifier gate]
+  *   -> benchmark decontamination -> exact dedup
   *   -> INCREMENTAL near-dup vs the durable signature store
   *   [-> INCREMENTAL verbatim-span dedup vs the durable fingerprint
   *   store] -> token-budget sequence packing -> transactional commit
@@ -65,6 +66,12 @@ object TrainingSet {
     *        trusted reference corpus) — the learned quality screen
     *        (CCNet-style) beside the rule-based gates
     * @param maxPerplexity perplexity ceiling (only with perplexityModel)
+    * @param classifierModel when set, gate docs scoring below
+    *        `minClassifierLogOdds` under this Naive Bayes quality
+    *        classifier (`Classifier.train` on positive vs negative
+    *        reference corpora) — the supervised learned screen
+    * @param minClassifierLogOdds log-odds floor (only with
+    *        classifierModel; 0 = "more likely positive")
     */
   def ingest(
       spark: SparkSession,
@@ -85,7 +92,9 @@ object TrainingSet {
       hhStopwordK: Int = 0,
       maxHhStopwordFrac: Double = 0.8,
       perplexityModel: Option[graft.ext.NgramLm.Model] = None,
-      maxPerplexity: Double = Double.MaxValue): Report = {
+      maxPerplexity: Double = Double.MaxValue,
+      classifierModel: Option[graft.ext.Classifier.Model] = None,
+      minClassifierLogOdds: Double = 0.0): Report = {
     if (TxTable.appliedDeltaIds(spark, targetPath).contains(deltaId))
       return Report(0, 0, 0, 0, 0, 0, 0, alreadyApplied = true)
     val input = batch.count()
@@ -121,12 +130,20 @@ object TrainingSet {
       case Some(m) =>
         graft.ext.NgramLm.perplexityFilter(gated, idCol, textCol, m, maxPerplexity)
     }
-    val afterGates = gatedLm.count()
+    // 1d (optional): NB classifier gate — the supervised screen (docs
+    // that score closer to the negative reference than the positive one
+    // drop). Same join-shaped cost as 1c.
+    val gatedCls = classifierModel match {
+      case None    => gatedLm
+      case Some(m) =>
+        graft.ext.Classifier.filterBy(gatedLm, idCol, textCol, m, minClassifierLogOdds)
+    }
+    val afterGates = gatedCls.count()
 
     // 2: benchmark decontamination — bench gram set broadcasts, the
     // batch is never shuffled to find contamination
     val clean = Decontaminate.removeContaminated(
-      gatedLm, benchmark, idCol, textCol, n = decontaminateN)
+      gatedCls, benchmark, idCol, textCol, n = decontaminateN)
     val afterDecontaminate = clean.count()
 
     // 3: exact dedup inside the batch (cross-batch exact dups are also

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -61,6 +61,20 @@ object ExtQueries {
       val docs = Tables.documents(s, dir)
       val m = NgramLm.train(docs, "text", k = 0.1)
       NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
+    // Naive Bayes quality classifier (oracled): the supervised learned
+    // gate beside the LM perplexity score — train on a positive vs
+    // negative reference split (here: en vs non-en as a deterministic
+    // stand-in for curated-vs-raw), score every doc's token log-odds.
+    // One tagged-union aggregate trains; scoring is a gram-key join +
+    // map-combinable sum.
+    "ext_classifier_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Classifier.train(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", k = 0.5)
+      Classifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
     }),
 
     // Gopher-style repetition filters (oracled): documents dominated by
@@ -868,6 +882,39 @@ object ExtQueries {
         |SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
         |  CAST(pos AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_classifier_quality" ->
+      """WITH pt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    1 AS p, 0 AS n
+        |  FROM documents WHERE lang = 'en'),
+        |nt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w,
+        |    0 AS p, 1 AS n
+        |  FROM documents WHERE lang <> 'en'),
+        |cnt AS (
+        |  SELECT w, CAST(sum(p) AS DOUBLE) AS cp, CAST(sum(n) AS DOUBLE) AS cn
+        |  FROM (SELECT * FROM pt UNION ALL SELECT * FROM nt) GROUP BY w),
+        |sc AS (
+        |  SELECT sum(cp) AS np, sum(cn) AS nn, CAST(count(*) AS DOUBLE) AS v
+        |  FROM cnt),
+        |pr AS (
+        |  SELECT ln(CAST((SELECT count(*) FROM documents WHERE lang = 'en')
+        |      AS DOUBLE)
+        |    / (SELECT count(*) FROM documents WHERE lang <> 'en')) AS prior),
+        |lo AS (
+        |  SELECT w, ln((cp + 0.5) / (np + 0.5 * v))
+        |       - ln((cn + 0.5) / (nn + 0.5 * v)) AS lo
+        |  FROM cnt, sc),
+        |dflt AS (SELECT ln((nn + 0.5 * v) / (np + 0.5 * v)) AS d FROM sc),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |  round(sum(coalesce(lo.lo, dflt.d)) + pr.prior, 6) AS log_odds
+        |FROM tok LEFT JOIN lo USING (w) CROSS JOIN dflt CROSS JOIN pr
+        |GROUP BY tok.doc_id, dflt.d, pr.prior
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_lm_perplexity" ->
       """WITH t AS (

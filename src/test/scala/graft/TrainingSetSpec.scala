@@ -182,4 +182,29 @@ class TrainingSetSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == (1L to 4L).toSet, s"$kept")
   }
+
+  test("NB classifier gate drops negative-class lookalikes") {
+    val work = tmpDir("traincls")
+    val posRef = (1L to 15L).map(i =>
+      (200L + i, s"carefully edited article number $i with varied and " +
+        s"meaningful vocabulary across sentences"))
+      .toDF("doc_id", "text")
+    val negRef = (1L to 15L).map(i =>
+      (300L + i, s"click here winner $i free prize claim now cheap deal " +
+        s"offer expires soon act fast"))
+      .toDF("doc_id", "text")
+    val model = graft.ext.Classifier.train(posRef, negRef, "text", k = 0.5)
+    val docs = ((1L to 3L).map(i =>
+      (i, s"an edited article with meaningful vocabulary and varied " +
+        s"sentences number $i for the corpus")) :+
+      (4L, "click here to claim the free winner prize now cheap offer " +
+        "expires act fast deal soon")).toDF("doc_id", "text")
+    val r = TrainingSet.ingest(spark, docs, benchmark,
+      s"$work/store", s"$work/train", "b1",
+      minQuality = 0.0, classifierModel = Some(model))
+    assert(r.input == 4 && r.afterGates == 3, s"$r")
+    val kept = TxTable.read(spark, s"$work/train").get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 3L).toSet, s"$kept")
+  }
 }
