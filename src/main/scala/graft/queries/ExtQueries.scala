@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -61,6 +61,19 @@ object ExtQueries {
       val docs = Tables.documents(s, dir)
       val m = NgramLm.train(docs, "text", k = 0.1)
       NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
+    // Cross-corpus overlap via theta sketches (oracled): pairwise
+    // distinct-token overlap between language slices WITHOUT a join —
+    // one grouped sketch aggregation, O(groups·k) driver bytes, all
+    // pairwise |A∩B|/Jaccard as driver set algebra. Below sketch
+    // capacity the counts are EXACT (KMV retains everything), which is
+    // what lets DuckDB restate this as the join it replaces at scale.
+    "ext_corpus_overlap" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      CorpusOverlap.overlapByGroup(tok, "lang", "w", nominal = 1 << 17)
+        .orderBy("group_a", "group_b")
     }),
 
     // Naive Bayes quality classifier (oracled): the supervised learned
@@ -882,6 +895,25 @@ object ExtQueries {
         |SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
         |  CAST(pos AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_corpus_overlap" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT lang, w FROM (
+        |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)),
+        |n AS (SELECT lang, count(*) AS c FROM tok GROUP BY lang),
+        |ix AS (
+        |  SELECT t1.lang AS group_a, t2.lang AS group_b, count(*) AS ci
+        |  FROM tok t1 JOIN tok t2 USING (w)
+        |  WHERE t1.lang < t2.lang
+        |  GROUP BY 1, 2)
+        |SELECT group_a, group_b, na.c AS distinct_a, nb.c AS distinct_b,
+        |  ci AS distinct_shared,
+        |  round(ci / (na.c + nb.c - ci), 6) AS jaccard
+        |FROM ix
+        |  JOIN n na ON ix.group_a = na.lang
+        |  JOIN n nb ON ix.group_b = nb.lang
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "ext_classifier_quality" ->
       """WITH pt AS (
