@@ -131,6 +131,74 @@ object NgramLm {
     Model(unigrams, bigrams, unigrams.count(), k)
   }
 
+  /** Incremental model maintenance: fold one batch's gram counts into
+    * durable count stores — counts are ADDITIVE, so the LM grows with
+    * the corpus in O(batch) per ingest, the same posture as the dedup
+    * signature stores and `ivfAppendPersisted`. Each store is a
+    * TxTable-transactional `IncrementalRollup` keyed by the gram
+    * (unigrams under `path/uni`, bigrams under `path/bi`), so a crashed
+    * ingest publishes nothing and a replayed `deltaId` is a ledger
+    * no-op per store (a crash BETWEEN the two commits converges on
+    * rerun: the applied store skips, the missing one applies).
+    *
+    * The stores maintain UNCAPPED counts — a vocab cap is a VIEW of the
+    * counts, applied at `load` time (tail counts fold into `<unk>` by
+    * exact arithmetic), so one store serves any cap without re-reading
+    * the corpus.
+    */
+  def ingestCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      path: String,
+      deltaId: String): Unit = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    graft.sinks.IncrementalRollup(spark,
+      batch.select(explode(toks).as("w")),
+      s"$path/uni", groupCols = Seq("w"), sumCols = Nil,
+      deltaId = Some(deltaId), transactional = true)
+    graft.sinks.IncrementalRollup(spark,
+      batch.select(explode(bigramPairs(toks)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
+      s"$path/bi", groupCols = Seq("w1", "w2"), sumCols = Nil,
+      deltaId = Some(deltaId), transactional = true)
+  }
+
+  /** Load the model maintained by `ingestCounts`. `maxVocab > 0`
+    * derives the exact top-maxVocab vocabulary from the STORED unigram
+    * counts (count desc, token asc — the `train` ordering) and folds
+    * tail-gram counts into `<unk>` — O(model) arithmetic, never a
+    * corpus scan, and exactly equal to `train(unionOfBatches,
+    * maxVocab)` (spec-asserted): mapping before counting and summing
+    * after counting commute.
+    */
+  def load(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Double = 0.1,
+      maxVocab: Int = 0): Model = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    val uniRaw = graft.sinks.TxTable.read(spark, s"$path/uni")
+      .getOrElse(sys.error(s"NgramLm.load: no unigram store at $path/uni"))
+      .select(col("w"), col("cnt").as("c"))
+    val biRaw = graft.sinks.TxTable.read(spark, s"$path/bi")
+      .getOrElse(sys.error(s"NgramLm.load: no bigram store at $path/bi"))
+      .select(col("w1"), col("w2"), col("cnt").as("c"))
+    val (uni, bi) =
+      if (maxVocab <= 0) (uniRaw, biRaw)
+      else {
+        val vocab = uniRaw
+          .orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+          .select("w").localCheckpoint()
+        def remap(df: DataFrame, cols: Seq[String]) =
+          unkMapped(df, cols, vocab)
+            .groupBy(cols.map(col): _*).agg(sum("c").as("c"))
+        (remap(uniRaw, Seq("w")), remap(biRaw, Seq("w1", "w2")))
+      }
+    val uniCk = uni.localCheckpoint()
+    Model(uniCk, bi.localCheckpoint(), uniCk.count(), k)
+  }
+
   /** Score `docs(idCol, textCol)` under `model`: one row per document
     * with at least one bigram — (id, n_bigrams, cross_entropy,
     * perplexity), cross-entropy in bits/bigram, perplexity = 2^H.

@@ -63,6 +63,36 @@ class NgramLmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental count store: ingests fold to the one-shot model, replay is a no-op") {
+    val path = tmpDir("lmstore")
+    val b1 = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat here"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "a cat and a dog sat"), (4L, "the mat sat still"))
+      .toDF("doc_id", "text")
+    NgramLm.ingestCounts(spark, b1, "text", path, "b1")
+    NgramLm.ingestCounts(spark, b2, "text", path, "b2")
+    NgramLm.ingestCounts(spark, b2, "text", path, "b2") // replay: ledger no-op
+
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val incr = NgramLm.load(spark, path, k = 0.5)
+    val once = NgramLm.train(b1.unionAll(b2), "text", k = 0.5)
+    assert(incr.vocabSize == once.vocabSize)
+    assert(table(incr.unigrams) == table(once.unigrams))
+    assert(table(incr.bigrams) == table(once.bigrams))
+    val probe = Seq((9L, "the cat sat on a mat")).toDF("doc_id", "text")
+    assert(
+      NgramLm.score(probe, "doc_id", "text", incr).collect().toSeq ==
+        NgramLm.score(probe, "doc_id", "text", once).collect().toSeq)
+
+    // a vocab cap applied at LOAD time equals capping at train time:
+    // fold-after-count and map-before-count commute
+    val capIncr = NgramLm.load(spark, path, k = 0.5, maxVocab = 3)
+    val capOnce = NgramLm.train(b1.unionAll(b2), "text", k = 0.5, maxVocab = 3)
+    assert(table(capIncr.unigrams) == table(capOnce.unigrams))
+    assert(table(capIncr.bigrams) == table(capOnce.bigrams))
+  }
+
   test("perplexityFilter keeps reference-like docs, drops gibberish") {
     val reference = Seq.tabulate(30)(i =>
       (100L + i, "the cat sat on the mat and the dog sat on the rug"))
