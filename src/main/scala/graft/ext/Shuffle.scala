@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,21 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Shuffle {
 
-  /** @return (idCol, shard, pos): pos is the document's 0-based global
-    *         position in the shuffled order, shard = pos % numShards.
+  /** 0-based global position of every row in ascending (`key`, id)
+    * order, via the distributed prefix sum: range-repartition on the
+    * key (partition i holds a contiguous key range), O(partitions)
+    * per-partition counts to the driver, parallel local ranks offset by
+    * the exclusive prefix — never a single-partition global window.
+    * Returns ((idCol, pos), total rows); the flat-array prefix literal
+    * keeps expression depth constant at any partition count (the Packer
+    * lesson).
     */
-  def shuffleShard(
-      df: DataFrame,
-      idCol: String,
-      salt: String,
-      numShards: Int): DataFrame = {
-    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+  private[ext] def positionByKey(
+      df: DataFrame, idCol: String, key: Column): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df
-      .select(col(idCol).as("__id"))
-      .withColumn("__k",
-        md5(concat(lit(salt), lit(":"), col("__id").cast("string"))))
+    val ranged = df // key is evaluated against df's own columns
+      .select(col(idCol).as("__id"), key.as("__k"))
       .repartitionByRange(parts, col("__k"), col("__id"))
       .sortWithinPartitions("__k", "__id")
       .withColumn("__pid", spark_partition_id())
@@ -54,15 +54,28 @@ object Shuffle {
         p
       }.toMap
     }
-    // flat-array prefix literal indexed by partition id: constant
-    // expression depth at any partition count (the Packer lesson)
+    val total = partCounts.values.sum
     val prefixExpr = element_at(
       array((0 until parts).map(pid => lit(prefixByPid(pid))): _*),
       col("__pid") + 1)
     val w = Window.partitionBy("__pid").orderBy("__k", "__id")
-    ranged
+    (ranged
       .withColumn("pos", prefixExpr + row_number().over(w) - 1)
-      .select(col("__id").as(idCol),
-        (col("pos") % numShards).as("shard"), col("pos"))
+      .select(col("__id").as(idCol), col("pos")), total)
+  }
+
+  /** @return (idCol, shard, pos): pos is the document's 0-based global
+    *         position in the shuffled order, shard = pos % numShards.
+    */
+  def shuffleShard(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val (positioned, _) = positionByKey(df, idCol,
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+    positioned.select(col(idCol),
+      (col("pos") % numShards).as("shard"), col("pos"))
   }
 }

@@ -110,6 +110,17 @@ object ExtQueries {
           "doc_id", salt = "epoch1", numShards = 8)
         .orderBy("doc_id")),
 
+    // Curriculum staging (oracled): corpus ordered by a difficulty
+    // signal (token count — the length curriculum) and cut into 4
+    // contiguous stages via the shared distributed prefix sum; the
+    // single global window DuckDB restates it as is exactly the
+    // one-partition sort the implementation avoids.
+    "ext_curriculum_stages" -> ((s, dir) =>
+      graft.ext.Curriculum.stageBySignal(
+        Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"), 4)
+        .orderBy("doc_id")),
+
     // Vocabulary coverage (oracled): the corpus's exact top-100 tokens
     // (heavy hitters — no token-level shuffle) become the vocabulary;
     // each doc reports its out-of-vocabulary token fraction.
@@ -968,6 +979,18 @@ object ExtQueries {
         |FROM bg JOIN big USING (w1, w2) JOIN uni ON bg.w1 = uni.w
         |  CROSS JOIN v
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_curriculum_stages" ->
+      """WITH s AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS sig
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n FROM s),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sig, doc_id) - 1 AS pos
+        |  FROM s)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST((pos * 4) // t.n AS BIGINT) AS stage
+        |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin,
 
     "ext_oov_rate" ->
       """WITH tok AS (

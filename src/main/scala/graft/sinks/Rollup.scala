@@ -83,6 +83,15 @@ object IncrementalRollup {
     *                      `IncrementalRollup.topkEstimate` — exact in the
     *                      bounded-cardinality regime, published
     *                      Misra-Gries error otherwise
+    * @param thetaCols     measure -> stored-column-alias pairs maintained
+    *                      as mergeable THETA sketches (binary column,
+    *                      `functions.Theta`) — distinct counting WITH set
+    *                      algebra: unlike HLL, stored theta sketches
+    *                      support intersection/difference across groups
+    *                      or rollup generations (`Theta
+    *                      .intersectionEstimate`), exact below sketch
+    *                      capacity; estimate with
+    *                      `IncrementalRollup.thetaEstimate`
     */
   def apply(
       spark: SparkSession,
@@ -95,13 +104,15 @@ object IncrementalRollup {
       transactional: Boolean = false,
       distinctCols: Seq[(String, String)] = Nil,
       quantileCols: Seq[(String, String)] = Nil,
-      topkCols: Seq[(String, String)] = Nil): Unit = {
+      topkCols: Seq[(String, String)] = Nil,
+      thetaCols: Seq[(String, String)] = Nil): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
         s"groupCols=$groupCols")
     val reserved = "cnt" +:
-      (sumCols ++ distinctCols ++ quantileCols ++ topkCols).map(_._2)
+      (sumCols ++ distinctCols ++ quantileCols ++ topkCols ++ thetaCols)
+        .map(_._2)
     require(reserved.distinct.size == reserved.size &&
       !groupCols.exists(reserved.contains),
       s"stored-column aliases collide: $reserved vs $groupCols")
@@ -124,7 +135,9 @@ object IncrementalRollup {
         quantileCols.map { case (m, a) =>
           graft.functions.Kll.sketchAgg(col(m)).as(a) } ++
         topkCols.map { case (m, a) =>
-          graft.functions.FreqItems.sketchAgg(col(m)).as(a) }
+          graft.functions.FreqItems.sketchAgg(col(m)).as(a) } ++
+        thetaCols.map { case (m, a) =>
+          graft.functions.Theta.sketchAgg(col(m)).as(a) }
       partitionAligned(
         delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
     }
@@ -134,7 +147,9 @@ object IncrementalRollup {
       quantileCols.map { case (_, a) =>
         graft.functions.Kll.mergeAgg(col(a)).as(a) } ++
       topkCols.map { case (_, a) =>
-        graft.functions.FreqItems.mergeAgg(col(a)).as(a) }
+        graft.functions.FreqItems.mergeAgg(col(a)).as(a) } ++
+      thetaCols.map { case (_, a) =>
+        graft.functions.Theta.mergeAgg(col(a)).as(a) }
     def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
       existing
         .unionByName(agg.select(cols.map(col): _*))
@@ -211,4 +226,14 @@ object IncrementalRollup {
     */
   def topkEstimate(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     graft.functions.FreqItems.topK(sketch, k)
+
+  /** Read-time distinct estimate over a stored THETA sketch column (the
+    * `thetaCols` stored form) — exact below sketch capacity. For set
+    * algebra between stored sketches (overlap between groups or
+    * generations) use `functions.Theta.intersectionEstimate` /
+    * `unionEstimate` on the collected sketch bytes — O(groups) rows.
+    */
+  def thetaEstimate(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      graft.functions.Theta.estimate(b)).apply(sketch)
 }

@@ -254,6 +254,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(__k"), plan)
   }
 
+  test("curriculum: stages are contiguous ascending-signal blocks at any partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(sig, col("doc_id"))
+    val want = docs.withColumn("pos", row_number().over(w) - 1)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val total = want.size.toLong
+    Seq(docs, docs.repartition(13)).foreach { d =>
+      val got = graft.ext.Curriculum.stageBySignal(d, "doc_id", sig, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(g => g._1 -> g._2).toMap == want)
+      assert(got.forall { case (_, pos, st) => st == pos * 4 / total })
+    }
+    // stage boundaries respect the signal order: max signal of stage s
+    // <= min signal of stage s+1
+    val staged = graft.ext.Curriculum.stageBySignal(docs, "doc_id", sig, 4)
+      .join(docs.select(col("doc_id"), sig.as("sig")), "doc_id")
+    val bounds = staged.groupBy("stage")
+      .agg(min("sig").as("lo"), max("sig").as("hi"))
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(bounds.length == 4)
+    bounds.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, bounds.toSeq)
+      case _ =>
+    }
+  }
+
+  test("curriculum plan: no single-partition global sort") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val out = graft.ext.Curriculum.stageBySignal(docs, "doc_id", sig, 4)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("windowspecdefinition(__k"), plan)
+  }
+
   // ---- heavy hitters ------------------------------------------------
 
   test("heavy hitters: exact top-k with a skewed corpus (certificate path)") {

@@ -63,6 +63,29 @@ class ThetaSpec extends SparkSpec {
     assert(math.abs(est - 50000) / 50000 < 0.18, s"est=$est")
   }
 
+  test("thetaCols in IncrementalRollup: two folds stay exact, groups intersect") {
+    val path = tmpDir("thetaroll")
+    def batch(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (if (i % 2 == 0) "even" else "odd", s"u${i / 10}"))
+      .toDF("g", "k") // key u<i/10> repeats within and across batches
+    graft.sinks.IncrementalRollup(spark, batch(1, 200), path,
+      groupCols = Seq("g"), sumCols = Nil, deltaId = Some("d1"),
+      transactional = true, thetaCols = Seq("k" -> "sk"))
+    graft.sinks.IncrementalRollup(spark, batch(201, 400), path,
+      groupCols = Seq("g"), sumCols = Nil, deltaId = Some("d2"),
+      transactional = true, thetaCols = Seq("k" -> "sk"))
+    val rows = graft.sinks.TxTable.read(spark, path).get
+      .select(col("g"), graft.sinks.IncrementalRollup.thetaEstimate(col("sk"))
+        .as("d"), col("sk"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1),
+        r.getAs[Array[Byte]](2))).toMap
+    // keys u0..u40; buckets u1..u39 hold both parities, u0 = i 1..9
+    // (both), u40 = i 400 only (even) -> even 41, odd 40, shared 40
+    assert(rows("even")._1 == 41d && rows("odd")._1 == 40d)
+    val inter = Theta.intersectionEstimate(rows("even")._2, rows("odd")._2)
+    assert(inter == 40d)
+  }
+
   test("overlapByGroup matches join-computed ground truth") {
     val rows = for {
       g <- Seq("a", "b", "c"); i <- 1 to 120
