@@ -31,7 +31,9 @@ val headline = Seq(
   ("ext_tfidf_topterms", "TF-IDF: tf shuffle AQE-reused, vocab-sized df broadcast"),
   ("ext_pack_sequences", "sequence packing: distributed prefix sum, no SinglePartition window"),
   ("tpch_q10_returned", "Q10-shaped report: fact shuffle once, dims broadcast, TakeOrdered"),
-  ("tpch_q18_large_orders", "Q18 shape: aggregate THEN join — only qualifying keys reach the join"))
+  ("tpch_q18_large_orders", "Q18 shape: aggregate THEN join — only qualifying keys reach the join"),
+  ("ext_lm_perplexity", "LM scoring: model tables broadcast to the gram join, one map-combinable fold"),
+  ("ext_curriculum_stages", "curriculum: distributed prefix sum, no SinglePartition window"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
