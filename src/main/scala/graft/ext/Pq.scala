@@ -1,0 +1,277 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Product quantization (PQ) for embedding columns (SURVEY §2.11
+  * similarity search, the memory-side scale lever; reference analog:
+  * services/embeddings.py keeps raw float vectors — this is the form that
+  * still fits in memory at 100 TB).
+  *
+  * A d-dim float vector (4d bytes) becomes m sub-codes drawn from
+  * per-subspace codebooks of k entries (m small ints; at k<=256 one byte
+  * each) — 16-32x compression. At cluster scale that is the difference
+  * between "the whole corpus's codes live in executor memory and a query
+  * is one in-memory scan" and "every query re-reads parquet". Full
+  * vectors stay on disk and are touched only by the final re-rank, which
+  * is semi-join-pruned to the candidate pool.
+  *
+  * Shapes, in the repo's conventions:
+  *  - TRAIN is bounded driver work: per-subspace k-means over the same
+  *    md5-ordered deterministic sample cap as the IVF kmeans++ seed
+  *    (`Similarity.kmeansPPCentroids`). Codebooks are m*k*(d/m) = d*k
+  *    doubles of index METADATA — broadcast, never a Spark job per step.
+  *  - ENCODE is the index build: one scan-speed mapPartitions pass (the
+  *    BPE-encode precedent — build-side ETL, not a query-path UDF), also
+  *    hoisting each row's true norm `n` once (the IVF convention), so
+  *    approximate cosine never re-traverses the original vector.
+  *  - The ADC probe is PURE Column expressions: the query builds an m x k
+  *    lookup table of partial dot products driver-side; a row's
+  *    approximate score is m `element_at` lookups into literal arrays —
+  *    no per-row float-vector math at all, whole-stage codegen, no
+  *    shuffle, TakeOrderedAndProject for the pool.
+  *  - RE-RANK joins the pool's ids (tiny, broadcast) back to full
+  *    vectors and scores exactly with `Similarity.cosineAuto` — the
+  *    standard ADC + exact-refine serving stack. With a pool that covers
+  *    the true neighbors, the output EQUALS brute force; `ext_pq_topk`
+  *    gates exactly that against the DuckDB exact-search oracle.
+  */
+object Pq {
+
+  /** Trained codebooks: `centers(j)(c)` is the c-th center of subspace j
+    * (subDim doubles each). Pure driver metadata: d*k doubles total.
+    */
+  final case class Codebooks(
+      m: Int, k: Int, subDim: Int,
+      centers: Array[Array[Array[Double]]]) {
+
+    /** Nearest-center code per subspace (squared-L2 argmin, ties to the
+      * lowest code — the deterministic tie rule every driver/executor
+      * path shares).
+      */
+    def encode(v: Array[Double]): Array[Int] = {
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val off = j * subDim
+        val cs = centers(j)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val ctr = cs(c)
+          var d2 = 0.0; var i = 0
+          while (i < subDim) {
+            val diff = v(off + i) - ctr(i); d2 += diff * diff; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      codes
+    }
+
+    /** Reconstruction (codebook lookup concat) — the decode side of the
+      * compression contract, used by specs to bound distortion.
+      */
+    def decode(codes: Array[Int]): Array[Double] = {
+      val v = new Array[Double](m * subDim)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(centers(j)(codes(j)), 0, v, j * subDim, subDim)
+        j += 1
+      }
+      v
+    }
+  }
+
+  /** Same bounded-sample cap as the IVF seed: train never collects more
+    * than this many vectors regardless of corpus size.
+    */
+  val TrainSampleMax = 2048
+
+  /** Train per-subspace codebooks on a deterministic bounded sample.
+    *
+    * Each subspace runs greedy farthest-point init (the IVF seed rule:
+    * first sample row seeds center 0, strict-> ties to lowest rank) then
+    * `iters` Lloyd rounds — all on the driver over <= TrainSampleMax
+    * subvectors, O(sample * k * d) flops of metadata work. Empty Lloyd
+    * clusters keep their previous center. Requires d % m == 0.
+    */
+  def train(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 8): Codebooks = {
+    require(m >= 1 && k >= 1, "PQ needs m >= 1 subspaces and k >= 1 codes")
+    val sample = embeddings
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(TrainSampleMax)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks over an empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"embedding dim $d must divide into m=$m subspaces")
+    val subDim = d / m
+    val kk = math.min(k, sample.length)
+
+    val centers = Array.tabulate(m) { j =>
+      val off = j * subDim
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < subDim) { val x = a(i) - b(i); s += x * x; i += 1 }
+        s
+      }
+
+      // farthest-point init, deterministic (strict >, lowest rank wins)
+      val chosen = new Array[Array[Double]](kk)
+      chosen(0) = sub(0).clone()
+      val minDist = sub.map(d2(_, chosen(0)))
+      var c = 1
+      while (c < kk) {
+        var best = 0; var i = 1
+        while (i < sub.length) { if (minDist(i) > minDist(best)) best = i; i += 1 }
+        chosen(c) = sub(best).clone()
+        i = 0
+        while (i < sub.length) {
+          val dd = d2(sub(i), chosen(c)); if (dd < minDist(i)) minDist(i) = dd
+          i += 1
+        }
+        c += 1
+      }
+
+      // Lloyd rounds on the sample
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](subDim))
+        val counts = new Array[Long](kk)
+        var i = 0
+        while (i < sub.length) {
+          var bc = 0; var bd = Double.MaxValue; var cc = 0
+          while (cc < kk) {
+            val dd = d2(sub(i), chosen(cc))
+            if (dd < bd) { bd = dd; bc = cc }
+            cc += 1
+          }
+          val s = sums(bc); val v = sub(i)
+          var x = 0
+          while (x < subDim) { s(x) += v(x); x += 1 }
+          counts(bc) += 1
+          i += 1
+        }
+        var cc = 0
+        while (cc < kk) {
+          if (counts(cc) > 0) {
+            val s = sums(cc); val n = counts(cc).toDouble
+            val ctr = new Array[Double](subDim)
+            var x = 0
+            while (x < subDim) { ctr(x) = s(x) / n; x += 1 }
+            chosen(cc) = ctr
+          } // empty cluster: keep previous center
+          cc += 1
+        }
+        it += 1
+      }
+      chosen
+    }
+    Codebooks(m, kk, subDim, centers)
+  }
+
+  /** Encode a corpus to `(idCol, n, codes)` — the compressed index table.
+    * `n` is the TRUE norm of the original vector, hoisted once so the ADC
+    * probe can report approximate COSINE without touching the vector
+    * again. One mapPartitions scan with broadcast codebooks; at 100 TB
+    * this is the map stage of the index-build write, partitionable by
+    * anything downstream wants (e.g. `centroid_id` for IVF-PQ).
+    */
+  def encode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    embeddings
+      .select(col(idCol).cast("long"), Similarity.asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, v) =>
+          val arr = v.toArray
+          var s = 0.0; var i = 0
+          while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+          (id, math.sqrt(s), c.encode(arr))
+        }
+      }
+      .toDF(idCol, "n", "codes")
+  }
+
+  /** The ADC (asymmetric distance computation) score of `codes` against a
+    * query: sum over subspaces of LUT(j)(code_j), where LUT(j)(c) is the
+    * exact partial dot product of the query's j-th subvector with center
+    * c — computed ONCE driver-side (m*k doubles) and inlined as literal
+    * arrays. The per-row cost is m `element_at` lookups + adds: pure
+    * codegen'd Columns, no vector math, no UDF.
+    */
+  def adcDotExpr(cb: Codebooks, query: Seq[Double], codesCol: Column): Column = {
+    require(query.length == cb.m * cb.subDim,
+      s"query dim ${query.length} != codebook dim ${cb.m * cb.subDim}")
+    val q = query.toArray
+    val luts: Seq[Array[Double]] = (0 until cb.m).map { j =>
+      val off = j * cb.subDim
+      cb.centers(j).map { ctr =>
+        var s = 0.0; var i = 0
+        while (i < cb.subDim) { s += q(off + i) * ctr(i); i += 1 }
+        s
+      }
+    }
+    (0 until cb.m)
+      .map(j => element_at(lit(luts(j)), element_at(codesCol, j + 1) + 1))
+      .reduce(_ + _)
+  }
+
+  /** Approximate-then-exact top-k: ADC over the codes table selects a
+    * candidate `pool` (TakeOrderedAndProject — no shuffle, O(pool) heap),
+    * whose ids broadcast-semi-join back to full vectors for EXACT cosine
+    * re-ranking. `pool >= k`; a pool that covers the true neighbors makes
+    * the result identical to brute force (the `ext_pq_topk` oracle), at
+    * codes-scan + pool-sized-join cost instead of a full-vector scan.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks,
+      query: Seq[Double],
+      k: Int,
+      pool: Int = 100): DataFrame = {
+    require(pool >= k, s"re-rank pool $pool must be >= k=$k")
+    val spark = codes.sparkSession
+    var qn = 0.0
+    query.foreach(x => qn += x * x)
+    qn = math.sqrt(qn)
+    val approxCos = adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qn))
+    val candidates = codes
+      .select(col(idCol), approxCos.as("approx_score"))
+      .orderBy(col("approx_score").desc, col(idCol).asc)
+      .limit(pool)
+      .select(idCol)
+    val cos = Similarity.cosineAuto(spark) _
+    embeddings
+      .join(broadcast(candidates), idCol)
+      .select(col(idCol),
+        round(cos(Similarity.asDouble(col(vecCol)), lit(query.toArray)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

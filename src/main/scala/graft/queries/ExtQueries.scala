@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -431,6 +431,20 @@ object ExtQueries {
       graft.ops.GroupedTopK(s, scored, "q_id", "score", "vec_id", 5)
         .select(col("q_id").cast("long").as("q_id"), col("score"), col("vec_id"))
         .orderBy(col("q_id").asc, col("score").desc, col("vec_id").asc)
+    }),
+
+    // Product-quantized top-k (ORACLED against the EXACT brute-force
+    // search): codebooks trained on the bounded sample, corpus encoded to
+    // m=8 one-byte codes (32x smaller than the float vectors), candidates
+    // selected by pure-Column ADC table lookups, exact re-rank over the
+    // broadcast pool. The oracle is equality with exact search — the
+    // approximate index must RECOVER the true top-10, not just overlap it.
+    "ext_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 32)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      Pq.adcTopK(codes, emb, "vec_id", "embedding", cb,
+        queryVector(s, dir), k = 10, pool = 100)
     }),
 
     // IVF approximate top-k (rows-only; recall measured in spec) —
@@ -1037,6 +1051,18 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "ext_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |    AS score
+        |FROM e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The PQ stack's gate is EQUALITY with exact search: the approximate
+    // index (ADC candidates + exact re-rank) must return precisely the
+    // brute-force top-10, so the oracle is the same exact-search SQL.
+    "ext_pq_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT e.vec_id,

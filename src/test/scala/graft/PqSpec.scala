@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Pq, Similarity}
+
+/** Product quantization: compression contract, determinism, distributed
+  * == driver encode, ADC + re-rank equality with exact search, and
+  * planted-twin recall through the candidate pool.
+  */
+class PqSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private def emb = Tables.embeddings(spark, dir)
+
+  private lazy val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 32)
+
+  test("codes honor the compression contract: m codes, each in [0, k)") {
+    val rows = Pq.encode(emb, "vec_id", "embedding", cb)
+      .select("codes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      assert(codes.length == cb.m)
+      assert(codes.forall(c => c >= 0 && c < cb.k))
+    }
+  }
+
+  test("training is deterministic: same corpus -> identical codebooks") {
+    val cb2 = Pq.train(emb, "vec_id", "embedding", m = 8, k = 32)
+    assert(cb.m == cb2.m && cb.k == cb2.k && cb.subDim == cb2.subDim)
+    for (j <- 0 until cb.m; c <- 0 until cb.k)
+      assert(java.util.Arrays.equals(cb.centers(j)(c), cb2.centers(j)(c)),
+        s"codebook ($j, $c) differs between identical trainings")
+  }
+
+  test("distributed encode equals driver-side Codebooks.encode") {
+    val viaSpark = Pq.encode(emb, "vec_id", "embedding", cb)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val direct = cb.encode(r.getSeq[Double](1).toArray)
+        assert(java.util.Arrays.equals(viaSpark(id), direct),
+          s"vec $id: distributed encode diverges from driver encode")
+      }
+  }
+
+  test("decode reconstructs within the trained quantizer's distortion") {
+    // On the training sample itself the mean per-element reconstruction
+    // error must be small relative to the data's own scale — a sanity
+    // bound that catches subspace misalignment (off-by-one offsets would
+    // blow this up), not a precision claim.
+    val rows = emb.select(Similarity.asDouble(col("embedding"))).limit(64)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val scale = rows.map(v => v.map(math.abs).max).max
+    val mae = rows.map { v =>
+      val rec = cb.decode(cb.encode(v))
+      v.indices.map(i => math.abs(v(i) - rec(i))).sum / v.length
+    }.sum / rows.length
+    assert(mae < 0.25 * scale, s"reconstruction MAE $mae vs data scale $scale")
+  }
+
+  test("ADC + exact re-rank recovers the exact brute-force top-10") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val pq = Pq.adcTopK(codes, emb, "vec_id", "embedding", cb, q, 10, pool = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.toSeq == exact.toSeq,
+      s"PQ top-10 ${pq.toSeq} != exact ${exact.toSeq}")
+  }
+
+  test("a planted exact twin is the ADC pool's first candidate") {
+    // A corpus vector identical to the query maximizes true cosine; its
+    // ADC approximation is the query's own reconstruction score, which
+    // must also rank first — the planted-recall property that makes the
+    // pool trustworthy without scanning full vectors.
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val top = Pq.adcTopK(codes, emb, "vec_id", "embedding", cb, q, 1, pool = 10)
+      .head()
+    assert(top.getLong(0) == 7L, s"twin not recovered: ${top}")
+    assert(top.getDouble(1) == 1.0)
+  }
+
+  test("dimension must divide into subspaces") {
+    intercept[IllegalArgumentException] {
+      Pq.train(emb, "vec_id", "embedding", m = 7, k = 8)
+    }
+  }
+}
