@@ -274,4 +274,118 @@ object Pq {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** Session caches mirroring Similarity's index cache discipline: a
+    * codebook / codes table is a reusable artifact, keyed by the FULL
+    * canonicalized input plan (a 32-bit hash collision would silently
+    * serve the wrong index) plus the build params. `clearCaches()`
+    * releases everything (tests).
+    */
+  private val cbCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, Int, Int), Codebooks]
+  private val codesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, Int, Int, Int, Int), DataFrame]
+
+  def codebooksFor(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): Codebooks = {
+    val key = (embeddings.queryExecution.analyzed.canonicalized.toString,
+      idCol, vecCol, m, k)
+    cbCache.getOrElseUpdate(key, train(embeddings, idCol, vecCol, m, k))
+  }
+
+  def clearCaches(): Unit = {
+    codesCache.values.foreach(_.unpersist())
+    codesCache.clear()
+    cbCache.clear()
+  }
+
+  /** The IVF-PQ codes table `(id, centroid_id, n, codes)` — the index's
+    * assignment rows with the vector REPLACED by its PQ codes. This is
+    * the structure a 1000-executor cluster keeps in memory: at m=8 over
+    * d=64 floats it is ~32x smaller than the vectors, partitioned by
+    * `centroid_id` exactly like the durable IVF artifact, and by
+    * construction a probe over it CANNOT touch a vector — the column
+    * does not exist.
+    */
+  def ivfPqCodes(idx: Similarity.IvfIndex, cb: Codebooks): DataFrame = {
+    val spark = idx.assignments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    idx.assignments
+      .select(col("id"), col("centroid_id"), col("n"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, cid, n, v) => (id, cid, n, c.encode(v.toArray)) }
+      }
+      .toDF("id", "centroid_id", "n", "codes")
+  }
+
+  private def ivfPqCodesFor(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int, cb: Codebooks): DataFrame = {
+    val key = (embeddings.queryExecution.analyzed.canonicalized.toString,
+      idCol, vecCol, cb.m, cb.k, nCentroids, iters)
+    codesCache.getOrElseUpdate(key, {
+      val idx = Similarity.ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters)
+      val codes = ivfPqCodes(idx, cb)
+      codes.persist()
+      codes.count()
+      codes
+    })
+  }
+
+  /** IVF-PQ probe — both ANN levers composed, the production serving
+    * layout: the query selects nProbe centroids driver-side (metadata
+    * dots, no job), the CODES table is pruned to those clusters and
+    * scored by ADC lookups (still no vector math, no shuffle), and only
+    * the pool's ids touch full vectors for the exact re-rank. With a pool
+    * covering the probed clusters this EQUALS the uncompressed IVF probe
+    * at the same operating point (PqSpec asserts equality); recall vs
+    * exact search is governed by nProbe exactly as for ivfTopK.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      nCodes: Int = 32,
+      iters: Int = 0,
+      pool: Int = 100): DataFrame = {
+    require(pool >= k, s"re-rank pool $pool must be >= k=$k")
+    val idx = Similarity.ivfIndexFor(embeddings, idCol, vecCol, nCentroids, iters)
+    val cb = codebooksFor(embeddings, idCol, vecCol, m, nCodes)
+    val codes = ivfPqCodesFor(embeddings, idCol, vecCol, nCentroids, iters, cb)
+    val qArr = query.toArray
+    val qNorm = math.sqrt(Similarity.dotLocal(qArr, qArr))
+    val probes = idx.centroids
+      .map(c => (c.id, Similarity.dotLocal(c.vec, qArr) / (c.norm * qNorm)))
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nProbe)
+      .map(_._1)
+    val approxCos = adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qNorm))
+    val candidates = codes
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col("id"), approxCos.as("approx_score"))
+      .orderBy(col("approx_score").desc, col("id").asc)
+      .limit(pool)
+      .select("id")
+    val dt = Similarity.dotAuto(embeddings.sparkSession) _
+    idx.assignments
+      .join(broadcast(candidates), "id")
+      .select(col("id").as(idCol),
+        round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -56,7 +56,7 @@ object Similarity {
     * column forms — used for index metadata (centroid scoring), where a
     * Spark job per handful of doubles would be absurd.
     */
-  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[ext] def dotLocal(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0
     var i = 0

@@ -455,6 +455,16 @@ object ExtQueries {
         q, k = 10, nCentroids = 16, nProbe = 4, iters = IvfIters)
     }),
 
+    // IVF-PQ probe (rows-only: cluster assignment is engine-defined;
+    // PqSpec asserts equality with the uncompressed IVF probe at the
+    // same operating point): centroid pruning over the CODES table —
+    // ADC lookups, no vector math — then exact re-rank of the pool.
+    "ext_ivfpq_topk" -> ((s, dir) => {
+      Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVector(s, dir), k = 10, nCentroids = 16, nProbe = 4,
+        m = 8, nCodes = 32, iters = IvfIters, pool = 100)
+    }),
+
     // IVF top-k against the DURABLE index artifact: probe selection is
     // partition-directory pruning on centroid_id (PlanSpec asserts
     // PartitionFilters) — the 100 TB layout, built once per corpus

@@ -92,4 +92,29 @@ class PqSpec extends SparkSpec {
       Pq.train(emb, "vec_id", "embedding", m = 7, k = 8)
     }
   }
+
+  test("IVF-PQ equals the uncompressed IVF probe at the same operating point") {
+    // With a pool covering the probed clusters and an exact re-rank, the
+    // compression is score-invisible: the composed probe must return the
+    // IDENTICAL top-10 (ids and scores) as ivfTopK with the same
+    // centroids and probe set.
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val plain = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", q,
+        k = 10, nCentroids = 16, nProbe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = Pq.ivfPqTopK(emb, "vec_id", "embedding", q,
+        k = 10, nCentroids = 16, nProbe = 4, m = 8, nCodes = 32,
+        iters = 2, pool = 600)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq == plain, s"IVF-PQ $pq != IVF $plain")
+  }
+
+  test("the IVF-PQ codes table carries no vector column") {
+    // The structural memory guarantee: a probe over the codes table
+    // CANNOT read an embedding — the column does not exist in its schema.
+    val idx = Similarity.ivfIndexFor(emb, "vec_id", "embedding", 16, iters = 2)
+    val codes = Pq.ivfPqCodes(idx, cb)
+    assert(codes.columns.toSet == Set("id", "centroid_id", "n", "codes"))
+  }
 }
