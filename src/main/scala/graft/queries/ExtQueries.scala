@@ -15,6 +15,38 @@ import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHit
 object ExtQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The recall/components gates all measure against the SAME bounded
+    * 500-doc universe. Unconditional spread: the doc_id filter can
+    * concentrate the bounded universe in one split of a pre-split
+    * corpus, and the shuffled payload is bounded by construction (see
+    * Dedup.ngramGroundTruthPairs).
+    */
+  private[graft] def gateDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+
+  /** The exact char-3-gram ground-truth pair graph the five recall /
+    * components gates share is all-pairs quadratic BY DESIGN (it is the
+    * measuring stick) — build it ONCE per (session, dir) and hand every
+    * gate the same eagerly-checkpointed frame, instead of paying the
+    * quadratic build per gate (the most expensive repeated work of the
+    * round-5 bench). Size-1 cache: Verify/Bench run one (session, dir)
+    * at a time, and a new key simply replaces the old entry.
+    */
+  @volatile private var gtCache: Option[((SparkSession, String), DataFrame)] =
+    None
+  private[graft] def sharedGroundTruth(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      gtCache match {
+        case Some((k, cached)) if k == ((s, dir)) => cached
+        case _ =>
+          val gt = Dedup.ngramGroundTruthPairs(gateDocs(s, dir),
+            "doc_id", "text", 3, 0.9).localCheckpoint(true)
+          gtCache = Some(((s, dir), gt))
+          gt
+      }
+    }
+
   def queries: Map[String, Q] = Map(
 
     // ---- text analysis (oracled) ------------------------------------
@@ -257,13 +289,8 @@ object ExtQueries {
     // where the correctness gate runs) because the measuring stick is
     // all-pairs quadratic by design.
     "ext_minhash_recall" -> ((s, dir) => {
-      // unconditional spread: the doc_id filter can concentrate the
-      // bounded universe in one split of a pre-split corpus, and the
-      // shuffled payload is bounded by construction (see
-      // Dedup.ngramGroundTruthPairs).
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
       val found = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
         .select("id_a", "id_b")
@@ -278,9 +305,8 @@ object ExtQueries {
     // run). Hash equality with the all-pairs oracle proves the
     // incremental path loses nothing at the batch boundary.
     "ext_incremental_recall" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incdedup").toString + "/store"
       val found =
@@ -298,9 +324,8 @@ object ExtQueries {
     }),
 
     "ext_corpus_recall" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
       val labels = Dedup.dedupCorpus(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 3)
       // a ground-truth pair is "found" iff corpus dedup put both docs in
@@ -322,9 +347,8 @@ object ExtQueries {
     // recall — is hash-matched end-to-end. Default driverMaxEdges →
     // exercises the driver union-find path.
     "ext_corpus_components" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
       Dedup.componentsFromPairs(docs, "doc_id", gt)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -335,9 +359,8 @@ object ExtQueries {
     // to the same recursive-CTE oracle as the union-find path, so both
     // component engines carry a hard hash-match signal.
     "ext_corpus_components_dist" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val gt = Dedup.ngramGroundTruthPairs(docs, "doc_id", "text", 3, 0.9)
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
       Dedup.componentsFromPairs(docs, "doc_id", gt, driverMaxEdges = 0L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")

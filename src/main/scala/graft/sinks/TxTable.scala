@@ -437,7 +437,7 @@ object TxTable {
       lower: Double,
       upper: Double,
       statsCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val m = currentManifest(spark, target).getOrElse(return 0L)
     if (m.entries.isEmpty) return 0L
     val touched = m.entries.filter(e =>
@@ -450,8 +450,13 @@ object TxTable {
       .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
       .getOrElse(Nil)
     val touchedDf = readManifestData(spark, target, m.copy(entries = touched))
+    // SQL DELETE semantics: a row is deleted only when the predicate is
+    // definitely TRUE. Null values (including null-filled columns on
+    // older generations after schema evolution) make `between` NULL,
+    // which must mean "keep", not "drop".
     val surviving = touchedDf
-      .filter(!col(colName).cast("double").between(lower, upper))
+      .filter(not(coalesce(
+        col(colName).cast("double").between(lower, upper), lit(false))))
       .localCheckpoint(false)
     val deleted = touchedDf.count() - surviving.count()
 

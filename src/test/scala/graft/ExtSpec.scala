@@ -609,6 +609,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("componentsFromPairs: diameter-200 chain converges in log rounds") {
+    import spark.implicits._
+    // A 200-link chain (serial near-copies of one article) has graph
+    // diameter 199: plain min-label propagation needs ~200 rounds and
+    // the old maxIters=10 exit returned WRONG labels silently. The
+    // large-star/small-star contraction must resolve it well inside the
+    // default 10-round cap, all docs canonicalized to the chain minimum.
+    val n = 200
+    val corpus = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.componentsFromPairs(corpus, "doc_id", pairs,
+      maxIters = 10, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), labels.filter(_._2 != 0L).take(5).toSeq)
+  }
+
+  test("componentsFromPairs: hitting maxIters unconverged fails loudly") {
+    import spark.implicits._
+    val corpus = (0L until 200L).toDF("doc_id")
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.componentsFromPairs(corpus, "doc_id", pairs,
+        maxIters = 2, driverMaxEdges = 0L).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("sharedGroundTruth: one quadratic pair build shared across gates") {
+    val a = graft.queries.ExtQueries
+      .sharedGroundTruth(spark, "/root/testdata/sf0.001")
+    val b = graft.queries.ExtQueries
+      .sharedGroundTruth(spark, "/root/testdata/sf0.001")
+    // reference identity == the second gate reuses the checkpointed
+    // frame; the quadratic ground truth is computed once per run
+    assert(a eq b)
+    assert(a.columns.toSeq == Seq("id_a", "id_b", "jaccard3"))
+  }
+
   test("exact dedup groups identical content") {
     val d = Dedup.exact(docs, "doc_id", Seq("text"))
     assert(d.count() == 3) // 1&4 collapse
