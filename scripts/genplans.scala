@@ -34,7 +34,8 @@ val headline = Seq(
   ("tpch_q18_large_orders", "Q18 shape: aggregate THEN join — only qualifying keys reach the join"),
   ("ext_lm_perplexity", "LM scoring: model tables broadcast to the gram join, one map-combinable fold"),
   ("ext_curriculum_stages", "curriculum: distributed prefix sum, no SinglePartition window"),
-  ("ext_ivfpq_topk", "IVF-PQ probe: vector-free codes scan, ADC Column exprs, broadcast re-rank"))
+  ("ext_ivfpq_topk", "IVF-PQ probe: vector-free codes scan, ADC Column exprs, broadcast re-rank"),
+  ("ext_ivfpq_topk_persisted", "durable IVF-PQ probe: centroid_id PartitionFilters on codes AND re-rank scans, zero re-encode"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {

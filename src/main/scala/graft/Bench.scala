@@ -1,7 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // 1-min system load average, so the artifact itself adjudicates
+  // ambient-load inflation (the r5 driver run read 2x its idle time and
+  // needed a manual reproduction to prove it was load, not a plan
+  // regression). -1.0 when the platform can't report it.
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -71,7 +80,8 @@ object Bench {
     // inside `total` (no number games), broken out so the split is
     // visible without diffing rounds.
     val lifecycleKeys =
-      Seq("ivf_index_build", "stream_ingest_windowed", "ext_ivf_append")
+      Seq("ivf_index_build", "stream_ingest_windowed", "ext_ivf_append",
+        "ext_ivfpq_topk_persisted") // pays the PQ attach when the artifact moved
     val lifecycle = lifecycleKeys.flatMap(k => results.get(k).map(k -> _))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val slowest = results.toSeq.sortBy(-_._2).take(5)
@@ -89,7 +99,8 @@ object Bench {
     // "slowest"/"total_sec" keys survive truncation even when the
     // per-query map does not; full-line parsers read the leading keys.
     val errs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"natives":$natives,"n_queries":${results.size},"total_sec":$total}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"natives":$natives,"load_start":$loadStart,"load_end":$loadEnd,"n_queries":${results.size},"total_sec":$total}""")
     spark.stop()
   }
 }

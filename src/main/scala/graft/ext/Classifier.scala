@@ -94,6 +94,47 @@ object Classifier {
       k = k)
   }
 
+  /** Persist a trained model: the per-word table under `path/log_odds`
+    * and the three scalars as a one-row sidecar under `path/meta`,
+    * written LAST — its presence marks a complete save, so a crashed
+    * save is invisible to `load` (same publish-order discipline as the
+    * TxTable manifest rename). The model is O(vocabulary) — tiny next
+    * to any corpus — and a loaded model scores batches across sessions
+    * without retraining, the durability `NgramLm`'s count store already
+    * has (its counts are additive; log-odds are not, hence save/load of
+    * the finished model rather than an incremental store).
+    */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.logOdds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a re-save must not leave a stale meta visible beside a half-written
+    // word table: drop the completion marker first, then overwrite
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    model.logOdds.write.mode("overwrite").parquet(s"$path/log_odds")
+    import spark.implicits._
+    Seq((model.prior, model.defaultLo, model.k))
+      .toDF("prior", "default_lo", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model saved by `save`; scores are bit-identical to the
+    * in-session model (spec-asserted). Fails fast on a missing or
+    * incomplete (no meta) save.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"Classifier.load: no complete model at $path (meta sidecar missing)")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Model(
+      spark.read.parquet(s"$path/log_odds").localCheckpoint(),
+      prior = meta.getAs[Double]("prior"),
+      defaultLo = meta.getAs[Double]("default_lo"),
+      k = meta.getAs[Double]("k"))
+  }
+
   /** Score `docs`: (id, n_tokens, log_odds) — positive means "looks
     * like the positive reference". Rounded to 6 decimals (float-sum
     * accumulation order is engine-defined; repo-wide convention).

@@ -328,27 +328,33 @@ object Dedup {
         .dropDuplicates("u", "v")
     }
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head
+      // bit_xor, not sum: summing 64-bit hashes overflows Long under
+      // ANSI mode; xor over the (distinct) edge set is order-independent
+      // and overflow-free with the same 2^-64 collision class
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // Each round is lineage-TRUNCATED (lazy localCheckpoint, materialized
+    // by the round's signature action): the alternating-star plan doubles
+    // per round, so round N's un-truncated tree is 4^N nodes — plain
+    // persist keeps that lineage and planning/treeString blows the heap
+    // before the data ever would. Checkpoint blocks release on plan GC.
     var edges = smallStar(largeStar(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .filter(col("u") =!= col("v")))).persist()
+        .filter(col("u") =!= col("v")))).localCheckpoint(false)
     var sig = signature(edges)
     var converged = false
     var i = 1
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).persist()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
-      edges.unpersist()
       edges = next
       converged = nextSig == sig
       sig = nextSig
       i += 1
     }
     if (!converged) {
-      edges.unpersist()
       // NEVER return silently-unconverged labels: downstream keep-one
       // dedup would keep several docs of one component. log-round
       // contraction makes maxIters=10 cover ~2^10 diameters, so hitting
@@ -372,12 +378,10 @@ object Dedup {
       .join(nodes, Seq("id"), "left_anti")
       .withColumn("canonical_id", col("id"))
     // Checkpointed EAGERLY (this path already ran jobs per round) so the
-    // returned plan depends only on checkpoint blocks; the loop's persist
-    // is dropped immediately.
-    val result = starLabels.unionByName(roots).unionByName(isolated)
+    // returned plan depends only on checkpoint blocks; the loop rounds'
+    // checkpoint blocks release on plan GC.
+    starLabels.unionByName(roots).unionByName(isolated)
       .localCheckpoint(true)
-    edges.unpersist()
-    result
   }
 
   /** Driver-side exact connected components over a collected edge list:

@@ -88,11 +88,23 @@ object Mix {
     // Everything downstream (absence check, T, quotas) is driver math on
     // this array; re-deriving any of it from the DataFrame would re-run
     // the corpus aggregation per use (it used to run 3x per call).
-    val counts: Map[String, Long] = df
+    // countDistinct rides the same job: the quota mechanism ranks IDS
+    // and resolves survivors by semi-join, so a duplicated id would
+    // return every row sharing it and silently overshoot its group's
+    // quota — fail fast instead (Shuffle/Curriculum share the store
+    // contract, so the guard protects all three).
+    val rawCounts = df
       .filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dupGroups = rawCounts.collect { case (g, n, d) if n != d => s"$g ($n rows, $d ids)" }
+    require(dupGroups.isEmpty,
+      s"sampleToDistribution: '$idCol' must be unique per row — duplicate " +
+        s"ids in group(s) ${dupGroups.sorted.mkString(", ")} would exceed " +
+        "their quota via the id semi-join; dedup the corpus first")
+    val counts: Map[String, Long] =
+      rawCounts.map { case (g, n, _) => g -> n }.toMap
     val absent = weights.keySet -- counts.keySet
     require(absent.isEmpty,
       s"sampleToDistribution: weight groups absent from the corpus: " +

@@ -259,7 +259,13 @@ object Pq {
     var qn = 0.0
     query.foreach(x => qn += x * x)
     qn = math.sqrt(qn)
-    val approxCos = adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qn))
+    require(qn > 0, "adcTopK: zero query vector has no cosine neighbors")
+    // n=0 (zero stored vector) would make the quotient NaN, and Spark
+    // orders NaN LARGEST — zero vectors would seize pool slots ahead of
+    // genuine neighbors. Pin them to -inf instead.
+    val approxCos = when(col("n") > 0,
+      adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qn)))
+      .otherwise(lit(Double.NegativeInfinity))
     val candidates = codes
       .select(col(idCol), approxCos.as("approx_score"))
       .orderBy(col("approx_score").desc, col(idCol).asc)
@@ -268,8 +274,12 @@ object Pq {
     val cos = Similarity.cosineAuto(spark) _
     embeddings
       .join(broadcast(candidates), idCol)
+      // exact cosine of a zero-norm row is 0/0 = NaN (orders LARGEST);
+      // nanvl pins it below every real score
       .select(col(idCol),
-        round(cos(Similarity.asDouble(col(vecCol)), lit(query.toArray)), 6)
+        round(nanvl(
+          cos(Similarity.asDouble(col(vecCol)), lit(query.toArray)),
+          lit(Double.NegativeInfinity)), 6)
           .as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -303,6 +313,7 @@ object Pq {
     codesCache.values.foreach(_.unpersist())
     codesCache.clear()
     cbCache.clear()
+    artifactCbCache.clear()
   }
 
   /** The IVF-PQ codes table `(id, centroid_id, n, codes)` — the index's
@@ -368,12 +379,16 @@ object Pq {
     val codes = ivfPqCodesFor(embeddings, idCol, vecCol, nCentroids, iters, cb)
     val qArr = query.toArray
     val qNorm = math.sqrt(Similarity.dotLocal(qArr, qArr))
+    require(qNorm > 0, "ivfPqTopK: zero query vector has no cosine neighbors")
     val probes = idx.centroids
       .map(c => (c.id, Similarity.dotLocal(c.vec, qArr) / (c.norm * qNorm)))
       .sortBy { case (id, cos) => (-cos, id) }
       .take(nProbe)
       .map(_._1)
-    val approxCos = adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qNorm))
+    // same NaN-orders-largest hazard as adcTopK: zero-norm rows → -inf
+    val approxCos = when(col("n") > 0,
+      adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qNorm)))
+      .otherwise(lit(Double.NegativeInfinity))
     val candidates = codes
       .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
       .select(col("id"), approxCos.as("approx_score"))
@@ -384,7 +399,196 @@ object Pq {
     idx.assignments
       .join(broadcast(candidates), "id")
       .select(col("id").as(idCol),
-        round(dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)), 6).as("score"))
+        round(when(col("n") > 0, dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)))
+          .otherwise(lit(Double.NegativeInfinity)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------- durable PQ artifact
+
+  /** O(1)-ish content token of an artifact's assignments table (file
+    * names + lengths + mtimes, recursive listing, no job) — the
+    * fingerprint the PQ layer is pinned against: a rebuild OR an
+    * `ivfAppendPersisted` changes the listing, so stale codes can never
+    * silently serve a probe.
+    */
+  private def assignmentsToken(
+      spark: org.apache.spark.sql.SparkSession, ivfPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$ivfPath/assignments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    buf.sorted.mkString("|")
+  }
+
+  private def pqToken(
+      spark: org.apache.spark.sql.SparkSession, pqPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$pqPath/codebooks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Driver cache of loaded artifact codebooks (m*k*subDim doubles per
+    * path — kilobytes), keyed by (path, content token) exactly like
+    * Similarity's centroidCache: a re-attached artifact moves the token
+    * and the next probe re-reads.
+    */
+  private val artifactCbCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Codebooks]
+
+  /** Attach a durable PQ layer to the persisted IVF artifact at
+    * `ivfPath` — the closing move of the serving layout: after this, a
+    * NEW SESSION probes with `ivfPqTopKPersisted` and never re-encodes
+    * the corpus (the round-5 gap: codes lived in a session cache, so
+    * every session paid a full encode pass).
+    *
+    *   ivfPath/pq/codes/centroid_id=<id>/...  (id, n, codes) — the
+    *     IVF-PQ layout: probe = partition-directory pruning, like the
+    *     assignments themselves
+    *   ivfPath/pq/codebooks/...               (j, c, center) — metadata
+    *   ivfPath/pq/meta                        assignments fingerprint
+    *
+    * Built in a staging sibling and published by one stage-aside swap (a
+    * concurrent probe never sees codes without codebooks); `meta` pins
+    * the codes to the assignments' content token, so probing after a
+    * rebuild or append fails loudly instead of silently missing rows.
+    * Train reuses the artifact rows (bounded deterministic sample);
+    * encode is one mapPartitions pass with broadcast codebooks.
+    */
+  def pqAttachPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      ivfPath: String,
+      m: Int = 8,
+      k: Int = 32): Codebooks = {
+    import spark.implicits._
+    val asg = spark.read.parquet(s"$ivfPath/assignments")
+    val cb = train(asg, "id", "v", m, k)
+    val token = assignmentsToken(spark, ivfPath)
+    val target = new org.apache.hadoop.fs.Path(s"$ivfPath/pq")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val bc = spark.sparkContext.broadcast(cb)
+    asg.select(col("id"), col("centroid_id"), col("n"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, cid, n, v) => (id, cid, n, c.encode(v.toArray)) }
+      }
+      .toDF("id", "centroid_id", "n", "codes")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$staging/codes")
+    (0 until cb.m).flatMap(j => cb.centers(j).indices.map(c =>
+        (j, c, cb.centers(j)(c).toSeq)))
+      .toDF("j", "c", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "meta"), true)
+    try { out.write(token.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, "pq codes",
+      dstMayBeAbsent = true)
+    artifactCbCache.put((s"$ivfPath/pq", pqToken(spark, s"$ivfPath/pq")), cb)
+    cb
+  }
+
+  /** True when a durable PQ layer exists at `ivfPath/pq`. */
+  def pqAttached(
+      spark: org.apache.spark.sql.SparkSession, ivfPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$ivfPath/pq/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def pinnedToken(
+      spark: org.apache.spark.sql.SparkSession, pqPath: String): String = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$pqPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaP)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** True when the PQ layer exists AND still pins the current
+    * assignments content — i.e. `ivfPqTopKPersisted` would serve, not
+    * refuse. The maintenance predicate: `if (!pqFresh(...))
+    * pqAttachPersisted(...)`.
+    */
+  def pqFresh(
+      spark: org.apache.spark.sql.SparkSession, ivfPath: String): Boolean =
+    pqAttached(spark, ivfPath) &&
+      pinnedToken(spark, s"$ivfPath/pq") == assignmentsToken(spark, ivfPath)
+
+  private def loadArtifactCodebooks(
+      spark: org.apache.spark.sql.SparkSession, pqPath: String): Codebooks = {
+    val rows = spark.read.parquet(s"$pqPath/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebooks at $pqPath")
+    val m = rows.map(_._1).max + 1
+    val centers = Array.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    Codebooks(m, centers.map(_.length).max, centers(0)(0).length, centers)
+  }
+
+  /** IVF-PQ probe against the DURABLE artifact — the cross-session
+    * serving path: centroid metadata and codebooks are cached driver
+    * kilobytes, cluster selection is driver math, the codes scan and the
+    * exact-re-rank vector scan BOTH carry `centroid_id IN (probes)`
+    * (partition-directory pruning on each), and no corpus encode ever
+    * runs. Refuses a stale PQ layer (assignments changed since attach)
+    * loudly.
+    */
+  def ivfPqTopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      ivfPath: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 4,
+      pool: Int = 100,
+      idCol: String = "id"): DataFrame = {
+    require(pool >= k, s"re-rank pool $pool must be >= k=$k")
+    val pqPath = s"$ivfPath/pq"
+    require(pqAttached(spark, ivfPath),
+      s"no PQ layer at $pqPath — run pqAttachPersisted first")
+    if (pinnedToken(spark, pqPath) != assignmentsToken(spark, ivfPath))
+      throw new IllegalStateException(
+        s"PQ codes at $pqPath are STALE: the assignments table changed " +
+          "(rebuild or ivfAppendPersisted) after pqAttachPersisted — " +
+          "re-attach before probing, or rows would be silently invisible")
+    val cb = artifactCbCache.getOrElseUpdate((pqPath, pqToken(spark, pqPath)),
+      loadArtifactCodebooks(spark, pqPath))
+    val cents = Similarity.persistedCentroids(spark, ivfPath)
+    val qArr = query.toArray
+    val qNorm = math.sqrt(Similarity.dotLocal(qArr, qArr))
+    require(qNorm > 0,
+      "ivfPqTopKPersisted: zero query vector has no cosine neighbors")
+    val probes = cents
+      .map(c => (c.id, Similarity.dotLocal(c.vec, qArr) / (c.norm * qNorm)))
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nProbe)
+      .map(_._1)
+    val approxCos = when(col("n") > 0,
+      adcDotExpr(cb, query, col("codes")) / (col("n") * lit(qNorm)))
+      .otherwise(lit(Double.NegativeInfinity))
+    val candidates = spark.read.parquet(s"$pqPath/codes")
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col("id"), approxCos.as("approx_score"))
+      .orderBy(col("approx_score").desc, col("id").asc)
+      .limit(pool)
+      .select("id")
+    val dt = Similarity.dotAuto(spark) _
+    spark.read.parquet(s"$ivfPath/assignments")
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .join(broadcast(candidates), "id")
+      .select(col("id").as(idCol),
+        round(when(col("n") > 0, dt(col("v"), lit(qArr)) / (col("n") * lit(qNorm)))
+          .otherwise(lit(Double.NegativeInfinity)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

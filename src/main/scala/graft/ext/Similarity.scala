@@ -205,8 +205,15 @@ object Similarity {
       spark: SparkSession, cents: Array[IvfCentroid]): Column = {
     val dt = dotAuto(spark) _
     val scored = cents.map { c =>
+      // a zero-norm row (or a degenerate zero centroid) has no cosine:
+      // ANSI mode turns the 0-divide into a job-killing error — one zero
+      // vector must not crash a corpus-scale build. Scoring it -2.0
+      // (below any real cosine) against every centroid assigns it
+      // deterministically to the lowest centroid id instead.
+      val denom = col("n") * lit(c.norm)
       struct(
-        (dt(col("v"), lit(c.vec)) / (col("n") * lit(c.norm))).as("cos"),
+        when(denom > 0, dt(col("v"), lit(c.vec)) / denom)
+          .otherwise(lit(-2.0)).as("cos"),
         lit(-c.id).as("neg_id"))
     }
     val best =
@@ -537,7 +544,7 @@ object Similarity {
     probeAssignments(spark.read.parquet(s"$path/assignments"),
       persistedCentroids(spark, path), idCol, query, k, nProbe)
 
-  private def persistedCentroids(
+  private[ext] def persistedCentroids(
       spark: SparkSession, path: String): Array[IvfCentroid] =
     centroidCache.getOrElseUpdate((path, centroidToken(spark, path)),
       spark.read.parquet(s"$path/centroids")

@@ -498,6 +498,21 @@ object ExtQueries {
         k = 10, nProbe = 4, idCol = "vec_id")
     }),
 
+    // IVF-PQ against the DURABLE artifact: codes + codebooks + centroids
+    // all load from disk — a fresh session probes with ZERO corpus
+    // encode (the round-5 gap), and BOTH scans (codes ADC, re-rank
+    // vectors) prune to the probed centroid directories (rows-only:
+    // cluster assignment is engine-defined; equality with the
+    // uncompressed durable probe and the stale-pin refusal are
+    // spec-gated in PqSpec).
+    "ext_ivfpq_topk_persisted" -> ((s, dir) => {
+      ensurePersistedIndex(s, dir)
+      if (!Pq.pqFresh(s, indexPath(s, dir)))
+        Pq.pqAttachPersisted(s, indexPath(s, dir), m = 8, k = 32)
+      Pq.ivfPqTopKPersisted(s, indexPath(s, dir), queryVector(s, dir),
+        k = 10, nProbe = 4, pool = 100, idCol = "vec_id")
+    }),
+
     // Incremental IVF maintenance: a sub-corpus index grows by an
     // assign-only append (no retrain, no rebuild — the IncrementalDedup
     // posture on the similarity side), then the grown index is probed.

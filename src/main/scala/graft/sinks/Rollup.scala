@@ -105,7 +105,55 @@ object IncrementalRollup {
       distinctCols: Seq[(String, String)] = Nil,
       quantileCols: Seq[(String, String)] = Nil,
       topkCols: Seq[(String, String)] = Nil,
-      thetaCols: Seq[(String, String)] = Nil): Unit = {
+      thetaCols: Seq[(String, String)] = Nil): Unit =
+    maintain(spark, delta, targetPath, groupCols, sumCols, partitionBy,
+      deltaId, transactional, distinctCols, quantileCols, topkCols,
+      thetaCols, negate = false)
+
+  /** Fold a DELETION into the standing rollup: subtract the deleted
+    * rows' contribution from every count/sum measure — O(tombstone),
+    * the mirror image of a positive delta fold. Feed it the tombstone
+    * frame from `TxTable.deleteWhereTombstoned` (or any frame holding
+    * exactly the removed rows) with the SAME groupCols/sumCols the
+    * rollup was maintained with; groups whose count reaches zero are
+    * dropped from the table.
+    *
+    * Sketch measures (HLL/KLL/FI/theta) are NOT subtractable — a sketch
+    * folds unions only — so a rollup that stores any sketch column
+    * refuses the fold with an error naming the columns: REBUILD that
+    * rollup from the post-delete table instead. This is the
+    * delete-vs-rollup contract: plain `deleteWhere` leaves standing
+    * rollups stale with no signal; the tombstone + foldDeletion (or
+    * rebuild-on-refusal) path is how callers keep them consistent.
+    * Same `deltaId` replay protection as positive folds — give the
+    * deletion its own stable id.
+    */
+  def foldDeletion(
+      spark: SparkSession,
+      deleted: DataFrame,
+      targetPath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[(String, String)],
+      partitionBy: Seq[String] = Nil,
+      deltaId: Option[String] = None,
+      transactional: Boolean = false): Unit =
+    maintain(spark, deleted, targetPath, groupCols, sumCols, partitionBy,
+      deltaId, transactional, Nil, Nil, Nil, Nil, negate = true)
+
+  private def maintain(
+      spark: SparkSession,
+      delta: DataFrame,
+      targetPath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[(String, String)],
+      partitionBy: Seq[String],
+      deltaId: Option[String],
+      transactional: Boolean,
+      distinctCols: Seq[(String, String)],
+      quantileCols: Seq[(String, String)],
+      topkCols: Seq[(String, String)],
+      thetaCols: Seq[(String, String)],
+      negate: Boolean): Unit = {
     require(groupCols.nonEmpty, "IncrementalRollup needs group columns")
     require(partitionBy.forall(groupCols.contains),
       s"partition columns must be group columns: partitionBy=$partitionBy " +
@@ -129,8 +177,14 @@ object IncrementalRollup {
       if (partitionBy.isEmpty) df
       else df.repartition(partitionBy.map(col): _*)
     def deltaAgg = {
-      val aggs = (count(lit(1)).as("cnt") +:
-        sumCols.map { case (m, a) => sum(col(m)).as(a) }) ++
+      // negate: the tombstone's partials enter with flipped sign, so the
+      // merge path below SUBTRACTS them — same shuffle shape either way
+      val cntAgg =
+        if (negate) (-count(lit(1))).as("cnt") else count(lit(1)).as("cnt")
+      def sumAgg(m: String) =
+        if (negate) -sum(col(m)) else sum(col(m))
+      val aggs = (cntAgg +:
+        sumCols.map { case (m, a) => sumAgg(m).as(a) }) ++
         distinctCols.map { case (m, a) => hll_sketch_agg(col(m)).as(a) } ++
         quantileCols.map { case (m, a) =>
           graft.functions.Kll.sketchAgg(col(m)).as(a) } ++
@@ -150,12 +204,29 @@ object IncrementalRollup {
         graft.functions.FreqItems.mergeAgg(col(a)).as(a) } ++
       thetaCols.map { case (_, a) =>
         graft.functions.Theta.mergeAgg(col(a)).as(a) }
-    def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) =
-      existing
+    def fold(existing: DataFrame, agg: DataFrame, cols: Seq[String]) = {
+      val merged = existing
         .unionByName(agg.select(cols.map(col): _*))
         .groupBy(groupCols.map(col): _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
         .select(cols.map(col): _*)
+      // a fully-deleted group merges to cnt=0 — drop it, or read-time
+      // sum/cnt averages divide by zero on a ghost row
+      if (negate) merged.filter(col("cnt") =!= 0) else merged
+    }
+
+    // deletions fold only into count/sum measures; a stored sketch
+    // column cannot subtract, and a missing table has nothing to
+    // subtract FROM — both are caller contract errors, never silent
+    def guardDeletionTarget(existingAll: DataFrame): Unit = {
+      val expected = (groupCols ++ ("cnt" +: sumCols.map(_._2))).toSet
+      val extra = existingAll.columns.filterNot(expected)
+      if (negate && extra.nonEmpty) throw new IllegalStateException(
+        s"IncrementalRollup.foldDeletion: rollup at $targetPath stores " +
+          s"sketch measure column(s) ${extra.mkString(", ")} — sketches " +
+          "cannot fold deletions; rebuild the rollup from the " +
+          "post-delete table")
+    }
 
     if (transactional) {
       TxTable.currentManifest(spark, targetPath) match {
@@ -164,11 +235,15 @@ object IncrementalRollup {
           () // already folded — atomic with the fold itself, so this
              // check is exact at every crash point
         case None =>
+          if (negate) throw new IllegalStateException(
+            s"IncrementalRollup.foldDeletion: no rollup at $targetPath " +
+              "to subtract from")
           TxTable.commit(spark, deltaAgg, targetPath, partitionBy,
             deltaId, replaceAll = true)
           ()
         case Some(m) =>
           val existingAll = TxTable.read(spark, targetPath).get
+          guardDeletionTarget(existingAll)
           val agg = deltaAgg
           SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
           val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
@@ -191,6 +266,9 @@ object IncrementalRollup {
     SwapUtil.recoverUnder(fs, p0)
 
     if (!UpsertIgnore.targetExists(spark, targetPath)) {
+      if (negate) throw new IllegalStateException(
+        s"IncrementalRollup.foldDeletion: no rollup at $targetPath " +
+          "to subtract from")
       // staged, not written in place: a crash mid-first-write must not
       // leave a partial table that the next run folds a delta into
       MergeWrite.commitStaged(spark, deltaAgg, targetPath, partitionBy,
@@ -198,6 +276,7 @@ object IncrementalRollup {
     } else {
       val existingAll =
         MergeWrite.readNoInference(spark, targetPath, partitionBy.nonEmpty)
+      guardDeletionTarget(existingAll)
       val agg = deltaAgg
       SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
       val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)

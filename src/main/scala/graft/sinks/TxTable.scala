@@ -436,13 +436,32 @@ object TxTable {
       colName: String,
       lower: Double,
       upper: Double,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    deleteWhereTombstoned(spark, target, colName, lower, upper, statsCols)._1
+
+  /** `deleteWhere` that ALSO returns the deleted rows as an
+    * eagerly-materialized tombstone frame (None when nothing matched).
+    * A standing `IncrementalRollup` folded from this table goes silently
+    * stale on a plain delete; feeding the tombstone to
+    * `IncrementalRollup.foldDeletion` subtracts the deleted rows from
+    * the count/sum measures in O(tombstone) — the same delta discipline
+    * as the rollup's positive folds. Sketch measures (HLL/KLL/FI/theta)
+    * cannot subtract; foldDeletion refuses those rollups loudly and the
+    * caller must rebuild.
+    */
+  def deleteWhereTombstoned(
+      spark: SparkSession,
+      target: String,
+      colName: String,
+      lower: Double,
+      upper: Double,
+      statsCols: Seq[String] = Nil): (Long, Option[DataFrame]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val m = currentManifest(spark, target).getOrElse(return 0L)
-    if (m.entries.isEmpty) return 0L
+    val m = currentManifest(spark, target).getOrElse(return (0L, None))
+    if (m.entries.isEmpty) return (0L, None)
     val touched = m.entries.filter(e =>
       statsOverlap(m, e._2, colName, lower, upper))
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty) return (0L, None)
     val touchedDirs = touched.map(_._2).toSet
     val untouched = m.entries.filterNot(e => touchedDirs(e._2))
 
@@ -454,11 +473,15 @@ object TxTable {
     // definitely TRUE. Null values (including null-filled columns on
     // older generations after schema evolution) make `between` NULL,
     // which must mean "keep", not "drop".
+    val matchPred = coalesce(
+      col(colName).cast("double").between(lower, upper), lit(false))
     val surviving = touchedDf
-      .filter(not(coalesce(
-        col(colName).cast("double").between(lower, upper), lit(false))))
+      .filter(not(matchPred))
       .localCheckpoint(false)
-    val deleted = touchedDf.count() - surviving.count()
+    // checkpointed BEFORE the manifest swap so the tombstone survives a
+    // later vacuum of the rewritten generations
+    val deletedRows = touchedDf.filter(matchPred).localCheckpoint(false)
+    val deleted = deletedRows.count()
 
     val root = new Path(target)
     val f = fs(spark, root)
@@ -486,7 +509,7 @@ object TxTable {
     writeManifest(f, new Path(root, LogDir),
       Manifest(newV, m.deltaIds, untouched ++ newEntries, m.schema,
         m.stats.filter(kv => liveDirs(kv._1)) ++ newStats))
-    deleted
+    (deleted, if (deleted > 0) Some(deletedRows) else None)
   }
 
   /** Union-of-columns schema merge for partial/append commits: fields

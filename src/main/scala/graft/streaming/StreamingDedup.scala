@@ -144,17 +144,19 @@ object StreamingDedup {
   }
 
   /** The substring-pair log, deduped on the pair key (see `pairs`). */
-  def substringPairs(spark: SparkSession, pairsPath: String): DataFrame = {
+  def substringPairs(
+      spark: SparkSession,
+      pairsPath: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id_b",
-            org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType))))
     else spark.read.parquet(pairsPath).select("id_a", "id_b").distinct()
   }
 
@@ -162,18 +164,25 @@ object StreamingDedup {
     * batches re-emit; the consumer-side distinct restores exactly-once
     * effect). Empty DataFrame with the pair schema when nothing has
     * been emitted yet.
+    *
+    * @param idType the corpus id type — the written log inherits it, so
+    *               the pre-first-write empty frame must declare the SAME
+    *               type or a consumer that ran once before data arrived
+    *               breaks its unions/joins when data appears.
     */
-  def pairs(spark: SparkSession, pairsPath: String): DataFrame = {
+  def pairs(
+      spark: SparkSession,
+      pairsPath: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pairsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id_b",
-            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType),
           org.apache.spark.sql.types.StructField("jaccard",
             org.apache.spark.sql.types.DoubleType))))
     else

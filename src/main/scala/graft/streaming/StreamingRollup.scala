@@ -15,9 +15,16 @@ import graft.sinks.IncrementalRollup
   *  - the TxTable delta ledger publishes fold + deltaId in ONE atomic
   *    manifest rename, so a replayed batch is recognized and skipped.
   *
-  * Net: TRUE exactly-once maintenance of a non-idempotent fold — a
-  * crashed run, a restart, even a deleted checkpoint (same stream id)
-  * cannot double-count a batch. Unlike the pair-log sinks (idempotent
+  * Net: exactly-once maintenance of a non-idempotent fold under the
+  * checkpoint's lifetime — a crashed run or a restart cannot
+  * double-count a batch. A DELETED checkpoint is weaker: the deltaId
+  * ledger still refuses every replayed batchId (no double-count), but
+  * if the source grew since, the restarted stream regroups NEW files
+  * into those same low batchIds and the ledger skips them too — a
+  * silent under-count. After checkpoint loss over a source that may
+  * have grown, start a fresh `streamId` against a fresh target (or
+  * rebuild the rollup) instead of resuming. Unlike the pair-log sinks
+  * (idempotent
   * consumer), no downstream dedup is needed: the table IS the result.
   * The rollup carries every mergeable measure family (count/sum, HLL
   * distinct, KLL quantile, FI top-k), so "live p50 latency per group"

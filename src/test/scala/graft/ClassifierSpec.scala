@@ -77,4 +77,34 @@ class ClassifierSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("save/load round-trip: loaded model scores bit-identically") {
+    val posC = (1L to 10L).map(i => (i, s"good clear text number $i"))
+      .toDF("doc_id", "text")
+    val negC = (11L to 20L).map(i => (i, s"spam junk number $i click"))
+      .toDF("doc_id", "text")
+    val m = Classifier.train(posC, negC, "text", k = 0.5)
+    val path = tmpDir("nbmodel") + "/m"
+    Classifier.save(m, path)
+    val loaded = Classifier.load(spark, path)
+    assert(loaded.prior == m.prior && loaded.defaultLo == m.defaultLo &&
+      loaded.k == m.k)
+    val docs = (1L to 15L).map(i => (i, s"text number $i click good unseen"))
+      .toDF("doc_id", "text")
+    val a = Classifier.score(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    val b = Classifier.score(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a second save over the same path stays loadable (marker rewritten)
+    Classifier.save(loaded, path)
+    assert(Classifier.load(spark, path).logOdds.count() == m.logOdds.count())
+    // incomplete save (no meta sidecar) refuses to load
+    val broken = tmpDir("nbbroken") + "/m"
+    m.logOdds.write.parquet(s"$broken/log_odds")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.load(spark, broken)
+    }
+    assert(e.getMessage.contains("meta"))
+  }
 }

@@ -191,6 +191,20 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix sampling: duplicate ids rejected — the id semi-join would overshoot quotas") {
+    // survivors resolve via left_semi on the id: a duplicated id returns
+    // EVERY row sharing it, silently exceeding its group's quota — the
+    // contract is a loud refusal, not a drifted sample
+    val docs = Seq((1L, "en"), (1L, "en"), (2L, "en"), (3L, "en"),
+      (10L, "es"), (11L, "es")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Mix.sampleToDistribution(docs, "lang", "doc_id",
+        Map("en" -> 0.5, "es" -> 0.5))
+    }
+    assert(e.getMessage.contains("unique") && e.getMessage.contains("en"),
+      e.getMessage)
+  }
+
   test("mix sampling: weight group with zero corpus rows fails fast") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // "xx" never appears in the corpus: an inner-join formulation would

@@ -110,6 +110,96 @@ class PqSpec extends SparkSpec {
     assert(pq == plain, s"IVF-PQ $pq != IVF $plain")
   }
 
+  test("zero-norm rows never outrank genuine neighbors (NaN-orders-largest guard)") {
+    import spark.implicits._
+    // a corpus with TWO zero vectors and genuine unit vectors: the zero
+    // rows' cosine is 0/0 = NaN, which Spark orders LARGEST — unguarded,
+    // they seize the top-k ahead of every real neighbor
+    val base = (1 to 12).map { i =>
+      val v = Array.fill(8)(0.0f); v(i % 8) = 1.0f; v((i + 1) % 8) = 0.5f
+      (i.toLong, v.toSeq)
+    }
+    val zeros = Seq((100L, Array.fill(8)(0.0f).toSeq),
+      (101L, Array.fill(8)(0.0f).toSeq))
+    val tiny = (base ++ zeros).toDF("vec_id", "embedding")
+    val cbT = Pq.train(tiny, "vec_id", "embedding", m = 2, k = 8)
+    val q = base.head._2.map(_.toDouble)
+    val codesT = Pq.encode(tiny, "vec_id", "embedding", cbT)
+    val adc = Pq.adcTopK(codesT, tiny, "vec_id", "embedding", cbT, q,
+      k = 12, pool = 14).collect()
+    assert(!adc.map(_.getLong(0)).contains(100L) &&
+      !adc.map(_.getLong(0)).contains(101L),
+      s"zero vector in ADC top-k: ${adc.map(_.getLong(0)).toSeq}")
+    assert(adc.forall(r => !r.getDouble(1).isNaN))
+    val ivfpq = Pq.ivfPqTopK(tiny, "vec_id", "embedding", q,
+      k = 12, nCentroids = 2, nProbe = 2, m = 2, nCodes = 8, pool = 14)
+      .collect()
+    assert(!ivfpq.map(_.getLong(0)).contains(100L) &&
+      !ivfpq.map(_.getLong(0)).contains(101L),
+      s"zero vector in IVF-PQ top-k: ${ivfpq.map(_.getLong(0)).toSeq}")
+    assert(ivfpq.forall(r => !r.getDouble(1).isNaN))
+    // and a zero QUERY has no cosine neighbors — fail fast, not NaN soup
+    intercept[IllegalArgumentException] {
+      Pq.adcTopK(codesT, tiny, "vec_id", "embedding", cbT,
+        Seq.fill(8)(0.0), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(tiny, "vec_id", "embedding", Seq.fill(8)(0.0), 1,
+        nCentroids = 2, nProbe = 2, m = 2, nCodes = 8)
+    }
+  }
+
+  test("durable PQ layer: cache-cold probe == uncompressed durable probe, no re-encode") {
+    val path = tmpDir("pqdurable") + "/ivf"
+    Similarity.ivfBuildPersisted(emb, "vec_id", "embedding", path,
+      nCentroids = 16, iters = 2)
+    Pq.pqAttachPersisted(spark, path, m = 8, k = 32)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // "new session": drop every session cache — the probe below may use
+    // ONLY the on-disk artifact (codes + codebooks + centroids)
+    Pq.clearCaches()
+    Similarity.clearIndexCache()
+    val probe = Pq.ivfPqTopKPersisted(spark, path, q, k = 10, nProbe = 4,
+      pool = 600, idCol = "vec_id")
+    val plan = probe.queryExecution.executedPlan.toString
+    // no corpus re-encode in the probe: encode is a mapPartitions over
+    // the typed Dataset — its physical signature must be absent
+    assert(!plan.contains("MapPartitions") && !plan.contains("SerializeFromObject"),
+      s"probe re-encodes the corpus:\n$plan")
+    // both the codes scan and the re-rank vector scan prune directories
+    assert(plan.sliding("PartitionFilters: [centroid_id".length)
+      .count(_ == "PartitionFilters: [centroid_id") == 2,
+      s"expected centroid pruning on codes AND re-rank scans:\n$plan")
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.ivfTopKPersisted(spark, path, q, k = 10,
+        nProbe = 4, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"durable IVF-PQ $got != durable IVF $want")
+  }
+
+  test("durable PQ layer: refuses to probe after the assignments change (stale pin)") {
+    val path = tmpDir("pqstale") + "/ivf"
+    Similarity.ivfBuildPersisted(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path, nCentroids = 8, iters = 1)
+    Pq.pqAttachPersisted(spark, path, m = 8, k = 16)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    assert(Pq.ivfPqTopKPersisted(spark, path, q, k = 5, nProbe = 8,
+      idCol = "vec_id").count() == 5)
+    // grow the assignments out from under the codes: probing must refuse
+    Similarity.ivfAppendPersisted(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", path)
+    val e = intercept[IllegalStateException] {
+      Pq.ivfPqTopKPersisted(spark, path, q, k = 5, nProbe = 8, idCol = "vec_id")
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // re-attach covers the appended rows; the probe works again
+    Pq.pqAttachPersisted(spark, path, m = 8, k = 16)
+    assert(Pq.ivfPqTopKPersisted(spark, path, q, k = 5, nProbe = 8,
+      idCol = "vec_id").count() == 5)
+  }
+
   test("the IVF-PQ codes table carries no vector column") {
     // The structural memory guarantee: a probe over the codes table
     // CANNOT read an embedding — the column does not exist in its schema.

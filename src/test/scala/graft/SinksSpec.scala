@@ -422,6 +422,57 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("rollup-after-delete: tombstone fold == rebuild from the post-delete table") {
+    import graft.sinks.TxTable
+    val base = tmpDir("rolldel")
+    val src = s"$base/src"; val roll = s"$base/roll"
+    // source table with stats on the delete key; rollup folded from it
+    val rows = Seq((100L, "A", 2L), (101L, "A", 3L), (102L, "B", 5L),
+      (200L, "B", 7L), (201L, "C", 11L)).toDF("id", "grp", "qty")
+    TxTable.commit(spark, rows, src, Nil, statsCols = Seq("id"))
+    IncrementalRollup(spark, rows, roll, Seq("grp"),
+      Seq("qty" -> "sum_qty"), transactional = true, deltaId = Some("b1"))
+    // delete id block [200, 299] — removes one B row and ALL of C
+    val (n, tomb) = TxTable.deleteWhereTombstoned(spark, src, "id", 200.0, 299.0)
+    assert(n === 2L && tomb.isDefined)
+    assert(tomb.get.select("id").as[Long].collect().sorted.toSeq == Seq(200L, 201L))
+    IncrementalRollup.foldDeletion(spark, tomb.get, roll, Seq("grp"),
+      Seq("qty" -> "sum_qty"), transactional = true, deltaId = Some("del1"))
+    val got = TxTable.read(spark, roll).get
+      .select("grp", "cnt", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TxTable.read(spark, src).get.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got=$got want=$want")
+    // fully-deleted group C is DROPPED, not left as a cnt=0 ghost row
+    assert(!got.exists(_._1 == "C"))
+    // deltaId replay protection covers deletions too
+    IncrementalRollup.foldDeletion(spark, tomb.get, roll, Seq("grp"),
+      Seq("qty" -> "sum_qty"), transactional = true, deltaId = Some("del1"))
+    assert(TxTable.read(spark, roll).get
+      .select("cnt", "sum_qty").as[(Long, Long)].collect().toSet ==
+      got.map(t => (t._2, t._3)))
+  }
+
+  test("rollup-after-delete: sketch-measure rollup REFUSES the fold (rebuild signal)") {
+    val dir = tmpDir("rolldelhll") + "/t"
+    val rows = Seq(("g1", 1L, 1.0), ("g1", 2L, 2.0)).toDF("g", "user_id", "x")
+    IncrementalRollup(spark, rows, dir, Seq("g"), Seq("x" -> "sum_x"),
+      distinctCols = Seq("user_id" -> "users_sk"))
+    val e = intercept[IllegalStateException] {
+      IncrementalRollup.foldDeletion(spark, rows.limit(1), dir,
+        Seq("g"), Seq("x" -> "sum_x"))
+    }
+    assert(e.getMessage.contains("users_sk") && e.getMessage.contains("rebuild"),
+      e.getMessage)
+    // and a deletion against a missing rollup is a contract error too
+    intercept[IllegalStateException] {
+      IncrementalRollup.foldDeletion(spark, rows, tmpDir("rolldelnone") + "/t",
+        Seq("g"), Seq("x" -> "sum_x"), transactional = true)
+    }
+  }
+
   test("K2 merge-overwrite keeps the EXISTING row on key collision") {
     val dir = tmpDir("k2") + "/d"
     val day1 = Seq(("US Dollar", "2026-08-11T18:00", 1.08))

@@ -326,4 +326,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot && oneShot.nonEmpty,
       s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
   }
+
+  test("pre-first-write pair log declares the corpus id type, not LongType") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // a consumer that runs BEFORE any pairs are emitted must see the
+    // same schema it will see after — string-id corpora previously got
+    // a LongType empty frame that broke later unions/joins
+    val none = tmpDir("emptypairs") + "/never_written"
+    val sp = graft.streaming.StreamingDedup.pairs(spark, none, StringType)
+    assert(sp.schema("id_a").dataType == StringType &&
+      sp.schema("id_b").dataType == StringType && sp.count() == 0)
+    val ss = graft.streaming.StreamingDedup.substringPairs(spark, none, StringType)
+    assert(ss.schema("id_a").dataType == StringType && ss.count() == 0)
+    // default stays LongType for the engine's own long-keyed corpora
+    assert(graft.streaming.StreamingDedup.pairs(spark, none)
+      .schema("id_a").dataType == LongType)
+  }
 }
