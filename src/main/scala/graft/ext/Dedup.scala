@@ -298,10 +298,11 @@ object Dedup {
     // per-round shuffles are coalesced to `parts` partitions sized from
     // the edge count instead of inheriting the session's width, and each
     // round runs exactly ONE action — the convergence signature
-    // (count, xxhash64-sum of the edge set) is computed by the same job
-    // that materializes the round's persist, not by a separate
-    // changed-count job. Signature equality across rounds == edge-set
-    // equality up to a 2^-64 hash collision (count always exact).
+    // (count, bit_xor of xxhash64 over the edge set) is computed by the
+    // same job that materializes the round's checkpoint, not by a
+    // separate changed-count job. Signature equality across rounds ==
+    // edge-set equality up to a 2^-64 hash collision (count always
+    // exact).
     val parts = math.max(2, math.min(
       df.sparkSession.sessionState.conf.numShufflePartitions,
       (edgeCnt / 100000L).toInt + 1))

@@ -526,6 +526,63 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, pqPath: String): Codebooks =
     readCodebooks(spark, s"$pqPath/codebooks")
 
+  /** Incrementally extend the durable PQ layer after an
+    * `ivfAppendPersisted`: encode ONLY the assignment rows that have no
+    * codes yet (anti-join on id) against the EXISTING codebooks — no
+    * retrain, codes stay mutually meaningful, O(appended) work — append
+    * them into the centroid-partitioned layout, and re-pin `meta` to the
+    * grown assignments LAST (a crash before the re-pin leaves the stale
+    * pin in place, probes refuse, and a rerun's anti-join is a no-op —
+    * idempotent). The PQ analog of the assign-only IVF append, with the
+    * same cost and the same staleness caveat: appended rows are encoded
+    * by codebooks trained before they arrived, so a drifting corpus
+    * eventually wants a full `pqAttachPersisted` (retrain), exactly as
+    * the IVF append reports retrain-due.
+    *
+    * Append-only growth ONLY: if any coded id no longer exists in the
+    * assignments (a rebuild dropped or changed rows), the codes cannot
+    * be trusted and this refuses — re-attach instead.
+    *
+    * @return number of rows encoded and appended
+    */
+  def pqAppendPersisted(
+      spark: org.apache.spark.sql.SparkSession, ivfPath: String): Long = {
+    import spark.implicits._
+    val pqPath = s"$ivfPath/pq"
+    require(pqAttached(spark, ivfPath),
+      s"no PQ layer at $pqPath — run pqAttachPersisted first")
+    val cb = readCodebooks(spark, s"$pqPath/codebooks")
+    val asg = spark.read.parquet(s"$ivfPath/assignments")
+    val coded = spark.read.parquet(s"$pqPath/codes").select("id")
+    val orphans = coded.join(asg.select("id"), Seq("id"), "left_anti").count()
+    if (orphans > 0) throw new IllegalStateException(
+      s"pqAppendPersisted: $orphans coded id(s) no longer exist in the " +
+        s"assignments at $ivfPath — the index was rebuilt, not appended; " +
+        "re-run pqAttachPersisted")
+    val bc = spark.sparkContext.broadcast(cb)
+    val newCodes = asg.join(coded, Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"), col("n"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, cid, n, v) => (id, cid, n, c.encode(v.toArray)) }
+      }
+      .toDF("id", "centroid_id", "n", "codes")
+      .localCheckpoint(true) // count and write must see the same rows
+    val n = newCodes.count()
+    if (n > 0)
+      newCodes.write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$pqPath/codes")
+    val fs = new org.apache.hadoop.fs.Path(pqPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$pqPath/meta"), true)
+    try {
+      out.write(assignmentsToken(spark, ivfPath).getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    n
+  }
+
   /** Reconstruct vectors from a codes frame as PURE Column exprs: each
     * subspace is one `element_at` into the codebook's literal
     * center-array (m lookups total), flattened back to the vector —

@@ -47,6 +47,28 @@ object ExtQueries {
       }
     }
 
+  /** Same discipline for the EMBEDDING recall gates: the planted-twin
+    * corpus and its exact-cosine>=0.99 all-pairs ground truth are shared
+    * by three gates (rplsh / embed-incr / embed-incr-pq) — one
+    * checkpointed build per (session, dir) instead of three quadratic
+    * GT computations per bench/correctness run.
+    */
+  @volatile private var vecGtCache:
+      Option[((SparkSession, String), (DataFrame, DataFrame))] = None
+  private[graft] def sharedPlantedGt(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      vecGtCache match {
+        case Some((k, cached)) if k == ((s, dir)) => cached
+        case _ =>
+          val corpus = plantedNearDupVectors(s, dir).localCheckpoint(true)
+          val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+            .localCheckpoint(true)
+          vecGtCache = Some(((s, dir), (corpus, gt)))
+          (corpus, gt)
+      }
+    }
+
   def queries: Map[String, Q] = Map(
 
     // ---- text analysis (oracled) ------------------------------------
@@ -375,8 +397,7 @@ object ExtQueries {
     // exact cosine; the query returns the ones rpNearDups found — hash
     // equality proves recall 1.0, any missed pair fails the gate.
     "ext_rplsh_recall" -> ((s, dir) => {
-      val corpus = plantedNearDupVectors(s, dir)
-      val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      val (corpus, gt) = sharedPlantedGt(s, dir)
       val found = Similarity.rpNearDups(corpus, "vec_id", "v",
         threshold = 0.99, maxHamming = 10).select("id_a", "id_b")
       gt.join(found, Seq("id_a", "id_b"), "left_semi")
@@ -388,8 +409,7 @@ object ExtQueries {
     // planted twins second — must find every cross-batch ground-truth
     // pair via store collisions, or the hash differs.
     "ext_embed_incr_recall" -> ((s, dir) => {
-      val corpus = plantedNearDupVectors(s, dir)
-      val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      val (corpus, gt) = sharedPlantedGt(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incembed").toString + "/store"
       val P = graft.ext.IncrementalEmbedDedup.Params(
@@ -419,8 +439,7 @@ object ExtQueries {
     // store misses no true near-dup (recall 1.0); extra found pairs
     // below 0.99 exact are invisible to the semi-join.
     "ext_embed_incr_pq_recall" -> ((s, dir) => {
-      val corpus = plantedNearDupVectors(s, dir)
-      val gt = Similarity.cosinePairsAbove(corpus, "vec_id", "v", 0.99)
+      val (corpus, gt) = sharedPlantedGt(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incembedpq").toString + "/store"
       val P = graft.ext.IncrementalEmbedDedup.Params(
@@ -581,7 +600,7 @@ object ExtQueries {
     // the LSH blocking, or one wrong canonical assignment, breaks the
     // hash.
     "ext_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(plantedNearDupVectors(s, dir),
+      Similarity.semanticDedup(sharedPlantedGt(s, dir)._1,
           "vec_id", "v", threshold = 0.99)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),

@@ -194,7 +194,22 @@ class PqSpec extends SparkSpec {
       Pq.ivfPqTopKPersisted(spark, path, q, k = 5, nProbe = 8, idCol = "vec_id")
     }
     assert(e.getMessage.contains("STALE"), e.getMessage)
-    // re-attach covers the appended rows; the probe works again
+    // INCREMENTAL recovery: encode only the appended rows against the
+    // existing codebooks — cheaper than re-attach, same codebooks
+    val appended = Pq.pqAppendPersisted(spark, path)
+    assert(appended > 0, "append encoded nothing")
+    val afterAppend = Pq.ivfPqTopKPersisted(spark, path, q, k = 5,
+      nProbe = 8, pool = 600, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the appended rows are probe-visible and the probe equals the
+    // uncompressed durable probe at the same operating point
+    val want = Similarity.ivfTopKPersisted(spark, path, q, k = 5,
+        nProbe = 8, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterAppend == want, s"post-append IVF-PQ $afterAppend != IVF $want")
+    // re-running the append is a no-op (idempotent anti-join)
+    assert(Pq.pqAppendPersisted(spark, path) == 0)
+    // and a full re-attach still works over the grown corpus
     Pq.pqAttachPersisted(spark, path, m = 8, k = 16)
     assert(Pq.ivfPqTopKPersisted(spark, path, q, k = 5, nProbe = 8,
       idCol = "vec_id").count() == 5)
