@@ -111,12 +111,16 @@ object IncrementalRollup {
       thetaCols, negate = false)
 
   /** Fold a DELETION into the standing rollup: subtract the deleted
-    * rows' contribution from every count/sum measure — O(tombstone),
-    * the mirror image of a positive delta fold. Feed it the tombstone
-    * frame from `TxTable.deleteWhereTombstoned` (or any frame holding
-    * exactly the removed rows) with the SAME groupCols/sumCols the
-    * rollup was maintained with; groups whose count reaches zero are
-    * dropped from the table.
+    * rows' contribution from every count/sum measure — the mirror image
+    * of a positive delta fold. The tombstone aggregates in O(tombstone);
+    * the standing table is rewritten WHOLE (O(groups) — small by
+    * construction, and a partial commit cannot express "this partition's
+    * last group vanished"), which is the right trade for a rare
+    * right-to-be-forgotten event. Feed it the tombstone frame from
+    * `TxTable.deleteWhereTombstoned` (or any frame holding exactly the
+    * removed rows) with the SAME groupCols/sumCols the rollup was
+    * maintained with; groups whose count reaches zero are dropped from
+    * the table.
     *
     * Sketch measures (HLL/KLL/FI/theta) are NOT subtractable — a sketch
     * folds unions only — so a rollup that stores any sketch column
@@ -246,11 +250,25 @@ object IncrementalRollup {
           guardDeletionTarget(existingAll)
           val agg = deltaAgg
           SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
-          val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
-          TxTable.commit(spark,
-            partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
-            targetPath, partitionBy, deltaId,
-            expectedVersion = Some(m.version))
+          if (negate)
+            // deletions fold against the WHOLE standing table and commit
+            // replaceAll: a partition whose last group vanishes cannot be
+            // expressed by a partial commit (an empty write has no
+            // touched-set), and the rollup is O(groups) by construction,
+            // so the full rewrite is cheap — and right-to-be-forgotten
+            // deletes are rare next to positive folds
+            TxTable.commit(spark,
+              partitionAligned(
+                fold(existingAll, agg, existingAll.columns.toSeq)),
+              targetPath, partitionBy, deltaId, replaceAll = true,
+              expectedVersion = Some(m.version))
+          else {
+            val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
+            TxTable.commit(spark,
+              partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
+              targetPath, partitionBy, deltaId,
+              expectedVersion = Some(m.version))
+          }
           ()
       }
       return
@@ -279,10 +297,39 @@ object IncrementalRollup {
       guardDeletionTarget(existingAll)
       val agg = deltaAgg
       SchemaGuard.requireAligned(spark, agg, existingAll, partitionBy, targetPath)
-      val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
-      MergeWrite.commitStaged(spark,
-        partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
-        targetPath, partitionBy, "IncrementalRollup")
+      if (negate) {
+        // same whole-table discipline as the transactional branch — a
+        // per-leaf swap cannot make a vanished partition disappear. The
+        // table is staged complete and swapped as ONE directory; the
+        // `_applied` ledger rides along by a restore from the parked old
+        // table. A crash between the renames falls under the legacy
+        // layout's documented crash window (rebuild after a crashed
+        // maintain, or use transactional mode) — recoverUnder heals the
+        // data either way, at worst losing markers, never rows.
+        val folded = partitionAligned(
+          fold(existingAll, agg, existingAll.columns.toSeq))
+        val tmp = new Path(p0.getParent, s".${p0.getName}__staging")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val w = folded.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(tmp.toString)
+        val bak = new Path(p0.getParent, s".${p0.getName}__old")
+        if (!fs.rename(p0, bak))
+          sys.error(s"IncrementalRollup.foldDeletion: cannot stage $p0 aside")
+        if (!fs.rename(tmp, p0)) {
+          fs.rename(bak, p0)
+          sys.error(s"IncrementalRollup.foldDeletion: swap failed for $p0")
+        }
+        val oldMarkers = new Path(bak, "_applied")
+        if (fs.exists(oldMarkers))
+          fs.rename(oldMarkers, new Path(p0, "_applied"))
+        fs.delete(bak, true)
+      } else {
+        val existing = Upsert.prunedExisting(agg, existingAll, partitionBy)
+        MergeWrite.commitStaged(spark,
+          partitionAligned(fold(existing, agg, existingAll.columns.toSeq)),
+          targetPath, partitionBy, "IncrementalRollup")
+      }
     }
     marker.foreach { mk => fs.mkdirs(mk.getParent); fs.create(mk, true).close() }
   }

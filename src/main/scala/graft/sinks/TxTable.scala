@@ -275,13 +275,18 @@ object TxTable {
     val newLeaves: Seq[String] =
       if (partitionBy.isEmpty) Seq("")
       else leafRelPaths(f, genDir).map(_.stripPrefix("/"))
-    // an empty partitioned write produces zero leaves; publishing it
-    // would poison the manifest with an unreadable empty snapshot —
-    // fail AT the commit, where the cause (empty input) is diagnosable
-    require(newLeaves.nonEmpty,
+    // an empty partitioned write produces zero leaves. For a PARTIAL
+    // commit that would poison the manifest (the touched set is
+    // unknowable — fail where the cause is diagnosable); a replaceAll
+    // commit of zero rows is a legitimate EMPTY snapshot (e.g. a
+    // deletion fold that removed the last group) — readers get an empty
+    // frame with the recorded schema.
+    require(newLeaves.nonEmpty || replaceAll,
       s"TxTable: commit wrote no partitions to $target — empty input?")
-    val newEntries = newLeaves.map(l =>
-      l -> (if (l.isEmpty) genRel else s"$genRel/$l"))
+    val newEntries =
+      if (newLeaves.isEmpty) Nil
+      else newLeaves.map(l =>
+        l -> (if (l.isEmpty) genRel else s"$genRel/$l"))
     val touched = newEntries.map(_._1).toSet
     val carried =
       if (replaceAll) Seq.empty[(String, String)]

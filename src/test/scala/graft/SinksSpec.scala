@@ -455,6 +455,36 @@ class SinksSpec extends SparkSpec {
       got.map(t => (t._2, t._3)))
   }
 
+  test("rollup-after-delete: a fully-deleted group's PARTITION disappears (both layouts)") {
+    import graft.sinks.TxTable
+    val rows = Seq(("A", 2L), ("A", 3L), ("B", 5L), ("C", 7L)).toDF("grp", "qty")
+    val tomb = Seq(("C", 7L)).toDF("grp", "qty") // deletes ALL of C
+    def readBack(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "cnt", "sum_qty")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(("A", 2L, 5L), ("B", 1L, 5L))
+    // transactional: replaceAll commit drops the empty partition
+    val tx = tmpDir("rolldelpart") + "/tx"
+    IncrementalRollup(spark, rows, tx, Seq("grp"), Seq("qty" -> "sum_qty"),
+      partitionBy = Seq("grp"), transactional = true, deltaId = Some("b1"))
+    IncrementalRollup.foldDeletion(spark, tomb, tx, Seq("grp"),
+      Seq("qty" -> "sum_qty"), partitionBy = Seq("grp"),
+      transactional = true, deltaId = Some("d1"))
+    assert(readBack(TxTable.read(spark, tx).get) == want)
+    // legacy: whole-table swap drops the partition AND keeps the
+    // _applied ledger (a replayed positive delta stays a no-op)
+    val lg = tmpDir("rolldelpart") + "/legacy"
+    IncrementalRollup(spark, rows, lg, Seq("grp"), Seq("qty" -> "sum_qty"),
+      partitionBy = Seq("grp"), deltaId = Some("b1"))
+    IncrementalRollup.foldDeletion(spark, tomb, lg, Seq("grp"),
+      Seq("qty" -> "sum_qty"), partitionBy = Seq("grp"), deltaId = Some("d1"))
+    assert(readBack(spark.read.parquet(lg)) == want)
+    assert(!new java.io.File(s"$lg/grp=C").exists, "vanished partition left on disk")
+    IncrementalRollup(spark, rows, lg, Seq("grp"), Seq("qty" -> "sum_qty"),
+      partitionBy = Seq("grp"), deltaId = Some("b1")) // replay: ledger no-op
+    assert(readBack(spark.read.parquet(lg)) == want, "replayed delta re-folded")
+  }
+
   test("rollup-after-delete: sketch-measure rollup REFUSES the fold (rebuild signal)") {
     val dir = tmpDir("rolldelhll") + "/t"
     val rows = Seq(("g1", 1L, 1.0), ("g1", 2L, 2.0)).toDF("g", "user_id", "x")
