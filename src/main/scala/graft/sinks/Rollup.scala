@@ -214,9 +214,27 @@ object IncrementalRollup {
         .groupBy(groupCols.map(col): _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
         .select(cols.map(col): _*)
-      // a fully-deleted group merges to cnt=0 — drop it, or read-time
-      // sum/cnt averages divide by zero on a ghost row
-      if (negate) merged.filter(col("cnt") =!= 0) else merged
+      if (!negate) merged
+      else {
+        // a tombstone claiming rows the rollup never folded (wrong
+        // groupCols, double-applied deletion without a deltaId, or a
+        // tombstone from some other table) drives a count NEGATIVE —
+        // loud failure, never a silently-corrupt standing aggregate.
+        // Checkpointed so the assertion and the commit share one
+        // computation of the O(groups) fold.
+        val m = merged.localCheckpoint(false)
+        val bad = m.filter(col("cnt") < 0)
+          .select(groupCols.map(col): _*).limit(3).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"IncrementalRollup.foldDeletion: tombstone subtracts more rows " +
+            s"than the rollup at $targetPath ever folded for group(s) " +
+            s"${bad.map(_.toSeq.mkString("(", ",", ")")).mkString(", ")} — " +
+            "wrong tombstone, wrong groupCols, or a replayed deletion " +
+            "without a deltaId; rollup left unchanged")
+        // a fully-deleted group merges to cnt=0 — drop it, or read-time
+        // sum/cnt averages divide by zero on a ghost row
+        m.filter(col("cnt") =!= 0)
+      }
     }
 
     // deletions fold only into count/sum measures; a stored sketch

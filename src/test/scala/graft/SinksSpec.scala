@@ -503,6 +503,25 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("rollup-after-delete: over-subtracting tombstone fails loudly, rollup unchanged") {
+    import graft.sinks.TxTable
+    val dir = tmpDir("rolldelneg") + "/t"
+    val rows = Seq(("A", 2L), ("B", 3L)).toDF("grp", "qty")
+    IncrementalRollup(spark, rows, dir, Seq("grp"), Seq("qty" -> "sum_qty"),
+      transactional = true, deltaId = Some("b1"))
+    // tombstone claims TWO A-rows; the rollup only ever folded one
+    val tomb = Seq(("A", 2L), ("A", 2L)).toDF("grp", "qty")
+    val e = intercept[IllegalStateException] {
+      IncrementalRollup.foldDeletion(spark, tomb, dir, Seq("grp"),
+        Seq("qty" -> "sum_qty"), transactional = true, deltaId = Some("d1"))
+    }
+    assert(e.getMessage.contains("more rows"), e.getMessage)
+    val got = TxTable.read(spark, dir).get
+      .select("grp", "cnt", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("A", 1L, 2L), ("B", 1L, 3L)), s"rollup mutated: $got")
+  }
+
   test("K2 merge-overwrite keeps the EXISTING row on key collision") {
     val dir = tmpDir("k2") + "/d"
     val day1 = Seq(("US Dollar", "2026-08-11T18:00", 1.08))
