@@ -483,6 +483,20 @@ class SinksSpec extends SparkSpec {
     IncrementalRollup(spark, rows, lg, Seq("grp"), Seq("qty" -> "sum_qty"),
       partitionBy = Seq("grp"), deltaId = Some("b1")) // replay: ledger no-op
     assert(readBack(spark.read.parquet(lg)) == want, "replayed delta re-folded")
+    // deleting EVERY group publishes a legitimately EMPTY snapshot (tx):
+    // readers get an empty frame with the recorded schema, and a later
+    // positive fold starts the table over
+    IncrementalRollup.foldDeletion(spark,
+      Seq(("A", 2L), ("A", 3L), ("B", 5L)).toDF("grp", "qty"),
+      tx, Seq("grp"), Seq("qty" -> "sum_qty"), partitionBy = Seq("grp"),
+      transactional = true, deltaId = Some("d2"))
+    val empty = TxTable.read(spark, tx).get
+    assert(empty.count() == 0 &&
+      empty.columns.toSet == Set("grp", "cnt", "sum_qty"))
+    IncrementalRollup(spark, Seq(("D", 9L)).toDF("grp", "qty"), tx,
+      Seq("grp"), Seq("qty" -> "sum_qty"), partitionBy = Seq("grp"),
+      transactional = true, deltaId = Some("b2"))
+    assert(readBack(TxTable.read(spark, tx).get) == Set(("D", 1L, 9L)))
   }
 
   test("rollup-after-delete: sketch-measure rollup REFUSES the fold (rebuild signal)") {
