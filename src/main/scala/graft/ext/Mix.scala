@@ -100,9 +100,11 @@ object Mix {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val dupGroups = rawCounts.collect { case (g, n, d) if n != d => s"$g ($n rows, $d ids)" }
     require(dupGroups.isEmpty,
-      s"sampleToDistribution: '$idCol' must be unique per row — duplicate " +
-        s"ids in group(s) ${dupGroups.sorted.mkString(", ")} would exceed " +
-        "their quota via the id semi-join; dedup the corpus first")
+      s"sampleToDistribution: '$idCol' must be unique and non-null per " +
+        s"row — duplicate or null ids in group(s) " +
+        s"${dupGroups.sorted.mkString(", ")} would exceed their quota via " +
+        "the id semi-join (countDistinct ignores nulls); dedup the corpus " +
+        "first")
     val counts: Map[String, Long] =
       rawCounts.map { case (g, n, _) => g -> n }.toMap
     val absent = weights.keySet -- counts.keySet

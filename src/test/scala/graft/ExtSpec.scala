@@ -640,12 +640,30 @@ class ExtSpec extends SparkSpec {
   test("sharedGroundTruth: one quadratic pair build shared across gates") {
     val a = graft.queries.ExtQueries
       .sharedGroundTruth(spark, "/root/testdata/sf0.001")
-    val b = graft.queries.ExtQueries
-      .sharedGroundTruth(spark, "/root/testdata/sf0.001")
-    // reference identity == the second gate reuses the checkpointed
-    // frame; the quadratic ground truth is computed once per run
-    assert(a eq b)
+    // the second fetch must run ZERO Spark jobs — the cache hit is a
+    // reference to the checkpointed frame, not a rebuild
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val b = graft.queries.ExtQueries
+        .sharedGroundTruth(spark, "/root/testdata/sf0.001")
+      assert(a eq b)
+      Thread.sleep(1000) // listener bus is async; let any job event land
+      assert(jobs.get() == 0, s"cache hit ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
     assert(a.columns.toSeq == Seq("id_a", "id_b", "jaccard3"))
+    // same discipline for the vector gates' shared planted corpus + GT
+    val (c1, g1) = graft.queries.ExtQueries
+      .sharedPlantedGt(spark, "/root/testdata/sf0.001")
+    val (c2, g2) = graft.queries.ExtQueries
+      .sharedPlantedGt(spark, "/root/testdata/sf0.001")
+    assert((c1 eq c2) && (g1 eq g2))
   }
 
   test("exact dedup groups identical content") {
