@@ -27,25 +27,32 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as epoch-nanos
-    * via the legacy conf and truncate to microseconds — the same ns→µs
-    * truncation DuckDB applies when it casts TIMESTAMP_NS, so both engines
-    * see identical values. NTZ keeps the wall-clock identical to the
-    * oracle's naive timestamps regardless of writer tz flags.
+  /** `events.ts` normalization — schema-adaptive because the driver has
+    * shipped two generations of the file:
     *
-    * The legacy conf must be set AT SESSION CONSTRUCTION
-    * (`.config("spark.sql.legacy.parquet.nanosAsLong", "true")` — Bench,
-    * Verify, and the test harness all do). It cannot be scoped per-read:
-    * executors consult the job-propagated session SQLConf, not the reader
-    * options. This accessor deliberately does NOT mutate the session as a
-    * side effect of building a plan; a session without the conf fails
-    * loudly with PARQUET_TYPE_ILLEGAL rather than silently changing how
-    * every later parquet read surfaces NANOS columns.
+    *  - INT64 TIMESTAMP(NANOS), which Spark's reader rejects outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet
+    *    .nanosAsLong=true` is set AT SESSION CONSTRUCTION (Bench, Verify,
+    *    and the test harness all do — it cannot be scoped per-read:
+    *    executors consult the job-propagated session SQLConf). Under the
+    *    conf the column surfaces as epoch-nanos LONG; we truncate ns→µs,
+    *    the same truncation DuckDB applies casting TIMESTAMP_NS.
+    *  - plain TIMESTAMP(MICROS) NTZ (current testdata), which both
+    *    engines read natively — passthrough.
+    *
+    * Either way the result is TIMESTAMP_NTZ µs: wall-clock identical to
+    * the oracle's naive timestamps regardless of writer tz flags. The
+    * branch reads only the parquet footer (schema), not data.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

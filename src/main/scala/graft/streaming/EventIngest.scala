@@ -20,30 +20,31 @@ import graft.sinks.UpsertIgnore
   */
 object EventIngest {
 
-  /** Raw schema of events.parquet under nanosAsLong (see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-based event stream with normalized µs event time. Watermarks
     * require TIMESTAMP (with-local-tz), not NTZ, so the stream keeps LTZ
     * `ts` (session is pinned UTC — same wall clock); sinks cast to NTZ at
     * the boundary to match the batch tables.
+    *
+    * `readStream` needs an explicit schema, and the driver has shipped two
+    * generations of events.parquet (INT64 NANOS under the nanosAsLong
+    * legacy conf, vs native TIMESTAMP µs — see Tables.events). A one-time
+    * batch footer read of the directory resolves which one this stream is
+    * ingesting; that is metadata-only (no data scan) and keeps the
+    * streaming plan itself schema-exact.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries INT64(NANOS) timestamps: set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
-        "(see graft.Tables.events) — not mutated here as a side effect")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = spark.read.parquet(dir).schema
+    val nanosAsLong = fileSchema("ts").dataType == LongType
+    if (nanosAsLong) {
+      require(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet carries INT64(NANOS) timestamps: set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
+          "(see graft.Tables.events) — not mutated here as a side effect")
+    }
+    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    if (nanosAsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked tumbling-window aggregation (the streaming form of the
