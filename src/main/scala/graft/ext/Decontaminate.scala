@@ -85,4 +85,55 @@ object Decontaminate {
       contaminatedIds(train, benchmark, idCol, textCol, n, exact)
         .withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: training rows whose embedding is within
+    * cosine `threshold` of ANY benchmark embedding. Catches the leakage
+    * exact n-grams miss — paraphrases, translations, reformatted copies
+    * of an eval item — at the cost of an embedding pass (published
+    * pipelines run both: n-gram first, embedding second).
+    *
+    * Scale shape: the benchmark side is tiny by definition, so its
+    * (double-widened, norm-hoisted) vectors BROADCAST and the check is a
+    * broadcast nested-loop LEFT SEMI join along the corpus scan — the
+    * corpus is never shuffled and never scored twice (semi-join
+    * short-circuits on the first benchmark hit). O(|train| · |bench| · d)
+    * work, |train|-bounded output, no distinct needed.
+    *
+    * The cosine uses the same fixed left-to-right fold as the rest of the
+    * similarity surface (Similarity.dot / graft_dot), so thresholds are
+    * bit-reproducible across engines and sessions.
+    */
+  def contaminatedIdsByEmbedding(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val dt = Similarity.dotAuto(train.sparkSession) _
+    val t = train.select(col(idCol),
+      Similarity.asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", sqrt(dt(col("_v"), col("_v"))))
+    val b = benchmark.select(Similarity.asDouble(col(vecCol)).as("_bv"))
+      .withColumn("_bn", sqrt(dt(col("_bv"), col("_bv"))))
+    t.join(broadcast(b),
+        dt(col("_v"), col("_bv")) / (col("_n") * col("_bn")) >= threshold,
+        "left_semi")
+      .select(idCol)
+  }
+
+  /** The semantically-clean corpus: training rows farther than
+    * `threshold` cosine from every benchmark embedding (all columns
+    * pass through).
+    */
+  def removeContaminatedByEmbedding(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    train.join(
+      contaminatedIdsByEmbedding(train, benchmark, idCol, vecCol, threshold),
+      Seq(idCol), "left_anti")
 }

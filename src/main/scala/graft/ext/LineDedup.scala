@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Line-level deduplication — the C4/RefinedWeb-style hygiene pass
+  * that operates WITHIN documents at line granularity rather than on whole
+  * docs: (a) corpus-wide exact-duplicate-line removal (keep the first
+  * occurrence by document order), and (b) boilerplate stripping (drop any
+  * line that recurs across at least `minDocs` distinct documents — nav
+  * bars, cookie banners, license headers — from EVERY document, then
+  * reassemble the cleaned text).
+  *
+  * Scale shape: one explode (map-side, no shuffle) + ONE hash-partitioned
+  * aggregation per pass.
+  *
+  *  - keep-first groups by the line VALUE with `min(struct(id, line_no))`
+  *    — partial aggregation runs map-side, so the shuffle carries one
+  *    partially-reduced row per distinct line per input partition, not
+  *    every line occurrence (a window `row_number` over the same key
+  *    would shuffle all rows and sort each group: strictly worse).
+  *    Grouping by the value, not a hash of it, means no collision
+  *    semantics to document — two distinct lines can never merge.
+  *  - boilerplate detection aggregates exact distinct-document counts
+  *    per line, keeps only lines at/above `minDocs`; that result
+  *    is small BY DEFINITION (boilerplate = high-frequency), so the
+  *    removal join back onto the exploded lines broadcasts. The corpus
+  *    is never shuffled to strip boilerplate — only the offending lines
+  *    move.
+  *  - reassembly is a per-document `collect_list(struct)` aggregation;
+  *    line order is restored by sorting the collected structs on
+  *    `line_no` INSIDE each group (`array_sort` on the struct's leading
+  *    field), not by a global sort.
+  *
+  * Reference scope: the reference pipeline dedups whole rows (A1/A2);
+  * line-level dedup is part of the [EXT] training-data surface
+  * (SURVEY §2.11), where published LLM corpus pipelines report it as one
+  * of the highest-yield cleaning steps.
+  */
+object LineDedup {
+
+  /** Explode lined text into (id, line_no, line) with 1-based positions.
+    * `sepRegex` is a Java regex (default: newline). Pure map-side.
+    */
+  def explodeLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\n"): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), sepRegex)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("line_no"),
+        col("col").as("line"))
+
+  /** Corpus-wide exact line dedup, keep-first: for every distinct line
+    * value, the surviving occurrence is the one with the smallest
+    * (id, line_no). Output: (id, line_no, line) survivors.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\n"): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol, sepRegex)
+    // min(struct) compares fields left-to-right: document id first, then
+    // position — exactly the keep-first tiebreak, computed map-side.
+    lines
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("line_no"))).as("first"))
+      .select(col("first")(idCol).as(idCol),
+        col("first")("line_no").as("line_no"), col("line"))
+  }
+
+  /** Lines recurring in at least `minDocs` DISTINCT documents, with their
+    * document frequency. Small by definition (it is the boilerplate set).
+    */
+  def boilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sepRegex: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    explodeLines(df, idCol, textCol, sepRegex)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+  }
+
+  /** Strip boilerplate lines from every document and reassemble the
+    * cleaned text (lines rejoined with `joinSep` in original order).
+    * A document whose every line is boilerplate disappears from the
+    * output (it has no surviving text) — callers wanting to keep empty
+    * husks can left-join the result back onto the corpus.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sepRegex: String = "\n",
+      joinSep: String = "\n"): DataFrame = {
+    val boiler = boilerplateLines(df, idCol, textCol, minDocs, sepRegex)
+    val survivors = explodeLines(df, idCol, textCol, sepRegex)
+      .join(broadcast(boiler.select("line")), Seq("line"), "left_anti")
+    survivors
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("line_no"), col("line"))))
+        .as("ordered"))
+      .select(col(idCol),
+        array_join(transform(col("ordered"), _.getField("line")), joinSep)
+          .as("text"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] URL canonicalization + URL-keyed dedup — the first dedup pass of
+  * every web-scale corpus pipeline: two crawls of the same page differ
+  * only in scheme case, `www.`, default ports, tracking params, param
+  * order, fragments, or trailing slashes, and canonicalizing before
+  * comparing collapses them without touching the page text at all.
+  *
+  * Canonical form produced (documented spec, applied in this order):
+  *   1. trim; drop the `#fragment`
+  *   2. scheme lowercased (no scheme upgrading: http and https remain
+  *      distinct pages)
+  *   3. host lowercased; a leading `www.` dropped
+  *   4. explicit DEFAULT ports dropped (`:80` for http, `:443` for
+  *      https); non-default ports kept
+  *   5. path kept case-sensitive (paths are case-significant by RFC);
+  *      trailing `/`s dropped
+  *   6. query params split on `&`, tracking params removed
+  *      (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`), the rest SORTED
+  *      and rejoined — param order never distinguishes pages; an
+  *      emptied query drops its `?`
+  *
+  * Everything is a pure Column expression over Spark's `parse_url` +
+  * array functions — codegen-friendly, no UDF, fully distributed; the
+  * dedup is one hash aggregation on the canonical key (partial map-side
+  * combine, same scale shape as every keyed dedup in this repo).
+  */
+object Urls {
+
+  private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+  /** Canonicalize a URL column per the spec above. Rows that are not
+    * parseable URLs (no `scheme://host`) canonicalize to NULL — callers
+    * filter or quarantine them explicitly rather than silently keeping
+    * unparseable keys.
+    */
+  def canonicalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
+    val host0 = lower(try_parse_url(u, lit("HOST")))
+    val host = regexp_replace(host0, "^www\\.", "")
+    // parse_url HOST strips the port; recover it from AUTHORITY and keep
+    // only non-default ones.
+    val port = regexp_extract(try_parse_url(u, lit("AUTHORITY")), ":(\\d+)$", 1)
+    val keptPort = when(
+      port === "" or
+        (scheme === "http" and port === "80") or
+        (scheme === "https" and port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = regexp_replace(coalesce(try_parse_url(u, lit("PATH")), lit("")),
+      "/+$", "")
+    val query0 = coalesce(try_parse_url(u, lit("QUERY")), lit(""))
+    val kept = filter(split(query0, "&"),
+      p => !(p.rlike(TrackingParam)) && p =!= "")
+    val query = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(kept), "&")))
+    when(scheme.isNull or host0.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, keptPort, path, query))
+  }
+
+  /** Keyed keep-first dedup on the canonical URL: one row per canonical
+    * key, the smallest `idCol` wins. Output: (url_canon, first id, the
+    * duplicate count) — callers semi-join `first` back for full rows.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(canonicalize(col(urlCol)).as("url_canon"), col(idCol))
+      .filter(col("url_canon").isNotNull)
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("first_" + idCol),
+        count(lit(1)).as("n_dups"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -803,8 +803,92 @@ object ExtQueries {
         Multimodal.mediaTable(Tables.documents(s, dir)))
         .toDF()
         .select(col("doc_id"), col("byte_len"), col("checksum"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- line-level dedup (C4-style, oracled) -----------------------
+    // documents carry no newlines, so "lines" are derived as aligned
+    // 4-token chunks joined with \n (identical derivation in the
+    // oracle); the operators then run on the real sep-based surface.
+    // Corpus-wide keep-first on the line VALUE — survivors only.
+    "ext_line_dedup" -> ((s, dir) =>
+      LineDedup.dedupLines(linedDocs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "line_no")),
+
+    // Boilerplate strip + reassembly (oracled): any line in >= 3
+    // distinct docs is dropped from every doc; text rebuilt in order.
+    "ext_line_boilerplate" -> ((s, dir) =>
+      LineDedup.stripBoilerplate(linedDocs(s, dir), "doc_id", "text",
+          minDocs = 3)
+        .orderBy("doc_id")),
+
+    // ---- URL canonicalization + dedup (oracled) ---------------------
+    // Messy URLs synthesized from doc fields by the SHARED SQL (same
+    // expression text runs in both engines); Spark canonicalizes via
+    // the parse_url-based operator, the oracle via an independent
+    // regex implementation — a genuine differential check.
+    "ext_url_canonical" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Urls.canonicalize(expr(UrlSynthSql)).as("url_canon"))
+        .orderBy("doc_id")),
+
+    "ext_url_dedup" -> ((s, dir) =>
+      Urls.dedupByUrl(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(UrlSynthSql).as("url")),
+        "doc_id", "url")
+        .orderBy("url_canon")),
+
+    // ---- semantic decontamination (oracled) -------------------------
+    // The benchmark side is a planted paraphrase set: every 50th
+    // embedding perturbed by the exact integer-mod formula the embed
+    // recall gates share, so contaminated ids are unambiguous (planted
+    // sources sit at cosine >= 0.997 vs a <= 0.46 background) and both
+    // engines rebuild identical doubles. Corpus never shuffled: the
+    // check is a broadcast nested-loop LEFT SEMI along the scan.
+    "ext_decontaminate_embed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+        .select(transform(col("v"), (x, i) =>
+          x + ((col("vec_id") * 31 + (i + 1) * 7) % 11 - 5) * lit(0.003))
+          .as("v"))
+      Decontaminate.contaminatedIdsByEmbedding(emb, bench, "vec_id", "v",
+          threshold = 0.98)
+        .orderBy("vec_id")
+    })
   )
+
+  /** Documents re-lined for the line-dedup gates: aligned 4-token chunks
+    * joined with \n (the corpus text has no newlines of its own). The
+    * oracle derives the identical lines with a range(…, 4) comprehension.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(1), size(toks), lit(4)),
+          i => array_join(slice(toks, i, lit(4)), " ")),
+        "\n").as("text"))
+  }
+
+  /** Messy-URL synthesis for the URL gates, written once as dialect-
+    * neutral SQL so BOTH engines evaluate the same expression text: the
+    * gates then compare Spark's canonicalizer against the oracle's
+    * independent regex one. Varies scheme case, www, default/non-default
+    * ports, trailing slash, tracking params, param order, fragments.
+    */
+  private val UrlSynthSql: String = """
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+    'Ex' || source || '.COM' ||
+    CASE WHEN doc_id % 2 = 0 THEN ':443'
+         WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+    '/Docs/' || CAST(doc_id % 7 AS STRING) ||
+    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+    '?b=2&utm_source=feed&a=' || CAST(doc_id % 3 AS STRING) ||
+    CASE WHEN doc_id % 4 = 0 THEN '#Top' ELSE '' END"""
 
   /** The documents corpus spread across cores: a single-row-group parquet
     * arrives as ONE split, which would serialize the (now shuffle-free)
@@ -1604,6 +1688,101 @@ object ExtQueries {
         |  round(list_sum(list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
         |      ELSE abs(x - (round((x - lo) / scale) * scale + lo)) END)) / len(v), 6)
         |    AS recon_mae
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "ext_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  [array_to_string(toks[i:i+3], ' ')
+        |   for i in range(1, len(toks)+1, 4)] AS ls FROM t),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |  CAST(unnest(range(1, len(ls)+1)) AS INTEGER) AS line_no FROM c),
+        |r AS (SELECT doc_id, line_no, line, row_number() OVER (
+        |  PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l)
+        |SELECT doc_id, line_no, line FROM r WHERE rn = 1
+        |ORDER BY doc_id, line_no""".stripMargin,
+
+    "ext_line_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  [array_to_string(toks[i:i+3], ' ')
+        |   for i in range(1, len(toks)+1, 4)] AS ls FROM t),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |  CAST(unnest(range(1, len(ls)+1)) AS INTEGER) AS line_no FROM c),
+        |b AS (SELECT line FROM l GROUP BY line
+        |      HAVING count(DISTINCT doc_id) >= 3),
+        |s AS (SELECT l.* FROM l LEFT JOIN b USING (line)
+        |      WHERE b.line IS NULL)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_url_canonical" ->
+      (s"""WITH u0 AS (SELECT doc_id, ($UrlSynthSql) AS u FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(u, '://([^/?#:]+)', 1)) AS host0,
+        |  regexp_extract(u, '://[^/?#:]+:([0-9]+)', 1) AS port,
+        |  regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1) AS path0,
+        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
+        |  FROM u0),
+        |k AS (SELECT *, [q for q in string_split(query0, '&')
+        |  if q <> '' and not regexp_matches(q,
+        |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
+        |  FROM p)
+        |SELECT doc_id,
+        |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |       ELSE ':' || port END ||
+        |  regexp_replace(path0, '/+$$', '') ||
+        |  CASE WHEN len(kept) = 0 THEN ''
+        |       ELSE '?' || array_to_string(list_sort(kept), '&') END
+        |    AS url_canon
+        |FROM k ORDER BY doc_id""").stripMargin,
+
+    "ext_url_dedup" ->
+      (s"""WITH u0 AS (SELECT doc_id, ($UrlSynthSql) AS u FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(u, '://([^/?#:]+)', 1)) AS host0,
+        |  regexp_extract(u, '://[^/?#:]+:([0-9]+)', 1) AS port,
+        |  regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1) AS path0,
+        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
+        |  FROM u0),
+        |k AS (SELECT *, [q for q in string_split(query0, '&')
+        |  if q <> '' and not regexp_matches(q,
+        |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
+        |  FROM p),
+        |c AS (SELECT doc_id,
+        |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |       ELSE ':' || port END ||
+        |  regexp_replace(path0, '/+$$', '') ||
+        |  CASE WHEN len(kept) = 0 THEN ''
+        |       ELSE '?' || array_to_string(list_sort(kept), '&') END
+        |    AS url_canon
+        |  FROM k)
+        |SELECT url_canon, min(doc_id) AS first_doc_id,
+        |  count(*) AS n_dups
+        |FROM c GROUP BY url_canon ORDER BY url_canon""").stripMargin,
+
+    "ext_decontaminate_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |b AS (SELECT [v[i] + ((vec_id*31 + i*7) % 11 - 5) * 0.003
+        |        for i in range(1, len(v) + 1)] AS bv
+        |      FROM e WHERE vec_id % 50 = 0)
+        |SELECT DISTINCT e.vec_id FROM e, b
+        |WHERE list_dot_product(e.v, b.bv)
+        |    / (sqrt(list_dot_product(e.v, e.v))
+        |       * sqrt(list_dot_product(b.bv, b.bv))) >= 0.98
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -414,6 +414,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(flagged == Set(1L), s"flagged $flagged")
   }
 
+  test("decontaminate by embedding: cosine neighbors flagged, scale-invariant") {
+    // bench direction (1,0,0,0): train has an exact copy at a different
+    // SCALE (cosine 1), a near-paraphrase (cos ~0.995), and an
+    // orthogonal doc (cos 0) — threshold 0.9 flags the first two
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f, 0f))).toDF("vec")
+    val train = Seq(
+      (1L, Array(5f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "vec")
+    val flagged = graft.ext.Decontaminate
+      .contaminatedIdsByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L), s"flagged $flagged")
+    val clean = graft.ext.Decontaminate
+      .removeContaminatedByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L))
+  }
+
+  test("decontaminate by embedding: semi-join broadcast, corpus unshuffled") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.filter(col("vec_id") % 50 === 0).select("embedding")
+    val plan = graft.ext.Decontaminate
+      .contaminatedIdsByEmbedding(emb, bench, "vec_id", "embedding", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("LeftSemi"),
+      s"expected a broadcast nested-loop LEFT SEMI:\n$plan")
+    // the only exchange is the benchmark's broadcast — the corpus side
+    // must not be hash/range-partitioned to be checked
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"corpus must not shuffle:\n$plan")
+  }
+
   // ---- approximate aggregates vs exact (the 100 TB forms) -----------
 
   test("approx_percentile tracks exact percentile within its accuracy bound") {
