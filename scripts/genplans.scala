@@ -35,7 +35,9 @@ val headline = Seq(
   ("ext_lm_perplexity", "LM scoring: model tables broadcast to the gram join, one map-combinable fold"),
   ("ext_curriculum_stages", "curriculum: distributed prefix sum, no SinglePartition window"),
   ("ext_ivfpq_topk", "IVF-PQ probe: vector-free codes scan, ADC Column exprs, broadcast re-rank"),
-  ("ext_ivfpq_topk_persisted", "durable IVF-PQ probe: centroid_id PartitionFilters on codes AND re-rank scans, zero re-encode"))
+  ("ext_ivfpq_topk_persisted", "durable IVF-PQ probe: centroid_id PartitionFilters on codes AND re-rank scans, zero re-encode"),
+  ("ext_line_dedup", "line-level keep-first: ONE packed-key HashAggregate, no window, no partition sort"),
+  ("ext_decontaminate_embed", "semantic decontamination: broadcast nested-loop LEFT SEMI, corpus unshuffled"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {

@@ -54,20 +54,48 @@ object LineDedup {
   /** Corpus-wide exact line dedup, keep-first: for every distinct line
     * value, the surviving occurrence is the one with the smallest
     * (id, line_no). Output: (id, line_no, line) survivors.
+    *
+    * Plan shape matters here: `min(struct(id, line_no))` expresses the
+    * keep-first tiebreak directly but plans as SortAggregate (struct
+    * buffers are not hash-aggregable), which sorts every partition's
+    * full line set. For integral ids the pair is instead PACKED into one
+    * fixed-width DECIMAL — `id * 2^31 + line_no`, order-preserving
+    * because ids are required non-negative (enforced, fails loudly) and
+    * line_no < 2^31 (a line number is bounded by a single document's
+    * line count; a 2-billion-line document cannot exist inside one
+    * row) — which keeps the aggregation a map-combinable HashAggregate.
+    * Non-integral id types take the general struct-min path.
     */
   def dedupLines(
       df: DataFrame,
       idCol: String,
       textCol: String,
       sepRegex: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.types._
     val lines = explodeLines(df, idCol, textCol, sepRegex)
-    // min(struct) compares fields left-to-right: document id first, then
-    // position — exactly the keep-first tiebreak, computed map-side.
-    lines
-      .groupBy(col("line"))
-      .agg(min(struct(col(idCol), col("line_no"))).as("first"))
-      .select(col("first")(idCol).as(idCol),
-        col("first")("line_no").as("line_no"), col("line"))
+    val idType = df.schema(idCol).dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val Shift = 2147483648L // 2^31
+        val packed = (when(col(idCol) >= 0, col(idCol))
+          .otherwise(raise_error(concat(
+            lit(s"dedupLines: negative $idCol breaks keep-first packing: "),
+            col(idCol).cast("string"))))
+          .cast("decimal(29,0)") * Shift) + col("line_no")
+        lines.groupBy(col("line"))
+          .agg(min(packed).as("p"))
+          .select(
+            floor(col("p") / Shift).cast(idType).as(idCol),
+            (col("p") % Shift).cast("int").as("line_no"),
+            col("line"))
+      case _ =>
+        // min(struct) compares fields left-to-right: document id first,
+        // then position — the keep-first tiebreak for ANY ordered id.
+        lines.groupBy(col("line"))
+          .agg(min(struct(col(idCol), col("line_no"))).as("first"))
+          .select(col("first")(idCol).as(idCol),
+            col("first")("line_no").as("line_no"), col("line"))
+    }
   }
 
   /** Lines recurring in at least `minDocs` DISTINCT documents, with their

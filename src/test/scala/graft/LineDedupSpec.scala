@@ -40,13 +40,35 @@ class LineDedupSpec extends SparkSpec {
       (2L, 3, "gamma"), (3L, 2, "delta"), (4L, 2, "epsilon")))
   }
 
-  test("dedupLines: partial aggregation (no row_number window)") {
+  test("dedupLines: integral ids plan a map-combinable HashAggregate") {
     val plan = LineDedup.dedupLines(corpus, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
-      s"keep-first should be an aggregate, not a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"packed keep-first should hash-aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"packed keep-first must not sort partitions:\n$plan")
     assert(!plan.contains("Window"),
       s"keep-first must not plan a window sort:\n$plan")
+  }
+
+  test("dedupLines: string ids take the struct-min path, same semantics") {
+    val df = Seq(
+      ("a", "x\ny"), ("b", "y\nz")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(df, "doc_id", "text")
+      .orderBy("doc_id", "line_no")
+      .as[(String, Int, String)].collect().toSeq
+    assert(out === Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 2, "z")))
+  }
+
+  test("dedupLines: negative ids fail loudly, never silently mis-order") {
+    val df = Seq((-1L, "x\ny")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LineDedup.dedupLines(df, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      e.getCause != null && e.getCause.getMessage.contains("negative"),
+      s"unexpected error: ${e.getMessage}")
   }
 
   test("boilerplateLines: document-frequency threshold") {
