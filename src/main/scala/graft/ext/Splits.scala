@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deterministic, leakage-safe train/val/test splitting.
+  *
+  * A naive row-level random split leaks: near-duplicate documents (or
+  * pages from the same site, chunks of the same document, items of the
+  * same dedup component) land on both sides of the train/eval boundary,
+  * and eval scores measure memorization. The published fix is to assign
+  * splits at the granularity of the LEAKAGE GROUP — dedup component id,
+  * canonical URL/domain, source — so correlated rows move together.
+  *
+  * Assignment is a pure hash of the group key (md5 prefix vs cumulative
+  * weight boundaries), which buys three properties a `rand()` split
+  * cannot give:
+  *  - deterministic across runs, partitionings, engines, and cluster
+  *    sizes — the split is a FUNCTION of the data, reproducible anywhere
+  *    (same idiom as the stratified sampler; md5 is engine-portable);
+  *  - stable under corpus growth — adding documents never reassigns an
+  *    existing group, so eval sets stay fixed as the corpus is re-built
+  *    (the property that makes longitudinal eval comparisons valid);
+  *  - map-side only — no shuffle, no state: a literal comparison chain
+  *    along the scan.
+  *
+  * The first 8 md5 hex chars give 2^32 buckets; weight boundaries are
+  * precomputed driver-side as 8-digit lowercase hex literals, and
+  * equal-length lowercase hex compares lexicographically == numerically,
+  * so the whole assignment is string comparisons that whole-stage
+  * codegen inlines.
+  */
+object Splits {
+
+  /** Validated cumulative (name, upperBoundHex) pairs; the LAST split is
+    * the open tail (no boundary needed). Weights must be positive; they
+    * are normalized, so (8, 1, 1) and (0.8, 0.1, 0.1) are the same.
+    */
+  private def boundaries(
+      splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.size >= 2, s"need >= 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0), s"weights must be > 0: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: $splits")
+    val total = splits.map(_._2).sum
+    var cum = 0.0
+    splits.init.map { case (name, w) =>
+      cum += w / total
+      val bound = math.floor(cum * 4294967296.0).toLong
+      (name, f"$bound%08x")
+    }
+  }
+
+  /** The split name for a key column, as a pure Column expression. */
+  def splitFor(
+      key: Column,
+      splits: Seq[(String, Double)],
+      seed: String = ""): Column = {
+    val h = substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 8)
+    val tail = splits.last._1
+    boundaries(splits).foldRight(lit(tail): Column) {
+      case ((name, bound), elseC) => when(h < bound, name).otherwise(elseC)
+    }
+  }
+
+  /** Assign every row a split by hashing `groupCol` — rows sharing a
+    * group (dedup component, domain, source document) always land in the
+    * SAME split, which is what makes the split leakage-safe. Adds a
+    * `split` column; everything else passes through.
+    */
+  def assign(
+      df: DataFrame,
+      groupCol: String,
+      splits: Seq[(String, Double)],
+      seed: String = ""): DataFrame =
+    df.withColumn("split", splitFor(col(groupCol), splits, seed))
+}

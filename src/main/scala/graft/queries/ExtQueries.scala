@@ -839,6 +839,19 @@ object ExtQueries {
         "doc_id", "url")
         .orderBy("url_canon")),
 
+    // ---- leakage-safe splitting (oracled) ---------------------------
+    // Split assignment at SOURCE granularity (rows from one source never
+    // straddle train/eval — the site-level leakage control). Weights
+    // 0.75/0.125/0.125 are binary-exact, so the boundary hex literals
+    // are ulp-unambiguous and the oracle can hardcode them.
+    "ext_split_assign" -> ((s, dir) =>
+      graft.ext.Splits.assign(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        "source",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+        seed = "r6")
+        .orderBy("doc_id")),
+
     // ---- semantic decontamination (oracled) -------------------------
     // The benchmark side is a planted paraphrase set: every 50th
     // embedding perturbed by the exact integer-mod formula the embed
@@ -1772,6 +1785,15 @@ object ExtQueries {
         |SELECT url_canon, min(doc_id) AS first_doc_id,
         |  count(*) AS n_dups
         |FROM c GROUP BY url_canon ORDER BY url_canon""").stripMargin,
+
+    "ext_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5('r6:' || source), 1, 8) < 'c0000000'
+        |         THEN 'train'
+        |       WHEN substr(md5('r6:' || source), 1, 8) < 'e0000000'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_decontaminate_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Splits
+
+/** Leakage-safe deterministic splitting: group atomicity, stability
+  * under growth and repartitioning, weight normalization, validation,
+  * and the map-side plan shape.
+  */
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("group-atomic: every group lands in exactly one split") {
+    val n = Splits.assign(docs, "source", W)
+      .groupBy("source").agg(countDistinct("split").as("k"))
+      .filter($"k" > 1).count()
+    assert(n === 0)
+  }
+
+  test("deterministic and partitioning-invariant") {
+    val a = Splits.assign(docs, "source", W)
+      .select("doc_id", "split").collect().toSet
+    val b = Splits.assign(docs.repartition(13), "source", W)
+      .select("doc_id", "split").collect().toSet
+    assert(a === b)
+  }
+
+  test("stable under corpus growth: existing groups never reassigned") {
+    val before = Splits.assign(docs.filter($"doc_id" < 100), "source", W)
+      .select("doc_id", "split").collect().toSet
+    val after = Splits.assign(docs, "source", W)
+      .filter($"doc_id" < 100)
+      .select("doc_id", "split").collect().toSet
+    assert(before === after)
+  }
+
+  test("weights are normalized: (6,1,1) == (0.75, 0.125, 0.125)") {
+    val a = Splits.assign(docs, "source", W)
+      .select("doc_id", "split").collect().toSet
+    val b = Splits.assign(docs, "source",
+      Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0))
+      .select("doc_id", "split").collect().toSet
+    assert(a === b)
+  }
+
+  test("row-granularity split approximates weights on many keys") {
+    // keying on doc_id (unique) gives the row-level split; 500 docs
+    // should land near 75/12.5/12.5 (md5 is uniform)
+    val byName = Splits.assign(docs, "doc_id", W)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = byName.values.sum.toDouble
+    assert(math.abs(byName("train") / n - 0.75) < 0.08, byName.toString)
+    assert(byName.keySet === Set("train", "val", "test"))
+  }
+
+  test("seed changes the assignment, same seed repeats it") {
+    val a = Splits.assign(docs, "source", W, seed = "s1")
+      .select("doc_id", "split").collect().toSet
+    val b = Splits.assign(docs, "source", W, seed = "s2")
+      .select("doc_id", "split").collect().toSet
+    val a2 = Splits.assign(docs, "source", W, seed = "s1")
+      .select("doc_id", "split").collect().toSet
+    assert(a === a2)
+    assert(a !== b) // 20 groups; collision chance across seeds ~ 0
+  }
+
+  test("validation: sizes, positivity, duplicate names") {
+    intercept[IllegalArgumentException] {
+      Splits.assign(docs, "source", Seq("only" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assign(docs, "source", Seq("a" -> 1.0, "b" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assign(docs, "source", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("assignment is map-side only: no shuffle in the plan") {
+    val plan = Splits.assign(docs, "source", W)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+}
