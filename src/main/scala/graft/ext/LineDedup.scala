@@ -22,15 +22,12 @@ import org.apache.spark.sql.functions._
   *    Grouping by the value, not a hash of it, means no collision
   *    semantics to document — two distinct lines can never merge.
   *  - boilerplate detection aggregates exact distinct-document counts
-  *    per line, keeps only lines at/above `minDocs`; that result
-  *    is small BY DEFINITION (boilerplate = high-frequency), so the
-  *    removal join back onto the exploded lines broadcasts. The corpus
-  *    is never shuffled to strip boilerplate — only the offending lines
-  *    move.
-  *  - reassembly is a per-document `collect_list(struct)` aggregation;
-  *    line order is restored by sorting the collected structs on
-  *    `line_no` INSIDE each group (`array_sort` on the struct's leading
-  *    field), not by a global sort.
+  *    per line, keeps only lines at/above `minDocs`; that result is
+  *    small BY DEFINITION (boilerplate = high-frequency), so it is
+  *    collapsed to one broadcast `collect_set` row and removal becomes
+  *    a map-side array `filter` over each document's own split text —
+  *    the corpus is never exploded, shuffled, or re-aggregated to strip
+  *    boilerplate, and line order is preserved for free.
   *
   * Reference scope: the reference pipeline dedups whole rows (A1/A2);
   * line-level dedup is part of the [EXT] training-data surface
@@ -119,6 +116,17 @@ object LineDedup {
     * A document whose every line is boilerplate disappears from the
     * output (it has no surviving text) — callers wanting to keep empty
     * husks can left-join the result back onto the corpus.
+    *
+    * The CORPUS IS NEVER SHUFFLED here: only the detection aggregation
+    * moves (partially-reduced per-line rows — tiny), and its result, the
+    * boilerplate set (small BY DEFINITION: boilerplate = high document
+    * frequency), is collapsed to a one-row `collect_set` and broadcast.
+    * Removal is then a map-side array `filter` over each document's own
+    * split text — no explode of the corpus, no anti-join, no reassembly
+    * aggregation, and line order is preserved for free instead of being
+    * restored by a sort. At 100 TB the alternative (explode + anti-join
+    * + collect_list by doc) shuffles every LINE of the corpus twice;
+    * this shape shuffles none of it.
     */
   def stripBoilerplate(
       df: DataFrame,
@@ -127,15 +135,13 @@ object LineDedup {
       minDocs: Int,
       sepRegex: String = "\n",
       joinSep: String = "\n"): DataFrame = {
-    val boiler = boilerplateLines(df, idCol, textCol, minDocs, sepRegex)
-    val survivors = explodeLines(df, idCol, textCol, sepRegex)
-      .join(broadcast(boiler.select("line")), Seq("line"), "left_anti")
-    survivors
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("line_no"), col("line"))))
-        .as("ordered"))
-      .select(col(idCol),
-        array_join(transform(col("ordered"), _.getField("line")), joinSep)
-          .as("text"))
+    val bset = boilerplateLines(df, idCol, textCol, minDocs, sepRegex)
+      .agg(collect_set(col("line")).as("_bset"))
+    val kept = filter(split(col(textCol), sepRegex),
+      l => !array_contains(col("_bset"), l))
+    df.crossJoin(broadcast(bset))
+      .select(col(idCol), kept.as("_kept"))
+      .filter(size(col("_kept")) > 0)
+      .select(col(idCol), array_join(col("_kept"), joinSep).as("text"))
   }
 }

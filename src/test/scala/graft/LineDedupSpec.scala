@@ -81,7 +81,7 @@ class LineDedupSpec extends SparkSpec {
     assert(b2 === Map("boiler" -> 3L, "alpha" -> 2L, "delta" -> 2L))
   }
 
-  test("stripBoilerplate: removal + in-order reassembly, broadcast join") {
+  test("stripBoilerplate: removal + in-order reassembly, corpus unshuffled") {
     val cleaned = LineDedup.stripBoilerplate(
       corpus, "doc_id", "text", minDocs = 3)
     val byId = cleaned.as[(Long, String)].collect().toMap
@@ -89,9 +89,23 @@ class LineDedupSpec extends SparkSpec {
       1L -> "alpha\nbeta", 2L -> "alpha\ngamma",
       3L -> "delta", 4L -> "delta\nepsilon"))
     val plan = cleaned.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"),
-      s"boilerplate removal should broadcast the (small) line set:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the boilerplate set should broadcast:\n$plan")
+    // removal is an array filter over the corpus's own text: no explode
+    // of the corpus, no anti-join, no per-doc reassembly aggregation
+    assert(!plan.contains("collect_list"),
+      s"no reassembly aggregation expected:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Window"),
+      s"no sort-based operator expected:\n$plan")
+  }
+
+  test("stripBoilerplate: in-doc duplicate non-boilerplate lines survive") {
+    val df = Seq(
+      (1L, "keep\nboil\nkeep"), (2L, "boil\nx"), (3L, "boil\ny")
+    ).toDF("doc_id", "text")
+    val byId = LineDedup.stripBoilerplate(df, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(byId === Map(1L -> "keep\nkeep", 2L -> "x", 3L -> "y"))
   }
 
   test("stripBoilerplate: a fully-boilerplate document disappears") {
