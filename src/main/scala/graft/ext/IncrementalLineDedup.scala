@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Incremental line-level dedup against a DURABLE line store — the
+  * growing-corpus form of [[LineDedup.dedupLines]]. One-shot line dedup
+  * re-hashes and re-groups EVERY line of the corpus per run (O(corpus));
+  * this operator registers each batch's surviving line hashes once and
+  * makes every later ingest O(batch + collisions):
+  *
+  *   store/lines/  (line_hash, doc id, line_no)  — first owner per line
+  *
+  * Per-ingest dataflow (batch small, store huge — every step exploits
+  * the asymmetry):
+  *
+  *  1. In-batch keep-first via `LineDedup.dedupLines` (ONE map-combinable
+  *     packed-key HashAggregate).
+  *  2. The batch's distinct line hashes BROADCAST against ONE scan of
+  *     the store — the store is never shuffled and never broadcast;
+  *     only hashes colliding with the batch survive the semi-join
+  *     (bounded by the batch size).
+  *  3. Batch survivors = in-batch winners anti-joined (broadcast, tiny
+  *     collision set) — lines whose value was seen in ANY earlier batch
+  *     are dropped; the earlier owner keeps them.
+  *  4. Survivors append to the store. They are store-disjoint BY
+  *     CONSTRUCTION (step 3 ran against the committed store), so the
+  *     append needs no second anti-join pass; a crashed append leaves
+  *     only uncommitted temporary files, and the rerun — whose step 3
+  *     sees only committed rows — converges without duplicating keys.
+  *     A fully re-delivered batch collides entirely and appends nothing:
+  *     replay is a no-op.
+  *
+  * The store keeps 64-bit xxhash64 line hashes, not line strings — 12
+  * bytes/line instead of the line itself. The price is hash-collision
+  * semantics: an unrelated new line colliding with a stored hash is
+  * dropped (conservative over-removal, never under-removal — the same
+  * documented direction as `Decontaminate`'s hashed mode; at trillions
+  * of distinct lines the birthday expectation is a handful of rows).
+  *
+  * Determinism: an incremental run over batches B1..Bn keeps exactly
+  * the lines the one-shot `dedupLines` over B1 ∪ .. ∪ Bn keeps, when
+  * batches arrive in id order (asserted in IncrementalLineDedupSpec;
+  * the two-ingest differential gate `ext_line_dedup_incr` oracles it
+  * against the one-shot DuckDB form).
+  *
+  * Streaming composes the same way as the other incremental stores:
+  * `foreachBatch((b, _) => IncrementalLineDedup.ingest(spark, b, …))`.
+  */
+object IncrementalLineDedup {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Ingest one batch: returns the batch's SURVIVING lines
+    * (id, line_no, line) — new to the store and first-in-batch — and
+    * registers them durably. See the object doc for the dataflow.
+    */
+  def ingest(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      sepRegex: String = "\n"): DataFrame = {
+    val linesPath = s"$storePath/lines"
+    val batchFirst = LineDedup.dedupLines(batch, idCol, textCol, sepRegex)
+      .withColumn("line_hash", xxhash64(col("line")))
+    val survivors =
+      if (!exists(spark, linesPath)) batchFirst
+      else {
+        val collisions = collisionsOf(spark, linesPath,
+          batchFirst.select("line_hash").distinct())
+        batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
+      }
+    // localCheckpoint: survivors are (a) returned to the caller and
+    // (b) appended — one computation, and the append must not observe
+    // a store it is itself writing to
+    val mat = survivors.localCheckpoint(true)
+    mat.select(col("line_hash"), col(idCol), col("line_no"))
+      .write.mode("append").parquet(linesPath)
+    mat.select(col(idCol), col("line_no"), col("line"))
+  }
+
+  /** Store hashes colliding with the batch's key set: the store is
+    * scanned ONCE and never shuffled — the batch keys broadcast into a
+    * semi-join, and the surviving collision set is batch-bounded.
+    * Exposed for plan-shape tests.
+    */
+  private[graft] def collisionsOf(
+      spark: SparkSession,
+      linesPath: String,
+      batchKeys: DataFrame): DataFrame =
+    spark.read.parquet(linesPath)
+      .join(broadcast(batchKeys), Seq("line_hash"), "left_semi")
+      .select("line_hash")
+
+  /** Registered line count — store health/monitoring. */
+  def storedLines(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/lines")) 0L
+    else spark.read.parquet(s"$storePath/lines").count()
+}

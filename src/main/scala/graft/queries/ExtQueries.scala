@@ -821,6 +821,25 @@ object ExtQueries {
           minDocs = 3)
         .orderBy("doc_id")),
 
+    // Incremental line dedup (oracled DIFFERENTIAL): two real
+    // store-backed ingests IN ID ORDER (keep-first requires earlier ids
+    // to ingest first) must keep exactly the lines the one-shot
+    // keep-first keeps — the oracle is the one-shot DuckDB form over the
+    // same bounded universe. Store lives in a temp dir torn down after.
+    "ext_line_dedup_incr" -> ((s, dir) => {
+      val lined = linedDocs(s, dir).filter(col("doc_id") < 500)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_inclines").toString + "/store"
+      val out = graft.ext.IncrementalLineDedup.ingest(s,
+          lined.filter(col("doc_id") < 250), "doc_id", "text", store)
+        .unionByName(graft.ext.IncrementalLineDedup.ingest(s,
+          lined.filter(col("doc_id") >= 250), "doc_id", "text", store))
+        .orderBy("doc_id", "line_no").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- URL canonicalization + dedup (oracled) ---------------------
     // Messy URLs synthesized from doc fields by the SHARED SQL (same
     // expression text runs in both engines); Spark canonicalizes via
@@ -1785,6 +1804,20 @@ object ExtQueries {
         |SELECT url_canon, min(doc_id) AS first_doc_id,
         |  count(*) AS n_dups
         |FROM c GROUP BY url_canon ORDER BY url_canon""").stripMargin,
+
+    "ext_line_dedup_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |c AS (SELECT doc_id,
+        |  [array_to_string(toks[i:i+3], ' ')
+        |   for i in range(1, len(toks)+1, 4)] AS ls FROM t),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |  CAST(unnest(range(1, len(ls)+1)) AS INTEGER) AS line_no FROM c),
+        |r AS (SELECT doc_id, line_no, line, row_number() OVER (
+        |  PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l)
+        |SELECT doc_id, line_no, line FROM r WHERE rn = 1
+        |ORDER BY doc_id, line_no""".stripMargin,
 
     "ext_split_assign" ->
       """SELECT doc_id, source,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IncrementalLineDedup, LineDedup}
+
+/** Incremental line dedup: one-shot equivalence in id order, replay
+  * idempotence, cross-batch keep-first, and the store-never-shuffled
+  * probe plan.
+  */
+class IncrementalLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Documents re-lined as 4-token chunks (same derivation as the gate:
+    * the corpus text has no newlines of its own).
+    */
+  private def lined = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(1), size(toks), lit(4)),
+          i => array_join(slice(toks, i, lit(4)), " ")),
+        "\n").as("text"))
+  }
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "line_no", "line")
+      .as[(Long, Int, String)].collect().toSet
+
+  test("two ingests in id order == one-shot keep-first") {
+    val store = tmpDir("inclines1") + "/store"
+    val s1 = keyed(IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" < 250), "doc_id", "text", store))
+    val s2 = keyed(IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" >= 250), "doc_id", "text", store))
+    val oneShot = keyed(LineDedup.dedupLines(lined, "doc_id", "text"))
+    assert((s1 ++ s2) === oneShot,
+      s"missing=${oneShot -- (s1 ++ s2)} extra=${(s1 ++ s2) -- oneShot}")
+    // second ingest emits only ids from its own batch
+    assert(s2.forall(_._1 >= 250), "second ingest re-emitted store lines")
+    assert(IncrementalLineDedup.storedLines(spark, store) === oneShot.size)
+  }
+
+  test("replaying a batch is a no-op: nothing emitted, store unchanged") {
+    val store = tmpDir("inclines2") + "/store"
+    val b = lined.filter($"doc_id" < 100)
+    val first = keyed(IncrementalLineDedup.ingest(spark, b, "doc_id", "text", store))
+    assert(first.nonEmpty)
+    val n1 = IncrementalLineDedup.storedLines(spark, store)
+    val again = keyed(IncrementalLineDedup.ingest(spark, b, "doc_id", "text", store))
+    assert(again.isEmpty, s"replay emitted ${again.size} lines")
+    assert(IncrementalLineDedup.storedLines(spark, store) === n1)
+  }
+
+  test("cross-batch duplicate lines are dropped; the stored owner wins") {
+    val store = tmpDir("inclines3") + "/store"
+    val b1 = Seq((1L, "shared\nalpha")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "shared\nbeta")).toDF("doc_id", "text")
+    val s1 = keyed(IncrementalLineDedup.ingest(spark, b1, "doc_id", "text", store))
+    val s2 = keyed(IncrementalLineDedup.ingest(spark, b2, "doc_id", "text", store))
+    assert(s1 === Set((1L, 1, "shared"), (1L, 2, "alpha")))
+    assert(s2 === Set((2L, 2, "beta")), s"got $s2")
+  }
+
+  test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
+    val store = tmpDir("inclines4") + "/store"
+    IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" < 250), "doc_id", "text", store)
+    val batchKeys = LineDedup.dedupLines(
+        lined.filter($"doc_id" >= 250), "doc_id", "text")
+      .select(xxhash64($"line").as("line_hash")).distinct()
+    val hot = IncrementalLineDedup.collisionsOf(spark, s"$store/lines", batchKeys)
+    hot.count() // let AQE finalize
+    val p = hot.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"probe is not a broadcast semi-join:\n$p")
+    // the STORE side must stream straight from its scan into the join —
+    // an exchange there would shuffle the corpus-sized side per ingest
+    val storeBranch = p.substring(
+      p.indexOf("BroadcastHashJoin"), p.indexOf("store/lines"))
+    assert(!storeBranch.contains("Exchange"),
+      s"store side shuffled in the probe plan:\n$p")
+  }
+}
