@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *      (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`), the rest SORTED
   *      and rejoined — param order never distinguishes pages; an
   *      emptied query drops its `?`
+  *   7. userinfo (`user@host`) is dropped — the canonical key is the
+  *      PAGE identity, and credentials in a URL never change which page
+  *      is fetched
   *
   * Everything is a pure Column expression over Spark's `parse_url` +
   * array functions — codegen-friendly, no UDF, fully distributed; the

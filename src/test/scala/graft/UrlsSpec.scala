@@ -52,6 +52,11 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://a.com/x") !== canon("https://a.com/x"))
   }
 
+  test("userinfo dropped: credentials never change the page identity") {
+    assert(canon("http://user:pw@a.com:8080/x", "http://a.com:8080/x")
+      .distinct.size === 1)
+  }
+
   test("unparseable rows canonicalize to NULL") {
     val out = Seq("not a url", "", "just/words").toDF("u")
       .select(Urls.canonicalize($"u").as("c"))
