@@ -55,6 +55,43 @@ object IncrementalLineDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** PURE probe: the batch's surviving lines — first-in-batch and new
+    * to the committed store — as (line_hash, id, line_no, line), with
+    * NO side effects. Callers that need to persist a survivors log AND
+    * register (the streaming wrapper) sequence the two around this, so
+    * a crash between them replays deterministically.
+    */
+  def probe(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      sepRegex: String = "\n"): DataFrame = {
+    val linesPath = s"$storePath/lines"
+    val batchFirst = LineDedup.dedupLines(batch, idCol, textCol, sepRegex)
+      .withColumn("line_hash", xxhash64(col("line")))
+    if (!exists(spark, linesPath)) batchFirst
+    else {
+      val collisions = collisionsOf(spark, linesPath,
+        batchFirst.select("line_hash").distinct())
+      batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
+    }
+  }
+
+  /** Register a probe result in the store. Rows must be store-disjoint
+    * — true BY CONSTRUCTION for a `probe` result computed against the
+    * committed store, so no second anti-join is needed; a crashed append
+    * leaves only uncommitted temporary files and the rerun converges.
+    */
+  def register(
+      spark: SparkSession,
+      survivors: DataFrame,
+      idCol: String,
+      storePath: String): Unit =
+    survivors.select(col("line_hash"), col(idCol), col("line_no"))
+      .write.mode("append").parquet(s"$storePath/lines")
+
   /** Ingest one batch: returns the batch's SURVIVING lines
     * (id, line_no, line) — new to the store and first-in-batch — and
     * registers them durably. See the object doc for the dataflow.
@@ -66,22 +103,12 @@ object IncrementalLineDedup {
       textCol: String,
       storePath: String,
       sepRegex: String = "\n"): DataFrame = {
-    val linesPath = s"$storePath/lines"
-    val batchFirst = LineDedup.dedupLines(batch, idCol, textCol, sepRegex)
-      .withColumn("line_hash", xxhash64(col("line")))
-    val survivors =
-      if (!exists(spark, linesPath)) batchFirst
-      else {
-        val collisions = collisionsOf(spark, linesPath,
-          batchFirst.select("line_hash").distinct())
-        batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
-      }
     // localCheckpoint: survivors are (a) returned to the caller and
     // (b) appended — one computation, and the append must not observe
     // a store it is itself writing to
-    val mat = survivors.localCheckpoint(true)
-    mat.select(col("line_hash"), col(idCol), col("line_no"))
-      .write.mode("append").parquet(linesPath)
+    val mat = probe(spark, batch, idCol, textCol, storePath, sepRegex)
+      .localCheckpoint(true)
+    register(spark, mat, idCol, storePath)
     mat.select(col(idCol), col("line_no"), col("line"))
   }
 

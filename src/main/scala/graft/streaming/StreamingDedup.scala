@@ -143,6 +143,86 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the incremental LINE dedup
+    * (`IncrementalLineDedup`): each micro-batch's lines are checked
+    * against the durable line-hash store, the SURVIVING lines (new to
+    * the corpus, first-in-batch) append to a batchId-stamped log, and
+    * their hashes register in the store. Unlike the pair forms — where
+    * a replayed batch re-emits and the consumer dedups — a replayed
+    * line batch collides entirely and emits nothing, so the LOG is
+    * written BEFORE the store registers: a crash between the two
+    * replays the batch, the probe (still unregistered) re-emits the
+    * same survivors, and the log converges with duplicate rows the
+    * consumer-side distinct removes (`survivingLines`). Exactly-once
+    * EFFECT via an idempotent consumer, same discipline as the rest of
+    * this file.
+    */
+  def ingestLinesAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      linesPath: String,
+      checkpointDir: String,
+      sepRegex: String = "\n",
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val survivors = graft.ext.IncrementalLineDedup.probe(
+            s, batch, idCol, textCol, storePath, sepRegex)
+          .localCheckpoint(true)
+        survivors.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(linesPath)
+        graft.ext.IncrementalLineDedup.register(s, survivors, idCol, storePath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** The accumulated surviving-lines log, deduped on the line hash
+    * (crash-replayed batches can duplicate log rows; the consumer-side
+    * distinct restores exactly-once effect). Empty DataFrame with the
+    * survivors schema when nothing has been emitted yet.
+    *
+    * @param idType the corpus id type — the written log inherits it
+    *               (same pre-first-write schema contract as `pairs`).
+    */
+  def survivingLines(
+      spark: SparkSession,
+      linesPath: String,
+      idCol: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(linesPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType),
+          org.apache.spark.sql.types.StructField("line_no",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("line",
+            org.apache.spark.sql.types.StringType))))
+    else
+      spark.read.parquet(linesPath)
+        .dropDuplicates("line_hash")
+        .select(idCol, "line_no", "line")
+  }
+
   /** The substring-pair log, deduped on the pair key (see `pairs`). */
   def substringPairs(
       spark: SparkSession,

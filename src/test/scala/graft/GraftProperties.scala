@@ -292,4 +292,32 @@ object GraftProperties extends Properties("graft") {
       // the learned merges must not depend on it
       (merges == shuffled) && reassembles
     }
+
+  // ---- URL canonicalization ------------------------------------------
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("Example.COM", "sub.ex-a.org", "A.b.C.net")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/Path/To/X", "/x//", "/x/y/")
+    query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=f&z=9&a=1",
+      "?gclid=g", "?a=1&a=2&ref=r")
+    frag <- Gen.oneOf("", "#Top", "#a/b?c")
+  } yield s"$scheme://$www$host$port$path$query$frag"
+
+  private val urlListGen: Gen[List[String]] = Gen.listOfN(24, urlGen)
+
+  property("url canonicalization is a fixpoint: canon(canon(u)) == canon(u)") =
+    forAll(urlListGen) { urls =>
+      import spark.implicits._
+      import graft.ext.Urls
+      val once = urls.toDF("u")
+        .select(Urls.canonicalize(col("u")).as("c"))
+        .as[String].collect().toList
+      val twice = once.toDF("u")
+        .select(Urls.canonicalize(col("u")).as("c"))
+        .as[String].collect().toList
+      once.forall(_ != null) && once == twice
+    }
 }

@@ -241,6 +241,51 @@ class StreamingSpec extends SparkSpec {
     assert(logged == oneShot)
   }
 
+  test("streaming line dedup: one survivor per distinct line; replay-safe") {
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val docs = Seq(
+      (1L, "shared\nalpha\nshared"),
+      (2L, "beta\nshared"),
+      (3L, "gamma\nbeta"),
+      (4L, "delta"))
+      .toDF("doc_id", "text")
+    val work = tmpDir("streamlines")
+    for (half <- Seq(0, 1)) // two files -> two forced micro-batches
+      docs.filter(col("doc_id") % 2 === half).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val nb = graft.streaming.StreamingDedup.ingestLinesAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/lines", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    def logged = graft.streaming.StreamingDedup
+      .survivingLines(spark, s"$work/lines", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // keep-first ATTRIBUTION depends on micro-batch arrival order (file
+    // order is not id order), so assert the order-INDEPENDENT laws:
+    // every distinct line survives exactly once, none is lost
+    val first = logged
+    assert(first.map(_._3) === Set("shared", "alpha", "beta", "gamma", "delta"))
+    assert(first.size === 5, s"duplicate survivors: $first")
+    // checkpoint loss => full replay: replayed batches collide with the
+    // store and emit nothing new; the log stays exactly-once in effect
+    graft.streaming.StreamingDedup.ingestLinesAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", "text",
+      s"$work/store", s"$work/lines", s"$work/ckpt2",
+      maxFilesPerTrigger = Some(1))
+    assert(logged === first)
+    // pre-first-write reader declares the written schema (string id here
+    // would break a consumer that ran before data arrived — pinned)
+    val empty = graft.streaming.StreamingDedup
+      .survivingLines(spark, s"$work/never", "doc_id")
+    assert(empty.schema.fieldNames.toSeq === Seq("doc_id", "line_no", "line"))
+    assert(empty.count() === 0)
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(
