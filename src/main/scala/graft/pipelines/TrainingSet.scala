@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Decontaminate, Dedup, HeavyHitters, IncrementalDedup, IncrementalSubstring, Packer, TextAnalysis}
+import graft.ext.{Decontaminate, Dedup, HeavyHitters, IncrementalDedup, IncrementalSubstring, Packer, Splits, TextAnalysis, Urls}
 import graft.sinks.TxTable
 
 /** End-to-end training-SET construction over a GROWING corpus — the
@@ -11,10 +11,14 @@ import graft.sinks.TxTable
   *
   *   repetition + quality gates [+ heavy-hitter stopword gate]
   *   [+ LM perplexity gate] [+ NB classifier gate]
-  *   -> benchmark decontamination -> exact dedup
+  *   [+ canonical-URL keep-first dedup]
+  *   -> benchmark decontamination [+ SEMANTIC decontamination]
+  *   -> exact dedup
   *   -> INCREMENTAL near-dup vs the durable signature store
   *   [-> INCREMENTAL verbatim-span dedup vs the durable fingerprint
-  *   store] -> token-budget sequence packing -> transactional commit
+  *   store] [-> leakage-safe split assignment]
+  *   -> token-budget sequence packing (PER SPLIT when splitting — a
+  *   pack never mixes train and eval) -> transactional commit
   *
   * Each `ingest` call processes one batch and folds it into a durable,
   * snapshot-isolated training table:
@@ -47,7 +51,8 @@ object TrainingSet {
   final case class Report(
       input: Long, afterGates: Long, afterDecontaminate: Long,
       afterExact: Long, afterNearDup: Long, afterSubstring: Long,
-      packs: Long, alreadyApplied: Boolean)
+      packs: Long, alreadyApplied: Boolean,
+      afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
@@ -72,6 +77,23 @@ object TrainingSet {
     *        reference corpora) — the supervised learned screen
     * @param minClassifierLogOdds log-odds floor (only with
     *        classifierModel; 0 = "more likely positive")
+    * @param urlCol when set, in-batch keep-first dedup on the CANONICAL
+    *        form of this URL column (Urls.canonicalize) before any
+    *        text-shaped stage — two crawls of one page collapse for the
+    *        cost of a string expression; rows whose URL cannot be
+    *        parsed pass through (they have no canonical key to collide
+    *        on). Cross-batch re-crawls are caught downstream by the
+    *        near-dup store (their TEXT is near-identical).
+    * @param benchmarkEmbeddings when set, SEMANTIC decontamination after
+    *        the n-gram stage: batch rows (which must carry `embedCol`)
+    *        within cosine `embedThreshold` of any row here are dropped —
+    *        the paraphrase leakage exact n-grams miss
+    * @param splits when non-empty, leakage-safe split assignment
+    *        (`Splits.assign` keyed on `splitGroupCol`, default the doc
+    *        id) BEFORE packing, and packing runs PER SPLIT — a packed
+    *        sequence never mixes train and eval documents. The training
+    *        table is then partitioned by (batch_id, split); use the
+    *        same setting for every batch of a table.
     */
   def ingest(
       spark: SparkSession,
@@ -94,7 +116,14 @@ object TrainingSet {
       perplexityModel: Option[graft.ext.NgramLm.Model] = None,
       maxPerplexity: Double = Double.MaxValue,
       classifierModel: Option[graft.ext.Classifier.Model] = None,
-      minClassifierLogOdds: Double = 0.0): Report = {
+      minClassifierLogOdds: Double = 0.0,
+      urlCol: Option[String] = None,
+      benchmarkEmbeddings: Option[DataFrame] = None,
+      embedCol: String = "embedding",
+      embedThreshold: Double = 0.95,
+      splits: Seq[(String, Double)] = Nil,
+      splitGroupCol: Option[String] = None,
+      splitSeed: String = ""): Report = {
     if (TxTable.appliedDeltaIds(spark, targetPath).contains(deltaId))
       return Report(0, 0, 0, 0, 0, 0, 0, alreadyApplied = true)
     val input = batch.count()
@@ -140,11 +169,39 @@ object TrainingSet {
     }
     val afterGates = gatedCls.count()
 
+    // 1e (optional): canonical-URL keep-first dedup — the cheapest dedup
+    // in the pipeline (a string expression + one batch-sized keyed agg),
+    // so it runs before every text-shaped stage. Unparseable URLs have
+    // no canonical key and pass through.
+    val urlDeduped = urlCol match {
+      case None    => gatedCls
+      case Some(u) =>
+        val keepIds = Urls.dedupByUrl(gatedCls, idCol, u)
+          .select(col("first_" + idCol).as(idCol))
+          .unionByName(gatedCls
+            .filter(Urls.canonicalize(col(u)).isNull).select(idCol))
+        gatedCls.join(keepIds, Seq(idCol), "left_semi")
+    }
+    val afterUrlDedup =
+      if (urlCol.isEmpty) afterGates else urlDeduped.count()
+
     // 2: benchmark decontamination — bench gram set broadcasts, the
     // batch is never shuffled to find contamination
-    val clean = Decontaminate.removeContaminated(
-      gatedCls, benchmark, idCol, textCol, n = decontaminateN)
-    val afterDecontaminate = clean.count()
+    val clean0 = Decontaminate.removeContaminated(
+      urlDeduped, benchmark, idCol, textCol, n = decontaminateN)
+    val afterDecontaminate = clean0.count()
+
+    // 2b (optional): SEMANTIC decontamination — the paraphrase leakage
+    // the n-gram stage misses; bench embeddings broadcast into a
+    // nested-loop semi-join along the batch scan (see Decontaminate)
+    val clean = benchmarkEmbeddings match {
+      case None     => clean0
+      case Some(be) =>
+        Decontaminate.removeContaminatedByEmbedding(
+          clean0, be, idCol, embedCol, embedThreshold)
+    }
+    val afterEmbedDecontaminate =
+      if (benchmarkEmbeddings.isEmpty) afterDecontaminate else clean.count()
 
     // 3: exact dedup inside the batch (cross-batch exact dups are also
     // near-dups at jaccard 1.0 — the store stage catches them)
@@ -175,27 +232,46 @@ object TrainingSet {
     val afterSubstring = spanSurvivors.count()
 
     // 6: pack the survivors into token-budget sequences (per-batch packs;
-    // see the header for why packs never span batches)
-    val packed = spanSurvivors.join(
-      Packer.packBudget(spanSurvivors, idCol,
-          TextAnalysis.tokenCount(col(textCol)), budget)
+    // see the header for why packs never span batches). With `splits`,
+    // assignment happens FIRST and packing runs per split — a packed
+    // sequence mixing train and eval rows would leak eval content into
+    // training batches no matter how clean the doc-level split is.
+    val tokCount = TextAnalysis.tokenCount(col(textCol))
+    def packOf(df: DataFrame): DataFrame = df.join(
+      Packer.packBudget(df, idCol, tokCount, budget)
         .withColumnRenamed("id", idCol),
       Seq(idCol))
-      .withColumn("batch_id", lit(deltaId))
-    val packs = packed.select("pack_id").distinct().count()
+    val packed0 =
+      if (splits.isEmpty) packOf(spanSurvivors)
+      else {
+        val grouped = Splits.assign(spanSurvivors,
+            splitGroupCol.getOrElse(idCol), splits, splitSeed)
+          .localCheckpoint(false) // filtered once per split below
+        splits.map { case (name, _) =>
+          packOf(grouped.filter(col("split") === name))
+        }.reduce(_ unionByName _)
+      }
+    val packed = packed0.withColumn("batch_id", lit(deltaId))
+    val packKey: Seq[String] =
+      if (splits.isEmpty) Seq("pack_id") else Seq("split", "pack_id")
+    val packs = packed.select(packKey.map(col): _*).distinct().count()
 
     // 7: atomic append into the training table, replay-protected even
     // when nothing survived (the store side effects above are real).
     // Doc-id stats ride the manifest so a later takedown request
     // (TxTable.deleteWhere on the id) rewrites only the batches that
     // can contain the id — not the whole training table.
+    val layout =
+      if (splits.isEmpty) Seq("batch_id") else Seq("batch_id", "split")
     if (afterSubstring > 0)
-      TxTable.commit(spark, packed, targetPath, partitionBy = Seq("batch_id"),
+      TxTable.commit(spark, packed, targetPath, partitionBy = layout,
         deltaId = Some(deltaId), append = true, statsCols = Seq(idCol))
     else
       TxTable.recordDelta(spark, targetPath, deltaId)
     Report(input, afterGates, afterDecontaminate, afterExact, afterNearDup,
-      afterSubstring, packs, alreadyApplied = false)
+      afterSubstring, packs, alreadyApplied = false,
+      afterUrlDedup = afterUrlDedup,
+      afterEmbedDecontaminate = afterEmbedDecontaminate)
   }
 
   /** The shared duplicate-pair drop rule: a CROSS pair (one side not in

@@ -76,6 +76,56 @@ class TrainingSetSpec extends SparkSpec {
     assert(t.select("batch_id").distinct().count() == 2)
   }
 
+  test("url dedup, semantic decontamination, and leakage-safe split stages") {
+    val work = tmpDir("trainurlsplit")
+    val store = s"$work/store"
+    val target = s"$work/train"
+
+    // orthogonal unit embeddings except doc 23, a paraphrase of the
+    // benchmark's embedding direction (cosine 1 > threshold)
+    def vec(hot: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    val benchEmb = Seq(Tuple1(vec(0))).toDF("embedding")
+
+    val b = Seq(
+      // same page crawled twice: messy vs canonical URL — one survives
+      (21L, good(21L, "alpha")._2, "HTTP://A.com/x/?b=2&utm_source=s", vec(1)),
+      (22L, good(22L, "beta")._2, "http://a.com/x?b=2", vec(2)),
+      // n-gram-clean PARAPHRASE of the benchmark by embedding
+      (23L, good(23L, "gamma")._2, "http://a.com/y", vec(0)),
+      (24L, good(24L, "delta")._2, "http://a.com/z", vec(3)),
+      // unparseable URL must pass through, not be dropped
+      (25L, good(25L, "epsilon")._2, "not a url", vec(4))
+    ).toDF("doc_id", "text", "url", "embedding")
+
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val r = TrainingSet.ingest(spark, b, benchmark, store, target, "b1",
+      urlCol = Some("url"),
+      benchmarkEmbeddings = Some(benchEmb), embedThreshold = 0.9,
+      splits = splits)
+    assert(r.afterGates == 5, s"$r")
+    assert(r.afterUrlDedup == 4, s"$r")            // 22 loses to 21's page
+    assert(r.afterDecontaminate == 4, s"$r")       // n-grams see nothing
+    assert(r.afterEmbedDecontaminate == 3, s"$r")  // 23 caught semantically
+    val t = TxTable.read(spark, target).get
+    assert(t.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(21L, 24L, 25L))
+    // every committed row carries its split, and packing ran PER SPLIT:
+    // each populated split's pack ids start at 0 (its own fold), which
+    // is only possible when no pack spans splits
+    assert(t.filter(col("split").isNull).count() == 0)
+    val packStarts = t.groupBy("split").agg(min("pack_id").as("m"))
+      .collect().map(_.getLong(1))
+    assert(packStarts.forall(_ == 0L), "per-split packing expected")
+    // split assignment is the deterministic Splits function of doc_id
+    val expected = graft.ext.Splits.assign(
+      b.select("doc_id"), "doc_id", splits).collect()
+      .map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+    t.select("doc_id", "split").collect().foreach { r0 =>
+      assert(expected(r0.getLong(0)) == r0.getString(1), s"split drifted")
+    }
+  }
+
   test("substring gate: a cross-batch verbatim span is dropped by exactly that stage") {
     val work = tmpDir("trainsub")
     val store = s"$work/store"
