@@ -142,6 +142,6 @@ object LineDedup {
     df.crossJoin(broadcast(bset))
       .select(col(idCol), kept.as("_kept"))
       .filter(size(col("_kept")) > 0)
-      .select(col(idCol), array_join(col("_kept"), joinSep).as("text"))
+      .select(col(idCol), array_join(col("_kept"), joinSep).as(textCol))
   }
 }

@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunker, Dedup, TextAnalysis}
+import graft.ext.{Chunker, Dedup, LineDedup, TextAnalysis}
 import graft.ops.Quality
 import graft.sources.TableIO
 
@@ -10,7 +10,8 @@ import graft.sources.TableIO
   * exist for. One pipeline takes a raw document corpus to training-ready
   * chunks:
   *
-  *   quality gate -> PII redaction -> exact dedup -> near-dup dedup
+  *   quality gate -> PII redaction [-> C4-style boilerplate strip]
+  *   -> exact dedup -> near-dup dedup
   *   (MinHash-LSH -> connected components, keep canonical) -> token-window
   *   chunking -> lang-partitioned parquet
   *
@@ -26,16 +27,25 @@ object Curation {
   /** Stage-by-stage row accounting (the pipeline's audit trail). */
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, chunks: Long)
+      afterNearDup: Long, chunks: Long, afterBoilerplate: Long = -1)
 
   /** @param minQuality  quality-score gate in [0,1] (TextAnalysis.qualityScore)
     * @param threshold   near-dup jaccard threshold for MinHash-LSH
     * @param window      chunk window (tokens); `stride` = window - overlap
+    * @param boilerplateMinDocs when set, C4-style boilerplate stripping
+    *        (LineDedup.stripBoilerplate) between redaction and exact
+    *        dedup: any line recurring in at least this many distinct
+    *        documents is dropped from EVERY document — nav bars, cookie
+    *        banners, license headers — and a document left with no lines
+    *        drops entirely. It must run BEFORE the content-hash stages:
+    *        removing shared boilerplate is exactly what lets two
+    *        near-identical articles hash/shingle on their own words.
     */
   def run(spark: SparkSession, docs: DataFrame, outPath: String,
       idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
       minQuality: Double = 0.2, threshold: Double = 0.9,
-      window: Int = 200, stride: Int = 150): Report = {
+      window: Int = 200, stride: Int = 150,
+      boilerplateMinDocs: Option[Int] = None): Report = {
     require(minQuality >= 0 && minQuality <= 1, s"minQuality in [0,1], got $minQuality")
     val input = docs.count()
 
@@ -44,9 +54,21 @@ object Curation {
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
+    // 2b (optional): boilerplate strip — corpus never shuffled (the
+    // small boilerplate set broadcasts as one collect_set row; see
+    // LineDedup). Fully-boilerplate docs drop via the inner join.
+    val stripped = boilerplateMinDocs match {
+      case None    => gated
+      case Some(m) =>
+        gated.drop(textCol).join(
+          LineDedup.stripBoilerplate(gated, idCol, textCol, m), Seq(idCol))
+    }
+    val afterBoilerplate =
+      if (boilerplateMinDocs.isEmpty) -1L else stripped.count()
+
     // 3: exact dedup — keep the min-id doc per content hash (one
     // map-combinable shuffle; semi-join back to rows keeps all columns).
-    val exactDeduped = Dedup.exactSurvivors(gated, idCol, Seq(textCol))
+    val exactDeduped = Dedup.exactSurvivors(stripped, idCol, Seq(textCol))
       // checkpoint: consumed by dedupCorpus (shingle pipeline) AND the
       // final semi-join — without it the quality+redact+dedup prefix
       // runs twice. Lazy: released on plan GC (see Dedup notes).
@@ -73,6 +95,6 @@ object Curation {
     val nChunks = obs.get("n_rows").asInstanceOf[Long]
 
     Report(input, gated.count(), afterExact,
-      nearDeduped.count(), nChunks)
+      nearDeduped.count(), nChunks, afterBoilerplate = afterBoilerplate)
   }
 }

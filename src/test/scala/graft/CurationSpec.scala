@@ -42,6 +42,39 @@ class CurationSpec extends SparkSpec {
     assert(!doc5.contains("bob@example.com") && doc5.contains("<EMAIL>"))
   }
 
+  test("boilerplate stage: shared lines stripped everywhere, husks dropped") {
+    // newline-structured docs: a cookie banner recurs in three docs; one
+    // doc is NOTHING BUT the banner and must drop entirely
+    val banner = "accept all cookies to continue reading this site"
+    // bodies share NO vocabulary, so the near-dup stage cannot merge them
+    val alpha = ("alpine meadows bloom under spring sunshine while marmots " +
+      "whistle across high passes ") * 4
+    val beta = ("binary search trees rotate nodes keeping lookup depth " +
+      "logarithmic during insertion storms ") * 4
+    val gamma = ("gamma ray bursts outshine entire galaxies for brief " +
+      "cosmic moments every single year ") * 4
+    val docs = Seq(
+      (1L, s"$banner\n${alpha.trim}", "en"),
+      (2L, s"${beta.trim}\n$banner", "en"),
+      (3L, s"$banner", "en"),
+      (4L, gamma.trim, "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = tmpDir("cur_boiler") + "/c"
+    val r = Curation.run(spark, docs, out, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      boilerplateMinDocs = Some(3))
+    assert(r.afterBoilerplate == 3, s"$r") // doc 3 was pure banner
+    val written = spark.read.parquet(out)
+    assert(written.select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    val all = written.agg(concat_ws(" ", collect_list("chunk")))
+      .head().getString(0)
+    assert(!all.contains("accept all cookies"),
+      "banner text leaked into the curated chunks")
+    assert(all.contains("alpine") && all.contains("binary") &&
+      all.contains("galaxies"))
+  }
+
   test("curation is deterministic: rerun produces the identical chunk set") {
     val out1 = tmpDir("cur_a") + "/c"
     val out2 = tmpDir("cur_b") + "/c"
