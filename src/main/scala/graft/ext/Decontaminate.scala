@@ -112,11 +112,19 @@ object Decontaminate {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
     val dt = Similarity.dotAuto(train.sparkSession) _
+    // zero-norm rows are excluded from BOTH sides before the ratio: a
+    // 0/0 cosine is NaN, and Spark's NaN ordering ranks NaN above every
+    // number, so an unguarded >= threshold would flag EVERY training row
+    // against a single zero benchmark vector (failed embed call, padding
+    // row). A zero vector has no direction — it can neither contaminate
+    // nor be contaminated.
     val t = train.select(col(idCol),
       Similarity.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", sqrt(dt(col("_v"), col("_v"))))
+      .filter(col("_n") > 0)
     val b = benchmark.select(Similarity.asDouble(col(vecCol)).as("_bv"))
       .withColumn("_bn", sqrt(dt(col("_bv"), col("_bv"))))
+      .filter(col("_bn") > 0)
     t.join(broadcast(b),
         dt(col("_v"), col("_bv")) / (col("_n") * col("_bn")) >= threshold,
         "left_semi")

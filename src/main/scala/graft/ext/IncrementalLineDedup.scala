@@ -50,9 +50,20 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalLineDedup {
 
+  /** True only when the store holds COMMITTED parquet files: a crashed
+    * first append leaves `lines/_temporary/` with no data files, and a
+    * bare-directory check would send the rerun's probe into
+    * `read.parquet` → UNABLE_TO_INFER_SCHEMA — permanently wedging the
+    * store instead of converging as documented.
+    */
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
   }
 
   /** PURE probe: the batch's surviving lines — first-in-batch and new

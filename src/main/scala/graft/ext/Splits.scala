@@ -46,17 +46,31 @@ object Splits {
     var cum = 0.0
     splits.init.map { case (name, w) =>
       cum += w / total
-      val bound = math.floor(cum * 4294967296.0).toLong
+      // clamp: a cumulative weight that rounds to 1.0 would floor to
+      // 2^32 = 9 hex chars, breaking the equal-length lexicographic
+      // comparison (h < "100000000" is false for most hashes)
+      val bound =
+        math.min(math.floor(cum * 4294967296.0).toLong, 0xffffffffL)
       (name, f"$bound%08x")
     }
   }
 
-  /** The split name for a key column, as a pure Column expression. */
+  /** The split name for a key column, as a pure Column expression.
+    * A NULL key fails loudly: null md5 would make every boundary
+    * comparison null and silently route ALL null-keyed rows into the
+    * tail split — inflating and contaminating the eval set is exactly
+    * the failure this operator exists to prevent.
+    */
   def splitFor(
       key: Column,
       splits: Seq[(String, Double)],
       seed: String = ""): Column = {
-    val h = substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 8)
+    val checked = when(key.isNotNull, key.cast("string"))
+      .otherwise(raise_error(lit(
+        "Splits: null group key — null-keyed rows would all land in the " +
+          "tail split; assign a real group (or filter/quarantine nulls) " +
+          "before splitting")))
+    val h = substring(md5(concat(lit(seed + ":"), checked)), 1, 8)
     val tail = splits.last._1
     boundaries(splits).foldRight(lit(tail): Column) {
       case ((name, bound), elseC) => when(h < bound, name).otherwise(elseC)

@@ -56,12 +56,17 @@ object Curation {
 
     // 2b (optional): boilerplate strip — corpus never shuffled (the
     // small boilerplate set broadcasts as one collect_set row; see
-    // LineDedup). Fully-boilerplate docs drop via the inner join.
+    // LineDedup). Fully-boilerplate docs drop via the inner join. The
+    // gated frame feeds THREE plan branches here (join left side, the
+    // strip's corpus scan, its boilerplate-set aggregation), so it is
+    // checkpointed first — without it the quality filter and regex
+    // redaction would run three times over the corpus.
     val stripped = boilerplateMinDocs match {
       case None    => gated
       case Some(m) =>
-        gated.drop(textCol).join(
-          LineDedup.stripBoilerplate(gated, idCol, textCol, m), Seq(idCol))
+        val g = gated.localCheckpoint(false)
+        g.drop(textCol).join(
+          LineDedup.stripBoilerplate(g, idCol, textCol, m), Seq(idCol))
     }
     val afterBoilerplate =
       if (boilerplateMinDocs.isEmpty) -1L else stripped.count()

@@ -182,8 +182,10 @@ object TrainingSet {
             .filter(Urls.canonicalize(col(u)).isNull).select(idCol))
         gatedCls.join(keepIds, Seq(idCol), "left_semi")
     }
+    // -1 = stage not enabled (same sentinel as Curation.Report) — a
+    // consumer can distinguish "ran, removed nothing" from "off"
     val afterUrlDedup =
-      if (urlCol.isEmpty) afterGates else urlDeduped.count()
+      if (urlCol.isEmpty) -1L else urlDeduped.count()
 
     // 2: benchmark decontamination — bench gram set broadcasts, the
     // batch is never shuffled to find contamination
@@ -201,7 +203,7 @@ object TrainingSet {
           clean0, be, idCol, embedCol, embedThreshold)
     }
     val afterEmbedDecontaminate =
-      if (benchmarkEmbeddings.isEmpty) afterDecontaminate else clean.count()
+      if (benchmarkEmbeddings.isEmpty) -1L else clean.count()
 
     // 3: exact dedup inside the batch (cross-batch exact dups are also
     // near-dups at jaccard 1.0 — the store stage catches them)

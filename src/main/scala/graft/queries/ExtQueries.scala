@@ -922,6 +922,35 @@ object ExtQueries {
     '?b=2&utm_source=feed&a=' || CAST(doc_id % 3 AS STRING) ||
     CASE WHEN doc_id % 4 = 0 THEN '#Top' ELSE '' END"""
 
+  /** The oracle's independent regex canonicalization of the synthesized
+    * URLs, shared by BOTH url gates (ONE copy to keep in sync with the
+    * documented canonical form): CTE `c` exposes (doc_id, url_canon).
+    */
+  private val UrlCanonOracleCtes: String =
+    (s"""WITH u0 AS (SELECT doc_id, ($UrlSynthSql) AS u FROM documents),
+      |p AS (SELECT doc_id,
+      |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  lower(regexp_extract(u, '://([^/?#:]+)', 1)) AS host0,
+      |  regexp_extract(u, '://[^/?#:]+:([0-9]+)', 1) AS port,
+      |  regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1) AS path0,
+      |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
+      |  FROM u0),
+      |k AS (SELECT *, [q for q in string_split(query0, '&')
+      |  if q <> '' and not regexp_matches(q,
+      |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
+      |  FROM p),
+      |c AS (SELECT doc_id,
+      |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
+      |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |         OR (scheme = 'https' AND port = '443') THEN ''
+      |       ELSE ':' || port END ||
+      |  regexp_replace(path0, '/+$$', '') ||
+      |  CASE WHEN len(kept) = 0 THEN ''
+      |       ELSE '?' || array_to_string(list_sort(kept), '&') END
+      |    AS url_canon
+      |  FROM k)""").stripMargin
+
   /** The documents corpus spread across cores: a single-row-group parquet
     * arrives as ONE split, which would serialize the (now shuffle-free)
     * map-side hashing pipelines. See the ext_minhash_neardup comment.
@@ -1753,54 +1782,10 @@ object ExtQueries {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_url_canonical" ->
-      (s"""WITH u0 AS (SELECT doc_id, ($UrlSynthSql) AS u FROM documents),
-        |p AS (SELECT doc_id,
-        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |    AS scheme,
-        |  lower(regexp_extract(u, '://([^/?#:]+)', 1)) AS host0,
-        |  regexp_extract(u, '://[^/?#:]+:([0-9]+)', 1) AS port,
-        |  regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1) AS path0,
-        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
-        |  FROM u0),
-        |k AS (SELECT *, [q for q in string_split(query0, '&')
-        |  if q <> '' and not regexp_matches(q,
-        |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
-        |  FROM p)
-        |SELECT doc_id,
-        |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
-        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-        |         OR (scheme = 'https' AND port = '443') THEN ''
-        |       ELSE ':' || port END ||
-        |  regexp_replace(path0, '/+$$', '') ||
-        |  CASE WHEN len(kept) = 0 THEN ''
-        |       ELSE '?' || array_to_string(list_sort(kept), '&') END
-        |    AS url_canon
-        |FROM k ORDER BY doc_id""").stripMargin,
+      s"$UrlCanonOracleCtes\nSELECT doc_id, url_canon FROM c ORDER BY doc_id",
 
     "ext_url_dedup" ->
-      (s"""WITH u0 AS (SELECT doc_id, ($UrlSynthSql) AS u FROM documents),
-        |p AS (SELECT doc_id,
-        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |    AS scheme,
-        |  lower(regexp_extract(u, '://([^/?#:]+)', 1)) AS host0,
-        |  regexp_extract(u, '://[^/?#:]+:([0-9]+)', 1) AS port,
-        |  regexp_extract(u, '://[^/?#]+(/[^?#]*)', 1) AS path0,
-        |  regexp_extract(u, '\\?([^#]*)', 1) AS query0
-        |  FROM u0),
-        |k AS (SELECT *, [q for q in string_split(query0, '&')
-        |  if q <> '' and not regexp_matches(q,
-        |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
-        |  FROM p),
-        |c AS (SELECT doc_id,
-        |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
-        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-        |         OR (scheme = 'https' AND port = '443') THEN ''
-        |       ELSE ':' || port END ||
-        |  regexp_replace(path0, '/+$$', '') ||
-        |  CASE WHEN len(kept) = 0 THEN ''
-        |       ELSE '?' || array_to_string(list_sort(kept), '&') END
-        |    AS url_canon
-        |  FROM k)
+      (s"""$UrlCanonOracleCtes
         |SELECT url_canon, min(doc_id) AS first_doc_id,
         |  count(*) AS n_dups
         |FROM c GROUP BY url_canon ORDER BY url_canon""").stripMargin,

@@ -32,16 +32,46 @@ object EventIngest {
     * ingesting; that is metadata-only (no data scan) and keeps the
     * streaming plan itself schema-exact.
     */
+  /** Explicit raw schemas for the two file generations — the fallback
+    * when the source directory is still EMPTY at stream start (the
+    * normal landing-directory deployment order: start the stream, then
+    * files arrive). Which one applies is decided by the nanosAsLong
+    * conf: a session configured for the legacy NANOS files declares it.
+    */
+  private def rawSchema(nanosAsLong: Boolean) = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (nanosAsLong) LongType else TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    val confNanos =
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true"
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: Exception
+            if e.getMessage != null &&
+              (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+                e.getMessage.contains("Illegal Parquet type")) =>
+          // fail with the actionable message, not the raw reader error
+          throw new IllegalArgumentException(
+            "events.parquet carries INT64(NANOS) timestamps: set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session " +
+              "construction (see graft.Tables.events) — not mutated here " +
+              "as a side effect", e)
+        case _: Exception =>
+          // empty landing directory: no footer to probe yet — fall back
+          // to the generation the session is configured for
+          rawSchema(confNanos)
+      }
     val nanosAsLong = fileSchema("ts").dataType == LongType
-    if (nanosAsLong) {
-      require(
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet carries INT64(NANOS) timestamps: set " +
-          "spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
-          "(see graft.Tables.events) — not mutated here as a side effect")
-    }
+    if (nanosAsLong) require(confNanos,
+      "events.parquet carries INT64(NANOS) timestamps: set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
+        "(see graft.Tables.events) — not mutated here as a side effect")
     val raw = spark.readStream.schema(fileSchema).parquet(dir)
     if (nanosAsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw.withColumn("ts", col("ts").cast("timestamp"))

@@ -433,6 +433,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(clean == Set(3L))
   }
 
+  test("decontaminate by embedding: zero-norm vectors can neither contaminate nor be flagged") {
+    // a zero benchmark vector makes every cosine 0/0 = NaN, and Spark
+    // orders NaN above all numbers — unguarded, the semi-join would
+    // flag the WHOLE corpus (silent empty training set)
+    val bench = Seq(
+      Tuple1(Array(0f, 0f, 0f, 0f)), // failed-embed padding row
+      Tuple1(Array(1f, 0f, 0f, 0f))).toDF("vec")
+    val train = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)), // genuinely close to the real bench
+      (2L, Array(0f, 1f, 0f, 0f)),    // orthogonal — must survive
+      (3L, Array(0f, 0f, 0f, 0f))     // zero-norm train row — must survive
+    ).toDF("vec_id", "vec")
+    val flagged = graft.ext.Decontaminate
+      .contaminatedIdsByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L), s"flagged $flagged")
+    val clean = graft.ext.Decontaminate
+      .removeContaminatedByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L), s"clean $clean")
+  }
+
   test("decontaminate by embedding: semi-join broadcast, corpus unshuffled") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val bench = emb.filter(col("vec_id") % 50 === 0).select("embedding")

@@ -61,6 +61,18 @@ class IncrementalLineDedupSpec extends SparkSpec {
     assert(s2 === Set((2L, 2, "beta")), s"got $s2")
   }
 
+  test("a crashed first append (_temporary only, no data files) reruns cleanly") {
+    val store = tmpDir("inclines5") + "/store"
+    // simulate the crash artifact: the committer's temp dir exists but
+    // no parquet file was ever committed
+    val tempDir = new java.io.File(s"$store/lines/_temporary")
+    assert(tempDir.mkdirs())
+    val b = Seq((1L, "x\ny")).toDF("doc_id", "text")
+    val out = keyed(IncrementalLineDedup.ingest(spark, b, "doc_id", "text", store))
+    assert(out === Set((1L, 1, "x"), (1L, 2, "y")))
+    assert(IncrementalLineDedup.storedLines(spark, store) === 2)
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inclines4") + "/store"
     IncrementalLineDedup.ingest(spark,

@@ -80,6 +80,27 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("null group key fails loudly instead of silently landing in the tail split") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "grp")
+    val e = intercept[Exception] {
+      Splits.assign(df, "grp", W).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null group key")), s"got: ${msgs(e)}")
+  }
+
+  test("extreme weights: boundary hex stays 8 chars, assignment still total") {
+    // a cumulative weight that rounds to 1.0 in double would floor to
+    // 2^32 (9 hex chars) and break the lexicographic compare — clamped
+    val byName = Splits.assign(docs, "doc_id",
+      Seq("a" -> 1e18, "b" -> 1.0))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.getOrElse("a", 0L) >= 499,
+      s"split 'a' should receive essentially everything: $byName")
+  }
+
   test("assignment is map-side only: no shuffle in the plan") {
     val plan = Splits.assign(docs, "source", W)
       .queryExecution.executedPlan.toString

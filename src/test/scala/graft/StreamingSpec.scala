@@ -241,6 +241,17 @@ class StreamingSpec extends SparkSpec {
     assert(logged == oneShot)
   }
 
+  test("event stream starts on an EMPTY landing directory (schema fallback)") {
+    // the normal deployment order: the stream starts first, files land
+    // later — the footer probe has nothing to read and must fall back
+    // to the conf-selected explicit schema instead of throwing
+    val empty = tmpDir("emptyland")
+    val stream = EventIngest.readEventStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming line dedup: one survivor per distinct line; replay-safe") {
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
