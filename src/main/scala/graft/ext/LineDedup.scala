@@ -135,10 +135,18 @@ object LineDedup {
       minDocs: Int,
       sepRegex: String = "\n",
       joinSep: String = "\n"): DataFrame = {
+    // the broadcast set holds xxhash64 LONGS, not line strings: the
+    // removal filter compares every corpus line against every set entry
+    // (linear array scan), and an 8-byte compare is ~an order of
+    // magnitude cheaper than a string compare at the same shape. The
+    // price is the usual conservative hash semantics: an innocent line
+    // colliding with a boilerplate hash in 64 bits is over-removed,
+    // never under-removed (same documented direction as the
+    // incremental stores and Decontaminate's hashed mode).
     val bset = boilerplateLines(df, idCol, textCol, minDocs, sepRegex)
-      .agg(collect_set(col("line")).as("_bset"))
+      .agg(collect_set(xxhash64(col("line"))).as("_bset"))
     val kept = filter(split(col(textCol), sepRegex),
-      l => !array_contains(col("_bset"), l))
+      l => !array_contains(col("_bset"), xxhash64(l)))
     df.crossJoin(broadcast(bset))
       .select(col(idCol), kept.as("_kept"))
       .filter(size(col("_kept")) > 0)
