@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Incremental keep-first dedup on an ARBITRARY key expression
+  * against a durable key store — the generic form of the family
+  * ([[IncrementalLineDedup]] specializes to exploded lines;
+  * [[IncrementalDedup]] to MinHash buckets). The canonical use is
+  * web-crawl URL dedup: daily crawl batches re-deliver mostly-known
+  * canonical URLs, and dropping a re-crawl by KEY lookup costs a hash
+  * probe instead of the text-similarity machinery it would otherwise
+  * fall through to.
+  *
+  *   store/keys/  (key_hash, id)  — first owner per key
+  *
+  * Per-ingest dataflow (batch small, store huge):
+  *
+  *  1. Rows with a NULL key pass through untouched and are never
+  *     registered — null means "no identity to collide on" (e.g. an
+  *     unparseable URL), and hashing nulls would collapse every
+  *     keyless row into one bogus dedup group (Spark's xxhash64 maps
+  *     NULL to the seed, not to NULL).
+  *  2. In-batch keep-first: min(id) per key hash — ONE map-combinable
+  *     HashAggregate.
+  *  3. The batch's distinct key hashes BROADCAST into a semi-join
+  *     against ONE scan of the store (never shuffled, never broadcast);
+  *     colliding hashes — batch-bounded — anti-join the winners.
+  *  4. Surviving (key_hash, id) rows append; they are store-disjoint by
+  *     construction, so replay is a no-op and a crashed append
+  *     converges on rerun (only committed files count as the store).
+  *
+  * The store keeps 64-bit key hashes, not key values: 16 bytes/key,
+  * with the repo's documented conservative collision direction (a new
+  * key colliding in 64 bits with a stored one is over-removed, never
+  * under-removed).
+  *
+  * Determinism: batches ingested in id order keep exactly the rows a
+  * one-shot keep-first over the union keeps (asserted in the spec; the
+  * URL gate `ext_url_dedup_incr` oracles it differentially).
+  */
+object IncrementalKeyedDedup {
+
+  /** True only when the store holds COMMITTED parquet files (a crashed
+    * append's `_temporary` dir alone must read as "no store yet").
+    */
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+  }
+
+  /** Store hashes colliding with the batch's key set — ONE unshuffled
+    * store scan, batch keys broadcast. Exposed for plan-shape tests.
+    */
+  private[graft] def collisionsOf(
+      spark: SparkSession,
+      keysPath: String,
+      batchKeys: DataFrame): DataFrame =
+    spark.read.parquet(keysPath)
+      .join(broadcast(batchKeys), Seq("key_hash"), "left_semi")
+      .select("key_hash")
+
+  /** Ingest one batch: returns the SURVIVING rows (all columns — new
+    * key or first-in-batch, plus every null-key row) and registers the
+    * surviving keys durably.
+    */
+  def ingest(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      key: Column,
+      storePath: String): DataFrame = {
+    val keysPath = s"$storePath/keys"
+    val hashed = batch.withColumn("_kh", xxhash64(key))
+      .withColumn("_kn", key.isNull)
+    val keyless = hashed.filter(col("_kn"))
+    val keyed = hashed.filter(!col("_kn"))
+    val batchFirst = keyed
+      .groupBy(col("_kh").as("key_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    val winners =
+      if (!exists(spark, keysPath)) batchFirst
+      else {
+        val collisions = collisionsOf(spark, keysPath,
+          batchFirst.select("key_hash").distinct())
+        batchFirst.join(broadcast(collisions), Seq("key_hash"), "left_anti")
+      }
+    val mat = winners.localCheckpoint(true)
+    mat.write.mode("append").parquet(keysPath)
+    // survivors join on (key, id) — id alone would resurrect a row
+    // whose OTHER key lost when the same id carries several keys
+    keyed.join(mat.withColumnRenamed("key_hash", "_kh"),
+        Seq("_kh", idCol), "left_semi")
+      .unionByName(keyless)
+      .drop("_kh", "_kn")
+  }
+
+  /** Registered key count — store health/monitoring. */
+  def storedKeys(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/keys")) 0L
+    else spark.read.parquet(s"$storePath/keys").count()
+}

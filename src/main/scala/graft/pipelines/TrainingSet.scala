@@ -84,6 +84,12 @@ object TrainingSet {
     *        parsed pass through (they have no canonical key to collide
     *        on). Cross-batch re-crawls are caught downstream by the
     *        near-dup store (their TEXT is near-identical).
+    * @param urlStorePath with `urlCol`: dedup URLs CROSS-BATCH through
+    *        the durable canonical-URL key store
+    *        (IncrementalKeyedDedup) — a daily re-crawl of a known page
+    *        drops for the cost of a key probe instead of falling
+    *        through to the text-similarity stages. Without it, URL
+    *        dedup is in-batch only.
     * @param benchmarkEmbeddings when set, SEMANTIC decontamination after
     *        the n-gram stage: batch rows (which must carry `embedCol`)
     *        within cosine `embedThreshold` of any row here are dropped —
@@ -118,6 +124,7 @@ object TrainingSet {
       classifierModel: Option[graft.ext.Classifier.Model] = None,
       minClassifierLogOdds: Double = 0.0,
       urlCol: Option[String] = None,
+      urlStorePath: Option[String] = None,
       benchmarkEmbeddings: Option[DataFrame] = None,
       embedCol: String = "embedding",
       embedThreshold: Double = 0.95,
@@ -173,9 +180,14 @@ object TrainingSet {
     // in the pipeline (a string expression + one batch-sized keyed agg),
     // so it runs before every text-shaped stage. Unparseable URLs have
     // no canonical key and pass through.
-    val urlDeduped = urlCol match {
-      case None    => gatedCls
-      case Some(u) =>
+    val urlDeduped = (urlCol, urlStorePath) match {
+      case (None, _) => gatedCls
+      case (Some(u), Some(sp)) =>
+        // cross-batch: first crawl of a canonical URL wins FOREVER via
+        // the durable key store (null/unparseable URLs pass through)
+        graft.ext.IncrementalKeyedDedup.ingest(spark, gatedCls, idCol,
+          Urls.canonicalize(col(u)), sp)
+      case (Some(u), None) =>
         val keepIds = Urls.dedupByUrl(gatedCls, idCol, u)
           .select(col("first_" + idCol).as(idCol))
           .unionByName(gatedCls

@@ -858,6 +858,27 @@ object ExtQueries {
         "doc_id", "url")
         .orderBy("url_canon")),
 
+    // Incremental URL dedup (oracled DIFFERENTIAL): two id-ordered
+    // crawl batches through the durable canonical-URL key store must
+    // keep exactly the docs the one-shot canonical keep-first keeps.
+    "ext_url_dedup_incr" -> ((s, dir) => {
+      val crawl = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), expr(UrlSynthSql).as("url"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_incurl").toString + "/store"
+      def ing(b: org.apache.spark.sql.DataFrame) =
+        graft.ext.IncrementalKeyedDedup.ingest(s, b, "doc_id",
+          graft.ext.Urls.canonicalize(col("url")), store)
+      val out = ing(crawl.filter(col("doc_id") < 250))
+        .unionByName(ing(crawl.filter(col("doc_id") >= 250)))
+        .select(col("doc_id"),
+          graft.ext.Urls.canonicalize(col("url")).as("url_canon"))
+        .orderBy("doc_id").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- leakage-safe splitting (oracled) ---------------------------
     // Split assignment at SOURCE granularity (rows from one source never
     // straddle train/eval — the site-level leakage control). Weights
@@ -1789,6 +1810,15 @@ object ExtQueries {
         |SELECT url_canon, min(doc_id) AS first_doc_id,
         |  count(*) AS n_dups
         |FROM c GROUP BY url_canon ORDER BY url_canon""").stripMargin,
+
+    "ext_url_dedup_incr" ->
+      (s"""$UrlCanonOracleCtes
+        |SELECT c.doc_id, c.url_canon
+        |FROM c JOIN (SELECT url_canon, min(doc_id) AS m FROM c
+        |             WHERE doc_id < 500 GROUP BY url_canon) w
+        |  ON c.url_canon = w.url_canon AND c.doc_id = w.m
+        |WHERE c.doc_id < 500
+        |ORDER BY c.doc_id""").stripMargin,
 
     "ext_line_dedup_incr" ->
       """WITH t AS (

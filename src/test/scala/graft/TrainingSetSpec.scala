@@ -126,6 +126,30 @@ class TrainingSetSpec extends SparkSpec {
     }
   }
 
+  test("durable URL store: a later batch's re-crawl drops at the url stage") {
+    val work = tmpDir("trainurlstore")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val urlStore = s"$work/urls"
+    val b1 = Seq((31L, good(31L, "alpha")._2, "http://site.com/page"))
+      .toDF("doc_id", "text", "url")
+    val r1 = TrainingSet.ingest(spark, b1, benchmark, store, target, "b1",
+      urlCol = Some("url"), urlStorePath = Some(urlStore))
+    assert(r1.afterUrlDedup == 1, s"$r1")
+    // batch 2 re-crawls the same page (messier URL, DIFFERENT text so
+    // only the URL stage can catch it) plus a genuinely new page
+    val b2 = Seq(
+      (32L, good(32L, "beta")._2, "HTTP://Site.com/page/?utm_source=f"),
+      (33L, good(33L, "gamma")._2, "http://site.com/other")
+    ).toDF("doc_id", "text", "url")
+    val r2 = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2",
+      urlCol = Some("url"), urlStorePath = Some(urlStore))
+    assert(r2.afterGates == 2 && r2.afterUrlDedup == 1, s"$r2")
+    val kept = TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(31L, 33L), s"re-crawl 32 must not commit: $kept")
+  }
+
   test("substring gate: a cross-batch verbatim span is dropped by exactly that stage") {
     val work = tmpDir("trainsub")
     val store = s"$work/store"
