@@ -105,4 +105,16 @@ object IncrementalKeyedDedup {
   def storedKeys(spark: SparkSession, storePath: String): Long =
     if (!exists(spark, s"$storePath/keys")) 0L
     else spark.read.parquet(s"$storePath/keys").count()
+
+  /** Compact the store's accumulated per-ingest file sets (one set per
+    * batch — thousands of small files at daily cadence; every probe's
+    * store scan pays per-file costs). Returns (files before, after).
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    if (!exists(spark, s"$storePath/keys")) (0, 0)
+    else graft.sinks.Maintenance.compact(spark, s"$storePath/keys",
+      targetFileBytes)
 }

@@ -140,4 +140,18 @@ object IncrementalLineDedup {
   def storedLines(spark: SparkSession, storePath: String): Long =
     if (!exists(spark, s"$storePath/lines")) 0L
     else spark.read.parquet(s"$storePath/lines").count()
+
+  /** Compact the store's accumulated per-ingest file sets (daily
+    * cadence writes one set per batch — thousands of small files in a
+    * year, and every probe's store scan pays the file-listing and
+    * per-file open cost). Returns (files before, files after). Safe
+    * between ingests; same maintenance contract as the sibling stores.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    if (!exists(spark, s"$storePath/lines")) (0, 0)
+    else graft.sinks.Maintenance.compact(spark, s"$storePath/lines",
+      targetFileBytes)
 }

@@ -87,6 +87,21 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
     assert(IncrementalKeyedDedup.storedKeys(spark, store) === 1)
   }
 
+  test("compaction shrinks the file count; results and replays unchanged") {
+    val store = tmpDir("inckey8") + "/store"
+    for (i <- 0 until 4) // four ingests -> four part-file sets
+      IncrementalKeyedDedup.ingest(spark,
+        Seq((i.toLong, s"k$i")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+    val n0 = IncrementalKeyedDedup.storedKeys(spark, store)
+    val (before, after) = IncrementalKeyedDedup.compactStore(spark, store)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    assert(IncrementalKeyedDedup.storedKeys(spark, store) === n0)
+    // a replayed earlier batch still collides with the compacted store
+    val again = ids(IncrementalKeyedDedup.ingest(spark,
+      Seq((0L, "k0")).toDF("doc_id", "k"), "doc_id", col("k"), store))
+    assert(again.isEmpty)
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inckey7") + "/store"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

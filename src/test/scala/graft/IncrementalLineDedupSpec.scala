@@ -73,6 +73,18 @@ class IncrementalLineDedupSpec extends SparkSpec {
     assert(IncrementalLineDedup.storedLines(spark, store) === 2)
   }
 
+  test("compaction shrinks the file count; stored lines unchanged") {
+    val store = tmpDir("inclines6") + "/store"
+    for (i <- 0 until 4)
+      IncrementalLineDedup.ingest(spark,
+        Seq((i.toLong, s"line$i\ncommon")).toDF("doc_id", "text"),
+        "doc_id", "text", store)
+    val n0 = IncrementalLineDedup.storedLines(spark, store)
+    val (before, after) = IncrementalLineDedup.compactStore(spark, store)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    assert(IncrementalLineDedup.storedLines(spark, store) === n0)
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inclines4") + "/store"
     IncrementalLineDedup.ingest(spark,
