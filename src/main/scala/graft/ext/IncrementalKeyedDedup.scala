@@ -55,15 +55,26 @@ object IncrementalKeyedDedup {
     }
   }
 
+  /** The live store: registered keys minus any whose OWNER was
+    * forgotten (takedown tombstones, see [[forget]]); the tombstone set
+    * is takedown-sized, so it broadcasts into the same store scan.
+    */
+  private def liveStore(
+      spark: SparkSession, storePath: String, idCol: String): DataFrame = {
+    val keys = spark.read.parquet(s"$storePath/keys")
+    val fPath = s"$storePath/forgotten"
+    if (!exists(spark, fPath)) keys
+    else keys.join(broadcast(spark.read.parquet(fPath)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Store hashes colliding with the batch's key set — ONE unshuffled
     * store scan, batch keys broadcast. Exposed for plan-shape tests.
     */
   private[graft] def collisionsOf(
-      spark: SparkSession,
-      keysPath: String,
+      store: DataFrame,
       batchKeys: DataFrame): DataFrame =
-    spark.read.parquet(keysPath)
-      .join(broadcast(batchKeys), Seq("key_hash"), "left_semi")
+    store.join(broadcast(batchKeys), Seq("key_hash"), "left_semi")
       .select("key_hash")
 
   /** Ingest one batch: returns the SURVIVING rows (all columns — new
@@ -87,7 +98,7 @@ object IncrementalKeyedDedup {
     val winners =
       if (!exists(spark, keysPath)) batchFirst
       else {
-        val collisions = collisionsOf(spark, keysPath,
+        val collisions = collisionsOf(liveStore(spark, storePath, idCol),
           batchFirst.select("key_hash").distinct())
         batchFirst.join(broadcast(collisions), Seq("key_hash"), "left_anti")
       }
@@ -100,6 +111,15 @@ object IncrementalKeyedDedup {
       .unionByName(keyless)
       .drop("_kh", "_kn")
   }
+
+  /** Takedown support: forget every key OWNED by these ids — appends a
+    * tombstone set the probes anti-join (no store rewrite). Fresh
+    * copies of forgotten content are admitted again under a new owner:
+    * the right-to-erasure semantics for dedup state. `ids` must carry
+    * the store's id column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.write.mode("append").parquet(s"$storePath/forgotten")
 
   /** Registered key count — store health/monitoring. */
   def storedKeys(spark: SparkSession, storePath: String): Long =

@@ -84,11 +84,22 @@ object IncrementalLineDedup {
       .withColumn("line_hash", xxhash64(col("line")))
     if (!exists(spark, linesPath)) batchFirst
     else {
-      val collisions = collisionsOf(spark, linesPath,
+      val collisions = collisionsOf(liveStore(spark, storePath, idCol),
         batchFirst.select("line_hash").distinct())
       batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
     }
   }
+
+  /** Takedown support: forget every line OWNED by these ids. Appends a
+    * tombstone set the probes anti-join (takedown-sized, broadcast) —
+    * no store rewrite, no swap risk. After a forget, fresh copies of
+    * the forgotten content are ADMITTED again under a new owner (the
+    * content is gone; a new copy is new data), which is the correct
+    * right-to-erasure semantics for dedup state. `ids` must carry the
+    * store's id column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.write.mode("append").parquet(s"$storePath/forgotten")
 
   /** Register a probe result in the store. Rows must be store-disjoint
     * — true BY CONSTRUCTION for a `probe` result computed against the
@@ -123,17 +134,29 @@ object IncrementalLineDedup {
     mat.select(col(idCol), col("line_no"), col("line"))
   }
 
+  /** The live store: registered lines minus any whose OWNER was
+    * forgotten (takedown tombstones, see [[forget]]). The tombstone set
+    * is takedown-sized (tiny), so it broadcasts into an anti-join along
+    * the same single store scan.
+    */
+  private def liveStore(
+      spark: SparkSession, storePath: String, idCol: String): DataFrame = {
+    val lines = spark.read.parquet(s"$storePath/lines")
+    val fPath = s"$storePath/forgotten"
+    if (!exists(spark, fPath)) lines
+    else lines.join(broadcast(spark.read.parquet(fPath)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Store hashes colliding with the batch's key set: the store is
     * scanned ONCE and never shuffled — the batch keys broadcast into a
     * semi-join, and the surviving collision set is batch-bounded.
     * Exposed for plan-shape tests.
     */
   private[graft] def collisionsOf(
-      spark: SparkSession,
-      linesPath: String,
+      store: DataFrame,
       batchKeys: DataFrame): DataFrame =
-    spark.read.parquet(linesPath)
-      .join(broadcast(batchKeys), Seq("line_hash"), "left_semi")
+    store.join(broadcast(batchKeys), Seq("line_hash"), "left_semi")
       .select("line_hash")
 
   /** Registered line count — store health/monitoring. */

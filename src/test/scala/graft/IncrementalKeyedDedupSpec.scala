@@ -87,6 +87,24 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
     assert(IncrementalKeyedDedup.storedKeys(spark, store) === 1)
   }
 
+  test("forget: a forgotten owner's keys stop blocking; others still block") {
+    val store = tmpDir("inckey9") + "/store"
+    IncrementalKeyedDedup.ingest(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+    // takedown of doc 1: its key must stop blocking future copies
+    IncrementalKeyedDedup.forget(spark, store,
+      Seq(Tuple1(1L)).toDF("doc_id"))
+    val after = IncrementalKeyedDedup.ingest(spark,
+      Seq((11L, "x"), (12L, "y")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after === Set(11L), s"x re-admitted, y still blocked: $after")
+    // the re-admission registered a NEW owner for x — it blocks again
+    val third = IncrementalKeyedDedup.ingest(spark,
+      Seq((21L, "x")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(third.isEmpty, s"x must block again after re-admission: $third")
+  }
+
   test("compaction shrinks the file count; results and replays unchanged") {
     val store = tmpDir("inckey8") + "/store"
     for (i <- 0 until 4) // four ingests -> four part-file sets
@@ -110,7 +128,8 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
       docs.filter($"doc_id" < 250), "doc_id", col("k"), store)
     val batchKeys = docs.filter($"doc_id" >= 250)
       .select(xxhash64($"k").as("key_hash")).distinct()
-    val hot = IncrementalKeyedDedup.collisionsOf(spark, s"$store/keys", batchKeys)
+    val hot = IncrementalKeyedDedup.collisionsOf(
+      spark.read.parquet(s"$store/keys"), batchKeys)
     hot.count()
     val p = hot.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

@@ -73,6 +73,20 @@ class IncrementalLineDedupSpec extends SparkSpec {
     assert(IncrementalLineDedup.storedLines(spark, store) === 2)
   }
 
+  test("forget: a forgotten doc's lines stop blocking; others still block") {
+    val store = tmpDir("inclines7") + "/store"
+    IncrementalLineDedup.ingest(spark,
+      Seq((1L, "gone\nstays")).toDF("doc_id", "text"), "doc_id", "text", store)
+    IncrementalLineDedup.ingest(spark,
+      Seq((2L, "stays\nother")).toDF("doc_id", "text"), "doc_id", "text", store)
+    // doc 1 owned "gone" and "stays"; doc 2 owns "other"
+    IncrementalLineDedup.forget(spark, store, Seq(Tuple1(1L)).toDF("doc_id"))
+    val after = keyed(IncrementalLineDedup.ingest(spark,
+      Seq((11L, "gone\nother")).toDF("doc_id", "text"), "doc_id", "text", store))
+    // "gone"'s owner was forgotten -> re-admitted; "other" (doc 2) blocks
+    assert(after === Set((11L, 1, "gone")), s"got $after")
+  }
+
   test("compaction shrinks the file count; stored lines unchanged") {
     val store = tmpDir("inclines6") + "/store"
     for (i <- 0 until 4)
@@ -92,7 +106,8 @@ class IncrementalLineDedupSpec extends SparkSpec {
     val batchKeys = LineDedup.dedupLines(
         lined.filter($"doc_id" >= 250), "doc_id", "text")
       .select(xxhash64($"line").as("line_hash")).distinct()
-    val hot = IncrementalLineDedup.collisionsOf(spark, s"$store/lines", batchKeys)
+    val hot = IncrementalLineDedup.collisionsOf(
+      spark.read.parquet(s"$store/lines"), batchKeys)
     hot.count() // let AQE finalize
     val p = hot.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
