@@ -112,19 +112,23 @@ object Decontaminate {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
     val dt = Similarity.dotAuto(train.sparkSession) _
-    // zero-norm rows are excluded from BOTH sides before the ratio: a
-    // 0/0 cosine is NaN, and Spark's NaN ordering ranks NaN above every
-    // number, so an unguarded >= threshold would flag EVERY training row
-    // against a single zero benchmark vector (failed embed call, padding
-    // row). A zero vector has no direction — it can neither contaminate
-    // nor be contaminated.
+    // zero- and NaN-norm rows are excluded from BOTH sides before the
+    // ratio: a 0/0 cosine is NaN, and Spark's NaN ordering ranks NaN
+    // above every number, so an unguarded >= threshold would flag EVERY
+    // training row against a single degenerate benchmark vector. The
+    // `> 0` alone is NOT enough — NaN > 0 is also TRUE under that same
+    // ordering, so a vector with a NaN component (a failed embed call,
+    // the very row this guard exists for) would sail through a
+    // zero-only guard and its NaN cosine would match every row. Neither
+    // a zero nor a NaN vector has a direction — they can neither
+    // contaminate nor be contaminated.
     val t = train.select(col(idCol),
       Similarity.asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", sqrt(dt(col("_v"), col("_v"))))
-      .filter(col("_n") > 0)
+      .filter(col("_n") > 0 && !isnan(col("_n")))
     val b = benchmark.select(Similarity.asDouble(col(vecCol)).as("_bv"))
       .withColumn("_bn", sqrt(dt(col("_bv"), col("_bv"))))
-      .filter(col("_bn") > 0)
+      .filter(col("_bn") > 0 && !isnan(col("_bn")))
     t.join(broadcast(b),
         dt(col("_v"), col("_bv")) / (col("_n") * col("_bn")) >= threshold,
         "left_semi")

@@ -26,10 +26,22 @@ import org.apache.spark.sql.functions._
   *     HashAggregate.
   *  3. The batch's distinct key hashes BROADCAST into a semi-join
   *     against ONE scan of the store (never shuffled, never broadcast);
-  *     colliding hashes — batch-bounded — anti-join the winners.
-  *  4. Surviving (key_hash, id) rows append; they are store-disjoint by
-  *     construction, so replay is a no-op and a crashed append
-  *     converges on rerun (only committed files count as the store).
+  *     the batch-bounded collision set joins back OWNER-AWARE: a
+  *     collision whose stored owner is a DIFFERENT id drops the batch
+  *     row (first-ingested-wins), but a collision whose stored owner IS
+  *     the batch row's own id means "already mine — an earlier run of
+  *     this same batch registered it" and the row SURVIVES again.
+  *  4. Only keys NEW to the store append (already-mine rows are already
+  *     registered), so the store never grows duplicate keys and a
+  *     crashed append converges on rerun (only committed files count as
+  *     the store).
+  *
+  * The owner-aware step 3 is what makes the RETURN VALUE replay-safe,
+  * not just the store: a caller that persists the survivors after
+  * ingest (the natural usage — TrainingSet feeds them to its later
+  * stages) and crashes before its own commit gets the SAME survivors
+  * back on rerun instead of an empty frame whose every row "collided"
+  * with its own registration.
   *
   * The store keeps 64-bit key hashes, not key values: 16 bytes/key,
   * with the repo's documented conservative collision direction (a new
@@ -68,18 +80,18 @@ object IncrementalKeyedDedup {
       Seq(idCol), "left_anti")
   }
 
-  /** Store hashes colliding with the batch's key set — ONE unshuffled
-    * store scan, batch keys broadcast. Exposed for plan-shape tests.
+  /** Store rows (key_hash, owner id) colliding with the batch's key set
+    * — ONE unshuffled store scan, batch keys broadcast. Exposed for
+    * plan-shape tests.
     */
   private[graft] def collisionsOf(
       store: DataFrame,
       batchKeys: DataFrame): DataFrame =
     store.join(broadcast(batchKeys), Seq("key_hash"), "left_semi")
-      .select("key_hash")
 
   /** Ingest one batch: returns the SURVIVING rows (all columns — new
-    * key or first-in-batch, plus every null-key row) and registers the
-    * surviving keys durably.
+    * key, first-in-batch, already-owned-by-this-row (replay), plus
+    * every null-key row) and registers the NEW keys durably.
     */
   def ingest(
       spark: SparkSession,
@@ -95,18 +107,32 @@ object IncrementalKeyedDedup {
     val batchFirst = keyed
       .groupBy(col("_kh").as("key_hash"))
       .agg(min(col(idCol)).as(idCol))
-    val winners =
-      if (!exists(spark, keysPath)) batchFirst
+    // owner-aware collision resolution: _owner null -> key is new
+    // (survives + registers); _owner == id -> this row's own earlier
+    // registration (replay: survives, already registered); _owner != id
+    // -> someone else owns the key (drops). The min() collapse makes the
+    // owner deterministic even if a store pathology ever duplicated a
+    // key row.
+    val withOwner =
+      if (!exists(spark, keysPath))
+        batchFirst.withColumn("_owner",
+          lit(null).cast(batchFirst.schema(idCol).dataType))
       else {
-        val collisions = collisionsOf(liveStore(spark, storePath, idCol),
-          batchFirst.select("key_hash").distinct())
-        batchFirst.join(broadcast(collisions), Seq("key_hash"), "left_anti")
+        val owners = collisionsOf(liveStore(spark, storePath, idCol),
+            batchFirst.select("key_hash").distinct())
+          .groupBy("key_hash").agg(min(col(idCol)).as("_owner"))
+        batchFirst.join(broadcast(owners), Seq("key_hash"), "left_outer")
       }
-    val mat = winners.localCheckpoint(true)
-    mat.write.mode("append").parquet(keysPath)
+    val mat = withOwner
+      .filter(col("_owner").isNull || col("_owner") === col(idCol))
+      .localCheckpoint(true)
+    // register only keys NEW to the store — an already-mine row is its
+    // own registration, and re-appending it would duplicate the key
+    mat.filter(col("_owner").isNull).select("key_hash", idCol)
+      .write.mode("append").parquet(keysPath)
     // survivors join on (key, id) — id alone would resurrect a row
     // whose OTHER key lost when the same id carries several keys
-    keyed.join(mat.withColumnRenamed("key_hash", "_kh"),
+    keyed.join(mat.select(col("key_hash").as("_kh"), col(idCol)),
         Seq("_kh", idCol), "left_semi")
       .unionByName(keyless)
       .drop("_kh", "_kn")

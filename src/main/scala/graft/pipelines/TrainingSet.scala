@@ -35,10 +35,14 @@ import graft.sinks.TxTable
   *    the training table are never exposed to a half-ingested batch.
   *    A batch whose rows ALL gate or dedup away still enters the ledger
   *    (TxTable.recordDelta) — its store side effects must not replay.
-  *  - Packs are per-batch (pack key = (batch deltaId, pack_id)): packing
-  *    is an order-dependent global fold, so cross-batch repacking would
-  *    rewrite history — instead each batch packs its own survivors,
-  *    the same append-only discipline as the sequence data itself.
+  *  - Packs are per-batch: packing is an order-dependent global fold,
+  *    so cross-batch repacking would rewrite history — instead each
+  *    batch packs its own survivors, the same append-only discipline as
+  *    the sequence data itself. The pack key is (batch_id, pack_id)
+  *    without splits and (batch_id, split, pack_id) WITH splits —
+  *    packing runs per split, so pack_id restarts at 0 in each split
+  *    and a consumer keying on (batch_id, pack_id) alone would merge a
+  *    train pack with a val/test pack.
   *
   * Drop rules: a new doc is dropped if it fails a gate, shares an
   * n-gram with the benchmark, duplicates content inside the batch

@@ -49,24 +49,33 @@ object EventIngest {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val confNanos =
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true"
+    // the conf-guessed fallback applies ONLY to a provably missing/empty
+    // landing directory (checked explicitly, not inferred from a reader
+    // failure): a corrupt footer, permission error, or transient FS
+    // fault must PROPAGATE — swallowing it would silently start the
+    // stream with the wrong generation's schema and mask the real error
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val fileSchema =
-      try spark.read.parquet(dir).schema
-      catch {
-        case e: Exception
-            if e.getMessage != null &&
-              (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
-                e.getMessage.contains("Illegal Parquet type")) =>
-          // fail with the actionable message, not the raw reader error
-          throw new IllegalArgumentException(
-            "events.parquet carries INT64(NANOS) timestamps: set " +
-              "spark.sql.legacy.parquet.nanosAsLong=true at session " +
-              "construction (see graft.Tables.events) — not mutated here " +
-              "as a side effect", e)
-        case _: Exception =>
-          // empty landing directory: no footer to probe yet — fall back
-          // to the generation the session is configured for
-          rawSchema(confNanos)
-      }
+      if (!hasData) rawSchema(confNanos)
+      else
+        try spark.read.parquet(dir).schema
+        catch {
+          case e: Exception
+              if e.getMessage != null &&
+                (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+                  e.getMessage.contains("Illegal Parquet type")) =>
+            // fail with the actionable message, not the raw reader error
+            throw new IllegalArgumentException(
+              "events.parquet carries INT64(NANOS) timestamps: set " +
+                "spark.sql.legacy.parquet.nanosAsLong=true at session " +
+                "construction (see graft.Tables.events) — not mutated here " +
+                "as a side effect", e)
+        }
     val nanosAsLong = fileSchema("ts").dataType == LongType
     if (nanosAsLong) require(confNanos,
       "events.parquet carries INT64(NANOS) timestamps: set " +

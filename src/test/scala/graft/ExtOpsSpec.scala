@@ -455,6 +455,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(clean == Set(2L, 3L), s"clean $clean")
   }
 
+  test("decontaminate by embedding: NaN vectors can neither contaminate nor be flagged") {
+    // NaN > 0 is TRUE under Spark's NaN-highest ordering, so a zero-only
+    // norm guard passes a NaN-component vector through and its NaN
+    // cosine >= threshold then flags EVERY training row — one failed
+    // embed call in the benchmark would silently empty the corpus
+    val bench = Seq(
+      Tuple1(Array(Float.NaN, 0f, 0f, 0f)), // failed embed call
+      Tuple1(Array(1f, 0f, 0f, 0f))).toDF("vec")
+    val train = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)),      // close to the real bench row
+      (2L, Array(0f, 1f, 0f, 0f)),         // orthogonal — must survive
+      (3L, Array(0f, Float.NaN, 0f, 0f))   // NaN train row — must survive
+    ).toDF("vec_id", "vec")
+    val flagged = graft.ext.Decontaminate
+      .contaminatedIdsByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L), s"flagged $flagged")
+    val clean = graft.ext.Decontaminate
+      .removeContaminatedByEmbedding(train, bench, "vec_id", "vec", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L), s"clean $clean")
+  }
+
   test("decontaminate by embedding: semi-join broadcast, corpus unshuffled") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val bench = emb.filter(col("vec_id") % 50 === 0).select("embedding")

@@ -27,13 +27,18 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
     assert(IncrementalKeyedDedup.storedKeys(spark, store) === 37)
   }
 
-  test("replay is a no-op on the store; survivors re-emitted rows empty") {
+  test("replay is a no-op on the store and RETURNS THE SAME SURVIVORS") {
     val store = tmpDir("inckey2") + "/store"
     val b = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "k")
     val first = ids(IncrementalKeyedDedup.ingest(spark, b, "doc_id", col("k"), store))
     assert(first === Set(1L, 3L))
+    // crash-replay shape: a rerun of the same batch (store already has
+    // its keys, the caller's downstream commit never happened) must
+    // re-emit the same survivors — the owner-aware check recognizes the
+    // batch's own registrations — without duplicating store keys
     val again = ids(IncrementalKeyedDedup.ingest(spark, b, "doc_id", col("k"), store))
-    assert(again.isEmpty)
+    assert(again === Set(1L, 3L),
+      s"replay must return the same survivors, not drop the batch: $again")
     assert(IncrementalKeyedDedup.storedKeys(spark, store) === 2)
   }
 
@@ -114,10 +119,11 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
     val (before, after) = IncrementalKeyedDedup.compactStore(spark, store)
     assert(after < before, s"compaction did not shrink: $before -> $after")
     assert(IncrementalKeyedDedup.storedKeys(spark, store) === n0)
-    // a replayed earlier batch still collides with the compacted store
-    val again = ids(IncrementalKeyedDedup.ingest(spark,
-      Seq((0L, "k0")).toDF("doc_id", "k"), "doc_id", col("k"), store))
-    assert(again.isEmpty)
+    // the compacted store still resolves owner-aware: a replayed row
+    // survives as its own registration, a NEW id on a stored key drops
+    val again = IncrementalKeyedDedup.ingest(spark,
+      Seq((0L, "k0"), (99L, "k1")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+    assert(ids(again) === Set(0L), "replayed row survives, usurper drops")
   }
 
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {

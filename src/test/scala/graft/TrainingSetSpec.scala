@@ -150,6 +150,33 @@ class TrainingSetSpec extends SparkSpec {
     assert(kept === Set(31L, 33L), s"re-crawl 32 must not commit: $kept")
   }
 
+  test("crash replay with a URL store: the rerun still commits the batch") {
+    val work = tmpDir("trainurlcrash")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val urlStore = s"$work/urls"
+    val b = Seq(
+      (41L, good(41L, "alpha")._2, "http://site.com/a"),
+      (42L, good(42L, "beta")._2, "http://site.com/b")
+    ).toDF("doc_id", "text", "url")
+    // simulate the crash window the advisor flagged: stage 1e registered
+    // the batch's URL keys in the durable store, then the run died before
+    // the stage-7 TxTable commit — so the ledger has no trace of b1 but
+    // the store already owns every key
+    graft.ext.IncrementalKeyedDedup.ingest(spark, b, "doc_id",
+      graft.ext.Urls.canonicalize(col("url")), urlStore)
+    // the rerun must treat the batch's own registrations as "already
+    // mine" and carry the rows through to the commit, not anti-join the
+    // whole batch away as cross-batch duplicates of itself
+    val r = TrainingSet.ingest(spark, b, benchmark, store, target, "b1",
+      urlCol = Some("url"), urlStorePath = Some(urlStore))
+    assert(!r.alreadyApplied)
+    assert(r.afterUrlDedup == 2, s"rerun lost the batch at the URL stage: $r")
+    val kept = TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(41L, 42L), s"crash replay lost rows: $kept")
+  }
+
   test("substring gate: a cross-batch verbatim span is dropped by exactly that stage") {
     val work = tmpDir("trainsub")
     val store = s"$work/store"
