@@ -153,7 +153,7 @@ object IncrementalDedup {
       if (!storeExists)
         Dedup.verifyJaccard(inBatch.distinct(), hashed, hashed, p.threshold)
       else {
-        val hot = probeHot(spark, bandsPath, newBands)
+        val hot = probeHotOf(liveBands(spark, storePath), newBands)
           .localCheckpoint(false)
         // degenerate-bucket cap on the STORE side of the collision
         val hotOk = hot.join(
@@ -216,11 +216,42 @@ object IncrementalDedup {
     * makes ingest O(batch + collisions) instead of O(corpus), so its
     * plan shape is asserted directly (IncrementalDedupSpec).
     */
+  private[graft] def probeHotOf(
+      store: DataFrame, newBands: DataFrame): DataFrame =
+    store.join(broadcast(newBands.select("band", "bucket").distinct()),
+      Seq("band", "bucket"), "left_semi")
+
   private[graft] def probeHot(
       spark: SparkSession, bandsPath: String, newBands: DataFrame): DataFrame =
-    spark.read.parquet(bandsPath)
-      .join(broadcast(newBands.select("band", "bucket").distinct()),
-        Seq("band", "bucket"), "left_semi")
+    probeHotOf(spark.read.parquet(bandsPath), newBands)
+
+  /** The live probe surface: registered band rows minus any whose OWNER
+    * was forgotten (takedown tombstones, see [[forget]]); the tombstone
+    * set is takedown-sized, so it broadcasts into an anti-join along
+    * the same single store scan. Candidates derive from this view, so a
+    * forgotten doc can neither block a new copy nor appear in a pair
+    * (and its shingle sets — pruned by candidate id — are never read).
+    */
+  private def liveBands(spark: SparkSession, storePath: String): DataFrame = {
+    val bands = spark.read.parquet(s"$storePath/bands")
+    val fPath = s"$storePath/forgotten"
+    if (!StoreTombstones.hasData(spark, fPath)) bands
+    else bands.join(broadcast(spark.read.parquet(fPath)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Takedown support: forget every signature OWNED by these ids —
+    * appends a tombstone set the probes anti-join (no store rewrite;
+    * `compactStore` later erases the rows physically). Fresh copies of
+    * forgotten content are admitted again under a NEW owner id — the
+    * right-to-erasure semantics for dedup state. Re-using the forgotten
+    * id itself stays shadowed until a compaction folds the tombstones
+    * (the idempotent registration sees the masked rows). `ids` must
+    * carry a `doc_id` column, the store tables' id column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$storePath/forgotten")
 
   /** Stored doc count (distinct registered documents). */
   def storedDocs(spark: SparkSession, storePath: String): Long =
@@ -230,17 +261,17 @@ object IncrementalDedup {
   /** Compact both store tables: every ingest appends a small file set,
     * so a long-lived store accumulates exactly the small-file problem
     * `Maintenance.compact` exists for — and the probe scan's cost is
-    * file-count-sensitive (one store scan per ingest). Run between
-    * ingests (compact shares the sink family's single-writer contract).
+    * file-count-sensitive (one store scan per ingest). The rewrite also
+    * FOLDS the takedown tombstones — forgotten owners' band rows and
+    * shingle sets are physically erased and `forgotten/` cleared (see
+    * [[StoreTombstones]] for the crash ordering). Run between ingests
+    * (compact shares the sink family's single-writer contract).
     * Returns (filesBefore, filesAfter) summed over both tables.
     */
   def compactStore(
       spark: SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    Seq(s"$storePath/bands", s"$storePath/shingles")
-      .filter(exists(spark, _))
-      .map(graft.sinks.Maintenance.compact(spark, _, targetFileBytes))
-      .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
-  }
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/bands", s"$storePath/shingles"), targetFileBytes)
 }

@@ -156,7 +156,7 @@ object IncrementalEmbedDedup {
        else {
          // ONE store scan, batch chunk keys broadcast — the store side
          // never shuffles (the IncrementalDedup.probeHot shape)
-         val hot = spark.read.parquet(sigsPath)
+         val hot = liveSigs(spark, storePath)
            .join(broadcast(chunks.select("chunk", "cval").distinct()),
              Seq("chunk", "cval"), "left_semi")
            .localCheckpoint(false)
@@ -251,4 +251,59 @@ object IncrementalEmbedDedup {
     }
     out
   }
+
+  /** The live probe surface: registered signature chunks minus any
+    * whose OWNER was forgotten (takedown tombstones, see [[forget]]) —
+    * the tombstone set broadcasts into an anti-join along the same
+    * single store scan. Candidates derive from this view, so a
+    * forgotten doc can neither block a new copy nor appear in a pair,
+    * and its stored vector (or PQ codes) — read semi-join-pruned to
+    * candidate ids — is never touched by a verify.
+    */
+  private def liveSigs(spark: SparkSession, storePath: String): DataFrame = {
+    val sigs = spark.read.parquet(s"$storePath/sigs")
+    val fPath = s"$storePath/forgotten"
+    if (!StoreTombstones.hasData(spark, fPath)) sigs
+    else sigs.join(broadcast(spark.read.parquet(fPath)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Takedown support: forget every signature AND the stored raw vector
+    * / PQ codes OWNED by these ids. This store is the one where forget
+    * matters most — it retains the embedding itself, not just a hash,
+    * so a takedown that left it behind would be a genuine
+    * right-to-be-forgotten hazard. The append is O(takedown): probes
+    * anti-join the tombstones immediately, and `compactStore` erases
+    * the vectors/codes physically. Fresh copies of forgotten content
+    * are admitted again under a NEW owner id; re-using the forgotten id
+    * itself stays shadowed until a compaction folds the tombstones.
+    * `ids` must carry a `doc_id` column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$storePath/forgotten")
+
+  /** Stored doc count (distinct registered documents). */
+  def storedDocs(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/sigs")) 0L
+    else spark.read.parquet(s"$storePath/sigs")
+      .select("doc_id").distinct().count()
+
+  /** Compact the store tables — per-ingest file sets accumulate at the
+    * same daily cadence as the sibling stores — AND fold the takedown
+    * tombstones: forgotten owners' signature chunks and their RAW
+    * VECTORS (or PQ codes) are physically erased and `forgotten/`
+    * cleared (see [[StoreTombstones]] for the crash ordering). Both
+    * backing modes are covered — whichever of `vecs`/`codes` exists is
+    * rewritten; the persisted codebooks carry no per-document data and
+    * stay. Single-writer contract; returns (filesBefore, filesAfter)
+    * summed over the rewritten tables.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/sigs", s"$storePath/vecs", s"$storePath/codes"),
+      targetFileBytes)
 }

@@ -154,13 +154,19 @@ object IncrementalKeyedDedup {
 
   /** Compact the store's accumulated per-ingest file sets (one set per
     * batch — thousands of small files at daily cadence; every probe's
-    * store scan pays per-file costs). Returns (files before, after).
+    * store scan pays per-file costs) AND fold the takedown tombstones:
+    * the rewrite drops every key row whose owner is in `forgotten/`,
+    * then clears the tombstone set — physically erasing what [[forget]]
+    * only masked, and re-bounding `liveStore`'s broadcast anti-join
+    * (which otherwise grows with every takedown forever). The tombstone
+    * dir is cleared LAST: a crash after the keys rewrite but before the
+    * clear just anti-joins already-absent owners — probes stay correct
+    * through every window. Returns (files before, after).
     */
   def compactStore(
       spark: SparkSession,
       storePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    if (!exists(spark, s"$storePath/keys")) (0, 0)
-    else graft.sinks.Maintenance.compact(spark, s"$storePath/keys",
-      targetFileBytes)
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/keys"), targetFileBytes)
 }

@@ -167,14 +167,18 @@ object IncrementalLineDedup {
   /** Compact the store's accumulated per-ingest file sets (daily
     * cadence writes one set per batch — thousands of small files in a
     * year, and every probe's store scan pays the file-listing and
-    * per-file open cost). Returns (files before, files after). Safe
-    * between ingests; same maintenance contract as the sibling stores.
+    * per-file open cost) AND fold the takedown tombstones: the rewrite
+    * drops every line row owned by a forgotten id, then clears
+    * `forgotten/` — physically erasing what [[forget]] only masked and
+    * re-bounding `liveStore`'s broadcast anti-join (see
+    * [[StoreTombstones]] for the crash ordering). Returns (files
+    * before, files after). Safe between ingests; same maintenance
+    * contract as the sibling stores.
     */
   def compactStore(
       spark: SparkSession,
       storePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    if (!exists(spark, s"$storePath/lines")) (0, 0)
-    else graft.sinks.Maintenance.compact(spark, s"$storePath/lines",
-      targetFileBytes)
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/lines"), targetFileBytes)
 }

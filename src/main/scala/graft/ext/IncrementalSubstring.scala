@@ -86,7 +86,7 @@ object IncrementalSubstring {
        else {
          // ONE store scan, batch fingerprint keys broadcast — the store
          // side never shuffles (the IncrementalDedup.probeHot shape)
-         val hot = spark.read.parquet(fpsPath)
+         val hot = liveFps(spark, storePath)
            .join(broadcast(fps.select("fp").distinct()), Seq("fp"), "left_semi")
            .localCheckpoint(false)
          val hotOk = hot.join(
@@ -136,4 +136,50 @@ object IncrementalSubstring {
     }
     out
   }
+
+  /** The live probe surface: registered fingerprints minus any whose
+    * OWNER was forgotten (takedown tombstones, see [[forget]]) — the
+    * tombstone set broadcasts into an anti-join along the same single
+    * store scan. Candidates derive from this view, so a forgotten doc
+    * can neither block a new copy nor appear in a pair (its gram sets —
+    * pruned by candidate id — are never read).
+    */
+  private def liveFps(spark: SparkSession, storePath: String): DataFrame = {
+    val fps = spark.read.parquet(s"$storePath/fps")
+    val fPath = s"$storePath/forgotten"
+    if (!StoreTombstones.hasData(spark, fPath)) fps
+    else fps.join(broadcast(spark.read.parquet(fPath)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Takedown support: forget every fingerprint and gram set OWNED by
+    * these ids — appends a tombstone set the probes anti-join (no store
+    * rewrite; `compactStore` later erases the rows physically). Fresh
+    * copies of forgotten content are admitted again under a NEW owner
+    * id; re-using the forgotten id itself stays shadowed until a
+    * compaction folds the tombstones (the idempotent registration sees
+    * the masked rows). `ids` must carry a `doc_id` column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$storePath/forgotten")
+
+  /** Stored doc count (distinct registered documents). */
+  def storedDocs(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/grams")) 0L
+    else spark.read.parquet(s"$storePath/grams").count()
+
+  /** Compact both store tables — per-ingest file sets accumulate at the
+    * same daily cadence as the sibling stores — AND fold the takedown
+    * tombstones: forgotten owners' fingerprints and gram sets are
+    * physically erased and `forgotten/` cleared (see [[StoreTombstones]]
+    * for the crash ordering). Single-writer contract; returns
+    * (filesBefore, filesAfter) summed over both tables.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/fps", s"$storePath/grams"), targetFileBytes)
 }

@@ -67,16 +67,25 @@ object Multimodal {
     checksum
   }
 
-  /** REAL container parsing for the two formats whose headers need no
-    * compression libraries — PNG (image geometry from the IHDR chunk)
-    * and WAV/PCM (audio geometry from the fmt chunk plus a real RMS
-    * amplitude over the PCM samples). Formats are sniffed from magic
-    * bytes, not trusted from the metadata column; unrecognized payloads
-    * fall back to StubCodec's byte statistics, so the operator is total.
+  /** REAL container AND pixel parsing for the formats that need no
+    * external codec — PNG (geometry from the IHDR chunk, and for the
+    * common non-interlaced 8-bit color types a FULL pixel decode: IDAT
+    * is zlib, so `java.util.zip.Inflater` plus the five PNG scanline
+    * unfilters recover the raw pixels offline) and WAV/PCM (audio
+    * geometry from the fmt chunk plus a real RMS amplitude over the PCM
+    * samples). Formats are sniffed from magic bytes, not trusted from
+    * the metadata column; unrecognized payloads fall back to StubCodec's
+    * byte statistics, so the operator is total. JPEG/MP3 remain the
+    * documented boundary — their entropy coders genuinely need codec
+    * libraries this environment lacks.
     *
-    * Feature layout (fixed width 4, same shape as the stub so the
-    * downstream schema is codec-independent):
-    *   PNG: [width, height, bitDepth, colorType]
+    * Feature layout (array<float>, so width may vary by what decoded;
+    * the downstream schema is codec-independent):
+    *   PNG header-only: [width, height, bitDepth, colorType]
+    *   PNG with pixels: [width, height, bitDepth, colorType,
+    *                     meanR, meanG, meanB, luminance]  (means 0..1;
+    *                     gray replicates into R=G=B; luminance is the
+    *                     BT.601 weighting 0.299R + 0.587G + 0.114B)
     *   WAV: [channels, sampleRate, durationSec, rms]
     */
   object ContainerCodec extends MediaCodec {
@@ -104,6 +113,12 @@ object Multimodal {
       * len(4) "IHDR" width(4) height(4) bitDepth(1) colorType(1) ... crc(4).
       * The CRC32 over "IHDR"+payload is VERIFIED — a corrupt header
       * falls back to byte-stats rather than emitting garbage geometry.
+      * When the image is non-interlaced 8-bit gray/RGB/GA/RGBA with
+      * CRC-valid IDAT data, the pixels are decoded for real and
+      * per-channel means append to the feature (see the layout above);
+      * palette (PLTE), 16-bit, sub-byte and Adam7 images stay
+      * geometry-only — valid PNGs, just not worth the decoder surface
+      * for a feature-extraction stat.
       */
     private def decodePng(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
@@ -115,8 +130,130 @@ object Multimodal {
       val height = u32be(b, 20)
       val bitDepth = b(24) & 0xff
       val colorType = b(25) & 0xff
+      val geometry =
+        Array(width.toFloat, height.toFloat, bitDepth.toFloat, colorType.toFloat)
+      val feature = pixelStats(b, width.toInt, height.toInt, bitDepth,
+          colorType)
+        .map(geometry ++ _).getOrElse(geometry)
       Some(MediaFeatures(r.doc_id, b.length, "image/png", byteChecksum(b),
-        Array(width.toFloat, height.toFloat, bitDepth.toFloat, colorType.toFloat)))
+        feature))
+    }
+
+    /** Channels per PNG color type for the 8-bit pixel path. */
+    private def channelsOf(colorType: Int): Int = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => 0 // palette (3) and invalid types: no pixel path
+    }
+
+    /** Defense against decompression bombs: a 4-float stat never
+      * justifies inflating more than this per image (a ~5 KB zlib
+      * stream can legally inflate to gigabytes).
+      */
+    private val MaxInflatedBytes = 1L << 26 // 64 MiB
+
+    /** [meanR, meanG, meanB, luminance] over the real decoded pixels,
+      * or None when this PNG is outside the 8-bit non-interlaced
+      * gray/RGB/GA/RGBA path (or any chunk/zlib/size validation fails —
+      * conservative: bad data degrades to geometry-only, never garbage
+      * stats).
+      */
+    private def pixelStats(
+        b: Array[Byte], width: Int, height: Int,
+        bitDepth: Int, colorType: Int): Option[Array[Float]] = {
+      val channels = channelsOf(colorType)
+      if (bitDepth != 8 || channels == 0 || width <= 0 || height <= 0)
+        return None
+      val compression = b(26) & 0xff
+      val filterMethod = b(27) & 0xff
+      val interlace = b(28) & 0xff
+      if (compression != 0 || filterMethod != 0 || interlace != 0) return None
+      val rowBytes = 1L + width.toLong * channels
+      val total = rowBytes * height
+      if (total > MaxInflatedBytes) return None
+
+      // walk the chunks after IHDR, concatenating CRC-valid IDAT data
+      // (one zlib stream may span many IDAT chunks)
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8 + 4 + 4 + 13 + 4
+      var done = false
+      while (!done && off + 8 <= b.length) {
+        val sz = u32be(b, off).toInt
+        if (sz < 0 || off + 12 + sz > b.length) return None
+        val id = tag(b, off + 4)
+        if (id == "IDAT") {
+          val crc = new java.util.zip.CRC32
+          crc.update(b, off + 4, 4 + sz)
+          if (crc.getValue != u32be(b, off + 8 + sz)) return None
+          idat.write(b, off + 8, sz)
+        } else if (id == "IEND") done = true
+        off += 12 + sz
+      }
+      if (idat.size == 0) return None
+
+      // inflate to EXACTLY height * (1 + width*channels) filtered bytes
+      val raw = new Array[Byte](total.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          got += n
+        }
+        if (got != raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+
+      // undo the per-scanline filter (types 0-4: None, Sub, Up, Average,
+      // Paeth), 8-bit so bytes-per-pixel == channels; accumulate channel
+      // sums in the same pass
+      val bpp = channels
+      val stride = width * channels
+      val prev = new Array[Int](stride) // unfiltered previous row
+      val cur = new Array[Int](stride)
+      val sums = new Array[Long](channels)
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (stride + 1)
+        val fType = raw(rowOff) & 0xff
+        if (fType > 4) return None
+        var x = 0
+        while (x < stride) {
+          val v = raw(rowOff + 1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) else 0   // left
+          val u = prev(x)                              // up
+          val c = if (x >= bpp) prev(x - bpp) else 0   // upper-left
+          val recon = fType match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + u
+            case 3 => v + ((a + u) >> 1)
+            case 4 =>
+              val p = a + u - c
+              val pa = math.abs(p - a); val pb = math.abs(p - u)
+              val pc = math.abs(p - c)
+              v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          }
+          cur(x) = recon & 0xff
+          sums(x % channels) += cur(x)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      val n = width.toLong * height
+      def mean(ch: Int): Float = (sums(ch).toDouble / n / 255.0).toFloat
+      val (r, g, bl) = colorType match {
+        case 2 | 6 => (mean(0), mean(1), mean(2)) // RGB / RGBA
+        case _     => (mean(0), mean(0), mean(0)) // gray / gray+alpha
+      }
+      val luminance = 0.299f * r + 0.587f * g + 0.114f * bl
+      Some(Array(r, g, bl, luminance))
     }
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,

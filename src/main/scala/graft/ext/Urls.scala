@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   *      https); non-default ports kept
   *   5. path kept case-sensitive (paths are case-significant by RFC);
   *      trailing `/`s dropped
-  *   6. query params split on `&`, tracking params removed
-  *      (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`), the rest SORTED
-  *      and rejoined — param order never distinguishes pages; an
-  *      emptied query drops its `?`
+  *   6. query params split on `&`, tracking params removed (default
+  *      list `utm_*`, `gclid`, `fbclid`, `msclkid` — parameterizable),
+  *      the rest SORTED and rejoined — param order never distinguishes
+  *      pages; an emptied query drops its `?`
   *   7. userinfo (`user@host`) is dropped — the canonical key is the
   *      PAGE identity, and credentials in a URL never change which page
   *      is fetched
@@ -33,14 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+  /** Default tracking params to strip: name patterns (regex fragments)
+    * matched against the full `name` or `name=value` token.
+    *
+    * Every entry here trades an over-merge for a dedup hit, so the list
+    * holds only params that NEVER select different page content:
+    * `utm_*`/`gclid`/`fbclid`/`msclkid` are pure attribution tags by
+    * their published contracts. Bare `ref` is deliberately NOT listed —
+    * on real sites it is load-bearing (`?ref=<branch>` selects different
+    * page content on code-hosting sites), and because the dedup is by
+    * KEY, canonicalizing two different pages together silently DELETES
+    * one of them with no text-stage backstop. Callers who know their
+    * crawl's `ref` is attribution-only can pass a wider list.
+    */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[^=]*", "gclid", "fbclid", "msclkid")
+
+  private def trackingRegex(params: Seq[String]): String =
+    params.mkString("^(", "|", ")(=.*)?$")
 
   /** Canonicalize a URL column per the spec above. Rows that are not
     * parseable URLs (no `scheme://host`) canonicalize to NULL — callers
     * filter or quarantine them explicitly rather than silently keeping
     * unparseable keys.
+    *
+    * @param trackingParams name patterns of query params to strip (see
+    *        [[DefaultTrackingParams]] for the default and the over-merge
+    *        direction an entry buys into)
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(
+      url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
     val u = trim(url)
     val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
     val host0 = lower(try_parse_url(u, lit("HOST")))
@@ -57,7 +80,7 @@ object Urls {
       "/+$", "")
     val query0 = coalesce(try_parse_url(u, lit("QUERY")), lit(""))
     val kept = filter(split(query0, "&"),
-      p => !(p.rlike(TrackingParam)) && p =!= "")
+      p => !(p.rlike(trackingRegex(trackingParams))) && p =!= "")
     val query = when(size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(kept), "&")))
     when(scheme.isNull or host0.isNull, lit(null).cast("string"))
@@ -68,8 +91,13 @@ object Urls {
     * key, the smallest `idCol` wins. Output: (url_canon, first id, the
     * duplicate count) — callers semi-join `first` back for full rows.
     */
-  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(canonicalize(col(urlCol)).as("url_canon"), col(idCol))
+  def dedupByUrl(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame =
+    df.select(canonicalize(col(urlCol), trackingParams).as("url_canon"),
+        col(idCol))
       .filter(col("url_canon").isNotNull)
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as("first_" + idCol),

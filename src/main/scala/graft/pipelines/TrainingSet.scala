@@ -292,6 +292,54 @@ object TrainingSet {
       afterEmbedDecontaminate = afterEmbedDecontaminate)
   }
 
+  /** TAKEDOWN: remove documents from the training table AND from every
+    * durable store an `ingest` of this pipeline may have registered
+    * them in — the composition a right-to-erasure request actually
+    * needs. `TxTable.deleteWhere` alone cleans the TABLE but leaves the
+    * near-dup signature store, the substring fingerprint store, and the
+    * URL key store holding the forgotten doc's artifacts forever (still
+    * blocking fresh copies, and in other store families retaining
+    * content-derived data).
+    *
+    * Composes, per store that exists on disk:
+    *  - `TxTable.deleteWhere` on the id (stats-pruned: only generations
+    *    whose recorded id range can contain it are rewritten — O(ids ×
+    *    matching generations), not O(table));
+    *  - `IncrementalDedup.forget` / `IncrementalSubstring.forget` /
+    *    `IncrementalKeyedDedup.forget` tombstones (O(takedown) appends;
+    *    each store's `compactStore` later erases the rows physically).
+    *
+    * After a takedown, fresh copies of the forgotten content are
+    * admitted again under new ids — dedup state must not remember
+    * erased content. Returns the number of table rows deleted.
+    */
+  def takedown(
+      spark: SparkSession,
+      targetPath: String,
+      storePath: String,
+      ids: Seq[Long],
+      idCol: String = "doc_id",
+      urlStorePath: Option[String] = None): Long = {
+    import spark.implicits._
+    if (ids.isEmpty) return 0L
+    val deleted = ids.map(id =>
+      TxTable.deleteWhere(spark, targetPath, idCol,
+        id.toDouble, id.toDouble)).sum
+    // the ext stores key by a literal doc_id column whatever the
+    // pipeline's idCol (their ingest normalizes); the keyed URL store
+    // keeps the caller's column name
+    val tomb = ids.toDF("doc_id")
+    def has(p: String) = graft.ext.StoreTombstones.hasData(spark, p)
+    if (has(s"$storePath/bands"))
+      IncrementalDedup.forget(spark, storePath, tomb)
+    if (has(s"$storePath/substr/fps"))
+      IncrementalSubstring.forget(spark, s"$storePath/substr", tomb)
+    urlStorePath.filter(p => has(s"$p/keys")).foreach { p =>
+      graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
+    }
+    deleted
+  }
+
   /** The shared duplicate-pair drop rule: a CROSS pair (one side not in
     * the batch, i.e. already stored) drops the batch side whatever the
     * id order — first-ingested-wins; an IN-BATCH pair drops the larger

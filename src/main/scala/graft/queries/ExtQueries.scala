@@ -879,6 +879,33 @@ object ExtQueries {
       out
     }),
 
+    // Takedown semantics (oracled DIFFERENTIAL): crawl 1 registers its
+    // canonical keys, every registered owner divisible by 5 is
+    // FORGOTTEN, then crawl 2 ingests — it must keep exactly the rows
+    // whose key is new OR owned by a forgotten id (re-admission), and
+    // drop the rest (still blocked). DuckDB restates the whole
+    // first-owner/tombstone algebra independently.
+    "ext_url_dedup_forget" -> ((s, dir) => {
+      val crawl = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), expr(UrlSynthSql).as("url"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_urlforget").toString + "/store"
+      def ing(b: org.apache.spark.sql.DataFrame) =
+        graft.ext.IncrementalKeyedDedup.ingest(s, b, "doc_id",
+          graft.ext.Urls.canonicalize(col("url")), store)
+      ing(crawl.filter(col("doc_id") < 250)).count() // registration pass
+      graft.ext.IncrementalKeyedDedup.forget(s, store,
+        crawl.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select("doc_id"))
+      val out = ing(crawl.filter(col("doc_id") >= 250))
+        .select(col("doc_id"),
+          graft.ext.Urls.canonicalize(col("url")).as("url_canon"))
+        .orderBy("doc_id").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- leakage-safe splitting (oracled) ---------------------------
     // Split assignment at SOURCE granularity (rows from one source never
     // straddle train/eval — the site-level leakage control). Weights
@@ -916,15 +943,30 @@ object ExtQueries {
   /** Documents re-lined for the line-dedup gates: aligned 4-token chunks
     * joined with \n (the corpus text has no newlines of its own). The
     * oracle derives the identical lines with a range(…, 4) comprehension.
+    * THREE gates (line dedup, boilerplate strip, incremental line dedup)
+    * consume the same derivation — and the boilerplate gate reads it
+    * twice (detection + removal) — so it is built once per (session,
+    * dir) and checkpointed, the same size-1 cache discipline as the
+    * ground-truth builds above.
     */
-  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    Tables.documents(s, dir).select(col("doc_id"),
-      array_join(
-        transform(sequence(lit(1), size(toks), lit(4)),
-          i => array_join(slice(toks, i, lit(4)), " ")),
-        "\n").as("text"))
-  }
+  @volatile private var linedCache:
+      Option[((SparkSession, String), DataFrame)] = None
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      linedCache match {
+        case Some((k, cached)) if k == ((s, dir)) => cached
+        case _ =>
+          val toks = split(trim(col("text")), "\\s+")
+          val lined = Tables.documents(s, dir).select(col("doc_id"),
+            array_join(
+              transform(sequence(lit(1), size(toks), lit(4)),
+                i => array_join(slice(toks, i, lit(4)), " ")),
+              "\n").as("text"))
+            .localCheckpoint(true)
+          linedCache = Some(((s, dir), lined))
+          lined
+      }
+    }
 
   /** Messy-URL synthesis for the URL gates, written once as dialect-
     * neutral SQL so BOTH engines evaluate the same expression text: the
@@ -959,7 +1001,7 @@ object ExtQueries {
       |  FROM u0),
       |k AS (SELECT *, [q for q in string_split(query0, '&')
       |  if q <> '' and not regexp_matches(q,
-      |    '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$')] AS kept
+      |    '^(utm_[^=]*|gclid|fbclid|msclkid)(=.*)?$$')] AS kept
       |  FROM p),
       |c AS (SELECT doc_id,
       |  scheme || '://' || regexp_replace(host0, '^www\\.', '') ||
@@ -1818,6 +1860,23 @@ object ExtQueries {
         |             WHERE doc_id < 500 GROUP BY url_canon) w
         |  ON c.url_canon = w.url_canon AND c.doc_id = w.m
         |WHERE c.doc_id < 500
+        |ORDER BY c.doc_id""").stripMargin,
+
+    // first-owner registration over crawl 1; owners % 5 == 0 forgotten;
+    // crawl 2 keeps its in-batch winners whose key is unowned or owned
+    // by a forgotten id — the independent restatement of the
+    // tombstone-masked keep-first store
+    "ext_url_dedup_forget" ->
+      (s"""$UrlCanonOracleCtes,
+        |own AS (SELECT url_canon, min(doc_id) AS owner FROM c
+        |        WHERE doc_id < 250 GROUP BY url_canon),
+        |blocked AS (SELECT url_canon FROM own WHERE owner % 5 <> 0),
+        |w AS (SELECT url_canon, min(doc_id) AS m FROM c
+        |      WHERE doc_id >= 250 AND doc_id < 500 GROUP BY url_canon)
+        |SELECT c.doc_id, c.url_canon
+        |FROM c JOIN w ON c.url_canon = w.url_canon AND c.doc_id = w.m
+        |WHERE c.doc_id >= 250 AND c.doc_id < 500
+        |  AND c.url_canon NOT IN (SELECT url_canon FROM blocked)
         |ORDER BY c.doc_id""").stripMargin,
 
     "ext_line_dedup_incr" ->

@@ -104,7 +104,21 @@ object Maintenance {
     * for a plain-parquet lake; this compact is the maintenance-window tool.
     */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compactWith(spark, path, targetFileBytes, identity)
+
+  /** `compact` that ALSO applies `transform` to the rows during the
+    * rewrite — the mechanism behind tombstone FOLDING in the durable
+    * dedup stores: compaction is the one moment the whole table is
+    * rewritten anyway, so subtracting forgotten owners there is free,
+    * and it physically removes the rows a takedown only masked (the
+    * right-to-erasure end state; until the fold, `forget` tombstones
+    * merely hide them from probes). Same swap/recover discipline and
+    * single-writer contract as `compact`.
+    */
+  def compactWith(spark: SparkSession, path: String,
+      targetFileBytes: Long,
+      transform: DataFrame => DataFrame): (Int, Int) = {
     require(targetFileBytes >= 1024 * 1024,
       s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
     recover(spark, path)
@@ -117,12 +131,13 @@ object Maintenance {
 
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val savedInfer = spark.conf.get(inferKey)
-    val base =
+    val base0 =
       if (partCols.isEmpty) spark.read.parquet(path)
       else try {
         spark.conf.set(inferKey, "false")
         spark.read.parquet(path)
       } finally spark.conf.set(inferKey, savedInfer)
+    val base = transform(base0)
 
     val df =
       if (partCols.nonEmpty) {

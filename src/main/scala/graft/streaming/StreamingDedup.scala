@@ -192,6 +192,73 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the incremental KEYED dedup
+    * (`IncrementalKeyedDedup`) — URL dedup is THE crawl-cadence
+    * operator, so the keyed store gets the same AvailableNow twin as
+    * every other durable store here. Each micro-batch's rows are
+    * deduped on `key` against the durable key store; the SURVIVORS
+    * (new key, first-in-batch, or the row's own earlier registration,
+    * plus every null-key row) append to a batchId-stamped log and the
+    * new keys register. Crash semantics: the keyed ingest's collision
+    * check is OWNER-AWARE, so a replayed micro-batch re-emits the SAME
+    * survivors (never an empty frame that loses the batch) — the log
+    * converges with duplicate rows the consumer-side distinct removes
+    * (`keyedSurvivors`). Exactly-once EFFECT via an idempotent
+    * consumer, same discipline as the rest of this file.
+    */
+  def ingestKeyedAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      key: org.apache.spark.sql.Column,
+      storePath: String,
+      survivorsPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalKeyedDedup.ingest(
+            batch.sparkSession, batch, idCol, key, storePath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(survivorsPath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** The accumulated keyed-survivors log with replay duplicates removed
+    * (identical rows can recur across batch ids after a crash-replay —
+    * the distinct is over the DATA columns, not batch_id). Empty
+    * DataFrame with the source schema when nothing has been emitted yet.
+    */
+  def keyedSurvivors(
+      spark: SparkSession,
+      survivorsPath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(survivorsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val log = spark.read.parquet(survivorsPath)
+      val dataCols = log.columns.filterNot(_ == "batch_id").toSeq
+      log.select(dataCols.map(org.apache.spark.sql.functions.col): _*)
+        .dropDuplicates(dataCols)
+    }
+  }
+
   /** The accumulated surviving-lines log, deduped on the line hash
     * (crash-replayed batches can duplicate log rows; the consumer-side
     * distinct restores exactly-once effect). Empty DataFrame with the

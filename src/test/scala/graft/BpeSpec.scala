@@ -27,6 +27,32 @@ class BpeSpec extends SparkSpec {
     assert(toks.nonEmpty && toks.mkString == "lowest" + Bpe.EndOfWord)
   }
 
+  test("bpe GOLDEN: frozen merge table and exact token arrays, hand-derived") {
+    // the full 10-merge sequence over the classic corpus, derived BY HAND
+    // from the (count desc, pair asc) rule — a drift in either the
+    // trainer's tie-breaking or the encoder's rank-apply order fails this
+    // exactly, which upgrades the rows-only ext_bpe_tokens entry with a
+    // golden equality gate on the algorithm itself
+    val golden = Vector(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),           // 9,9,9 by pair asc
+      ("l", "o"), ("lo", "w"),                            // 7,7
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"),  // 6-ties by pair asc
+      ("low", "</w>"),                                    // 5
+      ("d", "est</w>"))                                   // 3-tie: d < i < w
+    assert(Bpe.trainLocal(classic, 10) === golden)
+    val ranks = golden.zipWithIndex.toMap
+    val expect = Map(
+      "low" -> Vector("low</w>"),
+      "lower" -> Vector("low", "e", "r", "</w>"),
+      "newest" -> Vector("newest</w>"),
+      "widest" -> Vector("w", "i", "dest</w>"),
+      "lowest" -> Vector("low", "est</w>"),   // unseen: learned subwords
+      "wildest" -> Vector("w", "i", "l", "dest</w>"))
+    for ((w, toks) <- expect)
+      assert(Bpe.encodeWord(w, ranks) === toks,
+        s"$w -> ${Bpe.encodeWord(w, ranks)} (want $toks)")
+  }
+
   test("bpe: distributed histogram + token counts match driver encode") {
     val df = Seq(
       (1L, "low low lower"),

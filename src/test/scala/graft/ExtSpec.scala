@@ -140,6 +140,34 @@ class ExtSpec extends SparkSpec {
     assert(oneShot == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("incremental substring: forget stops blocking; fold erases the rows") {
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val store = tmpDir("incsub_forget") + "/store"
+    def ing(rows: Seq[(Long, String)]) =
+      graft.ext.IncrementalSubstring.ingest(spark, rows.toDF("doc_id", "text"),
+        "doc_id", "text", store, minLen = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ing(Seq((1L, s"$span plus unique trailing content for doc one"))).isEmpty)
+    graft.ext.IncrementalSubstring.forget(spark, store,
+      Seq(Tuple1(1L)).toDF("doc_id"))
+    // the forgotten owner's span no longer pairs; the fresh copy
+    // registers as the new owner and pairs against the NEXT copy
+    val p2 = ing(Seq((11L, s"other leading words then $span here")))
+    assert(p2.isEmpty, s"forgotten doc 1 still pairs: $p2")
+    val p3 = ing(Seq((21L, s"third carrier of $span with its own tail")))
+    assert(p3 === Set((11L, 21L)), s"new owner must pair: $p3")
+    // fold: fingerprints AND gram sets physically erased, tombstones gone
+    graft.ext.IncrementalSubstring.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/fps")
+      .filter(col("doc_id") === 1L).count() === 0, "fingerprints retained")
+    assert(spark.read.parquet(s"$store/grams")
+      .filter(col("doc_id") === 1L).count() === 0, "gram sets retained")
+    assert(!new java.io.File(s"$store/forgotten").exists(),
+      "forgotten/ not cleared by the fold")
+    val p4 = ing(Seq((31L, s"fourth carrier of $span after the fold")))
+    assert(p4 === Set((11L, 31L), (21L, 31L)), s"post-fold probe drifted: $p4")
+  }
+
   test("ngram jaccard: identity 1.0, disjoint 0.0, symmetric") {
     val df = Seq(("abcdef", "abcdef", "uvwxyz")).toDF("a", "b", "c")
     val r = df.select(
@@ -569,6 +597,129 @@ class ExtSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(9L, bad, "image/png", 0, 0)).toDF())
       .collect().head
     assert(fb.feature.forall(_ <= 1f), "corrupt PNG parsed as geometry")
+  }
+
+  test("multimodal: PNG pixel decode — real channel means through all five filters") {
+    import java.io.ByteArrayOutputStream
+
+    def be32(out: ByteArrayOutputStream, v: Long): Unit =
+      out.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+    def chunk(out: ByteArrayOutputStream, id: String, payload: Array[Byte]): Unit = {
+      be32(out, payload.length)
+      val body = id.getBytes("US-ASCII") ++ payload
+      out.write(body)
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      be32(out, crc.getValue)
+    }
+    // forward-filter one scanline (the encoder side of the five PNG
+    // filters) so the decoder's unfilter path is exercised for real
+    def filterRow(ft: Int, raw: Array[Int], prev: Array[Int], bpp: Int): Array[Byte] =
+      Array.tabulate(raw.length) { x =>
+        val a = if (x >= bpp) raw(x - bpp) else 0
+        val u = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) >> 1
+          case 4 =>
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+        }
+        ((raw(x) - pred) & 0xff).toByte
+      }
+    // full encoder: rows of w*channels ints in 0..255, one filter type
+    // per row; interlace/compression/filterMethod zero
+    def png(w: Int, h: Int, colorType: Int, rows: Seq[Array[Int]],
+        filters: Seq[Int]): Array[Byte] = {
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      }
+      require(rows.forall(_.length == w * channels) && rows.length == h)
+      val out = new ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val ihdr = new ByteArrayOutputStream()
+      be32(ihdr, w); be32(ihdr, h)
+      ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk(out, "IHDR", ihdr.toByteArray)
+      val rawStream = new ByteArrayOutputStream()
+      var prev = new Array[Int](w * channels)
+      rows.zip(filters).foreach { case (row, ft) =>
+        rawStream.write(ft)
+        rawStream.write(filterRow(ft, row, prev, channels))
+        prev = row
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(rawStream.toByteArray); deflater.finish()
+      val zipped = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished())
+        zipped.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      // split the one zlib stream over TWO IDAT chunks — decoders must
+      // concatenate before inflating
+      val z = zipped.toByteArray
+      val cut = z.length / 2
+      chunk(out, "IDAT", z.take(cut))
+      chunk(out, "IDAT", z.drop(cut))
+      chunk(out, "IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+    def featuresOf(bytes: Array[Byte]): Array[Float] = {
+      import spark.implicits._
+      Multimodal.extractFeatures(spark,
+        Seq(Multimodal.MediaRow(1L, bytes, "image/png", 0, 0)).toDF())
+        .collect().head.feature
+    }
+
+    // 2x2 RGB with known values: means are exact eighths of 255
+    val rgbRows = Seq(
+      Array(255, 0, 0, /**/ 0, 255, 0),
+      Array(0, 0, 255, /**/ 255, 255, 255))
+    val fRgb = featuresOf(png(2, 2, 2, rgbRows, Seq(0, 0)))
+    assert(fRgb.take(4).toSeq == Seq(2f, 2f, 8f, 2f), s"geometry ${fRgb.toSeq}")
+    assert(fRgb.length == 8, s"expected pixel stats appended: ${fRgb.toSeq}")
+    val expect = Seq(510f / 4 / 255, 510f / 4 / 255, 510f / 4 / 255)
+    fRgb.slice(4, 7).zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"channel mean $got != $want")
+    }
+    assert(math.abs(fRgb(7) - 0.5f) < 1e-6, s"luminance ${fRgb(7)}")
+
+    // grayscale: R=G=B=gray mean; luminance equals it
+    val fGray = featuresOf(png(3, 1, 0, Seq(Array(0, 51, 102)), Seq(0)))
+    assert(math.abs(fGray(4) - 51f / 255) < 1e-6, s"${fGray.toSeq}")
+    assert(fGray(4) == fGray(5) && fGray(5) == fGray(6) && fGray(7) == fGray(4))
+
+    // all five filters on an RGBA gradient: decoded means must equal the
+    // raw means whatever filter each row used
+    val w = 5; val rgbaRows = (0 until 5).map(y =>
+      Array.tabulate(w * 4)(i => (y * 40 + i * 7) % 256))
+    val fAll = featuresOf(png(w, 5, 6, rgbaRows, Seq(0, 1, 2, 3, 4)))
+    val flat = rgbaRows.flatten
+    def rawMean(ch: Int): Float =
+      (flat.zipWithIndex.collect { case (v, i) if i % 4 == ch => v }.sum
+        .toDouble / (w * 5) / 255.0).toFloat
+    (0 until 3).foreach { ch =>
+      assert(math.abs(fAll(4 + ch) - rawMean(ch)) < 1e-6,
+        s"filtered decode drifted on channel $ch: ${fAll.toSeq}")
+    }
+
+    // out-of-path PNGs degrade to geometry-only, never garbage stats
+    val interlaced = png(2, 2, 2, rgbRows, Seq(0, 0))
+    interlaced(28) = 1 // Adam7 flag — IHDR CRC now wrong -> stub path
+    val fBadCrc = featuresOf(interlaced)
+    assert(fBadCrc.length == 4 && fBadCrc.forall(_ <= 1f),
+      s"corrupt IHDR must fall back: ${fBadCrc.toSeq}")
+    // truncated IDAT: geometry survives, pixel stats do not
+    val whole = png(2, 2, 2, rgbRows, Seq(0, 0))
+    val truncated = whole.take(whole.length - 30) // cut into the IDAT
+    val fTrunc = featuresOf(truncated)
+    assert(fTrunc.toSeq == Seq(2f, 2f, 8f, 2f),
+      s"truncated IDAT must be geometry-only: ${fTrunc.toSeq}")
   }
 
   test("multimodal: frame sampling yields frames for every non-trivial doc") {

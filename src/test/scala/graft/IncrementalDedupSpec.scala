@@ -92,6 +92,53 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.storedDocs(spark, store) == docs.count() + 1)
   }
 
+  test("forget: a forgotten doc stops blocking and pairing; fresh copy re-registers") {
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textB = "totally different words in this document here with no overlap"
+    val store = tmpDir("incdedup_forget") + "/store"
+    IncrementalDedup.ingest(spark,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    IncrementalDedup.forget(spark, store, Seq(Tuple1(1L)).toDF("doc_id"))
+    // a fresh copy of the forgotten content: no pair against the
+    // forgotten owner (its signatures are dead), admitted as new
+    val p2 = pairsOf(IncrementalDedup.ingest(spark,
+      Seq((11L, textA)).toDF("doc_id", "text"), "doc_id", "text", store))
+    assert(p2.isEmpty, s"forgotten doc 1 still pairs/blocks: $p2")
+    // the fresh copy registered as the NEW owner — it blocks again
+    val p3 = pairsOf(IncrementalDedup.ingest(spark,
+      Seq((21L, textA)).toDF("doc_id", "text"), "doc_id", "text", store))
+    assert(p3 == Set((11L, 21L)), s"re-registered owner must pair: $p3")
+    // doc 2 was never forgotten: still blocks its content
+    val p4 = pairsOf(IncrementalDedup.ingest(spark,
+      Seq((31L, textB)).toDF("doc_id", "text"), "doc_id", "text", store))
+    assert(p4 == Set((2L, 31L)), s"unforgotten doc 2 must still pair: $p4")
+  }
+
+  test("compaction folds tombstones: rows physically erased, forgotten/ cleared") {
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val textB = "some other content entirely unrelated to the first document text"
+    val store = tmpDir("incdedup_fold") + "/store"
+    IncrementalDedup.ingest(spark,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    IncrementalDedup.forget(spark, store, Seq(Tuple1(1L)).toDF("doc_id"))
+    IncrementalDedup.compactStore(spark, store)
+    // physically erased from BOTH tables — the right-to-erasure end state
+    assert(spark.read.parquet(s"$store/shingles")
+      .filter(col("doc_id") === 1L).count() === 0, "shingle set retained")
+    assert(spark.read.parquet(s"$store/bands")
+      .filter(col("doc_id") === 1L).count() === 0, "band rows retained")
+    // tombstone set cleared — the probes' anti-join broadcast is bounded
+    assert(!new java.io.File(s"$store/forgotten").exists(),
+      "forgotten/ not cleared by the fold")
+    // probes behave identically to the pre-fold masked store
+    val p = pairsOf(IncrementalDedup.ingest(spark,
+      Seq((41L, textA), (42L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", store))
+    assert(p == Set((2L, 42L)), s"post-fold probe drifted: $p")
+  }
+
   test("hash-family marker: store pins its permutation scheme across sessions") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val docs = Seq(

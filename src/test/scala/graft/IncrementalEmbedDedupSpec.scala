@@ -102,6 +102,61 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
     }
   }
 
+  test("forget erases the doc from probes; compaction erases its RAW VECTOR") {
+    val store = tmpDir("incembed_forget") + "/store"
+    val vecs = universe
+    // base 7 and its planted twin 10007 — ingest the base, forget it,
+    // then its twin must arrive as a NEW doc (no pair, no block)
+    IncrementalEmbedDedup.ingest(spark,
+      vecs.filter(col("vec_id") < 10000), "vec_id", "v", store, P)
+    IncrementalEmbedDedup.forget(spark, store,
+      Seq(Tuple1(7L)).toDF("doc_id"))
+    val p2 = pairsOf(IncrementalEmbedDedup.ingest(spark,
+      vecs.filter(col("vec_id") === 10007L), "vec_id", "v", store, P))
+    assert(!p2.exists(p => p._1 == 7L || p._2 == 7L),
+      s"forgotten doc 7 still pairs: $p2")
+    // an UNforgotten base still pairs with its twin — forget is per-owner
+    val p3 = pairsOf(IncrementalEmbedDedup.ingest(spark,
+      vecs.filter(col("vec_id") === 10008L), "vec_id", "v", store, P))
+    assert(p3.contains((8L, 10008L)), s"unforgotten doc 8 must pair: $p3")
+    // the fold: doc 7's signatures AND its raw vector physically erased
+    // — the embedding store is the one where the vector itself is the
+    // right-to-be-forgotten hazard
+    IncrementalEmbedDedup.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/vecs")
+      .filter(col("doc_id") === 7L).count() === 0, "raw vector retained")
+    assert(spark.read.parquet(s"$store/sigs")
+      .filter(col("doc_id") === 7L).count() === 0, "signatures retained")
+    assert(!new java.io.File(s"$store/forgotten").exists(),
+      "forgotten/ not cleared by the fold")
+    // post-fold probe identical to the masked store: twin 10007 (ingested
+    // above, now the content's owner) still blocks a re-delivery
+    val p4 = pairsOf(IncrementalEmbedDedup.ingest(spark,
+      vecs.filter(col("vec_id") === 10007L)
+        .withColumn("vec_id", col("vec_id") + 90000L),
+      "vec_id", "v", store, P))
+    assert(p4.contains((10007L, 100007L)), s"post-fold probe drifted: $p4")
+  }
+
+  test("pq store: forget + fold erases the PQ codes of the forgotten doc") {
+    val store = tmpDir("incembed_forgetpq") + "/store"
+    val pqP = Params(threshold = 0.9, maxHamming = 10, pqM = 32, pqK = 64)
+    IncrementalEmbedDedup.ingest(spark,
+      universe.filter(col("vec_id") < 10000), "vec_id", "v", store, pqP)
+    IncrementalEmbedDedup.forget(spark, store,
+      Seq(Tuple1(5L)).toDF("doc_id"))
+    IncrementalEmbedDedup.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/codes")
+      .filter(col("doc_id") === 5L).count() === 0, "PQ codes retained")
+    assert(!new java.io.File(s"$store/forgotten").exists())
+    // the twin of the forgotten base arrives pair-free; another's pairs
+    val p = pairsOf(IncrementalEmbedDedup.ingest(spark,
+      universe.filter(col("vec_id").isin(10005L, 10006L)),
+      "vec_id", "v", store, pqP))
+    assert(!p.exists(q => q._1 == 5L || q._2 == 5L), s"erased doc pairs: $p")
+    assert(p.contains((6L, 10006L)), s"unforgotten doc 6 must pair: $p")
+  }
+
   test("duplicated ids in one batch neither self-pair nor duplicate the store") {
     val store = tmpDir("incembed3") + "/store"
     val v = universe.filter(col("vec_id") < 10)

@@ -126,6 +126,23 @@ class IncrementalKeyedDedupSpec extends SparkSpec {
     assert(ids(again) === Set(0L), "replayed row survives, usurper drops")
   }
 
+  test("compaction folds tombstones: forgotten keys erased, forgotten/ cleared") {
+    val store = tmpDir("inckey10") + "/store"
+    IncrementalKeyedDedup.ingest(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "k"), "doc_id", col("k"), store)
+    IncrementalKeyedDedup.forget(spark, store, Seq(Tuple1(1L)).toDF("doc_id"))
+    IncrementalKeyedDedup.compactStore(spark, store)
+    assert(spark.read.parquet(s"$store/keys")
+      .filter($"doc_id" === 1L).count() === 0, "forgotten key retained")
+    assert(!new java.io.File(s"$store/forgotten").exists(),
+      "forgotten/ not cleared by the fold")
+    // probe identical to the pre-fold masked store: x re-admitted under
+    // a new owner, y still blocked
+    val after = ids(IncrementalKeyedDedup.ingest(spark,
+      Seq((11L, "x"), (12L, "y")).toDF("doc_id", "k"), "doc_id", col("k"), store))
+    assert(after === Set(11L), s"post-fold probe drifted: $after")
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inckey7") + "/store"
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

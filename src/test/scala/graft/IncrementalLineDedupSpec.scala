@@ -99,6 +99,26 @@ class IncrementalLineDedupSpec extends SparkSpec {
     assert(IncrementalLineDedup.storedLines(spark, store) === n0)
   }
 
+  test("compaction folds tombstones: forgotten rows erased, forgotten/ cleared") {
+    val store = tmpDir("inclines8") + "/store"
+    IncrementalLineDedup.ingest(spark,
+      Seq((1L, "gone\nstays")).toDF("doc_id", "text"), "doc_id", "text", store)
+    IncrementalLineDedup.ingest(spark,
+      Seq((2L, "stays\nother")).toDF("doc_id", "text"), "doc_id", "text", store)
+    IncrementalLineDedup.forget(spark, store, Seq(Tuple1(1L)).toDF("doc_id"))
+    IncrementalLineDedup.compactStore(spark, store)
+    // physically erased, tombstones cleared — liveStore's broadcast
+    // anti-join no longer grows with takedown history
+    assert(spark.read.parquet(s"$store/lines")
+      .filter($"doc_id" === 1L).count() === 0, "forgotten rows retained")
+    assert(!new java.io.File(s"$store/forgotten").exists(),
+      "forgotten/ not cleared by the fold")
+    // probe identical to the pre-fold masked store
+    val after = keyed(IncrementalLineDedup.ingest(spark,
+      Seq((11L, "gone\nother")).toDF("doc_id", "text"), "doc_id", "text", store))
+    assert(after === Set((11L, 1, "gone")), s"post-fold probe drifted: $after")
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inclines4") + "/store"
     IncrementalLineDedup.ingest(spark,

@@ -297,6 +297,55 @@ class StreamingSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("streaming keyed (URL) dedup: micro-batches == one-shot keep-first; replay-safe") {
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType)))
+    // a crawl stream: same page under messy variants, a fresh page, an
+    // unparseable row (must pass through, never be registered)
+    val crawl = Seq(
+      (1L, "HTTP://A.com/x?b=2&utm_source=s"),
+      (2L, "http://a.com/x/?b=2"), // same page as 1 — messier
+      (3L, "http://a.com/y"),
+      (4L, "not a url"))
+      .toDF("doc_id", "url")
+    val work = tmpDir("streamkeyed")
+    for (half <- Seq(0, 1)) // two files -> two forced micro-batches
+      crawl.filter(col("doc_id") % 2 === (1 - half)).select("doc_id", "url")
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val key = graft.ext.Urls.canonicalize(col("url"))
+    val nb = graft.streaming.StreamingDedup.ingestKeyedAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", key,
+      s"$work/store", s"$work/survivors", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    def logged = graft.streaming.StreamingDedup
+      .keyedSurvivors(spark, s"$work/survivors", docSchema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // keep-first ATTRIBUTION depends on micro-batch arrival order, so
+    // assert the order-independent laws: exactly one of the x-page pair
+    // survives, the fresh page and the keyless row always survive
+    val first = logged
+    assert(first.intersect(Set(1L, 2L)).size === 1,
+      s"exactly one crawl of page x must survive: $first")
+    assert(first.contains(3L) && first.contains(4L), s"$first")
+    // checkpoint loss => full replay: the owner-aware ingest re-emits
+    // the same survivors (no batch lost, no usurped keys); the
+    // consumer-side distinct keeps the log exactly-once in effect
+    graft.streaming.StreamingDedup.ingestKeyedAvailableNow(spark,
+      s"$work/src", docSchema, "doc_id", key,
+      s"$work/store", s"$work/survivors", s"$work/ckpt2",
+      maxFilesPerTrigger = Some(1))
+    assert(logged === first, "replay changed the survivor log")
+    // pre-first-write reader declares the source schema
+    val empty = graft.streaming.StreamingDedup
+      .keyedSurvivors(spark, s"$work/never", docSchema)
+    assert(empty.schema.fieldNames.toSeq === Seq("doc_id", "url"))
+    assert(empty.count() === 0)
+  }
+
   test("streaming windowed agg matches the batch computation") {
     val work = tmpDir("streamwin")
     val q = EventIngest.windowedCounts(

@@ -214,6 +214,52 @@ class TrainingSetSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 12L), s"$kept")
   }
 
+  test("takedown: table row deleted AND every store forgets — content re-admittable") {
+    val work = tmpDir("traintakedown")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val urlStore = s"$work/urls"
+    // fully distinct texts: the good() template shares >40-char verbatim
+    // runs between any two docs, which the substring gate would screen
+    val textA = "the first document narrates an original account of tidal " +
+      "marsh ecology with phrasing no other record repeats anywhere at all"
+    val textB = "the second document covers volcanic soil chemistry with " +
+      "vocabulary chosen to overlap nothing in the first document here"
+    val b1 = Seq(
+      (1L, textA, "http://site.com/alpha"),
+      (2L, textB, "http://site.com/beta")
+    ).toDF("doc_id", "text", "url")
+    TrainingSet.ingest(spark, b1, benchmark, store, target, "b1",
+      minQuality = 0.0, urlCol = Some("url"), urlStorePath = Some(urlStore),
+      substringMinLen = Some(40))
+    // right-to-erasure request for doc 1
+    val deleted = TrainingSet.takedown(spark, target, store, Seq(1L),
+      urlStorePath = Some(urlStore))
+    assert(deleted === 1L, s"expected 1 table row deleted, got $deleted")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    // identical content + identical URL re-ingests under a NEW id: every
+    // store must have forgotten doc 1, or one of the URL / near-dup /
+    // substring stages silently drops the re-admission
+    val b2 = Seq((11L, textA, "http://site.com/alpha"))
+      .toDF("doc_id", "text", "url")
+    val r2 = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2",
+      minQuality = 0.0, urlCol = Some("url"), urlStorePath = Some(urlStore),
+      substringMinLen = Some(40))
+    assert(r2.afterUrlDedup == 1, s"URL store did not forget: $r2")
+    assert(r2.afterNearDup == 1, s"near-dup store did not forget: $r2")
+    assert(r2.afterSubstring == 1, s"substring store did not forget: $r2")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 11L))
+    // doc 2 was NOT taken down: its content still dedups away
+    val b3 = Seq((21L, textB + " tail", "http://other.com/b"))
+      .toDF("doc_id", "text", "url")
+    val r3 = TrainingSet.ingest(spark, b3, benchmark, store, target, "b3",
+      minQuality = 0.0, urlCol = Some("url"), urlStorePath = Some(urlStore),
+      substringMinLen = Some(40))
+    assert(r3.afterNearDup == 0, s"unforgotten doc 2 stopped blocking: $r3")
+  }
+
   test("zero-survivor batch still enters the replay ledger") {
     val work = tmpDir("trainzero")
     val store = s"$work/store"

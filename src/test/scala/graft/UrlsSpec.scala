@@ -37,11 +37,27 @@ class UrlsSpec extends SparkSpec {
   test("tracking params removed; rest sorted; empty query drops ?") {
     assert(canon(
       "http://a.com/x?b=2&utm_source=f&a=1",
-      "http://a.com/x?a=1&b=2&gclid=g&fbclid=h&msclkid=i&ref=r",
+      "http://a.com/x?a=1&b=2&gclid=g&fbclid=h&msclkid=i",
       "http://a.com/x?utm_campaign=c") ===
       Seq("http://a.com/x?a=1&b=2",
         "http://a.com/x?a=1&b=2",
         "http://a.com/x"))
+  }
+
+  test("bare ref is NOT stripped by default: ?ref= selects page content") {
+    // two DIFFERENT pages on a code-hosting site — stripping ref would
+    // canonicalize them together and URL dedup (by key, no text-stage
+    // backstop) would silently delete one of them
+    val pages = Seq(
+      (1L, "http://host.com/repo/readme?ref=main"),
+      (2L, "http://host.com/repo/readme?ref=release-v2")
+    ).toDF("doc_id", "url")
+    val out = Urls.dedupByUrl(pages, "doc_id", "url")
+    assert(out.count() === 2, "ref-distinct pages must both survive dedup")
+    // a caller that KNOWS its crawl's ref is attribution-only can opt in
+    val widened = Urls.dedupByUrl(pages, "doc_id", "url",
+      trackingParams = Urls.DefaultTrackingParams :+ "ref")
+    assert(widened.count() === 1)
   }
 
   test("param ORDER never distinguishes pages") {
