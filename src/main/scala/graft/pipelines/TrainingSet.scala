@@ -15,6 +15,7 @@ import graft.sinks.TxTable
   *   -> benchmark decontamination [+ SEMANTIC decontamination]
   *   -> exact dedup
   *   -> INCREMENTAL near-dup vs the durable signature store
+  *   [-> INCREMENTAL embedding near-dup vs the durable embedding store]
   *   [-> INCREMENTAL verbatim-span dedup vs the durable fingerprint
   *   store] [-> leakage-safe split assignment]
   *   -> token-budget sequence packing (PER SPLIT when splitting — a
@@ -46,9 +47,10 @@ import graft.sinks.TxTable
   *
   * Drop rules: a new doc is dropped if it fails a gate, shares an
   * n-gram with the benchmark, duplicates content inside the batch
-  * (exact, near, or verbatim-span), or near-duplicates / shares a
-  * >= substringMinLen-char span with an ALREADY-SEEN doc (the stored
-  * doc wins — first-ingested-wins, deterministic).
+  * (exact, near, embedding-near, or verbatim-span), or near-duplicates
+  * (by tokens or by embedding) / shares a >= substringMinLen-char span
+  * with an ALREADY-SEEN doc (the stored doc wins — first-ingested-wins,
+  * deterministic).
   */
 object TrainingSet {
 
@@ -56,7 +58,8 @@ object TrainingSet {
       input: Long, afterGates: Long, afterDecontaminate: Long,
       afterExact: Long, afterNearDup: Long, afterSubstring: Long,
       packs: Long, alreadyApplied: Boolean,
-      afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1)
+      afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1,
+      afterEmbedNearDup: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
@@ -98,6 +101,19 @@ object TrainingSet {
     *        the n-gram stage: batch rows (which must carry `embedCol`)
     *        within cosine `embedThreshold` of any row here are dropped —
     *        the paraphrase leakage exact n-grams miss
+    * @param embedStorePath when set, incremental EMBEDDING near-dup vs
+    *        the durable signature store (IncrementalEmbedDedup) after
+    *        the text near-dup stage: the paraphrase/translation DUPLICATES
+    *        MinHash token overlap misses, checked cross-batch in
+    *        O(batch + collisions). Batch rows must carry `embedCol`;
+    *        rows with a NULL embedding pass through and are never
+    *        registered (no direction to collide on — the null-key
+    *        discipline of the keyed store). Same drop rules as the text
+    *        stage: stored doc wins cross-batch, keep-first in-batch.
+    * @param embedDedupThreshold cosine at-or-above which two docs are
+    *        the same content (only with embedStorePath; default 0.97 —
+    *        stricter than decontamination's 0.95 because a dedup FALSE
+    *        POSITIVE deletes a training doc outright)
     * @param splits when non-empty, leakage-safe split assignment
     *        (`Splits.assign` keyed on `splitGroupCol`, default the doc
     *        id) BEFORE packing, and packing runs PER SPLIT — a packed
@@ -132,6 +148,8 @@ object TrainingSet {
       benchmarkEmbeddings: Option[DataFrame] = None,
       embedCol: String = "embedding",
       embedThreshold: Double = 0.95,
+      embedStorePath: Option[String] = None,
+      embedDedupThreshold: Double = 0.97,
       splits: Seq[(String, Double)] = Nil,
       splitGroupCol: Option[String] = None,
       splitSeed: String = ""): Report = {
@@ -235,17 +253,35 @@ object TrainingSet {
       .localCheckpoint(false)
     val afterNearDup = survivors.count()
 
+    // 4b (optional): incremental EMBEDDING near-dup vs the durable
+    // signature store — the paraphrase/translation duplicates token-
+    // overlap MinHash misses. NULL-embedding rows pass through and never
+    // register; only text-near-dup survivors register (dropped docs must
+    // not claim content they never contributed).
+    val embSurvivors = embedStorePath match {
+      case None => survivors
+      case Some(esp) =>
+        val embedded = survivors.filter(col(embedCol).isNotNull)
+        val embPairs = graft.ext.IncrementalEmbedDedup.ingest(spark,
+          embedded.select(col(idCol), col(embedCol)), idCol, embedCol,
+          esp, graft.ext.IncrementalEmbedDedup.Params(
+            threshold = embedDedupThreshold))
+        dropPairLosers(survivors, embPairs, idCol).localCheckpoint(false)
+    }
+    val afterEmbedNearDup =
+      if (embedStorePath.isEmpty) -1L else embSurvivors.count()
+
     // 5 (optional): incremental verbatim-span dedup vs the durable
     // fingerprint store — high-precision copy-paste screening that
     // Jaccard near-dup misses when the surrounding text differs. Same
-    // drop rules; only near-dup survivors register (already-dropped
+    // drop rules; only prior-stage survivors register (already-dropped
     // batch docs must not claim spans they never contributed).
     val spanSurvivors = substringMinLen match {
-      case None => survivors
+      case None => embSurvivors
       case Some(minLen) =>
-        val spanPairs = IncrementalSubstring.ingest(spark, survivors,
+        val spanPairs = IncrementalSubstring.ingest(spark, embSurvivors,
           idCol, textCol, s"$storePath/substr", minLen)
-        dropPairLosers(survivors, spanPairs, idCol).localCheckpoint(false)
+        dropPairLosers(embSurvivors, spanPairs, idCol).localCheckpoint(false)
     }
     val afterSubstring = spanSurvivors.count()
 
@@ -289,7 +325,8 @@ object TrainingSet {
     Report(input, afterGates, afterDecontaminate, afterExact, afterNearDup,
       afterSubstring, packs, alreadyApplied = false,
       afterUrlDedup = afterUrlDedup,
-      afterEmbedDecontaminate = afterEmbedDecontaminate)
+      afterEmbedDecontaminate = afterEmbedDecontaminate,
+      afterEmbedNearDup = afterEmbedNearDup)
   }
 
   /** TAKEDOWN: remove documents from the training table AND from every
@@ -312,6 +349,14 @@ object TrainingSet {
     * After a takedown, fresh copies of the forgotten content are
     * admitted again under new ids — dedup state must not remember
     * erased content. Returns the number of table rows deleted.
+    *
+    * PHYSICAL erasure has two tails this call can optionally settle:
+    * `deleteWhere` keeps the deleted rows reachable via time travel
+    * until a vacuum (`vacuum = true` runs it — the erasure-request
+    * default; leave false only when snapshot readers may be pinned to
+    * an old version), and the store tombstones mask rather than erase
+    * until each store's next `compactStore` ([[compactStores]] settles
+    * them all).
     */
   def takedown(
       spark: SparkSession,
@@ -319,12 +364,15 @@ object TrainingSet {
       storePath: String,
       ids: Seq[Long],
       idCol: String = "doc_id",
-      urlStorePath: Option[String] = None): Long = {
+      urlStorePath: Option[String] = None,
+      embedStorePath: Option[String] = None,
+      vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
     val deleted = ids.map(id =>
       TxTable.deleteWhere(spark, targetPath, idCol,
         id.toDouble, id.toDouble)).sum
+    if (vacuum) TxTable.vacuum(spark, targetPath)
     // the ext stores key by a literal doc_id column whatever the
     // pipeline's idCol (their ingest normalizes); the keyed URL store
     // keeps the caller's column name
@@ -334,10 +382,40 @@ object TrainingSet {
       IncrementalDedup.forget(spark, storePath, tomb)
     if (has(s"$storePath/substr/fps"))
       IncrementalSubstring.forget(spark, s"$storePath/substr", tomb)
+    embedStorePath.filter(p => has(s"$p/sigs")).foreach { p =>
+      graft.ext.IncrementalEmbedDedup.forget(spark, p, tomb)
+    }
     urlStorePath.filter(p => has(s"$p/keys")).foreach { p =>
       graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
     }
     deleted
+  }
+
+  /** Maintenance pass over every durable store a pipeline at these
+    * paths writes: compact the per-ingest small-file sets AND fold the
+    * accumulated takedown tombstones (physical erasure of everything
+    * [[takedown]] masked — the settlement that keeps the per-probe
+    * tombstone broadcasts bounded). Run between ingests, at whatever
+    * cadence compaction already runs. Returns (files before, after)
+    * summed over every store present.
+    */
+  def compactStores(
+      spark: SparkSession,
+      storePath: String,
+      urlStorePath: Option[String] = None,
+      embedStorePath: Option[String] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val counts =
+      Seq(IncrementalDedup.compactStore(spark, storePath, targetFileBytes),
+        IncrementalSubstring.compactStore(spark, s"$storePath/substr",
+          targetFileBytes)) ++
+      embedStorePath.map(p =>
+        graft.ext.IncrementalEmbedDedup.compactStore(spark, p,
+          targetFileBytes)) ++
+      urlStorePath.map(p =>
+        graft.ext.IncrementalKeyedDedup.compactStore(spark, p,
+          targetFileBytes))
+    counts.foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
   }
 
   /** The shared duplicate-pair drop rule: a CROSS pair (one side not in

@@ -260,6 +260,72 @@ class TrainingSetSpec extends SparkSpec {
     assert(r3.afterNearDup == 0, s"unforgotten doc 2 stopped blocking: $r3")
   }
 
+  test("durable embedding store: cross-batch paraphrase dropped; takedown erases it") {
+    val work = tmpDir("trainembedstore")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val embStore = s"$work/embeds"
+    // embeddings carry the content identity; the TEXTS are all fully
+    // distinct (so only the embedding stage can catch the paraphrase)
+    def vec(hot: Int, eps: Float = 0f): Array[Float] =
+      Array.tabulate(8)(i =>
+        if (i == hot) 1f else if (i == (hot + 1) % 8) eps else 0f)
+    val b1 = Seq(
+      (1L, "the first document narrates tidal marsh ecology with phrasing " +
+        "that repeats nowhere else in this corpus at all", vec(0)),
+      (2L, "the second document covers volcanic soil chemistry with its own " +
+        "vocabulary overlapping nothing written before", vec(2))
+    ).toDF("doc_id", "text", "embedding")
+    val r1 = TrainingSet.ingest(spark, b1, benchmark, store, target, "b1",
+      minQuality = 0.0, embedStorePath = Some(embStore))
+    assert(r1.afterEmbedNearDup == 2, s"$r1")
+    // batch 2: a PARAPHRASE of doc 1 (cosine ~0.999, different words), a
+    // fresh doc, and a row with no embedding (must pass through)
+    val b2 = Seq(
+      (11L, "a rephrased account of coastal wetland biology using entirely " +
+        "different words to say what the first one said", vec(0, 0.05f)),
+      (12L, "a genuinely new third topic about glacier dynamics sharing " +
+        "no content with anything ingested earlier here", vec(4)),
+      (13L, "a row that arrived without an embedding and must survive " +
+        "this stage untouched rather than be dropped",
+        null.asInstanceOf[Array[Float]])
+    ).toDF("doc_id", "text", "embedding")
+    val r2 = TrainingSet.ingest(spark, b2, benchmark, store, target, "b2",
+      minQuality = 0.0, embedStorePath = Some(embStore))
+    assert(r2.afterNearDup == 3, s"text stage must not catch the paraphrase: $r2")
+    assert(r2.afterEmbedNearDup == 2, s"embed stage must drop doc 11: $r2")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 12L, 13L))
+    // takedown of the marsh-ecology content reaches the embedding
+    // store. BOTH its ids go: doc 1 (committed) and doc 11 (dropped as
+    // a duplicate but still registered as SEEN content — the store
+    // family's documented discipline); afterwards a fresh paraphrase
+    // re-admits under a new id, and compactStores physically erases the
+    // forgotten VECTORS (the right-to-be-forgotten hazard of this store)
+    TrainingSet.takedown(spark, target, store, Seq(1L, 11L),
+      embedStorePath = Some(embStore), vacuum = true)
+    // vacuum = true settles the TABLE tail of physical erasure: the
+    // pre-delete generation (still holding doc 1 via time travel) is
+    // gone from disk — no surviving data file contains the id
+    assert(spark.read.parquet(s"$target/data")
+      .filter(col("doc_id") === 1L).count() === 0,
+      "vacuumed takedown left doc 1 readable in an old generation")
+    val r3 = TrainingSet.ingest(spark,
+      Seq((21L, "another paraphrase of the marsh ecology content in yet " +
+        "other words long enough for every gate here", vec(0, 0.03f)))
+        .toDF("doc_id", "text", "embedding"),
+      benchmark, store, target, "b3",
+      minQuality = 0.0, embedStorePath = Some(embStore))
+    assert(r3.afterEmbedNearDup == 1,
+      s"forgotten doc 1 must stop blocking its paraphrases: $r3")
+    TrainingSet.compactStores(spark, store, embedStorePath = Some(embStore))
+    assert(spark.read.parquet(s"$embStore/vecs")
+      .filter(col("doc_id").isin(1L, 11L)).count() === 0,
+      "takedown + compactStores left a forgotten vector behind")
+    assert(!new java.io.File(s"$embStore/forgotten").exists())
+  }
+
   test("zero-survivor batch still enters the replay ledger") {
     val work = tmpDir("trainzero")
     val store = s"$work/store"
