@@ -391,6 +391,50 @@ object TrainingSet {
     deleted
   }
 
+  /** STREAMING form of the whole pipeline: run-once (AvailableNow)
+    * micro-batches, each through one [[ingest]] — the crawl-cadence
+    * deployment where documents land in a directory and the training
+    * table + every durable store grow per batch. The caller supplies
+    * the per-batch ingest as a closure over its own knob settings
+    * (gates, stores, splits …), and this wrapper supplies the delta id:
+    * `<deltaPrefix><batchId>`, stable across checkpoint REPLAYS of the
+    * same batch, so the TxTable ledger makes a replayed micro-batch a
+    * no-op. After checkpoint LOSS the file→batch mapping can differ and
+    * re-delivered content arrives under fresh delta ids — the gates,
+    * exact dedup, and the durable stores then drop every re-delivered
+    * row and the zero-survivor batches still enter the ledger: the
+    * table converges to the same contents (spec-asserted), the
+    * exactly-once-in-EFFECT discipline of the whole streaming surface.
+    *
+    * Returns the per-batch Reports in batch order.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String,
+      ingestBatch: (DataFrame, String) => Report,
+      deltaPrefix: String = "stream_",
+      maxFilesPerTrigger: Option[Int] = None): Seq[Report] = {
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Report)]()
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reports.add(batchId -> ingestBatch(batch, s"$deltaPrefix$batchId"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    reports.asScala.toSeq.sortBy(_._1).map(_._2)
+  }
+
   /** Maintenance pass over every durable store a pipeline at these
     * paths writes: compact the per-ingest small-file sets AND fold the
     * accumulated takedown tombstones (physical erasure of everything

@@ -326,6 +326,48 @@ class TrainingSetSpec extends SparkSpec {
     assert(!new java.io.File(s"$embStore/forgotten").exists())
   }
 
+  test("streaming pipeline: micro-batches build the same table; checkpoint loss converges") {
+    val work = tmpDir("trainstream")
+    val store = s"$work/store"
+    val target = s"$work/train"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // two "crawl days" land as two files; day 2 re-delivers a near-copy
+    // of a day-1 doc (must drop via the durable store) plus a fresh doc
+    val day1 = Seq(good(1L, "alpha"), good(2L, "beta")).toDF("doc_id", "text")
+    val day2 = Seq(
+      (11L, good(1L, "alpha")._2 + " tiny tail"),
+      good(12L, "gamma")).toDF("doc_id", "text")
+    day1.coalesce(1).write.mode("append").parquet(s"$work/src")
+    day2.coalesce(1).write.mode("append").parquet(s"$work/src")
+    def run(ckpt: String) = TrainingSet.ingestAvailableNow(
+      spark, s"$work/src", docSchema, s"$work/$ckpt",
+      (b, deltaId) => TrainingSet.ingest(spark, b, benchmark, store,
+        target, deltaId),
+      maxFilesPerTrigger = Some(1))
+    val reports = run("ckpt")
+    assert(reports.length >= 2, s"expected >=2 micro-batches: $reports")
+    assert(!reports.exists(_.alreadyApplied))
+    def kept = TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // keep-first attribution depends on file arrival order; the
+    // order-independent law: exactly one of the {1, 11} near-dup pair
+    // survives, 2 and 12 always do
+    val first = kept
+    assert(first.intersect(Set(1L, 11L)).size === 1, s"$first")
+    assert(first.contains(2L) && first.contains(12L), s"$first")
+    // checkpoint LOSS: everything re-delivers under fresh delta ids —
+    // gates + exact dedup + the durable stores drop every row, the
+    // zero-survivor batches still ledger, the table converges
+    val replay = run("ckpt2")
+    assert(kept === first, "checkpoint-loss replay changed the table")
+    assert(replay.forall(r => r.alreadyApplied || r.afterNearDup == 0),
+      s"replayed batches must commit nothing: $replay")
+  }
+
   test("zero-survivor batch still enters the replay ledger") {
     val work = tmpDir("trainzero")
     val store = s"$work/store"
