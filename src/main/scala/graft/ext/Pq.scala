@@ -522,6 +522,21 @@ object Pq {
     pqAttached(spark, ivfPath) &&
       pinnedToken(spark, s"$ivfPath/pq") == assignmentsToken(spark, ivfPath)
 
+  /** Re-pin `pq/meta` to the CURRENT assignments fingerprint — the
+    * closing step of a maintenance pass (ivfForgetPersisted) that
+    * rewrote assignments AND codes in lockstep. Callers must have made
+    * the two sides consistent first: the pin is what re-arms serving.
+    */
+  private[ext] def repinTo(
+      spark: org.apache.spark.sql.SparkSession, ivfPath: String): Unit = {
+    val token = assignmentsToken(spark, ivfPath)
+    val metaP = new org.apache.hadoop.fs.Path(s"$ivfPath/pq/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaP, true)
+    try { out.write(token.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+  }
+
   private def loadArtifactCodebooks(
       spark: org.apache.spark.sql.SparkSession, pqPath: String): Codebooks =
     readCodebooks(spark, s"$pqPath/codebooks")

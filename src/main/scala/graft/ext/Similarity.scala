@@ -617,6 +617,72 @@ object Similarity {
       staleness > retrainThreshold)
   }
 
+  /** TAKEDOWN for the persisted ANN artifact: physically erase these
+    * ids' rows — their RAW VECTORS — from `path/assignments`, and from
+    * the attached PQ codes layer when one exists. The serving index is
+    * the same right-to-erasure hazard class as the embedding dedup
+    * store: it retains the embedding itself, and unlike the probe-side
+    * stores a tombstone here would tax EVERY query, so the erasure is
+    * immediate and partition-pruned instead:
+    *
+    *  1. ONE scan finds the touched centroid partitions (ids broadcast
+    *     into a semi-join; the result is takedown-sized metadata);
+    *  2. only those `centroid_id=<k>` directories rewrite (minus the
+    *     ids), each through the stage-aside swap — O(touched
+    *     partitions), not O(index), the `deleteWhere` stats-pruning
+    *     discipline applied to the ANN layout;
+    *  3. with a PQ layer attached: the same partitions of `pq/codes`
+    *     rewrite, and `pq/meta` re-pins to the new assignments
+    *     fingerprint LAST — a crash anywhere in between leaves the pin
+    *     stale and PQ probes REFUSING (never serving the forgotten
+    *     doc's codes), and the rerun converges.
+    *
+    * Centroids are O(k) aggregate metadata (no per-document data) and
+    * keep serving; `build_meta` keeps the training-time row count, so
+    * append staleness still measures drift since training. Single-writer
+    * maintenance contract, like compact. Returns rows erased from the
+    * assignments.
+    */
+  def ivfForgetPersisted(
+      spark: SparkSession,
+      path: String,
+      ids: Seq[Long]): Long = {
+    require(persistedIndexExists(spark, path),
+      s"no persisted IVF index at $path")
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    val idDf = ids.toDF("id")
+    val touched = spark.read.parquet(s"$path/assignments")
+      .join(broadcast(idDf), Seq("id"), "left_semi")
+      .select(col("centroid_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return 0L
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewriteMinusIds(dir: String, who: String): Long = {
+      val target = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(target)) return 0L
+      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      val keep = cur.join(broadcast(idDf), Seq("id"), "left_anti")
+      val removed = cur.count() -
+        keep.localCheckpoint(true).count() // materialize BEFORE the swap
+      val staging = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}__staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      keep.write.mode("overwrite").parquet(staging.toString)
+      graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, who)
+      removed
+    }
+    val removed = touched.map(cid =>
+      rewriteMinusIds(s"$path/assignments/centroid_id=$cid", "ivf forget")).sum
+    if (graft.ext.Pq.pqAttached(spark, path)) {
+      touched.foreach(cid =>
+        rewriteMinusIds(s"$path/pq/codes/centroid_id=$cid", "pq forget"))
+      graft.ext.Pq.repinTo(spark, path) // LAST: probes refuse until here
+    }
+    removed
+  }
+
   /** All pairs above a cosine threshold — near-dup detection by embedding.
     * Brute self-join here (candidate generation at scale goes through the
     * IVF index: only same-cluster pairs are compared, mirroring the

@@ -215,6 +215,46 @@ class PqSpec extends SparkSpec {
       idCol = "vec_id").count() == 5)
   }
 
+  test("ivf forget: raw vectors AND codes physically erased, probes keep serving") {
+    val path = tmpDir("ivfforget") + "/ivf"
+    Similarity.ivfBuildPersisted(emb, "vec_id", "embedding", path,
+      nCentroids = 16, iters = 2)
+    Pq.pqAttachPersisted(spark, path, m = 8, k = 32)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val before = Similarity.ivfTopKPersisted(spark, path, q, k = 10,
+      nProbe = 16, idCol = "vec_id").collect().map(_.getLong(0)).toSeq
+    // take down the top hit (vec 0 itself) and a mid-ranked neighbor
+    val gone = Seq(before.head, before(4))
+    val removed = Similarity.ivfForgetPersisted(spark, path, gone)
+    assert(removed === 2L, s"expected 2 rows erased, got $removed")
+    // PHYSICAL erasure: the raw artifact files — read directly, no
+    // probe pruning — carry neither the vectors nor the codes
+    assert(spark.read.parquet(s"$path/assignments")
+      .filter(col("id").isin(gone: _*)).count() === 0, "vectors retained")
+    assert(spark.read.parquet(s"$path/pq/codes")
+      .filter(col("id").isin(gone: _*)).count() === 0, "codes retained")
+    // the pin was re-armed: BOTH durable probes serve, minus the ids,
+    // and still agree with each other at the same operating point
+    assert(Pq.pqFresh(spark, path), "forget left the PQ pin stale")
+    Pq.clearCaches(); Similarity.clearIndexCache()
+    val after = Similarity.ivfTopKPersisted(spark, path, q, k = 10,
+      nProbe = 16, idCol = "vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gone.forall(!after.contains(_)), s"forgotten ids served: $after")
+    val afterPq = Pq.ivfPqTopKPersisted(spark, path, q, k = 10,
+      nProbe = 16, pool = 600, idCol = "vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterPq == after, s"IVF-PQ $afterPq != IVF $after post-forget")
+    // unknown ids: no-op, nothing rewritten, pin untouched
+    assert(Similarity.ivfForgetPersisted(spark, path, Seq(999999L)) === 0L)
+    assert(Pq.pqFresh(spark, path))
+    // and incremental machinery still composes: append after forget
+    // (the forgotten ids re-admit like any new row — right-to-erasure)
+    val res = Similarity.ivfAppendPersisted(
+      emb.filter(col("vec_id") === gone.head), "vec_id", "embedding", path)
+    assert(res.appended === 1L, s"$res")
+  }
+
   test("the IVF-PQ codes table carries no vector column") {
     // The structural memory guarantee: a probe over the codes table
     // CANNOT read an embedding — the column does not exist in its schema.
