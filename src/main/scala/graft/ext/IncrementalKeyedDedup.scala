@@ -48,6 +48,18 @@ import org.apache.spark.sql.functions._
   * key colliding in 64 bits with a stored one is over-removed, never
   * under-removed).
   *
+  * Scale: step 3's store scan reads EVERY registered key per ingest
+  * even when the batch is almost entirely new — the dominant probe
+  * cost at crawl cadence. [[KeyBloom]] sidecars (written per ingest,
+  * folded at compaction) prove most batch keys absent from O(2 B/key)
+  * broadcast metadata: keys rejected by every sidecar skip the store
+  * join entirely, and a batch with NO possible collisions skips the
+  * store scan outright. Bloom false positives only re-pay the old
+  * full-probe price; false negatives cannot occur (see KeyBloom's
+  * coverage invariant), so results are bit-identical with or without
+  * the sidecars — `ext_url_dedup_incr`'s differential oracle holds
+  * either way.
+  *
   * Determinism: batches ingested in id order keep exactly the rows a
   * one-shot keep-first over the union keeps (asserted in the spec; the
   * URL gate `ext_url_dedup_incr` oracles it differentially).
@@ -98,8 +110,12 @@ object IncrementalKeyedDedup {
       batch: DataFrame,
       idCol: String,
       key: Column,
-      storePath: String): DataFrame = {
+      storePath: String,
+      bitsPerKey: Int = 16,
+      maxBloomBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val keysPath = s"$storePath/keys"
+    val bloomPath = s"$storePath/bloom"
+    val storeExisted = exists(spark, keysPath)
     val hashed = batch.withColumn("_kh", xxhash64(key))
       .withColumn("_kn", key.isNull)
     val keyless = hashed.filter(col("_kn"))
@@ -114,22 +130,54 @@ object IncrementalKeyedDedup {
     // owner deterministic even if a store pathology ever duplicated a
     // key row.
     val withOwner =
-      if (!exists(spark, keysPath))
+      if (!storeExisted)
         batchFirst.withColumn("_owner",
           lit(null).cast(batchFirst.schema(idCol).dataType))
       else {
-        val owners = collisionsOf(liveStore(spark, storePath, idCol),
-            batchFirst.select("key_hash").distinct())
-          .groupBy("key_hash").agg(min(col(idCol)).as("_owner"))
-        batchFirst.join(broadcast(owners), Seq("key_hash"), "left_outer")
+        // bloom prefilter: keys every sidecar rejects are PROVEN absent
+        // (no false negatives) and need no store consult — their _owner
+        // comes out null from the left_outer join below either way, so
+        // the pruning is invisible to results
+        val probeKeys = {
+          val all = batchFirst.select("key_hash").distinct()
+          KeyBloom.loadSidecars(spark, bloomPath, maxBloomBytes) match {
+            case None => all
+            case Some(blooms) =>
+              val bc = spark.sparkContext.broadcast(blooms)
+              val mightCollide = udf((kh: Long) =>
+                bc.value.exists(_.contains(kh)))
+              all.filter(mightCollide(col("key_hash")))
+          }
+        }
+        if (probeKeys.isEmpty) // whole batch proven new: no store scan
+          batchFirst.withColumn("_owner",
+            lit(null).cast(batchFirst.schema(idCol).dataType))
+        else {
+          val owners = collisionsOf(liveStore(spark, storePath, idCol),
+              probeKeys)
+            .groupBy("key_hash").agg(min(col(idCol)).as("_owner"))
+          batchFirst.join(broadcast(owners), Seq("key_hash"), "left_outer")
+        }
       }
     val mat = withOwner
       .filter(col("_owner").isNull || col("_owner") === col(idCol))
       .localCheckpoint(true)
+    val newKeys = mat.filter(col("_owner").isNull).select("key_hash", idCol)
+    // sidecar BEFORE keys: a crash between the two leaves a bloom that
+    // over-approximates (harmless); the reverse order could leave
+    // committed keys no sidecar covers — a future false "proven absent".
+    // Only written while coverage holds: store born with blooms, or
+    // blooms re-armed by compaction; a legacy store stays bloom-less.
+    if (!storeExisted || StoreTombstones.hasData(spark, bloomPath)) {
+      val nNew = newKeys.count()
+      if (nNew > 0)
+        KeyBloom.writeSidecar(spark, bloomPath,
+          KeyBloom.build(spark, newKeys.select("key_hash"), nNew, bitsPerKey),
+          nNew)
+    }
     // register only keys NEW to the store — an already-mine row is its
     // own registration, and re-appending it would duplicate the key
-    mat.filter(col("_owner").isNull).select("key_hash", idCol)
-      .write.mode("append").parquet(keysPath)
+    newKeys.write.mode("append").parquet(keysPath)
     // survivors join on (key, id) — id alone would resurrect a row
     // whose OTHER key lost when the same id carries several keys
     keyed.join(mat.select(col("key_hash").as("_kh"), col(idCol)),
@@ -166,7 +214,20 @@ object IncrementalKeyedDedup {
   def compactStore(
       spark: SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bitsPerKey: Int = 16,
+      maxBloomBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
+    val counts = StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
       Seq(s"$storePath/keys"), targetFileBytes)
+    // re-arm (or first-arm, for a legacy store) the bloom sidecars: one
+    // right-sized bloom over the now-live keys — forgotten owners drop
+    // out of the bloom here too, and per-ingest sidecar accumulation
+    // resets to a single probe per key
+    if (exists(spark, s"$storePath/keys")) {
+      val keys = spark.read.parquet(s"$storePath/keys").select("key_hash")
+      KeyBloom.rebuild(spark, s"$storePath/bloom", keys, keys.count(),
+        bitsPerKey, maxBloomBytes)
+    }
+    counts
+  }
 }
