@@ -1,0 +1,257 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** [EXT] Real spectral feature extraction for PCM audio — the audio
+  * analog of the PNG pixel path: everything here is pure-JVM DSP with
+  * no codec library, so WAV/PCM payloads get REAL signal features
+  * (short-time FFT → power spectrum → mel filterbank → log-mel means,
+  * plus spectral centroid and zero-crossing rate), not byte statistics.
+  * Lossy codecs (MP3/AAC) remain the documented `ContainerCodec`
+  * boundary; this operator consumes the same RIFF chunk walk.
+  *
+  * Pipeline shape (the part that matters at 100 TB): one
+  * `mapPartitions` over the opaque binary column — partition-parallel,
+  * no shuffle, batch-bounded memory. Per row the cost is
+  * O(frames · frameSize · log frameSize); frameSize/hop/nMels are
+  * parameters, not globals, so a caller can trade fidelity for
+  * throughput per corpus.
+  *
+  * DSP choices, all standard: Hann window (frames overlap at
+  * hop ≤ frameSize, and the raised-cosine edge kills the rectangular
+  * window's spectral leakage), radix-2 iterative Cooley–Tukey FFT
+  * (frameSize must be a power of two — enforced), HTK-style mel scale
+  * mel(f) = 2595·log10(1 + f/700) with triangular filters, features
+  * averaged over frames into one fixed-width vector per document (the
+  * shape embedding/classifier stages downstream consume).
+  */
+object AudioDsp {
+
+  /** Per-document spectral summary. `decoded=false` rows (non-WAV,
+    * non-16-bit, or too short for one frame) carry zeroed features —
+    * the operator is total over arbitrary binary, like the rest of the
+    * multimodal family.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      n_samples: Int,
+      n_frames: Int,
+      zcr: Float,
+      centroid_hz: Float,
+      rms: Float,
+      log_mel: Array[Float])
+
+  // ---- FFT --------------------------------------------------------------
+
+  /** In-place iterative radix-2 Cooley–Tukey; n must be a power of 2.
+    * Bit-reversal permutation, then log2(n) butterfly passes with
+    * per-stage twiddle recurrence.
+    */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0 && n > 0,
+      s"FFT length must be a power of two, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  // ---- mel machinery ----------------------------------------------------
+
+  def melOf(hz: Double): Double = 2595.0 * math.log10(1.0 + hz / 700.0)
+  def hzOf(mel: Double): Double = 700.0 * (math.pow(10.0, mel / 2595.0) - 1.0)
+
+  /** Triangular filters over the one-sided spectrum (nFft/2 + 1 bins):
+    * nMels + 2 mel-spaced edge points from 0 to Nyquist; filter m rises
+    * from edge m to m+1 and falls to m+2.
+    */
+  private[graft] def melFilterbank(
+      nMels: Int, nFft: Int, sampleRate: Int): Array[Array[Double]] = {
+    val nBins = nFft / 2 + 1
+    val maxMel = melOf(sampleRate / 2.0)
+    val edges = Array.tabulate(nMels + 2)(i => hzOf(maxMel * i / (nMels + 1)))
+    Array.tabulate(nMels) { m =>
+      val (lo, c, hi) = (edges(m), edges(m + 1), edges(m + 2))
+      Array.tabulate(nBins) { bin =>
+        val f = bin.toDouble * sampleRate / nFft
+        if (f <= lo || f >= hi) 0.0
+        else if (f <= c) (f - lo) / math.max(c - lo, 1e-12)
+        else (hi - f) / math.max(hi - c, 1e-12)
+      }
+    }
+  }
+
+  private def hann(n: Int): Array[Double] =
+    Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
+
+  // ---- per-document analysis -------------------------------------------
+
+  /** Decode a 16-bit PCM WAV and summarize its spectrum. None when the
+    * payload is not such a WAV (caller emits the zeroed row).
+    */
+  private[graft] def analyze(
+      bytes: Array[Byte], frameSize: Int, hop: Int,
+      nMels: Int): Option[AudioFeatures] = {
+    if (!Multimodal.ContainerCodec.isWav(bytes)) return None
+    val (channels, sampleRate, bits, dataOff, dataLen) =
+      Multimodal.ContainerCodec.wavLayout(bytes) match {
+        case Some(l) => l
+        case None    => return None
+      }
+    if (bits != 16) return None
+    // mono mix: average interleaved channels, normalize to [-1, 1]
+    val nSamples = dataLen / 2 / channels
+    val x = new Array[Double](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      var acc = 0.0; var ch = 0
+      while (ch < channels) {
+        val o = dataOff + (i * channels + ch) * 2
+        acc += ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toDouble
+        ch += 1
+      }
+      x(i) = acc / channels / 32768.0
+      i += 1
+    }
+    // whole-signal zcr and rms
+    var crossings = 0; var energy = 0.0
+    i = 0
+    while (i < nSamples) {
+      energy += x(i) * x(i)
+      if (i > 0 && (x(i) >= 0) != (x(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    val zcr =
+      if (nSamples > 1) crossings.toFloat / (nSamples - 1) else 0f
+    val rms =
+      if (nSamples > 0) math.sqrt(energy / nSamples).toFloat else 0f
+
+    val nFrames =
+      if (nSamples < frameSize) 0 else (nSamples - frameSize) / hop + 1
+    val nBins = frameSize / 2 + 1
+    val meanPower = new Array[Double](nBins)
+    if (nFrames > 0) {
+      val window = hann(frameSize)
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
+      var fIdx = 0
+      while (fIdx < nFrames) {
+        val off = fIdx * hop
+        var k = 0
+        while (k < frameSize) {
+          re(k) = x(off + k) * window(k); im(k) = 0.0; k += 1
+        }
+        fft(re, im)
+        k = 0
+        while (k < nBins) {
+          meanPower(k) += (re(k) * re(k) + im(k) * im(k)) / nFrames
+          k += 1
+        }
+        fIdx += 1
+      }
+    }
+    var pSum = 0.0; var fSum = 0.0
+    i = 0
+    while (i < nBins) {
+      pSum += meanPower(i)
+      fSum += meanPower(i) * (i.toDouble * sampleRate / frameSize)
+      i += 1
+    }
+    val centroid = if (pSum > 0) (fSum / pSum).toFloat else 0f
+    val fb = melFilterbank(nMels, frameSize, sampleRate)
+    val logMel = Array.tabulate(nMels) { m =>
+      var e = 0.0; var k = 0
+      while (k < nBins) { e += fb(m)(k) * meanPower(k); k += 1 }
+      math.log10(e + 1e-10).toFloat
+    }
+    Some(AudioFeatures(0L, decoded = true, sampleRate, nSamples, nFrames,
+      zcr, centroid, rms, logMel))
+  }
+
+  /** The distributed operator: media rows in, one fixed-width spectral
+    * summary per document out. One mapPartitions, no shuffle; rows this
+    * DSP cannot decode come back `decoded=false` with zeroed features
+    * (log-mel at the silence floor), keeping the operator total.
+    */
+  def features(
+      spark: SparkSession,
+      media: DataFrame,
+      frameSize: Int = 512,
+      hop: Int = 256,
+      nMels: Int = 16): Dataset[AudioFeatures] = {
+    require((frameSize & (frameSize - 1)) == 0 && frameSize > 1,
+      s"frameSize must be a power of two, got $frameSize")
+    require(hop > 0 && hop <= frameSize, s"hop must be in (0, frameSize]")
+    import spark.implicits._
+    media.as[Multimodal.MediaRow].mapPartitions { it =>
+      it.map { r =>
+        analyze(r.media, frameSize, hop, nMels) match {
+          case Some(f) => f.copy(doc_id = r.doc_id)
+          case None =>
+            AudioFeatures(r.doc_id, decoded = false, 0, 0, 0, 0f, 0f, 0f,
+              Array.fill(nMels)(-10f))
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV synthesizer (16-bit PCM mono sine) — the fixture
+    * generator for the audio gates: freq/duration derive from doc_id so
+    * the framing arithmetic is restatable in plain SQL while the DSP
+    * itself is exercised on real RIFF bytes end-to-end.
+    */
+  def sineWav(
+      sampleRate: Int, nSamples: Int, freqHz: Double,
+      amplitude: Double = 0.5, phase: Double = 0.1): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = amplitude * math.sin(2.0 * math.Pi * freqHz * i / sampleRate
+        + phase)
+      out.putShort(math.round(v * 32767.0).toShort)
+      i += 1
+    }
+    out.array()
+  }
+}

@@ -106,8 +106,34 @@ object Multimodal {
 
     private def isPng(b: Array[Byte]): Boolean =
       b.length >= 33 && b.take(8).sameElements(PngSig)
-    private def isWav(b: Array[Byte]): Boolean =
+    private[ext] def isWav(b: Array[Byte]): Boolean =
       b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+
+    /** RIFF chunk walk shared by decodeWav and [[AudioDsp]]: locate the
+      * PCM layout — (channels, sampleRate, bitsPerSample, dataOff,
+      * dataLen) — with every chunk size validated against the buffer so
+      * a truncated file cannot over-read. None for non-PCM encodings.
+      */
+    private[ext] def wavLayout(
+        b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      var off = 12
+      var channels, sampleRate, bitsPerSample = 0
+      var dataOff, dataLen = -1
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = u32le(b, off + 4).toInt
+        if (sz < 0 || off + 8 + sz > b.length) return None
+        if (id == "fmt " && sz >= 16) {
+          if (u16le(b, off + 8) != 1) return None // PCM only
+          channels = u16le(b, off + 10)
+          sampleRate = u32le(b, off + 12).toInt
+          bitsPerSample = u16le(b, off + 22)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || sampleRate <= 0 || dataOff < 0) None
+      else Some((channels, sampleRate, bitsPerSample, dataOff, dataLen))
+    }
 
     /** PNG: signature, then the mandatory first chunk IHDR =
       * len(4) "IHDR" width(4) height(4) bitDepth(1) colorType(1) ... crc(4).
@@ -264,22 +290,11 @@ object Multimodal {
       */
     private def decodeWav(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
-      var off = 12
-      var channels, sampleRate, bitsPerSample = 0
-      var dataOff, dataLen = -1
-      while (off + 8 <= b.length) {
-        val id = tag(b, off)
-        val sz = u32le(b, off + 4).toInt
-        if (sz < 0 || off + 8 + sz > b.length) return None
-        if (id == "fmt " && sz >= 16) {
-          if (u16le(b, off + 8) != 1) return None // PCM only
-          channels = u16le(b, off + 10)
-          sampleRate = u32le(b, off + 12).toInt
-          bitsPerSample = u16le(b, off + 22)
-        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
-      }
-      if (channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
+      val (channels, sampleRate, bitsPerSample, dataOff, dataLen) =
+        wavLayout(b) match {
+          case Some(layout) => layout
+          case None         => return None
+        }
       val byteRate = sampleRate.toLong * channels * (bitsPerSample / 8)
       val durationSec =
         if (byteRate > 0) dataLen.toDouble / byteRate else 0.0

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -805,6 +805,30 @@ object ExtQueries {
         .select(col("doc_id"), col("byte_len"), col("checksum"))
         .orderBy("doc_id")),
 
+    // ---- audio DSP (real STFT/mel over synthesized RIFF bytes) ------
+    // Each doc gets a deterministic 16-bit PCM sine (freq and duration
+    // derived from doc_id), so the CONTAINER arithmetic — sample counts
+    // through the RIFF round-trip and the STFT framing — restates in
+    // plain SQL and is oracled end-to-end; the spectral features
+    // themselves (FFT → mel filterbank) have no SQL restatement and take
+    // the rows-only entry, compensated by AudioDspSpec's physics gates
+    // (single-tone centroid, Parseval, ZCR = 2f/sr, mono-mix identity).
+    "ext_audio_meta" -> ((s, dir) =>
+      AudioDsp.features(s, audioMedia(s, dir))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("n_frames"))
+        .orderBy("doc_id")),
+
+    "ext_audio_features" -> ((s, dir) =>
+      AudioDsp.features(s, audioMedia(s, dir))
+        .select(col("doc_id"),
+          round(col("zcr"), 6).as("zcr"),
+          round(col("centroid_hz"), 2).as("centroid_hz"),
+          round(col("rms"), 6).as("rms"),
+          expr("array_position(log_mel, array_max(log_mel))")
+            .as("dominant_band"))
+        .orderBy("doc_id")),
+
     // ---- line-level dedup (C4-style, oracled) -----------------------
     // documents carry no newlines, so "lines" are derived as aligned
     // 4-token chunks joined with \n (identical derivation in the
@@ -967,6 +991,22 @@ object ExtQueries {
           lined
       }
     }
+
+  /** Synthesized per-document WAV fixtures for the audio-DSP gates: a
+    * 16-bit PCM mono sine whose frequency (200..1700 Hz, below the 4 kHz
+    * Nyquist) and duration derive from doc_id. The DSP then runs on real
+    * RIFF bytes end-to-end; the doc_id arithmetic is what lets the meta
+    * gate restate sample/frame counts in SQL.
+    */
+  private def audioMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long].map { id =>
+      Multimodal.MediaRow(id,
+        AudioDsp.sineWav(8000, (1000 + (id % 7) * 512).toInt,
+          (200 + (id % 16) * 100).toDouble),
+        "audio/wav", 0, 0)
+    }.toDF()
+  }
 
   /** Messy-URL synthesis for the URL gates, written once as dialect-
     * neutral SQL so BOTH engines evaluate the same expression text: the
@@ -1716,6 +1756,18 @@ object ExtQueries {
         |  'fake/rgb8' AS format,
         |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
         |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the WAV fixture is 1000 + (doc_id % 7) * 512 samples at 8 kHz; the
+    // engine must recover exactly those counts through the RIFF bytes it
+    // wrote, and the STFT framing (512-sample frames, hop 256) is
+    // (n - frame) // hop + 1 — n >= 1000 so at least one frame always
+    "ext_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1000 + (doc_id % 7) * 512 AS INTEGER) AS n_samples,
+        |  CAST((1000 + (doc_id % 7) * 512 - 512) // 256 + 1 AS INTEGER)
+        |    AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_sample_mix" ->
