@@ -413,6 +413,69 @@ object Dedup {
         coalesce(col("canonical_id"), col("id")).as("canonical_id"))
   }
 
+  /** Representative selection by QUALITY, not arrival order: the
+    * component machinery keeps the min id per duplicate cluster — right
+    * for determinism, wrong for corpus value when the earliest-crawled
+    * copy is the boilerplate-mangled one. This labels every doc with its
+    * cluster AND the member that should survive: the max-`scoreCol`
+    * member, ties broken toward the min id so the assignment stays total
+    * and deterministic. Returns (id, canonical_id, rep_id, rep_score).
+    *
+    * Scale shape: the argmax runs only over docs that appear in the pair
+    * graph (dup pairs << corpus in any healthy run), so the per-component
+    * reduction is graph-sized; the corpus pays exactly the joins the
+    * label assignment already paid, plus one join against the graph-sized
+    * `best` frame (broadcast by AQE when it is as small as it should be).
+    * Singleton components never enter the aggregation — they represent
+    * themselves via coalesce.
+    */
+  def keepBestByScore(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairsIn: DataFrame,
+      maxIters: Int = 10,
+      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
+    val pairs = pairsIn.select("id_a", "id_b")
+    val labels = componentsFromPairs(df, idCol, pairs, maxIters,
+      driverMaxEdges)
+    val inGraph = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val scores = df.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("_s"))
+    // per-component argmax as ONE map-combinable aggregate: max of
+    // (score, -id) structs is lexicographic, so ties fall to the min id
+    val best = labels.join(inGraph, Seq("id"), "left_semi")
+      .join(scores, "id")
+      .groupBy("canonical_id")
+      .agg(max(struct(col("_s").as("s"), negate(col("id")).as("negid")))
+        .as("b"))
+      .select(col("canonical_id"), col("b.s").as("_bs"),
+        negate(col("b.negid")).as("_bid"))
+    labels.join(best, Seq("canonical_id"), "left_outer")
+      .join(scores, "id")
+      .select(col("id"), col("canonical_id"),
+        coalesce(col("_bid"), col("id")).as("rep_id"),
+        coalesce(col("_bs"), col("_s")).as("rep_score"))
+  }
+
+  /** The surviving rows themselves: `df` filtered to each cluster's
+    * chosen representative (a semi-join — no corpus-wide row rewrite).
+    */
+  def keepBestSurvivors(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairsIn: DataFrame,
+      maxIters: Int = 10,
+      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
+    val reps = keepBestByScore(df, idCol, scoreCol, pairsIn, maxIters,
+        driverMaxEdges)
+      .filter(col("id") === col("rep_id"))
+      .select(col("id").as(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

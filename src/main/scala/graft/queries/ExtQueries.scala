@@ -388,6 +388,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware representative assignment (oracled): the same
+    // component machinery, but each cluster keeps its LONGEST member
+    // (n_chars as the quality proxy; ties → min id) instead of the
+    // earliest-crawled one. The oracle re-derives components with the
+    // recursive CTE and picks the identical argmax with a deterministic
+    // window — assignment AND representative choice both hash-matched.
+    "ext_dedup_keep_best" -> ((s, dir) => {
+      val docs = gateDocs(s, dir)
+      val gt = sharedGroundTruth(s, dir)
+      Dedup.keepBestByScore(docs, "doc_id", "n_chars", gt)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "canonical_id", "rep_id")
+        .orderBy("doc_id")
+    }),
+
     // Quantified-recall gate for RP-LSH embedding near-dup (the
     // embedding-side analog of ext_minhash_recall): the corpus has no
     // natural near-identical vectors (max background cosine 0.51), so
@@ -1600,6 +1615,42 @@ object ExtQueries {
     // keep themselves via the LEFT JOIN + coalesce.
     "ext_corpus_components" -> CorpusComponentsSql,
     "ext_corpus_components_dist" -> CorpusComponentsSql,
+
+    // components as above, then the per-cluster argmax: longest member,
+    // ties to the min id (the row_number ordering restates Spark's
+    // max(struct(score, -id)) exactly)
+    "ext_dedup_keep_best" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM g x, g y WHERE x.doc_id < y.doc_id
+        |    AND len(list_intersect(x.grams, y.grams))
+        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+        |e AS (SELECT id_a AS id, id_b AS nbr FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id),
+        |lab AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        |full_lab AS (
+        |  SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+        |  WHERE d.doc_id < 500),
+        |ranked AS (
+        |  SELECT canonical_id, doc_id AS rep_id,
+        |    row_number() OVER (PARTITION BY canonical_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM full_lab)
+        |SELECT f.doc_id, f.canonical_id, b.rep_id
+        |FROM full_lab f JOIN ranked b
+        |  ON f.canonical_id = b.canonical_id AND b.rn = 1
+        |ORDER BY f.doc_id""".stripMargin,
 
     "ext_ngram_jaccard" ->
       """WITH g AS (

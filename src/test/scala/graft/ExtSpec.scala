@@ -777,6 +777,29 @@ class ExtSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), labels.filter(_._2 != 0L).take(5).toSeq)
   }
 
+  test("keepBestByScore: clusters keep the max-score member, ties to min id") {
+    import spark.implicits._
+    // cluster {1,2,3}: scores 5, 9, 9 -> rep 2 (max score, tie -> min id);
+    // cluster {10,11}: 11 outscores the min-id canonical -> rep 11, so the
+    // representative genuinely differs from the keep-first choice;
+    // singleton 20 represents itself without entering the aggregation
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 8.0),
+      (20L, 3.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    for (driverMax <- Seq(Long.MaxValue, 0L)) {
+      val out = Dedup.keepBestByScore(docs, "doc_id", "q", pairs,
+        driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out == Map(
+        1L -> (1L, 2L), 2L -> (1L, 2L), 3L -> (1L, 2L),
+        10L -> (10L, 11L), 11L -> (10L, 11L),
+        20L -> (20L, 20L)), s"driverMaxEdges=$driverMax: $out")
+    }
+    val survivors = Dedup.keepBestSurvivors(docs, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L, 11L, 20L))
+  }
+
   test("componentsFromPairs: hitting maxIters unconverged fails loudly") {
     import spark.implicits._
     val corpus = (0L until 200L).toDF("doc_id")
