@@ -78,15 +78,33 @@ object IncrementalLineDedup {
       idCol: String,
       textCol: String,
       storePath: String,
-      sepRegex: String = "\n"): DataFrame = {
+      sepRegex: String = "\n",
+      maxBloomBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val linesPath = s"$storePath/lines"
     val batchFirst = LineDedup.dedupLines(batch, idCol, textCol, sepRegex)
       .withColumn("line_hash", xxhash64(col("line")))
     if (!exists(spark, linesPath)) batchFirst
     else {
-      val collisions = collisionsOf(liveStore(spark, storePath, idCol),
-        batchFirst.select("line_hash").distinct())
-      batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
+      // bloom prefilter (see KeyBloom): hashes every sidecar rejects are
+      // PROVEN absent and cannot produce a collision — pruning them from
+      // the probe set leaves the anti-join below bit-identical, and a
+      // batch of entirely-new lines skips the store scan outright
+      val probeHashes = {
+        val all = batchFirst.select("line_hash").distinct()
+        KeyBloom.loadSidecars(spark, s"$storePath/bloom", maxBloomBytes) match {
+          case None => all
+          case Some(blooms) =>
+            val bc = spark.sparkContext.broadcast(blooms)
+            val mightCollide = udf((h: Long) => bc.value.exists(_.contains(h)))
+            all.filter(mightCollide(col("line_hash")))
+        }
+      }
+      if (probeHashes.isEmpty) batchFirst
+      else {
+        val collisions = collisionsOf(liveStore(spark, storePath, idCol),
+          probeHashes)
+        batchFirst.join(broadcast(collisions), Seq("line_hash"), "left_anti")
+      }
     }
   }
 
@@ -110,9 +128,24 @@ object IncrementalLineDedup {
       spark: SparkSession,
       survivors: DataFrame,
       idCol: String,
-      storePath: String): Unit =
+      storePath: String,
+      bitsPerKey: Int = 16): Unit = {
+    val linesPath = s"$storePath/lines"
+    val bloomPath = s"$storePath/bloom"
+    // sidecar BEFORE the line append (coverage must never lapse — see
+    // KeyBloom); only while coverage holds: store born with blooms, or
+    // blooms armed by compaction. A legacy store stays bloom-less.
+    if (!exists(spark, linesPath) ||
+        StoreTombstones.hasData(spark, bloomPath)) {
+      val hashes = survivors.select("line_hash")
+      val n = hashes.count()
+      if (n > 0)
+        KeyBloom.writeSidecar(spark, bloomPath,
+          KeyBloom.build(spark, hashes, n, bitsPerKey), n)
+    }
     survivors.select(col("line_hash"), col(idCol), col("line_no"))
-      .write.mode("append").parquet(s"$storePath/lines")
+      .write.mode("append").parquet(linesPath)
+  }
 
   /** Ingest one batch: returns the batch's SURVIVING lines
     * (id, line_no, line) — new to the store and first-in-batch — and
@@ -178,7 +211,20 @@ object IncrementalLineDedup {
   def compactStore(
       spark: SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bitsPerKey: Int = 16,
+      maxBloomBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
+    val counts = StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
       Seq(s"$storePath/lines"), targetFileBytes)
+    // re-arm (or first-arm, for a legacy store) the bloom sidecars over
+    // the now-live line hashes; forgotten owners drop out of the bloom
+    // here too (see KeyBloom.rebuild for the over-budget/crash behavior)
+    if (exists(spark, s"$storePath/lines")) {
+      val hashes = spark.read.parquet(s"$storePath/lines")
+        .select("line_hash").distinct()
+      KeyBloom.rebuild(spark, s"$storePath/bloom", hashes, hashes.count(),
+        bitsPerKey, maxBloomBytes)
+    }
+    counts
+  }
 }

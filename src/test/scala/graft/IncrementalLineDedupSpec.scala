@@ -119,6 +119,43 @@ class IncrementalLineDedupSpec extends SparkSpec {
     assert(after === Set((11L, 1, "gone")), s"post-fold probe drifted: $after")
   }
 
+  test("bloom lifecycle: sidecar per ingest, legacy stays bare, compaction arms") {
+    import graft.ext.KeyBloom
+    val store = tmpDir("inclines9") + "/store"
+    IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" < 100), "doc_id", "text", store)
+    IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" >= 100 && $"doc_id" < 200), "doc_id", "text", store)
+    val sidecars = KeyBloom.loadSidecars(spark, s"$store/bloom", Long.MaxValue)
+    assert(sidecars.map(_.size) === Some(2), "one sidecar per registering ingest")
+    // coverage invariant: every committed line hash is in some sidecar
+    val stored = spark.read.parquet(s"$store/lines")
+      .select("line_hash").as[Long].collect()
+    assert(stored.forall(h => sidecars.get.exists(_.contains(h))),
+      "a committed line hash no sidecar covers")
+
+    // legacy store: lines/ without bloom/ -> no partial sidecars, then
+    // compaction rebuilds one covering everything
+    val legacy = tmpDir("inclines10") + "/store"
+    Seq((7L, 1L, 0)).toDF("line_hash", "doc_id", "line_no")
+      .write.parquet(s"$legacy/lines")
+    IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" < 50), "doc_id", "text", legacy)
+    assert(!new java.io.File(s"$legacy/bloom").exists(),
+      "sidecar written that cannot cover the legacy lines")
+    IncrementalLineDedup.compactStore(spark, legacy)
+    val armed = KeyBloom.loadSidecars(spark, s"$legacy/bloom", Long.MaxValue)
+    assert(armed.map(_.size) === Some(1))
+    val all = spark.read.parquet(s"$legacy/lines")
+      .select("line_hash").as[Long].collect()
+    assert(all.forall(armed.get.head.contains),
+      "post-compaction bloom misses a live line hash")
+    // and replay through the armed bloom still collides correctly
+    val replay = IncrementalLineDedup.ingest(spark,
+      lined.filter($"doc_id" < 50), "doc_id", "text", legacy)
+    assert(replay.count() === 0, "replayed lines admitted past the bloom")
+  }
+
   test("probe plan: ONE store scan, batch keys broadcast, store never shuffled") {
     val store = tmpDir("inclines4") + "/store"
     IncrementalLineDedup.ingest(spark,
