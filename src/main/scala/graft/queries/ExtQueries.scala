@@ -749,6 +749,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The SECOND tokenizer family, same end-to-end shape: train the
+    // unigram-LM vocabulary from the shared word histogram (driver-side
+    // Viterbi-EM over the Zipf-bounded histogram), then count pieces per
+    // document (scan-only mapPartitions, broadcast model, word memo).
+    // Vocab budget below whole-word coverage so subword splitting is
+    // real. Not SQL-expressible — rows-only; UnigramLmSpec pins the
+    // golden EM fixed point, totality/losslessness, determinism, and
+    // distributed == driver encode.
+    "ext_unigram_tokens" -> ((s, dir) => {
+      val docs = spreadDocs(s, dir)
+      val model = graft.ext.UnigramLm.train(
+        Bpe.wordHistogram(docs, "text", 20000), vocabSize = 40)
+      graft.ext.UnigramLm.pieceCounts(s, docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic per-group top-n sampling: hash-ranked row_number
     // caps every stratum at exactly 20 docs (vs ext_sample_stratified's
     // rate-based filter) — quota sampling for balanced training mixes,
