@@ -66,7 +66,18 @@ object Bench {
     // a query that THROWS at this SF must be visible in the output, not
     // silently timed as a fast failure — collect names for the JSON line
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 times just those
+    // entries (optionally SPARK_GRAFT_REPEAT=n times each, to separate
+    // steady-state latency from first-run JIT/IO). Unset for the driver's
+    // full run — the artifact contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = (1 to repeat).flatMap(r => selected.map { case (n, fn) =>
+      (if (r == 1) n else s"${n}__r$r") -> fn
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name; -1L }
