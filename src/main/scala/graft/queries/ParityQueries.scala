@@ -628,6 +628,48 @@ object ParityQueries {
       out
     }),
 
+    // §2.9 HARD SIGNAL #2 — STREAM-STREAM interval join through the real
+    // streaming runtime, oracled by DuckDB: clicks and purchases read as
+    // two watermarked file streams, joined by EventIngest.correlate
+    // (same user, purchase within 60 min after the click — the state
+    // store is bounded by the join horizon, see correlate's doc), sunk
+    // via DataStreamWriter(AvailableNow) to parquet, read back, and
+    // hash-matched against the batch self-join — proving the stateful
+    // two-stream path emits exactly the batch-equivalent pair set. The
+    // source parquet is staged as ONE file so the run is one batch and
+    // the initial watermark (epoch) drops nothing.
+    "stream_stream_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val src = s"$work/src"
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(src, "events.parquet"))
+      val clicks = graft.streaming.EventIngest.readEventStream(s, src)
+        .filter(col("event_type") === "click")
+      val purchases = graft.streaming.EventIngest.readEventStream(s, src)
+        .filter(col("event_type") === "purchase")
+      val q = graft.streaming.EventIngest
+        .correlate(clicks, purchases, "user_id", withinMinutes = 60)
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$work/sink")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$work/sink")
+        .select(col("user_id"),
+          col("ts_l").cast("timestamp_ntz").as("ts_l"), col("id_l"),
+          col("ts_r").cast("timestamp_ntz").as("ts_r"), col("id_r"))
+        .orderBy("id_l", "id_r")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Navigation/ranking window family (lag, lead, first_value, ntile,
     // percent_rank) — per-customer order sequence. One shuffle on the
     // partition key; the in-partition order (o_orderdate, o_orderkey) is a
@@ -1466,6 +1508,16 @@ object ParityQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // the streamed two-stream join must equal the batch interval self-join
+    "stream_stream_join" ->
+      """SELECT l.user_id, l.ts AS ts_l, l.event_id AS id_l,
+        |  r.ts AS ts_r, r.event_id AS id_r
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
+        |ORDER BY id_l, id_r""".stripMargin,
 
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
