@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -87,6 +87,36 @@ object ExtQueries {
         TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // Classifier-evaluation family (all three fully oracled): the
+    // measurement half of the learned quality gates. Score = the
+    // rule-based quality score (its SQL restatement already carries
+    // ext_quality_score), label = (lang = 'en') — the corpus's English
+    // docs are longer/stopword-heavier by construction, so the AUC is
+    // informative, and every metric is exact closed-form aggregate
+    // arithmetic (see ext.Eval's scale notes: corpus collapses to
+    // O(distinct scores)/O(bins)/O(1) rows in the first map-combinable
+    // aggregate; the AUC cumulative runs over the aggregated table only).
+    "ext_eval_auc" -> ((s, dir) =>
+      Eval.rocAuc(
+        Tables.documents(s, dir)
+          .select(TextAnalysis.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").as("y")),
+        "score", "y")),
+
+    "ext_eval_confusion" -> ((s, dir) =>
+      Eval.confusionAt(
+        Tables.documents(s, dir)
+          .select(TextAnalysis.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").as("y")),
+        "score", "y", threshold = 0.5)),
+
+    "ext_eval_calibration" -> ((s, dir) =>
+      Eval.calibrationBins(
+        Tables.documents(s, dir)
+          .select(TextAnalysis.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").as("y")),
+        "score", "y", bins = 10)),
 
     // Exact top-k frequent tokens with NO token-level shuffle (oracled):
     // per-partition Misra-Gries candidate summaries, broadcast-filtered
@@ -1236,6 +1266,77 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Shared score CTE for the eval family: the same quality formula as
+    // ext_quality_score's oracle, label = (lang = 'en').
+    "ext_eval_auc" ->
+      """WITH t AS (
+        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(round(length(regexp_replace(text,
+        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
+        |          * 5, 1.0)) * 0.3)
+        |      + (least(round(len(regexp_extract_all(lower(text),
+        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |          * 4, 1.0) * 0.3), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT score, sum(y) AS p, count(*) - sum(y) AS n
+        |  FROM t GROUP BY score),
+        |c AS (
+        |  SELECT p, n, coalesce(sum(n) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g)
+        |SELECT CAST(sum(p) AS BIGINT) AS pos_cnt,
+        |  CAST(sum(n) AS BIGINT) AS neg_cnt,
+        |  CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+        |    round(sum(p * nb + p * n / 2.0) / (sum(p) * sum(n)), 6)
+        |  END AS auc
+        |FROM c""".stripMargin,
+
+    "ext_eval_confusion" ->
+      """WITH t AS (
+        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(round(length(regexp_replace(text,
+        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
+        |          * 5, 1.0)) * 0.3)
+        |      + (least(round(len(regexp_extract_all(lower(text),
+        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |          * 4, 1.0) * 0.3), 6) AS score,
+        |    (lang = 'en') AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN score >= 0.5 AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score >= 0.5 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score < 0.5 AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN score < 0.5 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM t)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp + 0.0), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn + 0.0), 6) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN round(tp * 2 / (tp * 2 + fp + fn + 0.0), 6) END AS f1
+        |FROM a""".stripMargin,
+
+    "ext_eval_calibration" ->
+      """WITH t AS (
+        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(round(length(regexp_replace(text,
+        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
+        |          * 5, 1.0)) * 0.3)
+        |      + (least(round(len(regexp_extract_all(lower(text),
+        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |          * 4, 1.0) * 0.3), 6) AS score,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)
+        |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+        |  count(*) AS cnt, round(avg(score), 6) AS mean_score,
+        |  round(avg(y), 6) AS pos_rate
+        |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
 
     "ext_heavy_hitters" ->
       """SELECT tok AS token, count(*) AS cnt FROM (
