@@ -118,6 +118,38 @@ object ExtQueries {
             (col("lang") === "en").as("y")),
         "score", "y", bins = 10)),
 
+    // Distributed-regression family. ext_linreg_fit: univariate OLS
+    // (l_extendedprice ~ l_quantity) through the generated-expression
+    // normal-equation pass — slope/intercept/R² hash-matched against
+    // DuckDB's regr_* aggregates, so the Gram-solve path is oracled
+    // end-to-end. ext_logreg_step: the full-batch logistic gradient at
+    // w=0, which is LINEAR in the data (σ(0)=0.5) — the one point where
+    // the iterative trainer's distributed pass is exactly SQL-restatable
+    // (full training is spec-gated: RegressionSpec).
+    "ext_linreg_fit" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.ext.Regression.fitLinear(
+        Tables.lineitem(s, dir), "l_extendedprice", Seq("l_quantity"))
+      val r2 = graft.ext.Regression.r2(
+        Tables.lineitem(s, dir), "l_extendedprice", m)
+      Seq((BigDecimal(m.weights(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m.weights(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("slope", "intercept", "r2")
+    }),
+
+    "ext_logreg_step" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.documents(s, dir).select(
+        TextAnalysis.punctRatio(col("text")).as("punct"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop"),
+        (col("lang") === "en").as("y"))
+      val g = graft.ext.Regression.logisticGradient(
+        feats, "y", Seq("punct", "stop"), w = Array(0.0, 0.0, 0.0))
+      Seq((round6(g(0)), round6(g(1)), round6(g(2))))
+        .toDF("d_punct", "d_stop", "d_intercept")
+    }),
+
     // Exact top-k frequent tokens with NO token-level shuffle (oracled):
     // per-partition Misra-Gries candidate summaries, broadcast-filtered
     // exact recount, runtime exactness certificate with a full-aggregate
@@ -1036,6 +1068,10 @@ object ExtQueries {
     */
   @volatile private var linedCache:
       Option[((SparkSession, String), DataFrame)] = None
+  // driver-side HALF_UP rounding matching SQL round() for oracle parity
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def linedDocs(s: SparkSession, dir: String): DataFrame =
     synchronized {
       linedCache match {
@@ -1266,6 +1302,29 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the normal-equation fit must reproduce SQL's closed-form regr_*
+    "ext_linreg_fit" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem""".stripMargin,
+
+    // the w=0 logistic gradient is linear in the data: (1/n)Σ x·(0.5−y)
+    "ext_logreg_step" ->
+      """WITH t AS (
+        |  SELECT round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |      / greatest(length(text), 1), 6) AS punct,
+        |    round(len(regexp_extract_all(lower(text),
+        |        '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |      AS stop,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)
+        |SELECT round(sum(punct * (0.5 - y)) / count(*), 6) AS d_punct,
+        |  round(sum(stop * (0.5 - y)) / count(*), 6) AS d_stop,
+        |  round(sum(0.5 - y) / count(*), 6) AS d_intercept
+        |FROM t""".stripMargin,
 
     // Shared score CTE for the eval family: the same quality formula as
     // ext_quality_score's oracle, label = (lang = 'en').
