@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Link-analysis over corpus graphs: fixed-iteration PageRank on a
+  * DataFrame edge list. The companion to `Dedup`'s connected components
+  * — components tell you WHICH docs form a duplication cluster, PageRank
+  * tells you which nodes are the HUBS (the score crawl pipelines use for
+  * domain/URL authority weighting, and dedup pipelines use to rank the
+  * most-duplicated content for inspection).
+  *
+  * Semantics: classic power iteration,
+  *
+  *   pr_0(v)   = 1/N
+  *   pr_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} pr_t(u)/outdeg(u) + D_t/N )
+  *
+  * with D_t the total rank mass on DANGLING nodes (no out-edges),
+  * redistributed uniformly — the standard correction that keeps Σpr = 1.
+  * Fixed iteration count, no convergence sampling — deterministic given
+  * (edges, iters, damping), which is what lets `ext_pagerank`
+  * hash-match a DuckDB restatement with the iterations unrolled as CTEs.
+  *
+  * Scale shape (the 100 TB lens):
+  *
+  *  - The edge list is hash-partitioned ON src ONCE and checkpointed;
+  *    every iteration's contribution join then co-locates with the rank
+  *    table repartitioned the same way — one shuffle of the (small) rank
+  *    table per iteration, never a re-shuffle of the edges.
+  *  - The per-iteration aggregate on dst is the message-passing shuffle
+  *    every distributed PageRank pays (it IS the algorithm); partial
+  *    aggregation combines contributions map-side first.
+  *  - Each iteration is eagerly localCheckpoint'ed: power iteration
+  *    otherwise stacks t joins of lineage and the plan growth — not the
+  *    data — becomes the bottleneck (the same discipline as
+  *    Dedup.componentsDistributed's rounds).
+  *  - Driver traffic is O(1) per iteration (the dangling-mass scalar);
+  *    ranks/edges never collect.
+  */
+object Graph {
+
+  /** PageRank over `edges` (src → dst). Nodes = every id appearing as a
+    * src or dst. `undirected` doubles each edge into both directions
+    * first. Returns (id, pr) — raw doubles; round at presentation.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85,
+      undirected: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = if (undirected)
+      base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    else base
+    // partition the (big) edge side once; iterations reuse it
+    val e = e0.repartition(parts, col("src")).localCheckpoint(true)
+
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(parts, col("id"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list")
+
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      // dangling mass: rank sitting on nodes with no out-edges (O(1) to
+      // the driver — the only per-iteration driver traffic)
+      val dangling = ranks
+        .join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("outdeg")).as("in_sum"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+              lit(dangling / n))).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -407,6 +407,20 @@ object ExtQueries {
       out
     }),
 
+    // PageRank over the near-dup graph (fully oracled): 3 power
+    // iterations, damping 0.85, over the undirected exact-3-gram pair
+    // graph the recall gates share — ranks the duplication HUBS. The
+    // oracle unrolls the same three iterations as chained CTEs, so the
+    // distributed message-passing loop (contribution join + dst
+    // aggregate + dangling fold) is hash-matched end-to-end.
+    "ext_pagerank" -> ((s, dir) => {
+      val gt = sharedGroundTruth(s, dir)
+      graft.ext.Graph.pageRank(gt, "id_a", "id_b",
+        iters = 3, damping = 0.85, undirected = true)
+        .select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     "ext_corpus_recall" -> ((s, dir) => {
       val docs = gateDocs(s, dir)
       val gt = sharedGroundTruth(s, dir)
@@ -1256,6 +1270,41 @@ object ExtQueries {
       Similarity.ivfBuildPersisted(Tables.embeddings(s, dir), "vec_id",
         "embedding", indexPath(s, dir), nCentroids = 16, iters = IvfIters)
 
+  // PageRank oracle: same 3-gram pair graph as CorpusComponentsSql, three
+  // power iterations UNROLLED (pr0 → pr1 → pr2 → pr3) — non-recursive
+  // CTEs may reference their predecessor freely, so no recursive-CTE
+  // contortions. Undirected graph ⇒ every node has out-edges ⇒ the
+  // dangling term is identically zero here (the Spark side computes it
+  // generally; it folds in 0.0).
+  private val PageRankSql = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT e.dst AS id, sum($prev.pr / deg.outdeg) AS s
+         |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |${cur}p AS (SELECT id, (1 - 0.85) / n.cnt + 0.85 * s AS pr FROM $cur, n),""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_distinct([substr(text, i, 3)
+       |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+       |  FROM documents WHERE doc_id < 500),
+       |p AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM g x, g y WHERE x.doc_id < y.doc_id
+       |    AND len(list_intersect(x.grams, y.grams))
+       |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT count(*) AS cnt FROM deg),
+       |r0p AS (SELECT src AS id, 1.0 / n.cnt AS pr FROM deg, n),
+       |${iter("r0p", "r1")}
+       |${iter("r1p", "r2")}
+       |${iter("r2p", "r3")}
+       |fin AS (SELECT 1)
+       |SELECT id AS doc_id, round(pr, 6) AS pr FROM r3p ORDER BY doc_id""".stripMargin
+  }
+
   private val CorpusComponentsSql =
     """WITH RECURSIVE g AS (
       |  SELECT doc_id,
@@ -1789,6 +1838,7 @@ object ExtQueries {
     // id, which includes id itself via the base case — exactly the
     // min-label semantics of Dedup.componentsFromPairs. Docs in no pair
     // keep themselves via the LEFT JOIN + coalesce.
+    "ext_pagerank" -> PageRankSql,
     "ext_corpus_components" -> CorpusComponentsSql,
     "ext_corpus_components_dist" -> CorpusComponentsSql,
 
