@@ -171,4 +171,28 @@ object TextAnalysis {
         regexp_replace(text, UrlRe, "<URL>"),
         EmailRe, "<EMAIL>"),
       IdRe, "<ID>")
+
+  // ---- compression-ratio quality signal -----------------------------
+
+  /** zlib compression ratio (compressed/raw UTF-8 bytes) — the published
+    * repetitiveness screen: boilerplate and looped spam compress far
+    * below natural prose (≈0.3–0.6), random noise ≈1. Per-row byte work
+    * no Column algebra expresses, so the native `graft_deflate_ratio`
+    * Expression (codegen'd, fused in the scan) carries it when the
+    * session has GraftExtensions; otherwise a documented Scala-UDF
+    * fallback with identical semantics (same static helper) — the same
+    * auto-select discipline as Dedup's hash family.
+    */
+  def compressionRatio(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column =
+    if (spark.catalog.functionExists("graft_deflate_ratio"))
+      call_function("graft_deflate_ratio", text)
+    else {
+      val f = udf((s: String) =>
+        if (s == null) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(
+          graft.functions.DeflateRatioHelper.ratioOf(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))))
+      f(text)
+    }
 }

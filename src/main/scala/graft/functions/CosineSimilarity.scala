@@ -173,5 +173,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_isect"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect"),
       (children: Seq[Expression]) => SortedIntersectSize(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head)))
   }
 }

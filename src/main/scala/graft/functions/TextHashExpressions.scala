@@ -316,3 +316,60 @@ case class MinHashSignature(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): MinHashSignature =
     copy(left = newLeft, right = newRight)
 }
+
+/** JVM-static zlib helper shared by the interpreted and codegen paths of
+  * [[DeflateRatio]] (the generated Java calls the static forwarder).
+  * Deterministic for a fixed JDK's bundled zlib at a fixed level — the
+  * spec gate therefore compares the EXPRESSION against this same helper
+  * run driver-side, not against frozen byte counts.
+  */
+object DeflateRatioHelper {
+  final val Level = 6
+
+  def compressedLen(b: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(Level, /*nowrap=*/ true)
+    try {
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  def ratioOf(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val b = s.getBytes
+    compressedLen(b).toDouble / math.max(b.length, 1)
+  }
+}
+
+/** `graft_deflate_ratio(string) -> double`: zlib-compressed size over raw
+  * UTF-8 size — the published repetitiveness/quality signal (highly
+  * repetitive boilerplate compresses far below natural prose, and random
+  * noise barely compresses at all). Per-row byte work no Column algebra
+  * can express, so this is the custom-Expression tier: one fused pass,
+  * no UDF serialization, stays inside whole-stage codegen. null → null;
+  * empty string → ratio over a 1-byte floor (> 1, callers length-filter
+  * first).
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_deflate_ratio expects string, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_deflate_ratio"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateRatioHelper.ratioOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeflateRatioHelper.ratioOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}

@@ -88,6 +88,17 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // zlib compression-ratio repetitiveness screen (rows-only — DuckDB
+    // has no zlib surface; gated instead by QualitySpec's
+    // expression-vs-driver-helper exact-equality sweep and the
+    // repetitive≪prose≪noise ordering goldens).
+    "ext_compression_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.compressionRatio(s, col("text")), 6)
+          .as("deflate_ratio"))
+        .orderBy("doc_id")),
+
     // Classifier-evaluation family (all three fully oracled): the
     // measurement half of the learned quality gates. Score = the
     // rule-based quality score (its SQL restatement already carries

@@ -872,4 +872,43 @@ class ExtSpec extends SparkSpec {
     assert(pairs.contains((3L, 9003L)),
       s"planted duplicate payload not found: $pairs")
   }
+
+  test("compressionRatio: native expression == driver-side zlib helper exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "zq9#kL!x2@Wp$v8&Tm^c4*Rj(b7)Ne_hY5+uG3-sD1=fA6~iO0`eKqZw"),
+      (4L, "")
+    ).toDF("id", "text")
+    assert(spark.catalog.functionExists("graft_deflate_ratio"),
+      "test session must register GraftExtensions")
+    val got = docs.select(col("id"),
+      graft.ext.TextAnalysis.compressionRatio(spark, col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact-equality oracle: the same static helper, run on the driver
+    for ((id, text) <- Seq(1L -> "the quick brown fox jumps over the lazy dog and keeps going",
+        2L -> "spam spam spam spam spam spam spam spam spam spam spam spam",
+        3L -> "zq9#kL!x2@Wp$v8&Tm^c4*Rj(b7)Ne_hY5+uG3-sD1=fA6~iO0`eKqZw",
+        4L -> ""))
+      assert(got(id) === graft.functions.DeflateRatioHelper.ratioOf(
+        UTF8String.fromString(text)), s"doc $id")
+    // the published ordering the signal exists for: repetitive << prose < noise
+    assert(got(2L) < got(1L) && got(1L) < got(3L), got.toString)
+    // UDF fallback path computes the identical value
+    val viaUdf = {
+      val f = org.apache.spark.sql.functions.udf((s: String) =>
+        graft.functions.DeflateRatioHelper.ratioOf(UTF8String.fromString(s)))
+      docs.filter(col("id") === 2L).select(f(col("text"))).head.getDouble(0)
+    }
+    assert(viaUdf === got(2L))
+  }
+
+  test("compressionRatio: null text stays null") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, "abc")).toDF("id", "text")
+    val rows = d.select(col("id"),
+      graft.ext.TextAnalysis.compressionRatio(spark, col("text")).as("r"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && !rows(1).isNullAt(1))
+  }
 }
