@@ -71,4 +71,97 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Durable INVERTED INDEX: the serving form of BM25. `search` scans
+    * the corpus per query — right for batch scoring, wrong for a query
+    * service over a 100 TB corpus. `buildIndex` pays the corpus scan
+    * ONCE into a postings artifact:
+    *
+    *   path/postings/    (term, <id>, tf, dl) parquet,
+    *                     RANGE-partitioned and sorted by term
+    *   path/_constants   one-line JSON {"n":…,"avgdl":…,"id_col":"…"}
+    *
+    * so `searchIndexed` reads O(matching postings): the term-sorted
+    * layout turns the query's `term IN (…)` into parquet row-group
+    * pruning + pushed filters (each term's postings are contiguous in
+    * one file range), the per-term document frequencies aggregate from
+    * those same rows, and corpus constants come from the sidecar — no
+    * text, no tokenization, no corpus scan on the query path.
+    */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      partitions: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    val parts =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val cRow = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+    require(cRow.getLong(0) > 0, "BM25 buildIndex over an empty corpus")
+    base
+      .select(col(idCol), col("__dl").as("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(parts, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val meta = s"""{"n":${cRow.getLong(0)},"avgdl":${cRow.getDouble(1)},""" +
+      s""""id_col":"$idCol"}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_constants")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try { out.write(meta.getBytes("UTF-8")); out.hsync() } finally out.close()
+  }
+
+  private def readConstants(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Double, String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_constants")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"Bm25.searchIndexed: no index at $path " +
+      "(_constants sidecar missing) — run buildIndex first")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val get = (k: String) =>
+      s""""$k":\\s*("?)([^,}"]+)\\1""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"Bm25 _constants: missing $k in $txt"))
+        .group(2)
+    (get("n").toLong, get("avgdl").toDouble, get("id_col"))
+  }
+
+  /** Query the durable index: same scores as `search` on the indexed
+    * corpus (asserted in Bm25Spec), touching only the query terms'
+    * postings. The `isin` filter PUSHES into the parquet scan; with the
+    * term-sorted layout that is row-group pruning, not a full read.
+    */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val (n, avgdl, idCol) = readConstants(spark, path)
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(query: _*))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    tf.join(broadcast(dfT), "term")
+      .withColumn("__score",
+        idf * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg(round(sum("__score"), 6).as("score"),
+        count(lit(1)).as("matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -58,4 +58,32 @@ class Bm25Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty corpus"))
   }
+
+  test("indexed bm25: score-indistinguishable from the corpus scan") {
+    val path = tmpDir("bm25idx") + "/idx"
+    Bm25.buildIndex(docs, "doc_id", "text", path)
+    for (q <- Seq(Seq("join"), Seq("join", "shuffle"), Seq("filler"))) {
+      val scan = Bm25.search(docs, "doc_id", "text", q, 10)
+        .collect().map(_.toSeq).toSeq
+      val idx = Bm25.searchIndexed(spark, path, q, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(idx === scan, s"query $q")
+    }
+  }
+
+  test("indexed bm25: the term filter pushes into the postings scan") {
+    val path = tmpDir("bm25push") + "/idx"
+    Bm25.buildIndex(docs, "doc_id", "text", path)
+    val plan = Bm25.searchIndexed(spark, path, Seq("join", "shuffle"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN must reach the parquet scan:\n$plan")
+  }
+
+  test("indexed bm25: querying a missing index fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Bm25.searchIndexed(spark, tmpDir("bm25none") + "/nope", Seq("x"), 5)
+    }
+    assert(e.getMessage.contains("buildIndex"))
+  }
 }
