@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus DATA CARD — the one-call datasheet a training-data
+  * release ships with (datasheets-for-datasets practice): size, token
+  * budget, language composition, quality and PII exposure, exact-dup
+  * rate, in ONE tidy long-format (metric, value) table that diffs
+  * trivially across corpus versions.
+  *
+  * Distinct from `ops.Profile` (per-COLUMN null/distinct census): this
+  * is the corpus-level content summary.
+  *
+  * Scale shape: ONE map-combinable aggregate pass over the corpus for
+  * every scalar metric (the dup-rate's distinct-hash count rides the
+  * same pass as approx? no — it is exact, via count(distinct hash) in
+  * the same agg: Spark plans one Expand+two-stage aggregate, still a
+  * single scan), plus one O(languages) groupBy for the composition
+  * rows. Output is O(metrics + languages) — driver-sized by
+  * construction. All arithmetic is deterministic and SQL-restatable,
+  * so `ext_data_card` is DuckDB-oracled end-to-end.
+  */
+object DataCard {
+
+  /** @return (metric, value) rows, ordered by metric:
+    *   n_docs, total_tokens, avg_tokens, mean_quality, pct_empty,
+    *   exact_dup_rate, pii_email_rate, lang_share_<lang>...
+    */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col(textCol)
+    val toks = TextAnalysis.tokenCount(t)
+    val head = docs.agg(
+      count(lit(1)).as("n"),
+      sum(toks.cast("long")).as("tot"),
+      avg(toks).as("avgt"),
+      avg(TextAnalysis.qualityScore(t)).as("q"),
+      sum(when(length(trim(t)) === 0, 1L).otherwise(0L)).as("empty"),
+      countDistinct(md5(t)).as("dh"),
+      sum(when(TextAnalysis.piiCount(t, TextAnalysis.EmailRe) > 0, 1L)
+        .otherwise(0L)).as("email")).head()
+    val n = head.getLong(0)
+    require(n > 0, "DataCard over an empty corpus")
+    val scalars = Seq(
+      "n_docs" -> n.toDouble,
+      "total_tokens" -> head.getLong(1).toDouble,
+      "avg_tokens" -> head.getDouble(2),
+      "mean_quality" -> head.getDouble(3),
+      "pct_empty" -> head.getLong(4).toDouble / n,
+      "exact_dup_rate" -> (1.0 - head.getLong(5).toDouble / n),
+      "pii_email_rate" -> head.getLong(6).toDouble / n
+    ).toDF("metric", "value")
+    val langs = docs.groupBy(col(langCol).as("l"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("lang_share_"), coalesce(col("l"), lit("null")))
+        .as("metric"), (col("cnt") / lit(n.toDouble)).as("value"))
+    scalars.unionByName(langs)
+      .select(col("metric"), round(col("value"), 6).as("value"))
+      .orderBy("metric")
+  }
+}

@@ -88,6 +88,13 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Corpus data card (fully oracled): the long-format datasheet —
+    // size, token budget, language composition, quality, PII exposure,
+    // exact-dup rate — one aggregate pass + one O(langs) groupBy.
+    "ext_data_card" -> ((s, dir) =>
+      graft.ext.DataCard.corpusCard(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
     // zlib compression-ratio repetitiveness screen (rows-only — DuckDB
     // has no zlib surface; gated instead by QualitySpec's
     // expression-vs-driver-helper exact-equality sweep and the
@@ -1400,6 +1407,44 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_data_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |    round((least(length(text) / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(round(length(regexp_replace(text,
+        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
+        |          * 5, 1.0)) * 0.3)
+        |      + (least(round(len(regexp_extract_all(lower(text),
+        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+        |          * 4, 1.0) * 0.3), 6) AS q
+        |  FROM documents),
+        |s AS (
+        |  SELECT count(*) AS n, sum(toks) AS tot, avg(toks) AS avgt,
+        |    avg(q) AS mq,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS emp,
+        |    count(DISTINCT md5(text)) AS dh,
+        |    sum(CASE WHEN len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |      THEN 1 ELSE 0 END) AS email
+        |  FROM t),
+        |card AS (
+        |  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM s
+        |  UNION ALL SELECT 'total_tokens', tot::DOUBLE FROM s
+        |  UNION ALL SELECT 'avg_tokens', avgt FROM s
+        |  UNION ALL SELECT 'mean_quality', mq FROM s
+        |  UNION ALL SELECT 'pct_empty', emp / (n * 1.0) FROM s
+        |  UNION ALL SELECT 'exact_dup_rate', 1.0 - dh / (n * 1.0) FROM s
+        |  UNION ALL SELECT 'pii_email_rate', email / (n * 1.0) FROM s
+        |  UNION ALL
+        |  SELECT 'lang_share_' || coalesce(lang, 'null'),
+        |    count(*) / ((SELECT n FROM s) * 1.0)
+        |  FROM t GROUP BY lang)
+        |SELECT metric, round(value, 6) AS value FROM card
+        |ORDER BY metric""".stripMargin,
 
     // the normal-equation fit must reproduce SQL's closed-form regr_*
     "ext_linreg_fit" ->
