@@ -77,4 +77,46 @@ object Drift {
       .agg(sum("contrib")).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0) // both sides empty = no drift signal
   }
+
+  /** DENSE per-bin non-null counts (same clamped binning as
+    * psiFixedBins) — the precomputable half of a PSI comparison. A
+    * streaming monitor freezes the reference side as this array ONCE
+    * and never rescans it per micro-batch (see
+    * streaming.StreamingDrift); one O(bins) aggregate per call.
+    */
+  def binCounts(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): Array[Long] = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and bins > 0: [$lo,$hi) x$nBins")
+    val w = (hi - lo) / nBins
+    val b = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)),
+      lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .groupBy(b.as("bin")).agg(count(lit(1)).as("n"))
+      .collect()
+    val out = new Array[Long](nBins)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** PSI from two dense count arrays — identical arithmetic to the
+    * DataFrame form (proportions over non-null totals, eps clamp; a bin
+    * empty on BOTH sides contributes ln(eps/eps)=0, exactly as its
+    * absence from psiFixedBins' sparse report does — asserted
+    * equivalent in DriftSpec). Either side fully empty → 0.0 (no
+    * signal), matching `psi`.
+    */
+  def psiFromCounts(refCounts: Array[Long], curCounts: Array[Long],
+      eps: Double = 1e-6): Double = {
+    require(refCounts.length == curCounts.length,
+      s"bin mismatch: ${refCounts.length} vs ${curCounts.length}")
+    val nr = refCounts.sum.toDouble
+    val nc = curCounts.sum.toDouble
+    if (nr == 0 || nc == 0) return 0.0
+    refCounts.indices.map { i =>
+      val p = math.max(refCounts(i) / nr, eps)
+      val q = math.max(curCounts(i) / nc, eps)
+      val c = (q - p) * math.log(q / p)
+      math.rint(c * 1e9) / 1e9 // same round-9 as the report's contrib
+    }.sum
+  }
 }

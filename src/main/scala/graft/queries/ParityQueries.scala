@@ -670,6 +670,34 @@ object ParityQueries {
       out
     }),
 
+    // §2.9 — streaming PSI drift monitor through the real runtime,
+    // oracled: events staged as ONE file (one micro-batch), monitored
+    // against a frozen reference histogram (the value<=100 subset — a
+    // deliberately narrower distribution, so the PSI is decisively
+    // nonzero), metrics row read back from the durable exactly-once
+    // table and hash-matched against DuckDB restating the dense-bin
+    // PSI arithmetic.
+    "stream_drift_monitor" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+      val src = s"$work/src"
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(src, "events.parquet"))
+      val ref = Tables.events(s, dir).filter(col("value") <= 100)
+      val refCounts = graft.ops.Drift.binCounts(ref, "value", 0.0, 500.0, 10)
+      graft.streaming.StreamingDrift.monitorAvailableNow(s,
+        graft.streaming.EventIngest.readEventStream(s, src), "value",
+        refCounts, 0.0, 500.0, 10, s"$work/metrics", s"$work/ckpt")
+      val out = s.read.parquet(s"$work/metrics")
+        .select(col("batch_id"), col("n_rows"), round(col("psi"), 6).as("psi"))
+        .orderBy("batch_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Navigation/ranking window family (lag, lead, first_value, ntile,
     // percent_rank) — per-customer order sequence. One shuffle on the
     // partition key; the in-partition order (o_orderdate, o_orderkey) is a
@@ -1518,6 +1546,32 @@ object ParityQueries {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
         |ORDER BY id_l, id_r""".stripMargin,
+
+    // dense-bin PSI of the full stream vs the value<=100 reference: bins
+    // [0,500) x10, eps 1e-6, per-term round 9, headline round 6 — the
+    // exact arithmetic of Drift.psiFromCounts
+    "stream_drift_monitor" ->
+      """WITH bins AS (SELECT unnest(range(0, 10)) AS bin),
+        |r AS (
+        |  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM events WHERE value <= 100 GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT bins.bin,
+        |    greatest(coalesce(r.n, 0) * 1.0 / (SELECT sum(n) FROM r), 1e-6)
+        |      AS p,
+        |    greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM c), 1e-6)
+        |      AS q
+        |  FROM bins LEFT JOIN r ON bins.bin = r.bin
+        |    LEFT JOIN c ON bins.bin = c.bin)
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  (SELECT sum(n) FROM c) AS n_rows,
+        |  round(sum(round((q - p) * ln(q / p), 9)), 6) AS psi
+        |FROM d""".stripMargin,
 
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
