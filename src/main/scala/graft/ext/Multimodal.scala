@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * default decode: `ContainerCodec` parses actual PNG and WAV/PCM
   * container headers (CRC-checked IHDR geometry; RIFF chunk walk with a
   * real RMS over the 16-bit samples) with no external libraries.
-  * Compressed PIXEL decode (IDAT/JPEG/ffmpeg) still needs a native
-  * codec in production; `StubCodec` remains the deterministic fallback
-  * for unrecognized payloads and the fake test media.
+  * Compressed pixel decode is REAL for PNG (java.util.zip.Inflater +
+  * scanline unfilters) and JPEG (the JDK's bundled ImageIO codec);
+  * video/MP3 still need a native codec in production. `StubCodec`
+  * remains the deterministic fallback for unrecognized payloads and
+  * the fake test media.
   *
   * Batched `mapPartitions` is the Scala analog of Python's mapInPandas:
   * rows are processed in fixed-size batches so a vectorized/native codec
@@ -75,9 +77,10 @@ object Multimodal {
     * geometry from the fmt chunk plus a real RMS amplitude over the PCM
     * samples). Formats are sniffed from magic bytes, not trusted from
     * the metadata column; unrecognized payloads fall back to StubCodec's
-    * byte statistics, so the operator is total. JPEG/MP3 remain the
-    * documented boundary — their entropy coders genuinely need codec
-    * libraries this environment lacks.
+    * byte statistics, so the operator is total. JPEG pixels decode for
+    * real too — through the JDK's own ImageIO codec (java.desktop,
+    * headless-safe, no external library). MP3 remains the documented
+    * boundary.
     *
     * Feature layout (array<float>, so width may vary by what decoded;
     * the downstream schema is codec-independent):
@@ -86,6 +89,7 @@ object Multimodal {
     *                     meanR, meanG, meanB, luminance]  (means 0..1;
     *                     gray replicates into R=G=B; luminance is the
     *                     BT.601 weighting 0.299R + 0.587G + 0.114B)
+    *   JPEG:            [width, height, meanR, meanG, meanB, luminance]
     *   WAV: [channels, sampleRate, durationSec, rms]
     */
   object ContainerCodec extends MediaCodec {
@@ -312,11 +316,54 @@ object Multimodal {
           rms.toFloat)))
     }
 
+    private[ext] def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+
+    /** JPEG: REAL pixel decode through the JDK's bundled ImageIO codec
+      * (java.desktop ships a baseline+progressive JPEG decoder — pure
+      * JVM, headless-safe, no external library; the entropy coder we
+      * previously documented as a boundary is in the JDK after all).
+      * Features mirror the PNG pixel layout without the PNG-specific
+      * header fields: [width, height, meanR, meanG, meanB, luminance],
+      * means in 0..1 over the decoded RGB. A payload ImageIO rejects
+      * (truncated/corrupt) falls through to byte statistics — the
+      * operator stays total. MP3 remains the documented boundary.
+      */
+    private def decodeJpeg(r: MediaRow): Option[MediaFeatures] =
+      try {
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        if (im == null || im.getWidth <= 0 || im.getHeight <= 0) None
+        else {
+          val w = im.getWidth; val h = im.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val mr = (sr.toDouble / n / 255.0).toFloat
+          val mg = (sg.toDouble / n / 255.0).toFloat
+          val mb = (sb.toDouble / n / 255.0).toFloat
+          val lum = 0.299f * mr + 0.587f * mg + 0.114f * mb
+          Some(MediaFeatures(r.doc_id, r.media.length, "image/jpeg",
+            byteChecksum(r.media), Array(w.toFloat, h.toFloat, mr, mg, mb, lum)))
+        }
+      } catch { case _: java.io.IOException => None }
+
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val parsed =
           if (isPng(r.media)) decodePng(r)
           else if (isWav(r.media)) decodeWav(r)
+          else if (isJpeg(r.media)) decodeJpeg(r)
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }

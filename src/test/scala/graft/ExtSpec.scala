@@ -911,4 +911,43 @@ class ExtSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(rows(0).isNullAt(1) && !rows(1).isNullAt(1))
   }
+
+  test("multimodal: JPEG pixels decode for real through the JDK codec") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+
+    def jpegBytes(w: Int, h: Int, paint: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, paint(x, y))
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "jpg", out), "JDK JPEG writer absent")
+      out.toByteArray
+    }
+
+    import spark.implicits._
+    val red = jpegBytes(16, 8, (_, _) => 0xff0000)
+    val halves = jpegBytes(32, 32, (x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val truncated = red.take(40) // valid magic, dies in the entropy coder
+    val media = Seq(
+      Multimodal.MediaRow(1L, red, "image/jpeg", 0, 0),
+      Multimodal.MediaRow(2L, halves, "image/jpeg", 0, 0),
+      Multimodal.MediaRow(3L, truncated, "image/jpeg", 0, 0)).toDF()
+    val f = Multimodal.extractFeatures(spark, media, batchSize = 2)
+      .collect().map(x => x.doc_id -> x).toMap
+
+    // geometry is exact; solid red decodes to means ~(1,0,0) (JPEG is
+    // lossy but near-exact on solid blocks)
+    assert(f(1L).format == "image/jpeg")
+    val Array(w1, h1, r1, g1, b1, lum1) = f(1L).feature
+    assert(w1 == 16f && h1 == 8f)
+    assert(r1 > 0.9f && g1 < 0.2f && b1 < 0.2f, f(1L).feature.toSeq.toString)
+    assert(math.abs(lum1 - (0.299f * r1 + 0.587f * g1 + 0.114f * b1)) < 1e-6)
+    // half-black/half-white: every channel mean ~0.5
+    val Array(w2, h2, r2, g2, b2, _) = f(2L).feature
+    assert(w2 == 32f && h2 == 32f)
+    for (m <- Seq(r2, g2, b2))
+      assert(math.abs(m - 0.5f) < 0.05f, f(2L).feature.toSeq.toString)
+    // truncated payload: total operator, falls back to byte stats
+    assert(f(3L).format == "image/jpeg" && f(3L).feature.length == 4)
+  }
 }
