@@ -435,6 +435,122 @@ object ParityQueries {
           .as("revenue"), count(lit(1)).as("cnt"))
         .orderBy("r_name", "n_name")),
 
+    // TPC-H-Q6-shaped revenue forecast: the pure scan-filter-agg shape —
+    // every predicate pushes to the parquet scan, no join, no shuffle
+    // beyond the single-row final aggregate.
+    "tpch_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))),
+
+    // TPC-H-Q7-shaped bilateral trade volume: the fact table meets TWO
+    // roles of the same dim (supplier nation, customer nation) — both
+    // broadcast — with the symmetric country-pair filter and a per-year
+    // rollup.
+    "tpch_q7_volume" -> ((s, dir) => {
+      val n1 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H-Q8-shaped market share: a nation's share of PROMO-part
+    // revenue among one region's customers, by order year — conditional
+    // aggregate over a 7-way join (every dim broadcast, one fact shuffle).
+    "tpch_q8_mktshare" -> ((s, dir) => {
+      val suppNation = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H-Q14-shaped promo share: conditional-aggregate ratio over a
+    // month of shipments joined to the part dim (broadcast).
+    "tpch_q14_promo" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0.0)) /
+          sum(col("volume")), 6).as("promo_revenue"))),
+
+    // TPC-H-Q19-shaped disjunctive-predicate join: three OR'd
+    // brand/size/quantity envelopes — the shape that punishes engines
+    // which can't keep a disjunction inside one broadcast join.
+    "tpch_q19_disjunctive" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#5" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))),
+
+    // TPC-H-Q22-shaped idle-customer report: above-average balances with
+    // no URGENT orders (this corpus gives every customer SOME order, so
+    // the classic no-orders form is vacuously empty) — the shape is the
+    // point: scalar aggregate broadcast into the plan (no driver
+    // round-trip), then a left-anti join against the filtered fact.
+    "tpch_q22_idle" -> ((s, dir) => {
+      val avgBal = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      Tables.customer(s, dir)
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
     // broadcasts into the orders⨝lineitem fact join; unshipped-revenue
     // top-10 via TakeOrderedAndProject (never a global sort).
@@ -1394,6 +1510,73 @@ object ParityQueries {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "tpch_q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "tpch_q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q22_idle" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "tpch_q18_large_orders" ->
       """WITH big AS (
