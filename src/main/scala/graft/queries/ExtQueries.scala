@@ -584,6 +584,36 @@ object ExtQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
     }),
 
+    // PCA-ASSISTED ANN (oracled by EQUALITY with exact search, the PQ
+    // stack's discipline): fit a 32-dim PCA on the 64-dim corpus,
+    // shortlist 100 candidates by cosine in the projected subspace (at
+    // scale this is the cheap first pass over billions of vectors),
+    // then exact re-rank ONLY the shortlist in full dimension. The
+    // oracle is the same exact-search SQL — a missed true-top-10 vector
+    // fails the hash, so the dim-reduction path carries a hard gate.
+    // k=32 because this synthetic corpus is ISOTROPIC (flat spectrum —
+    // PCA's worst case: measured, k=8 preserves almost no neighbor
+    // order); real embedding corpora concentrate variance and tolerate
+    // far smaller k. The gate stays honest either way.
+    "ext_pca_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVector(s, dir)
+      val model = graft.ext.Pca.fit(emb, "embedding", k = 32)
+      val qp = model.components.map(w =>
+        q.zip(model.mean).zip(w).map { case ((x, m), wi) => (x - m) * wi }.sum)
+      val cos = Similarity.cosineAuto(s) _
+      val shortlist = graft.ext.Pca.transform(emb, "embedding", model, "p")
+        .select(col("vec_id"), cos(col("p"), lit(qp)).as("ps"))
+        .orderBy(col("ps").desc, col("vec_id").asc)
+        .limit(100)
+      emb.join(shortlist.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"),
+          round(cos(Similarity.asDouble(col("embedding")),
+            lit(q.toArray)), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Pairwise cosine above threshold on a bounded subset (oracled).
     "ext_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairsAbove(
@@ -1232,7 +1262,7 @@ object ExtQueries {
   /** The query vector: embedding of vec_id=0, fetched driver-side as a
     * query PARAMETER (one row — not a data collect).
     */
-  private def queryVector(s: SparkSession, dir: String): Seq[Double] =
+  private[graft] def queryVector(s: SparkSession, dir: String): Seq[Double] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
 
@@ -1731,6 +1761,17 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "ext_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |    AS score
+        |FROM e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // PCA-ANN: equality-with-exact-search gate, same oracle as the
+    // brute-force and PQ paths.
+    "ext_pca_ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT e.vec_id,
