@@ -1752,7 +1752,7 @@ object ParityQueries {
         |  FROM bins LEFT JOIN r ON bins.bin = r.bin
         |    LEFT JOIN c ON bins.bin = c.bin)
         |SELECT CAST(0 AS BIGINT) AS batch_id,
-        |  (SELECT sum(n) FROM c) AS n_rows,
+        |  CAST((SELECT sum(n) FROM c) AS BIGINT) AS n_rows,
         |  round(sum(round((q - p) * ln(q / p), 9)), 6) AS psi
         |FROM d""".stripMargin,
 
