@@ -439,6 +439,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Contrastive triplets from the same pair graph (fully oracled):
+    // (anchor, positive) = near-dup pair, negative = in-batch rotation
+    // with the true-neighbor safety filter — the supervision set an
+    // embedding model trains on, derived entirely from dedup output.
+    "ext_triplets" -> ((s, dir) =>
+      graft.ext.Triplets.inBatchTriplets(sharedGroundTruth(s, dir))
+        .orderBy("anchor", "positive")),
+
     "ext_corpus_recall" -> ((s, dir) => {
       val docs = gateDocs(s, dir)
       val gt = sharedGroundTruth(s, dir)
@@ -1973,6 +1981,32 @@ object ExtQueries {
     // id, which includes id itself via the base case — exactly the
     // min-label semantics of Dedup.componentsFromPairs. Docs in no pair
     // keep themselves via the LEFT JOIN + coalesce.
+    "ext_triplets" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM g x, g y WHERE x.doc_id < y.doc_id
+        |    AND len(list_intersect(x.grams, y.grams))
+        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+        |r AS (
+        |  SELECT id_a AS anchor, id_b AS positive,
+        |    coalesce(lead(id_b) OVER (ORDER BY id_a, id_b),
+        |      first_value(id_b) OVER (ORDER BY id_a, id_b
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |      AS negative
+        |  FROM p),
+        |e AS (SELECT id_a AS e_a, id_b AS e_b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p)
+        |SELECT anchor, positive, negative FROM r
+        |WHERE negative != anchor AND negative != positive
+        |  AND NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.e_a = r.anchor AND e.e_b = r.negative)
+        |ORDER BY anchor, positive""".stripMargin,
+
     "ext_pagerank" -> PageRankSql,
     "ext_corpus_components" -> CorpusComponentsSql,
     "ext_corpus_components_dist" -> CorpusComponentsSql,
