@@ -158,4 +158,33 @@ object Mix {
       .select(col("__id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis–
+    * Spirakis A-ES, the published one-pass reservoir recipe): each row
+    * gets key ln(u)/w with u a hash-uniform of its id (md5, 60 bits →
+    * (0,1]) and w its weight; the k LARGEST keys are a weighted sample
+    * without replacement. No randomness, no seed — selection is a pure
+    * function of (ids, weights, k), identical on any engine/partitioning,
+    * which is what lets `ext_sample_weighted` hash-match DuckDB.
+    *
+    * Scale shape: one scan computing the key expression (codegen
+    * arithmetic on md5 — no shuffle), then TakeOrderedAndProject for the
+    * top-k (per-partition heaps, never a global sort). Rows with
+    * non-positive or null weight are REJECTED loudly (ln(u)/w flips
+    * sign and would silently win every slot).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sampleWeighted: k must be >= 1, got $k")
+    val bad = df.filter(col(weightCol).isNull || col(weightCol) <= 0).count()
+    require(bad == 0,
+      s"sampleWeighted: $bad rows carry null/non-positive '$weightCol' — " +
+        "weights must be strictly positive (filter or floor them first)")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + 1.0) / math.pow(2.0, 60)
+    df.withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__aes_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__aes_key")
+  }
 }

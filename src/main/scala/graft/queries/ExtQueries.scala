@@ -914,6 +914,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Weighted sample without replacement (oracled): A-ES keys over
+    // n_chars weights — longer docs proportionally likelier, selection a
+    // pure function of (ids, weights, k). TakeOrdered top-k, no global
+    // sort.
+    "ext_sample_weighted" -> ((s, dir) =>
+      Mix.sampleWeighted(Tables.documents(s, dir), "doc_id", "n_chars", 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // Deterministic per-group top-n sampling: hash-ranked row_number
     // caps every stratum at exactly 20 docs (vs ext_sample_stratified's
     // rate-based filter) — quota sampling for balanced training mixes,
@@ -2215,6 +2224,19 @@ object ExtQueries {
         |      FROM documents)
         |SELECT doc_id, r.lang, source FROM r JOIN q ON r.lang = q.lang
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted sampling: same 60-bit md5 uniform + ln(u)/w keys
+    "ext_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS UBIGINT) + 1.0) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM t
+        |  ORDER BY k DESC, doc_id ASC LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_sample_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

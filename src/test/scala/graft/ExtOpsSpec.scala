@@ -568,4 +568,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx $approx vs exact $exact")
   }
+
+  test("sampleWeighted: deterministic, partitioning-invariant, weight-sensitive") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 400L).map(i => (i, if (i <= 20) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val a = graft.ext.Mix.sampleWeighted(df.repartition(1), "id", "w", 30)
+      .select("id").as[Long].collect().toSet
+    val b = graft.ext.Mix.sampleWeighted(df.repartition(13), "id", "w", 30)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "selection must not depend on partitioning")
+    assert(a.size === 30)
+    // the 20 heavy rows (1000x weight) should dominate the sample
+    assert(a.count(_ <= 20L) >= 15, s"heavy rows under-sampled: $a")
+  }
+
+  test("sampleWeighted: non-positive weights fail loudly") {
+    val df = Seq((1L, 2.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Mix.sampleWeighted(df, "id", "w", 1)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
 }
