@@ -37,7 +37,12 @@ val headline = Seq(
   ("ext_ivfpq_topk", "IVF-PQ probe: vector-free codes scan, ADC Column exprs, broadcast re-rank"),
   ("ext_ivfpq_topk_persisted", "durable IVF-PQ probe: centroid_id PartitionFilters on codes AND re-rank scans, zero re-encode"),
   ("ext_line_dedup", "line-level keep-first: ONE packed-key HashAggregate, no window, no partition sort"),
-  ("ext_decontaminate_embed", "semantic decontamination: broadcast nested-loop LEFT SEMI, corpus unshuffled"))
+  ("ext_decontaminate_embed", "semantic decontamination: broadcast nested-loop LEFT SEMI, corpus unshuffled"),
+  ("tpch_q8_mktshare", "Q8 shape: 7-way join — every dim broadcast, ZERO SortMergeJoin, one fact shuffle"),
+  ("ext_bm25_indexed", "durable inverted index: term IN pushed into the postings scan, no corpus read"),
+  ("ext_eval_auc", "ROC-AUC: corpus collapses to score groups map-side; window over the aggregate only"),
+  ("ext_pca_ann_topk", "PCA-ANN: subspace shortlist TakeOrdered, exact re-rank semi-join only"),
+  ("ext_sample_weighted", "A-ES weighted sample: key arithmetic in the scan, TakeOrdered, no global sort"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
