@@ -172,6 +172,31 @@ object TextAnalysis {
         EmailRe, "<EMAIL>"),
       IdRe, "<ID>")
 
+  // ---- normalization ------------------------------------------------
+
+  /** Canonical text normalization for dedup/hash pipelines (the CCNet
+    * step order): Unicode NFC (native `graft_nfc` when the session has
+    * GraftExtensions, else a same-helper UDF fallback), control chars →
+    * space, whitespace runs collapsed, trimmed, lowercased. Normalizing
+    * BEFORE hashing is what keeps 'é' (composed) and 'e'+combining-acute
+    * in one dedup bucket.
+    */
+  def normalize(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column = {
+    val nfc =
+      if (spark.catalog.functionExists("graft_nfc"))
+        call_function("graft_nfc", text)
+      else {
+        val f = udf((s: String) =>
+          if (s == null) null
+          else graft.functions.NfcNormalizeHelper.nfc(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+        f(text)
+      }
+    lower(trim(regexp_replace(
+      regexp_replace(nfc, "[\\p{Cntrl}]", " "), "\\s+", " ")))
+  }
+
   // ---- compression-ratio quality signal -----------------------------
 
   /** zlib compression ratio (compressed/raw UTF-8 bytes) — the published

@@ -102,4 +102,61 @@ object Urls {
       .groupBy(col("url_canon"))
       .agg(min(col(idCol)).as("first_" + idCol),
         count(lit(1)).as("n_dups"))
+
+  /** Two-level public suffixes for the registrable-domain heuristic —
+    * the high-traffic entries of the public suffix list (the FULL PSL is
+    * a data file a production crawl ships alongside; this literal set is
+    * the same mechanism at reduced coverage, and unknown two-level
+    * suffixes degrade to eTLD+1 = last two labels, never to a crash).
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.sg", "com.tr", "com.ar")
+
+  /** Registrable domain (eTLD+1 heuristic) of a HOST column: the last
+    * two labels, or three when the last two form a known two-level
+    * public suffix — the key crawl pipelines group by for quotas,
+    * politeness, and per-site stats. Pure Column expression (one
+    * regexp per suffix-arity), null/IP-safe (IPs pass through whole).
+    */
+  def registrableDomain(host: Column): Column = {
+    val h = lower(host)
+    val isIp = h.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")
+    val last2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val suffixIsTwoLevel = TwoLevelSuffixes
+      .map(sfx => h.endsWith("." + sfx) || h === sfx)
+      .reduce(_ || _)
+    when(h.isNull || h === "", null)
+      .when(isIp, h)
+      .when(suffixIsTwoLevel && last3 =!= "", last3)
+      .otherwise(when(last2 === "", h).otherwise(last2))
+  }
+
+  /** Per-domain quota: keep at most `maxPerDomain` rows per registrable
+    * domain of the canonical URL's host, selected by deterministic
+    * (md5(id), id) rank — the crawl-diversity cap that stops one domain
+    * from dominating a training mix. Engine-portable: selection is a
+    * pure function of (ids, domains, cap) at any partitioning.
+    */
+  def domainQuota(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxPerDomain: Int,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    require(!df.columns.contains("domain"), "'domain' column is reserved")
+    val host = lower(try_parse_url(trim(col(urlCol)), lit("HOST")))
+    val withDomain = df.withColumn("domain",
+      registrableDomain(regexp_replace(host, "^www\\.", "")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    withDomain
+      .filter(col("domain").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerDomain)
+      .drop("__rn")
+  }
 }

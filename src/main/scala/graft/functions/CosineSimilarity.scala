@@ -177,5 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),
       (children: Seq[Expression]) => DeflateRatio(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -373,3 +373,43 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
 }
+
+/** Static helper for [[NfcNormalize]] (generated code calls the
+  * forwarder). NFC via `java.text.Normalizer` — pure JVM, locale-free,
+  * deterministic for a fixed JDK's Unicode tables.
+  */
+object NfcNormalizeHelper {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+}
+
+/** `graft_nfc(string) -> string`: Unicode NFC normalization — the first
+  * step of every published text-dedup recipe (CCNet-class pipelines
+  * normalize before hashing, or visually-identical strings hash apart:
+  * 'é' composed vs 'e'+combining-acute). Spark ships no NFC function,
+  * so this is the custom-Expression tier: java.text.Normalizer behind a
+  * codegen'd call, null-safe, no UDF on the hot path.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalizeHelper.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalizeHelper.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

@@ -1058,6 +1058,26 @@ object ExtQueries {
     // expression text runs in both engines); Spark canonicalizes via
     // the parse_url-based operator, the oracle via an independent
     // regex implementation — a genuine differential check.
+    // Canonical text normalization (oracled): NFC (native graft_nfc) →
+    // control chars → collapsed whitespace → lower — the pre-hash step
+    // of every dedup recipe, as one codegen'd expression chain.
+    "ext_text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalize(s, col("text")).as("text_norm"))
+        .orderBy("doc_id")),
+
+    // Per-domain crawl quota (oracled): cap any registrable domain at 10
+    // docs (the synth corpus has 25/domain, so the cap genuinely drops rows) — the diversity cap that
+    // stops one domain from dominating a training mix.
+    "ext_domain_quota" -> ((s, dir) =>
+      Urls.domainQuota(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(UrlSynthSql).as("url")),
+        "doc_id", "url", maxPerDomain = 10)
+        .select("doc_id", "domain")
+        .orderBy("domain", "doc_id")),
+
     "ext_url_canonical" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -2348,6 +2368,28 @@ object ExtQueries {
         |      WHERE b.line IS NULL)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_text_normalize" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // host from the synthesized URL, www-stripped; every synth host is a
+    // plain two-label .com, so registrable domain = the last two labels
+    "ext_domain_quota" ->
+      ("""WITH u0 AS (SELECT doc_id, (""" + UrlSynthSql + """) AS u FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_extract(lower(regexp_replace(
+        |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1),
+        |    '^www\.', '')), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u0),
+        |r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM h WHERE domain IS NOT NULL AND domain != '')
+        |SELECT doc_id, domain FROM r WHERE rn <= 10
+        |ORDER BY domain, doc_id""").stripMargin,
+
 
     "ext_url_canonical" ->
       s"$UrlCanonOracleCtes\nSELECT doc_id, url_canon FROM c ORDER BY doc_id",

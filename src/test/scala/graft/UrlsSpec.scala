@@ -102,4 +102,55 @@ class UrlsSpec extends SparkSpec {
       s"dedup should be a hash aggregate:\n$plan")
     assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
   }
+
+  test("registrableDomain: eTLD+1 heuristic with two-level suffixes and IPs") {
+    import org.apache.spark.sql.functions._
+    val hosts = Seq(
+      "deep.sub.example.com", "example.com", "news.bbc.co.uk", "bbc.co.uk",
+      "shop.example.com.au", "192.168.0.1", "localhost", "")
+      .toDF("h")
+    val got = hosts.select(col("h"),
+      graft.ext.Urls.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("deep.sub.example.com") === Some("example.com"))
+    assert(got("example.com") === Some("example.com"))
+    assert(got("news.bbc.co.uk") === Some("bbc.co.uk"))   // two-level suffix
+    assert(got("bbc.co.uk") === Some("bbc.co.uk"))
+    assert(got("shop.example.com.au") === Some("example.com.au"))
+    assert(got("192.168.0.1") === Some("192.168.0.1"))    // IPs pass whole
+    assert(got("localhost") === Some("localhost"))        // single label
+    assert(got("") === None)
+  }
+
+  test("domainQuota: cap binds per domain, deterministic at any partitioning") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 60L).map(i =>
+      (i, s"https://${if (i <= 40) "big.com" else "small.org"}/p$i"))
+      .toDF("id", "url")
+    val a = graft.ext.Urls.domainQuota(rows.repartition(1), "id", "url", 5)
+      .select("id").as[Long].collect().toSet
+    val b = graft.ext.Urls.domainQuota(rows.repartition(7), "id", "url", 5)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.count(_ <= 40L) === 5 && a.count(_ > 40L) === 5)
+  }
+
+  test("normalize: NFC merges composed and decomposed forms; controls collapse") {
+    import org.apache.spark.sql.functions._
+    val composed = "caf\u00e9"                 // é as one code point
+    val decomposed = "cafe\u0301"              // e + combining acute
+    val messy = "A\tB\u0000C   D "
+    val df = Seq((1L, composed), (2L, decomposed), (3L, messy), (4L, null))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+      graft.ext.TextAnalysis.normalize(spark, col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === got(2L), "NFC must merge the two caf\u00e9 encodings")
+    assert(got(3L) === Some("a b c d"))
+    assert(got(4L) === None)
+    // native expression and UDF fallback agree
+    val viaHelper = graft.functions.NfcNormalizeHelper.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)).toString
+    assert(viaHelper === composed)
+  }
 }
