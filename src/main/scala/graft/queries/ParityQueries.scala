@@ -814,6 +814,51 @@ object ParityQueries {
       out
     }),
 
+    // §2.9 — EVENT-TIME-CORRECT stream enrichment (oracled through the
+    // real runtime): events stream against a versioned (SCD2-shaped)
+    // dimension — every user starts bronze, even users upgrade to gold
+    // on 2024-01-15 — joined on validity-interval containment of the
+    // EVENT time (the leakage-free feature lookup; a processing-time
+    // join would attach the upgrade to pre-upgrade events). Stateless
+    // stream-static broadcast; sink read back and hash-matched against
+    // the batch interval join.
+    "stream_temporal_enrich" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_ste").toString
+      val src = s"$work/src"
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(src, "events.parquet"))
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val dim = users.select(col("user_id").as("u"), lit("bronze").as("tier"),
+          to_timestamp(lit("1970-01-01 00:00:00")).as("valid_from"),
+          cut.as("valid_to"))
+        .unionByName(users.filter(col("user_id") % 2 === 0)
+          .select(col("user_id").as("u"), lit("gold").as("tier"),
+            cut.as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to")))
+      val q = graft.streaming.EventIngest.enrichAsOf(
+        graft.streaming.EventIngest.readEventStream(s, src),
+        dim, "user_id", "u", "ts", "valid_from", "valid_to")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("tier"))
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$work/sink")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$work/sink")
+        .orderBy("event_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Navigation/ranking window family (lag, lead, first_value, ntile,
     // percent_rank) — per-customer order sequence. One shuffle on the
     // partition key; the in-partition order (o_orderdate, o_orderkey) is a
@@ -1729,6 +1774,24 @@ object ParityQueries {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
         |ORDER BY id_l, id_r""".stripMargin,
+
+    // the streamed temporal enrichment must equal the batch interval join
+    "stream_temporal_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id AS u, 'bronze' AS tier,
+        |    TIMESTAMP '1970-01-01 00:00:00' AS f,
+        |    TIMESTAMP '2024-01-15 00:00:00' AS t
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  UNION ALL
+        |  SELECT user_id, 'gold',
+        |    TIMESTAMP '2024-01-15 00:00:00', NULL
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  WHERE user_id % 2 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, dim.tier
+        |FROM events e LEFT JOIN dim
+        |  ON e.user_id = dim.u AND e.ts >= dim.f
+        |    AND (dim.t IS NULL OR e.ts < dim.t)
+        |ORDER BY e.event_id""".stripMargin,
 
     // dense-bin PSI of the full stream vs the value<=100 reference: bins
     // [0,500) x10, eps 1e-6, per-term round 9, headline round 6 — the

@@ -129,6 +129,31 @@ object EventIngest {
       .drop("__graft_dim_key")
   }
 
+  /** EVENT-TIME-CORRECT stream enrichment against a versioned (SCD2)
+    * dimension: each event joins the dim row whose validity interval
+    * `[fromCol, toCol)` contains the EVENT time — the point-in-time
+    * lookup that keeps training features leakage-free (processing-time
+    * joins silently attach TOMORROW's attribute to yesterday's event,
+    * the classic feature-store bug). Stream-static and stateless: the
+    * full dim history broadcasts (SCD2 dims are small by definition —
+    * versions of reference data), the stream is never shuffled and no
+    * state store is involved. Open-ended current rows use a null
+    * `toCol` (treated as +infinity).
+    */
+  def enrichAsOf(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, eventTime: String, fromCol: String,
+      toCol: String): DataFrame = {
+    require(!dim.columns.contains("__graft_dim_key") &&
+      !stream.columns.contains("__graft_dim_key"), "__graft_dim_key is reserved")
+    val d = dim.withColumnRenamed(dimKey, "__graft_dim_key")
+    stream.join(broadcast(d),
+        col(streamKey) === col("__graft_dim_key") &&
+          col(eventTime) >= col(fromCol) &&
+          (col(toCol).isNull || col(eventTime) < col(toCol)),
+        "left")
+      .drop("__graft_dim_key")
+  }
+
   /** Stream-stream interval correlation (e.g. click → purchase within N
     * minutes, same user): both sides watermarked, and the join's time
     * range BOUNDS THE STATE STORE — a buffered row is dropped as soon as

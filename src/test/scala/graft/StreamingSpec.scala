@@ -447,4 +447,32 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.StreamingDedup.pairs(spark, none)
       .schema("id_a").dataType == LongType)
   }
+
+  test("enrichAsOf: event-time-correct dim version; processing-time would leak") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val cut = Timestamp.valueOf("2024-01-15 00:00:00")
+    val dim = Seq(
+      (7L, "bronze", Timestamp.valueOf("1970-01-01 00:00:00"), Option(cut)),
+      (7L, "gold", cut, Option.empty[Timestamp])
+    ).toDF("u", "tier", "valid_from", "valid_to")
+      .select(col("u"), col("tier"), col("valid_from"),
+        col("valid_to").cast("timestamp"))
+    val events = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-10 12:00:00")), // before upgrade
+      (2L, 7L, cut),                                       // boundary: >= from
+      (3L, 7L, Timestamp.valueOf("2024-01-20 12:00:00")), // after
+      (4L, 9L, Timestamp.valueOf("2024-01-20 12:00:00"))  // no dim row at all
+    ).toDF("event_id", "user_id", "ts")
+    val stream = events // batch DF exercises the same join; the oracled
+    // stream_temporal_enrich entry drives the real streaming runtime
+    val got = EventIngest.enrichAsOf(stream, dim, "user_id", "u",
+        "ts", "valid_from", "valid_to")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("bronze")) // the version valid AT the event
+    assert(got(2L) === Some("gold"))   // inclusive lower bound
+    assert(got(3L) === Some("gold"))
+    assert(got(4L) === None)           // left join keeps unmatched events
+  }
 }
