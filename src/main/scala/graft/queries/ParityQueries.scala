@@ -814,6 +814,22 @@ object ParityQueries {
       out
     }),
 
+    // Salted two-phase aggregation (oracled): event_type is the
+    // low-cardinality hot-key shape AQE can't fix for AGGREGATES (5 keys
+    // → 5 reducers no matter the cluster) — the salt spreads each key
+    // over 8 sub-keys for the partial pass, the combine pass moves 8
+    // rows/key. The result must be indistinguishable from the plain
+    // group-by, which is exactly what the oracle checks.
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAgg(
+        Tables.events(s, dir),
+        keys = Seq("event_type"), saltFactor = 8,
+        idCols = Seq(col("event_id")),
+        partials = Seq(sum("value").as("sv"), count(lit(1)).as("c")),
+        combines = Seq(round(sum("sv"), 2).as("sum_value"),
+          sum("c").as("cnt")))
+        .orderBy("event_type")),
+
     // §2.9 — EVENT-TIME-CORRECT stream enrichment (oracled through the
     // real runtime): events stream against a versioned (SCD2-shaped)
     // dimension — every user starts bronze, even users upgrade to gold
@@ -1774,6 +1790,12 @@ object ParityQueries {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
         |ORDER BY id_l, id_r""".stripMargin,
+
+    // the salted two-phase must be indistinguishable from plain group-by
+    "skew_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the streamed temporal enrichment must equal the batch interval join
     "stream_temporal_enrich" ->
