@@ -9,7 +9,7 @@ import graft.sinks.TxTable
   * composition the round-4 operators exist for, and the batch-cadence
   * complement of `Curation` (which curates one static corpus):
   *
-  *   repetition + quality gates [+ heavy-hitter stopword gate]
+  *   repetition + quality gates [+ compression-ratio + heavy-hitter stopword gates]
   *   [+ LM perplexity gate] [+ NB classifier gate]
   *   [+ canonical-URL keep-first dedup]
   *   -> benchmark decontamination [+ SEMANTIC decontamination]
@@ -132,6 +132,10 @@ object TrainingSet {
       textCol: String = "text",
       budget: Long = 2048,
       minQuality: Double = 0.2,
+      // reject docs whose zlib ratio sits BELOW this floor (near-zero =
+      // looped/boilerplate spam; 0.0 disables — see
+      // TextAnalysis.compressionRatio)
+      minDeflateRatio: Double = 0.0,
       maxTopTokenFrac: Double = 0.4,
       maxDupNgramFrac: Double = 0.5,
       decontaminateN: Int = 8,
@@ -162,7 +166,10 @@ object TrainingSet {
     val gated0 = batch.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.topTokenFraction(col(textCol)) <= maxTopTokenFrac &&
-        TextAnalysis.duplicateNgramFraction(col(textCol), 2) <= maxDupNgramFrac)
+        TextAnalysis.duplicateNgramFraction(col(textCol), 2) <= maxDupNgramFrac &&
+        (if (minDeflateRatio <= 0.0) lit(true)
+         else TextAnalysis.compressionRatio(spark, col(textCol)) >=
+           minDeflateRatio))
     // 1b (optional): heavy-hitter stopword screen — the batch's exact
     // top-K tokens (two-pass Misra-Gries, O(partitions·capacity) driver
     // rows) become a data-driven stopword list; a doc whose token

@@ -462,4 +462,31 @@ class TrainingSetSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == (1L to 3L).toSet, s"$kept")
   }
+
+  test("compression-ratio gate: looped spam dropped by exactly this stage") {
+    import org.apache.spark.sql.functions._
+    val work = tmpDir("tsdeflate")
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far away to find a quiet meadow near the old stone bridge " +
+      "where it is safe to rest for a while in the warm afternoon sun"
+    val spam = ("buy now " * 40).trim
+    val batch = Seq((1L, prose), (2L, spam)).toDF("doc_id", "text")
+    val bench = Seq((900L, "benchmark only text nothing shared"))
+      .toDF("doc_id", "text")
+    // gate OFF: both docs pass the rule gates (spam is word-diverse
+    // enough? no — it trips duplicateNgramFraction; relax that knob so
+    // the deflate gate is the ONLY discriminator under test)
+    val off = graft.pipelines.TrainingSet.ingest(spark, batch, bench,
+      s"$work/off/store", s"$work/off/t", "d1",
+      maxTopTokenFrac = 1.0, maxDupNgramFrac = 1.0, minQuality = 0.0)
+    assert(off.afterGates === 2, s"$off")
+    val on = graft.pipelines.TrainingSet.ingest(spark, batch, bench,
+      s"$work/on/store", s"$work/on/t", "d1",
+      maxTopTokenFrac = 1.0, maxDupNgramFrac = 1.0, minQuality = 0.0,
+      minDeflateRatio = 0.25)
+    assert(on.afterGates === 1, s"spam must fall to the deflate floor: $on")
+    val kept = graft.sinks.TxTable.read(spark, s"$work/on/t").get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
 }
