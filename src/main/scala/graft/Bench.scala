@@ -92,7 +92,11 @@ object Bench {
     // visible without diffing rounds.
     val lifecycleKeys =
       Seq("ivf_index_build", "stream_ingest_windowed", "ext_ivf_append",
-        "ext_ivfpq_topk_persisted") // pays the PQ attach when the artifact moved
+        "ext_ivfpq_topk_persisted", // pays the PQ attach when the artifact moved
+        // starts a REAL stateful two-stream query: 2 sides × shuffle-
+        // partition state-store instances initialize before the first
+        // row — streaming-lifecycle cost, not per-row join latency
+        "stream_stream_join")
     val lifecycle = lifecycleKeys.flatMap(k => results.get(k).map(k -> _))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val slowest = results.toSeq.sortBy(-_._2).take(5)
