@@ -693,6 +693,44 @@ object ParityQueries {
         .agg(count(lit(1)).as("cnt")).orderBy("o_custkey")
     }),
 
+    // Funnel conversion (oracled): per user, first click → first
+    // subsequent purchase within 24 h — the event-sequence analytics
+    // shape. One shuffle on user_id; both "first event after X" steps
+    // are conditional MIN aggregates, not self-joins.
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("click_ts"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("ts") >= col("click_ts") &&
+          col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      firstClick.join(converted, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("purchase_ts").isNotNull.as("converted"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention (oracled): users grouped by first-seen week,
+    // counted distinct per (cohort, activity-week offset) — the
+    // retention-matrix analytics shape in long form. Two shuffles
+    // (first-seen aggregate, matrix aggregate), no self-join blowup.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      ev.join(firstSeen, "user_id")
+        .groupBy(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          floor((unix_timestamp(date_trunc("week", col("ts"))) -
+            unix_timestamp(col("cohort_week"))) / (7 * 86400))
+            .cast("long").as("week_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Gap-based sessionization via the native session_window operator —
     // the oracle reproduces the merge semantics with lag + cumulative sum
     // (a new session starts when the gap is >= 30 minutes; window end =
@@ -1790,6 +1828,33 @@ object ParityQueries {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
         |ORDER BY id_l, id_r""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS click_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |cv AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= fc.click_ts
+        |    AND e.ts <= fc.click_ts + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT fc.user_id, fc.click_ts, cv.purchase_ts,
+        |  cv.purchase_ts IS NOT NULL AS converted
+        |FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id
+        |ORDER BY fc.user_id""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT fs.cohort_week,
+        |  CAST(floor((epoch(date_trunc('week', e.ts))
+        |    - epoch(fs.cohort_week)) / (7 * 86400)) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN fs ON e.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the salted two-phase must be indistinguishable from plain group-by
     "skew_salted_agg" ->
