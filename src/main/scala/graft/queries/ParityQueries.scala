@@ -693,6 +693,17 @@ object ParityQueries {
         .agg(count(lit(1)).as("cnt")).orderBy("o_custkey")
     }),
 
+    // Edit-distance fuzzy self-join (oracled): supplier names within
+    // levenshtein 1 (one digit apart — a discriminative predicate on
+    // this corpus; at 2 every pair qualifies) — q-gram + length-band
+    // blocking, exact verify; the
+    // oracle brute-forces the same predicate, so a pair the blocking
+    // missed fails the hash.
+    "fuzzy_join_suppliers" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.selfJoin(
+        Tables.supplier(s, dir), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // Funnel conversion (oracled): per user, first click → first
     // subsequent purchase within 24 h — the event-sequence analytics
     // shape. One shuffle on user_id; both "first event after X" steps
@@ -1828,6 +1839,14 @@ object ParityQueries {
         | AND l.event_type = 'click' AND r.event_type = 'purchase'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE
         |ORDER BY id_l, id_r""".stripMargin,
+
+    // brute-force restatement: the blocking must change nothing
+    "fuzzy_join_suppliers" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "funnel_conversion" ->
       """WITH fc AS (
