@@ -29,7 +29,7 @@ class FuzzyJoinSpec extends SparkSpec {
       (1L, "kettle black"), (2L, "kettle blace"), (3L, "kettle blak"),
       (4L, "completely different"), (5L, "ab"), (6L, "ac"), (7L, "b"),
       (8L, null.asInstanceOf[String]), (9L, "kettle black"),
-      (10L, "settle black"))
+      (10L, "settle black"), (11L, "a"), (12L, "abc"))
     for (d <- Seq(1, 2)) {
       val got = FuzzyJoin.selfJoin(rows.toDF("id", "s"), "id", "s", d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
