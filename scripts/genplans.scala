@@ -42,7 +42,8 @@ val headline = Seq(
   ("ext_bm25_indexed", "durable inverted index: term IN pushed into the postings scan, no corpus read"),
   ("ext_eval_auc", "ROC-AUC: corpus collapses to score groups map-side; window over the aggregate only"),
   ("ext_pca_ann_topk", "PCA-ANN: subspace shortlist TakeOrdered, exact re-rank semi-join only"),
-  ("ext_sample_weighted", "A-ES weighted sample: key arithmetic in the scan, TakeOrdered, no global sort"))
+  ("ext_sample_weighted", "A-ES weighted sample: key arithmetic in the scan, TakeOrdered, no global sort"),
+  ("fuzzy_join_suppliers", "fuzzy join: rarest-gram prefix blocking, exact levenshtein verify — no cross product"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
