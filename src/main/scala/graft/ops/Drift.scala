@@ -78,6 +78,71 @@ object Drift {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0) // both sides empty = no drift signal
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic D = max_x |F_ref(x) −
+    * F_cur(x)| — the binning-free complement to PSI (PSI answers "how
+    * much did the binned shape move", KS answers "how far apart are the
+    * CDFs at the worst point", sensitive to location shifts PSI's fixed
+    * bins can blur). Exact, not sampled.
+    *
+    * Scale shape: one map-combinable aggregate collapses both sides to
+    * O(distinct values) rows (tagged union, conditional counts); the
+    * CDF difference is a cumulative window over that AGGREGATED table —
+    * single-partition by construction but distinct-value-sized, the
+    * same discipline as `Eval.rocAuc`. Returns one row
+    * (n_ref, n_cur, ks round 6); ks null when either side is empty.
+    */
+  def ksStatistic(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, 0)
+    val WholeW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val tagged = ref.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"), lit(1L).as("r"), lit(0L).as("c"))
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).as("v"), lit(0L).as("r"), lit(1L).as("c")))
+    tagged.groupBy("v")
+      .agg(sum("r").as("nr"), sum("c").as("nc"))
+      .withColumn("cr", sum("nr").over(W))
+      .withColumn("cc", sum("nc").over(W))
+      .withColumn("tr", sum("nr").over(WholeW))
+      .withColumn("tc", sum("nc").over(WholeW))
+      .withColumn("diff", when(col("tr") > 0 && col("tc") > 0,
+        abs(col("cr") / col("tr") - col("cc") / col("tc"))))
+      .agg(coalesce(max("tr"), lit(0L)).as("n_ref"),
+        coalesce(max("tc"), lit(0L)).as("n_cur"),
+        round(max("diff"), 6).as("ks"))
+  }
+
+  /** CHI-SQUARE drift over a CATEGORICAL column: Σ over observed
+    * categories of (o_cur − e)² / e with e the expected count under the
+    * reference proportions scaled to the current total. Categories with
+    * zero reference mass contribute through an eps floor (new-category
+    * drift is signal, not a division error). One map-combinable
+    * aggregate to O(categories) rows; the scalar fold is a second
+    * O(categories) pass. Output: (n_categories, chi2 round 6), chi2
+    * null when either side is empty.
+    */
+  def chiSquare(ref: DataFrame, cur: DataFrame, catCol: String,
+      eps: Double = 0.5): DataFrame = {
+    val WholeW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val tagged = ref.filter(col(catCol).isNotNull)
+      .select(col(catCol).as("k"), lit(1L).as("r"), lit(0L).as("c"))
+      .unionByName(cur.filter(col(catCol).isNotNull)
+        .select(col(catCol).as("k"), lit(0L).as("r"), lit(1L).as("c")))
+    tagged.groupBy("k")
+      .agg(sum("r").as("nr"), sum("c").as("nc"))
+      .withColumn("tr", sum("nr").over(WholeW))
+      .withColumn("tc", sum("nc").over(WholeW))
+      .withColumn("e", when(col("tr") > 0 && col("tc") > 0,
+        greatest(col("nr") * col("tc") / col("tr"), lit(eps))))
+      .withColumn("term", when(col("e").isNotNull,
+        (col("nc") - col("e")) * (col("nc") - col("e")) / col("e")))
+      .agg(count(lit(1)).as("n_categories"),
+        round(sum("term"), 6).as("chi2"))
+  }
+
   /** DENSE per-bin non-null counts (same clamped binning as
     * psiFixedBins) — the precomputable half of a PSI comparison. A
     * streaming monitor freezes the reference side as this array ONCE

@@ -659,6 +659,27 @@ object ParityQueries {
         "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 10)
     }),
 
+    // KS two-sample statistic (oracled): the binning-free drift gate
+    // beside PSI — exact max CDF gap between early and late shipments'
+    // prices, computed over O(distinct values) aggregated rows.
+    "drift_ks_price" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Drift.ksStatistic(
+        li.filter(col("l_shipdate") < "1998-01-01"),
+        li.filter(col("l_shipdate") >= "1998-01-01"),
+        "l_extendedprice")
+    }),
+
+    // Chi-square categorical drift (oracled): order-priority mix, early
+    // vs late orders — the categorical complement to the numeric gates.
+    "drift_chi2_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.ops.Drift.chiSquare(
+        o.filter(col("o_orderdate") < "1997-01-01"),
+        o.filter(col("o_orderdate") >= "1997-01-01"),
+        "o_orderpriority")
+    }),
+
     // Hierarchical rollup aggregation. NULLS FIRST is explicit in the
     // oracle because Spark's ASC default is nulls-first, DuckDB's is
     // nulls-last — the rollup's subtotal rows are null-keyed.
@@ -1740,6 +1761,37 @@ object ParityQueries {
         |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "drift_ks_price" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice AS v,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS c
+        |  FROM lineitem),
+        |g AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM t GROUP BY v),
+        |w AS (
+        |  SELECT sum(nr) OVER (ORDER BY v) AS cr,
+        |    sum(nc) OVER (ORDER BY v) AS cc,
+        |    sum(nr) OVER () AS tr, sum(nc) OVER () AS tc
+        |  FROM g)
+        |SELECT CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+        |  round(max(abs(cr * 1.0 / tr - cc * 1.0 / tc)), 6) AS ks
+        |FROM w""".stripMargin,
+
+    "drift_chi2_priority" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS k,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 0 ELSE 1 END AS c
+        |  FROM orders),
+        |g AS (SELECT k, sum(r) AS nr, sum(c) AS nc FROM t GROUP BY k),
+        |w AS (
+        |  SELECT nr, nc, sum(nr) OVER () AS tr, sum(nc) OVER () AS tc FROM g),
+        |e AS (
+        |  SELECT nc, greatest(nr * 1.0 * tc / tr, 0.5) AS e FROM w)
+        |SELECT (SELECT count(*) FROM g) AS n_categories,
+        |  round(sum((nc - e) * (nc - e) / e), 6) AS chi2
+        |FROM e""".stripMargin,
 
     "drift_psi_price" ->
       """WITH t AS (
