@@ -88,6 +88,13 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Mutual information between metadata columns (oracled): entropies
+    // + MI + normalized MI of (lang, source) — the is-this-column-
+    // redundant check over one contingency-table aggregate.
+    "ext_mutual_info" -> ((s, dir) =>
+      graft.ops.Info.mutualInformation(
+        Tables.documents(s, dir), "lang", "source")),
+
     // Corpus data card (fully oracled): the long-format datasheet —
     // size, token budget, language composition, quality, PII exposure,
     // exact-dup rate — one aggregate pass + one O(langs) groupBy.
@@ -1474,6 +1481,27 @@ object ExtQueries {
         |      + ((1.0 - least(punct_ratio * 5, 1.0)) * 0.3)
         |      + (least(stopword_ratio * 4, 1.0) * 0.3), 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "ext_mutual_info" ->
+      """WITH j AS (
+        |  SELECT lang AS x, source AS y, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c, sum(c) OVER () AS n,
+        |    sum(c) OVER (PARTITION BY x) AS cx,
+        |    sum(c) OVER (PARTITION BY y) AS cy
+        |  FROM j)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  round(sum(c * 1.0 / n * ln(n * 1.0 / cx)), 6) AS h_x,
+        |  round(sum(c * 1.0 / n * ln(n * 1.0 / cy)), 6) AS h_y,
+        |  round(sum(c * 1.0 / n * ln(c * 1.0 * n / (cx * 1.0 * cy))), 6) AS mi,
+        |  CASE WHEN sum(c * 1.0 / n * ln(n * 1.0 / cx)) > 0
+        |        AND sum(c * 1.0 / n * ln(n * 1.0 / cy)) > 0 THEN
+        |    round(sum(c * 1.0 / n * ln(c * 1.0 * n / (cx * 1.0 * cy)))
+        |      / sqrt(sum(c * 1.0 / n * ln(n * 1.0 / cx))
+        |        * sum(c * 1.0 / n * ln(n * 1.0 / cy))), 6)
+        |  END AS nmi
+        |FROM w""".stripMargin,
 
     "ext_data_card" ->
       """WITH t AS (

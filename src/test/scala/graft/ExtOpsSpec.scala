@@ -590,4 +590,25 @@ class ExtOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("positive"))
   }
+
+  test("mutualInformation: independence 0, identity = entropy, hand case") {
+    import org.apache.spark.sql.functions._
+    // independent uniform 2x2: MI = 0, H = ln 2 each
+    val indep = Seq(("a","p"),("a","q"),("b","p"),("b","q"))
+      .toDF("x","y")
+    val r1 = graft.ops.Info.mutualInformation(indep, "x", "y").head
+    assert(r1.getDouble(3) === 0.0)
+    assert(math.abs(r1.getDouble(1) - math.log(2)) < 1e-6)
+    assert(r1.getDouble(4) === 0.0) // nmi defined, zero
+    // y == x: MI = H(X), NMI = 1
+    val ident = Seq(("a","a"),("a","a"),("b","b"),("c","c"))
+      .toDF("x","y")
+    val r2 = graft.ops.Info.mutualInformation(ident, "x", "y").head
+    assert(r2.getDouble(3) === r2.getDouble(1))
+    assert(r2.getDouble(4) === 1.0)
+    // constant column: zero entropy -> nmi null, mi 0
+    val const = Seq(("a","p"),("a","q")).toDF("x","y")
+    val r3 = graft.ops.Info.mutualInformation(const, "x", "y").head
+    assert(r3.getDouble(3) === 0.0 && r3.isNullAt(4))
+  }
 }
