@@ -659,6 +659,29 @@ object ParityQueries {
         "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 10)
     }),
 
+    // Exact-percentile winsorization (oracled): order totals clamped
+    // into the [5%, 95%] fence, reported as one summary row — the
+    // fat-tail defense before any mean/sum aggregate.
+    "robust_winsorize" -> ((s, dir) =>
+      graft.ops.Robust.winsorize(
+        Tables.orders(s, dir), "o_totalprice")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("winsorized") > col("o_totalprice"), 1L)
+            .otherwise(0L)).as("n_raised"),
+          sum(when(col("winsorized") < col("o_totalprice"), 1L)
+            .otherwise(0L)).as("n_lowered"),
+          round(sum("winsorized"), 2).as("sum_winsorized"))),
+
+    // Tukey IQR outliers (oracled): event values outside the standard
+    // 1.5-IQR whisker (the events table has a genuine long tail — the
+    // bounded order totals produce none), with the side they fell off.
+    "robust_iqr_outliers" -> ((s, dir) =>
+      graft.ops.Robust.iqrOutliers(
+        Tables.events(s, dir), "value")
+        .select(col("event_id"), round(col("value"), 2).as("value"),
+          col("side"))
+        .orderBy("event_id")),
+
     // KS two-sample statistic (oracled): the binning-free drift gate
     // beside PSI — exact max CDF gap between early and late shipments'
     // prices, computed over O(distinct values) aggregated rows.
@@ -1761,6 +1784,36 @@ object ParityQueries {
         |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "robust_winsorize" ->
+      """WITH f AS (
+        |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+        |    quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_totalprice,
+        |    least(greatest(o_totalprice, f.lo), f.hi) AS wv
+        |  FROM orders, f)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN wv > o_totalprice THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_raised,
+        |  CAST(sum(CASE WHEN wv < o_totalprice THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lowered,
+        |  round(sum(wv), 2) AS sum_winsorized
+        |FROM w""".stripMargin,
+
+    "robust_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events)
+        |SELECT event_id, round(value, 2) AS value,
+        |  CASE WHEN value < q1 - 1.5 * (q3 - q1)
+        |    THEN 'low' ELSE 'high' END AS side
+        |FROM events, f
+        |WHERE value < q1 - 1.5 * (q3 - q1)
+        |   OR value > q3 + 1.5 * (q3 - q1)
+        |ORDER BY event_id""".stripMargin,
 
     "drift_ks_price" ->
       """WITH t AS (

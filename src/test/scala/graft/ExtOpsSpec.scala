@@ -611,4 +611,27 @@ class ExtOpsSpec extends SparkSpec {
     val r3 = graft.ops.Info.mutualInformation(const, "x", "y").head
     assert(r3.getDouble(3) === 0.0 && r3.isNullAt(4))
   }
+
+  test("winsorize: exact fences clamp both tails, interior untouched") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = graft.ops.Robust.winsorize(df, "v", 0.05, 0.95)
+      .select("v", "winsorized").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // exact percentiles of 1..100: p05 = 5.95, p95 = 95.05
+    assert(w(1.0) === 5.95 && w(3.0) === 5.95)
+    assert(w(100.0) === 95.05 && w(99.0) === 95.05)
+    assert(w(50.0) === 50.0)
+  }
+
+  test("iqrOutliers: hand case, sides labeled, clean data empty") {
+    import org.apache.spark.sql.functions._
+    val clean = (1 to 20).map(_.toDouble).toDF("v")
+    assert(graft.ops.Robust.iqrOutliers(clean, "v").count() === 0)
+    val spiked = ((1 to 20).map(_.toDouble) ++ Seq(1000.0, -1000.0)).toDF("v")
+    val got = graft.ops.Robust.iqrOutliers(spiked, "v")
+      .select("v", "side").collect()
+      .map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(got === Map(1000.0 -> "high", -1000.0 -> "low"))
+  }
 }
