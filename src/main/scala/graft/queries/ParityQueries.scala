@@ -659,6 +659,24 @@ object ParityQueries {
         "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 10)
     }),
 
+    // Next-event training examples (oracled): per user in (ts, event_id)
+    // total order, feature = the previous 3 event types, label = the
+    // current one — sequence-model data assembly as ONE window pass
+    // (no self-joins, no explode); rows with no history are dropped
+    // (cold-start examples carry no signal).
+    "seq_next_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, -1)
+      Tables.events(s, dir)
+        .withColumn("context", collect_list("event_type").over(w))
+        .filter(size(col("context")) > 0)
+        .select(col("event_id"), col("user_id"),
+          concat_ws("|", col("context")).as("context"),
+          col("event_type").as("label"))
+        .orderBy("event_id")
+    }),
+
     // Exact-percentile winsorization (oracled): order totals clamped
     // into the [5%, 95%] fence, reported as one summary row — the
     // fat-tail defense before any mean/sum aggregate.
@@ -1784,6 +1802,18 @@ object ParityQueries {
         |  CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "seq_next_event" ->
+      """SELECT event_id, user_id,
+        |  array_to_string(list(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '|') AS context,
+        |  event_type AS label
+        |FROM events
+        |QUALIFY len(list(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)) > 0
+        |ORDER BY event_id""".stripMargin,
 
     "robust_winsorize" ->
       """WITH f AS (
