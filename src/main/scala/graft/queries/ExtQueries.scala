@@ -810,6 +810,25 @@ object ExtQueries {
         Seq("join", "filter", "scan"), k = 25)
     }),
 
+    // Ranked-retrieval metrics (oracled): recall@25 / MRR / nDCG@25 of
+    // the BM25 list against a deterministic relevant set (docs whose
+    // text contains ALL three query terms — correlated with but not
+    // identical to the ranking, so every metric is non-degenerate) —
+    // the measurement half of the search stack, one retrieval-sized
+    // pass.
+    "ext_retrieval_metrics" -> ((s, dir) => {
+      val lst = graft.ext.Retrieval.ranked(
+        graft.ext.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
+          Seq("join", "filter", "scan"), k = 25),
+        "doc_id", "score")
+      graft.ext.Retrieval.metrics(lst,
+        Tables.documents(s, dir).filter(
+          col("text").contains("join") && col("text").contains("filter") &&
+            col("text").contains("scan"))
+          .select("doc_id"),
+        "doc_id", k = 25)
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 lexical list and the
     // embedding cosine list (doc_id == vec_id in the testdata) — the
     // production hybrid-search composition; fusion is rank-only, so no
@@ -2169,6 +2188,51 @@ object ExtQueries {
     // the durable index must be score-indistinguishable from the scan
     "ext_bm25_indexed" -> Bm25SearchSql,
     
+
+    "ext_retrieval_metrics" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl, u.term, count(*) AS tf
+        |  FROM base, unnest(toks) AS u(term)
+        |  WHERE u.term IN ('join', 'filter', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) CROSS JOIN c),
+        |lst AS (
+        |  SELECT doc_id, round(sum(s), 6) AS score
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id ASC LIMIT 25),
+        |rk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM lst),
+        |rel AS (SELECT DISTINCT doc_id FROM documents
+        |  WHERE contains(text, 'join') AND contains(text, 'filter')
+        |    AND contains(text, 'scan')),
+        |hits AS (
+        |  SELECT rk.rank FROM rk JOIN rel USING (doc_id) WHERE rk.rank <= 25),
+        |idcg AS (
+        |  SELECT sum(1.0 / log2(i + 1)) AS v FROM (
+        |    SELECT unnest(range(1, least(25, (SELECT count(*) FROM rel))
+        |      + 1)) AS i)),
+        |agg AS (
+        |  SELECT count(*) AS n_hits,
+        |    coalesce(min(rank), 0) AS first_rank,
+        |    coalesce(sum(1.0 / log2(rank + 1)), 0.0) AS dcg
+        |  FROM hits)
+        |SELECT CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(n_hits / (SELECT count(*) FROM rel), 6) AS recall_at_k,
+        |  CASE WHEN first_rank > 0 THEN round(1.0 / first_rank, 6)
+        |    ELSE 0.0 END AS mrr,
+        |  round(dcg / (SELECT v FROM idcg), 6) AS ndcg_at_k
+        |FROM agg""".stripMargin,
 
     "ext_hybrid_rrf" ->
       """WITH base AS (

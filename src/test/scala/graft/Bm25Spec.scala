@@ -86,4 +86,35 @@ class Bm25Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("buildIndex"))
   }
+
+  test("retrieval metrics: hand-computed recall/MRR/nDCG on a mixed list") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Retrieval
+    // ranked list 1..4 = docs 10,20,30,40; relevant = {20, 40, 99}
+    val lst = Seq((10L, 4.0), (20L, 3.0), (30L, 2.0), (40L, 1.0))
+      .toDF("doc_id", "score")
+    val rel = Seq(20L, 40L, 99L).toDF("doc_id")
+    val r = Retrieval.metrics(Retrieval.ranked(lst, "doc_id", "score"),
+      rel, "doc_id", k = 4).head
+    assert(r.getLong(0) === 2L)                      // hits at ranks 2, 4
+    assert(r.getDouble(1) === 0.666667)              // 2 of 3 relevant
+    assert(r.getDouble(2) === 0.5)                   // first hit rank 2
+    // dcg = 1/log2(3) + 1/log2(5); idcg = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(5) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-6)
+  }
+
+  test("retrieval metrics: no hits -> zeros; empty relevant set loud") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Retrieval
+    val lst = Retrieval.ranked(
+      Seq((10L, 1.0)).toDF("doc_id", "score"), "doc_id", "score")
+    val r = Retrieval.metrics(lst, Seq(99L).toDF("doc_id"), "doc_id", 5).head
+    assert(r.getLong(0) === 0L && r.getDouble(1) === 0.0 &&
+      r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
+    intercept[IllegalArgumentException] {
+      Retrieval.metrics(lst, Seq.empty[Long].toDF("doc_id"), "doc_id", 5)
+    }
+  }
 }
