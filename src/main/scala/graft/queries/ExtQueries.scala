@@ -1178,6 +1178,36 @@ object ExtQueries {
         seed = "r6")
         .orderBy("doc_id")),
 
+    // Split-LEAKAGE AUDIT (oracled): count near-dup pairs whose two
+    // docs landed in different splits, under BOTH schemes — doc-keyed
+    // (the naive split: near-identical docs straddle train/eval) and
+    // component-keyed (the leakage-safe one: a dedup cluster moves as a
+    // unit, so its cross-split count is zero BY CONSTRUCTION, and this
+    // audit MEASURES both facts instead of asserting them). Pair ends
+    // are order-normalized so (train,val) and (val,train) fold.
+    "ext_split_leakage_audit" -> ((s, dir) => {
+      val docs = gateDocs(s, dir).select("doc_id")
+      val gt = sharedGroundTruth(s, dir).select("id_a", "id_b")
+      val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+      val comp = Dedup.componentsFromPairs(docs, "doc_id", gt)
+      val byDoc = graft.ext.Splits.assign(docs, "doc_id", splits, "r7")
+      val byComp = graft.ext.Splits.assign(
+        docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id"),
+        "canonical_id", splits, "r7")
+      def audit(assign: org.apache.spark.sql.DataFrame, scheme: String) =
+        gt.join(assign.select(col("doc_id").as("id_a"),
+            col("split").as("sa")), "id_a")
+          .join(assign.select(col("doc_id").as("id_b"),
+            col("split").as("sb")), "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("scheme", lit(scheme))
+      audit(byDoc, "by_doc").unionByName(audit(byComp, "by_component"))
+        .select("scheme", "split_lo", "split_hi", "n_pairs")
+        .orderBy("scheme", "split_lo", "split_hi")
+    }),
+
     // ---- semantic decontamination (oracled) -------------------------
     // The benchmark side is a planted paraphrase set: every 50th
     // embedding perturbed by the exact integer-mod formula the embed
@@ -2531,6 +2561,58 @@ object ExtQueries {
         |  PARTITION BY line ORDER BY doc_id, line_no) AS rn FROM l)
         |SELECT doc_id, line_no, line FROM r WHERE rn = 1
         |ORDER BY doc_id, line_no""".stripMargin,
+
+    "ext_split_leakage_audit" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 3)
+        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM g x, g y WHERE x.doc_id < y.doc_id
+        |    AND len(list_intersect(x.grams, y.grams))
+        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+        |e AS (SELECT id_a AS id, id_b AS nbr FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id),
+        |lab AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+        |docs AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        |comp AS (
+        |  SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+        |  FROM docs d LEFT JOIN lab l ON d.doc_id = l.id),
+        |bydoc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('r7:' || doc_id), 1, 8) < 'c0000000'
+        |      THEN 'train'
+        |      WHEN substr(md5('r7:' || doc_id), 1, 8) < 'e0000000'
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM docs),
+        |bycomp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('r7:' || canonical_id), 1, 8) < 'c0000000'
+        |      THEN 'train'
+        |      WHEN substr(md5('r7:' || canonical_id), 1, 8) < 'e0000000'
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM comp),
+        |audits AS (
+        |  SELECT 'by_doc' AS scheme,
+        |    least(a.split, b.split) AS split_lo,
+        |    greatest(a.split, b.split) AS split_hi, count(*) AS n_pairs
+        |  FROM p JOIN bydoc a ON p.id_a = a.doc_id
+        |    JOIN bydoc b ON p.id_b = b.doc_id
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'by_component',
+        |    least(a.split, b.split), greatest(a.split, b.split), count(*)
+        |  FROM p JOIN bycomp a ON p.id_a = a.doc_id
+        |    JOIN bycomp b ON p.id_b = b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT scheme, split_lo, split_hi, n_pairs FROM audits
+        |ORDER BY scheme, split_lo, split_hi""".stripMargin,
 
     "ext_split_assign" ->
       """SELECT doc_id, source,
