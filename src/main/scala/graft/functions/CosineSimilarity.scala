@@ -181,5 +181,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // plan-level algebra over the custom expressions (the Rule tier):
+    // collapse idempotent re-normalization
+    ext.injectOptimizerRule(_ => CollapseIdempotentNfc)
   }
 }

@@ -413,3 +413,25 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Catalyst OPTIMIZER RULE for the graft expression algebra — the
+  * Rule[LogicalPlan] tier of the extension preference order (expressions
+  * for scalar work, rules for plan-level simplification): NFC is
+  * idempotent, so `graft_nfc(graft_nfc(x))` collapses to one
+  * application. The nesting arises naturally when layered pipelines
+  * each defensively normalize (TextAnalysis.normalize over an already-
+  * normalized store column) — without the rule every row pays the
+  * Normalizer twice. Registered via GraftExtensions
+  * (injectOptimizerRule), asserted plan-level AND value-level in
+  * GraftRulesSpec.
+  */
+object CollapseIdempotentNfc
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalize(inner @ NfcNormalize(_)) => inner
+    }
+}
