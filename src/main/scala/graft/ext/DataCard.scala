@@ -44,6 +44,9 @@ object DataCard {
         .otherwise(0L)).as("email")).head()
     val n = head.getLong(0)
     require(n > 0, "DataCard over an empty corpus")
+    require(!head.anyNull,
+      "DataCard: null aggregate — the text column is entirely null " +
+        "(mis-mapped column?); null-reject or fix the mapping first")
     val scalars = Seq(
       "n_docs" -> n.toDouble,
       "total_tokens" -> head.getLong(1).toDouble,

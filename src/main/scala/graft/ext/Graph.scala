@@ -73,12 +73,17 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list")
 
+    // the dangling-node SET is static (membership = no out-edges);
+    // only its rank mass changes per iteration — precompute it once
+    val danglingNodes = nodes
+      .join(deg, nodes("id") === deg("src"), "left_anti")
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      // dangling mass: rank sitting on nodes with no out-edges (O(1) to
+      // dangling mass: rank sitting on the precomputed set (O(1) to
       // the driver — the only per-iteration driver traffic)
       val dangling = ranks
-        .join(deg, ranks("id") === deg("src"), "left_anti")
+        .join(danglingNodes, Seq("id"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(deg, "src")

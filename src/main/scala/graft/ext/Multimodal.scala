@@ -356,7 +356,12 @@ object Multimodal {
           Some(MediaFeatures(r.doc_id, r.media.length, "image/jpeg",
             byteChecksum(r.media), Array(w.toFloat, h.toFloat, mr, mg, mb, lum)))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // ImageIO's JPEG reader throws RuntimeExceptions (AIOOBE, NASE,
+        // IAE) on mangled headers, not just IOException — total means
+        // total
+        case scala.util.control.NonFatal(_) => None
+      }
 
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>

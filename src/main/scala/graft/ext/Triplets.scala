@@ -32,7 +32,11 @@ object Triplets {
     * (wrapping), dropped when it collides with the anchor/positive or
     * is itself a known neighbor of the anchor (either orientation).
     */
-  def inBatchTriplets(pairs: DataFrame): DataFrame = {
+  def inBatchTriplets(pairs0: DataFrame): DataFrame = {
+    // consumed three times (rotation + both edge orientations): checkpoint
+    // so an expensive upstream pair generator runs ONCE, and the anti-join
+    // provably sees the same pair set the rotation used
+    val pairs = pairs0.select("id_a", "id_b").localCheckpoint(false)
     val p = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
     val w = Window.orderBy("anchor", "positive")
     val rotated = p

@@ -139,6 +139,11 @@ object Urls {
     * (md5(id), id) rank — the crawl-diversity cap that stops one domain
     * from dominating a training mix. Engine-portable: selection is a
     * pure function of (ids, domains, cap) at any partitioning.
+    *
+    * Rows whose URL yields NO domain (malformed, scheme-less) PASS
+    * THROUGH with a null `domain` — a diversity cap must not silently
+    * become a validity filter (the pipeline's pass-through posture for
+    * unparseable URLs); quarantine them separately if that is wanted.
     */
   def domainQuota(
       df: DataFrame,
@@ -153,10 +158,11 @@ object Urls {
       registrableDomain(regexp_replace(host, "^www\\.", "")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    withDomain
+    val quotaed = withDomain
       .filter(col("domain").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerDomain)
       .drop("__rn")
+    quotaed.unionByName(withDomain.filter(col("domain").isNull))
   }
 }

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** THE clamped-binning expression — one definition shared by
+    * psiFixedBins and binCounts, so the psiFromCounts == psi
+    * equivalence the streaming monitor depends on is structural, not
+    * copy-maintained.
+    */
+  private def binExpr(c: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    val w = (hi - lo) / nBins
+    least(greatest(floor((c - lit(lo)) / lit(w)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+  }
+
   /** Per-bin PSI report over fixed uniform bins [lo, hi) — edges are
     * caller-pinned so the report is reproducible across engines and
     * batches (quantile-derived edges belong to the sketch family; pin
@@ -38,10 +49,7 @@ object Drift {
       nBins: Int,
       eps: Double = 1e-6): DataFrame = {
     require(nBins > 0 && hi > lo, s"need hi > lo and bins > 0: [$lo,$hi) x$nBins")
-    val w = (hi - lo) / nBins
-    def bin(c: Column): Column =
-      least(greatest(floor((c - lit(lo)) / lit(w)), lit(0.0)),
-        lit((nBins - 1).toDouble)).cast("long")
+    def bin(c: Column): Column = binExpr(c, lo, hi, nBins)
     // nulls are EXCLUDED on both sides: PSI compares distributions of
     // observed values; null-rate drift is a separate check (count the
     // nulls, don't let them silently deflate every real bin's share)
@@ -152,9 +160,7 @@ object Drift {
   def binCounts(df: DataFrame, valueCol: String,
       lo: Double, hi: Double, nBins: Int): Array[Long] = {
     require(nBins > 0 && hi > lo, s"need hi > lo and bins > 0: [$lo,$hi) x$nBins")
-    val w = (hi - lo) / nBins
-    val b = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)),
-      lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    val b = binExpr(col(valueCol), lo, hi, nBins)
     val rows = df.filter(col(valueCol).isNotNull)
       .groupBy(b.as("bin")).agg(count(lit(1)).as("n"))
       .collect()
@@ -181,7 +187,8 @@ object Drift {
       val p = math.max(refCounts(i) / nr, eps)
       val q = math.max(curCounts(i) / nc, eps)
       val c = (q - p) * math.log(q / p)
-      math.rint(c * 1e9) / 1e9 // same round-9 as the report's contrib
+      // HALF_UP to match Spark/DuckDB round() exactly (rint is half-even)
+      BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.sum
   }
 }

@@ -87,8 +87,10 @@ object FuzzyJoin {
           abs(col("a_len") - col("b_len")) <= maxDist)
       .select("a_id", "b_id", "a_s", "b_s")
       .distinct()
-      .filter(levenshtein(col("a_s"), col("b_s")) <= maxDist)
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
-        levenshtein(col("a_s"), col("b_s")).cast("long").as("dist"))
+      // compute the O(len²) verify ONCE per pair — filter/project don't
+      // share subexpressions
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("dist"))
   }
 }

@@ -1442,16 +1442,7 @@ object ExtQueries {
          |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
          |  GROUP BY e.dst),
          |${cur}p AS (SELECT id, (1 - 0.85) / n.cnt + 0.85 * s AS pr FROM $cur, n),""".stripMargin
-    s"""WITH g AS (
-       |  SELECT doc_id,
-       |    list_distinct([substr(text, i, 3)
-       |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
-       |  FROM documents WHERE doc_id < 500),
-       |p AS (
-       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM g x, g y WHERE x.doc_id < y.doc_id
-       |    AND len(list_intersect(x.grams, y.grams))
-       |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+    ("""WITH """ + GramPairCtesSql + s""",
        |e AS (SELECT id_a AS src, id_b AS dst FROM p
        |      UNION ALL SELECT id_b, id_a FROM p),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
@@ -1461,7 +1452,7 @@ object ExtQueries {
        |${iter("r1p", "r2")}
        |${iter("r2p", "r3")}
        |fin AS (SELECT 1)
-       |SELECT id AS doc_id, round(pr, 6) AS pr FROM r3p ORDER BY doc_id""".stripMargin
+       |SELECT id AS doc_id, round(pr, 6) AS pr FROM r3p ORDER BY doc_id""").stripMargin
   }
 
   private val CorpusComponentsSql =
@@ -1506,6 +1497,32 @@ object ExtQueries {
         |SELECT doc_id, round(sum(s), 6) AS score, count(*) AS matched
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+
+  // ONE definition of each cross-oracle SQL fragment (the Bm25SearchSql
+  // discipline): a formula tweak lands in every oracle or none.
+  private lazy val QualityScoreExprSql: String =
+    """round((least(length(text) / 500.0, 1.0) * 0.4)
+      |      + ((1.0 - least(round(length(regexp_replace(text,
+      |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
+      |          * 5, 1.0)) * 0.3)
+      |      + (least(round(len(regexp_extract_all(lower(text),
+      |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
+      |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+      |          * 4, 1.0) * 0.3), 6)""".stripMargin
+
+  // the exact char-3-gram near-dup pair graph (doc_id < 500) shared by
+  // the components/pagerank/triplets/leakage oracles: CTEs g + p
+  private lazy val GramPairCtesSql: String =
+    """g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substr(text, i, 3)
+      |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+      |  FROM documents WHERE doc_id < 500),
+      |p AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM g x, g y WHERE x.doc_id < y.doc_id
+      |    AND len(list_intersect(x.grams, y.grams))
+      |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext_token_stats" ->
@@ -1553,18 +1570,11 @@ object ExtQueries {
         |FROM w""".stripMargin,
 
     "ext_data_card" ->
-      """WITH t AS (
+      ("""WITH t AS (
         |  SELECT doc_id, text, lang,
         |    CASE WHEN trim(text) = '' THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-        |    round((least(length(text) / 500.0, 1.0) * 0.4)
-        |      + ((1.0 - least(round(length(regexp_replace(text,
-        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
-        |          * 5, 1.0)) * 0.3)
-        |      + (least(round(len(regexp_extract_all(lower(text),
-        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
-        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-        |          * 4, 1.0) * 0.3), 6) AS q
+        |    """ + QualityScoreExprSql + """ AS q
         |  FROM documents),
         |s AS (
         |  SELECT count(*) AS n, sum(toks) AS tot, avg(toks) AS avgt,
@@ -1588,7 +1598,7 @@ object ExtQueries {
         |    count(*) / ((SELECT n FROM s) * 1.0)
         |  FROM t GROUP BY lang)
         |SELECT metric, round(value, 6) AS value FROM card
-        |ORDER BY metric""".stripMargin,
+        |ORDER BY metric""").stripMargin,
 
     // the normal-equation fit must reproduce SQL's closed-form regr_*
     "ext_linreg_fit" ->
@@ -1616,15 +1626,8 @@ object ExtQueries {
     // Shared score CTE for the eval family: the same quality formula as
     // ext_quality_score's oracle, label = (lang = 'en').
     "ext_eval_auc" ->
-      """WITH t AS (
-        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
-        |      + ((1.0 - least(round(length(regexp_replace(text,
-        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
-        |          * 5, 1.0)) * 0.3)
-        |      + (least(round(len(regexp_extract_all(lower(text),
-        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
-        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-        |          * 4, 1.0) * 0.3), 6) AS score,
+      ("""WITH t AS (
+        |  SELECT """ + QualityScoreExprSql + """ AS score,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         |  FROM documents),
         |g AS (
@@ -1639,18 +1642,11 @@ object ExtQueries {
         |  CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
         |    round(sum(p * nb + p * n / 2.0) / (sum(p) * sum(n)), 6)
         |  END AS auc
-        |FROM c""".stripMargin,
+        |FROM c""").stripMargin,
 
     "ext_eval_confusion" ->
-      """WITH t AS (
-        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
-        |      + ((1.0 - least(round(length(regexp_replace(text,
-        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
-        |          * 5, 1.0)) * 0.3)
-        |      + (least(round(len(regexp_extract_all(lower(text),
-        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
-        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-        |          * 4, 1.0) * 0.3), 6) AS score,
+      ("""WITH t AS (
+        |  SELECT """ + QualityScoreExprSql + """ AS score,
         |    (lang = 'en') AS y
         |  FROM documents),
         |a AS (
@@ -1665,24 +1661,17 @@ object ExtQueries {
         |  CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn + 0.0), 6) END AS recall,
         |  CASE WHEN tp * 2 + fp + fn > 0
         |    THEN round(tp * 2 / (tp * 2 + fp + fn + 0.0), 6) END AS f1
-        |FROM a""".stripMargin,
+        |FROM a""").stripMargin,
 
     "ext_eval_calibration" ->
-      """WITH t AS (
-        |  SELECT round((least(length(text) / 500.0, 1.0) * 0.4)
-        |      + ((1.0 - least(round(length(regexp_replace(text,
-        |          '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)
-        |          * 5, 1.0)) * 0.3)
-        |      + (least(round(len(regexp_extract_all(lower(text),
-        |          '\b(the|a|an|and|of|to|in|is|it|for)\b'))
-        |          / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-        |          * 4, 1.0) * 0.3), 6) AS score,
+      ("""WITH t AS (
+        |  SELECT """ + QualityScoreExprSql + """ AS score,
         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
         |  FROM documents)
         |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
         |  count(*) AS cnt, round(avg(score), 6) AS mean_score,
         |  round(avg(y), 6) AS pos_rate
-        |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
+        |FROM t GROUP BY bin ORDER BY bin""").stripMargin,
 
     "ext_heavy_hitters" ->
       """SELECT tok AS token, count(*) AS cnt FROM (
@@ -2088,16 +2077,7 @@ object ExtQueries {
     // min-label semantics of Dedup.componentsFromPairs. Docs in no pair
     // keep themselves via the LEFT JOIN + coalesce.
     "ext_triplets" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 3)
-        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
-        |  FROM documents WHERE doc_id < 500),
-        |p AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM g x, g y WHERE x.doc_id < y.doc_id
-        |    AND len(list_intersect(x.grams, y.grams))
-        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+      ("""WITH """ + GramPairCtesSql + """,
         |r AS (
         |  SELECT id_a AS anchor, id_b AS positive,
         |    coalesce(lead(id_b) OVER (ORDER BY id_a, id_b),
@@ -2111,7 +2091,7 @@ object ExtQueries {
         |WHERE negative != anchor AND negative != positive
         |  AND NOT EXISTS (SELECT 1 FROM e
         |    WHERE e.e_a = r.anchor AND e.e_b = r.negative)
-        |ORDER BY anchor, positive""".stripMargin,
+        |ORDER BY anchor, positive""").stripMargin,
 
     "ext_pagerank" -> PageRankSql,
     "ext_corpus_components" -> CorpusComponentsSql,
@@ -2121,16 +2101,7 @@ object ExtQueries {
     // ties to the min id (the row_number ordering restates Spark's
     // max(struct(score, -id)) exactly)
     "ext_dedup_keep_best" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 3)
-        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
-        |  FROM documents WHERE doc_id < 500),
-        |p AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM g x, g y WHERE x.doc_id < y.doc_id
-        |    AND len(list_intersect(x.grams, y.grams))
-        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+      ("""WITH RECURSIVE """ + GramPairCtesSql + """,
         |e AS (SELECT id_a AS id, id_b AS nbr FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |reach(id, r) AS (
@@ -2151,7 +2122,7 @@ object ExtQueries {
         |SELECT f.doc_id, f.canonical_id, b.rep_id
         |FROM full_lab f JOIN ranked b
         |  ON f.canonical_id = b.canonical_id AND b.rn = 1
-        |ORDER BY f.doc_id""".stripMargin,
+        |ORDER BY f.doc_id""").stripMargin,
 
     "ext_ngram_jaccard" ->
       """WITH g AS (
@@ -2563,16 +2534,7 @@ object ExtQueries {
         |ORDER BY doc_id, line_no""".stripMargin,
 
     "ext_split_leakage_audit" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id,
-        |    list_distinct([substr(text, i, 3)
-        |      for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
-        |  FROM documents WHERE doc_id < 500),
-        |p AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM g x, g y WHERE x.doc_id < y.doc_id
-        |    AND len(list_intersect(x.grams, y.grams))
-        |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9),
+      ("""WITH RECURSIVE """ + GramPairCtesSql + """,
         |e AS (SELECT id_a AS id, id_b AS nbr FROM p
         |      UNION ALL SELECT id_b, id_a FROM p),
         |reach(id, r) AS (
@@ -2612,7 +2574,7 @@ object ExtQueries {
         |    JOIN bycomp b ON p.id_b = b.doc_id
         |  GROUP BY 1, 2, 3)
         |SELECT scheme, split_lo, split_hi, n_pairs FROM audits
-        |ORDER BY scheme, split_lo, split_hi""".stripMargin,
+        |ORDER BY scheme, split_lo, split_hi""").stripMargin,
 
     "ext_split_assign" ->
       """SELECT doc_id, source,

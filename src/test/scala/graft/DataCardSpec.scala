@@ -19,8 +19,10 @@ class DataCardSpec extends SparkSpec {
     val card = DataCard.corpusCard(docs, "doc_id", "text", "lang")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(card("n_docs") === 4.0)
-    // tokens: 3 + 3 + 0 (Spark's split of "" yields no tokens) + 6
-    assert(card("total_tokens") === (3 + 3 + 0 + 6).toDouble)
+    // tokens: 3 + 3 + 1 + 5 — Spark's split(trim("")) yields [""] (one
+    // token), matching DuckDB's string_split_regex; the email counts as
+    // ONE whitespace token
+    assert(card("total_tokens") === (3 + 3 + 1 + 5).toDouble)
     assert(card("pct_empty") === 0.25)
     assert(card("exact_dup_rate") === 0.25)  // 3 distinct hashes of 4 docs
     assert(card("pii_email_rate") === 0.25)

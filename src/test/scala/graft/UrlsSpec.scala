@@ -153,4 +153,17 @@ class UrlsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)).toString
     assert(viaHelper === composed)
   }
+
+  test("domainQuota: unparseable URLs pass through un-quota'd, domain null") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "https://big.com/a"), (2L, "https://big.com/b"),
+      (3L, "not a url at all"), (4L, "also-not-a-url"))
+      .toDF("id", "url")
+    val out = graft.ext.Urls.domainQuota(rows, "id", "url", maxPerDomain = 1)
+      .select("id", "domain").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out.size === 3)                 // 1 kept of big.com + both bad rows
+    assert(out(3L) === None && out(4L) === None)
+    assert(out.contains(1L) && !out.contains(2L)) // quota still binds
+  }
 }
