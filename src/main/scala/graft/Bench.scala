@@ -106,7 +106,8 @@ object Bench {
     // a timing read without knowing WHICH path executed is ambiguous
     // (the r4 simhash outlier sat exactly on the fallback's number).
     val natives = Seq("graft_minhash", "graft_simhash", "graft_isect",
-        "graft_cosine", "graft_dot", "graft_rplsh")
+        "graft_cosine", "graft_dot", "graft_rplsh", "graft_deflate_ratio",
+        "graft_nfc")
       .map(n => s"\"" + n + "\":" + spark.catalog.functionExists(n))
       .mkString("{", ",", "}")
     // One JSON line, headline duplicated at BOTH ends: the driver's

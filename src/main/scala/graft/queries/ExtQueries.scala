@@ -940,6 +940,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Inverse-frequency class weights (oracled): w_c = n / (k·n_c) —
+    // the loss-weighting table a trainer reads next to an imbalanced
+    // label column; one O(classes) aggregate.
+    "ext_class_weights" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang").as("label")).agg(count(lit(1)).as("n_c"))
+      val W = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      counts
+        .withColumn("n", sum("n_c").over(W))
+        .withColumn("k", count(lit(1)).over(W))
+        .select(col("label"), col("n_c"),
+          round(col("n") / (col("k") * col("n_c")), 6).as("weight"))
+        .orderBy("label")
+    }),
+
     // Weighted sample without replacement (oracled): A-ES keys over
     // n_chars weights — longer docs proportionally likelier, selection a
     // pure function of (ids, weights, k). TakeOrdered top-k, no global
@@ -2337,6 +2353,14 @@ object ExtQueries {
         |      FROM documents)
         |SELECT doc_id, r.lang, source FROM r JOIN q ON r.lang = q.lang
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "ext_class_weights" ->
+      """WITH c AS (SELECT lang AS label, count(*) AS n_c
+        |           FROM documents GROUP BY lang)
+        |SELECT label, n_c,
+        |  round((SELECT sum(n_c) FROM c) * 1.0
+        |    / ((SELECT count(*) FROM c) * n_c), 6) AS weight
+        |FROM c ORDER BY label""".stripMargin,
 
     // A-ES weighted sampling: same 60-bit md5 uniform + ln(u)/w keys
     "ext_sample_weighted" ->
