@@ -57,10 +57,16 @@ object Eval {
       .agg(
         sum("p").as("pos_cnt"),
         sum("n").as("neg_cnt"),
-        sum(col("p") * col("nb") + col("p") * col("n") / lit(2.0)).as("u"))
+        // promote BEFORE the products: p·nb (and pos·neg below) in long
+        // arithmetic wraps silently once per-group positives times
+        // cumulative negatives pass Long.Max — plausible at
+        // billions-of-rows-per-class scale
+        sum(col("p").cast("double") * col("nb") +
+          col("p").cast("double") * col("n") / lit(2.0)).as("u"))
       .select(col("pos_cnt"), col("neg_cnt"),
         when(col("pos_cnt") > 0 && col("neg_cnt") > 0,
-          round(col("u") / (col("pos_cnt") * col("neg_cnt")), 6))
+          round(col("u") / (col("pos_cnt").cast("double") * col("neg_cnt")),
+            6))
           .as("auc"))
   }
 
@@ -88,15 +94,18 @@ object Eval {
   }
 
   /** Reliability/calibration table: scores in [0,1] bucketed into
-    * `bins` equal-width bins (score 1.0 folds into the top bin), each
-    * bin reporting its size, mean score, and empirical positive rate —
-    * the standard reliability-diagram input. One map-combinable
-    * aggregate to O(bins) rows.
+    * `bins` equal-width bins (symmetric clamp: score 1.0 folds into the
+    * top bin, anything below 0 into bin 0 — out-of-range scores never
+    * mint negative bin labels), each bin reporting its size, mean
+    * score, and empirical positive rate — the standard
+    * reliability-diagram input. One map-combinable aggregate to O(bins)
+    * rows.
     */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val b = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+    val b = greatest(least(floor(col(scoreCol) * bins), lit(bins - 1)),
+      lit(0)).cast("long")
     df.groupBy(b.as("bin"))
       .agg(count(lit(1)).as("cnt"),
         round(avg(col(scoreCol)), 6).as("mean_score"),

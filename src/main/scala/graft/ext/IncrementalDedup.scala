@@ -202,10 +202,17 @@ object IncrementalDedup {
       shingleRows.write.mode("overwrite").parquet(shinglesPath)
       newBands.write.mode("overwrite").parquet(bandsPath)
     } else {
-      UpsertIgnore(spark, shingleRows, shinglesPath,
-        keys = Seq("doc_id"), pruneCol = Some("doc_id"))
-      UpsertIgnore(spark, newBands, bandsPath,
-        keys = Seq("doc_id", "band"), pruneCol = Some("doc_id"))
+      // count-free registration: one shared id-range scan + one
+      // anti-join append per table (the generic UpsertIgnore's
+      // cache/count/delta-count jobs are accounting a store ingest
+      // never reads — at per-batch cadence those fixed jobs dominate)
+      val idBounds = hashed.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      UpsertIgnore.appendAbsent(spark, shingleRows, shinglesPath,
+        keys = Seq("doc_id"), pruneCol = Some("doc_id"),
+        bounds = Some(idBounds))
+      UpsertIgnore.appendAbsent(spark, newBands, bandsPath,
+        keys = Seq("doc_id", "band"), pruneCol = Some("doc_id"),
+        bounds = Some(idBounds))
     }
     out
   }

@@ -239,15 +239,21 @@ object IncrementalEmbedDedup {
         e.select("doc_id", "v", "n").write.mode("overwrite").parquet(vecsPath)
       chunks.write.mode("overwrite").parquet(sigsPath)
     } else {
+      // count-free registration: one shared id-range scan + one
+      // anti-join append per table (see UpsertIgnore.appendAbsent)
+      val idBounds = e.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (pq)
-        UpsertIgnore(spark,
+        UpsertIgnore.appendAbsent(spark,
           encodedBatch(e, Pq.readCodebooks(spark, cbPath)),
-          codesPath, keys = Seq("doc_id"), pruneCol = Some("doc_id"))
+          codesPath, keys = Seq("doc_id"), pruneCol = Some("doc_id"),
+          bounds = Some(idBounds))
       else
-        UpsertIgnore(spark, e.select("doc_id", "v", "n"), vecsPath,
-          keys = Seq("doc_id"), pruneCol = Some("doc_id"))
-      UpsertIgnore(spark, chunks, sigsPath,
-        keys = Seq("doc_id", "chunk"), pruneCol = Some("doc_id"))
+        UpsertIgnore.appendAbsent(spark, e.select("doc_id", "v", "n"), vecsPath,
+          keys = Seq("doc_id"), pruneCol = Some("doc_id"),
+          bounds = Some(idBounds))
+      UpsertIgnore.appendAbsent(spark, chunks, sigsPath,
+        keys = Seq("doc_id", "chunk"), pruneCol = Some("doc_id"),
+        bounds = Some(idBounds))
     }
     out
   }

@@ -129,10 +129,15 @@ object IncrementalSubstring {
       grams.write.mode("overwrite").parquet(gramsPath)
       fps.write.mode("overwrite").parquet(fpsPath)
     } else {
-      UpsertIgnore(spark, grams, gramsPath,
-        keys = Seq("doc_id"), pruneCol = Some("doc_id"))
-      UpsertIgnore(spark, fps, fpsPath,
-        keys = Seq("doc_id", "fp"), pruneCol = Some("doc_id"))
+      // count-free registration: one shared id-range scan + one
+      // anti-join append per table (see UpsertIgnore.appendAbsent)
+      val idBounds = eligible.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      UpsertIgnore.appendAbsent(spark, grams, gramsPath,
+        keys = Seq("doc_id"), pruneCol = Some("doc_id"),
+        bounds = Some(idBounds))
+      UpsertIgnore.appendAbsent(spark, fps, fpsPath,
+        keys = Seq("doc_id", "fp"), pruneCol = Some("doc_id"),
+        bounds = Some(idBounds))
     }
     out
   }

@@ -171,9 +171,19 @@ object Pca {
     aggregate(terms, lit(0.0), (acc, t) => acc + t)
   }
 
-  /** Append `outCol` = array<double> of the k projections. */
+  /** Append `outCol` = array<double> of the k projections. Ragged or
+    * null input vectors fail LOUDLY (fit rejects the same rows, so a
+    * dim mismatch at serving time is data drift — zip_with would
+    * otherwise null-pad silently and emit null components).
+    */
   def transform(df: DataFrame, vecCol: String, model: Model,
-      outCol: String = "pca"): DataFrame =
-    df.withColumn(outCol, array(model.components.toIndexedSeq.map(w =>
-      projectOne(col(vecCol), model.mean, w)): _*))
+      outCol: String = "pca"): DataFrame = {
+    val d = model.mean.length
+    val proj = array(model.components.toIndexedSeq.map(w =>
+      projectOne(col(vecCol), model.mean, w)): _*)
+    df.withColumn(outCol,
+      when(size(col(vecCol)) === d, proj).otherwise(raise_error(concat(
+        lit(s"Pca.transform: expected dim $d, got vector of size "),
+        coalesce(size(col(vecCol)).cast("string"), lit("null"))))))
+  }
 }

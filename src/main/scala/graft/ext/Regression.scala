@@ -92,6 +92,11 @@ object Regression {
     val nullExpr = sum(when(anyNull, 1L).otherwise(0L)).as("bad")
     val allExprs = gramExprs ++ xtyExprs :+ nullExpr
     val row = df.agg(allExprs.head, allExprs.tail: _*).head()
+    // sum() over an EMPTY frame is null — getLong on it would NPE with
+    // an opaque message, so surface emptiness explicitly first (the
+    // DataCard/Pca n > 0 discipline)
+    require(!row.isNullAt(row.length - 1),
+      "Regression: empty input — the sufficient statistics are undefined")
     require(row.getLong(row.length - 1) == 0L,
       s"Regression: ${row.getLong(row.length - 1)} rows carry null/NaN " +
         "features or label — null-reject or impute them first")
@@ -155,6 +160,9 @@ object Regression {
       count(lit(1)).as("n") :+
       sum(when(anyNull, 1L).otherwise(0L)).as("bad")
     val row = df.agg(exprs.head, exprs.tail: _*).head()
+    // same empty-input guard as normalEq: sum() over nothing is null
+    require(!row.isNullAt(k + 1),
+      "Regression: empty input — the gradient is undefined")
     require(row.getLong(k + 1) == 0L,
       s"Regression: ${row.getLong(k + 1)} rows carry null/NaN features " +
         "or label — null-reject or impute them first")

@@ -144,7 +144,11 @@ object Drift {
       .withColumn("tr", sum("nr").over(WholeW))
       .withColumn("tc", sum("nc").over(WholeW))
       .withColumn("e", when(col("tr") > 0 && col("tc") > 0,
-        greatest(col("nr") * col("tc") / col("tr"), lit(eps))))
+        // promote BEFORE the product: nr·tc in long arithmetic wraps
+        // silently (ANSI off) once counts reach ~3e9 × 3e9 — real at
+        // corpus scale; double loses only ulps there
+        greatest(col("nr").cast("double") * col("tc") / col("tr"),
+          lit(eps))))
       .withColumn("term", when(col("e").isNotNull,
         (col("nc") - col("e")) * (col("nc") - col("e")) / col("e")))
       .agg(count(lit(1)).as("n_categories"),

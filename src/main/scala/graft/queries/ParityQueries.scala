@@ -876,16 +876,28 @@ object ParityQueries {
         .filter(col("event_type") === "click")
       val purchases = graft.streaming.EventIngest.readEventStream(s, src)
         .filter(col("event_type") === "purchase")
-      val q = graft.streaming.EventIngest
-        .correlate(clicks, purchases, "user_id", withinMinutes = 60)
-        .writeStream
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$work/sink")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
+      // HARNESS config, not operator semantics: the stateful join
+      // provisions one state store per side per shuffle partition, and
+      // the count captured at FIRST start is frozen into the checkpoint
+      // for the query's lifetime. At this gate's tiny batch the 2×32
+      // store lifecycles dominate the entry's cost, so the gate pins a
+      // small count before .start() and restores after — a production
+      // deployment WANTS many state partitions and sets its own value
+      // at first start.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.EventIngest
+          .correlate(clicks, purchases, "user_id", withinMinutes = 60)
+          .writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", s"$work/sink")
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val out = s.read.parquet(s"$work/sink")
         .select(col("user_id"),
           col("ts_l").cast("timestamp_ntz").as("ts_l"), col("id_l"),

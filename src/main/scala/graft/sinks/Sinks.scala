@@ -63,12 +63,17 @@ object UpsertIgnore {
       batch: DataFrame,
       existingAll: DataFrame,
       keys: Seq[String],
-      pruneCol: Option[String]): DataFrame = {
+      pruneCol: Option[String],
+      precomputedBounds: Option[Row] = None): DataFrame = {
     val existing = pruneCol match {
       case Some(c) if keys.contains(c) =>
         // head() not pattern-matched: an empty batch yields null bounds
         // (typed patterns don't match null) — fall back to no pruning.
-        val bounds = batch.agg(min(col(c)), max(col(c))).head()
+        // A caller registering several tables from ONE batch passes the
+        // range it already computed, so the bounds job runs once, not
+        // once per table.
+        val bounds = precomputedBounds.getOrElse(
+          batch.agg(min(col(c)), max(col(c))).head())
         if (bounds.isNullAt(0)) existingAll
         else existingAll.filter(
           col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
@@ -103,6 +108,36 @@ object UpsertIgnore {
     *        skip generations — an append stream keyed by time or id
     *        blocks gets range-pruned reads for free.
     */
+  /** Count-free sibling of [[apply]] for the durable-store registration
+    * path (the incremental dedup stores): same anti-join-append
+    * semantics and the same pruned-broadcast delta plan, but no
+    * accounting — the batch cache/count and delta-count jobs exist only
+    * to fill [[Result]], and a store ingest never reads them. A caller
+    * registering SEVERAL tables from one batch passes the batch's key
+    * range once via `bounds` (the min/max Row of `pruneCol`), collapsing
+    * the per-table bounds scans too: registration is then 1 shared
+    * bounds job + 1 append job per table instead of ~4 jobs per table.
+    * At per-batch ingest cadence the fixed job count IS the latency;
+    * the idempotence contract (anti-join per table, crash-rerun safe)
+    * is unchanged.
+    */
+  def appendAbsent(
+      spark: SparkSession,
+      incoming: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      pruneCol: Option[String] = None,
+      bounds: Option[Row] = None): Unit =
+    if (!targetExists(spark, targetPath))
+      incoming.write.mode("append").parquet(targetPath)
+    else {
+      val existingAll = spark.read.parquet(targetPath)
+      SchemaGuard.requireAligned(spark, incoming, existingAll, Nil, targetPath)
+      deltaPlan(spark, incoming, existingAll, keys, pruneCol, bounds)
+        .select(existingAll.columns.toSeq.map(col): _*)
+        .write.mode("append").parquet(targetPath)
+    }
+
   def apply(
       spark: SparkSession,
       incoming: DataFrame,
