@@ -64,4 +64,22 @@ object DataCard {
       .select(col("metric"), round(col("value"), 6).as("value"))
       .orderBy("metric")
   }
+
+  /** Media decode-coverage rows in the card's (metric, value) long
+    * format: one `media_<format>_<kind>` row per census group (see
+    * [[Multimodal.decodeCensus]] for the kinds). This is the FALLBACK
+    * ACCOUNTING a media corpus release needs on its datasheet: the
+    * per-row `kind` says whether one payload really decoded, but only
+    * this rollup makes a codec blind spot (e.g. every MP3 byte-statted
+    * because the JVM has no MP3 codec) visible at corpus scale. Union
+    * with [[corpusCard]] output for the combined card.
+    */
+  def mediaDecodeCard(features: DataFrame): DataFrame =
+    features.groupBy("format", "kind")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit("media_"), col("format"), lit("_"), col("kind"))
+          .as("metric"),
+        col("cnt").cast("double").as("value"))
+      .orderBy("metric")
 }

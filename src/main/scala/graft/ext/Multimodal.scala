@@ -32,10 +32,19 @@ object Multimodal {
       width: Int,
       height: Int)
 
+  /** `kind` records HOW the features were obtained — "pixels" (full
+    * image decode), "header" (PNG geometry only), "pcm" (WAV samples),
+    * "container" (MP4 moov metadata), "byte-stats" (StubCodec
+    * fallback) — so a corpus run can ROLL UP its codec blind spot
+    * (see [[decodeCensus]]): at 100 TB the difference between "we
+    * decoded the audio" and "we byte-statted it" must be a queryable
+    * number, not a per-row detail nobody aggregates.
+    */
   final case class MediaFeatures(
       doc_id: Long,
       byte_len: Int,
       format: String,
+      kind: String,
       checksum: Long,
       feature: Array[Float])
 
@@ -53,7 +62,7 @@ object Multimodal {
   object StubCodec extends MediaCodec {
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
-        MediaFeatures(r.doc_id, r.media.length, r.format,
+        MediaFeatures(r.doc_id, r.media.length, r.format, "byte-stats",
           byteChecksum(r.media),
           Array.tabulate(4) { j =>
             if (r.media.isEmpty) 0f
@@ -162,11 +171,10 @@ object Multimodal {
       val colorType = b(25) & 0xff
       val geometry =
         Array(width.toFloat, height.toFloat, bitDepth.toFloat, colorType.toFloat)
-      val feature = pixelStats(b, width.toInt, height.toInt, bitDepth,
-          colorType)
-        .map(geometry ++ _).getOrElse(geometry)
-      Some(MediaFeatures(r.doc_id, b.length, "image/png", byteChecksum(b),
-        feature))
+      val px = pixelStats(b, width.toInt, height.toInt, bitDepth, colorType)
+      val feature = px.map(geometry ++ _).getOrElse(geometry)
+      Some(MediaFeatures(r.doc_id, b.length, "image/png",
+        if (px.isDefined) "pixels" else "header", byteChecksum(b), feature))
     }
 
     /** Channels per PNG color type for the 8-bit pixel path. */
@@ -311,7 +319,8 @@ object Multimodal {
           }
           math.sqrt(sum / (dataLen / 2)) / 32768.0
         } else 0.0
-      Some(MediaFeatures(r.doc_id, b.length, "audio/wav", byteChecksum(b),
+      Some(MediaFeatures(r.doc_id, b.length, "audio/wav", "pcm",
+        byteChecksum(b),
         Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,
           rms.toFloat)))
     }
@@ -354,7 +363,8 @@ object Multimodal {
           val mb = (sb.toDouble / n / 255.0).toFloat
           val lum = 0.299f * mr + 0.587f * mg + 0.114f * mb
           Some(MediaFeatures(r.doc_id, r.media.length, "image/jpeg",
-            byteChecksum(r.media), Array(w.toFloat, h.toFloat, mr, mg, mb, lum)))
+            "pixels", byteChecksum(r.media),
+            Array(w.toFloat, h.toFloat, mr, mg, mb, lum)))
         }
       } catch {
         // ImageIO's JPEG reader throws RuntimeExceptions (AIOOBE, NASE,
@@ -363,15 +373,154 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => None
       }
 
+    private[ext] def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && tag(b, 4) == "ftyp"
+
+    /** One level of ISO-BMFF box walking over [off0, end): `f(type,
+      * payloadOff, payloadEnd)` per box. Every size is validated against
+      * the enclosing range (size==1 reads the 64-bit largesize;
+      * size==0 means "to the end of the enclosing box"), so a truncated
+      * or lying file can never over-read — returns false on the first
+      * malformed size and the caller falls back to byte-stats.
+      */
+    private def walkBoxes(b: Array[Byte], off0: Int, end: Int)(
+        f: (String, Int, Int) => Boolean): Boolean = {
+      var off = off0
+      while (off + 8 <= end) {
+        val sz32 = u32be(b, off)
+        val typ = tag(b, off + 4)
+        var hdr = 8L
+        var sz = sz32
+        if (sz32 == 1) {
+          if (off + 16 > end) return false
+          sz = (u32be(b, off + 8) << 32) | u32be(b, off + 12)
+          hdr = 16L
+        } else if (sz32 == 0) sz = (end - off).toLong
+        if (sz < hdr || off + sz > end) return false
+        if (!f(typ, off + hdr.toInt, off + sz.toInt)) return false
+        off += sz.toInt
+      }
+      true
+    }
+
+    /** MP4/ISO-BMFF: container-only metadata from the `moov` atom walk —
+      * presentation duration (mvhd, v0 and v1 layouts), track count
+      * (trak atoms), and visual geometry (tkhd 16.16 fixed-point
+      * width/height; max over tracks, since sound tracks carry zeros).
+      * ZERO codec work — the WAV RIFF discipline applied to video: a
+      * crawl corpus carries containered video whose duration/geometry
+      * are real offline metadata, while frame DECODE remains the
+      * documented native-codec boundary ([[decodeCensus]] counts how
+      * many rows sit on each side of that line).
+      * Feature layout: [durationSec, trackCount, width, height].
+      */
+    private def decodeMp4(r: MediaRow): Option[MediaFeatures] = {
+      val b = r.media
+      var durationSec = -1.0
+      var tracks = 0
+      var w = 0f
+      var h = 0f
+      val ok = walkBoxes(b, 0, b.length) { (typ, po, pe) =>
+        if (typ != "moov") true
+        else walkBoxes(b, po, pe) { (t2, qo, qe) =>
+          if (t2 == "mvhd" && qe - qo >= 20) {
+            val ver = b(qo) & 0xff
+            if (ver == 1 && qe - qo >= 32) {
+              val ts = u32be(b, qo + 20)
+              val dur = (u32be(b, qo + 24) << 32) | u32be(b, qo + 28)
+              if (ts > 0) durationSec = dur.toDouble / ts
+            } else if (ver == 0) {
+              val ts = u32be(b, qo + 12)
+              val dur = u32be(b, qo + 16)
+              if (ts > 0) durationSec = dur.toDouble / ts
+            }
+            true
+          } else if (t2 == "trak") {
+            tracks += 1
+            walkBoxes(b, qo, qe) { (t3, ro, re) =>
+              if (t3 == "tkhd") {
+                val wOff = if ((b(ro) & 0xff) == 1) 88 else 76
+                if (re - ro >= wOff + 8) {
+                  val tw = u32be(b, ro + wOff) / 65536f
+                  val th = u32be(b, ro + wOff + 4) / 65536f
+                  if (tw > w) w = tw
+                  if (th > h) h = th
+                }
+              }
+              true
+            }
+          } else true
+        }
+      }
+      if (!ok || durationSec < 0 || tracks == 0) None
+      else Some(MediaFeatures(r.doc_id, b.length, "video/mp4", "container",
+        byteChecksum(b),
+        Array(durationSec.toFloat, tracks.toFloat, w, h)))
+    }
+
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val parsed =
           if (isPng(r.media)) decodePng(r)
           else if (isWav(r.media)) decodeWav(r)
           else if (isJpeg(r.media)) decodeJpeg(r)
+          else if (isMp4(r.media)) decodeMp4(r)
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }
+  }
+
+  /** Deterministic minimal-MP4 synthesizer (`ftyp` + `moov{mvhd,
+    * trak{tkhd}×n}`) — the [[AudioDsp.sineWav]] analog for the video
+    * gates: doc_id-derived parameters stay SQL-restatable while the
+    * atom walk runs on real ISO-BMFF bytes end-to-end. Track 1 carries
+    * the visual geometry; extra tracks are soundtrack-shaped (zero
+    * width/height). mvhd/tkhd are version 0.
+    */
+  def minimalMp4(timescale: Int, durationTicks: Long, tracks: Int,
+      width: Int, height: Int): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && tracks >= 1,
+      s"minimalMp4: timescale=$timescale duration=$durationTicks tracks=$tracks")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + payload.length)
+        .putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload).array()
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 payload
+      bb.putInt(0)                       // version 0 + flags
+        .putInt(0).putInt(0)             // creation, modification
+        .putInt(timescale).putInt(durationTicks.toInt)
+        .putInt(0x00010000)              // rate 1.0
+        .putShort(0x0100.toShort)        // volume 1.0
+        .putShort(0).putLong(0L)         // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)              // identity matrix
+      bb.position(bb.position() + 24)    // pre_defined ×6
+      bb.putInt(tracks + 1)              // next_track_ID
+      bb.array()
+    })
+    val traks = (1 to tracks).map { i =>
+      box("trak", box("tkhd", {
+        val bb = java.nio.ByteBuffer.allocate(84) // v0 payload
+        bb.putInt(7)                     // version 0 + flags (enabled)
+          .putInt(0).putInt(0)           // creation, modification
+          .putInt(i).putInt(0)           // track_ID, reserved
+          .putInt(durationTicks.toInt)
+          .putLong(0L)                   // reserved
+          .putShort(0).putShort(0)       // layer, alternate_group
+          .putShort(if (i == 1) 0 else 0x0100.toShort) // volume
+          .putShort(0)                   // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)            // identity matrix
+        bb.putInt(if (i == 1) width << 16 else 0)   // 16.16 fixed
+          .putInt(if (i == 1) height << 16 else 0)
+        bb.array()
+      }))
+    }
+    ftyp ++ box("moov", mvhd ++ traks.flatten)
   }
 
   /** Build a media table from documents: text bytes stand in for media
@@ -401,6 +550,22 @@ object Multimodal {
       it.grouped(batchSize).flatMap(batch => codec.decode(batch.toSeq))
     }
   }
+
+  /** Corpus-level decode-coverage rollup: row counts per (format,
+    * kind) over the extracted features — the codec-blind-spot census.
+    * A 100 TB run that silently byte-statted its MP3s looks identical
+    * to one that decoded them unless this number is on the data card;
+    * group sizes are O(formats × kinds), driver-trivial.
+    */
+  def decodeCensus(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64,
+      codec: MediaCodec = ContainerCodec): DataFrame =
+    extractFeatures(spark, media, batchSize, codec).toDF()
+      .groupBy("format", "kind")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("format", "kind")
 
   /** Frame-sampling analog: pick every `stride`-th byte window as a
     * "frame" — the partitioning/explode mechanics of video frame

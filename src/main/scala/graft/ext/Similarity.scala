@@ -311,6 +311,33 @@ object Similarity {
     else lloydRefine(embeddings, idCol, vecCol, seed, iters)
   }
 
+  /** [EXT] Spherical k-means centroids as a QUERYABLE long-format frame
+    * (cid, pos, x) — the training loop the IVF build runs, exposed as a
+    * first-class operator so the clustering arithmetic itself is
+    * oracle-able (`ext_kmeans_step` restates one full Lloyd round in
+    * DuckDB): assignment is the same map-side argmax-cosine pass as the
+    * index build (ties → lowest centroid id; zero-norm rows score -2.0),
+    * the update is the elementwise member SUM (the mean direction —
+    * cosine is scale-invariant), and empty / zero-sum clusters keep
+    * their previous center. Scale shape: per iteration ONE corpus scan
+    * with a k·d-row map-combinable aggregate; only the k·d centroid
+    * metadata ever reaches the driver.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seeding: String = "first"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    trainedCentroids(embeddings, idCol, vecCol, k, iters, seeding)
+      .toSeq
+      .flatMap(c => c.vec.zipWithIndex.map { case (x, pos) => (c.id, pos, x) })
+      .toDF("cid", "pos", "x")
+  }
+
   /** The per-row index tuple (id, v, n, centroid_id): one map-only pass. */
   private def assignmentsFor(
       embeddings: DataFrame,

@@ -551,6 +551,212 @@ object ParityQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H-Q2-shaped min-cost supplier (the schema has no partsupp, so
+    // the per-(part, supplier) offer price is the MINIMUM shipped unit
+    // price from lineitem — min, not avg, because min over identical
+    // doubles is order-independent and therefore bit-identical across
+    // engines). Shape: the classic correlated-min rewrite — aggregate
+    // per (part, supp), min per part, equality join back — with every
+    // dim broadcast; no correlated per-row subquery survives to the
+    // plan.
+    "tpch_q2_min_cost_supplier" -> ((s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") === 15 && col("p_type") === "LARGE")),
+          col("l_partkey") === col("p_partkey"))
+      val minCost = cost.groupBy(col("p_partkey").as("mk"))
+        .agg(min("unit_cost").as("min_cost"))
+      cost.join(minCost,
+          col("p_partkey") === col("mk") &&
+            col("unit_cost") === col("min_cost"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          round(col("unit_cost"), 2).as("unit_cost"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // TPC-H-Q4-shaped priority check: orders with at least one lineitem
+    // shipped > 90 days after the order date (the schema's analog of
+    // commitdate < receiptdate), counted per priority — the EXISTS
+    // correlated subquery expressed as a LEFT SEMI join whose condition
+    // spans both sides (equi key + non-equi date predicate).
+    "tpch_q4_priority_late" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") <  lit("1997-04-01").cast("timestamp_ntz"))
+      o.join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H-Q9-shaped product-type profit: name-filtered parts joined
+    // through the fact to supplier nations, profit per (nation, year).
+    // No partsupp: unit cost proxied as 10% of p_retailprice — same
+    // join/agg shape, deterministic arithmetic. Both dims broadcast;
+    // year() stays on the fact scan.
+    "tpch_q9_profit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("gear"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("l_quantity") * col("p_retailprice") * lit(0.1)), 2)
+          .as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)),
+
+    // TPC-H-Q11-shaped important stock: per-part shipped value from one
+    // nation's suppliers, kept only above a GLOBAL threshold — the
+    // scalar subquery becomes a broadcast of a 1-row aggregate into the
+    // filter (never a driver round-trip). The rounded compare pins the
+    // float boundary so both engines cut at the same cent.
+    "tpch_q11_important_stock" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("value"))
+      v.join(broadcast(
+          v.agg(round(sum(col("value")) * lit(0.002), 2).as("thr"))))
+        .filter(col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    }),
+
+    // TPC-H-Q12-shaped latency buckets: lines shipped > 30 days after
+    // the order date in one year, counted per return flag split by
+    // order priority class — the two-bucket conditional aggregate over
+    // a non-equi-qualified fact join.
+    "tpch_q12_late_priority" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <  lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // TPC-H-Q13-shaped customer order distribution: LEFT OUTER join so
+    // order-less customers survive with count 0 (count(col) skips the
+    // outer nulls — the semantics the shape exists to exercise), then
+    // the distribution of counts.
+    "tpch_q13_order_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H-Q15-shaped top supplier: quarterly revenue per supplier,
+    // keep the max — the view-plus-scalar-max shape; the 1-row max
+    // broadcasts into an equality filter on the PRE-ROUNDED revenue so
+    // ties (and the cross-engine cut) are cent-exact.
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") <  lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H-Q16-shaped supplier count: distinct shipping suppliers per
+    // (brand, type, size) bucket, excluding flagged suppliers (negative
+    // balance — the complaints analog) via a broadcast ANTI join before
+    // the count-distinct expand.
+    "tpch_q16_supplier_cnt" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#15" &&
+            col("p_size").isin(1, 5, 10, 15, 20))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)),
+
+    // TPC-H-Q17-shaped small-quantity revenue: lines below 20% of their
+    // part's average quantity — the correlated scalar-avg subquery as a
+    // per-part aggregate joined back. l_quantity is integer-valued, so
+    // avg is exact in both engines and the 0.2·avg threshold compare is
+    // deterministic (no float-boundary hazard).
+    "tpch_q17_small_quantity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      li.join(
+          li.groupBy(col("l_partkey").as("ak"))
+            .agg(avg(col("l_quantity")).as("avg_qty")),
+          col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+
+    // TPC-H-Q20-shaped dominant volume supplier: suppliers who shipped
+    // more than half of some red part's total quantity in a year —
+    // nested aggregates at two grains joined on the coarser key, then a
+    // LEFT SEMI into the supplier dim. Quantity sums are integer-exact,
+    // so the >50% cut is engine-deterministic.
+    "tpch_q20_dominant_supplier" -> ((s, dir) => {
+      val ship = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") <  lit("1998-01-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPs = ship.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("q_ps"))
+      val perP = ship.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("q_p"))
+      Tables.supplier(s, dir)
+        .join(perPs.join(perP, col("l_partkey") === col("pk"))
+            .filter(col("q_ps") > col("q_p") * lit(0.5))
+            .select("l_suppkey").distinct(),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
     // broadcasts into the orders⨝lineitem fact join; unshipped-revenue
     // top-10 via TakeOrderedAndProject (never a global sort).
@@ -1761,6 +1967,140 @@ object ParityQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "tpch_q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem WHERE l_quantity > 0
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_name, n_name,
+        |  round(unit_cost, 2) AS unit_cost
+        |FROM cost
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size = 15 AND p_type = 'LARGE'
+        |  AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+        |                   WHERE c2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "tpch_q4_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > CAST(o_orderdate AS TIMESTAMP)
+        |        + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - l_quantity * p_retailprice * 0.1), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "tpch_q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, value FROM v
+        |WHERE value > (SELECT round(sum(value) * 0.002, 2) FROM v)
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+
+    "tpch_q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "tpch_q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#15'
+        |  AND p_size IN (1, 5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC,
+        |  p_size ASC""".stripMargin,
+
+    "tpch_q17_small_quantity" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "tpch_q20_dominant_supplier" ->
+      """WITH ship AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')),
+        |per_ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q_ps
+        |  FROM ship GROUP BY 1, 2),
+        |per_p AS (
+        |  SELECT l_partkey, sum(l_quantity) AS q_p FROM ship GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT per_ps.l_suppkey FROM per_ps
+        |  JOIN per_p ON per_ps.l_partkey = per_p.l_partkey
+        |  WHERE q_ps > q_p * 0.5)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "tpch_q18_large_orders" ->
       """WITH big AS (

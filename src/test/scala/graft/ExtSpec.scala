@@ -597,6 +597,63 @@ class ExtSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(9L, bad, "image/png", 0, 0)).toDF())
       .collect().head
     assert(fb.feature.forall(_ <= 1f), "corrupt PNG parsed as geometry")
+    assert(fb.kind == "byte-stats", s"corrupt PNG kind ${fb.kind}")
+    // real decodes label their kind — the census dimension
+    assert(f(1L).kind == "header" && f(2L).kind == "pcm"
+      && f(3L).kind == "byte-stats")
+  }
+
+  test("multimodal: MP4 moov atom walk — duration/tracks/geometry, no codec") {
+    import spark.implicits._
+    // golden: 2.5 s at timescale 1000, 2 tracks, 640x360 on track 1
+    val mp4 = Multimodal.minimalMp4(1000, 2500, 2, 640, 360)
+    val f = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(1L, mp4, "video/mp4", 0, 0)).toDF())
+      .collect().head
+    assert(f.format == "video/mp4" && f.kind == "container", s"$f")
+    assert(f.feature.toSeq == Seq(2.5f, 2f, 640f, 360f),
+      s"mp4 features ${f.feature.toSeq}")
+
+    // v1 mvhd (64-bit times) must parse through the version branch:
+    // hand-build moov{mvhd(v1)} + one trak from the v0 synthesizer
+    val v0 = Multimodal.minimalMp4(50, 125, 1, 16, 8) // 2.5 s at ts 50
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++            // version 1 + flags
+        Array.fill[Byte](16)(0) ++          // creation/modification (8+8)
+        be32(1000L) ++                      // timescale
+        be32(0L) ++ be32(7250L) ++          // duration u64 = 7.25 s
+        Array.fill[Byte](80)(0))
+    // reuse the synthesized trak box: it starts right after
+    // ftyp(24) + moov header(8) + mvhd(108) in the v0 layout
+    val ftypLen = 24; val mvhdLen = 108
+    val trak = v0.drop(ftypLen + 8 + mvhdLen)
+    val v1 = v0.take(ftypLen) ++ box("moov", mvhdV1 ++ trak)
+    val f1 = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(2L, v1, "video/mp4", 0, 0)).toDF())
+      .collect().head
+    assert(f1.kind == "container" && f1.feature(0) == 7.25f &&
+      f1.feature(1) == 1f, s"v1 mvhd ${f1.feature.toSeq}")
+
+    // truncation falls back to byte-stats, never a partial parse
+    val cut = mp4.take(mp4.length - 10)
+    val fc = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(3L, cut, "video/mp4", 0, 0)).toDF())
+      .collect().head
+    assert(fc.kind == "byte-stats", s"truncated MP4 kind ${fc.kind}")
+
+    // census rolls the real/fallback split up per (format, kind)
+    val census = Multimodal.decodeCensus(spark, Seq(
+        Multimodal.MediaRow(1L, mp4, "video/mp4", 0, 0),
+        Multimodal.MediaRow(2L, v1, "video/mp4", 0, 0),
+        Multimodal.MediaRow(3L, cut, "video/mp4", 0, 0)).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(census == Map(("video/mp4", "container") -> 2L,
+      ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
   test("multimodal: PNG pixel decode — real channel means through all five filters") {
