@@ -187,4 +187,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       "shipdate split not pushed to the scans")
   }
+
+  test("r8 tpch shapes: dims broadcast, semis stay semi, no cartesian") {
+    // every new shape must keep the fact side shuffle-free of dim joins
+    // and never degenerate to a nested-loop/cartesian product
+    for (q <- Seq("tpch_q2_min_cost_supplier", "tpch_q9_profit",
+        "tpch_q11_important_stock", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_cnt", "tpch_q17_small_quantity",
+        "tpch_q20_dominant_supplier", "tpch_q4_priority_late",
+        "tpch_q12_late_priority", "tpch_q13_order_distribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+      assert(p.contains("partial_"), s"$q: no map-side partial aggregation")
+    }
+    // q4's EXISTS is a single LEFT SEMI carrying the non-equi date
+    // predicate — never a row-multiplying inner join + distinct
+    val q4 = plan("tpch_q4_priority_late")
+    assert(q4.contains("LeftSemi"), s"q4 lost the semi join:\n$q4")
+    // q16's exclusion is an ANTI join against the broadcast flagged set
+    val q16 = plan("tpch_q16_supplier_cnt")
+    assert(q16.contains("LeftAnti, BuildRight"), s"q16 anti shape:\n$q16")
+    // q15/q11's global scalar threshold broadcasts (1-row build side),
+    // never a driver round-trip or a shuffle join
+    for (q <- Seq("tpch_q15_top_supplier", "tpch_q11_important_stock")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: scalar threshold not broadcast")
+    }
+    // q2/q9 dim joins broadcast; the fact is never sort-merge-joined
+    // against a dim (q2's min-per-part join back is agg-sized, exempt)
+    val q9 = plan("tpch_q9_profit")
+    assert(q9.contains("BroadcastHashJoin") && !q9.contains("SortMergeJoin"),
+      s"q9 dims not broadcast:\n$q9")
+  }
 }
