@@ -338,6 +338,23 @@ object Similarity {
       .toDF("cid", "pos", "x")
   }
 
+  /** [EXT] The per-row cluster assignment against the (iters-trained)
+    * centroids — the same map-only argmax pass the IVF build runs,
+    * exposed so cluster membership is queryable (and, at iters = 0,
+    * oracle-able: assignment against the EXACT seed vectors is
+    * engine-deterministic — `ext_kmeans_sizes`).
+    */
+  def kmeansAssignments(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seeding: String = "first"): DataFrame =
+    assignmentsFor(embeddings, idCol, vecCol,
+      trainedCentroids(embeddings, idCol, vecCol, k, iters, seeding))
+      .select(col("id"), col("centroid_id"))
+
   /** The per-row index tuple (id, v, n, centroid_id): one map-only pass. */
   private def assignmentsFor(
       embeddings: DataFrame,

@@ -1083,6 +1083,17 @@ object ExtQueries {
           round(col("x"), 6).as("x"))
         .orderBy("cid", "pos")),
 
+    // Cluster-size histogram of the seed assignment (iters = 0): the
+    // argmax-cosine partition of the corpus against the exact seed
+    // vectors — engine-deterministic, so the membership COUNTS (not
+    // just the centroid arithmetic) are hash-pinned too.
+    "ext_kmeans_sizes" -> ((s, dir) =>
+      Similarity.kmeansAssignments(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 0, seeding = "first")
+        .groupBy(col("centroid_id").as("cid"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cid")),
+
     // ---- multimodal (stub codec → rows-only) ------------------------
     "ext_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaTable(Tables.documents(s, dir))
@@ -2463,13 +2474,34 @@ object ExtQueries {
         |  GROUP BY 1, 2),
         |live AS (SELECT cid, sqrt(sum(sx * sx)) AS snorm
         |         FROM sums GROUP BY 1)
-        |SELECT seed.cid, CAST(pos.p - 1 AS INTEGER) AS pos,
+        |SELECT seed.cid AS cid, CAST(pos.p - 1 AS INTEGER) AS pos,
         |  round(CASE WHEN live.snorm > 0 THEN sums.sx
         |        ELSE seed.c[pos.p] END, 6) AS x
         |FROM seed CROSS JOIN pos
         |LEFT JOIN sums ON sums.cid = seed.cid AND sums.p = pos.p
         |LEFT JOIN live ON live.cid = seed.cid
-        |ORDER BY cid, pos""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same seed + argmax CTEs as ext_kmeans_step, counting memberships
+    "ext_kmeans_sizes" ->
+      """WITH en AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |seed AS (
+        |  SELECT vec_id AS cid, v AS c, n AS cn FROM en
+        |  ORDER BY vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT en.vec_id, seed.cid, row_number() OVER (
+        |      PARTITION BY en.vec_id
+        |      ORDER BY (CASE WHEN en.n * seed.cn > 0
+        |        THEN list_dot_product(en.v, seed.c) / (en.n * seed.cn)
+        |        ELSE -2.0 END) DESC, seed.cid ASC) AS rk
+        |    FROM en CROSS JOIN seed) WHERE rk = 1)
+        |SELECT cid, count(*) AS n_members FROM assign
+        |GROUP BY cid ORDER BY cid""".stripMargin,
 
     // the MP4 fixture is timescale 1000, duration 2000 + (doc_id%10)*500
     // ticks, 1 + doc_id%3 tracks, visual track 320+(doc_id%4)*160 ×

@@ -757,6 +757,42 @@ object ParityQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Z-order (Morton) codes, fully oracled: the interleave arithmetic
+    // behind multi-column file skipping (ops.Layout), replayed bit for
+    // bit by DuckDB over the same modulo-normalized keys. The write-side
+    // clustering effect (tight per-file boxes) is measured in
+    // LayoutSpec; this gate pins the code itself.
+    "layout_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zValue(
+            Seq(pmod(col("l_partkey"), lit(256)),
+              pmod(col("l_suppkey"), lit(256))), bits = 8).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Numeric imputation, fully oracled: holes are synthesized
+    // deterministically (every 7th order's quantity, every 3rd line's
+    // price), then mean-filled / median-filled with ops.Impute — the
+    // fit statistics are computed over the SAME holey frame in both
+    // engines (mean of integer-valued quantities is sum-exact; median
+    // is the exact interpolated percentile both engines share), so the
+    // filled values hash-match bit for bit.
+    "impute_mean_median" -> ((s, dir) => {
+      val holey = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("l_quantity")).as("qty"),
+        when(col("l_linenumber") % 3 === 0, lit(null))
+          .otherwise(col("l_extendedprice")).as("price"))
+      val (filled, _) = graft.ops.Impute.fillWith(holey,
+        Seq("qty" -> "mean", "price" -> "median"))
+      filled.filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty"), 6).as("qty"), round(col("price"), 6).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
     // broadcasts into the orders⨝lineitem fact join; unshipped-revenue
     // top-10 via TakeOrderedAndProject (never a global sort).
@@ -1967,6 +2003,36 @@ object ParityQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // generated SQL: the same 16 interleave terms the Column expression
+    // builds — bit b of key i lands at position b*2 + i
+    "layout_zorder" -> {
+      val terms = (for {
+        b <- 0 until 8
+        (c, i) <- Seq("(l_partkey % 256)" -> 0, "(l_suppkey % 256)" -> 1)
+      } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+         |FROM lineitem WHERE l_orderkey < 100
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "impute_mean_median" ->
+      """WITH holey AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |         ELSE l_quantity END AS qty,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |         ELSE l_extendedprice END AS price
+        |  FROM lineitem),
+        |fills AS (
+        |  SELECT avg(qty) AS f_qty,
+        |    quantile_cont(price, 0.5) AS f_price FROM holey)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(coalesce(qty, f_qty), 6) AS qty,
+        |  round(coalesce(price, f_price), 6) AS price
+        |FROM holey CROSS JOIN fills
+        |WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "tpch_q2_min_cost_supplier" ->
       """WITH cost AS (
