@@ -43,7 +43,17 @@ val headline = Seq(
   ("ext_eval_auc", "ROC-AUC: corpus collapses to score groups map-side; window over the aggregate only"),
   ("ext_pca_ann_topk", "PCA-ANN: subspace shortlist TakeOrdered, exact re-rank semi-join only"),
   ("ext_sample_weighted", "A-ES weighted sample: key arithmetic in the scan, TakeOrdered, no global sort"),
-  ("fuzzy_join_suppliers", "fuzzy join: rarest-gram prefix blocking, exact levenshtein verify — no cross product"))
+  ("fuzzy_join_suppliers", "fuzzy join: rarest-gram prefix blocking, exact levenshtein verify — no cross product"),
+  ("tpch_q2_min_cost_supplier", "Q2 shape: correlated-min rewrite — agg, min-per-part, equality join back, dims broadcast"),
+  ("tpch_q4_priority_late", "Q4 shape: EXISTS as ONE LeftSemi carrying the non-equi date predicate"),
+  ("tpch_q11_important_stock", "Q11 shape: global scalar threshold broadcast into the filter, no driver round-trip"),
+  ("tpch_q13_order_distribution", "Q13 shape: left-outer count distribution, two aggregation grains"),
+  ("tpch_q17_small_quantity", "Q17 shape: correlated-avg as per-part agg joined back, part filter semi-joined first"),
+  ("tpch_q20_dominant_supplier", "Q20 shape: nested aggregates joined on the coarse grain, LeftSemi into the dim"),
+  ("layout_zorder", "z-order codes: pure bit-arithmetic scan stage, whole-stage codegen, no shuffle"),
+  ("ext_kmeans_step", "k-means round: map-side argmax scan + k*d map-combinable aggregate"),
+  ("impute_mean_median", "imputation: fills bound as literals — scan-level coalesce, no second shuffle"),
+  ("ext_media_decode_census", "decode census: partition-parallel batched codec, O(formats*kinds) groups"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
