@@ -88,4 +88,30 @@ object Splits {
       splits: Seq[(String, Double)],
       seed: String = ""): DataFrame =
     df.withColumn("split", splitFor(col(groupCol), splits, seed))
+
+  /** Temporal split with an EMBARGO gap — the time-series leakage
+    * control: everything strictly before `trainEnd` trains, everything
+    * at/after `evalStart` evaluates, and the (trainEnd, evalStart)
+    * embargo window is EXCLUDED so features with lookback (rolling
+    * windows, lagged joins, label horizons) cannot straddle the
+    * boundary — a random or gap-less time split leaks the eval period
+    * into any feature computed with a window. Null timestamps fail
+    * loudly (same posture as splitFor: a silently-routed null row is a
+    * contamination, not a convenience). Pure scan-level predicate —
+    * partition-prunable when the table is date-partitioned.
+    */
+  def temporal(
+      df: DataFrame,
+      tsCol: String,
+      trainEnd: Column,
+      evalStart: Column): DataFrame = {
+    val ts = when(col(tsCol).isNotNull, col(tsCol))
+      .otherwise(raise_error(lit(
+        "Splits.temporal: null timestamp — null-dated rows cannot be " +
+          "placed on either side of the embargo; filter/repair them first")))
+    df.withColumn("split",
+      when(ts < trainEnd, "train")
+        .when(ts >= evalStart, "eval")
+        .otherwise("embargo"))
+  }
 }

@@ -790,8 +790,43 @@ object ParityQueries {
       filled.filter(col("l_orderkey") < 300)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("qty"), 6).as("qty"), round(col("price"), 6).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // duplicate (orderkey, linenumber) pairs exist — total order
+        .orderBy("l_orderkey", "l_linenumber", "qty", "price")
     }),
+
+    // Leave-one-out target encoding (fully oracled): the leakage-safe
+    // categorical feature — each row's own label subtracted from its
+    // category's window sum, prior-smoothed. l_quantity is
+    // integer-valued so every sum is exact and the encoding
+    // hash-matches bit for bit. The l_orderkey filter stays ABOVE the
+    // window in both engines (window statistics come from the full
+    // table).
+    "encode_target_loo" -> ((s, dir) =>
+      graft.ops.Encode.targetEncodeLoo(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        "l_returnflag", "l_quantity", smoothing = 10.0)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("te"), 6).as("te"))
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // lineitem — the flag breaks the tie so the order is total
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "te")),
+
+    // Temporal split with an embargo gap (fully oracled): the
+    // time-series leakage control — train strictly before the cut,
+    // eval at/after the horizon, the gap EXCLUDED so lookback features
+    // cannot straddle the boundary. The per-split time bounds prove
+    // the three regions never overlap.
+    "split_temporal_embargo" -> ((s, dir) =>
+      graft.ext.Splits.temporal(Tables.orders(s, dir), "o_orderdate",
+        lit("1999-01-01").cast("timestamp_ntz"),
+        lit("1999-04-01").cast("timestamp_ntz"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate")).cast("timestamp_ntz").as("ts_min"),
+          max(col("o_orderdate")).cast("timestamp_ntz").as("ts_max"))
+        .orderBy("split")),
 
     // TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
     // broadcasts into the orders⨝lineitem fact join; unshipped-revenue
@@ -2016,6 +2051,27 @@ object ParityQueries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
+    "encode_target_loo" ->
+      """WITH g AS (SELECT avg(l_quantity) AS prior FROM lineitem),
+        |t AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS s,
+        |    count(l_quantity) OVER (PARTITION BY l_returnflag) AS c
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round((s - l_quantity + 10.0 * prior) / (c - 1 + 10.0), 6) AS te
+        |FROM t CROSS JOIN g
+        |WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, te""".stripMargin,
+
+    "split_temporal_embargo" ->
+      """WITH t AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+        |SELECT CASE WHEN ts < TIMESTAMP '1999-01-01 00:00:00' THEN 'train'
+        |            WHEN ts >= TIMESTAMP '1999-04-01 00:00:00' THEN 'eval'
+        |            ELSE 'embargo' END AS split,
+        |  count(*) AS n, min(ts) AS ts_min, max(ts) AS ts_max
+        |FROM t GROUP BY 1 ORDER BY split""".stripMargin,
+
     "impute_mean_median" ->
       """WITH holey AS (
         |  SELECT l_orderkey, l_linenumber,
@@ -2032,7 +2088,7 @@ object ParityQueries {
         |  round(coalesce(price, f_price), 6) AS price
         |FROM holey CROSS JOIN fills
         |WHERE l_orderkey < 300
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty, price""".stripMargin,
 
     "tpch_q2_min_cost_supplier" ->
       """WITH cost AS (
