@@ -17,12 +17,19 @@ object Encode {
     *   enc_i = (sum_cat − y_i + m·prior) / (cnt_cat − 1 + m)
     *
     * where prior is the GLOBAL label mean and m the smoothing strength —
-    * each row's own label is subtracted out (no self-leak), and
-    * singleton categories (cnt 1) degrade gracefully to the prior
-    * instead of 0/0. Scale shape: one hash-partitioned window per
-    * category (sum + count — both map-combinable into the same
-    * exchange) plus a broadcast 1-row global aggregate; the encoded
-    * column is then pure scan arithmetic.
+    * each row's own label is subtracted out (no self-leak). Singleton
+    * categories (cnt 1) degrade to the prior when m > 0; at m = 0 a
+    * singleton is 0/0 = null (NOT the prior) — m = 0 exists for testing
+    * the raw LOO algebra, production callers should smooth.
+    * Scale shape: per-category (sum, count)
+    * via a map-side-combinable `groupBy` — O(categories) rows, NOT a
+    * window over the raw fact (a `Window.partitionBy(cat)` funnels every
+    * row of a category through ONE task, capping parallelism at the
+    * category cardinality — fatal for a 3-value flag column at 100 TB) —
+    * broadcast null-safe-joined back onto the fact together with the
+    * 1-row global prior; the encoded column is then pure scan
+    * arithmetic, so the fact is read exactly twice (once for the tiny
+    * aggregates, once for the encode scan) with no fact-sized shuffle.
     *
     * At serving time (rows WITHOUT labels) use [[targetEncodeFit]] /
     * the fitted table instead — LOO is a TRAINING-set transform by
@@ -35,16 +42,18 @@ object Encode {
       smoothing: Double = 10.0,
       outCol: String = "te"): DataFrame = {
     require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(catCol)
     val y = col(labelCol).cast("double")
     val prior = df.agg(avg(y).as("__prior"))
+    // Null-safe equality so a NULL category still gets its group stats
+    // (matching the window form, where nulls form one partition).
+    val stats = df.groupBy(col(catCol).as("__cat"))
+      .agg(sum(y).as("__s"), count(y).as("__c"))
     df.join(broadcast(prior))
-      .withColumn("__s", sum(y).over(w))
-      .withColumn("__c", count(y).over(w))
+      .join(broadcast(stats), col(catCol) <=> col("__cat"), "left")
       .withColumn(outCol,
         (col("__s") - y + lit(smoothing) * col("__prior")) /
           (col("__c") - lit(1) + lit(smoothing)))
-      .drop("__s", "__c", "__prior")
+      .drop("__cat", "__s", "__c", "__prior")
   }
 
   /** The FITTED per-category encoding table (category, enc) for serving:

@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
       "q3 segment filter not pushed to the dim scan")
   }
 
+  test("LOO target encoding: no Window over the fact, groupBy + broadcast join") {
+    // the r8-weak shape was Window.partitionBy(cat) over the raw fact —
+    // parallelism capped at category cardinality (3 on l_returnflag).
+    // The fixed shape: O(categories) HashAggregate broadcast-joined back.
+    val p = plan("encode_target_loo")
+    assert(!p.contains("Window"), s"fact-sized window crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"category stats not map-side combined:\n$p")
+  }
+
   test("projection prunes unread columns at the scan") {
     val p = plan("p1_projection")
     assert(!p.contains("c_mktsegment"), "scan reads columns the query never uses")
