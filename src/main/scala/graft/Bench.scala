@@ -83,9 +83,35 @@ object Bench {
       catch { case _: Throwable => failed += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap + ("ivf_index_build" -> idxSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Store-hygiene lifecycle: a REAL two-ingest near-dup store with a
+    // forget (so tombstones are present) is compacted, and the
+    // before/after data-file counts ride the artifact — file-count
+    // creep or tombstones failing to fold become visible
+    // round-over-round instead of needing a manual repro.
+    val (compactFilesBefore, compactFilesAfter, compactSec) = try {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val work = java.nio.file.Files.createTempDirectory("graft_bench_store")
+      val store = work.resolve("store").toString
+      graft.ext.IncrementalDedup.ingest(spark,
+        docs.filter(col("doc_id") < 100), "doc_id", "text", store).count()
+      graft.ext.IncrementalDedup.ingest(spark,
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", store).count()
+      import spark.implicits._
+      graft.ext.IncrementalDedup.forget(spark, store,
+        Seq(5L, 7L).toDF("doc_id"))
+      val t0 = System.nanoTime()
+      val (b, a) = graft.ext.IncrementalDedup.compactStore(spark, store)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val wp = new org.apache.hadoop.fs.Path(work.toString)
+      wp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wp, true)
+      (b, a, sec)
+    } catch { case _: Throwable => (-1, -1, 0.0) }
+    val all = results + ("store_compaction" -> compactSec)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     // Entries that time one-time lifecycle work (index builds, real
     // stream start/stop) rather than steady-state query latency — still
     // inside `total` (no number games), broken out so the split is
@@ -96,10 +122,15 @@ object Bench {
         // starts a REAL stateful two-stream query: 2 sides × shuffle-
         // partition state-store instances initialize before the first
         // row — streaming-lifecycle cost, not per-row join latency
-        "stream_stream_join")
-    val lifecycle = lifecycleKeys.flatMap(k => results.get(k).map(k -> _))
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val slowest = results.toSeq.sortBy(-_._2).take(5)
+        "stream_stream_join",
+        // real store compaction: tombstone fold + rewrite cost, with the
+        // before/after file counts in "store_compaction_files" below
+        "store_compaction")
+    val lifecycle = (lifecycleKeys.flatMap(k => all.get(k).map(k -> _))
+      .map { case (k, v) => s"\"" + k + "\":" + v } :+
+      s""""store_compaction_files":{"before":$compactFilesBefore,"after":$compactFilesAfter}""")
+      .mkString("{", ",", "}")
+    val slowest = all.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Native-expression resolution, in the artifact itself: the dedup
     // families run ~7-10x slower through their declarative fallbacks, so
@@ -116,7 +147,7 @@ object Bench {
     // per-query map does not; full-line parsers read the leading keys.
     val errs = failed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"natives":$natives,"load_start":$loadStart,"load_end":$loadEnd,"n_queries":${results.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","lifecycle":$lifecycle,"slowest":$slowest,"errors":$errs,"natives":$natives,"load_start":$loadStart,"load_end":$loadEnd,"n_queries":${all.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -476,6 +476,62 @@ object ExtQueries {
       out
     }),
 
+    // END-TO-END erasure gate (fully oracled): the most compliance-
+    // audited path a 100 TB pipeline has, held to a hard hash signal —
+    // plant → ingest → takedown → re-ingest identical content, and the
+    // final training-table state must equal "never ingested, then
+    // re-registered". The corpus is the documents ids with SYNTHETIC
+    // per-doc-unique token text (every token embeds the doc id, so all
+    // pairwise shingle sets are disjoint → the ingest's gates and dedup
+    // stages are exactly restatable in SQL, including the packer's
+    // prefix-sum pack assignment over uniform 30-token docs). Three
+    // ingests prove both directions of store memory:
+    //   A: 40 docs → all committed (pack ids = floor(30·doc_id/64));
+    //   takedown(7, vacuum): table row deleted AND stores forget;
+    //   B: doc 7's identical text under fresh id 1007 → ADMITTED (the
+    //      store forgot — without the takedown this is a jaccard-1.0
+    //      cross-batch dup and would drop);
+    //   C: doc 8's identical text under fresh id 1008, NO takedown →
+    //      DROPPED (the store still remembers — erasure is targeted,
+    //      not a store wipe), leaving only the replay ledger entry.
+    // Expected final state: batch A minus doc 7 (its pack-id hole
+    // preserved — packing happened before the takedown), plus 1007 in
+    // batch B, nothing from C — which is exactly the oracle's UNION.
+    "ext_takedown_e2e" -> ((s, dir) => {
+      def synth(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(" ",
+        transform(sequence(lit(1), lit(30)),
+          i => concat(lit("w"), id, lit("q"), i)))
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), synth(col("doc_id")).as("text"))
+      val bench = base.filter(col("doc_id") < 0) // empty benchmark
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_takedown").toString
+      val store = s"$work/store"
+      val target = s"$work/table"
+      def ing(b: DataFrame, deltaId: String): Unit =
+        graft.pipelines.TrainingSet.ingest(s, b, bench, store, target,
+          deltaId, budget = 64, minQuality = 0.0, maxTopTokenFrac = 1.0,
+          maxDupNgramFrac = 1.0)
+      ing(base, "A")
+      graft.pipelines.TrainingSet.takedown(s, target, store, Seq(7L),
+        vacuum = true)
+      ing(base.filter(col("doc_id") === 7)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")), "B")
+      ing(base.filter(col("doc_id") === 8)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")), "C")
+      val out = graft.sinks.TxTable.read(s, target).get
+        .select(col("batch_id").cast("string").as("batch_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("pack_id").cast("long").as("pack_id"),
+          col("pack_offset").cast("long").as("pack_offset"))
+        .orderBy("batch_id", "doc_id").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // PageRank over the near-dup graph (fully oracled): 3 power
     // iterations, damping 0.85, over the undirected exact-3-gram pair
     // graph the recall gates share — ranks the duplication HUBS. The
@@ -981,6 +1037,38 @@ object ExtQueries {
       val model = graft.ext.UnigramLm.train(
         Bpe.wordHistogram(docs, "text", 20000), vocabSize = 40)
       graft.ext.UnigramLm.pieceCounts(s, docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // The unigram ENCODE path under a hard oracle (closes the
+    // ext_unigram_tokens trust gap): same pieceCounts machinery
+    // (Viterbi, per-partition memo, broadcast model, mapPartitions
+    // plumbing), but under a FROZEN literal vocabulary so DuckDB can
+    // restate the segmentation exactly — per distinct word it
+    // enumerates ALL 2^(n-1) cut masks, scores them against the same
+    // piece table (len-1 unknowns at the unk log-prob, multi-char
+    // out-of-vocab invalid), and picks Viterbi's winner: max score,
+    // ties to the longest-last-piece backpointer path (= reversed
+    // piece-length list, descending lexicographic). Every log-prob is
+    // a binary fraction (multiples of 0.25) so scores sum EXACTLY in
+    // both engines and tie detection is bit-safe. The vocab engineers
+    // the interesting paths: real subword splits (cus+tomer, st+ream,
+    // win+dow, ta+ble), a genuine score tie (data: da+ta vs dat+a,
+    // both -5.0 — the tie-break decides), and an unk character ('j'
+    // is NOT in the vocab, so join = j|o|in pays unkLogProb). Only
+    // `train` remains spec-pinned (UnigramLmSpec's golden EM fixed
+    // point) — encode is now cross-engine hash-matched.
+    "ext_unigram_pieces_frozen" -> ((s, dir) => {
+      val singles = "abcdefghiklmnopqrstuvwy".map(c =>
+        c.toString -> -3.0)
+      val multi = Seq("er" -> -2.25, "in" -> -2.0, "st" -> -2.25,
+        "ream" -> -2.5, "ta" -> -2.5, "ble" -> -2.75, "cus" -> -2.5,
+        "tomer" -> -2.75, "win" -> -2.25, "dow" -> -2.5, "sort" -> -4.0,
+        "dat" -> -2.0, "da" -> -2.5)
+      val model = graft.ext.UnigramLm.Model(
+        (singles ++ multi).toMap, unkLogProb = -8.0)
+      graft.ext.UnigramLm.pieceCounts(s, spreadDocs(s, dir),
+        "doc_id", "text", model)
         .orderBy("doc_id")
     }),
 
@@ -2190,6 +2278,21 @@ object ExtQueries {
         |    / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // never-ingested + re-registered, restated directly: batch A is the
+    // 40-doc universe minus the taken-down id (pack assignment = the
+    // packer's prefix-sum over uniform 30-token docs in id order, with
+    // doc 7's hole PRESERVED because packing predates the takedown);
+    // batch B is the readmitted fresh copy; batch C contributes nothing
+    "ext_takedown_e2e" ->
+      """SELECT 'A' AS batch_id, doc_id,
+        |  CAST(30 AS BIGINT) AS n_tokens,
+        |  CAST(floor(30 * doc_id / 64) AS BIGINT) AS pack_id,
+        |  CAST((30 * doc_id) % 64 AS BIGINT) AS pack_offset
+        |FROM documents WHERE doc_id < 40 AND doc_id <> 7
+        |UNION ALL
+        |SELECT 'B', 1007, 30, 0, 0
+        |ORDER BY batch_id, doc_id""".stripMargin,
+
     "ext_corpus_recall" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -2425,6 +2528,60 @@ object ExtQueries {
         |  unnest(t.ws) AS u(word))
         |SELECT word, count(*) AS cnt FROM w
         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 60""".stripMargin,
+
+    // the frozen-vocab Viterbi, restated by brute force: every cut mask
+    // of every distinct word, scored against the same literal piece
+    // table (all log-probs binary fractions → exact sums), winner =
+    // max score with the longest-last-piece tie-break (reversed
+    // piece-length list, descending). See the query's comment.
+    "ext_unigram_pieces_frozen" ->
+      ("""WITH vocab(piece, lp) AS (VALUES """ +
+        ("abcdefghiklmnopqrstuvwy".map(c => s"('$c', -3.0)") ++
+          Seq("('er', -2.25)", "('in', -2.0)", "('st', -2.25)",
+            "('ream', -2.5)", "('ta', -2.5)", "('ble', -2.75)",
+            "('cus', -2.5)", "('tomer', -2.75)", "('win', -2.25)",
+            "('dow', -2.5)", "('sort', -4.0)", "('dat', -2.0)",
+            "('da', -2.5)")).mkString(", ") + """),
+        |docs AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text,'')),'[a-z0-9]+') AS ws
+        |  FROM documents),
+        |occ AS (SELECT doc_id, u.word FROM docs, unnest(docs.ws) AS u(word)),
+        |words AS (SELECT DISTINCT word FROM occ),
+        |segs AS (
+        |  SELECT word, m,
+        |    [0] || [i for i in range(1, length(word))
+        |            if (m >> (i-1)) & 1 = 1] || [length(word)] AS bnd
+        |  FROM words,
+        |    unnest(range(0, 1 << greatest(length(word) - 1, 0))) r(m)),
+        |pc AS (
+        |  SELECT word, m,
+        |    [substr(word, bnd[k]+1, bnd[k+1]-bnd[k])
+        |     for k in range(1, len(bnd))] AS ps
+        |  FROM segs),
+        |ex AS (
+        |  SELECT word, m, k, ps[CAST(k AS INT)] AS p
+        |  FROM pc, unnest(range(1, len(ps)+1)) rk(k)),
+        |sc AS (
+        |  SELECT e.word, e.m, count(*) AS npieces,
+        |    bool_and(v.lp IS NOT NULL OR length(e.p) = 1) AS valid,
+        |    sum(coalesce(v.lp, -8.0)) AS score,
+        |    list(length(e.p) ORDER BY e.k DESC) AS revlens
+        |  FROM ex e LEFT JOIN vocab v ON e.p = v.piece
+        |  GROUP BY e.word, e.m),
+        |best AS (
+        |  SELECT word, npieces FROM (
+        |    SELECT word, npieces, row_number() OVER (
+        |      PARTITION BY word ORDER BY score DESC, revlens DESC) AS rn
+        |    FROM sc WHERE valid) WHERE rn = 1),
+        |agg AS (
+        |  SELECT o.doc_id, count(*) AS words, sum(b.npieces) AS toks
+        |  FROM occ o JOIN best b USING (word) GROUP BY o.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.toks, 0) AS BIGINT) AS unigram_tokens,
+        |  CAST(coalesce(a.words, 0) AS BIGINT) AS words
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""").stripMargin,
 
     "ext_bigram_vocab" ->
       """WITH t AS (

@@ -37,6 +37,42 @@ class ExtSpec extends SparkSpec {
            java.lang.Long.bitCount(sh(1L) ^ sh(3L)))
   }
 
+  test("simhash frozen-corpus golden: exact signatures and near-dup pairs") {
+    // The BPE/unigram golden discipline applied to simhash (the r8
+    // verdict's stretch item): the signature family (token hashing,
+    // 64-bit bit-vote, empty-text path) is pinned to frozen values on a
+    // fixed literal corpus, so ANY change to the hash family or vote
+    // arithmetic — which ext_corpus_recall alone would only catch if it
+    // happened to flip a planted pair — trips this spec. The native
+    // Catalyst expression and the declarative fallback are bit-identical
+    // (asserted elsewhere in this spec), so the goldens hold on both
+    // paths. Docs 1/2 identical (hamming 0), 3 one-token-swapped from 1
+    // (hamming 8), 5 one-token-swapped from 4 (hamming 6), 8 empty.
+    val frozen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "pack my box with five dozen liquor jugs"),
+      (5L, "pack my box with five dozen liquor mugs"),
+      (6L, "sphinx of black quartz judge my vow"),
+      (7L, "how vexingly quick daft zebras jump"),
+      (8L, "")).toDF("doc_id", "text")
+    val sigs = frozen
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val golden = Map(
+      1L -> -7573889167326994222L, 2L -> -7573889167326994222L,
+      3L -> -7573818796391882541L, 4L -> 2495353224988115078L,
+      5L -> 2495352958691754626L, 6L -> 4762906711925119524L,
+      7L -> 6481335506413398417L, 8L -> -7444071767201028348L)
+    assert(sigs == golden, s"simhash signatures drifted: $sigs")
+    val pairs = Dedup.simhashNearDups(frozen, "doc_id", "text",
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 8), (2L, 3L, 8), (4L, 5L, 6)),
+      s"simhash near-dup pairs drifted: $pairs")
+  }
+
   test("simhash agg form (inside nearDups) matches the Column-expression form") {
     // nearDups with maxHamming=0 returns exactly the identical-simhash
     // pairs; per the expression form that's the (1,4) exact-dup pair.
