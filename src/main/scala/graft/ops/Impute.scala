@@ -14,9 +14,29 @@ import org.apache.spark.sql.functions._
   * eval data leaks its distribution into the features. Strategies:
   * "mean" (exact when the column is integer-valued — sums are exact in
   * doubles), "median" (exact percentile 0.5 — Spark `percentile`
-  * bit-matches DuckDB `quantile_cont`, see ops.Robust), "zero".
+  * bit-matches DuckDB `quantile_cont`, see ops.Robust),
+  * "median_approx", "zero".
+  *
+  * SCALE CONSTRAINT on "median": the exact percentile aggregate
+  * buffers every DISTINCT non-null value of the column in the agg
+  * buffer — O(distinct) executor memory. Fine for bounded-domain
+  * columns (flags, day counts, prices in cents); an OOM driver on a
+  * 100 TB high-cardinality double column. For those, fit with
+  * "median_approx": `approx_percentile` (Greenwald–Khanna sketch,
+  * O(accuracy · log n) memory regardless of cardinality) with rank
+  * error ≤ n / accuracy — at the default accuracy 10000 that is
+  * ±0.01% of rank, far inside what an IMPUTATION fill value can
+  * tolerate. The oracled gate stays on exact "median" (deterministic
+  * cross-engine); ImputeSpec pins the approx form to the exact one
+  * within the sketch bound.
   */
 object Impute {
+
+  /** approx_percentile accuracy for "median_approx": rank error is
+    * bounded by n/accuracy, memory by O(accuracy·log n) — independent
+    * of column cardinality (the property "median" lacks).
+    */
+  val ApproxAccuracy = 10000
 
   /** One aggregate pass → per-column fill value. Fails loudly when a
     * column is entirely null/NaN (its statistic is undefined — silently
@@ -31,9 +51,11 @@ object Impute {
     val exprs = specs.map {
       case (c, "mean")   => avg(clean(c)).as(c)
       case (c, "median") => percentile(clean(c), lit(0.5)).as(c)
+      case (c, "median_approx") =>
+        approx_percentile(clean(c), lit(0.5), lit(ApproxAccuracy)).as(c)
       case (c, "zero")   => lit(0.0).as(c)
       case (c, other) => throw new IllegalArgumentException(
-        s"Impute: unknown strategy '$other' for $c (mean|median|zero)")
+        s"Impute: unknown strategy '$other' for $c (mean|median|median_approx|zero)")
     }
     val row = df.agg(exprs.head, exprs.tail: _*).head()
     specs.zipWithIndex.map { case ((c, strat), i) =>

@@ -44,9 +44,11 @@ object Layout {
   }
 
   /** Linear min-max normalization of `c` into [0, 2^bits): the cheap
-    * bounded-rank substitute (one shared agg computes the bounds; a
-    * skew-robust variant would use quantile cutpoints — same z-code
-    * downstream). Degenerate constant columns map to 0.
+    * bounded-rank substitute. Degenerate constant columns map to 0.
+    * Skew caveat: ONE outlier stretches the range so every other row
+    * collapses into a few low z-cells and the boxes degrade toward
+    * lexicographic — pass such columns in `robustCols` to use quantile
+    * cutpoints instead (equal-POPULATION bins, outlier-immune).
     */
   private def normalized(c: String, lo: Double, hi: Double, bits: Int): Column = {
     val top = (1L << bits) - 1
@@ -57,36 +59,105 @@ object Layout {
       lit(top))
   }
 
+  /** Quantile (equal-population) binning of `c` into [0, 2^bits): bin =
+    * #cutpoints <= value, found by an UNROLLED binary search over the
+    * literal cutpoint array — `bits` chained projections each doing one
+    * lo/hi halving step (constant per-row work, whole-stage codegen'd,
+    * no UDF; a naive count-scan over 2^bits cutpoints would be 4096×
+    * the work per row, and an expression-nested search would blow up
+    * the tree exponentially). NULL values converge to bin 0, matching
+    * the min-max path's null posture. `mid` is clamped into the array
+    * so ANSI `element_at` can never see an out-of-range index.
+    */
+  private def quantileBinned(
+      df: DataFrame, c: String, cuts: Array[Double], bits: Int,
+      outCol: String): DataFrame = {
+    val arr = lit(cuts)
+    val v = col(c).cast("double")
+    val lo = s"__qlo_$c"
+    val hi = s"__qhi_$c"
+    var cur = df.withColumn(lo, lit(0)).withColumn(hi, lit(cuts.length))
+    for (_ <- 0 until bits) {
+      val mid = least((col(lo) + col(hi)) / 2, lit(cuts.length - 1))
+        .cast("int")
+      val below = element_at(arr, mid + 1) <= v
+      cur = cur
+        .withColumn(s"${lo}_n", when(below, mid + 1).otherwise(col(lo)))
+        .withColumn(hi, when(below, col(hi)).otherwise(mid))
+        .withColumn(lo, col(s"${lo}_n"))
+        .drop(s"${lo}_n")
+    }
+    cur.withColumn(outCol, col(lo).cast("long")).drop(lo, hi)
+  }
+
   /** Write `df` z-order-clustered on `cols` into ~`numFiles` files:
-    * one bounds agg (2 scalars per key column — never a data collect),
+    * one bounds agg (2 scalars per min-max key column, one approximate
+    * quantile sketch per `robustCols` column — never a data collect),
     * then range-repartition + in-partition sort on the z-code. The
-    * helper column is projected away before the write, so the layout is
-    * invisible to readers except through the file statistics it
-    * tightens. Rows with a NULL key sort first deterministically (null
-    * casts to 0 after the greatest/least clamp chain is bypassed —
-    * zValue treats null bits as null, so the z-code is null and Spark
-    * ranges nulls first).
+    * helper columns are projected away before the write, so the layout
+    * is invisible to readers except through the file statistics it
+    * tightens. Rows with a NULL key clamp to bin 0 on that dimension
+    * (greatest/least skip nulls, so the null passes the clamp chain as
+    * 0 and the z-code is an ordinary long) — null rows interleave with
+    * minimum-valued rows rather than sorting apart.
+    *
+    * `robustCols` selects per-column quantile-cutpoint normalization
+    * (2^bits − 1 approx-percentile boundaries, same z-code downstream):
+    * equal-population bins, so a 6-sigma outlier costs ONE z-cell
+    * instead of compressing every normal row into a few cells the way
+    * linear min-max does. Default remains min-max — it preserves value
+    * GEOMETRY (a range predicate's selectivity maps linearly to z-cells)
+    * and costs 2 scalars instead of a sketch.
     */
   def zOrderWrite(
       df: DataFrame,
       path: String,
       cols: Seq[String],
       bits: Int = 12,
-      numFiles: Int = 16): Unit = {
+      numFiles: Int = 16,
+      robustCols: Set[String] = Set.empty): Unit = {
     require(cols.nonEmpty, "zOrderWrite needs at least one cluster column")
-    val exprs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"lo_$c"),
-      max(col(c).cast("double")).as(s"hi_$c")))
-    val bounds = df.agg(exprs.head, exprs.tail: _*).head()
-    val normed = cols.zipWithIndex.map { case (c, i) =>
-      if (bounds.isNullAt(2 * i)) lit(0L) // all-null column: constant
-      else normalized(c, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1),
-        bits)
+    require(robustCols.subsetOf(cols.toSet),
+      s"robustCols ${robustCols -- cols.toSet} not in cluster columns")
+    val nCuts = (1 << bits) - 1
+    val probs = array((1 to nCuts).map(i =>
+      lit(i.toDouble / (nCuts + 1))): _*)
+    // ONE aggregate pass whatever the mix: min/max scalars for linear
+    // columns, a percentile sketch for robust ones
+    val exprs = cols.flatMap { c =>
+      if (robustCols(c))
+        Seq(approx_percentile(col(c).cast("double"), probs,
+          lit(math.max(10000, 4 * nCuts))).as(s"cuts_$c"))
+      else Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))
     }
-    df.withColumn("__z", zValue(normed, bits))
+    val bounds = df.agg(exprs.head, exprs.tail: _*).head()
+    var idx = 0
+    var staged = df
+    val normed = cols.map { c =>
+      if (robustCols(c)) {
+        val cuts =
+          if (bounds.isNullAt(idx)) Array.empty[Double]
+          else bounds.getSeq[Double](idx).toArray
+        idx += 1
+        if (cuts.isEmpty) lit(0L) // all-null column: constant
+        else {
+          staged = quantileBinned(staged, c, cuts, bits, s"__qbin_$c")
+          col(s"__qbin_$c")
+        }
+      } else {
+        val r =
+          if (bounds.isNullAt(idx)) lit(0L) // all-null column: constant
+          else normalized(c, bounds.getDouble(idx), bounds.getDouble(idx + 1),
+            bits)
+        idx += 2
+        r
+      }
+    }
+    staged.withColumn("__z", zValue(normed, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z" +: cols.filter(robustCols).map(c => s"__qbin_$c"): _*)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -120,6 +120,17 @@ object UpsertIgnore {
     * At per-batch ingest cadence the fixed job count IS the latency;
     * the idempotence contract (anti-join per table, crash-rerun safe)
     * is unchanged.
+    *
+    * `bounds` CONTRACT — must be a SUPERSET of the incoming frame's
+    * actual `pruneCol` range (equal is the normal case: the caller
+    * computes min/max of the SOURCE batch and registers projections of
+    * it). The Row is trusted as a pruning hint: a too-NARROW range
+    * over-prunes the existing side, the anti-join then misses existing
+    * keys, and the append silently DUPLICATES rows — a correctness
+    * bug, not a performance one. Too-wide bounds merely prune less.
+    * (Not asserted at runtime: validating would re-run the per-table
+    * bounds scan this parameter exists to eliminate. SinksSpec pins
+    * the contract.)
     */
   def appendAbsent(
       spark: SparkSession,

@@ -31,6 +31,25 @@ class ImputeSpec extends SparkSpec {
       Seq(2.0, 0.0, 4.0, 0.0))
   }
 
+  test("impute: median_approx tracks the exact median within the sketch bound") {
+    // the scale escape hatch for high-cardinality columns (exact
+    // percentile buffers O(distinct) values — see the scaladoc): on
+    // 10k distinct doubles the GK sketch at accuracy 10000 must land
+    // within its rank-error bound (n/accuracy = 1 rank ≈ 0.001 of the
+    // value range here); exact equality is NOT asserted (the sketch
+    // contract is rank error, not bit equality)
+    val df = spark.range(1, 10001).selectExpr("CAST(id AS DOUBLE) AS x")
+    val exact = Impute.fitFills(df, Seq("x" -> "median"))("x")
+    val approx = Impute.fitFills(df, Seq("x" -> "median_approx"))("x")
+    assert(math.abs(approx - exact) <= 10.0,
+      s"approx median $approx vs exact $exact — outside the sketch bound")
+    // NaN-as-missing holds on the approx path too
+    val withNan = Seq(Some(1.0), Some(Double.NaN), Some(3.0), None)
+      .toDF("x")
+    val f = Impute.fitFills(withNan, Seq("x" -> "median_approx"))("x")
+    assert(f >= 1.0 && f <= 3.0, s"NaN leaked into the approx sketch: $f")
+  }
+
   test("impute: fit on train, apply to serving (leakage discipline)") {
     val train = Seq(Some(10.0), Some(20.0), None).toDF("x")
     val serve = Seq(Some(100.0), None).toDF("x")

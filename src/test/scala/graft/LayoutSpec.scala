@@ -69,6 +69,58 @@ class LayoutSpec extends SparkSpec {
       s"z-order touches ${touching(zDir)} files vs lex ${touching(lexDir)}")
   }
 
+  test("zOrderWrite: quantile robustCols survive a planted outlier; linear degrades") {
+    // ONE 1000x outlier stretches the linear min-max range so every
+    // normal partkey collapses into ~4 of the 4096 bins — the z-code
+    // then discriminates only suppkey and each file's partkey box
+    // re-widens toward the full range. Quantile cutpoints are
+    // equal-population: the outlier costs one bin and the normal rows
+    // keep their resolution. Boxes are measured over the normal rows
+    // only (the outlier's own file is legitimately wide in both
+    // layouts — the defect linear shows is that it wrecks everyone
+    // ELSE's boxes).
+    val base = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val outlier = base.limit(1)
+      .withColumn("l_partkey", lit(2000000L))
+    val li = base.unionByName(outlier)
+    val linDir = tmpDir("graft_zq") + "/lin"
+    val robDir = tmpDir("graft_zq") + "/rob"
+    Layout.zOrderWrite(li, linDir, Seq("l_partkey", "l_suppkey"),
+      bits = 12, numFiles = 16)
+    Layout.zOrderWrite(li, robDir, Seq("l_partkey", "l_suppkey"),
+      bits = 12, numFiles = 16, robustCols = Set("l_partkey", "l_suppkey"))
+
+    // The harm to measure: under the outlier, linear min-max maps every
+    // normal partkey into ~4 of 4096 bins, so the z-code degenerates to
+    // a 1-D suppkey sort — mean box AREA still looks fine (each file is
+    // thin in suppkey), but partkey-only pruning is gone: every file
+    // spans the full normal partkey range. So count the files a
+    // partkey-range predicate must touch.
+    def touching(path: String): (Int, Int) = {
+      val boxes = Layout.fileBoxes(
+        spark.read.parquet(path).filter(col("l_partkey") <= 2000),
+        Seq("l_partkey", "l_suppkey")).collect()
+      assert(boxes.length > 1, s"expected several files at $path")
+      (boxes.count(r => r.getLong(2) <= 1100 && r.getLong(3) >= 1000),
+        boxes.length)
+    }
+    val (linTouch, linFiles) = touching(linDir)
+    val (robTouch, robFiles) = touching(robDir)
+    // linear + outlier: every file intersects the partkey window
+    assert(linTouch == linFiles,
+      s"expected the degraded linear layout to touch all files: $linTouch/$linFiles")
+    assert(robTouch * 2 < linTouch,
+      s"quantile layout touches $robTouch/$robFiles files, linear $linTouch/$linFiles — no clear pruning win")
+
+    // layout-only rewrite holds on the robust path too
+    val back = spark.read.parquet(robDir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
+      "robust z-order write changed the row multiset")
+    assert(back.columns.toSeq == li.columns.toSeq, "helper column leaked")
+  }
+
   test("zOrderWrite: content identical to the input (layout-only rewrite)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

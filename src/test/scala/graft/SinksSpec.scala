@@ -80,6 +80,28 @@ class SinksSpec extends SparkSpec {
       .select("rate").head().getDouble(0) == 1.0)
   }
 
+  test("appendAbsent: the bounds SUPERSET contract — source-batch bounds cover every projection") {
+    // the documented multi-table registration pattern: ONE bounds scan
+    // over the SOURCE batch, then each registered projection (whose own
+    // range can only be narrower) reuses it — superset bounds prune
+    // less but can never hide an existing key, so idempotence holds on
+    // replay. (A too-NARROW Row is the caller bug the scaladoc warns
+    // about: it would over-prune the existing side and duplicate.)
+    val dir = tmpDir("k5ac") + "/t"
+    val source = batch(("USD", "d1", 1.0), ("GBP", "d5", 2.0), ("JPY", "d9", 3.0))
+    val srcBounds = source
+      .agg(min(col("timestamptz")), max(col("timestamptz"))).head()
+    val slice = source.filter(col("timestamptz") === "d5") // narrower range
+    UpsertIgnore.appendAbsent(spark, slice, dir, Seq("currency", "timestamptz"),
+      pruneCol = Some("timestamptz"), bounds = Some(srcBounds))
+    // replay the slice under the same shared source bounds: the superset
+    // range keeps the existing d5 row visible to the anti-join
+    UpsertIgnore.appendAbsent(spark, slice, dir, Seq("currency", "timestamptz"),
+      pruneCol = Some("timestamptz"), bounds = Some(srcBounds))
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 1, s"superset-bounds replay duplicated: ${t.count()} rows")
+  }
+
   test("K5: non-key pruneCol is ignored — drifted replay cannot duplicate a key") {
     val dir = tmpDir("k5d") + "/t"
     val first = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "a"))
