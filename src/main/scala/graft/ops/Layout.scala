@@ -115,10 +115,30 @@ object Layout {
       cols: Seq[String],
       bits: Int = 12,
       numFiles: Int = 16,
-      robustCols: Set[String] = Set.empty): Unit = {
-    require(cols.nonEmpty, "zOrderWrite needs at least one cluster column")
+      robustCols: Set[String] = Set.empty): Unit =
+    zOrderStage(df, cols, bits, robustCols)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustering stage of [[zOrderWrite]] without the write: one
+    * bounds/sketch aggregate, then `df` plus a `__z` Morton-code helper
+    * column (and nothing else). Callers that own their write path —
+    * `TxTable.compactClustered`, `Maintenance.compactClustered` —
+    * range-repartition + sort on `__z`, drop it, and commit through
+    * their own machinery; the layout effect is identical.
+    */
+  def zOrderStage(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 12,
+      robustCols: Set[String] = Set.empty): DataFrame = {
+    require(cols.nonEmpty, "zOrderStage needs at least one cluster column")
     require(robustCols.subsetOf(cols.toSet),
       s"robustCols ${robustCols -- cols.toSet} not in cluster columns")
+    require(!df.columns.contains("__z"),
+      "column __z is reserved by the z-order stage")
     val nCuts = (1 << bits) - 1
     val probs = array((1 to nCuts).map(i =>
       lit(i.toDouble / (nCuts + 1))): _*)
@@ -155,10 +175,7 @@ object Layout {
       }
     }
     staged.withColumn("__z", zValue(normed, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z" +: cols.filter(robustCols).map(c => s"__qbin_$c"): _*)
-      .write.mode("overwrite").parquet(path)
+      .drop(cols.filter(robustCols).map(c => s"__qbin_$c"): _*)
   }
 
   /** Per-file bounding boxes of `cols` over a written table — the

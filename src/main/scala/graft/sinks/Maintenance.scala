@@ -118,7 +118,37 @@ object Maintenance {
     */
   def compactWith(spark: SparkSession, path: String,
       targetFileBytes: Long,
-      transform: DataFrame => DataFrame): (Int, Int) = {
+      transform: DataFrame => DataFrame): (Int, Int) =
+    compactCore(spark, path, targetFileBytes, transform, None)
+
+  /** `compact` that rewrites the files z-order-CLUSTERED on `zCols`
+    * (plain-directory sibling of `TxTable.compactClustered`):
+    * compaction is the one moment the table is rewritten anyway, so
+    * re-clustering there is free, and each output file's parquet
+    * footer then covers a small box in the `zCols` space — range
+    * predicates on any subset of the keys skip most files. Flat
+    * directories only (a partitioned dir's layout is pinned by its
+    * partition columns). `robustCols` per-column quantile
+    * normalization as in [[graft.ops.Layout.zOrderWrite]].
+    */
+  def compactClustered(spark: SparkSession, path: String,
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 12,
+      robustCols: Set[String] = Set.empty): (Int, Int) = {
+    require(partitionColsOf(spark, path).isEmpty,
+      s"compactClustered supports flat directories; $path is partitioned")
+    compactCore(spark, path, targetFileBytes, identity,
+      Some((df, n) => graft.ops.Layout.zOrderStage(df, zCols, bits, robustCols)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")))
+  }
+
+  private def compactCore(spark: SparkSession, path: String,
+      targetFileBytes: Long,
+      transform: DataFrame => DataFrame,
+      shape: Option[(DataFrame, Int) => DataFrame]): (Int, Int) = {
     require(targetFileBytes >= 1024 * 1024,
       s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
     recover(spark, path)
@@ -148,7 +178,7 @@ object Maintenance {
           if (dataCols.isEmpty) lit(0)
           else pmod(hash(dataCols: _*), lit(perValueFiles))
         base.repartition(nFiles, (partCols.map(col) :+ salt): _*)
-      } else base.repartition(nFiles)
+      } else shape.fold(base.repartition(nFiles))(s => s(base, nFiles))
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
 

@@ -687,6 +687,14 @@ object TxTable {
     *
     * Returns (filesBefore, filesAfter) over the live snapshot.
     */
+  private def parquetFilesIn(f: FileSystem, dataRoot: Path, rel: String): Int = {
+    def walk(p: Path): Int = f.listStatus(p).map { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+    walk(new Path(dataRoot, rel))
+  }
+
   def compact(spark: SparkSession, target: String): (Int, Int) = {
     val m = currentManifest(spark, target)
       .filter(_.entries.nonEmpty)
@@ -694,13 +702,7 @@ object TxTable {
     val root = new Path(target)
     val f = fs(spark, root)
     val dataRoot = new Path(root, DataDir)
-    def parquetFiles(rel: String): Int = {
-      def walk(p: Path): Int = f.listStatus(p).map { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
-      }.sum
-      walk(new Path(dataRoot, rel))
-    }
+    def parquetFiles(rel: String): Int = parquetFilesIn(f, dataRoot, rel)
     val before = m.dirs.distinct.map(parquetFiles).sum
     // partition columns are recoverable from any leaf rel path (k=v/..)
     val partitionBy = m.entries.map(_._1).find(_.nonEmpty)
@@ -715,6 +717,60 @@ object TxTable {
       replaceAll = true, expectedVersion = Some(m.version))
     val after = m2.dirs.distinct.map(parquetFiles).sum
     (before, after)
+  }
+
+  /** [[compact]] with a z-order-CLUSTERED rewrite (the opt-in layout
+    * lever on the transactional path): the live snapshot is rewritten
+    * as one fresh generation whose ~`numFiles` files are Morton-curve
+    * clustered on `zCols` (`ops.Layout.zOrderStage` — range
+    * repartition + in-partition sort on the z-code, pure Column bit
+    * arithmetic). Same atomic publish, snapshot isolation, and
+    * time-travel semantics as `compact`; the ONLY difference readers
+    * can observe is statistics:
+    *
+    *  - every data file's parquet footer covers a small BOX in the
+    *    `zCols` space, so a pushed range predicate on ANY subset of
+    *    them skips most files/row groups (the Layout.fileBoxes win,
+    *    now on the transactional table);
+    *  - `zCols` min/max are logged as generation stats, so later
+    *    `readWhere`/`deleteWhere` calls prune this generation against
+    *    appends that follow the compaction.
+    *
+    * Unpartitioned tables only: a partitioned table's layout is
+    * already pinned by its partition columns (cluster WITHIN
+    * partitions is a different, finer lever) — use [[compact]] there.
+    * `robustCols` selects outlier-immune quantile normalization per
+    * column (see [[graft.ops.Layout.zOrderWrite]]).
+    */
+  def compactClustered(
+      spark: SparkSession,
+      target: String,
+      zCols: Seq[String],
+      bits: Int = 12,
+      numFiles: Int = 16,
+      robustCols: Set[String] = Set.empty): (Int, Int) = {
+    val m = currentManifest(spark, target)
+      .filter(_.entries.nonEmpty)
+      .getOrElse(return (0, 0))
+    val partitioned = m.entries.map(_._1).find(_.nonEmpty)
+    require(partitioned.isEmpty,
+      s"compactClustered supports unpartitioned tables; $target is " +
+        s"partitioned (${partitioned.get}) — use compact, or cluster " +
+        "upstream of the commit")
+    val root = new Path(target)
+    val f = fs(spark, root)
+    val dataRoot = new Path(root, DataDir)
+    val before = m.dirs.distinct.map(parquetFilesIn(f, dataRoot, _)).sum
+    val snapshot = readManifestData(spark, target, m)
+    val staged = graft.ops.Layout.zOrderStage(snapshot, zCols, bits,
+        robustCols)
+      .repartitionByRange(numFiles,
+        org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val m2 = commit(spark, staged, target, Nil, replaceAll = true,
+      expectedVersion = Some(m.version), statsCols = zCols)
+    (before, m2.dirs.distinct.map(parquetFilesIn(f, dataRoot, _)).sum)
   }
 
   /** Drop generations and manifests not reachable from the newest

@@ -21,6 +21,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).schema == src.schema)
   }
 
+  test("compactClustered: rows intact, clustered layout, partitioned dirs reject") {
+    val path = tmpDir("compact_z") + "/t"
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    src.repartition(40).write.parquet(path)
+    val rowsBefore = spark.read.parquet(path).count()
+    val (before, after) = Maintenance.compactClustered(spark, path,
+      Seq("l_partkey", "l_suppkey"), targetFileBytes = 1024 * 1024)
+    assert(before >= 40 && after < before, s"no compaction: $before -> $after")
+    val back = spark.read.parquet(path)
+    assert(back.count() == rowsBefore)
+    assert(back.columns.toSeq == src.columns.toSeq, "helper column leaked")
+    // the rewrite clustered whatever files it produced: if several,
+    // their (partkey, suppkey) boxes are disjoint-ish, not all-covering
+    val boxes = graft.ops.Layout
+      .fileBoxes(back, Seq("l_partkey", "l_suppkey")).collect()
+    if (boxes.length > 1) {
+      val touch = boxes.count(r => r.getLong(2) <= 500 && r.getLong(3) >= 251 &&
+        r.getLong(4) <= 50 && r.getLong(5) >= 26)
+      assert(touch < boxes.length,
+        s"clustered rewrite: predicate touches all ${boxes.length} files")
+    }
+    // partitioned directory -> loud reject (layout pinned by partitions)
+    val ppath = tmpDir("compact_zp") + "/t"
+    Tables.orders(spark, dir).repartition(4)
+      .write.partitionBy("o_orderpriority").parquet(ppath)
+    intercept[IllegalArgumentException] {
+      Maintenance.compactClustered(spark, ppath, Seq("o_totalprice"))
+    }
+  }
+
   test("compact preserves a partitioned table's directory layout") {
     val path = tmpDir("compact_part") + "/t"
     Tables.orders(spark, dir).repartition(10)

@@ -355,6 +355,54 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, dir).get.collect().map(_.toSeq).toSet == before)
   }
 
+  test("compactClustered: 2-dim predicate touches fewer files; snapshot identical; stats logged") {
+    val dir = tmpDir("txzc") + "/t"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    // four append generations in natural (orderkey-ish) ingest order —
+    // the layout every incremental writer produces, tight on nothing a
+    // (partkey, suppkey) predicate filters by
+    for (b <- 0 until 4)
+      TxTable.commit(spark, li.filter(pmod(col("l_orderkey"), lit(4)) === b),
+        dir, Nil, append = true)
+    def touching(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val boxes = graft.ops.Layout
+        .fileBoxes(df, Seq("l_partkey", "l_suppkey")).collect()
+      (boxes.count(r => r.getLong(2) <= 500 && r.getLong(3) >= 251 &&
+        r.getLong(4) <= 50 && r.getLong(5) >= 26), boxes.length)
+    }
+    val (preTouch, preFiles) = touching(TxTable.read(spark, dir).get)
+    assert(preTouch == preFiles,
+      s"expected the ingest-order layout to have no 2-dim pruning: $preTouch/$preFiles")
+    val (fb, fa) = TxTable.compactClustered(spark, dir,
+      Seq("l_partkey", "l_suppkey"), bits = 12, numFiles = 16)
+    assert(fb == preFiles && fa >= 2 && fa <= 16, s"files $fb -> $fa")
+    val after = TxTable.read(spark, dir).get
+    val (postTouch, postFiles) = touching(after)
+    // range-partitioned z boundaries are sampled, not cell-aligned, so
+    // boundary files straddle z-cells — half the files is still a
+    // conservative ceiling vs the pre-compaction 100%
+    assert(postTouch * 2 <= postFiles,
+      s"clustered compaction still touches $postTouch/$postFiles files " +
+        s"for the 2-dim predicate (was $preTouch/$preFiles)")
+    // the rewrite is layout-only and the commit machinery is intact
+    assert(after.count() == li.count())
+    assert(after.exceptAll(li).isEmpty && li.exceptAll(after).isEmpty,
+      "clustered compaction changed the row multiset")
+    // z-column generation stats ride the manifest, so readWhere/
+    // deleteWhere prune this generation against later appends
+    val m = TxTable.currentManifest(spark, dir).get
+    assert(m.stats.values.exists(s =>
+      s.contains("l_partkey") && s.contains("l_suppkey")),
+      s"no generation stats for the cluster columns: ${m.stats}")
+    // partitioned tables reject loudly — their layout is already pinned
+    val pdir = tmpDir("txzc") + "/p"
+    TxTable.commit(spark, seed(1), pdir, Seq("part"))
+    intercept[IllegalArgumentException] {
+      TxTable.compactClustered(spark, pdir, Seq("k"))
+    }
+  }
+
   // ---- sink integration --------------------------------------------
 
   test("transactional rollup: crash mid-maintain + rerun folds the delta EXACTLY once") {
