@@ -125,7 +125,10 @@ object Bench {
         "stream_stream_join",
         // real store compaction: tombstone fold + rewrite cost, with the
         // before/after file counts in "store_compaction_files" below
-        "store_compaction")
+        "store_compaction",
+        // three REAL transactional ingests + a vacuumed erasure — the
+        // per-batch commit/store lifecycle, not per-row query latency
+        "ext_takedown_e2e")
     val lifecycle = (lifecycleKeys.flatMap(k => all.get(k).map(k -> _))
       .map { case (k, v) => s"\"" + k + "\":" + v } :+
       s""""store_compaction_files":{"before":$compactFilesBefore,"after":$compactFilesAfter}""")

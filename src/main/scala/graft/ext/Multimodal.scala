@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Multimodal column plumbing (SURVEY §2.11): image/audio/video as
@@ -578,4 +578,69 @@ object Multimodal {
           greatest(((length(col("media")) - frame) / stride).cast("int"), lit(0))),
         i => substring(col("media"), (i * stride + 1).cast("int"), lit(frame))))
         .as(Seq("frame_idx", "frame_bytes")))
+
+  // ----------------------------------------------- perceptual image dedup
+
+  /** Perceptual difference-hash (dHash) of an 8-bit image plane held in
+    * an opaque binary column — the image-side sibling of the text
+    * near-dup signatures, as PURE Column arithmetic (hex + conv byte
+    * extraction, integer grid math, shift/or bit packing: codegen'd, no
+    * UDF, cross-engine restatable — the `ext_image_dhash` oracle
+    * replays every bit in DuckDB).
+    *
+    * The classic algorithm: nearest-neighbor-sample the plane to a 9×8
+    * grayscale grid, set bit (j·8+i) when grid(i,j) > grid(i+1,j) —
+    * horizontal GRADIENT signs, so the 64-bit hash is invariant to
+    * global brightness and robust to small edits, and near-duplicate
+    * images differ in a few bits (Hamming). On a real corpus the grid
+    * reads the DECODED grayscale plane (a codec concern — see the
+    * ContainerCodec boundary); here the opaque payload bytes stand in
+    * as the plane, row-major modulo the buffer — deterministic, and
+    * identical hashes for identical payloads either way.
+    *
+    * Scale shape: one scan, ~144 byte extractions and 64 comparisons
+    * per row, all inside whole-stage codegen; empty payloads hash to 0.
+    */
+  def dHash(media: Column, width: Column, height: Column): Column = {
+    val hx = hex(media)
+    val len = length(media).cast("long") // octet length of the plane
+    val w = width.cast("long")
+    val h = height.cast("long")
+    // grayscale plane value at grid cell (i of 9, j of 8)
+    def g(i: Int, j: Int): Column = {
+      val sx = floor(lit(i) * w / 9).cast("long")
+      val sy = floor(lit(j) * h / 8).cast("long")
+      val pos = pmod(sy * w + sx, len)
+      when(len > 0,
+        conv(substr(hx, (pos * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")).otherwise(lit(0L))
+    }
+    (for { j <- 0 until 8; i <- 0 until 8 } yield
+      when(g(i, j) > g(i + 1, j), shiftleft(lit(1L), j * 8 + i))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance over a
+    * `mediaTable`-shaped frame (doc_id, media, width, height): hash =
+    * one scan; pair search = the pigeonhole chunk blocking shared with
+    * SimHash/RP-LSH (`Dedup.hammingCandidates` — a pair within
+    * `maxHamming` bits MUST agree on one whole chunk, so candidates
+    * come from same-chunk-value buckets, never all-pairs), then exact
+    * Hamming verification. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDups(
+      media: DataFrame,
+      maxHamming: Int = 10,
+      maxBucket: Int = 2000): DataFrame = {
+    val sh = media.select(col("doc_id"),
+      dHash(col("media"), col("width"), col("height")).as("sh"))
+      .localCheckpoint(false)
+    Dedup.hammingCandidates(sh, maxHamming, maxBucket)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -513,20 +513,44 @@ object ExtQueries {
         graft.pipelines.TrainingSet.ingest(s, b, bench, store, target,
           deltaId, budget = 64, minQuality = 0.0, maxTopTokenFrac = 1.0,
           maxDupNgramFrac = 1.0)
-      ing(base, "A")
-      graft.pipelines.TrainingSet.takedown(s, target, store, Seq(7L),
-        vacuum = true)
-      ing(base.filter(col("doc_id") === 7)
-        .select((col("doc_id") + 1000).as("doc_id"), col("text")), "B")
-      ing(base.filter(col("doc_id") === 8)
-        .select((col("doc_id") + 1000).as("doc_id"), col("text")), "C")
-      val out = graft.sinks.TxTable.read(s, target).get
-        .select(col("batch_id").cast("string").as("batch_id"),
-          col("doc_id").cast("long").as("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          col("pack_id").cast("long").as("pack_id"),
-          col("pack_offset").cast("long").as("pack_offset"))
-        .orderBy("batch_id", "doc_id").localCheckpoint(true)
+      // the e2e flow is ~150 tiny stages over <=40-row frames whose
+      // plans stack the big HOF expressions (gates, shingles, minhash):
+      // higher-order lambda variables carry fresh expression ids, so
+      // expression codegen MISSES its cache and pays ~2.4 s of Janino
+      // per executed projection — measured ~30 s of the gate's cost
+      // against microseconds of actual row work (NO_CODEGEN runs the
+      // same stage in 0.3 s). The eager section therefore runs fully
+      // INTERPRETED with 4 shuffle partitions (the stream_stream_join
+      // low-partition discipline): exactly how a real deployment sizes
+      // a 40-row compliance check, while production-sized batches keep
+      // codegen and amortize the compile. Confs restored before
+      // returning — the result frame is already eagerly checkpointed.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevWs = s.conf.get("spark.sql.codegen.wholeStage")
+      val prevFm = s.conf.get("spark.sql.codegen.factoryMode")
+      val out = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        ing(base, "A")
+        graft.pipelines.TrainingSet.takedown(s, target, store, Seq(7L),
+          vacuum = true)
+        ing(base.filter(col("doc_id") === 7)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")), "B")
+        ing(base.filter(col("doc_id") === 8)
+          .select((col("doc_id") + 1000).as("doc_id"), col("text")), "C")
+        graft.sinks.TxTable.read(s, target).get
+          .select(col("batch_id").cast("string").as("batch_id"),
+            col("doc_id").cast("long").as("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("pack_id").cast("long").as("pack_id"),
+            col("pack_offset").cast("long").as("pack_offset"))
+          .orderBy("batch_id", "doc_id").localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.codegen.wholeStage", prevWs)
+        s.conf.set("spark.sql.codegen.factoryMode", prevFm)
+      }
       val p = new org.apache.hadoop.fs.Path(work)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
@@ -1196,6 +1220,35 @@ object ExtQueries {
         .select(col("doc_id"), col("byte_len"), col("kind"), col("checksum"))
         .orderBy("doc_id")),
 
+    // Perceptual image hashing (fully oracled): dHash over the opaque
+    // media plane — 9×8 nearest-neighbor grid, horizontal gradient
+    // signs packed into 64 bits — as pure Column arithmetic the oracle
+    // replays bit for bit (DuckDB reads the same bytes through the
+    // text the fake payloads encode; the signed 64-bit value is
+    // assembled from two 32-bit halves because DuckDB's BIGINT shift
+    // cannot reach bit 63 directly). The image-side sibling of
+    // the minhash/simhash signature gates.
+    "ext_image_dhash" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          Multimodal.dHash(col("media"), col("width"), col("height"))
+            .as("dhash"))
+        .orderBy("doc_id")),
+
+    // Near-duplicate IMAGES by dHash Hamming distance (fully oracled):
+    // the pigeonhole chunk-blocked pair search (shared with simhash)
+    // + exact verification, held to the all-pairs DuckDB restatement
+    // over the bounded universe — hash equality proves the blocking
+    // loses no pair at <= 10 bits. Near-dup texts make near-dup fake
+    // images, so the corpus genuinely exercises the 0 < hamming <= 10
+    // band, not just exact copies.
+    "ext_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+        Multimodal.mediaTable(
+          Tables.documents(s, dir).filter(col("doc_id") < 300)),
+        maxHamming = 10)
+        .orderBy("id_a", "id_b")),
+
     // MP4 container metadata (fully oracled): the moov atom walk must
     // recover exactly the duration/track/geometry arithmetic the
     // synthesizer encoded into real ISO-BMFF bytes — the WAV RIFF
@@ -1745,6 +1798,44 @@ object ExtQueries {
       |  FROM g x, g y WHERE x.doc_id < y.doc_id
       |    AND len(list_intersect(x.grams, y.grams))
       |      / greatest(len(list_distinct(x.grams || y.grams)), 1) >= 0.9)""".stripMargin
+
+  // the dHash pipeline as CTEs ending in hashes(doc_id, dhash BIGINT):
+  // grid = 9×8 nearest-neighbor samples of the fake plane (text bytes,
+  // row-major modulo length), bits = 64 horizontal gradient signs,
+  // halves/hashes = the signed 64-bit two's-complement pack from two
+  // 32-bit halves. `where` bounds the universe for the all-pairs gate.
+  private def dHashCtesSql(where: String): String =
+    s"""m AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      |  FROM documents $where),
+      |grid AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN len > 0
+      |      THEN ascii(substr(text,
+      |        CAST(((((k // 9) * h) // 8) * w + (((k % 9) * w) // 9)) % len
+      |          AS INT) + 1, 1))
+      |      ELSE 0 END
+      |     for k in range(0, 72)] AS gr
+      |  FROM m),
+      |bits AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN gr[(b // 8) * 9 + (b % 8) + 1]
+      |             > gr[(b // 8) * 9 + (b % 8) + 2]
+      |          THEN 1::BIGINT ELSE 0::BIGINT END
+      |     for b in range(0, 64)] AS bs
+      |  FROM grid),
+      |halves AS (
+      |  SELECT doc_id,
+      |    list_sum([bs[b + 1] * (1::BIGINT << b) for b in range(0, 32)]) AS lo,
+      |    list_sum([bs[b + 33] * (1::BIGINT << b) for b in range(0, 32)]) AS hi
+      |  FROM bits),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN hi >= 2147483648
+      |         THEN (hi - 4294967296) * 4294967296 + lo
+      |         ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+      |  FROM halves)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ext_token_stats" ->
@@ -2601,6 +2692,25 @@ object ExtQueries {
         |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
         |  CAST(n_chars % 48 + 1 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the dHash replayed bit for bit: the fake payload is the UTF-8
+    // text (pure ASCII corpus — char index == byte index), the 9×8
+    // grid is integer arithmetic, and the signed 64-bit pack is
+    // assembled from two 32-bit halves (DuckDB BIGINT << 63 overflows;
+    // the CASE re-creates two's complement exactly)
+    "ext_image_dhash" ->
+      ("WITH " + dHashCtesSql("") + """
+        |SELECT doc_id, dhash FROM hashes ORDER BY doc_id""").stripMargin,
+
+    // all-pairs ground truth over the bounded universe: hash equality
+    // proves the chunk blocking loses no pair at <= 10 bits
+    "ext_image_neardup" ->
+      ("WITH " + dHashCtesSql("WHERE doc_id < 300") + """
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+        |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
+        |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
+        |ORDER BY id_a, id_b""").stripMargin,
 
     // one full Lloyd round restated: seed = 8 lowest-vec_id vectors,
     // argmax-cosine assignment (lowest-cid ties, zero-norm → -2.0

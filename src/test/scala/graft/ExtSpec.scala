@@ -37,6 +37,31 @@ class ExtSpec extends SparkSpec {
            java.lang.Long.bitCount(sh(1L) ^ sh(3L)))
   }
 
+  test("image dHash: identical planes collide, brightness shift is invariant") {
+    // (doc_id, media, width, height) — 3 copies of one plane, one
+    // globally brightened copy (gradient SIGNS unchanged -> same hash),
+    // one reshaped (different sampling -> different hash), one empty
+    val plane = Array.tabulate[Byte](64)(i => ((i * 7) % 101).toByte)
+    val bright = plane.map(b => ((b & 0xff) + 50).toByte) // strictly monotone (max 150)
+    val rows = Seq(
+      (1L, plane, 8, 8), (2L, plane, 8, 8),
+      (3L, bright, 8, 8),
+      (4L, plane, 16, 4),
+      (5L, Array.empty[Byte], 8, 8)).toDF("doc_id", "media", "width", "height")
+    val hashes = rows.select(col("doc_id"),
+      graft.ext.Multimodal.dHash(col("media"), col("width"), col("height")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "identical planes must collide")
+    assert(hashes(1L) == hashes(3L),
+      "a monotone brightness shift must not change gradient signs")
+    assert(hashes(1L) != hashes(4L), "a reshaped plane samples differently")
+    assert(hashes(5L) == 0L, "empty payload hashes to 0")
+    val pairs = graft.ext.Multimodal.imageNearDups(rows, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      !pairs.exists(p => p._1 == 4L || p._2 == 4L), s"pairs: $pairs")
+  }
+
   test("simhash frozen-corpus golden: exact signatures and near-dup pairs") {
     // The BPE/unigram golden discipline applied to simhash (the r8
     // verdict's stretch item): the signature family (token hashing,
