@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,80 @@ object Mix {
     * non-positive or null weight are REJECTED loudly (ln(u)/w flips
     * sign and would silently win every slot).
     */
+  /** Token-BUDGET allocation across groups — the "how many tokens of
+    * each domain does this training run get" solve behind every mixing
+    * recipe with a fixed compute budget: allocate `budget` tokens
+    * proportionally to `weights` (e.g. [[temperatureWeights]]), but no
+    * group above its available tokens; the shortfall of saturated
+    * (fully-consumed) groups redistributes among the rest at a common
+    * rate. Exact waterfill: with groups sorted by capacity/weight, the
+    * unique rate r* satisfies sum(min(t_g, r*·w_g)) = budget — found by
+    * the standard prefix walk (first k where the saturated set is
+    * consistent), O(groups) driver math after ONE map-combinable
+    * corpus aggregate (the temperatureWeights scale shape; token
+    * counts stay exact longs).
+    *
+    * Returns one row per weighted group: (group, tokens_available,
+    * weight, allocated, saturated) — `allocated/tokens_available` is
+    * the group's epoch count; saturated groups train exactly one epoch.
+    * budget >= total capacity degenerates to every group saturated
+    * (nothing left to ration). Weight keys absent from the corpus fail
+    * fast, the [[sampleToDistribution]] strictness.
+    */
+  def allocateBudget(
+      df: DataFrame,
+      groupCol: String,
+      tokens: Column,
+      budget: Long,
+      weights: Map[String, Double]): DataFrame = {
+    require(budget >= 0, s"allocateBudget: budget must be >= 0, got $budget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"allocateBudget: weights must be non-empty and strictly positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val caps = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(sum(tokens.cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absent = weights.keySet -- caps.keySet
+    require(absent.isEmpty,
+      s"allocateBudget: weight groups absent from the corpus: " +
+        s"${absent.toSeq.sorted.mkString(", ")}")
+    // everything below runs in ratio order (group name tie-break) — the
+    // double prefix sums are SEQUENTIAL in that order, so an engine
+    // restating the same walk reproduces them bit for bit
+    val rows = weights.keys.toSeq.sorted
+      .map(g => (g, caps(g), weights(g)))
+      .sortBy { case (g, t, w) => (t / w, g) }
+    val totalT = rows.map(_._2).sum
+    val totW = rows.foldLeft(0.0)(_ + _._3)
+    val rate: Double =
+      if (budget >= totalT) Double.PositiveInfinity
+      else {
+        var k = 0
+        var cumT = 0L
+        var cumW = 0.0
+        var r = 0.0
+        var found = false
+        while (!found && k < rows.length) {
+          r = (budget - cumT) / (totW - cumW)
+          val okLeft = k == 0 || rows(k - 1)._2 / rows(k - 1)._3 <= r
+          val okRight = r <= rows(k)._2 / rows(k)._3
+          if (okLeft && okRight) found = true
+          else { cumT += rows(k)._2; cumW += rows(k)._3; k += 1 }
+        }
+        require(found, "allocateBudget: no consistent waterfill prefix — " +
+          "unreachable for budget < total capacity")
+        r
+      }
+    val out = rows.map { case (g, t, w) =>
+      val a = if (t / w <= rate) t.toDouble else rate * w
+      (g, t, w, a, t / w <= rate)
+    }
+    spark.createDataFrame(out.sortBy(_._1))
+      .toDF(groupCol, "tokens_available", "weight", "allocated", "saturated")
+  }
+
   def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"sampleWeighted: k must be >= 1, got $k")

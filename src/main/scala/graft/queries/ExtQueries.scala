@@ -1249,6 +1249,38 @@ object ExtQueries {
         maxHamming = 10)
         .orderBy("id_a", "id_b")),
 
+    // Image dedup CLUSTERS (fully oracled): connected components over
+    // the dHash near-dup pair graph — the canonical-image assignment
+    // that turns pairwise image similarity into per-cluster keep/drop
+    // decisions, reusing the exact component machinery the text corpus
+    // dedup carries (componentsFromPairs; min-reachable-id labels).
+    "ext_image_components" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(
+        Tables.documents(s, dir).filter(col("doc_id") < 300))
+      val pairs = Multimodal.imageNearDups(media, maxHamming = 10)
+        .select("id_a", "id_b")
+      Dedup.componentsFromPairs(media.select("doc_id"), "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget waterfill across languages (fully oracled): allocate
+    // a 20k-token budget ∝ weights with no language above its available
+    // tokens; saturated languages' shortfall redistributes at the
+    // common rate r* (sum(min(t_g, r*·w_g)) = budget). Weights are
+    // binary fractions and token counts exact longs, so every double
+    // in the prefix walk is bit-identical cross-engine; at sf0.01 two
+    // languages genuinely saturate, so the redistribution path is
+    // exercised, not just the proportional one.
+    "ext_mix_budget" -> ((s, dir) =>
+      Mix.allocateBudget(Tables.documents(s, dir), "lang",
+        TextAnalysis.tokenCount(col("text")), budget = 20000,
+        weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25,
+          "fr" -> 0.125, "zh" -> 0.125))
+        .select(col("lang"), col("tokens_available"), col("weight"),
+          round(col("allocated"), 6).as("allocated"), col("saturated"))
+        .orderBy("lang")),
+
     // MP4 container metadata (fully oracled): the moov atom walk must
     // recover exactly the duration/track/geometry arithmetic the
     // synthesizer encoded into real ISO-BMFF bytes — the WAV RIFF
@@ -2711,6 +2743,59 @@ object ExtQueries {
         |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
         |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
         |ORDER BY id_a, id_b""").stripMargin,
+
+    // the same min-reachable-id recursive CTE as the text components
+    // oracles, driven by the all-pairs dhash graph
+    "ext_image_components" ->
+      ("WITH RECURSIVE " + dHashCtesSql("WHERE doc_id < 300") + """,
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
+        |    AND bit_count(xor(x.dhash, y.dhash)) <= 10),
+        |e AS (SELECT id_a AS id, id_b AS nbr FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM e JOIN reach ON e.nbr = reach.id),
+        |lab AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN lab l ON d.doc_id = l.id
+        |ORDER BY doc_id""").stripMargin,
+
+    // the waterfill prefix walk restated with windows in the SAME ratio
+    // order: exclusive prefix sums (exact — weights are binary
+    // fractions, token counts BIGINT), candidate rate per prefix, the
+    // first consistent prefix wins, allocation by the ratio<=r* rule
+    "ext_mix_budget" ->
+      """WITH g AS (
+        |  SELECT lang AS grp,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1),
+        |w(grp, wt) AS (VALUES ('de', 0.25), ('en', 0.25), ('es', 0.25),
+        |  ('fr', 0.125), ('zh', 0.125)),
+        |j AS (SELECT g.grp, t, wt, t / wt AS ratio FROM g JOIN w USING (grp)),
+        |o AS (SELECT grp, t, wt, ratio,
+        |    row_number() OVER (ORDER BY ratio, grp) AS rn,
+        |    coalesce(sum(t) OVER (ORDER BY ratio, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumt,
+        |    coalesce(sum(wt) OVER (ORDER BY ratio, grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+        |    sum(wt) OVER () AS totw
+        |  FROM j),
+        |o2 AS (SELECT rn, ratio,
+        |    lag(ratio) OVER (ORDER BY rn) AS prev_ratio,
+        |    (20000 - cumt) / (totw - cumw) AS rate
+        |  FROM o),
+        |feas AS (SELECT rate FROM o2
+        |  WHERE (prev_ratio IS NULL OR prev_ratio <= rate) AND rate <= ratio
+        |  ORDER BY rn LIMIT 1)
+        |SELECT j.grp AS lang, j.t AS tokens_available, j.wt AS weight,
+        |  round(CASE WHEN j.ratio <= f.rate THEN CAST(j.t AS DOUBLE)
+        |             ELSE f.rate * j.wt END, 6) AS allocated,
+        |  j.ratio <= f.rate AS saturated
+        |FROM j CROSS JOIN feas f ORDER BY lang""".stripMargin,
 
     // one full Lloyd round restated: seed = 8 lowest-vec_id vectors,
     // argmax-cosine assignment (lowest-cid ties, zero-norm → -2.0

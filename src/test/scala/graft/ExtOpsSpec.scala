@@ -233,6 +233,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(mid.values.sum - 1.0) < 1e-12)
   }
 
+  test("budget waterfill: saturated groups cap at capacity, rest share the rate, total = budget") {
+    import spark.implicits._
+    // capacities: a=100, b=1000, c=1000 tokens (1 token per row via lit)
+    val docs = (Seq.fill(100)("a") ++ Seq.fill(1000)("b") ++ Seq.fill(1000)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "g")
+    val out = graft.ext.Mix.allocateBudget(docs, "g", lit(1L), budget = 1100,
+      weights = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    // a's fair share (0.5 * rate) exceeds its 100 tokens -> saturates;
+    // rate = (1100 - 100) / 0.5 = 2000; b = c = 500
+    assert(out("a") == ((100L, 100.0, true)), out)
+    assert(out("b") == ((1000L, 500.0, false)), out)
+    assert(out("c") == ((1000L, 500.0, false)), out)
+    assert(math.abs(out.values.map(_._2).sum - 1100.0) < 1e-9)
+  }
+
+  test("budget waterfill: budget >= capacity saturates everyone; guards are loud") {
+    import spark.implicits._
+    val docs = (Seq.fill(10)("a") ++ Seq.fill(20)("b"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "g")
+    val all = graft.ext.Mix.allocateBudget(docs, "g", lit(1L), budget = 1000,
+      weights = Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(all == Map("a" -> ((10.0, true)), "b" -> ((20.0, true))), all)
+    intercept[IllegalArgumentException] {
+      graft.ext.Mix.allocateBudget(docs, "g", lit(1L), 10,
+        Map("a" -> 0.5, "missing" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Mix.allocateBudget(docs, "g", lit(1L), 10, Map("a" -> 0.0))
+    }
+  }
+
   // ---- deterministic shuffle-shard -----------------------------------
 
   test("shuffle-shard: positions match the single-window reference at any partitioning") {
