@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.UpsertIgnore
+
+/** [EXT] Incremental IMAGE near-duplicate detection against a durable
+  * store — the perceptual-hash counterpart of `IncrementalDedup`
+  * (MinHash/text) and `IncrementalEmbedDedup` (RP-LSH/embeddings):
+  * every ingested media batch is checked against the whole accumulated
+  * corpus in O(batch + collisions), then joins it. A re-crawled or
+  * re-encoded image dedups cross-batch for the cost of a signature
+  * probe; the corpus is never rescanned.
+  *
+  * The store is the SMALLEST of the family because the dHash is both
+  * probe key and exact verifier — 8 bytes per image, no second
+  * payload table:
+  *
+  *   store/sigs/      (doc_id, sh)  — 64-bit dHash; chunk keys derive
+  *                                    map-side on the (pruned) scan
+  *   store/forgotten/ (doc_id)      — takedown tombstones
+  *
+  * Per-ingest shape, mirroring the siblings:
+  *  - batch signatures = one scan (`Multimodal.dHash` — pure Columns);
+  *  - the batch's distinct (chunk, cval) keys BROADCAST against ONE
+  *    scan of the stored sigs (pigeonhole blocking: hamming <=
+  *    maxHamming twins share >= 1 whole chunk; the store side is never
+  *    shuffled);
+  *  - buckets whose COMBINED (batch + stored) size exceeds `maxBucket`
+  *    drop as degenerate hubs — the same union-side cap as the
+  *    siblings, so incremental == one-shot at the cap boundary;
+  *  - candidates verify by EXACT Hamming on the two signatures, so
+  *    precision is exact and a multi-ingest run reports exactly the
+  *    pairs `Multimodal.imageNearDups` reports over the union (the
+  *    oracled `ext_image_incr` gate holds a two-ingest run to the
+  *    all-pairs DuckDB ground truth).
+  */
+object IncrementalImageDedup {
+
+  final case class Params(maxHamming: Int = 10, maxBucket: Int = 2000)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Ingest a `mediaTable`-shaped batch (doc_id, media, width, height):
+    * returns the hamming<=maxHamming pairs the batch introduces —
+    * (id_a, id_b, hamming), new-vs-stored and new-vs-new — then
+    * registers the batch's signatures.
+    */
+  def ingest(
+      spark: SparkSession,
+      media: DataFrame,
+      storePath: String,
+      params: Params = Params()): DataFrame = {
+    val sigsPath = s"$storePath/sigs"
+    val storeExists = exists(spark, sigsPath)
+    val e = media
+      .select(col("doc_id"),
+        Multimodal.dHash(col("media"), col("width"), col("height")).as("sh"))
+      // ids are keys: a duplicated id would self-pair and write store
+      // rows the keyed registration could never clean up
+      .dropDuplicates("doc_id")
+      .localCheckpoint(false) // chunks, verify, registration all read it
+    val chunks = e
+      .select(col("doc_id"),
+        explode(Dedup.shChunks(col("sh"), params.maxHamming)).as("cc"))
+      .select(col("doc_id"), col("cc.chunk").as("chunk"),
+        col("cc.cval").as("cval"))
+      .localCheckpoint(false) // probe, in-batch buckets, registration
+
+    // combined-bucket cap: see IncrementalEmbedDedup — capping either
+    // side alone diverges from the one-shot operator at the boundary
+    val batchCnt = chunks.groupBy("chunk", "cval").count()
+      .withColumnRenamed("count", "__bc")
+    def inBatchPairs(okKeys: DataFrame) = chunks
+      .join(okKeys, Seq("chunk", "cval"), "left_semi")
+      .groupBy("chunk", "cval")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+
+    val candidates =
+      (if (!storeExists)
+         inBatchPairs(batchCnt.filter(col("__bc") <= params.maxBucket)
+           .select("chunk", "cval"))
+       else {
+         // ONE store scan; chunk keys derive map-side from the stored
+         // sh, the batch's distinct keys broadcast into the semi-join
+         val hot = liveSigs(spark, storePath)
+           .select(col("doc_id").as("store_id"),
+             explode(Dedup.shChunks(col("sh"), params.maxHamming)).as("cc"))
+           .select(col("store_id"), col("cc.chunk").as("chunk"),
+             col("cc.cval").as("cval"))
+           .join(broadcast(chunks.select("chunk", "cval").distinct()),
+             Seq("chunk", "cval"), "left_semi")
+           .localCheckpoint(false)
+         val okKeys = hot.groupBy("chunk", "cval").count()
+           .withColumnRenamed("count", "__sc")
+           .join(batchCnt, Seq("chunk", "cval"), "full_outer")
+           .filter(coalesce(col("__sc"), lit(0L)) +
+             coalesce(col("__bc"), lit(0L)) <= params.maxBucket)
+           .select("chunk", "cval")
+           .localCheckpoint(false)
+         val cross = chunks
+           .join(hot.join(okKeys, Seq("chunk", "cval"), "left_semi"),
+             Seq("chunk", "cval"))
+           .filter(col("doc_id") =!= col("store_id"))
+           .select(least(col("doc_id"), col("store_id")).as("id_a"),
+             greatest(col("doc_id"), col("store_id")).as("id_b"))
+         cross.unionByName(inBatchPairs(okKeys))
+       })
+        .distinct()
+        .localCheckpoint(false) // prunes the verify side AND joins it
+
+    // exact-Hamming verify: batch signatures + stored signatures of
+    // colliding ids only (semi-join prune); a re-ingested id verifies
+    // with its batch signature (identical by determinism anyway)
+    val sigs =
+      if (!storeExists) e
+      else {
+        val candidateIds = candidates
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        e.unionByName(
+          liveSigs(spark, storePath)
+            .join(candidateIds, Seq("doc_id"), "left_semi")
+            .join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      }
+    val pairs = candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= params.maxHamming)
+      .select("id_a", "id_b", "hamming")
+
+    // materialize BEFORE mutating the store (the returned plan must not
+    // re-probe a store that now contains the batch itself)
+    val out = pairs.orderBy("id_a", "id_b").localCheckpoint(true)
+
+    if (!storeExists)
+      e.write.mode("overwrite").parquet(sigsPath)
+    else {
+      val idBounds = e.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      UpsertIgnore.appendAbsent(spark, e, sigsPath, keys = Seq("doc_id"),
+        pruneCol = Some("doc_id"), bounds = Some(idBounds))
+    }
+    out
+  }
+
+  /** The live probe/verify surface: registered signatures minus any
+    * whose owner was forgotten — tombstones broadcast into an
+    * anti-join along the single store scan.
+    */
+  private def liveSigs(spark: SparkSession, storePath: String): DataFrame = {
+    val sigs = spark.read.parquet(s"$storePath/sigs")
+    val fPath = s"$storePath/forgotten"
+    if (!StoreTombstones.hasData(spark, fPath)) sigs
+    else sigs.join(broadcast(spark.read.parquet(fPath)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Takedown support: forget these owners' signatures — an O(takedown)
+    * tombstone append; probes mask immediately, `compactStore` erases
+    * physically. Fresh copies of forgotten images are admitted again
+    * under a new id. `ids` must carry a `doc_id` column.
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$storePath/forgotten")
+
+  /** Stored image count (distinct registered ids). */
+  def storedDocs(spark: SparkSession, storePath: String): Long =
+    if (!exists(spark, s"$storePath/sigs")) 0L
+    else spark.read.parquet(s"$storePath/sigs")
+      .select("doc_id").distinct().count()
+
+  /** Compact the signature table and fold the takedown tombstones —
+    * forgotten signatures are physically erased and `forgotten/`
+    * cleared. Single-writer; returns (filesBefore, filesAfter).
+    */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/sigs"), targetFileBytes)
+}

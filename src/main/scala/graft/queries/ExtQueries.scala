@@ -1249,6 +1249,28 @@ object ExtQueries {
         maxHamming = 10)
         .orderBy("id_a", "id_b")),
 
+    // INCREMENTAL image near-dup vs the durable dHash store (fully
+    // oracled): the same planted universe as ext_image_neardup, found
+    // across TWO separate ingests — cross-batch pairs must surface via
+    // store-signature collisions, not a one-shot run. The store family's
+    // strongest gate shape: found pairs are BOTH exact-precision
+    // (hamming-verified) and complete, so plain equality with the
+    // all-pairs oracle proves the batch boundary loses nothing.
+    "ext_image_incr" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(
+        Tables.documents(s, dir).filter(col("doc_id") < 300))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_imgdedup").toString + "/store"
+      val out = graft.ext.IncrementalImageDedup
+        .ingest(s, media.filter(col("doc_id") < 150), store)
+        .unionByName(graft.ext.IncrementalImageDedup
+          .ingest(s, media.filter(col("doc_id") >= 150), store))
+        .orderBy("id_a", "id_b").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // Image dedup CLUSTERS (fully oracled): connected components over
     // the dHash near-dup pair graph — the canonical-image assignment
     // that turns pairwise image similarity into per-cluster keep/drop
@@ -2737,6 +2759,16 @@ object ExtQueries {
     // all-pairs ground truth over the bounded universe: hash equality
     // proves the chunk blocking loses no pair at <= 10 bits
     "ext_image_neardup" ->
+      ("WITH " + dHashCtesSql("WHERE doc_id < 300") + """
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+        |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
+        |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
+        |ORDER BY id_a, id_b""").stripMargin,
+
+    // identical all-pairs truth as ext_image_neardup: the two-ingest
+    // store run must reproduce it exactly (precision AND recall)
+    "ext_image_incr" ->
       ("WITH " + dHashCtesSql("WHERE doc_id < 300") + """
         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
         |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
