@@ -16,8 +16,9 @@ import graft.sinks.TxTable
   *   -> exact dedup
   *   -> INCREMENTAL near-dup vs the durable signature store
   *   [-> INCREMENTAL embedding near-dup vs the durable embedding store]
-  *   [-> INCREMENTAL verbatim-span dedup vs the durable fingerprint
-  *   store] [-> leakage-safe split assignment]
+  *   [+ INCREMENTAL perceptual-hash image dedup vs the durable dHash
+  *   store] [-> INCREMENTAL verbatim-span dedup vs the durable
+  *   fingerprint store] [-> leakage-safe split assignment]
   *   -> token-budget sequence packing (PER SPLIT when splitting — a
   *   pack never mixes train and eval) -> transactional commit
   *
@@ -47,10 +48,10 @@ import graft.sinks.TxTable
   *
   * Drop rules: a new doc is dropped if it fails a gate, shares an
   * n-gram with the benchmark, duplicates content inside the batch
-  * (exact, near, embedding-near, or verbatim-span), or near-duplicates
-  * (by tokens or by embedding) / shares a >= substringMinLen-char span
-  * with an ALREADY-SEEN doc (the stored doc wins — first-ingested-wins,
-  * deterministic).
+  * (exact, near, embedding-near, image-near, or verbatim-span), or
+  * near-duplicates (by tokens, by embedding, or by image perceptual
+  * hash) / shares a >= substringMinLen-char span with an ALREADY-SEEN
+  * doc (the stored doc wins — first-ingested-wins, deterministic).
   */
 object TrainingSet {
 
@@ -59,7 +60,7 @@ object TrainingSet {
       afterExact: Long, afterNearDup: Long, afterSubstring: Long,
       packs: Long, alreadyApplied: Boolean,
       afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1,
-      afterEmbedNearDup: Long = -1)
+      afterEmbedNearDup: Long = -1, afterImageDedup: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
@@ -114,6 +115,19 @@ object TrainingSet {
     *        the same content (only with embedStorePath; default 0.97 —
     *        stricter than decontamination's 0.95 because a dedup FALSE
     *        POSITIVE deletes a training doc outright)
+    * @param mediaCols with `imageStorePath`: the batch's (media, width,
+    *        height) column names — an opaque image payload plus its
+    *        typed geometry (the `Multimodal.mediaTable` shape)
+    * @param imageStorePath when set, incremental IMAGE near-dup vs the
+    *        durable dHash store (IncrementalImageDedup) after the
+    *        embedding stage: a re-crawled or re-encoded image dedups by
+    *        perceptual hash even when its surrounding text was
+    *        rewritten. NULL-media rows pass through and never register;
+    *        same drop rules as every dedup stage
+    * @param imageMaxHamming dHash bits at-or-below which two images are
+    *        the same content (only with imageStorePath; default 6 —
+    *        stricter than the 10-bit similarity-search default because,
+    *        as with embeddings, a dedup false positive deletes a doc)
     * @param splits when non-empty, leakage-safe split assignment
     *        (`Splits.assign` keyed on `splitGroupCol`, default the doc
     *        id) BEFORE packing, and packing runs PER SPLIT — a packed
@@ -154,6 +168,9 @@ object TrainingSet {
       embedThreshold: Double = 0.95,
       embedStorePath: Option[String] = None,
       embedDedupThreshold: Double = 0.97,
+      mediaCols: Option[(String, String, String)] = None,
+      imageStorePath: Option[String] = None,
+      imageMaxHamming: Int = 6,
       splits: Seq[(String, Double)] = Nil,
       splitGroupCol: Option[String] = None,
       splitSeed: String = ""): Report = {
@@ -278,17 +295,40 @@ object TrainingSet {
     val afterEmbedNearDup =
       if (embedStorePath.isEmpty) -1L else embSurvivors.count()
 
+    // 4c (optional): incremental IMAGE near-dup vs the durable dHash
+    // store — a re-crawled or re-encoded image dedups cross-batch by
+    // perceptual hash even when its surrounding TEXT was rewritten
+    // (the multimodal blind spot of every text-shaped stage above).
+    // NULL-media rows pass through and never register; same drop rules
+    // (stored doc wins cross-batch, keep-first in-batch).
+    val imgSurvivors = (mediaCols, imageStorePath) match {
+      case (Some((mCol, wCol, hCol)), Some(isp)) =>
+        val withMedia = embSurvivors.filter(col(mCol).isNotNull)
+        val imgPairs = graft.ext.IncrementalImageDedup.ingest(spark,
+          withMedia.select(col(idCol).as("doc_id"), col(mCol).as("media"),
+            col(wCol).as("width"), col(hCol).as("height")),
+          isp, graft.ext.IncrementalImageDedup.Params(
+            maxHamming = imageMaxHamming))
+        dropPairLosers(embSurvivors, imgPairs, idCol).localCheckpoint(false)
+      case (None, Some(_)) => sys.error(
+        "TrainingSet.ingest: imageStorePath needs mediaCols = " +
+          "(media, width, height)")
+      case _ => embSurvivors
+    }
+    val afterImageDedup =
+      if (imageStorePath.isEmpty) -1L else imgSurvivors.count()
+
     // 5 (optional): incremental verbatim-span dedup vs the durable
     // fingerprint store — high-precision copy-paste screening that
     // Jaccard near-dup misses when the surrounding text differs. Same
     // drop rules; only prior-stage survivors register (already-dropped
     // batch docs must not claim spans they never contributed).
     val spanSurvivors = substringMinLen match {
-      case None => embSurvivors
+      case None => imgSurvivors
       case Some(minLen) =>
-        val spanPairs = IncrementalSubstring.ingest(spark, embSurvivors,
+        val spanPairs = IncrementalSubstring.ingest(spark, imgSurvivors,
           idCol, textCol, s"$storePath/substr", minLen)
-        dropPairLosers(embSurvivors, spanPairs, idCol).localCheckpoint(false)
+        dropPairLosers(imgSurvivors, spanPairs, idCol).localCheckpoint(false)
     }
     val afterSubstring = spanSurvivors.count()
 
@@ -333,7 +373,8 @@ object TrainingSet {
       afterSubstring, packs, alreadyApplied = false,
       afterUrlDedup = afterUrlDedup,
       afterEmbedDecontaminate = afterEmbedDecontaminate,
-      afterEmbedNearDup = afterEmbedNearDup)
+      afterEmbedNearDup = afterEmbedNearDup,
+      afterImageDedup = afterImageDedup)
   }
 
   /** TAKEDOWN: remove documents from the training table AND from every
@@ -373,6 +414,7 @@ object TrainingSet {
       idCol: String = "doc_id",
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
+      imageStorePath: Option[String] = None,
       vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -391,6 +433,9 @@ object TrainingSet {
       IncrementalSubstring.forget(spark, s"$storePath/substr", tomb)
     embedStorePath.filter(p => has(s"$p/sigs")).foreach { p =>
       graft.ext.IncrementalEmbedDedup.forget(spark, p, tomb)
+    }
+    imageStorePath.filter(p => has(s"$p/sigs")).foreach { p =>
+      graft.ext.IncrementalImageDedup.forget(spark, p, tomb)
     }
     urlStorePath.filter(p => has(s"$p/keys")).foreach { p =>
       graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
@@ -455,6 +500,7 @@ object TrainingSet {
       storePath: String,
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
+      imageStorePath: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val counts =
       Seq(IncrementalDedup.compactStore(spark, storePath, targetFileBytes),
@@ -462,6 +508,9 @@ object TrainingSet {
           targetFileBytes)) ++
       embedStorePath.map(p =>
         graft.ext.IncrementalEmbedDedup.compactStore(spark, p,
+          targetFileBytes)) ++
+      imageStorePath.map(p =>
+        graft.ext.IncrementalImageDedup.compactStore(spark, p,
           targetFileBytes)) ++
       urlStorePath.map(p =>
         graft.ext.IncrementalKeyedDedup.compactStore(spark, p,

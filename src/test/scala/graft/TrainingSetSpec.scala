@@ -214,6 +214,46 @@ class TrainingSetSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 12L), s"$kept")
   }
 
+  test("image stage: perceptual dup with REWRITTEN text drops cross-batch; takedown readmits") {
+    val work = tmpDir("trainimg")
+    val store = s"$work/store"
+    val imgStore = s"$work/imgs"
+    val target = s"$work/train"
+    val plane = Array.tabulate[Byte](64)(i => ((i * 7) % 101).toByte)
+    val other = Array.tabulate[Byte](64)(i => ((i * 13 + 31) % 97).toByte)
+    val textA = "the first caption describes a lighthouse on basalt cliffs " +
+      "with phrasing no other record repeats anywhere at all today"
+    val textB = "completely rewritten alt text mentioning coastal beacons " +
+      "and volcanic rock formations with zero shared vocabulary overlap"
+    def ing(rows: Seq[(Long, String, Array[Byte])], id: String) =
+      TrainingSet.ingest(spark,
+        rows.toDF("doc_id", "text", "media")
+          .withColumn("width", lit(8)).withColumn("height", lit(8)),
+        benchmark, store, target, id, minQuality = 0.0,
+        mediaCols = Some(("media", "width", "height")),
+        imageStorePath = Some(imgStore))
+    val r1 = ing(Seq((1L, textA, plane)), "b1")
+    assert(r1.afterImageDedup == 1, s"$r1")
+    // batch 2: the SAME image under fully rewritten text — every
+    // text-shaped stage passes it, the image store must catch it
+    val r2 = ing(Seq((2L, textB, plane)), "b2")
+    assert(r2.afterNearDup == 1 && r2.afterImageDedup == 0,
+      s"re-encoded image not caught by the perceptual store: $r2")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // takedown reaches the image store: the same image readmits fresh
+    TrainingSet.takedown(spark, target, store, Seq(1L, 2L),
+      imageStorePath = Some(imgStore))
+    val r3 = ing(Seq((3L, textB + " extra", plane)), "b3")
+    assert(r3.afterImageDedup == 1, s"image store did not forget: $r3")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+    // a DIFFERENT image with near-dup text still drops at the TEXT stage
+    // (the stages compose, not replace)
+    val r4 = ing(Seq((4L, textB + " extra", other)), "b4")
+    assert(r4.afterNearDup == 0, s"text stage stopped working: $r4")
+  }
+
   test("takedown: table row deleted AND every store forgets — content re-admittable") {
     val work = tmpDir("traintakedown")
     val store = s"$work/store"
