@@ -86,6 +86,42 @@ object Decontaminate {
         .withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
 
+  /** Contamination PROVENANCE: one row per (training doc, benchmark
+    * doc) pair sharing at least one exact word n-gram, with the count
+    * of distinct shared grams — the audit artifact behind a removal
+    * decision. `contaminatedIds` answers "drop it or not"; an eval-
+    * integrity review needs WHICH benchmark item leaked into WHICH
+    * document and how heavily (one boilerplate gram vs a verbatim
+    * copy), and a takedown of a benchmark item needs the reverse index
+    * of documents it touched. Always exact-string grams — provenance
+    * that can name an innocent benchmark item via a 64-bit collision
+    * is worse than none.
+    *
+    * Scale shape: the benchmark (gram, bench_id) set broadcasts, the
+    * corpus explodes its distinct grams map-side, and the per-pair
+    * count is a map-combinable aggregate over the (tiny) join output —
+    * the corpus is never shuffled.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(gramStrings(col(textCol), n)).as("g"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(gramStrings(col(textCol), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** SEMANTIC decontamination: training rows whose embedding is within
     * cosine `threshold` of ANY benchmark embedding. Catches the leakage
     * exact n-grams miss — paraphrases, translations, reformatted copies

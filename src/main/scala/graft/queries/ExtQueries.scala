@@ -716,6 +716,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Contamination PROVENANCE (fully oracled): which benchmark item
+    // leaked into which training doc, and how many distinct word
+    // 4-grams they share — the audit artifact behind every removal in
+    // ext_decontaminate (same fixture). Exact-string grams by
+    // construction: provenance must never name an innocent benchmark
+    // item via a hash collision.
+    "ext_contamination_report" -> ((s, dir) => {
+      val docs = spreadDocs(s, dir)
+      Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "doc_id", "text", n = 4)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // ---- similarity search ------------------------------------------
     // Brute-force exact cosine top-k vs the vec_id=0 embedding (oracled).
     "ext_cosine_topk" -> ((s, dir) => {
@@ -2278,6 +2293,27 @@ object ExtQueries {
         |FROM g, unnest(g.grams) AS u(gram)
         |WHERE g.doc_id % 50 <> 0 AND u.gram IN (SELECT gram FROM bench)
         |ORDER BY doc_id""".stripMargin,
+
+    // the provenance pairs: distinct shared 4-grams per (doc, bench)
+    // pair over the same fixture (gram lists are already distinct, so
+    // the intersect length IS the shared-gram count)
+    "ext_contamination_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+3], ' ')
+        |                 for i in range(1, len(toks) - 2)] END) AS grams
+        |  FROM t)
+        |SELECT d.doc_id, b.doc_id AS bench_id,
+        |  CAST(len(list_intersect(d.grams, b.grams)) AS BIGINT) AS shared_grams
+        |FROM g d, g b
+        |WHERE d.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |  AND len(list_intersect(d.grams, b.grams)) > 0
+        |ORDER BY d.doc_id, bench_id""".stripMargin,
 
     "ext_batch_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
