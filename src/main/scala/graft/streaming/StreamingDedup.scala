@@ -143,6 +143,44 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the incremental IMAGE dedup
+    * (`IncrementalImageDedup`): each micro-batch of mediaTable-shaped
+    * rows (doc_id, media, width, height) probes the durable dHash
+    * store, hamming pairs append batchId-stamped, signatures register.
+    * Same crash composition as the text/embedding forms: idempotent
+    * registration, consumer-side pair dedup.
+    */
+  def ingestImagesAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      storePath: String,
+      pairsPath: String,
+      checkpointDir: String,
+      params: graft.ext.IncrementalImageDedup.Params =
+        graft.ext.IncrementalImageDedup.Params(),
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.IncrementalImageDedup.ingest(
+            batch.sparkSession, batch, storePath, params)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** The streaming form of the incremental LINE dedup
     * (`IncrementalLineDedup`): each micro-batch's lines are checked
     * against the durable line-hash store, the SURVIVING lines (new to

@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpec {
       s"minhash signature not a pure map stage:\n$mh")
   }
 
+  test("image dHash signature plans map-side with ZERO exchanges, codegen on") {
+    // the 144 byte-extractions + 64 comparisons must all live in one
+    // whole-stage-codegen'd projection along the scan — any Exchange or
+    // codegen fallback here multiplies the cost of every image pipeline
+    import org.apache.spark.sql.functions._
+    val media = graft.ext.Multimodal.mediaTable(Tables.documents(spark, dir))
+    val p = media.select(col("doc_id"),
+        graft.ext.Multimodal.dHash(col("media"), col("width"), col("height"))
+          .as("sh"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"dHash signature not a pure map stage:\n$p")
+    assert(p.contains("*("), s"dHash projection fell out of codegen:\n$p")
+  }
+
   test("simhash near-dup pipeline carries no explode-aggregate shuffle") {
     // the fallback's 64 per-bit sum-aggregates would appear as partial_sum
     // over exploded token rows; the native path has none anywhere

@@ -432,6 +432,32 @@ class StreamingSpec extends SparkSpec {
       s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
   }
 
+  test("streaming image ingest over micro-batches == one-shot pairs") {
+    val media = graft.ext.Multimodal.mediaTable(
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(col("doc_id") < 200)).localCheckpoint(true)
+    val schema = media.schema
+    val work = tmpDir("streamimg")
+    // two files -> two micro-batches: cross-batch perceptual pairs must
+    // surface via the durable store, not the in-batch path
+    for (half <- Seq(0, 1))
+      media.filter(if (half == 0) col("doc_id") < 100
+                   else col("doc_id") >= 100)
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val nb = graft.streaming.StreamingDedup.ingestImagesAvailableNow(
+      spark, s"$work/src", schema, s"$work/store", s"$work/pairs",
+      s"$work/ckpt", maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    val streamed = spark.read.parquet(s"$work/pairs")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ext.Multimodal.imageNearDups(media, maxHamming = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot && oneShot.nonEmpty,
+      s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
+  }
+
   test("pre-first-write pair log declares the corpus id type, not LongType") {
     import org.apache.spark.sql.types.{LongType, StringType}
     // a consumer that runs BEFORE any pairs are emitted must see the
