@@ -643,4 +643,29 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Brute-force most-similar-image search: for each probe image, the k
+    * lowest-Hamming corpus images by dHash — the exhaustive baseline of
+    * image similarity (the `ext_batch_topk` shape with Hamming in place
+    * of cosine; when a distance BOUND applies, [[imageNearDups]]' chunk
+    * blocking is the sub-linear path). Probe signatures broadcast along
+    * one unshuffled corpus signature scan; the per-probe top-k is
+    * `GroupedTopK`'s bounded per-partition heaps — no global sort, no
+    * corpus shuffle. Ties break to the lower doc_id. Returns
+    * (q_id, doc_id, hamming), k rows per probe.
+    */
+  def imageTopK(media: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = media.sparkSession
+    val corpus = media.select(col("doc_id"),
+      dHash(col("media"), col("width"), col("height")).as("sh"))
+    val qs = probes.select(col("doc_id").as("q_id"),
+      dHash(col("media"), col("width"), col("height")).as("qsh"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("doc_id"),
+        (-bit_count(col("sh").bitwiseXOR(col("qsh")))).cast("double")
+          .as("score"))
+    graft.ops.GroupedTopK(spark, scored, "q_id", "score", "doc_id", k)
+      .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+        (-col("score")).cast("int").as("hamming"))
+  }
 }

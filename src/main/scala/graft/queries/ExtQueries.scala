@@ -1286,6 +1286,18 @@ object ExtQueries {
       out
     }),
 
+    // Most-similar-image search (fully oracled): per-probe Hamming
+    // top-k over the corpus — the ext_batch_topk shape for images
+    // (probe signatures broadcast, one corpus scan, bounded heaps).
+    "ext_image_topk" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(
+        Tables.documents(s, dir).filter(col("doc_id") < 300))
+      Multimodal.imageTopK(media,
+        Multimodal.mediaTable(
+          Tables.documents(s, dir).filter(col("doc_id") < 8)), k = 5)
+        .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
+    }),
+
     // Image dedup CLUSTERS (fully oracled): connected components over
     // the dHash near-dup pair graph — the canonical-image assignment
     // that turns pairwise image similarity into per-cluster keep/drop
@@ -2811,6 +2823,20 @@ object ExtQueries {
         |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
         |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
         |ORDER BY id_a, id_b""").stripMargin,
+
+    // per-probe hamming top-5 by exhaustive rank, lower-id tie-break —
+    // exactly GroupedTopK's (score DESC = hamming ASC, id ASC) contract
+    "ext_image_topk" ->
+      ("WITH " + dHashCtesSql("WHERE doc_id < 300") + """,
+        |q AS (SELECT doc_id AS q_id, dhash AS qsh FROM hashes
+        |      WHERE doc_id < 8),
+        |s AS (SELECT q.q_id, h.doc_id,
+        |        CAST(bit_count(xor(h.dhash, q.qsh)) AS INT) AS hamming
+        |      FROM hashes h, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hamming, doc_id) AS rn FROM s)
+        |SELECT q_id, doc_id, hamming FROM r WHERE rn <= 5
+        |ORDER BY q_id, hamming, doc_id""").stripMargin,
 
     // the same min-reachable-id recursive CTE as the text components
     // oracles, driven by the all-pairs dhash graph
