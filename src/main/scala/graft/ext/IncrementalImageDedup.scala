@@ -59,7 +59,8 @@ object IncrementalImageDedup {
     val storeExists = exists(spark, sigsPath)
     val e = media
       .select(col("doc_id"),
-        Multimodal.dHash(col("media"), col("width"), col("height")).as("sh"))
+        Multimodal.dHashAuto(spark)(
+          col("media"), col("width"), col("height")).as("sh"))
       // ids are keys: a duplicated id would self-pair and write store
       // rows the keyed registration could never clean up
       .dropDuplicates("doc_id")

@@ -621,6 +621,21 @@ object Multimodal {
       .reduce(_ bitwiseOR _)
   }
 
+  /** [[dHash]] through the native `graft_dhash` expression when the
+    * session has GraftExtensions, else the declarative tree —
+    * bit-identical either way (ExtSpec-asserted), but the native call
+    * is ONE generated statement where the declarative form is ~200
+    * nodes of hex/substr/conv whose per-plan Janino compile dominated
+    * the image gates. The coalesce reproduces the declarative form's
+    * null→0 posture (nullSafeEval returns null on null input).
+    */
+  private[graft] def dHashAuto(s: SparkSession)(
+      media: Column, width: Column, height: Column): Column =
+    if (s.catalog.functionExists("graft_dhash"))
+      coalesce(call_function("graft_dhash", media,
+        width.cast("int"), height.cast("int")), lit(0L))
+    else dHash(media, width, height)
+
   /** Near-duplicate image pairs by dHash Hamming distance over a
     * `mediaTable`-shaped frame (doc_id, media, width, height): hash =
     * one scan; pair search = the pigeonhole chunk blocking shared with
@@ -634,7 +649,8 @@ object Multimodal {
       maxHamming: Int = 10,
       maxBucket: Int = 2000): DataFrame = {
     val sh = media.select(col("doc_id"),
-      dHash(col("media"), col("width"), col("height")).as("sh"))
+      dHashAuto(media.sparkSession)(
+        col("media"), col("width"), col("height")).as("sh"))
       .localCheckpoint(false)
     Dedup.hammingCandidates(sh, maxHamming, maxBucket)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -657,9 +673,9 @@ object Multimodal {
   def imageTopK(media: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val spark = media.sparkSession
     val corpus = media.select(col("doc_id"),
-      dHash(col("media"), col("width"), col("height")).as("sh"))
+      dHashAuto(spark)(col("media"), col("width"), col("height")).as("sh"))
     val qs = probes.select(col("doc_id").as("q_id"),
-      dHash(col("media"), col("width"), col("height")).as("qsh"))
+      dHashAuto(spark)(col("media"), col("width"), col("height")).as("qsh"))
     val scored = corpus.crossJoin(broadcast(qs))
       .select(col("q_id"), col("doc_id"),
         (-bit_count(col("sh").bitwiseXOR(col("qsh")))).cast("double")

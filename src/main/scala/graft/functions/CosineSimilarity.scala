@@ -181,6 +181,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dhash"),
+      new ExpressionInfo(classOf[DHash64].getName, "graft_dhash"),
+      (children: Seq[Expression]) =>
+        DHash64(children.head, children(1), children(2))))
     // plan-level algebra over the custom expressions (the Rule tier):
     // collapse idempotent re-normalization
     ext.injectOptimizerRule(_ => CollapseIdempotentNfc)

@@ -1246,8 +1246,8 @@ object ExtQueries {
     "ext_image_dhash" -> ((s, dir) =>
       Multimodal.mediaTable(Tables.documents(s, dir))
         .select(col("doc_id"),
-          Multimodal.dHash(col("media"), col("width"), col("height"))
-            .as("dhash"))
+          Multimodal.dHashAuto(s)(
+            col("media"), col("width"), col("height")).as("dhash"))
         .orderBy("doc_id")),
 
     // Near-duplicate IMAGES by dHash Hamming distance (fully oracled):

@@ -524,6 +524,35 @@ class ExtSpec extends SparkSpec {
     assert(row.getDouble(5) == 0.0)      // empty doc degrades to 0, not NaN
   }
 
+  test("native graft_dhash is bit-identical to the declarative dHash tree") {
+    // the native expression exists purely to dodge the ~200-node
+    // hex/substr/conv tree's per-plan Janino compile — any semantic
+    // drift between the two forms would silently split stored image
+    // signatures from fresh probes, so every row of the corpus (plus
+    // degenerate geometries) is held to exact equality
+    assert(spark.catalog.functionExists("graft_dhash"), "extensions absent")
+    val media = graft.ext.Multimodal.mediaTable(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val both = media.select(
+      graft.ext.Multimodal.dHash(col("media"), col("width"), col("height"))
+        .as("decl"),
+      coalesce(call_function("graft_dhash", col("media"),
+        col("width").cast("int"), col("height").cast("int")), lit(0L))
+        .as("nat"))
+    assert(both.filter(col("decl") =!= col("nat")).count() == 0,
+      "native/declarative dHash diverge on the corpus")
+    val edge = Seq(
+      (Array.empty[Byte], 8, 8),
+      (Array[Byte](1), 1, 1),
+      (Array.tabulate[Byte](5)(_.toByte), 64, 48)).toDF("m", "w", "h")
+    val e = edge.select(
+      graft.ext.Multimodal.dHash(col("m"), col("w"), col("h")).as("decl"),
+      coalesce(call_function("graft_dhash", col("m"),
+        col("w").cast("int"), col("h").cast("int")), lit(0L)).as("nat"))
+      .collect()
+    e.foreach(r => assert(r.getLong(0) == r.getLong(1), s"edge diverges: $r"))
+  }
+
   test("fallback paths (no native expressions) produce equivalent dedup results") {
     // every near-dup pipeline documents an explode+aggregate fallback for
     // sessions without GraftExtensions — prove those branches actually
