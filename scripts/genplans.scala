@@ -53,7 +53,12 @@ val headline = Seq(
   ("layout_zorder", "z-order codes: pure bit-arithmetic scan stage, whole-stage codegen, no shuffle"),
   ("ext_kmeans_step", "k-means round: map-side argmax scan + k*d map-combinable aggregate"),
   ("impute_mean_median", "imputation: fills bound as literals — scan-level coalesce, no second shuffle"),
-  ("ext_media_decode_census", "decode census: partition-parallel batched codec, O(formats*kinds) groups"))
+  ("ext_media_decode_census", "decode census: partition-parallel batched codec, O(formats*kinds) groups"),
+  ("encode_target_loo", "LOO target encoding: O(categories) aggregate broadcast back — NO fact-sized window"),
+  ("ext_image_neardup", "image near-dup: native graft_dhash signature, chunk-block candidates, exact Hamming verify"),
+  ("ext_image_topk", "image top-k: probe signatures broadcast, one corpus scan, bounded per-partition heaps"),
+  ("ext_mix_budget", "budget waterfill: one map-combinable corpus aggregate, O(groups) driver walk, literals back"),
+  ("ext_contamination_report", "contamination provenance: bench grams broadcast, corpus unshuffled, map-combinable pair counts"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 for ((name, desc) <- headline) {
