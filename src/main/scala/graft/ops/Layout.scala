@@ -69,7 +69,7 @@ object Layout {
     * the min-max path's null posture. `mid` is clamped into the array
     * so ANSI `element_at` can never see an out-of-range index.
     */
-  private def quantileBinned(
+  private[graft] def quantileBinned(
       df: DataFrame, c: String, cuts: Array[Double], bits: Int,
       outCol: String): DataFrame = {
     val arr = lit(cuts)

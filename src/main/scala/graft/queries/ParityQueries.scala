@@ -771,6 +771,36 @@ object ParityQueries {
               pmod(col("l_suppkey"), lit(256))), bits = 8).as("z"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // The QUANTILE z-order path, fully oracled: bins from EXACT
+    // interpolated percentile cutpoints (Spark `percentile` ==
+    // DuckDB `quantile_cont`, the Robust/Impute bit-match, here as a
+    // 255-element array), bin = #cutpoints <= value via the unrolled
+    // binary search, then the same Morton interleave as layout_zorder.
+    // This pins the skew-robust normalization the write path uses
+    // (zOrderWrite robustCols swaps the sketch in for the exact
+    // percentiles — same binning arithmetic downstream, LayoutSpec
+    // measures its file-box effect).
+    "layout_zorder_quantile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      val probs = array((1 to 255).map(i => lit(i / 256.0)): _*)
+      val cuts = li.agg(
+        percentile(col("l_partkey").cast("double"), probs).as("p"),
+        percentile(col("l_suppkey").cast("double"), probs).as("s")).head()
+      val pc = cuts.getSeq[Double](0).toArray
+      val sc = cuts.getSeq[Double](1).toArray
+      val binned = graft.ops.Layout.quantileBinned(
+        graft.ops.Layout.quantileBinned(li, "l_partkey", pc, 8, "__bp"),
+        "l_suppkey", sc, 8, "__bs")
+      binned
+        .withColumn("z", graft.ops.Layout.zValue(
+          Seq(col("__bp"), col("__bs")), bits = 8))
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+        .orderBy("l_orderkey", "l_linenumber", "z")
+    }),
+
     // Numeric imputation, fully oracled: holes are synthesized
     // deterministically (every 7th order's quantity, every 3rd line's
     // price), then mean-filled / median-filled with ops.Impute — the
@@ -2049,6 +2079,30 @@ object ParityQueries {
       s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
          |FROM lineitem WHERE l_orderkey < 100
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // exact percentile cutpoint arrays (quantile_cont == Spark
+    // percentile, bit for bit), bin = count of cutpoints <= value,
+    // then the same interleave terms as layout_zorder over the bins
+    "layout_zorder_quantile" -> {
+      val probs = "[" + (1 to 255).map(i => (i / 256.0).toString)
+        .mkString(", ") + "]"
+      val terms = (for {
+        b <- 0 until 8
+        (c, i) <- Seq("bp" -> 0, "bs" -> 1)
+      } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH cp AS (
+         |  SELECT quantile_cont(CAST(l_partkey AS DOUBLE), $probs) AS pc,
+         |         quantile_cont(CAST(l_suppkey AS DOUBLE), $probs) AS sc
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    len([c for c in cp.pc if c <= CAST(l_partkey AS DOUBLE)]) AS bp,
+         |    len([c for c in cp.sc if c <= CAST(l_suppkey AS DOUBLE)]) AS bs
+         |  FROM lineitem, cp)
+         |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+         |FROM b WHERE l_orderkey < 300
+         |ORDER BY l_orderkey, l_linenumber, z""".stripMargin
     },
 
     "encode_target_loo" ->

@@ -49,6 +49,13 @@ class SqlSurfaceSpec extends SparkSpec {
         |FROM documents WHERE doc_id < 3 ORDER BY doc_id""".stripMargin)
       .collect()
     assert(r.length == 3 && r.forall(!_.isNullAt(1)))
+    // the image hash takes scalar geometry args, not just arrays
+    val d = spark.sql(
+      """SELECT doc_id, graft_dhash(encode(text, 'UTF-8'),
+        |  CAST(n_chars % 64 + 1 AS INT), CAST(n_chars % 48 + 1 AS INT)) AS h
+        |FROM documents WHERE doc_id < 3 ORDER BY doc_id""".stripMargin)
+      .collect()
+    assert(d.length == 3 && d.forall(!_.isNullAt(1)))
   }
 
   test("sketch aggregates are callable from SQL and match the exact answer") {
