@@ -171,12 +171,21 @@ object TrainingSet {
       mediaCols: Option[(String, String, String)] = None,
       imageStorePath: Option[String] = None,
       imageMaxHamming: Int = 6,
+      accounting: Boolean = true,
       splits: Seq[(String, Double)] = Nil,
       splitGroupCol: Option[String] = None,
       splitSeed: String = ""): Report = {
     if (TxTable.appliedDeltaIds(spark, targetPath).contains(deltaId))
       return Report(0, 0, 0, 0, 0, 0, 0, alreadyApplied = true)
-    val input = batch.count()
+    // accounting = false: the count-free form (the appendAbsent
+    // discipline applied to the whole pipeline) — per-stage Report
+    // counts each cost a job, and at per-batch cadence the fixed job
+    // count IS the ingest latency; a caller that never reads the
+    // audit counts skips ~7 jobs per ingest. Table/store semantics,
+    // replay protection, and the zero-survivor ledger entry are
+    // identical; skipped counts report -1.
+    def cnt(df: => DataFrame): Long = if (accounting) df.count() else -1L
+    val input = cnt(batch)
 
     // 1: scan-speed gates (quality + repetition) — shrink the corpus
     // before anything that shuffles
@@ -220,7 +229,7 @@ object TrainingSet {
       case Some(m) =>
         graft.ext.Classifier.filterBy(gatedLm, idCol, textCol, m, minClassifierLogOdds)
     }
-    val afterGates = gatedCls.count()
+    val afterGates = cnt(gatedCls)
 
     // 1e (optional): canonical-URL keep-first dedup — the cheapest dedup
     // in the pipeline (a string expression + one batch-sized keyed agg),
@@ -243,13 +252,13 @@ object TrainingSet {
     // -1 = stage not enabled (same sentinel as Curation.Report) — a
     // consumer can distinguish "ran, removed nothing" from "off"
     val afterUrlDedup =
-      if (urlCol.isEmpty) -1L else urlDeduped.count()
+      if (urlCol.isEmpty) -1L else cnt(urlDeduped)
 
     // 2: benchmark decontamination — bench gram set broadcasts, the
     // batch is never shuffled to find contamination
     val clean0 = Decontaminate.removeContaminated(
       urlDeduped, benchmark, idCol, textCol, n = decontaminateN)
-    val afterDecontaminate = clean0.count()
+    val afterDecontaminate = cnt(clean0)
 
     // 2b (optional): SEMANTIC decontamination — the paraphrase leakage
     // the n-gram stage misses; bench embeddings broadcast into a
@@ -261,13 +270,13 @@ object TrainingSet {
           clean0, be, idCol, embedCol, embedThreshold)
     }
     val afterEmbedDecontaminate =
-      if (benchmarkEmbeddings.isEmpty) -1L else clean.count()
+      if (benchmarkEmbeddings.isEmpty) -1L else cnt(clean)
 
     // 3: exact dedup inside the batch (cross-batch exact dups are also
     // near-dups at jaccard 1.0 — the store stage catches them)
     val exact = Dedup.exactSurvivors(clean, idCol, Seq(textCol))
       .localCheckpoint(false) // consumed by store ingest AND final join
-    val afterExact = exact.count()
+    val afterExact = cnt(exact)
 
     // 4: incremental near-dup vs the durable store (batch side loses to
     // stored content; in-batch chains collapse to their minimum id)
@@ -275,7 +284,7 @@ object TrainingSet {
       storePath, IncrementalDedup.Params(threshold = nearDupThreshold))
     val survivors = dropPairLosers(exact, nearPairs, idCol)
       .localCheckpoint(false)
-    val afterNearDup = survivors.count()
+    val afterNearDup = cnt(survivors)
 
     // 4b (optional): incremental EMBEDDING near-dup vs the durable
     // signature store — the paraphrase/translation duplicates token-
@@ -293,7 +302,7 @@ object TrainingSet {
         dropPairLosers(survivors, embPairs, idCol).localCheckpoint(false)
     }
     val afterEmbedNearDup =
-      if (embedStorePath.isEmpty) -1L else embSurvivors.count()
+      if (embedStorePath.isEmpty) -1L else cnt(embSurvivors)
 
     // 4c (optional): incremental IMAGE near-dup vs the durable dHash
     // store — a re-crawled or re-encoded image dedups cross-batch by
@@ -316,7 +325,7 @@ object TrainingSet {
       case _ => embSurvivors
     }
     val afterImageDedup =
-      if (imageStorePath.isEmpty) -1L else imgSurvivors.count()
+      if (imageStorePath.isEmpty) -1L else cnt(imgSurvivors)
 
     // 5 (optional): incremental verbatim-span dedup vs the durable
     // fingerprint store — high-precision copy-paste screening that
@@ -330,7 +339,11 @@ object TrainingSet {
           idCol, textCol, s"$storePath/substr", minLen)
         dropPairLosers(imgSurvivors, spanPairs, idCol).localCheckpoint(false)
     }
-    val afterSubstring = spanSurvivors.count()
+    val afterSubstring = cnt(spanSurvivors)
+    // the commit-vs-ledger decision needs survivor PRESENCE, not the
+    // audit count — one LIMIT-1 probe in the count-free form
+    val anySurvivors =
+      if (accounting) afterSubstring > 0 else !spanSurvivors.isEmpty
 
     // 6: pack the survivors into token-budget sequences (per-batch packs;
     // see the header for why packs never span batches). With `splits`,
@@ -355,7 +368,9 @@ object TrainingSet {
     val packed = packed0.withColumn("batch_id", lit(deltaId))
     val packKey: Seq[String] =
       if (splits.isEmpty) Seq("pack_id") else Seq("split", "pack_id")
-    val packs = packed.select(packKey.map(col): _*).distinct().count()
+    val packs =
+      if (accounting) packed.select(packKey.map(col): _*).distinct().count()
+      else -1L
 
     // 7: atomic append into the training table, replay-protected even
     // when nothing survived (the store side effects above are real).
@@ -364,7 +379,7 @@ object TrainingSet {
     // can contain the id — not the whole training table.
     val layout =
       if (splits.isEmpty) Seq("batch_id") else Seq("batch_id", "split")
-    if (afterSubstring > 0)
+    if (anySurvivors)
       TxTable.commit(spark, packed, targetPath, partitionBy = layout,
         deltaId = Some(deltaId), append = true, statsCols = Seq(idCol))
     else

@@ -512,7 +512,10 @@ object ExtQueries {
       def ing(b: DataFrame, deltaId: String): Unit =
         graft.pipelines.TrainingSet.ingest(s, b, bench, store, target,
           deltaId, budget = 64, minQuality = 0.0, maxTopTokenFrac = 1.0,
-          maxDupNgramFrac = 1.0)
+          maxDupNgramFrac = 1.0,
+          // the gate reads the final TABLE, never the audit counts —
+          // the count-free form drops ~7 jobs per ingest
+          accounting = false)
       // the e2e flow is ~150 tiny stages over <=40-row frames whose
       // plans stack the big HOF expressions (gates, shingles, minhash):
       // higher-order lambda variables carry fresh expression ids, so

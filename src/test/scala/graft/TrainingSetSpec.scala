@@ -214,6 +214,43 @@ class TrainingSetSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 12L), s"$kept")
   }
 
+  test("count-free ingest: identical table and stores, -1 audit counts, ledger intact") {
+    val textA = "an original account of tidal pools with phrasing that " +
+      "repeats nowhere else in this corpus at all whatsoever"
+    val textB = "a second record on alpine lichens with vocabulary " +
+      "overlapping nothing in the first account of anything"
+    def build(work: String, accounting: Boolean) = {
+      val b1 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      val r1 = TrainingSet.ingest(spark, b1, benchmark, s"$work/store",
+        s"$work/train", "b1", minQuality = 0.0, accounting = accounting)
+      // near-dup of textA under a new id: must drop via the store in
+      // BOTH modes (the stages run identically, only the counts differ)
+      val b2 = Seq((3L, textA + " tail")).toDF("doc_id", "text")
+      val r2 = TrainingSet.ingest(spark, b2, benchmark, s"$work/store",
+        s"$work/train", "b2", minQuality = 0.0, accounting = accounting)
+      (r1, r2,
+        TxTable.read(spark, s"$work/train").get
+          .select("doc_id", "pack_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (a1, a2, tableOn) = build(tmpDir("tscnt_on"), accounting = true)
+    val workOff = tmpDir("tscnt_off")
+    val (f1, f2, tableOff) = build(workOff, accounting = false)
+    assert(tableOn == tableOff, s"count-free ingest changed the table: " +
+      s"on=$tableOn off=$tableOff")
+    assert(a1.afterNearDup == 2 && a2.afterNearDup == 0, s"$a1 / $a2")
+    assert(f1.input == -1 && f1.afterGates == -1 && f1.afterNearDup == -1 &&
+      f1.afterSubstring == -1 && f1.packs == -1, s"counts leaked: $f1")
+    assert(!f2.alreadyApplied, s"$f2")
+    // the zero-survivor batch b2 still entered the replay ledger: its
+    // rerun is a no-op even though it committed no rows
+    val r = TrainingSet.ingest(spark,
+      Seq((3L, textA + " tail")).toDF("doc_id", "text"), benchmark,
+      s"$workOff/store", s"$workOff/train",
+      "b2", minQuality = 0.0, accounting = false)
+    assert(r.alreadyApplied, "zero-survivor count-free batch not in ledger")
+  }
+
   test("image stage: perceptual dup with REWRITTEN text drops cross-batch; takedown readmits") {
     val work = tmpDir("trainimg")
     val store = s"$work/store"
