@@ -89,6 +89,35 @@ object Splits {
       seed: String = ""): DataFrame =
     df.withColumn("split", splitFor(col(groupCol), splits, seed))
 
+  /** K-FOLD cross-validation assignment, leakage-safe and
+    * deterministic: fold = the group key's md5-uniform 60-bit bucket
+    * modulo k (the engine-portable hash idiom the weighted sampler and
+    * [[splitFor]] share), so all rows of one leakage group land in one
+    * fold, the assignment is a pure FUNCTION of the data (reproducible
+    * across runs/partitionings/engines), corpus growth never
+    * reassigns an existing group (longitudinal CV comparisons stay
+    * valid), and the whole thing is one map-side expression — no
+    * shuffle, no rand(). Fold f's eval set = fold f, train = the
+    * rest. Null keys fail loudly, the [[splitFor]] posture. Adds an
+    * int `fold` column in [0, k).
+    */
+  def kfold(
+      df: DataFrame,
+      groupCol: String,
+      k: Int,
+      seed: String = ""): DataFrame = {
+    require(k >= 2, s"kfold: k must be >= 2, got $k")
+    val key = col(groupCol)
+    val checked = when(key.isNotNull, key.cast("string"))
+      .otherwise(raise_error(lit(
+        "Splits: null group key — null-keyed rows would all land in one " +
+          "fold; assign a real group (or filter/quarantine nulls) " +
+          "before splitting")))
+    val h = conv(substring(md5(concat(lit(seed + ":"), checked)), 1, 15),
+      16, 10).cast("long")
+    df.withColumn("fold", pmod(h, lit(k)).cast("int"))
+  }
+
   /** Temporal split with an EMBARGO gap — the time-series leakage
     * control: everything strictly before `trainEnd` trains, everything
     * at/after `evalStart` evaluates, and the (trainEnd, evalStart)

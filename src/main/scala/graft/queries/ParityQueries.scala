@@ -771,6 +771,18 @@ object ParityQueries {
               pmod(col("l_suppkey"), lit(256))), bits = 8).as("z"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // K-fold CV assignment (fully oracled): the per-row fold is a pure
+    // md5-uniform function of the group key — DuckDB replays the
+    // 60-bit-prefix mod-k arithmetic exactly, so the complete
+    // assignment (not just fold sizes) hash-matches. Leakage-group
+    // sharing and partitioning-independence are spec-pinned.
+    "split_kfold" -> ((s, dir) =>
+      graft.ext.Splits.kfold(Tables.documents(s, dir), "doc_id", 5,
+        seed = "cv")
+        .filter(col("doc_id") < 300)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")),
+
     // The QUANTILE z-order path, fully oracled: bins from EXACT
     // interpolated percentile cutpoints (Spark `percentile` ==
     // DuckDB `quantile_cont`, the Robust/Impute bit-match, here as a
@@ -2080,6 +2092,15 @@ object ParityQueries {
          |FROM lineitem WHERE l_orderkey < 100
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    // the md5-uniform fold arithmetic replayed exactly: 15 hex chars =
+    // a 60-bit unsigned value, mod k
+    "split_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)),
+        |    1, 15)) AS UBIGINT) % 5 AS INT) AS fold
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
 
     // exact percentile cutpoint arrays (quantile_cont == Spark
     // percentile, bit for bit), bin = count of cutpoints <= value,

@@ -101,6 +101,36 @@ class SplitsSpec extends SparkSpec {
       s"split 'a' should receive essentially everything: $byName")
   }
 
+  test("kfold: group-atomic, partitioning-invariant, all folds populated, guards loud") {
+    val f = Splits.kfold(docs, "source", 4)
+    // group atomicity: one fold per leakage group
+    assert(f.groupBy("source").agg(countDistinct("fold").as("k"))
+      .filter($"k" > 1).count() === 0)
+    // folds are a pure function of the key: repartitioning changes nothing
+    val a = f.select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Splits.kfold(docs.repartition(13), "source", 4)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "fold assignment depends on partitioning")
+    // row-granularity folds cover [0, k) and roughly balance
+    val sizes = Splits.kfold(docs, "doc_id", 5).groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3, 4), s"folds missing: $sizes")
+    assert(sizes.values.min > 0)
+    // map-side only: no Exchange in the assignment plan
+    val plan = Splits.kfold(docs, "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kfold shuffles:\n$plan")
+    intercept[IllegalArgumentException] { Splits.kfold(docs, "doc_id", 1) }
+    val e = intercept[Exception] {
+      Seq(Some("a"), None).toDF("g")
+        .select(col("g")).transform(Splits.kfold(_, "g", 3))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("assignment is map-side only: no shuffle in the plan") {
     val plan = Splits.assign(docs, "source", W)
       .queryExecution.executedPlan.toString
