@@ -141,7 +141,7 @@ object Bench {
     // (the r4 simhash outlier sat exactly on the fallback's number).
     val natives = Seq("graft_minhash", "graft_simhash", "graft_isect",
         "graft_cosine", "graft_dot", "graft_rplsh", "graft_deflate_ratio",
-        "graft_nfc", "graft_dhash")
+        "graft_nfc", "graft_dhash", "graft_dhash_px")
       .map(n => s"\"" + n + "\":" + spark.catalog.functionExists(n))
       .mkString("{", ",", "}")
     // One JSON line, headline duplicated at BOTH ends: the driver's

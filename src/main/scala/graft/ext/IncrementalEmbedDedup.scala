@@ -136,9 +136,10 @@ object IncrementalEmbedDedup {
     // incremental run diverges from the one-shot operator at the cap
     // boundary in both directions: a union bucket over the cap would
     // expand here, and a degenerate batch hub would bypass the store-
-    // side-only cap. Bucket sizes are O(keys) metadata. (A re-ingested
-    // doc counts on both sides, so its buckets drop marginally earlier —
-    // the idempotent-replay path, documented, never the growth path.)
+    // side-only cap. Bucket sizes are O(keys) metadata. Re-ingested ids
+    // are excluded from the STORE side below (anti-join, mirroring the
+    // verify side) so they count exactly once — a bucket sitting at
+    // maxBucket survives the incremental run iff the one-shot keeps it.
     val batchCnt = chunks.groupBy("chunk", "cval").count()
       .withColumnRenamed("count", "__bc")
     def inBatchPairs(okKeys: DataFrame) = chunks
@@ -157,6 +158,7 @@ object IncrementalEmbedDedup {
          // ONE store scan, batch chunk keys broadcast — the store side
          // never shuffles (the IncrementalDedup.probeHot shape)
          val hot = liveSigs(spark, storePath)
+           .join(broadcast(e.select("doc_id")), Seq("doc_id"), "left_anti")
            .join(broadcast(chunks.select("chunk", "cval").distinct()),
              Seq("chunk", "cval"), "left_semi")
            .localCheckpoint(false)

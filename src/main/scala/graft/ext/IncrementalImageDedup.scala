@@ -9,9 +9,16 @@ import graft.sinks.UpsertIgnore
   * store — the perceptual-hash counterpart of `IncrementalDedup`
   * (MinHash/text) and `IncrementalEmbedDedup` (RP-LSH/embeddings):
   * every ingested media batch is checked against the whole accumulated
-  * corpus in O(batch + collisions), then joins it. A re-crawled or
-  * re-encoded image dedups cross-batch for the cost of a signature
-  * probe; the corpus is never rescanned.
+  * corpus in O(batch + collisions), then joins it. A re-crawled image
+  * dedups cross-batch for the cost of a signature probe, and so does a
+  * RE-ENCODED one when the payload decodes (PNG/JPEG): the signature is
+  * the pixel-aware `Multimodal.dHashPixels` — losslessly re-encoded
+  * PNGs (different scanline filters, IDAT split, deflate level) hash
+  * identically and a JPEG re-compression lands a few Hamming bits away,
+  * because the hash reads the decoded BT.601 grayscale plane, not the
+  * container bytes. Non-decodable payloads keep the byte-level dHash
+  * regime (byte-near-identical copies only); the corpus is never
+  * rescanned either way.
   *
   * The store is the SMALLEST of the family because the dHash is both
   * probe key and exact verifier — 8 bytes per image, no second
@@ -59,8 +66,12 @@ object IncrementalImageDedup {
     val storeExists = exists(spark, sigsPath)
     val e = media
       .select(col("doc_id"),
-        Multimodal.dHashAuto(spark)(
-          col("media"), col("width"), col("height")).as("sh"))
+        Multimodal.dHashPixels(spark)(
+          col("media"), col("width"), col("height")).getField("sh").as("sh"))
+      // degenerate rows (null media/geometry) hash NULL: they can never
+      // pair, so they neither probe nor register (and they must not —
+      // a shared sentinel hash would make them mutual "duplicates")
+      .filter(col("sh").isNotNull)
       // ids are keys: a duplicated id would self-pair and write store
       // rows the keyed registration could never clean up
       .dropDuplicates("doc_id")
@@ -90,8 +101,14 @@ object IncrementalImageDedup {
            .select("chunk", "cval"))
        else {
          // ONE store scan; chunk keys derive map-side from the stored
-         // sh, the batch's distinct keys broadcast into the semi-join
+         // sh, the batch's distinct keys broadcast into the semi-join.
+         // Re-ingested ids drop out FIRST (anti-join on the batch ids,
+         // mirroring the verify side): their batch signature already
+         // covers them, and counting the stored copy too would push a
+         // bucket sitting exactly at maxBucket over the cap — a boundary
+         // divergence from the one-shot operator.
          val hot = liveSigs(spark, storePath)
+           .join(broadcast(e.select("doc_id")), Seq("doc_id"), "left_anti")
            .select(col("doc_id").as("store_id"),
              explode(Dedup.shChunks(col("sh"), params.maxHamming)).as("cc"))
            .select(col("store_id"), col("cc.chunk").as("chunk"),

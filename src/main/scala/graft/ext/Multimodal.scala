@@ -178,6 +178,7 @@ object Multimodal {
     }
 
     /** Channels per PNG color type for the 8-bit pixel path. */
+    private[ext] def pngChannelsOf(colorType: Int): Int = channelsOf(colorType)
     private def channelsOf(colorType: Int): Int = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
@@ -192,15 +193,17 @@ object Multimodal {
       */
     private val MaxInflatedBytes = 1L << 26 // 64 MiB
 
-    /** [meanR, meanG, meanB, luminance] over the real decoded pixels,
-      * or None when this PNG is outside the 8-bit non-interlaced
-      * gray/RGB/GA/RGBA path (or any chunk/zlib/size validation fails —
-      * conservative: bad data degrades to geometry-only, never garbage
-      * stats).
+    /** The decoded interleaved 8-bit samples (width·height·channels
+      * bytes, row-major) for PNGs on the 8-bit non-interlaced
+      * gray/RGB/GA/RGBA path, or None when any chunk/zlib/size
+      * validation fails — conservative: bad data degrades, never
+      * decodes into garbage. Shared by the mean-stat feature path
+      * ([[pixelStats]]) and the grayscale perceptual-hash path
+      * ([[grayPlane]]).
       */
-    private def pixelStats(
+    private[ext] def pngInterleaved(
         b: Array[Byte], width: Int, height: Int,
-        bitDepth: Int, colorType: Int): Option[Array[Float]] = {
+        bitDepth: Int, colorType: Int): Option[(Array[Byte], Int)] = {
       val channels = channelsOf(colorType)
       if (bitDepth != 8 || channels == 0 || width <= 0 || height <= 0)
         return None
@@ -248,13 +251,12 @@ object Multimodal {
       } finally inf.end()
 
       // undo the per-scanline filter (types 0-4: None, Sub, Up, Average,
-      // Paeth), 8-bit so bytes-per-pixel == channels; accumulate channel
-      // sums in the same pass
+      // Paeth), 8-bit so bytes-per-pixel == channels
       val bpp = channels
       val stride = width * channels
       val prev = new Array[Int](stride) // unfiltered previous row
       val cur = new Array[Int](stride)
-      val sums = new Array[Long](channels)
+      val out = new Array[Byte](stride * height)
       var y = 0
       while (y < height) {
         val rowOff = y * (stride + 1)
@@ -278,21 +280,146 @@ object Multimodal {
               v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
           }
           cur(x) = recon & 0xff
-          sums(x % channels) += cur(x)
+          out(y * stride + x) = cur(x).toByte
           x += 1
         }
         System.arraycopy(cur, 0, prev, 0, stride)
         y += 1
       }
-      val n = width.toLong * height
-      def mean(ch: Int): Float = (sums(ch).toDouble / n / 255.0).toFloat
-      val (r, g, bl) = colorType match {
-        case 2 | 6 => (mean(0), mean(1), mean(2)) // RGB / RGBA
-        case _     => (mean(0), mean(0), mean(0)) // gray / gray+alpha
-      }
-      val luminance = 0.299f * r + 0.587f * g + 0.114f * bl
-      Some(Array(r, g, bl, luminance))
+      Some((out, channels))
     }
+
+    /** [meanR, meanG, meanB, luminance] over the real decoded pixels,
+      * or None when this PNG is outside the 8-bit non-interlaced
+      * gray/RGB/GA/RGBA path (or any chunk/zlib/size validation fails —
+      * conservative: bad data degrades to geometry-only, never garbage
+      * stats).
+      */
+    private def pixelStats(
+        b: Array[Byte], width: Int, height: Int,
+        bitDepth: Int, colorType: Int): Option[Array[Float]] =
+      pngInterleaved(b, width, height, bitDepth, colorType).map {
+        case (px, channels) =>
+          val sums = new Array[Long](channels)
+          var i = 0
+          while (i < px.length) {
+            sums(i % channels) += px(i) & 0xff
+            i += 1
+          }
+          val n = width.toLong * height
+          def mean(ch: Int): Float = (sums(ch).toDouble / n / 255.0).toFloat
+          val (r, g, bl) = colorType match {
+            case 2 | 6 => (mean(0), mean(1), mean(2)) // RGB / RGBA
+            case _     => (mean(0), mean(0), mean(0)) // gray / gray+alpha
+          }
+          val luminance = 0.299f * r + 0.587f * g + 0.114f * bl
+          Array(r, g, bl, luminance)
+      }
+
+    /** Pixel-count ceiling for the perceptual-hash decode: a JPEG/PNG
+      * whose plane exceeds this many pixels falls back to the
+      * payload-byte hash regime rather than materializing an unbounded
+      * plane per row inside an expression (the PNG path is additionally
+      * bounded by [[MaxInflatedBytes]]).
+      */
+    private val MaxHashPixels = 1 << 24 // 16M pixels = 16 MiB gray plane
+
+    /** CRC-checked IHDR geometry for [[grayPlane]]: (width, height,
+      * bitDepth, colorType), or None when the signature/first-chunk/CRC
+      * validation fails or the geometry is non-positive.
+      */
+    private def pngHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (!isPng(b)) return None
+      if (u32be(b, 8) != 13 || tag(b, 12) != "IHDR") return None
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 4 + 13)
+      if (crc.getValue != u32be(b, 12 + 4 + 13)) return None
+      val w = u32be(b, 16)
+      val h = u32be(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some((w.toInt, h.toInt, b(24) & 0xff, b(25) & 0xff))
+    }
+
+    /** Interleaved samples -> one BT.601 grayscale byte per pixel, in
+      * INTEGER arithmetic ((299R + 587G + 114B + 500) / 1000) so the
+      * plane — and every hash derived from it — is bit-restatable in
+      * plain SQL with no float rounding question. Gray/gray+alpha take
+      * the gray channel; alpha never contributes (a transparent pixel's
+      * color still identifies the image content).
+      */
+    private def toGray(px: Array[Byte], channels: Int): Array[Byte] =
+      channels match {
+        case 1 => px
+        case _ =>
+          val n = px.length / channels
+          val out = new Array[Byte](n)
+          var p = 0
+          var i = 0
+          if (channels == 2) {
+            while (p < n) { out(p) = px(i); p += 1; i += 2 }
+          } else { // 3 or 4
+            while (p < n) {
+              val r = px(i) & 0xff; val g = px(i + 1) & 0xff
+              val bl = px(i + 2) & 0xff
+              out(p) = ((299 * r + 587 * g + 114 * bl + 500) / 1000).toByte
+              p += 1; i += channels
+            }
+          }
+          out
+      }
+
+    /** JPEG -> grayscale plane through the JDK's ImageIO codec, same
+      * integer BT.601 as the PNG path. None on decode failure or planes
+      * past [[MaxHashPixels]].
+      */
+    private def jpegGray(b: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+      try {
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (im == null || im.getWidth <= 0 || im.getHeight <= 0 ||
+            im.getWidth.toLong * im.getHeight > MaxHashPixels) None
+        else {
+          val w = im.getWidth; val h = im.getHeight
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+              val bl = p & 0xff
+              out(y * w + x) = ((299 * r + 587 * g + 114 * bl + 500) / 1000).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    /** The decoded grayscale (BT.601) plane for perceptual hashing:
+      * (plane, width, height) when the payload is a decodable PNG (the
+      * inflate+unfilter path the feature stats share) or JPEG (ImageIO),
+      * None otherwise — the caller falls back to hashing the payload
+      * bytes. This is what makes a RE-ENCODED copy of the same picture
+      * hash near-identically: losslessly re-encoded PNGs (different
+      * scanline filters, IDAT split, deflate level) decode to the SAME
+      * plane, and a JPEG re-compression decodes to a plane a few
+      * gradient signs away.
+      */
+    private[graft] def grayPlane(b: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+      if (b == null) None
+      else if (isPng(b))
+        pngHeader(b).flatMap { case (w, h, bitDepth, colorType) =>
+          if (w.toLong * h > MaxHashPixels) None
+          else pngInterleaved(b, w, h, bitDepth, colorType).map {
+            case (px, channels) => (toGray(px, channels), w, h)
+          }
+        }
+      else if (isJpeg(b)) jpegGray(b)
+      else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
       * bitsPerSample) and "data" (PCM payload). For 16-bit PCM the RMS
@@ -523,6 +650,141 @@ object Multimodal {
     ftyp ++ box("moov", mvhd ++ traks.flatten)
   }
 
+  /** Deterministic PNG encoder (the [[minimalMp4]]/[[AudioDsp.sineWav]]
+    * analog for images): real signature/IHDR/IDAT/IEND chunks with
+    * correct CRCs, per-row forward filtering (types 0-4) and a real
+    * zlib stream at the given deflate level — so re-encoding gates can
+    * synthesize two DIFFERENT byte-level encodings of the SAME pixels
+    * (different filter choices, different compression level, IDAT split
+    * in two) and hold the perceptual hash to invariance across them.
+    * `pixels` is interleaved 8-bit row-major (w·h·channels bytes).
+    */
+  def encodePng(
+      w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+      filters: Seq[Int],
+      deflateLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION,
+      splitIdat: Boolean = false): Array[Byte] = {
+    val channels = ContainerCodec.pngChannelsOf(colorType)
+    require(channels > 0, s"encodePng: unsupported colorType $colorType")
+    require(pixels.length == w * h * channels && filters.length == h,
+      s"encodePng: need $w*$h*$channels pixel bytes and $h filters")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def be32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+      o.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      be32(out, payload.length)
+      val body = id.getBytes("US-ASCII") ++ payload
+      out.write(body)
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      be32(out, crc.getValue)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    // forward-filter each scanline with its requested type
+    val stride = w * channels
+    val raw = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val ft = filters(y)
+      require(ft >= 0 && ft <= 4, s"encodePng: filter $ft")
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = pixels(y * stride + x) & 0xff
+        val a = if (x >= channels) pixels(y * stride + x - channels) & 0xff else 0
+        val u = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= channels)
+          pixels((y - 1) * stride + x - channels) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) >> 1
+          case 4 =>
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+        }
+        raw(y * (stride + 1) + 1 + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(deflateLevel)
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zipped.toByteArray
+    if (splitIdat && z.length >= 2) { // one zlib stream over two IDATs
+      chunk("IDAT", z.take(z.length / 2))
+      chunk("IDAT", z.drop(z.length / 2))
+    } else chunk("IDAT", z)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Grayscale PNG with a HAND-WRITTEN stored-deflate zlib stream
+    * (filter 0, one stored block): a fully valid PNG the real
+    * inflate+unfilter decode path consumes, whose plane bytes ALSO sit
+    * at closed-form payload offsets —
+    *
+    *   plane(x, y) = payload[48 + y·(w+1) + 1 + x]
+    *
+    * (sig 8 + IHDR 25 + IDAT len/type 8 + zlib hdr 2 + stored-block
+    * hdr 5 = 48) — which is what lets the `ext_image_dhash_px` DuckDB
+    * oracle replay the DECODED-pixel hash bit for bit from the same
+    * bytes without a PNG library. Row payload must fit one stored
+    * block (h·(w+1) <= 65535).
+    */
+  def storedGrayPng(plane: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(plane.length == w * h, s"storedGrayPng: need $w*$h plane bytes")
+    val rawLen = h * (w + 1)
+    require(rawLen <= 0xffff, s"storedGrayPng: $rawLen > one stored block")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def be32(v: Long): Unit =
+      out.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      be32(payload.length)
+      val body = id.getBytes("US-ASCII") ++ payload
+      out.write(body)
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      be32(crc.getValue)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // gray, 8-bit
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte](rawLen) // h rows of (filter 0, w gray bytes)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(plane, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val adler = new java.util.zip.Adler32; adler.update(raw)
+    val a = adler.getValue
+    val idat = java.nio.ByteBuffer.allocate(2 + 5 + rawLen + 4)
+      .put(0x78.toByte).put(0x01.toByte)          // zlib header (78 01 % 31 == 0)
+      .put(0x01.toByte)                           // bfinal=1, btype=stored
+      .put((rawLen & 0xff).toByte).put((rawLen >> 8).toByte)
+      .put((~rawLen & 0xff).toByte).put(((~rawLen >> 8) & 0xff).toByte)
+      .put(raw)
+      .put((a >> 24).toByte).put((a >> 16).toByte)
+      .put((a >> 8).toByte).put(a.toByte)
+      .array()
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** Build a media table from documents: text bytes stand in for media
     * payloads (opaque binary + typed metadata columns).
     */
@@ -600,6 +862,10 @@ object Multimodal {
     *
     * Scale shape: one scan, ~144 byte extractions and 64 comparisons
     * per row, all inside whole-stage codegen; empty payloads hash to 0.
+    * Degenerate rows — null media, null or non-positive width/height —
+    * hash to NULL, not 0: hashing them all to one value would make every
+    * such row a mutual hamming-0 "duplicate" and dedup stages would
+    * silently drop all but the first. Callers skip null signatures.
     */
   def dHash(media: Column, width: Column, height: Column): Column = {
     val hx = hex(media)
@@ -615,10 +881,12 @@ object Multimodal {
         conv(substr(hx, (pos * 2 + 1).cast("int"), lit(2)), 16, 10)
           .cast("long")).otherwise(lit(0L))
     }
-    (for { j <- 0 until 8; i <- 0 until 8 } yield
+    val hash = (for { j <- 0 until 8; i <- 0 until 8 } yield
       when(g(i, j) > g(i + 1, j), shiftleft(lit(1L), j * 8 + i))
         .otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
+    when(media.isNull || w.isNull || h.isNull || w <= 0 || h <= 0,
+      lit(null).cast("long")).otherwise(hash)
   }
 
   /** [[dHash]] through the native `graft_dhash` expression when the
@@ -626,31 +894,74 @@ object Multimodal {
     * bit-identical either way (ExtSpec-asserted), but the native call
     * is ONE generated statement where the declarative form is ~200
     * nodes of hex/substr/conv whose per-plan Janino compile dominated
-    * the image gates. The coalesce reproduces the declarative form's
-    * null→0 posture (nullSafeEval returns null on null input).
+    * the image gates. Both forms yield NULL on null media or degenerate
+    * geometry (see [[dHash]]); this is the PAYLOAD-byte hash — for a
+    * pixel-aware hash on decodable PNG/JPEG see [[dHashPixels]].
     */
   private[graft] def dHashAuto(s: SparkSession)(
       media: Column, width: Column, height: Column): Column =
     if (s.catalog.functionExists("graft_dhash"))
-      coalesce(call_function("graft_dhash", media,
-        width.cast("int"), height.cast("int")), lit(0L))
+      call_function("graft_dhash", media,
+        width.cast("int"), height.cast("int"))
     else dHash(media, width, height)
 
-  /** Near-duplicate image pairs by dHash Hamming distance over a
-    * `mediaTable`-shaped frame (doc_id, media, width, height): hash =
-    * one scan; pair search = the pigeonhole chunk blocking shared with
-    * SimHash/RP-LSH (`Dedup.hammingCandidates` — a pair within
-    * `maxHamming` bits MUST agree on one whole chunk, so candidates
-    * come from same-chunk-value buckets, never all-pairs), then exact
-    * Hamming verification. Returns (id_a, id_b, hamming), id_a < id_b.
+  /** The PIXEL-AWARE perceptual hash: struct<sh: bigint, kind: string>
+    * where decodable PNG/JPEG payloads hash their decoded BT.601
+    * grayscale plane (9×8 area-mean grid — see
+    * `graft.functions.DHashPixels`; `kind` = "pixels") and everything
+    * else falls back to the payload-byte [[dHash]] semantics with the
+    * metadata geometry (`kind` = "payload"). Null media, or payload
+    * regime with null/non-positive geometry, yields a NULL struct —
+    * degenerate rows never cluster. The metadata width/height coalesce
+    * to 0 BEFORE the call so a null metadata column cannot null out a
+    * PNG whose real geometry comes from its own header.
+    *
+    * Native `graft_dhash_px` when the session has GraftExtensions (one
+    * generated statement, whole-stage codegen); a typed-UDF fallback
+    * with identical semantics otherwise (EXT-only path — acceptable
+    * off the parity surface, and spec-asserted bit-identical).
+    */
+  def dHashPixels(s: SparkSession)(
+      media: Column, width: Column, height: Column): Column = {
+    val w = coalesce(width.cast("int"), lit(0))
+    val h = coalesce(height.cast("int"), lit(0))
+    if (s.catalog.functionExists("graft_dhash_px"))
+      call_function("graft_dhash_px", media, w, h)
+    else {
+      val f = udf(graft.functions.DHashPixels.computeExternal _)
+      f(media, w, h)
+    }
+  }
+
+  /** Per-(regime) rollup over a media frame — how many images got REAL
+    * perceptual treatment vs the payload-byte fallback (the decode-
+    * census discipline applied to hashing; null = degenerate rows).
+    */
+  def imageHashCensus(media: DataFrame): DataFrame =
+    media.select(dHashPixels(media.sparkSession)(
+        col("media"), col("width"), col("height")).getField("kind").as("kind"))
+      .groupBy("kind").agg(count(lit(1)).as("cnt"))
+      .orderBy("kind")
+
+  /** Near-duplicate image pairs by PERCEPTUAL dHash Hamming distance
+    * over a `mediaTable`-shaped frame (doc_id, media, width, height):
+    * hash = one scan (decoded-plane regime for PNG/JPEG, payload bytes
+    * otherwise — see [[dHashPixels]]); pair search = the pigeonhole
+    * chunk blocking shared with SimHash/RP-LSH
+    * (`Dedup.hammingCandidates` — a pair within `maxHamming` bits MUST
+    * agree on one whole chunk, so candidates come from same-chunk-value
+    * buckets, never all-pairs), then exact Hamming verification.
+    * Degenerate rows (null media/geometry) hash NULL and never pair.
+    * Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def imageNearDups(
       media: DataFrame,
       maxHamming: Int = 10,
       maxBucket: Int = 2000): DataFrame = {
     val sh = media.select(col("doc_id"),
-      dHashAuto(media.sparkSession)(
-        col("media"), col("width"), col("height")).as("sh"))
+      dHashPixels(media.sparkSession)(
+        col("media"), col("width"), col("height")).getField("sh").as("sh"))
+      .filter(col("sh").isNotNull)
       .localCheckpoint(false)
     Dedup.hammingCandidates(sh, maxHamming, maxBucket)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -661,21 +972,26 @@ object Multimodal {
   }
 
   /** Brute-force most-similar-image search: for each probe image, the k
-    * lowest-Hamming corpus images by dHash — the exhaustive baseline of
-    * image similarity (the `ext_batch_topk` shape with Hamming in place
-    * of cosine; when a distance BOUND applies, [[imageNearDups]]' chunk
-    * blocking is the sub-linear path). Probe signatures broadcast along
-    * one unshuffled corpus signature scan; the per-probe top-k is
-    * `GroupedTopK`'s bounded per-partition heaps — no global sort, no
-    * corpus shuffle. Ties break to the lower doc_id. Returns
-    * (q_id, doc_id, hamming), k rows per probe.
+    * lowest-Hamming corpus images by perceptual dHash — the exhaustive
+    * baseline of image similarity (the `ext_batch_topk` shape with
+    * Hamming in place of cosine; when a distance BOUND applies,
+    * [[imageNearDups]]' chunk blocking is the sub-linear path). Probe
+    * signatures broadcast along one unshuffled corpus signature scan;
+    * the per-probe top-k is `GroupedTopK`'s bounded per-partition
+    * heaps — no global sort, no corpus shuffle. Ties break to the lower
+    * doc_id. Degenerate rows never score. Returns (q_id, doc_id,
+    * hamming), k rows per probe.
     */
   def imageTopK(media: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val spark = media.sparkSession
     val corpus = media.select(col("doc_id"),
-      dHashAuto(spark)(col("media"), col("width"), col("height")).as("sh"))
+      dHashPixels(spark)(col("media"), col("width"), col("height"))
+        .getField("sh").as("sh"))
+      .filter(col("sh").isNotNull)
     val qs = probes.select(col("doc_id").as("q_id"),
-      dHashAuto(spark)(col("media"), col("width"), col("height")).as("qsh"))
+      dHashPixels(spark)(col("media"), col("width"), col("height"))
+        .getField("sh").as("qsh"))
+      .filter(col("qsh").isNotNull)
     val scored = corpus.crossJoin(broadcast(qs))
       .select(col("q_id"), col("doc_id"),
         (-bit_count(col("sh").bitwiseXOR(col("qsh")))).cast("double")

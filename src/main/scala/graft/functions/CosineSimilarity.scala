@@ -186,6 +186,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DHash64].getName, "graft_dhash"),
       (children: Seq[Expression]) =>
         DHash64(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dhash_px"),
+      new ExpressionInfo(classOf[DHashPixels].getName, "graft_dhash_px"),
+      (children: Seq[Expression]) =>
+        DHashPixels(children.head, children(1), children(2))))
     // plan-level algebra over the custom expressions (the Rule tier):
     // collapse idempotent re-normalization
     ext.injectOptimizerRule(_ => CollapseIdempotentNfc)

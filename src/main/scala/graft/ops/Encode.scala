@@ -34,13 +34,25 @@ object Encode {
     * At serving time (rows WITHOUT labels) use [[targetEncodeFit]] /
     * the fitted table instead — LOO is a TRAINING-set transform by
     * construction.
+    *
+    * @param broadcastStats BROADCAST CEILING: the default hints the
+    *        per-category stats into a broadcast join, correct for the
+    *        bounded-cardinality categories target encoding is FOR
+    *        (flags, countries, merchants — up to tens of millions of
+    *        rows fit Spark's 8 GB broadcast limit). An id-like catCol
+    *        with near-row cardinality would blow the broadcast (where
+    *        the encoding itself is also statistically meaningless —
+    *        every group is a singleton at the prior); pass false to
+    *        drop the hint and let AQE pick the join strategy from the
+    *        aggregate's actual runtime size.
     */
   def targetEncodeLoo(
       df: DataFrame,
       catCol: String,
       labelCol: String,
       smoothing: Double = 10.0,
-      outCol: String = "te"): DataFrame = {
+      outCol: String = "te",
+      broadcastStats: Boolean = true): DataFrame = {
     require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
     val y = col(labelCol).cast("double")
     val prior = df.agg(avg(y).as("__prior"))
@@ -49,7 +61,8 @@ object Encode {
     val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(y).as("__s"), count(y).as("__c"))
     df.join(broadcast(prior))
-      .join(broadcast(stats), col(catCol) <=> col("__cat"), "left")
+      .join(if (broadcastStats) broadcast(stats) else stats,
+        col(catCol) <=> col("__cat"), "left")
       .withColumn(outCol,
         (col("__s") - y + lit(smoothing) * col("__prior")) /
           (col("__c") - lit(1) + lit(smoothing)))

@@ -536,21 +536,33 @@ class ExtSpec extends SparkSpec {
     val both = media.select(
       graft.ext.Multimodal.dHash(col("media"), col("width"), col("height"))
         .as("decl"),
-      coalesce(call_function("graft_dhash", col("media"),
-        col("width").cast("int"), col("height").cast("int")), lit(0L))
+      call_function("graft_dhash", col("media"),
+        col("width").cast("int"), col("height").cast("int"))
         .as("nat"))
-    assert(both.filter(col("decl") =!= col("nat")).count() == 0,
+    assert(both.filter(!(col("decl") <=> col("nat"))).count() == 0,
       "native/declarative dHash diverge on the corpus")
+    // degenerate geometry (null / zero / negative) must be NULL on BOTH
+    // paths — never a shared sentinel hash that clusters such rows into
+    // mutual hamming-0 "duplicates"
     val edge = Seq(
-      (Array.empty[Byte], 8, 8),
-      (Array[Byte](1), 1, 1),
-      (Array.tabulate[Byte](5)(_.toByte), 64, 48)).toDF("m", "w", "h")
+      (Some(Array.empty[Byte]), Some(8), Some(8)),   // empty payload -> 0L
+      (Some(Array[Byte](1)), Some(1), Some(1)),
+      (Some(Array.tabulate[Byte](5)(_.toByte)), Some(64), Some(48)),
+      (Some(Array[Byte](1, 2, 3)), Some(0), Some(8)),   // zero width -> null
+      (Some(Array[Byte](1, 2, 3)), Some(8), Some(-4)),  // negative -> null
+      (Some(Array[Byte](1, 2, 3)), None, Some(8)),      // null width -> null
+      (None, Some(8), Some(8)))                         // null media -> null
+      .toDF("m", "w", "h")
     val e = edge.select(
       graft.ext.Multimodal.dHash(col("m"), col("w"), col("h")).as("decl"),
-      coalesce(call_function("graft_dhash", col("m"),
-        col("w").cast("int"), col("h").cast("int")), lit(0L)).as("nat"))
+      call_function("graft_dhash", col("m"),
+        col("w").cast("int"), col("h").cast("int")).as("nat"))
       .collect()
-    e.foreach(r => assert(r.getLong(0) == r.getLong(1), s"edge diverges: $r"))
+    e.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getLong(0) == r.getLong(1)), s"edge diverges: $r"))
+    assert(!e(0).isNullAt(0) && e(0).getLong(0) == 0L, "empty payload must hash 0")
+    (3 to 6).foreach(i => assert(e(i).isNullAt(0) && e(i).isNullAt(1),
+      s"degenerate row $i must hash NULL: ${e(i)}"))
   }
 
   test("fallback paths (no native expressions) produce equivalent dedup results") {

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IncrementalImageDedup, Multimodal}
+import graft.functions.DHashPixels
+
+/** The pixel-regime perceptual hash (`Multimodal.dHashPixels` /
+  * `graft_dhash_px`): the property the whole image-dedup family exists
+  * for — a RE-ENCODED copy of the same picture (the most common
+  * image-dup class in a crawl) must hash identically (lossless PNG
+  * re-encodes) or a few Hamming bits away (JPEG re-compression) — plus
+  * the frozen-golden pin on the grid arithmetic (the BPE/simhash
+  * discipline: DuckDB cannot decode PNG for the invariance half, so the
+  * hash values are pinned to literals computed by an INDEPENDENT
+  * implementation of the area-mean grid).
+  */
+class ImagePixelHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // canonical textured fixture: 20x16 gray, values from a fixed formula
+  private val W = 20
+  private val H = 16
+  private val plane: Array[Byte] = Array.tabulate(W * H) { p =>
+    val x = p % W; val y = p / W
+    (((x * 13 + y * 7 + (x * y) % 5) * 3) % 251).toByte
+  }
+  // independently computed (Python reimplementation of the area-mean
+  // grid + integer cross-multiply comparison) — NOT computeGrid output
+  private val Golden = -5466128281783585756L
+
+  private def pxOf(rows: Seq[(Long, Array[Byte], Int, Int)]) =
+    rows.toDF("doc_id", "media", "width", "height")
+      .select(col("doc_id"),
+        Multimodal.dHashPixels(spark)(
+          col("media"), col("width"), col("height")).as("px"))
+      .select(col("doc_id"), col("px.sh").as("sh"), col("px.kind").as("kind"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2)))))
+      .toMap
+
+  private def jpegBytes(gray: Array[Byte], w: Int, h: Int,
+      quality: Float): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(y * w + x) & 0xff
+      im.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(im, null, null), params)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("lossless PNG re-encodings of the same pixels hash IDENTICALLY (frozen golden)") {
+    // four byte-level DIFFERENT encodings of the same 20x16 plane:
+    // stored-deflate gray, max-compression gray, mixed-filter +
+    // IDAT-split gray, and RGB with R=G=B (BT.601 of equal channels is
+    // the gray value exactly)
+    val stored = Multimodal.storedGrayPng(plane, W, H)
+    val level9 = Multimodal.encodePng(W, H, 0, plane, Seq.fill(H)(0), 9)
+    val mixed = Multimodal.encodePng(W, H, 0, plane,
+      (0 until H).map(_ % 5), 1, splitIdat = true)
+    val rgb = Multimodal.encodePng(W, H, 2,
+      plane.flatMap(b => Array(b, b, b)), (0 until H).map(_ % 3).reverse)
+    val encodings = Seq(stored, level9, mixed, rgb)
+    assert(encodings.map(_.toSeq).distinct.size == 4,
+      "fixture encodings must differ at the byte level")
+
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) => (i.toLong, b, 0, 0) })
+    // metadata geometry is (0,0) — the pixel regime must not care
+    (0L to 3L).foreach { id =>
+      assert(got(id).contains((Golden, "pixels")),
+        s"encoding $id: ${got(id)} != golden $Golden/pixels")
+    }
+  }
+
+  test("monotone brightness shift on the decoded plane keeps the hash") {
+    val bright = plane.map(b => math.min((b & 0xff) + 40, 255).toByte)
+    val got = pxOf(Seq(
+      (1L, Multimodal.storedGrayPng(bright, W, H), 0, 0)))
+    assert(got(1L).contains((Golden, "pixels")),
+      s"brightness shift changed gradient signs: ${got(1L)}")
+  }
+
+  test("JPEG re-compression and PNG->JPEG re-encode land within the near-dup threshold") {
+    // 8px-aligned checkerboard: JPEG's DCT blocks preserve it well, so
+    // a real crawl-style re-encode chain (PNG -> JPEG q90 -> JPEG q60)
+    // must stay within the default maxHamming=10 band
+    val w = 64; val h = 48
+    val checker = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      (if ((x / 8 + y / 8) % 2 == 0) 230 else 25).toByte
+    }
+    val png = Multimodal.storedGrayPng(checker, w, h)
+    val j90 = jpegBytes(checker, w, h, 0.9f)
+    val j60 = jpegBytes(checker, w, h, 0.6f)
+    val got = pxOf(Seq((1L, png, 0, 0), (2L, j90, 0, 0), (3L, j60, 0, 0)))
+    assert(got.values.forall(_.exists(_._2 == "pixels")), s"regimes: $got")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (p, q90, q60) = (got(1L).get._1, got(2L).get._1, got(3L).get._1)
+    assert(ham(p, q90) <= 10, s"PNG vs JPEG q90: hamming ${ham(p, q90)}")
+    assert(ham(q90, q60) <= 10, s"JPEG q90 vs q60: hamming ${ham(q90, q60)}")
+    assert(ham(p, q60) <= 10, s"PNG vs JPEG q60: hamming ${ham(p, q60)}")
+  }
+
+  test("payload fallback is bit-identical to graft_dhash; degenerate rows are NULL") {
+    val fake = "not an image at all, just opaque bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, fake, 8, 5),
+      (2L, Array.empty[Byte], 8, 8), // empty payload: valid geometry -> 0L
+      (3L, fake, 0, 8),              // zero width -> null
+      (4L, null.asInstanceOf[Array[Byte]], 8, 8)) // null media -> null
+    val got = pxOf(rows)
+    val legacy = Seq((1L, fake, 8, 5)).toDF("doc_id", "media", "width", "height")
+      .select(Multimodal.dHash(col("media"), col("width"), col("height")))
+      .head().getLong(0)
+    assert(got(1L).contains((legacy, "payload")),
+      s"payload regime drifted from graft_dhash: ${got(1L)} vs $legacy")
+    assert(got(2L).contains((0L, "payload")), s"empty payload: ${got(2L)}")
+    assert(got(3L).isEmpty && got(4L).isEmpty,
+      s"degenerate rows must be NULL: ${got(3L)} ${got(4L)}")
+  }
+
+  test("native graft_dhash_px and the UDF fallback are bit-identical") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val rows = Seq(
+      (1L, Multimodal.storedGrayPng(plane, W, H), 0, 0),
+      (2L, jpegBytes(plane, W, H, 0.8f), 0, 0),
+      (3L, "opaque payload".getBytes("UTF-8"), 7, 3),
+      (4L, "x".getBytes("UTF-8"), 0, 0),
+      (5L, Array.empty[Byte], 2, 2))
+    val native = pxOf(rows)
+    val reg = spark.sessionState.functionRegistry
+    val fid = FunctionIdentifier("graft_dhash_px")
+    val (info, builder) =
+      (reg.lookupFunction(fid).get, reg.lookupFunctionBuilder(fid).get)
+    val fallback =
+      try {
+        reg.dropFunction(fid)
+        assert(!spark.catalog.functionExists("graft_dhash_px"))
+        pxOf(rows)
+      } finally reg.registerFunction(fid, info, builder)
+    assert(native == fallback, s"native $native != udf fallback $fallback")
+    assert(spark.catalog.functionExists("graft_dhash_px"))
+  }
+
+  test("IncrementalImageDedup: a RE-ENCODED image dedups cross-batch (the store's contract)") {
+    val store = tmpDir("graft_px_incr") + "/store"
+    val other = Array.tabulate(W * H)(p => ((p * 37 + 11) % 256).toByte)
+    // batch 1: the original picture (max-compression PNG) + an unrelated one
+    val b1 = Seq(
+      (10L, Multimodal.encodePng(W, H, 0, plane, Seq.fill(H)(0), 9), 0, 0),
+      (11L, Multimodal.storedGrayPng(other, W, H), 0, 0))
+      .toDF("doc_id", "media", "width", "height")
+    // batch 2: the SAME picture re-encoded (different filters, level,
+    // IDAT split — byte-level different payload) + a fresh one
+    val reenc = Multimodal.encodePng(W, H, 0, plane,
+      (0 until H).map(_ % 5), 1, splitIdat = true)
+    val fresh = Array.tabulate(W * H)(p => ((p * 91 + 3) % 256).toByte)
+    val b2 = Seq(
+      (20L, reenc, 0, 0),
+      (21L, Multimodal.storedGrayPng(fresh, W, H), 0, 0))
+      .toDF("doc_id", "media", "width", "height")
+
+    val p1 = IncrementalImageDedup.ingest(spark, b1, store).collect()
+    assert(p1.isEmpty, s"first batch has no dups: ${p1.toSeq}")
+    val p2 = IncrementalImageDedup.ingest(spark, b2, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(p2.toSeq == Seq((10L, 20L, 0)),
+      s"re-encoded copy must pair cross-batch at hamming 0: ${p2.toSeq}")
+
+    // takedown: forget both copies; a third re-encode is admitted fresh
+    IncrementalImageDedup.forget(spark, store,
+      Seq(10L, 20L).toDF("doc_id"))
+    val b3 = Seq((30L, Multimodal.storedGrayPng(plane, W, H), 0, 0))
+      .toDF("doc_id", "media", "width", "height")
+    val p3 = IncrementalImageDedup.ingest(spark, b3, store).collect()
+    assert(p3.isEmpty, s"forgotten image must readmit: ${p3.toSeq}")
+  }
+
+  test("imageNearDups + census over a mixed-regime corpus") {
+    val corpus = Seq(
+      (1L, Multimodal.storedGrayPng(plane, W, H), 0, 0),
+      (2L, Multimodal.encodePng(W, H, 0, plane, (0 until H).map(_ % 5), 1), 0, 0),
+      (3L, "payload-only bytes here".getBytes("UTF-8"), 6, 4),
+      (4L, "payload-only bytes here".getBytes("UTF-8"), 6, 4),
+      (5L, null.asInstanceOf[Array[Byte]], 6, 4),
+      (6L, "zz".getBytes("UTF-8"), 0, 0))
+      .toDF("doc_id", "media", "width", "height")
+    val pairs = Multimodal.imageNearDups(corpus, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1~2: re-encoded pixels; 3~4: identical payloads; degenerate 5/6
+    // never pair (the advice-fixed NULL posture)
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"pairs: $pairs")
+    val census = Multimodal.imageHashCensus(corpus)
+      .collect().map(r => (if (r.isNullAt(0)) "null" else r.getString(0))
+        -> r.getLong(1)).toMap
+    assert(census == Map("pixels" -> 2L, "payload" -> 2L, "null" -> 2L),
+      s"census: $census")
+  }
+}
