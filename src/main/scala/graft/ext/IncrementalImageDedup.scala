@@ -24,13 +24,23 @@ import graft.sinks.UpsertIgnore
   * probe key and exact verifier — 8 bytes per image, no second
   * payload table:
   *
-  *   store/sigs/      (doc_id, sh)  — 64-bit dHash; chunk keys derive
-  *                                    map-side on the (pruned) scan
-  *   store/forgotten/ (doc_id)      — takedown tombstones
+  *   store/sigs/        (doc_id, sh) — 64-bit dHash; chunk keys derive
+  *                                     map-side on the (pruned) scan
+  *   store/forgotten/   (doc_id)     — takedown tombstones
+  *   store/bloom_mh<H>/              — KeyBloom sidecars over the
+  *     xxhash64(chunk, cval) blocking keys AT maxHamming = H. The dir
+  *     name carries the blocking parameter because the keys do: a probe
+  *     at a different maxHamming finds no sidecar and full-scans
+  *     (correct), and an ingest at a different maxHamming DELETES the
+  *     stale dirs (their coverage would silently lapse otherwise).
   *
   * Per-ingest shape, mirroring the siblings:
-  *  - batch signatures = one scan (`Multimodal.dHash` — pure Columns);
-  *  - the batch's distinct (chunk, cval) keys BROADCAST against ONE
+  *  - batch signatures = one scan (`Multimodal.dHashPixels` — native
+  *    expression or its typed fallback);
+  *  - the batch's distinct (chunk, cval) keys — PREFILTERED by the
+  *    bloom sidecars: keys the bloom rejects are PROVEN absent from the
+  *    store, and a batch of entirely-new images (the common crawl
+  *    cadence) skips the store scan outright — BROADCAST against ONE
   *    scan of the stored sigs (pigeonhole blocking: hamming <=
   *    maxHamming twins share >= 1 whole chunk; the store side is never
   *    shuffled);
@@ -45,11 +55,57 @@ import graft.sinks.UpsertIgnore
   */
 object IncrementalImageDedup {
 
-  final case class Params(maxHamming: Int = 10, maxBucket: Int = 2000)
+  final case class Params(
+      maxHamming: Int = 10,
+      maxBucket: Int = 2000,
+      bitsPerKey: Int = 16,
+      maxBloomBytes: Long = 256L * 1024 * 1024)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def bloomDir(storePath: String, maxHamming: Int): String =
+    s"$storePath/bloom_mh$maxHamming"
+
+  /** Capacity of the (chunk, cval) blocking-key space at this
+    * maxHamming, measured by the NARROW chunks (nChunks slots of
+    * 64/nChunks bits; the one wider tail chunk is never the
+    * bottleneck) — UNLIKE the line/keyed stores' 64-bit content hashes
+    * (sparse forever), pigeonhole keys live in a SMALL space. Bloom
+    * pruning has power only while the stored keys are sparse in it: a
+    * skip needs EVERY batch key absent, so once any chunk's value space
+    * fills (a few hundred images at maxHamming = 10, thousands at 6,
+    * ~100k at 3), the probe can never skip — the ingest then BYPASSES
+    * the filter when the sidecars report a meaningfully-filled space
+    * (>= quarter capacity), paying zero per-ingest overhead at crawl
+    * scale while keeping the skip for the small/medium stores where it
+    * wins. (Compaction rebuilds the exact distinct-key count, so an
+    * over-counting pile of per-ingest sidecars gets corrected.)
+    */
+  private[ext] def blockingKeyspace(maxHamming: Int): Double = {
+    val n = maxHamming + 1
+    val cb = 64 / n
+    n.toDouble * math.pow(2, cb)
+  }
+
+  /** Delete bloom dirs built for a DIFFERENT maxHamming: appending sigs
+    * without updating them would silently break their no-false-negative
+    * coverage. Runs BEFORE the sig append (a crash in between leaves no
+    * bloom — probes full-scan, which is correct).
+    */
+  private def dropStaleBlooms(
+      spark: SparkSession, storePath: String, maxHamming: Int): Unit = {
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("bloom_mh") &&
+            n != s"bloom_mh$maxHamming")
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Ingest a `mediaTable`-shaped batch (doc_id, media, width, height):
@@ -82,6 +138,13 @@ object IncrementalImageDedup {
       .select(col("doc_id"), col("cc.chunk").as("chunk"),
         col("cc.cval").as("cval"))
       .localCheckpoint(false) // probe, in-batch buckets, registration
+    // the batch's distinct blocking keys, hashed once for the bloom
+    // probe AND the registration sidecar (bounded: <= 11 per image and
+    // by the chunk-key space itself)
+    val batchKeys = chunks.select("chunk", "cval").distinct()
+      .withColumn("__kh", xxhash64(col("chunk"), col("cval")))
+      .localCheckpoint(false)
+    val bDir = bloomDir(storePath, params.maxHamming)
 
     // combined-bucket cap: see IncrementalEmbedDedup — capping either
     // side alone diverges from the one-shot operator at the boundary
@@ -94,11 +157,43 @@ object IncrementalImageDedup {
       .filter(size(col("ids")) > 1)
       .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+    def batchOnlyPairs = inBatchPairs(
+      batchCnt.filter(col("__bc") <= params.maxBucket)
+        .select("chunk", "cval"))
+
+    // bloom prefilter (see KeyBloom): keys every sidecar rejects are
+    // PROVEN absent from the store — for those buckets __sc = 0, so the
+    // combined cap reduces to the batch-only cap and the store
+    // contributes no cross pair. A fully-new batch (the crawl common
+    // case) therefore skips BOTH store scans (probe and verify)
+    // outright; a partial hit shrinks the broadcast probe set; a store
+    // that has SATURATED its bounded blocking-key space bypasses the
+    // filter entirely (see [[blockingKeyspace]] — no skip is possible
+    // there, so no overhead is paid). The surviving probe-key set is
+    // bounded metadata (min of the batch's keys and the keyspace), so
+    // it collects once: the emptiness decision and the broadcast reuse
+    // the same job.
+    lazy val probeKeys: Option[DataFrame] = // None = no store collision possible
+      KeyBloom.loadSidecarsMeta(spark, bDir, params.maxBloomBytes) match {
+        case None => Some(batchKeys)
+        case Some((blooms, storedKeys)) =>
+          if (storedKeys >= 0.25 * blockingKeyspace(params.maxHamming))
+            Some(batchKeys) // saturated: a full skip is no longer possible
+          else {
+            val bc = spark.sparkContext.broadcast(blooms)
+            val mightCollide = udf((h: Long) => bc.value.exists(_.contains(h)))
+            val hits = batchKeys.filter(mightCollide(col("__kh")))
+              .select("chunk", "cval").collect()
+            if (hits.isEmpty) None
+            else Some(spark.createDataFrame(
+              spark.sparkContext.parallelize(hits.toSeq, 1),
+              batchKeys.select("chunk", "cval").schema))
+          }
+      }
+    val storeMayCollide = storeExists && probeKeys.isDefined
 
     val candidates =
-      (if (!storeExists)
-         inBatchPairs(batchCnt.filter(col("__bc") <= params.maxBucket)
-           .select("chunk", "cval"))
+      (if (!storeMayCollide) batchOnlyPairs
        else {
          // ONE store scan; chunk keys derive map-side from the stored
          // sh, the batch's distinct keys broadcast into the semi-join.
@@ -113,7 +208,7 @@ object IncrementalImageDedup {
              explode(Dedup.shChunks(col("sh"), params.maxHamming)).as("cc"))
            .select(col("store_id"), col("cc.chunk").as("chunk"),
              col("cc.cval").as("cval"))
-           .join(broadcast(chunks.select("chunk", "cval").distinct()),
+           .join(broadcast(probeKeys.get.select("chunk", "cval")),
              Seq("chunk", "cval"), "left_semi")
            .localCheckpoint(false)
          val okKeys = hot.groupBy("chunk", "cval").count()
@@ -136,9 +231,11 @@ object IncrementalImageDedup {
 
     // exact-Hamming verify: batch signatures + stored signatures of
     // colliding ids only (semi-join prune); a re-ingested id verifies
-    // with its batch signature (identical by determinism anyway)
+    // with its batch signature (identical by determinism anyway). When
+    // the bloom proved no store collision, every candidate id is a
+    // batch id and the batch signatures alone verify — no store scan.
     val sigs =
-      if (!storeExists) e
+      if (!storeMayCollide) e
       else {
         val candidateIds = candidates
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -159,6 +256,20 @@ object IncrementalImageDedup {
     // re-probe a store that now contains the batch itself)
     val out = pairs.orderBy("id_a", "id_b").localCheckpoint(true)
 
+    // sidecar BEFORE the sig append (coverage must never lapse — see
+    // KeyBloom: a crash in between leaves an over-approximating bloom,
+    // harmless); only while coverage holds: store born with blooms, or
+    // blooms armed by compaction. A legacy store stays bloom-less.
+    // Differently-parameterized bloom dirs drop first — appending keys
+    // they don't cover would break their no-false-negative guarantee.
+    dropStaleBlooms(spark, storePath, params.maxHamming)
+    if (!storeExists || StoreTombstones.hasData(spark, bDir)) {
+      val hashes = batchKeys.select("__kh")
+      val n = hashes.count()
+      if (n > 0)
+        KeyBloom.writeSidecar(spark, bDir,
+          KeyBloom.build(spark, hashes, n, params.bitsPerKey), n)
+    }
     if (!storeExists)
       e.write.mode("overwrite").parquet(sigsPath)
     else {
@@ -198,12 +309,28 @@ object IncrementalImageDedup {
 
   /** Compact the signature table and fold the takedown tombstones —
     * forgotten signatures are physically erased and `forgotten/`
-    * cleared. Single-writer; returns (filesBefore, filesAfter).
+    * cleared. Then re-arm (or first-arm, for a legacy store) ONE bloom
+    * sidecar over the now-live blocking keys at `params.maxHamming` —
+    * forgotten owners drop out of the bloom here too, and a legacy or
+    * re-parameterized store gains probe pruning from this point on.
+    * Single-writer; returns (filesBefore, filesAfter).
     */
   def compactStore(
       spark: SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      params: Params = Params()): (Int, Int) = {
+    val counts = StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
       Seq(s"$storePath/sigs"), targetFileBytes)
+    dropStaleBlooms(spark, storePath, params.maxHamming)
+    if (exists(spark, s"$storePath/sigs")) {
+      val keys = spark.read.parquet(s"$storePath/sigs")
+        .select(explode(Dedup.shChunks(col("sh"), params.maxHamming)).as("cc"))
+        .select(xxhash64(col("cc.chunk"), col("cc.cval")).as("__kh"))
+        .distinct()
+      KeyBloom.rebuild(spark, bloomDir(storePath, params.maxHamming), keys,
+        keys.count(), params.bitsPerKey, params.maxBloomBytes)
+    }
+    counts
+  }
 }

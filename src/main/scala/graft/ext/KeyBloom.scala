@@ -153,16 +153,29 @@ object KeyBloom {
   def loadSidecars(
       spark: SparkSession,
       bloomDir: String,
-      maxBloomBytes: Long): Option[Seq[KeyBloom]] = {
+      maxBloomBytes: Long): Option[Seq[KeyBloom]] =
+    loadSidecarsMeta(spark, bloomDir, maxBloomBytes).map(_._1)
+
+  /** [[loadSidecars]] plus the total registered-key count across the
+    * sidecars (an over-approximation of distinct live keys until
+    * compaction rebuilds it exact) — one read serves callers that gate
+    * the probe on key-space saturation (IncrementalImageDedup).
+    */
+  def loadSidecarsMeta(
+      spark: SparkSession,
+      bloomDir: String,
+      maxBloomBytes: Long): Option[(Seq[KeyBloom], Long)] = {
     if (!StoreTombstones.hasData(spark, bloomDir)) return None
     val rows = spark.read.parquet(bloomDir)
-      .select("num_bits", "num_hashes", "bits").collect()
-    val blooms = rows.toSeq.map { case Row(bits: Long, k: Int, b: Array[Byte]) =>
-      val words = new Array[Long](b.length / 8)
-      java.nio.ByteBuffer.wrap(b).asLongBuffer().get(words)
-      new KeyBloom(bits, k, words)
+      .select("num_bits", "num_hashes", "bits", "n_keys").collect()
+    val blooms = rows.toSeq.map {
+      case Row(bits: Long, k: Int, b: Array[Byte], _) =>
+        val words = new Array[Long](b.length / 8)
+        java.nio.ByteBuffer.wrap(b).asLongBuffer().get(words)
+        new KeyBloom(bits, k, words)
     }
-    if (blooms.map(_.sizeBytes).sum > maxBloomBytes) None else Some(blooms)
+    if (blooms.map(_.sizeBytes).sum > maxBloomBytes) None
+    else Some((blooms, rows.map(_.getAs[Long]("n_keys")).sum))
   }
 
   /** Rebuild the bloom dir as ONE sidecar over the (compacted, live)

@@ -738,10 +738,12 @@ object Multimodal {
     *   plane(x, y) = payload[48 + y·(w+1) + 1 + x]
     *
     * (sig 8 + IHDR 25 + IDAT len/type 8 + zlib hdr 2 + stored-block
-    * hdr 5 = 48) — which is what lets the `ext_image_dhash_px` DuckDB
-    * oracle replay the DECODED-pixel hash bit for bit from the same
-    * bytes without a PNG library. Row payload must fit one stored
-    * block (h·(w+1) <= 65535).
+    * hdr 5 = 48) — so a SQL engine with no PNG library can read the
+    * plane straight out of the payload when a gate wants byte-level
+    * replay. (The `ext_image_dhash_px` oracle goes one step further and
+    * regenerates the plane from its closed-form formula instead,
+    * holding the whole encode→inflate→unfilter→hash loop to it.) Row
+    * payload must fit one stored block (h·(w+1) <= 65535).
     */
   def storedGrayPng(plane: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(plane.length == w * h, s"storedGrayPng: need $w*$h plane bytes")

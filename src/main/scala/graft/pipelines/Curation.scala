@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunker, Dedup, LineDedup, TextAnalysis}
+import graft.ext.{Chunker, Dedup, IncrementalImageDedup, LineDedup, Multimodal, TextAnalysis}
 import graft.ops.Quality
 import graft.sources.TableIO
 
@@ -12,7 +12,8 @@ import graft.sources.TableIO
   *
   *   quality gate -> PII redaction [-> C4-style boilerplate strip]
   *   -> exact dedup -> near-dup dedup
-  *   (MinHash-LSH -> connected components, keep canonical) -> token-window
+  *   (MinHash-LSH -> connected components, keep canonical)
+  *   [-> perceptual IMAGE dedup] -> token-window
   *   chunking -> lang-partitioned parquet
   *
   * Stage order is the cost order: the cheap scan-speed gates (quality,
@@ -27,7 +28,8 @@ object Curation {
   /** Stage-by-stage row accounting (the pipeline's audit trail). */
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, chunks: Long, afterBoilerplate: Long = -1)
+      afterNearDup: Long, chunks: Long, afterBoilerplate: Long = -1,
+      afterImageDedup: Long = -1)
 
   /** @param minQuality  quality-score gate in [0,1] (TextAnalysis.qualityScore)
     * @param threshold   near-dup jaccard threshold for MinHash-LSH
@@ -40,12 +42,29 @@ object Curation {
     *        drops entirely. It must run BEFORE the content-hash stages:
     *        removing shared boilerplate is exactly what lets two
     *        near-identical articles hash/shingle on their own words.
+    * @param mediaCols when set — (media, width, height) column names on
+    *        `docs` — a perceptual IMAGE dedup stage runs after the text
+    *        near-dup stage: a re-crawled page whose TEXT was rewritten
+    *        but whose picture is the same (or a re-encoded copy of it —
+    *        `Multimodal.dHashPixels` hashes the decoded plane) collapses
+    *        to one canonical doc. Rows with null media or degenerate
+    *        geometry pass through untouched — they can never be image
+    *        dups of anything. It runs AFTER the text stages because the
+    *        text dedup is the bigger reducer and image hashing then
+    *        scans fewer rows.
+    * @param imageStorePath with `mediaCols`: dedup against the durable
+    *        cross-run dHash store (`IncrementalImageDedup` — stored doc
+    *        wins, keep-first in-batch) instead of the one-shot
+    *        components form, and register this run's survivors.
     */
   def run(spark: SparkSession, docs: DataFrame, outPath: String,
       idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
       minQuality: Double = 0.2, threshold: Double = 0.9,
       window: Int = 200, stride: Int = 150,
-      boilerplateMinDocs: Option[Int] = None): Report = {
+      boilerplateMinDocs: Option[Int] = None,
+      mediaCols: Option[(String, String, String)] = None,
+      imageMaxHamming: Int = 6,
+      imageStorePath: Option[String] = None): Report = {
     require(minQuality >= 0 && minQuality <= 1, s"minQuality in [0,1], got $minQuality")
     val input = docs.count()
 
@@ -87,12 +106,48 @@ object Curation {
       .select(col("id").as(idCol))
     val nearDeduped = exactDeduped.join(canonical, Seq(idCol), "left_semi")
 
+    // 4b (optional): perceptual image dedup — the multimodal blind spot
+    // of every text stage above (a rewritten article carrying the same
+    // or a re-encoded picture). One-shot: dHash near-dup pairs ->
+    // connected components -> keep the min-id canonical (the text
+    // dedup's canonical rule). With a store path: the incremental form
+    // (stored doc wins cross-run, keep-first in-batch) and the
+    // survivors register for the NEXT run. Null-media rows bypass the
+    // stage entirely; degenerate geometry hashes NULL inside and never
+    // pairs (so neither can ever be dropped as an image dup).
+    val mediaDeduped = mediaCols match {
+      case None => nearDeduped
+      case Some((mCol, wCol, hCol)) =>
+        // feeds the hash scan AND the survivor join — checkpoint so the
+        // quality/redact/dedup prefix doesn't run twice more
+        val base = nearDeduped.localCheckpoint(false)
+        val media = base.filter(col(mCol).isNotNull)
+          .select(col(idCol).as("doc_id"), col(mCol).as("media"),
+            col(wCol).cast("int").as("width"), col(hCol).cast("int").as("height"))
+        imageStorePath match {
+          case Some(isp) =>
+            val pairs = IncrementalImageDedup.ingest(spark, media, isp,
+              IncrementalImageDedup.Params(maxHamming = imageMaxHamming))
+            TrainingSet.dropPairLosers(base, pairs, idCol)
+          case None =>
+            val keep = Dedup.componentsFromPairs(media.select("doc_id"),
+              "doc_id", Multimodal.imageNearDups(media,
+                maxHamming = imageMaxHamming).select("id_a", "id_b"))
+              .filter(col("id") === col("canonical_id"))
+              .select(col("id").as(idCol))
+            base.filter(col(mCol).isNull)
+              .unionByName(base.join(keep, Seq(idCol), "left_semi"))
+        }
+    }
+    val afterImageDedup =
+      if (mediaCols.isEmpty) -1L else mediaDeduped.count()
+
     // 5: chunk + write, metrics riding the write action. The partition
     // column rides THROUGH the chunker (keepCols) — a join back to the
     // doc->lang map would be O(surviving docs), broadcastable nowhere
     // near 100 TB.
     val chunks = Chunker.chunkByTokens(
-      nearDeduped.select(col(idCol), col(textCol), col(langCol)),
+      mediaDeduped.select(col(idCol), col(textCol), col(langCol)),
       idCol, textCol, window, stride, keepCols = Seq(langCol))
     val (observed, obs) = Quality.observed(chunks, requiredCols = Seq("chunk"))
     TableIO.write(observed, TableIO.Parquet, outPath,
@@ -100,6 +155,7 @@ object Curation {
     val nChunks = obs.get("n_rows").asInstanceOf[Long]
 
     Report(input, gated.count(), afterExact,
-      nearDeduped.count(), nChunks, afterBoilerplate = afterBoilerplate)
+      nearDeduped.count(), nChunks, afterBoilerplate = afterBoilerplate,
+      afterImageDedup = afterImageDedup)
   }
 }

@@ -539,7 +539,7 @@ object TrainingSet {
     * id (keep-first by id; chains collapse to their minimum like
     * dedupCorpus's canonical doc).
     */
-  private def dropPairLosers(
+  private[pipelines] def dropPairLosers(
       batch: DataFrame, pairs0: DataFrame, idCol: String): DataFrame = {
     val pairs = pairs0.select("id_a", "id_b")
       .localCheckpoint(false) // consumed by three classification joins

@@ -1289,9 +1289,45 @@ object ExtQueries {
       out
     }),
 
+    // PIXEL-regime perceptual hash (fully oracled, the strongest gate of
+    // the image family): 40 real PNGs — deflate-compressed at varying
+    // levels, per-row scanline filters 0-4, some with the zlib stream
+    // split over two IDAT chunks — are synthesized from a closed-form
+    // plane formula, decoded by the REAL inflate+unfilter path inside
+    // `graft_dhash_px`, and hashed over the 9×8 area-mean grid. The
+    // DuckDB oracle never sees the PNG bytes: it regenerates each plane
+    // from the same closed-form arithmetic and replays the grid with
+    // integer cross-multiplied comparisons — so a single corrupted pixel
+    // anywhere in the inflate/unfilter/grid path flips a gradient bit
+    // and fails the hash compare. Metadata geometry is (0, 0): the
+    // pixel regime must take its geometry from the image itself.
+    "ext_image_dhash_px" -> ((s, dir) => {
+      val rows = (0 until 40).map { k =>
+        val w = 5 + (k * 7) % 14
+        val h = 4 + (k * 5) % 11
+        val plane = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          (((x * 13 + y * 7 + k * 29 + (x * y) % 5) * 3) % 251).toByte
+        }
+        (k.toLong,
+          Multimodal.encodePng(w, h, 0, plane,
+            (0 until h).map(y => (k + y) % 5), k % 10, splitIdat = k % 3 == 0),
+          0, 0)
+      }
+      import s.implicits._
+      rows.toDF("doc_id", "media", "width", "height")
+        .select(col("doc_id"),
+          Multimodal.dHashPixels(s)(
+            col("media"), col("width"), col("height")).as("px"))
+        .select(col("doc_id"), col("px.sh").as("dhash"),
+          col("px.kind").as("kind"))
+        .orderBy("doc_id")
+    }),
+
     // Most-similar-image search (fully oracled): per-probe Hamming
-    // top-k over the corpus — the ext_batch_topk shape for images
-    // (probe signatures broadcast, one corpus scan, bounded heaps).
+    // top-k over the corpus — the ext_batch_topk shape with Hamming in
+    // place of cosine (probe signatures broadcast, one corpus scan,
+    // bounded heaps).
     "ext_image_topk" -> ((s, dir) => {
       val media = Multimodal.mediaTable(
         Tables.documents(s, dir).filter(col("doc_id") < 300))
@@ -2826,6 +2862,48 @@ object ExtQueries {
         |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
         |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
         |ORDER BY id_a, id_b""").stripMargin,
+
+    // pixel-regime hash replay WITHOUT the bytes: the oracle regenerates
+    // each synthesized plane from the closed-form formula the Spark side
+    // ENCODED into real deflate/filtered PNGs, then replays the 9x8
+    // area-mean grid with integer cross-multiplication — Spark's
+    // inflate+unfilter must reproduce every pixel or a bit flips
+    "ext_image_dhash_px" ->
+      """WITH d AS (
+        |  SELECT CAST(k AS BIGINT) AS doc_id, 5 + (k*7)%14 AS w,
+        |         4 + (k*5)%11 AS h
+        |  FROM UNNEST(range(0, 40)) AS t(k)),
+        |cells AS (
+        |  SELECT doc_id, w, h, c AS k,
+        |    ((c % 9) * w) // 9 AS x0,
+        |    greatest((((c % 9) + 1) * w) // 9, ((c % 9) * w) // 9 + 1) AS x1,
+        |    ((c // 9) * h) // 8 AS y0,
+        |    greatest((((c // 9) + 1) * h) // 8, ((c // 9) * h) // 8 + 1) AS y1
+        |  FROM d, UNNEST(range(0, 72)) AS t(c)),
+        |px AS (
+        |  SELECT doc_id, k, (x1 - x0) * (y1 - y0) AS n,
+        |    ((x.x*13 + y.y*7 + doc_id*29 + (x.x*y.y)%5) * 3) % 251 AS v
+        |  FROM cells, UNNEST(range(x0, x1)) AS x(x),
+        |       UNNEST(range(y0, y1)) AS y(y)),
+        |sums AS (
+        |  SELECT doc_id, k, any_value(n) AS n, sum(v) AS s
+        |  FROM px GROUP BY doc_id, k),
+        |bits AS (
+        |  SELECT a.doc_id, (a.k // 9) * 8 + (a.k % 9) AS bit
+        |  FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND a.s * b.n > b.s * a.n),
+        |halves AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN bit < 32
+        |      THEN (1::BIGINT << CAST(bit AS INT)) END), 0) AS lo,
+        |    coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (1::BIGINT << CAST(bit - 32 AS INT)) END), 0) AS hi
+        |  FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+        |    THEN (hi - 4294967296) * 4294967296 + lo
+        |    ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash,
+        |  'pixels' AS kind
+        |FROM halves ORDER BY doc_id""".stripMargin,
 
     // per-probe hamming top-5 by exhaustive rank, lower-id tie-break —
     // exactly GroupedTopK's (score DESC = hamming ASC, id ASC) contract

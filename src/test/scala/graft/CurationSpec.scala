@@ -75,6 +75,72 @@ class CurationSpec extends SparkSpec {
       all.contains("galaxies"))
   }
 
+  test("media stage: a re-crawled re-encoded image collapses docs whose TEXT was rewritten") {
+    import graft.ext.Multimodal
+    val W = 20; val H = 16
+    val plane = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      (((x * 13 + y * 7 + (x * y) % 5) * 3) % 251).toByte
+    }
+    val png = Multimodal.encodePng(W, H, 0, plane, Seq.fill(H)(0), 9)
+    // byte-level DIFFERENT encoding of the SAME pixels — only the
+    // pixel-regime hash can see through it
+    val reenc = Multimodal.encodePng(W, H, 0, plane,
+      (0 until H).map(_ % 5), 1, splitIdat = true)
+    val otherPng = Multimodal.storedGrayPng(
+      Array.tabulate(W * H)(p => ((p * 37 + 11) % 256).toByte), W, H)
+    val docs = Seq(
+      // 1: original article with picture P
+      (1L, ("solar flares disrupted radio communication across the arctic " +
+        "circle during the magnetic storm event ") * 4, "en",
+        Some(png), 0, 0),
+      // 2: REWRITTEN text (no shared vocabulary), re-encoded copy of P —
+      // only the image stage can catch this recrawl
+      (2L, ("geomagnetic disturbances knocked out shortwave broadcasts " +
+        "near polar latitudes throughout yesterday ") * 4, "en",
+        Some(reenc), 0, 0),
+      // 3: distinct text, distinct picture
+      (3L, ("quantum error correction codes stabilize logical qubits " +
+        "against decoherence in superconducting lattices ") * 4, "en",
+        Some(otherPng), 0, 0),
+      // 4: no media at all — must pass through the stage untouched
+      (4L, ("fermented tea cultures require consistent ambient warmth " +
+        "and patient weekly attention for balance ") * 4, "en",
+        None, 0, 0))
+      .toDF("doc_id", "text", "lang", "media", "width", "height")
+    val out = tmpDir("cur_media") + "/c"
+    val r = Curation.run(spark, docs, out, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")))
+    assert(r.afterNearDup == 4, s"texts share nothing: $r") // no text dups
+    assert(r.afterImageDedup == 3, s"image stage must drop doc 2: $r")
+    val kept = spark.read.parquet(out)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept $kept")
+
+    // same corpus through the durable store: run 1 registers, run 2
+    // (text rewritten AGAIN, third encoding of P) dedups cross-RUN
+    val store = tmpDir("cur_media_store") + "/imgstore"
+    val out1 = tmpDir("cur_media_s1") + "/c"
+    val r1 = Curation.run(spark, docs, out1, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(store))
+    assert(r1.afterImageDedup == 3, s"store run 1: $r1")
+    val docs2 = Seq(
+      (9L, ("ionospheric propagation failed across auroral zones while " +
+        "operators switched to satellite relays ") * 4, "en",
+        Some(Multimodal.storedGrayPng(plane, W, H)), 0, 0))
+      .toDF("doc_id", "text", "lang", "media", "width", "height")
+    val out2 = tmpDir("cur_media_s2") + "/c"
+    val r2 = Curation.run(spark, docs2, out2, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(store))
+    assert(r2.afterImageDedup == 0,
+      s"run-2 recrawl must dedup against the STORE: $r2")
+  }
+
   test("curation is deterministic: rerun produces the identical chunk set") {
     val out1 = tmpDir("cur_a") + "/c"
     val out2 = tmpDir("cur_b") + "/c"
