@@ -114,17 +114,14 @@ object AudioDsp {
     }
   }
 
-  private def hann(n: Int): Array[Double] =
+  private[ext] def hann(n: Int): Array[Double] =
     Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
 
-  // ---- per-document analysis -------------------------------------------
-
-  /** Decode a 16-bit PCM WAV and summarize its spectrum. None when the
-    * payload is not such a WAV (caller emits the zeroed row).
+  /** 16-bit PCM WAV -> normalized mono samples + sample rate, or None
+    * when the payload is not such a WAV. The mono-mix [[analyze]] uses,
+    * factored out so [[AudioFingerprint]] shares the exact decode.
     */
-  private[graft] def analyze(
-      bytes: Array[Byte], frameSize: Int, hop: Int,
-      nMels: Int): Option[AudioFeatures] = {
+  private[ext] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (!Multimodal.ContainerCodec.isWav(bytes)) return None
     val (channels, sampleRate, bits, dataOff, dataLen) =
       Multimodal.ContainerCodec.wavLayout(bytes) match {
@@ -132,7 +129,6 @@ object AudioDsp {
         case None    => return None
       }
     if (bits != 16) return None
-    // mono mix: average interleaved channels, normalize to [-1, 1]
     val nSamples = dataLen / 2 / channels
     val x = new Array[Double](nSamples)
     var i = 0
@@ -146,9 +142,25 @@ object AudioDsp {
       x(i) = acc / channels / 32768.0
       i += 1
     }
+    Some((x, sampleRate))
+  }
+
+  // ---- per-document analysis -------------------------------------------
+
+  /** Decode a 16-bit PCM WAV and summarize its spectrum. None when the
+    * payload is not such a WAV (caller emits the zeroed row).
+    */
+  private[graft] def analyze(
+      bytes: Array[Byte], frameSize: Int, hop: Int,
+      nMels: Int): Option[AudioFeatures] = {
+    val (x, sampleRate) = monoSamples(bytes) match {
+      case Some(ms) => ms
+      case None     => return None
+    }
+    val nSamples = x.length
     // whole-signal zcr and rms
     var crossings = 0; var energy = 0.0
-    i = 0
+    var i = 0
     while (i < nSamples) {
       energy += x(i) * x(i)
       if (i > 0 && (x(i) >= 0) != (x(i - 1) >= 0)) crossings += 1

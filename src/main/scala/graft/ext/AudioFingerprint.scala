@@ -1,0 +1,274 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.UpsertIgnore
+
+/** [EXT] Compact AUDIO fingerprints — the constellation/landmark-hash
+  * family (peak-pair hashing over the short-time spectrum, the classic
+  * broadcast-monitoring design) built on [[AudioDsp]]'s existing
+  * decode + FFT machinery, feeding the durable-store dedup family the
+  * way dHash does for images.
+  *
+  * Per document: mono PCM -> Hann/FFT frames -> per-frame spectral
+  * PEAKS (local maxima above the frame mean — peak POSITIONS survive
+  * volume changes, re-mastering and mild noise where raw spectra do
+  * not) -> each anchor peak pairs with the next `fanout` peaks within
+  * `windowFrames` frames -> hash = (anchorBin, targetBin, dt) packed
+  * into one long. A document's fingerprint is its distinct hash SET;
+  * two documents match when they share >= `minShared` hashes — an
+  * amplitude-scaled or re-mastered copy shares nearly all of them, and
+  * unrelated audio shares none (bin collisions die on the shared-count
+  * threshold).
+  *
+  * Scale shape: fingerprints are one mapPartitions scan (no shuffle);
+  * pair search groups by fp — map-side combinable, bucket-capped
+  * (degenerate hub hashes drop, the SimHash/chunk discipline), never
+  * all-pairs. The incremental store probes ONE unshuffled scan of
+  * `fps/` with the batch's hash set broadcast.
+  *
+  * Correctness posture: FFT peak positions are deterministic on a fixed
+  * JVM but `sin()`/float ULP drift makes a cross-engine DuckDB oracle
+  * UNSAFE (the BPE precedent) — so the hash family is pinned by a
+  * frozen-golden spec, and the `ext_audio_dedup_pairs` gate is oracled
+  * on PLANTED truth instead: scaled copies must pair, distinct tone
+  * sequences must not.
+  */
+object AudioFingerprint {
+
+  final case class Params(
+      frameSize: Int = 512,
+      hop: Int = 256,
+      peaksPerFrame: Int = 3,
+      fanout: Int = 3,
+      windowFrames: Int = 16,
+      minShared: Int = 8,
+      maxBucket: Int = 2000)
+
+  /** Landmark hashes of one decoded signal: per-frame peak bins, then
+    * anchor->target pairs packed as (b1 << 26) | (b2 << 10) | dt
+    * (bins < 2^16 for any frameSize <= 65536 samples... bins here are
+    * < frameSize/2+1, dt < 2^10). Deterministic; empty for signals
+    * shorter than one frame.
+    */
+  private[ext] def landmarks(
+      x: Array[Double], p: Params): Array[Long] = {
+    val nFrames =
+      if (x.length < p.frameSize) 0 else (x.length - p.frameSize) / p.hop + 1
+    if (nFrames == 0) return Array.empty
+    val nBins = p.frameSize / 2 + 1
+    val window = AudioDsp.hann(p.frameSize)
+    val re = new Array[Double](p.frameSize)
+    val im = new Array[Double](p.frameSize)
+    // per-frame top-P local-max bins (descending power, then bin asc)
+    val framePeaks = new Array[Array[Int]](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val off = f * p.hop
+      var k = 0
+      while (k < p.frameSize) {
+        re(k) = x(off + k) * window(k); im(k) = 0.0; k += 1
+      }
+      AudioDsp.fft(re, im)
+      val power = new Array[Double](nBins)
+      var mean = 0.0
+      k = 0
+      while (k < nBins) {
+        power(k) = re(k) * re(k) + im(k) * im(k)
+        mean += power(k); k += 1
+      }
+      mean /= nBins
+      // local maxima above the frame mean, strongest first
+      val cand = (1 until nBins - 1).filter { b =>
+        power(b) > mean && power(b) > power(b - 1) && power(b) >= power(b + 1)
+      }
+      framePeaks(f) = cand.sortBy(b => (-power(b), b))
+        .take(p.peaksPerFrame).sorted.toArray
+      f += 1
+    }
+    // anchor -> target pairing within the forward window
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    f = 0
+    while (f < nFrames) {
+      for (b1 <- framePeaks(f)) {
+        var taken = 0
+        var df = 1
+        while (df <= p.windowFrames && f + df < nFrames && taken < p.fanout) {
+          for (b2 <- framePeaks(f + df) if taken < p.fanout) {
+            out += (b1.toLong << 26) | (b2.toLong << 10) | df.toLong
+            taken += 1
+          }
+          df += 1
+        }
+      }
+      f += 1
+    }
+    out.distinct.toArray
+  }
+
+  /** The distributed fingerprint operator: media rows (doc_id, media,
+    * ...) in, (doc_id, fp) rows out — one partition-parallel scan, no
+    * shuffle. Non-WAV/undecodable payloads yield no rows (they can
+    * never audio-match anything; the decode census counts them).
+    */
+  def fingerprints(
+      spark: SparkSession,
+      media: DataFrame,
+      params: Params = Params()): DataFrame = {
+    require((params.frameSize & (params.frameSize - 1)) == 0,
+      s"frameSize must be a power of two, got ${params.frameSize}")
+    import spark.implicits._
+    val p = params
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioDsp.monoSamples(bytes) match {
+            case Some((x, _)) => landmarks(x, p).iterator.map(fp => (id, fp))
+            case None         => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** One-shot near-duplicate audio pairs: documents sharing >=
+    * `minShared` landmark hashes — (id_a, id_b, shared), id_a < id_b.
+    * GroupBy-fp blocking (map-side combinable), hub hashes past
+    * `maxBucket` drop as degenerate (a hash shared by thousands of
+    * documents identifies nothing).
+    */
+  def audioNearDups(
+      spark: SparkSession,
+      media: DataFrame,
+      params: Params = Params()): DataFrame =
+    sharedCounts(fingerprints(spark, media, params), params)
+      .filter(col("shared") >= params.minShared)
+      .select("id_a", "id_b", "shared")
+
+  private def sharedCounts(fps: DataFrame, p: Params): DataFrame =
+    fps.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= p.maxBucket)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+
+  // ------------------------------------------------ durable store form
+
+  /** Incremental audio dedup against a durable fingerprint store —
+    * layout mirrors the siblings:
+    *
+    *   store/fps/       (doc_id, fp) — landmark hashes per document
+    *   store/forgotten/ (doc_id)     — takedown tombstones
+    *
+    * Ingest returns the >= minShared pairs the batch introduces
+    * (new-vs-stored and new-vs-new), then registers the batch's
+    * fingerprints. Batch hash set broadcasts against ONE unshuffled
+    * store scan; a re-ingested doc_id neither self-pairs nor
+    * double-registers (keyed appendAbsent).
+    */
+  def ingest(
+      spark: SparkSession,
+      media: DataFrame,
+      storePath: String,
+      params: Params = Params()): DataFrame = {
+    val fpsPath = s"$storePath/fps"
+    val storeExists = exists(spark, fpsPath)
+    val fps = fingerprints(spark, media, params)
+      .dropDuplicates("doc_id", "fp")
+      .localCheckpoint(false) // probe, in-batch pairs, registration
+
+    val inBatch = sharedCounts(fps, params)
+    val cross =
+      if (!storeExists) inBatch.limit(0)
+      else {
+        // one store scan, batch hashes broadcast; stored copies of
+        // re-ingested ids drop (their batch rows already count)
+        val hot = liveFps(spark, storePath)
+          .join(broadcast(fps.select("doc_id").distinct()),
+            Seq("doc_id"), "left_anti")
+          .join(broadcast(fps.select("fp").distinct()), Seq("fp"), "left_semi")
+        fps.select(col("fp"), col("doc_id").as("batch_id"))
+          .join(hot.select(col("fp"), col("doc_id").as("store_id")), Seq("fp"))
+          .groupBy(least(col("batch_id"), col("store_id")).as("id_a"),
+            greatest(col("batch_id"), col("store_id")).as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+      }
+    val out = inBatch.unionByName(cross)
+      .filter(col("shared") >= params.minShared)
+      .select("id_a", "id_b", "shared")
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true) // materialize BEFORE mutating the store
+
+    if (!storeExists)
+      fps.write.mode("overwrite").parquet(fpsPath)
+    else {
+      val ids = fps.select("doc_id")
+      val idBounds = ids.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      UpsertIgnore.appendAbsent(spark, fps, fpsPath, keys = Seq("doc_id"),
+        pruneCol = Some("doc_id"), bounds = Some(idBounds))
+    }
+    out
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def liveFps(spark: SparkSession, storePath: String): DataFrame = {
+    val fps = spark.read.parquet(s"$storePath/fps")
+    val fPath = s"$storePath/forgotten"
+    if (!StoreTombstones.hasData(spark, fPath)) fps
+    else fps.join(broadcast(spark.read.parquet(fPath)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Takedown: forget these owners' fingerprints (O(takedown) tombstone
+    * append; probes mask immediately, compactStore erases physically).
+    */
+  def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$storePath/forgotten")
+
+  /** Fold tombstones and compact; returns (filesBefore, filesAfter). */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
+      Seq(s"$storePath/fps"), targetFileBytes)
+
+  /** Deterministic tone-sequence WAV (concatenated fixed-frequency
+    * segments) — the fixture generator for the audio-dedup gates: a
+    * sequence of distinct tones produces landmark pairs across segment
+    * boundaries (a single sine would collapse to one bin), while
+    * staying restatable from (doc_id-derived) parameters.
+    */
+  def tonesWav(
+      sampleRate: Int,
+      tones: Seq[(Double, Int)], // (freqHz, nSamples)
+      amplitude: Double = 0.5): Array[Byte] = {
+    val n = tones.map(_._2).sum
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    tones.foreach { case (freq, len) =>
+      var i = 0
+      while (i < len) {
+        val v = amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
+        out.putShort(math.round(v * 32767.0).toShort)
+        i += 1
+      }
+    }
+    out.array()
+  }
+}

@@ -60,7 +60,8 @@ object TrainingSet {
       afterExact: Long, afterNearDup: Long, afterSubstring: Long,
       packs: Long, alreadyApplied: Boolean,
       afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1,
-      afterEmbedNearDup: Long = -1, afterImageDedup: Long = -1)
+      afterEmbedNearDup: Long = -1, afterImageDedup: Long = -1,
+      afterAudioDedup: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
@@ -128,6 +129,15 @@ object TrainingSet {
     *        the same content (only with imageStorePath; default 6 —
     *        stricter than the 10-bit similarity-search default because,
     *        as with embeddings, a dedup false positive deletes a doc)
+    * @param audioCol with `audioStorePath`: the batch column carrying
+    *        an opaque AUDIO payload (WAV/PCM decodes; other codecs pass
+    *        through as never-matching, counted by the decode census)
+    * @param audioStorePath when set, incremental AUDIO near-dup vs the
+    *        durable landmark-fingerprint store (AudioFingerprint.ingest)
+    *        after the image stage: a re-mastered or re-encoded copy of
+    *        the same recording dedups cross-batch even when every text
+    *        field was rewritten. NULL/undecodable audio passes through
+    *        and never registers; same drop rules as every dedup stage
     * @param splits when non-empty, leakage-safe split assignment
     *        (`Splits.assign` keyed on `splitGroupCol`, default the doc
     *        id) BEFORE packing, and packing runs PER SPLIT — a packed
@@ -171,6 +181,8 @@ object TrainingSet {
       mediaCols: Option[(String, String, String)] = None,
       imageStorePath: Option[String] = None,
       imageMaxHamming: Int = 6,
+      audioCol: Option[String] = None,
+      audioStorePath: Option[String] = None,
       accounting: Boolean = true,
       splits: Seq[(String, Double)] = Nil,
       splitGroupCol: Option[String] = None,
@@ -327,17 +339,36 @@ object TrainingSet {
     val afterImageDedup =
       if (imageStorePath.isEmpty) -1L else cnt(imgSurvivors)
 
+    // 4d (optional): incremental AUDIO near-dup vs the durable landmark
+    // store — the acoustic sibling of the image stage: a re-mastered
+    // copy of the same recording dedups cross-batch by spectral-peak
+    // fingerprint even when all its text was rewritten. Undecodable
+    // audio yields no fingerprints inside ingest and passes through.
+    val audioSurvivors = (audioCol, audioStorePath) match {
+      case (Some(aCol), Some(asp)) =>
+        val withAudio = imgSurvivors.filter(col(aCol).isNotNull)
+        val audioPairs = graft.ext.AudioFingerprint.ingest(spark,
+          withAudio.select(col(idCol).as("doc_id"), col(aCol).as("media")),
+          asp)
+        dropPairLosers(imgSurvivors, audioPairs, idCol).localCheckpoint(false)
+      case (None, Some(_)) => sys.error(
+        "TrainingSet.ingest: audioStorePath needs audioCol")
+      case _ => imgSurvivors
+    }
+    val afterAudioDedup =
+      if (audioStorePath.isEmpty) -1L else cnt(audioSurvivors)
+
     // 5 (optional): incremental verbatim-span dedup vs the durable
     // fingerprint store — high-precision copy-paste screening that
     // Jaccard near-dup misses when the surrounding text differs. Same
     // drop rules; only prior-stage survivors register (already-dropped
     // batch docs must not claim spans they never contributed).
     val spanSurvivors = substringMinLen match {
-      case None => imgSurvivors
+      case None => audioSurvivors
       case Some(minLen) =>
-        val spanPairs = IncrementalSubstring.ingest(spark, imgSurvivors,
+        val spanPairs = IncrementalSubstring.ingest(spark, audioSurvivors,
           idCol, textCol, s"$storePath/substr", minLen)
-        dropPairLosers(imgSurvivors, spanPairs, idCol).localCheckpoint(false)
+        dropPairLosers(audioSurvivors, spanPairs, idCol).localCheckpoint(false)
     }
     val afterSubstring = cnt(spanSurvivors)
     // the commit-vs-ledger decision needs survivor PRESENCE, not the
@@ -389,7 +420,7 @@ object TrainingSet {
       afterUrlDedup = afterUrlDedup,
       afterEmbedDecontaminate = afterEmbedDecontaminate,
       afterEmbedNearDup = afterEmbedNearDup,
-      afterImageDedup = afterImageDedup)
+      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup)
   }
 
   /** TAKEDOWN: remove documents from the training table AND from every
@@ -430,6 +461,7 @@ object TrainingSet {
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
+      audioStorePath: Option[String] = None,
       vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -451,6 +483,9 @@ object TrainingSet {
     }
     imageStorePath.filter(p => has(s"$p/sigs")).foreach { p =>
       graft.ext.IncrementalImageDedup.forget(spark, p, tomb)
+    }
+    audioStorePath.filter(p => has(s"$p/fps")).foreach { p =>
+      graft.ext.AudioFingerprint.forget(spark, p, tomb)
     }
     urlStorePath.filter(p => has(s"$p/keys")).foreach { p =>
       graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
@@ -516,6 +551,7 @@ object TrainingSet {
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
+      audioStorePath: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val counts =
       Seq(IncrementalDedup.compactStore(spark, storePath, targetFileBytes),
@@ -526,6 +562,9 @@ object TrainingSet {
           targetFileBytes)) ++
       imageStorePath.map(p =>
         graft.ext.IncrementalImageDedup.compactStore(spark, p,
+          targetFileBytes)) ++
+      audioStorePath.map(p =>
+        graft.ext.AudioFingerprint.compactStore(spark, p,
           targetFileBytes)) ++
       urlStorePath.map(p =>
         graft.ext.IncrementalKeyedDedup.compactStore(spark, p,

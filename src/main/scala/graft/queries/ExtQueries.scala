@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, AudioFingerprint, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -1350,6 +1350,51 @@ object ExtQueries {
       Dedup.componentsFromPairs(media.select("doc_id"), "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Near-duplicate AUDIO by landmark fingerprints (oracled on PLANTED
+    // truth — the FFT arithmetic itself is pinned by the frozen-golden
+    // spec, since sin()/float ULP drift makes a cross-engine replay
+    // unsafe): 20 synthesized recordings of globally-unique tone
+    // sequences plus 10 amplitude-scaled copies; a correct fingerprinter
+    // MUST pair exactly copy-with-original — peak positions survive
+    // re-mastering, unique tones share no spectrum. The oracle is the
+    // closed-form planted pair list.
+    "ext_audio_dedup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+        (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+      val media = ((0 until 20).map(k => (k.toLong, rec(k, 0.5))) ++
+        (0 until 10).map(k => (k + 100L, rec(k, 0.3))))
+        .toDF("doc_id", "media")
+      AudioFingerprint.audioNearDups(s, media)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // The same planted truth found ACROSS two ingests of the durable
+    // fingerprint store — re-mastered copies must surface via stored-
+    // fingerprint collisions, not a one-shot run (the image-store gate
+    // shape applied to audio).
+    "ext_audio_incr" -> ((s, dir) => {
+      import s.implicits._
+      def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+        (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+      // tone indices must stay below Nyquist (k*6+5 < (4000-300)/25):
+      // an aliased high tone would fold back ONTO a low id's spectrum
+      val b1 = (0 until 12).map(k => (k.toLong, rec(k, 0.5)))
+        .toDF("doc_id", "media")
+      val b2 = ((0 until 10).map(k => (k + 100L, rec(k, 0.3))) ++
+        (12 until 17).map(k => (k.toLong, rec(k, 0.5))))
+        .toDF("doc_id", "media")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_audiodedup").toString + "/store"
+      val out = AudioFingerprint.ingest(s, b1, store)
+        .unionByName(AudioFingerprint.ingest(s, b2, store))
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }),
 
     // Token-budget waterfill across languages (fully oracled): allocate
@@ -2862,6 +2907,16 @@ object ExtQueries {
         |FROM hashes x, hashes y WHERE x.doc_id < y.doc_id
         |  AND bit_count(xor(x.dhash, y.dhash)) <= 10
         |ORDER BY id_a, id_b""").stripMargin,
+
+    // planted truth: copy k+100 of original k for k < 10, nothing else
+    // may pair (unique tones) — closed-form, implementation-free
+    "ext_audio_dedup_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_audio_incr" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
     // pixel-regime hash replay WITHOUT the bytes: the oracle regenerates
     // each synthesized plane from the closed-form formula the Spark side

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.AudioFingerprint
+
+/** Landmark audio fingerprints: the frozen-golden pin on the hash
+  * family (cross-engine `sin()` ULP drift makes a DuckDB oracle unsafe
+  * — the BPE/simhash golden discipline applies) plus the operator
+  * properties: amplitude invariance (a re-mastered copy dedups),
+  * discrimination (distinct tone sequences never pair), and the
+  * durable-store contract (multi-ingest == one-shot, idempotent
+  * replay, forget/readmit).
+  */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Sr = 8000
+  // tones are globally UNIQUE per (seed, position) and spaced wider
+  // than one FFT bin (25 Hz > 8000/512), so distinct recordings share
+  // no spectral peaks by construction — discrimination failures then
+  // mean the OPERATOR drifted, not the fixture collided
+  private def seqOf(seed: Int): Seq[(Double, Int)] =
+    (0 until 6).map(i => (300.0 + (seed * 6 + i) * 25.0, 1024))
+  private def wav(seed: Int, amplitude: Double = 0.5): Array[Byte] =
+    AudioFingerprint.tonesWav(Sr, seqOf(seed), amplitude)
+
+  private def fpSet(bytes: Array[Byte]): Set[Long] =
+    AudioFingerprint.fingerprints(spark,
+      Seq((1L, bytes)).toDF("doc_id", "media"))
+      .select("fp").as[Long].collect().toSet
+
+  test("frozen golden: the landmark family is pinned on a fixed tone sequence") {
+    val fps = fpSet(wav(1))
+    // FROZEN on 2026-08-14 (first green run of the family): any change
+    // to the windowing, FFT, peak pick, or pairing arithmetic moves
+    // these and must be a deliberate, re-frozen decision.
+    assert(fps.nonEmpty, "fixture produced no landmarks")
+    val sorted = fps.toSeq.sorted
+    val digest = (fps.size, sorted.head, sorted.last,
+      fps.foldLeft(0L)(_ ^ _))
+    assert(digest == GoldenDigest, s"landmark family drifted: $digest")
+  }
+  private val GoldenDigest = (54, 1879078913L, 2550174723L, 469825539L)
+
+  test("amplitude-scaled and slightly attenuated copies share the fingerprint") {
+    val a = fpSet(wav(2, amplitude = 0.5))
+    val b = fpSet(wav(2, amplitude = 0.2)) // re-mastered quieter copy
+    assert(a == b, s"peak POSITIONS must survive amplitude scaling: " +
+      s"only-a=${(a -- b).size} only-b=${(b -- a).size}")
+    val c = fpSet(wav(3))
+    assert((a & c).size < AudioFingerprint.Params().minShared,
+      s"distinct tone sequences share ${(a & c).size} landmarks")
+  }
+
+  test("audioNearDups: planted scaled copy pairs, distinct audio does not") {
+    val media = Seq(
+      (1L, wav(10, 0.5)), (2L, wav(10, 0.25)), // copies of one recording
+      (3L, wav(11)), (4L, wav(12)),            // distinct recordings
+      (5L, "not audio".getBytes("UTF-8")))     // undecodable: no rows
+      .toDF("doc_id", "media")
+    val pairs = AudioFingerprint.audioNearDups(spark, media)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+  }
+
+  test("incremental store: cross-batch == one-shot, replay idempotent, forget readmits") {
+    val store = tmpDir("audiostore") + "/s"
+    val b1 = Seq((1L, wav(20, 0.5)), (2L, wav(21))).toDF("doc_id", "media")
+    val b2 = Seq((3L, wav(20, 0.3)), (4L, wav(22))).toDF("doc_id", "media")
+    val p1 = AudioFingerprint.ingest(spark, b1, store).collect()
+    assert(p1.isEmpty, s"first batch has no dups: ${p1.toSeq}")
+    val p2 = AudioFingerprint.ingest(spark, b2, store)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p2.toSeq == Seq((1L, 3L)),
+      s"re-mastered copy must pair cross-batch: ${p2.toSeq}")
+    // replay of batch 2: the stored copy of id 3 must not self-pair,
+    // and registration is idempotent (keyed appendAbsent)
+    val replay = AudioFingerprint.ingest(spark, b2, store)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(replay.toSeq == Seq((1L, 3L)), s"replay drifted: ${replay.toSeq}")
+    val storedRows = spark.read.parquet(s"$store/fps")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedRows.keySet == Set(1L, 2L, 3L, 4L), s"$storedRows")
+
+    // forget both copies of the recording: a fresh copy readmits
+    AudioFingerprint.forget(spark, store, Seq(1L, 3L).toDF("doc_id"))
+    val p3 = AudioFingerprint.ingest(spark,
+      Seq((9L, wav(20, 0.4))).toDF("doc_id", "media"), store).collect()
+    assert(p3.isEmpty, s"forgotten audio still blocks: ${p3.toSeq}")
+    // compaction physically erases the forgotten owners
+    AudioFingerprint.compactStore(spark, store)
+    val left = spark.read.parquet(s"$store/fps")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(left == Set(2L, 4L, 9L), s"tombstones not folded: $left")
+  }
+}

@@ -291,6 +291,41 @@ class TrainingSetSpec extends SparkSpec {
     assert(r4.afterNearDup == 0, s"text stage stopped working: $r4")
   }
 
+  test("audio stage: re-mastered recording with REWRITTEN text drops cross-batch; takedown readmits") {
+    import graft.ext.AudioFingerprint
+    val work = tmpDir("trainaudio")
+    val store = s"$work/store"
+    val audioStore = s"$work/audio"
+    val target = s"$work/train"
+    def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+      (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+    val textA = "an interview transcript describing harbor seals hauling " +
+      "out on granite ledges with phrasing repeated nowhere else at all"
+    val textB = "entirely rewritten caption about pinnipeds resting along " +
+      "rocky shorelines sharing zero vocabulary with anything previous"
+    def ing(rows: Seq[(Long, String, Array[Byte])], id: String) =
+      TrainingSet.ingest(spark, rows.toDF("doc_id", "text", "media"),
+        benchmark, store, target, id, minQuality = 0.0,
+        audioCol = Some("media"), audioStorePath = Some(audioStore))
+    val r1 = ing(Seq((1L, textA, rec(4, 0.5))), "a1")
+    assert(r1.afterAudioDedup == 1, s"$r1")
+    // batch 2: the SAME recording re-mastered quieter, under fully
+    // rewritten text — only the landmark store can catch it
+    val r2 = ing(Seq((2L, textB, rec(4, 0.25))), "a2")
+    assert(r2.afterNearDup == 1 && r2.afterAudioDedup == 0,
+      s"re-mastered audio not caught by the landmark store: $r2")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // takedown reaches the audio store: the recording readmits fresh
+    TrainingSet.takedown(spark, target, store, Seq(1L, 2L),
+      audioStorePath = Some(audioStore))
+    val r3 = ing(Seq((3L, textB + " more", rec(4, 0.4))), "a3")
+    assert(r3.afterAudioDedup == 1, s"audio store did not forget: $r3")
+    // a DIFFERENT recording passes while the stage is active
+    val r4 = ing(Seq((4L, textA + " again", rec(9, 0.5))), "a4")
+    assert(r4.afterAudioDedup == 1, s"distinct audio wrongly dropped: $r4")
+  }
+
   test("takedown: table row deleted AND every store forgets — content re-admittable") {
     val work = tmpDir("traintakedown")
     val store = s"$work/store"
