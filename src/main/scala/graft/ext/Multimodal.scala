@@ -80,7 +80,8 @@ object Multimodal {
 
   /** REAL container AND pixel parsing for the formats that need no
     * external codec — PNG (geometry from the IHDR chunk, and for the
-    * common non-interlaced 8-bit color types a FULL pixel decode: IDAT
+    * common non-interlaced color types — 8-bit gray/RGB/GA/RGBA, 8-bit
+    * palette, 1/2/4-bit gray and palette — a FULL pixel decode: IDAT
     * is zlib, so `java.util.zip.Inflater` plus the five PNG scanline
     * unfilters recover the raw pixels offline) and WAV/PCM (audio
     * geometry from the fmt chunk plus a real RMS amplitude over the PCM
@@ -152,12 +153,13 @@ object Multimodal {
       * len(4) "IHDR" width(4) height(4) bitDepth(1) colorType(1) ... crc(4).
       * The CRC32 over "IHDR"+payload is VERIFIED — a corrupt header
       * falls back to byte-stats rather than emitting garbage geometry.
-      * When the image is non-interlaced 8-bit gray/RGB/GA/RGBA with
-      * CRC-valid IDAT data, the pixels are decoded for real and
-      * per-channel means append to the feature (see the layout above);
-      * palette (PLTE), 16-bit, sub-byte and Adam7 images stay
-      * geometry-only — valid PNGs, just not worth the decoder surface
-      * for a feature-extraction stat.
+      * When the image is on the non-interlaced decode path (8-bit
+      * gray/RGB/GA/RGBA, 8-bit palette, or 1/2/4-bit gray/palette —
+      * see [[pngInterleaved]]) with CRC-valid IDAT data, the pixels
+      * are decoded for real and per-channel means append to the
+      * feature (see the layout above); 16-bit and Adam7-interlaced
+      * images stay geometry-only — valid PNGs, just outside the
+      * decoder surface (documented boundary).
       */
     private def decodePng(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
@@ -177,14 +179,17 @@ object Multimodal {
         if (px.isDefined) "pixels" else "header", byteChecksum(b), feature))
     }
 
-    /** Channels per PNG color type for the 8-bit pixel path. */
+    /** Samples per pixel IN THE SCANLINE per PNG color type (palette
+      * carries one index per pixel; expansion happens post-unfilter).
+      */
     private[ext] def pngChannelsOf(colorType: Int): Int = channelsOf(colorType)
     private def channelsOf(colorType: Int): Int = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
+      case 3 => 1 // palette indices
       case 4 => 2 // gray + alpha
       case 6 => 4 // RGBA
-      case _ => 0 // palette (3) and invalid types: no pixel path
+      case _ => 0 // invalid types: no pixel path
     }
 
     /** Defense against decompression bombs: a 4-float stat never
@@ -194,47 +199,68 @@ object Multimodal {
     private val MaxInflatedBytes = 1L << 26 // 64 MiB
 
     /** The decoded interleaved 8-bit samples (width·height·channels
-      * bytes, row-major) for PNGs on the 8-bit non-interlaced
-      * gray/RGB/GA/RGBA path, or None when any chunk/zlib/size
-      * validation fails — conservative: bad data degrades, never
-      * decodes into garbage. Shared by the mean-stat feature path
-      * ([[pixelStats]]) and the grayscale perceptual-hash path
-      * ([[grayPlane]]).
+      * bytes, row-major) for PNGs on the non-interlaced decode path:
+      * 8-bit gray/RGB/GA/RGBA, 8-bit PALETTE (PLTE lookup expands to
+      * RGB — indexed color is everywhere in a real crawl), and
+      * SUB-BYTE (1/2/4-bit) gray and palette images (MSB-first
+      * unpacking, gray samples scaled by 255/(2^d−1) per the spec).
+      * None when any chunk/zlib/size/palette validation fails —
+      * conservative: bad data degrades, never decodes into garbage.
+      * Shared by the mean-stat feature path ([[pixelStats]]) and the
+      * grayscale perceptual-hash path ([[grayPlane]]). 16-bit and
+      * Adam7-interlaced images remain out of path (valid PNGs, just
+      * geometry-only — documented boundary).
       */
     private[ext] def pngInterleaved(
         b: Array[Byte], width: Int, height: Int,
         bitDepth: Int, colorType: Int): Option[(Array[Byte], Int)] = {
-      val channels = channelsOf(colorType)
-      if (bitDepth != 8 || channels == 0 || width <= 0 || height <= 0)
+      // samples per pixel as they appear IN THE SCANLINE (palette = 1
+      // index per pixel; expansion to RGB happens after unfiltering)
+      val scanChannels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
+      val depthOk =
+        bitDepth == 8 || (subByte && (colorType == 0 || colorType == 3))
+      if (scanChannels == 0 || !depthOk || width <= 0 || height <= 0)
         return None
       val compression = b(26) & 0xff
       val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
       if (compression != 0 || filterMethod != 0 || interlace != 0) return None
-      val rowBytes = 1L + width.toLong * channels
-      val total = rowBytes * height
+      val bitsPerPx = scanChannels * bitDepth
+      val rowData = (width.toLong * bitsPerPx + 7) / 8
+      val total = (1L + rowData) * height
       if (total > MaxInflatedBytes) return None
 
       // walk the chunks after IHDR, concatenating CRC-valid IDAT data
-      // (one zlib stream may span many IDAT chunks)
+      // (one zlib stream may span many IDAT chunks) and capturing the
+      // CRC-valid PLTE for indexed color
       val idat = new java.io.ByteArrayOutputStream()
+      var palette: Array[Byte] = null
       var off = 8 + 4 + 4 + 13 + 4
       var done = false
       while (!done && off + 8 <= b.length) {
         val sz = u32be(b, off).toInt
         if (sz < 0 || off + 12 + sz > b.length) return None
         val id = tag(b, off + 4)
-        if (id == "IDAT") {
+        if (id == "IDAT" || id == "PLTE") {
           val crc = new java.util.zip.CRC32
           crc.update(b, off + 4, 4 + sz)
           if (crc.getValue != u32be(b, off + 8 + sz)) return None
-          idat.write(b, off + 8, sz)
+          if (id == "IDAT") idat.write(b, off + 8, sz)
+          else {
+            if (sz == 0 || sz % 3 != 0 || sz > 3 * 256) return None
+            palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+          }
         } else if (id == "IEND") done = true
         off += 12 + sz
       }
       if (idat.size == 0) return None
+      if (colorType == 3 && palette == null) return None
 
-      // inflate to EXACTLY height * (1 + width*channels) filtered bytes
+      // inflate to EXACTLY height * (1 + rowData) filtered bytes
       val raw = new Array[Byte](total.toInt)
       val inf = new java.util.zip.Inflater()
       try {
@@ -251,12 +277,13 @@ object Multimodal {
       } finally inf.end()
 
       // undo the per-scanline filter (types 0-4: None, Sub, Up, Average,
-      // Paeth), 8-bit so bytes-per-pixel == channels
-      val bpp = channels
-      val stride = width * channels
+      // Paeth) over the PACKED row bytes; per the spec bpp rounds up to
+      // one byte for sub-byte depths
+      val bpp = math.max(1, bitsPerPx / 8)
+      val stride = rowData.toInt
       val prev = new Array[Int](stride) // unfiltered previous row
       val cur = new Array[Int](stride)
-      val out = new Array[Byte](stride * height)
+      val lines = new Array[Byte](stride * height)
       var y = 0
       while (y < height) {
         val rowOff = y * (stride + 1)
@@ -280,13 +307,54 @@ object Multimodal {
               v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
           }
           cur(x) = recon & 0xff
-          out(y * stride + x) = cur(x).toByte
+          lines(y * stride + x) = cur(x).toByte
           x += 1
         }
         System.arraycopy(cur, 0, prev, 0, stride)
         y += 1
       }
-      Some((out, channels))
+
+      // expand packed samples / palette indices into interleaved 8-bit
+      if (bitDepth == 8 && colorType != 3) return Some((lines, scanChannels))
+      val maxVal = (1 << bitDepth) - 1
+      def sampleAt(y: Int, px: Int): Int =
+        if (bitDepth == 8) lines(y * stride + px) & 0xff
+        else {
+          val bitPos = px * bitDepth
+          (lines(y * stride + (bitPos >> 3)) >> (8 - bitDepth - (bitPos & 7))) & maxVal
+        }
+      if (colorType == 3) {
+        val nEntries = palette.length / 3
+        val out = new Array[Byte](width * height * 3)
+        var p = 0
+        var yy = 0
+        while (yy < height) {
+          var xx = 0
+          while (xx < width) {
+            val idx = sampleAt(yy, xx)
+            if (idx >= nEntries) return None // index past the palette
+            out(p) = palette(idx * 3)
+            out(p + 1) = palette(idx * 3 + 1)
+            out(p + 2) = palette(idx * 3 + 2)
+            p += 3; xx += 1
+          }
+          yy += 1
+        }
+        Some((out, 3))
+      } else { // sub-byte gray: scale to 8 bits (255/(2^d-1) exactly)
+        val out = new Array[Byte](width * height)
+        var p = 0
+        var yy = 0
+        while (yy < height) {
+          var xx = 0
+          while (xx < width) {
+            out(p) = (sampleAt(yy, xx) * 255 / maxVal).toByte
+            p += 1; xx += 1
+          }
+          yy += 1
+        }
+        Some((out, 1))
+      }
     }
 
     /** [meanR, meanG, meanB, luminance] over the real decoded pixels,
@@ -308,10 +376,10 @@ object Multimodal {
           }
           val n = width.toLong * height
           def mean(ch: Int): Float = (sums(ch).toDouble / n / 255.0).toFloat
-          val (r, g, bl) = colorType match {
-            case 2 | 6 => (mean(0), mean(1), mean(2)) // RGB / RGBA
-            case _     => (mean(0), mean(0), mean(0)) // gray / gray+alpha
-          }
+          // channels >= 3 = color (RGB/RGBA/palette-expanded); 1-2 = gray
+          val (r, g, bl) =
+            if (channels >= 3) (mean(0), mean(1), mean(2))
+            else (mean(0), mean(0), mean(0))
           val luminance = 0.299f * r + 0.587f * g + 0.114f * bl
           Array(r, g, bl, luminance)
       }
@@ -656,18 +724,37 @@ object Multimodal {
     * zlib stream at the given deflate level — so re-encoding gates can
     * synthesize two DIFFERENT byte-level encodings of the SAME pixels
     * (different filter choices, different compression level, IDAT split
-    * in two) and hold the perceptual hash to invariance across them.
-    * `pixels` is interleaved 8-bit row-major (w·h·channels bytes).
+    * in two, different COLOR MODEL: truecolor vs PLTE palette vs
+    * sub-byte gray) and hold the perceptual hash to invariance across
+    * them. `pixels` is interleaved row-major, one byte per sample
+    * (w·h·channels bytes; palette = one index per pixel, sub-byte =
+    * one value per pixel packed at write time).
     */
   def encodePng(
       w: Int, h: Int, colorType: Int, pixels: Array[Byte],
       filters: Seq[Int],
       deflateLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION,
-      splitIdat: Boolean = false): Array[Byte] = {
+      splitIdat: Boolean = false,
+      bitDepth: Int = 8,
+      palette: Option[Array[Byte]] = None): Array[Byte] = {
     val channels = ContainerCodec.pngChannelsOf(colorType)
     require(channels > 0, s"encodePng: unsupported colorType $colorType")
+    require(bitDepth == 8 ||
+      (Seq(1, 2, 4).contains(bitDepth) && (colorType == 0 || colorType == 3)),
+      s"encodePng: bitDepth $bitDepth with colorType $colorType")
+    require((colorType == 3) == palette.isDefined,
+      "encodePng: palette iff colorType 3")
+    palette.foreach { pal =>
+      require(pal.nonEmpty && pal.length % 3 == 0 && pal.length <= 768,
+        s"encodePng: palette of ${pal.length} bytes")
+      require(pixels.forall(px => (px & 0xff) < pal.length / 3),
+        "encodePng: palette index out of range")
+    }
+    if (bitDepth < 8)
+      require(pixels.forall(px => (px & 0xff) < (1 << bitDepth)),
+        s"encodePng: sample past $bitDepth bits")
     require(pixels.length == w * h * channels && filters.length == h,
-      s"encodePng: need $w*$h*$channels pixel bytes and $h filters")
+      s"encodePng: need $w*$h*$channels sample bytes and $h filters")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
@@ -682,23 +769,45 @@ object Multimodal {
     }
     val ihdr = new java.io.ByteArrayOutputStream()
     be32(ihdr, w); be32(ihdr, h)
-    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(bitDepth); ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
     chunk("IHDR", ihdr.toByteArray)
-    // forward-filter each scanline with its requested type
-    val stride = w * channels
+    palette.foreach(pal => chunk("PLTE", pal))
+    // pack samples into scanline bytes (sub-byte: MSB-first), then
+    // forward-filter each packed line with its requested type
+    val sampleStride = w * channels
+    val stride = ((w.toLong * channels * bitDepth + 7) / 8).toInt
+    def packedLine(y: Int): Array[Byte] =
+      if (bitDepth == 8)
+        java.util.Arrays.copyOfRange(pixels, y * sampleStride,
+          (y + 1) * sampleStride)
+      else {
+        val line = new Array[Byte](stride)
+        var x = 0
+        while (x < w) {
+          val bitPos = x * bitDepth
+          line(bitPos >> 3) = (line(bitPos >> 3) |
+            ((pixels(y * sampleStride + x) & 0xff) <<
+              (8 - bitDepth - (bitPos & 7)))).toByte
+          x += 1
+        }
+        line
+      }
     val raw = new Array[Byte](h * (stride + 1))
+    val bpp = math.max(1, channels * bitDepth / 8)
+    var prevLine = new Array[Byte](stride)
     var y = 0
     while (y < h) {
       val ft = filters(y)
       require(ft >= 0 && ft <= 4, s"encodePng: filter $ft")
       raw(y * (stride + 1)) = ft.toByte
+      val line = packedLine(y)
       var x = 0
       while (x < stride) {
-        val v = pixels(y * stride + x) & 0xff
-        val a = if (x >= channels) pixels(y * stride + x - channels) & 0xff else 0
-        val u = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
-        val c = if (y > 0 && x >= channels)
-          pixels((y - 1) * stride + x - channels) & 0xff else 0
+        val v = line(x) & 0xff
+        val a = if (x >= bpp) line(x - bpp) & 0xff else 0
+        val u = if (y > 0) prevLine(x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) prevLine(x - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -713,6 +822,7 @@ object Multimodal {
         raw(y * (stride + 1) + 1 + x) = ((v - pred) & 0xff).toByte
         x += 1
       }
+      prevLine = line
       y += 1
     }
     val deflater = new java.util.zip.Deflater(deflateLevel)

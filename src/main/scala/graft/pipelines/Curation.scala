@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Chunker, Dedup, IncrementalImageDedup, LineDedup, Multimodal, TextAnalysis}
+import graft.ext.{AudioFingerprint, Chunker, Dedup, IncrementalImageDedup, LineDedup, Multimodal, TextAnalysis}
 import graft.ops.Quality
 import graft.sources.TableIO
 
@@ -13,8 +13,8 @@ import graft.sources.TableIO
   *   quality gate -> PII redaction [-> C4-style boilerplate strip]
   *   -> exact dedup -> near-dup dedup
   *   (MinHash-LSH -> connected components, keep canonical)
-  *   [-> perceptual IMAGE dedup] -> token-window
-  *   chunking -> lang-partitioned parquet
+  *   [-> perceptual IMAGE dedup] [-> landmark AUDIO dedup]
+  *   -> token-window chunking -> lang-partitioned parquet
   *
   * Stage order is the cost order: the cheap scan-speed gates (quality,
   * redaction, exact-dup hash) shrink the corpus BEFORE the shuffling
@@ -29,7 +29,7 @@ object Curation {
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long,
       afterNearDup: Long, chunks: Long, afterBoilerplate: Long = -1,
-      afterImageDedup: Long = -1)
+      afterImageDedup: Long = -1, afterAudioDedup: Long = -1)
 
   /** @param minQuality  quality-score gate in [0,1] (TextAnalysis.qualityScore)
     * @param threshold   near-dup jaccard threshold for MinHash-LSH
@@ -56,6 +56,13 @@ object Curation {
     *        cross-run dHash store (`IncrementalImageDedup` — stored doc
     *        wins, keep-first in-batch) instead of the one-shot
     *        components form, and register this run's survivors.
+    * @param audioCol when set, the acoustic sibling of the media stage:
+    *        landmark-fingerprint dedup (`AudioFingerprint`) over this
+    *        opaque audio column after the image stage — a re-mastered
+    *        copy of the same recording under rewritten text collapses
+    *        to one canonical doc. Null/undecodable audio passes through.
+    * @param audioStorePath with `audioCol`: the durable cross-run
+    *        fingerprint store instead of the one-shot components form.
     */
   def run(spark: SparkSession, docs: DataFrame, outPath: String,
       idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
@@ -64,7 +71,9 @@ object Curation {
       boilerplateMinDocs: Option[Int] = None,
       mediaCols: Option[(String, String, String)] = None,
       imageMaxHamming: Int = 6,
-      imageStorePath: Option[String] = None): Report = {
+      imageStorePath: Option[String] = None,
+      audioCol: Option[String] = None,
+      audioStorePath: Option[String] = None): Report = {
     require(minQuality >= 0 && minQuality <= 1, s"minQuality in [0,1], got $minQuality")
     val input = docs.count()
 
@@ -142,12 +151,37 @@ object Curation {
     val afterImageDedup =
       if (mediaCols.isEmpty) -1L else mediaDeduped.count()
 
+    // 4c (optional): acoustic dedup — same composition as the image
+    // stage with landmark fingerprints in place of dHash.
+    val audioDeduped = audioCol match {
+      case None => mediaDeduped
+      case Some(aCol) =>
+        val base = mediaDeduped.localCheckpoint(false)
+        val audio = base.filter(col(aCol).isNotNull)
+          .select(col(idCol).as("doc_id"), col(aCol).as("media"))
+        audioStorePath match {
+          case Some(asp) =>
+            TrainingSet.dropPairLosers(base,
+              AudioFingerprint.ingest(spark, audio, asp), idCol)
+          case None =>
+            val keep = Dedup.componentsFromPairs(audio.select("doc_id"),
+              "doc_id", AudioFingerprint.audioNearDups(spark, audio)
+                .select("id_a", "id_b"))
+              .filter(col("id") === col("canonical_id"))
+              .select(col("id").as(idCol))
+            base.filter(col(aCol).isNull)
+              .unionByName(base.join(keep, Seq(idCol), "left_semi"))
+        }
+    }
+    val afterAudioDedup =
+      if (audioCol.isEmpty) -1L else audioDeduped.count()
+
     // 5: chunk + write, metrics riding the write action. The partition
     // column rides THROUGH the chunker (keepCols) — a join back to the
     // doc->lang map would be O(surviving docs), broadcastable nowhere
     // near 100 TB.
     val chunks = Chunker.chunkByTokens(
-      mediaDeduped.select(col(idCol), col(textCol), col(langCol)),
+      audioDeduped.select(col(idCol), col(textCol), col(langCol)),
       idCol, textCol, window, stride, keepCols = Seq(langCol))
     val (observed, obs) = Quality.observed(chunks, requiredCols = Seq("chunk"))
     TableIO.write(observed, TableIO.Parquet, outPath,
@@ -156,6 +190,6 @@ object Curation {
 
     Report(input, gated.count(), afterExact,
       nearDeduped.count(), nChunks, afterBoilerplate = afterBoilerplate,
-      afterImageDedup = afterImageDedup)
+      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup)
   }
 }

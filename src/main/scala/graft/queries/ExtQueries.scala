@@ -1324,6 +1324,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // COLOR-MODEL invariance, oracled: each of 15 pictures (16 gray
+    // levels, multiples of 17 so the 4-bit scale-up v·255/15 is exact)
+    // is encoded THREE byte-incompatible ways — truecolor RGB, 8-bit
+    // PLTE palette, 4-bit packed gray — and all three must decode to
+    // the SAME plane and hash. The oracle regenerates the plane from
+    // the closed-form formula once per doc and emits the identical
+    // hash for every variant: palette expansion, sub-byte unpacking,
+    // and the BT.601 equal-channel identity are each one bit-flip away
+    // from failing the compare.
+    "ext_image_px_variants" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0 until 15).flatMap { k =>
+        val w = 9 + (k * 3) % 10
+        val h = 6 + (k * 2) % 7
+        val v16 = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((x * 7 + y * 11 + k * 13) % 16).toByte
+        }
+        val pal = Array.tabulate(16 * 3)(i => ((i / 3) * 17).toByte)
+        val gray8 = v16.map(v => (v * 17).toByte)
+        Seq(
+          (k.toLong, "gray4", Multimodal.encodePng(w, h, 0, v16,
+            (0 until h).map(_ % 5), 6, bitDepth = 4)),
+          (k.toLong, "pal8", Multimodal.encodePng(w, h, 3, v16,
+            (0 until h).map(y => (y + 2) % 5), 9, palette = Some(pal))),
+          (k.toLong, "rgb", Multimodal.encodePng(w, h, 2,
+            gray8.flatMap(b => Array(b, b, b)), (0 until h).map(_ % 3), 1,
+            splitIdat = true)))
+      }
+      rows.toDF("doc_id", "variant", "media")
+        .select(col("doc_id"), col("variant"),
+          Multimodal.dHashPixels(s)(col("media"), lit(0), lit(0))
+            .getField("sh").as("dhash"))
+        .orderBy("doc_id", "variant")
+    }),
+
     // Most-similar-image search (fully oracled): per-probe Hamming
     // top-k over the corpus — the ext_batch_topk shape with Hamming in
     // place of cosine (probe signatures broadcast, one corpus scan,
@@ -2959,6 +2995,48 @@ object ExtQueries {
         |    ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash,
         |  'pixels' AS kind
         |FROM halves ORDER BY doc_id""".stripMargin,
+
+    // one plane per doc from the closed-form 16-level formula; the
+    // SAME hash emitted for all three encodings of it
+    "ext_image_px_variants" ->
+      """WITH d AS (
+        |  SELECT CAST(k AS BIGINT) AS doc_id, 9 + (k*3)%10 AS w,
+        |         6 + (k*2)%7 AS h
+        |  FROM UNNEST(range(0, 15)) AS t(k)),
+        |cells AS (
+        |  SELECT doc_id, w, h, c AS k,
+        |    ((c % 9) * w) // 9 AS x0,
+        |    greatest((((c % 9) + 1) * w) // 9, ((c % 9) * w) // 9 + 1) AS x1,
+        |    ((c // 9) * h) // 8 AS y0,
+        |    greatest((((c // 9) + 1) * h) // 8, ((c // 9) * h) // 8 + 1) AS y1
+        |  FROM d, UNNEST(range(0, 72)) AS t(c)),
+        |px AS (
+        |  SELECT doc_id, k, (x1 - x0) * (y1 - y0) AS n,
+        |    ((x.x*7 + y.y*11 + doc_id*13) % 16) * 17 AS v
+        |  FROM cells, UNNEST(range(x0, x1)) AS x(x),
+        |       UNNEST(range(y0, y1)) AS y(y)),
+        |sums AS (
+        |  SELECT doc_id, k, any_value(n) AS n, sum(v) AS s
+        |  FROM px GROUP BY doc_id, k),
+        |bits AS (
+        |  SELECT a.doc_id, (a.k // 9) * 8 + (a.k % 9) AS bit
+        |  FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND a.s * b.n > b.s * a.n),
+        |halves AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN bit < 32
+        |      THEN (1::BIGINT << CAST(bit AS INT)) END), 0) AS lo,
+        |    coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (1::BIGINT << CAST(bit - 32 AS INT)) END), 0) AS hi
+        |  FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        |hashes AS (
+        |  SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+        |      THEN (hi - 4294967296) * 4294967296 + lo
+        |      ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+        |  FROM halves)
+        |SELECT doc_id, v.variant, dhash
+        |FROM hashes, (VALUES ('gray4'), ('pal8'), ('rgb')) AS v(variant)
+        |ORDER BY doc_id, variant""".stripMargin,
 
     // per-probe hamming top-5 by exhaustive rank, lower-id tie-break —
     // exactly GroupedTopK's (score DESC = hamming ASC, id ASC) contract

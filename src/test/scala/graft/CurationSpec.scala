@@ -141,6 +141,36 @@ class CurationSpec extends SparkSpec {
       s"run-2 recrawl must dedup against the STORE: $r2")
   }
 
+  test("audio stage: a re-mastered recording collapses docs with rewritten text") {
+    import graft.ext.AudioFingerprint
+    def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+      (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+    val docs = Seq(
+      (1L, ("granite tidepools shelter anemones and juvenile sculpin " +
+        "through every winter storm season reliably ") * 4, "en",
+        Some(rec(3, 0.5))),
+      // rewritten text, re-mastered SAME recording
+      (2L, ("intertidal basins of hard rock protect soft invertebrates " +
+        "and small fish during rough weather months ") * 4, "en",
+        Some(rec(3, 0.2))),
+      (3L, ("volcanic caldera lakes accumulate dissolved minerals over " +
+        "geological timescales without surface outflow ") * 4, "en",
+        Some(rec(7, 0.5))),
+      (4L, ("handmade paper absorbs pigment differently along its " +
+        "chain lines producing soft irregular gradients ") * 4, "en",
+        None)) // no audio: passes through
+      .toDF("doc_id", "text", "lang", "media")
+    val out = tmpDir("cur_audio") + "/c"
+    val r = Curation.run(spark, docs, out, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      audioCol = Some("media"))
+    assert(r.afterNearDup == 4 && r.afterAudioDedup == 3,
+      s"audio stage must drop doc 2: $r")
+    val kept = spark.read.parquet(out)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept $kept")
+  }
+
   test("curation is deterministic: rerun produces the identical chunk set") {
     val out1 = tmpDir("cur_a") + "/c"
     val out2 = tmpDir("cur_b") + "/c"

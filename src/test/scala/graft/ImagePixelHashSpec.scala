@@ -82,6 +82,67 @@ class ImagePixelHashSpec extends SparkSpec {
     }
   }
 
+  test("palette and sub-byte encodings of the same picture hash like truecolor") {
+    // one gray picture with 16 levels (multiples of 17, so the 4-bit
+    // scale-up v*255/15 reproduces the 8-bit values EXACTLY), encoded
+    // five byte-different ways across three COLOR MODELS
+    val vals = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      ((x * 3 + y * 5 + (x * y) % 7) % 16)
+    }
+    val gray8 = vals.map(v => (v * 17).toByte)
+    val gray8Png = Multimodal.storedGrayPng(gray8, W, H)
+    // RGB truecolor of the same pixels
+    val rgbPng = Multimodal.encodePng(W, H, 2,
+      gray8.flatMap(b => Array(b, b, b)), (0 until H).map(_ % 5), 6)
+    // 8-bit palette: identity-ish palette of the 16 used gray levels
+    val pal = Array.tabulate(16 * 3)(i => ((i / 3) * 17).toByte)
+    val palPng = Multimodal.encodePng(W, H, 3,
+      vals.map(_.toByte), (0 until H).map(y => (y + 1) % 5), 9,
+      palette = Some(pal))
+    // 4-bit palette: same palette, indices packed two per byte
+    val pal4Png = Multimodal.encodePng(W, H, 3,
+      vals.map(_.toByte), Seq.fill(H)(2), 1, bitDepth = 4,
+      palette = Some(pal))
+    // 4-bit gray: values 0..15 scale to exactly v*17 on decode
+    val gray4Png = Multimodal.encodePng(W, H, 0,
+      vals.map(_.toByte), (0 until H).map(_ % 3), 4, bitDepth = 4,
+      splitIdat = true)
+    val encodings = Seq(gray8Png, rgbPng, palPng, pal4Png, gray4Png)
+    assert(encodings.map(_.toSeq).distinct.size == 5,
+      "encodings must differ at the byte level")
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) => (i.toLong, b, 0, 0) })
+    val hashes = (0L to 4L).map(got(_))
+    assert(hashes.forall(_.exists(_._2 == "pixels")), s"regimes: $got")
+    assert(hashes.map(_.get._1).distinct.size == 1,
+      s"color models of the SAME picture diverged: $got")
+    // and the feature means agree across models too (palette expansion
+    // and sub-byte scaling feed the same BT.601 stat path)
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(spark,
+      encodings.zipWithIndex.map { case (b, i) =>
+        Multimodal.MediaRow(i.toLong, b, "image/png", 0, 0) }.toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.values.forall(_.kind == "pixels"),
+      s"kinds: ${feats.values.map(f => f.doc_id -> f.kind)}")
+    val lums = feats.values.map(_.feature.last).toSeq
+    assert(lums.distinct.size == 1, s"luminance means diverged: $lums")
+
+    // a palette PNG whose PLTE CRC is corrupt degrades to the payload
+    // regime (never garbage pixels)
+    val corrupt = palPng.clone()
+    val plteAt = {
+      var i = 0
+      while (!(corrupt(i) == 'P' && corrupt(i + 1) == 'L' &&
+        corrupt(i + 2) == 'T' && corrupt(i + 3) == 'E')) i += 1
+      i
+    }
+    corrupt(plteAt + 4) = (corrupt(plteAt + 4) ^ 0x55).toByte // first entry
+    val gotBad = pxOf(Seq((9L, corrupt, 4, 4)))
+    assert(gotBad(9L).exists(_._2 == "payload"),
+      s"corrupt PLTE must fall back to payload bytes: $gotBad")
+  }
+
   test("monotone brightness shift on the decoded plane keeps the hash") {
     val bright = plane.map(b => math.min((b & 0xff) + 40, 255).toByte)
     val got = pxOf(Seq(
