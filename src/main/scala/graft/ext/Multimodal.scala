@@ -80,10 +80,11 @@ object Multimodal {
 
   /** REAL container AND pixel parsing for the formats that need no
     * external codec — PNG (geometry from the IHDR chunk, and for the
-    * common non-interlaced color types — 8-bit gray/RGB/GA/RGBA, 8-bit
-    * palette, 1/2/4-bit gray and palette — a FULL pixel decode: IDAT
-    * is zlib, so `java.util.zip.Inflater` plus the five PNG scanline
-    * unfilters recover the raw pixels offline) and WAV/PCM (audio
+    * standard static color types — 8/16-bit gray/RGB/GA/RGBA, 8-bit
+    * palette, 1/2/4-bit gray and palette, non-interlaced or Adam7 —
+    * a FULL pixel decode: IDAT is zlib, so `java.util.zip.Inflater`
+    * plus the five PNG scanline unfilters recover the raw pixels
+    * offline) and WAV/PCM (audio
     * geometry from the fmt chunk plus a real RMS amplitude over the PCM
     * samples). Formats are sniffed from magic bytes, not trusted from
     * the metadata column; unrecognized payloads fall back to StubCodec's
@@ -153,13 +154,12 @@ object Multimodal {
       * len(4) "IHDR" width(4) height(4) bitDepth(1) colorType(1) ... crc(4).
       * The CRC32 over "IHDR"+payload is VERIFIED — a corrupt header
       * falls back to byte-stats rather than emitting garbage geometry.
-      * When the image is on the non-interlaced decode path (8-bit
-      * gray/RGB/GA/RGBA, 8-bit palette, or 1/2/4-bit gray/palette —
-      * see [[pngInterleaved]]) with CRC-valid IDAT data, the pixels
-      * are decoded for real and per-channel means append to the
-      * feature (see the layout above); 16-bit and Adam7-interlaced
-      * images stay geometry-only — valid PNGs, just outside the
-      * decoder surface (documented boundary).
+      * When the image is on the decode path (8/16-bit gray/RGB/GA/RGBA,
+      * 8-bit palette, 1/2/4-bit gray/palette, non-interlaced or
+      * Adam7 — see [[pngInterleaved]]) with CRC-valid IDAT data, the
+      * pixels are decoded for real and per-channel means append to the
+      * feature (see the layout above); anything else stays
+      * geometry-only.
       */
     private def decodePng(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
@@ -199,17 +199,22 @@ object Multimodal {
     private val MaxInflatedBytes = 1L << 26 // 64 MiB
 
     /** The decoded interleaved 8-bit samples (width·height·channels
-      * bytes, row-major) for PNGs on the non-interlaced decode path:
-      * 8-bit gray/RGB/GA/RGBA, 8-bit PALETTE (PLTE lookup expands to
-      * RGB — indexed color is everywhere in a real crawl), and
-      * SUB-BYTE (1/2/4-bit) gray and palette images (MSB-first
-      * unpacking, gray samples scaled by 255/(2^d−1) per the spec).
-      * None when any chunk/zlib/size/palette validation fails —
-      * conservative: bad data degrades, never decodes into garbage.
-      * Shared by the mean-stat feature path ([[pixelStats]]) and the
-      * grayscale perceptual-hash path ([[grayPlane]]). 16-bit and
-      * Adam7-interlaced images remain out of path (valid PNGs, just
-      * geometry-only — documented boundary).
+      * bytes, row-major) for decodable PNGs: 8- and 16-BIT
+      * gray/RGB/GA/RGBA (a 16-bit sample folds to its high byte —
+      * exactly the inverse of the spec's v·257 8→16 expansion, so the
+      * same picture stored at either depth decodes to the same bytes),
+      * 8-bit PALETTE (PLTE lookup expands to RGB — indexed color is
+      * everywhere in a real crawl), SUB-BYTE (1/2/4-bit) gray and
+      * palette images (MSB-first unpacking, gray samples scaled by
+      * 255/(2^d−1) per the spec), and ADAM7-INTERLACED images at any
+      * of those depths (each of the 7 passes unfilters independently
+      * over its own packed sub-image, then scatters to final pixel
+      * positions — an interlaced re-encode of the same picture decodes
+      * to the same plane). None when any chunk/zlib/size/palette
+      * validation fails — conservative: bad data degrades, never
+      * decodes into garbage. Shared by the mean-stat feature path
+      * ([[pixelStats]]) and the grayscale perceptual-hash path
+      * ([[grayPlane]]).
       */
     private[ext] def pngInterleaved(
         b: Array[Byte], width: Int, height: Int,
@@ -222,17 +227,31 @@ object Multimodal {
       }
       val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
       val depthOk =
-        bitDepth == 8 || (subByte && (colorType == 0 || colorType == 3))
+        bitDepth == 8 || (subByte && (colorType == 0 || colorType == 3)) ||
+          (bitDepth == 16 && colorType != 3) // 16-bit palette is invalid PNG
       if (scanChannels == 0 || !depthOk || width <= 0 || height <= 0)
         return None
       val compression = b(26) & 0xff
       val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
-      if (compression != 0 || filterMethod != 0 || interlace != 0) return None
+      if (compression != 0 || filterMethod != 0 || interlace > 1) return None
       val bitsPerPx = scanChannels * bitDepth
-      val rowData = (width.toLong * bitsPerPx + 7) / 8
-      val total = (1L + rowData) * height
-      if (total > MaxInflatedBytes) return None
+      def rowBytes(w: Int): Long = (w.toLong * bitsPerPx + 7) / 8
+      val stride = rowBytes(width).toInt
+      // Adam7 pass geometry (xStart, yStart, xStep, yStep); the
+      // non-interlaced image is the single trivial pass
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) =
+        ((width - p._1 + p._3 - 1) / p._3, (height - p._2 + p._4 - 1) / p._4)
+      val total = passes.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw <= 0 || ph <= 0) 0L else (1L + rowBytes(pw)) * ph
+      }.sum
+      if (total <= 0 || total > MaxInflatedBytes ||
+        stride.toLong * height > MaxInflatedBytes) return None
 
       // walk the chunks after IHDR, concatenating CRC-valid IDAT data
       // (one zlib stream may span many IDAT chunks) and capturing the
@@ -278,44 +297,103 @@ object Multimodal {
 
       // undo the per-scanline filter (types 0-4: None, Sub, Up, Average,
       // Paeth) over the PACKED row bytes; per the spec bpp rounds up to
-      // one byte for sub-byte depths
+      // one byte for sub-byte depths, and each Adam7 pass filters as if
+      // it were its own image (previous-row state resets per pass)
       val bpp = math.max(1, bitsPerPx / 8)
-      val stride = rowData.toInt
-      val prev = new Array[Int](stride) // unfiltered previous row
-      val cur = new Array[Int](stride)
-      val lines = new Array[Byte](stride * height)
-      var y = 0
-      while (y < height) {
-        val rowOff = y * (stride + 1)
-        val fType = raw(rowOff) & 0xff
-        if (fType > 4) return None
-        var x = 0
-        while (x < stride) {
-          val v = raw(rowOff + 1 + x) & 0xff
-          val a = if (x >= bpp) cur(x - bpp) else 0   // left
-          val u = prev(x)                              // up
-          val c = if (x >= bpp) prev(x - bpp) else 0   // upper-left
-          val recon = fType match {
-            case 0 => v
-            case 1 => v + a
-            case 2 => v + u
-            case 3 => v + ((a + u) >> 1)
-            case 4 =>
-              val p = a + u - c
-              val pa = math.abs(p - a); val pb = math.abs(p - u)
-              val pc = math.abs(p - c)
-              v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+      def unfilter(rawOff: Int, rows: Int, rb: Int): Array[Byte] = {
+        val prev = new Array[Int](rb) // unfiltered previous row
+        val cur = new Array[Int](rb)
+        val out = new Array[Byte](rb * rows)
+        var y = 0
+        while (y < rows) {
+          val rowOff = rawOff + y * (rb + 1)
+          val fType = raw(rowOff) & 0xff
+          if (fType > 4) return null
+          var x = 0
+          while (x < rb) {
+            val v = raw(rowOff + 1 + x) & 0xff
+            val a = if (x >= bpp) cur(x - bpp) else 0   // left
+            val u = prev(x)                              // up
+            val c = if (x >= bpp) prev(x - bpp) else 0   // upper-left
+            val recon = fType match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + u
+              case 3 => v + ((a + u) >> 1)
+              case 4 =>
+                val p = a + u - c
+                val pa = math.abs(p - a); val pb = math.abs(p - u)
+                val pc = math.abs(p - c)
+                v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+            }
+            cur(x) = recon & 0xff
+            out(y * rb + x) = cur(x).toByte
+            x += 1
           }
-          cur(x) = recon & 0xff
-          lines(y * stride + x) = cur(x).toByte
-          x += 1
+          System.arraycopy(cur, 0, prev, 0, rb)
+          y += 1
         }
-        System.arraycopy(cur, 0, prev, 0, stride)
-        y += 1
+        out
       }
+      val lines: Array[Byte] =
+        if (interlace == 0) {
+          val lf = unfilter(0, height, stride)
+          if (lf == null) return None
+          lf
+        } else {
+          // deinterlace: unfilter each pass, scatter its pixels into a
+          // packed full-geometry buffer at their final (x, y) positions
+          val full = new Array[Byte](stride * height)
+          var rawOff = 0
+          var pi = 0
+          while (pi < passes.length) {
+            val (xs, ys, xi, yi) = passes(pi)
+            val (pw, ph) = passDims(passes(pi))
+            if (pw > 0 && ph > 0) {
+              val prb = rowBytes(pw).toInt
+              val pl = unfilter(rawOff, ph, prb)
+              if (pl == null) return None
+              rawOff += (prb + 1) * ph
+              val pxBytes = bitsPerPx / 8 // 0 marks the sub-byte depths
+              var j = 0
+              while (j < ph) {
+                val y = ys + j * yi
+                var i = 0
+                while (i < pw) {
+                  val x = xs + i * xi
+                  if (pxBytes > 0) {
+                    System.arraycopy(pl, j * prb + i * pxBytes,
+                      full, y * stride + x * pxBytes, pxBytes)
+                  } else {
+                    val sBit = i * bitDepth
+                    val v = (pl(j * prb + (sBit >> 3)) >>
+                      (8 - bitDepth - (sBit & 7))) & ((1 << bitDepth) - 1)
+                    val dBit = x * bitDepth
+                    full(y * stride + (dBit >> 3)) =
+                      (full(y * stride + (dBit >> 3)) |
+                        (v << (8 - bitDepth - (dBit & 7)))).toByte
+                  }
+                  i += 1
+                }
+                j += 1
+              }
+            }
+            pi += 1
+          }
+          full
+        }
 
       // expand packed samples / palette indices into interleaved 8-bit
       if (bitDepth == 8 && colorType != 3) return Some((lines, scanChannels))
+      if (bitDepth == 16) {
+        // fold each big-endian 16-bit sample to its high byte — the
+        // exact inverse of the spec's v·257 8→16 expansion
+        val n = width * height * scanChannels
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = lines(i * 2); i += 1 }
+        return Some((out, scanChannels))
+      }
       val maxVal = (1 << bitDepth) - 1
       def sampleAt(y: Int, px: Int): Int =
         if (bitDepth == 8) lines(y * stride + px) & 0xff
@@ -725,10 +803,14 @@ object Multimodal {
     * synthesize two DIFFERENT byte-level encodings of the SAME pixels
     * (different filter choices, different compression level, IDAT split
     * in two, different COLOR MODEL: truecolor vs PLTE palette vs
-    * sub-byte gray) and hold the perceptual hash to invariance across
+    * sub-byte gray, different BIT DEPTH: 8 vs 16 where each sample
+    * expands to v·257 per the spec, PROGRESSIVE: Adam7 interlaced vs
+    * sequential) and hold the perceptual hash to invariance across
     * them. `pixels` is interleaved row-major, one byte per sample
     * (w·h·channels bytes; palette = one index per pixel, sub-byte =
-    * one value per pixel packed at write time).
+    * one value per pixel packed at write time, 16-bit = the high byte,
+    * low byte replicated at write time). When `interlace` is set the
+    * `filters` seq cycles over the concatenated Adam7 pass rows.
     */
   def encodePng(
       w: Int, h: Int, colorType: Int, pixels: Array[Byte],
@@ -736,10 +818,11 @@ object Multimodal {
       deflateLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION,
       splitIdat: Boolean = false,
       bitDepth: Int = 8,
-      palette: Option[Array[Byte]] = None): Array[Byte] = {
+      palette: Option[Array[Byte]] = None,
+      interlace: Boolean = false): Array[Byte] = {
     val channels = ContainerCodec.pngChannelsOf(colorType)
     require(channels > 0, s"encodePng: unsupported colorType $colorType")
-    require(bitDepth == 8 ||
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3) ||
       (Seq(1, 2, 4).contains(bitDepth) && (colorType == 0 || colorType == 3)),
       s"encodePng: bitDepth $bitDepth with colorType $colorType")
     require((colorType == 3) == palette.isDefined,
@@ -753,7 +836,8 @@ object Multimodal {
     if (bitDepth < 8)
       require(pixels.forall(px => (px & 0xff) < (1 << bitDepth)),
         s"encodePng: sample past $bitDepth bits")
-    require(pixels.length == w * h * channels && filters.length == h,
+    require(pixels.length == w * h * channels && filters.nonEmpty &&
+      (interlace || filters.length == h),
       s"encodePng: need $w*$h*$channels sample bytes and $h filters")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -770,61 +854,90 @@ object Multimodal {
     val ihdr = new java.io.ByteArrayOutputStream()
     be32(ihdr, w); be32(ihdr, h)
     ihdr.write(bitDepth); ihdr.write(colorType)
-    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(0); ihdr.write(0); ihdr.write(if (interlace) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
     palette.foreach(pal => chunk("PLTE", pal))
-    // pack samples into scanline bytes (sub-byte: MSB-first), then
-    // forward-filter each packed line with its requested type
-    val sampleStride = w * channels
-    val stride = ((w.toLong * channels * bitDepth + 7) / 8).toInt
-    def packedLine(y: Int): Array[Byte] =
-      if (bitDepth == 8)
-        java.util.Arrays.copyOfRange(pixels, y * sampleStride,
-          (y + 1) * sampleStride)
-      else {
-        val line = new Array[Byte](stride)
+    // pack samples into scanline bytes (sub-byte: MSB-first; 16-bit:
+    // the spec's v·257 expansion = the sample byte twice, big-endian),
+    // then forward-filter each packed line with its requested type.
+    // Interlaced output emits the seven Adam7 passes in order, each
+    // filtered as its own image; `filters` cycles over pass rows.
+    val bpp = math.max(1, channels * bitDepth / 8)
+    def packLine(samples: Array[Byte], pw: Int): Array[Byte] =
+      if (bitDepth == 8) samples
+      else if (bitDepth == 16) {
+        val line = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          line(2 * i) = samples(i); line(2 * i + 1) = samples(i)
+          i += 1
+        }
+        line
+      } else {
+        val line = new Array[Byte]((pw * bitDepth + 7) / 8)
         var x = 0
-        while (x < w) {
+        while (x < pw) {
           val bitPos = x * bitDepth
           line(bitPos >> 3) = (line(bitPos >> 3) |
-            ((pixels(y * sampleStride + x) & 0xff) <<
-              (8 - bitDepth - (bitPos & 7)))).toByte
+            ((samples(x) & 0xff) << (8 - bitDepth - (bitPos & 7)))).toByte
           x += 1
         }
         line
       }
-    val raw = new Array[Byte](h * (stride + 1))
-    val bpp = math.max(1, channels * bitDepth / 8)
-    var prevLine = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      val ft = filters(y)
-      require(ft >= 0 && ft <= 4, s"encodePng: filter $ft")
-      raw(y * (stride + 1)) = ft.toByte
-      val line = packedLine(y)
-      var x = 0
-      while (x < stride) {
-        val v = line(x) & 0xff
-        val a = if (x >= bpp) line(x - bpp) & 0xff else 0
-        val u = if (y > 0) prevLine(x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) prevLine(x - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => u
-          case 3 => (a + u) >> 1
-          case 4 =>
-            val p = a + u - c
-            val pa = math.abs(p - a); val pb = math.abs(p - u)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+    val passes =
+      if (!interlace) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var fIdx = 0
+    for ((xs, ys, xi, yi) <- passes) {
+      val pw = (w - xs + xi - 1) / xi
+      val ph = (h - ys + yi - 1) / yi
+      if (pw > 0 && ph > 0) {
+        var prevLine: Array[Byte] = null
+        for (j <- 0 until ph) {
+          val y = ys + j * yi
+          val samples = new Array[Byte](pw * channels)
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < channels) {
+              samples(i * channels + c) =
+                pixels((y * w + (xs + i * xi)) * channels + c)
+              c += 1
+            }
+            i += 1
+          }
+          val line = packLine(samples, pw)
+          val ft = filters(fIdx % filters.length); fIdx += 1
+          require(ft >= 0 && ft <= 4, s"encodePng: filter $ft")
+          rawOut.write(ft)
+          var x = 0
+          while (x < line.length) {
+            val v = line(x) & 0xff
+            val a = if (x >= bpp) line(x - bpp) & 0xff else 0
+            val u = if (prevLine != null) prevLine(x) & 0xff else 0
+            val c = if (prevLine != null && x >= bpp) prevLine(x - bpp) & 0xff
+              else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => u
+              case 3 => (a + u) >> 1
+              case 4 =>
+                val p = a + u - c
+                val pa = math.abs(p - a); val pb = math.abs(p - u)
+                val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+            }
+            rawOut.write((v - pred) & 0xff)
+            x += 1
+          }
+          prevLine = line
         }
-        raw(y * (stride + 1) + 1 + x) = ((v - pred) & 0xff).toByte
-        x += 1
       }
-      prevLine = line
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val deflater = new java.util.zip.Deflater(deflateLevel)
     deflater.setInput(raw); deflater.finish()
     val zipped = new java.io.ByteArrayOutputStream()

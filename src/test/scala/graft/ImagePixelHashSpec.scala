@@ -143,6 +143,45 @@ class ImagePixelHashSpec extends SparkSpec {
       s"corrupt PLTE must fall back to payload bytes: $gotBad")
   }
 
+  test("16-bit and Adam7-interlaced encodings of the same picture hash to the golden") {
+    // five more byte-different encodings of the CANONICAL plane: deep
+    // color (16-bit gray and RGB, samples v*257 per the spec — decode
+    // folds the high byte back to v exactly) and progressive (Adam7
+    // gray/RGB with mixed per-pass-row filters, and the two combined)
+    val deep = Multimodal.encodePng(W, H, 0, plane,
+      (0 until H).map(_ % 5), 6, bitDepth = 16)
+    val deepRgb = Multimodal.encodePng(W, H, 2,
+      plane.flatMap(b => Array(b, b, b)), (0 until H).map(_ % 3), 9,
+      bitDepth = 16, splitIdat = true)
+    val adam7 = Multimodal.encodePng(W, H, 0, plane,
+      Seq(0, 1, 2, 3, 4), 6, interlace = true)
+    val adam7Rgb = Multimodal.encodePng(W, H, 2,
+      plane.flatMap(b => Array(b, b, b)), Seq(4, 2, 0), 1, interlace = true)
+    val adam7Deep = Multimodal.encodePng(W, H, 0, plane,
+      Seq(1, 3), 9, bitDepth = 16, interlace = true)
+    val encodings = Seq(deep, deepRgb, adam7, adam7Rgb, adam7Deep)
+    assert(encodings.map(_.toSeq).distinct.size == 5,
+      "fixture encodings must differ at the byte level")
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) => (i.toLong, b, 0, 0) })
+    (0L to 4L).foreach { id =>
+      assert(got(id).contains((Golden, "pixels")),
+        s"doc $id: expected the canonical-plane golden, got $got")
+    }
+
+    // sub-byte + interlace: a 4-bit gray Adam7 image equals its plain
+    // 8-bit encoding (scatter writes PACKED bits at final positions)
+    val vals = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      ((x * 3 + y * 5 + (x * y) % 7) % 16)
+    }
+    val gray8Png = Multimodal.storedGrayPng(vals.map(v => (v * 17).toByte), W, H)
+    val gray4i = Multimodal.encodePng(W, H, 0, vals.map(_.toByte),
+      Seq(0, 2, 1), 9, bitDepth = 4, interlace = true)
+    val got2 = pxOf(Seq((0L, gray8Png, 0, 0), (1L, gray4i, 0, 0)))
+    assert(got2(0L).isDefined && got2(0L) == got2(1L),
+      s"4-bit Adam7 must decode to the same plane as 8-bit gray: $got2")
+  }
+
   test("monotone brightness shift on the decoded plane keeps the hash") {
     val bright = plane.map(b => math.min((b & 0xff) + 40, 255).toByte)
     val got = pxOf(Seq(
