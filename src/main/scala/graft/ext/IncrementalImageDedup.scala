@@ -11,7 +11,8 @@ import graft.sinks.UpsertIgnore
   * every ingested media batch is checked against the whole accumulated
   * corpus in O(batch + collisions), then joins it. A re-crawled image
   * dedups cross-batch for the cost of a signature probe, and so does a
-  * RE-ENCODED one when the payload decodes (PNG/JPEG): the signature is
+  * RE-ENCODED one when the payload decodes (PNG/JPEG/GIF/BMP — even
+  * across container formats): the signature is
   * the pixel-aware `Multimodal.dHashPixels` — losslessly re-encoded
   * PNGs (different scanline filters, IDAT split, deflate level) hash
   * identically and a JPEG re-compression lands a few Hamming bits away,

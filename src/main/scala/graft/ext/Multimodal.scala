@@ -565,6 +565,8 @@ object Multimodal {
           }
         }
       else if (isJpeg(b)) jpegGray(b)
+      else if (isGif(b)) gifRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
+      else if (isBmp(b)) bmpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
@@ -645,6 +647,234 @@ object Multimodal {
         // total
         case scala.util.control.NonFatal(_) => None
       }
+
+    private[ext] def isGif(b: Array[Byte]): Boolean =
+      b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    private[ext] def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+    /** GIF LZW: variable-width codes (start minCodeSize+1, grow to 12
+      * bits as the dictionary fills, reset on CLEAR) packed LSB-first
+      * over the concatenated data sub-blocks starting at `off0` (whose
+      * first byte is the min code size). Returns exactly `need`
+      * expanded index bytes, or null on any structural violation —
+      * conservative, like every other decode path here.
+      */
+    private def lzwDecode(b: Array[Byte], off0: Int, need: Int): Array[Byte] = {
+      var off = off0
+      if (off >= b.length) return null
+      val minCode = b(off) & 0xff; off += 1
+      if (minCode < 2 || minCode > 8) return null
+      val data = new java.io.ByteArrayOutputStream()
+      var bs = if (off < b.length) b(off) & 0xff else return null
+      while (bs != 0) {
+        off += 1
+        if (off + bs > b.length) return null
+        data.write(b, off, bs)
+        off += bs
+        if (off >= b.length) return null
+        bs = b(off) & 0xff
+      }
+      val d = data.toByteArray
+      val clear = 1 << minCode
+      val endCode = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val out = new Array[Byte](need)
+      val stack = new Array[Byte](4096)
+      var outN = 0
+      var dictSize = clear + 2
+      var codeWidth = minCode + 1
+      var bitPos = 0
+      var prev = -1
+      while (outN < need) {
+        // read one LSB-first code at the current width
+        if (bitPos + codeWidth > d.length * 8) return null
+        var code = 0
+        var i = 0
+        while (i < codeWidth) {
+          val p = bitPos + i
+          if (((d(p >> 3) >> (p & 7)) & 1) != 0) code |= 1 << i
+          i += 1
+        }
+        bitPos += codeWidth
+        if (code == clear) {
+          dictSize = clear + 2; codeWidth = minCode + 1; prev = -1
+        } else if (code == endCode) {
+          return null // stream ended before the frame filled
+        } else {
+          val isNew = code >= dictSize
+          if (isNew && (code != dictSize || prev < 0)) return null
+          // expand the base string (KwKwK expands prev and appends its
+          // own first byte)
+          var c = if (isNew) prev else code
+          var sp = 0
+          while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          if (c >= clear) return null // clear/end can never head a chain
+          val first = c.toByte
+          val emitLen = sp + 1 + (if (isNew) 1 else 0)
+          if (outN + emitLen > need) return null
+          out(outN) = first; outN += 1
+          var j = sp - 1
+          while (j >= 0) { out(outN) = stack(j); outN += 1; j -= 1 }
+          if (isNew) { out(outN) = first; outN += 1 }
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+
+    /** First-frame GIF decode — header/logical-screen walk, global or
+      * local color table, the REAL LZW expansion above, 4-pass GIF
+      * interlace reorder, palette lookup to interleaved RGB. Animated
+      * GIFs hash their first frame (the frame that identifies the
+      * picture); any structural violation returns None and the payload
+      * falls back to byte statistics.
+      */
+    private[ext] def gifRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+      if (!isGif(b)) return None
+      def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      val packed = b(10) & 0xff
+      var off = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (off + 3 * n > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+        off += 3 * n
+      }
+      while (off < b.length) {
+        (b(off) & 0xff) match {
+          case 0x21 => // extension block: label, then data sub-blocks
+            off += 2
+            while (off < b.length && (b(off) & 0xff) != 0)
+              off += 1 + (b(off) & 0xff)
+            off += 1
+          case 0x2c => // image descriptor: the first frame is the hash
+            if (off + 10 > b.length) return None
+            val fw = u16(off + 5); val fh = u16(off + 7)
+            val ip = b(off + 9) & 0xff
+            off += 10
+            var ct = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              if (off + 3 * n > b.length) return None
+              ct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+              off += 3 * n
+            }
+            if (ct == null || fw <= 0 || fh <= 0 ||
+              fw.toLong * fh > MaxHashPixels) return None
+            val idx = lzwDecode(b, off, fw * fh)
+            if (idx == null) return None
+            val nColors = ct.length / 3
+            val out = new Array[Byte](fw * fh * 3)
+            val rowOrder: Array[Int] =
+              if ((ip & 0x40) == 0) Array.tabulate(fh)(identity)
+              else { // interlaced: rows arrive in the four GIF passes
+                val o = new Array[Int](fh); var r = 0
+                for ((s, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)))
+                  for (y <- s until fh by st) { o(r) = y; r += 1 }
+                o
+              }
+            var r = 0
+            while (r < fh) {
+              val y = rowOrder(r)
+              var x = 0
+              while (x < fw) {
+                val ci = idx(r * fw + x) & 0xff
+                if (ci >= nColors) return None
+                val po = (y * fw + x) * 3
+                out(po) = ct(ci * 3)
+                out(po + 1) = ct(ci * 3 + 1)
+                out(po + 2) = ct(ci * 3 + 2)
+                x += 1
+              }
+              r += 1
+            }
+            return Some((out, fw, fh))
+          case 0x3b => return None // trailer before any frame
+          case _ => return None
+        }
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** BMP (BITMAPINFOHEADER and later, BI_RGB only) to interleaved
+      * RGB: 8-bit paletted, 24-bit BGR, and 32-bit BGRA rows, 4-byte
+      * row padding, bottom-up (positive height) or top-down (negative)
+      * — the uncompressed workhorse format a crawl still sees. RLE and
+      * bitfield compressions return None (fall back to byte stats).
+      */
+    private[ext] def bmpRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+      if (!isBmp(b)) return None
+      def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      val dataOff = i32(10)
+      val hdrSize = i32(14)
+      if (hdrSize < 40) return None // BITMAPCOREHEADER is pre-Windows-3
+      val w = i32(18)
+      val hRaw = i32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val bits = u16(28)
+      val comp = i32(30)
+      if (comp != 0 || w <= 0 || h <= 0 || w.toLong * h > MaxHashPixels)
+        return None
+      val rowSize = ((w.toLong * bits + 31) / 32 * 4).toInt
+      if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length)
+        return None
+      val bypp = bits / 8
+      val out = new Array[Byte](w * h * 3)
+      bits match {
+        case 24 | 32 =>
+          var y = 0
+          while (y < h) {
+            val src = dataOff + (if (topDown) y else h - 1 - y) * rowSize
+            var x = 0
+            while (x < w) {
+              val so = src + x * bypp
+              val po = (y * w + x) * 3
+              out(po) = b(so + 2)     // R (rows are BGR[A])
+              out(po + 1) = b(so + 1) // G
+              out(po + 2) = b(so)     // B
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        case 8 =>
+          val palOff = 14 + hdrSize
+          val used = i32(46)
+          val palCount = if (used == 0) 256 else used
+          if (palCount < 0 || palCount > 256 ||
+            palOff + 4 * palCount > dataOff) return None
+          var y = 0
+          while (y < h) {
+            val src = dataOff + (if (topDown) y else h - 1 - y) * rowSize
+            var x = 0
+            while (x < w) {
+              val ci = b(src + x) & 0xff
+              if (ci >= palCount) return None
+              val eo = palOff + ci * 4 // entries are BGRA quads
+              val po = (y * w + x) * 3
+              out(po) = b(eo + 2); out(po + 1) = b(eo + 1); out(po + 2) = b(eo)
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     private[ext] def isMp4(b: Array[Byte]): Boolean =
       b.length >= 12 && tag(b, 4) == "ftyp"
@@ -731,6 +961,28 @@ object Multimodal {
         Array(durationSec.toFloat, tracks.toFloat, w, h)))
     }
 
+    /** Shared mean-stat feature for the RGB-interleaved decoders
+      * (GIF/BMP): the JPEG layout [width, height, meanR, meanG, meanB,
+      * luminance], means in 0..1.
+      */
+    private def rgbFeatures(r: MediaRow, mime: String,
+        px: Array[Byte], w: Int, h: Int): MediaFeatures = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        sr += px(i) & 0xff; sg += px(i + 1) & 0xff; sb += px(i + 2) & 0xff
+        i += 3
+      }
+      val n = w.toLong * h
+      val mr = (sr.toDouble / n / 255.0).toFloat
+      val mg = (sg.toDouble / n / 255.0).toFloat
+      val mb = (sb.toDouble / n / 255.0).toFloat
+      val lum = 0.299f * mr + 0.587f * mg + 0.114f * mb
+      MediaFeatures(r.doc_id, r.media.length, mime, "pixels",
+        byteChecksum(r.media),
+        Array(w.toFloat, h.toFloat, mr, mg, mb, lum))
+    }
+
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val parsed =
@@ -738,6 +990,12 @@ object Multimodal {
           else if (isWav(r.media)) decodeWav(r)
           else if (isJpeg(r.media)) decodeJpeg(r)
           else if (isMp4(r.media)) decodeMp4(r)
+          else if (isGif(r.media))
+            gifRgb(r.media).map { case (px, w, h) =>
+              rgbFeatures(r, "image/gif", px, w, h) }
+          else if (isBmp(r.media))
+            bmpRgb(r.media).map { case (px, w, h) =>
+              rgbFeatures(r, "image/bmp", px, w, h) }
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }
@@ -1010,6 +1268,176 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic GIF encoder (the [[encodePng]] analog): real
+    * GIF89a header, global color table, image descriptor, and a REAL
+    * variable-width LZW stream (dictionary growth, width widening one
+    * code behind the decoder's — the GIF off-by-one — sub-block
+    * framing), optionally 4-pass interlaced — so format-invariance
+    * gates can hold one picture across PNG/GIF/BMP byte encodings.
+    * `palette` is 3·2^k RGB bytes (GIF color tables are power-of-two
+    * sized); `indices` one palette index per pixel, row-major.
+    */
+  def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
+      interlace: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h,
+      s"encodeGif: need $w*$h indices")
+    val nColors = palette.length / 3
+    require(palette.length % 3 == 0 && Integer.bitCount(nColors) == 1 &&
+      nColors >= 2 && nColors <= 256,
+      s"encodeGif: palette entries must be a power of two in 2..256, got $nColors")
+    require(indices.forall(i => (i & 0xff) < nColors),
+      "encodeGif: index out of palette range")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    val gctBits = 31 - Integer.numberOfLeadingZeros(nColors) // log2(nColors)
+    out.write(0x80 | (gctBits - 1)) // GCT present, 2^(bits) entries
+    out.write(0); out.write(0)      // background color, aspect ratio
+    out.write(palette)
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h) // full-frame image
+    out.write(if (interlace) 0x40 else 0)
+    // the row order the stream carries (interlace = the four GIF passes)
+    val rows: Seq[Int] =
+      if (!interlace) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+        case (s, st) => s until h by st
+      }
+    val stream = new Array[Byte](w * h)
+    var sp = 0
+    for (y <- rows) { System.arraycopy(indices, y * w, stream, sp, w); sp += w }
+    val minCode = math.max(2, gctBits)
+    out.write(minCode)
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitN = 0
+    var codeWidth = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitN; bitN += codeWidth
+      while (bitN >= 8) {
+        bits.write((bitBuf & 0xff).toInt); bitBuf >>= 8; bitN -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var dictSize = clear + 2
+    emit(clear)
+    var cur = stream(0) & 0xff
+    var i = 1
+    while (i < stream.length) {
+      val k = stream(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (dictSize < 4096) {
+          dict.put(key, Integer.valueOf(dictSize))
+          dictSize += 1
+          // the decoder registers each entry one code later, so the
+          // encoder widens one entry past the width boundary
+          if (dictSize == (1 << codeWidth) + 1 && codeWidth < 12)
+            codeWidth += 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur); emit(endCode)
+    if (bitN > 0) bits.write((bitBuf & 0xff).toInt)
+    val z = bits.toByteArray
+    var o = 0
+    while (o < z.length) {
+      val n = math.min(255, z.length - o)
+      out.write(n); out.write(z, o, n); o += n
+    }
+    out.write(0)    // data terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic 24-bit BI_RGB BMP encoder: BGR rows, 4-byte padding,
+    * bottom-up by default or top-down (negative height) when asked.
+    * `rgb` is interleaved row-major RGB, top row first.
+    */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte],
+      topDown: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodeBmp: need $w*$h*3 RGB bytes")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    bmpBytes(w, h, topDown, rowSize, 24, Array.empty, (buf, off) => {
+      var y = 0
+      while (y < h) {
+        val dst = off + (if (topDown) y else h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val po = (y * w + x) * 3
+          buf(dst + x * 3) = rgb(po + 2)     // B
+          buf(dst + x * 3 + 1) = rgb(po + 1) // G
+          buf(dst + x * 3 + 2) = rgb(po)     // R
+          x += 1
+        }
+        y += 1
+      }
+    })
+  }
+
+  /** Deterministic 8-bit paletted BI_RGB BMP encoder: BGRA palette
+    * quads after the header, one index byte per pixel, padded rows.
+    */
+  def encodeBmp8(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte], topDown: Boolean = false): Array[Byte] = {
+    val n = palette.length / 3
+    require(palette.length % 3 == 0 && n >= 1 && n <= 256,
+      s"encodeBmp8: palette of ${palette.length} bytes")
+    require(w > 0 && h > 0 && indices.length == w * h,
+      s"encodeBmp8: need $w*$h indices")
+    require(indices.forall(i => (i & 0xff) < n),
+      "encodeBmp8: index out of palette range")
+    val quads = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) { // RGB palette -> BGRA quads
+      quads(i * 4) = palette(i * 3 + 2)
+      quads(i * 4 + 1) = palette(i * 3 + 1)
+      quads(i * 4 + 2) = palette(i * 3)
+      i += 1
+    }
+    val rowSize = (w + 3) / 4 * 4
+    bmpBytes(w, h, topDown, rowSize, 8, quads, (buf, off) => {
+      var y = 0
+      while (y < h) {
+        val dst = off + (if (topDown) y else h - 1 - y) * rowSize
+        System.arraycopy(indices, y * w, buf, dst, w)
+        y += 1
+      }
+    })
+  }
+
+  private def bmpBytes(w: Int, h: Int, topDown: Boolean, rowSize: Int,
+      bits: Int, palette: Array[Byte],
+      fill: (Array[Byte], Int) => Unit): Array[Byte] = {
+    val dataOff = 54 + palette.length
+    val buf = new Array[Byte](dataOff + rowSize * h)
+    def le16(o: Int, v: Int): Unit = {
+      buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte
+      buf(o + 2) = (v >> 16).toByte; buf(o + 3) = (v >> 24).toByte
+    }
+    buf(0) = 'B'; buf(1) = 'M'
+    le32(2, buf.length); le32(10, dataOff)
+    le32(14, 40) // BITMAPINFOHEADER
+    le32(18, w); le32(22, if (topDown) -h else h)
+    le16(26, 1); le16(28, bits)
+    le32(30, 0) // BI_RGB
+    le32(34, rowSize * h)
+    le32(46, palette.length / 4) // biClrUsed
+    System.arraycopy(palette, 0, buf, 54, palette.length)
+    fill(buf, dataOff)
+    buf
+  }
+
   /** Build a media table from documents: text bytes stand in for media
     * payloads (opaque binary + typed metadata columns).
     */
@@ -1121,7 +1549,7 @@ object Multimodal {
     * nodes of hex/substr/conv whose per-plan Janino compile dominated
     * the image gates. Both forms yield NULL on null media or degenerate
     * geometry (see [[dHash]]); this is the PAYLOAD-byte hash — for a
-    * pixel-aware hash on decodable PNG/JPEG see [[dHashPixels]].
+    * pixel-aware hash on decodable PNG/JPEG/GIF/BMP see [[dHashPixels]].
     */
   private[graft] def dHashAuto(s: SparkSession)(
       media: Column, width: Column, height: Column): Column =
@@ -1131,7 +1559,7 @@ object Multimodal {
     else dHash(media, width, height)
 
   /** The PIXEL-AWARE perceptual hash: struct<sh: bigint, kind: string>
-    * where decodable PNG/JPEG payloads hash their decoded BT.601
+    * where decodable PNG/JPEG/GIF/BMP payloads hash their decoded BT.601
     * grayscale plane (9×8 area-mean grid — see
     * `graft.functions.DHashPixels`; `kind` = "pixels") and everything
     * else falls back to the payload-byte [[dHash]] semantics with the
@@ -1170,7 +1598,7 @@ object Multimodal {
 
   /** Near-duplicate image pairs by PERCEPTUAL dHash Hamming distance
     * over a `mediaTable`-shaped frame (doc_id, media, width, height):
-    * hash = one scan (decoded-plane regime for PNG/JPEG, payload bytes
+    * hash = one scan (decoded-plane regime for PNG/JPEG/GIF/BMP, payload bytes
     * otherwise — see [[dHashPixels]]); pair search = the pigeonhole
     * chunk blocking shared with SimHash/RP-LSH
     * (`Dedup.hammingCandidates` — a pair within `maxHamming` bits MUST

@@ -89,7 +89,7 @@ case class DHash64(first: Expression, second: Expression, third: Expression)
 
 /** External-type result of the pixel-aware dHash (the UDF-fallback and
   * test-visible shape): `sh` the 64-bit hash, `kind` the regime that
-  * produced it — "pixels" (decoded PNG/JPEG grayscale plane) or
+  * produced it — "pixels" (decoded PNG/JPEG/GIF/BMP grayscale plane) or
   * "payload" (opaque bytes, the [[DHash64]] semantics).
   */
 final case class PxHash(sh: Long, kind: String)

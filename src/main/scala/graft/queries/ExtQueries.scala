@@ -1396,6 +1396,44 @@ object ExtQueries {
         .orderBy("doc_id", "variant")
     }),
 
+    // CROSS-FORMAT invariance, oracled: each of 10 pictures is encoded
+    // FIVE byte-incompatible container formats — PNG, sequential GIF,
+    // 4-pass interlaced GIF (identity gray color table: BT.601 of equal
+    // channels is the gray value exactly), 24-bit bottom-up BMP, 8-bit
+    // paletted top-down BMP — and all five must decode to the SAME
+    // plane and hash. The oracle regenerates the plane from the
+    // closed-form formula once per doc and emits the identical hash for
+    // every variant: the LZW expansion, GIF interlace reorder, BMP row
+    // flip/padding, and both palette lookups are each one bit-flip away
+    // from failing the compare.
+    "ext_image_px_formats" -> ((s, dir) => {
+      import s.implicits._
+      val grayCt = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      val rows = (0 until 10).flatMap { k =>
+        val w = 7 + (k * 3) % 12
+        val h = 5 + (k * 5) % 8
+        val plane = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          (((x * 13 + y * 7 + k * 37 + (x * y) % 5) * 3) % 251).toByte
+        }
+        val rgb = plane.flatMap(b => Array(b, b, b))
+        Seq(
+          (k.toLong, "bmp24", Multimodal.encodeBmp(w, h, rgb)),
+          (k.toLong, "bmp8", Multimodal.encodeBmp8(w, h, plane, grayCt,
+            topDown = true)),
+          (k.toLong, "gif", Multimodal.encodeGif(w, h, plane, grayCt)),
+          (k.toLong, "gifi", Multimodal.encodeGif(w, h, plane, grayCt,
+            interlace = true)),
+          (k.toLong, "png8", Multimodal.encodePng(w, h, 0, plane,
+            (0 until h).map(_ % 5), 6)))
+      }
+      rows.toDF("doc_id", "variant", "media")
+        .select(col("doc_id"), col("variant"),
+          Multimodal.dHashPixels(s)(col("media"), lit(0), lit(0))
+            .getField("sh").as("dhash"))
+        .orderBy("doc_id", "variant")
+    }),
+
     // Most-similar-image search (fully oracled): per-probe Hamming
     // top-k over the corpus — the ext_batch_topk shape with Hamming in
     // place of cosine (probe signatures broadcast, one corpus scan,
@@ -3115,6 +3153,50 @@ object ExtQueries {
         |SELECT doc_id, v.variant, dhash
         |FROM hashes,
         |  (VALUES ('a7deep'), ('adam7'), ('base8'), ('deep16')) AS v(variant)
+        |ORDER BY doc_id, variant""".stripMargin,
+
+    // one plane per doc from the canonical closed-form formula; the
+    // SAME hash emitted for all five container formats of it
+    "ext_image_px_formats" ->
+      """WITH d AS (
+        |  SELECT CAST(k AS BIGINT) AS doc_id, 7 + (k*3)%12 AS w,
+        |         5 + (k*5)%8 AS h
+        |  FROM UNNEST(range(0, 10)) AS t(k)),
+        |cells AS (
+        |  SELECT doc_id, w, h, c AS k,
+        |    ((c % 9) * w) // 9 AS x0,
+        |    greatest((((c % 9) + 1) * w) // 9, ((c % 9) * w) // 9 + 1) AS x1,
+        |    ((c // 9) * h) // 8 AS y0,
+        |    greatest((((c // 9) + 1) * h) // 8, ((c // 9) * h) // 8 + 1) AS y1
+        |  FROM d, UNNEST(range(0, 72)) AS t(c)),
+        |px AS (
+        |  SELECT doc_id, k, (x1 - x0) * (y1 - y0) AS n,
+        |    ((x.x*13 + y.y*7 + doc_id*37 + (x.x*y.y)%5) * 3) % 251 AS v
+        |  FROM cells, UNNEST(range(x0, x1)) AS x(x),
+        |       UNNEST(range(y0, y1)) AS y(y)),
+        |sums AS (
+        |  SELECT doc_id, k, any_value(n) AS n, sum(v) AS s
+        |  FROM px GROUP BY doc_id, k),
+        |bits AS (
+        |  SELECT a.doc_id, (a.k // 9) * 8 + (a.k % 9) AS bit
+        |  FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND a.s * b.n > b.s * a.n),
+        |halves AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN bit < 32
+        |      THEN (1::BIGINT << CAST(bit AS INT)) END), 0) AS lo,
+        |    coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (1::BIGINT << CAST(bit - 32 AS INT)) END), 0) AS hi
+        |  FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        |hashes AS (
+        |  SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+        |      THEN (hi - 4294967296) * 4294967296 + lo
+        |      ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+        |  FROM halves)
+        |SELECT doc_id, v.variant, dhash
+        |FROM hashes,
+        |  (VALUES ('bmp24'), ('bmp8'), ('gif'), ('gifi'), ('png8'))
+        |  AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
 
     // per-probe hamming top-5 by exhaustive rank, lower-id tie-break —

@@ -182,6 +182,51 @@ class ImagePixelHashSpec extends SparkSpec {
       s"4-bit Adam7 must decode to the same plane as 8-bit gray: $got2")
   }
 
+  test("GIF and BMP encodings of the same picture hash like PNG") {
+    // the canonical plane as: GIF sequential, GIF 4-pass interlaced
+    // (identity gray color table — BT.601 of equal channels is the
+    // gray value exactly), BMP 24-bit bottom-up, BMP 24-bit top-down,
+    // BMP 8-bit paletted — five more byte-incompatible containers that
+    // must all land on the frozen golden
+    val grayCt = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    val rgb = plane.flatMap(b => Array(b, b, b))
+    val encodings = Seq(
+      Multimodal.encodeGif(W, H, plane, grayCt),
+      Multimodal.encodeGif(W, H, plane, grayCt, interlace = true),
+      Multimodal.encodeBmp(W, H, rgb),
+      Multimodal.encodeBmp(W, H, rgb, topDown = true),
+      Multimodal.encodeBmp8(W, H, plane, grayCt))
+    assert(encodings.map(_.toSeq).distinct.size == 5,
+      "fixture encodings must differ at the byte level")
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) => (i.toLong, b, 0, 0) })
+    (0L to 4L).foreach { id =>
+      assert(got(id).contains((Golden, "pixels")),
+        s"doc $id: expected the canonical-plane golden, got $got")
+    }
+
+    // a big textured frame pushes the LZW dictionary through all code
+    // widths up to 12 bits: GIF must still equal its BMP twin
+    val bw = 80; val bh = 60
+    val big = Array.tabulate(bw * bh) { p =>
+      val x = p % bw; val y = p / bw
+      (((x * 31 + y * 17 + (x * y) % 11) * 7) % 253).toByte
+    }
+    val gotBig = pxOf(Seq(
+      (0L, Multimodal.encodeGif(bw, bh, big, grayCt), 0, 0),
+      (1L, Multimodal.encodeBmp(bw, bh, big.flatMap(b => Array(b, b, b)), topDown = true), 0, 0)))
+    assert(gotBig(0L).isDefined && gotBig(0L).exists(_._2 == "pixels") &&
+      gotBig(0L) == gotBig(1L),
+      s"LZW decode must reproduce the plane byte-for-byte: $gotBig")
+
+    // a truncated LZW stream degrades to the payload regime, never
+    // garbage pixels
+    val gif = Multimodal.encodeGif(W, H, plane, grayCt)
+    val cut = gif.take(gif.length - 24) ++ Array[Byte](0, 0x3b)
+    val gotCut = pxOf(Seq((9L, cut, 4, 4)))
+    assert(gotCut(9L).exists(_._2 == "payload"),
+      s"truncated GIF must fall back to payload bytes: $gotCut")
+  }
+
   test("monotone brightness shift on the decoded plane keeps the hash") {
     val bright = plane.map(b => math.min((b & 0xff) + 40, 255).toByte)
     val got = pxOf(Seq(
