@@ -63,6 +63,12 @@ object Bench {
     val tIdx = System.nanoTime()
     try queries.ExtQueries.buildIndexes(spark, sfDir) catch { case _: Throwable => () }
     val idxSec = (System.nanoTime() - tIdx) / 1e9
+    // same split for the Hamming image index: layout pass up front, the
+    // ext_image_index_topk entry then times the pruned probe alone
+    val tImg = System.nanoTime()
+    try queries.ExtQueries.ensureImageIndex(spark, sfDir)
+    catch { case _: Throwable => () }
+    val imgIdxSec = (System.nanoTime() - tImg) / 1e9
     // a query that THROWS at this SF must be visible in the output, not
     // silently timed as a fast failure — collect names for the JSON line
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -82,7 +88,8 @@ object Bench {
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap + ("ivf_index_build" -> idxSec)
+    }.toMap + ("ivf_index_build" -> idxSec) +
+      ("image_index_build" -> imgIdxSec)
     // Store-hygiene lifecycle: a REAL two-ingest near-dup store with a
     // forget (so tombstones are present) is compacted, and the
     // before/after data-file counts ride the artifact — file-count
@@ -117,7 +124,8 @@ object Bench {
     // inside `total` (no number games), broken out so the split is
     // visible without diffing rounds.
     val lifecycleKeys =
-      Seq("ivf_index_build", "stream_ingest_windowed", "ext_ivf_append",
+      Seq("ivf_index_build", "image_index_build", "stream_ingest_windowed",
+        "ext_ivf_append",
         "ext_ivfpq_topk_persisted", // pays the PQ attach when the artifact moved
         // starts a REAL stateful two-stream query: 2 sides × shuffle-
         // partition state-store instances initialize before the first

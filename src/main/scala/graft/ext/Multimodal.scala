@@ -876,6 +876,61 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+    private[ext] def isWebp(b: Array[Byte]): Boolean =
+      b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && tag(b, 8) == "WEBP" // 25 = RIFF 12 + hdr 8 + VP8L 5
+
+    /** WEBP: container + bitstream-HEADER geometry, no codec. All three
+      * layouts carry their dimensions in clear — "VP8 " lossy keyframes
+      * (14-bit width/height after the 0x9d012a start code), "VP8L"
+      * lossless (14-bit fields LSB-first after the 0x2f signature),
+      * "VP8X" extended (24-bit canvas minus-one fields) — so a crawl
+      * gets REAL geometry for every WebP while pixel decode stays the
+      * documented boundary (VP8 arithmetic decoding needs a codec; the
+      * census shows exactly how many rows sit there). Feature layout:
+      * [width, height, lossless, hasAlpha].
+      */
+    private def decodeWebp(r: MediaRow): Option[MediaFeatures] = {
+      val b = r.media
+      var off = 12
+      var feat: Array[Float] = null
+      while (feat == null && off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = u32le(b, off + 4)
+        val po = off + 8
+        if (sz < 0 || po + sz > b.length) return None
+        id match {
+          case "VP8 " if sz >= 10 =>
+            val keyframe = (b(po) & 1) == 0
+            if (!keyframe || (b(po + 3) & 0xff) != 0x9d ||
+              (b(po + 4) & 0xff) != 0x01 || (b(po + 5) & 0xff) != 0x2a)
+              return None
+            val w = u16le(b, po + 6) & 0x3fff
+            val h = u16le(b, po + 8) & 0x3fff
+            feat = Array(w.toFloat, h.toFloat, 0f, 0f)
+          case "VP8L" if sz >= 5 =>
+            if ((b(po) & 0xff) != 0x2f) return None
+            val bits = u32le(b, po + 1)
+            val w = (bits & 0x3fff).toInt + 1
+            val h = ((bits >> 14) & 0x3fff).toInt + 1
+            val alpha = ((bits >> 28) & 1).toInt
+            feat = Array(w.toFloat, h.toFloat, 1f, alpha.toFloat)
+          case "VP8X" if sz >= 10 =>
+            val alpha = (b(po) >> 4) & 1
+            val w = ((b(po + 4) & 0xff) | ((b(po + 5) & 0xff) << 8) |
+              ((b(po + 6) & 0xff) << 16)) + 1
+            val h = ((b(po + 7) & 0xff) | ((b(po + 8) & 0xff) << 8) |
+              ((b(po + 9) & 0xff) << 16)) + 1
+            feat = Array(w.toFloat, h.toFloat, -1f, alpha.toFloat)
+          case _ => ()
+        }
+        off = po + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      Option(feat).map(f =>
+        MediaFeatures(r.doc_id, b.length, "image/webp", "container",
+          byteChecksum(b), f))
+    }
+
     private[ext] def isMp4(b: Array[Byte]): Boolean =
       b.length >= 12 && tag(b, 4) == "ftyp"
 
@@ -961,6 +1016,32 @@ object Multimodal {
         Array(durationSec.toFloat, tracks.toFloat, w, h)))
     }
 
+    /** Remux-robust MP4 payload fingerprint: 64-bit FNV-1a over the
+      * concatenated `mdat` payload bytes in file order, skipping every
+      * other atom — so the edits a re-wrap makes (moov relocated for
+      * faststart, metadata tags rewritten, free/skip padding inserted,
+      * atom order shuffled) do NOT move the fingerprint, while any
+      * change to the actual coded samples does. This is the container-
+      * level video dup class a crawl sees constantly; frame DECODE
+      * stays the documented codec boundary. None when the box walk
+      * fails or no mdat exists (metadata-only files have no payload to
+      * identify).
+      */
+    private[graft] def mp4PayloadFp(b: Array[Byte]): Option[Long] = {
+      if (b == null || !isMp4(b)) return None
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis
+      var any = false
+      val ok = walkBoxes(b, 0, b.length) { (typ, po, pe) =>
+        if (typ == "mdat") {
+          any = true
+          var i = po
+          while (i < pe) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        }
+        true
+      }
+      if (ok && any) Some(h) else None
+    }
+
     /** Shared mean-stat feature for the RGB-interleaved decoders
       * (GIF/BMP): the JPEG layout [width, height, meanR, meanG, meanB,
       * luminance], means in 0..1.
@@ -989,6 +1070,7 @@ object Multimodal {
           if (isPng(r.media)) decodePng(r)
           else if (isWav(r.media)) decodeWav(r)
           else if (isJpeg(r.media)) decodeJpeg(r)
+          else if (isWebp(r.media)) decodeWebp(r)
           else if (isMp4(r.media)) decodeMp4(r)
           else if (isGif(r.media))
             gifRgb(r.media).map { case (px, w, h) =>
@@ -1009,9 +1091,13 @@ object Multimodal {
     * width/height). mvhd/tkhd are version 0.
     */
   def minimalMp4(timescale: Int, durationTicks: Long, tracks: Int,
-      width: Int, height: Int): Array[Byte] = {
+      width: Int, height: Int,
+      mdat: Array[Byte] = Array.empty,
+      moovFirst: Boolean = true,
+      freePad: Int = 0): Array[Byte] = {
     require(timescale > 0 && durationTicks >= 0 && tracks >= 1,
       s"minimalMp4: timescale=$timescale duration=$durationTicks tracks=$tracks")
+    require(freePad >= 0, s"minimalMp4: freePad $freePad")
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       java.nio.ByteBuffer.allocate(8 + payload.length)
         .putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
@@ -1051,7 +1137,17 @@ object Multimodal {
         bb.array()
       }))
     }
-    ftyp ++ box("moov", mvhd ++ traks.flatten)
+    val moov = box("moov", mvhd ++ traks.flatten)
+    // remux knobs for the payload-fingerprint gates: carry real sample
+    // bytes, relocate moov after mdat (the faststart rewrite in
+    // reverse), pad with a free atom — byte-different files whose mdat
+    // payload is identical
+    val mdatBox = if (mdat.isEmpty) Array.empty[Byte] else box("mdat", mdat)
+    val free =
+      if (freePad == 0) Array.empty[Byte]
+      else box("free", new Array[Byte](freePad))
+    if (moovFirst) ftyp ++ moov ++ free ++ mdatBox
+    else ftyp ++ mdatBox ++ free ++ moov
   }
 
   /** Deterministic PNG encoder (the [[minimalMp4]]/[[AudioDsp.sineWav]]
@@ -1652,5 +1748,29 @@ object Multimodal {
     graft.ops.GroupedTopK(spark, scored, "q_id", "score", "doc_id", k)
       .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
         (-col("score")).cast("int").as("hamming"))
+  }
+
+  /** Duplicate-VIDEO pairs by the remux-robust payload fingerprint
+    * ([[ContainerCodec.mp4PayloadFp]]): two MP4s pair iff their coded
+    * `mdat` sample bytes are identical, regardless of how the container
+    * around them was rewritten — moov relocated (faststart), metadata
+    * tags edited, free-atom padding, atom order shuffled. The dup class
+    * this catches is the container re-wrap, the video analog of a
+    * losslessly re-encoded PNG; transcoded copies (different coded
+    * bytes for the same frames) remain behind the documented codec
+    * boundary. One scan to fingerprint, then the same bucket-pair shape
+    * as every exact-dedup in the family (groupBy fingerprint — a 64-bit
+    * key, map-side combinable; `maxBucket` caps pathological buckets).
+    * Returns (id_a, id_b), id_a < id_b.
+    */
+  def videoRemuxDups(media: DataFrame, maxBucket: Int = 2000): DataFrame = {
+    val fpUdf = udf((b: Array[Byte]) => ContainerCodec.mp4PayloadFp(b))
+    media.select(col("doc_id"), fpUdf(col("media")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
   }
 }

@@ -1447,6 +1447,19 @@ object ExtQueries {
         .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
     }),
 
+    // Bounded-distance search through the PERSISTED Hamming index
+    // (fully oracled): the pruned posting-layout probe must EQUAL the
+    // exhaustive rank restricted to the index's bound — pigeonhole
+    // blocking is exact, so the artifact answers takedown-grade
+    // "every copy within H bits" queries without a corpus scan.
+    "ext_image_index_topk" -> ((s, dir) => {
+      ensureImageIndex(s, dir)
+      graft.ext.ImageIndex.topK(s, imageIndexPath(s, dir),
+        Multimodal.mediaTable(
+          Tables.documents(s, dir).filter(col("doc_id") < 8)), k = 5)
+        .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
+    }),
+
     // Image dedup CLUSTERS (fully oracled): connected components over
     // the dHash near-dup pair graph — the canonical-image assignment
     // that turns pairwise image similarity into per-cluster keep/drop
@@ -1460,6 +1473,28 @@ object ExtQueries {
       Dedup.componentsFromPairs(media.select("doc_id"), "doc_id", pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
+    // PLANTED truth, the audio-gate discipline): 12 synthesized MP4s
+    // with globally-unique mdat sample bytes, plus 6 RE-WRAPPED copies
+    // — moov relocated after mdat, free-atom padding, different
+    // timescale/track-count/geometry metadata. A correct fingerprinter
+    // pairs exactly copy-with-original: the mdat bytes are the identity,
+    // every metadata field differs, and distinct payloads share no
+    // bytes. The oracle is the closed-form planted pair list.
+    "ext_video_remux_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def payload(k: Int) =
+        Array.tabulate(160 + k * 13)(i => ((i * 31 + k * 17 + 7) % 251).toByte)
+      val originals = (0 until 12).map(k => (k.toLong,
+        Multimodal.minimalMp4(600, 1200 + k * 60, 1 + k % 3,
+          320 + k, 240 + k, mdat = payload(k))))
+      val remuxed = (0 until 6).map(k => (100L + k,
+        Multimodal.minimalMp4(90000, 500 + k, 2 + k % 2, 640, 480,
+          mdat = payload(k), moovFirst = false, freePad = 12 + k)))
+      Multimodal.videoRemuxDups((originals ++ remuxed).toDF("doc_id", "media"))
+        .orderBy("id_a", "id_b")
     }),
 
     // Near-duplicate AUDIO by landmark fingerprints (oracled on PLANTED
@@ -1970,6 +2005,27 @@ object ExtQueries {
       .digest(entries.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
   }
+
+  /** Home of the persisted Hamming image index — same fingerprint
+    * discipline as [[indexPath]] so a regenerated corpus can never be
+    * served by stale postings ("h7f8" = maxHamming 7, 8 files/chunk).
+    */
+  private[graft] def imageIndexPath(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_imgidx/$safe/" +
+      s"h7f8_${corpusFp(s, dir, "documents")}"
+  }
+
+  /** Build the Hamming image index only when absent — Bench calls this
+    * up front (its own `image_index_build` line) so the probe gate
+    * times pruning, not the one-time layout pass.
+    */
+  private[graft] def ensureImageIndex(s: SparkSession, dir: String): Unit =
+    if (!graft.ext.ImageIndex.exists(s, imageIndexPath(s, dir)))
+      graft.ext.ImageIndex.build(
+        Multimodal.mediaTable(
+          Tables.documents(s, dir).filter(col("doc_id") < 300)),
+        imageIndexPath(s, dir), maxHamming = 7)
 
   /** Build the durable index only when absent (Verify-path economics:
     * first query pays the build, every later probe is pruning-only).
@@ -3028,6 +3084,10 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
+    "ext_video_remux_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
     // pixel-regime hash replay WITHOUT the bytes: the oracle regenerates
     // each synthesized plane from the closed-form formula the Spark side
     // ENCODED into real deflate/filtered PNGs, then replays the 9x8
@@ -3210,6 +3270,21 @@ object ExtQueries {
         |      FROM hashes h, q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY hamming, doc_id) AS rn FROM s)
+        |SELECT q_id, doc_id, hamming FROM r WHERE rn <= 5
+        |ORDER BY q_id, hamming, doc_id""").stripMargin,
+
+    // the exhaustive rank RESTRICTED to the index's Hamming bound —
+    // pigeonhole blocking must lose nothing inside the bound
+    "ext_image_index_topk" ->
+      ("WITH " + dHashCtesSql("WHERE doc_id < 300") + """,
+        |q AS (SELECT doc_id AS q_id, dhash AS qsh FROM hashes
+        |      WHERE doc_id < 8),
+        |s AS (SELECT q.q_id, h.doc_id,
+        |        CAST(bit_count(xor(h.dhash, q.qsh)) AS INT) AS hamming
+        |      FROM hashes h, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hamming, doc_id) AS rn FROM s
+        |      WHERE hamming <= 7)
         |SELECT q_id, doc_id, hamming FROM r WHERE rn <= 5
         |ORDER BY q_id, hamming, doc_id""").stripMargin,
 

@@ -758,6 +758,72 @@ class ExtSpec extends SparkSpec {
       ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
+  test("multimodal: WEBP geometry from all three bitstream headers, no codec") {
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] = {
+      val total = 4 + 8 + payload.length + (payload.length & 1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array(total & 0xff, (total >> 8) & 0xff, (total >> 16) & 0xff,
+        (total >> 24) & 0xff).map(_.toByte))
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(chunk.getBytes("US-ASCII"))
+      out.write(Array(payload.length & 0xff, (payload.length >> 8) & 0xff,
+        (payload.length >> 16) & 0xff, (payload.length >> 24) & 0xff)
+        .map(_.toByte))
+      out.write(payload)
+      if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+    // VP8 lossy keyframe header: 3-byte tag (bit0=0 keyframe), start
+    // code 9d 01 2a, then 14-bit LE width/height
+    val vp8 = riff("VP8 ", Array[Byte](0x10, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, (320 >> 8).toByte,
+      (240 & 0xff).toByte, (240 >> 8).toByte, 0, 0))
+    // VP8L: 0x2f then (w-1) 14 bits | (h-1) << 14 | alpha << 28
+    val bitsL = (199L) | (149L << 14) | (1L << 28)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (bitsL & 0xff).toByte, ((bitsL >> 8) & 0xff).toByte,
+      ((bitsL >> 16) & 0xff).toByte, ((bitsL >> 24) & 0xff).toByte, 0))
+    // VP8X: flags (alpha bit4), 3 reserved, 24-bit LE canvas minus one
+    val vp8x = riff("VP8X", Array[Byte](0x10, 0, 0, 0,
+      (1023 & 0xff).toByte, ((1023 >> 8) & 0xff).toByte, 0,
+      (767 & 0xff).toByte, ((767 >> 8) & 0xff).toByte, 0))
+    val feats = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, vp8, "image/webp", 0, 0),
+        Multimodal.MediaRow(2L, vp8l, "image/webp", 0, 0),
+        Multimodal.MediaRow(3L, vp8x, "image/webp", 0, 0)).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.values.forall(f =>
+      f.format == "image/webp" && f.kind == "container"), s"$feats")
+    assert(feats(1L).feature.toSeq == Seq(320f, 240f, 0f, 0f), s"${feats(1L)}")
+    assert(feats(2L).feature.toSeq == Seq(200f, 150f, 1f, 1f), s"${feats(2L)}")
+    assert(feats(3L).feature.toSeq == Seq(1024f, 768f, -1f, 1f), s"${feats(3L)}")
+    // a truncated VP8 payload degrades to byte-stats, never garbage
+    val broken = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(4L, vp8.take(24), "image/webp", 0, 0)).toDF())
+      .collect().head
+    assert(broken.kind == "byte-stats", s"truncated webp kind ${broken.kind}")
+  }
+
+  test("multimodal: video remux dedup — payload identity through container rewrites") {
+    val payloadA = Array.tabulate(300)(i => ((i * 31 + 7) % 251).toByte)
+    val payloadB = Array.tabulate(280)(i => ((i * 13 + 5) % 251).toByte)
+    val orig = Multimodal.minimalMp4(600, 1200, 1, 320, 240, mdat = payloadA)
+    // re-wrap: moov after mdat, free padding, every metadata field moved
+    val remux = Multimodal.minimalMp4(90000, durationTicks = 500L,
+      tracks = 2, width = 640, height = 480, mdat = payloadA,
+      moovFirst = false, freePad = 16)
+    val other = Multimodal.minimalMp4(600, 1200, 1, 320, 240, mdat = payloadB)
+    val noPayload = Multimodal.minimalMp4(600, 1200, 1, 320, 240)
+    assert(orig.toSeq != remux.toSeq, "fixtures must differ at byte level")
+    val pairs = Multimodal.videoRemuxDups(Seq(
+        (1L, orig), (2L, remux), (3L, other), (4L, noPayload))
+        .toDF("doc_id", "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"exactly the re-wrapped copy must pair: $pairs")
+  }
+
   test("multimodal: PNG pixel decode — real channel means through all five filters") {
     import java.io.ByteArrayOutputStream
 

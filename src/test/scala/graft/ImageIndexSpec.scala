@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{ImageIndex, Multimodal}
+
+/** The persisted Hamming-space image index: bounded-distance top-k must
+  * EQUAL the exhaustive baseline restricted to the bound (pigeonhole is
+  * exact, not approximate), the probe must read less of the store than
+  * a full postings scan (the layout's whole point), and un-prunable
+  * bounds must be rejected at build time.
+  */
+class ImageIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(seed: Int, flip: Int = -1) = {
+    val plane = Array.tabulate(24 * 16) { p =>
+      val x = p % 24; val y = p / 24
+      val v = ((x * (13 + seed % 7) + y * (7 + seed % 5) +
+        x * y * (1 + seed % 3)) * 3 + seed * 29) % 251
+      (if (p == flip) (v + 96) % 251 else v).toByte
+    }
+    Multimodal.storedGrayPng(plane, 24, 16)
+  }
+
+  private def frameOf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "media")
+      .withColumn("width", lit(0)).withColumn("height", lit(0))
+
+  test("bounded top-k equals the exhaustive baseline restricted to the bound") {
+    // 200 distinct textured images, plus planted near-copies of the
+    // probe images (one flipped pixel — a few gradient signs at most)
+    val corpus = frameOf(
+      (0 until 200).map(s => (s.toLong, png(s))) ++
+        Seq(0, 7, 13).flatMap(s => Seq(
+          (1000L + s, png(s, flip = 40)),
+          (2000L + s, png(s, flip = 333)))))
+    val probes = frameOf(Seq(0, 7, 13).map(s => (s.toLong, png(s))))
+    val path = tmpDir("imgidx1") + "/idx"
+    ImageIndex.build(corpus, path, maxHamming = 7)
+    val got = ImageIndex.topK(spark, path, probes, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Multimodal.imageTopK(corpus, probes, k = 8)
+      .filter(col("hamming") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.exists(_._3 == 0) && expected.size > 3,
+      s"fixture must plant in-bound matches, got $expected")
+    assert(got == expected,
+      s"index result diverged from the bounded exhaustive baseline:\n" +
+        s"  index    : $got\n  exhaustive: $expected")
+  }
+
+  test("a probe reads less of the postings than a full scan (pruning)") {
+    val corpus = frameOf((0 until 3000).map(s => (s.toLong, png(s))))
+    val path = tmpDir("imgidx2") + "/idx"
+    ImageIndex.build(corpus, path, maxHamming = 7)
+    val probes = frameOf(Seq((17L, png(17))))
+    // Spark's own task input metrics, NOT FileSystem.getAllStatistics:
+    // a filterless parquet scan reads through nio and under-counts on
+    // the Hadoop stats, while pushed-filter scans go through the
+    // counted Hadoop stream — the FS counters compare two different
+    // I/O paths. The baseline therefore carries a trivially-true PUSHED
+    // predicate so both sides run the same counted reader.
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measured(body: => Unit): Long = {
+      acc.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are async: wait until the counter settles
+        var last = -1L
+        var spins = 0
+        while (acc.get != last && spins < 20) {
+          last = acc.get; Thread.sleep(250); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get
+    }
+    var hits: Array[org.apache.spark.sql.Row] = null
+    val probeBytes = measured {
+      hits = ImageIndex.topK(spark, path, probes, k = 5).collect()
+    }
+    assert(hits.exists(h => h.getLong(1) == 17L && h.getInt(2) == 0),
+      s"self-match must surface: ${hits.toSeq}")
+    val fullBytes = measured {
+      (0 to 7).foreach { c =>
+        spark.read.parquet(s"$path/postings/chunk=$c")
+          .filter(col("cval") >= 0L).collect()
+      }
+    }
+    assert(probeBytes < fullBytes / 2,
+      s"probe read $probeBytes input bytes, not well below the full " +
+        s"scan's $fullBytes — the sorted cval bands are not pruning")
+  }
+
+  test("build rejects bounds too wide to prune; topK uses the stored bound") {
+    val corpus = frameOf((0 until 4).map(s => (s.toLong, png(s))))
+    val e = intercept[IllegalArgumentException] {
+      ImageIndex.build(corpus, tmpDir("imgidx3") + "/idx", maxHamming = 10)
+    }
+    assert(e.getMessage.contains("imageTopK"))
+    val path = tmpDir("imgidx4") + "/idx"
+    ImageIndex.build(corpus, path, maxHamming = 3)
+    assert(ImageIndex.boundOf(spark, path) == 3)
+    // rebuild at a different bound swaps atomically; the probe follows
+    ImageIndex.build(corpus, path, maxHamming = 5)
+    assert(ImageIndex.boundOf(spark, path) == 5)
+    val got = ImageIndex.topK(spark, path,
+      frameOf(Seq((2L, png(2)))), k = 2).collect()
+    assert(got.exists(r => r.getLong(1) == 2L && r.getInt(2) == 0),
+      s"self-match after rebuild: ${got.toSeq}")
+  }
+}
