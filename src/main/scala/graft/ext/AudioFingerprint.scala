@@ -147,6 +147,59 @@ object AudioFingerprint {
       .filter(col("shared") >= params.minShared)
       .select("id_a", "id_b", "shared")
 
+  /** Query-by-example audio search: for each probe recording, the k
+    * corpus documents sharing the most landmark hashes — the
+    * `imageTopK` shape with shared-count in place of Hamming. Probe
+    * fingerprints BROADCAST along one unshuffled corpus fingerprint
+    * scan (probes are a bounded serving-side set; the corpus is never
+    * shuffled), matches count per (probe, doc), bounded per-partition
+    * top-k heaps. Ties break to the lower doc_id. Returns
+    * (q_id, doc_id, shared) — documents sharing fewer than `minShared`
+    * hashes with a probe never rank (they are noise, not matches).
+    */
+  def audioTopK(
+      spark: SparkSession,
+      media: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      params: Params = Params()): DataFrame =
+    topKOverFps(spark, fingerprints(spark, media, params),
+      probes, k, params)
+
+  /** [[audioTopK]] against the DURABLE fingerprint store: the corpus
+    * side is the store's live fingerprints (tombstoned owners never
+    * surface — a taken-down recording is unfindable immediately).
+    */
+  def audioTopKStore(
+      spark: SparkSession,
+      storePath: String,
+      probes: DataFrame,
+      k: Int,
+      params: Params = Params()): DataFrame =
+    topKOverFps(spark, liveFps(spark, storePath), probes, k, params)
+
+  private def topKOverFps(
+      spark: SparkSession,
+      corpusFps: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      params: Params): DataFrame = {
+    require(k > 0, s"audioTopK: k must be positive, got $k")
+    val qs = fingerprints(spark, probes, params)
+      .select(col("doc_id").as("q_id"), col("fp"))
+    val shared = corpusFps
+      .join(broadcast(qs), Seq("fp"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= params.minShared)
+    graft.ops.GroupedTopK(spark,
+        shared.select(col("q_id"), col("doc_id"),
+          col("shared").cast("double").as("score")),
+        "q_id", "score", "doc_id", k)
+      .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+        col("score").cast("long").as("shared"))
+  }
+
   private def sharedCounts(fps: DataFrame, p: Params): DataFrame =
     fps.groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -29,7 +29,8 @@ object Curation {
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long,
       afterNearDup: Long, chunks: Long, afterBoilerplate: Long = -1,
-      afterImageDedup: Long = -1, afterAudioDedup: Long = -1)
+      afterImageDedup: Long = -1, afterAudioDedup: Long = -1,
+      afterVideoDedup: Long = -1)
 
   /** @param minQuality  quality-score gate in [0,1] (TextAnalysis.qualityScore)
     * @param threshold   near-dup jaccard threshold for MinHash-LSH
@@ -63,6 +64,15 @@ object Curation {
     *        to one canonical doc. Null/undecodable audio passes through.
     * @param audioStorePath with `audioCol`: the durable cross-run
     *        fingerprint store instead of the one-shot components form.
+    * @param videoCol when set, VIDEO dedup by remux-robust payload
+    *        fingerprint after the audio stage — a re-WRAPPED copy of
+    *        the same MP4 (moov relocated, metadata rewritten, padding)
+    *        under rewritten text collapses to one canonical doc.
+    *        Non-MP4/payload-less media fingerprints NULL and passes
+    *        through; transcodes stay behind the codec boundary.
+    * @param videoStorePath with `videoCol`: the durable cross-run
+    *        payload-fingerprint key store (IncrementalKeyedDedup —
+    *        stored doc wins cross-run) instead of the one-shot form.
     */
   def run(spark: SparkSession, docs: DataFrame, outPath: String,
       idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
@@ -73,7 +83,9 @@ object Curation {
       imageMaxHamming: Int = 6,
       imageStorePath: Option[String] = None,
       audioCol: Option[String] = None,
-      audioStorePath: Option[String] = None): Report = {
+      audioStorePath: Option[String] = None,
+      videoCol: Option[String] = None,
+      videoStorePath: Option[String] = None): Report = {
     require(minQuality >= 0 && minQuality <= 1, s"minQuality in [0,1], got $minQuality")
     val input = docs.count()
 
@@ -176,12 +188,42 @@ object Curation {
     val afterAudioDedup =
       if (audioCol.isEmpty) -1L else audioDeduped.count()
 
+    // 4d (optional): video dedup — exact payload-fingerprint identity,
+    // so the one-shot form needs no Hamming machinery: fingerprint
+    // pairs -> components -> keep-min canonical; the store form rides
+    // IncrementalKeyedDedup's survivor semantics directly (stored doc
+    // wins cross-run, keep-first in-batch, NULL keys pass through).
+    val videoDeduped = videoCol match {
+      case None => audioDeduped
+      case Some(vCol) =>
+        val base = audioDeduped.localCheckpoint(false)
+        videoStorePath match {
+          case Some(vsp) =>
+            val fpU = udf((b: Array[Byte]) =>
+              Multimodal.ContainerCodec.mp4PayloadFp(b))
+            graft.ext.IncrementalKeyedDedup.ingest(spark, base, idCol,
+              fpU(col(vCol)), vsp)
+          case None =>
+            val video = base.filter(col(vCol).isNotNull)
+              .select(col(idCol).as("doc_id"), col(vCol).as("media"))
+            val keep = Dedup.componentsFromPairs(video.select("doc_id"),
+              "doc_id", Multimodal.videoRemuxDups(video)
+                .select("id_a", "id_b"))
+              .filter(col("id") === col("canonical_id"))
+              .select(col("id").as(idCol))
+            base.filter(col(vCol).isNull)
+              .unionByName(base.join(keep, Seq(idCol), "left_semi"))
+        }
+    }
+    val afterVideoDedup =
+      if (videoCol.isEmpty) -1L else videoDeduped.count()
+
     // 5: chunk + write, metrics riding the write action. The partition
     // column rides THROUGH the chunker (keepCols) — a join back to the
     // doc->lang map would be O(surviving docs), broadcastable nowhere
     // near 100 TB.
     val chunks = Chunker.chunkByTokens(
-      audioDeduped.select(col(idCol), col(textCol), col(langCol)),
+      videoDeduped.select(col(idCol), col(textCol), col(langCol)),
       idCol, textCol, window, stride, keepCols = Seq(langCol))
     val (observed, obs) = Quality.observed(chunks, requiredCols = Seq("chunk"))
     TableIO.write(observed, TableIO.Parquet, outPath,
@@ -190,6 +232,7 @@ object Curation {
 
     Report(input, gated.count(), afterExact,
       nearDeduped.count(), nChunks, afterBoilerplate = afterBoilerplate,
-      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup)
+      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup,
+      afterVideoDedup = afterVideoDedup)
   }
 }

@@ -61,7 +61,7 @@ object TrainingSet {
       packs: Long, alreadyApplied: Boolean,
       afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1,
       afterEmbedNearDup: Long = -1, afterImageDedup: Long = -1,
-      afterAudioDedup: Long = -1)
+      afterAudioDedup: Long = -1, afterVideoDedup: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
     * @param benchmark eval set to decontaminate against (tiny side)
@@ -138,6 +138,17 @@ object TrainingSet {
     *        the same recording dedups cross-batch even when every text
     *        field was rewritten. NULL/undecodable audio passes through
     *        and never registers; same drop rules as every dedup stage
+    * @param videoCol with `videoStorePath`: the batch column carrying
+    *        an opaque VIDEO payload (MP4; other containers and
+    *        payload-less files key NULL and pass through)
+    * @param videoStorePath when set, incremental VIDEO dedup vs a
+    *        durable payload-fingerprint key store
+    *        (IncrementalKeyedDedup on `Multimodal` mdat fingerprints)
+    *        after the audio stage: a re-WRAPPED copy of the same video
+    *        — moov relocated, metadata rewritten, padding inserted —
+    *        dedups cross-batch even when every text field was
+    *        rewritten. Transcodes stay behind the documented codec
+    *        boundary; same drop rules as every dedup stage
     * @param splits when non-empty, leakage-safe split assignment
     *        (`Splits.assign` keyed on `splitGroupCol`, default the doc
     *        id) BEFORE packing, and packing runs PER SPLIT — a packed
@@ -183,6 +194,8 @@ object TrainingSet {
       imageMaxHamming: Int = 6,
       audioCol: Option[String] = None,
       audioStorePath: Option[String] = None,
+      videoCol: Option[String] = None,
+      videoStorePath: Option[String] = None,
       accounting: Boolean = true,
       splits: Seq[(String, Double)] = Nil,
       splitGroupCol: Option[String] = None,
@@ -358,17 +371,37 @@ object TrainingSet {
     val afterAudioDedup =
       if (audioStorePath.isEmpty) -1L else cnt(audioSurvivors)
 
+    // 4e (optional): incremental VIDEO dedup vs a durable payload-
+    // fingerprint key store — a re-wrapped copy of the same video
+    // (moov relocated for faststart, metadata tags rewritten, padding
+    // inserted) dedups cross-batch by its mdat payload fingerprint even
+    // when all its text was rewritten. Non-MP4 and payload-less rows
+    // key NULL and pass through untouched (IncrementalKeyedDedup's
+    // keyless discipline); the store is 16 bytes/video.
+    val videoSurvivors = (videoCol, videoStorePath) match {
+      case (Some(vCol), Some(vsp)) =>
+        val fpU = udf((b: Array[Byte]) =>
+          graft.ext.Multimodal.ContainerCodec.mp4PayloadFp(b))
+        graft.ext.IncrementalKeyedDedup.ingest(spark, audioSurvivors,
+          idCol, fpU(col(vCol)), vsp).localCheckpoint(false)
+      case (None, Some(_)) => sys.error(
+        "TrainingSet.ingest: videoStorePath needs videoCol")
+      case _ => audioSurvivors
+    }
+    val afterVideoDedup =
+      if (videoStorePath.isEmpty) -1L else cnt(videoSurvivors)
+
     // 5 (optional): incremental verbatim-span dedup vs the durable
     // fingerprint store — high-precision copy-paste screening that
     // Jaccard near-dup misses when the surrounding text differs. Same
     // drop rules; only prior-stage survivors register (already-dropped
     // batch docs must not claim spans they never contributed).
     val spanSurvivors = substringMinLen match {
-      case None => audioSurvivors
+      case None => videoSurvivors
       case Some(minLen) =>
-        val spanPairs = IncrementalSubstring.ingest(spark, audioSurvivors,
+        val spanPairs = IncrementalSubstring.ingest(spark, videoSurvivors,
           idCol, textCol, s"$storePath/substr", minLen)
-        dropPairLosers(audioSurvivors, spanPairs, idCol).localCheckpoint(false)
+        dropPairLosers(videoSurvivors, spanPairs, idCol).localCheckpoint(false)
     }
     val afterSubstring = cnt(spanSurvivors)
     // the commit-vs-ledger decision needs survivor PRESENCE, not the
@@ -420,7 +453,8 @@ object TrainingSet {
       afterUrlDedup = afterUrlDedup,
       afterEmbedDecontaminate = afterEmbedDecontaminate,
       afterEmbedNearDup = afterEmbedNearDup,
-      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup)
+      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup,
+      afterVideoDedup = afterVideoDedup)
   }
 
   /** TAKEDOWN: remove documents from the training table AND from every
@@ -462,6 +496,7 @@ object TrainingSet {
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
+      videoStorePath: Option[String] = None,
       vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -488,6 +523,9 @@ object TrainingSet {
       graft.ext.AudioFingerprint.forget(spark, p, tomb)
     }
     urlStorePath.filter(p => has(s"$p/keys")).foreach { p =>
+      graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
+    }
+    videoStorePath.filter(p => has(s"$p/keys")).foreach { p =>
       graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
     }
     deleted
@@ -552,6 +590,7 @@ object TrainingSet {
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
+      videoStorePath: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val counts =
       Seq(IncrementalDedup.compactStore(spark, storePath, targetFileBytes),
@@ -567,6 +606,9 @@ object TrainingSet {
         graft.ext.AudioFingerprint.compactStore(spark, p,
           targetFileBytes)) ++
       urlStorePath.map(p =>
+        graft.ext.IncrementalKeyedDedup.compactStore(spark, p,
+          targetFileBytes)) ++
+      videoStorePath.map(p =>
         graft.ext.IncrementalKeyedDedup.compactStore(spark, p,
           targetFileBytes))
     counts.foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }

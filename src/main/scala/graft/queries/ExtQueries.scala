@@ -1475,6 +1475,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Query-by-example AUDIO search (oracled on PLANTED truth): ten
+    // re-mastered probes (amplitude-scaled copies at fresh ids) against
+    // a 20-recording corpus of globally-unique tone sequences — a
+    // correct searcher's top-1 is EXACTLY the probe's source recording
+    // (unique tones share no spectrum, minShared floors out noise). The
+    // shared-count column is deliberately dropped: its value is real
+    // FFT arithmetic (frozen-golden territory), the MATCH IDENTITY is
+    // the closed-form truth.
+    "ext_audio_search" -> ((s, dir) => {
+      import s.implicits._
+      def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+        (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+      val corpus = (0 until 20).map(k => (k.toLong, rec(k, 0.5)))
+        .toDF("doc_id", "media")
+      val probes = (0 until 10).map(k => (500L + k, rec(k, 0.25)))
+        .toDF("doc_id", "media")
+      AudioFingerprint.audioTopK(s, corpus, probes, k = 1)
+        .select("q_id", "doc_id").orderBy("q_id")
+    }),
+
     // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
     // PLANTED truth, the audio-gate discipline): 12 synthesized MP4s
     // with globally-unique mdat sample bytes, plus 6 RE-WRAPPED copies
@@ -3087,6 +3107,10 @@ object ExtQueries {
     "ext_video_remux_pairs" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_audio_search" ->
+      """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
+        |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
 
     // pixel-regime hash replay WITHOUT the bytes: the oracle regenerates
     // each synthesized plane from the closed-form formula the Spark side

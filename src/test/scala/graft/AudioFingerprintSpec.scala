@@ -95,4 +95,29 @@ class AudioFingerprintSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(left == Set(2L, 4L, 9L), s"tombstones not folded: $left")
   }
+
+  test("audioTopK: a re-mastered probe finds its recording; takedown hides it") {
+    val corpus = (0 until 8).map(s => (s.toLong, wav(s, 0.5)))
+      .toDF("doc_id", "media")
+    val probes = Seq((500L, wav(3, 0.2)), (501L, wav(6, 0.3)),
+      (502L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val got = AudioFingerprint.audioTopK(spark, corpus, probes, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unique tones: each probe matches EXACTLY its source (minShared
+    // floors out everything else), the undecodable probe matches nothing
+    assert(got == Set((500L, 3L), (501L, 6L)), s"got $got")
+
+    // store-backed search: same result, and a taken-down recording is
+    // unfindable immediately (the compliance property of the store form)
+    val store = tmpDir("audiosearch") + "/s"
+    AudioFingerprint.ingest(spark, corpus, store)
+    val viaStore = AudioFingerprint.audioTopKStore(spark, store, probes, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == got, s"store-backed search diverged: $viaStore")
+    AudioFingerprint.forget(spark, store, Seq(3L).toDF("doc_id"))
+    val after = AudioFingerprint.audioTopKStore(spark, store, probes, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((501L, 6L)), s"taken-down doc still found: $after")
+  }
 }

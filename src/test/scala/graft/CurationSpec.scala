@@ -171,6 +171,57 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L), s"kept $kept")
   }
 
+  test("video stage: a re-wrapped mp4 collapses docs with rewritten text; store spans runs") {
+    import graft.ext.Multimodal
+    val payload = Array.tabulate(240)(i => ((i * 31 + 3) % 251).toByte)
+    def doc(id: Long, text: String, media: Option[Array[Byte]]) =
+      (id, (text + " ") * 4, "en", media)
+    val docs = Seq(
+      doc(1L, "a screencast explains derivative pricing with narrated " +
+        "examples recorded once and published in the original wrapper",
+        Some(Multimodal.minimalMp4(600, 1200, 1, 320, 240, mdat = payload))),
+      // rewritten text, SAME payload re-wrapped (faststart + metadata)
+      doc(2L, "completely different caption describing a finance video " +
+        "tutorial using none of the previous description vocabulary",
+        Some(Multimodal.minimalMp4(90000, 9, 2, 640, 480, mdat = payload,
+          moovFirst = false, freePad = 20))),
+      doc(3L, "timelapse footage of glacier calving uses its own unique " +
+        "payload bytes and therefore must never collapse with others",
+        Some(Multimodal.minimalMp4(600, 500, 1, 100, 80,
+          mdat = payload.map(b => (b ^ 0x11).toByte)))),
+      doc(4L, "plain text document with no video at all that passes " +
+        "through the stage untouched whatever the fingerprints say", None))
+      .toDF("doc_id", "text", "lang", "media")
+    val out = tmpDir("cur_video") + "/c"
+    val r = Curation.run(spark, docs, out, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      videoCol = Some("media"))
+    assert(r.afterNearDup == 4 && r.afterVideoDedup == 3,
+      s"video stage must drop doc 2: $r")
+    val kept = spark.read.parquet(out)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept $kept")
+
+    // store form: a SECOND run (fresh ids) against the durable store
+    // drops the re-wrap cross-RUN
+    val store = tmpDir("cur_vstore") + "/s"
+    val out2 = tmpDir("cur_video2") + "/c"
+    Curation.run(spark, docs, out2, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      videoCol = Some("media"), videoStorePath = Some(store))
+    val later = Seq(doc(11L, "a third rewrite of the derivatives " +
+        "screencast description sharing no phrasing with either prior",
+        Some(Multimodal.minimalMp4(44100, 321, 3, 888, 500,
+          mdat = payload, moovFirst = false, freePad = 4))))
+      .toDF("doc_id", "text", "lang", "media")
+    val out3 = tmpDir("cur_video3") + "/c"
+    val r3 = Curation.run(spark, later, out3, minQuality = 0.2,
+      threshold = 0.5, window = 20, stride = 15,
+      videoCol = Some("media"), videoStorePath = Some(store))
+    assert(r3.afterVideoDedup == 0,
+      s"cross-run re-wrap not caught by the video store: $r3")
+  }
+
   test("curation is deterministic: rerun produces the identical chunk set") {
     val out1 = tmpDir("cur_a") + "/c"
     val out2 = tmpDir("cur_b") + "/c"

@@ -326,6 +326,49 @@ class TrainingSetSpec extends SparkSpec {
     assert(r4.afterAudioDedup == 1, s"distinct audio wrongly dropped: $r4")
   }
 
+  test("video stage: re-WRAPPED mp4 with REWRITTEN text drops cross-batch; takedown readmits") {
+    import graft.ext.Multimodal
+    val work = tmpDir("trainvideo")
+    val store = s"$work/store"
+    val videoStore = s"$work/video"
+    val target = s"$work/train"
+    val payload = Array.tabulate(260)(i => ((i * 31 + 7) % 251).toByte)
+    val orig = Multimodal.minimalMp4(600, 1200, 1, 320, 240, mdat = payload)
+    // the faststart re-wrap: moov after mdat, padding, all metadata moved
+    val rewrap = Multimodal.minimalMp4(90000, 777, 2, 640, 480,
+      mdat = payload, moovFirst = false, freePad = 24)
+    val otherVid = Multimodal.minimalMp4(600, 1200, 1, 320, 240,
+      mdat = payload.map(b => (b ^ 0x2d).toByte))
+    val textA = "a screencast walkthrough narrating orbital mechanics " +
+      "with phrasing that appears in no other record whatsoever here"
+    val textB = "fully rewritten description of a space flight tutorial " +
+      "video sharing not one content word with the previous caption"
+    def ing(rows: Seq[(Long, String, Array[Byte])], id: String) =
+      TrainingSet.ingest(spark, rows.toDF("doc_id", "text", "media"),
+        benchmark, store, target, id, minQuality = 0.0,
+        videoCol = Some("media"), videoStorePath = Some(videoStore))
+    val r1 = ing(Seq((1L, textA, orig)), "v1")
+    assert(r1.afterVideoDedup == 1, s"$r1")
+    // batch 2: the SAME video re-wrapped, under fully rewritten text —
+    // only the payload-fingerprint store can catch it
+    val r2 = ing(Seq((2L, textB, rewrap)), "v2")
+    assert(r2.afterNearDup == 1 && r2.afterVideoDedup == 0,
+      s"re-wrapped video not caught by the payload store: $r2")
+    assert(TxTable.read(spark, target).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // a row with NO video passes through the stage untouched
+    val r2b = ing(Seq((5L, textA + " null media case", null)), "v2b")
+    assert(r2b.afterVideoDedup == 1, s"null video wrongly dropped: $r2b")
+    // takedown reaches the video store: the same payload readmits fresh
+    TrainingSet.takedown(spark, target, store, Seq(1L, 2L),
+      videoStorePath = Some(videoStore))
+    val r3 = ing(Seq((3L, textB + " more", rewrap)), "v3")
+    assert(r3.afterVideoDedup == 1, s"video store did not forget: $r3")
+    // a video with DIFFERENT payload bytes passes while the stage is on
+    val r4 = ing(Seq((4L, textA + " again", otherVid)), "v4")
+    assert(r4.afterVideoDedup == 1, s"distinct video wrongly dropped: $r4")
+  }
+
   test("takedown: table row deleted AND every store forgets — content re-admittable") {
     val work = tmpDir("traintakedown")
     val store = s"$work/store"
