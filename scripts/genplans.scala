@@ -58,9 +58,13 @@ val headline = Seq(
   ("ext_image_neardup", "image near-dup: native graft_dhash signature, chunk-block candidates, exact Hamming verify"),
   ("ext_image_topk", "image top-k: probe signatures broadcast, one corpus scan, bounded per-partition heaps"),
   ("ext_mix_budget", "budget waterfill: one map-combinable corpus aggregate, O(groups) driver walk, literals back"),
-  ("ext_contamination_report", "contamination provenance: bench grams broadcast, corpus unshuffled, map-combinable pair counts"))
+  ("ext_contamination_report", "contamination provenance: bench grams broadcast, corpus unshuffled, map-combinable pair counts"),
+  ("ext_image_index_topk", "Hamming index probe: per-chunk scans with PUSHED cval IN filters, postings pruned, corpus never materialized"),
+  ("ext_audio_search", "audio search: probe fingerprints broadcast along one corpus fingerprint scan, shared-count heaps"),
+  ("ext_video_remux_pairs", "video remux dedup: one fingerprint scan, 64-bit-key HashAggregate buckets, no pair blowup"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
+ExtQueries.ensureImageIndex(spark, dir)
 for ((name, desc) <- headline) {
   val df = ParityQueries.queries.get(name).orElse(ExtQueries.queries.get(name)).get(spark, dir)
   df.count() // let AQE finalize so the printed plan is the executed one

@@ -116,17 +116,78 @@ object ImageIndex {
   }
 
   /** The blocking bound the artifact was built at (from build_meta). */
-  def boundOf(spark: SparkSession, path: String): Int = {
+  def boundOf(spark: SparkSession, path: String): Int = metaOf(spark, path)._1
+
+  /** (maxHamming, build-time posting rows) from build_meta. The row
+    * count is the staleness denominator for [[append]] — it records the
+    * last full LAYOUT pass, so it does not move on appends.
+    */
+  private def metaOf(spark: SparkSession, path: String): (Int, Long) = {
     val p = new Path(s"$path/build_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    text.linesIterator
-      .collectFirst { case l if l.startsWith("maxhamming ") =>
-        l.stripPrefix("maxhamming ").trim.toInt }
-      .getOrElse(sys.error(s"image index at $path: no maxhamming in build_meta"))
+    val fields = text.linesIterator.flatMap { l =>
+      l.split(" ", 2) match {
+        case Array(k, v) => Some(k -> v.trim)
+        case _ => None
+      }
+    }.toMap
+    (fields.get("maxhamming").map(_.toInt).getOrElse(
+        sys.error(s"image index at $path: no maxhamming in build_meta")),
+      fields.get("rows").map(_.toLong).getOrElse(0L))
+  }
+
+  final case class AppendResult(
+      appended: Long, skipped: Long, totalPostings: Long,
+      staleness: Double, rebuildAdvised: Boolean)
+
+  /** Incrementally grow the index with a batch of new images — the
+    * `ivfAppendPersisted` discipline applied to the Hamming layout.
+    * Already-indexed doc_ids skip (id anti-join against ONE chunk
+    * partition — every image posts in every chunk, so chunk 0 carries
+    * the complete id set at 1/(H+1) of the postings); fresh images
+    * append as their own cval-sorted files per chunk directory.
+    * Appends degrade pruning gradually, not correctness: each appended
+    * file carries its own narrow cval band, but file COUNT grows per
+    * batch, so `staleness` (appended rows / build-time rows) tells the
+    * caller when to re-run [[build]] and restore the packed layout —
+    * the same rebuild-economics contract as the IVF artifact. Probe
+    * results are unaffected by replays: a re-appended batch anti-joins
+    * away, and [[topK]]'s per-pair dropDuplicates absorbs any residue.
+    */
+  def append(media: DataFrame, path: String,
+      rebuildThreshold: Double = 0.5): AppendResult = {
+    val spark = media.sparkSession
+    require(exists(spark, path), s"no image index at $path — build first")
+    val (maxHamming, atBuild) = metaOf(spark, path)
+    val sh = media.select(col("doc_id"),
+      Multimodal.dHashPixels(spark)(
+        col("media"), col("width"), col("height")).getField("sh").as("sh"))
+      .filter(col("sh").isNotNull)
+    val existingIds =
+      spark.read.parquet(s"$path/postings/chunk=0").select("doc_id")
+    val fresh = sh.join(existingIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // counted AND written
+    val freshCount = fresh.count()
+    val input = sh.count()
+    if (freshCount > 0)
+      fresh
+        .select(col("doc_id"), col("sh"),
+          explode(Dedup.shChunks(col("sh"), maxHamming)).as("cc"))
+        .select(col("cc.chunk").as("chunk"), col("cc.cval").as("cval"),
+          col("doc_id"), col("sh"))
+        .repartitionByRange(maxHamming + 1, col("chunk"), col("cval"))
+        .sortWithinPartitions(col("chunk"), col("cval"))
+        .write.mode("append").partitionBy("chunk")
+        .parquet(s"$path/postings")
+    val total = spark.read.parquet(s"$path/postings").count()
+    val staleness =
+      (total - atBuild).toDouble / math.max(atBuild, 1L).toDouble
+    AppendResult(freshCount, input - freshCount, total, staleness,
+      staleness > rebuildThreshold)
   }
 
   /** Bounded-distance top-k against the persisted index: for each probe

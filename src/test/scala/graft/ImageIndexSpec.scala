@@ -97,6 +97,37 @@ class ImageIndexSpec extends SparkSpec {
         s"scan's $fullBytes — the sorted cval bands are not pruning")
   }
 
+  test("append: probe-equivalent to rebuild, replay skips, staleness accumulates") {
+    val base = frameOf((0 until 150).map(s => (s.toLong, png(s))))
+    val extra = frameOf((150 until 260).map(s => (s.toLong, png(s))) :+
+      (3000L, png(17, flip = 99))) // a near-copy of a probe image
+    val grown = tmpDir("imgidx5") + "/idx"
+    val rebuilt = tmpDir("imgidx6") + "/idx"
+    ImageIndex.build(base, grown, maxHamming = 7)
+    val r1 = ImageIndex.append(extra, grown)
+    assert(r1.appended == 111 && r1.skipped == 0, s"$r1")
+    // replay of the same batch: everything anti-joins away
+    val r2 = ImageIndex.append(extra, grown)
+    assert(r2.appended == 0 && r2.skipped == 111, s"$r2")
+    assert(r2.totalPostings == r1.totalPostings, s"replay grew the index: $r2")
+    // staleness vs the build-time layout: 111/150 postings-per-image
+    // cancels — and it crossed the default rebuild advice threshold
+    assert(math.abs(r1.staleness - 111.0 / 150) < 1e-9 && r1.rebuildAdvised,
+      s"$r1")
+    // probe equivalence with a from-scratch build over the union
+    ImageIndex.build(frameOf(
+      ((0 until 260).map(s => (s.toLong, png(s))) :+
+        (3000L, png(17, flip = 99)))), rebuilt, maxHamming = 7)
+    val probes = frameOf(Seq((17L, png(17)), (200L, png(200))))
+    def res(path: String) = ImageIndex.topK(spark, path, probes, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaGrown = res(grown)
+    assert(viaGrown == res(rebuilt),
+      s"append diverged from rebuild: $viaGrown vs ${res(rebuilt)}")
+    assert(viaGrown.exists(r => r._1 == 17L && r._2 == 3000L),
+      s"appended near-copy must be findable: $viaGrown")
+  }
+
   test("build rejects bounds too wide to prune; topK uses the stored bound") {
     val corpus = frameOf((0 until 4).map(s => (s.toLong, png(s))))
     val e = intercept[IllegalArgumentException] {
