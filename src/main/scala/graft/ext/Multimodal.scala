@@ -567,6 +567,7 @@ object Multimodal {
       else if (isJpeg(b)) jpegGray(b)
       else if (isGif(b)) gifRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else if (isBmp(b)) bmpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
+      else if (isWebp(b)) webpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
@@ -880,18 +881,62 @@ object Multimodal {
       b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && tag(b, 8) == "WEBP" // 25 = RIFF 12 + hdr 8 + VP8L 5
 
-    /** WEBP: container + bitstream-HEADER geometry, no codec. All three
-      * layouts carry their dimensions in clear — "VP8 " lossy keyframes
-      * (14-bit width/height after the 0x9d012a start code), "VP8L"
-      * lossless (14-bit fields LSB-first after the 0x2f signature),
+    /** Lossless-WebP pixel decode: walk the RIFF chunks to the first
+      * "VP8L" payload (plain or inside a VP8X extended layout) and run
+      * the [[Vp8l]] decoder — real Huffman/LZ77/transform expansion,
+      * no codec library. Returns RGB triplets like [[gifRgb]]; None
+      * for lossy VP8 (the genuinely codec-bound arithmetic-decode
+      * boundary) and anything malformed, falling back to geometry or
+      * payload-byte treatment.
+      */
+    private[ext] def webpRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
+      if (!isWebp(b)) return None
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = u32le(b, off + 4)
+        val po = off + 8
+        if (sz < 0 || po + sz > b.length) return None
+        if (id == "VP8L")
+          return Vp8l.decodeArgb(b, po, sz.toInt, MaxHashPixels).map {
+            case (argb, w, h) =>
+              val out = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < argb.length) {
+                val p = argb(i)
+                out(i * 3) = ((p >>> 16) & 0xff).toByte
+                out(i * 3 + 1) = ((p >>> 8) & 0xff).toByte
+                out(i * 3 + 2) = (p & 0xff).toByte
+                i += 1
+              }
+              (out, w, h)
+          }
+        off = po + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+
+    /** WEBP: REAL pixel decode for lossless (VP8L) payloads through
+      * [[Vp8l]] — Huffman + LZ77 + all four transforms, no codec
+      * library — with the JPEG-shaped feature layout [width, height,
+      * meanR, meanG, meanB, luminance] and kind "pixels". Lossy and
+      * extended payloads keep the header-geometry treatment: all
+      * three layouts carry their dimensions in clear — "VP8 " lossy
+      * keyframes (14-bit width/height after the 0x9d012a start code),
+      * "VP8L" (14-bit fields LSB-first after the 0x2f signature),
       * "VP8X" extended (24-bit canvas minus-one fields) — so a crawl
-      * gets REAL geometry for every WebP while pixel decode stays the
-      * documented boundary (VP8 arithmetic decoding needs a codec; the
-      * census shows exactly how many rows sit there). Feature layout:
+      * gets real geometry for every WebP while VP8 arithmetic
+      * decoding stays the documented codec boundary (the census shows
+      * exactly how many rows sit there). Geometry feature layout:
       * [width, height, lossless, hasAlpha].
       */
     private def decodeWebp(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
+      webpRgb(b) match {
+        case Some((px, w, h)) =>
+          return Some(rgbFeatures(r, "image/webp", px, w, h))
+        case None => ()
+      }
       var off = 12
       var feat: Array[Float] = null
       while (feat == null && off + 8 <= b.length) {
@@ -1507,6 +1552,47 @@ object Multimodal {
         y += 1
       }
     })
+  }
+
+  /** Lossless-WebP (VP8L) fixture encoder: a real bitstream writer —
+    * canonical Huffman codes (simple and code-length-coded), optional
+    * color cache, greedy LZ77, and the subtract-green / predictor /
+    * color-indexing transforms — wrapped in the RIFF container. Gray
+    * input expands to equal RGB channels (BT.601 of equal channels is
+    * the gray value exactly, the GIF-fixture identity). The knobs
+    * produce byte-incompatible encodings of the SAME pixels for the
+    * cross-encoding invariance gates.
+    */
+  def encodeWebpL(w: Int, h: Int, gray: Array[Byte],
+      subtractGreen: Boolean = false, cacheBits: Int = 0,
+      lz77: Boolean = false, predictor: Int = -1,
+      palette: Boolean = false, colorXform: Boolean = false,
+      meta: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"encodeWebpL: need $w*$h samples")
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val v = gray(i) & 0xff
+      argb(i) = 0xff000000 | (v << 16) | (v << 8) | v
+      i += 1
+    }
+    val payload = Vp8l.encode(argb, w, h, subtractGreen = subtractGreen,
+      cacheBits = cacheBits, lz77 = lz77, predictor = predictor,
+      palette = palette, colorXform = colorXform, meta = meta)
+    val padded = payload.length + (payload.length & 1)
+    val out = new Array[Byte](12 + 8 + padded)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    le32(4, 4 + 8 + padded)
+    out(8) = 'W'; out(9) = 'E'; out(10) = 'B'; out(11) = 'P'
+    out(12) = 'V'; out(13) = 'P'; out(14) = '8'; out(15) = 'L'
+    le32(16, payload.length)
+    System.arraycopy(payload, 0, out, 20, payload.length)
+    out
   }
 
   private def bmpBytes(w: Int, h: Int, topDown: Boolean, rowSize: Int,

@@ -1,0 +1,982 @@
+package graft.ext
+
+import scala.collection.mutable.ArrayBuffer
+
+/** VP8L (lossless WebP) bitstream codec — decoder for the pixel-hash
+  * regime plus a real fixture encoder, implemented from the public
+  * "WebP Lossless Bitstream Specification" with zero codec-library
+  * dependency (the JDK ships no WebP reader). Reference behavior:
+  * finance_pipeline treats media as opaque blobs; this codec is part
+  * of the beyond-parity multimodal surface (SURVEY §2 multimodal).
+  *
+  * Decoder surface: the full static feature space — simple and
+  * normal (code-length-coded) Huffman codes, meta-Huffman groups,
+  * color cache, LZ77 backward references with the two-dimensional
+  * distance mapping, and all four transforms (predictor with the 14
+  * modes, cross-channel color transform, subtract-green, color
+  * indexing with sub-byte bundling). Every structural violation
+  * throws and the caller degrades to the payload-byte regime —
+  * conservative and total, like every other decode path here.
+  *
+  * Bit conventions (the part worth stating precisely): scalar fields
+  * are read LSB-first within each byte; Huffman codes are canonical
+  * per RFC 1951 (codes assigned by ascending length then symbol
+  * order) and are read bit-by-bit MSB-first — the DEFLATE convention.
+  * Validated three ways: a hand-derived golden stream computed from
+  * the spec text alone (Vp8lSpec — independent of both halves of this
+  * file), encoder/decoder round-trips over every feature, and the
+  * closed-form-plane oracle gate (`ext_image_px_webp`).
+  */
+private[ext] object Vp8l {
+
+  private final val MaxPixels = 1L << 24 // matches Multimodal.MaxHashPixels
+
+  // ---------------------------------------------------------------
+  // bit reader (LSB-first within each byte)
+  // ---------------------------------------------------------------
+  private final class Reader(b: Array[Byte], off0: Int, end: Int) {
+    private var pos = off0
+    private var bit = 0
+    def readBit(): Int = {
+      if (pos >= end) throw new IllegalStateException("vp8l: past end")
+      val v = (b(pos) >> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // canonical Huffman (RFC 1951 code assignment, MSB-first walk)
+  // ---------------------------------------------------------------
+  private[ext] def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = lens.max
+    val blCount = new Array[Int](maxLen + 1)
+    var i = 0
+    while (i < lens.length) { if (lens(i) > 0) blCount(lens(i)) += 1; i += 1 }
+    val nextCode = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      code = (code + blCount(l - 1)) << 1
+      nextCode(l) = code
+      l += 1
+    }
+    val codes = new Array[Int](lens.length)
+    i = 0
+    while (i < lens.length) {
+      if (lens(i) > 0) { codes(i) = nextCode(lens(i)); nextCode(lens(i)) += 1 }
+      i += 1
+    }
+    codes
+  }
+
+  /** Bit-by-bit decoder over a canonical code. `single >= 0` is the
+    * zero-bit one-symbol degenerate (simple codes with one symbol, or
+    * a normal code whose only nonzero length covers one symbol —
+    * libwebp's lenient handling); otherwise the code must be COMPLETE
+    * (Kraft sum exactly 1) so every bit path lands on a symbol.
+    */
+  private final class Huff(lens: Array[Int], val single: Int) {
+    // node array: arr(node*2 + bit) = child node (>0), -(sym+1) leaf, 0 empty
+    private val arr: Array[Int] =
+      if (single >= 0) null
+      else {
+        val maxLen = lens.max
+        var kraft = 0L
+        var i = 0
+        while (i < lens.length) {
+          if (lens(i) > 0) kraft += 1L << (maxLen - lens(i))
+          i += 1
+        }
+        require(kraft == (1L << maxLen), "vp8l: incomplete huffman code")
+        val codes = canonicalCodes(lens)
+        val buf = ArrayBuffer[Int](0, 0)
+        i = 0
+        while (i < lens.length) {
+          if (lens(i) > 0) {
+            var node = 0
+            var d = lens(i) - 1
+            while (d > 0) {
+              val slot = node * 2 + ((codes(i) >> d) & 1)
+              if (buf(slot) == 0) {
+                buf(slot) = buf.length / 2
+                buf += 0; buf += 0
+              }
+              node = buf(slot)
+              d -= 1
+            }
+            val slot = node * 2 + (codes(i) & 1)
+            require(buf(slot) == 0, "vp8l: huffman collision")
+            buf(slot) = -(i + 1)
+          }
+          i += 1
+        }
+        buf.toArray
+      }
+
+    def read(r: Reader): Int = {
+      if (single >= 0) return single
+      var node = 0
+      while (true) {
+        val c = arr(node * 2 + r.readBit())
+        if (c < 0) return -c - 1
+        require(c != 0, "vp8l: dangling huffman path")
+        node = c
+      }
+      -1 // unreachable
+    }
+  }
+
+  private def huffOf(lens: Array[Int]): Huff = {
+    var nonzero = 0
+    var sym = -1
+    var i = 0
+    while (i < lens.length) {
+      if (lens(i) > 0) { nonzero += 1; sym = i }
+      i += 1
+    }
+    require(nonzero > 0, "vp8l: empty huffman code")
+    if (nonzero == 1) new Huff(lens, sym) else new Huff(lens, -1)
+  }
+
+  /** Code-length-code symbol transmission order (spec §Huffman). */
+  private val ClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private def readCode(r: Reader, alphabet: Int): Huff =
+    if (r.readBit() == 1) { // simple code: 1 or 2 literal symbols
+      val numSym = r.readBit() + 1
+      val first8 = r.readBit()
+      val s0 = if (first8 == 1) r.readBits(8) else r.readBit()
+      require(s0 < alphabet, "vp8l: simple symbol out of range")
+      if (numSym == 1) new Huff(null, s0)
+      else {
+        val s1 = r.readBits(8)
+        require(s1 < alphabet && s1 != s0, "vp8l: bad simple pair")
+        val lens = new Array[Int](alphabet)
+        lens(s0) = 1; lens(s1) = 1
+        huffOf(lens)
+      }
+    } else {
+      val numCl = 4 + r.readBits(4)
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLens(ClOrder(i)) = r.readBits(3); i += 1 }
+      val clHuff = huffOf(clLens)
+      val lens = new Array[Int](alphabet)
+      var maxSymbol =
+        if (r.readBit() == 1) {
+          val nb = 2 + 2 * r.readBits(3)
+          val m = 2 + r.readBits(nb)
+          require(m <= alphabet, "vp8l: max_symbol past alphabet")
+          m
+        } else alphabet
+      var sym = 0
+      var prev = 8
+      while (sym < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clHuff.read(r)
+        if (cl < 16) {
+          lens(sym) = cl; sym += 1
+          if (cl != 0) prev = cl
+        } else {
+          val (extra, base, usePrev) = cl match {
+            case 16 => (2, 3, true)
+            case 17 => (3, 3, false)
+            case _  => (7, 11, false)
+          }
+          var rep = base + r.readBits(extra)
+          require(sym + rep <= alphabet, "vp8l: repeat past alphabet")
+          val v = if (usePrev) prev else 0
+          while (rep > 0) { lens(sym) = v; sym += 1; rep -= 1 }
+        }
+      }
+      huffOf(lens)
+    }
+
+  // ---------------------------------------------------------------
+  // LZ77 prefix coding and the 2-D distance mapping
+  // ---------------------------------------------------------------
+  private def lz77Value(r: Reader, code: Int): Int =
+    if (code < 4) code + 1
+    else {
+      val eb = (code - 2) >> 1
+      ((2 + (code & 1)) << eb) + r.readBits(eb) + 1
+    }
+
+  /** (code, extraBits, extraVal) for a value — the encoder-side
+    * inverse of [[lz77Value]].
+    */
+  private[ext] def prefixCode(v: Int): (Int, Int, Int) = {
+    require(v >= 1, s"prefixCode: $v")
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      var code = 4
+      while (true) {
+        val e = (code - 2) >> 1
+        val lo = ((2 + (code & 1)) << e) + 1
+        if (v >= lo && v <= lo + (1 << e) - 1) return (code, e, v - lo)
+        code += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Distance codes 1..120 map to close 2-D neighbors (dx, dy), per
+    * the spec's distance-mapping table; codes > 120 are plain linear
+    * distances minus 120. Our own encoder only ever emits codes 1
+    * ((0,1) = one row up) and 2 ((1,0) = previous pixel) from this
+    * range plus the plain form, so those entries are exercised by the
+    * oracled gate; the rest follow the published table.
+    */
+  private val DistMap: Array[Byte] = Array[Byte](
+    0, 1, 1, 0, 1, 1, -1, 1, 0, 2, 2, 0, 1, 2, -1, 2,
+    2, 1, -2, 1, 2, 2, -2, 2, 0, 3, 3, 0, 1, 3, -1, 3,
+    3, 1, -3, 1, 2, 3, -2, 3, 3, 2, -3, 2, 0, 4, 4, 0,
+    1, 4, -1, 4, 4, 1, -4, 1, 3, 3, -3, 3, 2, 4, -2, 4,
+    4, 2, -4, 2, 0, 5, 3, 4, -3, 4, 4, 3, -4, 3, 5, 0,
+    1, 5, -1, 5, 5, 1, -5, 1, 2, 5, -2, 5, 5, 2, -5, 2,
+    4, 4, -4, 4, 3, 5, -3, 5, 5, 3, -5, 3, 0, 6, 6, 0,
+    1, 6, -1, 6, 6, 1, -6, 1, 2, 6, -2, 6, 6, 2, -6, 2,
+    4, 5, -4, 5, 5, 4, -5, 4, 3, 6, -3, 6, 6, 3, -6, 3,
+    0, 7, 7, 0, 1, 7, -1, 7, 5, 5, -5, 5, 7, 1, -7, 1,
+    4, 6, -4, 6, 6, 4, -6, 4, 2, 7, -2, 7, 7, 2, -7, 2,
+    3, 7, -3, 7, 7, 3, -7, 3, 5, 6, -5, 6, 6, 5, -6, 5,
+    8, 0, 4, 7, -4, 7, 7, 4, -7, 4, 8, 1, 8, 2, 6, 6,
+    -6, 6, 8, 3, 5, 7, -5, 7, 7, 5, -7, 5, 8, 4, 6, 7,
+    -6, 7, 7, 6, -7, 6, 8, 5, 7, 7, -7, 7, 8, 6, 8, 7)
+
+  private def mapDistance(distCode: Int, w: Int): Int =
+    if (distCode > 120) distCode - 120
+    else {
+      val dx = DistMap(2 * (distCode - 1))
+      val dy = DistMap(2 * (distCode - 1) + 1)
+      math.max(1, dy * w + dx)
+    }
+
+  // ---------------------------------------------------------------
+  // pixel arithmetic (ARGB packed in an Int)
+  // ---------------------------------------------------------------
+  private def addPixels(a: Int, b: Int): Int = {
+    val ag = (a & 0xff00ff00) + (b & 0xff00ff00)
+    val rb = (a & 0x00ff00ff) + (b & 0x00ff00ff)
+    (ag & 0xff00ff00) | (rb & 0x00ff00ff)
+  }
+
+  private[ext] def subPixels(a: Int, b: Int): Int = {
+    def ch(sh: Int): Int = (((a >>> sh) & 0xff) - ((b >>> sh) & 0xff)) & 0xff
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Select predictor per the spec: a=T, b=L, c=TL; the summed
+    * |L-TL| - |T-TL| sign picks T (<= 0) or L.
+    */
+  private def select(t: Int, l: Int, tl: Int): Int = {
+    def sub3(sh: Int): Int = {
+      val pa = ((l >>> sh) & 0xff) - ((tl >>> sh) & 0xff)
+      val pb = ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff)
+      math.abs(pa) - math.abs(pb)
+    }
+    if (sub3(24) + sub3(16) + sub3(8) + sub3(0) <= 0) t else l
+  }
+
+  private def clampAddSubFull(l: Int, t: Int, tl: Int): Int = {
+    def ch(sh: Int): Int =
+      clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampAddSubHalf(l: Int, t: Int, tl: Int): Int = {
+    val ave = avg2(l, t)
+    def ch(sh: Int): Int = {
+      val a = (ave >>> sh) & 0xff
+      val b = (tl >>> sh) & 0xff
+      clamp255(a + (a - b) / 2) // C-style truncation toward zero
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def predict(mode: Int, img: Array[Int], pos: Int, w: Int): Int = {
+    def l = img(pos - 1)
+    def t = img(pos - w)
+    def tl = img(pos - w - 1)
+    def tr = img(pos - w + 1) // x==w-1 wraps to this row's first pixel
+    mode match {
+      case 0  => 0xff000000
+      case 1  => l
+      case 2  => t
+      case 3  => tr
+      case 4  => tl
+      case 5  => avg2(avg2(l, tr), t)
+      case 6  => avg2(l, tl)
+      case 7  => avg2(l, t)
+      case 8  => avg2(tl, t)
+      case 9  => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => select(t, l, tl)
+      case 12 => clampAddSubFull(l, t, tl)
+      case 13 => clampAddSubHalf(l, t, tl)
+      case _  => throw new IllegalStateException(s"vp8l: predictor $mode")
+    }
+  }
+
+  private def colorDelta(pred: Int, c: Int): Int =
+    (pred.toByte.toInt * c.toByte.toInt) >> 5
+
+  // ---------------------------------------------------------------
+  // decoder
+  // ---------------------------------------------------------------
+  private def subSize(x: Int, bits: Int): Int = (x + (1 << bits) - 1) >> bits
+
+  // kind: 0 predictor, 1 color transform, 2 subtract green, 3 color index
+  private final case class Transform(kind: Int, bits: Int,
+      data: Array[Int], widthAtRead: Int, tableSize: Int)
+
+  /** Decode a VP8L chunk payload to packed ARGB. Throws on structural
+    * violations; the public entry wraps with a None fallback.
+    */
+  private def decodeImage(r: Reader, w0: Int, h: Int,
+      topLevel: Boolean): Array[Int] = {
+    var w = w0
+    val transforms = ArrayBuffer[Transform]()
+    if (topLevel) {
+      var seen = 0
+      while (r.readBit() == 1) {
+        val t = r.readBits(2)
+        require((seen & (1 << t)) == 0, "vp8l: duplicate transform")
+        seen |= 1 << t
+        t match {
+          case 0 | 1 =>
+            val sizeBits = r.readBits(3) + 2
+            val sub = decodeImage(r, subSize(w, sizeBits),
+              subSize(h, sizeBits), topLevel = false)
+            transforms += Transform(t, sizeBits, sub, w, 0)
+          case 2 =>
+            transforms += Transform(2, 0, null, w, 0)
+          case _ =>
+            val ts = r.readBits(8) + 1
+            val pal = decodeImage(r, ts, 1, topLevel = false)
+            var i = 1
+            while (i < ts) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+            val wb = if (ts <= 2) 3 else if (ts <= 4) 2
+              else if (ts <= 16) 1 else 0
+            transforms += Transform(3, wb, pal, w, ts)
+            w = subSize(w, wb)
+        }
+      }
+    }
+    val cacheBits =
+      if (r.readBit() == 1) {
+        val cb = r.readBits(4)
+        require(cb >= 1 && cb <= 11, s"vp8l: cache bits $cb")
+        cb
+      } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheBits > 0) new Array[Int](cacheSize) else null
+
+    var metaImg: Array[Int] = null
+    var metaBits = 0
+    var metaW = 0
+    var numGroups = 1
+    if (topLevel && r.readBit() == 1) {
+      metaBits = r.readBits(3) + 2
+      metaW = subSize(w, metaBits)
+      metaImg = decodeImage(r, metaW, subSize(h, metaBits), topLevel = false)
+      var mx = 0
+      var i = 0
+      while (i < metaImg.length) {
+        val g = (metaImg(i) >> 8) & 0xffff
+        if (g > mx) mx = g
+        i += 1
+      }
+      numGroups = mx + 1
+    }
+
+    val greenAlphabet = 256 + 24 + cacheSize
+    val groups = Array.fill(numGroups)(
+      (readCode(r, greenAlphabet), readCode(r, 256), readCode(r, 256),
+        readCode(r, 256), readCode(r, 40)))
+
+    val n = w * h
+    val out = new Array[Int](n)
+    var pos = 0
+    while (pos < n) {
+      val g =
+        if (metaImg == null) groups(0)
+        else {
+          val x = pos % w; val y = pos / w
+          val mi = metaImg((y >> metaBits) * metaW + (x >> metaBits))
+          groups((mi >> 8) & 0xffff)
+        }
+      val s = g._1.read(r)
+      if (s < 256) {
+        val red = g._2.read(r)
+        val blue = g._3.read(r)
+        val alpha = g._4.read(r)
+        val px = (alpha << 24) | (red << 16) | (s << 8) | blue
+        out(pos) = px
+        if (cache != null) cache((0x1e35a7bd * px) >>> (32 - cacheBits)) = px
+        pos += 1
+      } else if (s < 280) {
+        val length = lz77Value(r, s - 256)
+        val dist = mapDistance(lz77Value(r, g._5.read(r)), w)
+        require(dist <= pos && pos + length <= n, "vp8l: bad backref")
+        var i = 0
+        while (i < length) {
+          val px = out(pos - dist)
+          out(pos) = px
+          if (cache != null) cache((0x1e35a7bd * px) >>> (32 - cacheBits)) = px
+          pos += 1
+          i += 1
+        }
+      } else {
+        val idx = s - 280
+        require(cache != null && idx < cacheSize, "vp8l: bad cache index")
+        out(pos) = cache(idx)
+        pos += 1
+      }
+    }
+
+    // inverse transforms, reverse read order; each at the width it saw
+    var img = out
+    var cw = w
+    transforms.reverseIterator.foreach { tr =>
+      tr.kind match {
+        case 3 =>
+          val wb = tr.bits
+          val fullW = tr.widthAtRead
+          val bpp = 8 >> wb
+          val mask = (1 << wb) - 1
+          val bitMask = (1 << bpp) - 1
+          val exp = new Array[Int](fullW * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < fullW) {
+              val packed = img(y * cw + (x >> wb))
+              val idx = ((packed >> 8) >> (bpp * (x & mask))) & bitMask
+              exp(y * fullW + x) = if (idx < tr.tableSize) tr.data(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          img = exp
+          cw = fullW
+        case 2 =>
+          var i = 0
+          while (i < img.length) {
+            val p = img(i)
+            val gch = (p >>> 8) & 0xff
+            val r2 = (((p >>> 16) & 0xff) + gch) & 0xff
+            val b2 = ((p & 0xff) + gch) & 0xff
+            img(i) = (p & 0xff00ff00) | (r2 << 16) | b2
+            i += 1
+          }
+        case 1 =>
+          val sb = tr.bits
+          val sw = subSize(cw, sb)
+          var y = 0
+          var pos2 = 0
+          while (y < h) {
+            var x = 0
+            while (x < cw) {
+              val e = tr.data((y >> sb) * sw + (x >> sb))
+              val g2r = e & 0xff          // blue byte of the element
+              val g2b = (e >>> 8) & 0xff  // green byte
+              val r2b = (e >>> 16) & 0xff // red byte
+              val p = img(pos2)
+              val gch = (p >>> 8) & 0xff
+              var nr = (p >>> 16) & 0xff
+              nr = (nr + colorDelta(g2r, gch)) & 0xff
+              var nb = p & 0xff
+              nb = (nb + colorDelta(g2b, gch)) & 0xff
+              nb = (nb + colorDelta(r2b, nr)) & 0xff
+              img(pos2) = (p & 0xff00ff00) | (nr << 16) | nb
+              x += 1; pos2 += 1
+            }
+            y += 1
+          }
+        case _ =>
+          val sb = tr.bits
+          val sw = subSize(cw, sb)
+          var y = 0
+          var pos2 = 0
+          while (y < h) {
+            var x = 0
+            while (x < cw) {
+              val pred =
+                if (x == 0 && y == 0) 0xff000000
+                else if (y == 0) img(pos2 - 1)
+                else if (x == 0) img(pos2 - cw)
+                else {
+                  val mode = (tr.data((y >> sb) * sw + (x >> sb)) >> 8) & 0xff
+                  predict(mode, img, pos2, cw)
+                }
+              img(pos2) = addPixels(img(pos2), pred)
+              x += 1; pos2 += 1
+            }
+            y += 1
+          }
+      }
+    }
+    require(cw == w0, "vp8l: width mismatch after transforms")
+    img
+  }
+
+  /** Decode the VP8L payload at [off, off+len) to (packed ARGB, w, h);
+    * None on anything malformed or past the pixel budget.
+    */
+  def decodeArgb(b: Array[Byte], off: Int, len: Int,
+      maxPixels: Long = MaxPixels): Option[(Array[Int], Int, Int)] =
+    try {
+      if (len < 5 || (b(off) & 0xff) != 0x2f) return None
+      val r = new Reader(b, off + 1, off + len)
+      val w = r.readBits(14) + 1
+      val h = r.readBits(14) + 1
+      r.readBit() // alpha hint
+      if (r.readBits(3) != 0) return None // version must be 0
+      if (w.toLong * h > maxPixels) return None
+      Some((decodeImage(r, w, h, topLevel = true), w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---------------------------------------------------------------
+  // fixture encoder
+  // ---------------------------------------------------------------
+  private final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def bit(v: Int): Unit = {
+      cur |= (v & 1) << nbits
+      nbits += 1
+      if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { bit((v >> i) & 1); i += 1 }
+    }
+    /** canonical Huffman code, MSB-first */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bit((c >> i) & 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nbits > 0) { buf.write(cur); cur = 0; nbits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  /** Two-level COMPLETE code over the u used symbols: with
+    * L = floor(log2(u)), assign a = 2^(L+1) - u codes of length L and
+    * b = 2u - 2^(L+1) codes of length L+1 — Kraft sum exactly 1 for
+    * ANY u >= 2 with no dummy padding (the decoder rejects incomplete
+    * codes, and alphabets like 280+cache aren't powers of two).
+    * Returns null when only one symbol is used (simple-code
+    * territory).
+    */
+  private def flatLens(used: Array[Boolean]): Array[Int] = {
+    var u = 0
+    var i = 0
+    while (i < used.length) { if (used(i)) u += 1; i += 1 }
+    require(u >= 1, "flatLens: no symbols")
+    if (u == 1) return null
+    var len = 0
+    while ((1 << (len + 1)) <= u) len += 1
+    var short = (1 << (len + 1)) - u // codes at length L; rest at L+1
+    val lens = new Array[Int](used.length)
+    i = 0
+    while (i < used.length) {
+      if (used(i)) {
+        if (short > 0) { lens(i) = len; short -= 1 }
+        else lens(i) = len + 1
+      }
+      i += 1
+    }
+    lens
+  }
+
+  private def singleSymbol(used: Array[Boolean]): Int = {
+    var i = 0
+    while (i < used.length) { if (used(i)) return i; i += 1 }
+    -1
+  }
+
+  /** Write one Huffman code declaration: simple form for 1–2 byte-
+    * valued symbols, else a normal (code-length-coded) flat code.
+    * Returns (codes, lens) for the data pass; lens == null marks the
+    * zero-bit single-symbol code.
+    */
+  private def writeCode(wr: Writer,
+      used: Array[Boolean]): (Array[Int], Array[Int]) = {
+    var u = 0
+    var i = 0
+    while (i < used.length) { if (used(i)) u += 1; i += 1 }
+    val syms = new Array[Int](u)
+    var j = 0
+    i = 0
+    while (i < used.length) { if (used(i)) { syms(j) = i; j += 1 }; i += 1 }
+    if (u == 1 && syms(0) <= 255) {
+      wr.bit(1); wr.bit(0) // simple, one symbol
+      if (syms(0) <= 1) { wr.bit(0); wr.bit(syms(0)) }
+      else { wr.bit(1); wr.bits(syms(0), 8) }
+      (null, null)
+    } else if (u == 2 && syms(1) <= 255) {
+      wr.bit(1); wr.bit(1) // simple, two symbols
+      if (syms(0) <= 1) { wr.bit(0); wr.bit(syms(0)) }
+      else { wr.bit(1); wr.bits(syms(0), 8) }
+      wr.bits(syms(1), 8)
+      val lens = new Array[Int](used.length)
+      lens(syms(0)) = 1; lens(syms(1)) = 1
+      (canonicalCodes(lens), lens)
+    } else {
+      // a lone symbol past 255 can't ride the simple form: pad the
+      // used set so the flat code has two members
+      if (u == 1) used(if (syms(0) == 0) 1 else 0) = true
+      val lens = flatLens(used)
+      writeNormalCode(wr, lens)
+      (canonicalCodes(lens), lens)
+    }
+  }
+
+  /** Normal-code transmission: run-length the symbol lengths with the
+    * 16/17/18 repeat codes, a flat complete code-length code over the
+    * cl symbols that occur.
+    */
+  private def writeNormalCode(wr: Writer, lens: Array[Int]): Unit = {
+    wr.bit(0) // normal code
+    // build the cl-symbol stream: (clSym, extraBits, extraVal)
+    val stream = ArrayBuffer[(Int, Int, Int)]()
+    var i = 0
+    while (i < lens.length) {
+      val v = lens(i)
+      var run = 1
+      while (i + run < lens.length && lens(i + run) == v) run += 1
+      if (v == 0) {
+        var left = run
+        while (left >= 11) {
+          val take = math.min(left, 138)
+          stream += ((18, 7, take - 11)); left -= take
+        }
+        while (left >= 3) {
+          val take = math.min(left, 10)
+          stream += ((17, 3, take - 3)); left -= take
+        }
+        while (left > 0) { stream += ((0, 0, 0)); left -= 1 }
+      } else {
+        stream += ((v, 0, 0)) // literal first: 16 repeats the previous
+        var left = run - 1
+        while (left >= 3) {
+          val take = math.min(left, 6)
+          stream += ((16, 2, take - 3)); left -= take
+        }
+        while (left > 0) { stream += ((v, 0, 0)); left -= 1 }
+      }
+      i += run
+    }
+    val clUsed = new Array[Boolean](19)
+    stream.foreach(t => clUsed(t._1) = true)
+    var clLens = flatLens(clUsed)
+    if (clLens == null) {
+      // one distinct cl symbol: make a 2-symbol code with a dummy
+      val s = singleSymbol(clUsed)
+      clLens = new Array[Int](19)
+      clLens(s) = 1
+      clLens(if (s == 0) 1 else 0) = 1
+    }
+    val clCodes = canonicalCodes(clLens)
+    // num_code_lengths covers the furthest nonzero slot in ClOrder
+    var maxPos = -1
+    i = 0
+    while (i < 19) {
+      if (clLens(ClOrder(i)) > 0) maxPos = i
+      i += 1
+    }
+    val numCl = math.max(4, maxPos + 1)
+    wr.bits(numCl - 4, 4)
+    i = 0
+    while (i < numCl) { wr.bits(clLens(ClOrder(i)), 3); i += 1 }
+    wr.bit(0) // no max_symbol shortcut: transmit to the alphabet end
+    stream.foreach { case (sym, eb, ev) =>
+      wr.code(clCodes(sym), clLens(sym))
+      if (eb > 0) wr.bits(ev, eb)
+    }
+  }
+
+  /** One emitted token of the main data stream. */
+  private sealed trait Tok
+  private final case class Lit(a: Int, r: Int, g: Int, b: Int) extends Tok
+  private final case class Ref(len: Int, distCode: Int) extends Tok
+  private final case class Hit(idx: Int) extends Tok
+
+  /** Tokenize pixels: greedy left/up LZ77 runs (when enabled), color-
+    * cache hits (when enabled), literals otherwise — mirroring the
+    * decoder's cache-update discipline exactly.
+    */
+  private def tokenize(img: Array[Int], w: Int, lz77: Boolean,
+      cacheBits: Int): ArrayBuffer[Tok] = {
+    val toks = ArrayBuffer[Tok]()
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val seeded = if (cache != null) new Array[Boolean](1 << cacheBits) else null
+    def insert(px: Int): Unit =
+      if (cache != null) {
+        val h = (0x1e35a7bd * px) >>> (32 - cacheBits)
+        cache(h) = px; seeded(h) = true
+      }
+    var pos = 0
+    val n = img.length
+    while (pos < n) {
+      var emitted = false
+      if (lz77 && pos > 0) {
+        // candidate distances: previous pixel and one row up
+        var bestLen = 0
+        var bestDist = 0
+        var c = 0
+        while (c < 2) {
+          val d = if (c == 0) 1 else w
+          if (d <= pos) {
+            var len = 0
+            while (pos + len < n && len < 1024 &&
+              img(pos + len) == img(pos + len - d)) len += 1
+            if (len > bestLen) { bestLen = len; bestDist = d }
+          }
+          c += 1
+        }
+        if (bestLen >= 4) {
+          val distCode =
+            if (bestDist == w) 1
+            else if (bestDist == 1) 2
+            else bestDist + 120
+          toks += Ref(bestLen, distCode)
+          var i = 0
+          while (i < bestLen) { insert(img(pos)); pos += 1; i += 1 }
+          emitted = true
+        }
+      }
+      if (!emitted) {
+        val px = img(pos)
+        val h = if (cache != null) (0x1e35a7bd * px) >>> (32 - cacheBits) else 0
+        if (cache != null && seeded(h) && cache(h) == px) {
+          toks += Hit(h)
+          pos += 1
+        } else {
+          toks += Lit((px >>> 24) & 0xff, (px >>> 16) & 0xff,
+            (px >>> 8) & 0xff, px & 0xff)
+          insert(px)
+          pos += 1
+        }
+      }
+    }
+    toks
+  }
+
+  /** Write one image stream (no transform section): cache bit, the
+    * no-meta-Huffman bit (top-level streams only — nested streams
+    * have no such field), the 5 Huffman codes over the actual token
+    * histogram, then the tokens.
+    */
+  private def writeImageData(wr: Writer, img: Array[Int], w: Int,
+      lz77: Boolean, cacheBits: Int, topLevel: Boolean = false,
+      meta: Boolean = false, fullH: Int = 0): Unit = {
+    if (cacheBits > 0) { wr.bit(1); wr.bits(cacheBits, 4) }
+    else wr.bit(0)
+    if (topLevel) {
+      if (meta) {
+        // a real (degenerate) entropy image: all-zero groups — every
+        // pixel routes through the meta lookup into group 0
+        val mb = 2
+        wr.bit(1)
+        wr.bits(mb - 2, 3)
+        val mw = subSize(w, mb)
+        val mh = subSize(fullH, mb)
+        writeImageData(wr, new Array[Int](mw * mh), mw,
+          lz77 = false, cacheBits = 0)
+      } else wr.bit(0) // one huffman group, no meta image
+    }
+    val toks = tokenize(img, w, lz77, cacheBits)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val gU = new Array[Boolean](256 + 24 + cacheSize)
+    val rU = new Array[Boolean](256)
+    val bU = new Array[Boolean](256)
+    val aU = new Array[Boolean](256)
+    val dU = new Array[Boolean](40)
+    toks.foreach {
+      case Lit(a, r2, g, b2) =>
+        gU(g) = true; rU(r2) = true; bU(b2) = true; aU(a) = true
+      case Ref(len, distCode) =>
+        gU(256 + prefixCode(len)._1) = true
+        dU(prefixCode(distCode)._1) = true
+      case Hit(idx) => gU(280 + idx) = true // cache hits live at 256+24+idx
+    }
+    if (!dU.exists(identity)) dU(0) = true // distance code always declared
+    if (!rU.exists(identity)) rU(0) = true
+    if (!bU.exists(identity)) bU(0) = true
+    if (!aU.exists(identity)) aU(0) = true
+    val (gC, gL) = writeCode(wr, gU)
+    val (rC, rL) = writeCode(wr, rU)
+    val (bC, bL) = writeCode(wr, bU)
+    val (aC, aL) = writeCode(wr, aU)
+    val (dC, dL) = writeCode(wr, dU)
+    def emit(codes: Array[Int], lens: Array[Int], sym: Int): Unit =
+      if (lens != null) wr.code(codes(sym), lens(sym))
+    toks.foreach {
+      case Lit(a, r2, g, b2) =>
+        emit(gC, gL, g); emit(rC, rL, r2); emit(bC, bL, b2); emit(aC, aL, a)
+      case Ref(len, distCode) =>
+        val (lc, le, lv) = prefixCode(len)
+        emit(gC, gL, 256 + lc)
+        if (le > 0) wr.bits(lv, le)
+        val (dc, de, dv) = prefixCode(distCode)
+        emit(dC, dL, dc)
+        if (de > 0) wr.bits(dv, de)
+      case Hit(idx) =>
+        emit(gC, gL, 280 + idx)
+    }
+  }
+
+  /** Encode packed ARGB as a VP8L chunk payload. Feature knobs select
+    * byte-incompatible but pixel-identical encodings for the oracle
+    * gate: `subtractGreen`, `cacheBits`, `lz77`, `predictor` (a mode
+    * 0..13 applied image-wide through a one-block transform), and
+    * `palette` (color indexing; bundles sub-byte when <= 16 colors).
+    */
+  def encode(argb0: Array[Int], w0: Int, h: Int,
+      subtractGreen: Boolean = false, cacheBits: Int = 0,
+      lz77: Boolean = false, predictor: Int = -1,
+      palette: Boolean = false, colorXform: Boolean = false,
+      meta: Boolean = false): Array[Byte] = {
+    require(w0 >= 1 && w0 <= 0x4000 && h >= 1 && h <= 0x4000,
+      s"vp8l encode: ${w0}x$h")
+    val wr = new Writer
+    wr.bits(0x2f, 8)
+    wr.bits(w0 - 1, 14)
+    wr.bits(h - 1, 14)
+    wr.bit(0)     // alpha hint
+    wr.bits(0, 3) // version
+    var img = argb0.clone()
+    var w = w0
+
+    if (palette) {
+      require(!subtractGreen && predictor < 0,
+        "vp8l encode: palette composes only with cache/lz77 here")
+      val distinct = img.distinct.sorted
+      require(distinct.length <= 256, "vp8l encode: too many colors")
+      val ts = distinct.length
+      val lookup = distinct.zipWithIndex.toMap
+      wr.bit(1); wr.bits(3, 2) // transform: color indexing
+      wr.bits(ts - 1, 8)
+      val deltas = new Array[Int](ts)
+      var i = 0
+      while (i < ts) {
+        deltas(i) = if (i == 0) distinct(0) else subPixels(distinct(i),
+          distinct(i - 1))
+        i += 1
+      }
+      writeImageData(wr, deltas, ts, lz77 = false, cacheBits = 0)
+      val wb = if (ts <= 2) 3 else if (ts <= 4) 2 else if (ts <= 16) 1 else 0
+      val packedW = subSize(w, wb)
+      val bpp = 8 >> wb
+      val packed = new Array[Int](packedW * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = lookup(img(y * w + x))
+          val slot = y * packedW + (x >> wb)
+          val sh = bpp * (x & ((1 << wb) - 1))
+          packed(slot) |= (idx << sh) << 8 // index lives in green
+          x += 1
+        }
+        y += 1
+      }
+      img = packed
+      w = packedW
+    }
+
+    if (predictor >= 0) {
+      require(!palette, "vp8l encode: predictor+palette not composed here")
+      var sb = 2
+      while ((1 << sb) < math.max(w, h) && sb < 9) sb += 1
+      require((1 << sb) >= math.max(w, h), "vp8l encode: image too large" +
+        " for a one-block predictor transform")
+      wr.bit(1); wr.bits(0, 2) // transform: predictor
+      wr.bits(sb - 2, 3)
+      writeImageData(wr, Array(0xff000000 | (predictor << 8)), 1,
+        lz77 = false, cacheBits = 0)
+      // residuals against the effective predictor at each position
+      val res = new Array[Int](img.length)
+      var pos = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) img(pos - 1)
+            else if (x == 0) img(pos - w)
+            else predict(predictor, img, pos, w)
+          res(pos) = subPixels(img(pos), pred)
+          x += 1; pos += 1
+        }
+        y += 1
+      }
+      img = res
+    }
+
+    if (colorXform) {
+      require(!palette, "vp8l encode: colorXform+palette not composed here")
+      // fixed multipliers image-wide through a one-block transform;
+      // element layout: blue byte = green_to_red, green = green_to_blue,
+      // red = red_to_blue
+      val g2r = 10; val g2b = 20; val r2b = 30
+      var sb = 2
+      while ((1 << sb) < math.max(w, h) && sb < 9) sb += 1
+      require((1 << sb) >= math.max(w, h),
+        "vp8l encode: image too large for a one-block color transform")
+      wr.bit(1); wr.bits(1, 2) // transform: color
+      wr.bits(sb - 2, 3)
+      writeImageData(wr, Array(0xff000000 | (r2b << 16) | (g2b << 8) | g2r),
+        1, lz77 = false, cacheBits = 0)
+      var i = 0
+      while (i < img.length) {
+        val p = img(i)
+        val gch = (p >>> 8) & 0xff
+        val red = (p >>> 16) & 0xff
+        val sr = (red - colorDelta(g2r, gch)) & 0xff
+        val sbl = ((p & 0xff) - colorDelta(g2b, gch) -
+          colorDelta(r2b, red)) & 0xff
+        img(i) = (p & 0xff00ff00) | (sr << 16) | sbl
+        i += 1
+      }
+    }
+
+    if (subtractGreen) {
+      wr.bit(1); wr.bits(2, 2)
+      var i = 0
+      while (i < img.length) {
+        val p = img(i)
+        val gch = (p >>> 8) & 0xff
+        val r2 = (((p >>> 16) & 0xff) - gch) & 0xff
+        val b2 = ((p & 0xff) - gch) & 0xff
+        img(i) = (p & 0xff00ff00) | (r2 << 16) | b2
+        i += 1
+      }
+    }
+
+    wr.bit(0) // end of transforms
+    writeImageData(wr, img, w, lz77, cacheBits, topLevel = true,
+      meta = meta, fullH = h)
+    wr.toBytes
+  }
+}

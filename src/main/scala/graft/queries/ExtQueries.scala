@@ -1434,6 +1434,50 @@ object ExtQueries {
         .orderBy("doc_id", "variant")
     }),
 
+    // LOSSLESS-WEBP invariance, oracled: each of 10 pictures from a
+    // run-friendly closed-form formula (runs of 5 so the LZ77 variant
+    // actually emits backward references) is encoded EIGHT
+    // byte-incompatible VP8L ways — flat literal codes, color cache,
+    // greedy LZ77, meta-Huffman, subtract-green, cross-channel color
+    // transform, predictor transform (Select mode), color indexing —
+    // and all eight must decode to the SAME plane and hash. The
+    // oracle regenerates the plane from the formula and replays the
+    // area-mean grid, so every stage of the Vp8l decoder (canonical
+    // Huffman walk, cache, distance mapping, all four inverse
+    // transforms) is one bit-flip away from failing the compare.
+    "ext_image_px_webp" -> ((s, dir) => {
+      import s.implicits._
+      val rows = (0 until 10).flatMap { k =>
+        val w = 10 + (k * 3) % 9
+        val h = 6 + (k * 5) % 7
+        val plane = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((((x / 5) * 29 + y * 13 + k * 37) * 3) % 251).toByte
+        }
+        Seq(
+          (k.toLong, "cache", Multimodal.encodeWebpL(w, h, plane,
+            cacheBits = 5)),
+          (k.toLong, "cx", Multimodal.encodeWebpL(w, h, plane,
+            colorXform = true)),
+          (k.toLong, "flat", Multimodal.encodeWebpL(w, h, plane)),
+          (k.toLong, "lz77", Multimodal.encodeWebpL(w, h, plane,
+            lz77 = true)),
+          (k.toLong, "meta", Multimodal.encodeWebpL(w, h, plane,
+            meta = true)),
+          (k.toLong, "pal", Multimodal.encodeWebpL(w, h, plane,
+            palette = true)),
+          (k.toLong, "pred", Multimodal.encodeWebpL(w, h, plane,
+            predictor = 11)),
+          (k.toLong, "sg", Multimodal.encodeWebpL(w, h, plane,
+            subtractGreen = true)))
+      }
+      rows.toDF("doc_id", "variant", "media")
+        .select(col("doc_id"), col("variant"),
+          Multimodal.dHashPixels(s)(col("media"), lit(0), lit(0))
+            .getField("sh").as("dhash"))
+        .orderBy("doc_id", "variant")
+    }),
+
     // Most-similar-image search (fully oracled): per-probe Hamming
     // top-k over the corpus — the ext_batch_topk shape with Hamming in
     // place of cosine (probe signatures broadcast, one corpus scan,
@@ -3281,6 +3325,50 @@ object ExtQueries {
         |FROM hashes,
         |  (VALUES ('bmp24'), ('bmp8'), ('gif'), ('gifi'), ('png8'))
         |  AS v(variant)
+        |ORDER BY doc_id, variant""".stripMargin,
+
+    // one plane per doc from the run-friendly closed-form formula; the
+    // SAME hash emitted for all eight VP8L encodings of it
+    "ext_image_px_webp" ->
+      """WITH d AS (
+        |  SELECT CAST(k AS BIGINT) AS doc_id, 10 + (k*3)%9 AS w,
+        |         6 + (k*5)%7 AS h
+        |  FROM UNNEST(range(0, 10)) AS t(k)),
+        |cells AS (
+        |  SELECT doc_id, w, h, c AS k,
+        |    ((c % 9) * w) // 9 AS x0,
+        |    greatest((((c % 9) + 1) * w) // 9, ((c % 9) * w) // 9 + 1) AS x1,
+        |    ((c // 9) * h) // 8 AS y0,
+        |    greatest((((c // 9) + 1) * h) // 8, ((c // 9) * h) // 8 + 1) AS y1
+        |  FROM d, UNNEST(range(0, 72)) AS t(c)),
+        |px AS (
+        |  SELECT doc_id, k, (x1 - x0) * (y1 - y0) AS n,
+        |    (((x.x // 5) * 29 + y.y * 13 + doc_id * 37) * 3) % 251 AS v
+        |  FROM cells, UNNEST(range(x0, x1)) AS x(x),
+        |       UNNEST(range(y0, y1)) AS y(y)),
+        |sums AS (
+        |  SELECT doc_id, k, any_value(n) AS n, sum(v) AS s
+        |  FROM px GROUP BY doc_id, k),
+        |bits AS (
+        |  SELECT a.doc_id, (a.k // 9) * 8 + (a.k % 9) AS bit
+        |  FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND a.s * b.n > b.s * a.n),
+        |halves AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN bit < 32
+        |      THEN (1::BIGINT << CAST(bit AS INT)) END), 0) AS lo,
+        |    coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (1::BIGINT << CAST(bit - 32 AS INT)) END), 0) AS hi
+        |  FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        |hashes AS (
+        |  SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+        |      THEN (hi - 4294967296) * 4294967296 + lo
+        |      ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+        |  FROM halves)
+        |SELECT doc_id, v.variant, dhash
+        |FROM hashes,
+        |  (VALUES ('cache'), ('cx'), ('flat'), ('lz77'), ('meta'),
+        |          ('pal'), ('pred'), ('sg')) AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
 
     // per-probe hamming top-5 by exhaustive rank, lower-id tie-break —

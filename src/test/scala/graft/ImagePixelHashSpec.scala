@@ -227,6 +227,51 @@ class ImagePixelHashSpec extends SparkSpec {
       s"truncated GIF must fall back to payload bytes: $gotCut")
   }
 
+  test("lossless WebP (VP8L) encodings of the same picture hash like PNG") {
+    // the canonical plane through the Vp8l encoder's knobs — four more
+    // byte-incompatible containers on the frozen golden: the fifth
+    // container format joins the pixel regime (a WebP re-save of a PNG
+    // is a first-class crawl dup class)
+    val encodings = Seq(
+      Multimodal.encodeWebpL(W, H, plane),
+      Multimodal.encodeWebpL(W, H, plane, subtractGreen = true),
+      Multimodal.encodeWebpL(W, H, plane, lz77 = true, cacheBits = 6),
+      Multimodal.encodeWebpL(W, H, plane, predictor = 11))
+    assert(encodings.map(_.toSeq).distinct.size == 4,
+      "fixture encodings must differ at the byte level")
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b, 0, 0) })
+    (0L to 3L).foreach { id =>
+      assert(got(id).contains((Golden, "pixels")),
+        s"doc $id: expected the canonical-plane golden, got $got")
+    }
+
+    // a truncated VP8L stream degrades to the payload regime
+    val whole = Multimodal.encodeWebpL(W, H, plane)
+    val gotCut = pxOf(Seq((9L, whole.take(whole.length - 8), 4, 4)))
+    assert(gotCut(9L).exists(_._2 == "payload"),
+      s"truncated WebP must fall back to payload bytes: $gotCut")
+
+    // lossy VP8 keeps the payload regime (codec boundary) — geometry
+    // comes from the container walk, pixels never pretend
+    val lossy = {
+      val payload = new Array[Byte](12)
+      payload(3) = 0x9d.toByte; payload(4) = 0x01; payload(5) = 0x2a
+      payload(6) = 20; payload(8) = 10
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array[Byte]((4 + 8 + 12).toByte, 0, 0, 0))
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write("VP8 ".getBytes("US-ASCII"))
+      out.write(Array[Byte](12, 0, 0, 0))
+      out.write(payload)
+      out.toByteArray
+    }
+    val gotLossy = pxOf(Seq((8L, lossy, 4, 4)))
+    assert(gotLossy(8L).exists(_._2 == "payload"),
+      s"lossy VP8 must stay in the payload regime: $gotLossy")
+  }
+
   test("monotone brightness shift on the decoded plane keeps the hash") {
     val bright = plane.map(b => math.min((b & 0xff) + 40, 255).toByte)
     val got = pxOf(Seq(
