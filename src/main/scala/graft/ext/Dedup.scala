@@ -499,35 +499,41 @@ object Dedup {
     * groups — no all-pairs join, no recall loss. Verification is a cheap
     * codegen'd bit_count on the candidate pairs only.
     */
+  /** (doc_id, sh): the 64-bit SimHash signature per document — the
+    * native single-pass expression (graft_simhash) when the session has
+    * GraftExtensions: one traversal of the token-hash array, map-side,
+    * NO shuffle, bit-identical to the declarative forms (asserted in
+    * specs) — else explode + 64 codegen'd sum-aggregates (map-side
+    * partial sums, one shuffle on doc_id). Shared by the one-shot pair
+    * search and the persisted [[SimhashIndex]].
+    */
+  private[graft] def simhashFrame(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashArr =
+      transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
+    if (df.sparkSession.catalog.functionExists("graft_simhash"))
+      df.select(col(idCol).as("doc_id"),
+        call_function("graft_simhash", tokenHashArr).as("sh"))
+    else {
+      val bitCols = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$b"))
+      val packed = (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      df.select(col(idCol).as("doc_id"), explode(tokenHashArr).as("h"))
+        .groupBy("doc_id")
+        .agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"), packed.as("sh"))
+    }
+  }
+
   def simhashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 2000): DataFrame = {
-    // SimHash: the native single-pass expression (graft_simhash) when the
-    // session has GraftExtensions — one traversal of the token-hash array,
-    // map-side, NO shuffle, bit-identical to the declarative forms
-    // (asserted in specs) — else explode + 64 codegen'd sum-aggregates
-    // (map-side partial sums, one shuffle on doc_id). Materialized lazily:
-    // the hash is consumed twice (blocking + verification); checkpoint
-    // storage is released on plan GC (see minhashNearDups).
-    val tokenHashArr = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
-    val sh0 =
-      if (df.sparkSession.catalog.functionExists("graft_simhash"))
-        df.select(col(idCol).as("doc_id"),
-          call_function("graft_simhash", tokenHashArr).as("sh"))
-      else {
-        val bitCols = (0 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-        val packed = (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-        df.select(col(idCol).as("doc_id"), explode(tokenHashArr).as("h"))
-          .groupBy("doc_id")
-          .agg(bitCols.head, bitCols.tail: _*)
-          .select(col("doc_id"), packed.as("sh"))
-      }
-    val sh = sh0.localCheckpoint(false)
+    val sh = simhashFrame(df, idCol, textCol).localCheckpoint(false)
     hammingCandidates(sh, maxHamming, maxBucket)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -1,0 +1,232 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Persisted Hamming-space posting layout over ANY 64-bit
+  * signature column — the shared core behind [[ImageIndex]] (perceptual
+  * dHash) and [[SimhashIndex]] (text SimHash). One artifact design, two
+  * modalities: a one-time layout pass that lets bounded-distance search
+  * read a PRUNED slice of the corpus instead of scanning it.
+  *
+  * Layout = multi-index pigeonhole postings (the blocking arithmetic of
+  * `Dedup.hammingCandidates` / the incremental stores, made DURABLE and
+  * SORTED):
+  *
+  *   path/postings/chunk=<c>/   (cval, doc_id, sh) — one posting per
+  *     (signature, chunk); files within each chunk partition are
+  *     range-partitioned AND sorted by cval, so every parquet row group
+  *     covers a narrow cval band and a probe's `cval IN (...)` pushed
+  *     filter prunes at row-group granularity, not just directory
+  *     granularity
+  *   path/build_meta            "maxhamming H\nrows N" — the blocking
+  *     parameter is part of the artifact (a probe at a different bound
+  *     would silently lose recall; reading it from the artifact makes
+  *     that impossible)
+  *
+  * Space is the classic multi-index-hashing trade: (maxHamming+1) rows
+  * per signature, ~20 bytes each. A probe touches only the row groups
+  * whose cval band intersects the probe's chunk values: with
+  * b = 64/(H+1) bits per chunk a random probe selects ~(H+1)/2^b of the
+  * postings, so the pruning pays off exactly when the bound is tight
+  * relative to 64 bits (b >= 8, i.e. H <= 7: ~3% of the corpus read per
+  * probe; at H=15, b=4, it reads ~100% and the exhaustive scan is
+  * honestly the better plan — [[build]] rejects those bounds loudly
+  * rather than persisting an index that cannot prune).
+  *
+  * Correctness is pigeonhole-exact, not approximate: any signature
+  * within `maxHamming` bits of a probe agrees with it on at least one
+  * whole chunk, so the candidate union contains every true match; exact
+  * Hamming verification on the carried `sh` then makes the result EQUAL
+  * to the exhaustive top-k restricted to the bound (the
+  * `ext_image_index_topk` gate holds that equality against the
+  * brute-force DuckDB oracle for the image wrapper; the simhash wrapper
+  * shares every line of this machinery and holds the same equality
+  * in-engine — SimhashIndexSpec). Deliberately NOT an approximate
+  * recall trade: a takedown/compliance search ("find every stored
+  * near-copy") needs the guarantee.
+  */
+private[ext] object HammingIndex {
+
+  /** Persist the posting layout for a `(doc_id, sh)` signature frame
+    * (null signatures must already be filtered). One pass: explode the
+    * maxHamming+1 chunks, range-sort by (chunk, cval), write
+    * partitioned by chunk with an EXPLICIT fan-out — pruning
+    * granularity IS the file/row-group count per chunk directory. A
+    * range partition covering a whole chunk (what the conf default
+    * degenerates to on a small build) has min=0/max=everything cval
+    * stats and can prune nothing; `filesPerChunk` sorted range slices
+    * give every file a narrow cval band (huge builds additionally
+    * split into 128 MB row groups inside each file, so granularity
+    * scales with the corpus either way).
+    */
+  def build(sig: DataFrame, path: String, maxHamming: Int,
+      filesPerChunk: Int, what: String, exhaustiveHint: String): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"$what: maxHamming must be 0..7 (>= 8 bits per chunk) so the " +
+        s"layout can prune; at $maxHamming an exhaustive scan is the " +
+        s"better plan — use $exhaustiveHint")
+    require(filesPerChunk >= 1, s"$what: filesPerChunk $filesPerChunk")
+    val spark = sig.sparkSession
+    val postings = sig
+      .select(col("doc_id"), col("sh"),
+        explode(Dedup.shChunks(col("sh"), maxHamming)).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.cval").as("cval"),
+        col("doc_id"), col("sh"))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(target.getParent, s".${target.getName}__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    postings
+      .repartitionByRange((maxHamming + 1) * filesPerChunk,
+        col("chunk"), col("cval"))
+      .sortWithinPartitions(col("chunk"), col("cval"))
+      .write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$staging/postings")
+    val rows = spark.read.parquet(s"$staging/postings").count()
+    val out = fs.create(new Path(staging, "build_meta"), true)
+    try {
+      out.write(s"maxhamming $maxHamming\nrows $rows\n".getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, what,
+      dstMayBeAbsent = true)
+    ()
+  }
+
+  /** True when a built artifact exists at `path` (build_meta is staged
+    * with the postings, so its presence implies the whole layout).
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/build_meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The blocking bound the artifact was built at (from build_meta). */
+  def boundOf(spark: SparkSession, path: String, what: String): Int =
+    metaOf(spark, path, what)._1
+
+  /** (maxHamming, build-time posting rows) from build_meta. The row
+    * count is the staleness denominator for [[append]] — it records the
+    * last full LAYOUT pass, so it does not move on appends.
+    */
+  private def metaOf(spark: SparkSession, path: String,
+      what: String): (Int, Long) = {
+    val p = new Path(s"$path/build_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val fields = text.linesIterator.flatMap { l =>
+      l.split(" ", 2) match {
+        case Array(k, v) => Some(k -> v.trim)
+        case _ => None
+      }
+    }.toMap
+    (fields.get("maxhamming").map(_.toInt).getOrElse(
+        sys.error(s"$what at $path: no maxhamming in build_meta")),
+      fields.get("rows").map(_.toLong).getOrElse(0L))
+  }
+
+  final case class AppendResult(
+      appended: Long, skipped: Long, totalPostings: Long,
+      staleness: Double, rebuildAdvised: Boolean)
+
+  /** Incrementally grow the index with a `(doc_id, sh)` batch — the
+    * `ivfAppendPersisted` discipline applied to the Hamming layout.
+    * Already-indexed doc_ids skip (id anti-join against ONE chunk
+    * partition — every signature posts in every chunk, so chunk 0
+    * carries the complete id set at 1/(H+1) of the postings); fresh
+    * rows append as their own cval-sorted files per chunk directory.
+    * Appends degrade pruning gradually, not correctness: each appended
+    * file carries its own narrow cval band, but file COUNT grows per
+    * batch, so `staleness` (appended rows / build-time rows) tells the
+    * caller when to re-run [[build]] and restore the packed layout —
+    * the same rebuild-economics contract as the IVF artifact. Probe
+    * results are unaffected by replays: a re-appended batch anti-joins
+    * away, and [[topK]]'s per-pair dropDuplicates absorbs any residue.
+    */
+  def append(sig: DataFrame, path: String, rebuildThreshold: Double,
+      what: String): AppendResult = {
+    val spark = sig.sparkSession
+    require(exists(spark, path), s"no $what at $path — build first")
+    val (maxHamming, atBuild) = metaOf(spark, path, what)
+    val existingIds =
+      spark.read.parquet(s"$path/postings/chunk=0").select("doc_id")
+    val fresh = sig.join(existingIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // counted AND written
+    val freshCount = fresh.count()
+    val input = sig.count()
+    if (freshCount > 0)
+      fresh
+        .select(col("doc_id"), col("sh"),
+          explode(Dedup.shChunks(col("sh"), maxHamming)).as("cc"))
+        .select(col("cc.chunk").as("chunk"), col("cc.cval").as("cval"),
+          col("doc_id"), col("sh"))
+        .repartitionByRange(maxHamming + 1, col("chunk"), col("cval"))
+        .sortWithinPartitions(col("chunk"), col("cval"))
+        .write.mode("append").partitionBy("chunk")
+        .parquet(s"$path/postings")
+    val total = spark.read.parquet(s"$path/postings").count()
+    val staleness =
+      (total - atBuild).toDouble / math.max(atBuild, 1L).toDouble
+    AppendResult(freshCount, input - freshCount, total, staleness,
+      staleness > rebuildThreshold)
+  }
+
+  /** Bounded-distance top-k against the persisted layout for a BOUNDED
+    * driver-side probe set `(q_id, qsh)` (this is a serving call —
+    * enforced, not assumed): each chunk directory gets its own scan
+    * carrying a plain pushed `cval IN (...)` predicate, so the postings
+    * read prunes to the probe's buckets (directories by chunk, row
+    * groups and pages by the sorted cval bands) and never materializes
+    * the corpus. An OR-of-ANDs over (chunk, cval) pushes NOTHING: the
+    * partition pruner can only extract `chunk IN (all)` from it and the
+    * parquet reader drops the mixed disjunction entirely — measured,
+    * not assumed (the specs hold probe bytes-read below the full scan).
+    * The pruned candidates broadcast-join the probe table, verify exact
+    * Hamming on the carried signature, and feed bounded per-partition
+    * top-k heaps. Ties break to the lower doc_id.
+    *
+    * Returns (q_id, doc_id, hamming) — at most k rows per probe; probes
+    * with nothing inside the bound return no rows (the honest answer
+    * for a bounded search).
+    */
+  def topK(spark: SparkSession, path: String,
+      qs: Array[(Long, Long)], k: Int, what: String): DataFrame = {
+    require(k > 0, s"$what: k must be positive, got $k")
+    val maxHamming = boundOf(spark, path, what)
+    import spark.implicits._
+    if (qs.isEmpty)
+      return Seq.empty[(Long, Long, Int)].toDF("q_id", "doc_id", "hamming")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    def cvalOf(sh: Long, c: Int): Long =
+      if (c == nChunks - 1) sh >>> (c * chunkBits)
+      else (sh >>> (c * chunkBits)) & ((1L << chunkBits) - 1)
+    val parts = (0 until nChunks).map { c =>
+      val vals = qs.map(r => cvalOf(r._2, c)).distinct.toSeq
+      spark.read.parquet(s"$path/postings/chunk=$c")
+        .filter(col("cval").isInCollection(vals))
+        .select(lit(c).as("chunk"), col("cval"), col("doc_id"), col("sh"))
+    }
+    val probeDf = qs.toSeq.toDF("q_id", "qsh")
+      .select(col("q_id"), col("qsh"),
+        explode(Dedup.shChunks(col("qsh"), maxHamming)).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.cval").as("cval"),
+        col("q_id"), col("qsh"))
+    val cand = parts.reduce(_ unionByName _)
+      .join(broadcast(probeDf), Seq("chunk", "cval"))
+      .select(col("q_id"), col("doc_id"),
+        bit_count(col("sh").bitwiseXOR(col("qsh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("q_id", "doc_id") // a pair can share several chunks
+    graft.ops.GroupedTopK(spark, cand.select(col("q_id"), col("doc_id"),
+        (-col("hamming")).cast("double").as("score")), "q_id", "score",
+        "doc_id", k)
+      .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+        (-col("score")).cast("int").as("hamming"))
+  }
+}

@@ -1491,6 +1491,33 @@ object ExtQueries {
         .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
     }),
 
+    // Query-by-example TEXT search through the persisted SimHash index
+    // (oracled on PLANTED truth, the audio-search discipline — SimHash
+    // itself is xxhash64-based and deliberately not restated in SQL):
+    // 40 documents over globally-unique token vocabularies, probes that
+    // are exact re-crawls of eight of them plus one never-seen
+    // document. A correct index's top-1 is EXACTLY the probe's source
+    // at Hamming 0 (disjoint vocabularies put every other signature far
+    // outside the bound — xxhash64 is fixed, so the planted separation
+    // is deterministic, verified once, stable forever), and the
+    // never-seen probe returns NO rows — the honest bounded-search
+    // answer. The oracle is the closed-form planted match list.
+    "ext_text_index_search" -> ((s, dir) => {
+      import s.implicits._
+      def txt(k: Int) = (0 until 30)
+        .map(i => s"u${k}w${(k * 31 + i * 7) % 911}t$i").mkString(" ")
+      val corpus = (0 until 40).map(k => (k.toLong, txt(k)))
+        .toDF("doc_id", "text")
+      val probes = ((0 until 8).map(k => (500L + k, txt(k))) :+
+        (900L, txt(77))).toDF("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_textidx")
+        .toString + "/idx"
+      graft.ext.SimhashIndex.build(corpus, "doc_id", "text", path,
+        maxHamming = 7)
+      graft.ext.SimhashIndex.topK(s, path, probes, "doc_id", "text", k = 1)
+        .orderBy("q_id")
+    }),
+
     // Bounded-distance search through the PERSISTED Hamming index
     // (fully oracled): the pruned posting-layout probe must EQUAL the
     // exhaustive rank restricted to the index's bound — pigeonhole
@@ -3155,6 +3182,13 @@ object ExtQueries {
     "ext_audio_search" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
+
+    // planted truth: each re-crawl probe's top-1 is its source at
+    // Hamming 0; the never-seen probe (q_id 900) contributes no row
+    "ext_text_index_search" ->
+      """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id,
+        |       CAST(0 AS INT) AS hamming
+        |FROM UNNEST(range(0, 8)) AS t(k) ORDER BY q_id""".stripMargin,
 
     // pixel-regime hash replay WITHOUT the bytes: the oracle regenerates
     // each synthesized plane from the closed-form formula the Spark side

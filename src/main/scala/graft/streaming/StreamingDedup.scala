@@ -275,6 +275,33 @@ object StreamingDedup {
     batches.get()
   }
 
+  /** The streaming form of the VIDEO dedup: the remux-robust mdat
+    * payload fingerprint (`Multimodal.mp4PayloadFp` — moov relocation,
+    * metadata edits, free-atom padding and atom reorders do not move
+    * it) keys the durable keyed store, so a re-WRAPPED copy of any
+    * previously streamed video drops cross-batch. Non-MP4 and
+    * payload-less rows key NULL and pass through untouched
+    * (`IncrementalKeyedDedup`'s keyless discipline). Same crash
+    * semantics as [[ingestKeyedAvailableNow]], which this wraps:
+    * owner-aware replay re-emits the same survivors, consumer-side
+    * distinct keeps the log exactly-once in effect.
+    */
+  def ingestVideosAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      videoCol: String,
+      storePath: String,
+      survivorsPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val fpU = udf((b: Array[Byte]) =>
+      graft.ext.Multimodal.ContainerCodec.mp4PayloadFp(b))
+    ingestKeyedAvailableNow(spark, srcDir, schema, idCol, fpU(col(videoCol)),
+      storePath, survivorsPath, checkpointDir, maxFilesPerTrigger)
+  }
+
   /** The accumulated keyed-survivors log with replay duplicates removed
     * (identical rows can recur across batch ids after a crash-replay —
     * the distinct is over the DATA columns, not batch_id). Empty

@@ -458,6 +458,53 @@ class StreamingSpec extends SparkSpec {
       s"missing=${oneShot -- streamed} extra=${streamed -- oneShot}")
   }
 
+  test("streaming video dedup: a re-wrapped copy drops cross-batch; replay-safe") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val payloadA = Array.tabulate(300)(i => ((i * 31 + 7) % 251).toByte)
+    val payloadB = Array.tabulate(280)(i => ((i * 13 + 5) % 251).toByte)
+    val orig = graft.ext.Multimodal.minimalMp4(600, 1200, 1, 320, 240,
+      mdat = payloadA)
+    // the faststart re-wrap: moov relocated, every metadata field moved,
+    // free padding — byte-different, same mdat payload
+    val remux = graft.ext.Multimodal.minimalMp4(90000, 500L, tracks = 2,
+      width = 640, height = 480, mdat = payloadA,
+      moovFirst = false, freePad = 16)
+    val other = graft.ext.Multimodal.minimalMp4(600, 1200, 1, 320, 240,
+      mdat = payloadB)
+    val notMp4 = "just some text bytes".getBytes("UTF-8")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("video", BinaryType)))
+    val crawl = Seq((1L, orig), (2L, remux), (3L, other), (4L, notMp4))
+      .toDF("doc_id", "video")
+    val work = tmpDir("streamvid")
+    for (half <- Seq(0, 1)) // two files -> two forced micro-batches
+      crawl.filter(col("doc_id") % 2 === (1 - half))
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val nb = graft.streaming.StreamingDedup.ingestVideosAvailableNow(spark,
+      s"$work/src", schema, "doc_id", "video",
+      s"$work/store", s"$work/survivors", s"$work/ckpt",
+      maxFilesPerTrigger = Some(1))
+    assert(nb >= 2, s"expected >=2 micro-batches, got $nb")
+    def logged = graft.streaming.StreamingDedup
+      .keyedSurvivors(spark, s"$work/survivors", schema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // keep-first attribution depends on micro-batch arrival order:
+    // assert the order-independent laws — exactly one of the
+    // re-wrapped pair survives CROSS-BATCH (1 and 2 land in different
+    // micro-batches by the %2 split), the distinct payload and the
+    // keyless non-MP4 row always survive
+    val first = logged
+    assert(first.intersect(Set(1L, 2L)).size === 1,
+      s"exactly one wrap of the same video must survive: $first")
+    assert(first.contains(3L) && first.contains(4L), s"$first")
+    // checkpoint loss => full replay converges to the same survivors
+    graft.streaming.StreamingDedup.ingestVideosAvailableNow(spark,
+      s"$work/src", schema, "doc_id", "video",
+      s"$work/store", s"$work/survivors", s"$work/ckpt2",
+      maxFilesPerTrigger = Some(1))
+    assert(logged === first, "replay changed the survivor log")
+  }
+
   test("pre-first-write pair log declares the corpus id type, not LongType") {
     import org.apache.spark.sql.types.{LongType, StringType}
     // a consumer that runs BEFORE any pairs are emitted must see the

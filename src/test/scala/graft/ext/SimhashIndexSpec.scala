@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** The persisted Hamming-space TEXT index (SimhashIndex — the SimHash
+  * instantiation of the HammingIndex core): bounded-distance top-k must
+  * EQUAL an INDEPENDENTLY computed exhaustive baseline restricted to
+  * the bound (plain-Scala brute force over the same signatures — no
+  * engine helper on the expected side), appends must be
+  * probe-equivalent to a rebuild, and un-prunable bounds must be
+  * rejected at build time. The pruning bytes-read property is held by
+  * ImageIndexSpec over the SHARED HammingIndex layout/probe code — not
+  * duplicated here.
+  */
+class SimhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ~40-token documents over a deterministic vocabulary; `edit`
+    * replaces that many tokens — a light rewrite lands a few simhash
+    * bits away, a re-crawl (edit = 0, different id) at exactly 0.
+    */
+  private def doc(seed: Int, edit: Int = 0): String =
+    (0 until 40).map { i =>
+      if (i < edit) s"edited${seed}x$i"
+      else s"w${(seed * 17 + i * 13) % 997}tok$i"
+    }.mkString(" ")
+
+  private def frameOf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def shOf(df: DataFrame): Map[Long, Long] =
+    Dedup.simhashFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Plain-Scala bounded top-k: hamming asc, doc_id asc, take k. */
+  private def bruteTopK(corpus: Map[Long, Long], probes: Map[Long, Long],
+      bound: Int, k: Int): Set[(Long, Long, Int)] =
+    probes.toSeq.flatMap { case (qid, qsh) =>
+      corpus.toSeq
+        .map { case (id, sh) =>
+          (qid, id, java.lang.Long.bitCount(qsh ^ sh)) }
+        .filter(_._3 <= bound)
+        .sortBy(t => (t._3, t._2))
+        .take(k)
+    }.toSet
+
+  test("bounded top-k equals the brute-force baseline restricted to the bound") {
+    val corpus = frameOf(
+      (0 until 200).map(s => (s.toLong, doc(s))) ++
+        Seq(0, 7, 13).flatMap(s => Seq(
+          (1000L + s, doc(s)),            // exact re-crawl, new id
+          (2000L + s, doc(s, edit = 2)))) // light rewrite
+    )
+    val probes = frameOf(Seq(0, 7, 13).map(s => (s.toLong, doc(s))))
+    val path = tmpDir("shidx1") + "/idx"
+    SimhashIndex.build(corpus, "doc_id", "text", path, maxHamming = 7)
+    assert(SimhashIndex.exists(spark, path) &&
+      SimhashIndex.boundOf(spark, path) == 7)
+    val got = SimhashIndex.topK(spark, path, probes, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = bruteTopK(shOf(corpus), shOf(probes), bound = 7, k = 8)
+    assert(expected.exists(t => t._2 >= 1000L && t._3 == 0),
+      s"fixture must plant an exact re-crawl in bound, got $expected")
+    assert(got == expected,
+      s"index result diverged from the bounded brute force:\n" +
+        s"  index: $got\n  brute: $expected")
+  }
+
+  test("append: probe-equivalent to rebuild, replay skips, staleness accumulates") {
+    val base = (0 until 150).map(s => (s.toLong, doc(s)))
+    val extra = (150 until 260).map(s => (s.toLong, doc(s))) :+
+      (3000L, doc(17)) // a re-crawl of a probe document
+    val grown = tmpDir("shidx2") + "/idx"
+    val rebuilt = tmpDir("shidx3") + "/idx"
+    SimhashIndex.build(frameOf(base), "doc_id", "text", grown,
+      maxHamming = 7)
+    val r1 = SimhashIndex.append(frameOf(extra), "doc_id", "text", grown)
+    assert(r1.appended == 111 && r1.skipped == 0, s"$r1")
+    val r2 = SimhashIndex.append(frameOf(extra), "doc_id", "text", grown)
+    assert(r2.appended == 0 && r2.skipped == 111, s"$r2")
+    assert(r2.totalPostings == r1.totalPostings, s"replay grew the index: $r2")
+    assert(math.abs(r1.staleness - 111.0 / 150) < 1e-9 && r1.rebuildAdvised,
+      s"$r1")
+    SimhashIndex.build(frameOf(base ++ extra), "doc_id", "text", rebuilt,
+      maxHamming = 7)
+    val probes = frameOf(Seq((17L, doc(17)), (200L, doc(200))))
+    def res(path: String) =
+      SimhashIndex.topK(spark, path, probes, "doc_id", "text", k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaGrown = res(grown)
+    assert(viaGrown == res(rebuilt),
+      s"append diverged from rebuild: $viaGrown vs ${res(rebuilt)}")
+    assert(viaGrown.exists(r => r._1 == 17L && r._2 == 3000L && r._3 == 0),
+      s"appended re-crawl must be findable at hamming 0: $viaGrown")
+  }
+
+  test("build rejects un-prunable bounds; rebuild swaps the stored bound") {
+    val corpus = frameOf((0 until 4).map(s => (s.toLong, doc(s))))
+    val e = intercept[IllegalArgumentException] {
+      SimhashIndex.build(corpus, "doc_id", "text",
+        tmpDir("shidx4") + "/idx", maxHamming = 12)
+    }
+    assert(e.getMessage.contains("simhashNearDups"))
+    val path = tmpDir("shidx5") + "/idx"
+    SimhashIndex.build(corpus, "doc_id", "text", path, maxHamming = 3)
+    assert(SimhashIndex.boundOf(spark, path) == 3)
+    SimhashIndex.build(corpus, "doc_id", "text", path, maxHamming = 5)
+    assert(SimhashIndex.boundOf(spark, path) == 5)
+    val got = SimhashIndex.topK(spark, path,
+      frameOf(Seq((2L, doc(2)))), "doc_id", "text", k = 2).collect()
+    assert(got.exists(r => r.getLong(1) == 2L && r.getInt(2) == 0),
+      s"self-match after rebuild: ${got.toSeq}")
+  }
+}
