@@ -117,29 +117,54 @@ object AudioDsp {
   private[ext] def hann(n: Int): Array[Double] =
     Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
 
-  /** 16-bit PCM WAV -> normalized mono samples + sample rate, or None
-    * when the payload is not such a WAV. The mono-mix [[analyze]] uses,
-    * factored out so [[AudioFingerprint]] shares the exact decode.
+  /** WAV -> normalized mono samples + sample rate across the full
+    * uncompressed sample space — 8-bit unsigned, 16/24/32-bit signed
+    * integer PCM (format 1) and 32/64-bit IEEE float (format 3,
+    * including the WAVE_FORMAT_EXTENSIBLE wrapping pro-audio masters
+    * use) — or None for anything else (compressed WAV falls back to
+    * byte statistics like every other codec boundary). Multichannel
+    * mixes down by the per-sample mean. The mono-mix [[analyze]] and
+    * the landmark fingerprints use, factored out so every audio
+    * consumer shares the EXACT decode: the same recording delivered as
+    * a 16-bit web rip and a 24-bit or float master decodes to the same
+    * signal up to quantization, so it fingerprints as the same
+    * recording.
     */
-  private[ext] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
+  private[graft] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (!Multimodal.ContainerCodec.isWav(bytes)) return None
-    val (channels, sampleRate, bits, dataOff, dataLen) =
+    val (format, channels, sampleRate, bits, dataOff, dataLen) =
       Multimodal.ContainerCodec.wavLayout(bytes) match {
         case Some(l) => l
         case None    => return None
       }
-    if (bits != 16) return None
-    val nSamples = dataLen / 2 / channels
+    val bps = bits / 8
+    if (bps <= 0) return None
+    def i32le(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | (bytes(o + 3) << 24)
+    val sample: Int => Double = (format, bits) match {
+      case (1, 8)  => o => ((bytes(o) & 0xff) - 128) / 128.0
+      case (1, 16) => o =>
+        ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toDouble / 32768.0
+      case (1, 24) => o =>
+        ((bytes(o + 2) << 16) | ((bytes(o + 1) & 0xff) << 8) |
+          (bytes(o) & 0xff)) / 8388608.0
+      case (1, 32) => o => i32le(o) / 2147483648.0
+      case (3, 32) => o => java.lang.Float.intBitsToFloat(i32le(o)).toDouble
+      case (3, 64) => o => java.lang.Double.longBitsToDouble(
+        (i32le(o + 4).toLong << 32) | (i32le(o).toLong & 0xffffffffL))
+      case _ => return None
+    }
+    val nSamples = dataLen / bps / channels
     val x = new Array[Double](nSamples)
     var i = 0
     while (i < nSamples) {
       var acc = 0.0; var ch = 0
       while (ch < channels) {
-        val o = dataOff + (i * channels + ch) * 2
-        acc += ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toDouble
+        acc += sample(dataOff + (i * channels + ch) * bps)
         ch += 1
       }
-      x(i) = acc / channels / 32768.0
+      x(i) = acc / channels
       i += 1
     }
     Some((x, sampleRate))
@@ -147,8 +172,9 @@ object AudioDsp {
 
   // ---- per-document analysis -------------------------------------------
 
-  /** Decode a 16-bit PCM WAV and summarize its spectrum. None when the
-    * payload is not such a WAV (caller emits the zeroed row).
+  /** Decode an uncompressed WAV (any [[monoSamples]] layout) and
+    * summarize its spectrum. None when the payload is not such a WAV
+    * (caller emits the zeroed row).
     */
   private[graft] def analyze(
       bytes: Array[Byte], frameSize: Int, hop: Int,
@@ -238,6 +264,64 @@ object AudioDsp {
         }
       }
     }
+  }
+
+  /** General WAV writer for the width/format-invariance fixtures:
+    * doubles in [-1, 1] encoded as 8-bit unsigned, 16/24/32-bit signed
+    * PCM (format 1) or 32/64-bit IEEE float (format 3), mono or
+    * channel-duplicated multichannel, optionally wrapped in
+    * WAVE_FORMAT_EXTENSIBLE — every layout [[monoSamples]] decodes.
+    * Quantization rounds to nearest, so a 16-bit web rip and a 24-bit
+    * master of the same signal decode within one another's LSB.
+    */
+  def pcmWav(samples: Array[Double], sampleRate: Int, bits: Int = 16,
+      float: Boolean = false, channels: Int = 1,
+      extensible: Boolean = false): Array[Byte] = {
+    require(channels >= 1, s"pcmWav: channels $channels")
+    val format = if (float) 3 else 1
+    require(
+      (!float && Seq(8, 16, 24, 32).contains(bits)) ||
+        (float && (bits == 32 || bits == 64)),
+      s"pcmWav: unsupported layout format=$format bits=$bits")
+    val bps = bits / 8
+    val fmtLen = if (extensible) 40 else 16
+    val dataLen = samples.length * channels * bps
+    val out = java.nio.ByteBuffer
+      .allocate(12 + 8 + fmtLen + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + fmtLen + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      .putShort(if (extensible) 0xfffe.toShort else format.toShort)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bps)
+      .putShort((channels * bps).toShort).putShort(bits.toShort)
+    if (extensible) {
+      out.putShort(22)            // cbSize
+        .putShort(bits.toShort)   // wValidBitsPerSample
+        .putInt(0)                // dwChannelMask
+        .putShort(format.toShort) // SubFormat GUID leads with the code
+      out.put(Array[Byte](0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0, 0,
+        0xaa.toByte, 0, 0x38, 0x9b.toByte, 0x71)) // KSDATAFORMAT remainder
+    }
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { v =>
+      var ch = 0
+      while (ch < channels) {
+        if (float && bits == 32) out.putFloat(v.toFloat)
+        else if (float) out.putDouble(v)
+        else bits match {
+          case 8  => out.put((math.round(v * 127.0) + 128).toByte)
+          case 16 => out.putShort(math.round(v * 32767.0).toShort)
+          case 24 =>
+            val q = math.round(v * 8388607.0).toInt
+            out.put(q.toByte).put((q >> 8).toByte).put((q >> 16).toByte)
+          case _ => out.putInt(math.round(v * 2147483647.0).toInt)
+        }
+        ch += 1
+      }
+    }
+    out.array()
   }
 
   /** Deterministic WAV synthesizer (16-bit PCM mono sine) — the fixture

@@ -129,25 +129,36 @@ object Multimodal {
       * dataLen) — with every chunk size validated against the buffer so
       * a truncated file cannot over-read. None for non-PCM encodings.
       */
+    /** (format, channels, sampleRate, bitsPerSample, dataOff, dataLen)
+      * with `format` RESOLVED to 1 (integer PCM) or 3 (IEEE float):
+      * WAVE_FORMAT_EXTENSIBLE (0xFFFE — standard for >16-bit and
+      * multichannel masters) unwraps to the first two GUID bytes of
+      * its SubFormat. Compressed formats (ADPCM, MP3-in-WAV, ...)
+      * return None and the caller falls back to byte statistics.
+      */
     private[ext] def wavLayout(
-        b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+        b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
       var off = 12
-      var channels, sampleRate, bitsPerSample = 0
+      var format, channels, sampleRate, bitsPerSample = 0
       var dataOff, dataLen = -1
       while (off + 8 <= b.length) {
         val id = tag(b, off)
         val sz = u32le(b, off + 4).toInt
         if (sz < 0 || off + 8 + sz > b.length) return None
         if (id == "fmt " && sz >= 16) {
-          if (u16le(b, off + 8) != 1) return None // PCM only
+          format = u16le(b, off + 8)
+          if (format == 0xfffe && sz >= 40)
+            format = u16le(b, off + 8 + 24) // SubFormat GUID leads with it
+          if (format != 1 && format != 3) return None
           channels = u16le(b, off + 10)
           sampleRate = u32le(b, off + 12).toInt
           bitsPerSample = u16le(b, off + 22)
         } else if (id == "data") { dataOff = off + 8; dataLen = sz }
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      if (channels <= 0 || sampleRate <= 0 || dataOff < 0) None
-      else Some((channels, sampleRate, bitsPerSample, dataOff, dataLen))
+      if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || format == 0) None
+      else Some((format, channels, sampleRate, bitsPerSample, dataOff,
+        dataLen))
     }
 
     /** PNG: signature, then the mandatory first chunk IHDR =
@@ -571,14 +582,17 @@ object Multimodal {
       else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
-      * bitsPerSample) and "data" (PCM payload). For 16-bit PCM the RMS
-      * amplitude is computed over the samples — a real signal feature,
-      * not a stand-in. Chunk sizes are validated against the buffer so a
+      * bitsPerSample) and "data" (sample payload). RMS amplitude is
+      * computed over the decoded mono mix for EVERY supported sample
+      * layout (8/16/24/32-bit integer PCM and 32/64-bit IEEE float,
+      * mono or multichannel — `AudioDsp.monoSamples`, the same decode
+      * the fingerprint/DSP family runs on) — a real signal feature, not
+      * a stand-in. Chunk sizes are validated against the buffer so a
       * truncated file cannot over-read.
       */
     private def decodeWav(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
-      val (channels, sampleRate, bitsPerSample, dataOff, dataLen) =
+      val (_, channels, sampleRate, bitsPerSample, _, dataLen) =
         wavLayout(b) match {
           case Some(layout) => layout
           case None         => return None
@@ -586,15 +600,14 @@ object Multimodal {
       val byteRate = sampleRate.toLong * channels * (bitsPerSample / 8)
       val durationSec =
         if (byteRate > 0) dataLen.toDouble / byteRate else 0.0
-      val rms =
-        if (bitsPerSample == 16 && dataLen >= 2) {
-          var sum = 0.0; var i = dataOff; val end = dataOff + dataLen - 1
-          while (i < end) {
-            val s = ((b(i + 1) << 8) | (b(i) & 0xff)).toShort.toDouble
-            sum += s * s; i += 2
-          }
-          math.sqrt(sum / (dataLen / 2)) / 32768.0
-        } else 0.0
+      val rms = AudioDsp.monoSamples(b) match {
+        case Some((x, _)) if x.nonEmpty =>
+          var sum = 0.0
+          var i = 0
+          while (i < x.length) { sum += x(i) * x(i); i += 1 }
+          math.sqrt(sum / x.length)
+        case _ => 0.0
+      }
       Some(MediaFeatures(r.doc_id, b.length, "audio/wav", "pcm",
         byteChecksum(b),
         Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,

@@ -112,6 +112,45 @@ class AudioDspSpec extends SparkSpec {
     assert(f(3L).zcr > 0f)
   }
 
+  test("sample-width/format invariance: every uncompressed layout decodes to one signal") {
+    val sr = 8000; val n = 1024
+    val sig = Array.tabulate(n) { i =>
+      0.4 * math.sin(2 * math.Pi * 700.0 * i / sr) +
+        0.2 * math.sin(2 * math.Pi * 1900.0 * i / sr)
+    }
+    // per-layout quantization tolerance: round-to-nearest at b bits of
+    // magnitude plus the (2^b-1)/2^b normalization skew
+    val layouts = Seq(
+      ("pcm8", AudioDsp.pcmWav(sig, sr, bits = 8), 1e-2),
+      ("pcm16", AudioDsp.pcmWav(sig, sr, bits = 16), 1e-4),
+      ("pcm24", AudioDsp.pcmWav(sig, sr, bits = 24), 1e-6),
+      ("pcm32", AudioDsp.pcmWav(sig, sr, bits = 32), 1e-8),
+      ("f32", AudioDsp.pcmWav(sig, sr, bits = 32, float = true), 1e-6),
+      ("f64", AudioDsp.pcmWav(sig, sr, bits = 64, float = true), 1e-12),
+      ("stereo24", AudioDsp.pcmWav(sig, sr, bits = 24, channels = 2), 1e-6),
+      ("ext24", AudioDsp.pcmWav(sig, sr, bits = 24, extensible = true), 1e-6),
+      ("extf32", AudioDsp.pcmWav(sig, sr, bits = 32, float = true,
+        extensible = true), 1e-6))
+    assert(layouts.map(_._2.toSeq).distinct.size == layouts.size,
+      "fixture layouts must differ at the byte level")
+    for ((name, bytes, tol) <- layouts) {
+      val (x, rate) = AudioDsp.monoSamples(bytes)
+        .getOrElse(fail(s"$name did not decode"))
+      assert(rate == sr && x.length == n, s"$name geometry")
+      val worst = sig.indices.map(i => math.abs(x(i) - sig(i))).max
+      assert(worst <= tol, s"$name: worst sample error $worst > $tol")
+    }
+    // pcmWav's 16-bit mono layout is byte-identical to the historical
+    // sineWav/tonesWav framing: same quantizer, same header
+    assert(AudioDsp.pcmWav(Array.tabulate(64)(i =>
+        0.5 * math.sin(2.0 * math.Pi * 440.0 * i / sr + 0.1)), sr).toSeq ==
+      AudioDsp.sineWav(sr, 64, 440.0).toSeq)
+    // a compressed format code (ADPCM = 2) is a codec boundary: None
+    val adpcm = AudioDsp.pcmWav(sig, sr, bits = 16)
+    adpcm(20) = 2 // format field inside "fmt "
+    assert(AudioDsp.monoSamples(adpcm).isEmpty)
+  }
+
   test("stereo mono-mix: identical channels analyze like the mono signal") {
     val sr = 8000; val n = 2048
     val mono = AudioDsp.sineWav(sr, n, 700.0)

@@ -52,6 +52,32 @@ class AudioFingerprintSpec extends SparkSpec {
       s"distinct tone sequences share ${(a & c).size} landmarks")
   }
 
+  test("a 24-bit / float MASTER fingerprints as the same recording as its 16-bit rip") {
+    // the same tone sequence delivered three ways a crawl actually sees
+    // it: the 16-bit web rip (tonesWav), a 24-bit studio master, a
+    // 32-bit-float DAW export — byte-incompatible files, sample values
+    // within quantization of each other, so the spectral peaks (and
+    // therefore the landmark hashes) must agree
+    def samples(seed: Int): Array[Double] =
+      seqOf(seed).flatMap { case (freq, len) =>
+        (0 until len).map(i =>
+          0.5 * math.sin(2.0 * math.Pi * freq * i / Sr))
+      }.toArray
+    val rip = fpSet(wav(4))
+    val master24 = fpSet(graft.ext.AudioDsp.pcmWav(samples(4), Sr, bits = 24))
+    val masterF32 = fpSet(graft.ext.AudioDsp.pcmWav(samples(4), Sr,
+      bits = 32, float = true))
+    assert(rip == master24,
+      s"24-bit master drifted: only-rip=${(rip -- master24).size} " +
+        s"only-master=${(master24 -- rip).size}")
+    assert(rip == masterF32,
+      s"float master drifted: only-rip=${(rip -- masterF32).size} " +
+        s"only-master=${(masterF32 -- rip).size}")
+    val other = fpSet(wav(6))
+    assert((rip & other).size < AudioFingerprint.Params().minShared,
+      "distinct recordings must stay distinct across widths")
+  }
+
   test("audioNearDups: planted scaled copy pairs, distinct audio does not") {
     val media = Seq(
       (1L, wav(10, 0.5)), (2L, wav(10, 0.25)), // copies of one recording
