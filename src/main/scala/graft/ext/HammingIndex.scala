@@ -130,6 +130,58 @@ private[ext] object HammingIndex {
       fields.get("rows").map(_.toLong).getOrElse(0L))
   }
 
+  /** Takedown support — the index artifacts live under the SAME
+    * erasure surface as the durable stores: forgetting doc_ids is an
+    * O(takedown) tombstone append under `path/forgotten`; [[topK]]
+    * masks them immediately (the compliance property: a taken-down
+    * item is unfindable the moment the tombstone lands, no rebuild
+    * wait), [[append]] READMITS any id it is explicitly re-given (the
+    * store family's takedown-then-re-ingest semantics), and [[build]]
+    * clears the set wholesale — the stage-aside swap replaces the
+    * whole artifact directory, tombstones included, at exactly the
+    * moment the postings are rewritten from the (already-curated)
+    * corpus anyway.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame,
+      what: String): Unit = {
+    require(exists(spark, path), s"no $what at $path — build first")
+    ids.select("doc_id").write.mode("append").parquet(s"$path/forgotten")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (StoreTombstones.hasData(spark, s"$path/forgotten"))
+      Some(spark.read.parquet(s"$path/forgotten").select("doc_id").distinct())
+    else None
+
+  /** Rewrite the (tiny) tombstone set minus the re-ingested batch ids —
+    * stage-aside swapped; deleted outright when nothing remains. Crash
+    * anywhere converges on replay: the batch anti-joins away on the
+    * postings side and the readmit re-runs here.
+    */
+  private def readmit(spark: SparkSession, path: String,
+      batchIds: DataFrame, what: String): Unit =
+    tombstones(spark, path).foreach { ts =>
+      val hit = ts.join(broadcast(batchIds.select("doc_id")), Seq("doc_id"))
+        .limit(1).count()
+      if (hit > 0) {
+        val target = new Path(s"$path/forgotten")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val remaining = ts.join(broadcast(batchIds.select("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(false) // sever from the dir being replaced
+        if (remaining.isEmpty) fs.delete(target, true)
+        else {
+          val staging =
+            new Path(target.getParent, s".${target.getName}__staging")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          remaining.coalesce(1).write.parquet(staging.toString)
+          graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging,
+            s"$what tombstones", dstMayBeAbsent = true)
+        }
+        ()
+      }
+    }
+
   final case class AppendResult(
       appended: Long, skipped: Long, totalPostings: Long,
       staleness: Double, rebuildAdvised: Boolean)
@@ -169,6 +221,7 @@ private[ext] object HammingIndex {
         .sortWithinPartitions(col("chunk"), col("cval"))
         .write.mode("append").partitionBy("chunk")
         .parquet(s"$path/postings")
+    readmit(spark, path, sig, what) // explicit re-ingest lifts takedown
     val total = spark.read.parquet(s"$path/postings").count()
     val staleness =
       (total - atBuild).toDouble / math.max(atBuild, 1L).toDouble
@@ -217,12 +270,16 @@ private[ext] object HammingIndex {
         explode(Dedup.shChunks(col("qsh"), maxHamming)).as("cc"))
       .select(col("cc.chunk").as("chunk"), col("cc.cval").as("cval"),
         col("q_id"), col("qsh"))
-    val cand = parts.reduce(_ unionByName _)
+    val cand0 = parts.reduce(_ unionByName _)
       .join(broadcast(probeDf), Seq("chunk", "cval"))
       .select(col("q_id"), col("doc_id"),
         bit_count(col("sh").bitwiseXOR(col("qsh"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("q_id", "doc_id") // a pair can share several chunks
+    // takedown mask: forgotten ids never rank (tombstones are
+    // O(takedowns since last rebuild) — a broadcast, like every store)
+    val cand = tombstones(spark, path).fold(cand0)(ts =>
+      cand0.join(broadcast(ts), Seq("doc_id"), "left_anti"))
     graft.ops.GroupedTopK(spark, cand.select(col("q_id"), col("doc_id"),
         (-col("hamming")).cast("double").as("score")), "q_id", "score",
         "doc_id", k)

@@ -54,6 +54,14 @@ object ImageIndex {
 
   type AppendResult = HammingIndex.AppendResult
 
+  /** Takedown: forgotten doc_ids (a `doc_id` column) stop ranking in
+    * [[topK]] IMMEDIATELY; an explicit re-ingest via [[append]]
+    * readmits; [[build]] clears the tombstones with the layout. The
+    * index sits under the same erasure surface as the stores.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    HammingIndex.forget(spark, path, ids, What)
+
   /** Incrementally grow the index with a batch of new images — see
     * [[HammingIndex.append]] for the discipline (id anti-join against
     * one chunk partition, staleness vs the build-time row count,

@@ -144,5 +144,12 @@ class ImageIndexSpec extends SparkSpec {
       frameOf(Seq((2L, png(2)))), k = 2).collect()
     assert(got.exists(r => r.getLong(1) == 2L && r.getInt(2) == 0),
       s"self-match after rebuild: ${got.toSeq}")
+    // takedown through the shared core: forgotten image unfindable
+    // immediately (full lifecycle held by SimhashIndexSpec — same code)
+    ImageIndex.forget(spark, path, Seq(2L).toDF("doc_id"))
+    val masked = ImageIndex.topK(spark, path,
+      frameOf(Seq((2L, png(2)))), k = 2).collect()
+    assert(!masked.exists(_.getLong(1) == 2L),
+      s"forgotten image still ranks: ${masked.toSeq}")
   }
 }

@@ -95,6 +95,44 @@ class SimhashIndexSpec extends SparkSpec {
       s"appended re-crawl must be findable at hamming 0: $viaGrown")
   }
 
+  test("takedown: forget hides immediately, re-ingest readmits, rebuild clears") {
+    val base = (0 until 60).map(s => (s.toLong, doc(s)))
+    val path = tmpDir("shidx6") + "/idx"
+    SimhashIndex.build(frameOf(base), "doc_id", "text", path, maxHamming = 7)
+    val probe = frameOf(Seq((500L, doc(9))))
+    def top1 = SimhashIndex.topK(spark, path, probe, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(top1 == Seq((9L, 0)), s"pre-takedown self-match: $top1")
+    // takedown: the compliance property — unfindable IMMEDIATELY, no
+    // rebuild wait
+    SimhashIndex.forget(spark, path, Seq(9L).toDF("doc_id"))
+    assert(!top1.exists(_._1 == 9L) || top1.isEmpty,
+      s"forgotten doc still ranks: $top1")
+    // a SECOND forget accumulates; unrelated docs keep ranking
+    SimhashIndex.forget(spark, path, Seq(23L).toDF("doc_id"))
+    val other = SimhashIndex.topK(spark, path,
+      frameOf(Seq((600L, doc(30)))), "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(other == Seq(30L), s"unrelated doc must keep ranking: $other")
+    // explicit re-ingest lifts the takedown (the store families'
+    // forget→readmit semantics); the OTHER tombstone survives the
+    // partial readmit rewrite
+    val r = SimhashIndex.append(frameOf(Seq((9L, doc(9)))), "doc_id",
+      "text", path)
+    assert(r.appended == 0 && r.skipped == 1, s"$r") // postings existed
+    assert(top1 == Seq((9L, 0)), s"readmitted doc must rank again: $top1")
+    val probe23 = SimhashIndex.topK(spark, path,
+      frameOf(Seq((700L, doc(23)))), "doc_id", "text", k = 1)
+      .collect().map(r2 => r2.getLong(1)).toSeq
+    assert(!probe23.contains(23L), s"doc 23 must stay forgotten: $probe23")
+    // rebuild replaces the whole artifact: tombstones clear with it
+    SimhashIndex.build(frameOf(base), "doc_id", "text", path, maxHamming = 7)
+    val after = SimhashIndex.topK(spark, path,
+      frameOf(Seq((800L, doc(23)))), "doc_id", "text", k = 1)
+      .collect().map(r2 => r2.getLong(1)).toSeq
+    assert(after == Seq(23L), s"rebuild must clear tombstones: $after")
+  }
+
   test("build rejects un-prunable bounds; rebuild swaps the stored bound") {
     val corpus = frameOf((0 until 4).map(s => (s.toLong, doc(s))))
     val e = intercept[IllegalArgumentException] {
