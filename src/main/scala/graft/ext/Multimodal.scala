@@ -579,6 +579,7 @@ object Multimodal {
       else if (isGif(b)) gifRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else if (isBmp(b)) bmpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else if (isWebp(b)) webpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
+      else if (isTiff(b)) tiffRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
@@ -890,6 +891,175 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+    private[ext] def isTiff(b: Array[Byte]): Boolean =
+      b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+    /** Baseline TIFF pixel decode, no codec: IFD walk in either byte
+      * order, 8-bit grayscale (both photometric polarities) / RGB(A) /
+      * palette, chunky layout, multi-strip, Compression 1 (none) and
+      * 32773 (PackBits RLE — the classic fax/scan baseline). Anything
+      * else (LZW/JPEG-in-TIFF, planar, bilevel, 16-bit) returns None
+      * and the row falls back — conservative and total like every
+      * decode path here. Every offset/count is validated against the
+      * buffer so a lying IFD can never over-read.
+      */
+    private[graft] def tiffRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+      if (!isTiff(b)) return None
+      val le = b(0) == 'I'
+      def u16(o: Int): Int =
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+        else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return None
+      val nEntries = u16(ifd.toInt)
+      if (ifd + 2 + nEntries * 12 + 4 > b.length) return None
+      // tag -> (type, count, valueFieldOffset)
+      var width = 0L; var height = 0L; var compression = 1L
+      var photometric = -1L; var spp = 1L; var rowsPerStrip = 0xffffffffL
+      var bitsOk = true
+      var stripOffsets: Array[Long] = null
+      var stripCounts: Array[Long] = null
+      var colorMapOff = -1; var colorMapCount = 0L
+      var planar = 1L
+      var e = 0
+      while (e < nEntries) {
+        val eo = ifd.toInt + 2 + e * 12
+        val tag = u16(eo)
+        val typ = u16(eo + 2)
+        val count = u32(eo + 4)
+        val vo = eo + 8
+        def scalar: Long = typ match {
+          case 3 => u16(vo).toLong // SHORT sits first in the field
+          case 4 => u32(vo)
+          case 1 => (b(vo) & 0xff).toLong
+          case _ => -1L
+        }
+        def vec: Array[Long] = {
+          // malformed vectors throw into the outer catch -> None
+          val sz = typ match { case 3 => 2; case 4 => 4; case _ => 0 }
+          if (sz == 0 || count <= 0 || count > (1 << 20))
+            sys.error("tiff: bad vector type/count")
+          val base =
+            if (count * sz <= 4) vo.toLong
+            else {
+              val off = u32(vo)
+              if (off + count * sz > b.length)
+                sys.error("tiff: vector past buffer")
+              off
+            }
+          Array.tabulate(count.toInt)(i =>
+            if (sz == 2) u16((base + i * 2).toInt).toLong
+            else u32((base + i * 4).toInt))
+        }
+        tag match {
+          case 256 => width = scalar
+          case 257 => height = scalar
+          case 258 => bitsOk = vec.forall(_ == 8)
+          case 259 => compression = scalar
+          case 262 => photometric = scalar
+          case 273 => stripOffsets = vec
+          case 277 => spp = scalar
+          case 278 => rowsPerStrip = scalar
+          case 279 => stripCounts = vec
+          case 284 => planar = scalar
+          case 320 =>
+            colorMapCount = count
+            colorMapOff =
+              (if (count * 2 <= 4) vo.toLong else u32(vo)).toInt
+          case _ => () // ancillary tags are free to exist
+        }
+        e += 1
+      }
+      val w = width.toInt; val h = height.toInt
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxHashPixels || !bitsOk ||
+        planar != 1 || stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length) return None
+      if (compression != 1 && compression != 32773) return None
+      val sppI = spp.toInt
+      val pm = photometric.toInt
+      val rgbOut = new Array[Byte](w * h * 3)
+      val palette: Array[Byte] =
+        if (pm == 3) {
+          if (colorMapOff < 0 || colorMapCount < 3 * 256 ||
+            colorMapOff + colorMapCount * 2 > b.length) return None
+          // ColorMap: 256 reds, 256 greens, 256 blues as 16-bit values
+          Array.tabulate(768) { i =>
+            val ch = i % 3; val idx = i / 3
+            (u16(colorMapOff + (ch * 256 + idx) * 2) >> 8).toByte
+          }
+        } else null
+      if ((pm == 3 || pm <= 1) && sppI != 1) return None
+      if (pm == 2 && sppI != 3 && sppI != 4) return None
+      if (pm < 0 || pm > 3) return None
+      val rowBytes = w * sppI
+      val rps =
+        if (rowsPerStrip <= 0 || rowsPerStrip > h) h.toLong
+        else rowsPerStrip
+      var y = 0
+      var strip = 0
+      while (y < h) {
+        if (strip >= stripOffsets.length) return None
+        val rows = math.min(rps, (h - y).toLong).toInt
+        val need = rowBytes * rows
+        val so = stripOffsets(strip)
+        val sc = stripCounts(strip)
+        if (so < 0 || sc < 0 || so + sc > b.length) return None
+        val raw: Array[Byte] =
+          if (compression == 1) {
+            if (sc < need) return None
+            java.util.Arrays.copyOfRange(b, so.toInt, so.toInt + need)
+          } else { // PackBits
+            val out = new Array[Byte](need)
+            var i = so.toInt; val end = (so + sc).toInt
+            var o = 0
+            while (o < need) {
+              if (i >= end) return None
+              val n = b(i); i += 1
+              if (n >= 0) {
+                if (i + n + 1 > end || o + n + 1 > need) return None
+                System.arraycopy(b, i, out, o, n + 1)
+                i += n + 1; o += n + 1
+              } else if (n != -128) {
+                if (i >= end || o + (1 - n) > need) return None
+                java.util.Arrays.fill(out, o, o + 1 - n, b(i))
+                i += 1; o += 1 - n
+              } // -128: no-op per the spec
+            }
+            out
+          }
+        var r = 0
+        while (r < rows) {
+          var x = 0
+          while (x < w) {
+            val po = ((y + r) * w + x) * 3
+            if (pm == 2) { // RGB(A): alpha ignored like everywhere
+              val o = r * rowBytes + x * sppI
+              rgbOut(po) = raw(o); rgbOut(po + 1) = raw(o + 1)
+              rgbOut(po + 2) = raw(o + 2)
+            } else if (pm == 3) {
+              val ci = (raw(r * rowBytes + x) & 0xff) * 3
+              rgbOut(po) = palette(ci); rgbOut(po + 1) = palette(ci + 1)
+              rgbOut(po + 2) = palette(ci + 2)
+            } else { // gray; photometric 0 inverts (white-is-zero)
+              val v0 = raw(r * rowBytes + x) & 0xff
+              val v = (if (pm == 0) 255 - v0 else v0).toByte
+              rgbOut(po) = v; rgbOut(po + 1) = v; rgbOut(po + 2) = v
+            }
+            x += 1
+          }
+          r += 1
+        }
+        y += rows
+        strip += 1
+      }
+      Some((rgbOut, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
     private[ext] def isWebp(b: Array[Byte]): Boolean =
       b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && tag(b, 8) == "WEBP" // 25 = RIFF 12 + hdr 8 + VP8L 5
@@ -1136,6 +1306,9 @@ object Multimodal {
           else if (isBmp(r.media))
             bmpRgb(r.media).map { case (px, w, h) =>
               rgbFeatures(r, "image/bmp", px, w, h) }
+          else if (isTiff(r.media))
+            tiffRgb(r.media).map { case (px, w, h) =>
+              rgbFeatures(r, "image/tiff", px, w, h) }
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }
@@ -1565,6 +1738,116 @@ object Multimodal {
         y += 1
       }
     })
+  }
+
+  /** PackBits RLE (the TIFF baseline compressor): runs of 3+ become
+    * repeat packets, everything else literal packets of up to 128.
+    */
+  private def packBitsEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < src.length) {
+      var run = 1
+      while (i + run < src.length && run < 128 && src(i + run) == src(i))
+        run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(src(i)); i += run
+      } else {
+        var j = i
+        def runAhead(p: Int) = p + 2 < src.length &&
+          src(p) == src(p + 1) && src(p) == src(p + 2)
+        while (j < src.length && j - i < 128 && !runAhead(j)) j += 1
+        out.write(j - i - 1)
+        out.write(src, i, j - i)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Baseline-TIFF fixture encoder: a real IFD writer in either byte
+    * order — 8-bit gray (both photometric polarities), RGB, and
+    * 256-color palette, single- or multi-strip, Compression 1 or
+    * PackBits. `samples` is gray bytes (pm 0/1/3: palette indices) or
+    * interleaved RGB (pm 2).
+    */
+  def encodeTiff(w: Int, h: Int, samples: Array[Byte], photometric: Int,
+      palette: Array[Byte] = null, bigEndian: Boolean = false,
+      packBits: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    val spp = if (photometric == 2) 3 else 1
+    require(photometric >= 0 && photometric <= 3,
+      s"encodeTiff: photometric $photometric")
+    require(w > 0 && h > 0 && samples.length == w * h * spp,
+      s"encodeTiff: need $w*$h*$spp samples")
+    if (photometric == 3)
+      require(palette != null && palette.length == 768,
+        "encodeTiff: palette photometric needs 256 RGB entries")
+    val stored =
+      if (photometric == 0) samples.map(v => (255 - (v & 0xff)).toByte)
+      else samples
+    val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
+    val rowBytes = w * spp
+    val strips = (0 until h by rps).map { y0 =>
+      val rows = math.min(rps, h - y0)
+      val raw = java.util.Arrays.copyOfRange(
+        stored, y0 * rowBytes, (y0 + rows) * rowBytes)
+      if (packBits) packBitsEncode(raw) else raw
+    }
+    val n = strips.length
+    val dataStart = 8L
+    val stripOffs = strips.scanLeft(dataStart)((o, s) => o + s.length).init
+    var cur = dataStart + strips.map(_.length.toLong).sum
+    val padData = (cur % 2).toInt // arrays start word-aligned
+    cur += padData
+    val bpsOff = if (spp == 3) { val o = cur; cur += 6; o } else -1L
+    val cmapOff = if (photometric == 3) { val o = cur; cur += 1536; o } else -1L
+    val soOff = if (n > 1) { val o = cur; cur += n * 4; o } else -1L
+    val scOff = if (n > 1) { val o = cur; cur += n * 4; o } else -1L
+    val ifdOff = cur
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+      else { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    out.write(if (bigEndian) 'M' else 'I')
+    out.write(if (bigEndian) 'M' else 'I')
+    w16(42)
+    w32(ifdOff)
+    strips.foreach(s => out.write(s, 0, s.length))
+    if (padData == 1) out.write(0)
+    if (spp == 3) { w16(8); w16(8); w16(8) }
+    if (photometric == 3)
+      for (ch <- 0 until 3; idx <- 0 until 256)
+        w16((palette(idx * 3 + ch) & 0xff) << 8)
+    if (n > 1) { stripOffs.foreach(w32); strips.foreach(s => w32(s.length)) }
+    // IFD: entries in ascending tag order, as the spec requires
+    def entryInline16(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1); w16(v); w16(0)
+    }
+    def entryInline32(tag: Int, v: Long): Unit = {
+      w16(tag); w16(4); w32(1); w32(v)
+    }
+    def entryVec(tag: Int, typ: Int, count: Int, off: Long): Unit = {
+      w16(tag); w16(typ); w32(count); w32(off)
+    }
+    val nEntries = 9 + (if (photometric == 3) 1 else 0)
+    w16(nEntries)
+    entryInline16(256, w)
+    entryInline16(257, h)
+    if (spp == 3) entryVec(258, 3, 3, bpsOff) else entryInline16(258, 8)
+    entryInline16(259, if (packBits) 32773 else 1)
+    entryInline16(262, photometric)
+    if (n > 1) entryVec(273, 4, n, soOff)
+    else entryInline32(273, stripOffs(0))
+    entryInline16(277, spp)
+    entryInline32(278, rps)
+    if (n > 1) entryVec(279, 4, n, scOff)
+    else entryInline32(279, strips(0).length)
+    if (photometric == 3) entryVec(320, 3, 768, cmapOff)
+    w32(0) // no next IFD
+    out.toByteArray
   }
 
   /** Lossless-WebP (VP8L) fixture encoder: a real bitstream writer —

@@ -1491,6 +1491,45 @@ object ExtQueries {
         .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
     }),
 
+    // BASELINE-TIFF invariance, oracled: each of 10 pictures from the
+    // closed-form formula is encoded SIX byte-incompatible TIFF ways —
+    // little-endian gray, big-endian RGB, inverted-polarity gray
+    // (photometric 0), 256-color palette, PackBits-compressed gray,
+    // multi-strip PackBits — and all six must decode to the SAME plane
+    // and hash. The oracle regenerates the plane and replays the grid:
+    // the IFD walk in both byte orders, the polarity inversion, the
+    // 16-bit ColorMap fold, the PackBits expansion, and the strip
+    // stitching are each one bit-flip away from failing the compare.
+    "ext_image_px_tiff" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
+      val rows = (0 until 10).flatMap { k =>
+        val w = 9 + (k * 5) % 10
+        val h = 6 + (k * 3) % 8
+        val plane = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((((x / 4) * 23 + y * 11 + k * 41) * 3) % 251).toByte
+        }
+        val rgb = plane.flatMap(b => Array(b, b, b))
+        Seq(
+          (k.toLong, "be_rgb", Multimodal.encodeTiff(w, h, rgb, 2,
+            bigEndian = true)),
+          (k.toLong, "gray", Multimodal.encodeTiff(w, h, plane, 1)),
+          (k.toLong, "inv", Multimodal.encodeTiff(w, h, plane, 0)),
+          (k.toLong, "pal", Multimodal.encodeTiff(w, h, plane, 3,
+            palette = grayPal)),
+          (k.toLong, "pb", Multimodal.encodeTiff(w, h, plane, 1,
+            packBits = true)),
+          (k.toLong, "strips", Multimodal.encodeTiff(w, h, plane, 1,
+            packBits = true, rowsPerStrip = 3)))
+      }
+      rows.toDF("doc_id", "variant", "media")
+        .select(col("doc_id"), col("variant"),
+          Multimodal.dHashPixels(s)(col("media"), lit(0), lit(0))
+            .getField("sh").as("dhash"))
+        .orderBy("doc_id", "variant")
+    }),
+
     // Query-by-example TEXT search through the persisted SimHash index
     // (oracled on PLANTED truth, the audio-search discipline — SimHash
     // itself is xxhash64-based and deliberately not restated in SQL):
@@ -1510,10 +1549,13 @@ object ExtQueries {
         .toDF("doc_id", "text")
       val probes = ((0 until 8).map(k => (500L + k, txt(k))) :+
         (900L, txt(77))).toDF("doc_id", "text")
-      val path = java.nio.file.Files.createTempDirectory("graft_textidx")
-        .toString + "/idx"
-      graft.ext.SimhashIndex.build(corpus, "doc_id", "text", path,
-        maxHamming = 7)
+      // build-once cache (the imageIndexPath discipline): the corpus is
+      // synthesized, so the cache key is the fixture-formula VERSION —
+      // bump it whenever txt()/the doc count changes
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidx/v1_n40_h7"
+      if (!graft.ext.SimhashIndex.exists(s, path))
+        graft.ext.SimhashIndex.build(corpus, "doc_id", "text", path,
+          maxHamming = 7)
       graft.ext.SimhashIndex.topK(s, path, probes, "doc_id", "text", k = 1)
         .orderBy("q_id")
     }),
@@ -3182,6 +3224,50 @@ object ExtQueries {
     "ext_audio_search" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
+
+    // one plane per doc from the closed-form formula; the SAME hash
+    // emitted for all six TIFF encodings of it
+    "ext_image_px_tiff" ->
+      """WITH d AS (
+        |  SELECT CAST(k AS BIGINT) AS doc_id, 9 + (k*5)%10 AS w,
+        |         6 + (k*3)%8 AS h
+        |  FROM UNNEST(range(0, 10)) AS t(k)),
+        |cells AS (
+        |  SELECT doc_id, w, h, c AS k,
+        |    ((c % 9) * w) // 9 AS x0,
+        |    greatest((((c % 9) + 1) * w) // 9, ((c % 9) * w) // 9 + 1) AS x1,
+        |    ((c // 9) * h) // 8 AS y0,
+        |    greatest((((c // 9) + 1) * h) // 8, ((c // 9) * h) // 8 + 1) AS y1
+        |  FROM d, UNNEST(range(0, 72)) AS t(c)),
+        |px AS (
+        |  SELECT doc_id, k, (x1 - x0) * (y1 - y0) AS n,
+        |    (((x.x // 4) * 23 + y.y * 11 + doc_id * 41) * 3) % 251 AS v
+        |  FROM cells, UNNEST(range(x0, x1)) AS x(x),
+        |       UNNEST(range(y0, y1)) AS y(y)),
+        |sums AS (
+        |  SELECT doc_id, k, any_value(n) AS n, sum(v) AS s
+        |  FROM px GROUP BY doc_id, k),
+        |bits AS (
+        |  SELECT a.doc_id, (a.k // 9) * 8 + (a.k % 9) AS bit
+        |  FROM sums a JOIN sums b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 AND a.s * b.n > b.s * a.n),
+        |halves AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN bit < 32
+        |      THEN (1::BIGINT << CAST(bit AS INT)) END), 0) AS lo,
+        |    coalesce(sum(CASE WHEN bit >= 32
+        |      THEN (1::BIGINT << CAST(bit - 32 AS INT)) END), 0) AS hi
+        |  FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+        |hashes AS (
+        |  SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+        |      THEN (hi - 4294967296) * 4294967296 + lo
+        |      ELSE hi * 4294967296 + lo END AS BIGINT) AS dhash
+        |  FROM halves)
+        |SELECT doc_id, v.variant, dhash
+        |FROM hashes,
+        |  (VALUES ('be_rgb'), ('gray'), ('inv'), ('pal'), ('pb'),
+        |          ('strips')) AS v(variant)
+        |ORDER BY doc_id, variant""".stripMargin,
 
     // planted truth: each re-crawl probe's top-1 is its source at
     // Hamming 0; the never-seen probe (q_id 900) contributes no row

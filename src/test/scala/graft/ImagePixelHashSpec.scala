@@ -227,6 +227,77 @@ class ImagePixelHashSpec extends SparkSpec {
       s"truncated GIF must fall back to payload bytes: $gotCut")
   }
 
+  test("TIFF encodings of the same picture hash like PNG; decode matches ImageIO") {
+    val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
+    val encodings = Seq(
+      Multimodal.encodeTiff(W, H, plane, 1),
+      Multimodal.encodeTiff(W, H, plane.flatMap(b => Array(b, b, b)), 2,
+        bigEndian = true),
+      Multimodal.encodeTiff(W, H, plane, 0), // white-is-zero polarity
+      Multimodal.encodeTiff(W, H, plane, 3, palette = grayPal),
+      Multimodal.encodeTiff(W, H, plane, 1, packBits = true,
+        rowsPerStrip = 5))
+    assert(encodings.map(_.toSeq).distinct.size == 5,
+      "fixture encodings must differ at the byte level")
+    val got = pxOf(encodings.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b, 0, 0) })
+    (0L to 4L).foreach { id =>
+      assert(got(id).contains((Golden, "pixels")),
+        s"doc $id: expected the canonical-plane golden, got $got")
+    }
+
+    // cross-decoder conformance: the JDK ships a TIFF ImageIO reader
+    // (unlike WebP), so our IFD/PackBits walk is held against an
+    // INDEPENDENT implementation pixel-for-pixel, not just against our
+    // own encoder. Gray fixtures compare RASTER samples (getRGB runs
+    // ImageIO's linear-gray -> sRGB gamma conversion — not a decode
+    // difference); the inverted-polarity and palette fixtures are
+    // excluded here because ImageIO's WhiteIsZero/16-bit-colormap
+    // normalization choices are its own — the closed-form DuckDB
+    // oracle (ext_image_px_tiff) pins both against ground truth.
+    for ((bytes, mode) <- Seq(encodings(0) -> "gray",
+        encodings(1) -> "rgb", encodings(4) -> "gray")) {
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(im != null, s"ImageIO rejected a $mode fixture — encoder invalid")
+      val (px, w2, h2) = Multimodal.ContainerCodec.tiffRgb(bytes).get
+      assert(w2 == im.getWidth && h2 == im.getHeight, s"$mode geometry")
+      val raster = im.getRaster
+      for (y <- 0 until h2; x <- 0 until w2) {
+        val o = (y * w2 + x) * 3
+        if (mode == "gray")
+          assert(raster.getSample(x, y, 0) == (px(o) & 0xff),
+            s"$mode pixel ($x,$y): ImageIO ${raster.getSample(x, y, 0)} " +
+              s"vs ${px(o) & 0xff}")
+        else {
+          val p = im.getRGB(x, y)
+          assert(((p >> 16) & 0xff) == (px(o) & 0xff) &&
+            ((p >> 8) & 0xff) == (px(o + 1) & 0xff) &&
+            (p & 0xff) == (px(o + 2) & 0xff),
+            s"$mode pixel ($x,$y): ImageIO ${p.toHexString} vs " +
+              s"(${px(o)},${px(o + 1)},${px(o + 2)})")
+        }
+      }
+    }
+
+    // LZW-compressed TIFF stays a documented boundary: degrade, never lie
+    val lzw = Multimodal.encodeTiff(W, H, plane, 1)
+    // flip the Compression tag value (entry 3 of 9 ascending; find 259)
+    val gotCut = pxOf(Seq((9L, {
+      val c = lzw.clone
+      def u16(o: Int) = (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
+      val ifd = u16(4) | (u16(6) << 16)
+      val entries = u16(ifd)
+      val eo = (0 until entries).map(ifd + 2 + _ * 12)
+        .find(o => u16(o) == 259)
+        .getOrElse(fail("compression tag not found in fixture"))
+      c(eo + 8) = 5 // LZW
+      c
+    }, 4, 4)))
+    assert(gotCut(9L).exists(_._2 == "payload"),
+      s"LZW TIFF must fall back to payload bytes: $gotCut")
+  }
+
   test("lossless WebP (VP8L) encodings of the same picture hash like PNG") {
     // the canonical plane through the Vp8l encoder's knobs — four more
     // byte-incompatible containers on the frozen golden: the fifth
@@ -270,6 +341,34 @@ class ImagePixelHashSpec extends SparkSpec {
     val gotLossy = pxOf(Seq((8L, lossy, 4, 4)))
     assert(gotLossy(8L).exists(_._2 == "payload"),
       s"lossy VP8 must stay in the payload regime: $gotLossy")
+  }
+
+  test("a half-size thumbnail lands within the near-dup band (grid IS a resize)") {
+    // the 9x8 area-mean grid is itself a box resize, so a 2x2
+    // box-downscaled THUMBNAIL of a picture — the classic crawl dup
+    // the byte/payload regimes can never catch — hashes a few
+    // grid-misalignment bits away, inside imageNearDups' default band
+    val bw = 48; val bh = 32
+    val big = Array.tabulate(bw * bh) { p =>
+      val x = p % bw; val y = p / bw
+      (((x * 11 + y * 5 + (x * y) % 7) * 3) % 251).toByte
+    }
+    val thumb = Array.tabulate((bw / 2) * (bh / 2)) { p =>
+      val x = (p % (bw / 2)) * 2; val y = (p / (bw / 2)) * 2
+      (((big(y * bw + x) & 0xff) + (big(y * bw + x + 1) & 0xff) +
+        (big((y + 1) * bw + x) & 0xff) +
+        (big((y + 1) * bw + x + 1) & 0xff)) / 4).toByte
+    }
+    val media = Seq(
+      (1L, Multimodal.storedGrayPng(big, bw, bh)),
+      (2L, Multimodal.storedGrayPng(thumb, bw / 2, bh / 2)),
+      (3L, Multimodal.storedGrayPng(plane, W, H))) // unrelated picture
+      .toDF("doc_id", "media")
+      .withColumn("width", lit(0)).withColumn("height", lit(0))
+    val pairs = Multimodal.imageNearDups(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"thumbnail must pair with its original and nothing else: $pairs")
   }
 
   test("monotone brightness shift on the decoded plane keeps the hash") {
