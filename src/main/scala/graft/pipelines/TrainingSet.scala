@@ -472,7 +472,11 @@ object TrainingSet {
     *    matching generations), not O(table));
     *  - `IncrementalDedup.forget` / `IncrementalSubstring.forget` /
     *    `IncrementalKeyedDedup.forget` tombstones (O(takedown) appends;
-    *    each store's `compactStore` later erases the rows physically).
+    *    each store's `compactStore` later erases the rows physically);
+    *  - `ImageIndex.forget` / `SimhashIndex.forget` when the caller
+    *    maintains serving-side Hamming indexes over this corpus — the
+    *    forgotten ids stop ranking in bounded-distance search
+    *    immediately (their index rebuild clears the tombstones).
     *
     * After a takedown, fresh copies of the forgotten content are
     * admitted again under new ids — dedup state must not remember
@@ -497,6 +501,8 @@ object TrainingSet {
       imageStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoStorePath: Option[String] = None,
+      imageIndexPath: Option[String] = None,
+      textIndexPath: Option[String] = None,
       vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -528,6 +534,14 @@ object TrainingSet {
     videoStorePath.filter(p => has(s"$p/keys")).foreach { p =>
       graft.ext.IncrementalKeyedDedup.forget(spark, p, ids.toDF(idCol))
     }
+    // serving-side Hamming indexes built over this corpus: the
+    // forgotten ids must be unfindable there too, immediately — the
+    // one-erasure-surface property extends past the stores to every
+    // durable artifact the pipeline family maintains
+    imageIndexPath.filter(graft.ext.ImageIndex.exists(spark, _)).foreach(
+      p => graft.ext.ImageIndex.forget(spark, p, tomb))
+    textIndexPath.filter(graft.ext.SimhashIndex.exists(spark, _)).foreach(
+      p => graft.ext.SimhashIndex.forget(spark, p, tomb))
     deleted
   }
 

@@ -387,10 +387,25 @@ class TrainingSetSpec extends SparkSpec {
     TrainingSet.ingest(spark, b1, benchmark, store, target, "b1",
       minQuality = 0.0, urlCol = Some("url"), urlStorePath = Some(urlStore),
       substringMinLen = Some(40))
+    // a serving-side text index over the ingested corpus: takedown must
+    // reach it too — the one-erasure-surface property
+    val textIdx = s"$work/textidx"
+    graft.ext.SimhashIndex.build(
+      TxTable.read(spark, target).get.select("doc_id", "text"),
+      "doc_id", "text", textIdx, maxHamming = 7)
+    val probeA = Seq((900L, textA)).toDF("doc_id", "text")
+    assert(graft.ext.SimhashIndex
+        .topK(spark, textIdx, probeA, "doc_id", "text", k = 1)
+        .collect().map(_.getLong(1)).toSeq == Seq(1L),
+      "pre-takedown: the index must find doc 1")
     // right-to-erasure request for doc 1
     val deleted = TrainingSet.takedown(spark, target, store, Seq(1L),
-      urlStorePath = Some(urlStore))
+      urlStorePath = Some(urlStore), textIndexPath = Some(textIdx))
     assert(deleted === 1L, s"expected 1 table row deleted, got $deleted")
+    assert(!graft.ext.SimhashIndex
+        .topK(spark, textIdx, probeA, "doc_id", "text", k = 1)
+        .collect().map(_.getLong(1)).contains(1L),
+      "post-takedown: doc 1 must be unfindable in the text index")
     assert(TxTable.read(spark, target).get
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
     // identical content + identical URL re-ingests under a NEW id: every
