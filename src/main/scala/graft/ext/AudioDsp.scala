@@ -131,6 +131,8 @@ object AudioDsp {
     * recording.
     */
   private[graft] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
+    if (bytes == null) return None
+    if (Flac.isFlac(bytes)) return Flac.decode(bytes) // lossless: same signal
     if (!Multimodal.ContainerCodec.isWav(bytes)) return None
     val (format, channels, sampleRate, bits, dataOff, dataLen) =
       Multimodal.ContainerCodec.wavLayout(bytes) match {

@@ -300,6 +300,24 @@ object AudioFingerprint {
     * boundaries (a single sine would collapse to one bin), while
     * staying restatable from (doc_id-derived) parameters.
     */
+  /** The FLAC twin of [[tonesWav]]: the SAME quantized samples in a
+    * real FLAC stream (fixed-prediction + Rice via [[Flac.encode]]),
+    * so a lossless master and its WAV rip are byte-incompatible files
+    * with bit-identical decoded signals — the cross-container dup
+    * class the planted gates pin.
+    */
+  def tonesFlac(
+      sampleRate: Int,
+      tones: Seq[(Double, Int)],
+      amplitude: Double = 0.5): Array[Byte] = {
+    val q = tones.flatMap { case (freq, len) =>
+      (0 until len).map(i => math.round(
+        amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
+          * 32767.0).toInt)
+    }.toArray
+    Flac.encode(q, sampleRate)
+  }
+
   def tonesWav(
       sampleRate: Int,
       tones: Seq[(Double, Int)], // (freqHz, nSamples)

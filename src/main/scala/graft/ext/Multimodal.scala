@@ -1292,11 +1292,33 @@ object Multimodal {
         Array(w.toFloat, h.toFloat, mr, mg, mb, lum))
     }
 
+    /** FLAC: REAL sample decode through [[Flac]] (fixed/LPC subframes,
+      * Rice residuals, stereo decorrelation — no codec library), same
+      * feature layout as WAV: [channels, sampleRate, durationSec, rms]
+      * over the decoded mono mix, kind "lossless". A payload whose
+      * frames don't decode falls back to byte statistics.
+      */
+    private def decodeFlac(r: MediaRow): Option[MediaFeatures] =
+      for {
+        (sampleRate, channels, _, total) <- Flac.info(r.media)
+        (x, _) <- AudioDsp.monoSamples(r.media)
+      } yield {
+        var sum = 0.0
+        var i = 0
+        while (i < x.length) { sum += x(i) * x(i); i += 1 }
+        val rms = if (x.isEmpty) 0.0 else math.sqrt(sum / x.length)
+        MediaFeatures(r.doc_id, r.media.length, "audio/flac", "lossless",
+          byteChecksum(r.media),
+          Array(channels.toFloat, sampleRate.toFloat,
+            total.toFloat / sampleRate, rms.toFloat))
+      }
+
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val parsed =
           if (isPng(r.media)) decodePng(r)
           else if (isWav(r.media)) decodeWav(r)
+          else if (Flac.isFlac(r.media)) decodeFlac(r)
           else if (isJpeg(r.media)) decodeJpeg(r)
           else if (isWebp(r.media)) decodeWebp(r)
           else if (isMp4(r.media)) decodeMp4(r)

@@ -1608,6 +1608,27 @@ object ExtQueries {
         .select("q_id", "doc_id").orderBy("q_id")
     }),
 
+    // Duplicate AUDIO across CONTAINERS (oracled on PLANTED truth):
+    // 12 recordings as 16-bit WAV plus 6 of them re-encoded as REAL
+    // FLAC streams (fixed-prediction + Rice — byte-incompatible files,
+    // bit-identical decoded signals through the one shared decode). A
+    // correct pipeline pairs exactly master-with-rip: unique tone
+    // sequences share no spectrum, and the landmark hashes are decode-
+    // exact. The oracle is the closed-form planted pair list.
+    "ext_audio_flac_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def tones(k: Int) =
+        (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024))
+      val wavs = (0 until 12).map(k =>
+        (k.toLong, AudioFingerprint.tonesWav(8000, tones(k), 0.5)))
+      val flacs = (0 until 6).map(k =>
+        (100L + k, AudioFingerprint.tonesFlac(8000, tones(k), 0.5)))
+      AudioFingerprint.audioNearDups(s,
+          (wavs ++ flacs).toDF("doc_id", "media"))
+        .select("id_a", "id_b") // shared-count stays frozen-golden land
+        .orderBy("id_a", "id_b")
+    }),
+
     // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
     // PLANTED truth, the audio-gate discipline): 12 synthesized MP4s
     // with globally-unique mdat sample bytes, plus 6 RE-WRAPPED copies
@@ -3212,6 +3233,11 @@ object ExtQueries {
     "ext_audio_dedup_pairs" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
+    // planted truth: each FLAC master pairs exactly with its WAV rip
+    "ext_audio_flac_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
     "ext_audio_incr" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b

@@ -76,6 +76,14 @@ class AudioFingerprintSpec extends SparkSpec {
     val other = fpSet(wav(6))
     assert((rip & other).size < AudioFingerprint.Params().minShared,
       "distinct recordings must stay distinct across widths")
+
+    // the lossless CONTAINER case: a FLAC master decodes to the
+    // bit-identical signal (not merely within quantization), so its
+    // fingerprint set is exactly the rip's
+    val flacMaster = fpSet(AudioFingerprint.tonesFlac(Sr, seqOf(4)))
+    assert(rip == flacMaster,
+      s"FLAC master drifted: only-rip=${(rip -- flacMaster).size} " +
+        s"only-flac=${(flacMaster -- rip).size}")
   }
 
   test("audioNearDups: planted scaled copy pairs, distinct audio does not") {

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FLAC codec. Validation: encoder/decoder round-trips across the
+  * subframe space (verbatim, constant, fixed orders 0/2 with Rice
+  * residuals, independent and mid/side stereo, multi-frame), the EXACT
+  * cross-container identity (a FLAC encode of the samples inside a WAV
+  * decodes to bit-identical normalized samples through the ONE shared
+  * `monoSamples` — what makes a FLAC master dedup against its WAV
+  * rip), and totality on malformed payloads. The fingerprint-level
+  * consequence is gated in AudioFingerprintSpec and the planted-truth
+  * oracle `ext_audio_flac_pairs`.
+  */
+class FlacSpec extends AnyFunSuite {
+
+  private def sig(n: Int, seed: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      math.round(32767.0 * 0.4 *
+        (math.sin(2 * math.Pi * (300.0 + seed * 40) * i / 8000) +
+          0.5 * math.sin(2 * math.Pi * (900.0 + seed * 25) * i / 8000)))
+        .toInt
+    }
+
+  private def decoded(bytes: Array[Byte]): (Array[Double], Int) =
+    Flac.decode(bytes).getOrElse(fail("flac did not decode"))
+
+  test("mono round-trips: verbatim, fixed0, fixed2, multi-frame") {
+    val q = sig(3000, 1)
+    val expect = q.map(_ / 32768.0).toSeq
+    val variants = Seq(
+      "verbatim" -> Flac.encode(q, 8000, mode = "verbatim"),
+      "fixed0" -> Flac.encode(q, 8000, mode = "fixed0"),
+      "fixed2" -> Flac.encode(q, 8000, mode = "fixed2"),
+      "multiframe" -> Flac.encode(q, 8000, mode = "fixed2",
+        blockSize = 512))
+    assert(variants.map(_._2.toSeq).distinct.size == variants.size,
+      "variants must differ at the byte level")
+    for ((name, bytes) <- variants) {
+      val (x, sr) = decoded(bytes)
+      assert(sr == 8000 && x.length == q.length, s"$name geometry")
+      assert(x.toSeq == expect, s"$name samples")
+    }
+    // prediction + Rice must actually compress the tonal signal
+    assert(variants(2)._2.length < variants(0)._2.length,
+      "fixed2 should beat verbatim on a tonal signal")
+  }
+
+  test("constant subframes: a flat block costs one value") {
+    val q = Array.fill(2048)(-1234)
+    val bytes = Flac.encode(q, 8000, mode = "fixed2")
+    val (x, _) = decoded(bytes)
+    assert(x.toSeq == q.map(_ / 32768.0).toSeq)
+    assert(bytes.length < 100, s"constant frame should be tiny: ${bytes.length}")
+  }
+
+  test("stereo round-trips: independent and mid/side decorrelation") {
+    val n = 2000
+    val lr = new Array[Int](n * 2)
+    val l = sig(n, 2); val r = sig(n, 5)
+    for (i <- 0 until n) { lr(2 * i) = l(i); lr(2 * i + 1) = r(i) }
+    val expect = Array.tabulate(n)(i => (l(i) + r(i)) / 2.0 / 32768.0).toSeq
+    val indep = Flac.encode(lr, 8000, channels = 2, mode = "fixed2")
+    val ms = Flac.encode(lr, 8000, channels = 2, mode = "midside")
+    assert(indep.toSeq != ms.toSeq)
+    assert(decoded(indep)._1.toSeq == expect, "independent stereo")
+    assert(decoded(ms)._1.toSeq == expect, "mid/side stereo")
+  }
+
+  test("EXACT cross-container identity: FLAC of a WAV's samples decodes identically") {
+    val q = sig(4096, 3)
+    val wav = AudioDsp.pcmWav(q.map(_ / 32767.0), 8000)
+    val flac = Flac.encode(q, 8000)
+    val (xw, srw) = AudioDsp.monoSamples(wav).get
+    val (xf, srf) = AudioDsp.monoSamples(flac).get // dispatches to Flac
+    assert(srw == srf && xw.length == xf.length)
+    assert(xw.toSeq == xf.toSeq,
+      "the one shared decode must make WAV and FLAC the same signal")
+  }
+
+  test("totality: truncation, junk, and oversize declarations degrade to None") {
+    val whole = Flac.encode(sig(2048, 4), 8000)
+    for (cut <- Seq(3, 20, 45, whole.length - 5))
+      assert(Flac.decode(whole.take(cut)).isEmpty, s"cut at $cut")
+    assert(Flac.decode("fLaCnot really".getBytes("US-ASCII")).isEmpty)
+    // a stream whose STREAMINFO declares more samples than the budget
+    assert(Flac.decode(whole, maxSamples = 100).isEmpty)
+    val flipped = whole.clone
+    flipped(30) = (flipped(30) ^ 0x40).toByte // corrupt inside STREAMINFO
+    // either fails cleanly or still decodes structurally — never throws
+    Flac.decode(flipped)
+  }
+}

@@ -187,6 +187,13 @@ class Vp8lSpec extends AnyFunSuite {
     assert(Multimodal.ContainerCodec.webpRgb(bad).isEmpty)
   }
 
+  test("the pixel budget rejects oversized declared geometry up front") {
+    // a header declaring 16384x16384 (268M pixels, version 0) must
+    // bail BEFORE allocating anything — the budget guard, not an OOM
+    val wr = Array(0x2f, 0xff, 0xff, 0xff, 0x0f).map(_.toByte)
+    assert(Vp8l.decodeArgb(wr, 0, wr.length).isEmpty)
+  }
+
   test("lossy VP8 stays the documented boundary") {
     // a VP8 (lossy) chunk: keyframe tag + start code + geometry only —
     // webpRgb must not pretend to decode it
