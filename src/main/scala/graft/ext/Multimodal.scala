@@ -1159,6 +1159,104 @@ object Multimodal {
           byteChecksum(b), f))
     }
 
+    /** MP3: an optional ID3v2 envelope then MPEG audio frames whose
+      * 4-byte headers carry version/layer/bitrate/sample-rate/channel
+      * mode in clear. True when a valid Layer III frame header sits at
+      * the post-ID3 offset (or the very start).
+      */
+    private[ext] def isMp3(b: Array[Byte]): Boolean =
+      mp3Meta(b).isDefined
+
+    private def id3v2Size(b: Array[Byte]): Int =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        // syncsafe 28-bit size + the 10-byte header itself
+        10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      else 0
+
+    private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320, 0)
+    private val Mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+      64, 80, 96, 112, 128, 144, 160, 0)
+    private val Mp3RateV1 = Array(44100, 48000, 32000, 0)
+
+    /** (bitrateKbps, sampleRate, channels, audioOffset) from the first
+      * MPEG-1/2/2.5 Layer III frame header; None when the payload is
+      * not MP3-shaped. Free-format (bitrate index 0) is rejected —
+      * duration needs a real rate.
+      */
+    private def mp3Meta(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      val off = id3v2Size(b)
+      if (off < 0 || off + 4 > b.length) return None
+      val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+      val h2 = b(off + 2) & 0xff; val h3 = b(off + 3) & 0xff
+      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+      val versionBits = (h1 >> 3) & 3 // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (h1 >> 1) & 3   // 1 = Layer III
+      if (versionBits == 1 || layerBits != 1) return None
+      val brIdx = (h2 >> 4) & 0xf
+      val srIdx = (h2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val bitrate =
+        if (versionBits == 3) Mp3BitrateV1L3(brIdx) else Mp3BitrateV2L3(brIdx)
+      val srBase = Mp3RateV1(srIdx)
+      val sampleRate = versionBits match {
+        case 3 => srBase
+        case 2 => srBase / 2
+        case _ => srBase / 4
+      }
+      val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+      Some((bitrate, sampleRate, channels, off))
+    }
+
+    /** MP3: header GEOMETRY, no codec — the WebP-geometry precedent
+      * applied to the web's most common audio format (the MDCT +
+      * Huffman synthesis is the documented boundary; the census counts
+      * these rows on the container side). Duration is the CBR estimate
+      * over the post-ID3 payload. Feature layout mirrors WAV:
+      * [channels, sampleRate, durationSec, bitrateKbps].
+      */
+    private def decodeMp3(r: MediaRow): Option[MediaFeatures] =
+      mp3Meta(r.media).map { case (bitrate, sampleRate, channels, off) =>
+        val durationSec =
+          (r.media.length - off).toDouble * 8.0 / (bitrate * 1000.0)
+        MediaFeatures(r.doc_id, r.media.length, "audio/mpeg", "container",
+          byteChecksum(r.media),
+          Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,
+            bitrate.toFloat))
+      }
+
+    private[ext] def isOgg(b: Array[Byte]): Boolean =
+      b.length >= 47 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+        b(3) == 'S' // 47 = 27-byte page header + 1 segment + OpusHead id
+
+    /** Ogg: the first page's payload is the codec id header, and both
+      * Vorbis ("vorbis": channels u8, rate u32le) and Opus
+      * ("OpusHead": channels u8, pre-skip, input rate u32le) carry
+      * geometry in clear — no codec work. Feature layout [channels,
+      * sampleRate, 0, 0] (duration needs the last granule position —
+      * deliberately not estimated), kind "container".
+      */
+    private def decodeOgg(r: MediaRow): Option[MediaFeatures] = {
+      val b = r.media
+      if (!isOgg(b) || (b(5) & 2) == 0) return None // first page flag
+      val nSegs = b(26) & 0xff
+      val po = 27 + nSegs
+      if (po + 19 > b.length) return None
+      val (mime, channels, rate) =
+        if (b(po) == 1 && tag(b, po + 1) == "vorb" && b(po + 5) == 'i' &&
+          b(po + 6) == 's') {
+          if (po + 16 > b.length) return None
+          ("audio/ogg-vorbis", b(po + 11) & 0xff, u32le(b, po + 12))
+        } else if (tag(b, po) == "Opus" && tag(b, po + 4) == "Head") {
+          ("audio/ogg-opus", b(po + 9) & 0xff, u32le(b, po + 12))
+        } else return None
+      if (channels < 1 || rate <= 0) return None
+      Some(MediaFeatures(r.doc_id, b.length, mime, "container",
+        byteChecksum(b),
+        Array(channels.toFloat, rate.toFloat, 0f, 0f)))
+    }
+
     private[ext] def isMp4(b: Array[Byte]): Boolean =
       b.length >= 12 && tag(b, 4) == "ftyp"
 
@@ -1331,6 +1429,8 @@ object Multimodal {
           else if (isTiff(r.media))
             tiffRgb(r.media).map { case (px, w, h) =>
               rgbFeatures(r, "image/tiff", px, w, h) }
+          else if (isOgg(r.media)) decodeOgg(r)
+          else if (isMp3(r.media)) decodeMp3(r)
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }

@@ -758,6 +758,73 @@ class ExtSpec extends SparkSpec {
       ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
+  test("multimodal: MP3 and Ogg geometry from frame/id headers, no codec") {
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, joint stereo, behind an
+    // ID3v2 tag (syncsafe size 0x100 = 256 payload bytes)
+    val mp3 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(Array[Byte](4, 0, 0, 0, 0, 2, 0)) // ver, flags, size 0x100
+      out.write(new Array[Byte](256))
+      // header: ff fb 92 40 -> v1, L3, idx 9 (128k), 44100, joint
+      out.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+      out.write(new Array[Byte](4000))
+      out.toByteArray
+    }
+    // Ogg Vorbis id page: "OggS" v0, first-page flag, 1 segment
+    def oggPage(idPacket: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0) // version
+      out.write(2) // header type: beginning of stream
+      out.write(new Array[Byte](8 + 4 + 4 + 4)) // granule, serial, seq, crc
+      out.write(1) // one segment
+      out.write(idPacket.length)
+      out.write(idPacket)
+      out.toByteArray
+    }
+    val vorbis = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(1); p.write("vorbis".getBytes("US-ASCII"))
+      p.write(new Array[Byte](4)) // version
+      p.write(2)                  // channels
+      p.write(Array[Byte]((48000 & 0xff).toByte, ((48000 >> 8) & 0xff).toByte,
+        0, 0)) // rate LE
+      p.write(new Array[Byte](12))
+      oggPage(p.toByteArray)
+    }
+    val opus = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write("OpusHead".getBytes("US-ASCII"))
+      p.write(1) // version
+      p.write(1) // channels
+      p.write(new Array[Byte](2)) // pre-skip
+      p.write(Array[Byte]((16000 & 0xff).toByte, ((16000 >> 8) & 0xff).toByte,
+        0, 0))
+      p.write(new Array[Byte](3))
+      oggPage(p.toByteArray)
+    }
+    val feats = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, mp3, "audio/mpeg", 0, 0),
+        Multimodal.MediaRow(2L, vorbis, "audio/ogg", 0, 0),
+        Multimodal.MediaRow(3L, opus, "audio/ogg", 0, 0),
+        Multimodal.MediaRow(4L, mp3.take(200), "audio/mpeg", 0, 0)).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).format == "audio/mpeg" && feats(1L).kind == "container")
+    // [channels, sampleRate, durationSec, bitrateKbps]
+    assert(feats(1L).feature(0) == 2f && feats(1L).feature(1) == 44100f)
+    assert(feats(1L).feature(3) == 128f)
+    val expectedDur = 4004f * 8f / 128000f
+    assert(math.abs(feats(1L).feature(2) - expectedDur) < 1e-4,
+      s"CBR duration estimate: ${feats(1L).feature(2)} vs $expectedDur")
+    assert(feats(2L).format == "audio/ogg-vorbis" &&
+      feats(2L).feature.toSeq == Seq(2f, 48000f, 0f, 0f), s"${feats(2L)}")
+    assert(feats(3L).format == "audio/ogg-opus" &&
+      feats(3L).feature.toSeq == Seq(1f, 16000f, 0f, 0f), s"${feats(3L)}")
+    // an ID3 tag whose declared size swallows the file: byte-stats
+    assert(feats(4L).kind == "byte-stats", s"${feats(4L)}")
+  }
+
   test("multimodal: WEBP geometry from all three bitstream headers, no codec") {
     def riff(chunk: String, payload: Array[Byte]): Array[Byte] = {
       val total = 4 + 8 + payload.length + (payload.length & 1)
