@@ -61,7 +61,10 @@ val headline = Seq(
   ("ext_contamination_report", "contamination provenance: bench grams broadcast, corpus unshuffled, map-combinable pair counts"),
   ("ext_image_index_topk", "Hamming index probe: per-chunk scans with PUSHED cval IN filters, postings pruned, corpus never materialized"),
   ("ext_audio_search", "audio search: probe fingerprints broadcast along one corpus fingerprint scan, shared-count heaps"),
-  ("ext_video_remux_pairs", "video remux dedup: one fingerprint scan, 64-bit-key HashAggregate buckets, no pair blowup"))
+  ("ext_video_remux_pairs", "video remux dedup: one fingerprint scan, 64-bit-key HashAggregate buckets, no pair blowup"),
+  ("ext_text_index_search", "SimHash index probe: per-chunk scans with PUSHED cval IN filters through the shared HammingIndex core"),
+  ("ext_image_px_webp", "VP8L pixel gate: per-row JVM decode inside ONE whole-stage-codegen projection, no shuffle"),
+  ("ext_audio_flac_pairs", "FLAC-vs-WAV dedup: one fingerprint mapPartitions scan, map-combinable shared counts"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 ExtQueries.ensureImageIndex(spark, dir)

@@ -580,6 +580,7 @@ object Multimodal {
       else if (isBmp(b)) bmpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else if (isWebp(b)) webpRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else if (isTiff(b)) tiffRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
+      else if (isIco(b)) icoRgb(b).map { case (px, w, h) => (toGray(px, 3), w, h) }
       else None
 
     /** WAV: RIFF chunk walk to "fmt " (audioFormat, channels, sampleRate,
@@ -890,6 +891,95 @@ object Multimodal {
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    private[ext] def isIco(b: Array[Byte]): Boolean =
+      b.length >= 22 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 &&
+        u16le(b, 4) >= 1
+
+    /** ICO (favicon) pixel decode by REUSE: each directory entry is
+      * either a complete PNG (decoded through the existing PNG path)
+      * or a headerless BMP DIB with DOUBLED height (XOR image + AND
+      * mask) — re-wrapped with a synthesized file header and decoded
+      * through the existing BMP path, mask ignored. The largest entry
+      * wins (the icon actually representative of the image). Alpha is
+      * dropped like everywhere in the family.
+      */
+    private[ext] def icoRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+      if (!isIco(b)) return None
+      val count = u16le(b, 4)
+      var best = -1
+      var bestArea = -1L
+      var e = 0
+      while (e < count) {
+        val eo = 6 + e * 16
+        if (eo + 16 > b.length) return None
+        val w = { val v = b(eo) & 0xff; if (v == 0) 256 else v }
+        val h = { val v = b(eo + 1) & 0xff; if (v == 0) 256 else v }
+        if (w.toLong * h > bestArea) { bestArea = w.toLong * h; best = e }
+        e += 1
+      }
+      val eo = 6 + best * 16
+      val size = u32le(b, eo + 8)
+      val off = u32le(b, eo + 12)
+      if (off < 0 || size <= 0 || off + size > b.length) return None
+      val payload =
+        java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+      if (isPng(payload))
+        return pngHeader(payload).flatMap { case (w, h, bitDepth, colorType) =>
+          if (w.toLong * h > MaxHashPixels) None
+          else pngInterleaved(payload, w, h, bitDepth, colorType).map {
+            case (px, channels) => (expandRgb(px, channels), w, h)
+          }
+        }
+      // BMP DIB: BITMAPINFOHEADER with biHeight doubled for the AND
+      // mask — halve it and wrap in a file header for the BMP decoder
+      if (payload.length < 40 || u32le(payload, 0) != 40) return None
+      val biHeight = u32le(payload, 8).toInt
+      val realH = biHeight / 2
+      val bits = u16le(payload, 14)
+      val palEntries =
+        if (bits >= 16) 0
+        else {
+          val declared = u32le(payload, 32).toInt
+          if (declared > 0) declared else 1 << bits
+        }
+      val dib = payload.clone()
+      def le32(o: Int, v: Int): Unit = {
+        dib(o) = v.toByte; dib(o + 1) = (v >> 8).toByte
+        dib(o + 2) = (v >> 16).toByte; dib(o + 3) = (v >> 24).toByte
+      }
+      le32(8, realH)
+      val out = new Array[Byte](14 + dib.length)
+      out(0) = 'B'; out(1) = 'M'
+      def ole32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      ole32(2, out.length)
+      ole32(10, 14 + 40 + palEntries * 4)
+      System.arraycopy(dib, 0, out, 14, dib.length)
+      bmpRgb(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Interleaved PNG samples (gray / gray+alpha / RGB / RGBA) to RGB
+      * triplets — gray replicates, alpha drops.
+      */
+    private def expandRgb(px: Array[Byte], channels: Int): Array[Byte] = {
+      val n = px.length / channels
+      val out = new Array[Byte](n * 3)
+      var i = 0
+      while (i < n) {
+        val o = i * channels
+        if (channels >= 3) {
+          out(i * 3) = px(o); out(i * 3 + 1) = px(o + 1)
+          out(i * 3 + 2) = px(o + 2)
+        } else {
+          out(i * 3) = px(o); out(i * 3 + 1) = px(o); out(i * 3 + 2) = px(o)
+        }
+        i += 1
+      }
+      out
+    }
 
     private[ext] def isTiff(b: Array[Byte]): Boolean =
       b.length >= 8 &&
@@ -1212,16 +1302,30 @@ object Multimodal {
     /** MP3: header GEOMETRY, no codec — the WebP-geometry precedent
       * applied to the web's most common audio format (the MDCT +
       * Huffman synthesis is the documented boundary; the census counts
-      * these rows on the container side). Duration is the CBR estimate
-      * over the post-ID3 payload. Feature layout mirrors WAV:
-      * [channels, sampleRate, durationSec, bitrateKbps].
+      * these rows on the container side). Duration: EXACT from the
+      * Xing/Info VBR tag's frame count when present (frames x 1152 or
+      * 576 samples / rate), else the CBR estimate over the post-ID3
+      * payload. Feature layout mirrors WAV: [channels, sampleRate,
+      * durationSec, bitrateKbps].
       */
     private def decodeMp3(r: MediaRow): Option[MediaFeatures] =
       mp3Meta(r.media).map { case (bitrate, sampleRate, channels, off) =>
+        val b = r.media
+        val v1 = ((b(off + 1) >> 3) & 3) == 3
+        val samplesPerFrame = if (v1) 1152 else 576
+        // the Xing/Info tag sits after the side info of the first frame
+        val sideInfo =
+          if (v1) { if (channels == 1) 17 else 32 }
+          else { if (channels == 1) 9 else 17 }
+        val xo = off + 4 + sideInfo
         val durationSec =
-          (r.media.length - off).toDouble * 8.0 / (bitrate * 1000.0)
-        MediaFeatures(r.doc_id, r.media.length, "audio/mpeg", "container",
-          byteChecksum(r.media),
+          if (xo + 12 <= b.length &&
+            (tag(b, xo) == "Xing" || tag(b, xo) == "Info") &&
+            (b(xo + 7) & 1) == 1) // flags: frame count present
+            u32be(b, xo + 8).toDouble * samplesPerFrame / sampleRate
+          else (b.length - off).toDouble * 8.0 / (bitrate * 1000.0)
+        MediaFeatures(r.doc_id, b.length, "audio/mpeg", "container",
+          byteChecksum(b),
           Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,
             bitrate.toFloat))
       }
@@ -1233,9 +1337,10 @@ object Multimodal {
     /** Ogg: the first page's payload is the codec id header, and both
       * Vorbis ("vorbis": channels u8, rate u32le) and Opus
       * ("OpusHead": channels u8, pre-skip, input rate u32le) carry
-      * geometry in clear — no codec work. Feature layout [channels,
-      * sampleRate, 0, 0] (duration needs the last granule position —
-      * deliberately not estimated), kind "container".
+      * geometry in clear — no codec work. Duration comes from the
+      * LAST page's granule position (total PCM samples — at 48 kHz
+      * for Opus, at the stream rate for Vorbis). Feature layout
+      * [channels, sampleRate, durationSec, 0], kind "container".
       */
     private def decodeOgg(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
@@ -1243,18 +1348,36 @@ object Multimodal {
       val nSegs = b(26) & 0xff
       val po = 27 + nSegs
       if (po + 19 > b.length) return None
-      val (mime, channels, rate) =
+      val (mime, channels, rate, granuleRate) =
         if (b(po) == 1 && tag(b, po + 1) == "vorb" && b(po + 5) == 'i' &&
           b(po + 6) == 's') {
           if (po + 16 > b.length) return None
-          ("audio/ogg-vorbis", b(po + 11) & 0xff, u32le(b, po + 12))
+          val rt = u32le(b, po + 12)
+          ("audio/ogg-vorbis", b(po + 11) & 0xff, rt, rt)
         } else if (tag(b, po) == "Opus" && tag(b, po + 4) == "Head") {
-          ("audio/ogg-opus", b(po + 9) & 0xff, u32le(b, po + 12))
+          // Opus granules tick at 48 kHz regardless of the input rate
+          ("audio/ogg-opus", b(po + 9) & 0xff, u32le(b, po + 12), 48000L)
         } else return None
       if (channels < 1 || rate <= 0) return None
+      // duration: the LAST page's 64-bit LE granule position (total
+      // samples at the granule rate) — a backwards capture-pattern
+      // scan; exact for single-stream files, 0 when only the id page
+      // exists
+      var dur = 0.0
+      var i = b.length - 27
+      var found = false
+      while (i > po && !found) {
+        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+          b(i + 3) == 'S' && b(i + 4) == 0) {
+          val g = u32le(b, i + 6) | (u32le(b, i + 10) << 32)
+          if (g > 0 && granuleRate > 0) dur = g.toDouble / granuleRate
+          found = true
+        }
+        i -= 1
+      }
       Some(MediaFeatures(r.doc_id, b.length, mime, "container",
         byteChecksum(b),
-        Array(channels.toFloat, rate.toFloat, 0f, 0f)))
+        Array(channels.toFloat, rate.toFloat, dur.toFloat, 0f)))
     }
 
     private[ext] def isMp4(b: Array[Byte]): Boolean =
@@ -1429,6 +1552,9 @@ object Multimodal {
           else if (isTiff(r.media))
             tiffRgb(r.media).map { case (px, w, h) =>
               rgbFeatures(r, "image/tiff", px, w, h) }
+          else if (isIco(r.media))
+            icoRgb(r.media).map { case (px, w, h) =>
+              rgbFeatures(r, "image/x-icon", px, w, h) }
           else if (isOgg(r.media)) decodeOgg(r)
           else if (isMp3(r.media)) decodeMp3(r)
           else None
@@ -1860,6 +1986,54 @@ object Multimodal {
         y += 1
       }
     })
+  }
+
+  /** ICO container around prepared entry payloads — each a complete
+    * PNG file or a headerless DIB ([[bmpToIcoDib]]). Entries are
+    * (width, height, payload); 256 encodes as the directory's 0.
+    */
+  def encodeIco(entries: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    require(entries.nonEmpty && entries.size <= 0xffff, "encodeIco: entries")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    le16(0); le16(1); le16(entries.size)
+    var off = 6 + entries.size * 16
+    for ((w, h, payload) <- entries) {
+      require(w >= 1 && w <= 256 && h >= 1 && h <= 256, s"encodeIco: ${w}x$h")
+      out.write(if (w == 256) 0 else w)
+      out.write(if (h == 256) 0 else h)
+      out.write(0); out.write(0) // palette count, reserved
+      le16(1); le16(32)          // planes, bitcount (advisory)
+      le32(payload.length)
+      le32(off)
+      off += payload.length
+    }
+    entries.foreach(e => out.write(e._3))
+    out.toByteArray
+  }
+
+  /** Headerless ICO DIB from an [[encodeBmp]]/[[encodeBmp8]] file:
+    * strip the 14-byte file header, DOUBLE biHeight (the ICO
+    * convention reserving space for the AND mask), append an all-zero
+    * mask row block.
+    */
+  def bmpToIcoDib(bmp: Array[Byte]): Array[Byte] = {
+    require(bmp.length > 54 && bmp(0) == 'B' && bmp(1) == 'M',
+      "bmpToIcoDib: not a BMP file")
+    def i32(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+      ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+    val w = i32(18)
+    val h = i32(22)
+    require(h > 0, "bmpToIcoDib: ICO DIBs are bottom-up — no topDown input")
+    val maskRow = ((w + 31) / 32) * 4
+    // copyOfRange zero-pads past the source end: that IS the AND mask
+    val dib = java.util.Arrays.copyOfRange(bmp, 14,
+      bmp.length + h * maskRow)
+    val h2 = h * 2
+    dib(8) = h2.toByte; dib(9) = (h2 >> 8).toByte
+    dib(10) = (h2 >> 16).toByte; dib(11) = (h2 >> 24).toByte
+    dib
   }
 
   /** PackBits RLE (the TIFF baseline compressor): runs of 3+ become

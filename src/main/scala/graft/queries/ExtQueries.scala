@@ -1397,15 +1397,17 @@ object ExtQueries {
     }),
 
     // CROSS-FORMAT invariance, oracled: each of 10 pictures is encoded
-    // FIVE byte-incompatible container formats — PNG, sequential GIF,
+    // SEVEN byte-incompatible container formats — PNG, sequential GIF,
     // 4-pass interlaced GIF (identity gray color table: BT.601 of equal
     // channels is the gray value exactly), 24-bit bottom-up BMP, 8-bit
-    // paletted top-down BMP — and all five must decode to the SAME
-    // plane and hash. The oracle regenerates the plane from the
-    // closed-form formula once per doc and emits the identical hash for
-    // every variant: the LZW expansion, GIF interlace reorder, BMP row
-    // flip/padding, and both palette lookups are each one bit-flip away
-    // from failing the compare.
+    // paletted top-down BMP, and two ICO (favicon) wrappers (a
+    // headerless doubled-height DIB entry and a PNG entry) — and all
+    // seven must decode to the SAME plane and hash. The oracle
+    // regenerates the plane from the closed-form formula once per doc
+    // and emits the identical hash for every variant: the LZW
+    // expansion, GIF interlace reorder, BMP row flip/padding, both
+    // palette lookups, and the ICO directory walk are each one
+    // bit-flip away from failing the compare.
     "ext_image_px_formats" -> ((s, dir) => {
       import s.implicits._
       val grayCt = Array.tabulate(256 * 3)(i => (i / 3).toByte)
@@ -1424,6 +1426,13 @@ object ExtQueries {
           (k.toLong, "gif", Multimodal.encodeGif(w, h, plane, grayCt)),
           (k.toLong, "gifi", Multimodal.encodeGif(w, h, plane, grayCt,
             interlace = true)),
+          // favicon wrappers: a PNG entry and a headerless-DIB entry —
+          // the SAME picture behind the ICO directory walk
+          (k.toLong, "icob", Multimodal.encodeIco(Seq((w, h,
+            Multimodal.bmpToIcoDib(Multimodal.encodeBmp(w, h, rgb)))))),
+          (k.toLong, "icop", Multimodal.encodeIco(Seq((w, h,
+            Multimodal.encodePng(w, h, 0, plane,
+              (0 until h).map(_ % 4), 3))))),
           (k.toLong, "png8", Multimodal.encodePng(w, h, 0, plane,
             (0 until h).map(_ % 5), 6)))
       }
@@ -3469,7 +3478,8 @@ object ExtQueries {
         |  FROM halves)
         |SELECT doc_id, v.variant, dhash
         |FROM hashes,
-        |  (VALUES ('bmp24'), ('bmp8'), ('gif'), ('gifi'), ('png8'))
+        |  (VALUES ('bmp24'), ('bmp8'), ('gif'), ('gifi'), ('icob'),
+        |          ('icop'), ('png8'))
         |  AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
 

@@ -804,12 +804,47 @@ class ExtSpec extends SparkSpec {
       p.write(new Array[Byte](3))
       oggPage(p.toByteArray)
     }
+    // VBR: same header, a Xing tag after the 32-byte stereo side info
+    // declaring 1000 frames -> exactly 1000*1152/44100 s
+    val vbr = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+      out.write(new Array[Byte](32)) // side info
+      out.write("Xing".getBytes("US-ASCII"))
+      out.write(Array[Byte](0, 0, 0, 1))          // flags: frames
+      out.write(Array[Byte](0, 0, 0x03, 0xe8.toByte)) // 1000 frames
+      out.write(new Array[Byte](500))
+      out.toByteArray
+    }
+    // a second Ogg page carrying the final granule position (96000
+    // samples at 48 kHz -> 2.0 s)
+    val opusTwoPage = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(opus)
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(4) // version, end-of-stream
+      out.write(Array[Byte]((96000 & 0xff).toByte,
+        ((96000 >> 8) & 0xff).toByte, ((96000 >> 16) & 0xff).toByte,
+        0, 0, 0, 0, 0)) // granule 96000 LE
+      out.write(new Array[Byte](4 + 4 + 4)) // serial, seq, crc
+      out.write(1); out.write(1) // one 1-byte segment
+      out.write(0)
+      out.toByteArray
+    }
     val feats = Multimodal.extractFeatures(spark, Seq(
         Multimodal.MediaRow(1L, mp3, "audio/mpeg", 0, 0),
         Multimodal.MediaRow(2L, vorbis, "audio/ogg", 0, 0),
         Multimodal.MediaRow(3L, opus, "audio/ogg", 0, 0),
-        Multimodal.MediaRow(4L, mp3.take(200), "audio/mpeg", 0, 0)).toDF())
+        Multimodal.MediaRow(4L, mp3.take(200), "audio/mpeg", 0, 0),
+        Multimodal.MediaRow(5L, vbr, "audio/mpeg", 0, 0),
+        Multimodal.MediaRow(6L, opusTwoPage, "audio/ogg", 0, 0)).toDF())
       .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(5L).kind == "container" &&
+      math.abs(feats(5L).feature(2) - 1000f * 1152f / 44100f) < 1e-4,
+      s"Xing frame count must set the exact duration: ${feats(5L)}")
+    assert(feats(6L).format == "audio/ogg-opus" &&
+      feats(6L).feature(2) == 2f,
+      s"last-page granule must set the duration: ${feats(6L)}")
     assert(feats(1L).format == "audio/mpeg" && feats(1L).kind == "container")
     // [channels, sampleRate, durationSec, bitrateKbps]
     assert(feats(1L).feature(0) == 2f && feats(1L).feature(1) == 44100f)

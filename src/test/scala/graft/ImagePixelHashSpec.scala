@@ -227,6 +227,26 @@ class ImagePixelHashSpec extends SparkSpec {
       s"truncated GIF must fall back to payload bytes: $gotCut")
   }
 
+  test("ICO favicons hash like their contained image; largest entry wins") {
+    val rgb = plane.flatMap(b => Array(b, b, b))
+    // a multi-entry icon: a tiny 8x8 decoy DIB first, the real picture
+    // second — the directory walk must pick the LARGEST entry
+    val decoy = Multimodal.bmpToIcoDib(
+      Multimodal.encodeBmp(8, 8, Array.fill(8 * 8 * 3)(7.toByte)))
+    val real = Multimodal.bmpToIcoDib(Multimodal.encodeBmp(W, H, rgb))
+    val multi = Multimodal.encodeIco(Seq((8, 8, decoy), (W, H, real)))
+    val pngEntry = Multimodal.encodeIco(Seq((W, H,
+      Multimodal.encodePng(W, H, 2, rgb, (0 until H).map(_ % 3), 6))))
+    val got = pxOf(Seq((0L, multi, 0, 0), (1L, pngEntry, 0, 0)))
+    assert(got(0L).contains((Golden, "pixels")), s"multi-entry DIB: $got")
+    assert(got(1L).contains((Golden, "pixels")), s"PNG entry: $got")
+    // a directory pointing past the payload degrades to payload bytes
+    val cut = multi.take(multi.length - 40)
+    val gotCut = pxOf(Seq((9L, cut, 4, 4)))
+    assert(gotCut(9L).exists(_._2 == "payload"),
+      s"truncated ICO must fall back: $gotCut")
+  }
+
   test("TIFF encodings of the same picture hash like PNG; decode matches ImageIO") {
     val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
     val encodings = Seq(
