@@ -867,18 +867,24 @@ object Multimodal {
             y += 1
           }
           Some((out, w, h))
-        case 8 =>
+        case 8 | 4 | 1 => // paletted, incl. the 16/2-color icon classics
           val palOff = 14 + hdrSize
           val used = i32(46)
-          val palCount = if (used == 0) 256 else used
-          if (palCount < 0 || palCount > 256 ||
+          val palCount = if (used == 0) 1 << bits else used
+          if (palCount < 0 || palCount > (1 << bits) ||
             palOff + 4 * palCount > dataOff) return None
           var y = 0
           while (y < h) {
             val src = dataOff + (if (topDown) y else h - 1 - y) * rowSize
             var x = 0
             while (x < w) {
-              val ci = b(src + x) & 0xff
+              // sub-byte rows pack MSB-first (leftmost pixel in the
+              // high bits), the BMP convention
+              val ci = bits match {
+                case 8 => b(src + x) & 0xff
+                case 4 => (b(src + (x >> 1)) >> (4 - 4 * (x & 1))) & 0xf
+                case _ => (b(src + (x >> 3)) >> (7 - (x & 7))) & 1
+              }
               if (ci >= palCount) return None
               val eo = palOff + ci * 4 // entries are BGRA quads
               val po = (y * w + x) * 3
@@ -2185,6 +2191,50 @@ object Multimodal {
     le32(16, payload.length)
     System.arraycopy(payload, 0, out, 20, payload.length)
     out
+  }
+
+  /** Sub-byte paletted BMP fixture encoder (4-bit 16-color / 1-bit
+    * 2-color — the icon classics): indices pack MSB-first within each
+    * byte per the BMP convention.
+    */
+  def encodeBmpSub(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte], bits: Int,
+      topDown: Boolean = false): Array[Byte] = {
+    require(bits == 4 || bits == 1, s"encodeBmpSub: bits $bits")
+    val n = palette.length / 3
+    require(palette.length % 3 == 0 && n >= 1 && n <= (1 << bits),
+      s"encodeBmpSub: palette of ${palette.length} bytes at $bits bits")
+    require(w > 0 && h > 0 && indices.length == w * h,
+      s"encodeBmpSub: need $w*$h indices")
+    require(indices.forall(i => (i & 0xff) < n),
+      "encodeBmpSub: index out of palette range")
+    val quads = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) { // RGB palette -> BGRA quads
+      quads(i * 4) = palette(i * 3 + 2)
+      quads(i * 4 + 1) = palette(i * 3 + 1)
+      quads(i * 4 + 2) = palette(i * 3)
+      i += 1
+    }
+    val rowSize = ((w.toLong * bits + 31) / 32 * 4).toInt
+    bmpBytes(w, h, topDown, rowSize, bits, quads, (buf, off) => {
+      var y = 0
+      while (y < h) {
+        val dst = off + (if (topDown) y else h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val idx = indices(y * w + x) & 0xff
+          if (bits == 4)
+            buf(dst + (x >> 1)) =
+              (buf(dst + (x >> 1)) | (idx << (4 - 4 * (x & 1)))).toByte
+          else
+            buf(dst + (x >> 3)) =
+              (buf(dst + (x >> 3)) | (idx << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+    })
   }
 
   private def bmpBytes(w: Int, h: Int, topDown: Boolean, rowSize: Int,

@@ -227,6 +227,34 @@ class ImagePixelHashSpec extends SparkSpec {
       s"truncated GIF must fall back to payload bytes: $gotCut")
   }
 
+  test("4-bit and 1-bit paletted BMPs decode like their PNG twins") {
+    val v16 = Array.tabulate(W * H) { p =>
+      ((p % W * 7 + p / W * 11) % 16).toByte
+    }
+    val pal16 = Array.tabulate(16 * 3)(i => ((i / 3) * 17).toByte)
+    val bmp4 = Multimodal.encodeBmpSub(W, H, v16, pal16, bits = 4)
+    val png4 = Multimodal.encodePng(W, H, 0, v16,
+      (0 until H).map(_ % 5), 6, bitDepth = 4)
+    val v2 = v16.map(v => (v % 2).toByte)
+    val pal2 = Array[Byte](0, 0, 0, -1, -1, -1)
+    val bmp1 = Multimodal.encodeBmpSub(W, H, v2, pal2, bits = 1,
+      topDown = true)
+    val png1 = Multimodal.encodePng(W, H, 0, v2, (0 until H).map(_ % 3),
+      9, bitDepth = 1)
+    val got = pxOf(Seq((0L, bmp4, 0, 0), (1L, png4, 0, 0),
+      (2L, bmp1, 0, 0), (3L, png1, 0, 0)))
+    assert(got(0L).exists(_._2 == "pixels") && got(0L) == got(1L),
+      s"16-color BMP must hash like its PNG twin: $got")
+    assert(got(2L).exists(_._2 == "pixels") && got(2L) == got(3L),
+      s"2-color BMP must hash like its PNG twin: $got")
+    assert(got(0L) != got(2L), "the two pictures must differ")
+    // through the favicon wrapper too: the 16-color icon classic
+    val ico4 = Multimodal.encodeIco(Seq((W, H,
+      Multimodal.bmpToIcoDib(bmp4))))
+    val gotIco = pxOf(Seq((4L, ico4, 0, 0)))
+    assert(gotIco(4L) == got(0L), s"16-color ICO: $gotIco vs ${got(0L)}")
+  }
+
   test("ICO favicons hash like their contained image; largest entry wins") {
     val rgb = plane.flatMap(b => Array(b, b, b))
     // a multi-entry icon: a tiny 8x8 decoy DIB first, the real picture
