@@ -19,7 +19,7 @@ package graft.ext
   * here. Bits are read MSB-first (the FLAC convention, opposite of
   * VP8L's LSB-first).
   */
-private[ext] object Flac {
+private[graft] object Flac {
 
   def isFlac(b: Array[Byte]): Boolean =
     b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&

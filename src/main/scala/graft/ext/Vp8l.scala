@@ -739,13 +739,16 @@ private[ext] object Vp8l {
     while (pos < n) {
       var emitted = false
       if (lz77 && pos > 0) {
-        // candidate distances: previous pixel and one row up
+        // candidate distances: previous pixel, one row up, and the two
+        // diagonal neighbors — exercising 2-D distance codes 1..4 (the
+        // (0,1)/(1,0)/(1,1)/(-1,1) table entries), plain form otherwise
         var bestLen = 0
         var bestDist = 0
+        val cands = Array(1, w, w + 1, w - 1)
         var c = 0
-        while (c < 2) {
-          val d = if (c == 0) 1 else w
-          if (d <= pos) {
+        while (c < cands.length) {
+          val d = cands(c)
+          if (d >= 1 && d <= pos) {
             var len = 0
             while (pos + len < n && len < 1024 &&
               img(pos + len) == img(pos + len - d)) len += 1
@@ -757,6 +760,8 @@ private[ext] object Vp8l {
           val distCode =
             if (bestDist == w) 1
             else if (bestDist == 1) 2
+            else if (bestDist == w + 1) 3
+            else if (bestDist == w - 1 && w >= 2) 4
             else bestDist + 120
           toks += Ref(bestLen, distCode)
           var i = 0

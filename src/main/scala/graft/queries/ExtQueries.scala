@@ -1539,6 +1539,95 @@ object ExtQueries {
         .orderBy("doc_id", "variant")
     }),
 
+    // THE DISPATCH TABLE, oracled in one row set: one synthesized
+    // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
+    // lossless-WebP pixels, WAV pcm, FLAC lossless, lossy-WebP/MP3/
+    // Ogg-Vorbis/Opus/MP4 container, junk byte-stats — with a DISTINCT
+    // planted count per class, rolled up by decodeCensus. Every
+    // misrouted or regressed decoder moves a count and fails the hash:
+    // the whole media-regime inventory is pinned by one CORRECTNESS
+    // row per class.
+    "ext_decode_census_all" -> ((s, dir) => {
+      import s.implicits._
+      val plane = Array.tabulate(12 * 9)(p => ((p * 37) % 251).toByte)
+      val grayCt = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      val rgb = plane.flatMap(b => Array(b, b, b))
+      val jpeg = {
+        val im = new java.awt.image.BufferedImage(12, 9,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 9; x <- 0 until 12)
+          im.setRGB(x, y, (plane(y * 12 + x) & 0xff) * 0x010101)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", out)
+        out.toByteArray
+      }
+      val lossyWebp = { // VP8 keyframe header: geometry only
+        val p = new Array[Byte](12)
+        p(3) = 0x9d.toByte; p(4) = 0x01; p(5) = 0x2a; p(6) = 12; p(8) = 9
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("RIFF".getBytes("US-ASCII"))
+        o.write(Array[Byte]((4 + 8 + 12).toByte, 0, 0, 0))
+        o.write("WEBP".getBytes("US-ASCII"))
+        o.write("VP8 ".getBytes("US-ASCII"))
+        o.write(Array[Byte](12, 0, 0, 0)); o.write(p)
+        o.toByteArray
+      }
+      val mp3 = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+        o.write(new Array[Byte](400))
+        o.toByteArray
+      }
+      def oggId(packet: Array[Byte]) = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("OggS".getBytes("US-ASCII")); o.write(0); o.write(2)
+        o.write(new Array[Byte](20)) // granule, serial, seq, crc
+        o.write(1); o.write(packet.length)
+        o.write(packet); o.toByteArray
+      }
+      val vorbis = oggId({
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(1); p.write("vorbis".getBytes("US-ASCII"))
+        p.write(new Array[Byte](4)); p.write(2)
+        p.write(Array[Byte](0x44, 0xac.toByte, 0, 0))
+        p.write(new Array[Byte](12)); p.toByteArray
+      })
+      val opus = oggId({
+        val p = new java.io.ByteArrayOutputStream()
+        p.write("OpusHead".getBytes("US-ASCII")); p.write(1); p.write(1)
+        p.write(new Array[Byte](2))
+        p.write(Array[Byte](0x44, 0xac.toByte, 0, 0))
+        p.write(new Array[Byte](3)); p.toByteArray
+      })
+      val tone = Array.tabulate(2048)(i =>
+        math.round(0.4 * math.sin(2 * math.Pi * 500 * i / 8000)
+          * 32767.0).toInt)
+      // (copies, declared format, payload) — copies distinct per class
+      val classes = Seq[(Int, String, Array[Byte])](
+        (2, "image/png", Multimodal.encodePng(12, 9, 0, plane,
+          (0 until 9).map(_ % 5), 6)),
+        (3, "image/jpeg", jpeg),
+        (4, "image/gif", Multimodal.encodeGif(12, 9, plane, grayCt)),
+        (5, "image/bmp", Multimodal.encodeBmp(12, 9, rgb)),
+        (6, "image/tiff", Multimodal.encodeTiff(12, 9, plane, 1)),
+        (7, "image/x-icon", Multimodal.encodeIco(Seq((12, 9,
+          Multimodal.bmpToIcoDib(Multimodal.encodeBmp(12, 9, rgb)))))),
+        (8, "image/webp", Multimodal.encodeWebpL(12, 9, plane)),
+        (1, "image/webp", lossyWebp),
+        (2, "audio/wav", AudioDsp.pcmWav(tone.map(_ / 32767.0), 8000)),
+        (3, "audio/flac", graft.ext.Flac.encode(tone, 8000)),
+        (4, "audio/mpeg", mp3),
+        (5, "audio/ogg", vorbis),
+        (6, "audio/ogg", opus),
+        (7, "video/mp4", Multimodal.minimalMp4(600, 1200, 1, 320, 240)),
+        (9, "application/junk", "not any known container".getBytes("UTF-8")))
+      val rows = classes.zipWithIndex.flatMap { case ((n, fmt, bytes), ci) =>
+        (0 until n).map(j => Multimodal.MediaRow(
+          ci * 100L + j, bytes, fmt, 0, 0))
+      }
+      Multimodal.decodeCensus(s, rows.toDF())
+    }),
+
     // Query-by-example TEXT search through the persisted SimHash index
     // (oracled on PLANTED truth, the audio-search discipline — SimHash
     // itself is xxhash64-based and deliberately not restated in SQL):
@@ -3303,6 +3392,27 @@ object ExtQueries {
         |  (VALUES ('be_rgb'), ('gray'), ('inv'), ('pal'), ('pb'),
         |          ('strips')) AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
+
+    // the dispatch table's closed-form census: distinct planted counts
+    // per (format, regime) class
+    "ext_decode_census_all" ->
+      """SELECT * FROM (VALUES
+        |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
+        |  ('audio/flac', 'lossless', 3),
+        |  ('audio/mpeg', 'container', 4),
+        |  ('audio/ogg-opus', 'container', 6),
+        |  ('audio/ogg-vorbis', 'container', 5),
+        |  ('audio/wav', 'pcm', 2),
+        |  ('image/bmp', 'pixels', 5),
+        |  ('image/gif', 'pixels', 4),
+        |  ('image/jpeg', 'pixels', 3),
+        |  ('image/png', 'pixels', 2),
+        |  ('image/tiff', 'pixels', 6),
+        |  ('image/webp', 'container', 1),
+        |  ('image/webp', 'pixels', 8),
+        |  ('image/x-icon', 'pixels', 7),
+        |  ('video/mp4', 'container', 7)) AS t(format, kind, cnt)
+        |ORDER BY format, kind""".stripMargin,
 
     // planted truth: each re-crawl probe's top-1 is its source at
     // Hamming 0; the never-seen probe (q_id 900) contributes no row

@@ -147,6 +147,19 @@ class Vp8lSpec extends AnyFunSuite {
     val const = Array.fill(w * h)(77.toByte)
     assert(rgbOf(Multimodal.encodeWebpL(w, h, const, lz77 = true))
       ._1.toSeq == expectRgb(const).toSeq)
+    // diagonal and anti-diagonal textures repeat at distances w+1 and
+    // w-1 — the tokenizer emits 2-D distance codes 3 and 4, so the
+    // decoder's neighbor-map entries (1,1) and (-1,1) are exercised
+    val diag = Array.tabulate(w * h)(p =>
+      (((p % w) - (p / w) + 256) % 5 * 50).toByte)
+    val anti = Array.tabulate(w * h)(p =>
+      (((p % w) + (p / w)) % 5 * 50).toByte)
+    for (g <- Seq(diag, anti)) {
+      val enc = Multimodal.encodeWebpL(w, h, g, lz77 = true)
+      assert(enc.length < Multimodal.encodeWebpL(w, h, g).length,
+        "diagonal runs should compress")
+      assert(rgbOf(enc)._1.toSeq == expectRgb(g).toSeq)
+    }
   }
 
   test("color round-trips: unequal channels through every transform") {
