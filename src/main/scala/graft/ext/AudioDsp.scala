@@ -130,15 +130,114 @@ object AudioDsp {
     * signal up to quantization, so it fingerprints as the same
     * recording.
     */
+  // IMA ADPCM tables (public spec; shared by encode and decode)
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def imaClampIdx(i: Int): Int = if (i < 0) 0 else if (i > 88) 88 else i
+  private def imaClamp(v: Int): Int =
+    if (v < -32768) -32768 else if (v > 32767) 32767 else v
+
+  /** One IMA step: (newPredictor, newIndex) from a nibble. */
+  private def imaStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
+    val step = ImaStep(idx)
+    var diff = step >> 3
+    if ((n & 4) != 0) diff += step
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 1) != 0) diff += step >> 2
+    val p = imaClamp(if ((n & 8) != 0) pred - diff else pred + diff)
+    (p, imaClampIdx(idx + ImaIndex(n)))
+  }
+
+  /** IMA ADPCM block decode to the normalized mono mix: per block and
+    * channel a 4-byte header (predictor i16le = the first sample, step
+    * index u8), then nibbles low-first — mono sequential, stereo in
+    * alternating 4-byte channel groups. A trailing partial block
+    * decodes as far as its bytes go.
+    */
+  private def imaMono(b: Array[Byte], channels: Int, dataOff: Int,
+      dataLen: Int, blockAlign: Int): Option[Array[Double]] = {
+    if (blockAlign < 4 * channels || channels < 1 || channels > 2)
+      return None
+    val spb = 1 + 2 * (blockAlign / channels - 4)
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    var bo = dataOff
+    val end = dataOff + math.min(dataLen, b.length - dataOff)
+    while (bo + 4 * channels <= end) {
+      val blockEnd = math.min(bo + blockAlign, end)
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var ch = 0
+      while (ch < channels) {
+        val ho = bo + ch * 4
+        pred(ch) = ((b(ho + 1) << 8) | (b(ho) & 0xff)).toShort.toInt
+        idx(ch) = math.min(88, b(ho + 2) & 0xff)
+        ch += 1
+      }
+      // header predictors are the block's first samples
+      var mix = 0.0
+      ch = 0
+      while (ch < channels) { mix += pred(ch); ch += 1 }
+      out += mix / channels / 32768.0
+      var produced = 1
+      var go = bo + 4 * channels
+      // nibble streams per channel: stereo alternates 4-byte groups
+      val nibbles = Array.fill(channels)(
+        new scala.collection.mutable.ArrayBuffer[Int]())
+      var gi = 0
+      while (go < blockEnd) {
+        val ch2 = if (channels == 2) (gi & 1) else 0
+        val take = math.min(4, blockEnd - go)
+        var k = 0
+        while (k < take) {
+          val v = b(go + k) & 0xff
+          nibbles(ch2) += (v & 0xf)
+          nibbles(ch2) += (v >> 4)
+          k += 1
+        }
+        go += take
+        gi += 1
+      }
+      val perCh = nibbles.map(_.length).min
+      var i = 0
+      while (i < perCh && produced < spb) {
+        var mix2 = 0.0
+        ch = 0
+        while (ch < channels) {
+          val (p, ix) = imaStep(pred(ch), idx(ch), nibbles(ch)(i))
+          pred(ch) = p; idx(ch) = ix
+          mix2 += p
+          ch += 1
+        }
+        out += mix2 / channels / 32768.0
+        produced += 1
+        i += 1
+      }
+      bo += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
   private[graft] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null) return None
     if (Flac.isFlac(bytes)) return Flac.decode(bytes) // lossless: same signal
     if (!Multimodal.ContainerCodec.isWav(bytes)) return None
-    val (format, channels, sampleRate, bits, dataOff, dataLen) =
+    val (format, channels, sampleRate, bits, dataOff, dataLen, blockAlign) =
       Multimodal.ContainerCodec.wavLayout(bytes) match {
         case Some(l) => l
         case None    => return None
       }
+    if (format == 0x11)
+      return imaMono(bytes, channels, dataOff, dataLen, blockAlign)
+        .map((_, sampleRate))
     val bps = bits / 8
     if (bps <= 0) return None
     def i32le(o: Int): Int =
@@ -266,6 +365,116 @@ object AudioDsp {
         }
       }
     }
+  }
+
+  /** IMA ADPCM WAV fixture encoder (format 0x11): the reference
+    * greedy nibble quantizer, so the decoder reproduces the encoder's
+    * reconstruction EXACTLY (ADPCM is lossy vs the input, never vs
+    * itself). One Array[Double] in [-1,1] per channel (1 or 2); the
+    * final block pads by repeating the last sample.
+    */
+  def imaAdpcmWav(chans: Seq[Array[Double]], sampleRate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    val channels = chans.length
+    require(channels == 1 || channels == 2, s"imaAdpcmWav: $channels ch")
+    require(chans.forall(_.length == chans.head.length),
+      "imaAdpcmWav: ragged channels")
+    require(blockAlign % (4 * channels) == 0 && blockAlign >= 8 * channels,
+      s"imaAdpcmWav: blockAlign $blockAlign")
+    val n = chans.head.length
+    require(n >= 1, "imaAdpcmWav: empty")
+    val spb = 1 + 2 * (blockAlign / channels - 4)
+    val nBlocks = (n + spb - 1) / spb
+    def q(v: Double): Int = imaClamp(math.round(v * 32767.0).toInt)
+    val data = new java.io.ByteArrayOutputStream()
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * spb
+      def sampleAt(ch: Int, i: Int): Int =
+        q(chans(ch)(math.min(base + i, n - 1)))
+      val pred = Array.tabulate(channels)(ch => sampleAt(ch, 0))
+      // per-block initial step index sized to the block's mean delta —
+      // skipping the slow adaptation ramp a zero index would impose
+      // (the header carries it, so the decoder follows exactly)
+      val idx = Array.tabulate(channels) { ch =>
+        val meanD = (1 until spb)
+          .map(i => math.abs(sampleAt(ch, i) - sampleAt(ch, i - 1)).toLong)
+          .sum / math.max(1, spb - 1)
+        val k = ImaStep.indexWhere(_ >= meanD)
+        if (k < 0) 88 else k
+      }
+      for (ch <- 0 until channels) {
+        val p = pred(ch)
+        data.write(p & 0xff); data.write((p >> 8) & 0xff)
+        data.write(idx(ch)); data.write(0)
+      }
+      // reference greedy quantizer, nibble streams per channel
+      val nibs = Array.ofDim[Int](channels, spb - 1)
+      for (ch <- 0 until channels) {
+        var p = pred(ch)
+        var ix = idx(ch)
+        var i = 1
+        while (i < spb) {
+          val t = sampleAt(ch, i)
+          val step = ImaStep(ix)
+          var diff = t - p
+          var nib = 0
+          if (diff < 0) { nib = 8; diff = -diff }
+          if (diff >= step) { nib |= 4; diff -= step }
+          if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+          if (diff >= (step >> 2)) nib |= 1
+          val (p2, ix2) = imaStep(p, ix, nib)
+          p = p2; ix = ix2
+          nibs(ch)(i - 1) = nib
+          i += 1
+        }
+      }
+      // mono: sequential bytes; stereo: alternating 4-byte groups
+      if (channels == 1) {
+        var i = 0
+        while (i < spb - 1) {
+          val lo = nibs(0)(i)
+          val hi = if (i + 1 < spb - 1) nibs(0)(i + 1) else 0
+          data.write(lo | (hi << 4))
+          i += 2
+        }
+      } else {
+        val groups = (spb - 1) / 8
+        var g = 0
+        while (g < groups) {
+          var ch = 0
+          while (ch < 2) {
+            var k = 0
+            while (k < 4) {
+              val i = g * 8 + k * 2
+              val lo = nibs(ch)(i)
+              val hi = if (i + 1 < spb - 1) nibs(ch)(i + 1) else 0
+              data.write(lo | (hi << 4))
+              k += 1
+            }
+            ch += 1
+          }
+          g += 1
+        }
+      }
+      blk += 1
+    }
+    val payload = data.toByteArray
+    val out = java.nio.ByteBuffer
+      .allocate(12 + 8 + 20 + 8 + 4 + 8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + 20 + 8 + 4 + 8 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb) // nominal byte rate
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort) // cbSize, wSamplesPerBlock
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload)
+    out.array()
   }
 
   /** General WAV writer for the width/format-invariance fixtures:

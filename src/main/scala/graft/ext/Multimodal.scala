@@ -129,17 +129,19 @@ object Multimodal {
       * dataLen) — with every chunk size validated against the buffer so
       * a truncated file cannot over-read. None for non-PCM encodings.
       */
-    /** (format, channels, sampleRate, bitsPerSample, dataOff, dataLen)
-      * with `format` RESOLVED to 1 (integer PCM) or 3 (IEEE float):
-      * WAVE_FORMAT_EXTENSIBLE (0xFFFE — standard for >16-bit and
-      * multichannel masters) unwraps to the first two GUID bytes of
-      * its SubFormat. Compressed formats (ADPCM, MP3-in-WAV, ...)
-      * return None and the caller falls back to byte statistics.
+    /** (format, channels, sampleRate, bitsPerSample, dataOff, dataLen,
+      * blockAlign) with `format` RESOLVED to 1 (integer PCM), 3 (IEEE
+      * float), or 0x11 (IMA ADPCM — decodable from the public spec,
+      * blockAlign is its block size): WAVE_FORMAT_EXTENSIBLE (0xFFFE —
+      * standard for >16-bit and multichannel masters) unwraps to the
+      * first two GUID bytes of its SubFormat. Other compressed formats
+      * (MS-ADPCM, MP3-in-WAV, ...) return None and the caller falls
+      * back to byte statistics.
       */
     private[ext] def wavLayout(
-        b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+        b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
       var off = 12
-      var format, channels, sampleRate, bitsPerSample = 0
+      var format, channels, sampleRate, bitsPerSample, blockAlign = 0
       var dataOff, dataLen = -1
       while (off + 8 <= b.length) {
         val id = tag(b, off)
@@ -149,16 +151,17 @@ object Multimodal {
           format = u16le(b, off + 8)
           if (format == 0xfffe && sz >= 40)
             format = u16le(b, off + 8 + 24) // SubFormat GUID leads with it
-          if (format != 1 && format != 3) return None
+          if (format != 1 && format != 3 && format != 0x11) return None
           channels = u16le(b, off + 10)
           sampleRate = u32le(b, off + 12).toInt
+          blockAlign = u16le(b, off + 20)
           bitsPerSample = u16le(b, off + 22)
         } else if (id == "data") { dataOff = off + 8; dataLen = sz }
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
       if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || format == 0) None
       else Some((format, channels, sampleRate, bitsPerSample, dataOff,
-        dataLen))
+        dataLen, blockAlign))
     }
 
     /** PNG: signature, then the mandatory first chunk IHDR =
@@ -594,14 +597,21 @@ object Multimodal {
       */
     private def decodeWav(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
-      val (_, channels, sampleRate, bitsPerSample, _, dataLen) =
+      val (format, channels, sampleRate, bitsPerSample, _, dataLen,
+        blockAlign) =
         wavLayout(b) match {
           case Some(layout) => layout
           case None         => return None
         }
-      val byteRate = sampleRate.toLong * channels * (bitsPerSample / 8)
       val durationSec =
-        if (byteRate > 0) dataLen.toDouble / byteRate else 0.0
+        if (format == 0x11 && blockAlign > 8) {
+          // IMA: (1 + 2*(blockAlign/channels - 4)) samples per block
+          val spb = 1 + 2 * (blockAlign / channels - 4)
+          (dataLen / blockAlign).toDouble * spb / sampleRate
+        } else {
+          val byteRate = sampleRate.toLong * channels * (bitsPerSample / 8)
+          if (byteRate > 0) dataLen.toDouble / byteRate else 0.0
+        }
       val rms = AudioDsp.monoSamples(b) match {
         case Some((x, _)) if x.nonEmpty =>
           var sum = 0.0

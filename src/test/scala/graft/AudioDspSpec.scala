@@ -151,6 +151,34 @@ class AudioDspSpec extends SparkSpec {
     assert(AudioDsp.monoSamples(adpcm).isEmpty)
   }
 
+  test("IMA ADPCM: mono and stereo blocks decode, lossy-but-faithful") {
+    val sr = 8000; val n = 3000
+    val a = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 200 * i / sr))
+    val b = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 700 * i / sr))
+    val mono = AudioDsp.imaAdpcmWav(Seq(a), sr)
+    val (x, rate) = AudioDsp.monoSamples(mono)
+      .getOrElse(fail("mono ADPCM did not decode"))
+    assert(rate == sr && x.length >= n)
+    val err = (0 until n).map(i => math.abs(x(i) - a(i))).max
+    assert(err < 0.05, s"ADPCM is lossy but must track the signal: $err")
+    // stereo: alternating 4-byte channel groups mix to the mean
+    val st = AudioDsp.imaAdpcmWav(Seq(a, b), sr, blockAlign = 512)
+    val (xs, _) = AudioDsp.monoSamples(st)
+      .getOrElse(fail("stereo ADPCM did not decode"))
+    val errS = (0 until n).map(i =>
+      math.abs(xs(i) - (a(i) + b(i)) / 2)).max
+    assert(errS < 0.05, s"stereo ADPCM error $errS")
+    // feature extraction: real signal stats, kind pcm, block-accurate
+    // duration
+    val f = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, mono, "audio/wav", 0, 0)).toDF())
+      .collect().head
+    assert(f.kind == "pcm" && f.format == "audio/wav")
+    assert(math.abs(f.feature(2) - x.length.toFloat / sr) < 0.05,
+      s"ADPCM duration: ${f.feature(2)} vs ${x.length.toFloat / sr}")
+    assert(f.feature(3) > 0.2f, s"rms of a 0.5 sine: ${f.feature(3)}")
+  }
+
   test("stereo mono-mix: identical channels analyze like the mono signal") {
     val sr = 8000; val n = 2048
     val mono = AudioDsp.sineWav(sr, n, 700.0)

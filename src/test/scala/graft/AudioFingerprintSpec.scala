@@ -84,6 +84,19 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(rip == flacMaster,
       s"FLAC master drifted: only-rip=${(rip -- flacMaster).size} " +
         s"only-flac=${(flacMaster -- rip).size}")
+
+    // the LOSSY-compressed copy: an IMA-ADPCM re-encode of the same
+    // recording (a telephony/game-audio rip) keeps its spectral peaks,
+    // so it still PAIRS with the original — shared landmarks at or
+    // above the dedup threshold, though not necessarily the full set
+    val sig4 = seqOf(4).flatMap { case (freq, len) =>
+      (0 until len).map(i => 0.5 * math.sin(2.0 * math.Pi * freq * i / Sr))
+    }.toArray
+    val adpcm = fpSet(graft.ext.AudioDsp.imaAdpcmWav(Seq(sig4), Sr))
+    assert((rip & adpcm).size >= AudioFingerprint.Params().minShared,
+      s"ADPCM rip must still pair: shared=${(rip & adpcm).size}")
+    assert((adpcm & fpSet(wav(6))).size < AudioFingerprint.Params().minShared,
+      "ADPCM rip must not pair with a distinct recording")
   }
 
   test("audioNearDups: planted scaled copy pairs, distinct audio does not") {
