@@ -146,6 +146,57 @@ object AudioDsp {
   private def imaClamp(v: Int): Int =
     if (v < -32768) -32768 else if (v > 32767) 32767 else v
 
+  /** ITU-T G.711 mu-law byte -> linear 16-bit (the public expansion:
+    * invert, split exponent/mantissa, bias 0x84).
+    */
+  private[ext] def mulawExpand(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    val exp = (u >> 4) & 7
+    val man = u & 0xf
+    val mag = (((man << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** ITU-T G.711 A-law byte -> linear 16-bit (toggle 0x55, segmented
+    * expansion).
+    */
+  private[ext] def alawExpand(a0: Int): Int = {
+    val a = (a0 ^ 0x55) & 0xff
+    val exp = (a >> 4) & 7
+    val man = a & 0xf
+    val mag =
+      if (exp == 0) (man << 4) + 8
+      else ((man << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** G.711 fixture encoders — exact inverses of the expanders over
+    * their quantization cells.
+    */
+  private[ext] def mulawCompress(s0: Int): Int = {
+    val sign = if (s0 < 0) 0x80 else 0
+    var s = math.min(32635, math.abs(s0)) + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val man = (s >> (exp + 3)) & 0xf
+    ~(sign | (exp << 4) | man) & 0xff
+  }
+
+  private[ext] def alawCompress(s0: Int): Int = {
+    val sign = if (s0 >= 0) 0x80 else 0
+    var s = math.min(32767, math.abs(s0))
+    val out =
+      if (s < 256) sign | (s >> 4)
+      else {
+        var exp = 7
+        var mask = 0x4000
+        while (exp > 1 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+        sign | (exp << 4) | ((s >> (exp + 3)) & 0xf)
+      }
+    (out ^ 0x55) & 0xff
+  }
+
   /** One IMA step: (newPredictor, newIndex) from a nibble. */
   private def imaStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
     val step = ImaStep(idx)
@@ -238,6 +289,24 @@ object AudioDsp {
     if (format == 0x11)
       return imaMono(bytes, channels, dataOff, dataLen, blockAlign)
         .map((_, sampleRate))
+    if (format == 6 || format == 7) { // A-law / mu-law, 8-bit companded
+      if (bits != 8) return None
+      val nSamples = dataLen / channels
+      val x = new Array[Double](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        var acc = 0.0
+        var ch = 0
+        while (ch < channels) {
+          val v = bytes(dataOff + i * channels + ch) & 0xff
+          acc += (if (format == 6) alawExpand(v) else mulawExpand(v))
+          ch += 1
+        }
+        x(i) = acc / channels / 32768.0
+        i += 1
+      }
+      return Some((x, sampleRate))
+    }
     val bps = bits / 8
     if (bps <= 0) return None
     def i32le(o: Int): Int =
@@ -474,6 +543,34 @@ object AudioDsp {
       .put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
       .put("data".getBytes("US-ASCII")).putInt(payload.length)
       .put(payload)
+    out.array()
+  }
+
+  /** G.711 WAV fixture encoder: mu-law (format 7) or A-law (format 6),
+    * 8-bit companded telephony audio — the exact inverse pair of the
+    * decode expanders.
+    */
+  def g711Wav(samples: Array[Double], sampleRate: Int,
+      alaw: Boolean = false, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1, s"g711Wav: channels $channels")
+    val fmt = if (alaw) 6 else 7
+    val dataLen = samples.length * channels
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 18 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(fmt.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels).putShort(channels.toShort)
+      .putShort(8).putShort(0) // bits, cbSize
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { v =>
+      val s = math.max(-32768, math.min(32767,
+        math.round(v * 32767.0).toInt))
+      val b = if (alaw) alawCompress(s) else mulawCompress(s)
+      var ch = 0
+      while (ch < channels) { out.put(b.toByte); ch += 1 }
+    }
     out.array()
   }
 

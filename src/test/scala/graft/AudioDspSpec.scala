@@ -130,7 +130,12 @@ class AudioDspSpec extends SparkSpec {
       ("stereo24", AudioDsp.pcmWav(sig, sr, bits = 24, channels = 2), 1e-6),
       ("ext24", AudioDsp.pcmWav(sig, sr, bits = 24, extensible = true), 1e-6),
       ("extf32", AudioDsp.pcmWav(sig, sr, bits = 32, float = true,
-        extensible = true), 1e-6))
+        extensible = true), 1e-6),
+      // G.711 telephony companding: 8-bit log quantization — coarse
+      // near the peaks, the segmented-cell bound
+      ("mulaw", AudioDsp.g711Wav(sig, sr), 0.04),
+      ("alaw", AudioDsp.g711Wav(sig, sr, alaw = true), 0.04),
+      ("mulaw2ch", AudioDsp.g711Wav(sig, sr, channels = 2), 0.04))
     assert(layouts.map(_._2.toSeq).distinct.size == layouts.size,
       "fixture layouts must differ at the byte level")
     for ((name, bytes, tol) <- layouts) {
