@@ -197,6 +197,85 @@ object AudioDsp {
     (out ^ 0x55) & 0xff
   }
 
+  // MS ADPCM tables (public spec)
+  private val MsCoef1 = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsCoef2 = Array(0, -256, 0, 64, 0, -208, -232)
+  private val MsAdapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** One MS-ADPCM step from a signed nibble: (sample, newDelta). */
+  private def msStep(s1: Int, s2: Int, c1: Int, c2: Int, delta: Int,
+      nib: Int): (Int, Int) = {
+    val signed = if (nib >= 8) nib - 16 else nib
+    val pred = imaClamp(((s1 * c1 + s2 * c2) >> 8) + signed * delta)
+    val d2 = math.max(16, (MsAdapt(nib) * delta) >> 8)
+    (pred, d2)
+  }
+
+  /** MS ADPCM (format 2) block decode to the normalized mono mix: per
+    * block and channel a 7-byte header (coef index u8, delta i16le,
+    * sample1 i16le, sample2 i16le — sample2 is the OLDER sample), then
+    * one nibble per sample, channels interleaved nibble-by-nibble for
+    * stereo, HIGH nibble first.
+    */
+  private def msMono(b: Array[Byte], channels: Int, dataOff: Int,
+      dataLen: Int, blockAlign: Int): Option[Array[Double]] = {
+    if (blockAlign < 7 * channels || channels < 1 || channels > 2)
+      return None
+    def i16(o: Int): Int = ((b(o + 1) << 8) | (b(o) & 0xff)).toShort.toInt
+    val spb = 2 + 2 * (blockAlign - 7 * channels) / channels
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    var bo = dataOff
+    val end = dataOff + math.min(dataLen, b.length - dataOff)
+    while (bo + 7 * channels <= end) {
+      val blockEnd = math.min(bo + blockAlign, end)
+      val ci = new Array[Int](channels)
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels)
+      val s2 = new Array[Int](channels)
+      var ch = 0
+      while (ch < channels) {
+        ci(ch) = b(bo + ch) & 0xff
+        if (ci(ch) > 6) return None
+        delta(ch) = i16(bo + channels + ch * 2)
+        s1(ch) = i16(bo + 3 * channels + ch * 2)
+        s2(ch) = i16(bo + 5 * channels + ch * 2)
+        ch += 1
+      }
+      def emit(vals: Array[Int]): Unit = {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) { acc += vals(c); c += 1 }
+        out += acc / channels / 32768.0
+      }
+      emit(s2) // the older sample plays first
+      emit(s1)
+      var produced = 2
+      var go = bo + 7 * channels
+      var nibIdx = 0
+      while (go < blockEnd && produced < spb) {
+        val v = b(go) & 0xff
+        var half = 0
+        while (half < 2 && produced < spb) {
+          val nib = if (half == 0) v >> 4 else v & 0xf
+          val ch2 = if (channels == 2) (nibIdx & 1) else 0
+          val (p, d2) = msStep(s1(ch2), s2(ch2), MsCoef1(ci(ch2)),
+            MsCoef2(ci(ch2)), delta(ch2), nib)
+          s2(ch2) = s1(ch2); s1(ch2) = p; delta(ch2) = d2
+          if (channels == 1 || (nibIdx & 1) == 1) {
+            emit(s1)
+            produced += 1
+          }
+          nibIdx += 1
+          half += 1
+        }
+        go += 1
+      }
+      bo += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
   /** One IMA step: (newPredictor, newIndex) from a nibble. */
   private def imaStep(pred: Int, idx: Int, n: Int): (Int, Int) = {
     val step = ImaStep(idx)
@@ -288,6 +367,9 @@ object AudioDsp {
       }
     if (format == 0x11)
       return imaMono(bytes, channels, dataOff, dataLen, blockAlign)
+        .map((_, sampleRate))
+    if (format == 2)
+      return msMono(bytes, channels, dataOff, dataLen, blockAlign)
         .map((_, sampleRate))
     if (format == 6 || format == 7) { // A-law / mu-law, 8-bit companded
       if (bits != 8) return None
@@ -541,6 +623,91 @@ object AudioDsp {
       .putShort(blockAlign.toShort).putShort(4)
       .putShort(2).putShort(spb.toShort) // cbSize, wSamplesPerBlock
       .put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      .put("data".getBytes("US-ASCII")).putInt(payload.length)
+      .put(payload)
+    out.array()
+  }
+
+  /** MS ADPCM WAV fixture encoder (format 2, coefficient pair 0 so the
+    * predictor is the previous sample): the greedy nibble quantizer
+    * against the decoder's own reconstruction, mono or stereo
+    * (nibbles alternate channels, high nibble first).
+    */
+  def msAdpcmWav(chans: Seq[Array[Double]], sampleRate: Int,
+      blockAlign: Int = 256): Array[Byte] = {
+    val channels = chans.length
+    require(channels == 1 || channels == 2, s"msAdpcmWav: $channels ch")
+    require(chans.forall(_.length == chans.head.length),
+      "msAdpcmWav: ragged channels")
+    require(blockAlign >= 14 * channels && blockAlign % channels == 0,
+      s"msAdpcmWav: blockAlign $blockAlign")
+    val n = chans.head.length
+    require(n >= 2, "msAdpcmWav: need at least two samples")
+    def q(v: Double): Int = imaClamp(math.round(v * 32767.0).toInt)
+    val spb = 2 + 2 * (blockAlign - 7 * channels) / channels
+    val nBlocks = (n + spb - 1) / spb
+    val data = new java.io.ByteArrayOutputStream()
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * spb
+      def sampleAt(ch: Int, i: Int): Int =
+        q(chans(ch)(math.min(base + i, n - 1)))
+      val s2 = Array.tabulate(channels)(sampleAt(_, 0))
+      val s1 = Array.tabulate(channels)(sampleAt(_, 1))
+      val delta = Array.tabulate(channels) { ch =>
+        val meanD = (2 until spb)
+          .map(i => math.abs(sampleAt(ch, i) - sampleAt(ch, i - 1)).toLong)
+          .sum / math.max(1, spb - 2)
+        math.max(16, (meanD / 4).toInt)
+      }
+      for (ch <- 0 until channels) data.write(0) // coef index 0
+      for (ch <- 0 until channels) {
+        data.write(delta(ch) & 0xff); data.write((delta(ch) >> 8) & 0xff)
+      }
+      for (ch <- 0 until channels) {
+        data.write(s1(ch) & 0xff); data.write((s1(ch) >> 8) & 0xff)
+      }
+      for (ch <- 0 until channels) {
+        data.write(s2(ch) & 0xff); data.write((s2(ch) >> 8) & 0xff)
+      }
+      var cur = 0
+      var half = 0
+      var i = 2
+      var nibIdx = 0
+      val totalNibs = (spb - 2) * channels
+      while (nibIdx < totalNibs) {
+        val ch = if (channels == 2) (nibIdx & 1) else 0
+        val t = sampleAt(ch, i)
+        val pred = (s1(ch) * MsCoef1(0) + s2(ch) * MsCoef2(0)) >> 8
+        val ideal = math.round((t - pred).toDouble / delta(ch)).toInt
+        val nib = (math.max(-8, math.min(7, ideal))) & 0xf
+        val (p, d2) = msStep(s1(ch), s2(ch), MsCoef1(0), MsCoef2(0),
+          delta(ch), nib)
+        s2(ch) = s1(ch); s1(ch) = p; delta(ch) = d2
+        if (half == 0) { cur = nib << 4; half = 1 }
+        else { data.write(cur | nib); half = 0 }
+        nibIdx += 1
+        if (channels == 1 || (nibIdx & 1) == 0) i += 1
+      }
+      if (half == 1) data.write(cur)
+      blk += 1
+    }
+    val payload = data.toByteArray
+    val fmtLen = 18 + 32 // + wSamplesPerBlock, wNumCoef, 7 coef pairs
+    val out = java.nio.ByteBuffer
+      .allocate(12 + 8 + fmtLen + 8 + 4 + 8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + fmtLen + 8 + 4 + 8 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      .putShort(2).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(32).putShort(spb.toShort).putShort(7)
+    for (k <- 0 until 7)
+      out.putShort(MsCoef1(k).toShort).putShort(MsCoef2(k).toShort)
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
       .put("data".getBytes("US-ASCII")).putInt(payload.length)
       .put(payload)
     out.array()

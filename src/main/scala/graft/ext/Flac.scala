@@ -173,6 +173,7 @@ private[graft] object Flac {
       r.readBits(8) // header CRC-8 (not verified — see scaladoc)
       if (blockSize <= 0 || blockSize > 65536 ||
         written + blockSize > n) return None
+      if (chAsgn > 10) return None // 11-15 reserved
       val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
       if (nCh != channels) return None
       var ch = 0

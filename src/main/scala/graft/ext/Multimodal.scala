@@ -151,8 +151,8 @@ object Multimodal {
           format = u16le(b, off + 8)
           if (format == 0xfffe && sz >= 40)
             format = u16le(b, off + 8 + 24) // SubFormat GUID leads with it
-          if (format != 1 && format != 3 && format != 0x11 &&
-            format != 6 && format != 7) return None
+          if (format != 1 && format != 2 && format != 3 &&
+            format != 0x11 && format != 6 && format != 7) return None
           channels = u16le(b, off + 10)
           sampleRate = u32le(b, off + 12).toInt
           blockAlign = u16le(b, off + 20)

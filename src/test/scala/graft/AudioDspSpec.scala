@@ -184,6 +184,24 @@ class AudioDspSpec extends SparkSpec {
     assert(f.feature(3) > 0.2f, s"rms of a 0.5 sine: ${f.feature(3)}")
   }
 
+  test("MS ADPCM: mono and stereo blocks decode, lossy-but-faithful") {
+    val sr = 8000; val n = 3000
+    val a = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 200 * i / sr))
+    val b = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 700 * i / sr))
+    val mono = AudioDsp.msAdpcmWav(Seq(a), sr)
+    val (x, rate) = AudioDsp.monoSamples(mono)
+      .getOrElse(fail("mono MS-ADPCM did not decode"))
+    assert(rate == sr && x.length >= n)
+    val err = (0 until n).map(i => math.abs(x(i) - a(i))).max
+    assert(err < 0.05, s"MS-ADPCM must track the signal: $err")
+    val st = AudioDsp.msAdpcmWav(Seq(a, b), sr, blockAlign = 512)
+    val (xs, _) = AudioDsp.monoSamples(st)
+      .getOrElse(fail("stereo MS-ADPCM did not decode"))
+    val errS = (0 until n).map(i =>
+      math.abs(xs(i) - (a(i) + b(i)) / 2)).max
+    assert(errS < 0.05, s"stereo MS-ADPCM error $errS")
+  }
+
   test("stereo mono-mix: identical channels analyze like the mono signal") {
     val sr = 8000; val n = 2048
     val mono = AudioDsp.sineWav(sr, n, 700.0)
