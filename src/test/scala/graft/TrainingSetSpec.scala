@@ -324,6 +324,16 @@ class TrainingSetSpec extends SparkSpec {
     // a DIFFERENT recording passes while the stage is active
     val r4 = ing(Seq((4L, textA + " again", rec(9, 0.5))), "a4")
     assert(r4.afterAudioDedup == 1, s"distinct audio wrongly dropped: $r4")
+    // cross-CONTAINER: a FLAC re-encode of the stored recording (byte-
+    // incompatible file, bit-identical decoded signal through the one
+    // shared monoSamples) drops at exactly the audio stage — no extra
+    // wiring, the decode IS the integration point
+    val flacCopy = AudioFingerprint.tonesFlac(8000,
+      (0 until 6).map(i => (300.0 + (4 * 6 + i) * 25.0, 1024)), 0.4)
+    val r5 = ing(Seq((5L, "yet another fully disjoint caption naming " +
+      "nothing previous in any prior batch", flacCopy)), "a5")
+    assert(r5.afterNearDup == 1 && r5.afterAudioDedup == 0,
+      s"FLAC re-encode not caught by the landmark store: $r5")
   }
 
   test("video stage: re-WRAPPED mp4 with REWRITTEN text drops cross-batch; takedown readmits") {
