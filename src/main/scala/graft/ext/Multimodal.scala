@@ -909,6 +909,88 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** EXIF provenance fields from a JPEG APP1 segment (or a bare TIFF
+      * header): (orientation, make, model, takenAt) — the camera/time
+      * metadata a curation pipeline mines for dedup attribution and
+      * time-range filtering. A self-contained bounds-checked IFD walk
+      * in either byte order: IFD0 tags 271/272/274/306 plus
+      * DateTimeOriginal (36867) behind the ExifIFD pointer (34665).
+      * None when no EXIF is present — total, like every parser here.
+      */
+    private[graft] def exifOf(b: Array[Byte])
+        : Option[(Option[Int], Option[String], Option[String],
+          Option[String])] = try {
+      val base: Int =
+        if (isTiff(b)) 0
+        else if (isJpeg(b)) {
+          // walk JPEG segments to APP1 "Exif\0\0"
+          var off = 2
+          var found = -1
+          while (found < 0 && off + 4 <= b.length &&
+            (b(off) & 0xff) == 0xff) {
+            val marker = b(off + 1) & 0xff
+            if (marker == 0xda || marker == 0xd9) return None // SOS/EOI
+            val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            if (len < 2 || off + 2 + len > b.length) return None
+            if (marker == 0xe1 && len >= 8 + 6 &&
+              b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
+              b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0)
+              found = off + 10
+            off += 2 + len
+          }
+          if (found < 0) return None
+          found
+        } else return None
+      if (base + 8 > b.length) return None
+      val le = b(base) == 'I' && b(base + 1) == 'I'
+      if (!le && !(b(base) == 'M' && b(base + 1) == 'M')) return None
+      def u16(o: Int): Int =
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+        else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+      if (u16(base + 2) != 42) return None
+      var orientation: Option[Int] = None
+      var make, model, taken: Option[String] = None
+      def ascii(typ: Int, count: Long, vo: Int): Option[String] = {
+        if (typ != 2 || count <= 0 || count > 4096) return None
+        val off =
+          if (count <= 4) vo.toLong else base + u32(vo)
+        if (off < 0 || off + count > b.length) return None
+        val raw = new String(b, off.toInt, count.toInt - 1, "US-ASCII")
+        Some(raw.takeWhile(_ != '\u0000'))
+      }
+      def walk(ifdOff: Long, depth: Int): Unit = {
+        if (depth > 2 || ifdOff < 8 || base + ifdOff + 2 > b.length) return
+        val io = (base + ifdOff).toInt
+        val n = u16(io)
+        if (io + 2 + n * 12 > b.length) return
+        var e = 0
+        while (e < n) {
+          val eo = io + 2 + e * 12
+          val tag = u16(eo)
+          val typ = u16(eo + 2)
+          val count = u32(eo + 4)
+          val vo = eo + 8
+          tag match {
+            case 274 if typ == 3 => orientation = Some(u16(vo))
+            case 271 => make = ascii(typ, count, vo)
+            case 272 => model = ascii(typ, count, vo)
+            case 306 if taken.isEmpty => taken = ascii(typ, count, vo)
+            case 36867 => taken = ascii(typ, count, vo) // DateTimeOriginal
+            case 34665 if typ == 4 => walk(u32(vo), depth + 1)
+            case _ => ()
+          }
+          e += 1
+        }
+      }
+      walk(u32(base + 4), 0)
+      if (orientation.isEmpty && make.isEmpty && model.isEmpty &&
+        taken.isEmpty) None
+      else Some((orientation, make, model, taken))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
     private[ext] def isIco(b: Array[Byte]): Boolean =
       b.length >= 22 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0 &&
         u16le(b, 4) >= 1
@@ -1352,7 +1434,7 @@ object Multimodal {
         b(3) == 'S' // 47 = 27-byte page header + 1 segment + OpusHead id
 
     /** Ogg: the first page's payload is the codec id header, and both
-      * Vorbis ("vorbis": channels u8, rate u32le) and Opus
+      * Vorbis (0x01 + "vorbis": channels u8, rate u32le) and Opus
       * ("OpusHead": channels u8, pre-skip, input rate u32le) carry
       * geometry in clear — no codec work. Duration comes from the
       * LAST page's granule position (total PCM samples — at 48 kHz
@@ -2299,6 +2381,76 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => codec.decode(batch.toSeq))
     }
+  }
+
+  final case class ExifRow(doc_id: Long, orientation: Option[Int],
+      make: Option[String], model: Option[String],
+      taken_at: Option[String])
+
+  /** Image PROVENANCE extraction: EXIF orientation / camera make +
+    * model / capture timestamp per document — the metadata a curation
+    * pipeline mines for dedup attribution, camera-source analysis, and
+    * time-range filtering at corpus scale. Partition-parallel map, no
+    * shuffle; rows without EXIF carry nulls (total). JPEG APP1 and
+    * bare-TIFF EXIF in either byte order.
+    */
+  def exifTable(spark: SparkSession, media: DataFrame): Dataset[ExifRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ContainerCodec.exifOf(bytes) match {
+          case Some((o, mk, md, dt)) => ExifRow(id, o, mk, md, dt)
+          case None => ExifRow(id, None, None, None, None)
+        }
+      })
+  }
+
+  /** Wrap a JPEG with an EXIF APP1 segment (little-endian TIFF: IFD0
+    * tags Make/Model/Orientation + an ExifIFD with DateTimeOriginal) —
+    * the provenance-extraction fixture writer. Strings must be at
+    * least 4 chars so every ASCII value takes the external-offset
+    * form the reader expects for long values.
+    */
+  def exifJpeg(jpeg: Array[Byte], orientation: Int, make: String,
+      model: String, takenAt: String): Array[Byte] = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "exifJpeg: not a JPEG")
+    require(Seq(make, model, takenAt).forall(_.length >= 4),
+      "exifJpeg: strings must be >= 4 chars (external-offset form)")
+    val mk = make.getBytes("US-ASCII") :+ 0.toByte
+    val md = model.getBytes("US-ASCII") :+ 0.toByte
+    val dt = takenAt.getBytes("US-ASCII") :+ 0.toByte
+    val ifd0 = 8
+    val exifIfd = ifd0 + 2 + 4 * 12 + 4
+    val strBase = exifIfd + 2 + 1 * 12 + 4
+    val mkOff = strBase
+    val mdOff = mkOff + mk.length
+    val dtOff = mdOff + md.length
+    val tiff = java.nio.ByteBuffer.allocate(dtOff + dt.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0)
+    tiff.putShort(4) // IFD0 entries, ascending tags
+    tiff.putShort(271).putShort(2).putInt(mk.length).putInt(mkOff)
+    tiff.putShort(272).putShort(2).putInt(md.length).putInt(mdOff)
+    tiff.putShort(274).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    tiff.putShort(34665.toShort).putShort(4).putInt(1).putInt(exifIfd)
+    tiff.putInt(0) // no next IFD
+    tiff.putShort(1) // ExifIFD entries
+    tiff.putShort(36867.toShort).putShort(2).putInt(dt.length).putInt(dtOff)
+    tiff.putInt(0)
+    tiff.put(mk).put(md).put(dt)
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
   }
 
   /** Corpus-level decode-coverage rollup: row counts per (format,

@@ -1539,6 +1539,36 @@ object ExtQueries {
         .orderBy("doc_id", "variant")
     }),
 
+    // Image PROVENANCE extraction, oracled: 12 JPEGs wrapped with real
+    // EXIF APP1 segments (IFD0 Make/Model/Orientation + DateTimeOriginal
+    // behind the ExifIFD pointer) whose fields derive from doc_id in
+    // closed form, plus one EXIF-less JPEG that must yield nulls. The
+    // oracle regenerates every field — the segment walk, the IFD
+    // arithmetic, the external-offset ASCII reads, and the nested-IFD
+    // hop are each one byte from failing the compare.
+    "ext_image_exif" -> ((s, dir) => {
+      import s.implicits._
+      val plane = Array.tabulate(10 * 8)(p => ((p * 53) % 251).toByte)
+      val baseJpeg = {
+        val im = new java.awt.image.BufferedImage(10, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 10)
+          im.setRGB(x, y, (plane(y * 10 + x) & 0xff) * 0x010101)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "jpg", out)
+        out.toByteArray
+      }
+      val rows = (0 until 12).map { k =>
+        (k.toLong, Multimodal.exifJpeg(baseJpeg,
+          orientation = 1 + k % 8,
+          make = s"maker${k % 5}",
+          model = f"cam_${k * 7 % 30}%02d",
+          takenAt = f"2021:${k % 12 + 1}%02d:15 0${k % 9}:30:00"))
+      } :+ (99L, baseJpeg)
+      Multimodal.exifTable(s, rows.toDF("doc_id", "media"))
+        .toDF().orderBy("doc_id")
+    }),
+
     // THE DISPATCH TABLE, oracled in one row set: one synthesized
     // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
     // lossless-WebP pixels, WAV pcm, FLAC lossless, lossy-WebP/MP3/
@@ -3392,6 +3422,19 @@ object ExtQueries {
         |  (VALUES ('be_rgb'), ('gray'), ('inv'), ('pal'), ('pb'),
         |          ('strips')) AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
+
+    // closed-form EXIF fields per doc, one null row for the EXIF-less
+    // JPEG
+    "ext_image_exif" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id,
+        |  CAST(1 + k % 8 AS INT) AS orientation,
+        |  'maker' || CAST(k % 5 AS VARCHAR) AS make,
+        |  printf('cam_%02d', k * 7 % 30) AS model,
+        |  printf('2021:%02d:15 0%d:30:00', k % 12 + 1, k % 9) AS taken_at
+        |FROM UNNEST(range(0, 12)) AS t(k)
+        |UNION ALL
+        |SELECT 99, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the dispatch table's closed-form census: distinct planted counts
     // per (format, regime) class

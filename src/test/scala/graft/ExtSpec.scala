@@ -758,6 +758,33 @@ class ExtSpec extends SparkSpec {
       ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
+  test("multimodal: EXIF provenance — fields extracted, no-EXIF and truncation are null") {
+    val im = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val plain = bos.toByteArray
+    val tagged = Multimodal.exifJpeg(plain, orientation = 6,
+      make = "graftcam", model = "gx-100",
+      takenAt = "2022:07:04 18:22:11")
+    // the tagged file must still DECODE as a picture (APP1 is
+    // transparent to the pixel path)
+    assert(Multimodal.ContainerCodec.grayPlane(tagged).exists(_._2 == 6))
+    val rows = Multimodal.exifTable(spark, Seq(
+        (1L, tagged), (2L, plain),
+        (3L, tagged.take(30)), // APP1 cut mid-IFD
+        (4L, "no jpeg at all".getBytes("UTF-8")))
+        .toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rows(1L).orientation.contains(6) &&
+      rows(1L).make.contains("graftcam") &&
+      rows(1L).model.contains("gx-100") &&
+      rows(1L).taken_at.contains("2022:07:04 18:22:11"), s"${rows(1L)}")
+    for (id <- Seq(2L, 3L, 4L))
+      assert(rows(id).orientation.isEmpty && rows(id).make.isEmpty &&
+        rows(id).taken_at.isEmpty, s"doc $id must be all-null: ${rows(id)}")
+  }
+
   test("multimodal: MP3 and Ogg geometry from frame/id headers, no codec") {
     // MPEG-1 Layer III, 128 kbps, 44100 Hz, joint stereo, behind an
     // ID3v2 tag (syncsafe size 0x100 = 256 payload bytes)
