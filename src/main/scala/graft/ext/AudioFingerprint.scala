@@ -233,23 +233,53 @@ object AudioFingerprint {
       .dropDuplicates("doc_id", "fp")
       .localCheckpoint(false) // probe, in-batch pairs, registration
 
-    val inBatch = sharedCounts(fps, params)
-    val cross =
-      if (!storeExists) inBatch.limit(0)
+    // combined-bucket hub cap (the IncrementalImageDedup/EmbedDedup
+    // discipline): a hash is degenerate when the documents CARRYING it —
+    // batch plus surviving store rows together — exceed maxBucket, and it
+    // must then drop from BOTH the in-batch expansion and the cross join,
+    // or the incremental form diverges from the one-shot operator at the
+    // hub boundary (e.g. silence landmarks accumulated over many ingests
+    // would fan the cross join out unboundedly while the batch side caps)
+    val batchCnt = fps.groupBy("fp").agg(count(lit(1)).as("__bc"))
+    def inBatchPairs(okFps: DataFrame) = fps
+      .join(okFps, Seq("fp"), "left_semi")
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val pairs =
+      if (!storeExists)
+        inBatchPairs(batchCnt.filter(col("__bc") <= params.maxBucket)
+          .select("fp"))
       else {
         // one store scan, batch hashes broadcast; stored copies of
-        // re-ingested ids drop (their batch rows already count)
+        // re-ingested ids drop FIRST (their batch rows already count,
+        // and counting the stored copy too would push a bucket sitting
+        // exactly at maxBucket over the cap)
         val hot = liveFps(spark, storePath)
           .join(broadcast(fps.select("doc_id").distinct()),
             Seq("doc_id"), "left_anti")
           .join(broadcast(fps.select("fp").distinct()), Seq("fp"), "left_semi")
-        fps.select(col("fp"), col("doc_id").as("batch_id"))
-          .join(hot.select(col("fp"), col("doc_id").as("store_id")), Seq("fp"))
+          .localCheckpoint(false) // counted AND joined
+        val okFps = batchCnt
+          .join(hot.groupBy("fp").agg(count(lit(1)).as("__sc")), Seq("fp"),
+            "left")
+          .filter(col("__bc") + coalesce(col("__sc"), lit(0L)) <=
+            params.maxBucket)
+          .select("fp")
+          .localCheckpoint(false) // prunes both sides of the cross join
+        val cross = fps.select(col("fp"), col("doc_id").as("batch_id"))
+          .join(okFps, Seq("fp"), "left_semi")
+          .join(hot.join(okFps, Seq("fp"), "left_semi")
+            .select(col("fp"), col("doc_id").as("store_id")), Seq("fp"))
           .groupBy(least(col("batch_id"), col("store_id")).as("id_a"),
             greatest(col("batch_id"), col("store_id")).as("id_b"))
           .agg(count(lit(1)).as("shared"))
+        inBatchPairs(okFps).unionByName(cross)
       }
-    val out = inBatch.unionByName(cross)
+    val out = pairs
       .filter(col("shared") >= params.minShared)
       .select("id_a", "id_b", "shared")
       .orderBy("id_a", "id_b")

@@ -506,6 +506,23 @@ object Dedup {
     * specs) — else explode + 64 codegen'd sum-aggregates (map-side
     * partial sums, one shuffle on doc_id). Shared by the one-shot pair
     * search and the persisted [[SimhashIndex]].
+    *
+    * ROW-IDENTICAL across the two forms by contract (asserted in
+    * ExtSpec): an EMPTY/whitespace-only document tokenizes to one
+    * empty-string token (Java split quirk: `"".split` -> `[""]`), so
+    * every empty doc shares ONE constant signature in both forms; a
+    * NULL text hashes to NULL sh in both (the image family's
+    * null-signature convention; callers filter or let the chunk explode
+    * drop it); and a genuinely EMPTY token array — reachable if the
+    * tokenizer ever changes — hashes to 0 in both (every per-bit vote
+    * ties). The declarative aggregate would silently DROP null-text and
+    * empty-array rows (explode yields nothing), so it left-joins back
+    * to the input ids and fills each hole with the NULL/0 the native
+    * path computes. Deliberate semantics: empty docs DO index and DO
+    * pair with each other — identical empty content is a true duplicate
+    * class — and the degenerate-cluster hazard (every empty doc
+    * mutually Hamming-0) is bounded by the same `maxBucket` hub cap
+    * that bounds every other blocking bucket.
     */
   private[graft] def simhashFrame(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -520,10 +537,16 @@ object Dedup {
           .otherwise(-1)).as(s"b$b"))
       val packed = (0 until 64).map(b =>
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      df.select(col(idCol).as("doc_id"), explode(tokenHashArr).as("h"))
+      val voted = df
+        .select(col(idCol).as("doc_id"), explode(tokenHashArr).as("h"))
         .groupBy("doc_id")
         .agg(bitCols.head, bitCols.tail: _*)
         .select(col("doc_id"), packed.as("sh"))
+      df.select(col(idCol).as("doc_id"), tokenHashArr.as("__th"))
+        .join(voted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__th").isNull, lit(null).cast("long"))
+            .otherwise(coalesce(col("sh"), lit(0L))).as("sh"))
     }
   }
 

@@ -148,7 +148,7 @@ private[ext] object HammingIndex {
     ids.select("doc_id").write.mode("append").parquet(s"$path/forgotten")
   }
 
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+  private[ext] def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (StoreTombstones.hasData(spark, s"$path/forgotten"))
       Some(spark.read.parquet(s"$path/forgotten").select("doc_id").distinct())
     else None
@@ -158,7 +158,7 @@ private[ext] object HammingIndex {
     * anywhere converges on replay: the batch anti-joins away on the
     * postings side and the readmit re-runs here.
     */
-  private def readmit(spark: SparkSession, path: String,
+  private[ext] def readmit(spark: SparkSession, path: String,
       batchIds: DataFrame, what: String): Unit =
     tombstones(spark, path).foreach { ts =>
       val hit = ts.join(broadcast(batchIds.select("doc_id")), Seq("doc_id"))

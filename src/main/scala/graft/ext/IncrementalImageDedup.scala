@@ -27,6 +27,13 @@ import graft.sinks.UpsertIgnore
   *
   *   store/sigs/        (doc_id, sh) — 64-bit dHash; chunk keys derive
   *                                     map-side on the (pruned) scan
+  *   store/sig_regime   "dhash_px 1" — the signature REGIME is part of
+  *     the artifact (the bloom_mh<H> discipline applied to the hash
+  *     function itself): a store of byte-regime signatures probed with
+  *     pixel-regime hashes would silently MISS re-crawled copies — a
+  *     recall loss with no error — so a store without the marker (built
+  *     before the pixel-aware hash) or with a different regime fails
+  *     LOUDLY at ingest with a rebuild instruction instead
   *   store/forgotten/   (doc_id)     — takedown tombstones
   *   store/bloom_mh<H>/              — KeyBloom sidecars over the
   *     xxhash64(chunk, cval) blocking keys AT maxHamming = H. The dir
@@ -69,6 +76,47 @@ object IncrementalImageDedup {
 
   private def bloomDir(storePath: String, maxHamming: Int): String =
     s"$storePath/bloom_mh$maxHamming"
+
+  /** The signature regime this code writes and probes with. Bump the
+    * version whenever the hash FUNCTION changes meaning (byte-regime →
+    * pixel-regime did exactly that in the past): stored signatures and
+    * probe signatures must come from the same function or recall is
+    * silently lost.
+    */
+  private[graft] val SigRegime = "dhash_px 1"
+
+  private def regimePath(storePath: String) = new Path(s"$storePath/sig_regime")
+
+  private def writeRegime(spark: SparkSession, storePath: String): Unit = {
+    val p = regimePath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try { out.write(s"$SigRegime\n".getBytes("UTF-8")); out.hsync() }
+    finally out.close()
+  }
+
+  /** Refuse to probe/append a store whose signatures came from a
+    * different hash regime. A missing marker means the store predates
+    * regime tracking (its decodable images carry byte-regime hashes):
+    * treat as mismatched — the failure mode being prevented is SILENT,
+    * so absence must be loud too.
+    */
+  private def checkRegime(spark: SparkSession, storePath: String): Unit = {
+    val p = regimePath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    require(found.contains(SigRegime),
+      s"image store at $storePath holds '${found.getOrElse("<no marker>")}' " +
+        s"signatures but this build probes with '$SigRegime' — re-crawled " +
+        "copies would silently miss. Rebuild the store (re-ingest the " +
+        "corpus into a fresh path) to upgrade its signatures.")
+  }
 
   /** Capacity of the (chunk, cval) blocking-key space at this
     * maxHamming, measured by the NARROW chunks (nChunks slots of
@@ -121,6 +169,7 @@ object IncrementalImageDedup {
       params: Params = Params()): DataFrame = {
     val sigsPath = s"$storePath/sigs"
     val storeExists = exists(spark, sigsPath)
+    if (storeExists) checkRegime(spark, storePath)
     val e = media
       .select(col("doc_id"),
         Multimodal.dHashPixels(spark)(
@@ -271,9 +320,13 @@ object IncrementalImageDedup {
         KeyBloom.writeSidecar(spark, bDir,
           KeyBloom.build(spark, hashes, n, params.bitsPerKey), n)
     }
-    if (!storeExists)
+    if (!storeExists) {
+      // marker BEFORE the first sig write: a crash in between leaves a
+      // marker with no sigs (next ingest re-creates both), never sigs
+      // with no marker (which would fail the regime check forever)
+      writeRegime(spark, storePath)
       e.write.mode("overwrite").parquet(sigsPath)
-    else {
+    } else {
       val idBounds = e.agg(min(col("doc_id")), max(col("doc_id"))).head()
       UpsertIgnore.appendAbsent(spark, e, sigsPath, keys = Seq("doc_id"),
         pruneCol = Some("doc_id"), bounds = Some(idBounds))

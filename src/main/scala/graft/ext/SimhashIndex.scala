@@ -33,8 +33,14 @@ object SimhashIndex {
   private val What = "simhash index"
 
   /** SimHash `df`'s `textCol` and persist the posting layout at `path`.
-    * Empty/tokenless documents hash to signature 0 like everywhere else
-    * in the simhash family and are indexed as such.
+    * Empty/whitespace-only documents all hash to ONE constant signature
+    * (the single empty-token vote — identical in BOTH the native and
+    * declarative forms; row-identity is asserted in ExtSpec) and are
+    * indexed as such: identical empty content is a true duplicate
+    * class, and the degenerate all-empty cluster is bounded by the
+    * family's hub caps. NULL-text documents hash to NULL and are NOT
+    * indexed (the chunk explode drops them), mirroring the image
+    * family's null-hash rows.
     */
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
       maxHamming: Int = 7, filesPerChunk: Int = 8): Unit =

@@ -111,6 +111,38 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
   }
 
+  test("hub cap: ingest caps on the COMBINED batch+store bucket, like the one-shot") {
+    // four scaled copies of ONE recording share every landmark, so each
+    // hash's bucket is exactly the copy count — a controllable hub
+    val store = tmpDir("audiohub") + "/s"
+    val b1 = Seq((1L, wav(30, 0.5)), (2L, wav(30, 0.4))).toDF("doc_id", "media")
+    val b2 = Seq((3L, wav(30, 0.3)), (4L, wav(30, 0.25))).toDF("doc_id", "media")
+    val p3 = AudioFingerprint.Params(maxBucket = 3)
+    val p1 = AudioFingerprint.ingest(spark, b1, store, p3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 2L)), s"$p1")
+    // second ingest: every landmark is carried by 4 documents COMBINED
+    // (2 stored + 2 in batch) > maxBucket -> degenerate hub -> no pairs
+    // from the cross join OR the in-batch expansion (capping only the
+    // batch side would let the cross side fan out 4 pairs here)
+    val p2 = AudioFingerprint.ingest(spark, b2, store, p3).collect()
+    assert(p2.isEmpty, s"hub pairs leaked past the combined cap: ${p2.toSeq}")
+    // the one-shot operator agrees at the cap boundary
+    val all = Seq((1L, wav(30, 0.5)), (2L, wav(30, 0.4)),
+      (3L, wav(30, 0.3)), (4L, wav(30, 0.25))).toDF("doc_id", "media")
+    assert(AudioFingerprint.audioNearDups(spark, all, p3).collect().isEmpty)
+    // one notch up (maxBucket = 4) the same second ingest reports the
+    // full cross + in-batch pair set — the cap is the only gate
+    val store2 = tmpDir("audiohub2") + "/s"
+    val p4 = AudioFingerprint.Params(maxBucket = 4)
+    AudioFingerprint.ingest(spark, b1, store2, p4)
+    val q2 = AudioFingerprint.ingest(spark, b2, store2, p4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q2 == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), s"$q2")
+  }
+
   test("incremental store: cross-batch == one-shot, replay idempotent, forget readmits") {
     val store = tmpDir("audiostore") + "/s"
     val b1 = Seq((1L, wav(20, 0.5)), (2L, wav(21))).toDF("doc_id", "media")

@@ -617,6 +617,36 @@ class ExtSpec extends SparkSpec {
     assert(sim2 == nativeSim)
   }
 
+  test("simhashFrame: tokenless/null rows are ROW-IDENTICAL across forms") {
+    // the contract the fallback's left-join exists for: an empty or
+    // whitespace-only document (Spark's split drops trailing empties ->
+    // empty token array) hashes to 0 in BOTH forms instead of silently
+    // vanishing from the declarative aggregate, and NULL text hashes to
+    // NULL sh in both (the image family's null-signature convention)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val native = rows(Dedup.simhashFrame(df, "doc_id", "text"))
+    assert(native.size == 4, s"native dropped rows: $native")
+    // empty/whitespace text tokenizes to ONE empty-string token (Java
+    // split quirk: "".split -> [""]), so every empty doc shares one
+    // constant signature — the same duplicate-class semantic as 0
+    assert(native(2L).isDefined && native(2L) == native(3L),
+      s"empty docs must share one constant signature: $native")
+    assert(native(4L).isEmpty, s"null text must hash NULL: $native")
+    val reg = spark.sessionState.functionRegistry
+    val fid = FunctionIdentifier("graft_simhash")
+    val saved = (reg.lookupFunction(fid).get, reg.lookupFunctionBuilder(fid).get)
+    try {
+      reg.dropFunction(fid)
+      val fb = rows(Dedup.simhashFrame(df, "doc_id", "text"))
+      assert(fb == native, s"fallback diverged: $fb vs native $native")
+    } finally reg.registerFunction(fid, saved._1, saved._2)
+  }
+
   test("multimodal: batched stub decode preserves every row, deterministic") {
     val media = Multimodal.mediaTable(
       Tables.documents(spark, "/root/testdata/sf0.001"))

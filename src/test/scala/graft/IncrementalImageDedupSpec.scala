@@ -159,6 +159,38 @@ class IncrementalImageDedupSpec extends SparkSpec {
       "stale bloom_mh10 survived an mh=6 ingest")
   }
 
+  test("signature-regime marker: a pre-regime or mismatched store refuses ingest") {
+    val store = tmpDir("imgstore_regime") + "/s"
+    IncrementalImageDedup.ingest(spark, media.filter(col("doc_id") === 3), store)
+    val p = new org.apache.hadoop.fs.Path(s"$store/sig_regime")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p), "store must be born with its regime marker")
+    // a store that PREDATES regime tracking (no marker) holds byte-regime
+    // signatures for decodable images: probing it with pixel-regime
+    // hashes would silently lose recall, so it must fail LOUDLY
+    fs.delete(p, false)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalImageDedup.ingest(spark,
+        media.filter(col("doc_id") === 5), store)
+    }
+    assert(e1.getMessage.contains("Rebuild"), e1.getMessage)
+    // and so must an explicitly different regime
+    val out = fs.create(p, true)
+    out.write("dhash_bytes 1\n".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalImageDedup.ingest(spark,
+        media.filter(col("doc_id") === 5), store)
+    }
+    assert(e2.getMessage.contains("dhash_bytes"), e2.getMessage)
+    // restoring the marker restores service
+    val out2 = fs.create(p, true)
+    out2.write(s"${IncrementalImageDedup.SigRegime}\n".getBytes("UTF-8"))
+    out2.close()
+    IncrementalImageDedup.ingest(spark,
+      media.filter(col("doc_id") === 5), store)
+    assert(IncrementalImageDedup.storedDocs(spark, store) == 2)
+  }
+
   test("forget: fresh copies readmit, compaction erases physically") {
     val store = tmpDir("imgstore3") + "/s"
     val one = media.filter(col("doc_id") === 5)
