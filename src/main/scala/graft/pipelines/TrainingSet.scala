@@ -473,10 +473,11 @@ object TrainingSet {
     *  - `IncrementalDedup.forget` / `IncrementalSubstring.forget` /
     *    `IncrementalKeyedDedup.forget` tombstones (O(takedown) appends;
     *    each store's `compactStore` later erases the rows physically);
-    *  - `ImageIndex.forget` / `SimhashIndex.forget` when the caller
-    *    maintains serving-side Hamming indexes over this corpus — the
-    *    forgotten ids stop ranking in bounded-distance search
-    *    immediately (their index rebuild clears the tombstones).
+    *  - `ImageIndex.forget` / `SimhashIndex.forget` / `AudioIndex
+    *    .forget` when the caller maintains serving-side indexes over
+    *    this corpus — the forgotten ids stop ranking in bounded-
+    *    distance / query-by-example search immediately (their index
+    *    rebuild clears the tombstones).
     *
     * After a takedown, fresh copies of the forgotten content are
     * admitted again under new ids — dedup state must not remember
@@ -503,6 +504,7 @@ object TrainingSet {
       videoStorePath: Option[String] = None,
       imageIndexPath: Option[String] = None,
       textIndexPath: Option[String] = None,
+      audioIndexPath: Option[String] = None,
       vacuum: Boolean = false): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -542,6 +544,8 @@ object TrainingSet {
       p => graft.ext.ImageIndex.forget(spark, p, tomb))
     textIndexPath.filter(graft.ext.SimhashIndex.exists(spark, _)).foreach(
       p => graft.ext.SimhashIndex.forget(spark, p, tomb))
+    audioIndexPath.filter(graft.ext.AudioIndex.exists(spark, _)).foreach(
+      p => graft.ext.AudioIndex.forget(spark, p, tomb))
     deleted
   }
 

@@ -1736,6 +1736,32 @@ object ExtQueries {
         .select("q_id", "doc_id").orderBy("q_id")
     }),
 
+    // The same planted truth through the PERSISTED audio-fingerprint
+    // posting index (oracled): the pruned inverted-layout probe must
+    // return EXACTLY what the full-scan form returns — exact landmark
+    // keys make the index a pure I/O optimization, so any divergence is
+    // a layout/probe bug. The pruning itself (probe bytes-read below a
+    // full postings scan) is held by AudioIndexSpec via task input
+    // metrics; this gate pins the RESULT identity against the closed-
+    // form planted match list ext_audio_search uses.
+    "ext_audio_search_indexed" -> ((s, dir) => {
+      import s.implicits._
+      def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
+        (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
+      val corpus = (0 until 20).map(k => (k.toLong, rec(k, 0.5)))
+        .toDF("doc_id", "media")
+      val probes = (0 until 10).map(k => (500L + k, rec(k, 0.25)))
+        .toDF("doc_id", "media")
+      // build-once cache (the imageIndexPath/textidx discipline): the
+      // corpus is synthesized, so the cache key is the fixture-formula
+      // VERSION — bump it whenever rec()/the doc count changes
+      val path = s"${sys.props("java.io.tmpdir")}/graft_audioidx/v1_n20"
+      if (!graft.ext.AudioIndex.exists(s, path))
+        graft.ext.AudioIndex.build(s, corpus, path)
+      graft.ext.AudioIndex.topK(s, path, probes, k = 1)
+        .select("q_id", "doc_id").orderBy("q_id")
+    }),
+
     // Duplicate AUDIO across CONTAINERS (oracled on PLANTED truth):
     // 12 recordings as 16-bit WAV plus 6 of them re-encoded as REAL
     // FLAC streams (fixed-prediction + Rice — byte-incompatible files,
@@ -3376,6 +3402,10 @@ object ExtQueries {
         |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
     "ext_audio_search" ->
+      """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
+        |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
+
+    "ext_audio_search_indexed" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
 

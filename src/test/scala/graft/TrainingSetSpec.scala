@@ -316,9 +316,22 @@ class TrainingSetSpec extends SparkSpec {
       s"re-mastered audio not caught by the landmark store: $r2")
     assert(TxTable.read(spark, target).get
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
-    // takedown reaches the audio store: the recording readmits fresh
+    // a serving-side audio index over the ingested recording: takedown
+    // must reach it too — the one-erasure-surface property
+    val audioIdx = s"$work/audioidx"
+    graft.ext.AudioIndex.build(spark,
+      Seq((1L, rec(4, 0.5))).toDF("doc_id", "media"), audioIdx)
+    val probe = Seq((900L, rec(4, 0.3))).toDF("doc_id", "media")
+    assert(graft.ext.AudioIndex.topK(spark, audioIdx, probe, k = 1)
+        .collect().map(_.getLong(1)).toSeq == Seq(1L),
+      "pre-takedown: the audio index must find recording 1")
+    // takedown reaches the audio store AND index: the recording
+    // readmits fresh and stops ranking in query-by-example search
     TrainingSet.takedown(spark, target, store, Seq(1L, 2L),
-      audioStorePath = Some(audioStore))
+      audioStorePath = Some(audioStore), audioIndexPath = Some(audioIdx))
+    assert(graft.ext.AudioIndex.topK(spark, audioIdx, probe, k = 1)
+        .collect().isEmpty,
+      "post-takedown: recording 1 must be unfindable in the audio index")
     val r3 = ing(Seq((3L, textB + " more", rec(4, 0.4))), "a3")
     assert(r3.afterAudioDedup == 1, s"audio store did not forget: $r3")
     // a DIFFERENT recording passes while the stage is active
