@@ -339,13 +339,15 @@ object AudioFingerprint {
   def tonesFlac(
       sampleRate: Int,
       tones: Seq[(Double, Int)],
-      amplitude: Double = 0.5): Array[Byte] = {
+      amplitude: Double = 0.5,
+      bits: Int = 16): Array[Byte] = {
+    val scale = ((1 << (bits - 1)) - 1).toDouble
     val q = tones.flatMap { case (freq, len) =>
       (0 until len).map(i => math.round(
         amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
-          * 32767.0).toInt)
+          * scale).toInt)
     }.toArray
-    Flac.encode(q, sampleRate)
+    Flac.encode(q, sampleRate, bits = bits)
   }
 
   def tonesWav(

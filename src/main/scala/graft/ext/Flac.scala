@@ -387,16 +387,27 @@ private[graft] object Flac {
     p
   }
 
-  /** Encode 16-bit samples as a real FLAC stream. `mode` selects the
-    * subframe/stereo machinery exercised: "verbatim" (no prediction),
-    * "fixed0" (Rice over raw samples), "fixed2" (second-order fixed
-    * prediction + Rice; constant subframes where a block is flat), and
-    * "midside" (fixed2 with mid/side stereo decorrelation). Stereo
-    * input is interleaved (left, right) pairs when `channels == 2`.
+  /** Encode PCM samples as a real FLAC stream at any of the standard
+    * widths the frame header can state directly (8/12/16/20/24 bits —
+    * `samples` carry signed values in the chosen width's range). `mode`
+    * selects the subframe/stereo machinery exercised: "verbatim" (no
+    * prediction), "fixed0" (Rice over raw samples), "fixed2"
+    * (second-order fixed prediction + Rice; constant subframes where a
+    * block is flat), and "midside" (fixed2 with mid/side stereo
+    * decorrelation). Stereo input is interleaved (left, right) pairs
+    * when `channels == 2`. The decoder is width-general already; this
+    * end widened so the FLAC≡WAV identity gates can run on a
+    * studio-width master end-to-end.
     */
   def encode(samples: Array[Int], sampleRate: Int, channels: Int = 1,
-      mode: String = "fixed2", blockSize: Int = 4096): Array[Byte] = {
+      mode: String = "fixed2", blockSize: Int = 4096,
+      bits: Int = 16): Array[Byte] = {
     require(channels == 1 || channels == 2, s"flac encode: $channels ch")
+    val bitsCode = Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
+      .getOrElse(bits, sys.error(s"flac encode: unsupported width $bits"))
+    val lim = 1 << (bits - 1)
+    require(samples.forall(v => v >= -lim && v < lim),
+      s"flac encode: samples out of $bits-bit range")
     require(samples.length % channels == 0, "flac encode: ragged channels")
     val nSamples = samples.length / channels
     require(nSamples > 0 && blockSize >= 16, "flac encode: empty/tiny")
@@ -408,7 +419,7 @@ private[graft] object Flac {
     si.bits(0, 24); si.bits(0, 24)
     si.bits(sampleRate.toLong, 20)
     si.bits((channels - 1).toLong, 3)
-    si.bits(15, 5) // 16 bits
+    si.bits((bits - 1).toLong, 5)
     si.bits(nSamples.toLong, 36)
     (0 until 16).foreach(_ => si.bits(0, 8)) // md5 unset
     val siBytes = si.toBytes
@@ -428,7 +439,7 @@ private[graft] object Flac {
       w.bits(0, 4)  // sample rate: from STREAMINFO
       val midside = mode == "midside" && channels == 2
       w.bits(if (channels == 1) 0 else if (midside) 10 else 1, 4)
-      w.bits(4, 3) // 16-bit samples
+      w.bits(bitsCode.toLong, 3)
       w.bit(0)
       require(frameIdx < 128, "flac encode: too many frames for 1-byte id")
       w.bits(frameIdx.toLong, 8)
@@ -440,15 +451,15 @@ private[graft] object Flac {
       // channels
       val chans: Seq[(Array[Long], Int)] =
         if (channels == 1)
-          Seq((Array.tabulate(bs)(i => samples(pos + i).toLong), 16))
+          Seq((Array.tabulate(bs)(i => samples(pos + i).toLong), bits))
         else {
           val l = Array.tabulate(bs)(i => samples((pos + i) * 2).toLong)
           val rr = Array.tabulate(bs)(i => samples((pos + i) * 2 + 1).toLong)
           if (midside) {
             val mid = Array.tabulate(bs)(i => (l(i) + rr(i)) >> 1)
             val side = Array.tabulate(bs)(i => l(i) - rr(i))
-            Seq((mid, 16), (side, 17))
-          } else Seq((l, 16), (rr, 16))
+            Seq((mid, bits), (side, bits + 1))
+          } else Seq((l, bits), (rr, bits))
         }
       for ((data, bps) <- chans) writeSubframe(w, data, bps, mode)
       w.align()

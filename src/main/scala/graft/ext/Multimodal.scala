@@ -48,6 +48,18 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float])
 
+  /** Animated-GIF frame surface: structural frame count, total GCE
+    * delay (centiseconds — exact container data), and per-frame
+    * perceptual hashes for the hashed prefix (see
+    * [[ContainerCodec.gifFrames]] for the invariance contract).
+    */
+  final case class GifAnim(
+      frameCount: Int,
+      delayCs: Long,
+      frameHashes: Array[Long]) {
+    def durationSec: Double = delayCs / 100.0
+  }
+
   /** Batch-in/batch-out decode contract shared by every codec: the unit
     * a vectorized or native implementation amortizes over.
     */
@@ -134,9 +146,9 @@ object Multimodal {
       * float), or 0x11 (IMA ADPCM — decodable from the public spec,
       * blockAlign is its block size): WAVE_FORMAT_EXTENSIBLE (0xFFFE —
       * standard for >16-bit and multichannel masters) unwraps to the
-      * first two GUID bytes of its SubFormat. Other compressed formats
-      * (MS-ADPCM, MP3-in-WAV, ...) return None and the caller falls
-      * back to byte statistics.
+      * first two GUID bytes of its SubFormat. Formats with no sample
+      * decode here return None — the caller then routes MP3-in-WAV
+      * (0x55) to container geometry and everything else to byte stats.
       */
     private[ext] def wavLayout(
         b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
@@ -602,7 +614,9 @@ object Multimodal {
         blockAlign) =
         wavLayout(b) match {
           case Some(layout) => layout
-          case None         => return None
+          // not a decodable sample layout: the MP3-in-WAV wrapper still
+          // yields container geometry; anything else falls to byte-stats
+          case None         => return wavMp3Features(r)
         }
       val durationSec =
         if (format == 0x11 && blockAlign > 8) {
@@ -759,16 +773,92 @@ object Multimodal {
       out
     }
 
-    /** First-frame GIF decode — header/logical-screen walk, global or
-      * local color table, the REAL LZW expansion above, 4-pass GIF
-      * interlace reorder, palette lookup to interleaved RGB. Animated
-      * GIFs hash their first frame (the frame that identifies the
-      * picture); any structural violation returns None and the payload
-      * falls back to byte statistics.
+    /** Offset just past a sub-block chain whose first byte sits at
+      * `off0` (the min-code-size byte of an LZW stream) — the
+      * structural skip for frames whose pixels are not needed. -1 on a
+      * truncated chain.
       */
-    private[ext] def gifRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
-      if (!isGif(b)) return None
+    private def subBlocksEnd(b: Array[Byte], off0: Int): Int = {
+      var off = off0 + 1 // min code size byte
+      while (off < b.length && (b(off) & 0xff) != 0)
+        off += 1 + (b(off) & 0xff)
+      if (off >= b.length) -1 else off + 1
+    }
+
+    /** Decode ONE image-descriptor block whose 0x2c byte sits at `off0`
+      * — local-or-global color table, the REAL LZW expansion, 4-pass
+      * interlace reorder, palette lookup to interleaved RGB. Returns
+      * (rgb, frameW, frameH, offsetAfterFrame); None on any structural
+      * violation.
+      */
+    private def gifFrameAt(b: Array[Byte], off0: Int,
+        gct: Array[Byte]): Option[(Array[Byte], Int, Int, Int)] = {
       def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      if (off0 + 10 > b.length) return None
+      val fw = u16(off0 + 5); val fh = u16(off0 + 7)
+      val ip = b(off0 + 9) & 0xff
+      var off = off0 + 10
+      var ct = gct
+      if ((ip & 0x80) != 0) {
+        val n = 2 << (ip & 7)
+        if (off + 3 * n > b.length) return None
+        ct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+        off += 3 * n
+      }
+      if (ct == null || fw <= 0 || fh <= 0 ||
+        fw.toLong * fh > MaxHashPixels) return None
+      val idx = lzwDecode(b, off, fw * fh)
+      if (idx == null) return None
+      val end = subBlocksEnd(b, off)
+      if (end < 0) return None
+      val nColors = ct.length / 3
+      val out = new Array[Byte](fw * fh * 3)
+      val rowOrder: Array[Int] =
+        if ((ip & 0x40) == 0) Array.tabulate(fh)(identity)
+        else { // interlaced: rows arrive in the four GIF passes
+          val o = new Array[Int](fh); var r = 0
+          for ((s, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)))
+            for (y <- s until fh by st) { o(r) = y; r += 1 }
+          o
+        }
+      var r = 0
+      while (r < fh) {
+        val y = rowOrder(r)
+        var x = 0
+        while (x < fw) {
+          val ci = idx(r * fw + x) & 0xff
+          if (ci >= nColors) return None
+          val po = (y * fw + x) * 3
+          out(po) = ct(ci * 3)
+          out(po + 1) = ct(ci * 3 + 1)
+          out(po + 2) = ct(ci * 3 + 2)
+          x += 1
+        }
+        r += 1
+      }
+      Some((out, fw, fh, end))
+    }
+
+    /** Structural skip over one image-descriptor block at `off0` (no
+      * pixel decode): next block offset, -1 on truncation.
+      */
+    private def gifFrameSkip(b: Array[Byte], off0: Int): Int = {
+      if (off0 + 10 > b.length) return -1
+      val ip = b(off0 + 9) & 0xff
+      var off = off0 + 10
+      if ((ip & 0x80) != 0) {
+        val n = 2 << (ip & 7)
+        if (off + 3 * n > b.length) return -1
+        off += 3 * n
+      }
+      subBlocksEnd(b, off)
+    }
+
+    /** GIF header walk: (global color table or null, offset of the
+      * first block after it). None on a malformed logical screen.
+      */
+    private def gifHeader(b: Array[Byte]): Option[(Array[Byte], Int)] = {
+      if (!isGif(b)) return None
       val packed = b(10) & 0xff
       var off = 13
       var gct: Array[Byte] = null
@@ -778,6 +868,21 @@ object Multimodal {
         gct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
         off += 3 * n
       }
+      Some((gct, off))
+    }
+
+    /** First-frame GIF decode — the frame that identifies the picture
+      * keys every store/hash in the image family; any structural
+      * violation returns None and the payload falls back to byte
+      * statistics. The ANIMATION surface (frame count, duration,
+      * per-frame hashes) is [[gifFrames]].
+      */
+    private[ext] def gifRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
+      val (gct, start) = gifHeader(b) match {
+        case Some(v) => v
+        case None    => return None
+      }
+      var off = start
       while (off < b.length) {
         (b(off) & 0xff) match {
           case 0x21 => // extension block: label, then data sub-blocks
@@ -786,52 +891,82 @@ object Multimodal {
               off += 1 + (b(off) & 0xff)
             off += 1
           case 0x2c => // image descriptor: the first frame is the hash
-            if (off + 10 > b.length) return None
-            val fw = u16(off + 5); val fh = u16(off + 7)
-            val ip = b(off + 9) & 0xff
-            off += 10
-            var ct = gct
-            if ((ip & 0x80) != 0) {
-              val n = 2 << (ip & 7)
-              if (off + 3 * n > b.length) return None
-              ct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
-              off += 3 * n
+            return gifFrameAt(b, off, gct).map { case (px, w, h, _) =>
+              (px, w, h)
             }
-            if (ct == null || fw <= 0 || fh <= 0 ||
-              fw.toLong * fh > MaxHashPixels) return None
-            val idx = lzwDecode(b, off, fw * fh)
-            if (idx == null) return None
-            val nColors = ct.length / 3
-            val out = new Array[Byte](fw * fh * 3)
-            val rowOrder: Array[Int] =
-              if ((ip & 0x40) == 0) Array.tabulate(fh)(identity)
-              else { // interlaced: rows arrive in the four GIF passes
-                val o = new Array[Int](fh); var r = 0
-                for ((s, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)))
-                  for (y <- s until fh by st) { o(r) = y; r += 1 }
-                o
-              }
-            var r = 0
-            while (r < fh) {
-              val y = rowOrder(r)
-              var x = 0
-              while (x < fw) {
-                val ci = idx(r * fw + x) & 0xff
-                if (ci >= nColors) return None
-                val po = (y * fw + x) * 3
-                out(po) = ct(ci * 3)
-                out(po + 1) = ct(ci * 3 + 1)
-                out(po + 2) = ct(ci * 3 + 2)
-                x += 1
-              }
-              r += 1
-            }
-            return Some((out, fw, fh))
           case 0x3b => return None // trailer before any frame
           case _ => return None
         }
       }
       None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** The animated-GIF frame surface, one walk: frame COUNT, total
+      * presentation DURATION (the sum of each frame's Graphic Control
+      * Extension delay, centiseconds — frames without a GCE contribute
+      * 0: the "browsers clamp tiny delays" floor is a rendering policy,
+      * not container data), and a per-frame perceptual hash over each
+      * frame's OWN decoded gray plane (the dHashPixels closed-form
+      * grid) for the first `maxHashFrames` frames.
+      *
+      * Chosen invariance, documented: frames are LANDMARKS — two cuts
+      * of the same animation that differ by a dropped/added intro frame
+      * still share every remaining frame hash, so a shared-frame-count
+      * rule pairs them (spec-held) where the single first-frame store
+      * key cannot. Frames hash their own region plane as delivered; NO
+      * disposal/compositing is applied (a delta-frame encoder's partial
+      * regions hash as regions — the honest boundary, same spirit as
+      * the payload-vs-pixel regimes elsewhere).
+      *
+      * None when the payload is not a structurally valid GIF or has no
+      * complete frame; a frame that fails mid-decode ends the walk with
+      * the frames counted so far (truncation degrades, never throws).
+      */
+    private[graft] def gifFrames(b: Array[Byte],
+        maxHashFrames: Int = 64): Option[GifAnim] = try {
+      val (gct, start) = gifHeader(b) match {
+        case Some(v) => v
+        case None    => return None
+      }
+      var off = start
+      var frames = 0
+      var delayCs = 0L
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var done = false
+      while (!done && off < b.length) {
+        (b(off) & 0xff) match {
+          case 0x21 =>
+            // Graphic Control Extension: delay in centiseconds at
+            // payload bytes 2-3 (little-endian), applies to the NEXT
+            // frame — but totals are additive, so accumulate directly
+            if (off + 1 < b.length && (b(off + 1) & 0xff) == 0xf9 &&
+                off + 7 < b.length && (b(off + 2) & 0xff) >= 4)
+              delayCs += (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8)
+            off += 2
+            while (off < b.length && (b(off) & 0xff) != 0)
+              off += 1 + (b(off) & 0xff)
+            off += 1
+          case 0x2c =>
+            if (hashes.length < maxHashFrames)
+              gifFrameAt(b, off, gct) match {
+                case Some((px, fw, fh, end)) =>
+                  frames += 1
+                  hashes += graft.functions.DHashPixels.computeGrid(
+                    toGray(px, 3), fw, fh)
+                  off = end
+                case None => done = true // truncation degrades
+              }
+            else { // past the hashed prefix: structural count only
+              val end = gifFrameSkip(b, off)
+              if (end < 0) done = true
+              else { frames += 1; off = end }
+            }
+          case 0x3b => done = true
+          case _ => done = true
+        }
+      }
+      if (frames == 0) None
+      else Some(GifAnim(frames, delayCs, hashes.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 
     /** BMP (BITMAPINFOHEADER and later, BI_RGB only) to interleaved
@@ -910,16 +1045,21 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
     /** EXIF provenance fields from a JPEG APP1 segment (or a bare TIFF
-      * header): (orientation, make, model, takenAt) — the camera/time
-      * metadata a curation pipeline mines for dedup attribution and
-      * time-range filtering. A self-contained bounds-checked IFD walk
-      * in either byte order: IFD0 tags 271/272/274/306 plus
-      * DateTimeOriginal (36867) behind the ExifIFD pointer (34665).
-      * None when no EXIF is present — total, like every parser here.
+      * header): (orientation, make, model, takenAt, lat, lon) — the
+      * camera/time/LOCATION metadata a curation pipeline mines for
+      * dedup attribution, time-range filtering, and privacy screening
+      * (embedded GPS is PII a training corpus must be able to surface
+      * and strip). A self-contained bounds-checked IFD walk in either
+      * byte order: IFD0 tags 271/272/274/306, DateTimeOriginal (36867)
+      * behind the ExifIFD pointer (34665), and GPSLatitude/Longitude
+      * (signed decimal degrees from the ref + 3-RATIONAL d/m/s form)
+      * behind the GPSInfo pointer (34853 — its IFD has its OWN tag
+      * namespace, so it walks with a dedicated handler). None when no
+      * EXIF is present — total, like every parser here.
       */
     private[graft] def exifOf(b: Array[Byte])
         : Option[(Option[Int], Option[String], Option[String],
-          Option[String])] = try {
+          Option[String], Option[Double], Option[Double])] = try {
       val base: Int =
         if (isTiff(b)) 0
         else if (isJpeg(b)) {
@@ -953,6 +1093,8 @@ object Multimodal {
       if (u16(base + 2) != 42) return None
       var orientation: Option[Int] = None
       var make, model, taken: Option[String] = None
+      var latRef, lonRef: Option[String] = None
+      var latAbs, lonAbs: Option[Double] = None
       def ascii(typ: Int, count: Long, vo: Int): Option[String] = {
         if (typ != 2 || count <= 0 || count > 4096) return None
         val off =
@@ -980,15 +1122,52 @@ object Multimodal {
             case 306 if taken.isEmpty => taken = ascii(typ, count, vo)
             case 36867 => taken = ascii(typ, count, vo) // DateTimeOriginal
             case 34665 if typ == 4 => walk(u32(vo), depth + 1)
+            case 34853 if typ == 4 => walkGps(u32(vo))
+            case _ => ()
+          }
+          e += 1
+        }
+      }
+      // d/m/s as three unsigned RATIONALs (always external: 24 bytes)
+      def gpsCoord(typ: Int, count: Long, vo: Int): Option[Double] = {
+        if (typ != 5 || count != 3) return None
+        val off = base + u32(vo)
+        if (off < 0 || off + 24 > b.length) return None
+        def rat(o: Long): Option[Double] = {
+          val den = u32((o + 4).toInt)
+          if (den == 0) None else Some(u32(o.toInt).toDouble / den)
+        }
+        for (d <- rat(off); m <- rat(off + 8); s <- rat(off + 16))
+          yield d + m / 60.0 + s / 3600.0
+      }
+      def walkGps(ifdOff: Long): Unit = {
+        if (ifdOff < 8 || base + ifdOff + 2 > b.length) return
+        val io = (base + ifdOff).toInt
+        val n = u16(io)
+        if (io + 2 + n * 12 > b.length) return
+        var e = 0
+        while (e < n) {
+          val eo = io + 2 + e * 12
+          val tag = u16(eo)
+          val typ = u16(eo + 2)
+          val count = u32(eo + 4)
+          val vo = eo + 8
+          tag match { // the GPS IFD's own namespace
+            case 1 => latRef = ascii(typ, count, vo)
+            case 2 => latAbs = gpsCoord(typ, count, vo)
+            case 3 => lonRef = ascii(typ, count, vo)
+            case 4 => lonAbs = gpsCoord(typ, count, vo)
             case _ => ()
           }
           e += 1
         }
       }
       walk(u32(base + 4), 0)
+      val lat = latAbs.map(v => if (latRef.contains("S")) -v else v)
+      val lon = lonAbs.map(v => if (lonRef.contains("W")) -v else v)
       if (orientation.isEmpty && make.isEmpty && model.isEmpty &&
-        taken.isEmpty) None
-      else Some((orientation, make, model, taken))
+        taken.isEmpty && lat.isEmpty && lon.isEmpty) None
+      else Some((orientation, make, model, taken, lat, lon))
     } catch { case scala.util.control.NonFatal(_) => None }
 
     private[ext] def isIco(b: Array[Byte]): Boolean =
@@ -1407,9 +1586,12 @@ object Multimodal {
       * payload. Feature layout mirrors WAV: [channels, sampleRate,
       * durationSec, bitrateKbps].
       */
-    private def decodeMp3(r: MediaRow): Option[MediaFeatures] =
-      mp3Meta(r.media).map { case (bitrate, sampleRate, channels, off) =>
-        val b = r.media
+    /** (channels, sampleRate, durationSec, bitrateKbps) of an MP3
+      * bitstream — Xing/Info-exact or CBR-estimated; the shared core of
+      * the bare-MP3 and MP3-in-WAV routes.
+      */
+    private def mp3Geometry(b: Array[Byte]): Option[(Int, Int, Double, Int)] =
+      mp3Meta(b).map { case (bitrate, sampleRate, channels, off) =>
         val v1 = ((b(off + 1) >> 3) & 3) == 3
         val samplesPerFrame = if (v1) 1152 else 576
         // the Xing/Info tag sits after the side info of the first frame
@@ -1423,60 +1605,136 @@ object Multimodal {
             (b(xo + 7) & 1) == 1) // flags: frame count present
             u32be(b, xo + 8).toDouble * samplesPerFrame / sampleRate
           else (b.length - off).toDouble * 8.0 / (bitrate * 1000.0)
-        MediaFeatures(r.doc_id, b.length, "audio/mpeg", "container",
-          byteChecksum(b),
-          Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,
+        (channels, sampleRate, durationSec, bitrate)
+      }
+
+    private def decodeMp3(r: MediaRow): Option[MediaFeatures] =
+      mp3Geometry(r.media).map { case (channels, sampleRate, dur, bitrate) =>
+        MediaFeatures(r.doc_id, r.media.length, "audio/mpeg", "container",
+          byteChecksum(r.media),
+          Array(channels.toFloat, sampleRate.toFloat, dur.toFloat,
             bitrate.toFloat))
       }
+
+    /** MP3-in-WAV (fmt tag 0x55 — the one compressed WAV wrapper left
+      * after PCM/float/ADPCM/G.711 gained real decodes): the `data`
+      * chunk IS an MP3 bitstream, so its duration/bitrate route through
+      * the existing MP3 header walk (Xing-exact when tagged). Decode
+      * stays the documented codec boundary; the census counts these on
+      * the container side under the ogg-style suffixed mime.
+      */
+    private def wavMp3Features(r: MediaRow): Option[MediaFeatures] = {
+      val b = r.media
+      var off = 12
+      var fmt = 0
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = u32le(b, off + 4).toInt
+        if (sz < 0 || off + 8 + sz > b.length) return None
+        if (id == "fmt " && sz >= 16) {
+          fmt = u16le(b, off + 8)
+          if (fmt == 0xfffe && sz >= 40)
+            fmt = u16le(b, off + 8 + 24)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1)
+      }
+      if (fmt != 0x55 || dataOff < 0 || dataLen <= 0) return None
+      val stream = java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+      mp3Geometry(stream).map { case (channels, sampleRate, dur, bitrate) =>
+        MediaFeatures(r.doc_id, b.length, "audio/wav-mp3", "container",
+          byteChecksum(b),
+          Array(channels.toFloat, sampleRate.toFloat, dur.toFloat,
+            bitrate.toFloat))
+      }
+    }
 
     private[ext] def isOgg(b: Array[Byte]): Boolean =
       b.length >= 47 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
         b(3) == 'S' // 47 = 27-byte page header + 1 segment + OpusHead id
 
-    /** Ogg: the first page's payload is the codec id header, and both
-      * Vorbis (0x01 + "vorbis": channels u8, rate u32le) and Opus
-      * ("OpusHead": channels u8, pre-skip, input rate u32le) carry
-      * geometry in clear — no codec work. Duration comes from the
-      * LAST page's granule position (total PCM samples — at 48 kHz
-      * for Opus, at the stream rate for Vorbis). Feature layout
-      * [channels, sampleRate, durationSec, 0], kind "container".
+    /** Ogg id-header parse at payload offset `po`: (mime, channels,
+      * rate, granuleRate) — both Vorbis (0x01 + "vorbis": channels u8,
+      * rate u32le) and Opus ("OpusHead": channels u8, pre-skip, input
+      * rate u32le) carry geometry in clear, no codec work. Opus
+      * granules tick at 48 kHz regardless of the input rate.
+      */
+    private def oggIdHeader(b: Array[Byte],
+        po: Int): Option[(String, Int, Long, Long)] = {
+      if (po + 19 > b.length) return None
+      if (b(po) == 1 && tag(b, po + 1) == "vorb" && b(po + 5) == 'i' &&
+          b(po + 6) == 's') {
+        if (po + 16 > b.length) return None
+        val rt = u32le(b, po + 12)
+        Some(("audio/ogg-vorbis", b(po + 11) & 0xff, rt, rt))
+      } else if (tag(b, po) == "Opus" && tag(b, po + 4) == "Head")
+        Some(("audio/ogg-opus", b(po + 9) & 0xff, u32le(b, po + 12), 48000L))
+      else None
+    }
+
+    /** Ogg: geometry from the first chain's id header; duration from a
+      * FORWARD page walk that handles CHAINED streams — a "radio rip"
+      * is several complete Ogg streams concatenated (each opens with
+      * its own BOS page, id header, and granule clock), so the total is
+      * the SUM of each chain's final granule position over that chain's
+      * own granule rate, not the last page's granule alone (which
+      * covers only the final chain). Pages whose granule is -1 (no
+      * packet boundary) are skipped; truncation keeps the chains walked
+      * so far. Feature layout [channels, sampleRate, durationSec, 0],
+      * kind "container".
       */
     private def decodeOgg(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
-      if (!isOgg(b) || (b(5) & 2) == 0) return None // first page flag
-      val nSegs = b(26) & 0xff
-      val po = 27 + nSegs
-      if (po + 19 > b.length) return None
-      val (mime, channels, rate, granuleRate) =
-        if (b(po) == 1 && tag(b, po + 1) == "vorb" && b(po + 5) == 'i' &&
-          b(po + 6) == 's') {
-          if (po + 16 > b.length) return None
-          val rt = u32le(b, po + 12)
-          ("audio/ogg-vorbis", b(po + 11) & 0xff, rt, rt)
-        } else if (tag(b, po) == "Opus" && tag(b, po + 4) == "Head") {
-          // Opus granules tick at 48 kHz regardless of the input rate
-          ("audio/ogg-opus", b(po + 9) & 0xff, u32le(b, po + 12), 48000L)
-        } else return None
-      if (channels < 1 || rate <= 0) return None
-      // duration: the LAST page's 64-bit LE granule position (total
-      // samples at the granule rate) — a backwards capture-pattern
-      // scan; exact for single-stream files, 0 when only the id page
-      // exists
-      var dur = 0.0
-      var i = b.length - 27
-      var found = false
-      while (i > po && !found) {
-        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
-          b(i + 3) == 'S' && b(i + 4) == 0) {
-          val g = u32le(b, i + 6) | (u32le(b, i + 10) << 32)
-          if (g > 0 && granuleRate > 0) dur = g.toDouble / granuleRate
-          found = true
+      if (!isOgg(b) || (b(5) & 2) == 0) return None // first page is BOS
+      var mime: String = null
+      var channels = 0
+      var rate = 0L
+      var totalDur = 0.0
+      var chainRate = 0L // granule rate of the chain being walked
+      var lastGranule = 0L
+      var off = 0
+      var walking = true
+      while (walking && off + 27 <= b.length && b(off) == 'O' &&
+          b(off + 1) == 'g' && b(off + 2) == 'g' && b(off + 3) == 'S') {
+        val flags = b(off + 5) & 0xff
+        val granule = u32le(b, off + 6) | (u32le(b, off + 10) << 32)
+        val nSegs = b(off + 26) & 0xff
+        if (off + 27 + nSegs > b.length) walking = false
+        else {
+          var paySize = 0
+          var s = 0
+          while (s < nSegs) { paySize += b(off + 27 + s) & 0xff; s += 1 }
+          val payOff = off + 27 + nSegs
+          if (payOff + paySize > b.length) walking = false
+          else {
+            if ((flags & 2) != 0) { // BOS: a new chain begins
+              if (chainRate > 0 && lastGranule > 0)
+                totalDur += lastGranule.toDouble / chainRate
+              lastGranule = 0L
+              oggIdHeader(b, payOff) match {
+                case Some((m, ch, rt, gr)) =>
+                  if (mime == null) { // the first chain identifies the file
+                    if (ch < 1 || rt <= 0) return None
+                    mime = m; channels = ch; rate = rt
+                  }
+                  chainRate = gr
+                case None =>
+                  if (mime == null) return None
+                  chainRate = 0L // unknown chain: no duration contribution
+              }
+            }
+            if (granule > 0) lastGranule = granule
+            off = payOff + paySize
+          }
         }
-        i -= 1
       }
+      if (mime == null) return None
+      if (chainRate > 0 && lastGranule > 0)
+        totalDur += lastGranule.toDouble / chainRate
       Some(MediaFeatures(r.doc_id, b.length, mime, "container",
         byteChecksum(b),
-        Array(channels.toFloat, rate.toFloat, dur.toFloat, 0f)))
+        Array(channels.toFloat, rate.toFloat, totalDur.toFloat, 0f)))
     }
 
     private[ext] def isMp4(b: Array[Byte]): Boolean =
@@ -1590,6 +1848,244 @@ object Multimodal {
       if (ok && any) Some(h) else None
     }
 
+    // ------------------------------------------------- EBML (WebM/MKV)
+
+    private[ext] def isEbml(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+    /** One EBML variable-length integer at `off` within [0, end):
+      * (value, byteLength), length 0 on malformed/out-of-range input.
+      * Element IDs keep the length-marker bit (the spec stores them
+      * that way — 0x1A45DFA3 IS the id); SIZE vints clear it, and the
+      * all-ones size ("unknown, streamed") returns -1 so the walker can
+      * extend it to the enclosing end.
+      */
+    private def ebmlVint(b: Array[Byte], off: Int, end: Int,
+        keepMarker: Boolean): (Long, Int) = {
+      if (off >= end) return (0L, 0)
+      val first = b(off) & 0xff
+      if (first == 0) return (0L, 0) // > 8-byte vints don't occur in EBML
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (off + len > end) return (0L, 0)
+      var v =
+        if (keepMarker) first.toLong
+        else (first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      if (!keepMarker && v == (1L << (7 * len)) - 1) v = -1L
+      (v, len)
+    }
+
+    /** Walk EBML elements over [off0, end): `f(id, payloadOff,
+      * payloadEnd)` per element. Every size is validated against the
+      * enclosing range (the walkBoxes discipline — a truncated or lying
+      * file can never over-read); an unknown-size element extends to
+      * the enclosing end (the streamed-Segment case). Returns false on
+      * the first malformed header and the caller falls back to
+      * byte-stats.
+      */
+    private def walkEbml(b: Array[Byte], off0: Int, end: Int)(
+        f: (Long, Int, Int) => Boolean): Boolean = {
+      var off = off0
+      while (off < end) {
+        val (id, idLen) = ebmlVint(b, off, end, keepMarker = true)
+        if (idLen == 0) return false
+        val (sz, szLen) = ebmlVint(b, off + idLen, end, keepMarker = false)
+        if (szLen == 0) return false
+        val po = off + idLen + szLen
+        if (sz >= 0 && po.toLong + sz > end) return false
+        val pe = if (sz < 0) end else po + sz.toInt
+        if (!f(id, po, pe)) return false
+        off = pe
+      }
+      true
+    }
+
+    /** Big-endian unsigned integer element payload (0..8 bytes; EBML
+      * uints are stored minimally). Empty payload = 0 per the spec.
+      */
+    private def ebmlUint(b: Array[Byte], po: Int, pe: Int): Long = {
+      var v = 0L
+      var i = po
+      while (i < pe && i < po + 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+
+    /** EBML float element payload: 4-byte IEEE single or 8-byte double,
+      * big-endian; anything else is malformed (NaN).
+      */
+    private def ebmlFloat(b: Array[Byte], po: Int, pe: Int): Double =
+      (pe - po) match {
+        case 4 => java.lang.Float.intBitsToFloat(u32be(b, po).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(
+          (u32be(b, po) << 32) | u32be(b, po + 4))
+        case _ => Double.NaN
+      }
+
+    /** WebM/Matroska: container-only metadata from the EBML walk — the
+      * MP4 moov discipline applied to the web's other major video
+      * wrapper. DocType picks the mime (webm vs x-matroska), Info
+      * yields presentation duration (Duration float × TimestampScale
+      * ns), Tracks yields the track count and visual geometry
+      * (PixelWidth/Height; max over tracks). ZERO codec work — frame
+      * DECODE stays the documented native-codec boundary; the census
+      * counts these rows as "container".
+      * Feature layout: [durationSec, trackCount, width, height] —
+      * identical to MP4, so downstream video features are
+      * container-agnostic.
+      */
+    private def decodeWebm(r: MediaRow): Option[MediaFeatures] = {
+      val b = r.media
+      var docType = "matroska"
+      var tsScale = 1000000L // spec default: 1 ms per tick
+      var durTicks = Double.NaN
+      var tracks = 0
+      var w = 0f
+      var h = 0f
+      val ok = walkEbml(b, 0, b.length) { (id, po, pe) =>
+        if (id == 0x1A45DFA3L) // EBML header
+          walkEbml(b, po, pe) { (id2, qo, qe) =>
+            if (id2 == 0x4282L) // DocType
+              docType = new String(b, qo, qe - qo, "US-ASCII")
+                .takeWhile(_ != 0.toChar) // strings may be NUL-padded
+            true
+          }
+        else if (id == 0x18538067L) // Segment
+          walkEbml(b, po, pe) { (id2, qo, qe) =>
+            if (id2 == 0x1549A966L) // Info
+              walkEbml(b, qo, qe) { (id3, ro, re) =>
+                if (id3 == 0x2AD7B1L) tsScale = ebmlUint(b, ro, re)
+                else if (id3 == 0x4489L) durTicks = ebmlFloat(b, ro, re)
+                true
+              }
+            else if (id2 == 0x1654AE6BL) // Tracks
+              walkEbml(b, qo, qe) { (id3, ro, re) =>
+                if (id3 == 0xAEL) { // TrackEntry
+                  tracks += 1
+                  walkEbml(b, ro, re) { (id4, so, se) =>
+                    if (id4 == 0xE0L) // Video
+                      walkEbml(b, so, se) { (id5, to, te) =>
+                        if (id5 == 0xB0L) { // PixelWidth
+                          val v = ebmlUint(b, to, te).toFloat
+                          if (v > w) w = v
+                        } else if (id5 == 0xBAL) { // PixelHeight
+                          val v = ebmlUint(b, to, te).toFloat
+                          if (v > h) h = v
+                        }
+                        true
+                      }
+                    else true
+                  }
+                } else true
+              }
+            else true
+          }
+        else true
+      }
+      if (!ok || tracks == 0 || durTicks.isNaN || tsScale <= 0) None
+      else {
+        val mime =
+          if (docType == "webm") "video/webm" else "video/x-matroska"
+        Some(MediaFeatures(r.doc_id, b.length, mime, "container",
+          byteChecksum(b),
+          Array((durTicks * tsScale / 1e9).toFloat, tracks.toFloat, w, h)))
+      }
+    }
+
+    /** Remux-robust WebM/MKV payload fingerprint — [[mp4PayloadFp]]'s
+      * contract on the EBML container: 64-bit FNV-1a over the coded
+      * FRAME bytes in file order, skipping everything a re-wrap
+      * rewrites. Invariant to: metadata edits (Title/MuxingApp/tags),
+      * SeekHead/Cues/Void re-layout, cluster RE-CHUNKING (frames
+      * redistributed across Clusters), SimpleBlock <-> BlockGroup
+      * rewraps, timestamp/TimestampScale changes, and RE-LACING (the
+      * lace size table is skipped, so laced and unlaced deliveries of
+      * the same frames hash identically). Any change to the coded
+      * frames themselves moves the fingerprint. Because the hash runs
+      * over the same raw coded bytes as the MP4 form, a remux ACROSS
+      * containers (the same coded stream re-wrapped mp4 <-> webm) also
+      * pairs — asserted in spec. None when the EBML walk fails or no
+      * block exists.
+      */
+    private[graft] def webmPayloadFp(b: Array[Byte]): Option[Long] = {
+      if (b == null || !isEbml(b)) return None
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis
+      var any = false
+      // Block/SimpleBlock payload: track vint, s16 relative timestamp,
+      // flags, optional lace table, then the concatenated frame bytes —
+      // only the frame bytes are hashed
+      def hashBlock(po: Int, pe: Int): Boolean = {
+        val (_, tl) = ebmlVint(b, po, pe, keepMarker = false)
+        if (tl == 0 || po + tl + 3 > pe) return false
+        var i = po + tl + 2
+        val flags = b(i) & 0xff
+        i += 1
+        (flags & 0x06) match {
+          case 0x00 => () // no lacing
+          case 0x04 => // fixed-size lacing: count byte only
+            if (i >= pe) return false
+            i += 1
+          case 0x02 => // Xiph: count byte + 255-run sizes for count frames
+            if (i >= pe) return false
+            val c = b(i) & 0xff
+            i += 1
+            var k = 0
+            while (k < c) {
+              var more = true
+              while (more) {
+                if (i >= pe) return false
+                more = (b(i) & 0xff) == 255
+                i += 1
+              }
+              k += 1
+            }
+          case _ => // EBML lacing: count byte + size vint + count-1 deltas
+            if (i >= pe) return false
+            val c = b(i) & 0xff
+            i += 1
+            var k = 0
+            while (k < c) {
+              val (_, l) = ebmlVint(b, i, pe, keepMarker = false)
+              if (l == 0) return false
+              i += l
+              k += 1
+            }
+        }
+        any = true
+        while (i < pe) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        true
+      }
+      val ok = walkEbml(b, 0, b.length) { (id, po, pe) =>
+        if (id != 0x18538067L) true // Segment
+        else walkEbml(b, po, pe) { (id2, qo, qe) =>
+          if (id2 != 0x1F43B675L) true // Cluster
+          else walkEbml(b, qo, qe) { (id3, ro, re) =>
+            if (id3 == 0xA3L) hashBlock(ro, re) // SimpleBlock
+            else if (id3 == 0xA0L) // BlockGroup
+              walkEbml(b, ro, re) { (id4, so, se) =>
+                if (id4 == 0xA1L) hashBlock(so, se) else true // Block
+              }
+            else true
+          }
+        }
+      }
+      if (ok && any) Some(h) else None
+    }
+
+    /** Container-dispatching video payload fingerprint: the one entry
+      * point the dedup family (one-shot pairs, keyed store, streaming
+      * twin, curation/training stages) routes through — MP4/MOV via the
+      * atom walk, WebM/MKV via the EBML walk. Both hash the raw coded
+      * bytes with the same FNV-1a, so identity holds across a
+      * cross-container remux too.
+      */
+    private[graft] def videoPayloadFp(b: Array[Byte]): Option[Long] =
+      if (b == null) None
+      else if (isMp4(b)) mp4PayloadFp(b)
+      else if (isEbml(b)) webmPayloadFp(b)
+      else None
+
     /** Shared mean-stat feature for the RGB-interleaved decoders
       * (GIF/BMP): the JPEG layout [width, height, meanR, meanG, meanB,
       * luminance], means in 0..1.
@@ -1642,9 +2138,17 @@ object Multimodal {
           else if (isJpeg(r.media)) decodeJpeg(r)
           else if (isWebp(r.media)) decodeWebp(r)
           else if (isMp4(r.media)) decodeMp4(r)
+          else if (isEbml(r.media)) decodeWebm(r)
           else if (isGif(r.media))
             gifRgb(r.media).map { case (px, w, h) =>
-              rgbFeatures(r, "image/gif", px, w, h) }
+              // animation surface rides the feature row (the audio-
+              // duration precedent): [.., frameCount, durationSec]
+              val f0 = rgbFeatures(r, "image/gif", px, w, h)
+              val anim = gifFrames(r.media, maxHashFrames = 0)
+              f0.copy(feature = f0.feature ++ Array(
+                anim.map(_.frameCount.toFloat).getOrElse(1f),
+                anim.map(_.durationSec.toFloat).getOrElse(0f)))
+            }
           else if (isBmp(r.media))
             bmpRgb(r.media).map { case (px, w, h) =>
               rgbFeatures(r, "image/bmp", px, w, h) }
@@ -1726,6 +2230,110 @@ object Multimodal {
       else box("free", new Array[Byte](freePad))
     if (moovFirst) ftyp ++ moov ++ free ++ mdatBox
     else ftyp ++ mdatBox ++ free ++ moov
+  }
+
+  /** Deterministic minimal-WebM/Matroska synthesizer — the
+    * [[minimalMp4]] analog on the EBML container, with the remux knobs
+    * the payload-fingerprint gates need: the same coded `frames` can be
+    * re-chunked across Clusters, re-wrapped SimpleBlock <-> BlockGroup,
+    * re-LACED (Xiph, pairs per block), padded with Void, and carried
+    * under different Title/MuxingApp/TimestampScale metadata — all
+    * byte-different files whose frame payload is identical. doc_id-
+    * derived parameters stay SQL-restatable while the EBML walk runs on
+    * real Matroska bytes end-to-end.
+    */
+  def minimalWebm(
+      timestampScale: Long,
+      durationTicks: Double,
+      width: Int, height: Int,
+      frames: Seq[Array[Byte]] = Seq.empty,
+      framesPerCluster: Int = 2,
+      blockGroups: Boolean = false,
+      xiphLacePairs: Boolean = false,
+      voidPad: Int = 0,
+      title: String = "",
+      audioTrack: Boolean = false,
+      docType: String = "webm"): Array[Byte] = {
+    require(timestampScale > 0 && durationTicks >= 0 && width > 0 &&
+      height > 0, s"minimalWebm: ts=$timestampScale dur=$durationTicks " +
+      s"${width}x$height")
+    require(framesPerCluster >= 1 && voidPad >= 0,
+      s"minimalWebm: fpc=$framesPerCluster void=$voidPad")
+    def sizeVint(n: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && n >= (1L << (7 * len)) - 1) len += 1
+      val out = new Array[Byte](len)
+      var v = n | (1L << (7 * len)) // marker bit
+      var i = len - 1
+      while (i >= 0) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      var len = 1
+      while ((id >>> (8 * len)) != 0) len += 1
+      Array.tabulate(len)(i => ((id >>> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def elem(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length.toLong) ++ payload
+    def uintPayload(v: Long): Array[Byte] = {
+      var len = 1
+      while ((v >>> (8 * len)) != 0) len += 1
+      Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    val header = elem(0x1A45DFA3L,
+      elem(0x4282L, docType.getBytes("US-ASCII")) ++
+        elem(0x4287L, uintPayload(2)) ++ // DocTypeVersion
+        elem(0x4285L, uintPayload(2)))   // DocTypeReadVersion
+    val info = elem(0x1549A966L,
+      elem(0x2AD7B1L, uintPayload(timestampScale)) ++
+        elem(0x4489L, java.nio.ByteBuffer.allocate(8)
+          .putDouble(durationTicks).array()) ++
+        (if (title.isEmpty) Array.empty[Byte]
+         else elem(0x7BA9L, title.getBytes("UTF-8")) ++
+           elem(0x4D80L, title.reverse.getBytes("UTF-8"))))
+    def track(num: Int, typ: Int, codec: String, video: Boolean) =
+      elem(0xAEL,
+        elem(0xD7L, uintPayload(num.toLong)) ++   // TrackNumber
+          elem(0x83L, uintPayload(typ.toLong)) ++ // TrackType
+          elem(0x86L, codec.getBytes("US-ASCII")) ++
+          (if (!video) Array.empty[Byte]
+           else elem(0xE0L,
+             elem(0xB0L, uintPayload(width.toLong)) ++
+               elem(0xBAL, uintPayload(height.toLong)))))
+    val tracks = elem(0x1654AE6BL,
+      track(1, 1, "V_VP9", video = true) ++
+        (if (audioTrack) track(2, 2, "A_OPUS", video = false)
+         else Array.empty[Byte]))
+    def simpleBlock(fs: Seq[Array[Byte]]): Array[Byte] = {
+      // one block per call: unlaced single frame, or a Xiph lace of all
+      val flags = if (fs.length > 1) 0x82 else 0x80 // key [+ Xiph lacing]
+      val lace =
+        if (fs.length == 1) Array.empty[Byte]
+        else Array((fs.length - 1).toByte) ++
+          fs.dropRight(1).flatMap { f =>
+            Array.fill(f.length / 255)(255.toByte) :+ (f.length % 255).toByte
+          }
+      val payload = Array[Byte](0x81.toByte, 0, 0, flags.toByte) ++
+        lace ++ fs.flatten
+      if (blockGroups && fs.length == 1)
+        elem(0xA0L, elem(0xA1L,
+          payload.updated(3, (flags & 0x7f).toByte))) // Block: no key bit
+      else elem(0xA3L, payload)
+    }
+    val clusters = frames.grouped(framesPerCluster).zipWithIndex.map {
+      case (fs, ci) =>
+        val blocks =
+          if (xiphLacePairs) fs.grouped(2).map(simpleBlock).toSeq
+          else fs.map(f => simpleBlock(Seq(f)))
+        elem(0x1F43B675L,
+          elem(0xE7L, uintPayload(ci.toLong * 40)) ++
+            blocks.flatten.toArray)
+    }.toSeq
+    val void =
+      if (voidPad == 0) Array.empty[Byte]
+      else elem(0xECL, new Array[Byte](voidPad))
+    header ++ elem(0x18538067L,
+      info ++ tracks ++ void ++ clusters.flatten.toArray)
   }
 
   /** Deterministic PNG encoder (the [[minimalMp4]]/[[AudioDsp.sineWav]]
@@ -1953,22 +2561,61 @@ object Multimodal {
     */
   def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
       interlace: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    gifHeaderTo(out, w, h, palette, indices)
+    gifFrameTo(out, w, h, indices, palette, interlace)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Multi-frame GIF89a encoder: each frame is a full-canvas image
+    * descriptor preceded by a Graphic Control Extension carrying its
+    * delay (centiseconds) — the two-cut dedup and frame-surface gates'
+    * fixture writer. Frames share the global color table.
+    */
+  def encodeGifAnim(w: Int, h: Int, frames: Seq[Array[Byte]],
+      palette: Array[Byte], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty && frames.length == delaysCs.length,
+      s"encodeGifAnim: ${frames.length} frames, ${delaysCs.length} delays")
+    val out = new java.io.ByteArrayOutputStream()
+    gifHeaderTo(out, w, h, palette, frames.head)
+    frames.zip(delaysCs).foreach { case (f, d) =>
+      require(d >= 0 && d <= 0xffff, s"encodeGifAnim: delay $d")
+      // GCE: introducer, label, block size 4, packed 0, delay LE, no
+      // transparency, terminator
+      out.write(0x21); out.write(0xf9); out.write(4); out.write(0)
+      out.write(d & 0xff); out.write((d >> 8) & 0xff)
+      out.write(0); out.write(0)
+      gifFrameTo(out, w, h, f, palette, interlace = false)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private def gifHeaderTo(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, palette: Array[Byte], indices: Array[Byte]): Unit = {
     require(w > 0 && h > 0 && indices.length == w * h,
       s"encodeGif: need $w*$h indices")
     val nColors = palette.length / 3
     require(palette.length % 3 == 0 && Integer.bitCount(nColors) == 1 &&
       nColors >= 2 && nColors <= 256,
       s"encodeGif: palette entries must be a power of two in 2..256, got $nColors")
-    require(indices.forall(i => (i & 0xff) < nColors),
-      "encodeGif: index out of palette range")
-    val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
-    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    le16(w); le16(h)
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
     val gctBits = 31 - Integer.numberOfLeadingZeros(nColors) // log2(nColors)
     out.write(0x80 | (gctBits - 1)) // GCT present, 2^(bits) entries
     out.write(0); out.write(0)      // background color, aspect ratio
-    out.write(palette)
+    out.write(palette, 0, palette.length)
+  }
+
+  private def gifFrameTo(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, indices: Array[Byte], palette: Array[Byte],
+      interlace: Boolean): Unit = {
+    val nColors = palette.length / 3
+    require(indices.length == w * h && indices.forall(i => (i & 0xff) < nColors),
+      "encodeGif: frame indices out of palette/geometry range")
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(0x2c); le16(0); le16(0); le16(w); le16(h) // full-frame image
     out.write(if (interlace) 0x40 else 0)
     // the row order the stream carries (interlace = the four GIF passes)
@@ -1980,6 +2627,7 @@ object Multimodal {
     val stream = new Array[Byte](w * h)
     var sp = 0
     for (y <- rows) { System.arraycopy(indices, y * w, stream, sp, w); sp += w }
+    val gctBits = 31 - Integer.numberOfLeadingZeros(nColors)
     val minCode = math.max(2, gctBits)
     out.write(minCode)
     val clear = 1 << minCode
@@ -2025,9 +2673,7 @@ object Multimodal {
       val n = math.min(255, z.length - o)
       out.write(n); out.write(z, o, n); o += n
     }
-    out.write(0)    // data terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    out.write(0) // data terminator
   }
 
   /** Deterministic 24-bit BI_RGB BMP encoder: BGR rows, 4-byte padding,
@@ -2385,14 +3031,17 @@ object Multimodal {
 
   final case class ExifRow(doc_id: Long, orientation: Option[Int],
       make: Option[String], model: Option[String],
-      taken_at: Option[String])
+      taken_at: Option[String], lat: Option[Double], lon: Option[Double])
 
   /** Image PROVENANCE extraction: EXIF orientation / camera make +
-    * model / capture timestamp per document — the metadata a curation
-    * pipeline mines for dedup attribution, camera-source analysis, and
-    * time-range filtering at corpus scale. Partition-parallel map, no
+    * model / capture timestamp / GPS position per document — the
+    * metadata a curation pipeline mines for dedup attribution,
+    * camera-source analysis, time-range filtering, and PRIVACY
+    * screening (embedded GPS is PII: a corpus must be able to list and
+    * strip located images) at corpus scale. Partition-parallel map, no
     * shuffle; rows without EXIF carry nulls (total). JPEG APP1 and
-    * bare-TIFF EXIF in either byte order.
+    * bare-TIFF EXIF in either byte order; lat/lon in signed decimal
+    * degrees (S/W negative).
     */
   def exifTable(spark: SparkSession, media: DataFrame): Dataset[ExifRow] = {
     import spark.implicits._
@@ -2400,20 +3049,26 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         ContainerCodec.exifOf(bytes) match {
-          case Some((o, mk, md, dt)) => ExifRow(id, o, mk, md, dt)
-          case None => ExifRow(id, None, None, None, None)
+          case Some((o, mk, md, dt, la, lo)) =>
+            ExifRow(id, o, mk, md, dt, la, lo)
+          case None => ExifRow(id, None, None, None, None, None, None)
         }
       })
   }
 
   /** Wrap a JPEG with an EXIF APP1 segment (little-endian TIFF: IFD0
-    * tags Make/Model/Orientation + an ExifIFD with DateTimeOriginal) —
-    * the provenance-extraction fixture writer. Strings must be at
-    * least 4 chars so every ASCII value takes the external-offset
-    * form the reader expects for long values.
+    * tags Make/Model/Orientation + an ExifIFD with DateTimeOriginal,
+    * plus a GPS IFD when `gps` carries d/m/s components) — the
+    * provenance-extraction fixture writer. Strings must be at least 4
+    * chars so every ASCII value takes the external-offset form the
+    * reader expects for long values. `gps` is (latRef, latD, latM,
+    * latS, lonRef, lonD, lonM, lonS) with integer components, the
+    * common camera layout (den 1 rationals).
     */
   def exifJpeg(jpeg: Array[Byte], orientation: Int, make: String,
-      model: String, takenAt: String): Array[Byte] = {
+      model: String, takenAt: String,
+      gps: Option[(String, Int, Int, Int, String, Int, Int, Int)] = None)
+      : Array[Byte] = {
     require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff &&
       (jpeg(1) & 0xff) == 0xd8, "exifJpeg: not a JPEG")
     require(Seq(make, model, takenAt).forall(_.length >= 4),
@@ -2421,25 +3076,49 @@ object Multimodal {
     val mk = make.getBytes("US-ASCII") :+ 0.toByte
     val md = model.getBytes("US-ASCII") :+ 0.toByte
     val dt = takenAt.getBytes("US-ASCII") :+ 0.toByte
+    val nIfd0 = if (gps.isDefined) 5 else 4
     val ifd0 = 8
-    val exifIfd = ifd0 + 2 + 4 * 12 + 4
-    val strBase = exifIfd + 2 + 1 * 12 + 4
+    val exifIfd = ifd0 + 2 + nIfd0 * 12 + 4
+    val gpsIfd = exifIfd + 2 + 1 * 12 + 4
+    val gpsLen = if (gps.isDefined) 2 + 4 * 12 + 4 + 48 else 0
+    val strBase = gpsIfd + gpsLen
     val mkOff = strBase
     val mdOff = mkOff + mk.length
     val dtOff = mdOff + md.length
     val tiff = java.nio.ByteBuffer.allocate(dtOff + dt.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0)
-    tiff.putShort(4) // IFD0 entries, ascending tags
+    tiff.putShort(nIfd0.toShort) // IFD0 entries, ascending tags
     tiff.putShort(271).putShort(2).putInt(mk.length).putInt(mkOff)
     tiff.putShort(272).putShort(2).putInt(md.length).putInt(mdOff)
     tiff.putShort(274).putShort(3).putInt(1)
       .putShort(orientation.toShort).putShort(0)
     tiff.putShort(34665.toShort).putShort(4).putInt(1).putInt(exifIfd)
+    if (gps.isDefined)
+      tiff.putShort(34853.toShort).putShort(4).putInt(1).putInt(gpsIfd)
     tiff.putInt(0) // no next IFD
     tiff.putShort(1) // ExifIFD entries
     tiff.putShort(36867.toShort).putShort(2).putInt(dt.length).putInt(dtOff)
     tiff.putInt(0)
+    gps.foreach { case (latRef, latD, latM, latS, lonRef, lonD, lonM, lonS) =>
+      require(Set("N", "S").contains(latRef) && Set("E", "W").contains(lonRef),
+        s"exifJpeg: gps refs $latRef/$lonRef")
+      val latData = gpsIfd + 2 + 4 * 12 + 4
+      val lonData = latData + 24
+      def refBytes(s: String): Unit = { // ASCII count 2, inline value
+        tiff.put(s.getBytes("US-ASCII")(0)).put(0.toByte)
+          .put(0.toByte).put(0.toByte)
+      }
+      tiff.putShort(4) // GPS IFD entries, its own tag namespace
+      tiff.putShort(1).putShort(2).putInt(2); refBytes(latRef)
+      tiff.putShort(2).putShort(5).putInt(3).putInt(latData)
+      tiff.putShort(3).putShort(2).putInt(2); refBytes(lonRef)
+      tiff.putShort(4).putShort(5).putInt(3).putInt(lonData)
+      tiff.putInt(0) // no next IFD
+      Seq(latD, latM, latS, lonD, lonM, lonS).foreach { v =>
+        tiff.putInt(v).putInt(1) // RATIONAL v/1
+      }
+    }
     tiff.put(mk).put(md).put(dt)
     val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
       tiff.array()
@@ -2642,20 +3321,71 @@ object Multimodal {
   }
 
   /** Duplicate-VIDEO pairs by the remux-robust payload fingerprint
-    * ([[ContainerCodec.mp4PayloadFp]]): two MP4s pair iff their coded
-    * `mdat` sample bytes are identical, regardless of how the container
+    * ([[ContainerCodec.videoPayloadFp]] — MP4/MOV via the atom walk,
+    * WebM/MKV via the EBML walk): two videos pair iff their coded
+    * sample bytes are identical, regardless of how the container
     * around them was rewritten — moov relocated (faststart), metadata
-    * tags edited, free-atom padding, atom order shuffled. The dup class
-    * this catches is the container re-wrap, the video analog of a
-    * losslessly re-encoded PNG; transcoded copies (different coded
-    * bytes for the same frames) remain behind the documented codec
-    * boundary. One scan to fingerprint, then the same bucket-pair shape
-    * as every exact-dedup in the family (groupBy fingerprint — a 64-bit
-    * key, map-side combinable; `maxBucket` caps pathological buckets).
+    * tags edited, free/Void padding, atom/element order shuffled,
+    * clusters re-chunked, blocks re-laced, and even a re-wrap ACROSS
+    * the two container families. The dup class this catches is the
+    * container re-wrap, the video analog of a losslessly re-encoded
+    * PNG; transcoded copies (different coded bytes for the same frames)
+    * remain behind the documented codec boundary. One scan to
+    * fingerprint, then the same bucket-pair shape as every exact-dedup
+    * in the family (groupBy fingerprint — a 64-bit key, map-side
+    * combinable; `maxBucket` caps pathological buckets).
     * Returns (id_a, id_b), id_a < id_b.
     */
+  /** Animated-GIF frame table: (doc_id, frames, duration_cs) — the
+    * container-exact animation surface (structural frame count, summed
+    * GCE delays in centiseconds) as a queryable frame. Non-GIF and
+    * frameless payloads yield no rows. One partition-parallel map, no
+    * shuffle.
+    */
+  def gifAnimTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        ContainerCodec.gifFrames(b, maxHashFrames = 0)
+          .map(a => (id, a.frameCount, a.delayCs))
+      })
+      .toDF("doc_id", "frames", "duration_cs")
+  }
+
+  /** Duplicate ANIMATION pairs by shared frame hashes — the landmark
+    * model ([[AudioFingerprint]]) applied to GIF frames: each decoded
+    * frame's closed-form grid hash is one landmark, and two cuts pair
+    * when they share at least `minSharedFrames` of them. This is what
+    * the single first-frame key cannot do: a re-encode that DROPS or
+    * prepends an intro frame still shares every remaining frame with
+    * the original. Same bucket-pair shape as every exact-key dedup
+    * (groupBy hash, map-side combinable, `maxBucket` hub cap — a
+    * constant-color frame shared by thousands of animations identifies
+    * nothing). Returns (id_a, id_b, shared), id_a < id_b.
+    */
+  def gifAnimDups(spark: SparkSession, media: DataFrame,
+      minSharedFrames: Int = 2, maxBucket: Int = 2000,
+      maxHashFrames: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        ContainerCodec.gifFrames(b, maxHashFrames)
+          .toSeq.flatMap(_.frameHashes.distinct.map(fh => (id, fh)))
+      })
+      .toDF("doc_id", "fh")
+      .groupBy("fh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minSharedFrames)
+  }
+
   def videoRemuxDups(media: DataFrame, maxBucket: Int = 2000): DataFrame = {
-    val fpUdf = udf((b: Array[Byte]) => ContainerCodec.mp4PayloadFp(b))
+    val fpUdf = udf((b: Array[Byte]) => ContainerCodec.videoPayloadFp(b))
     media.select(col("doc_id"), fpUdf(col("media")).as("fp"))
       .filter(col("fp").isNotNull)
       .groupBy("fp")

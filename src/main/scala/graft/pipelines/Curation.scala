@@ -200,7 +200,7 @@ object Curation {
         videoStorePath match {
           case Some(vsp) =>
             val fpU = udf((b: Array[Byte]) =>
-              Multimodal.ContainerCodec.mp4PayloadFp(b))
+              Multimodal.ContainerCodec.videoPayloadFp(b))
             graft.ext.IncrementalKeyedDedup.ingest(spark, base, idCol,
               fpU(col(vCol)), vsp)
           case None =>

@@ -375,13 +375,13 @@ object TrainingSet {
     // fingerprint key store — a re-wrapped copy of the same video
     // (moov relocated for faststart, metadata tags rewritten, padding
     // inserted) dedups cross-batch by its mdat payload fingerprint even
-    // when all its text was rewritten. Non-MP4 and payload-less rows
+    // when all its text was rewritten. Non-video and payload-less rows
     // key NULL and pass through untouched (IncrementalKeyedDedup's
     // keyless discipline); the store is 16 bytes/video.
     val videoSurvivors = (videoCol, videoStorePath) match {
       case (Some(vCol), Some(vsp)) =>
         val fpU = udf((b: Array[Byte]) =>
-          graft.ext.Multimodal.ContainerCodec.mp4PayloadFp(b))
+          graft.ext.Multimodal.ContainerCodec.videoPayloadFp(b))
         graft.ext.IncrementalKeyedDedup.ingest(spark, audioSurvivors,
           idCol, fpU(col(vCol)), vsp).localCheckpoint(false)
       case (None, Some(_)) => sys.error(

@@ -1539,6 +1539,29 @@ object ExtQueries {
         .orderBy("doc_id", "variant")
     }),
 
+    // Animated-GIF FRAME SURFACE, oracled: 8 synthesized animations
+    // (real GIF89a — Graphic Control Extensions carrying per-frame
+    // delays, one full LZW stream per frame) with doc_id-derived frame
+    // counts and delays, plus one single-frame GIF (no GCE -> 1 frame,
+    // 0 cs). frames/duration_cs are exact container integers, so the
+    // oracle regenerates them in closed form — a mis-skipped extension,
+    // a lost GCE, or a frame walk that stops at the first descriptor
+    // each moves a row and fails the hash.
+    "ext_image_gif_anim" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      def frame(k: Int, f: Int) = Array.tabulate(11 * 7)(p =>
+        ((p * 29 + k * 13 + f * 41) % 251).toByte)
+      val rows = (0 until 8).map { k =>
+        val n = 2 + k % 4
+        (k.toLong, Multimodal.encodeGifAnim(11, 7,
+          (0 until n).map(f => frame(k, f)), grayPal,
+          (0 until n).map(f => 4 + (k * 5 + f) % 11)))
+      } :+ (99L, Multimodal.encodeGif(11, 7, frame(9, 0), grayPal))
+      Multimodal.gifAnimTable(s, rows.toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
     // Image PROVENANCE extraction, oracled: 12 JPEGs wrapped with real
     // EXIF APP1 segments (IFD0 Make/Model/Orientation + DateTimeOriginal
     // behind the ExifIFD pointer) whose fields derive from doc_id in
@@ -1563,16 +1586,28 @@ object ExtQueries {
           orientation = 1 + k % 8,
           make = s"maker${k % 5}",
           model = f"cam_${k * 7 % 30}%02d",
-          takenAt = f"2021:${k % 12 + 1}%02d:15 0${k % 9}:30:00"))
+          takenAt = f"2021:${k % 12 + 1}%02d:15 0${k % 9}:30:00",
+          // GPS on two of every three rows (the PII-screening surface):
+          // d/m/s rationals, hemisphere refs exercising both signs
+          gps = if (k % 3 == 2) None
+            else Some((if (k % 2 == 0) "N" else "S",
+              10 + k, k * 5 % 60, k * 7 % 60,
+              if (k % 3 == 0) "E" else "W",
+              100 + k, k * 11 % 60, k * 13 % 60))))
       } :+ (99L, baseJpeg)
       Multimodal.exifTable(s, rows.toDF("doc_id", "media"))
-        .toDF().orderBy("doc_id")
+        .toDF()
+        .select(col("doc_id"), col("orientation"), col("make"),
+          col("model"), col("taken_at"),
+          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+        .orderBy("doc_id")
     }),
 
     // THE DISPATCH TABLE, oracled in one row set: one synthesized
     // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
     // lossless-WebP pixels, WAV pcm, FLAC lossless, lossy-WebP/MP3/
-    // Ogg-Vorbis/Opus/MP4 container, junk byte-stats — with a DISTINCT
+    // Ogg-Vorbis/Opus/MP4/WebM/Matroska container, junk byte-stats —
+    // with a DISTINCT
     // planted count per class, rolled up by decodeCensus. Every
     // misrouted or regressed decoder moves a count and fails the hash:
     // the whole media-regime inventory is pinned by one CORRECTNESS
@@ -1606,6 +1641,20 @@ object ExtQueries {
         val o = new java.io.ByteArrayOutputStream()
         o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
         o.write(new Array[Byte](400))
+        o.toByteArray
+      }
+      val mp3Wav = { // fmt tag 0x55: the compressed-WAV wrapper class
+        val o = new java.io.ByteArrayOutputStream()
+        def le32(v: Int): Unit = (0 until 4).foreach(i =>
+          o.write((v >> (8 * i)) & 0xff))
+        o.write("RIFF".getBytes("US-ASCII")); le32(4 + 24 + 8 + mp3.length)
+        o.write("WAVE".getBytes("US-ASCII"))
+        o.write("fmt ".getBytes("US-ASCII")); le32(16)
+        o.write(0x55); o.write(0); o.write(2); o.write(0)
+        le32(44100); le32(16000)
+        o.write(1); o.write(0); o.write(0); o.write(0)
+        o.write("data".getBytes("US-ASCII")); le32(mp3.length)
+        o.write(mp3)
         o.toByteArray
       }
       def oggId(packet: Array[Byte]) = {
@@ -1647,9 +1696,15 @@ object ExtQueries {
         (2, "audio/wav", AudioDsp.pcmWav(tone.map(_ / 32767.0), 8000)),
         (3, "audio/flac", graft.ext.Flac.encode(tone, 8000)),
         (4, "audio/mpeg", mp3),
+        (12, "audio/wav", mp3Wav),
         (5, "audio/ogg", vorbis),
         (6, "audio/ogg", opus),
         (7, "video/mp4", Multimodal.minimalMp4(600, 1200, 1, 320, 240)),
+        (10, "video/webm", Multimodal.minimalWebm(1000000L, 3000.0,
+          320, 240, Seq(Array.tabulate(60)(i => ((i * 7) % 251).toByte)))),
+        (11, "video/x-matroska", Multimodal.minimalWebm(1000000L, 800.0,
+          160, 120, Seq(Array.tabulate(44)(i => ((i * 11) % 251).toByte)),
+          docType = "matroska")),
         (9, "application/junk", "not any known container".getBytes("UTF-8")))
       val rows = classes.zipWithIndex.flatMap { case ((n, fmt, bytes), ci) =>
         (0 until n).map(j => Multimodal.MediaRow(
@@ -1784,13 +1839,20 @@ object ExtQueries {
     }),
 
     // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
-    // PLANTED truth, the audio-gate discipline): 12 synthesized MP4s
-    // with globally-unique mdat sample bytes, plus 6 RE-WRAPPED copies
-    // — moov relocated after mdat, free-atom padding, different
-    // timescale/track-count/geometry metadata. A correct fingerprinter
-    // pairs exactly copy-with-original: the mdat bytes are the identity,
-    // every metadata field differs, and distinct payloads share no
-    // bytes. The oracle is the closed-form planted pair list.
+    // PLANTED truth, the audio-gate discipline), BOTH container
+    // families: 12 synthesized MP4s with globally-unique mdat sample
+    // bytes plus 6 RE-WRAPPED copies (moov relocated after mdat,
+    // free-atom padding, different timescale/track-count/geometry
+    // metadata), and 8 WebM/Matroska files with globally-unique coded
+    // frames plus 4 RE-WRAPPED copies (clusters re-chunked, BlockGroup
+    // rewrap, Xiph re-lacing, Void padding, rewritten title/timescale/
+    // geometry metadata, one as a Matroska DocType). A correct
+    // fingerprinter pairs exactly copy-with-original in each family:
+    // the coded bytes are the identity, every metadata field differs,
+    // and distinct payloads share no bytes. The oracle is the
+    // closed-form planted pair list. (The mp4<->webm CROSS-container
+    // identity — same coded stream, either wrapper — is spec-held in
+    // ExtSpec; here the two families' payload formulas are disjoint.)
     "ext_video_remux_pairs" -> ((s, dir) => {
       import s.implicits._
       def payload(k: Int) =
@@ -1801,7 +1863,21 @@ object ExtQueries {
       val remuxed = (0 until 6).map(k => (100L + k,
         Multimodal.minimalMp4(90000, 500 + k, 2 + k % 2, 640, 480,
           mdat = payload(k), moovFirst = false, freePad = 12 + k)))
-      Multimodal.videoRemuxDups((originals ++ remuxed).toDF("doc_id", "media"))
+      def webFrames(k: Int) = (0 until 5).map(f =>
+        Array.tabulate(50 + f * 9 + k)(i =>
+          ((i * 29 + k * 13 + f * 7 + 11) % 241).toByte))
+      val webOrig = (0 until 8).map(k => (200L + k,
+        Multimodal.minimalWebm(1000000L, 2000.0 + k * 100, 320 + k,
+          240 + k, webFrames(k), audioTrack = k % 2 == 0)))
+      val webRewrap = (0 until 4).map(k => (300L + k,
+        Multimodal.minimalWebm(500000L, 9000.0 + k, 640, 480,
+          webFrames(k), framesPerCluster = 1 + k % 5,
+          blockGroups = k % 2 == 0, xiphLacePairs = k % 2 == 1,
+          voidPad = 17 + k, title = s"rewrapped $k",
+          docType = if (k == 3) "matroska" else "webm")))
+      Multimodal.videoRemuxDups(
+          (originals ++ remuxed ++ webOrig ++ webRewrap)
+            .toDF("doc_id", "media"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -3399,7 +3475,10 @@ object ExtQueries {
 
     "ext_video_remux_pairs" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
-        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+        |FROM UNNEST(range(0, 6)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k + 200 AS BIGINT), CAST(k + 300 AS BIGINT)
+        |FROM UNNEST(range(0, 4)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
     "ext_audio_search" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
@@ -3408,6 +3487,17 @@ object ExtQueries {
     "ext_audio_search_indexed" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
+
+    "ext_image_gif_anim" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id,
+        |  CAST(2 + k % 4 AS INT) AS frames,
+        |  CAST(SUM(4 + (k * 5 + f) % 11) AS BIGINT) AS duration_cs
+        |FROM UNNEST(range(0, 8)) AS t(k),
+        |  LATERAL UNNEST(range(0, 2 + k % 4)) AS u(f)
+        |GROUP BY k
+        |UNION ALL
+        |SELECT 99, 1, 0
+        |ORDER BY doc_id""".stripMargin,
 
     // one plane per doc from the closed-form formula; the SAME hash
     // emitted for all six TIFF encodings of it
@@ -3460,10 +3550,18 @@ object ExtQueries {
         |  CAST(1 + k % 8 AS INT) AS orientation,
         |  'maker' || CAST(k % 5 AS VARCHAR) AS make,
         |  printf('cam_%02d', k * 7 % 30) AS model,
-        |  printf('2021:%02d:15 0%d:30:00', k % 12 + 1, k % 9) AS taken_at
+        |  printf('2021:%02d:15 0%d:30:00', k % 12 + 1, k % 9) AS taken_at,
+        |  CASE WHEN k % 3 = 2 THEN NULL ELSE
+        |    round((CASE WHEN k % 2 = 0 THEN 1 ELSE -1 END) *
+        |      (10 + k + (k * 5 % 60) / 60.0 + (k * 7 % 60) / 3600.0), 6)
+        |  END AS lat,
+        |  CASE WHEN k % 3 = 2 THEN NULL ELSE
+        |    round((CASE WHEN k % 3 = 0 THEN 1 ELSE -1 END) *
+        |      (100 + k + (k * 11 % 60) / 60.0 + (k * 13 % 60) / 3600.0), 6)
+        |  END AS lon
         |FROM UNNEST(range(0, 12)) AS t(k)
         |UNION ALL
-        |SELECT 99, NULL, NULL, NULL, NULL
+        |SELECT 99, NULL, NULL, NULL, NULL, NULL, NULL
         |ORDER BY doc_id""".stripMargin,
 
     // the dispatch table's closed-form census: distinct planted counts
@@ -3476,6 +3574,7 @@ object ExtQueries {
         |  ('audio/ogg-opus', 'container', 6),
         |  ('audio/ogg-vorbis', 'container', 5),
         |  ('audio/wav', 'pcm', 2),
+        |  ('audio/wav-mp3', 'container', 12),
         |  ('image/bmp', 'pixels', 5),
         |  ('image/gif', 'pixels', 4),
         |  ('image/jpeg', 'pixels', 3),
@@ -3484,7 +3583,9 @@ object ExtQueries {
         |  ('image/webp', 'container', 1),
         |  ('image/webp', 'pixels', 8),
         |  ('image/x-icon', 'pixels', 7),
-        |  ('video/mp4', 'container', 7)) AS t(format, kind, cnt)
+        |  ('video/mp4', 'container', 7),
+        |  ('video/webm', 'container', 10),
+        |  ('video/x-matroska', 'container', 11)) AS t(format, kind, cnt)
         |ORDER BY format, kind""".stripMargin,
 
     // planted truth: each re-crawl probe's top-1 is its source at

@@ -276,10 +276,11 @@ object StreamingDedup {
   }
 
   /** The streaming form of the VIDEO dedup: the remux-robust mdat
-    * payload fingerprint (`Multimodal.mp4PayloadFp` — moov relocation,
+    * payload fingerprint (`Multimodal.videoPayloadFp` — moov relocation,
     * metadata edits, free-atom padding and atom reorders do not move
-    * it) keys the durable keyed store, so a re-WRAPPED copy of any
-    * previously streamed video drops cross-batch. Non-MP4 and
+    * it; WebM/MKV rides the EBML walk the same way) keys the durable
+    * keyed store, so a re-WRAPPED copy of any previously streamed
+    * video drops cross-batch. Non-video and
     * payload-less rows key NULL and pass through untouched
     * (`IncrementalKeyedDedup`'s keyless discipline). Same crash
     * semantics as [[ingestKeyedAvailableNow]], which this wraps:
@@ -297,7 +298,7 @@ object StreamingDedup {
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Long = {
     val fpU = udf((b: Array[Byte]) =>
-      graft.ext.Multimodal.ContainerCodec.mp4PayloadFp(b))
+      graft.ext.Multimodal.ContainerCodec.videoPayloadFp(b))
     ingestKeyedAvailableNow(spark, srcDir, schema, idCol, fpU(col(videoCol)),
       storePath, survivorsPath, checkpointDir, maxFilesPerTrigger)
   }

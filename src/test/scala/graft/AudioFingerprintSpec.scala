@@ -84,6 +84,14 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(rip == flacMaster,
       s"FLAC master drifted: only-rip=${(rip -- flacMaster).size} " +
         s"only-flac=${(flacMaster -- rip).size}")
+    // ...and the STUDIO-width master: a 24-bit FLAC encode of the same
+    // recording (the widened encoder end) fingerprints as the same
+    // recording as its 16-bit rip — the gate the 16-bit-only fixture
+    // encoder could not run end-to-end before
+    val flac24 = fpSet(AudioFingerprint.tonesFlac(Sr, seqOf(4), bits = 24))
+    assert(rip == flac24,
+      s"24-bit FLAC master drifted: only-rip=${(rip -- flac24).size} " +
+        s"only-flac=${(flac24 -- rip).size}")
 
     // the LOSSY-compressed copy: an IMA-ADPCM re-encode of the same
     // recording (a telephony/game-audio rip) keeps its spectral peaks,

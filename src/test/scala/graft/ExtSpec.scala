@@ -788,6 +788,133 @@ class ExtSpec extends SparkSpec {
       ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
+  test("multimodal: animated GIF — frame surface and two-cut pairing") {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    def fr(k: Int, f: Int) = Array.tabulate(13 * 9)(p =>
+      ((p * 31 + k * 7 + f * 53) % 251).toByte)
+    val frames = (0 until 5).map(f => fr(1, f))
+    val cutA = Multimodal.encodeGifAnim(13, 9, frames, pal,
+      Seq(10, 8, 8, 8, 12))
+    // the re-encode that DROPS the intro frame — first-frame keys miss it
+    val cutB = Multimodal.encodeGifAnim(13, 9, frames.drop(1), pal,
+      Seq(8, 8, 8, 12))
+    val other = Multimodal.encodeGifAnim(13, 9,
+      (0 until 5).map(f => fr(7, f)), pal, Seq(5, 5, 5, 5, 5))
+
+    // container-exact surface: frames counted, GCE delays summed
+    val a = Multimodal.ContainerCodec.gifFrames(cutA).get
+    assert(a.frameCount == 5 && a.delayCs == 46 &&
+      a.frameHashes.length == 5, s"$a")
+    assert(a.durationSec == 0.46, s"${a.durationSec}")
+    // a single-frame GIF (no GCE) is 1 frame, 0 cs — same walk
+    val single = Multimodal.ContainerCodec.gifFrames(
+      Multimodal.encodeGif(13, 9, fr(1, 0), pal)).get
+    assert(single.frameCount == 1 && single.delayCs == 0, s"$single")
+
+    // the first-frame store key genuinely diverges between the cuts...
+    val b = Multimodal.ContainerCodec.gifFrames(cutB).get
+    assert(a.frameHashes.head != b.frameHashes.head,
+      "fixture must make the first-frame key miss")
+    // ...while the frame-landmark rule pairs them: 4 shared frame
+    // hashes (every frame but the dropped intro)
+    assert(a.frameHashes.toSet.intersect(b.frameHashes.toSet).size == 4)
+    val pairs = Multimodal.gifAnimDups(spark,
+        Seq((1L, cutA), (2L, cutB), (3L, other))
+          .toDF("doc_id", "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 4L)), s"$pairs")
+
+    // the feature row carries the animation surface (audio-duration
+    // precedent): [w, h, meanR, meanG, meanB, lum, frames, durationSec]
+    val feats = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(1L, cutA, "image/gif", 0, 0)).toDF())
+      .collect().head
+    assert(feats.kind == "pixels" && feats.feature.length == 8 &&
+      feats.feature(6) == 5f && feats.feature(7) == 0.46f,
+      s"gif features ${feats.feature.toSeq}")
+
+    // truncation mid-animation degrades to the frames already walked
+    val cut = Multimodal.ContainerCodec.gifFrames(
+      cutA.take(cutA.length - 40))
+    assert(cut.exists(c => c.frameCount > 0 && c.frameCount < 5), s"$cut")
+  }
+
+  test("multimodal: WebM/MKV EBML walk — geometry, remux fingerprint, cross-container") {
+    import spark.implicits._
+    def frames(seed: Int): Seq[Array[Byte]] = (0 until 6).map(f =>
+      Array.tabulate(40 + f * 7)(i =>
+        ((i * 31 + seed * 17 + f * 5 + 3) % 251).toByte))
+    // geometry: 2.5 s = 2500 ticks at the 1 ms default scale; video +
+    // audio track; max-over-tracks picks the video geometry
+    val w1 = Multimodal.minimalWebm(1000000L, 2500.0, 640, 360,
+      frames(1), audioTrack = true)
+    val f = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(1L, w1, "video/webm", 0, 0)).toDF())
+      .collect().head
+    assert(f.format == "video/webm" && f.kind == "container", s"$f")
+    assert(f.feature.toSeq == Seq(2.5f, 2f, 640f, 360f),
+      s"webm features ${f.feature.toSeq}")
+    // the matroska DocType routes to the x-matroska mime
+    val mkv = Multimodal.minimalWebm(1000000L, 1000.0, 320, 240,
+      frames(2), docType = "matroska")
+    val fm = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(2L, mkv, "video/webm", 0, 0)).toDF())
+      .collect().head
+    assert(fm.format == "video/x-matroska" && fm.feature(0) == 1.0f, s"$fm")
+
+    // remux fingerprint: every container rewrite a re-wrap performs —
+    // re-chunked clusters, BlockGroup wrapping, Xiph lacing, Void
+    // padding, metadata/timescale edits — keeps the fingerprint
+    val fp0 = Multimodal.ContainerCodec.videoPayloadFp(w1)
+    assert(fp0.isDefined, "fixture must fingerprint")
+    val variants = Seq(
+      Multimodal.minimalWebm(500000L, 5000.0, 640, 360, frames(1),
+        framesPerCluster = 1, title = "re-titled edition"),
+      Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(1),
+        blockGroups = true, voidPad = 33),
+      Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(1),
+        xiphLacePairs = true),
+      Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(1),
+        framesPerCluster = 6))
+    variants.zipWithIndex.foreach { case (v, i) =>
+      assert(Multimodal.ContainerCodec.videoPayloadFp(v) == fp0,
+        s"remux variant $i moved the fingerprint")
+    }
+    assert(Multimodal.ContainerCodec.videoPayloadFp(
+        Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(3)))
+      != fp0, "different coded frames must not collide")
+
+    // cross-container: an MP4 whose mdat carries the SAME coded byte
+    // stream is the same video — both walks hash the raw coded bytes
+    val mp4Same = Multimodal.minimalMp4(600, 1200, 1, 320, 240,
+      mdat = frames(1).flatten.toArray)
+    assert(Multimodal.ContainerCodec.videoPayloadFp(mp4Same) == fp0,
+      "an mp4<->webm re-wrap of the same coded stream must pair")
+
+    // and the pair operator sees all of it in one frame
+    val media = Seq(
+      (1L, w1), (2L, variants(1)), (3L, mp4Same),
+      (4L, Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(3))))
+      .toDF("doc_id", "media")
+    val pairs = Multimodal.videoRemuxDups(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"$pairs")
+
+    // truncation falls back to byte-stats, never a partial parse; the
+    // census counts the webm container class
+    val cut = w1.take(w1.length - 9)
+    val census = Multimodal.decodeCensus(spark, Seq(
+        Multimodal.MediaRow(1L, w1, "video/webm", 0, 0),
+        Multimodal.MediaRow(2L, mkv, "video/webm", 0, 0),
+        Multimodal.MediaRow(3L, cut, "video/webm", 0, 0)).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(census == Map(("video/webm", "container") -> 1L,
+      ("video/x-matroska", "container") -> 1L,
+      ("video/webm", "byte-stats") -> 1L), s"census $census")
+  }
+
   test("multimodal: EXIF provenance — fields extracted, no-EXIF and truncation are null") {
     val im = new java.awt.image.BufferedImage(6, 4,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -800,19 +927,32 @@ class ExtSpec extends SparkSpec {
     // the tagged file must still DECODE as a picture (APP1 is
     // transparent to the pixel path)
     assert(Multimodal.ContainerCodec.grayPlane(tagged).exists(_._2 == 6))
+    // GPS variant: S/W hemispheres must sign the decimal degrees
+    val located = Multimodal.exifJpeg(plain, orientation = 1,
+      make = "graftcam", model = "gx-100",
+      takenAt = "2022:07:04 18:22:11",
+      gps = Some(("S", 33, 52, 8, "W", 151, 12, 30)))
+    assert(Multimodal.ContainerCodec.grayPlane(located).exists(_._2 == 6))
     val rows = Multimodal.exifTable(spark, Seq(
         (1L, tagged), (2L, plain),
         (3L, tagged.take(30)), // APP1 cut mid-IFD
-        (4L, "no jpeg at all".getBytes("UTF-8")))
+        (4L, "no jpeg at all".getBytes("UTF-8")),
+        (5L, located))
         .toDF("doc_id", "media"))
       .collect().map(r => r.doc_id -> r).toMap
     assert(rows(1L).orientation.contains(6) &&
       rows(1L).make.contains("graftcam") &&
       rows(1L).model.contains("gx-100") &&
       rows(1L).taken_at.contains("2022:07:04 18:22:11"), s"${rows(1L)}")
+    assert(rows(1L).lat.isEmpty && rows(1L).lon.isEmpty,
+      s"no GPS IFD -> no position: ${rows(1L)}")
+    assert(rows(5L).lat.contains(-(33 + 52 / 60.0 + 8 / 3600.0)) &&
+      rows(5L).lon.contains(-(151 + 12 / 60.0 + 30 / 3600.0)),
+      s"signed decimal degrees: ${rows(5L)}")
     for (id <- Seq(2L, 3L, 4L))
       assert(rows(id).orientation.isEmpty && rows(id).make.isEmpty &&
-        rows(id).taken_at.isEmpty, s"doc $id must be all-null: ${rows(id)}")
+        rows(id).taken_at.isEmpty && rows(id).lat.isEmpty,
+        s"doc $id must be all-null: ${rows(id)}")
   }
 
   test("multimodal: MP3 and Ogg geometry from frame/id headers, no codec") {
@@ -888,14 +1028,63 @@ class ExtSpec extends SparkSpec {
       out.write(0)
       out.toByteArray
     }
+    // CHAINED streams (the radio-rip layout): the complete 2.0 s opus
+    // stream above concatenated with a complete vorbis stream whose
+    // data page ends at granule 144000 (48 kHz -> 3.0 s). Duration must
+    // SUM the chains — 5.0 s — with each chain's own granule clock;
+    // geometry stays the FIRST chain's (a last-page-only read would
+    // report 3.0 s and miss the first chain entirely)
+    val chained = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(opusTwoPage)
+      out.write(vorbis)
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(4) // version, end-of-stream
+      out.write(Array[Byte](0x80.toByte, 0x32, 0x02, 0, 0, 0, 0, 0))
+      out.write(new Array[Byte](4 + 4 + 4)) // serial, seq, crc
+      out.write(1); out.write(1) // one 1-byte segment
+      out.write(0)
+      out.toByteArray
+    }
+    // MP3-in-WAV (fmt tag 0x55): the data chunk is the Xing-tagged
+    // stream above — the wrapper must route through the MP3 walk and
+    // report the same EXACT frame-count duration
+    val mp3Wav = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dataLen = vbr.length + (vbr.length & 1)
+      out.write("RIFF".getBytes("US-ASCII"))
+      def le32(v: Int): Unit = (0 until 4).foreach(i =>
+        out.write((v >> (8 * i)) & 0xff))
+      le32(4 + 24 + 8 + dataLen)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(16)
+      out.write(0x55); out.write(0) // WAVE_FORMAT_MPEGLAYER3
+      out.write(2); out.write(0)    // channels
+      le32(44100); le32(16000)      // rate, byte rate
+      out.write(1); out.write(0); out.write(0); out.write(0) // align, bits
+      out.write("data".getBytes("US-ASCII")); le32(vbr.length)
+      out.write(vbr)
+      if ((vbr.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
     val feats = Multimodal.extractFeatures(spark, Seq(
         Multimodal.MediaRow(1L, mp3, "audio/mpeg", 0, 0),
         Multimodal.MediaRow(2L, vorbis, "audio/ogg", 0, 0),
         Multimodal.MediaRow(3L, opus, "audio/ogg", 0, 0),
         Multimodal.MediaRow(4L, mp3.take(200), "audio/mpeg", 0, 0),
         Multimodal.MediaRow(5L, vbr, "audio/mpeg", 0, 0),
-        Multimodal.MediaRow(6L, opusTwoPage, "audio/ogg", 0, 0)).toDF())
+        Multimodal.MediaRow(6L, opusTwoPage, "audio/ogg", 0, 0),
+        Multimodal.MediaRow(7L, chained, "audio/ogg", 0, 0),
+        Multimodal.MediaRow(8L, mp3Wav, "audio/wav", 0, 0)).toDF())
       .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(7L).format == "audio/ogg-opus" &&
+      feats(7L).feature(2) == 5f,
+      s"chained-stream duration must sum per chain: ${feats(7L)}")
+    assert(feats(8L).format == "audio/wav-mp3" &&
+      feats(8L).kind == "container" &&
+      math.abs(feats(8L).feature(2) - 1000f * 1152f / 44100f) < 1e-4 &&
+      feats(8L).feature(3) == 128f,
+      s"MP3-in-WAV must carry the Xing-exact duration: ${feats(8L)}")
     assert(feats(5L).kind == "container" &&
       math.abs(feats(5L).feature(2) - 1000f * 1152f / 44100f) < 1e-4,
       s"Xing frame count must set the exact duration: ${feats(5L)}")

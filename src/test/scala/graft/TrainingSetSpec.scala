@@ -390,6 +390,17 @@ class TrainingSetSpec extends SparkSpec {
     // a video with DIFFERENT payload bytes passes while the stage is on
     val r4 = ing(Seq((4L, textA + " again", otherVid)), "v4")
     assert(r4.afterVideoDedup == 1, s"distinct video wrongly dropped: $r4")
+    // cross-CONTAINER: a WebM re-wrap of the stored coded stream (the
+    // same payload bytes as frames in an EBML container) drops at
+    // exactly the video stage — videoPayloadFp hashes the raw coded
+    // bytes in both walks, so no extra wiring
+    val webmCopy = Multimodal.minimalWebm(1000000L, 4000.0, 640, 480,
+      Seq(payload.take(60), payload.slice(60, 110), payload.drop(110)),
+      blockGroups = true, title = "rewrapped webm edition")
+    val r5 = ing(Seq((6L, "a caption with wholly novel vocabulary about " +
+      "nothing mentioned before anywhere", webmCopy)), "v5")
+    assert(r5.afterNearDup == 1 && r5.afterVideoDedup == 0,
+      s"webm re-wrap not caught by the payload store: $r5")
   }
 
   test("takedown: table row deleted AND every store forgets — content re-admittable") {

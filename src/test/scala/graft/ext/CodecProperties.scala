@@ -34,7 +34,8 @@ object CodecProperties extends Properties("codecs") {
     "OggS".getBytes("US-ASCII"),
     "ID3".getBytes("US-ASCII"),
     Array[Byte](0xff.toByte, 0xfb.toByte),
-    Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p'))
+    Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p'),
+    Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)) // EBML
 
   private val plane = Array.tabulate(15 * 11)(p => ((p * 37) % 251).toByte)
   private val tone = Array.tabulate(1500)(i =>
@@ -57,6 +58,9 @@ object CodecProperties extends Properties("codecs") {
     Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
     Multimodal.minimalMp4(600, 1200, 1, 320, 240,
       mdat = Array.tabulate(64)(_.toByte)),
+    Multimodal.minimalWebm(1000000L, 2500.0, 320, 240,
+      (0 until 4).map(f => Array.tabulate(40 + f)(i => (i * 3 + f).toByte)),
+      xiphLacePairs = true, audioTrack = true, voidPad = 5),
     Multimodal.exifJpeg(
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte),
       orientation = 3, make = "maker", model = "model",
@@ -65,8 +69,9 @@ object CodecProperties extends Properties("codecs") {
   property("EXIF extraction is total over arbitrary bytes") =
     forAll(anyPayload) { bytes =>
       Multimodal.ContainerCodec.exifOf(bytes) match {
-        case Some((o, mk, md, dt)) =>
-          o.forall(_ >= 0) && Seq(mk, md, dt).forall(_.forall(_ != null))
+        case Some((o, mk, md, dt, lat, lon)) =>
+          o.forall(_ >= 0) && Seq(mk, md, dt).forall(_.forall(_ != null)) &&
+            Seq(lat, lon).forall(_.forall(v => !v.isNaN))
         case None => true
       }
     }
@@ -122,6 +127,14 @@ object CodecProperties extends Properties("codecs") {
         case Some((x, sr)) => sr > 0 && x.length >= 0
         case None          => true
       }
+    }
+
+  property("the video payload fingerprint is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      // both container walks (atom + EBML incl. lace tables) must never
+      // throw; a fingerprint, when produced, is just a long
+      Multimodal.ContainerCodec.videoPayloadFp(bytes)
+      true
     }
 
   property("the perceptual hash is total over arbitrary bytes") =

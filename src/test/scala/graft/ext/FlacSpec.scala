@@ -67,6 +67,30 @@ class FlacSpec extends AnyFunSuite {
     assert(decoded(ms)._1.toSeq == expect, "mid/side stereo")
   }
 
+  test("24-bit round-trips: studio width encodes and decodes exactly") {
+    // 24-bit samples exercise the widened encoder end (STREAMINFO width
+    // field, frame-header sample-size code 6, 24/25-bit subframes); the
+    // decoder was width-general already
+    val q24 = sig(3000, 5).map(v => v * 251) // spread into 24-bit range
+    val expect = q24.map(_ / 8388608.0).toSeq
+    for (mode <- Seq("verbatim", "fixed2")) {
+      val (x, sr) = decoded(Flac.encode(q24, 8000, mode = mode, bits = 24))
+      assert(sr == 8000 && x.toSeq == expect, s"24-bit $mode")
+    }
+    // 24-bit mid/side stereo: the side channel runs at 25 bits
+    val lr24 = (0 until 2048).flatMap(i =>
+      Seq(q24(i), q24(i + 512))).toArray
+    val expectMs = (0 until 2048)
+      .map(i => (q24(i) + q24(i + 512)) / 2.0 / 8388608.0).toSeq
+    val (xm, _) = decoded(Flac.encode(lr24, 8000, channels = 2,
+      mode = "midside", bits = 24))
+    assert(xm.toSeq == expectMs, "24-bit mid/side stereo")
+    // out-of-range samples refuse loudly rather than wrapping
+    intercept[IllegalArgumentException] {
+      Flac.encode(Array(1 << 23), 8000, bits = 24)
+    }
+  }
+
   test("EXACT cross-container identity: FLAC of a WAV's samples decodes identically") {
     val q = sig(4096, 3)
     val wav = AudioDsp.pcmWav(q.map(_ / 32767.0), 8000)
