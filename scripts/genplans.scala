@@ -64,7 +64,9 @@ val headline = Seq(
   ("ext_video_remux_pairs", "video remux dedup: one fingerprint scan, 64-bit-key HashAggregate buckets, no pair blowup"),
   ("ext_text_index_search", "SimHash index probe: per-chunk scans with PUSHED cval IN filters through the shared HammingIndex core"),
   ("ext_image_px_webp", "VP8L pixel gate: per-row JVM decode inside ONE whole-stage-codegen projection, no shuffle"),
-  ("ext_audio_flac_pairs", "FLAC-vs-WAV dedup: one fingerprint mapPartitions scan, map-combinable shared counts"))
+  ("ext_audio_flac_pairs", "FLAC-vs-WAV dedup: one fingerprint mapPartitions scan, map-combinable shared counts"),
+  ("ext_image_gif_anim", "GIF frame surface: one batched mapPartitions walk, exact container integers, no shuffle"),
+  ("ext_audio_search_indexed", "indexed audio search: the serving result (<= k rows/probe) materialized inside the pushed-In conf window, so this plan shows the checkpoint scan; the underlying postings scan carries PushedFilters In(fp, ...) and its row-group pruning is held by AudioIndexSpec via task bytes-read"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 ExtQueries.ensureImageIndex(spark, dir)

@@ -91,4 +91,64 @@ object ImageIndex {
     HammingIndex.topK(spark, path,
       qs.map(r => (r.getLong(0), r.getLong(1))), k, What)
   }
+
+  /** Rotation-tolerant bounded search: probes all four quarter-turn
+    * orientations of each probe image and keeps the BEST (minimum)
+    * Hamming per (probe, document) — exact for quarter-turn re-saves,
+    * because the rotated probe plane IS the stored copy's plane
+    * (`Multimodal.orientedHashes`). The STORE stays orientation-free —
+    * one hash per image, a pure function of the delivered plane (the
+    * COVERAGE round-11 decision: a stripped-metadata copy must keep
+    * matching; rotation tolerance costs 4 probe hashes at serve time,
+    * nothing at rest). Result EQUALS the bounded top-k under the
+    * per-pair best-orientation Hamming: each orientation's own top-k
+    * is fetched, so any pair in the combined answer is present in its
+    * best orientation's list (the k-way-merge argument). Probes whose
+    * payload does not decode fall back to their single payload-regime
+    * hash — rotation has no meaning for bytes. Returns
+    * (q_id, doc_id, hamming), ties to the lower doc_id.
+    */
+  def topKOriented(spark: SparkSession, path: String, probes: DataFrame,
+      k: Int, maxProbes: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val rows = probes
+      .select(col("doc_id"), col("media"), col("width"), col("height"))
+      .limit(maxProbes + 1)
+      .collect()
+    require(rows.length <= maxProbes,
+      s"imageIndex: more than $maxProbes oriented probes — this is a " +
+        "serving call; batch-vs-corpus jobs belong on " +
+        "IncrementalImageDedup/imageNearDups")
+    // synthetic probe ids (row index × 4 + orientation) keep the four
+    // orientations distinct through the shared probe machinery; the
+    // mapping joins the original ids back afterwards
+    val synth = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mapping = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val qId = r.getLong(0)
+      val media = r.getAs[Array[Byte]](1)
+      val hashes = Multimodal.orientedHashes(media).getOrElse {
+        graft.functions.DHashPixels
+          .computeExternal(media, r.getInt(2), r.getInt(3))
+          .map(px => Array(px.sh)).getOrElse(Array.empty[Long])
+      }
+      hashes.distinct.zipWithIndex.foreach { case (sh, o) =>
+        val sid = idx.toLong * 4 + o
+        synth += ((sid, sh))
+        mapping += ((sid, qId))
+      }
+    }
+    val raw = HammingIndex.topK(spark, path, synth.toArray, k, What)
+      .withColumnRenamed("q_id", "sq_id")
+    val best = raw
+      .join(broadcast(mapping.toSeq.toDF("sq_id", "q_id")), Seq("sq_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("hamming")).as("hamming"))
+    graft.ops.GroupedTopK(spark,
+        best.select(col("q_id"), col("doc_id"),
+          (-col("hamming")).cast("double").as("score")),
+        "q_id", "score", "doc_id", k)
+      .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+        (-col("score")).cast("int").as("hamming"))
+  }
 }

@@ -2056,18 +2056,25 @@ object Multimodal {
         while (i < pe) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
         true
       }
+      // an UNKNOWN-SIZE cluster (live-stream muxing: terminated only by
+      // the next cluster id) extends to the segment end, so later
+      // clusters arrive as its "children" — recurse on the cluster id
+      // to keep hashing their blocks in file order
+      def walkCluster(qo: Int, qe: Int): Boolean =
+        walkEbml(b, qo, qe) { (id3, ro, re) =>
+          if (id3 == 0xA3L) hashBlock(ro, re) // SimpleBlock
+          else if (id3 == 0xA0L) // BlockGroup
+            walkEbml(b, ro, re) { (id4, so, se) =>
+              if (id4 == 0xA1L) hashBlock(so, se) else true // Block
+            }
+          else if (id3 == 0x1F43B675L) walkCluster(ro, re)
+          else true
+        }
       val ok = walkEbml(b, 0, b.length) { (id, po, pe) =>
         if (id != 0x18538067L) true // Segment
         else walkEbml(b, po, pe) { (id2, qo, qe) =>
           if (id2 != 0x1F43B675L) true // Cluster
-          else walkEbml(b, qo, qe) { (id3, ro, re) =>
-            if (id3 == 0xA3L) hashBlock(ro, re) // SimpleBlock
-            else if (id3 == 0xA0L) // BlockGroup
-              walkEbml(b, ro, re) { (id4, so, se) =>
-                if (id4 == 0xA1L) hashBlock(so, se) else true // Block
-              }
-            else true
-          }
+          else walkCluster(qo, qe)
         }
       }
       if (ok && any) Some(h) else None
@@ -3336,6 +3343,44 @@ object Multimodal {
     * combinable; `maxBucket` caps pathological buckets).
     * Returns (id_a, id_b), id_a < id_b.
     */
+  /** The four quarter-turn hashes of a probe image's decoded plane —
+    * the SERVE-side orientation lever the store deliberately does not
+    * carry (COVERAGE round-11 decision): the stored hash stays a pure
+    * function of the delivered plane (a stripped-metadata copy keeps
+    * matching its source), and a rotation-tolerant SEARCH instead
+    * probes all four orientations of the PROBE — exact for
+    * quarter-turn re-saves (the rotated probe plane IS the stored
+    * copy's plane), 4 hashes at serve time, nothing at rest. None for
+    * undecodable payloads — the payload regime has no geometry to
+    * rotate, so callers fall back to the single payload hash.
+    * Order: [as-is, 90° cw, 180°, 270° cw].
+    */
+  private[graft] def orientedHashes(b: Array[Byte]): Option[Array[Long]] =
+    ContainerCodec.grayPlane(b).map { case (px, w, h) =>
+      def rot90(p: Array[Byte], pw: Int, ph: Int): Array[Byte] = {
+        // clockwise: source (x, y) lands at (ph - 1 - y, x) in ph×pw
+        val out = new Array[Byte](p.length)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            out(x * ph + (ph - 1 - y)) = p(y * pw + x)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      val r90 = rot90(px, w, h)
+      val r180 = rot90(r90, h, w)
+      val r270 = rot90(r180, w, h)
+      Array(
+        graft.functions.DHashPixels.computeGrid(px, w, h),
+        graft.functions.DHashPixels.computeGrid(r90, h, w),
+        graft.functions.DHashPixels.computeGrid(r180, w, h),
+        graft.functions.DHashPixels.computeGrid(r270, h, w))
+    }
+
   /** Animated-GIF frame table: (doc_id, frames, duration_cs) — the
     * container-exact animation surface (structural frame count, summed
     * GCE delays in centiseconds) as a queryable frame. Non-GIF and

@@ -885,6 +885,21 @@ class ExtSpec extends SparkSpec {
         Multimodal.minimalWebm(1000000L, 2500.0, 640, 360, frames(3)))
       != fp0, "different coded frames must not collide")
 
+    // an UNKNOWN-SIZE first cluster (live-stream muxing: terminated
+    // only by the next cluster id) absorbs the rest of the segment —
+    // the recursive cluster walk must keep hashing the later clusters'
+    // blocks, so the fingerprint does not move
+    val streamed = w1.clone()
+    val ci = streamed.indexOfSlice(
+      Seq[Byte](0x1f, 0x43, 0xb6.toByte, 0x75))
+    assert(ci > 0, "fixture must contain a cluster")
+    val szFirst = streamed(ci + 4) & 0xff
+    val szLen = java.lang.Integer.numberOfLeadingZeros(szFirst) - 23
+    streamed(ci + 4) = (szFirst | ((1 << (8 - szLen)) - 1)).toByte
+    for (i <- 1 until szLen) streamed(ci + 4 + i) = 0xff.toByte
+    assert(Multimodal.ContainerCodec.videoPayloadFp(streamed) == fp0,
+      "an unknown-size cluster must not lose the later clusters' frames")
+
     // cross-container: an MP4 whose mdat carries the SAME coded byte
     // stream is the same video — both walks hash the raw coded bytes
     val mp4Same = Multimodal.minimalMp4(600, 1200, 1, 320, 240,

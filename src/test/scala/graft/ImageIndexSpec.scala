@@ -12,15 +12,16 @@ import graft.ext.{ImageIndex, Multimodal}
 class ImageIndexSpec extends SparkSpec {
   import spark.implicits._
 
-  private def png(seed: Int, flip: Int = -1) = {
-    val plane = Array.tabulate(24 * 16) { p =>
+  private def planeOf(seed: Int, flip: Int = -1): Array[Byte] =
+    Array.tabulate(24 * 16) { p =>
       val x = p % 24; val y = p / 24
       val v = ((x * (13 + seed % 7) + y * (7 + seed % 5) +
         x * y * (1 + seed % 3)) * 3 + seed * 29) % 251
       (if (p == flip) (v + 96) % 251 else v).toByte
     }
-    Multimodal.storedGrayPng(plane, 24, 16)
-  }
+
+  private def png(seed: Int, flip: Int = -1) =
+    Multimodal.storedGrayPng(planeOf(seed, flip), 24, 16)
 
   private def frameOf(rows: Seq[(Long, Array[Byte])]) =
     rows.toDF("doc_id", "media")
@@ -126,6 +127,41 @@ class ImageIndexSpec extends SparkSpec {
       s"append diverged from rebuild: $viaGrown vs ${res(rebuilt)}")
     assert(viaGrown.exists(r => r._1 == 17L && r._2 == 3000L),
       s"appended near-copy must be findable: $viaGrown")
+  }
+
+  test("topKOriented: a quarter-turn re-save is findable; the store stays orientation-free") {
+    // a 90°-cw re-save of image 17's plane stored as its OWN 16×24 file
+    def rotCw(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](p.length)
+      for (y <- 0 until h; x <- 0 until w)
+        out(x * h + (h - 1 - y)) = p(y * w + x)
+      out
+    }
+    val corpus = frameOf((0 until 120).map(s => (s.toLong, png(s))) :+
+      (5000L, Multimodal.storedGrayPng(rotCw(planeOf(17), 24, 16), 16, 24)))
+    val path = tmpDir("imgidx_rot") + "/idx"
+    ImageIndex.build(corpus, path, maxHamming = 7)
+    val probes = frameOf(Seq((17L, png(17))))
+    // the plain probe finds the un-rotated original but NOT the rotated
+    // re-save — the documented store boundary
+    val plain = ImageIndex.topK(spark, path, probes, k = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(plain.contains((17L, 0)), s"$plain")
+    assert(!plain.exists(_._1 == 5000L),
+      s"fixture must make the plain probe miss the rotation: $plain")
+    // the oriented probe finds BOTH at hamming 0 — the rotated probe
+    // plane IS the stored copy's plane, and the store was not touched
+    val oriented = ImageIndex.topKOriented(spark, path, probes, k = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(oriented.contains((17L, 0)) && oriented.contains((5000L, 0)),
+      s"oriented probe must find the quarter-turn re-save: $oriented")
+    // and every plain hit is still present (min-hamming can only help)
+    assert(plain.subsetOf(oriented), s"plain=$plain oriented=$oriented")
+    // a probe with no decodable plane and no geometry honestly returns
+    // nothing (no hash to rotate, no payload regime to fall back to)
+    val none = ImageIndex.topKOriented(spark, path,
+      frameOf(Seq((9L, "not an image".getBytes("UTF-8")))), k = 3)
+    assert(none.collect().isEmpty)
   }
 
   test("build rejects bounds too wide to prune; topK uses the stored bound") {
