@@ -1756,6 +1756,47 @@ object ExtQueries {
         .orderBy(col("q_id").asc, col("hamming").asc, col("doc_id").asc)
     }),
 
+    // Rotation-tolerant search through the persisted Hamming index
+    // (oracled on PLANTED truth): a corpus of textured images plus a
+    // 90°-cw and a 270°-cw re-save of two of them; each probe's
+    // hamming-0 matches must be EXACTLY {its source, its rotated
+    // re-save} — the plain probe provably cannot see the rotations
+    // (spec-held), the oriented probe hashes the probe's own plane
+    // through all four quarter turns while the STORE keeps one
+    // orientation-free hash per image (COVERAGE round-11 decision).
+    "ext_image_index_oriented" -> ((s, dir) => {
+      import s.implicits._
+      def plane(seed: Int) = Array.tabulate(24 * 16) { p =>
+        val x = p % 24; val y = p / 24
+        (((x * (13 + seed % 7) + y * (7 + seed % 5) +
+          x * y * (1 + seed % 3)) * 3 + seed * 29) % 251).toByte
+      }
+      def rotCw(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        val out = new Array[Byte](p.length)
+        for (y <- 0 until h; x <- 0 until w)
+          out(x * h + (h - 1 - y)) = p(y * w + x)
+        out
+      }
+      def img(seed: Int) = Multimodal.storedGrayPng(plane(seed), 24, 16)
+      val p3r90 = rotCw(plane(3), 24, 16) // 16×24
+      val p7r270 = rotCw(rotCw(rotCw(plane(7), 24, 16), 16, 24), 24, 16)
+      val corpus = ((0 until 30).map(se => (se.toLong, img(se))) ++ Seq(
+        (5000L, Multimodal.storedGrayPng(p3r90, 16, 24)),
+        (5001L, Multimodal.storedGrayPng(p7r270, 16, 24))))
+        .toDF("doc_id", "media")
+        .withColumn("width", lit(0)).withColumn("height", lit(0))
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_imgidx_oriented/v1_n30"
+      if (!graft.ext.ImageIndex.exists(s, path))
+        graft.ext.ImageIndex.build(corpus, path, maxHamming = 7)
+      val probes = Seq((3L, img(3)), (7L, img(7))).toDF("doc_id", "media")
+        .withColumn("width", lit(0)).withColumn("height", lit(0))
+      graft.ext.ImageIndex.topKOriented(s, path, probes, k = 4)
+        .filter(col("hamming") === 0) // the planted identity class
+        .select("q_id", "doc_id")
+        .orderBy("q_id", "doc_id")
+    }),
+
     // Image dedup CLUSTERS (fully oracled): connected components over
     // the dHash near-dup pair graph — the canonical-image assignment
     // that turns pairwise image similarity into per-cluster keep/drop
@@ -3487,6 +3528,14 @@ object ExtQueries {
     "ext_audio_search_indexed" ->
       """SELECT CAST(k + 500 AS BIGINT) AS q_id, CAST(k AS BIGINT) AS doc_id
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY q_id""".stripMargin,
+
+    "ext_image_index_oriented" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (3, 5000),
+        |  (7, 7),
+        |  (7, 5001)) AS t(q_id, doc_id)
+        |ORDER BY q_id, doc_id""".stripMargin,
 
     "ext_image_gif_anim" ->
       """SELECT CAST(k AS BIGINT) AS doc_id,
