@@ -182,6 +182,53 @@ object AudioIndex {
       staleness, staleness > rebuildThreshold)
   }
 
+  /** Re-pack the posting layout from the artifact alone — the
+    * [[HammingIndex.compact]] contract on the exact-key layout:
+    * appended files merge back into `files` fp-sorted range slices
+    * (restoring row-group pruning), tombstoned owners erase
+    * PHYSICALLY, the tombstone set clears with the stage-aside swap,
+    * and the build_meta row baseline resets (append staleness restarts
+    * at 0). No media re-fingerprinting: the layout is a pure function
+    * of the postings. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+      files: Int = 32): (Int, Int) = {
+    require(exists(spark, path), s"no $What at $path — build first")
+    require(files >= 1, s"$What: files $files")
+    val (params, _) = metaOf(spark, path)
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: Path): Int = {
+      if (!fs.exists(dir)) return 0
+      var n = 0
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val before = partFiles(new Path(s"$path/postings"))
+    val live = HammingIndex.tombstones(spark, path).foldLeft(
+        spark.read.parquet(s"$path/postings"))((p, ts) =>
+      p.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    val staging = new Path(target.getParent, s".${target.getName}__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    live.select(col("fp"), col("doc_id"))
+      .repartitionByRange(files, col("fp"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(s"$staging/postings")
+    val rows = spark.read.parquet(s"$staging/postings").count()
+    val out = fs.create(new Path(staging, "build_meta"), true)
+    try {
+      out.write((s"fpparams ${params.frameSize} ${params.hop} " +
+        s"${params.peaksPerFrame} ${params.fanout} ${params.windowFrames}\n" +
+        s"rows $rows\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, What,
+      dstMayBeAbsent = false)
+    (before, partFiles(new Path(s"$path/postings")))
+  }
+
   /** Query-by-example audio search against the persisted index: for
     * each probe recording, the k stored documents sharing the most
     * landmark hashes — EQUAL to [[AudioFingerprint.audioTopKStore]]

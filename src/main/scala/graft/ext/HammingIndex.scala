@@ -186,6 +186,64 @@ private[ext] object HammingIndex {
       appended: Long, skipped: Long, totalPostings: Long,
       staleness: Double, rebuildAdvised: Boolean)
 
+  /** Parquet part files under `dir`, recursively — the compaction
+    * before/after measure (pruning granularity IS the file count).
+    */
+  private def partFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Int = {
+    if (!fs.exists(dir)) return 0
+    var n = 0
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) n += 1
+    }
+    n
+  }
+
+  /** Re-pack the posting layout from the ARTIFACT alone — no source
+    * corpus, no re-hashing: the packed layout is a pure function of
+    * the postings, so compaction reads them, drops tombstoned owners
+    * PHYSICALLY, and rewrites the `filesPerChunk` cval-sorted range
+    * slices per chunk that [[build]] writes (restoring the pruning
+    * granularity appends degrade). The stage-aside swap replaces the
+    * whole artifact — tombstones clear with it, exactly like a rebuild
+    * — and build_meta's row baseline resets, so append staleness
+    * restarts at 0. This is what the stores' `compactStore` is to the
+    * store family: the maintenance half of the takedown contract,
+    * now covering the serving indexes too. Returns
+    * (postingFilesBefore, postingFilesAfter).
+    */
+  def compact(spark: SparkSession, path: String, filesPerChunk: Int,
+      what: String): (Int, Int) = {
+    require(exists(spark, path), s"no $what at $path — build first")
+    require(filesPerChunk >= 1, s"$what: filesPerChunk $filesPerChunk")
+    val (maxHamming, _) = metaOf(spark, path, what)
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = partFileCount(fs, new Path(s"$path/postings"))
+    val live = tombstones(spark, path).foldLeft(
+        spark.read.parquet(s"$path/postings"))((p, ts) =>
+      p.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    val staging = new Path(target.getParent, s".${target.getName}__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    live
+      .select(col("chunk"), col("cval"), col("doc_id"), col("sh"))
+      .repartitionByRange((maxHamming + 1) * filesPerChunk,
+        col("chunk"), col("cval"))
+      .sortWithinPartitions(col("chunk"), col("cval"))
+      .write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$staging/postings")
+    val rows = spark.read.parquet(s"$staging/postings").count()
+    val out = fs.create(new Path(staging, "build_meta"), true)
+    try {
+      out.write(s"maxhamming $maxHamming\nrows $rows\n".getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, what,
+      dstMayBeAbsent = false)
+    (before, partFileCount(fs, new Path(s"$path/postings")))
+  }
+
   /** Incrementally grow the index with a `(doc_id, sh)` batch — the
     * `ivfAppendPersisted` discipline applied to the Hamming layout.
     * Already-indexed doc_ids skip (id anti-join against ONE chunk

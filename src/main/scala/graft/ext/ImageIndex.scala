@@ -71,6 +71,15 @@ object ImageIndex {
       rebuildThreshold: Double = 0.5): AppendResult =
     HammingIndex.append(hashed(media), path, rebuildThreshold, What)
 
+  /** Re-pack the layout from the artifact alone (no media re-hash):
+    * appended files merge back into the packed cval-sorted slices,
+    * tombstoned images erase physically, staleness resets — see
+    * [[HammingIndex.compact]]. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+      filesPerChunk: Int = 8): (Int, Int) =
+    HammingIndex.compact(spark, path, filesPerChunk, What)
+
   /** Bounded-distance top-k against the persisted index: for each probe
     * image, the k nearest corpus images WITHIN the index's Hamming
     * bound — equal to the exhaustive top-k restricted to the bound.

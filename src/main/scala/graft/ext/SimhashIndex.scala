@@ -75,6 +75,15 @@ object SimhashIndex {
     HammingIndex.append(Dedup.simhashFrame(df, idCol, textCol), path,
       rebuildThreshold, What)
 
+  /** Re-pack the layout from the artifact alone (no corpus re-hash):
+    * appended files merge back into the packed cval-sorted slices,
+    * tombstoned documents erase physically, staleness resets — see
+    * [[HammingIndex.compact]]. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+      filesPerChunk: Int = 8): (Int, Int) =
+    HammingIndex.compact(spark, path, filesPerChunk, What)
+
   /** Bounded-distance top-k against the persisted index: for each probe
     * document, the k nearest corpus documents WITHIN the index's
     * Hamming bound — equal to the exhaustive top-k restricted to the

@@ -597,9 +597,13 @@ object TrainingSet {
     * paths writes: compact the per-ingest small-file sets AND fold the
     * accumulated takedown tombstones (physical erasure of everything
     * [[takedown]] masked — the settlement that keeps the per-probe
-    * tombstone broadcasts bounded). Run between ingests, at whatever
-    * cadence compaction already runs. Returns (files before, after)
-    * summed over every store present.
+    * tombstone broadcasts bounded). The serving-side INDEXES sit under
+    * the same pass: their compaction re-packs appended posting files
+    * back into the sorted pruning layout and erases tombstoned owners
+    * physically, FROM THE ARTIFACT ALONE (no media/corpus re-hash).
+    * Run between ingests, at whatever cadence compaction already runs.
+    * Returns (files before, after) summed over every store/index
+    * present.
     */
   def compactStores(
       spark: SparkSession,
@@ -609,6 +613,9 @@ object TrainingSet {
       imageStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoStorePath: Option[String] = None,
+      imageIndexPath: Option[String] = None,
+      textIndexPath: Option[String] = None,
+      audioIndexPath: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val counts =
       Seq(IncrementalDedup.compactStore(spark, storePath, targetFileBytes),
@@ -628,7 +635,13 @@ object TrainingSet {
           targetFileBytes)) ++
       videoStorePath.map(p =>
         graft.ext.IncrementalKeyedDedup.compactStore(spark, p,
-          targetFileBytes))
+          targetFileBytes)) ++
+      imageIndexPath.filter(graft.ext.ImageIndex.exists(spark, _)).map(
+        p => graft.ext.ImageIndex.compact(spark, p)) ++
+      textIndexPath.filter(graft.ext.SimhashIndex.exists(spark, _)).map(
+        p => graft.ext.SimhashIndex.compact(spark, p)) ++
+      audioIndexPath.filter(graft.ext.AudioIndex.exists(spark, _)).map(
+        p => graft.ext.AudioIndex.compact(spark, p))
     counts.foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
   }
 

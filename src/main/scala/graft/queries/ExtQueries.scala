@@ -1562,6 +1562,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Two-CUT animation dedup (oracled on PLANTED truth): 6 animations
+    // over globally-distinct frame formulas; two of them also appear as
+    // re-encoded CUTS with the intro frame dropped — the edit class the
+    // single first-frame key provably misses (spec-held divergence).
+    // A correct frame-landmark pairer pairs exactly cut-with-original:
+    // remaining frames share their per-frame hashes, distinct
+    // animations share none. The oracle is the closed-form pair list.
+    "ext_image_gif_anim_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      def frame(k: Int, f: Int) = Array.tabulate(13 * 9)(p =>
+        ((p * 31 + k * 7 + f * 53) % 251).toByte)
+      def anim(k: Int, drop: Int) = Multimodal.encodeGifAnim(13, 9,
+        (drop until 5).map(f => frame(k, f)), grayPal,
+        (drop until 5).map(f => 6 + f))
+      val rows = (0 until 6).map(k => (k.toLong, anim(k, 0))) ++
+        Seq((100L, anim(0, 1)), (102L, anim(2, 1)))
+      Multimodal.gifAnimDups(s, rows.toDF("doc_id", "media"))
+        .select("id_a", "id_b", "shared")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Image PROVENANCE extraction, oracled: 12 JPEGs wrapped with real
     // EXIF APP1 segments (IFD0 Make/Model/Orientation + DateTimeOriginal
     // behind the ExifIFD pointer) whose fields derive from doc_id in
@@ -3536,6 +3558,12 @@ object ExtQueries {
         |  (7, 7),
         |  (7, 5001)) AS t(q_id, doc_id)
         |ORDER BY q_id, doc_id""".stripMargin,
+
+    "ext_image_gif_anim_pairs" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(100 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (2, 102, 4)) AS t(id_a, id_b, shared)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ext_image_gif_anim" ->
       """SELECT CAST(k AS BIGINT) AS doc_id,

@@ -150,6 +150,29 @@ class AudioIndexSpec extends SparkSpec {
       s"rebuild must clear tombstones: $cleared")
   }
 
+  test("compact: re-packs appended files, erases tombstones, keeps results") {
+    val base = (0 until 8).map(k => (k.toLong, wav(k))).toDF("doc_id", "media")
+    val extra = (8 until 14).map(k => (k.toLong, wav(k))).toDF("doc_id", "media")
+    val path = tmpDir("audidx6") + "/idx"
+    AudioIndex.build(spark, base, path, files = 4)
+    AudioIndex.append(spark, extra, path)
+    AudioIndex.forget(spark, path, Seq(2L).toDF("doc_id"))
+    val probes = Seq((500L, wav(10, 0.3)), (501L, wav(2, 0.3)))
+      .toDF("doc_id", "media")
+    def res = resSet(AudioIndex.topK(spark, path, probes, k = 2))
+    val before = res
+    assert(before.exists(r => r._1 == 500L && r._2 == 10L) &&
+      !before.exists(_._2 == 2L), s"$before")
+    val (fb, fa) = AudioIndex.compact(spark, path, files = 4)
+    assert(fa == 4 && fb > fa, s"$fb -> $fa")
+    assert(res == before, s"compaction changed results: $res vs $before")
+    assert(spark.read.parquet(s"$path/postings")
+        .filter(col("doc_id") === 2L).count() == 0,
+      "forgotten postings must be physically erased")
+    val r = AudioIndex.append(spark, extra, path)
+    assert(r.appended == 0 && r.staleness == 0.0 && !r.rebuildAdvised, s"$r")
+  }
+
   test("the artifact's fingerprint parameters drive every probe") {
     val corpus = (0 until 6).map(k => (k.toLong, wav(k)))
       .toDF("doc_id", "media")

@@ -440,6 +440,19 @@ class TrainingSetSpec extends SparkSpec {
         .topK(spark, textIdx, probeA, "doc_id", "text", k = 1)
         .collect().map(_.getLong(1)).contains(1L),
       "post-takedown: doc 1 must be unfindable in the text index")
+    // the ONE maintenance pass settles the index physically too: the
+    // tombstone folds, the forgotten postings erase, results unchanged
+    TrainingSet.compactStores(spark, store, urlStorePath = Some(urlStore),
+      textIndexPath = Some(textIdx))
+    val idxFs = new org.apache.hadoop.fs.Path(textIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!idxFs.exists(
+        new org.apache.hadoop.fs.Path(s"$textIdx/forgotten")),
+      "compactStores must fold the index tombstones")
+    assert(spark.read.parquet(s"$textIdx/postings")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .count() == 0,
+      "compactStores must erase the forgotten postings physically")
     assert(TxTable.read(spark, target).get
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
     // identical content + identical URL re-ingests under a NEW id: every

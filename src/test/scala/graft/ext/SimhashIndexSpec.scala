@@ -133,6 +133,44 @@ class SimhashIndexSpec extends SparkSpec {
     assert(after == Seq(23L), s"rebuild must clear tombstones: $after")
   }
 
+  test("compact: re-packs appended files, erases tombstones physically, resets staleness") {
+    val base = (0 until 120).map(s => (s.toLong, doc(s)))
+    val extra1 = (120 until 170).map(s => (s.toLong, doc(s)))
+    val extra2 = (170 until 220).map(s => (s.toLong, doc(s)))
+    val path = tmpDir("shidx7") + "/idx"
+    SimhashIndex.build(frameOf(base), "doc_id", "text", path,
+      maxHamming = 7, filesPerChunk = 4)
+    SimhashIndex.append(frameOf(extra1), "doc_id", "text", path)
+    SimhashIndex.append(frameOf(extra2), "doc_id", "text", path)
+    SimhashIndex.forget(spark, path, Seq(17L).toDF("doc_id"))
+    val probes = frameOf(Seq((500L, doc(150)), (501L, doc(17))))
+    def res = SimhashIndex.topK(spark, path, probes, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = res
+    assert(before.exists(r => r._1 == 500L && r._2 == 150L && r._3 == 0) &&
+      !before.exists(_._2 == 17L), s"$before")
+    // compaction needs only the ARTIFACT — no corpus re-hash
+    val (filesBefore, filesAfter) = SimhashIndex.compact(spark, path,
+      filesPerChunk = 4)
+    // two appends added their own file sets; the packed layout is back
+    // to exactly (maxHamming+1) * filesPerChunk
+    assert(filesAfter == 8 * 4 && filesBefore > filesAfter,
+      s"$filesBefore -> $filesAfter")
+    // probe results unchanged (minus nothing: the tombstone was already
+    // masking) — and the tombstoned doc is now PHYSICALLY gone
+    assert(res == before, s"compaction changed results: $res vs $before")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/forgotten")),
+      "tombstones must clear with the compacted artifact")
+    assert(spark.read.parquet(s"$path/postings")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 17L)
+        .count() == 0, "forgotten postings must be physically erased")
+    // the row baseline reset: a replayed append is all-skip at ~0 staleness
+    val r = SimhashIndex.append(frameOf(extra2), "doc_id", "text", path)
+    assert(r.appended == 0 && r.staleness == 0.0 && !r.rebuildAdvised, s"$r")
+  }
+
   test("build rejects un-prunable bounds; rebuild swaps the stored bound") {
     val corpus = frameOf((0 until 4).map(s => (s.toLong, doc(s))))
     val e = intercept[IllegalArgumentException] {
