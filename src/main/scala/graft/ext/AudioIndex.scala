@@ -82,13 +82,24 @@ object AudioIndex {
     */
   def build(spark: SparkSession, media: DataFrame, path: String,
       params: AudioFingerprint.Params = AudioFingerprint.Params(),
-      files: Int = 32): Unit = {
+      files: Int = 32): Unit =
+    writeArtifact(spark, path, postingsOf(spark, media, params), files,
+      params, dstMayBeAbsent = true)
+
+  /** The one writer both [[build]] and [[compact]] share: fp-sorted
+    * range slices into a staging dir, build_meta (fingerprint params +
+    * row baseline), stage-aside swap.
+    */
+  private def writeArtifact(spark: SparkSession, path: String,
+      postings: DataFrame, files: Int, params: AudioFingerprint.Params,
+      dstMayBeAbsent: Boolean): Unit = {
     require(files >= 1, s"$What: files $files")
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(target.getParent, s".${target.getName}__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    postingsOf(spark, media, params)
+    postings
+      .select(col("fp"), col("doc_id"))
       .repartitionByRange(files, col("fp"))
       .sortWithinPartitions(col("fp"))
       .write.mode("overwrite").parquet(s"$staging/postings")
@@ -101,7 +112,7 @@ object AudioIndex {
       out.hsync()
     } finally out.close()
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, What,
-      dstMayBeAbsent = true)
+      dstMayBeAbsent = dstMayBeAbsent)
     ()
   }
 
@@ -198,35 +209,15 @@ object AudioIndex {
     val (params, _) = metaOf(spark, path)
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partFiles(dir: Path): Int = {
-      if (!fs.exists(dir)) return 0
-      var n = 0
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext)
-        if (it.next().getPath.getName.startsWith("part-")) n += 1
-      n
-    }
-    val before = partFiles(new Path(s"$path/postings"))
+    val before = HammingIndex.partFileCount(fs, new Path(s"$path/postings"))
     val live = HammingIndex.tombstones(spark, path).foldLeft(
         spark.read.parquet(s"$path/postings"))((p, ts) =>
       p.join(broadcast(ts), Seq("doc_id"), "left_anti"))
-    val staging = new Path(target.getParent, s".${target.getName}__staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    live.select(col("fp"), col("doc_id"))
-      .repartitionByRange(files, col("fp"))
-      .sortWithinPartitions(col("fp"))
-      .write.mode("overwrite").parquet(s"$staging/postings")
-    val rows = spark.read.parquet(s"$staging/postings").count()
-    val out = fs.create(new Path(staging, "build_meta"), true)
-    try {
-      out.write((s"fpparams ${params.frameSize} ${params.hop} " +
-        s"${params.peaksPerFrame} ${params.fanout} ${params.windowFrames}\n" +
-        s"rows $rows\n").getBytes("UTF-8"))
-      out.hsync()
-    } finally out.close()
-    graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, What,
-      dstMayBeAbsent = false)
-    (before, partFiles(new Path(s"$path/postings")))
+    // fully-tombstoned: keep the mask, advise rebuild/delete — see
+    // HammingIndex.compact (an empty artifact has no schema to probe)
+    if (live.isEmpty) return (before, before)
+    writeArtifact(spark, path, live, files, params, dstMayBeAbsent = false)
+    (before, HammingIndex.partFileCount(fs, new Path(s"$path/postings")))
   }
 
   /** Query-by-example audio search against the persisted index: for
@@ -257,31 +248,30 @@ object AudioIndex {
       return Seq.empty[(Long, Long, Long)].toDF("q_id", "doc_id", "shared")
     val fpVals = qfps.map(_._2).distinct.toSeq
     // the pushed-In window: above the threshold Spark degrades In to a
-    // [min,max] range that cannot prune scattered landmark sets, so
-    // raise it to the probe's own fp count, MATERIALIZE the (tiny)
-    // result, and restore — the conf is planning-time state, so the
-    // scan must execute inside the window
-    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val saved = spark.conf.get(confKey, "10")
-    val out =
-      try {
-        spark.conf.set(confKey, math.max(fpVals.length, 10).toString)
-        val cand0 = spark.read.parquet(s"$path/postings")
-          .filter(col("fp").isInCollection(fpVals))
-          .join(broadcast(qfps.toSeq.toDF("q_id", "fp")), Seq("fp"))
-          .groupBy(col("q_id"), col("doc_id"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= minShared)
-        val cand = HammingIndex.tombstones(spark, path).fold(cand0)(ts =>
-          cand0.join(broadcast(ts), Seq("doc_id"), "left_anti"))
-        graft.ops.GroupedTopK(spark,
-            cand.select(col("q_id"), col("doc_id"),
-              col("shared").cast("double").as("score")),
-            "q_id", "score", "doc_id", k)
-          .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
-            col("score").cast("long").as("shared"))
-          .localCheckpoint(true) // execute inside the pushdown window
-      } finally spark.conf.set(confKey, saved)
-    out
+    // [min,max] range that cannot prune scattered landmark sets. The
+    // threshold is PLANNING-time session state, so it is raised on a
+    // CHILD session (same SparkContext, own conf) instead of mutating
+    // the caller's — a concurrent query on the caller's session can
+    // never observe the window or race a restore — and the tiny
+    // serving result (<= k rows per probe) materializes before return.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+      math.max(fpVals.length, 10).toString)
+    val probeDf = s2.createDataFrame(qfps.toSeq).toDF("q_id", "fp")
+    val cand0 = s2.read.parquet(s"$path/postings")
+      .filter(col("fp").isInCollection(fpVals))
+      .join(broadcast(probeDf), Seq("fp"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val cand = HammingIndex.tombstones(s2, path).fold(cand0)(ts =>
+      cand0.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    graft.ops.GroupedTopK(s2,
+        cand.select(col("q_id"), col("doc_id"),
+          col("shared").cast("double").as("score")),
+        "q_id", "score", "doc_id", k)
+      .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+        col("score").cast("long").as("shared"))
+      .localCheckpoint(true) // executed under the child session's window
   }
 }

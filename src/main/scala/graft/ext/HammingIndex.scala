@@ -188,8 +188,9 @@ private[ext] object HammingIndex {
 
   /** Parquet part files under `dir`, recursively — the compaction
     * before/after measure (pruning granularity IS the file count).
+    * Shared with [[AudioIndex]]'s compactor.
     */
-  private def partFileCount(fs: org.apache.hadoop.fs.FileSystem,
+  private[ext] def partFileCount(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Int = {
     if (!fs.exists(dir)) return 0
     var n = 0
@@ -224,6 +225,11 @@ private[ext] object HammingIndex {
     val live = tombstones(spark, path).foldLeft(
         spark.read.parquet(s"$path/postings"))((p, ts) =>
       p.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    // a fully-tombstoned index cannot compact to a representable
+    // artifact (an empty partitioned parquet tree has no schema to
+    // probe) — leave the mask in place and tell the caller to rebuild
+    // or delete; probes keep returning nothing, which is correct
+    if (live.isEmpty) return (before, before)
     val staging = new Path(target.getParent, s".${target.getName}__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     live

@@ -157,8 +157,8 @@ object Multimodal {
       var dataOff, dataLen = -1
       while (off + 8 <= b.length) {
         val id = tag(b, off)
-        val sz = u32le(b, off + 4).toInt
-        if (sz < 0 || off + 8 + sz > b.length) return None
+        val sz = u32le(b, off + 4) // LONG: a lying u32 size must not
+        if (off + 8L + sz > b.length) return None // wrap the Int check
         if (id == "fmt " && sz >= 16) {
           format = u16le(b, off + 8)
           if (format == 0xfffe && sz >= 40)
@@ -169,8 +169,8 @@ object Multimodal {
           sampleRate = u32le(b, off + 12).toInt
           blockAlign = u16le(b, off + 20)
           bitsPerSample = u16le(b, off + 22)
-        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz.toInt }
+        off += (8 + sz + (sz & 1)).toInt // chunks are word-aligned
       }
       if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || format == 0) None
       else Some((format, channels, sampleRate, bitsPerSample, dataOff,
@@ -608,7 +608,7 @@ object Multimodal {
       * a stand-in. Chunk sizes are validated against the buffer so a
       * truncated file cannot over-read.
       */
-    private def decodeWav(r: MediaRow): Option[MediaFeatures] = {
+    private def decodeWav(r: MediaRow): Option[MediaFeatures] = try {
       val b = r.media
       val (format, channels, sampleRate, bitsPerSample, _, dataLen,
         blockAlign) =
@@ -639,7 +639,7 @@ object Multimodal {
         byteChecksum(b),
         Array(channels.toFloat, sampleRate.toFloat, durationSec.toFloat,
           rms.toFloat)))
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     private[ext] def isJpeg(b: Array[Byte]): Boolean =
       b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
@@ -712,11 +712,13 @@ object Multimodal {
       var bs = if (off < b.length) b(off) & 0xff else return null
       while (bs != 0) {
         off += 1
-        if (off + bs > b.length) return null
+        if (off + bs > b.length) return null // cut MID-sub-block: no pixels
         data.write(b, off, bs)
         off += bs
-        if (off >= b.length) return null
-        bs = b(off) & 0xff
+        // a file cut after its last complete sub-block but before the
+        // 0 terminator still carries every pixel — decode what is there
+        // (the expansion below fails anyway if the data is short)
+        bs = if (off >= b.length) 0 else b(off) & 0xff
       }
       val d = data.toByteArray
       val clear = 1 << minCode
@@ -788,8 +790,12 @@ object Multimodal {
     /** Decode ONE image-descriptor block whose 0x2c byte sits at `off0`
       * — local-or-global color table, the REAL LZW expansion, 4-pass
       * interlace reorder, palette lookup to interleaved RGB. Returns
-      * (rgb, frameW, frameH, offsetAfterFrame); None on any structural
-      * violation.
+      * (rgb, frameW, frameH, offsetAfterFrame); None when the PIXELS
+      * cannot be recovered. A file truncated AFTER the frame's pixels
+      * but inside the sub-block chain still decodes (the pixel-regime
+      * hash of a stored copy must not silently flip to byte-stats on a
+      * tail truncation) — offsetAfterFrame is then -1 and the caller's
+      * walk ends with this frame.
       */
     private def gifFrameAt(b: Array[Byte], off0: Int,
         gct: Array[Byte]): Option[(Array[Byte], Int, Int, Int)] = {
@@ -810,7 +816,6 @@ object Multimodal {
       val idx = lzwDecode(b, off, fw * fh)
       if (idx == null) return None
       val end = subBlocksEnd(b, off)
-      if (end < 0) return None
       val nColors = ct.length / 3
       val out = new Array[Byte](fw * fh * 3)
       val rowOrder: Array[Int] =
@@ -931,6 +936,7 @@ object Multimodal {
       var off = start
       var frames = 0
       var delayCs = 0L
+      var pendingDelay = 0L
       val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
       var done = false
       while (!done && off < b.length) {
@@ -938,28 +944,37 @@ object Multimodal {
           case 0x21 =>
             // Graphic Control Extension: delay in centiseconds at
             // payload bytes 2-3 (little-endian), applies to the NEXT
-            // frame — but totals are additive, so accumulate directly
+            // frame — it counts only when that frame materializes (a
+            // trailing or orphaned GCE must not inflate the duration)
             if (off + 1 < b.length && (b(off + 1) & 0xff) == 0xf9 &&
                 off + 7 < b.length && (b(off + 2) & 0xff) >= 4)
-              delayCs += (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8)
+              pendingDelay =
+                (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8)
             off += 2
             while (off < b.length && (b(off) & 0xff) != 0)
               off += 1 + (b(off) & 0xff)
             off += 1
           case 0x2c =>
+            // a frame COUNTS iff its whole block (through the sub-block
+            // terminator) is present — identical rule in both branches,
+            // so gifAnimTable (structural, maxHashFrames = 0) and the
+            // hashed walk agree on every input
             if (hashes.length < maxHashFrames)
               gifFrameAt(b, off, gct) match {
-                case Some((px, fw, fh, end)) =>
+                case Some((px, fw, fh, end)) if end >= 0 =>
                   frames += 1
+                  delayCs += pendingDelay
+                  pendingDelay = 0
                   hashes += graft.functions.DHashPixels.computeGrid(
                     toGray(px, 3), fw, fh)
                   off = end
-                case None => done = true // truncation degrades
+                case _ => done = true // truncation degrades
               }
             else { // past the hashed prefix: structural count only
               val end = gifFrameSkip(b, off)
               if (end < 0) done = true
-              else { frames += 1; off = end }
+              else { frames += 1; delayCs += pendingDelay; pendingDelay = 0
+                off = end }
             }
           case 0x3b => done = true
           case _ => done = true
@@ -1623,7 +1638,7 @@ object Multimodal {
       * stays the documented codec boundary; the census counts these on
       * the container side under the ogg-style suffixed mime.
       */
-    private def wavMp3Features(r: MediaRow): Option[MediaFeatures] = {
+    private def wavMp3Features(r: MediaRow): Option[MediaFeatures] = try {
       val b = r.media
       var off = 12
       var fmt = 0
@@ -1631,14 +1646,14 @@ object Multimodal {
       var dataLen = -1
       while (off + 8 <= b.length) {
         val id = tag(b, off)
-        val sz = u32le(b, off + 4).toInt
-        if (sz < 0 || off + 8 + sz > b.length) return None
+        val sz = u32le(b, off + 4) // Long-safe bound, like wavLayout
+        if (off + 8L + sz > b.length) return None
         if (id == "fmt " && sz >= 16) {
           fmt = u16le(b, off + 8)
           if (fmt == 0xfffe && sz >= 40)
             fmt = u16le(b, off + 8 + 24)
-        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz + (sz & 1)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz.toInt }
+        off += (8 + sz + (sz & 1)).toInt
       }
       if (fmt != 0x55 || dataOff < 0 || dataLen <= 0) return None
       val stream = java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
@@ -1648,7 +1663,7 @@ object Multimodal {
           Array(channels.toFloat, sampleRate.toFloat, dur.toFloat,
             bitrate.toFloat))
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     private[ext] def isOgg(b: Array[Byte]): Boolean =
       b.length >= 47 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
@@ -1673,16 +1688,24 @@ object Multimodal {
       else None
     }
 
-    /** Ogg: geometry from the first chain's id header; duration from a
-      * FORWARD page walk that handles CHAINED streams — a "radio rip"
-      * is several complete Ogg streams concatenated (each opens with
-      * its own BOS page, id header, and granule clock), so the total is
-      * the SUM of each chain's final granule position over that chain's
-      * own granule rate, not the last page's granule alone (which
-      * covers only the final chain). Pages whose granule is -1 (no
-      * packet boundary) are skipped; truncation keeps the chains walked
-      * so far. Feature layout [channels, sampleRate, durationSec, 0],
-      * kind "container".
+    /** Ogg: geometry from the first audio id header; duration from a
+      * FORWARD page walk keyed by STREAM SERIAL, which handles both
+      * layouts a crawl sees:
+      *  - CHAINED streams (a "radio rip": complete streams
+      *    concatenated, each with its own BOS/serial/granule clock) —
+      *    the total is the SUM over serials of (final granule / that
+      *    serial's rate), not the last page's granule alone;
+      *  - CONCURRENT multiplexing (audio + skeleton/subtitle streams
+      *    interleaved, ALL BOS pages first) — non-audio serials fail
+      *    the id-header parse, carry no rate, and contribute nothing,
+      *    so the audio serial's duration survives the extra BOS pages.
+      * A file multiplexing several PARALLEL audio streams sums them —
+      * the container-estimate boundary, documented. Pages whose granule
+      * is -1 (no packet boundary) are skipped; a REUSED serial (spec
+      * forbids it within one physical stream, chains may collide by
+      * accident) flushes its previous span first. Truncation keeps the
+      * spans walked so far. Feature layout
+      * [channels, sampleRate, durationSec, 0], kind "container".
       */
     private def decodeOgg(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
@@ -1691,14 +1714,23 @@ object Multimodal {
       var channels = 0
       var rate = 0L
       var totalDur = 0.0
-      var chainRate = 0L // granule rate of the chain being walked
-      var lastGranule = 0L
+      val rates = scala.collection.mutable.Map.empty[Long, Long]
+      val granules = scala.collection.mutable.Map.empty[Long, Long]
+      def flush(serial: Long): Unit = {
+        val gr = rates.getOrElse(serial, 0L)
+        val g = granules.getOrElse(serial, 0L)
+        if (gr > 0 && g > 0) totalDur += g.toDouble / gr
+        rates.remove(serial)
+        granules.remove(serial)
+        ()
+      }
       var off = 0
       var walking = true
       while (walking && off + 27 <= b.length && b(off) == 'O' &&
           b(off + 1) == 'g' && b(off + 2) == 'g' && b(off + 3) == 'S') {
         val flags = b(off + 5) & 0xff
         val granule = u32le(b, off + 6) | (u32le(b, off + 10) << 32)
+        val serial = u32le(b, off + 14)
         val nSegs = b(off + 26) & 0xff
         if (off + 27 + nSegs > b.length) walking = false
         else {
@@ -1708,30 +1740,24 @@ object Multimodal {
           val payOff = off + 27 + nSegs
           if (payOff + paySize > b.length) walking = false
           else {
-            if ((flags & 2) != 0) { // BOS: a new chain begins
-              if (chainRate > 0 && lastGranule > 0)
-                totalDur += lastGranule.toDouble / chainRate
-              lastGranule = 0L
-              oggIdHeader(b, payOff) match {
-                case Some((m, ch, rt, gr)) =>
-                  if (mime == null) { // the first chain identifies the file
-                    if (ch < 1 || rt <= 0) return None
-                    mime = m; channels = ch; rate = rt
-                  }
-                  chainRate = gr
-                case None =>
-                  if (mime == null) return None
-                  chainRate = 0L // unknown chain: no duration contribution
+            if ((flags & 2) != 0) { // BOS opens a (new) serial
+              if (rates.contains(serial) || granules.contains(serial))
+                flush(serial)
+              oggIdHeader(b, payOff).foreach { case (m, ch, rt, gr) =>
+                if (mime == null) { // the first AUDIO stream identifies
+                  if (ch < 1 || rt <= 0) return None
+                  mime = m; channels = ch; rate = rt
+                }
+                rates(serial) = gr
               }
             }
-            if (granule > 0) lastGranule = granule
+            if (granule > 0) granules(serial) = granule
             off = payOff + paySize
           }
         }
       }
       if (mime == null) return None
-      if (chainRate > 0 && lastGranule > 0)
-        totalDur += lastGranule.toDouble / chainRate
+      rates.keySet.toSeq.foreach(flush)
       Some(MediaFeatures(r.doc_id, b.length, mime, "container",
         byteChecksum(b),
         Array(channels.toFloat, rate.toFloat, totalDur.toFloat, 0f)))
@@ -3327,22 +3353,6 @@ object Multimodal {
         (-col("score")).cast("int").as("hamming"))
   }
 
-  /** Duplicate-VIDEO pairs by the remux-robust payload fingerprint
-    * ([[ContainerCodec.videoPayloadFp]] — MP4/MOV via the atom walk,
-    * WebM/MKV via the EBML walk): two videos pair iff their coded
-    * sample bytes are identical, regardless of how the container
-    * around them was rewritten — moov relocated (faststart), metadata
-    * tags edited, free/Void padding, atom/element order shuffled,
-    * clusters re-chunked, blocks re-laced, and even a re-wrap ACROSS
-    * the two container families. The dup class this catches is the
-    * container re-wrap, the video analog of a losslessly re-encoded
-    * PNG; transcoded copies (different coded bytes for the same frames)
-    * remain behind the documented codec boundary. One scan to
-    * fingerprint, then the same bucket-pair shape as every exact-dedup
-    * in the family (groupBy fingerprint — a 64-bit key, map-side
-    * combinable; `maxBucket` caps pathological buckets).
-    * Returns (id_a, id_b), id_a < id_b.
-    */
   /** The four quarter-turn hashes of a probe image's decoded plane —
     * the SERVE-side orientation lever the store deliberately does not
     * carry (COVERAGE round-11 decision): the stored hash stays a pure
@@ -3429,6 +3439,22 @@ object Multimodal {
       .filter(col("shared") >= minSharedFrames)
   }
 
+  /** Duplicate-VIDEO pairs by the remux-robust payload fingerprint
+    * ([[ContainerCodec.videoPayloadFp]] — MP4/MOV via the atom walk,
+    * WebM/MKV via the EBML walk): two videos pair iff their coded
+    * sample bytes are identical, regardless of how the container
+    * around them was rewritten — moov relocated (faststart), metadata
+    * tags edited, free/Void padding, atom/element order shuffled,
+    * clusters re-chunked, blocks re-laced, and even a re-wrap ACROSS
+    * the two container families. The dup class this catches is the
+    * container re-wrap, the video analog of a losslessly re-encoded
+    * PNG; transcoded copies (different coded bytes for the same frames)
+    * remain behind the documented codec boundary. One scan to
+    * fingerprint, then the same bucket-pair shape as every exact-dedup
+    * in the family (groupBy fingerprint — a 64-bit key, map-side
+    * combinable; `maxBucket` caps pathological buckets).
+    * Returns (id_a, id_b), id_a < id_b.
+    */
   def videoRemuxDups(media: DataFrame, maxBucket: Int = 2000): DataFrame = {
     val fpUdf = udf((b: Array[Byte]) => ContainerCodec.videoPayloadFp(b))
     media.select(col("doc_id"), fpUdf(col("media")).as("fp"))

@@ -39,12 +39,21 @@ object SimhashIndex {
     * indexed as such: identical empty content is a true duplicate
     * class, and the degenerate all-empty cluster is bounded by the
     * family's hub caps. NULL-text documents hash to NULL and are NOT
-    * indexed (the chunk explode drops them), mirroring the image
-    * family's null-hash rows.
+    * indexed (filtered before the layout, mirroring the image family's
+    * null-hash rows — a null signature would otherwise explode into
+    * phantom null-cval postings).
     */
+  /** The signature frame with NULL signatures filtered — NULL-text
+    * docs must not reach the posting layout (HammingIndex.build's
+    * precondition: a null sh would explode into phantom null-cval
+    * postings that inflate the row/staleness accounting).
+    */
+  private def hashed(df: DataFrame, idCol: String, textCol: String) =
+    Dedup.simhashFrame(df, idCol, textCol).filter(col("sh").isNotNull)
+
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
       maxHamming: Int = 7, filesPerChunk: Int = 8): Unit =
-    HammingIndex.build(Dedup.simhashFrame(df, idCol, textCol), path,
+    HammingIndex.build(hashed(df, idCol, textCol), path,
       maxHamming, filesPerChunk, What, "Dedup.simhashNearDups")
 
   /** True when a built artifact exists at `path`. */
@@ -72,7 +81,7 @@ object SimhashIndex {
     */
   def append(df: DataFrame, idCol: String, textCol: String, path: String,
       rebuildThreshold: Double = 0.5): AppendResult =
-    HammingIndex.append(Dedup.simhashFrame(df, idCol, textCol), path,
+    HammingIndex.append(hashed(df, idCol, textCol), path,
       rebuildThreshold, What)
 
   /** Re-pack the layout from the artifact alone (no corpus re-hash):
@@ -94,7 +103,9 @@ object SimhashIndex {
   def topK(spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, textCol: String, k: Int,
       maxProbes: Int = 4096): DataFrame = {
-    val qs = Dedup.simhashFrame(probes, idCol, textCol)
+    // NULL-text probes have no signature to search with (they were
+    // never indexed either) — filtered, like ImageIndex's null hashes
+    val qs = hashed(probes, idCol, textCol)
       .select(col("doc_id").as("q_id"), col("sh").as("qsh"))
       .limit(maxProbes + 1)
       .collect()

@@ -838,6 +838,24 @@ class ExtSpec extends SparkSpec {
     val cut = Multimodal.ContainerCodec.gifFrames(
       cutA.take(cutA.length - 40))
     assert(cut.exists(c => c.frameCount > 0 && c.frameCount < 5), s"$cut")
+
+    // a TRAILING GCE (structurally legal) must not inflate the total:
+    // a delay counts only when its frame materializes
+    val trailing = cutA.init ++ Array[Byte](0x21, 0xf9.toByte, 4, 0,
+      50, 0, 0, 0, 0x3b)
+    val t = Multimodal.ContainerCodec.gifFrames(trailing).get
+    assert(t.frameCount == 5 && t.delayCs == 46,
+      s"trailing GCE inflated the duration: $t")
+
+    // a tail truncation INSIDE the last sub-block chain (terminator and
+    // trailer cut) keeps the decoded pixels — the hash regime must not
+    // silently flip to byte-stats for a stored copy
+    val singleGif = Multimodal.encodeGif(13, 9, fr(1, 0), pal)
+    val tailCut = singleGif.take(singleGif.length - 2)
+    assert(Multimodal.ContainerCodec.grayPlane(tailCut).isDefined,
+      "tail-truncated GIF must keep its pixel regime")
+    // ...while the frame SURFACE only counts complete frames
+    assert(Multimodal.ContainerCodec.gifFrames(tailCut).isEmpty)
   }
 
   test("multimodal: WebM/MKV EBML walk — geometry, remux fingerprint, cross-container") {
@@ -1082,6 +1100,26 @@ class ExtSpec extends SparkSpec {
       if ((vbr.length & 1) == 1) out.write(0)
       out.toByteArray
     }
+    // CONCURRENT multiplexing (all BOS pages first — audio + a
+    // non-audio stream on ANOTHER serial): the per-serial walk must
+    // keep the audio duration instead of zeroing it on the foreign BOS
+    val muxed = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(vorbis) // serial 0 BOS
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(2) // BOS, serial 1 below
+      out.write(new Array[Byte](8)) // granule
+      out.write(Array[Byte](1, 0, 0, 0)) // serial 1
+      out.write(new Array[Byte](8)) // seq, crc
+      out.write(1); out.write(8)
+      out.write("skeleton".getBytes("US-ASCII")) // not an audio id header
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(4) // EOS data page, serial 0
+      out.write(Array[Byte](0x80.toByte, 0x32, 0x02, 0, 0, 0, 0, 0))
+      out.write(new Array[Byte](12)) // serial 0, seq, crc
+      out.write(1); out.write(1); out.write(0)
+      out.toByteArray
+    }
     val feats = Multimodal.extractFeatures(spark, Seq(
         Multimodal.MediaRow(1L, mp3, "audio/mpeg", 0, 0),
         Multimodal.MediaRow(2L, vorbis, "audio/ogg", 0, 0),
@@ -1090,11 +1128,27 @@ class ExtSpec extends SparkSpec {
         Multimodal.MediaRow(5L, vbr, "audio/mpeg", 0, 0),
         Multimodal.MediaRow(6L, opusTwoPage, "audio/ogg", 0, 0),
         Multimodal.MediaRow(7L, chained, "audio/ogg", 0, 0),
-        Multimodal.MediaRow(8L, mp3Wav, "audio/wav", 0, 0)).toDF())
+        Multimodal.MediaRow(8L, mp3Wav, "audio/wav", 0, 0),
+        Multimodal.MediaRow(9L, muxed, "audio/ogg", 0, 0)).toDF())
       .collect().map(f => f.doc_id -> f).toMap
     assert(feats(7L).format == "audio/ogg-opus" &&
       feats(7L).feature(2) == 5f,
       s"chained-stream duration must sum per chain: ${feats(7L)}")
+    assert(feats(9L).format == "audio/ogg-vorbis" &&
+      feats(9L).feature(2) == 3f,
+      s"muxed non-audio BOS must not zero the duration: ${feats(9L)}")
+
+    // a LYING u32 chunk size (0x7FFFFFF8) must not wrap the Int bound
+    // check into a negative offset — byte-stats, never a task crash
+    val lying = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+      new Array[Byte](40)
+    val fl = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(10L, lying, "audio/wav", 0, 0)).toDF())
+      .collect().head
+    assert(fl.kind == "byte-stats", s"lying chunk size: $fl")
     assert(feats(8L).format == "audio/wav-mp3" &&
       feats(8L).kind == "container" &&
       math.abs(feats(8L).feature(2) - 1000f * 1152f / 44100f) < 1e-4 &&

@@ -169,6 +169,37 @@ class SimhashIndexSpec extends SparkSpec {
     // the row baseline reset: a replayed append is all-skip at ~0 staleness
     val r = SimhashIndex.append(frameOf(extra2), "doc_id", "text", path)
     assert(r.appended == 0 && r.staleness == 0.0 && !r.rebuildAdvised, s"$r")
+    // fully-tombstoned: compaction refuses to produce an unrepresentable
+    // empty artifact — no-op, the mask stays and probes stay empty
+    SimhashIndex.forget(spark, path,
+      ((0 until 220).map(_.toLong)).toDF("doc_id"))
+    val (b2, a2) = SimhashIndex.compact(spark, path, filesPerChunk = 4)
+    assert(b2 == a2, s"empty compact must be a no-op: $b2 -> $a2")
+    assert(SimhashIndex.topK(spark, path, probes, "doc_id", "text", k = 2)
+      .collect().isEmpty, "mask must hold after the refused compaction")
+  }
+
+  test("null-text rows: never indexed, never crash a probe") {
+    val base = Seq((1L, doc(1)), (2L, null.asInstanceOf[String]),
+      (3L, doc(3)))
+    val path = tmpDir("shidx8") + "/idx"
+    SimhashIndex.build(frameOf(base), "doc_id", "text", path, maxHamming = 7)
+    // the null-text doc writes NO postings (a null signature would
+    // explode into phantom null-cval rows inflating rows/staleness)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 2L)
+      .count() == 0, "null-text doc must not be indexed")
+    // a null-text PROBE filters instead of throwing (the declarative
+    // simhash form now emits (id, null sh) rows for them)
+    val got = SimhashIndex.topK(spark, path,
+      frameOf(Seq((500L, doc(1)), (501L, null.asInstanceOf[String]))),
+      "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((500L, 1L, 0)), s"$got")
+    // and appending a null-text batch is a clean no-op
+    val r = SimhashIndex.append(
+      frameOf(Seq((9L, null.asInstanceOf[String]))), "doc_id", "text", path)
+    assert(r.appended == 0, s"$r")
   }
 
   test("build rejects un-prunable bounds; rebuild swaps the stored bound") {
