@@ -108,7 +108,7 @@ object AudioIndex {
     try {
       out.write((s"fpparams ${params.frameSize} ${params.hop} " +
         s"${params.peaksPerFrame} ${params.fanout} ${params.windowFrames}\n" +
-        s"rows $rows\n").getBytes("UTF-8"))
+        s"rows $rows\nfiles $files\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, What,
@@ -120,9 +120,14 @@ object AudioIndex {
   def exists(spark: SparkSession, path: String): Boolean =
     HammingIndex.exists(spark, path)
 
-  /** (fingerprint params, build-time posting rows) from build_meta. */
+  /** (fingerprint params, build-time posting rows, build-time file
+    * fan-out) from build_meta — the fan-out is part of the artifact so
+    * [[compact]] restores the layout the index was BUILT at rather
+    * than a hard-coded default (pre-pinning artifacts read the
+    * historical default, 32).
+    */
   private def metaOf(spark: SparkSession,
-      path: String): (AudioFingerprint.Params, Long) = {
+      path: String): (AudioFingerprint.Params, Long, Int) = {
     val p = new Path(s"$path/build_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -141,7 +146,8 @@ object AudioIndex {
     require(fp.length == 5, s"$What at $path: malformed fpparams")
     (AudioFingerprint.Params(frameSize = fp(0), hop = fp(1),
       peaksPerFrame = fp(2), fanout = fp(3), windowFrames = fp(4)),
-      fields.get("rows").map(_.toLong).getOrElse(0L))
+      fields.get("rows").map(_.toLong).getOrElse(0L),
+      fields.get("files").map(_.toInt).getOrElse(32))
   }
 
   /** The fingerprint parameters the artifact was built with. */
@@ -170,7 +176,7 @@ object AudioIndex {
   def append(spark: SparkSession, media: DataFrame, path: String,
       rebuildThreshold: Double = 0.5): AppendResult = {
     require(exists(spark, path), s"no $What at $path — build first")
-    val (params, atBuild) = metaOf(spark, path)
+    val (params, atBuild, _) = metaOf(spark, path)
     val existingIds =
       spark.read.parquet(s"$path/postings").select("doc_id").distinct()
     val batch = postingsOf(spark, media, params)
@@ -200,13 +206,17 @@ object AudioIndex {
     * PHYSICALLY, the tombstone set clears with the stage-aside swap,
     * and the build_meta row baseline resets (append staleness restarts
     * at 0). No media re-fingerprinting: the layout is a pure function
-    * of the postings. Returns (filesBefore, filesAfter).
+    * of the postings. The default (0) re-packs at the fan-out the
+    * index was BUILT at, read from build_meta — a maintenance pass
+    * never silently changes the pruning granularity. Returns
+    * (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String,
-      files: Int = 32): (Int, Int) = {
+      files: Int = 0): (Int, Int) = {
     require(exists(spark, path), s"no $What at $path — build first")
-    require(files >= 1, s"$What: files $files")
-    val (params, _) = metaOf(spark, path)
+    require(files >= 0, s"$What: files $files (0 = build-time fan-out)")
+    val (params, _, builtFiles) = metaOf(spark, path)
+    val fanout = if (files == 0) builtFiles else files
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = HammingIndex.partFileCount(fs, new Path(s"$path/postings"))
@@ -216,7 +226,7 @@ object AudioIndex {
     // fully-tombstoned: keep the mask, advise rebuild/delete — see
     // HammingIndex.compact (an empty artifact has no schema to probe)
     if (live.isEmpty) return (before, before)
-    writeArtifact(spark, path, live, files, params, dstMayBeAbsent = false)
+    writeArtifact(spark, path, live, fanout, params, dstMayBeAbsent = false)
     (before, HammingIndex.partFileCount(fs, new Path(s"$path/postings")))
   }
 
@@ -234,7 +244,7 @@ object AudioIndex {
       maxProbeFps: Int = 262144): DataFrame = {
     require(k > 0, s"$What: k must be positive, got $k")
     require(exists(spark, path), s"no $What at $path — build first")
-    val (params, _) = metaOf(spark, path)
+    val (params, _, _) = metaOf(spark, path)
     import spark.implicits._
     val qfps = AudioFingerprint.fingerprints(spark, probes, params)
       .select(col("doc_id").as("q_id"), col("fp"))

@@ -87,7 +87,8 @@ private[ext] object HammingIndex {
     val rows = spark.read.parquet(s"$staging/postings").count()
     val out = fs.create(new Path(staging, "build_meta"), true)
     try {
-      out.write(s"maxhamming $maxHamming\nrows $rows\n".getBytes("UTF-8"))
+      out.write((s"maxhamming $maxHamming\nrows $rows\n" +
+        s"filesperchunk $filesPerChunk\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, what,
@@ -107,12 +108,20 @@ private[ext] object HammingIndex {
   def boundOf(spark: SparkSession, path: String, what: String): Int =
     metaOf(spark, path, what)._1
 
-  /** (maxHamming, build-time posting rows) from build_meta. The row
-    * count is the staleness denominator for [[append]] — it records the
-    * last full LAYOUT pass, so it does not move on appends.
+  /** The layout fan-out the artifact was built at (from build_meta). */
+  def fanoutOf(spark: SparkSession, path: String, what: String): Int =
+    metaOf(spark, path, what)._3
+
+  /** (maxHamming, build-time posting rows, build-time fan-out) from
+    * build_meta. The row count is the staleness denominator for
+    * [[append]] — it records the last full LAYOUT pass, so it does not
+    * move on appends. The fan-out is part of the artifact so a
+    * maintenance [[compact]] restores the layout the index was BUILT
+    * at, not a hard-coded default (an artifact written before fan-out
+    * pinning reads the historical default, 8).
     */
   private def metaOf(spark: SparkSession, path: String,
-      what: String): (Int, Long) = {
+      what: String): (Int, Long, Int) = {
     val p = new Path(s"$path/build_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -127,7 +136,8 @@ private[ext] object HammingIndex {
     }.toMap
     (fields.get("maxhamming").map(_.toInt).getOrElse(
         sys.error(s"$what at $path: no maxhamming in build_meta")),
-      fields.get("rows").map(_.toLong).getOrElse(0L))
+      fields.get("rows").map(_.toLong).getOrElse(0L),
+      fields.get("filesperchunk").map(_.toInt).getOrElse(8))
   }
 
   /** Takedown support — the index artifacts live under the SAME
@@ -217,8 +227,14 @@ private[ext] object HammingIndex {
   def compact(spark: SparkSession, path: String, filesPerChunk: Int,
       what: String): (Int, Int) = {
     require(exists(spark, path), s"no $what at $path — build first")
-    require(filesPerChunk >= 1, s"$what: filesPerChunk $filesPerChunk")
-    val (maxHamming, _) = metaOf(spark, path, what)
+    require(filesPerChunk >= 0,
+      s"$what: filesPerChunk $filesPerChunk (0 = the build-time fan-out)")
+    val (maxHamming, _, builtFanout) = metaOf(spark, path, what)
+    // 0 = "re-pack at the fan-out the index was BUILT at" (from
+    // build_meta) — so a maintenance pass over many indexes never
+    // silently changes any one index's pruning granularity
+    val fanout =
+      if (filesPerChunk == 0) builtFanout else filesPerChunk
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = partFileCount(fs, new Path(s"$path/postings"))
@@ -234,7 +250,7 @@ private[ext] object HammingIndex {
     if (fs.exists(staging)) fs.delete(staging, true)
     live
       .select(col("chunk"), col("cval"), col("doc_id"), col("sh"))
-      .repartitionByRange((maxHamming + 1) * filesPerChunk,
+      .repartitionByRange((maxHamming + 1) * fanout,
         col("chunk"), col("cval"))
       .sortWithinPartitions(col("chunk"), col("cval"))
       .write.mode("overwrite").partitionBy("chunk")
@@ -242,7 +258,8 @@ private[ext] object HammingIndex {
     val rows = spark.read.parquet(s"$staging/postings").count()
     val out = fs.create(new Path(staging, "build_meta"), true)
     try {
-      out.write(s"maxhamming $maxHamming\nrows $rows\n".getBytes("UTF-8"))
+      out.write((s"maxhamming $maxHamming\nrows $rows\n" +
+        s"filesperchunk $fanout\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
     graft.sinks.SwapUtil.stageAsideSwap(fs, target, staging, what,
@@ -268,7 +285,7 @@ private[ext] object HammingIndex {
       what: String): AppendResult = {
     val spark = sig.sparkSession
     require(exists(spark, path), s"no $what at $path — build first")
-    val (maxHamming, atBuild) = metaOf(spark, path, what)
+    val (maxHamming, atBuild, _) = metaOf(spark, path, what)
     val existingIds =
       spark.read.parquet(s"$path/postings/chunk=0").select("doc_id")
     val fresh = sig.join(existingIds, Seq("doc_id"), "left_anti")

@@ -74,10 +74,13 @@ object ImageIndex {
   /** Re-pack the layout from the artifact alone (no media re-hash):
     * appended files merge back into the packed cval-sorted slices,
     * tombstoned images erase physically, staleness resets — see
-    * [[HammingIndex.compact]]. Returns (filesBefore, filesAfter).
+    * [[HammingIndex.compact]]. The default (0) re-packs at the fan-out
+    * the index was BUILT at, read from build_meta — a maintenance pass
+    * never silently changes the pruning granularity. Returns
+    * (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String,
-      filesPerChunk: Int = 8): (Int, Int) =
+      filesPerChunk: Int = 0): (Int, Int) =
     HammingIndex.compact(spark, path, filesPerChunk, What)
 
   /** Bounded-distance top-k against the persisted index: for each probe
@@ -120,8 +123,12 @@ object ImageIndex {
   def topKOriented(spark: SparkSession, path: String, probes: DataFrame,
       k: Int, maxProbes: Int = 1024): DataFrame = {
     import spark.implicits._
+    // width/height cast to int so any integral probe schema works, and
+    // read LAZILY (null-safe) only on the undecodable-payload fallback
+    // — the payload-hash path never needs metadata geometry
     val rows = probes
-      .select(col("doc_id"), col("media"), col("width"), col("height"))
+      .select(col("doc_id"), col("media"),
+        col("width").cast("int"), col("height").cast("int"))
       .limit(maxProbes + 1)
       .collect()
     require(rows.length <= maxProbes,
@@ -137,8 +144,10 @@ object ImageIndex {
       val qId = r.getLong(0)
       val media = r.getAs[Array[Byte]](1)
       val hashes = Multimodal.orientedHashes(media).getOrElse {
+        val w = if (r.isNullAt(2)) 0 else r.getInt(2)
+        val h = if (r.isNullAt(3)) 0 else r.getInt(3)
         graft.functions.DHashPixels
-          .computeExternal(media, r.getInt(2), r.getInt(3))
+          .computeExternal(media, w, h)
           .map(px => Array(px.sh)).getOrElse(Array.empty[Long])
       }
       hashes.distinct.zipWithIndex.foreach { case (sh, o) =>

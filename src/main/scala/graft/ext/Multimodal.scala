@@ -2009,13 +2009,21 @@ object Multimodal {
           }
         else true
       }
-      if (!ok || tracks == 0 || durTicks.isNaN || tsScale <= 0) None
+      if (!ok || tracks == 0 || tsScale <= 0) None
       else {
         val mime =
           if (docType == "webm") "video/webm" else "video/x-matroska"
+        // Info.Duration is OPTIONAL in Matroska and commonly absent
+        // from live-captured streams (the unknown-size-cluster file
+        // class) — tracks/geometry are still real container data, so
+        // the row keeps its container regime with duration 0 (the Ogg
+        // "only the id page" precedent) instead of falling all the way
+        // to byte-stats
+        val durSec =
+          if (durTicks.isNaN) 0f else (durTicks * tsScale / 1e9).toFloat
         Some(MediaFeatures(r.doc_id, b.length, mime, "container",
           byteChecksum(b),
-          Array((durTicks * tsScale / 1e9).toFloat, tracks.toFloat, w, h)))
+          Array(durSec, tracks.toFloat, w, h)))
       }
     }
 
@@ -2286,7 +2294,10 @@ object Multimodal {
       voidPad: Int = 0,
       title: String = "",
       audioTrack: Boolean = false,
-      docType: String = "webm"): Array[Byte] = {
+      docType: String = "webm",
+      // live-capture muxers commonly omit Info.Duration — the fixture
+      // knob for the duration-less geometry class
+      noDuration: Boolean = false): Array[Byte] = {
     require(timestampScale > 0 && durationTicks >= 0 && width > 0 &&
       height > 0, s"minimalWebm: ts=$timestampScale dur=$durationTicks " +
       s"${width}x$height")
@@ -2319,8 +2330,9 @@ object Multimodal {
         elem(0x4285L, uintPayload(2)))   // DocTypeReadVersion
     val info = elem(0x1549A966L,
       elem(0x2AD7B1L, uintPayload(timestampScale)) ++
-        elem(0x4489L, java.nio.ByteBuffer.allocate(8)
-          .putDouble(durationTicks).array()) ++
+        (if (noDuration) Array.empty[Byte]
+         else elem(0x4489L, java.nio.ByteBuffer.allocate(8)
+           .putDouble(durationTicks).array())) ++
         (if (title.isEmpty) Array.empty[Byte]
          else elem(0x7BA9L, title.getBytes("UTF-8")) ++
            elem(0x4D80L, title.reverse.getBytes("UTF-8"))))

@@ -87,10 +87,13 @@ object SimhashIndex {
   /** Re-pack the layout from the artifact alone (no corpus re-hash):
     * appended files merge back into the packed cval-sorted slices,
     * tombstoned documents erase physically, staleness resets — see
-    * [[HammingIndex.compact]]. Returns (filesBefore, filesAfter).
+    * [[HammingIndex.compact]]. The default (0) re-packs at the fan-out
+    * the index was BUILT at, read from build_meta — a maintenance pass
+    * never silently changes the pruning granularity. Returns
+    * (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String,
-      filesPerChunk: Int = 8): (Int, Int) =
+      filesPerChunk: Int = 0): (Int, Int) =
     HammingIndex.compact(spark, path, filesPerChunk, What)
 
   /** Bounded-distance top-k against the persisted index: for each probe

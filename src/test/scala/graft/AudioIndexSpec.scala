@@ -163,7 +163,10 @@ class AudioIndexSpec extends SparkSpec {
     val before = res
     assert(before.exists(r => r._1 == 500L && r._2 == 10L) &&
       !before.exists(_._2 == 2L), s"$before")
-    val (fb, fa) = AudioIndex.compact(spark, path, files = 4)
+    // the default fan-out is the BUILD-time one from build_meta
+    // (ADVICE r11) — this index was built at files = 4, not the
+    // builder's default 32
+    val (fb, fa) = AudioIndex.compact(spark, path)
     assert(fa == 4 && fb > fa, s"$fb -> $fa")
     assert(res == before, s"compaction changed results: $res vs $before")
     assert(spark.read.parquet(s"$path/postings")

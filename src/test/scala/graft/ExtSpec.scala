@@ -881,6 +881,18 @@ class ExtSpec extends SparkSpec {
       .collect().head
     assert(fm.format == "video/x-matroska" && fm.feature(0) == 1.0f, s"$fm")
 
+    // Info.Duration is optional (live-capture muxers omit it): the row
+    // keeps its container regime — real track count and geometry,
+    // duration 0 — instead of falling to byte-stats (ADVICE r11)
+    val live = Multimodal.minimalWebm(1000000L, 0.0, 640, 360,
+      frames(1), audioTrack = true, noDuration = true)
+    val fl = Multimodal.extractFeatures(spark,
+      Seq(Multimodal.MediaRow(3L, live, "video/webm", 0, 0)).toDF())
+      .collect().head
+    assert(fl.format == "video/webm" && fl.kind == "container" &&
+      fl.feature.toSeq == Seq(0f, 2f, 640f, 360f),
+      s"duration-less webm features ${fl.feature.toSeq}")
+
     // remux fingerprint: every container rewrite a re-wrap performs —
     // re-chunked clusters, BlockGroup wrapping, Xiph lacing, Void
     // padding, metadata/timescale edits — keeps the fingerprint

@@ -162,6 +162,18 @@ class ImageIndexSpec extends SparkSpec {
     val none = ImageIndex.topKOriented(spark, path,
       frameOf(Seq((9L, "not an image".getBytes("UTF-8")))), k = 3)
     assert(none.collect().isEmpty)
+    // probe schemas accepted elsewhere in the image family work here
+    // too (ADVICE r11): LONG width/height cast down, and NULL geometry
+    // on a decodable payload never reaches the fallback read
+    val longGeom = Seq((17L, png(17))).toDF("doc_id", "media")
+      .withColumn("width", lit(24L)).withColumn("height", lit(16L))
+    assert(ImageIndex.topKOriented(spark, path, longGeom, k = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet == oriented)
+    val nullGeom = Seq((17L, png(17))).toDF("doc_id", "media")
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+    assert(ImageIndex.topKOriented(spark, path, nullGeom, k = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet == oriented)
   }
 
   test("build rejects bounds too wide to prune; topK uses the stored bound") {

@@ -149,11 +149,13 @@ class SimhashIndexSpec extends SparkSpec {
     val before = res
     assert(before.exists(r => r._1 == 500L && r._2 == 150L && r._3 == 0) &&
       !before.exists(_._2 == 17L), s"$before")
-    // compaction needs only the ARTIFACT — no corpus re-hash
-    val (filesBefore, filesAfter) = SimhashIndex.compact(spark, path,
-      filesPerChunk = 4)
+    // compaction needs only the ARTIFACT — no corpus re-hash; the
+    // DEFAULT fan-out is the one the index was BUILT at (pinned in
+    // build_meta — ADVICE r11: a non-default build must not silently
+    // re-pack at a hard-coded default)
+    val (filesBefore, filesAfter) = SimhashIndex.compact(spark, path)
     // two appends added their own file sets; the packed layout is back
-    // to exactly (maxHamming+1) * filesPerChunk
+    // to exactly (maxHamming+1) * the BUILD-time filesPerChunk
     assert(filesAfter == 8 * 4 && filesBefore > filesAfter,
       s"$filesBefore -> $filesAfter")
     // probe results unchanged (minus nothing: the tombstone was already
