@@ -67,7 +67,16 @@ object IncrementalImageDedup {
       maxHamming: Int = 10,
       maxBucket: Int = 2000,
       bitsPerKey: Int = 16,
-      maxBloomBytes: Long = 256L * 1024 * 1024)
+      maxBloomBytes: Long = 256L * 1024 * 1024,
+      // opt-in: fold the payload's own EXIF orientation into the
+      // signature (decoded plane re-mapped upright before hashing —
+      // `Multimodal.exifNormalizedSh`), so a rotated re-save that
+      // CARRIES its rotation in metadata dedups against its upright
+      // source at batch cadence. Off by default: the COVERAGE round-11
+      // argument stands (a stripped-metadata copy must keep matching),
+      // and the two hash populations are separate REGIMES — the store
+      // marker prevents silent mixing.
+      normalizeOrientation: Boolean = false)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -77,22 +86,33 @@ object IncrementalImageDedup {
   private def bloomDir(storePath: String, maxHamming: Int): String =
     s"$storePath/bloom_mh$maxHamming"
 
-  /** The signature regime this code writes and probes with. Bump the
-    * version whenever the hash FUNCTION changes meaning (byte-regime →
-    * pixel-regime did exactly that in the past): stored signatures and
-    * probe signatures must come from the same function or recall is
-    * silently lost.
+  /** The signature regime this code writes and probes with — a
+    * FUNCTION of the hash semantics, not just a version: the plain
+    * pixel regime and the EXIF-orientation-normalized regime produce
+    * different hashes for the same rotated payload, so a store built
+    * under one must never be probed under the other (bump the version
+    * whenever either function changes meaning; byte-regime →
+    * pixel-regime did exactly that in the past). Stored signatures
+    * and probe signatures must come from the same function or recall
+    * is silently lost.
     */
-  private[graft] val SigRegime = "dhash_px 1"
+  private[graft] def sigRegime(normalizeOrientation: Boolean): String =
+    if (normalizeOrientation) "dhash_px_exif 1" else "dhash_px 1"
+
+  private[graft] val SigRegime = sigRegime(normalizeOrientation = false)
 
   private def regimePath(storePath: String) = new Path(s"$storePath/sig_regime")
 
-  private def writeRegime(spark: SparkSession, storePath: String): Unit = {
+  private def writeRegime(spark: SparkSession, storePath: String,
+      params: Params): Unit = {
     val p = regimePath(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try { out.write(s"$SigRegime\n".getBytes("UTF-8")); out.hsync() }
-    finally out.close()
+    try {
+      out.write(s"${sigRegime(params.normalizeOrientation)}\n"
+        .getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
   }
 
   /** Refuse to probe/append a store whose signatures came from a
@@ -101,7 +121,9 @@ object IncrementalImageDedup {
     * treat as mismatched — the failure mode being prevented is SILENT,
     * so absence must be loud too.
     */
-  private def checkRegime(spark: SparkSession, storePath: String): Unit = {
+  private def checkRegime(spark: SparkSession, storePath: String,
+      params: Params): Unit = {
+    val expected = sigRegime(params.normalizeOrientation)
     val p = regimePath(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val found =
@@ -111,9 +133,9 @@ object IncrementalImageDedup {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    require(found.contains(SigRegime),
+    require(found.contains(expected),
       s"image store at $storePath holds '${found.getOrElse("<no marker>")}' " +
-        s"signatures but this build probes with '$SigRegime' — re-crawled " +
+        s"signatures but this build probes with '$expected' — re-crawled " +
         "copies would silently miss. Rebuild the store (re-ingest the " +
         "corpus into a fresh path) to upgrade its signatures.")
   }
@@ -169,11 +191,17 @@ object IncrementalImageDedup {
       params: Params = Params()): DataFrame = {
     val sigsPath = s"$storePath/sigs"
     val storeExists = exists(spark, sigsPath)
-    if (storeExists) checkRegime(spark, storePath)
-    val e = media
-      .select(col("doc_id"),
+    if (storeExists) checkRegime(spark, storePath, params)
+    val sig: org.apache.spark.sql.Column =
+      if (params.normalizeOrientation) {
+        val f = udf(Multimodal.exifNormalizedSh _)
+        f(col("media"), coalesce(col("width").cast("int"), lit(0)),
+          coalesce(col("height").cast("int"), lit(0)))
+      } else
         Multimodal.dHashPixels(spark)(
-          col("media"), col("width"), col("height")).getField("sh").as("sh"))
+          col("media"), col("width"), col("height")).getField("sh")
+    val e = media
+      .select(col("doc_id"), sig.as("sh"))
       // degenerate rows (null media/geometry) hash NULL: they can never
       // pair, so they neither probe nor register (and they must not —
       // a shared sentinel hash would make them mutual "duplicates")
@@ -324,7 +352,7 @@ object IncrementalImageDedup {
       // marker BEFORE the first sig write: a crash in between leaves a
       // marker with no sigs (next ingest re-creates both), never sigs
       // with no marker (which would fail the regime check forever)
-      writeRegime(spark, storePath)
+      writeRegime(spark, storePath, params)
       e.write.mode("overwrite").parquet(sigsPath)
     } else {
       val idBounds = e.agg(min(col("doc_id")), max(col("doc_id"))).head()

@@ -60,6 +60,25 @@ object Multimodal {
     def durationSec: Double = delayCs / 100.0
   }
 
+  /** Container-agnostic ANIMATION surface — the one frame-landmark
+    * model across GIF, APNG, and animated WebP: structural frame
+    * count, total presentation duration in MILLISECONDS (exact
+    * container integers for GIF — centiseconds × 10 — and WebP — ANMF
+    * carries milliseconds; APNG delays are num/den-second rationals
+    * folded per frame at num·1000/den in integer division, documented
+    * and closed-form), and per-frame composited-canvas landmark hashes
+    * for the hashed prefix (see [[ContainerCodec.gifFrames]] for the
+    * compositing contract — all three containers hash the same
+    * logical-screen canvas model, so the same animation pairs ACROSS
+    * containers).
+    */
+  final case class AnimSurface(
+      frameCount: Int,
+      durationMs: Long,
+      frameHashes: Array[Long]) {
+    def durationSec: Double = durationMs / 1000.0
+  }
+
   /** Batch-in/batch-out decode contract shared by every codec: the unit
     * a vectorized or native implementation amortizes over.
     */
@@ -131,7 +150,7 @@ object Multimodal {
     private val PngSig =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-    private def isPng(b: Array[Byte]): Boolean =
+    private[ext] def isPng(b: Array[Byte]): Boolean =
       b.length >= 33 && b.take(8).sameElements(PngSig)
     private[ext] def isWav(b: Array[Byte]): Boolean =
       b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
@@ -201,7 +220,13 @@ object Multimodal {
       val geometry =
         Array(width.toFloat, height.toFloat, bitDepth.toFloat, colorType.toFloat)
       val px = pixelStats(b, width.toInt, height.toInt, bitDepth, colorType)
-      val feature = px.map(geometry ++ _).getOrElse(geometry)
+      // APNG: the animation surface rides the feature row (the GIF
+      // precedent) — [.., frameCount, durationSec] appended; static
+      // PNGs keep their layout untouched
+      val anim = apngFrames(b, maxHashFrames = 0)
+      val feature = px.map(geometry ++ _).getOrElse(geometry) ++
+        anim.map(a => Array(a.frameCount.toFloat, a.durationSec.toFloat))
+          .getOrElse(Array.empty[Float])
       Some(MediaFeatures(r.doc_id, b.length, "image/png",
         if (px.isDefined) "pixels" else "header", byteChecksum(b), feature))
     }
@@ -246,39 +271,10 @@ object Multimodal {
     private[ext] def pngInterleaved(
         b: Array[Byte], width: Int, height: Int,
         bitDepth: Int, colorType: Int): Option[(Array[Byte], Int)] = {
-      // samples per pixel as they appear IN THE SCANLINE (palette = 1
-      // index per pixel; expansion to RGB happens after unfiltering)
-      val scanChannels = colorType match {
-        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
-        case _ => 0
-      }
-      val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
-      val depthOk =
-        bitDepth == 8 || (subByte && (colorType == 0 || colorType == 3)) ||
-          (bitDepth == 16 && colorType != 3) // 16-bit palette is invalid PNG
-      if (scanChannels == 0 || !depthOk || width <= 0 || height <= 0)
-        return None
       val compression = b(26) & 0xff
       val filterMethod = b(27) & 0xff
       val interlace = b(28) & 0xff
       if (compression != 0 || filterMethod != 0 || interlace > 1) return None
-      val bitsPerPx = scanChannels * bitDepth
-      def rowBytes(w: Int): Long = (w.toLong * bitsPerPx + 7) / 8
-      val stride = rowBytes(width).toInt
-      // Adam7 pass geometry (xStart, yStart, xStep, yStep); the
-      // non-interlaced image is the single trivial pass
-      val passes: Array[(Int, Int, Int, Int)] =
-        if (interlace == 0) Array((0, 0, 1, 1))
-        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-      def passDims(p: (Int, Int, Int, Int)): (Int, Int) =
-        ((width - p._1 + p._3 - 1) / p._3, (height - p._2 + p._4 - 1) / p._4)
-      val total = passes.map { p =>
-        val (pw, ph) = passDims(p)
-        if (pw <= 0 || ph <= 0) 0L else (1L + rowBytes(pw)) * ph
-      }.sum
-      if (total <= 0 || total > MaxInflatedBytes ||
-        stride.toLong * height > MaxInflatedBytes) return None
 
       // walk the chunks after IHDR, concatenating CRC-valid IDAT data
       // (one zlib stream may span many IDAT chunks) and capturing the
@@ -304,13 +300,57 @@ object Multimodal {
         off += 12 + sz
       }
       if (idat.size == 0) return None
+      pngExpand(idat.toByteArray, palette, width, height, bitDepth,
+        colorType, interlace)
+    }
+
+    /** The inflate + unfilter + expand core shared by the whole-image
+      * path ([[pngInterleaved]]) and the APNG frame path
+      * ([[apngFrames]] — each fcTL frame is its own complete zlib
+      * stream over its own fw×fh scanlines at the IMAGE's depth/color
+      * type, so the exact same machinery decodes it). All geometry,
+      * depth, bomb-bound, and palette validation lives here.
+      */
+    private def pngExpand(
+        zdata: Array[Byte], palette: Array[Byte],
+        width: Int, height: Int, bitDepth: Int, colorType: Int,
+        interlace: Int): Option[(Array[Byte], Int)] = {
+      // samples per pixel as they appear IN THE SCANLINE (palette = 1
+      // index per pixel; expansion to RGB happens after unfiltering)
+      val scanChannels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      val subByte = bitDepth == 1 || bitDepth == 2 || bitDepth == 4
+      val depthOk =
+        bitDepth == 8 || (subByte && (colorType == 0 || colorType == 3)) ||
+          (bitDepth == 16 && colorType != 3) // 16-bit palette is invalid PNG
+      if (scanChannels == 0 || !depthOk || width <= 0 || height <= 0)
+        return None
       if (colorType == 3 && palette == null) return None
+      val bitsPerPx = scanChannels * bitDepth
+      def rowBytes(w: Int): Long = (w.toLong * bitsPerPx + 7) / 8
+      val stride = rowBytes(width).toInt
+      // Adam7 pass geometry (xStart, yStart, xStep, yStep); the
+      // non-interlaced image is the single trivial pass
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) =
+        ((width - p._1 + p._3 - 1) / p._3, (height - p._2 + p._4 - 1) / p._4)
+      val total = passes.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw <= 0 || ph <= 0) 0L else (1L + rowBytes(pw)) * ph
+      }.sum
+      if (total <= 0 || total > MaxInflatedBytes ||
+        stride.toLong * height > MaxInflatedBytes) return None
 
       // inflate to EXACTLY height * (1 + rowData) filtered bytes
       val raw = new Array[Byte](total.toInt)
       val inf = new java.util.zip.Inflater()
       try {
-        inf.setInput(idat.toByteArray)
+        inf.setInput(zdata)
         var got = 0
         while (got < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, got, raw.length - got)
@@ -787,20 +827,30 @@ object Multimodal {
       if (off >= b.length) -1 else off + 1
     }
 
+    /** One decoded image-descriptor block: display-order palette
+      * INDICES (interlace already undone), the color table they index,
+      * the frame's position on the logical screen, and the offset past
+      * the block (-1 when the file was truncated AFTER the pixels but
+      * inside the sub-block chain — the pixels are real, the walk ends
+      * with this frame).
+      */
+    private final case class GifFrameData(
+        idx: Array[Byte], ct: Array[Byte],
+        left: Int, top: Int, fw: Int, fh: Int, end: Int)
+
     /** Decode ONE image-descriptor block whose 0x2c byte sits at `off0`
       * — local-or-global color table, the REAL LZW expansion, 4-pass
-      * interlace reorder, palette lookup to interleaved RGB. Returns
-      * (rgb, frameW, frameH, offsetAfterFrame); None when the PIXELS
-      * cannot be recovered. A file truncated AFTER the frame's pixels
-      * but inside the sub-block chain still decodes (the pixel-regime
-      * hash of a stored copy must not silently flip to byte-stats on a
-      * tail truncation) — offsetAfterFrame is then -1 and the caller's
-      * walk ends with this frame.
+      * interlace reorder, every index validated against the table.
+      * None when the PIXELS cannot be recovered. A file truncated AFTER
+      * the frame's pixels but inside the sub-block chain still decodes
+      * (the pixel-regime hash of a stored copy must not silently flip
+      * to byte-stats on a tail truncation) — `end` is then -1.
       */
     private def gifFrameAt(b: Array[Byte], off0: Int,
-        gct: Array[Byte]): Option[(Array[Byte], Int, Int, Int)] = {
+        gct: Array[Byte]): Option[GifFrameData] = {
       def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       if (off0 + 10 > b.length) return None
+      val left = u16(off0 + 1); val top = u16(off0 + 3)
       val fw = u16(off0 + 5); val fh = u16(off0 + 7)
       val ip = b(off0 + 9) & 0xff
       var off = off0 + 10
@@ -813,35 +863,40 @@ object Multimodal {
       }
       if (ct == null || fw <= 0 || fh <= 0 ||
         fw.toLong * fh > MaxHashPixels) return None
-      val idx = lzwDecode(b, off, fw * fh)
-      if (idx == null) return None
+      val raw = lzwDecode(b, off, fw * fh)
+      if (raw == null) return None
       val end = subBlocksEnd(b, off)
       val nColors = ct.length / 3
-      val out = new Array[Byte](fw * fh * 3)
-      val rowOrder: Array[Int] =
-        if ((ip & 0x40) == 0) Array.tabulate(fh)(identity)
+      val idx =
+        if ((ip & 0x40) == 0) raw
         else { // interlaced: rows arrive in the four GIF passes
-          val o = new Array[Int](fh); var r = 0
+          val o = new Array[Byte](raw.length); var r = 0
           for ((s, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)))
-            for (y <- s until fh by st) { o(r) = y; r += 1 }
+            for (y <- s until fh by st) {
+              System.arraycopy(raw, r * fw, o, y * fw, fw); r += 1
+            }
           o
         }
-      var r = 0
-      while (r < fh) {
-        val y = rowOrder(r)
-        var x = 0
-        while (x < fw) {
-          val ci = idx(r * fw + x) & 0xff
-          if (ci >= nColors) return None
-          val po = (y * fw + x) * 3
-          out(po) = ct(ci * 3)
-          out(po + 1) = ct(ci * 3 + 1)
-          out(po + 2) = ct(ci * 3 + 2)
-          x += 1
-        }
-        r += 1
+      var i = 0
+      while (i < idx.length) {
+        if ((idx(i) & 0xff) >= nColors) return None
+        i += 1
       }
-      Some((out, fw, fh, end))
+      Some(GifFrameData(idx, ct, left, top, fw, fh, end))
+    }
+
+    /** Palette lookup of a decoded frame to interleaved RGB. */
+    private def gifFrameRgb(f: GifFrameData): Array[Byte] = {
+      val out = new Array[Byte](f.fw * f.fh * 3)
+      var i = 0
+      while (i < f.idx.length) {
+        val ci = f.idx(i) & 0xff
+        out(i * 3) = f.ct(ci * 3)
+        out(i * 3 + 1) = f.ct(ci * 3 + 1)
+        out(i * 3 + 2) = f.ct(ci * 3 + 2)
+        i += 1
+      }
+      out
     }
 
     /** Structural skip over one image-descriptor block at `off0` (no
@@ -896,9 +951,8 @@ object Multimodal {
               off += 1 + (b(off) & 0xff)
             off += 1
           case 0x2c => // image descriptor: the first frame is the hash
-            return gifFrameAt(b, off, gct).map { case (px, w, h, _) =>
-              (px, w, h)
-            }
+            return gifFrameAt(b, off, gct).map(f =>
+              (gifFrameRgb(f), f.fw, f.fh))
           case 0x3b => return None // trailer before any frame
           case _ => return None
         }
@@ -906,26 +960,71 @@ object Multimodal {
       None
     } catch { case scala.util.control.NonFatal(_) => None }
 
+    // --------------------------------------- animation canvas compositing
+    //
+    // The three animation containers (GIF, APNG, animated WebP) share
+    // one landmark model: each frame composites onto a logical-screen
+    // RGBA canvas (per the container's disposal/blend rules) and the
+    // landmark is the dHashPixels grid over the canvas's gray plane.
+    // Compositing — not region hashing — is what lets a DELTA-encoded
+    // animation (frames shipped as changed regions) share landmarks
+    // with a full-frame re-encode of the same animation, and lets the
+    // same frames pair ACROSS containers. The canvas starts transparent
+    // black and "restore to background" clears to transparent black in
+    // every container (GIF's background-color-index is famously ignored
+    // by real renderers; a deterministic shared convention is what the
+    // cross-container identity needs).
+
+    /** Clear a canvas region to transparent black (disposal 2 /
+      * dispose-to-background), clipped to the canvas.
+      */
+    private def clearRegion(canvas: Array[Byte], cw: Int, ch: Int,
+        left: Int, top: Int, fw: Int, fh: Int): Unit = {
+      var y = math.max(0, top)
+      val yEnd = math.min(ch, top + fh)
+      val x0 = math.max(0, left)
+      val xEnd = math.min(cw, left + fw)
+      while (y < yEnd) {
+        java.util.Arrays.fill(canvas, (y * cw + x0) * 4, (y * cw + xEnd) * 4,
+          0.toByte)
+        y += 1
+      }
+    }
+
     /** The animated-GIF frame surface, one walk: frame COUNT, total
       * presentation DURATION (the sum of each frame's Graphic Control
       * Extension delay, centiseconds — frames without a GCE contribute
       * 0: the "browsers clamp tiny delays" floor is a rendering policy,
-      * not container data), and a per-frame perceptual hash over each
-      * frame's OWN decoded gray plane (the dHashPixels closed-form
-      * grid) for the first `maxHashFrames` frames.
+      * not container data), and a per-frame perceptual hash for the
+      * first `maxHashFrames` frames.
       *
       * Chosen invariance, documented: frames are LANDMARKS — two cuts
       * of the same animation that differ by a dropped/added intro frame
       * still share every remaining frame hash, so a shared-frame-count
       * rule pairs them (spec-held) where the single first-frame store
-      * key cannot. Frames hash their own region plane as delivered; NO
-      * disposal/compositing is applied (a delta-frame encoder's partial
-      * regions hash as regions — the honest boundary, same spirit as
-      * the payload-vs-pixel regimes elsewhere).
+      * key cannot. Each landmark hashes the COMPOSITED logical-screen
+      * canvas — frame blitted at its (left, top) with transparent
+      * pixels skipped, then the GCE disposal applied (none/keep;
+      * restore-background clears the region to transparent black;
+      * restore-previous reverts the canvas) — so a delta-encoded
+      * animation and a full-frame re-encode of the same animation share
+      * every landmark (spec-held). For the common full-canvas opaque
+      * frame the canvas IS the frame plane, so those hashes equal the
+      * plain frame-plane hashes. A degenerate logical screen (zero or
+      * past [[MaxHashPixels]]) falls back to hashing each frame's own
+      * region plane — the documented honest fallback.
+      *
+      * Frame-count rule, identical in the hashed and structural
+      * branches: a frame COUNTS iff its whole block (through the
+      * sub-block terminator) is present. A structurally complete frame
+      * whose PIXELS are unrecoverable (corrupt LZW, out-of-table index,
+      * oversized plane) still counts — the landmark walk just ends
+      * there (compositing past an undecodable frame would hash canvases
+      * the renderer never shows), so frameCount always agrees with
+      * [[gifAnimTable]]'s structural count.
       *
       * None when the payload is not a structurally valid GIF or has no
-      * complete frame; a frame that fails mid-decode ends the walk with
-      * the frames counted so far (truncation degrades, never throws).
+      * complete frame (truncation degrades, never throws).
       */
     private[graft] def gifFrames(b: Array[Byte],
         maxHashFrames: Int = 64): Option[GifAnim] = try {
@@ -933,48 +1032,102 @@ object Multimodal {
         case Some(v) => v
         case None    => return None
       }
+      val cw = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+      val ch = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+      val canvasOk = cw > 0 && ch > 0 && cw.toLong * ch <= MaxHashPixels
+      val canvas =
+        if (canvasOk && maxHashFrames > 0) new Array[Byte](cw * ch * 4)
+        else null
       var off = start
       var frames = 0
       var delayCs = 0L
       var pendingDelay = 0L
+      var pendingDisposal = 0
+      var pendingTransp = -1
       val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var hashing = maxHashFrames > 0
       var done = false
       while (!done && off < b.length) {
         (b(off) & 0xff) match {
           case 0x21 =>
-            // Graphic Control Extension: delay in centiseconds at
-            // payload bytes 2-3 (little-endian), applies to the NEXT
-            // frame — it counts only when that frame materializes (a
-            // trailing or orphaned GCE must not inflate the duration)
+            // Graphic Control Extension: packed disposal/transparency
+            // byte, delay in centiseconds (little-endian), transparent
+            // index — all applying to the NEXT frame; the delay counts
+            // only when that frame materializes (a trailing or orphaned
+            // GCE must not inflate the duration)
             if (off + 1 < b.length && (b(off + 1) & 0xff) == 0xf9 &&
-                off + 7 < b.length && (b(off + 2) & 0xff) >= 4)
+                off + 7 < b.length && (b(off + 2) & 0xff) >= 4) {
+              val packed = b(off + 3) & 0xff
               pendingDelay =
                 (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8)
+              pendingDisposal = (packed >> 2) & 7
+              pendingTransp =
+                if ((packed & 1) != 0) b(off + 6) & 0xff else -1
+            }
             off += 2
             while (off < b.length && (b(off) & 0xff) != 0)
               off += 1 + (b(off) & 0xff)
             off += 1
           case 0x2c =>
-            // a frame COUNTS iff its whole block (through the sub-block
-            // terminator) is present — identical rule in both branches,
-            // so gifAnimTable (structural, maxHashFrames = 0) and the
-            // hashed walk agree on every input
-            if (hashes.length < maxHashFrames)
-              gifFrameAt(b, off, gct) match {
-                case Some((px, fw, fh, end)) if end >= 0 =>
+            val decoded =
+              if (hashing && hashes.length < maxHashFrames)
+                gifFrameAt(b, off, gct)
+              else None
+            decoded match {
+              case Some(f) if f.end >= 0 =>
+                frames += 1
+                delayCs += pendingDelay
+                if (canvas != null) {
+                  val prev =
+                    if (pendingDisposal == 3) canvas.clone() else null
+                  // blit: transparent pixels leave the canvas untouched
+                  var y = math.max(0, -f.top)
+                  while (y < f.fh && f.top + y < ch) {
+                    var x = math.max(0, -f.left)
+                    while (x < f.fw && f.left + x < cw) {
+                      val ci = f.idx(y * f.fw + x) & 0xff
+                      if (ci != pendingTransp) {
+                        val po = ((f.top + y) * cw + (f.left + x)) * 4
+                        canvas(po) = f.ct(ci * 3)
+                        canvas(po + 1) = f.ct(ci * 3 + 1)
+                        canvas(po + 2) = f.ct(ci * 3 + 2)
+                        canvas(po + 3) = -1
+                      }
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  hashes += graft.functions.DHashPixels.computeGrid(
+                    toGray(canvas, 4), cw, ch)
+                  pendingDisposal match {
+                    case 2 =>
+                      clearRegion(canvas, cw, ch, f.left, f.top, f.fw, f.fh)
+                    case 3 =>
+                      if (prev != null)
+                        System.arraycopy(prev, 0, canvas, 0, canvas.length)
+                    case _ => ()
+                  }
+                } else // degenerate screen: region-plane fallback
+                  hashes += graft.functions.DHashPixels.computeGrid(
+                    toGray(gifFrameRgb(f), 3), f.fw, f.fh)
+                pendingDelay = 0; pendingDisposal = 0; pendingTransp = -1
+                off = f.end
+              case _ =>
+                // structural count (pixels not needed, not recoverable,
+                // or past the hashed prefix): the frame still counts
+                // when its whole block is present; an unrecoverable
+                // frame additionally ENDS the landmark walk — the
+                // canvas state past it is unknowable
+                val end = gifFrameSkip(b, off)
+                if (end < 0) done = true // truncation degrades
+                else {
+                  if (hashing && hashes.length < maxHashFrames)
+                    hashing = false // pixel-decode failure: no more landmarks
                   frames += 1
                   delayCs += pendingDelay
-                  pendingDelay = 0
-                  hashes += graft.functions.DHashPixels.computeGrid(
-                    toGray(px, 3), fw, fh)
+                  pendingDelay = 0; pendingDisposal = 0; pendingTransp = -1
                   off = end
-                case _ => done = true // truncation degrades
-              }
-            else { // past the hashed prefix: structural count only
-              val end = gifFrameSkip(b, off)
-              if (end < 0) done = true
-              else { frames += 1; delayCs += pendingDelay; pendingDelay = 0
-                off = end }
+                }
             }
           case 0x3b => done = true
           case _ => done = true
@@ -983,6 +1136,325 @@ object Multimodal {
       if (frames == 0) None
       else Some(GifAnim(frames, delayCs, hashes.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Expand interleaved 1/2/3/4-channel samples to RGBA (gray
+      * replicates, missing alpha is opaque) — the canvas-side pixel
+      * form the APNG/WebP compositors blit.
+      */
+    private def toRgba(px: Array[Byte], channels: Int): Array[Byte] =
+      channels match {
+        case 4 => px
+        case _ =>
+          val n = px.length / channels
+          val out = new Array[Byte](n * 4)
+          var i = 0
+          while (i < n) {
+            val o = i * 4
+            channels match {
+              case 1 =>
+                out(o) = px(i); out(o + 1) = px(i); out(o + 2) = px(i)
+                out(o + 3) = -1
+              case 2 =>
+                out(o) = px(i * 2); out(o + 1) = px(i * 2)
+                out(o + 2) = px(i * 2); out(o + 3) = px(i * 2 + 1)
+              case _ =>
+                out(o) = px(i * 3); out(o + 1) = px(i * 3 + 1)
+                out(o + 2) = px(i * 3 + 2); out(o + 3) = -1
+            }
+            i += 1
+          }
+          out
+      }
+
+    /** Blit an RGBA region onto the canvas at (x0, y0), clipped.
+      * `over` applies the engine's deterministic integer Porter-Duff
+      * OVER (oa = fa + ba·(255−fa)/255, colors premultiplied-mixed at
+      * (fc·fa·255 + bc·ba·(255−fa)) / (oa·255), all truncating —
+      * APNG/WebP specify float compositing; a hash needs one integer
+      * convention, and for the binary-alpha frames real animations
+      * overwhelmingly carry the two agree exactly); otherwise SOURCE
+      * (copy, alpha included).
+      */
+    private def blitRgba(canvas: Array[Byte], cw: Int, ch: Int,
+        frame: Array[Byte], fw: Int, fh: Int, x0: Int, y0: Int,
+        over: Boolean): Unit = {
+      var y = 0
+      while (y < fh && y0 + y < ch) {
+        var x = 0
+        while (x < fw && x0 + x < cw) {
+          val fo = (y * fw + x) * 4
+          val po = ((y0 + y) * cw + (x0 + x)) * 4
+          val fa = frame(fo + 3) & 0xff
+          if (!over || fa == 255) {
+            canvas(po) = frame(fo); canvas(po + 1) = frame(fo + 1)
+            canvas(po + 2) = frame(fo + 2); canvas(po + 3) = frame(fo + 3)
+          } else if (fa > 0) {
+            val ba = canvas(po + 3) & 0xff
+            val ia = 255 - fa
+            val oa = fa + ba * ia / 255
+            if (oa == 0) {
+              canvas(po) = 0; canvas(po + 1) = 0; canvas(po + 2) = 0
+              canvas(po + 3) = 0
+            } else {
+              def mix(fc: Int, bc: Int): Byte =
+                ((fc * fa * 255 + bc * ba * ia) / (oa * 255)).toByte
+              canvas(po) = mix(frame(fo) & 0xff, canvas(po) & 0xff)
+              canvas(po + 1) = mix(frame(fo + 1) & 0xff, canvas(po + 1) & 0xff)
+              canvas(po + 2) = mix(frame(fo + 2) & 0xff, canvas(po + 2) & 0xff)
+              canvas(po + 3) = oa.toByte
+            }
+          } // fa == 0 under OVER: the canvas pixel stands
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** The APNG animation surface — the [[gifFrames]] model on PNG's
+      * animation chunks: `acTL` (must precede IDAT) declares the
+      * animation, each `fcTL` (sequenced) positions one frame on the
+      * logical screen with its delay/dispose/blend, and the frame's
+      * pixels arrive either as the IDAT itself (when its fcTL precedes
+      * IDAT — the common exporter layout) or as `fdAT` chunks (fcTL's
+      * data with a 4-byte sequence prefix). Every frame is a complete
+      * zlib stream over its own fw×fh scanlines at the image's
+      * depth/color type, decoded by the exact machinery the static
+      * path uses ([[pngExpand]] — inflate, unfilter, palette/16-bit/
+      * sub-byte expansion, Adam7).
+      *
+      * Frame COUNT is structural (every fcTL walked), duration the
+      * num·1000/den millisecond fold (delay_den 0 reads as 100 per
+      * spec), and landmarks the composited-canvas hashes of the hashed
+      * prefix under the shared convention: transparent-black canvas,
+      * blend SOURCE/OVER per fcTL, dispose none/background(region
+      * clears to transparent black)/previous, dispose-previous on the
+      * first frame treated as background (spec rule). A frame whose
+      * pixels fail to decode or whose region leaves the canvas ends
+      * the landmark walk but still counts — the [[gifFrames]] rule, so
+      * hashed and structural walks agree on every input. Sequence
+      * numbers are validated consecutive (a shuffled file is
+      * malformed, not reinterpreted); consumed chunks are CRC-checked.
+      * None for static PNGs (no acTL) and anything malformed before
+      * the first complete frame.
+      */
+    private[graft] def apngFrames(b: Array[Byte],
+        maxHashFrames: Int = 64): Option[AnimSurface] = try {
+      val (w, h, bitDepth, colorType) = pngHeader(b) match {
+        case Some(v) => v
+        case None    => return None
+      }
+      val interlace = b(28) & 0xff
+      if ((b(26) & 0xff) != 0 || (b(27) & 0xff) != 0 || interlace > 1)
+        return None
+      final case class Fc(fw: Int, fh: Int, x: Int, y: Int,
+          delayNum: Int, delayDen: Int, dispose: Int, blend: Int,
+          data: java.io.ByteArrayOutputStream)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Fc]
+      var palette: Array[Byte] = null
+      var hasActl = false
+      var sawIdat = false
+      var expectedSeq = 0
+      var off = 8 + 4 + 4 + 13 + 4
+      var done = false
+      def crcOk(o: Int, sz: Int): Boolean = {
+        val crc = new java.util.zip.CRC32
+        crc.update(b, o + 4, 4 + sz)
+        crc.getValue == u32be(b, o + 8 + sz)
+      }
+      while (!done && off + 8 <= b.length) {
+        val sz = u32be(b, off).toInt
+        if (sz < 0 || off + 12 + sz > b.length) done = true // truncated
+        else {
+          val id = tag(b, off + 4)
+          val po = off + 8
+          id match {
+            case "acTL" =>
+              if (sawIdat || sz < 8 || !crcOk(off, sz)) return None
+              hasActl = true
+            case "PLTE" =>
+              if (sz == 0 || sz % 3 != 0 || sz > 3 * 256 ||
+                !crcOk(off, sz)) return None
+              palette = java.util.Arrays.copyOfRange(b, po, po + sz)
+            case "fcTL" =>
+              if (sz != 26 || !crcOk(off, sz)) return None
+              if (u32be(b, po) != expectedSeq) return None
+              expectedSeq += 1
+              frames += Fc(u32be(b, po + 4).toInt, u32be(b, po + 8).toInt,
+                u32be(b, po + 12).toInt, u32be(b, po + 16).toInt,
+                ((b(po + 20) & 0xff) << 8) | (b(po + 21) & 0xff),
+                ((b(po + 22) & 0xff) << 8) | (b(po + 23) & 0xff),
+                b(po + 24) & 0xff, b(po + 25) & 0xff,
+                new java.io.ByteArrayOutputStream())
+            case "IDAT" =>
+              if (!crcOk(off, sz)) return None
+              sawIdat = true
+              // an fcTL before IDAT makes the default image frame 1;
+              // otherwise the default image is hidden from the animation
+              if (frames.length == 1) frames.head.data.write(b, po, sz)
+            case "fdAT" =>
+              if (sz < 4 || frames.isEmpty || !crcOk(off, sz)) return None
+              if (u32be(b, po) != expectedSeq) return None
+              expectedSeq += 1
+              frames.last.data.write(b, po + 4, sz - 4)
+            case "IEND" => done = true
+            case _ => ()
+          }
+          off += 12 + sz
+        }
+      }
+      if (!hasActl || frames.isEmpty) return None
+      val durationMs = frames.iterator.map { f =>
+        val den = if (f.delayDen == 0) 100 else f.delayDen
+        f.delayNum.toLong * 1000 / den
+      }.sum
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (maxHashFrames > 0 && w.toLong * h <= MaxHashPixels) {
+        val canvas = new Array[Byte](w * h * 4)
+        var i = 0
+        var ok = true
+        while (ok && i < frames.length && hashes.length < maxHashFrames) {
+          val f = frames(i)
+          val regionOk = f.fw > 0 && f.fh > 0 && f.x >= 0 && f.y >= 0 &&
+            f.x + f.fw <= w && f.y + f.fh <= h
+          val px =
+            if (regionOk)
+              pngExpand(f.data.toByteArray, palette, f.fw, f.fh, bitDepth,
+                colorType, interlace)
+            else None
+          px match {
+            case Some((samples, channels)) =>
+              val dispose = if (i == 0 && f.dispose == 2) 1 else f.dispose
+              val prev = if (dispose == 2) canvas.clone() else null
+              blitRgba(canvas, w, h, toRgba(samples, channels),
+                f.fw, f.fh, f.x, f.y, over = f.blend == 1)
+              hashes += graft.functions.DHashPixels.computeGrid(
+                toGray(canvas, 4), w, h)
+              dispose match {
+                case 1 => clearRegion(canvas, w, h, f.x, f.y, f.fw, f.fh)
+                case 2 => System.arraycopy(prev, 0, canvas, 0, canvas.length)
+                case _ => ()
+              }
+            case None => ok = false // landmarks end; the count stands
+          }
+          i += 1
+        }
+      }
+      Some(AnimSurface(frames.length, durationMs, hashes.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def u24le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+
+    /** The animated-WebP surface — the [[gifFrames]] model on RIFF
+      * `ANMF` chunks: VP8X declares the animation (flag 0x02) and the
+      * canvas geometry, each ANMF carries one frame's position (stored
+      * halved), size (minus one), duration in EXACT milliseconds, and
+      * a flags byte (bit 0: dispose to background; bit 1: do NOT
+      * blend), followed by the frame's own image subchunks. Lossless
+      * (VP8L) frames decode through [[Vp8l]] — alpha included — and
+      * composite under the shared canvas convention (transparent-black
+      * init and background, OVER per [[blitRgba]]); a lossy (VP8)
+      * frame is the documented codec boundary: it still COUNTS (the
+      * ANMF header is container data) but ends the landmark walk, the
+      * [[gifFrames]] rule. Frame count is structural over the ANMF
+      * walk; duration the exact millisecond sum. None when the payload
+      * is not an animated WebP or malformed before the first ANMF.
+      */
+    private[graft] def webpAnimFrames(b: Array[Byte],
+        maxHashFrames: Int = 64): Option[AnimSurface] = try {
+      if (!isWebp(b)) return None
+      var cw = 0
+      var chh = 0
+      var anim = false
+      var frames = 0
+      var durationMs = 0L
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var hashing = maxHashFrames > 0
+      var canvas: Array[Byte] = null
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = u32le(b, off + 4)
+        val po = off + 8
+        if (sz < 0 || po + sz > b.length) return if (frames > 0)
+          Some(AnimSurface(frames, durationMs, hashes.toArray)) else None
+        id match {
+          case "VP8X" if sz >= 10 =>
+            anim = (b(po) & 0x02) != 0
+            cw = u24le(b, po + 4) + 1
+            chh = u24le(b, po + 7) + 1
+          case "ANMF" if anim && sz >= 16 =>
+            val fx = u24le(b, po) * 2
+            val fy = u24le(b, po + 3) * 2
+            val fw = u24le(b, po + 6) + 1
+            val fh = u24le(b, po + 9) + 1
+            durationMs += u24le(b, po + 12)
+            val flags = b(po + 15) & 0xff
+            frames += 1
+            if (hashing && hashes.length < maxHashFrames) {
+              if (canvas == null) {
+                if (cw > 0 && chh > 0 && cw.toLong * chh <= MaxHashPixels)
+                  canvas = new Array[Byte](cw * chh * 4)
+                else hashing = false
+              }
+              // the frame's own subchunk walk to its VP8L payload
+              var so = po + 16
+              var rgba: Array[Byte] = null
+              var decodable = true
+              while (rgba == null && decodable && so + 8 <= po + sz) {
+                val sid = tag(b, so)
+                val ssz = u32le(b, so + 4)
+                if (ssz < 0 || so + 8 + ssz > po + sz) decodable = false
+                else if (sid == "VP8L")
+                  Vp8l.decodeArgb(b, so + 8, ssz.toInt, MaxHashPixels) match {
+                    case Some((argb, aw, ah)) if aw == fw && ah == fh =>
+                      rgba = new Array[Byte](argb.length * 4)
+                      var i = 0
+                      while (i < argb.length) {
+                        val p = argb(i)
+                        rgba(i * 4) = ((p >>> 16) & 0xff).toByte
+                        rgba(i * 4 + 1) = ((p >>> 8) & 0xff).toByte
+                        rgba(i * 4 + 2) = (p & 0xff).toByte
+                        rgba(i * 4 + 3) = (p >>> 24).toByte
+                        i += 1
+                      }
+                    case _ => decodable = false
+                  }
+                else if (sid == "VP8 ") decodable = false // codec boundary
+                else so += 8 + ssz.toInt + (ssz.toInt & 1)
+              }
+              if (canvas != null && rgba != null &&
+                  fx + fw <= cw && fy + fh <= chh) {
+                blitRgba(canvas, cw, chh, rgba, fw, fh, fx, fy,
+                  over = (flags & 0x02) == 0) // bit 1 SET = do not blend
+                hashes += graft.functions.DHashPixels.computeGrid(
+                  toGray(canvas, 4), cw, chh)
+                if ((flags & 0x01) != 0) // dispose to background
+                  clearRegion(canvas, cw, chh, fx, fy, fw, fh)
+              } else hashing = false // landmarks end; the count stands
+            }
+          case _ => ()
+        }
+        off = po + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (!anim || frames == 0) None
+      else Some(AnimSurface(frames, durationMs, hashes.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Container dispatch for the cross-container animation surface:
+      * GIF (centiseconds × 10), APNG, animated WebP — one landmark
+      * model (see [[AnimSurface]]), so [[Multimodal.animDups]] pairs
+      * cuts of one animation ACROSS containers.
+      */
+    private[graft] def animFrames(b: Array[Byte],
+        maxHashFrames: Int = 64): Option[(String, AnimSurface)] =
+      if (b == null) None
+      else if (isGif(b))
+        gifFrames(b, maxHashFrames).map(g =>
+          ("gif", AnimSurface(g.frameCount, g.delayCs * 10, g.frameHashes)))
+      else if (isPng(b)) apngFrames(b, maxHashFrames).map(("apng", _))
+      else if (isWebp(b)) webpAnimFrames(b, maxHashFrames).map(("webp", _))
+      else None
 
     /** BMP (BITMAPINFOHEADER and later, BI_RGB only) to interleaved
       * RGB: 8-bit paletted, 24-bit BGR, and 32-bit BGRA rows, 4-byte
@@ -1059,12 +1531,17 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** EXIF provenance fields from a JPEG APP1 segment (or a bare TIFF
-      * header): (orientation, make, model, takenAt, lat, lon) — the
-      * camera/time/LOCATION metadata a curation pipeline mines for
-      * dedup attribution, time-range filtering, and privacy screening
-      * (embedded GPS is PII a training corpus must be able to surface
-      * and strip). A self-contained bounds-checked IFD walk in either
+    /** EXIF provenance fields from any container that carries an EXIF
+      * blob — JPEG APP1, bare TIFF, PNG's `eXIf` chunk (a raw TIFF
+      * payload, CRC-checked like every consumed PNG chunk), and WebP's
+      * `EXIF` RIFF chunk (raw TIFF, with or without the JPEG-style
+      * "Exif\0\0" prefix — both ship in the wild): (orientation, make,
+      * model, takenAt, lat, lon) — the camera/time/LOCATION metadata a
+      * curation pipeline mines for dedup attribution, time-range
+      * filtering, and privacy screening (embedded GPS is PII a
+      * training corpus must be able to surface and strip). The IFD
+      * walk itself is container-independent; only the envelope hop
+      * differs. A self-contained bounds-checked IFD walk in either
       * byte order: IFD0 tags 271/272/274/306, DateTimeOriginal (36867)
       * behind the ExifIFD pointer (34665), and GPSLatitude/Longitude
       * (signed decimal degrees from the ref + 3-RATIONAL d/m/s form)
@@ -1092,6 +1569,42 @@ object Multimodal {
               b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0)
               found = off + 10
             off += 2 + len
+          }
+          if (found < 0) return None
+          found
+        } else if (isPng(b)) {
+          // walk the chunks to a CRC-valid eXIf (payload = bare TIFF)
+          var off = 8
+          var found = -1
+          while (found < 0 && off + 8 <= b.length) {
+            val sz = u32be(b, off).toInt
+            if (sz < 0 || off + 12 + sz > b.length) return None
+            val id = tag(b, off + 4)
+            if (id == "eXIf") {
+              val crc = new java.util.zip.CRC32
+              crc.update(b, off + 4, 4 + sz)
+              if (crc.getValue != u32be(b, off + 8 + sz)) return None
+              found = off + 8
+            } else if (id == "IEND") return None
+            off += 12 + sz
+          }
+          if (found < 0) return None
+          found
+        } else if (isWebp(b)) {
+          // walk the RIFF chunks to EXIF; skip an optional Exif\0\0 hdr
+          var off = 12
+          var found = -1
+          while (found < 0 && off + 8 <= b.length) {
+            val sz = u32le(b, off + 4)
+            val po = off + 8
+            if (sz < 0 || po + sz > b.length) return None
+            if (tag(b, off) == "EXIF")
+              found =
+                if (sz >= 6 && b(po) == 'E' && b(po + 1) == 'x' &&
+                  b(po + 2) == 'i' && b(po + 3) == 'f' &&
+                  b(po + 4) == 0 && b(po + 5) == 0) po + 6
+                else po
+            off = po + sz.toInt + (sz.toInt & 1) // word-aligned
           }
           if (found < 0) return None
           found
@@ -1537,9 +2050,16 @@ object Multimodal {
         }
         off = po + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
       }
-      Option(feat).map(f =>
+      Option(feat).map { f0 =>
+        // animated WebP: the ANMF surface rides the feature row (the
+        // GIF/APNG precedent) — [.., frameCount, durationSec] appended
+        val anim = webpAnimFrames(b, maxHashFrames = 0)
+        val f = f0 ++ anim.map(a =>
+            Array(a.frameCount.toFloat, a.durationSec.toFloat))
+          .getOrElse(Array.empty[Float])
         MediaFeatures(r.doc_id, b.length, "image/webp", "container",
-          byteChecksum(b), f))
+          byteChecksum(b), f)
+      }
     }
 
     /** MP3: an optional ID3v2 envelope then MPEG audio frames whose
@@ -1793,59 +2313,134 @@ object Multimodal {
       true
     }
 
-    /** MP4/ISO-BMFF: container-only metadata from the `moov` atom walk —
-      * presentation duration (mvhd, v0 and v1 layouts), track count
-      * (trak atoms), and visual geometry (tkhd 16.16 fixed-point
-      * width/height; max over tracks, since sound tracks carry zeros).
-      * ZERO codec work — the WAV RIFF discipline applied to video: a
-      * crawl corpus carries containered video whose duration/geometry
-      * are real offline metadata, while frame DECODE remains the
-      * documented native-codec boundary ([[decodeCensus]] counts how
-      * many rows sit on each side of that line).
+    /** MP4/ISO-BMFF: container-only metadata from the atom walk —
+      * presentation duration, track count (trak atoms), and visual
+      * geometry (tkhd 16.16 fixed-point width/height; max over tracks,
+      * since sound tracks carry zeros). Duration resolves in the order
+      * a real demuxer does: the mvhd duration when non-zero
+      * (progressive files, v0 and v1 layouts); else the FRAGMENTED
+      * path — `mvex/mehd` fragment_duration (movie timescale, v0/v1)
+      * when the muxer knew the total, else the sum of `moof/traf/trun`
+      * sample durations (per-sample when flag 0x100 is set, else
+      * sample_count × the tfhd default — media timescale from the
+      * first trak's mdhd), the DASH/live-capture class whose mvhd
+      * always says 0. ZERO codec work — the WAV RIFF discipline
+      * applied to video ([[decodeCensus]] counts how many rows sit on
+      * each side of the codec line).
       * Feature layout: [durationSec, trackCount, width, height].
       */
     private def decodeMp4(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
-      var durationSec = -1.0
+      var mvhdTs = 0L
+      var mvhdDur = -1L
+      var mehdDur = -1L
+      var mdhdTs = 0L
+      var trunTicks = 0L
+      var sawMvhd = false
       var tracks = 0
       var w = 0f
       var h = 0f
       val ok = walkBoxes(b, 0, b.length) { (typ, po, pe) =>
-        if (typ != "moov") true
-        else walkBoxes(b, po, pe) { (t2, qo, qe) =>
-          if (t2 == "mvhd" && qe - qo >= 20) {
-            val ver = b(qo) & 0xff
-            if (ver == 1 && qe - qo >= 32) {
-              val ts = u32be(b, qo + 20)
-              val dur = (u32be(b, qo + 24) << 32) | u32be(b, qo + 28)
-              if (ts > 0) durationSec = dur.toDouble / ts
-            } else if (ver == 0) {
-              val ts = u32be(b, qo + 12)
-              val dur = u32be(b, qo + 16)
-              if (ts > 0) durationSec = dur.toDouble / ts
-            }
-            true
-          } else if (t2 == "trak") {
-            tracks += 1
-            walkBoxes(b, qo, qe) { (t3, ro, re) =>
-              if (t3 == "tkhd") {
-                val wOff = if ((b(ro) & 0xff) == 1) 88 else 76
-                if (re - ro >= wOff + 8) {
-                  val tw = u32be(b, ro + wOff) / 65536f
-                  val th = u32be(b, ro + wOff + 4) / 65536f
-                  if (tw > w) w = tw
-                  if (th > h) h = th
-                }
+        if (typ == "moov")
+          walkBoxes(b, po, pe) { (t2, qo, qe) =>
+            if (t2 == "mvhd" && qe - qo >= 20) {
+              val ver = b(qo) & 0xff
+              if (ver == 1 && qe - qo >= 32) {
+                mvhdTs = u32be(b, qo + 20)
+                mvhdDur = (u32be(b, qo + 24) << 32) | u32be(b, qo + 28)
+                sawMvhd = mvhdTs > 0
+              } else if (ver == 0) {
+                mvhdTs = u32be(b, qo + 12)
+                mvhdDur = u32be(b, qo + 16)
+                sawMvhd = mvhdTs > 0
               }
               true
+            } else if (t2 == "trak") {
+              tracks += 1
+              walkBoxes(b, qo, qe) { (t3, ro, re) =>
+                if (t3 == "tkhd") {
+                  val wOff = if ((b(ro) & 0xff) == 1) 88 else 76
+                  if (re - ro >= wOff + 8) {
+                    val tw = u32be(b, ro + wOff) / 65536f
+                    val th = u32be(b, ro + wOff + 4) / 65536f
+                    if (tw > w) w = tw
+                    if (th > h) h = th
+                  }
+                } else if (t3 == "mdia")
+                  walkBoxes(b, ro, re) { (t4, so, se) =>
+                    if (t4 == "mdhd" && mdhdTs == 0) { // first track's clock
+                      val ver = b(so) & 0xff
+                      if (ver == 1 && se - so >= 24)
+                        mdhdTs = u32be(b, so + 20)
+                      else if (ver == 0 && se - so >= 16)
+                        mdhdTs = u32be(b, so + 12)
+                    }
+                    true
+                  }
+                true
+              }
+            } else if (t2 == "mvex")
+              walkBoxes(b, qo, qe) { (t3, ro, re) =>
+                if (t3 == "mehd") {
+                  val ver = b(ro) & 0xff
+                  if (ver == 1 && re - ro >= 12)
+                    mehdDur = (u32be(b, ro + 4) << 32) | u32be(b, ro + 8)
+                  else if (ver == 0 && re - ro >= 8)
+                    mehdDur = u32be(b, ro + 4)
+                }
+                true
+              }
+            else true
+          }
+        else if (typ == "moof")
+          walkBoxes(b, po, pe) { (t2, qo, qe) =>
+            if (t2 != "traf") true
+            else {
+              var defaultDur = 0L // tfhd precedes trun within its traf
+              walkBoxes(b, qo, qe) { (t3, ro, re) =>
+                if (t3 == "tfhd" && re - ro >= 8) {
+                  val flags = u32be(b, ro).toInt & 0xffffff
+                  var fo = ro + 8
+                  if ((flags & 0x1) != 0) fo += 8  // base-data-offset
+                  if ((flags & 0x2) != 0) fo += 4  // sample-descr index
+                  if ((flags & 0x8) != 0 && fo + 4 <= re)
+                    defaultDur = u32be(b, fo)
+                } else if (t3 == "trun" && re - ro >= 8) {
+                  val flags = u32be(b, ro).toInt & 0xffffff
+                  val n = u32be(b, ro + 4)
+                  var fo = ro + 8
+                  if ((flags & 0x1) != 0) fo += 4   // data-offset
+                  if ((flags & 0x4) != 0) fo += 4   // first-sample-flags
+                  if ((flags & 0x100) != 0) {       // per-sample durations
+                    val stride = 4 * (1 +
+                      (if ((flags & 0x200) != 0) 1 else 0) +
+                      (if ((flags & 0x400) != 0) 1 else 0) +
+                      (if ((flags & 0x800) != 0) 1 else 0))
+                    var s = 0L
+                    while (s < n && fo + 4 <= re) {
+                      trunTicks += u32be(b, fo)
+                      fo += stride
+                      s += 1
+                    }
+                  } else trunTicks += n * defaultDur
+                }
+                true
+              }
             }
-          } else true
-        }
+          }
+        else true
       }
-      if (!ok || durationSec < 0 || tracks == 0) None
-      else Some(MediaFeatures(r.doc_id, b.length, "video/mp4", "container",
-        byteChecksum(b),
-        Array(durationSec.toFloat, tracks.toFloat, w, h)))
+      if (!ok || !sawMvhd || tracks == 0) None
+      else {
+        val durationSec =
+          if (mvhdDur > 0) mvhdDur.toDouble / mvhdTs
+          else if (mehdDur > 0) mehdDur.toDouble / mvhdTs
+          else if (trunTicks > 0 && mdhdTs > 0) trunTicks.toDouble / mdhdTs
+          else 0.0
+        Some(MediaFeatures(r.doc_id, b.length, "video/mp4", "container",
+          byteChecksum(b),
+          Array(durationSec.toFloat, tracks.toFloat, w, h)))
+      }
     }
 
     /** Remux-robust MP4 payload fingerprint: 64-bit FNV-1a over the
@@ -2213,22 +2808,25 @@ object Multimodal {
     * the visual geometry; extra tracks are soundtrack-shaped (zero
     * width/height). mvhd/tkhd are version 0.
     */
-  def minimalMp4(timescale: Int, durationTicks: Long, tracks: Int,
-      width: Int, height: Int,
-      mdat: Array[Byte] = Array.empty,
-      moovFirst: Boolean = true,
-      freePad: Int = 0): Array[Byte] = {
-    require(timescale > 0 && durationTicks >= 0 && tracks >= 1,
-      s"minimalMp4: timescale=$timescale duration=$durationTicks tracks=$tracks")
-    require(freePad >= 0, s"minimalMp4: freePad $freePad")
-    def box(typ: String, payload: Array[Byte]): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8 + payload.length)
-        .putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
-        .put(payload).array()
-    val ftyp = box("ftyp",
-      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
-        "isomiso2".getBytes("US-ASCII"))
-    val mvhd = box("mvhd", {
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8 + payload.length)
+      .putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+      .put(payload).array()
+
+  private val mp4Ftyp: Array[Byte] = mp4Box("ftyp",
+    "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+      "isomiso2".getBytes("US-ASCII"))
+
+  /** The shared `moov` builder: mvhd + tracks-many traks (track 1
+    * carries the visual geometry; extra tracks are soundtrack-shaped).
+    * `mdhdTimescale` > 0 adds an mdia/mdhd per trak (the media clock
+    * the fragmented trun-duration path reads); `mehdTicks` >= 0 adds
+    * mvex/mehd (the fragmented total the muxer knew up front).
+    */
+  private def mp4Moov(timescale: Int, durationTicks: Long, tracks: Int,
+      width: Int, height: Int, mdhdTimescale: Int = 0,
+      mehdTicks: Long = -1L): Array[Byte] = {
+    val mvhd = mp4Box("mvhd", {
       val bb = java.nio.ByteBuffer.allocate(100) // v0 payload
       bb.putInt(0)                       // version 0 + flags
         .putInt(0).putInt(0)             // creation, modification
@@ -2243,7 +2841,7 @@ object Multimodal {
       bb.array()
     })
     val traks = (1 to tracks).map { i =>
-      box("trak", box("tkhd", {
+      val tkhd = mp4Box("tkhd", {
         val bb = java.nio.ByteBuffer.allocate(84) // v0 payload
         bb.putInt(7)                     // version 0 + flags (enabled)
           .putInt(0).putInt(0)           // creation, modification
@@ -2258,19 +2856,90 @@ object Multimodal {
         bb.putInt(if (i == 1) width << 16 else 0)   // 16.16 fixed
           .putInt(if (i == 1) height << 16 else 0)
         bb.array()
-      }))
+      })
+      val mdia =
+        if (mdhdTimescale <= 0) Array.empty[Byte]
+        else mp4Box("mdia", mp4Box("mdhd",
+          java.nio.ByteBuffer.allocate(20) // v0 payload
+            .putInt(0).putInt(0).putInt(0)
+            .putInt(mdhdTimescale).putInt(0).array()))
+      mp4Box("trak", tkhd ++ mdia)
     }
-    val moov = box("moov", mvhd ++ traks.flatten)
+    val mvex =
+      if (mehdTicks < 0) Array.empty[Byte]
+      else mp4Box("mvex", mp4Box("mehd",
+        java.nio.ByteBuffer.allocate(8)
+          .putInt(0).putInt(mehdTicks.toInt).array()))
+    mp4Box("moov", mvhd ++ traks.flatten ++ mvex)
+  }
+
+  def minimalMp4(timescale: Int, durationTicks: Long, tracks: Int,
+      width: Int, height: Int,
+      mdat: Array[Byte] = Array.empty,
+      moovFirst: Boolean = true,
+      freePad: Int = 0): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && tracks >= 1,
+      s"minimalMp4: timescale=$timescale duration=$durationTicks tracks=$tracks")
+    require(freePad >= 0, s"minimalMp4: freePad $freePad")
+    val moov = mp4Moov(timescale, durationTicks, tracks, width, height)
     // remux knobs for the payload-fingerprint gates: carry real sample
     // bytes, relocate moov after mdat (the faststart rewrite in
     // reverse), pad with a free atom — byte-different files whose mdat
     // payload is identical
-    val mdatBox = if (mdat.isEmpty) Array.empty[Byte] else box("mdat", mdat)
+    val mdatBox =
+      if (mdat.isEmpty) Array.empty[Byte] else mp4Box("mdat", mdat)
     val free =
       if (freePad == 0) Array.empty[Byte]
-      else box("free", new Array[Byte](freePad))
-    if (moovFirst) ftyp ++ moov ++ free ++ mdatBox
-    else ftyp ++ mdatBox ++ free ++ moov
+      else mp4Box("free", new Array[Byte](freePad))
+    if (moovFirst) mp4Ftyp ++ moov ++ free ++ mdatBox
+    else mp4Ftyp ++ mdatBox ++ free ++ moov
+  }
+
+  /** Deterministic FRAGMENTED-MP4 synthesizer (DASH/live-capture
+    * shape): mvhd duration 0, an mvex (with mehd when `mehdTicks` >=
+    * 0), and one `moof`+`mdat` pair per chunk — mfhd sequence, traf
+    * with tfhd (carrying default_sample_duration when
+    * `perSampleDurations` is off) and trun (per-sample durations when
+    * on). The same coded bytes split across fragment mdats in file
+    * order, so [[ContainerCodec.mp4PayloadFp]] must pair a progressive
+    * file with its fragmented re-mux — the re-wrap class
+    * `videoPayloadFp` exists for, in its DASH form.
+    */
+  def minimalFmp4(timescale: Int, width: Int, height: Int,
+      chunks: Seq[(Array[Byte], Seq[Int])],
+      mehdTicks: Long = -1L,
+      perSampleDurations: Boolean = true): Array[Byte] = {
+    require(timescale > 0 && chunks.nonEmpty,
+      s"minimalFmp4: timescale=$timescale chunks=${chunks.length}")
+    chunks.foreach { case (_, durs) =>
+      require(durs.nonEmpty && durs.forall(_ >= 0), "minimalFmp4: durations")
+      require(perSampleDurations || durs.distinct.length == 1,
+        "minimalFmp4: the tfhd-default form needs uniform durations")
+    }
+    val moov = mp4Moov(timescale, 0L, 1, width, height,
+      mdhdTimescale = timescale, mehdTicks = mehdTicks)
+    val frags = chunks.zipWithIndex.flatMap { case ((mdat, durs), i) =>
+      val mfhd = mp4Box("mfhd", java.nio.ByteBuffer.allocate(8)
+        .putInt(0).putInt(i + 1).array())
+      val tfhd = mp4Box("tfhd", {
+        val flags = if (perSampleDurations) 0 else 0x8
+        val bb = java.nio.ByteBuffer.allocate(8 + (if (flags == 0x8) 4 else 0))
+        bb.putInt(flags).putInt(1) // flags, track_ID
+        if (flags == 0x8) bb.putInt(durs.head)
+        bb.array()
+      })
+      val trun = mp4Box("trun", {
+        val flags = if (perSampleDurations) 0x100 else 0
+        val bb = java.nio.ByteBuffer.allocate(
+          8 + (if (perSampleDurations) 4 * durs.length else 0))
+        bb.putInt(flags).putInt(durs.length)
+        if (perSampleDurations) durs.foreach(bb.putInt)
+        bb.array()
+      })
+      mp4Box("moof", mfhd ++ mp4Box("traf", tfhd ++ trun)) ++
+        mp4Box("mdat", mdat)
+    }
+    mp4Ftyp ++ moov ++ frags.toArray
   }
 
   /** Deterministic minimal-WebM/Matroska synthesizer — the
@@ -2538,6 +3207,125 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One frame of the APNG encoder: `pixels` is fw·fh·channels
+    * interleaved 8-bit samples blitted at (x, y); delay is the
+    * num/den-second rational; `dispose` 0/1/2 = none/background/
+    * previous, `blend` 0/1 = source/over — the fcTL fields verbatim.
+    */
+  final case class ApngFrameSpec(
+      pixels: Array[Byte], fw: Int, fh: Int, x: Int = 0, y: Int = 0,
+      delayNum: Int = 0, delayDen: Int = 100,
+      dispose: Int = 0, blend: Int = 0)
+
+  /** Deterministic APNG encoder (the [[encodeGifAnimFrames]] analog on
+    * PNG's animation chunks): real acTL/fcTL/fdAT chunks with correct
+    * CRCs and consecutive sequence numbers, each frame its own zlib
+    * stream over filter-0 scanlines at the image's color type (8-bit
+    * gray/RGB/GA/RGBA). Without `defaultImage` the first frame IS the
+    * IDAT (its fcTL precedes IDAT — the common exporter layout); with
+    * it, the IDAT carries a default image hidden from the animation
+    * and every frame ships as fdAT. `splitFdat` splits each frame's
+    * stream over two fdAT chunks (sequence numbers still consecutive) —
+    * the multi-chunk delivery a reader must reassemble.
+    */
+  def encodeApng(w: Int, h: Int, colorType: Int,
+      frames: Seq[ApngFrameSpec],
+      defaultImage: Option[Array[Byte]] = None,
+      splitFdat: Boolean = false): Array[Byte] = {
+    val channels = ContainerCodec.pngChannelsOf(colorType)
+    require(channels > 0 && colorType != 3,
+      s"encodeApng: colorType $colorType (gray/RGB/GA/RGBA)")
+    require(frames.nonEmpty, "encodeApng: no frames")
+    frames.foreach { f =>
+      require(f.fw > 0 && f.fh > 0 && f.x >= 0 && f.y >= 0 &&
+        f.x + f.fw <= w && f.y + f.fh <= h &&
+        f.pixels.length == f.fw * f.fh * channels,
+        s"encodeApng: frame ${f.fw}x${f.fh}+${f.x}+${f.y} in ${w}x$h")
+      require(f.dispose >= 0 && f.dispose <= 2 && (f.blend & ~1) == 0 &&
+        f.delayNum >= 0 && f.delayNum <= 0xffff &&
+        f.delayDen >= 0 && f.delayDen <= 0xffff,
+        s"encodeApng: fcTL fields out of range")
+    }
+    defaultImage.foreach(d => require(d.length == w * h * channels,
+      s"encodeApng: default image needs $w*$h*$channels samples"))
+    require(defaultImage.isDefined ||
+      (frames.head.fw == w && frames.head.fh == h &&
+        frames.head.x == 0 && frames.head.y == 0),
+      "encodeApng: an IDAT-backed first frame must cover the canvas")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def be32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+      o.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte))
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      be32(out, payload.length)
+      val body = id.getBytes("US-ASCII") ++ payload
+      out.write(body)
+      val crc = new java.util.zip.CRC32; crc.update(body)
+      be32(out, crc.getValue)
+    }
+    def deflated(px: Array[Byte], fw: Int, fh: Int): Array[Byte] = {
+      val raw = new Array[Byte]((1 + fw * channels) * fh)
+      var y = 0
+      while (y < fh) { // filter 0 per row
+        System.arraycopy(px, y * fw * channels,
+          raw, y * (1 + fw * channels) + 1, fw * channels)
+        y += 1
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+      d.end()
+      z.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val actl = new java.io.ByteArrayOutputStream()
+    be32(actl, frames.length); be32(actl, 0) // num_frames, infinite plays
+    chunk("acTL", actl.toByteArray)
+    var seq = 0
+    def fctl(f: ApngFrameSpec): Unit = {
+      val p = new java.io.ByteArrayOutputStream()
+      be32(p, seq); seq += 1
+      be32(p, f.fw); be32(p, f.fh); be32(p, f.x); be32(p, f.y)
+      p.write((f.delayNum >> 8) & 0xff); p.write(f.delayNum & 0xff)
+      p.write((f.delayDen >> 8) & 0xff); p.write(f.delayDen & 0xff)
+      p.write(f.dispose); p.write(f.blend)
+      chunk("fcTL", p.toByteArray)
+    }
+    def fdat(z: Array[Byte]): Unit = {
+      val parts =
+        if (splitFdat && z.length >= 2)
+          Seq(z.take(z.length / 2), z.drop(z.length / 2))
+        else Seq(z)
+      parts.foreach { part =>
+        val p = new java.io.ByteArrayOutputStream()
+        be32(p, seq); seq += 1
+        p.write(part)
+        chunk("fdAT", p.toByteArray)
+      }
+    }
+    defaultImage match {
+      case Some(d) => // hidden default image; all frames are fdAT
+        chunk("IDAT", deflated(d, w, h))
+        frames.foreach { f => fctl(f); fdat(deflated(f.pixels, f.fw, f.fh)) }
+      case None => // the first frame IS the IDAT
+        fctl(frames.head)
+        chunk("IDAT", deflated(frames.head.pixels, w, h))
+        frames.tail.foreach { f =>
+          fctl(f); fdat(deflated(f.pixels, f.fw, f.fh))
+        }
+    }
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** Grayscale PNG with a HAND-WRITTEN stored-deflate zlib stream
     * (filter 0, one stored block): a fully valid PNG the real
     * inflate+unfilter decode path consumes, whose plane bytes ALSO sit
@@ -2607,7 +3395,7 @@ object Multimodal {
   def encodeGif(w: Int, h: Int, indices: Array[Byte], palette: Array[Byte],
       interlace: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    gifHeaderTo(out, w, h, palette, indices)
+    gifHeaderTo(out, w, h, palette)
     gifFrameTo(out, w, h, indices, palette, interlace)
     out.write(0x3b) // trailer
     out.toByteArray
@@ -2622,25 +3410,62 @@ object Multimodal {
       palette: Array[Byte], delaysCs: Seq[Int]): Array[Byte] = {
     require(frames.nonEmpty && frames.length == delaysCs.length,
       s"encodeGifAnim: ${frames.length} frames, ${delaysCs.length} delays")
+    encodeGifAnimFrames(w, h,
+      frames.zip(delaysCs).map { case (f, d) =>
+        GifFrameSpec(f, w, h, delayCs = d)
+      }, palette)
+  }
+
+  /** One frame of the positioned/delta GIF encoder: `indices` is a
+    * fw×fh region blitted at (left, top) on the logical screen;
+    * `disposal` is the GCE disposal method (0/1 keep, 2 restore
+    * background, 3 restore previous); `transparent` an optional
+    * transparent palette index (-1 = none).
+    */
+  final case class GifFrameSpec(
+      indices: Array[Byte], fw: Int, fh: Int,
+      left: Int = 0, top: Int = 0, delayCs: Int = 0,
+      disposal: Int = 0, transparent: Int = -1)
+
+  /** The general multi-frame GIF89a encoder: positioned region frames
+    * with per-frame disposal and transparency — the DELTA-encoDING a
+    * real optimizer emits (only the changed region ships, unchanged
+    * pixels are transparent or outside the region). The compositing
+    * gates synthesize delta-encoded and full-frame encodings of the
+    * SAME animation with it and hold the landmark hashes to invariance.
+    */
+  def encodeGifAnimFrames(w: Int, h: Int, frames: Seq[GifFrameSpec],
+      palette: Array[Byte]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGifAnimFrames: no frames")
     val out = new java.io.ByteArrayOutputStream()
-    gifHeaderTo(out, w, h, palette, frames.head)
-    frames.zip(delaysCs).foreach { case (f, d) =>
-      require(d >= 0 && d <= 0xffff, s"encodeGifAnim: delay $d")
-      // GCE: introducer, label, block size 4, packed 0, delay LE, no
-      // transparency, terminator
-      out.write(0x21); out.write(0xf9); out.write(4); out.write(0)
-      out.write(d & 0xff); out.write((d >> 8) & 0xff)
-      out.write(0); out.write(0)
-      gifFrameTo(out, w, h, f, palette, interlace = false)
+    gifHeaderTo(out, w, h, palette)
+    frames.foreach { f =>
+      require(f.delayCs >= 0 && f.delayCs <= 0xffff,
+        s"encodeGifAnimFrames: delay ${f.delayCs}")
+      require(f.disposal >= 0 && f.disposal <= 3,
+        s"encodeGifAnimFrames: disposal ${f.disposal}")
+      require(f.left >= 0 && f.top >= 0 && f.fw > 0 && f.fh > 0 &&
+        f.left + f.fw <= w && f.top + f.fh <= h,
+        s"encodeGifAnimFrames: region ${f.fw}x${f.fh}+${f.left}+${f.top} " +
+          s"outside ${w}x$h")
+      require(f.transparent >= -1 && f.transparent < palette.length / 3,
+        s"encodeGifAnimFrames: transparent index ${f.transparent}")
+      // GCE: introducer, label, block size 4, packed (disposal +
+      // transparency flag), delay LE, transparent index, terminator
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+      out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
+      out.write(math.max(0, f.transparent)); out.write(0)
+      gifFrameTo(out, f.fw, f.fh, f.indices, palette, interlace = false,
+        left = f.left, top = f.top)
     }
     out.write(0x3b)
     out.toByteArray
   }
 
   private def gifHeaderTo(out: java.io.ByteArrayOutputStream, w: Int,
-      h: Int, palette: Array[Byte], indices: Array[Byte]): Unit = {
-    require(w > 0 && h > 0 && indices.length == w * h,
-      s"encodeGif: need $w*$h indices")
+      h: Int, palette: Array[Byte]): Unit = {
+    require(w > 0 && h > 0, s"encodeGif: screen ${w}x$h")
     val nColors = palette.length / 3
     require(palette.length % 3 == 0 && Integer.bitCount(nColors) == 1 &&
       nColors >= 2 && nColors <= 256,
@@ -2656,12 +3481,12 @@ object Multimodal {
 
   private def gifFrameTo(out: java.io.ByteArrayOutputStream, w: Int,
       h: Int, indices: Array[Byte], palette: Array[Byte],
-      interlace: Boolean): Unit = {
+      interlace: Boolean, left: Int = 0, top: Int = 0): Unit = {
     val nColors = palette.length / 3
     require(indices.length == w * h && indices.forall(i => (i & 0xff) < nColors),
       "encodeGif: frame indices out of palette/geometry range")
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    out.write(0x2c); le16(0); le16(0); le16(w); le16(h) // full-frame image
+    out.write(0x2c); le16(left); le16(top); le16(w); le16(h)
     out.write(if (interlace) 0x40 else 0)
     // the row order the stream carries (interlace = the four GIF passes)
     val rows: Seq[Int] =
@@ -2977,6 +3802,78 @@ object Multimodal {
     out
   }
 
+  /** One frame of the animated-WebP encoder: packed ARGB pixels (what
+    * [[Vp8l.encode]] consumes — alpha included) blitted at (x, y),
+    * which must be EVEN (ANMF stores positions halved); `durationMs`
+    * the exact 24-bit millisecond field; `disposeBg`/`blendOver` the
+    * ANMF flag bits.
+    */
+  final case class WebpFrameSpec(
+      argb: Array[Int], fw: Int, fh: Int, x: Int = 0, y: Int = 0,
+      durationMs: Int = 0, disposeBg: Boolean = false,
+      blendOver: Boolean = false)
+
+  /** Deterministic animated-WebP encoder (the [[encodeGifAnimFrames]]
+    * analog on RIFF): VP8X with the animation flag and minus-one
+    * canvas fields, an ANIM chunk, and one ANMF per frame — halved
+    * positions, minus-one sizes, 24-bit millisecond durations, the
+    * dispose/blend flag byte, and a REAL lossless VP8L payload per
+    * frame through [[Vp8l.encode]].
+    */
+  def encodeWebpAnim(w: Int, h: Int,
+      frames: Seq[WebpFrameSpec]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeWebpAnim: no frames")
+    require(w > 0 && h > 0 && w <= 0x1000000 && h <= 0x1000000,
+      s"encodeWebpAnim: canvas ${w}x$h")
+    frames.foreach { f =>
+      require(f.fw > 0 && f.fh > 0 && f.x >= 0 && f.y >= 0 &&
+        f.x % 2 == 0 && f.y % 2 == 0 &&
+        f.x + f.fw <= w && f.y + f.fh <= h &&
+        f.argb.length == f.fw * f.fh,
+        s"encodeWebpAnim: frame ${f.fw}x${f.fh}+${f.x}+${f.y} in ${w}x$h " +
+          "(positions must be even)")
+      require(f.durationMs >= 0 && f.durationMs < (1 << 24),
+        s"encodeWebpAnim: duration ${f.durationMs}")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le24(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le24(o, v); o.write((v >>> 24) & 0xff)
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      c.write(id.getBytes("US-ASCII")); le32(c, payload.length)
+      c.write(payload)
+      if ((payload.length & 1) == 1) c.write(0) // RIFF word alignment
+      c.toByteArray
+    }
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x02) // animation flag
+    vp8x.write(0); vp8x.write(0); vp8x.write(0) // reserved
+    le24(vp8x, w - 1); le24(vp8x, h - 1)
+    val animChunk = new java.io.ByteArrayOutputStream()
+    le32(animChunk, 0) // background color (unused: transparent black)
+    animChunk.write(0); animChunk.write(0) // loop count 0 = infinite
+    val anmfs = frames.map { f =>
+      val p = new java.io.ByteArrayOutputStream()
+      le24(p, f.x / 2); le24(p, f.y / 2)
+      le24(p, f.fw - 1); le24(p, f.fh - 1)
+      le24(p, f.durationMs)
+      p.write((if (f.blendOver) 0 else 0x02) | (if (f.disposeBg) 1 else 0))
+      p.write(chunk("VP8L", Vp8l.encode(f.argb, f.fw, f.fh)))
+      chunk("ANMF", p.toByteArray)
+    }
+    val body = chunk("VP8X", vp8x.toByteArray) ++
+      chunk("ANIM", animChunk.toByteArray) ++ anmfs.flatten
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 4 + body.length)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Sub-byte paletted BMP fixture encoder (4-bit 16-color / 1-bit
     * 2-color — the icon classics): indices pack MSB-first within each
     * byte per the BMP convention.
@@ -3116,8 +4013,83 @@ object Multimodal {
       : Array[Byte] = {
     require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff &&
       (jpeg(1) & 0xff) == 0xd8, "exifJpeg: not a JPEG")
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      exifTiff(orientation, make, model, takenAt, gps)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(payload)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  /** Insert a PNG `eXIf` chunk (bare-TIFF payload, correct CRC) right
+    * after IHDR — the phone/exporter PNG provenance carrier.
+    */
+  def exifPng(png: Array[Byte], orientation: Int, make: String,
+      model: String, takenAt: String,
+      gps: Option[(String, Int, Int, Int, String, Int, Int, Int)] = None)
+      : Array[Byte] = {
+    require(ContainerCodec.isPng(png) && png.length >= 33,
+      "exifPng: not a PNG")
+    val tiff = exifTiff(orientation, make, model, takenAt, gps)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 33) // signature + IHDR
+    def be32(v: Long): Unit =
+      out.write(Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte))
+    be32(tiff.length)
+    val body = "eXIf".getBytes("US-ASCII") ++ tiff
+    out.write(body)
+    val crc = new java.util.zip.CRC32; crc.update(body)
+    be32(crc.getValue)
+    out.write(png, 33, png.length - 33)
+    out.toByteArray
+  }
+
+  /** Append a WebP `EXIF` RIFF chunk (TIFF payload, optionally behind
+    * the JPEG-style "Exif\0\0" prefix — both forms ship in the wild)
+    * and patch the RIFF size — the phone/exporter WebP provenance
+    * carrier.
+    */
+  def exifWebp(webp: Array[Byte], orientation: Int, make: String,
+      model: String, takenAt: String,
+      gps: Option[(String, Int, Int, Int, String, Int, Int, Int)] = None,
+      exifPrefix: Boolean = false): Array[Byte] = {
+    require(ContainerCodec.isWebp(webp), "exifWebp: not a WebP")
+    val tiff0 = exifTiff(orientation, make, model, takenAt, gps)
+    val tiff =
+      if (exifPrefix)
+        "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff0
+      else tiff0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(webp, 0, webp.length)
+    out.write("EXIF".getBytes("US-ASCII"))
+    out.write(tiff.length & 0xff); out.write((tiff.length >> 8) & 0xff)
+    out.write((tiff.length >> 16) & 0xff); out.write((tiff.length >> 24) & 0xff)
+    out.write(tiff, 0, tiff.length)
+    if ((tiff.length & 1) == 1) out.write(0) // RIFF word alignment
+    val bytes = out.toByteArray
+    val riffSz = bytes.length - 8
+    bytes(4) = (riffSz & 0xff).toByte
+    bytes(5) = ((riffSz >> 8) & 0xff).toByte
+    bytes(6) = ((riffSz >> 16) & 0xff).toByte
+    bytes(7) = ((riffSz >> 24) & 0xff).toByte
+    bytes
+  }
+
+  /** The little-endian TIFF EXIF blob the three wrappers above embed:
+    * IFD0 Make/Model/Orientation + an ExifIFD with DateTimeOriginal,
+    * plus a GPS IFD when `gps` carries d/m/s components.
+    */
+  private def exifTiff(orientation: Int, make: String,
+      model: String, takenAt: String,
+      gps: Option[(String, Int, Int, Int, String, Int, Int, Int)])
+      : Array[Byte] = {
     require(Seq(make, model, takenAt).forall(_.length >= 4),
-      "exifJpeg: strings must be >= 4 chars (external-offset form)")
+      "exifTiff: strings must be >= 4 chars (external-offset form)")
     val mk = make.getBytes("US-ASCII") :+ 0.toByte
     val md = model.getBytes("US-ASCII") :+ 0.toByte
     val dt = takenAt.getBytes("US-ASCII") :+ 0.toByte
@@ -3165,16 +4137,7 @@ object Multimodal {
       }
     }
     tiff.put(mk).put(md).put(dt)
-    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
-      tiff.array()
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(0xff); out.write(0xd8) // SOI
-    out.write(0xff); out.write(0xe1) // APP1
-    val len = payload.length + 2
-    out.write((len >> 8) & 0xff); out.write(len & 0xff)
-    out.write(payload)
-    out.write(jpeg, 2, jpeg.length - 2)
-    out.toByteArray
+    tiff.array()
   }
 
   /** Corpus-level decode-coverage rollup: row counts per (format,
@@ -3403,6 +4366,66 @@ object Multimodal {
         graft.functions.DHashPixels.computeGrid(r270, h, w))
     }
 
+  /** Gray plane re-mapped to its UPRIGHT (display) form per the EXIF
+    * orientation tag 1-8 — identity, horizontal/vertical mirror, 180°,
+    * transpose, 90° cw, transverse, 270° cw. Returns (plane, w, h) of
+    * the upright image. Unknown values read as 1 (identity) — the
+    * spec's default.
+    */
+  private[graft] def uprightPlane(px: Array[Byte], w: Int, h: Int,
+      orientation: Int): (Array[Byte], Int, Int) = {
+    if (orientation <= 1 || orientation > 8) return (px, w, h)
+    val swap = orientation >= 5 // 5-8 transpose the axes
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](px.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // source pixel whose DISPLAY position is (x, y)
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)         // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // 180°
+          case 4 => (x, h - 1 - y)         // mirror vertical
+          case 5 => (y, x)                 // transpose
+          case 6 => (y, h - 1 - x)         // 90° cw to display
+          case 7 => (w - 1 - y, h - 1 - x) // transverse
+          case _ => (w - 1 - y, x)         // 8: 270° cw to display
+        }
+        out(y * ow + x) = px(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (out, ow, oh)
+  }
+
+  /** The EXIF-orientation-NORMALIZED perceptual hash: the decoded gray
+    * plane is re-mapped to its upright form per the payload's own EXIF
+    * orientation tag (JPEG APP1, PNG eXIf, WebP EXIF — see
+    * [[ContainerCodec.exifOf]]) before the dHash grid, so a rotated
+    * re-save that CARRIES its rotation in metadata hashes like its
+    * upright source. Payloads with no EXIF (or orientation 1) hash
+    * exactly like [[dHashPixels]]'s pixel regime; undecodable payloads
+    * keep the payload-byte fallback. This is the opt-in BATCH-cadence
+    * orientation lever (`IncrementalImageDedup.Params
+    * .normalizeOrientation`) — the serve-side lever is
+    * [[graft.ext.ImageIndex.topKOriented]], and the DEFAULT store
+    * stays metadata-free by the COVERAGE round-11 argument (a
+    * stripped-metadata copy must keep matching its source; the regime
+    * marker keeps the two hash populations from silently mixing).
+    */
+  private[graft] def exifNormalizedSh(b: Array[Byte], w: Int,
+      h: Int): Option[Long] =
+    ContainerCodec.grayPlane(b) match {
+      case Some((px, pw, ph)) =>
+        val o = ContainerCodec.exifOf(b).flatMap(_._1).getOrElse(1)
+        val (up, uw, uh) = uprightPlane(px, pw, ph, o)
+        Some(graft.functions.DHashPixels.computeGrid(up, uw, uh))
+      case None =>
+        graft.functions.DHashPixels.computeExternal(b, w, h).map(_.sh)
+    }
+
   /** Animated-GIF frame table: (doc_id, frames, duration_cs) — the
     * container-exact animation surface (structural frame count, summed
     * GCE delays in centiseconds) as a queryable frame. Non-GIF and
@@ -3420,26 +4443,53 @@ object Multimodal {
       .toDF("doc_id", "frames", "duration_cs")
   }
 
+  /** Cross-container animation table: (doc_id, container, frames,
+    * duration_ms) over GIF, APNG, and animated WebP payloads — the
+    * [[gifAnimTable]] surface widened to every animation container the
+    * web ships, with durations in exact milliseconds (GIF cs × 10,
+    * APNG num·1000/den, WebP ANMF ms — see [[AnimSurface]]). GIF rows
+    * include single-frame files (its frame surface is total); PNG/WebP
+    * rows exist only where the animation chunks (acTL/ANMF) do — a
+    * static file has no animation surface to report. One
+    * partition-parallel map, no shuffle.
+    */
+  def animTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        ContainerCodec.animFrames(b, maxHashFrames = 0)
+          .map { case (c, a) => (id, c, a.frameCount, a.durationMs) }
+      })
+      .toDF("doc_id", "container", "frames", "duration_ms")
+  }
+
   /** Duplicate ANIMATION pairs by shared frame hashes — the landmark
-    * model ([[AudioFingerprint]]) applied to GIF frames: each decoded
-    * frame's closed-form grid hash is one landmark, and two cuts pair
+    * model ([[AudioFingerprint]]) applied to animation frames across
+    * ALL THREE containers (GIF, APNG, animated WebP): each frame's
+    * composited-canvas grid hash is one landmark, and two cuts pair
     * when they share at least `minSharedFrames` of them. This is what
     * the single first-frame key cannot do: a re-encode that DROPS or
     * prepends an intro frame still shares every remaining frame with
-    * the original. Same bucket-pair shape as every exact-key dedup
-    * (groupBy hash, map-side combinable, `maxBucket` hub cap — a
-    * constant-color frame shared by thousands of animations identifies
-    * nothing). Returns (id_a, id_b, shared), id_a < id_b.
+    * the original — and because all three containers hash the same
+    * canvas model, the same animation pairs ACROSS containers (a GIF
+    * sticker and its APNG/WebP re-encode) and across delta-vs-full
+    * frame encodings (the compositing contract at
+    * [[ContainerCodec.gifFrames]]). Same bucket-pair shape as every
+    * exact-key dedup (groupBy hash, map-side combinable, `maxBucket`
+    * hub cap — a constant-color frame shared by thousands of
+    * animations identifies nothing). Returns (id_a, id_b, shared),
+    * id_a < id_b.
     */
-  def gifAnimDups(spark: SparkSession, media: DataFrame,
+  def animDups(spark: SparkSession, media: DataFrame,
       minSharedFrames: Int = 2, maxBucket: Int = 2000,
       maxHashFrames: Int = 64): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        ContainerCodec.gifFrames(b, maxHashFrames)
-          .toSeq.flatMap(_.frameHashes.distinct.map(fh => (id, fh)))
+        ContainerCodec.animFrames(b, maxHashFrames)
+          .toSeq.flatMap(_._2.frameHashes.distinct.map(fh => (id, fh)))
       })
       .toDF("doc_id", "fh")
       .groupBy("fh")

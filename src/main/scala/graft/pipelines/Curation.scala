@@ -82,6 +82,11 @@ object Curation {
       mediaCols: Option[(String, String, String)] = None,
       imageMaxHamming: Int = 6,
       imageStorePath: Option[String] = None,
+      // opt-in: fold EXIF orientation into the image-stage signature
+      // (IncrementalImageDedup.Params.normalizeOrientation) so a
+      // rotated re-save carrying its rotation in metadata dedups
+      // against its stored upright source at batch cadence
+      imageNormalizeOrientation: Boolean = false,
       audioCol: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoCol: Option[String] = None,
@@ -148,7 +153,8 @@ object Curation {
         imageStorePath match {
           case Some(isp) =>
             val pairs = IncrementalImageDedup.ingest(spark, media, isp,
-              IncrementalImageDedup.Params(maxHamming = imageMaxHamming))
+              IncrementalImageDedup.Params(maxHamming = imageMaxHamming,
+                normalizeOrientation = imageNormalizeOrientation))
             TrainingSet.dropPairLosers(base, pairs, idCol)
           case None =>
             val keep = Dedup.componentsFromPairs(media.select("doc_id"),

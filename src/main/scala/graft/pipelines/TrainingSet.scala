@@ -192,6 +192,7 @@ object TrainingSet {
       mediaCols: Option[(String, String, String)] = None,
       imageStorePath: Option[String] = None,
       imageMaxHamming: Int = 6,
+      imageNormalizeOrientation: Boolean = false,
       audioCol: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoCol: Option[String] = None,
@@ -342,7 +343,8 @@ object TrainingSet {
           withMedia.select(col(idCol).as("doc_id"), col(mCol).as("media"),
             col(wCol).as("width"), col(hCol).as("height")),
           isp, graft.ext.IncrementalImageDedup.Params(
-            maxHamming = imageMaxHamming))
+            maxHamming = imageMaxHamming,
+            normalizeOrientation = imageNormalizeOrientation))
         dropPairLosers(embSurvivors, imgPairs, idCol).localCheckpoint(false)
       case (None, Some(_)) => sys.error(
         "TrainingSet.ingest: imageStorePath needs mediaCols = " +

@@ -1579,7 +1579,82 @@ object ExtQueries {
         (drop until 5).map(f => 6 + f))
       val rows = (0 until 6).map(k => (k.toLong, anim(k, 0))) ++
         Seq((100L, anim(0, 1)), (102L, anim(2, 1)))
-      Multimodal.gifAnimDups(s, rows.toDF("doc_id", "media"))
+      Multimodal.animDups(s, rows.toDF("doc_id", "media"))
+        .select("id_a", "id_b", "shared")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Cross-container ANIMATION surface, oracled: the same closed-form
+    // frame/duration formulas synthesized as real GIF89a (GCE delays,
+    // centiseconds), APNG (acTL/fcTL/fdAT, num/den rationals at
+    // den=100), and animated WebP (VP8X/ANIM/ANMF, exact milliseconds)
+    // — animTable must report each container's exact integers folded
+    // to milliseconds, plus one static GIF (1 frame, 0 ms) and NO rows
+    // for a static PNG/WebP (no acTL/ANMF = no animation surface).
+    "ext_image_anim" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      val W = 11; val H = 7
+      def frame(k: Int, f: Int) = Array.tabulate(W * H)(p =>
+        ((p * 29 + k * 13 + f * 41) % 251).toByte)
+      def n(k: Int) = 2 + k % 3
+      val gifs = (0 until 4).map { k =>
+        (k.toLong, Multimodal.encodeGifAnim(W, H,
+          (0 until n(k)).map(f => frame(k, f)), grayPal,
+          (0 until n(k)).map(f => 4 + (k * 5 + f) % 11)))
+      }
+      val apngs = (0 until 4).map { k =>
+        (100L + k, Multimodal.encodeApng(W, H, 0,
+          (0 until n(k)).map(f => Multimodal.ApngFrameSpec(
+            frame(k, f), W, H, delayNum = 2 + (k + f) % 5,
+            delayDen = 100))))
+      }
+      val webps = (0 until 4).map { k =>
+        (200L + k, Multimodal.encodeWebpAnim(W, H,
+          (0 until n(k)).map(f => Multimodal.WebpFrameSpec(
+            frame(k, f).map(v => 0xff000000 | ((v & 0xff) * 0x010101)),
+            W, H, durationMs = 7 + (k * 3 + f) % 13))))
+      }
+      val statics = Seq(
+        (900L, Multimodal.encodeGif(W, H, frame(9, 0), grayPal)),
+        (901L, Multimodal.encodePng(W, H, 0, frame(9, 1),
+          (0 until H).map(_ % 5))),
+        (902L, Multimodal.encodeWebpL(W, H, frame(9, 2))))
+      Multimodal.animTable(s,
+          (gifs ++ apngs ++ webps ++ statics).toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // Two-cut animation dedup ACROSS containers (oracled on PLANTED
+    // truth): three 5-frame animations, each shipped as the full GIF,
+    // an APNG cut with the intro frame dropped, and an animated-WebP
+    // cut with the intro dropped. All three containers hash the same
+    // composited-canvas landmark model, so a correct pairer pairs
+    // exactly {full-gif, apng-cut, webp-cut} per animation at
+    // shared=4 — dedup across BOTH the cut edit class AND the
+    // container re-encode class in one operator. The oracle is the
+    // closed-form pair list.
+    "ext_image_anim_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      val W = 13; val H = 9
+      def frame(k: Int, f: Int) = Array.tabulate(W * H)(p =>
+        ((p * 31 + k * 7 + f * 53) % 251).toByte)
+      val rows = (0 until 3).flatMap { k =>
+        Seq(
+          (k.toLong, Multimodal.encodeGifAnim(W, H,
+            (0 until 5).map(f => frame(k, f)), grayPal,
+            (0 until 5).map(f => 6 + f))),
+          (100L + k, Multimodal.encodeApng(W, H, 0,
+            (1 until 5).map(f => Multimodal.ApngFrameSpec(
+              frame(k, f), W, H, delayNum = 6 + f, delayDen = 100)))),
+          (200L + k, Multimodal.encodeWebpAnim(W, H,
+            (1 until 5).map(f => Multimodal.WebpFrameSpec(
+              frame(k, f).map(v => 0xff000000 | ((v & 0xff) * 0x010101)),
+              W, H, durationMs = 60 + f * 10)))))
+      }
+      Multimodal.animDups(s, rows.toDF("doc_id", "media"),
+          minSharedFrames = 4)
         .select("id_a", "id_b", "shared")
         .orderBy("id_a", "id_b")
     }),
@@ -1587,10 +1662,11 @@ object ExtQueries {
     // Image PROVENANCE extraction, oracled: 12 JPEGs wrapped with real
     // EXIF APP1 segments (IFD0 Make/Model/Orientation + DateTimeOriginal
     // behind the ExifIFD pointer) whose fields derive from doc_id in
-    // closed form, plus one EXIF-less JPEG that must yield nulls. The
-    // oracle regenerates every field — the segment walk, the IFD
-    // arithmetic, the external-offset ASCII reads, and the nested-IFD
-    // hop are each one byte from failing the compare.
+    // closed form, plus one EXIF-less JPEG that must yield nulls — and
+    // the SAME closed-form fields carried through PNG's eXIf chunk
+    // (doc 200+) and WebP's EXIF RIFF chunk (doc 300+, alternating the
+    // optional Exif\0\0 prefix): the IFD walk is container-independent,
+    // so every envelope hop must land the identical row.
     "ext_image_exif" -> ((s, dir) => {
       import s.implicits._
       val plane = Array.tabulate(10 * 8)(p => ((p * 53) % 251).toByte)
@@ -1603,19 +1679,30 @@ object ExtQueries {
         javax.imageio.ImageIO.write(im, "jpg", out)
         out.toByteArray
       }
+      val basePng = Multimodal.encodePng(10, 8, 0, plane,
+        (0 until 8).map(_ % 5))
+      val baseWebp = Multimodal.encodeWebpL(10, 8, plane)
+      def orientOf(k: Int) = 1 + k % 8
+      def makeOf(k: Int) = s"maker${k % 5}"
+      def modelOf(k: Int) = f"cam_${k * 7 % 30}%02d"
+      def takenOf(k: Int) = f"2021:${k % 12 + 1}%02d:15 0${k % 9}:30:00"
+      // GPS on two of every three rows (the PII-screening surface):
+      // d/m/s rationals, hemisphere refs exercising both signs
+      def gpsOf(k: Int) =
+        if (k % 3 == 2) None
+        else Some((if (k % 2 == 0) "N" else "S",
+          10 + k, k * 5 % 60, k * 7 % 60,
+          if (k % 3 == 0) "E" else "W",
+          100 + k, k * 11 % 60, k * 13 % 60))
       val rows = (0 until 12).map { k =>
-        (k.toLong, Multimodal.exifJpeg(baseJpeg,
-          orientation = 1 + k % 8,
-          make = s"maker${k % 5}",
-          model = f"cam_${k * 7 % 30}%02d",
-          takenAt = f"2021:${k % 12 + 1}%02d:15 0${k % 9}:30:00",
-          // GPS on two of every three rows (the PII-screening surface):
-          // d/m/s rationals, hemisphere refs exercising both signs
-          gps = if (k % 3 == 2) None
-            else Some((if (k % 2 == 0) "N" else "S",
-              10 + k, k * 5 % 60, k * 7 % 60,
-              if (k % 3 == 0) "E" else "W",
-              100 + k, k * 11 % 60, k * 13 % 60))))
+        (k.toLong, Multimodal.exifJpeg(baseJpeg, orientOf(k), makeOf(k),
+          modelOf(k), takenOf(k), gpsOf(k)))
+      } ++ (0 until 6).map { k =>
+        (200L + k, Multimodal.exifPng(basePng, orientOf(k), makeOf(k),
+          modelOf(k), takenOf(k), gpsOf(k)))
+      } ++ (0 until 6).map { k =>
+        (300L + k, Multimodal.exifWebp(baseWebp, orientOf(k), makeOf(k),
+          modelOf(k), takenOf(k), gpsOf(k), exifPrefix = k % 2 == 1))
       } :+ (99L, baseJpeg)
       Multimodal.exifTable(s, rows.toDF("doc_id", "media"))
         .toDF()
@@ -1750,14 +1837,17 @@ object ExtQueries {
       import s.implicits._
       def txt(k: Int) = (0 until 30)
         .map(i => s"u${k}w${(k * 31 + i * 7) % 911}t$i").mkString(" ")
-      val corpus = (0 until 40).map(k => (k.toLong, txt(k)))
-        .toDF("doc_id", "text")
+      val corpusRows = (0 until 40).map(k => (k.toLong, txt(k)))
+      val corpus = corpusRows.toDF("doc_id", "text")
       val probes = ((0 until 8).map(k => (500L + k, txt(k))) :+
         (900L, txt(77))).toDF("doc_id", "text")
       // build-once cache (the imageIndexPath discipline): the corpus is
-      // synthesized, so the cache key is the fixture-formula VERSION —
-      // bump it whenever txt()/the doc count changes
-      val path = s"${sys.props("java.io.tmpdir")}/graft_textidx/v1_n40_h7"
+      // synthesized, so the cache key is a fingerprint of what the
+      // fixture formula PRODUCED — a formula change invalidates it
+      // with no version string to remember to bump
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidx/h7_" +
+        fixtureFp(corpusRows.map { case (id, t) =>
+          (id, t.getBytes("UTF-8")) })
       if (!graft.ext.SimhashIndex.exists(s, path))
         graft.ext.SimhashIndex.build(corpus, "doc_id", "text", path,
           maxHamming = 7)
@@ -1802,13 +1892,15 @@ object ExtQueries {
       def img(seed: Int) = Multimodal.storedGrayPng(plane(seed), 24, 16)
       val p3r90 = rotCw(plane(3), 24, 16) // 16×24
       val p7r270 = rotCw(rotCw(rotCw(plane(7), 24, 16), 16, 24), 24, 16)
-      val corpus = ((0 until 30).map(se => (se.toLong, img(se))) ++ Seq(
+      val corpusRows = (0 until 30).map(se => (se.toLong, img(se))) ++ Seq(
         (5000L, Multimodal.storedGrayPng(p3r90, 16, 24)),
-        (5001L, Multimodal.storedGrayPng(p7r270, 16, 24))))
+        (5001L, Multimodal.storedGrayPng(p7r270, 16, 24)))
+      val corpus = corpusRows
         .toDF("doc_id", "media")
         .withColumn("width", lit(0)).withColumn("height", lit(0))
-      val path =
-        s"${sys.props("java.io.tmpdir")}/graft_imgidx_oriented/v1_n30"
+      // cache keyed by the fixture CONTENT (fixtureFp discipline)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_imgidx_oriented/" +
+        fixtureFp(corpusRows)
       if (!graft.ext.ImageIndex.exists(s, path))
         graft.ext.ImageIndex.build(corpus, path, maxHamming = 7)
       val probes = Seq((3L, img(3)), (7L, img(7))).toDF("doc_id", "media")
@@ -1866,14 +1958,14 @@ object ExtQueries {
       import s.implicits._
       def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
         (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
-      val corpus = (0 until 20).map(k => (k.toLong, rec(k, 0.5)))
-        .toDF("doc_id", "media")
+      val corpusRows = (0 until 20).map(k => (k.toLong, rec(k, 0.5)))
+      val corpus = corpusRows.toDF("doc_id", "media")
       val probes = (0 until 10).map(k => (500L + k, rec(k, 0.25)))
         .toDF("doc_id", "media")
-      // build-once cache (the imageIndexPath/textidx discipline): the
-      // corpus is synthesized, so the cache key is the fixture-formula
-      // VERSION — bump it whenever rec()/the doc count changes
-      val path = s"${sys.props("java.io.tmpdir")}/graft_audioidx/v1_n20"
+      // build-once cache keyed by the fixture CONTENT (fixtureFp
+      // discipline — no version string to remember to bump)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_audioidx/" +
+        fixtureFp(corpusRows)
       if (!graft.ext.AudioIndex.exists(s, path))
         graft.ext.AudioIndex.build(s, corpus, path)
       graft.ext.AudioIndex.topK(s, path, probes, k = 1)
@@ -1938,8 +2030,21 @@ object ExtQueries {
           blockGroups = k % 2 == 0, xiphLacePairs = k % 2 == 1,
           voidPad = 17 + k, title = s"rewrapped $k",
           docType = if (k == 3) "matroska" else "webm")))
+      // FRAGMENTED re-muxes (the DASH/live-capture re-wrap): the same
+      // coded bytes split across three moof/mdat fragments, mehd and
+      // per-sample/default-duration trun forms alternating
+      val fragmented = (0 until 4).map { k =>
+        val p = payload(k)
+        val cut1 = p.length / 3; val cut2 = 2 * p.length / 3
+        val chunks = Seq(p.slice(0, cut1), p.slice(cut1, cut2),
+          p.slice(cut2, p.length))
+        (400L + k, Multimodal.minimalFmp4(600, 320 + k, 240 + k,
+          chunks.map(c => (c, Seq.fill(4)(25 + k))),
+          mehdTicks = if (k % 2 == 0) 1200L + k * 60 else -1L,
+          perSampleDurations = k != 1))
+      }
       Multimodal.videoRemuxDups(
-          (originals ++ remuxed ++ webOrig ++ webRewrap)
+          (originals ++ remuxed ++ webOrig ++ webRewrap ++ fragmented)
             .toDF("doc_id", "media"))
         .orderBy("id_a", "id_b")
     }),
@@ -2451,6 +2556,27 @@ object ExtQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
+  }
+
+  /** Content fingerprint of a SYNTHESIZED fixture corpus (ids +
+    * payload bytes, FNV-1a) — the [[indexPath]] staleness discipline
+    * applied to in-memory fixtures: the cache path derives from what
+    * the fixture formula actually PRODUCED, so a formula change
+    * invalidates the cached index with no hand-bumped version string
+    * to forget (a forgotten bump would surface as a stale-index hash
+    * mismatch in CORRECTNESS that looks like an engine bug).
+    */
+  private def fixtureFp(rows: Seq[(Long, Array[Byte])]): String = {
+    var h = 0xcbf29ce484222325L
+    def mixByte(v: Int): Unit = { h ^= v & 0xffL; h *= 0x100000001b3L }
+    def mixLong(x: Long): Unit =
+      (0 until 8).foreach(i => mixByte((x >>> (8 * i)).toInt))
+    rows.foreach { case (id, b) =>
+      mixLong(id); mixLong(b.length.toLong)
+      var i = 0
+      while (i < b.length) { mixByte(b(i)); i += 1 }
+    }
+    java.lang.Long.toHexString(h)
   }
 
   /** Home of the persisted Hamming image index — same fingerprint
@@ -3536,9 +3662,18 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
+    // per payload k: progressive original (k), faststart-reversed
+    // remux (100+k, k<6), fragmented DASH remux (400+k, k<4) — the
+    // shared-fp group expands to all pairs; WebM rewraps pair 200/300
     "ext_video_remux_pairs" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 6)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT), CAST(k + 400 AS BIGINT)
+        |FROM UNNEST(range(0, 4)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k + 100 AS BIGINT), CAST(k + 400 AS BIGINT)
+        |FROM UNNEST(range(0, 4)) AS t(k)
         |UNION ALL
         |SELECT CAST(k + 200 AS BIGINT), CAST(k + 300 AS BIGINT)
         |FROM UNNEST(range(0, 4)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
@@ -3575,6 +3710,46 @@ object ExtQueries {
         |UNION ALL
         |SELECT 99, 1, 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the cross-container animation surface: exact container integers
+    // folded to milliseconds per the documented conventions (GIF
+    // centiseconds × 10, APNG num·1000/den at den=100, WebP ANMF ms)
+    "ext_image_anim" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id, 'gif' AS container,
+        |  CAST(2 + k % 3 AS INT) AS frames,
+        |  CAST(SUM(4 + (k * 5 + f) % 11) * 10 AS BIGINT) AS duration_ms
+        |FROM UNNEST(range(0, 4)) AS t(k),
+        |  LATERAL UNNEST(range(0, 2 + k % 3)) AS u(f)
+        |GROUP BY k
+        |UNION ALL
+        |SELECT CAST(k + 100 AS BIGINT), 'apng', CAST(2 + k % 3 AS INT),
+        |  CAST(SUM(2 + (k + f) % 5) * 10 AS BIGINT)
+        |FROM UNNEST(range(0, 4)) AS t(k),
+        |  LATERAL UNNEST(range(0, 2 + k % 3)) AS u(f)
+        |GROUP BY k
+        |UNION ALL
+        |SELECT CAST(k + 200 AS BIGINT), 'webp', CAST(2 + k % 3 AS INT),
+        |  CAST(SUM(7 + (k * 3 + f) % 13) AS BIGINT)
+        |FROM UNNEST(range(0, 4)) AS t(k),
+        |  LATERAL UNNEST(range(0, 2 + k % 3)) AS u(f)
+        |GROUP BY k
+        |UNION ALL
+        |SELECT 900, 'gif', 1, 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // planted truth: each animation's {gif full, apng cut, webp cut}
+    // triple pairs pairwise at the 4 shared post-intro frames
+    "ext_image_anim_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b,
+        |  CAST(4 AS BIGINT) AS shared
+        |FROM UNNEST(range(0, 3)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT), CAST(k + 200 AS BIGINT), 4
+        |FROM UNNEST(range(0, 3)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k + 100 AS BIGINT), CAST(k + 200 AS BIGINT), 4
+        |FROM UNNEST(range(0, 3)) AS t(k)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // one plane per doc from the closed-form formula; the SAME hash
     // emitted for all six TIFF encodings of it
@@ -3620,23 +3795,33 @@ object ExtQueries {
         |          ('strips')) AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
 
-    // closed-form EXIF fields per doc, one null row for the EXIF-less
-    // JPEG
+    // closed-form EXIF fields per doc — the same formulas through the
+    // JPEG APP1 (doc k), PNG eXIf (doc 200+k), and WebP EXIF chunk
+    // (doc 300+k) envelopes — plus one null row for the EXIF-less JPEG
     "ext_image_exif" ->
-      """SELECT CAST(k AS BIGINT) AS doc_id,
-        |  CAST(1 + k % 8 AS INT) AS orientation,
-        |  'maker' || CAST(k % 5 AS VARCHAR) AS make,
-        |  printf('cam_%02d', k * 7 % 30) AS model,
-        |  printf('2021:%02d:15 0%d:30:00', k % 12 + 1, k % 9) AS taken_at,
-        |  CASE WHEN k % 3 = 2 THEN NULL ELSE
-        |    round((CASE WHEN k % 2 = 0 THEN 1 ELSE -1 END) *
-        |      (10 + k + (k * 5 % 60) / 60.0 + (k * 7 % 60) / 3600.0), 6)
-        |  END AS lat,
-        |  CASE WHEN k % 3 = 2 THEN NULL ELSE
-        |    round((CASE WHEN k % 3 = 0 THEN 1 ELSE -1 END) *
-        |      (100 + k + (k * 11 % 60) / 60.0 + (k * 13 % 60) / 3600.0), 6)
-        |  END AS lon
-        |FROM UNNEST(range(0, 12)) AS t(k)
+      """WITH fields AS (
+        |  SELECT k,
+        |    CAST(1 + k % 8 AS INT) AS orientation,
+        |    'maker' || CAST(k % 5 AS VARCHAR) AS make,
+        |    printf('cam_%02d', k * 7 % 30) AS model,
+        |    printf('2021:%02d:15 0%d:30:00', k % 12 + 1, k % 9) AS taken_at,
+        |    CASE WHEN k % 3 = 2 THEN NULL ELSE
+        |      round((CASE WHEN k % 2 = 0 THEN 1 ELSE -1 END) *
+        |        (10 + k + (k * 5 % 60) / 60.0 + (k * 7 % 60) / 3600.0), 6)
+        |    END AS lat,
+        |    CASE WHEN k % 3 = 2 THEN NULL ELSE
+        |      round((CASE WHEN k % 3 = 0 THEN 1 ELSE -1 END) *
+        |        (100 + k + (k * 11 % 60) / 60.0 + (k * 13 % 60) / 3600.0), 6)
+        |    END AS lon
+        |  FROM UNNEST(range(0, 12)) AS t(k))
+        |SELECT CAST(k AS BIGINT) AS doc_id, orientation, make, model,
+        |  taken_at, lat, lon FROM fields
+        |UNION ALL
+        |SELECT CAST(k + 200 AS BIGINT), orientation, make, model,
+        |  taken_at, lat, lon FROM fields WHERE k < 6
+        |UNION ALL
+        |SELECT CAST(k + 300 AS BIGINT), orientation, make, model,
+        |  taken_at, lat, lon FROM fields WHERE k < 6
         |UNION ALL
         |SELECT 99, NULL, NULL, NULL, NULL, NULL, NULL
         |ORDER BY doc_id""".stripMargin,

@@ -141,6 +141,74 @@ class CurationSpec extends SparkSpec {
       s"run-2 recrawl must dedup against the STORE: $r2")
   }
 
+  test("media stage: EXIF-orientation normalization pairs a rotated re-save (opt-in)") {
+    import graft.ext.Multimodal
+    val W = 20; val H = 16
+    val upright = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      (((x * 13 + y * 7 + (x * y) % 5) * 3) % 251).toByte
+    }
+    // a camera/export that stored the image rotated 90° ccw and tagged
+    // orientation 6 ("rotate 90° cw to display") — the stored plane is
+    // H×W, the DISPLAYED picture is exactly `upright`
+    val stored = Array.tabulate(H * W) { i =>
+      val r = i / H; val c = i % H
+      upright(c * W + (W - 1 - r))
+    }
+    val rotatedResave = Multimodal.exifPng(
+      Multimodal.storedGrayPng(stored, H, W),
+      orientation = 6, make = "graftcam", model = "gx-500",
+      takenAt = "2026:02:03 04:05:06")
+    def docsOf(id: Long, text: String, media: Array[Byte]) =
+      Seq((id, (text + " ") * 8, "en", Some(media), 0, 0))
+        .toDF("doc_id", "text", "lang", "media", "width", "height")
+    val original = docsOf(1L, "telescopes resolved the crater rim under " +
+      "slanting winter light above the basalt plain",
+      Multimodal.storedGrayPng(upright, W, H))
+    val resave = docsOf(9L, "completely rewritten caption describing " +
+      "volcanic geology with none of the original words", rotatedResave)
+
+    // flag ON: the rotated re-save drops against the stored upright
+    // source CROSS-RUN — normalization folded the orientation into the
+    // signature at rest
+    val storeOn = tmpDir("cur_orient_on") + "/imgstore"
+    val r1 = Curation.run(spark, original, tmpDir("cur_or1") + "/c",
+      minQuality = 0.2, threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(storeOn), imageNormalizeOrientation = true)
+    assert(r1.afterImageDedup == 1, s"run 1 registers: $r1")
+    val r2 = Curation.run(spark, resave, tmpDir("cur_or2") + "/c",
+      minQuality = 0.2, threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(storeOn), imageNormalizeOrientation = true)
+    assert(r2.afterImageDedup == 0,
+      s"the rotated re-save must dedup against the upright source: $r2")
+
+    // flag OFF (fresh store): semantics unchanged — the rotated plane
+    // hashes differently and the re-save survives
+    val storeOff = tmpDir("cur_orient_off") + "/imgstore"
+    Curation.run(spark, original, tmpDir("cur_or3") + "/c",
+      minQuality = 0.2, threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(storeOff))
+    val r4 = Curation.run(spark, resave, tmpDir("cur_or4") + "/c",
+      minQuality = 0.2, threshold = 0.5, window = 20, stride = 15,
+      mediaCols = Some(("media", "width", "height")),
+      imageStorePath = Some(storeOff))
+    assert(r4.afterImageDedup == 1,
+      s"without the flag the store stays orientation-free: $r4")
+
+    // the two hash populations are separate REGIMES: probing the
+    // flag-on store without the flag fails loudly, never silently
+    val e = intercept[IllegalArgumentException] {
+      Curation.run(spark, resave, tmpDir("cur_or5") + "/c",
+        minQuality = 0.2, threshold = 0.5, window = 20, stride = 15,
+        mediaCols = Some(("media", "width", "height")),
+        imageStorePath = Some(storeOn))
+    }
+    assert(e.getMessage.contains("dhash_px_exif"), s"${e.getMessage}")
+  }
+
   test("audio stage: a re-mastered recording collapses docs with rewritten text") {
     import graft.ext.AudioFingerprint
     def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,

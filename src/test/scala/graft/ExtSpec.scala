@@ -819,7 +819,7 @@ class ExtSpec extends SparkSpec {
     // ...while the frame-landmark rule pairs them: 4 shared frame
     // hashes (every frame but the dropped intro)
     assert(a.frameHashes.toSet.intersect(b.frameHashes.toSet).size == 4)
-    val pairs = Multimodal.gifAnimDups(spark,
+    val pairs = Multimodal.animDups(spark,
         Seq((1L, cutA), (2L, cutB), (3L, other))
           .toDF("doc_id", "media"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -856,6 +856,308 @@ class ExtSpec extends SparkSpec {
       "tail-truncated GIF must keep its pixel regime")
     // ...while the frame SURFACE only counts complete frames
     assert(Multimodal.ContainerCodec.gifFrames(tailCut).isEmpty)
+  }
+
+  test("multimodal: GIF disposal compositing — delta re-encodes share landmarks") {
+    import spark.implicits._
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    val W = 16; val H = 10
+    def canvas(seed: Int) = Array.tabulate(W * H)(p =>
+      ((p * 29 + seed * 37 + 5) % 251).toByte)
+    // three presentation canvases: A, then A with a 5×4 patch changed
+    // at (6,3), then that with a 4×4 patch changed at (0,0)
+    val a = canvas(1)
+    val b = a.clone()
+    for (y <- 3 until 7; x <- 6 until 11)
+      b(y * W + x) = ((x * 7 + y * 13 + 100) % 251).toByte
+    val c = b.clone()
+    for (y <- 0 until 4; x <- 0 until 4)
+      c(y * W + x) = ((x * 11 + y * 3 + 60) % 251).toByte
+    def region(src: Array[Byte], l: Int, t: Int, fw: Int, fh: Int) =
+      Array.tabulate(fw * fh)(p => src((t + p / fw) * W + (l + p % fw)))
+    // the full-frame encoding ships every canvas whole...
+    val full = Multimodal.encodeGifAnim(W, H, Seq(a, b, c), pal, Seq(4, 5, 6))
+    // ...the delta encoding ships only the changed regions (disposal 0:
+    // the canvas persists) — byte-very-different files, same animation
+    val delta = Multimodal.encodeGifAnimFrames(W, H, Seq(
+      Multimodal.GifFrameSpec(a, W, H, delayCs = 4),
+      Multimodal.GifFrameSpec(region(b, 6, 3, 5, 4), 5, 4,
+        left = 6, top = 3, delayCs = 5),
+      Multimodal.GifFrameSpec(region(c, 0, 0, 4, 4), 4, 4, delayCs = 6)),
+      pal)
+    val fFull = Multimodal.ContainerCodec.gifFrames(full).get
+    val fDelta = Multimodal.ContainerCodec.gifFrames(delta).get
+    assert(fFull.frameCount == 3 && fDelta.frameCount == 3 &&
+      fFull.delayCs == 15 && fDelta.delayCs == 15, s"$fFull / $fDelta")
+    assert(fFull.frameHashes.toSeq == fDelta.frameHashes.toSeq,
+      "delta-encoded regions must composite to the full-frame landmarks")
+    // a TRANSPARENCY delta (full-geometry frame, unchanged pixels
+    // transparent) composites identically too
+    val transp = Multimodal.encodeGifAnimFrames(W, H, Seq(
+      Multimodal.GifFrameSpec(a, W, H, delayCs = 4),
+      Multimodal.GifFrameSpec(
+        Array.tabulate(W * H)(p => if (b(p) != a(p)) b(p) else 255.toByte),
+        W, H, delayCs = 5, transparent = 255),
+      Multimodal.GifFrameSpec(
+        Array.tabulate(W * H)(p => if (c(p) != b(p)) c(p) else 255.toByte),
+        W, H, delayCs = 6, transparent = 255)),
+      pal)
+    assert(Multimodal.ContainerCodec.gifFrames(transp).get
+      .frameHashes.toSeq == fFull.frameHashes.toSeq,
+      "transparency-delta frames must composite to the same landmarks")
+    // and the pair operator sees delta + full as one animation
+    val pairs = Multimodal.animDups(spark,
+        Seq((1L, full), (2L, delta), (3L, transp),
+          (4L, Multimodal.encodeGifAnim(W, H,
+            Seq(canvas(8), canvas(9)), pal, Seq(3, 3))))
+          .toDF("doc_id", "media"), minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L)), s"$pairs")
+
+    // disposal 2 (restore background): the frame's region clears to
+    // transparent black before the next frame — equal to a full-frame
+    // animation that paints that region black (gray palette entry 0)
+    val black = 0
+    val d2 = Multimodal.encodeGifAnimFrames(W, H, Seq(
+      Multimodal.GifFrameSpec(a, W, H, delayCs = 4, disposal = 2),
+      Multimodal.GifFrameSpec(region(b, 6, 3, 5, 4), 5, 4,
+        left = 6, top = 3, delayCs = 5)), pal)
+    val bg = a.map(_ => black.toByte)
+    for (y <- 3 until 7; x <- 6 until 11) bg(y * W + x) = b(y * W + x)
+    val d2Full = Multimodal.encodeGifAnim(W, H, Seq(a, bg), pal, Seq(4, 5))
+    assert(Multimodal.ContainerCodec.gifFrames(d2).get.frameHashes.toSeq ==
+      Multimodal.ContainerCodec.gifFrames(d2Full).get.frameHashes.toSeq,
+      "restore-background must clear the disposed region")
+
+    // disposal 3 (restore previous): the canvas reverts to its state
+    // before the disposing frame
+    val d3 = Multimodal.encodeGifAnimFrames(W, H, Seq(
+      Multimodal.GifFrameSpec(a, W, H, delayCs = 4),
+      Multimodal.GifFrameSpec(region(b, 6, 3, 5, 4), 5, 4,
+        left = 6, top = 3, delayCs = 5, disposal = 3),
+      Multimodal.GifFrameSpec(region(c, 0, 0, 4, 4), 4, 4, delayCs = 6)),
+      pal)
+    val aWithC = a.clone()
+    for (y <- 0 until 4; x <- 0 until 4) aWithC(y * W + x) = c(y * W + x)
+    val d3Full = Multimodal.encodeGifAnim(W, H, Seq(a, b, aWithC), pal,
+      Seq(4, 5, 6))
+    assert(Multimodal.ContainerCodec.gifFrames(d3).get.frameHashes.toSeq ==
+      Multimodal.ContainerCodec.gifFrames(d3Full).get.frameHashes.toSeq,
+      "restore-previous must revert the disposing frame")
+
+    // a structurally complete frame whose PIXELS are unrecoverable
+    // still COUNTS (the structural walk counts it — ADVICE r11: the
+    // two branches must agree on every input); the landmark walk ends
+    // there, and the trailing GCE delay still sums
+    val twoOk = Multimodal.encodeGifAnim(W, H, Seq(a, b), pal, Seq(4, 5))
+    val corrupt = new java.io.ByteArrayOutputStream()
+    corrupt.write(twoOk, 0, twoOk.length - 1) // strip the trailer
+    // GCE (delay 7) + descriptor + min-code byte 1 (invalid: LZW needs
+    // >= 2) + one data sub-block + terminator + trailer
+    corrupt.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 7, 0, 0, 0,
+      0x2c, 0, 0, 0, 0, 4, 0, 4, 0, 0, 1, 2, 9, 9, 0, 0x3b))
+    val fc = Multimodal.ContainerCodec.gifFrames(corrupt.toByteArray).get
+    val structural = Multimodal.ContainerCodec.gifFrames(
+      corrupt.toByteArray, maxHashFrames = 0).get
+    assert(fc.frameCount == 3 && structural.frameCount == 3 &&
+      fc.delayCs == 16 && structural.delayCs == 16,
+      s"hashed/structural counts must agree: $fc / $structural")
+    assert(fc.frameHashes.length == 2,
+      s"landmarks must end at the unrecoverable frame: $fc")
+  }
+
+  test("multimodal: fragmented MP4 — moof durations, progressive pairing") {
+    import spark.implicits._
+    val coded = Array.tabulate(300)(i => ((i * 13 + 5) % 251).toByte)
+    def chunksOf(p: Array[Byte]) = {
+      val c1 = p.length / 3; val c2 = 2 * p.length / 3
+      Seq(p.slice(0, c1), p.slice(c1, c2), p.slice(c2, p.length))
+    }
+    // mehd carries the muxer-known total (movie timescale)
+    val viaMehd = Multimodal.minimalFmp4(600, 320, 240,
+      chunksOf(coded).map(c => (c, Seq(100, 120, 130))),
+      mehdTicks = 1500L)
+    // no mehd: the per-sample trun durations sum on the mdhd clock
+    val viaTrun = Multimodal.minimalFmp4(600, 320, 240,
+      chunksOf(coded).map(c => (c, Seq(200, 300, 100))))
+    // no mehd, no per-sample durations: sample_count × the tfhd default
+    val viaDefault = Multimodal.minimalFmp4(600, 320, 240,
+      chunksOf(coded).map(c => (c, Seq.fill(4)(25))),
+      perSampleDurations = false)
+    val feats = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, viaMehd, "video/mp4", 0, 0),
+        Multimodal.MediaRow(2L, viaTrun, "video/mp4", 0, 0),
+        Multimodal.MediaRow(3L, viaDefault, "video/mp4", 0, 0)).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, dur) <- Seq((1L, 2.5f), (2L, 3.0f), (3L, 0.5f))) {
+      val f = feats(id)
+      assert(f.kind == "container" && f.feature.toSeq ==
+        Seq(dur, 1f, 320f, 240f), s"fmp4 $id: ${f.feature.toSeq}")
+    }
+    // the fragmentation is a RE-WRAP: the same coded bytes split over
+    // three fragment mdats must fingerprint like the progressive file
+    val progressive = Multimodal.minimalMp4(600, 1500, 1, 320, 240,
+      mdat = coded)
+    val fpP = Multimodal.ContainerCodec.videoPayloadFp(progressive)
+    assert(fpP.isDefined &&
+      Multimodal.ContainerCodec.videoPayloadFp(viaMehd) == fpP &&
+      Multimodal.ContainerCodec.videoPayloadFp(viaTrun) == fpP,
+      "a fragmented re-mux must keep the payload fingerprint")
+    assert(Multimodal.ContainerCodec.videoPayloadFp(
+        Multimodal.minimalFmp4(600, 320, 240,
+          chunksOf(coded.map(b => (b ^ 1).toByte))
+            .map(c => (c, Seq(100))))) != fpP,
+      "different coded bytes must not collide")
+    // a moof truncated mid-box degrades the row to byte-stats
+    val cut = viaTrun.take(viaTrun.length - 7)
+    val census = Multimodal.decodeCensus(spark, Seq(
+        Multimodal.MediaRow(1L, viaMehd, "video/mp4", 0, 0),
+        Multimodal.MediaRow(2L, cut, "video/mp4", 0, 0)).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(census == Map(("video/mp4", "container") -> 1L,
+      ("video/mp4", "byte-stats") -> 1L), s"census $census")
+  }
+
+  test("multimodal: APNG + animated WebP — frame surfaces pair across containers") {
+    import spark.implicits._
+    val W = 14; val H = 9
+    def plane(f: Int) = Array.tabulate(W * H)(p =>
+      ((p * 23 + f * 47 + 9) % 251).toByte)
+    val planes = (0 until 4).map(plane)
+    val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+
+    // the SAME four gray canvases in all three containers
+    val gif = Multimodal.encodeGifAnim(W, H, planes, grayPal,
+      Seq(4, 5, 6, 10)) // centiseconds
+    val apng = Multimodal.encodeApng(W, H, 0,
+      planes.zip(Seq((4, 100), (5, 100), (6, 100), (1, 10))).map {
+        case (px, (num, den)) =>
+          Multimodal.ApngFrameSpec(px, W, H, delayNum = num, delayDen = den)
+      })
+    val webp = Multimodal.encodeWebpAnim(W, H,
+      planes.zip(Seq(40, 50, 60, 100)).map { case (px, ms) =>
+        Multimodal.WebpFrameSpec(
+          px.map(v => 0xff000000 | ((v & 0xff) * 0x010101)), W, H,
+          durationMs = ms)
+      })
+
+    val g = Multimodal.ContainerCodec.animFrames(gif).get
+    val a = Multimodal.ContainerCodec.animFrames(apng).get
+    val w = Multimodal.ContainerCodec.animFrames(webp).get
+    assert(g._1 == "gif" && a._1 == "apng" && w._1 == "webp")
+    for ((n, s) <- Seq(("gif", g._2), ("apng", a._2), ("webp", w._2)))
+      assert(s.frameCount == 4 && s.durationMs == 250L &&
+        s.frameHashes.length == 4, s"$n: $s")
+    assert(g._2.frameHashes.toSeq == a._2.frameHashes.toSeq &&
+      a._2.frameHashes.toSeq == w._2.frameHashes.toSeq,
+      "the same canvases must land the same landmarks in every container")
+
+    // ...so the pair operator pairs the animation ACROSS containers
+    val pairs = Multimodal.animDups(spark,
+        Seq((1L, gif), (2L, apng), (3L, webp),
+          (10L, Multimodal.encodeGifAnim(W, H,
+            Seq(plane(7), plane(8)), grayPal, Seq(3, 3))))
+          .toDF("doc_id", "media"), minSharedFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)), s"$pairs")
+
+    // APNG delta regions, a hidden default image, and split fdAT all
+    // composite to the same landmarks (region x must stay even only
+    // for WebP; APNG is pixel-exact)
+    def apngRegion(src: Array[Byte], l: Int, t: Int, fw: Int, fh: Int) =
+      Array.tabulate(fw * fh)(p => src((t + p / fw) * W + (l + p % fw)))
+    val deltaFrames = Multimodal.ApngFrameSpec(planes(0), W, H,
+        delayNum = 4, delayDen = 100) +:
+      (1 until 4).map { f =>
+        // ship only the rows that changed (every row here, but as a
+        // narrower region: columns 2..11)
+        Multimodal.ApngFrameSpec(apngRegion(planes(f), 2, 1, 9, 7), 9, 7,
+          x = 2, y = 1, delayNum = Seq(0, 5, 6, 10)(f), delayDen = 100)
+      }
+    // delta frames repaint only a region — build the expected canvases
+    val deltaCanvases = deltaFrames.indices.map { i =>
+      val c = planes(0).clone()
+      for (j <- 1 to i; yy <- 1 until 8; xx <- 2 until 11)
+        c(yy * W + xx) = planes(j)(yy * W + xx)
+      c
+    }
+    val deltaApng = Multimodal.encodeApng(W, H, 0, deltaFrames)
+    val fullOfDelta = Multimodal.encodeGifAnim(W, H, deltaCanvases,
+      grayPal, Seq(4, 5, 6, 10))
+    assert(Multimodal.ContainerCodec.animFrames(deltaApng).get._2
+        .frameHashes.toSeq ==
+      Multimodal.ContainerCodec.animFrames(fullOfDelta).get._2
+        .frameHashes.toSeq,
+      "APNG delta regions must composite like the full-frame form")
+    val hidden = Multimodal.encodeApng(W, H, 0,
+      planes.map(Multimodal.ApngFrameSpec(_, W, H, delayNum = 2)),
+      defaultImage = Some(plane(9)), splitFdat = true)
+    val hs = Multimodal.ContainerCodec.apngFrames(hidden).get
+    assert(hs.frameCount == 4 &&
+      hs.frameHashes.toSeq == g._2.frameHashes.toSeq,
+      s"hidden default image / split fdAT must not move the landmarks: $hs")
+
+    // RGBA OVER blending: unchanged pixels ship transparent, the
+    // canvas underneath stands — equal to the SOURCE full-frame form
+    def rgba(px: Array[Byte]) = px.flatMap(v => Array(v, v, v, 255.toByte))
+    val overApng = Multimodal.encodeApng(W, H, 6, Seq(
+      Multimodal.ApngFrameSpec(rgba(planes(0)), W, H, delayNum = 4),
+      Multimodal.ApngFrameSpec(
+        Array.tabulate(W * H)(identity).flatMap { p =>
+          val v = planes(1)(p)
+          if (v == planes(0)(p)) Array[Byte](0, 0, 0, 0) // transparent
+          else Array[Byte](v, v, v, 255.toByte)
+        }, W, H, delayNum = 5, blend = 1)))
+    val sourceApng = Multimodal.encodeApng(W, H, 6, Seq(
+      Multimodal.ApngFrameSpec(rgba(planes(0)), W, H, delayNum = 4),
+      Multimodal.ApngFrameSpec(rgba(planes(1)), W, H, delayNum = 5)))
+    assert(Multimodal.ContainerCodec.apngFrames(overApng).get
+        .frameHashes.toSeq ==
+      Multimodal.ContainerCodec.apngFrames(sourceApng).get
+        .frameHashes.toSeq,
+      "OVER-blended transparent deltas must composite like SOURCE fulls")
+
+    // a lossy (VP8) frame is the codec boundary: it still counts, the
+    // landmark walk ends there — patch the LAST frame's VP8L tag
+    val lossyTail = webp.clone()
+    val lastL = lossyTail.lastIndexOfSlice("VP8L".getBytes("US-ASCII"))
+    lossyTail(lastL + 3) = ' '.toByte
+    val lt = Multimodal.ContainerCodec.webpAnimFrames(lossyTail).get
+    assert(lt.frameCount == 4 && lt.durationMs == 250L &&
+      lt.frameHashes.length == 3,
+      s"lossy frame must count but end the landmarks: $lt")
+
+    // feature rows carry the animation surface in both containers
+    val feats = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, apng, "image/png", 0, 0),
+        Multimodal.MediaRow(2L, webp, "image/webp", 0, 0)).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).kind == "pixels" && feats(1L).feature.length == 10 &&
+      feats(1L).feature(8) == 4f && feats(1L).feature(9) == 0.25f,
+      s"apng features ${feats(1L).feature.toSeq}")
+    assert(feats(2L).kind == "container" && feats(2L).feature.length == 6 &&
+      feats(2L).feature(4) == 4f && feats(2L).feature(5) == 0.25f,
+      s"webp anim features ${feats(2L).feature.toSeq}")
+
+    // the cross-container table reports exact integers
+    val table = Multimodal.animTable(spark,
+        Seq((1L, gif), (2L, apng), (3L, webp)).toDF("doc_id", "media"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(table == Set((1L, "gif", 4, 250L), (2L, "apng", 4, 250L),
+      (3L, "webp", 4, 250L)), s"$table")
+
+    // static payloads have no animation surface; truncation degrades
+    assert(Multimodal.ContainerCodec.apngFrames(
+      Multimodal.encodePng(W, H, 0, planes(0), (0 until H).map(_ => 0)))
+      .isEmpty, "a static PNG has no animation surface")
+    assert(Multimodal.ContainerCodec.webpAnimFrames(
+      Multimodal.encodeWebpL(W, H, planes(0))).isEmpty,
+      "a static WebP has no animation surface")
+    val cutApng = Multimodal.ContainerCodec.apngFrames(
+      apng.take(apng.length - 30))
+    assert(cutApng.forall(_.frameCount <= 4), s"$cutApng")
   }
 
   test("multimodal: WebM/MKV EBML walk — geometry, remux fingerprint, cross-container") {
@@ -998,6 +1300,49 @@ class ExtSpec extends SparkSpec {
       assert(rows(id).orientation.isEmpty && rows(id).make.isEmpty &&
         rows(id).taken_at.isEmpty && rows(id).lat.isEmpty,
         s"doc $id must be all-null: ${rows(id)}")
+
+    // PNG eXIf and WebP EXIF envelopes land the SAME fields — the IFD
+    // walk is container-independent, only the hop differs
+    val plane = Array.tabulate(6 * 4)(p => ((p * 19) % 251).toByte)
+    val png = Multimodal.exifPng(
+      Multimodal.encodePng(6, 4, 0, plane, (0 until 4).map(_ => 0)),
+      orientation = 8, make = "graftcam", model = "gx-200",
+      takenAt = "2023:01:02 03:04:05",
+      gps = Some(("N", 48, 51, 24, "E", 2, 21, 3)))
+    val webpPlain = Multimodal.exifWebp(Multimodal.encodeWebpL(6, 4, plane),
+      orientation = 3, make = "graftcam", model = "gx-300",
+      takenAt = "2024:05:06 07:08:09")
+    val webpPrefixed = Multimodal.exifWebp(
+      Multimodal.encodeWebpL(6, 4, plane),
+      orientation = 5, make = "graftcam", model = "gx-400",
+      takenAt = "2025:09:10 11:12:13", exifPrefix = true)
+    // the carriers must still decode as pictures (the chunks are
+    // transparent to the pixel path)
+    assert(Multimodal.ContainerCodec.grayPlane(png).exists(_._2 == 6))
+    assert(Multimodal.ContainerCodec.grayPlane(webpPlain).exists(_._2 == 6))
+    // a corrupted eXIf CRC is an invalid chunk: all-null, never garbage
+    val badCrc = png.clone()
+    val exifAt = badCrc.indexOfSlice("eXIf".getBytes("US-ASCII"))
+    badCrc(exifAt + 30) = (badCrc(exifAt + 30) ^ 0x41).toByte
+    val rows2 = Multimodal.exifTable(spark, Seq(
+        (1L, png), (2L, webpPlain), (3L, webpPrefixed), (4L, badCrc),
+        (5L, png.take(exifAt + 20)))
+        .toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rows2(1L).orientation.contains(8) &&
+      rows2(1L).model.contains("gx-200") &&
+      rows2(1L).lat.contains(48 + 51 / 60.0 + 24 / 3600.0) &&
+      rows2(1L).lon.contains(2 + 21 / 60.0 + 3 / 3600.0), s"${rows2(1L)}")
+    assert(rows2(2L).orientation.contains(3) &&
+      rows2(2L).model.contains("gx-300") &&
+      rows2(2L).taken_at.contains("2024:05:06 07:08:09"), s"${rows2(2L)}")
+    assert(rows2(3L).orientation.contains(5) &&
+      rows2(3L).model.contains("gx-400"),
+      s"the Exif\\0\\0-prefixed form must parse too: ${rows2(3L)}")
+    for (id <- Seq(4L, 5L))
+      assert(rows2(id).orientation.isEmpty && rows2(id).make.isEmpty &&
+        rows2(id).lat.isEmpty,
+        s"doc $id (bad CRC / truncated) must be all-null: ${rows2(id)}")
   }
 
   test("multimodal: MP3 and Ogg geometry from frame/id headers, no codec") {

@@ -58,13 +58,33 @@ object CodecProperties extends Properties("codecs") {
     Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
     Multimodal.minimalMp4(600, 1200, 1, 320, 240,
       mdat = Array.tabulate(64)(_.toByte)),
+    Multimodal.minimalFmp4(600, 320, 240,
+      Seq((Array.tabulate(40)(_.toByte), Seq(50, 60)),
+        (Array.tabulate(30)(i => (i * 3).toByte), Seq(70))),
+      mehdTicks = 180L),
     Multimodal.minimalWebm(1000000L, 2500.0, 320, 240,
       (0 until 4).map(f => Array.tabulate(40 + f)(i => (i * 3 + f).toByte)),
       xiphLacePairs = true, audioTrack = true, voidPad = 5),
     Multimodal.exifJpeg(
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte),
       orientation = 3, make = "maker", model = "model",
-      takenAt = "2021:01:02 03:04:05"))
+      takenAt = "2021:01:02 03:04:05"),
+    Multimodal.encodeGifAnimFrames(15, 11, Seq(
+      Multimodal.GifFrameSpec(plane, 15, 11, delayCs = 4),
+      Multimodal.GifFrameSpec(Array.tabulate(5 * 4)(i => (i * 9).toByte),
+        5, 4, left = 3, top = 2, delayCs = 5, disposal = 2,
+        transparent = 7)), grayCt),
+    Multimodal.encodeApng(15, 11, 0, Seq(
+      Multimodal.ApngFrameSpec(plane, 15, 11, delayNum = 3),
+      Multimodal.ApngFrameSpec(Array.tabulate(6 * 5)(i => (i * 7).toByte),
+        6, 5, x = 2, y = 3, delayNum = 4, blend = 1, dispose = 2)),
+      splitFdat = true),
+    Multimodal.encodeWebpAnim(16, 12, Seq(
+      Multimodal.WebpFrameSpec(Array.tabulate(16 * 12)(i =>
+        0xff000000 | (i * 31 & 0xff) * 0x010101), 16, 12, durationMs = 40),
+      Multimodal.WebpFrameSpec(Array.tabulate(6 * 4)(i =>
+        0x80000000 | (i * 17 & 0xff) * 0x010101), 6, 4, x = 2, y = 4,
+        durationMs = 50, disposeBg = true, blendOver = true))))
 
   property("EXIF extraction is total over arbitrary bytes") =
     forAll(anyPayload) { bytes =>
@@ -135,6 +155,20 @@ object CodecProperties extends Properties("codecs") {
       // throw; a fingerprint, when produced, is just a long
       Multimodal.ContainerCodec.videoPayloadFp(bytes)
       true
+    }
+
+  property("the animation surface is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      // all three container walks (GIF GCE/LZW, APNG chunk/zlib, WebP
+      // ANMF/VP8L) plus compositing must never throw; a surface, when
+      // produced, is internally consistent
+      Multimodal.ContainerCodec.animFrames(bytes) match {
+        case Some((c, s)) =>
+          Set("gif", "apng", "webp").contains(c) &&
+            s.frameCount > 0 && s.durationMs >= 0 &&
+            s.frameHashes.length <= s.frameCount
+        case None => true
+      }
     }
 
   property("the perceptual hash is total over arbitrary bytes") =
