@@ -108,10 +108,6 @@ private[ext] object HammingIndex {
   def boundOf(spark: SparkSession, path: String, what: String): Int =
     metaOf(spark, path, what)._1
 
-  /** The layout fan-out the artifact was built at (from build_meta). */
-  def fanoutOf(spark: SparkSession, path: String, what: String): Int =
-    metaOf(spark, path, what)._3
-
   /** (maxHamming, build-time posting rows, build-time fan-out) from
     * build_meta. The row count is the staleness denominator for
     * [[append]] — it records the last full LAYOUT pass, so it does not

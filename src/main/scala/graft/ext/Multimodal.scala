@@ -1196,8 +1196,12 @@ object Multimodal {
               canvas(po) = 0; canvas(po + 1) = 0; canvas(po + 2) = 0
               canvas(po + 3) = 0
             } else {
+              // clamped: the truncating oa can undercount the real
+              // output alpha by a fraction, which at near-zero alphas
+              // would push the quotient past 255 and WRAP in toByte
               def mix(fc: Int, bc: Int): Byte =
-                ((fc * fa * 255 + bc * ba * ia) / (oa * 255)).toByte
+                math.min(255,
+                  (fc * fa * 255 + bc * ba * ia) / (oa * 255)).toByte
               canvas(po) = mix(frame(fo) & 0xff, canvas(po) & 0xff)
               canvas(po + 1) = mix(frame(fo + 1) & 0xff, canvas(po + 1) & 0xff)
               canvas(po + 2) = mix(frame(fo + 2) & 0xff, canvas(po + 2) & 0xff)
