@@ -1,9 +1,7 @@
 package graft.ext
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sinks.UpsertIgnore
 
 /** [EXT] Compact AUDIO fingerprints — the constellation/landmark-hash
   * family (peak-pair hashing over the short-time spectrum, the classic
@@ -178,6 +176,9 @@ object AudioFingerprint {
       params: Params = Params()): DataFrame =
     topKOverFps(spark, liveFps(spark, storePath), probes, k, params)
 
+  private def liveFps(spark: SparkSession, storePath: String): DataFrame =
+    LandmarkStore.liveFps(spark, storePath)
+
   private def topKOverFps(
       spark: SparkSession,
       corpusFps: DataFrame,
@@ -201,17 +202,13 @@ object AudioFingerprint {
   }
 
   private def sharedCounts(fps: DataFrame, p: Params): DataFrame =
-    fps.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= p.maxBucket)
-      .select(explode(Dedup.pairExpansion(col("ids"))).as("pr"))
-      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+    LandmarkStore.sharedCounts(fps, p.maxBucket)
 
   // ------------------------------------------------ durable store form
 
-  /** Incremental audio dedup against a durable fingerprint store —
-    * layout mirrors the siblings:
+  /** Incremental audio dedup against a durable fingerprint store — the
+    * [[LandmarkStore]] machinery (shared verbatim with the animation
+    * family) over the spectral-peak landmark frame:
     *
     *   store/fps/       (doc_id, fp) — landmark hashes per document
     *   store/forgotten/ (doc_id)     — takedown tombstones
@@ -220,109 +217,29 @@ object AudioFingerprint {
     * (new-vs-stored and new-vs-new), then registers the batch's
     * fingerprints. Batch hash set broadcasts against ONE unshuffled
     * store scan; a re-ingested doc_id neither self-pairs nor
-    * double-registers (keyed appendAbsent).
+    * double-registers (keyed appendAbsent); combined batch+store hub
+    * cap (incremental == one-shot at the hub boundary).
     */
   def ingest(
       spark: SparkSession,
       media: DataFrame,
       storePath: String,
-      params: Params = Params()): DataFrame = {
-    val fpsPath = s"$storePath/fps"
-    val storeExists = exists(spark, fpsPath)
-    val fps = fingerprints(spark, media, params)
-      .dropDuplicates("doc_id", "fp")
-      .localCheckpoint(false) // probe, in-batch pairs, registration
-
-    // combined-bucket hub cap (the IncrementalImageDedup/EmbedDedup
-    // discipline): a hash is degenerate when the documents CARRYING it —
-    // batch plus surviving store rows together — exceed maxBucket, and it
-    // must then drop from BOTH the in-batch expansion and the cross join,
-    // or the incremental form diverges from the one-shot operator at the
-    // hub boundary (e.g. silence landmarks accumulated over many ingests
-    // would fan the cross join out unboundedly while the batch side caps)
-    val batchCnt = fps.groupBy("fp").agg(count(lit(1)).as("__bc"))
-    def inBatchPairs(okFps: DataFrame) = fps
-      .join(okFps, Seq("fp"), "left_semi")
-      .groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(Dedup.pairExpansion(col("ids"))).as("pr"))
-      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    val pairs =
-      if (!storeExists)
-        inBatchPairs(batchCnt.filter(col("__bc") <= params.maxBucket)
-          .select("fp"))
-      else {
-        // one store scan, batch hashes broadcast; stored copies of
-        // re-ingested ids drop FIRST (their batch rows already count,
-        // and counting the stored copy too would push a bucket sitting
-        // exactly at maxBucket over the cap)
-        val hot = liveFps(spark, storePath)
-          .join(broadcast(fps.select("doc_id").distinct()),
-            Seq("doc_id"), "left_anti")
-          .join(broadcast(fps.select("fp").distinct()), Seq("fp"), "left_semi")
-          .localCheckpoint(false) // counted AND joined
-        val okFps = batchCnt
-          .join(hot.groupBy("fp").agg(count(lit(1)).as("__sc")), Seq("fp"),
-            "left")
-          .filter(col("__bc") + coalesce(col("__sc"), lit(0L)) <=
-            params.maxBucket)
-          .select("fp")
-          .localCheckpoint(false) // prunes both sides of the cross join
-        val cross = fps.select(col("fp"), col("doc_id").as("batch_id"))
-          .join(okFps, Seq("fp"), "left_semi")
-          .join(hot.join(okFps, Seq("fp"), "left_semi")
-            .select(col("fp"), col("doc_id").as("store_id")), Seq("fp"))
-          .groupBy(least(col("batch_id"), col("store_id")).as("id_a"),
-            greatest(col("batch_id"), col("store_id")).as("id_b"))
-          .agg(count(lit(1)).as("shared"))
-        inBatchPairs(okFps).unionByName(cross)
-      }
-    val out = pairs
-      .filter(col("shared") >= params.minShared)
-      .select("id_a", "id_b", "shared")
-      .orderBy("id_a", "id_b")
-      .localCheckpoint(true) // materialize BEFORE mutating the store
-
-    if (!storeExists)
-      fps.write.mode("overwrite").parquet(fpsPath)
-    else {
-      val ids = fps.select("doc_id")
-      val idBounds = ids.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      UpsertIgnore.appendAbsent(spark, fps, fpsPath, keys = Seq("doc_id"),
-        pruneCol = Some("doc_id"), bounds = Some(idBounds))
-    }
-    out
-  }
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  private def liveFps(spark: SparkSession, storePath: String): DataFrame = {
-    val fps = spark.read.parquet(s"$storePath/fps")
-    val fPath = s"$storePath/forgotten"
-    if (!StoreTombstones.hasData(spark, fPath)) fps
-    else fps.join(broadcast(spark.read.parquet(fPath)),
-      Seq("doc_id"), "left_anti")
-  }
+      params: Params = Params()): DataFrame =
+    LandmarkStore.ingest(spark, fingerprints(spark, media, params),
+      storePath, params.minShared, params.maxBucket)
 
   /** Takedown: forget these owners' fingerprints (O(takedown) tombstone
     * append; probes mask immediately, compactStore erases physically).
     */
   def forget(spark: SparkSession, storePath: String, ids: DataFrame): Unit =
-    ids.select("doc_id").write.mode("append")
-      .parquet(s"$storePath/forgotten")
+    LandmarkStore.forget(spark, storePath, ids)
 
   /** Fold tombstones and compact; returns (filesBefore, filesAfter). */
   def compactStore(
       spark: SparkSession,
       storePath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    StoreTombstones.foldAndCompact(spark, s"$storePath/forgotten",
-      Seq(s"$storePath/fps"), targetFileBytes)
+    LandmarkStore.compactStore(spark, storePath, targetFileBytes)
 
   /** Deterministic tone-sequence WAV (concatenated fixed-frequency
     * segments) — the fixture generator for the audio-dedup gates: a

@@ -4487,6 +4487,20 @@ object Multimodal {
     */
   def animDups(spark: SparkSession, media: DataFrame,
       minSharedFrames: Int = 2, maxBucket: Int = 2000,
+      maxHashFrames: Int = 64): DataFrame =
+    LandmarkStore.sharedCounts(
+        animLandmarks(spark, media, maxHashFrames), maxBucket)
+      .filter(col("shared") >= minSharedFrames)
+
+  /** The distributed animation-landmark operator: media rows (doc_id,
+    * media) in, (doc_id, fp) landmark rows out — one partition-parallel
+    * scan, no shuffle, each fp a composited-canvas frame hash
+    * ([[ContainerCodec.animFrames]], per-document distinct).
+    * Non-animation payloads yield no rows. Feeds both the one-shot
+    * [[animDups]] and the durable [[AnimDedup]] store through the
+    * shared [[LandmarkStore]] machinery.
+    */
+  private[ext] def animLandmarks(spark: SparkSession, media: DataFrame,
       maxHashFrames: Int = 64): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
@@ -4495,14 +4509,7 @@ object Multimodal {
         ContainerCodec.animFrames(b, maxHashFrames)
           .toSeq.flatMap(_._2.frameHashes.distinct.map(fh => (id, fh)))
       })
-      .toDF("doc_id", "fh")
-      .groupBy("fh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(Dedup.pairExpansion(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minSharedFrames)
+      .toDF("doc_id", "fp")
   }
 
   /** Duplicate-VIDEO pairs by the remux-robust payload fingerprint

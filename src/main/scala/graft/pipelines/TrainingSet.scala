@@ -61,6 +61,7 @@ object TrainingSet {
       packs: Long, alreadyApplied: Boolean,
       afterUrlDedup: Long = -1, afterEmbedDecontaminate: Long = -1,
       afterEmbedNearDup: Long = -1, afterImageDedup: Long = -1,
+      afterAnimDedup: Long = -1,
       afterAudioDedup: Long = -1, afterVideoDedup: Long = -1)
 
   /** @param deltaId   stable batch identifier (replay protection)
@@ -193,6 +194,7 @@ object TrainingSet {
       imageStorePath: Option[String] = None,
       imageMaxHamming: Int = 6,
       imageNormalizeOrientation: Boolean = false,
+      animStorePath: Option[String] = None,
       audioCol: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoCol: Option[String] = None,
@@ -354,6 +356,27 @@ object TrainingSet {
     val afterImageDedup =
       if (imageStorePath.isEmpty) -1L else cnt(imgSurvivors)
 
+    // 4c2 (optional): incremental ANIMATION dedup vs the durable
+    // frame-landmark store — the cut/cross-container class the image
+    // stage's first-frame key provably misses: a re-crawled GIF cut
+    // or an APNG/WebP re-encode of a stored animation drops here even
+    // when its first frame changed. Non-animation media emit no
+    // landmarks and pass through.
+    val animSurvivors = (mediaCols, animStorePath) match {
+      case (Some((mCol, _, _)), Some(asp)) =>
+        val withMedia = imgSurvivors.filter(col(mCol).isNotNull)
+        val animPairs = graft.ext.AnimDedup.ingest(spark,
+          withMedia.select(col(idCol).as("doc_id"), col(mCol).as("media")),
+          asp)
+        dropPairLosers(imgSurvivors, animPairs, idCol).localCheckpoint(false)
+      case (None, Some(_)) => sys.error(
+        "TrainingSet.ingest: animStorePath needs mediaCols = " +
+          "(media, width, height)")
+      case _ => imgSurvivors
+    }
+    val afterAnimDedup =
+      if (animStorePath.isEmpty) -1L else cnt(animSurvivors)
+
     // 4d (optional): incremental AUDIO near-dup vs the durable landmark
     // store — the acoustic sibling of the image stage: a re-mastered
     // copy of the same recording dedups cross-batch by spectral-peak
@@ -361,14 +384,15 @@ object TrainingSet {
     // audio yields no fingerprints inside ingest and passes through.
     val audioSurvivors = (audioCol, audioStorePath) match {
       case (Some(aCol), Some(asp)) =>
-        val withAudio = imgSurvivors.filter(col(aCol).isNotNull)
+        val withAudio = animSurvivors.filter(col(aCol).isNotNull)
         val audioPairs = graft.ext.AudioFingerprint.ingest(spark,
           withAudio.select(col(idCol).as("doc_id"), col(aCol).as("media")),
           asp)
-        dropPairLosers(imgSurvivors, audioPairs, idCol).localCheckpoint(false)
+        dropPairLosers(animSurvivors, audioPairs, idCol)
+          .localCheckpoint(false)
       case (None, Some(_)) => sys.error(
         "TrainingSet.ingest: audioStorePath needs audioCol")
-      case _ => imgSurvivors
+      case _ => animSurvivors
     }
     val afterAudioDedup =
       if (audioStorePath.isEmpty) -1L else cnt(audioSurvivors)
@@ -455,7 +479,8 @@ object TrainingSet {
       afterUrlDedup = afterUrlDedup,
       afterEmbedDecontaminate = afterEmbedDecontaminate,
       afterEmbedNearDup = afterEmbedNearDup,
-      afterImageDedup = afterImageDedup, afterAudioDedup = afterAudioDedup,
+      afterImageDedup = afterImageDedup, afterAnimDedup = afterAnimDedup,
+      afterAudioDedup = afterAudioDedup,
       afterVideoDedup = afterVideoDedup)
   }
 
@@ -502,6 +527,7 @@ object TrainingSet {
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
+      animStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoStorePath: Option[String] = None,
       imageIndexPath: Option[String] = None,
@@ -528,6 +554,9 @@ object TrainingSet {
     }
     imageStorePath.filter(p => has(s"$p/sigs")).foreach { p =>
       graft.ext.IncrementalImageDedup.forget(spark, p, tomb)
+    }
+    animStorePath.filter(p => has(s"$p/fps")).foreach { p =>
+      graft.ext.AnimDedup.forget(spark, p, tomb)
     }
     audioStorePath.filter(p => has(s"$p/fps")).foreach { p =>
       graft.ext.AudioFingerprint.forget(spark, p, tomb)
@@ -613,6 +642,7 @@ object TrainingSet {
       urlStorePath: Option[String] = None,
       embedStorePath: Option[String] = None,
       imageStorePath: Option[String] = None,
+      animStorePath: Option[String] = None,
       audioStorePath: Option[String] = None,
       videoStorePath: Option[String] = None,
       imageIndexPath: Option[String] = None,
@@ -629,6 +659,8 @@ object TrainingSet {
       imageStorePath.map(p =>
         graft.ext.IncrementalImageDedup.compactStore(spark, p,
           targetFileBytes)) ++
+      animStorePath.map(p =>
+        graft.ext.AnimDedup.compactStore(spark, p, targetFileBytes)) ++
       audioStorePath.map(p =>
         graft.ext.AudioFingerprint.compactStore(spark, p,
           targetFileBytes)) ++

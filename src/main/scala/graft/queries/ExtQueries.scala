@@ -1659,6 +1659,38 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The same cut/cross-container planted truth found ACROSS two
+    // ingests of the durable animation-landmark store (the
+    // ext_audio_incr shape on AnimDedup): batch 1 registers four GIF
+    // animations; batch 2's APNG and WebP cuts of two of them must
+    // surface via STORED-landmark collisions, not a one-shot run.
+    "ext_image_anim_incr" -> ((s, dir) => {
+      import s.implicits._
+      val grayPal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      def frame(k: Int, f: Int) = Array.tabulate(13 * 9)(p =>
+        ((p * 31 + k * 7 + f * 53) % 251).toByte)
+      def gifFull(k: Int) = Multimodal.encodeGifAnim(13, 9,
+        (0 until 5).map(f => frame(k, f)), grayPal,
+        (0 until 5).map(f => 6 + f))
+      val b1 = (0 until 4).map(k => (k.toLong, gifFull(k)))
+        .toDF("doc_id", "media")
+      val b2 = Seq(
+        (100L, Multimodal.encodeApng(13, 9, 0, (1 until 5).map(f =>
+          Multimodal.ApngFrameSpec(frame(0, f), 13, 9, delayNum = 6 + f)))),
+        (102L, Multimodal.encodeWebpAnim(13, 9, (1 until 5).map(f =>
+          Multimodal.WebpFrameSpec(
+            frame(2, f).map(v => 0xff000000 | ((v & 0xff) * 0x010101)),
+            13, 9, durationMs = 60 + f * 10)))),
+        (5L, gifFull(7)))
+        .toDF("doc_id", "media")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_animdedup").toString + "/store"
+      graft.ext.AnimDedup.ingest(s, b1, store, minSharedFrames = 4)
+        .unionByName(
+          graft.ext.AnimDedup.ingest(s, b2, store, minSharedFrames = 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Image PROVENANCE extraction, oracled: 12 JPEGs wrapped with real
     // EXIF APP1 segments (IFD0 Make/Model/Orientation + DateTimeOriginal
     // behind the ExifIFD pointer) whose fields derive from doc_id in
@@ -3736,6 +3768,14 @@ object ExtQueries {
         |UNION ALL
         |SELECT 900, 'gif', 1, 0
         |ORDER BY doc_id""".stripMargin,
+
+    // planted truth: the store surfaces exactly cut-with-original
+    // (shared = the 4 post-intro frames) across the two ingests
+    "ext_image_anim_incr" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(100 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (2, 102, 4)) AS t(id_a, id_b, shared)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // planted truth: each animation's {gif full, apng cut, webp cut}
     // triple pairs pairwise at the 4 shared post-intro frames

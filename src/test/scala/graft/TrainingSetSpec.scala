@@ -291,6 +291,53 @@ class TrainingSetSpec extends SparkSpec {
     assert(r4.afterNearDup == 0, s"text stage stopped working: $r4")
   }
 
+  test("animation stage: a cross-container CUT with REWRITTEN text drops cross-batch; takedown readmits") {
+    import graft.ext.Multimodal
+    val work = tmpDir("trainanim")
+    val store = s"$work/store"
+    val animStore = s"$work/anims"
+    val target = s"$work/train"
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    def fr(f: Int) = Array.tabulate(13 * 9)(p =>
+      ((p * 31 + f * 53 + 5) % 251).toByte)
+    val gifFull = Multimodal.encodeGifAnim(13, 9,
+      (0 until 5).map(fr), pal, (0 until 5).map(f => 6 + f))
+    // an APNG re-encode that DROPS the intro frame: the image stage's
+    // first-frame key provably diverges, only frame landmarks pair it
+    val apngCut = Multimodal.encodeApng(13, 9, 0, (1 until 5).map(f =>
+      Multimodal.ApngFrameSpec(fr(f), 13, 9, delayNum = 6 + f)))
+    assert(graft.functions.DHashPixels.computeExternal(gifFull, 0, 0)
+        .map(_.sh) !=
+      graft.functions.DHashPixels.computeExternal(apngCut, 0, 0).map(_.sh),
+      "fixture must make the first-frame image key miss")
+    val textA = "a looping weather radar animation over the gulf with " +
+      "caption phrasing that appears nowhere else in this corpus today"
+    val textB = "fully rewritten alt text describing cyclone imagery in " +
+      "motion sharing zero vocabulary with the original description"
+    def ing(rows: Seq[(Long, String, Array[Byte])], id: String) =
+      TrainingSet.ingest(spark,
+        rows.toDF("doc_id", "text", "media")
+          .withColumn("width", lit(13)).withColumn("height", lit(9)),
+        benchmark, store, target, id, minQuality = 0.0,
+        mediaCols = Some(("media", "width", "height")),
+        animStorePath = Some(animStore))
+    val r1 = ing(Seq((1L, textA, gifFull)), "n1")
+    assert(r1.afterAnimDedup == 1, s"$r1")
+    val r2 = ing(Seq((2L, textB, apngCut)), "n2")
+    assert(r2.afterNearDup == 1 && r2.afterAnimDedup == 0,
+      s"the cross-container cut must drop at the animation stage: $r2")
+    // takedown reaches the animation store; compaction erases it
+    TrainingSet.takedown(spark, target, store, Seq(1L, 2L),
+      animStorePath = Some(animStore))
+    TrainingSet.compactStores(spark, store,
+      animStorePath = Some(animStore))
+    assert(spark.read.parquet(s"$animStore/fps")
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0,
+      "takedown+compaction must physically erase the landmarks")
+    val r3 = ing(Seq((3L, textB + " extra", apngCut)), "n3")
+    assert(r3.afterAnimDedup == 1, s"animation store did not forget: $r3")
+  }
+
   test("audio stage: re-mastered recording with REWRITTEN text drops cross-batch; takedown readmits") {
     import graft.ext.AudioFingerprint
     val work = tmpDir("trainaudio")
