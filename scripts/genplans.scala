@@ -66,6 +66,9 @@ val headline = Seq(
   ("ext_image_px_webp", "VP8L pixel gate: per-row JVM decode inside ONE whole-stage-codegen projection, no shuffle"),
   ("ext_audio_flac_pairs", "FLAC-vs-WAV dedup: one fingerprint mapPartitions scan, map-combinable shared counts"),
   ("ext_image_gif_anim", "GIF frame surface: one batched mapPartitions walk, exact container integers, no shuffle"),
+  ("ext_image_anim", "cross-container animation surface (GIF/APNG/WebP): ONE partition-parallel decode map, no shuffle"),
+  ("ext_image_anim_pairs", "animation landmark dedup: map-side-combinable frame-hash buckets, hub-capped pair expansion, no all-pairs"),
+  ("ext_image_anim_incr", "durable animation-landmark probe: batch hashes broadcast along ONE unshuffled store scan (LandmarkStore shape, shared with audio)"),
   ("ext_audio_search_indexed", "indexed audio search: the serving result (<= k rows/probe) materialized inside the pushed-In conf window, so this plan shows the checkpoint scan; the underlying postings scan carries PushedFilters In(fp, ...) and its row-group pruning is held by AudioIndexSpec via task bytes-read"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
