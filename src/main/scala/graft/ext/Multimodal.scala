@@ -278,29 +278,33 @@ object Multimodal {
 
       // walk the chunks after IHDR, concatenating CRC-valid IDAT data
       // (one zlib stream may span many IDAT chunks) and capturing the
-      // CRC-valid PLTE for indexed color
+      // CRC-valid PLTE for indexed color (+ its optional tRNS alphas)
       val idat = new java.io.ByteArrayOutputStream()
       var palette: Array[Byte] = null
+      var trns: Array[Byte] = null
       var off = 8 + 4 + 4 + 13 + 4
       var done = false
       while (!done && off + 8 <= b.length) {
         val sz = u32be(b, off).toInt
         if (sz < 0 || off + 12 + sz > b.length) return None
         val id = tag(b, off + 4)
-        if (id == "IDAT" || id == "PLTE") {
+        if (id == "IDAT" || id == "PLTE" || id == "tRNS") {
           val crc = new java.util.zip.CRC32
           crc.update(b, off + 4, 4 + sz)
           if (crc.getValue != u32be(b, off + 8 + sz)) return None
           if (id == "IDAT") idat.write(b, off + 8, sz)
-          else {
+          else if (id == "PLTE") {
             if (sz == 0 || sz % 3 != 0 || sz > 3 * 256) return None
             palette = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+          } else if (colorType == 3) { // palette alphas; other forms
+            if (sz > 256) return None  // (gray/RGB value keys) unhandled
+            trns = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
           }
         } else if (id == "IEND") done = true
         off += 12 + sz
       }
       if (idat.size == 0) return None
-      pngExpand(idat.toByteArray, palette, width, height, bitDepth,
+      pngExpand(idat.toByteArray, palette, trns, width, height, bitDepth,
         colorType, interlace)
     }
 
@@ -309,10 +313,17 @@ object Multimodal {
       * ([[apngFrames]] — each fcTL frame is its own complete zlib
       * stream over its own fw×fh scanlines at the IMAGE's depth/color
       * type, so the exact same machinery decodes it). All geometry,
-      * depth, bomb-bound, and palette validation lives here.
+      * depth, bomb-bound, and palette validation lives here. `trns`
+      * (indexed color only) carries per-palette-index alphas — the
+      * GIF-style transparency an APNG OPTIMIZER emits for delta
+      * frames: with it present, palette expansion yields RGBA
+      * (channels 4, missing entries opaque per spec) so the
+      * compositor sees the real alphas; without it, RGB as before.
+      * Alpha never reaches the gray plane ([[toGray]]), so static
+      * hashes/stats are unchanged by a tRNS chunk.
       */
     private def pngExpand(
-        zdata: Array[Byte], palette: Array[Byte],
+        zdata: Array[Byte], palette: Array[Byte], trns: Array[Byte],
         width: Int, height: Int, bitDepth: Int, colorType: Int,
         interlace: Int): Option[(Array[Byte], Int)] = {
       // samples per pixel as they appear IN THE SCANLINE (palette = 1
@@ -470,7 +481,8 @@ object Multimodal {
         }
       if (colorType == 3) {
         val nEntries = palette.length / 3
-        val out = new Array[Byte](width * height * 3)
+        val ch = if (trns == null) 3 else 4
+        val out = new Array[Byte](width * height * ch)
         var p = 0
         var yy = 0
         while (yy < height) {
@@ -481,11 +493,14 @@ object Multimodal {
             out(p) = palette(idx * 3)
             out(p + 1) = palette(idx * 3 + 1)
             out(p + 2) = palette(idx * 3 + 2)
-            p += 3; xx += 1
+            // tRNS alphas; entries past its length are opaque per spec
+            if (ch == 4)
+              out(p + 3) = if (idx < trns.length) trns(idx) else -1
+            p += ch; xx += 1
           }
           yy += 1
         }
-        Some((out, 3))
+        Some((out, ch))
       } else { // sub-byte gray: scale to 8 bits (255/(2^d-1) exactly)
         val out = new Array[Byte](width * height)
         var p = 0
@@ -1255,6 +1270,7 @@ object Multimodal {
           data: java.io.ByteArrayOutputStream)
       val frames = scala.collection.mutable.ArrayBuffer.empty[Fc]
       var palette: Array[Byte] = null
+      var trns: Array[Byte] = null
       var hasActl = false
       var sawIdat = false
       var expectedSeq = 0
@@ -1279,6 +1295,9 @@ object Multimodal {
               if (sz == 0 || sz % 3 != 0 || sz > 3 * 256 ||
                 !crcOk(off, sz)) return None
               palette = java.util.Arrays.copyOfRange(b, po, po + sz)
+            case "tRNS" if colorType == 3 => // palette alphas (optimizer
+              if (sz > 256 || !crcOk(off, sz)) return None // delta frames)
+              trns = java.util.Arrays.copyOfRange(b, po, po + sz)
             case "fcTL" =>
               if (sz != 26 || !crcOk(off, sz)) return None
               if (u32be(b, po) != expectedSeq) return None
@@ -1322,8 +1341,8 @@ object Multimodal {
             f.x + f.fw <= w && f.y + f.fh <= h
           val px =
             if (regionOk)
-              pngExpand(f.data.toByteArray, palette, f.fw, f.fh, bitDepth,
-                colorType, interlace)
+              pngExpand(f.data.toByteArray, palette, trns, f.fw, f.fh,
+                bitDepth, colorType, interlace)
             else None
           px match {
             case Some((samples, channels)) =>
@@ -3235,10 +3254,24 @@ object Multimodal {
   def encodeApng(w: Int, h: Int, colorType: Int,
       frames: Seq[ApngFrameSpec],
       defaultImage: Option[Array[Byte]] = None,
-      splitFdat: Boolean = false): Array[Byte] = {
+      splitFdat: Boolean = false,
+      // indexed color (colorType 3): the palette, plus optional tRNS
+      // per-index alphas — the GIF-style transparency APNG optimizers
+      // emit for delta frames
+      palette: Option[Array[Byte]] = None,
+      trns: Option[Array[Byte]] = None): Array[Byte] = {
     val channels = ContainerCodec.pngChannelsOf(colorType)
-    require(channels > 0 && colorType != 3,
-      s"encodeApng: colorType $colorType (gray/RGB/GA/RGBA)")
+    require(channels > 0, s"encodeApng: colorType $colorType")
+    require((colorType == 3) == palette.isDefined,
+      "encodeApng: palette iff colorType 3")
+    palette.foreach { pal =>
+      require(pal.nonEmpty && pal.length % 3 == 0 && pal.length <= 768,
+        s"encodeApng: palette of ${pal.length} bytes")
+    }
+    trns.foreach { t =>
+      require(palette.isDefined && t.length <= palette.get.length / 3,
+        "encodeApng: tRNS needs a palette covering its entries")
+    }
     require(frames.nonEmpty, "encodeApng: no frames")
     frames.foreach { f =>
       require(f.fw > 0 && f.fh > 0 && f.x >= 0 && f.y >= 0 &&
@@ -3290,6 +3323,8 @@ object Multimodal {
     ihdr.write(8); ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0)
     chunk("IHDR", ihdr.toByteArray)
+    palette.foreach(chunk("PLTE", _))
+    trns.foreach(chunk("tRNS", _))
     val actl = new java.io.ByteArrayOutputStream()
     be32(actl, frames.length); be32(actl, 0) // num_frames, infinite plays
     chunk("acTL", actl.toByteArray)

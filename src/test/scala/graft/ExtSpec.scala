@@ -1118,6 +1118,24 @@ class ExtSpec extends SparkSpec {
         .frameHashes.toSeq,
       "OVER-blended transparent deltas must composite like SOURCE fulls")
 
+    // the OPTIMIZER-style form: INDEXED frames whose unchanged pixels
+    // point at a tRNS-transparent palette index (the GIF transparency
+    // model in PNG clothes) — must composite identically too
+    val trns = Array.tabulate(256)(i =>
+      (if (i == 255) 0 else 255).toByte)
+    val palApng = Multimodal.encodeApng(W, H, 3, Seq(
+      Multimodal.ApngFrameSpec(planes(0), W, H, delayNum = 4),
+      Multimodal.ApngFrameSpec(
+        Array.tabulate(W * H)(p =>
+          if (planes(1)(p) != planes(0)(p)) planes(1)(p) else 255.toByte),
+        W, H, delayNum = 5, blend = 1)),
+      palette = Some(grayPal), trns = Some(trns))
+    assert(Multimodal.ContainerCodec.apngFrames(palApng).get
+        .frameHashes.toSeq ==
+      Multimodal.ContainerCodec.apngFrames(sourceApng).get
+        .frameHashes.toSeq,
+      "palette+tRNS deltas must composite like the full-frame form")
+
     // a lossy (VP8) frame is the codec boundary: it still counts, the
     // landmark walk ends there — patch the LAST frame's VP8L tag
     val lossyTail = webp.clone()

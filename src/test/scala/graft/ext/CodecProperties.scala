@@ -79,6 +79,12 @@ object CodecProperties extends Properties("codecs") {
       Multimodal.ApngFrameSpec(Array.tabulate(6 * 5)(i => (i * 7).toByte),
         6, 5, x = 2, y = 3, delayNum = 4, blend = 1, dispose = 2)),
       splitFdat = true),
+    Multimodal.encodeApng(15, 11, 3, Seq(
+      Multimodal.ApngFrameSpec(plane, 15, 11, delayNum = 2),
+      Multimodal.ApngFrameSpec(plane.map(v => ((v + 3) % 251).toByte),
+        15, 11, delayNum = 2, blend = 1)),
+      palette = Some(grayCt),
+      trns = Some(Array.tabulate(32)(i => (255 - i * 8).toByte))),
     Multimodal.encodeWebpAnim(16, 12, Seq(
       Multimodal.WebpFrameSpec(Array.tabulate(16 * 12)(i =>
         0xff000000 | (i * 31 & 0xff) * 0x010101), 16, 12, durationMs = 40),
