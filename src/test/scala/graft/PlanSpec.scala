@@ -167,6 +167,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("animation surface decodes in one map; landmark dedup shuffles hash keys only") {
+    // animTable: one MapPartitions decode — no hash shuffle anywhere
+    // (the gate's presentation sort range-partitions, which is fine)
+    val t = extPlan("ext_image_anim")
+    assert(t.contains("MapPartitions"), s"decode map missing:\n$t")
+    assert(!t.contains("Exchange hashpartitioning"),
+      s"the animation decode acquired a shuffle:\n$t")
+    // animDups: the pair search groups 64-bit frame hashes with
+    // map-side partials and is NEVER all-pairs — what shuffles is the
+    // (doc_id, fp) key frame, not media bytes
+    val p = extPlan("ext_image_anim_pairs")
+    assert(p.contains("partial_collect_list") && p.contains("partial_count"),
+      s"bucket aggregation lost its map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"pair search must never be all-pairs:\n$p")
+  }
+
   test("tfidf reuses the tf shuffle at runtime (one pass over text)") {
     // the tf aggregate feeds both the scoring join and the df aggregate;
     // AQE must dedupe the identical shuffle stages, otherwise the corpus
