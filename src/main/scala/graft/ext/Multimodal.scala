@@ -1479,11 +1479,13 @@ object Multimodal {
       else if (isWebp(b)) webpAnimFrames(b, maxHashFrames).map(("webp", _))
       else None
 
-    /** BMP (BITMAPINFOHEADER and later, BI_RGB only) to interleaved
-      * RGB: 8-bit paletted, 24-bit BGR, and 32-bit BGRA rows, 4-byte
-      * row padding, bottom-up (positive height) or top-down (negative)
-      * — the uncompressed workhorse format a crawl still sees. RLE and
-      * bitfield compressions return None (fall back to byte stats).
+    /** BMP (BITMAPINFOHEADER and later) to interleaved RGB: 8-bit
+      * paletted, 24-bit BGR, and 32-bit BGRA rows, 4-byte row padding,
+      * bottom-up (positive height) or top-down (negative) — the
+      * uncompressed workhorse format a crawl still sees — plus BI_RLE8
+      * runs (encoded/absolute modes, EOL/EOD/delta escapes, skipped
+      * pixels as palette entry 0), the legacy clipart compression. RLE4
+      * and bitfield compressions return None (fall back to byte stats).
       */
     private[ext] def bmpRgb(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = try {
       if (!isBmp(b)) return None
@@ -1499,13 +1501,73 @@ object Multimodal {
       val h = math.abs(hRaw)
       val bits = u16(28)
       val comp = i32(30)
-      if (comp != 0 || w <= 0 || h <= 0 || w.toLong * h > MaxHashPixels)
-        return None
+      val rle8 = comp == 1 && bits == 8 && !topDown // RLE is bottom-up only
+      if ((comp != 0 && !rle8) || w <= 0 || h <= 0 ||
+        w.toLong * h > MaxHashPixels) return None
       val rowSize = ((w.toLong * bits + 31) / 32 * 4).toInt
-      if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length)
+      if (dataOff < 54 ||
+        (!rle8 && dataOff.toLong + rowSize.toLong * h > b.length))
         return None
       val bypp = bits / 8
       val out = new Array[Byte](w * h * 3)
+      if (rle8) {
+        // BI_RLE8: encoded runs (count, index), escapes (0,0)=end of
+        // line, (0,1)=end of bitmap, (0,2)=delta (dx, dy), (0,n>=3)=
+        // n literal indices padded to a word boundary. Skipped pixels
+        // (deltas / early EOL / early EOD) read as palette entry 0 per
+        // the de-facto convention. Rows are bottom-up.
+        val palOff = 14 + hdrSize
+        val used = i32(46)
+        val palCount = if (used == 0) 256 else used
+        if (palCount < 0 || palCount > 256 ||
+          palOff + 4 * palCount > dataOff) return None
+        val idx = new Array[Byte](w * h) // defaults to index 0
+        var p = dataOff
+        var x = 0
+        var row = 0 // counted from the BOTTOM row
+        var end = false
+        while (!end && row < h) {
+          if (p + 2 > b.length) return None // truncated stream
+          val n = b(p) & 0xff
+          val v = b(p + 1) & 0xff
+          p += 2
+          if (n > 0) { // encoded run; clipped defensively at the row end
+            var i = 0
+            while (i < n) {
+              if (x < w) idx((h - 1 - row) * w + x) = v.toByte
+              x += 1; i += 1
+            }
+          } else v match {
+            case 0 => x = 0; row += 1 // end of line
+            case 1 => end = true      // end of bitmap
+            case 2 =>                 // delta: skip (dx, dy) pixels
+              if (p + 2 > b.length) return None
+              x += b(p) & 0xff; row += b(p + 1) & 0xff; p += 2
+            case cnt =>               // absolute: cnt literal indices
+              if (p + cnt > b.length) return None
+              var i = 0
+              while (i < cnt) {
+                if (x < w && row < h) idx((h - 1 - row) * w + x) = b(p + i)
+                x += 1; i += 1
+              }
+              p += cnt + (cnt & 1)    // word-aligned
+          }
+        }
+        var py = 0
+        while (py < h) {
+          var px = 0
+          while (px < w) {
+            val ci = idx(py * w + px) & 0xff
+            if (ci >= palCount) return None
+            val eo = palOff + ci * 4
+            val po = (py * w + px) * 3
+            out(po) = b(eo + 2); out(po + 1) = b(eo + 1); out(po + 2) = b(eo)
+            px += 1
+          }
+          py += 1
+        }
+        return Some((out, w, h))
+      }
       bits match {
         case 24 | 32 =>
           var y = 0
@@ -3955,6 +4017,83 @@ object Multimodal {
         y += 1
       }
     })
+  }
+
+  /** Deterministic BI_RLE8 BMP encoder — the legacy-clipart compression
+    * the decoder's RLE branch consumes: per bottom-up row, runs of
+    * equal indices emit encoded (count, index) pairs and mixed spans
+    * emit absolute-mode literals (word-padded), each row closed by the
+    * EOL escape and the stream by EOD — so the format-invariance gates
+    * can hold one picture across BI_RGB and BI_RLE8 byte encodings.
+    * `absoluteRuns` forces absolute mode for every span (both decoder
+    * modes get exercised either way, since single pixels always emit
+    * encoded pairs).
+    */
+  def encodeBmpRle8(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte], absoluteRuns: Boolean = false): Array[Byte] = {
+    val n = palette.length / 3
+    require(palette.length % 3 == 0 && n >= 1 && n <= 256,
+      s"encodeBmpRle8: palette of ${palette.length} bytes")
+    require(w > 0 && h > 0 && indices.length == w * h,
+      s"encodeBmpRle8: need $w*$h indices")
+    require(indices.forall(i => (i & 0xff) < n),
+      "encodeBmpRle8: index out of palette range")
+    val rle = new java.io.ByteArrayOutputStream()
+    var row = h - 1 // streams encode bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        if (absoluteRuns && w - x >= 3) {
+          // absolute mode: a literal span (minimum 3, maximum 255)
+          val span = math.min(255, w - x)
+          rle.write(0); rle.write(span)
+          var i = 0
+          while (i < span) {
+            rle.write(indices(row * w + x + i) & 0xff); i += 1
+          }
+          if ((span & 1) == 1) rle.write(0) // word padding
+          x += span
+        } else {
+          // encoded run (valid for any length 1..255)
+          var run = 1
+          while (x + run < w && run < 255 &&
+            indices(row * w + x + run) == indices(row * w + x)) run += 1
+          rle.write(run); rle.write(indices(row * w + x) & 0xff)
+          x += run
+        }
+      }
+      rle.write(0); rle.write(0) // end of line
+      row -= 1
+    }
+    rle.write(0); rle.write(1)   // end of bitmap
+    val data = rle.toByteArray
+    val quads = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) { // RGB palette -> BGRA quads
+      quads(i * 4) = palette(i * 3 + 2)
+      quads(i * 4 + 1) = palette(i * 3 + 1)
+      quads(i * 4 + 2) = palette(i * 3)
+      i += 1
+    }
+    val dataOff = 54 + quads.length
+    val buf = new Array[Byte](dataOff + data.length)
+    def le16(o: Int, v: Int): Unit = {
+      buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff)
+    }
+    buf(0) = 'B'; buf(1) = 'M'
+    le32(2, buf.length); le32(10, dataOff)
+    le32(14, 40) // BITMAPINFOHEADER
+    le32(18, w); le32(22, h) // RLE is bottom-up only
+    le16(26, 1); le16(28, 8)
+    le32(30, 1) // BI_RLE8
+    le32(34, data.length)
+    le32(46, n)
+    System.arraycopy(quads, 0, buf, 54, quads.length)
+    System.arraycopy(data, 0, buf, dataOff, data.length)
+    buf
   }
 
   private def bmpBytes(w: Int, h: Int, topDown: Boolean, rowSize: Int,

@@ -1402,12 +1402,13 @@ object ExtQueries {
     // channels is the gray value exactly), 24-bit bottom-up BMP, 8-bit
     // paletted top-down BMP, and two ICO (favicon) wrappers (a
     // headerless doubled-height DIB entry and a PNG entry) — and all
-    // seven must decode to the SAME plane and hash. The oracle
+    // nine must decode to the SAME plane and hash. The oracle
     // regenerates the plane from the closed-form formula once per doc
     // and emits the identical hash for every variant: the LZW
-    // expansion, GIF interlace reorder, BMP row flip/padding, both
-    // palette lookups, and the ICO directory walk are each one
-    // bit-flip away from failing the compare.
+    // expansion, GIF interlace reorder, BMP row flip/padding, the
+    // BI_RLE8 run/absolute stream modes, both palette lookups, and
+    // the ICO directory walk are each one bit-flip away from failing
+    // the compare.
     "ext_image_px_formats" -> ((s, dir) => {
       import s.implicits._
       val grayCt = Array.tabulate(256 * 3)(i => (i / 3).toByte)
@@ -1423,6 +1424,10 @@ object ExtQueries {
           (k.toLong, "bmp24", Multimodal.encodeBmp(w, h, rgb)),
           (k.toLong, "bmp8", Multimodal.encodeBmp8(w, h, plane, grayCt,
             topDown = true)),
+          // BI_RLE8, both stream modes (encoded runs / absolute spans)
+          (k.toLong, "bmpr", Multimodal.encodeBmpRle8(w, h, plane, grayCt)),
+          (k.toLong, "bmpra", Multimodal.encodeBmpRle8(w, h, plane, grayCt,
+            absoluteRuns = true)),
           (k.toLong, "gif", Multimodal.encodeGif(w, h, plane, grayCt)),
           (k.toLong, "gifi", Multimodal.encodeGif(w, h, plane, grayCt,
             interlace = true)),
@@ -4064,8 +4069,8 @@ object ExtQueries {
         |  FROM halves)
         |SELECT doc_id, v.variant, dhash
         |FROM hashes,
-        |  (VALUES ('bmp24'), ('bmp8'), ('gif'), ('gifi'), ('icob'),
-        |          ('icop'), ('png8'))
+        |  (VALUES ('bmp24'), ('bmp8'), ('bmpr'), ('bmpra'), ('gif'),
+        |          ('gifi'), ('icob'), ('icop'), ('png8'))
         |  AS v(variant)
         |ORDER BY doc_id, variant""".stripMargin,
 

@@ -195,14 +195,52 @@ class ImagePixelHashSpec extends SparkSpec {
       Multimodal.encodeGif(W, H, plane, grayCt, interlace = true),
       Multimodal.encodeBmp(W, H, rgb),
       Multimodal.encodeBmp(W, H, rgb, topDown = true),
-      Multimodal.encodeBmp8(W, H, plane, grayCt))
-    assert(encodings.map(_.toSeq).distinct.size == 5,
+      Multimodal.encodeBmp8(W, H, plane, grayCt),
+      // BI_RLE8, both stream modes: encoded runs and absolute literals
+      Multimodal.encodeBmpRle8(W, H, plane, grayCt),
+      Multimodal.encodeBmpRle8(W, H, plane, grayCt, absoluteRuns = true))
+    assert(encodings.map(_.toSeq).distinct.size == 7,
       "fixture encodings must differ at the byte level")
     val got = pxOf(encodings.zipWithIndex.map { case (b, i) => (i.toLong, b, 0, 0) })
-    (0L to 4L).foreach { id =>
+    (0L to 6L).foreach { id =>
       assert(got(id).contains((Golden, "pixels")),
         s"doc $id: expected the canonical-plane golden, got $got")
     }
+
+    // RLE8 escapes: a hand-built stream with a DELTA skip — skipped
+    // pixels read palette entry 0 (black), equal to the explicit form
+    val solid = Array.fill[Byte](6 * 4)(9)
+    val withHole = solid.clone()
+    // delta skips (2,1) from row-bottom (1, y-from-bottom 1): pixels at
+    // bottom-up row 1 cols 1-5 and row 2 cols 0-2 read index 0
+    for (c <- 1 until 6) withHole((4 - 1 - 1) * 6 + c) = 0
+    for (c <- 0 until 3) withHole((4 - 1 - 2) * 6 + c) = 0
+    val deltaRle = {
+      val base = Multimodal.encodeBmpRle8(6, 4, solid, grayCt)
+      val dataOff = 54 + 256 * 4
+      // row0: run of 6; then col 1 of row 1, delta (2,1), finish row 2
+      val stream = Array[Byte](6, 9, 0, 0, 1, 9, 0, 2, 2, 1, 3, 9,
+        0, 0, 6, 9, 0, 0, 0, 1)
+      val out = base.take(dataOff) ++ stream
+      // patch file and data sizes
+      def le32(b: Array[Byte], o: Int, v: Int): Unit = {
+        b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+        b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+      }
+      le32(out, 2, out.length); le32(out, 34, stream.length)
+      out
+    }
+    val gotDelta = pxOf(Seq(
+      (0L, deltaRle, 0, 0),
+      (1L, Multimodal.encodeBmp8(6, 4, withHole, grayCt), 0, 0)))
+    assert(gotDelta(0L).isDefined && gotDelta(0L) == gotDelta(1L),
+      s"the delta escape must skip to palette-0 pixels: $gotDelta")
+
+    // a truncated RLE stream degrades to the payload regime
+    val rle = Multimodal.encodeBmpRle8(W, H, plane, grayCt)
+    val gotRleCut = pxOf(Seq((9L, rle.take(rle.length - 5), 4, 4)))
+    assert(gotRleCut(9L).exists(_._2 == "payload"),
+      s"truncated RLE8 must fall back to payload bytes: $gotRleCut")
 
     // a big textured frame pushes the LZW dictionary through all code
     // widths up to 12 bits: GIF must still equal its BMP twin

@@ -47,6 +47,7 @@ object CodecProperties extends Properties("codecs") {
     Multimodal.encodePng(15, 11, 0, plane, (0 until 11).map(_ % 5), 6),
     Multimodal.encodeGif(15, 11, plane, grayCt),
     Multimodal.encodeBmp(15, 11, plane.flatMap(b => Array(b, b, b))),
+    Multimodal.encodeBmpRle8(15, 11, plane, grayCt),
     Multimodal.encodeTiff(15, 11, plane, 1, packBits = true),
     Multimodal.encodeWebpL(15, 11, plane, lz77 = true, cacheBits = 4),
     Multimodal.encodeIco(Seq((15, 11, Multimodal.bmpToIcoDib(
