@@ -37,13 +37,18 @@ object HeavyHitters {
     */
   private[graft] def misraGries(
       tokens: Iterator[String], capacity: Int): (Seq[String], Long) = {
-    val counts = new java.util.HashMap[String, Long](capacity * 2)
+    // value type must be the REFERENCE java.lang.Long: with scala.Long
+    // the missing-key get() null silently unboxes to 0, the null checks
+    // constant-fold, and the eviction branch below goes dead — the map
+    // then grows with every distinct token, unbounded (caught via the
+    // "comparing Long and Null" lint, round 13)
+    val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
     var n = 0L
     tokens.foreach { t =>
       n += 1
       val cur = counts.get(t)
       if (cur != null || counts.size < capacity)
-        counts.put(t, if (cur == null) 1L else cur + 1)
+        counts.put(t, if (cur == null) 1L else cur + 1L)
       else {
         // decrement-all: evict zeroed counters (the classic MG step)
         val it = counts.entrySet().iterator()

@@ -999,6 +999,7 @@ object Multimodal {
       val yEnd = math.min(ch, top + fh)
       val x0 = math.max(0, left)
       val xEnd = math.min(cw, left + fw)
+      if (x0 >= xEnd) return // region entirely past an edge: no-op clear
       while (y < yEnd) {
         java.util.Arrays.fill(canvas, (y * cw + x0) * 4, (y * cw + xEnd) * 4,
           0.toByte)
@@ -2507,7 +2508,16 @@ object Multimodal {
                       fo += stride
                       s += 1
                     }
-                  } else trunTicks += n * defaultDur
+                  } else if (n > 0 && defaultDur > 0) {
+                    // both are unvalidated u32 file fields: saturate
+                    // instead of wrapping Long on corrupt input
+                    val prod =
+                      if (n > Long.MaxValue / defaultDur) Long.MaxValue
+                      else n * defaultDur
+                    trunTicks =
+                      if (trunTicks > Long.MaxValue - prod) Long.MaxValue
+                      else trunTicks + prod
+                  }
                 }
                 true
               }
@@ -4230,7 +4240,12 @@ object Multimodal {
   /** Append a WebP `EXIF` RIFF chunk (TIFF payload, optionally behind
     * the JPEG-style "Exif\0\0" prefix — both forms ship in the wild)
     * and patch the RIFF size — the phone/exporter WebP provenance
-    * carrier.
+    * carrier. EXIF is an extended-format feature, so the output carries
+    * the spec-shaped envelope: an existing VP8X gets its EXIF flag
+    * (0x08) set; a simple-format input (bare VP8/VP8L first chunk) gets
+    * a VP8X header synthesized in front with the EXIF flag and the
+    * canvas geometry lifted from the bitstream header — mirroring
+    * [[encodeWebpAnim]]'s VP8X emission.
     */
   def exifWebp(webp: Array[Byte], orientation: Int, make: String,
       model: String, takenAt: String,
@@ -4243,13 +4258,53 @@ object Multimodal {
         "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff0
       else tiff0
     val out = new java.io.ByteArrayOutputStream()
-    out.write(webp, 0, webp.length)
+    val firstTag =
+      if (webp.length >= 16) new String(webp, 12, 4, "US-ASCII") else ""
+    if (firstTag == "VP8X") {
+      out.write(webp, 0, webp.length)
+      // EXIF flag set below, once the stream is a patchable array
+    } else {
+      // simple format: synthesize the VP8X envelope the EXIF feature
+      // requires, canvas geometry from the VP8/VP8L bitstream header
+      val po = 20 // 12 RIFF+WEBP + 8 chunk header
+      val (w, h, alpha) = firstTag match {
+        case "VP8L" =>
+          require(webp.length >= po + 5 && (webp(po) & 0xff) == 0x2f,
+            "exifWebp: malformed VP8L header")
+          val bits = ((webp(po + 1) & 0xffL)) | ((webp(po + 2) & 0xffL) << 8) |
+            ((webp(po + 3) & 0xffL) << 16) | ((webp(po + 4) & 0xffL) << 24)
+          (((bits & 0x3fff) + 1).toInt, (((bits >> 14) & 0x3fff) + 1).toInt,
+            ((bits >> 28) & 1).toInt)
+        case "VP8 " =>
+          require(webp.length >= po + 10 && (webp(po + 3) & 0xff) == 0x9d &&
+            (webp(po + 4) & 0xff) == 0x01 && (webp(po + 5) & 0xff) == 0x2a,
+            "exifWebp: malformed VP8 keyframe header")
+          val w = ((webp(po + 6) & 0xff) | ((webp(po + 7) & 0xff) << 8)) & 0x3fff
+          val h = ((webp(po + 8) & 0xff) | ((webp(po + 9) & 0xff) << 8)) & 0x3fff
+          (w, h, 0)
+        case t => throw new IllegalArgumentException(
+          s"exifWebp: unsupported first chunk '$t'")
+      }
+      out.write(webp, 0, 12)
+      out.write("VP8X".getBytes("US-ASCII"))
+      out.write(10); out.write(0); out.write(0); out.write(0)
+      out.write(0x08 | (alpha << 4)) // EXIF flag (+ alpha when declared)
+      out.write(0); out.write(0); out.write(0) // reserved
+      def le24(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff)
+      }
+      le24(w - 1); le24(h - 1)
+      out.write(webp, 12, webp.length - 12)
+    }
     out.write("EXIF".getBytes("US-ASCII"))
     out.write(tiff.length & 0xff); out.write((tiff.length >> 8) & 0xff)
     out.write((tiff.length >> 16) & 0xff); out.write((tiff.length >> 24) & 0xff)
     out.write(tiff, 0, tiff.length)
     if ((tiff.length & 1) == 1) out.write(0) // RIFF word alignment
     val bytes = out.toByteArray
+    if (firstTag == "VP8X") // existing envelope: set the EXIF flag
+      bytes(20) = (bytes(20) | 0x08).toByte
     val riffSz = bytes.length - 8
     bytes(4) = (riffSz & 0xff).toByte
     bytes(5) = ((riffSz >> 8) & 0xff).toByte

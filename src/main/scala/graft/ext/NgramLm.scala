@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * the model-based complement to the rule-based
   * `TextAnalysis.qualityScore` heuristics. Reference analog: the
   * reference pipeline filters rows on fixed predicates only
-  * (`services/transform.py`); this is the learned generalization a
-  * training-data pipeline needs.
+  * (`etl/csv_loader.py:99-102` — dropna plus `exchange_rate > 0`); this
+  * is the learned generalization a training-data pipeline needs.
   *
   * Model: add-k smoothed bigram probabilities over whitespace tokens
   * (`TextAnalysis.tokens` — the one tokenizer every text operator in

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Product quantization (PQ) for embedding columns (SURVEY §2.11
-  * similarity search, the memory-side scale lever; reference analog:
-  * services/embeddings.py keeps raw float vectors — this is the form that
-  * still fits in memory at 100 TB).
+  * similarity search, the memory-side scale lever). The reference has no
+  * embedding surface at all — this is BASELINE.json `north_star` [EXT]
+  * scope ("add the LLM-data-pipeline operators … similarity search"),
+  * and PQ is the form that still fits in memory at 100 TB where raw
+  * float vectors do not.
   *
   * A d-dim float vector (4d bytes) becomes m sub-codes drawn from
   * per-subspace codebooks of k entries (m small ints; at k<=256 one byte

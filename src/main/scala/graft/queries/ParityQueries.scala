@@ -1432,15 +1432,22 @@ object ParityQueries {
     "rollup_incremental" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft_rollup").toString
       val target = s"$work/rollup"
+      // physical partitioning is by YEAR, not month: `yy` is
+      // functionally dependent on `ym` so the grouping (and the oracle)
+      // is unchanged, but each delta commits ~7 partition directories
+      // instead of ~85 tiny ones — the gate's timing then measures the
+      // fold, not dynamic-partition-commit IO jitter (r12 verdict: the
+      // 85-dir form misread as a 2.4x regression under ambient load)
       val li = Tables.lineitem(s, dir)
         .withColumn("ym", date_format(col("l_shipdate"), "yyyy-MM"))
-        .select("ym", "l_returnflag", "l_quantity", "l_orderkey")
+        .withColumn("yy", substring(col("ym"), 1, 4))
+        .select("yy", "ym", "l_returnflag", "l_quantity", "l_orderkey")
       for (parity <- Seq(0, 1))
         graft.sinks.IncrementalRollup(s,
           li.filter(col("l_orderkey") % 2 === parity),
-          target, groupCols = Seq("ym", "l_returnflag"),
+          target, groupCols = Seq("yy", "ym", "l_returnflag"),
           sumCols = Seq("l_quantity" -> "sum_qty"),
-          partitionBy = Seq("ym"))
+          partitionBy = Seq("yy"))
       val out = s.read.parquet(target)
         .select(col("ym"), col("l_returnflag"), col("cnt"),
           col("sum_qty").cast("double").as("sum_qty"))

@@ -393,6 +393,14 @@ class ExtOpsSpec extends SparkSpec {
     assert(n == 130)
     // a (freq 60) and b (freq 30) both exceed n/(capacity+1) ~ 14.4
     assert(cand.contains("a") && cand.contains("b"), cand.toString)
+    // and the summary is actually BOUNDED by the capacity — with the
+    // boxed-Long regression (round 13) the eviction branch went dead
+    // and every distinct token became a candidate
+    assert(cand.size <= 8, s"summary must stay bounded: ${cand.size}")
+    val (flood, _) = graft.ext.HeavyHitters.misraGries(
+      (1 to 10000).iterator.map(i => s"u$i"), 8)
+    assert(flood.size <= 8,
+      s"10k distinct tokens through capacity 8: ${flood.size} counters")
   }
 
   // ---- decontamination ----------------------------------------------

@@ -1019,6 +1019,64 @@ class ExtSpec extends SparkSpec {
       ("video/mp4", "byte-stats") -> 1L), s"census $census")
   }
 
+  test("multimodal: hostile container fields stay total (ADVICE r12)") {
+    // 1. a disposal-2 GIF frame patched entirely past the right canvas
+    //    edge: the dispose is a no-op clear — the hashed walk must KEEP
+    //    its frames (not drop the file) and agree with the structural
+    //    count
+    val W = 12; val H = 10
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    val a = Array.tabulate(W * H)(p => ((p * 7 + 3) % 251).toByte)
+    val sub = Array.tabulate(3 * 2)(p => ((p * 11 + 5) % 251).toByte)
+    val gif = Multimodal.encodeGifAnimFrames(W, H, Seq(
+      Multimodal.GifFrameSpec(a, W, H, delayCs = 4),
+      Multimodal.GifFrameSpec(sub, 3, 2, left = 6, top = 2, delayCs = 5,
+        disposal = 2)), pal)
+    // image descriptor of frame 2: 0x2c, left=6, top=2, w=3, h=2 (LE)
+    val desc = Array[Byte](0x2c, 6, 0, 2, 0, 3, 0, 2, 0)
+    val at = gif.indexOfSlice(desc)
+    assert(at > 0, "fixture descriptor not found")
+    val patched = gif.clone()
+    patched(at + 1) = 13 // left = 13 > canvas width 12, top stays < H
+    val hashed = Multimodal.ContainerCodec.gifFrames(patched).get
+    val structural =
+      Multimodal.ContainerCodec.gifFrames(patched, maxHashFrames = 0).get
+    assert(hashed.frameCount == 2 && structural.frameCount == 2 &&
+      hashed.frameHashes.length == 2,
+      s"off-canvas dispose must not drop frames: $hashed / $structural")
+
+    // 2. trun sample_count x default duration are unvalidated u32s: a
+    //    hostile product must SATURATE, never wrap Long into a negative
+    //    duration
+    import spark.implicits._
+    val coded = Array.tabulate(90)(i => ((i * 13 + 5) % 251).toByte)
+    // TWO fragments: each trun contributes (2^32-1)(2^31-1) ~ 0.9999
+    // Long.MaxValue ticks, so the unsaturated sum wraps negative and
+    // the old `trunTicks > 0` gate silently reported duration 0
+    val fmp4 = Multimodal.minimalFmp4(600, 320, 240,
+      Seq((coded.take(45), Seq(Int.MaxValue)),
+        (coded.drop(45), Seq(Int.MaxValue))),
+      perSampleDurations = false)
+    val hostile = fmp4.clone()
+    var i = 0
+    var patchedTruns = 0
+    while (i + 12 <= hostile.length) {
+      if (hostile(i) == 't' && hostile(i + 1) == 'r' &&
+        hostile(i + 2) == 'u' && hostile(i + 3) == 'n') {
+        // tag..: ver/flags(4) then sample_count(4) -> 0xFFFFFFFF
+        for (k <- 8 until 12) hostile(i + k) = 0xff.toByte
+        patchedTruns += 1
+      }
+      i += 1
+    }
+    assert(patchedTruns == 2, s"expected 2 trun boxes, saw $patchedTruns")
+    val f = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(1L, hostile, "video/mp4", 0, 0)).toDF())
+      .collect().head
+    assert(f.feature(0) > 0f && !f.feature(0).isNaN,
+      s"hostile trun product must saturate positive, got ${f.feature(0)}")
+  }
+
   test("multimodal: APNG + animated WebP — frame surfaces pair across containers") {
     import spark.implicits._
     val W = 14; val H = 9
@@ -1278,6 +1336,50 @@ class ExtSpec extends SparkSpec {
     assert(census == Map(("video/webm", "container") -> 1L,
       ("video/x-matroska", "container") -> 1L,
       ("video/webm", "byte-stats") -> 1L), s"census $census")
+  }
+
+  test("multimodal: exifWebp carries the spec-shaped VP8X envelope (ADVICE r12)") {
+    import spark.implicits._
+    def tagAt(b: Array[Byte], off: Int) = new String(b, off, 4, "US-ASCII")
+    val plane = Array.tabulate(6 * 4)(p => ((p * 19) % 251).toByte)
+    // simple-format input: a VP8X header must be SYNTHESIZED in front
+    // (EXIF is an extended-format feature), canvas lifted from VP8L
+    val simple = Multimodal.exifWebp(Multimodal.encodeWebpL(6, 4, plane),
+      orientation = 3, make = "graftcam", model = "gx-300",
+      takenAt = "2024:05:06 07:08:09")
+    assert(tagAt(simple, 12) == "VP8X", "first chunk must be VP8X")
+    assert((simple(20) & 0x08) != 0, "VP8X EXIF flag must be set")
+    val cw = ((simple(24) & 0xff) | ((simple(25) & 0xff) << 8) |
+      ((simple(26) & 0xff) << 16)) + 1
+    val chh = ((simple(27) & 0xff) | ((simple(28) & 0xff) << 8) |
+      ((simple(29) & 0xff) << 16)) + 1
+    assert(cw == 6 && chh == 4, s"VP8X canvas ${cw}x$chh")
+    assert(tagAt(simple, 12 + 18) == "VP8L",
+      "bitstream chunk must follow the synthesized VP8X")
+    // an input that ALREADY has a VP8X (animation) keeps it, gains the
+    // EXIF flag, and both surfaces still parse
+    val anim = Multimodal.encodeWebpAnim(6, 4, Seq(
+      Multimodal.WebpFrameSpec(
+        plane.map(v => 0xff000000 | ((v & 0xff) * 0x010101)), 6, 4,
+        durationMs = 40)))
+    val taggedAnim = Multimodal.exifWebp(anim, orientation = 6,
+      make = "graftcam", model = "gx-500",
+      takenAt = "2026:01:02 03:04:05")
+    assert(tagAt(taggedAnim, 12) == "VP8X" &&
+      (taggedAnim(20) & 0x08) != 0 && (taggedAnim(20) & 0x02) != 0,
+      "existing VP8X must keep animation flag and gain EXIF flag")
+    val af = Multimodal.ContainerCodec.animFrames(taggedAnim)
+    assert(af.exists(_._2.frameCount == 1),
+      s"animation surface survives: $af")
+    val rows = Multimodal.exifTable(spark,
+        Seq((1L, simple), (2L, taggedAnim)).toDF("doc_id", "media"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rows(1L).orientation.contains(3) &&
+      rows(1L).model.contains("gx-300"), s"${rows(1L)}")
+    assert(rows(2L).orientation.contains(6) &&
+      rows(2L).model.contains("gx-500"), s"${rows(2L)}")
+    // and the pixel path still sees through the envelope
+    assert(Multimodal.ContainerCodec.grayPlane(simple).exists(_._2 == 6))
   }
 
   test("multimodal: EXIF provenance — fields extracted, no-EXIF and truncation are null") {
