@@ -114,7 +114,7 @@ object AudioDsp {
     }
   }
 
-  private[ext] def hann(n: Int): Array[Double] =
+  private[graft] def hann(n: Int): Array[Double] =
     Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))))
 
   /** WAV -> normalized mono samples + sample rate across the full
@@ -359,12 +359,18 @@ object AudioDsp {
   private[graft] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null) return None
     if (Flac.isFlac(bytes)) return Flac.decode(bytes) // lossless: same signal
-    if (!Multimodal.ContainerCodec.isWav(bytes)) return None
+    if (!Multimodal.ContainerCodec.isWav(bytes))
+      // bare MP3 (round 13): lossy, but the decoded signal shares its
+      // spectral peaks with the master, which is all landmarks need
+      return if (Mp3.isMp3(bytes)) Mp3.decode(bytes) else None
     val (format, channels, sampleRate, bits, dataOff, dataLen, blockAlign) =
       Multimodal.ContainerCodec.wavLayout(bytes) match {
         case Some(l) => l
         case None    => return None
       }
+    if (format == 0x55) // MP3-in-WAV: the data chunk IS an MP3 stream
+      return Mp3.decode(
+        java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen))
     if (format == 0x11)
       return imaMono(bytes, channels, dataOff, dataLen, blockAlign)
         .map((_, sampleRate))

@@ -50,7 +50,7 @@ object AudioFingerprint {
     * < frameSize/2+1, dt < 2^10). Deterministic; empty for signals
     * shorter than one frame.
     */
-  private[ext] def landmarks(
+  private[graft] def landmarks(
       x: Array[Double], p: Params): Array[Long] = {
     val nFrames =
       if (x.length < p.frameSize) 0 else (x.length - p.frameSize) / p.hop + 1
@@ -265,6 +265,26 @@ object AudioFingerprint {
           * scale).toInt)
     }.toArray
     Flac.encode(q, sampleRate, bits = bits)
+  }
+
+  /** The MP3 twin of [[tonesWav]]: the SAME quantized samples through
+    * the real Layer III fixture encoder ([[Mp3.encode]]) — here the
+    * re-encode is LOSSY, so the decoded signal is not bit-identical to
+    * the master; the landmark regime pairs them anyway because the
+    * spectral PEAKS survive the codec's quantization (the planted
+    * cross-codec dup class the mp3 gate pins). `sampleRate` must be an
+    * MPEG-1 rate (32000/44100/48000).
+    */
+  def tonesMp3(
+      sampleRate: Int,
+      tones: Seq[(Double, Int)],
+      amplitude: Double = 0.5): Array[Byte] = {
+    val pcm = tones.flatMap { case (freq, len) =>
+      (0 until len).map(i => math.round(
+        amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
+          * 32767.0) / 32768.0)
+    }.toArray
+    Mp3.encode(pcm, sampleRate)
   }
 
   def tonesWav(

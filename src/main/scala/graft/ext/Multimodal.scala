@@ -183,7 +183,8 @@ object Multimodal {
           if (format == 0xfffe && sz >= 40)
             format = u16le(b, off + 8 + 24) // SubFormat GUID leads with it
           if (format != 1 && format != 2 && format != 3 &&
-            format != 0x11 && format != 6 && format != 7) return None
+            format != 0x11 && format != 6 && format != 7 &&
+            format != 0x55) return None // 0x55: MP3-in-WAV (decodable r13)
           channels = u16le(b, off + 10)
           sampleRate = u32le(b, off + 12).toInt
           blockAlign = u16le(b, off + 20)
@@ -669,10 +670,13 @@ object Multimodal {
         blockAlign) =
         wavLayout(b) match {
           case Some(layout) => layout
-          // not a decodable sample layout: the MP3-in-WAV wrapper still
-          // yields container geometry; anything else falls to byte-stats
+          // not a decodable sample layout: anything unknown falls
+          // through the MP3-in-WAV route to byte-stats
           case None         => return wavMp3Features(r)
         }
+      // fmt 0x55 (MP3-in-WAV) has its own mime/duration conventions —
+      // route it whole (since r13 it decodes to pcm there)
+      if (format == 0x55) return wavMp3Features(r)
       val durationSec =
         if (format == 0x11 && blockAlign > 8) {
           // IMA: (1 + 2*(blockAlign/channels - 4)) samples per block
@@ -2229,20 +2233,36 @@ object Multimodal {
         (channels, sampleRate, durationSec, bitrate)
       }
 
-    private def decodeMp3(r: MediaRow): Option[MediaFeatures] =
+    private def decodeMp3(r: MediaRow): Option[MediaFeatures] = {
+      // full sample decode first (r13, ext.Mp3): MPEG-1 Layer III
+      // within the embedded-table surface is a "pcm" row with the WAV
+      // feature layout; MPEG-2/2.5, intensity stereo, and unembedded
+      // Huffman tables keep the census-visible container treatment
+      Mp3.decode(r.media) match {
+        case Some((x, sampleRate)) if x.nonEmpty =>
+          val (channels, _, _, _) =
+            mp3Geometry(r.media).getOrElse((1, sampleRate, 0.0, 0))
+          return Some(MediaFeatures(r.doc_id, r.media.length, "audio/mpeg",
+            "pcm", byteChecksum(r.media),
+            Array(channels.toFloat, sampleRate.toFloat,
+              (x.length.toDouble / sampleRate).toFloat, rmsOf(x))))
+        case _ => ()
+      }
       mp3Geometry(r.media).map { case (channels, sampleRate, dur, bitrate) =>
         MediaFeatures(r.doc_id, r.media.length, "audio/mpeg", "container",
           byteChecksum(r.media),
           Array(channels.toFloat, sampleRate.toFloat, dur.toFloat,
             bitrate.toFloat))
       }
+    }
 
     /** MP3-in-WAV (fmt tag 0x55 — the one compressed WAV wrapper left
       * after PCM/float/ADPCM/G.711 gained real decodes): the `data`
-      * chunk IS an MP3 bitstream, so its duration/bitrate route through
-      * the existing MP3 header walk (Xing-exact when tagged). Decode
-      * stays the documented codec boundary; the census counts these on
-      * the container side under the ogg-style suffixed mime.
+      * chunk IS an MP3 bitstream. Since r13 a stream inside the
+      * embedded-table surface decodes for REAL ([[Mp3.decode]]) and
+      * counts as "pcm"; anything outside keeps duration/bitrate from
+      * the MP3 header walk (Xing-exact when tagged) on the container
+      * side under the ogg-style suffixed mime.
       */
     private def wavMp3Features(r: MediaRow): Option[MediaFeatures] = try {
       val b = r.media
@@ -2263,6 +2283,19 @@ object Multimodal {
       }
       if (fmt != 0x55 || dataOff < 0 || dataLen <= 0) return None
       val stream = java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+      // full sample decode first (r13): a decodable stream is a "pcm"
+      // row with the WAV feature layout; outside the decoder's surface
+      // it keeps the container-geometry treatment
+      Mp3.decode(stream) match {
+        case Some((x, sampleRate)) if x.nonEmpty =>
+          val (channels, _, _, _) =
+            mp3Geometry(stream).getOrElse((1, sampleRate, 0.0, 0))
+          return Some(MediaFeatures(r.doc_id, b.length, "audio/wav-mp3",
+            "pcm", byteChecksum(b),
+            Array(channels.toFloat, sampleRate.toFloat,
+              (x.length.toDouble / sampleRate).toFloat, rmsOf(x))))
+        case _ => ()
+      }
       mp3Geometry(stream).map { case (channels, sampleRate, dur, bitrate) =>
         MediaFeatures(r.doc_id, b.length, "audio/wav-mp3", "container",
           byteChecksum(b),
@@ -2270,6 +2303,15 @@ object Multimodal {
             bitrate.toFloat))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** RMS of a decoded mono signal (shared by the pcm feature rows). */
+    private def rmsOf(x: Array[Double]): Float = {
+      if (x.isEmpty) return 0f
+      var sum = 0.0
+      var i = 0
+      while (i < x.length) { sum += x(i) * x(i); i += 1 }
+      math.sqrt(sum / x.length).toFloat
+    }
 
     private[ext] def isOgg(b: Array[Byte]): Boolean =
       b.length >= 47 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
@@ -2562,6 +2604,143 @@ object Multimodal {
         true
       }
       if (ok && any) Some(h) else None
+    }
+
+    // --------------------------------------------- AVIF / HEIC (r13)
+
+    /** ftyp major + compatible brands (bounded: first box only). */
+    private def ftypBrands(b: Array[Byte]): Seq[String] = {
+      if (!isMp4(b)) return Nil
+      val sz = u32be(b, 0)
+      if (sz < 16 || sz > b.length) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      out += tag(b, 8) // major brand
+      var off = 16     // skip minor version; then compatible brands
+      while (off + 4 <= sz) { out += tag(b, off); off += 4 }
+      out.toSeq
+    }
+
+    /** The suffixed census mime of an ISO-BMFF IMAGE container, or None
+      * for ordinary video MP4. Brand precedence: the MAJOR brand
+      * decides; compatible brands only rescue a generic major (mif1/
+      * msf1). Sequences ("image sequence" = animation) get the ogg-
+      * style suffixed mime so the census splits still vs animated.
+      */
+    private[ext] def isoImageMime(b: Array[Byte]): Option[String] = {
+      val brands = ftypBrands(b)
+      if (brands.isEmpty) return None
+      val major = brands.head
+      def classify(br: String): Option[String] = br match {
+        case "avif" => Some("image/avif")
+        case "avis" => Some("image/avif-seq")
+        case "heic" | "heix" => Some("image/heic")
+        case "hevc" | "hevx" => Some("image/heic-seq")
+        case "mif1" => Some("image/heif")
+        case "msf1" => Some("image/heif-seq")
+        case _ => None
+      }
+      classify(major).orElse {
+        if (major == "mif1" || major == "msf1")
+          brands.tail.iterator.flatMap(classify(_)).nextOption()
+        else None
+      }
+    }
+
+    /** AVIF/HEIC/HEIF geometry + census row, zero codec work (the MP4
+      * discipline on the image-file heap): `meta/iprp/ipco/ispe` gives
+      * the spatial extents (max over properties — thumbnails and alpha
+      * planes carry their own ispe), `meta/iinf` the item count, and
+      * for image SEQUENCES (avis/msf1/hevc) the moov walk gives frame
+      * count (stts sample-count sum) and duration (mvhd). AV1/HEVC
+      * payload decode stays the documented codec boundary — these rows
+      * were previously invisible (no geometry, no census class at
+      * all), which is exactly the blind spot the census exists to
+      * count. Feature layout: [width, height, items, frames,
+      * durationSec].
+      */
+    private def decodeHeif(r: MediaRow, mime: String)
+        : Option[MediaFeatures] = {
+      val b = r.media
+      var w = 0L; var h = 0L
+      var items = 0L
+      var frames = 0L
+      var mvhdTs = 0L; var mvhdDur = 0L
+      val ok = walkBoxes(b, 0, b.length) { (typ, po, pe) =>
+        typ match {
+          case "meta" if pe - po >= 4 =>
+            walkBoxes(b, po + 4, pe) { (t2, qo, qe) =>
+              t2 match {
+                case "iinf" if qe - qo >= 8 =>
+                  val ver = b(qo) & 0xff
+                  items =
+                    if (ver == 0)
+                      ((b(qo + 4) & 0xff) << 8) | (b(qo + 5) & 0xff)
+                    else u32be(b, qo + 4)
+                case "iprp" =>
+                  walkBoxes(b, qo, qe) { (t3, ro, re) =>
+                    if (t3 == "ipco")
+                      walkBoxes(b, ro, re) { (t4, so, se) =>
+                        if (t4 == "ispe" && se - so >= 12) {
+                          w = math.max(w, u32be(b, so + 4))
+                          h = math.max(h, u32be(b, so + 8))
+                        }
+                        true
+                      }
+                    else true
+                  }
+                case _ => ()
+              }
+              true
+            }
+          case "moov" =>
+            walkBoxes(b, po, pe) { (t2, qo, qe) =>
+              t2 match {
+                case "mvhd" if qe - qo >= 20 =>
+                  val ver = b(qo) & 0xff
+                  if (ver == 1 && qe - qo >= 28) {
+                    mvhdTs = u32be(b, qo + 20)
+                    mvhdDur = (u32be(b, qo + 24) << 32) | u32be(b, qo + 28)
+                  } else {
+                    mvhdTs = u32be(b, qo + 12)
+                    mvhdDur = u32be(b, qo + 16)
+                  }
+                case "trak" =>
+                  // stts sample-count sum anywhere under the trak
+                  def sumStts(o0: Int, e0: Int): Unit = {
+                    walkBoxes(b, o0, e0) { (t3, ro, re) =>
+                      t3 match {
+                        case "stts" if re - ro >= 8 =>
+                          val n = u32be(b, ro + 4)
+                          var i = 0L
+                          var fo = ro + 8
+                          while (i < n && fo + 8 <= re) {
+                            frames += u32be(b, fo)
+                            fo += 8
+                            i += 1
+                          }
+                        case "mdia" | "minf" | "stbl" => sumStts(ro, re)
+                        case _ => ()
+                      }
+                      true
+                    }
+                    ()
+                  }
+                  sumStts(qo, qe)
+                case _ => ()
+              }
+              true
+            }
+          case _ => ()
+        }
+        true
+      }
+      if (!ok || (w == 0 && h == 0)) return None
+      val durationSec =
+        if (mvhdTs > 0) mvhdDur.toDouble / mvhdTs else 0.0
+      Some(MediaFeatures(r.doc_id, b.length, mime, "container",
+        byteChecksum(b),
+        Array(w.toFloat, h.toFloat, items.toFloat, frames.toFloat,
+          durationSec.toFloat)))
     }
 
     // ------------------------------------------------- EBML (WebM/MKV)

@@ -1783,7 +1783,12 @@ object ExtQueries {
         o.write(Array[Byte](12, 0, 0, 0)); o.write(p)
         o.toByteArray
       }
-      val mp3 = {
+      // a REAL Layer III stream (decodes -> pcm since r13) and a
+      // header-only torso (geometry parses, decode refuses: the
+      // container class stays census-visible)
+      val mp3Pcm = AudioFingerprint.tonesMp3(32000,
+        Seq((440.0, 2048), (880.0, 2048)), 0.5)
+      val mp3Container = {
         val o = new java.io.ByteArrayOutputStream()
         o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
         o.write(new Array[Byte](400))
@@ -1793,14 +1798,15 @@ object ExtQueries {
         val o = new java.io.ByteArrayOutputStream()
         def le32(v: Int): Unit = (0 until 4).foreach(i =>
           o.write((v >> (8 * i)) & 0xff))
-        o.write("RIFF".getBytes("US-ASCII")); le32(4 + 24 + 8 + mp3.length)
+        o.write("RIFF".getBytes("US-ASCII"))
+        le32(4 + 24 + 8 + mp3Pcm.length)
         o.write("WAVE".getBytes("US-ASCII"))
         o.write("fmt ".getBytes("US-ASCII")); le32(16)
         o.write(0x55); o.write(0); o.write(2); o.write(0)
         le32(44100); le32(16000)
         o.write(1); o.write(0); o.write(0); o.write(0)
-        o.write("data".getBytes("US-ASCII")); le32(mp3.length)
-        o.write(mp3)
+        o.write("data".getBytes("US-ASCII")); le32(mp3Pcm.length)
+        o.write(mp3Pcm)
         o.toByteArray
       }
       def oggId(packet: Array[Byte]) = {
@@ -1841,7 +1847,8 @@ object ExtQueries {
         (1, "image/webp", lossyWebp),
         (2, "audio/wav", AudioDsp.pcmWav(tone.map(_ / 32767.0), 8000)),
         (3, "audio/flac", graft.ext.Flac.encode(tone, 8000)),
-        (4, "audio/mpeg", mp3),
+        (4, "audio/mpeg", mp3Pcm),
+        (13, "audio/mpeg", mp3Container),
         (12, "audio/wav", mp3Wav),
         (5, "audio/ogg", vorbis),
         (6, "audio/ogg", opus),
@@ -2027,6 +2034,36 @@ object ExtQueries {
       AudioFingerprint.audioNearDups(s,
           (wavs ++ flacs).toDF("doc_id", "media"))
         .select("id_a", "id_b") // shared-count stays frozen-golden land
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Duplicate AUDIO across a LOSSY codec boundary (oracled on PLANTED
+    // truth, the flac-gate discipline): 12 recordings as 16-bit WAV at
+    // an MPEG-1 rate plus 6 of them re-encoded as REAL MPEG-1 Layer III
+    // streams (ext.Mp3 — full side-info/Huffman/IMDCT/polyphase decode,
+    // the r12 verdict's top_next). Unlike FLAC the decoded signal is
+    // NOT bit-identical — the pairing survives because landmarks are
+    // spectral peaks and the codec's quantization noise sits far below
+    // them. Tones are 125 Hz (= 2 FFT bins at 32 kHz / 512) apart so
+    // distinct recordings share no peak bins, and recording RANGES sit
+    // a further 500 Hz apart: the codec's residual inter-band alias
+    // ghosts (stopband ~-68 dB, exposed only where quantization breaks
+    // the filterbank's exact cancellation) land in a band's immediate
+    // neighborhood, so the gap keeps distinct recordings at ZERO
+    // shared landmarks (measured: 31-45 shared planted vs 0 cross).
+    // The oracle is the closed-form planted pair list.
+    "ext_audio_mp3_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def tones(k: Int) =
+        (0 until 6).map(i =>
+          (400.0 + (k * 6 + i) * 125.0 + k * 500.0, 4096))
+      val wavs = (0 until 12).map(k =>
+        (k.toLong, AudioFingerprint.tonesWav(32000, tones(k), 0.5)))
+      val mp3s = (0 until 6).map(k =>
+        (100L + k, AudioFingerprint.tonesMp3(32000, tones(k), 0.5)))
+      AudioFingerprint.audioNearDups(s,
+          (wavs ++ mp3s).toDF("doc_id", "media"))
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
 
@@ -3695,6 +3732,10 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
+    "ext_audio_mp3_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
     "ext_audio_incr" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
@@ -3877,11 +3918,12 @@ object ExtQueries {
       """SELECT * FROM (VALUES
         |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
         |  ('audio/flac', 'lossless', 3),
-        |  ('audio/mpeg', 'container', 4),
+        |  ('audio/mpeg', 'container', 13),
+        |  ('audio/mpeg', 'pcm', 4),
         |  ('audio/ogg-opus', 'container', 6),
         |  ('audio/ogg-vorbis', 'container', 5),
         |  ('audio/wav', 'pcm', 2),
-        |  ('audio/wav-mp3', 'container', 12),
+        |  ('audio/wav-mp3', 'pcm', 12),
         |  ('image/bmp', 'pixels', 5),
         |  ('image/gif', 'pixels', 4),
         |  ('image/jpeg', 'pixels', 3),
