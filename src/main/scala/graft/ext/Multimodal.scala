@@ -1187,13 +1187,15 @@ object Multimodal {
       }
 
     /** Blit an RGBA region onto the canvas at (x0, y0), clipped.
-      * `over` applies the engine's deterministic integer Porter-Duff
-      * OVER (oa = fa + ba·(255−fa)/255, colors premultiplied-mixed at
-      * (fc·fa·255 + bc·ba·(255−fa)) / (oa·255), all truncating —
-      * APNG/WebP specify float compositing; a hash needs one integer
-      * convention, and for the binary-alpha frames real animations
-      * overwhelmingly carry the two agree exactly); otherwise SOURCE
-      * (copy, alpha included).
+      * `over` applies Porter-Duff OVER exactly as APNG/WebP specify it:
+      * binary-alpha pixels (fa 255 → copy, fa 0 → canvas stands) take
+      * the exact integer fast path — that is the overwhelming real-
+      * animation case — and fractional alpha composites in double
+      * precision (oa = fa + ba·(1−fa), c = (fc·fa + bc·ba·(1−fa)) / oa
+      * on [0,1]-normalized values) with round-half-up quantization back
+      * to 8 bits, so a fade composited here lands the same bytes as the
+      * spec's float-reference computation. Otherwise SOURCE (copy,
+      * alpha included).
       */
     private def blitRgba(canvas: Array[Byte], cw: Int, ch: Int,
         frame: Array[Byte], fw: Int, fh: Int, x0: Int, y0: Int,
@@ -1210,23 +1212,17 @@ object Multimodal {
             canvas(po + 2) = frame(fo + 2); canvas(po + 3) = frame(fo + 3)
           } else if (fa > 0) {
             val ba = canvas(po + 3) & 0xff
-            val ia = 255 - fa
-            val oa = fa + ba * ia / 255
-            if (oa == 0) {
-              canvas(po) = 0; canvas(po + 1) = 0; canvas(po + 2) = 0
-              canvas(po + 3) = 0
-            } else {
-              // clamped: the truncating oa can undercount the real
-              // output alpha by a fraction, which at near-zero alphas
-              // would push the quotient past 255 and WRAP in toByte
-              def mix(fc: Int, bc: Int): Byte =
-                math.min(255,
-                  (fc * fa * 255 + bc * ba * ia) / (oa * 255)).toByte
-              canvas(po) = mix(frame(fo) & 0xff, canvas(po) & 0xff)
-              canvas(po + 1) = mix(frame(fo + 1) & 0xff, canvas(po + 1) & 0xff)
-              canvas(po + 2) = mix(frame(fo + 2) & 0xff, canvas(po + 2) & 0xff)
-              canvas(po + 3) = oa.toByte
-            }
+            val faf = fa / 255.0
+            val bw = (ba / 255.0) * (1.0 - faf) // background weight
+            val oaf = faf + bw
+            // oaf >= faf > 0 here, so the quotient is always defined
+            def mix(fc: Int, bc: Int): Byte =
+              math.min(255L,
+                math.round((fc * faf + bc * bw) / oaf)).toByte
+            canvas(po) = mix(frame(fo) & 0xff, canvas(po) & 0xff)
+            canvas(po + 1) = mix(frame(fo + 1) & 0xff, canvas(po + 1) & 0xff)
+            canvas(po + 2) = mix(frame(fo + 2) & 0xff, canvas(po + 2) & 0xff)
+            canvas(po + 3) = math.round(oaf * 255.0).toInt.min(255).toByte
           } // fa == 0 under OVER: the canvas pixel stands
           x += 1
         }
@@ -2635,15 +2631,15 @@ object Multimodal {
         case "avis" => Some("image/avif-seq")
         case "heic" | "heix" => Some("image/heic")
         case "hevc" | "hevx" => Some("image/heic-seq")
-        case "mif1" => Some("image/heif")
-        case "msf1" => Some("image/heif-seq")
         case _ => None
       }
-      classify(major).orElse {
-        if (major == "mif1" || major == "msf1")
-          brands.tail.iterator.flatMap(classify(_)).nextOption()
-        else None
-      }
+      classify(major).orElse(major match {
+        case "mif1" => Some(brands.tail.iterator.flatMap(classify(_))
+          .nextOption().getOrElse("image/heif"))
+        case "msf1" => Some(brands.tail.iterator.flatMap(classify(_))
+          .nextOption().getOrElse("image/heif-seq"))
+        case _ => None
+      })
     }
 
     /** AVIF/HEIC/HEIF geometry + census row, zero codec work (the MP4
@@ -2697,7 +2693,7 @@ object Multimodal {
               t2 match {
                 case "mvhd" if qe - qo >= 20 =>
                   val ver = b(qo) & 0xff
-                  if (ver == 1 && qe - qo >= 28) {
+                  if (ver == 1 && qe - qo >= 32) {
                     mvhdTs = u32be(b, qo + 20)
                     mvhdDur = (u32be(b, qo + 24) << 32) | u32be(b, qo + 28)
                   } else {
@@ -3047,7 +3043,14 @@ object Multimodal {
           else if (Flac.isFlac(r.media)) decodeFlac(r)
           else if (isJpeg(r.media)) decodeJpeg(r)
           else if (isWebp(r.media)) decodeWebp(r)
-          else if (isMp4(r.media)) decodeMp4(r)
+          else if (isMp4(r.media)) isoImageMime(r.media) match {
+            // AVIF/HEIC/HEIF: image-branded ISO-BMFF routes to the
+            // meta/ispe geometry walk; a malformed image brand falls
+            // to byte-stats (NOT video semantics), which is exactly
+            // what the census should count
+            case Some(m) => decodeHeif(r, m)
+            case None    => decodeMp4(r)
+          }
           else if (isEbml(r.media)) decodeWebm(r)
           else if (isGif(r.media))
             gifRgb(r.media).map { case (px, w, h) =>
@@ -3167,6 +3170,78 @@ object Multimodal {
       else mp4Box("free", new Array[Byte](freePad))
     if (moovFirst) mp4Ftyp ++ moov ++ free ++ mdatBox
     else mp4Ftyp ++ mdatBox ++ free ++ moov
+  }
+
+  /** Deterministic AVIF/HEIC/HEIF synthesizer — the [[minimalMp4]]
+    * analog for the ISO-BMFF IMAGE heap: `ftyp` with the image brand,
+    * `meta{hdlr(pict), iinf{infe ×items}, iprp{ipco{ispe (+ a smaller
+    * alpha/thumbnail ispe)}}}` and, for image SEQUENCES, `moov{mvhd,
+    * trak{mdia{minf{stbl{stts}}}}}` with per-entry sample counts.
+    * AV1/HEVC payload stays out — this synthesizes exactly the
+    * envelope the census geometry walk reads, so gate parameters stay
+    * SQL-restatable while the walk runs on real ISO-BMFF bytes.
+    */
+  def minimalHeif(majorBrand: String, width: Int, height: Int,
+      items: Int = 1,
+      compatBrands: Seq[String] = Nil,
+      alphaIspe: Option[(Int, Int)] = None,
+      sttsCounts: Seq[Int] = Nil,
+      timescale: Int = 0, durationTicks: Long = 0L,
+      mvhdV1: Boolean = false): Array[Byte] = {
+    require(majorBrand.length == 4 && compatBrands.forall(_.length == 4),
+      s"minimalHeif: brands must be 4cc ($majorBrand $compatBrands)")
+    require(width > 0 && height > 0 && items >= 1,
+      s"minimalHeif: $width x $height items=$items")
+    require(sttsCounts.forall(_ >= 0) && timescale >= 0,
+      s"minimalHeif: stts=$sttsCounts timescale=$timescale")
+    val ftyp = mp4Box("ftyp",
+      majorBrand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        compatBrands.flatMap(_.getBytes("US-ASCII")).toArray)
+    val hdlr = mp4Box("hdlr",
+      java.nio.ByteBuffer.allocate(25).putInt(0).putInt(0)
+        .put("pict".getBytes("US-ASCII")).array()) // 12 reserved + nul
+    val infes = (1 to items).map { i =>
+      mp4Box("infe", java.nio.ByteBuffer.allocate(13)
+        .putInt(0x02000000)              // version 2 + flags
+        .putShort(i.toShort).putShort(0) // item_ID, protection
+        .put((if (majorBrand.startsWith("avi")) "av01" else "hvc1")
+          .getBytes("US-ASCII"))
+        .array())                        // trailing nul item name
+    }
+    val iinf = mp4Box("iinf",
+      java.nio.ByteBuffer.allocate(6).putInt(0) // version 0 + flags
+        .putShort(items.toShort).array() ++ infes.flatten)
+    def ispe(w: Int, h: Int) = mp4Box("ispe",
+      java.nio.ByteBuffer.allocate(12).putInt(0).putInt(w).putInt(h)
+        .array())
+    val ipco = mp4Box("ipco", ispe(width, height) ++
+      alphaIspe.map { case (w, h) => ispe(w, h) }
+        .getOrElse(Array.empty[Byte]))
+    val meta = mp4Box("meta",
+      Array[Byte](0, 0, 0, 0) ++ hdlr ++ iinf ++ mp4Box("iprp", ipco))
+    val moov =
+      if (sttsCounts.isEmpty) Array.empty[Byte]
+      else {
+        val mvhd = mp4Box("mvhd",
+          if (mvhdV1)
+            java.nio.ByteBuffer.allocate(32)
+              .putInt(0x01000000)        // version 1
+              .putLong(0L).putLong(0L)   // creation, modification
+              .putInt(timescale).putLong(durationTicks).array()
+          else
+            java.nio.ByteBuffer.allocate(20)
+              .putInt(0).putInt(0).putInt(0)
+              .putInt(timescale).putInt(durationTicks.toInt).array())
+        val stts = {
+          val bb = java.nio.ByteBuffer.allocate(8 + sttsCounts.length * 8)
+          bb.putInt(0).putInt(sttsCounts.length)
+          sttsCounts.foreach(n => bb.putInt(n).putInt(1)) // count, delta
+          mp4Box("stts", bb.array())
+        }
+        mp4Box("moov", mvhd ++ mp4Box("trak", mp4Box("mdia",
+          mp4Box("minf", mp4Box("stbl", stts)))))
+      }
+    ftyp ++ meta ++ moov
   }
 
   /** Deterministic FRAGMENTED-MP4 synthesizer (DASH/live-capture

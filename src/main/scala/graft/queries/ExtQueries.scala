@@ -1752,8 +1752,8 @@ object ExtQueries {
     // THE DISPATCH TABLE, oracled in one row set: one synthesized
     // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
     // lossless-WebP pixels, WAV pcm, FLAC lossless, lossy-WebP/MP3/
-    // Ogg-Vorbis/Opus/MP4/WebM/Matroska container, junk byte-stats —
-    // with a DISTINCT
+    // Ogg-Vorbis/Opus/MP4/WebM/Matroska/AVIF/HEIC/HEIF container,
+    // junk byte-stats — with a DISTINCT
     // planted count per class, rolled up by decodeCensus. Every
     // misrouted or regressed decoder moves a count and fails the hash:
     // the whole media-regime inventory is pinned by one CORRECTNESS
@@ -1853,6 +1853,20 @@ object ExtQueries {
         (5, "audio/ogg", vorbis),
         (6, "audio/ogg", opus),
         (7, "video/mp4", Multimodal.minimalMp4(600, 1200, 1, 320, 240)),
+        // the ISO-BMFF IMAGE heap (r13): stills, a sequence, and the
+        // generic mif1 brand rescued by its compatible avif — four
+        // census classes that were previously INVISIBLE (no geometry,
+        // no class at all); AV1/HEVC payload decode stays the
+        // documented codec boundary, which is why these count as
+        // "container", never "pixels"
+        (14, "image/avif", Multimodal.minimalHeif("avif", 64, 48)),
+        (15, "image/avif", Multimodal.minimalHeif("avis", 64, 48,
+          items = 2, sttsCounts = Seq(5, 3), timescale = 100,
+          durationTicks = 240)),
+        (16, "image/heic", Multimodal.minimalHeif("heic", 96, 72,
+          alphaIspe = Some((24, 18)))),
+        (17, "image/heif", Multimodal.minimalHeif("mif1", 80, 60,
+          compatBrands = Seq("miaf"))),
         (10, "video/webm", Multimodal.minimalWebm(1000000L, 3000.0,
           320, 240, Seq(Array.tabulate(60)(i => ((i * 7) % 251).toByte)))),
         (11, "video/x-matroska", Multimodal.minimalWebm(1000000L, 800.0,
@@ -2201,6 +2215,23 @@ object ExtQueries {
           element_at(col("feature"), 4).cast("int").as("height"))
         .orderBy("doc_id")),
 
+    // AVIF/HEIC/HEIF geometry (oracled, closed form): the engine must
+    // recover width/height (ispe, max over properties — alpha planes
+    // ride along smaller), item count (iinf), sequence frame count
+    // (stts sum) and duration (mvhd v0 AND v1) through the real
+    // ISO-BMFF bytes it wrote — the blind spot the r12 verdict ranked
+    // #3 becomes a queryable, hash-pinned census class
+    "ext_image_heif_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, heifMedia(s, dir)).toDF()
+        .select(col("doc_id"), col("format"), col("kind"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("int").as("items"),
+          element_at(col("feature"), 4).cast("int").as("frames"),
+          round(element_at(col("feature"), 5).cast("double"), 3)
+            .as("duration_sec"))
+        .orderBy("doc_id")),
+
     // Decode-coverage census (fully oracled): fake payloads MUST all
     // fall back to byte-stats, synthesized WAVs MUST all decode as real
     // PCM, synthesized MP4s MUST all parse as real containers — any row
@@ -2485,6 +2516,39 @@ object ExtQueries {
           (1 + id % 3).toInt,
           (320 + (id % 4) * 160).toInt, (240 + (id % 4) * 120).toInt),
         "video/mp4", 0, 0)
+    }.toDF()
+  }
+
+  /** The ISO-BMFF image heap for the HEIF gates: one AVIF/HEIC/HEIF
+    * envelope per document, every parameter doc_id-derived in closed
+    * form (the [[videoMedia]] discipline) so the geometry walk is
+    * SQL-restatable. Brands cycle still/sequence/generic; sequences
+    * carry a real moov (mvhd v0/v1 + stts) for frame count/duration.
+    */
+  private def heifMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long].map { id =>
+      val w = (16 + (id % 7) * 9).toInt
+      val h = (12 + (id % 5) * 7).toInt
+      val brand = (id % 5) match {
+        case 0 => "avif"
+        case 1 => "avis"
+        case 2 => "heic"
+        case 3 => "mif1"
+        case _ => "msf1"
+      }
+      val seq = id % 5 == 1 || id % 5 == 4
+      Multimodal.MediaRow(id,
+        Multimodal.minimalHeif(brand, w, h,
+          items = (1 + id % 3).toInt,
+          compatBrands = if (brand == "mif1") Seq("miaf") else Nil,
+          alphaIspe = if (id % 2 == 0) Some((w / 2, h / 2)) else None,
+          sttsCounts =
+            if (seq) Seq((2 + id % 4).toInt, (1 + id % 3).toInt) else Nil,
+          timescale = if (seq) (50 + id % 10).toInt else 0,
+          durationTicks = if (seq) 100 + (id % 9) * 10 else 0L,
+          mvhdV1 = id % 4 == 1),
+        "image/avif", 0, 0)
     }.toDF()
   }
 
@@ -3924,8 +3988,12 @@ object ExtQueries {
         |  ('audio/ogg-vorbis', 'container', 5),
         |  ('audio/wav', 'pcm', 2),
         |  ('audio/wav-mp3', 'pcm', 12),
+        |  ('image/avif', 'container', 14),
+        |  ('image/avif-seq', 'container', 15),
         |  ('image/bmp', 'pixels', 5),
         |  ('image/gif', 'pixels', 4),
+        |  ('image/heic', 'container', 16),
+        |  ('image/heif', 'container', 17),
         |  ('image/jpeg', 'pixels', 3),
         |  ('image/png', 'pixels', 2),
         |  ('image/tiff', 'pixels', 6),
@@ -4311,6 +4379,25 @@ object ExtQueries {
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
         |  CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
         |  CAST(240 + (doc_id % 4) * 120 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the heifMedia fixture restated: brands cycle on doc_id % 5,
+    // geometry/items/frames/duration all closed-form
+    "ext_image_heif_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/avif'
+        |    WHEN 1 THEN 'image/avif-seq' WHEN 2 THEN 'image/heic'
+        |    WHEN 3 THEN 'image/heif' ELSE 'image/heif-seq' END AS format,
+        |  'container' AS kind,
+        |  CAST(16 + (doc_id % 7) * 9 AS INTEGER) AS width,
+        |  CAST(12 + (doc_id % 5) * 7 AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS items,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 4)
+        |    THEN 3 + doc_id % 4 + doc_id % 3 ELSE 0 END AS INTEGER)
+        |    AS frames,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 4)
+        |    THEN round((100 + (doc_id % 9) * 10) / (50.0 + doc_id % 10), 3)
+        |    ELSE 0.0 END AS DOUBLE) AS duration_sec
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every fake payload byte-stats, every synthesized WAV decodes as

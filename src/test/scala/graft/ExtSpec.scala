@@ -1236,6 +1236,128 @@ class ExtSpec extends SparkSpec {
     assert(cutApng.forall(_.frameCount <= 4), s"$cutApng")
   }
 
+  test("multimodal: fractional-alpha OVER blend is float-exact and container-independent") {
+    // a semi-transparent FADE: an opaque RGBA base, then three
+    // full-canvas overlays whose per-pixel alpha sweeps 0..255
+    // (mixing the binary fast path and the fractional float path in
+    // one frame). The engine's composited landmarks must equal an
+    // independent double-precision Porter-Duff reference bit-exactly,
+    // and the SAME fade in an animated WebP must land the SAME
+    // landmarks as the APNG (fractional alpha is no longer an
+    // integer-convention approximation).
+    val W = 11; val H = 7
+    def px(p: Int, f: Int, c: Int) = ((p * 29 + f * 71 + c * 91) % 251)
+    def alpha(p: Int, f: Int) = (p * 13 + f * 57) % 256
+    val base = Array.tabulate(W * H * 4) { i =>
+      val p = i / 4
+      (if (i % 4 == 3) 255 else px(p, 0, i % 4)).toByte
+    }
+    def overlay(f: Int) = Array.tabulate(W * H * 4) { i =>
+      val p = i / 4
+      (if (i % 4 == 3) alpha(p, f) else px(p, f, i % 4)).toByte
+    }
+    val frames = base +: (1 to 3).map(overlay)
+
+    // the independent float reference: byte canvas, double OVER per
+    // frame, round-half-up quantization — straight off the APNG spec
+    val canvas = new Array[Byte](W * H * 4)
+    val expected = frames.zipWithIndex.map { case (fr, fi) =>
+      var p = 0
+      while (p < W * H) {
+        val o = p * 4
+        val fa = fr(o + 3) & 0xff
+        if (fi == 0 || fa == 255) System.arraycopy(fr, o, canvas, o, 4)
+        else if (fa > 0) {
+          val faf = fa / 255.0
+          val bw = ((canvas(o + 3) & 0xff) / 255.0) * (1.0 - faf)
+          val oaf = faf + bw
+          var c = 0
+          while (c < 3) {
+            canvas(o + c) = math.min(255L, math.round(
+              ((fr(o + c) & 0xff) * faf + (canvas(o + c) & 0xff) * bw)
+                / oaf)).toByte
+            c += 1
+          }
+          canvas(o + 3) = math.round(oaf * 255.0).toInt.min(255).toByte
+        }
+        p += 1
+      }
+      val gray = Array.tabulate(W * H) { q =>
+        ((299 * (canvas(q * 4) & 0xff) + 587 * (canvas(q * 4 + 1) & 0xff) +
+          114 * (canvas(q * 4 + 2) & 0xff) + 500) / 1000).toByte
+      }
+      graft.functions.DHashPixels.computeGrid(gray, W, H)
+    }
+
+    val fadeApng = Multimodal.encodeApng(W, H, 6,
+      Multimodal.ApngFrameSpec(base, W, H, delayNum = 3) +:
+        (1 to 3).map(f => Multimodal.ApngFrameSpec(
+          overlay(f), W, H, delayNum = 3, blend = 1)))
+    val a = Multimodal.ContainerCodec.apngFrames(fadeApng).get
+    assert(a.frameHashes.toSeq == expected,
+      s"APNG fade landmarks must equal the float reference: " +
+        s"${a.frameHashes.toSeq} vs $expected")
+
+    def argb(fr: Array[Byte]) = Array.tabulate(W * H) { p =>
+      ((fr(p * 4 + 3) & 0xff) << 24) | ((fr(p * 4) & 0xff) << 16) |
+        ((fr(p * 4 + 1) & 0xff) << 8) | (fr(p * 4 + 2) & 0xff)
+    }
+    val fadeWebp = Multimodal.encodeWebpAnim(W, H,
+      Multimodal.WebpFrameSpec(argb(base), W, H, durationMs = 30) +:
+        (1 to 3).map(f => Multimodal.WebpFrameSpec(
+          argb(overlay(f)), W, H, durationMs = 30, blendOver = true)))
+    val wf = Multimodal.ContainerCodec.webpAnimFrames(fadeWebp).get
+    assert(wf.frameHashes.toSeq == expected,
+      s"WebP fade landmarks must equal the float reference (and the " +
+        s"APNG): ${wf.frameHashes.toSeq} vs $expected")
+  }
+
+  test("multimodal: AVIF/HEIC/HEIF — brand dispatch, ispe geometry, sequence walk") {
+    import spark.implicits._
+    def feats(rows: (Long, Array[Byte], String)*) =
+      Multimodal.extractFeatures(spark, rows.map { case (id, b, f) =>
+        Multimodal.MediaRow(id, b, f, 0, 0) }.toDF())
+        .collect().map(f => f.doc_id -> f).toMap
+
+    // still AVIF: meta-only, geometry from ispe, items from iinf;
+    // a smaller alpha-plane ispe must NOT move the canvas extents
+    val avif = Multimodal.minimalHeif("avif", 100, 60, items = 2,
+      alphaIspe = Some((50, 30)))
+    // HEIC via the generic mif1 major rescued by its compatible brand
+    val rescued = Multimodal.minimalHeif("mif1", 40, 30,
+      compatBrands = Seq("miaf", "heic"))
+    // plain mif1 stays generic HEIF
+    val heif = Multimodal.minimalHeif("mif1", 24, 16,
+      compatBrands = Seq("miaf"))
+    // AVIF sequence: moov rides along — stts sum + mvhd v1 duration
+    val avis = Multimodal.minimalHeif("avis", 64, 48, items = 2,
+      sttsCounts = Seq(5, 3), timescale = 100, durationTicks = 240,
+      mvhdV1 = true)
+    val f = feats((1L, avif, "image/avif"), (2L, rescued, "image/heif"),
+      (3L, heif, "image/heif"), (4L, avis, "image/avif"))
+    assert(f(1L).format == "image/avif" && f(1L).kind == "container" &&
+      f(1L).feature.toSeq == Seq(100f, 60f, 2f, 0f, 0f), s"${f(1L)}")
+    assert(f(2L).format == "image/heic", s"${f(2L)}")
+    assert(f(3L).format == "image/heif", s"${f(3L)}")
+    assert(f(4L).format == "image/avif-seq" &&
+      f(4L).feature.toSeq == Seq(64f, 48f, 2f, 8f, 2.4f), s"${f(4L)}")
+
+    // an ordinary video MP4 must still take the video path (no brand)
+    val mp4 = Multimodal.minimalMp4(600, 1200, 1, 320, 240)
+    val fv = feats((5L, mp4, "video/mp4"))(5L)
+    assert(fv.format == "video/mp4" && fv.feature.length == 4, s"$fv")
+
+    // malformed image brand falls to byte-stats, NOT video semantics;
+    // truncation anywhere is total
+    val torso = avif.take(20) // ftyp only, no meta
+    val fb = feats((6L, torso, "image/avif"))(6L)
+    assert(fb.kind == "byte-stats", s"$fb")
+    (1 to avis.length by 7).foreach { cut =>
+      Multimodal.ContainerCodec.decode(Seq(
+        Multimodal.MediaRow(9L, avis.take(cut), "image/avif", 0, 0)))
+    }
+  }
+
   test("multimodal: WebM/MKV EBML walk — geometry, remux fingerprint, cross-container") {
     import spark.implicits._
     def frames(seed: Int): Seq[Array[Byte]] = (0 until 6).map(f =>

@@ -35,6 +35,8 @@ object CodecProperties extends Properties("codecs") {
     "ID3".getBytes("US-ASCII"),
     Array[Byte](0xff.toByte, 0xfb.toByte),
     Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p'),
+    Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p', 'a', 'v', 'i', 'f'),
+    Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p', 'h', 'e', 'i', 'c'),
     Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)) // EBML
 
   private val plane = Array.tabulate(15 * 11)(p => ((p * 37) % 251).toByte)
@@ -63,6 +65,10 @@ object CodecProperties extends Properties("codecs") {
       Seq((Array.tabulate(40)(_.toByte), Seq(50, 60)),
         (Array.tabulate(30)(i => (i * 3).toByte), Seq(70))),
       mehdTicks = 180L),
+    Multimodal.minimalHeif("avif", 64, 48, items = 2,
+      alphaIspe = Some((32, 24))),
+    Multimodal.minimalHeif("avis", 48, 32, sttsCounts = Seq(4, 2),
+      timescale = 90, durationTicks = 300, mvhdV1 = true),
     Multimodal.minimalWebm(1000000L, 2500.0, 320, 240,
       (0 until 4).map(f => Array.tabulate(40 + f)(i => (i * 3 + f).toByte)),
       xiphLacePairs = true, audioTrack = true, voidPad = 5),
@@ -86,6 +92,13 @@ object CodecProperties extends Properties("codecs") {
         15, 11, delayNum = 2, blend = 1)),
       palette = Some(grayCt),
       trns = Some(Array.tabulate(32)(i => (255 - i * 8).toByte))),
+    Multimodal.encodeApng(15, 11, 6, Seq( // fractional-alpha fade
+      Multimodal.ApngFrameSpec(Array.tabulate(15 * 11 * 4)(i =>
+        (if (i % 4 == 3) 255 else (i / 4 * 37 + i % 4 * 91) % 251).toByte),
+        15, 11, delayNum = 2),
+      Multimodal.ApngFrameSpec(Array.tabulate(15 * 11 * 4)(i =>
+        ((i / 4 * 13 + i % 4 * 57) % 256).toByte),
+        15, 11, delayNum = 3, blend = 1))),
     Multimodal.encodeWebpAnim(16, 12, Seq(
       Multimodal.WebpFrameSpec(Array.tabulate(16 * 12)(i =>
         0xff000000 | (i * 31 & 0xff) * 0x010101), 16, 12, durationMs = 40),
