@@ -359,6 +359,7 @@ object AudioDsp {
   private[graft] def monoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
     if (bytes == null) return None
     if (Flac.isFlac(bytes)) return Flac.decode(bytes) // lossless: same signal
+    if (Vorbis.isOggVorbis(bytes)) return Vorbis.decode(bytes) // r13: lossy
     if (!Multimodal.ContainerCodec.isWav(bytes))
       // bare MP3 (round 13): lossy, but the decoded signal shares its
       // spectral peaks with the master, which is all landmarks need

@@ -287,6 +287,24 @@ object AudioFingerprint {
     Mp3.encode(pcm, sampleRate)
   }
 
+  /** The Ogg-Vorbis twin of [[tonesMp3]]: the SAME quantized samples
+    * through the real from-spec fixture encoder ([[Vorbis.encode]]) —
+    * lossy like MP3, but with NO embedded-table boundary (Vorbis
+    * codebooks are in-band), so the pairing claim extends to wild
+    * streams. Any sample rate works (Vorbis is rate-agnostic).
+    */
+  def tonesVorbis(
+      sampleRate: Int,
+      tones: Seq[(Double, Int)],
+      amplitude: Double = 0.5): Array[Byte] = {
+    val pcm = tones.flatMap { case (freq, len) =>
+      (0 until len).map(i => math.round(
+        amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
+          * 32767.0) / 32768.0)
+    }.toArray
+    Vorbis.encode(pcm, sampleRate)
+  }
+
   def tonesWav(
       sampleRate: Int,
       tones: Seq[(Double, Int)], // (freqHz, nSamples)

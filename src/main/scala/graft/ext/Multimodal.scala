@@ -2402,6 +2402,22 @@ object Multimodal {
       }
       if (mime == null) return None
       rates.keySet.toSeq.foreach(flush)
+      // full sample decode first (r13, ext.Vorbis): a Vorbis stream
+      // the from-spec decoder consumes end-to-end is a "pcm" row with
+      // the WAV feature layout; floor0/bad-setup/Opus streams keep the
+      // census-visible container treatment below
+      if (mime == "audio/ogg-vorbis") Vorbis.decode(b) match {
+        case Some((x, sr)) if x.nonEmpty =>
+          var sum = 0.0
+          var i = 0
+          while (i < x.length) { sum += x(i) * x(i); i += 1 }
+          return Some(MediaFeatures(r.doc_id, b.length, mime, "pcm",
+            byteChecksum(b),
+            Array(channels.toFloat, sr.toFloat,
+              (x.length.toDouble / sr).toFloat,
+              math.sqrt(sum / x.length).toFloat)))
+        case _ => ()
+      }
       Some(MediaFeatures(r.doc_id, b.length, mime, "container",
         byteChecksum(b),
         Array(channels.toFloat, rate.toFloat, totalDur.toFloat, 0f)))

@@ -1851,6 +1851,11 @@ object ExtQueries {
         (13, "audio/mpeg", mp3Container),
         (12, "audio/wav", mp3Wav),
         (5, "audio/ogg", vorbis),
+        // a REAL Vorbis stream (decodes -> pcm since r13); the
+        // id-header torso above keeps the container class visible
+        (18, "audio/ogg", graft.ext.Vorbis.encode(
+          Array.tabulate(2048)(i =>
+            0.4 * math.sin(2 * math.Pi * 440 * i / 8000)), 8000)),
         (6, "audio/ogg", opus),
         (7, "video/mp4", Multimodal.minimalMp4(600, 1200, 1, 320, 240)),
         // the ISO-BMFF IMAGE heap (r13): stills, a sequence, and the
@@ -2077,6 +2082,32 @@ object ExtQueries {
         (100L + k, AudioFingerprint.tonesMp3(32000, tones(k), 0.5)))
       AudioFingerprint.audioNearDups(s,
           (wavs ++ mp3s).toDF("doc_id", "media"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Duplicate AUDIO across the Ogg-Vorbis codec boundary (oracled on
+    // PLANTED truth, the mp3-gate discipline): 12 recordings as 16-bit
+    // WAV plus 6 re-encoded as REAL Vorbis streams through the
+    // from-spec ext.Vorbis encoder (in-band codebooks, two-point
+    // floor-1 line, two-pass type-2 residue cascade) and decoded back
+    // through the general wild-file decoder paths (Ogg lacing,
+    // canonical Huffman, floor render, residue cascade, IMDCT,
+    // slope-matched overlap-add). Same tone geometry as the mp3 gate
+    // (125 Hz = multiple STFT bins apart, ranges 500 Hz apart) so
+    // planted pairs share landmarks and cross pairs share zero. The
+    // oracle is the closed-form pair list.
+    "ext_audio_vorbis_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def tones(k: Int) =
+        (0 until 6).map(i =>
+          (400.0 + (k * 6 + i) * 125.0 + k * 500.0, 4096))
+      val wavs = (0 until 12).map(k =>
+        (k.toLong, AudioFingerprint.tonesWav(32000, tones(k), 0.5)))
+      val oggs = (0 until 6).map(k =>
+        (100L + k, AudioFingerprint.tonesVorbis(32000, tones(k), 0.5)))
+      AudioFingerprint.audioNearDups(s,
+          (wavs ++ oggs).toDF("doc_id", "media"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -3800,6 +3831,10 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
+    "ext_audio_vorbis_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
+        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+
     "ext_audio_incr" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
@@ -3986,6 +4021,7 @@ object ExtQueries {
         |  ('audio/mpeg', 'pcm', 4),
         |  ('audio/ogg-opus', 'container', 6),
         |  ('audio/ogg-vorbis', 'container', 5),
+        |  ('audio/ogg-vorbis', 'pcm', 18),
         |  ('audio/wav', 'pcm', 2),
         |  ('audio/wav-mp3', 'pcm', 12),
         |  ('image/avif', 'container', 14),

@@ -59,6 +59,10 @@ object CodecProperties extends Properties("codecs") {
     AudioDsp.msAdpcmWav(Seq(tone.toArray), 8000),
     AudioDsp.g711Wav(tone.toArray, 8000),
     Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
+    Vorbis.encode(tone.toArray, 8000),
+    Vorbis.encode(
+      Array.tabulate(3000)(i => 0.3 * math.sin(0.4 * i) * (i % 2)), 8000,
+      channels = 2, forceShort = true),
     Multimodal.minimalMp4(600, 1200, 1, 320, 240,
       mdat = Array.tabulate(64)(_.toByte)),
     Multimodal.minimalFmp4(600, 320, 240,
