@@ -360,6 +360,9 @@ object AudioDsp {
     if (bytes == null) return None
     if (Flac.isFlac(bytes)) return Flac.decode(bytes) // lossless: same signal
     if (Vorbis.isOggVorbis(bytes)) return Vorbis.decode(bytes) // r13: lossy
+    if (OggFlac.isOggFlac(bytes)) return OggFlac.decode(bytes) // r13
+    if (Aiff.isAiff(bytes)) return Aiff.decode(bytes) // r13: container math
+    if (Au.isAu(bytes)) return Au.decode(bytes) // r13: container math
     if (!Multimodal.ContainerCodec.isWav(bytes))
       // bare MP3 (round 13): lossy, but the decoded signal shares its
       // spectral peaks with the master, which is all landmarks need

@@ -1,0 +1,414 @@
+package graft.ext
+
+/** Audio PROVENANCE extraction — the [[Multimodal.ContainerCodec]]
+  * EXIF analog for the audio heap, from the public tag layouts:
+  * ID3v2.3/2.4 (id3.org informal standards), FLAC VORBIS_COMMENT and
+  * PICTURE metadata blocks (RFC 9639 sections 8.6/8.8), and the
+  * Ogg-Vorbis comment header (Vorbis I section 5), including the
+  * METADATA_BLOCK_PICTURE field (base64 of the FLAC PICTURE
+  * structure). One container-independent row shape, so the same
+  * recording tagged through any envelope lands the identical
+  * provenance — and the embedded COVER ART crosses into the image
+  * surface: the extracted bytes are the original image file, so its
+  * perceptual hash pairs with the standalone artwork (the
+  * cross-modal dedup class the cover gate pins).
+  *
+  * Boundaries (refuse, never mis-parse): ID3v2.2 three-byte frames,
+  * the unsynchronisation flag, and compressed/encrypted frames all
+  * return None for the affected scope; text encodings 0 (latin-1),
+  * 1 (UTF-16 with BOM) and 3 (UTF-8) are decoded, 2 (UTF-16BE) reads
+  * as UTF-16 without a BOM.
+  */
+object AudioTags {
+
+  /** One provenance row; `cover` is the embedded image file verbatim. */
+  final case class Tags(
+      artist: Option[String],
+      title: Option[String],
+      album: Option[String],
+      year: Option[Int],
+      cover: Option[Array[Byte]]) {
+    def nonEmpty: Boolean =
+      artist.nonEmpty || title.nonEmpty || album.nonEmpty ||
+        year.nonEmpty || cover.nonEmpty
+  }
+
+  private val Empty = Tags(None, None, None, None, None)
+
+  /** Container dispatch: ID3v2 prologue (any carrier), FLAC metadata
+    * blocks, Ogg-Vorbis comment packet. None when the payload carries
+    * no recognizable tag structure.
+    */
+  def of(b: Array[Byte]): Option[Tags] = try {
+    if (b == null || b.length < 10) return None
+    val t =
+      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') id3v2(b)
+      else if (Flac.isFlac(b)) flacTags(b)
+      else if (Vorbis.isOggVorbis(b)) vorbisTags(b)
+      else Empty
+    if (t.nonEmpty) Some(t) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------------
+  // ID3v2
+  // ------------------------------------------------------------------
+
+  private def syncsafe(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
+      ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def text(b: Array[Byte], off: Int, end: Int, enc: Int)
+      : Option[String] = {
+    if (end <= off) return Some("")
+    val raw = java.util.Arrays.copyOfRange(b, off, end)
+    val s = enc match {
+      case 0     => new String(raw, "ISO-8859-1")
+      case 1 | 2 => new String(raw, "UTF-16") // BOM-led; 2 is BE
+      case 3     => new String(raw, "UTF-8")
+      case _     => return None
+    }
+    Some(s.takeWhile(_ != '\u0000'))
+  }
+
+  private def id3v2(b: Array[Byte]): Tags = {
+    val major = b(3) & 0xff
+    if (major != 3 && major != 4) return Empty
+    val flags = b(5) & 0xff
+    if ((flags & 0x80) != 0) return Empty // unsynchronisation: refuse
+    val tagEnd = math.min(b.length, 10 + syncsafe(b, 6))
+    var off = 10
+    if ((flags & 0x40) != 0) { // extended header: skip by its size
+      if (off + 4 > tagEnd) return Empty
+      val ehSize =
+        if (major == 4) syncsafe(b, off)
+        else u32be(b, off).toInt + 4 // v2.3 size excludes itself
+      off += ehSize
+    }
+    var artist, title, album: Option[String] = None
+    var year: Option[Int] = None
+    var cover: Option[Array[Byte]] = None
+    while (off + 10 <= tagEnd) {
+      val id = new String(b, off, 4, "US-ASCII")
+      if (id(0) == 0) return Tags(artist, title, album, year, cover)
+      val size =
+        if (major == 4) syncsafe(b, off + 4) else u32be(b, off + 4).toInt
+      val frameFlags = ((b(off + 8) & 0xff) << 8) | (b(off + 9) & 0xff)
+      val po = off + 10
+      val pe = po + size
+      if (size < 0 || pe > tagEnd) return Tags(artist, title, album,
+        year, cover)
+      // compressed/encrypted frames: skip rather than mis-parse
+      val skip =
+        if (major == 4) (frameFlags & 0x0c) != 0
+        else (frameFlags & 0xc0) != 0
+      if (!skip) id match {
+        case "TPE1" if size >= 1 =>
+          artist = artist.orElse(text(b, po + 1, pe, b(po) & 0xff))
+        case "TIT2" if size >= 1 =>
+          title = title.orElse(text(b, po + 1, pe, b(po) & 0xff))
+        case "TALB" if size >= 1 =>
+          album = album.orElse(text(b, po + 1, pe, b(po) & 0xff))
+        case "TYER" | "TDRC" if size >= 1 =>
+          year = year.orElse(text(b, po + 1, pe, b(po) & 0xff)
+            .flatMap(_.take(4).toIntOption))
+        case "APIC" if size >= 4 && cover.isEmpty =>
+          val enc = b(po) & 0xff
+          var p = po + 1
+          while (p < pe && b(p) != 0) p += 1 // MIME (latin-1, nul-term)
+          p += 1 // past the nul
+          if (p < pe) {
+            p += 1 // picture type byte
+            // description: nul-terminated in `enc` (UTF-16 uses 0x0000)
+            if (enc == 1 || enc == 2) {
+              while (p + 1 < pe && !(b(p) == 0 && b(p + 1) == 0)) p += 2
+              p += 2
+            } else {
+              while (p < pe && b(p) != 0) p += 1
+              p += 1
+            }
+            if (p <= pe && p < pe)
+              cover = Some(java.util.Arrays.copyOfRange(b, p, pe))
+          }
+        case _ => ()
+      }
+      off = pe
+    }
+    Tags(artist, title, album, year, cover)
+  }
+
+  /** Fixture writer: prepend a real ID3v2.3 or v2.4 tag (text frames +
+    * optional APIC) to any audio payload.
+    */
+  def id3v2Wrap(audio: Array[Byte],
+      artist: String = null, title: String = null, album: String = null,
+      year: Int = 0, cover: Array[Byte] = null,
+      v24: Boolean = false, utf8: Boolean = false): Array[Byte] = {
+    val frames = new java.io.ByteArrayOutputStream()
+    def frame(id: String, payload: Array[Byte]): Unit = {
+      frames.write(id.getBytes("US-ASCII"))
+      val sz = payload.length
+      if (v24) {
+        frames.write((sz >>> 21) & 0x7f); frames.write((sz >>> 14) & 0x7f)
+        frames.write((sz >>> 7) & 0x7f); frames.write(sz & 0x7f)
+      } else {
+        frames.write((sz >>> 24) & 0xff); frames.write((sz >>> 16) & 0xff)
+        frames.write((sz >>> 8) & 0xff); frames.write(sz & 0xff)
+      }
+      frames.write(0); frames.write(0) // frame flags
+      frames.write(payload)
+    }
+    def tf(id: String, v: String): Unit = if (v != null) {
+      val enc = if (utf8 && v24) 3 else 0
+      val cs = if (enc == 3) "UTF-8" else "ISO-8859-1"
+      frame(id, Array((enc & 0xff).toByte) ++ v.getBytes(cs))
+    }
+    tf("TPE1", artist)
+    tf("TIT2", title)
+    tf("TALB", album)
+    if (year > 0) tf(if (v24) "TDRC" else "TYER", year.toString)
+    if (cover != null) {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(0) // latin-1
+      p.write("image/png".getBytes("ISO-8859-1")); p.write(0)
+      p.write(3) // front cover
+      p.write("cover".getBytes("ISO-8859-1")); p.write(0)
+      p.write(cover)
+      frame("APIC", p.toByteArray)
+    }
+    val body = frames.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(if (v24) 4 else 3); out.write(0); out.write(0) // ver, flags
+    val sz = body.length
+    out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
+    out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(body)
+    out.write(audio)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC metadata blocks
+  // ------------------------------------------------------------------
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Vorbis-comment field list (shared by FLAC and Ogg-Vorbis): the
+    * UTF-8 `NAME=value` pairs after the vendor string.
+    */
+  private def commentFields(b: Array[Byte], off0: Int, end: Int)
+      : Seq[(String, String)] = {
+    var off = off0
+    if (off + 4 > end) return Nil
+    val vendorLen = u32le(b, off).toInt
+    off += 4 + vendorLen
+    if (off + 4 > end || vendorLen < 0) return Nil
+    val n = u32le(b, off).toInt
+    off += 4
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < n && off + 4 <= end) {
+      val len = u32le(b, off).toInt
+      off += 4
+      if (len < 0 || off + len > end) return out.result()
+      val s = new String(b, off, len, "UTF-8")
+      val eq = s.indexOf('=')
+      if (eq > 0)
+        out += ((s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+          s.substring(eq + 1)))
+      off += len
+      i += 1
+    }
+    out.result()
+  }
+
+  private def tagsFromFields(fields: Seq[(String, String)]): Tags = {
+    val m = fields.toMap
+    val cover = m.get("METADATA_BLOCK_PICTURE").flatMap { b64 =>
+      try {
+        val block = java.util.Base64.getDecoder.decode(b64)
+        pictureData(block, 0, block.length)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    Tags(m.get("ARTIST"), m.get("TITLE"), m.get("ALBUM"),
+      m.get("DATE").flatMap(_.take(4).toIntOption), cover)
+  }
+
+  /** The image bytes out of a FLAC PICTURE structure at [off, end). */
+  private def pictureData(b: Array[Byte], off0: Int, end: Int)
+      : Option[Array[Byte]] = {
+    var off = off0 + 4 // picture type
+    if (off + 4 > end) return None
+    val mimeLen = u32be(b, off).toInt
+    off += 4 + mimeLen
+    if (off + 4 > end || mimeLen < 0) return None
+    val descLen = u32be(b, off).toInt
+    off += 4 + descLen + 16 // desc + w/h/depth/colors
+    if (off + 4 > end || descLen < 0) return None
+    val dataLen = u32be(b, off).toInt
+    off += 4
+    if (dataLen < 0 || off + dataLen > end) return None
+    Some(java.util.Arrays.copyOfRange(b, off, off + dataLen))
+  }
+
+  private def flacTags(b: Array[Byte]): Tags = {
+    var off = 4
+    var tags = Empty
+    var last = false
+    while (!last && off + 4 <= b.length) {
+      val hdr = b(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+        (b(off + 3) & 0xff)
+      val po = off + 4
+      val pe = po + len
+      if (pe > b.length) return tags
+      if (typ == 4) {
+        val t = tagsFromFields(commentFields(b, po, pe))
+        tags = Tags(tags.artist.orElse(t.artist),
+          tags.title.orElse(t.title), tags.album.orElse(t.album),
+          tags.year.orElse(t.year), tags.cover.orElse(t.cover))
+      } else if (typ == 6 && tags.cover.isEmpty) {
+        tags = tags.copy(cover = pictureData(b, po, pe))
+      }
+      off = pe
+    }
+    tags
+  }
+
+  /** Fixture writer: splice VORBIS_COMMENT (+ optional PICTURE)
+    * metadata blocks into a native FLAC stream from [[Flac.encode]].
+    */
+  def flacWithTags(native: Array[Byte],
+      artist: String = null, title: String = null, album: String = null,
+      year: Int = 0, cover: Array[Byte] = null): Array[Byte] = {
+    require(Flac.isFlac(native) && native.length > 42, "native flac")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(native, 0, 42)
+    val arr = out.toByteArray
+    arr(4) = (arr(4) & 0x7f).toByte // STREAMINFO is no longer last
+    out.reset(); out.write(arr)
+    val fields = Seq("ARTIST" -> artist, "TITLE" -> title,
+      "ALBUM" -> album, "DATE" -> (if (year > 0) year.toString else null))
+      .collect { case (k, v) if v != null => s"$k=$v" }
+    val vc = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => vc.write((v >> (8 * i)) & 0xff))
+    val vendor = "graft".getBytes("UTF-8")
+    le32(vendor.length); vc.write(vendor)
+    le32(fields.length)
+    fields.foreach { f =>
+      val fb = f.getBytes("UTF-8")
+      le32(fb.length); vc.write(fb)
+    }
+    val vcb = vc.toByteArray
+    val lastFlag = if (cover == null) 0x80 else 0
+    out.write(lastFlag | 4)
+    out.write((vcb.length >> 16) & 0xff); out.write((vcb.length >> 8) & 0xff)
+    out.write(vcb.length & 0xff)
+    out.write(vcb)
+    if (cover != null) out.write(pictureBlock(cover, last = true))
+    out.write(native, 42, native.length - 42)
+    out.toByteArray
+  }
+
+  /** A complete PICTURE metadata block (header included when `last`
+    * wraps it for FLAC; the payload alone is what the Ogg base64
+    * field carries).
+    */
+  private def pictureBlock(cover: Array[Byte], last: Boolean)
+      : Array[Byte] = {
+    val p = picturePayload(cover)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (last) 0x80 else 0) | 6)
+    out.write((p.length >> 16) & 0xff); out.write((p.length >> 8) & 0xff)
+    out.write(p.length & 0xff)
+    out.write(p)
+    out.toByteArray
+  }
+
+  private def picturePayload(cover: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit =
+      (3 to 0 by -1).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    be32(3) // front cover
+    val mime = "image/png".getBytes("US-ASCII")
+    be32(mime.length); out.write(mime)
+    be32(0) // empty description
+    be32(0); be32(0); be32(0); be32(0) // w, h, depth, colors
+    be32(cover.length); out.write(cover)
+    out.toByteArray
+  }
+
+  /** The Ogg METADATA_BLOCK_PICTURE field value for a cover. */
+  def oggPictureField(cover: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(picturePayload(cover))
+
+  // ------------------------------------------------------------------
+  // Ogg-Vorbis comment packet
+  // ------------------------------------------------------------------
+
+  // ------------------------------------------------------------------
+  // Spark operators
+  // ------------------------------------------------------------------
+
+  /** Provenance table: one row per media payload, tagless payloads as
+    * all-null rows — the [[Multimodal]] EXIF-table discipline.
+    */
+  def table(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val t = of(b)
+        (id, t.flatMap(_.artist), t.flatMap(_.title),
+          t.flatMap(_.album), t.flatMap(_.year),
+          t.exists(_.cover.nonEmpty))
+      }
+      .toDF("doc_id", "artist", "title", "album", "year", "has_cover")
+  }
+
+  /** Cross-modal cover dedup: embedded cover art joins standalone
+    * images on the shared perceptual hash (the extracted bytes ARE
+    * the original image file, so identical artwork lands hash
+    * equality — hamming-0 exact, broadcast-friendly at the artwork
+    * side's scale).
+    */
+  def coverPairs(s: org.apache.spark.sql.SparkSession,
+      images: org.apache.spark.sql.DataFrame,
+      audio: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val img = images.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        graft.functions.DHashPixels.computeExternal(b, 0, 0)
+          .map(h => (id, h.sh))
+      }.toDF("image_id", "hash")
+    val cov = audio.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        of(b).flatMap(_.cover).flatMap(c =>
+          graft.functions.DHashPixels.computeExternal(c, 0, 0)
+            .map(h => (id, h.sh)))
+      }.toDF("audio_id", "hash")
+    cov.join(org.apache.spark.sql.functions.broadcast(img), "hash")
+      .select("image_id", "audio_id")
+  }
+
+  private def vorbisTags(b: Array[Byte]): Tags = {
+    // the comment packet is the second packet of the stream; walk the
+    // pages for it (it usually sits at the head of page 2)
+    Vorbis.commentPacketOf(b) match {
+      case Some(p) if p.length > 7 =>
+        tagsFromFields(commentFields(p, 7, p.length))
+      case _ => Empty
+    }
+  }
+}

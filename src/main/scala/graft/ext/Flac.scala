@@ -513,3 +513,109 @@ private[graft] object Flac {
     }
   }
 }
+
+/** FLAC-in-Ogg (the Xiph "FLAC-to-Ogg mapping", version 1.0): the
+  * BOS packet is 0x7F "FLAC" major minor headerPackets(u16be)
+  * followed by a complete native "fLaC" + STREAMINFO; later header
+  * packets carry further metadata blocks, and every audio packet is
+  * one native FLAC frame. Decode REBUILDS the native stream — the
+  * 42-byte fLaC+STREAMINFO torso with its last-metadata-block flag
+  * forced, then the frame packets verbatim — and hands it to the one
+  * shared [[Flac.decode]], so the Ogg envelope adds no second codec
+  * path to trust.
+  */
+object OggFlac {
+
+  def isOggFlac(b: Array[Byte]): Boolean =
+    b != null && b.length >= 47 && b(0) == 'O' && b(1) == 'g' &&
+      b(2) == 'g' && b(3) == 'S' && {
+        val nSegs = b(26) & 0xff
+        val po = 27 + nSegs
+        po + 5 <= b.length && (b(po) & 0xff) == 0x7f && b(po + 1) == 'F' &&
+          b(po + 2) == 'L' && b(po + 3) == 'A' && b(po + 4) == 'C'
+      }
+
+  /** STREAMINFO through the BOS torso: (sampleRate, channels, bits,
+    * totalSamples) — [[Flac.info]]'s contract.
+    */
+  def info(b: Array[Byte]): Option[(Int, Int, Int, Long)] = try {
+    if (!isOggFlac(b)) return None
+    val nSegs = b(26) & 0xff
+    val po = 27 + nSegs + 9 // past the 0x7F FLAC ver nHeaders prologue
+    if (po + 42 > b.length) return None
+    val torso = java.util.Arrays.copyOfRange(b, po, po + 42)
+    torso(4) = (torso(4) | 0x80).toByte
+    Flac.info(torso)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Mono mix — the [[Flac.decode]] contract via the rebuilt stream. */
+  def decode(b: Array[Byte]): Option[(Array[Double], Int)] = try {
+    if (!isOggFlac(b)) return None
+    val (packets, _) = Vorbis.oggPackets(b, (p, o, n) =>
+      n >= 5 && (p(o) & 0xff) == 0x7f && p(o + 1) == 'F' &&
+        p(o + 2) == 'L' && p(o + 3) == 'A' && p(o + 4) == 'C') match {
+      case Some(v) => v
+      case None    => return None
+    }
+    if (packets.isEmpty) return None
+    val bos = packets.head
+    // 0x7F FLAC major minor nHeaders(2) | fLaC | block header(4) + 34
+    if (bos.length < 9 + 4 + 4 + 34 || bos(9) != 'f' || bos(10) != 'L' ||
+      bos(11) != 'a' || bos(12) != 'C') return None
+    val nHeaders = ((bos(7) & 0xff) << 8) | (bos(8) & 0xff)
+    val native = new java.io.ByteArrayOutputStream()
+    native.write(bos, 9, bos.length - 9)
+    // force the STREAMINFO header's last-metadata-block flag so the
+    // skipped header packets (comments etc.) are not expected
+    val out = native.toByteArray
+    out(4) = (out(4) | 0x80).toByte
+    native.reset()
+    native.write(out)
+    // skip nHeaders metadata packets, then frames verbatim; when the
+    // muxer declared 0 ("unknown count"), skip until the 0xFFF8 frame
+    // sync instead
+    var sawFrame = false
+    packets.iterator.drop(1 + nHeaders).foreach { pk =>
+      if (!sawFrame && nHeaders == 0)
+        sawFrame = pk.length >= 2 && (pk(0) & 0xff) == 0xff &&
+          (pk(1) & 0xf8) == 0xf8
+      else sawFrame = true
+      if (sawFrame) native.write(pk)
+    }
+    Flac.decode(native.toByteArray)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic Ogg-FLAC synthesizer: [[Flac.encode]]'s native
+    * stream re-enveloped per the mapping — BOS packet with the
+    * 0x7F FLAC prologue and the STREAMINFO (last-flag cleared), one
+    * VORBIS_COMMENT header packet (exercising the skip), the coded
+    * frames as the audio packet, real page CRCs via the shared
+    * [[Vorbis.oggWrap]].
+    */
+  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val native = Flac.encode(samples, sampleRate)
+    require(native.length > 42 && native(0) == 'f', "native flac shape")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x7f)
+    bos.write("FLAC".getBytes("US-ASCII"))
+    bos.write(1); bos.write(0) // mapping version 1.0
+    bos.write(0); bos.write(1) // one more header packet follows
+    val torso = java.util.Arrays.copyOfRange(native, 0, 42)
+    torso(4) = (torso(4) & 0x7f).toByte // clear last-metadata flag
+    bos.write(torso)
+    val comment = new java.io.ByteArrayOutputStream()
+    comment.write(0x80 | 4) // last block, VORBIS_COMMENT
+    val vendor = "graft".getBytes("US-ASCII")
+    val len = 4 + vendor.length + 4
+    comment.write(0); comment.write(0); comment.write(len)
+    comment.write(vendor.length); comment.write(0); comment.write(0)
+    comment.write(0)
+    comment.write(vendor)
+    comment.write(new Array[Byte](4)) // zero user comments
+    val frames = java.util.Arrays.copyOfRange(native, 42, native.length)
+    Vorbis.oggWrap(Seq(
+      (bos.toByteArray, 0L),
+      (comment.toByteArray, 0L),
+      (frames, samples.length.toLong)))
+  }
+}

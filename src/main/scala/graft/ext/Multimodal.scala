@@ -2354,6 +2354,19 @@ object Multimodal {
     private def decodeOgg(r: MediaRow): Option[MediaFeatures] = {
       val b = r.media
       if (!isOgg(b) || (b(5) & 2) == 0) return None // first page is BOS
+      // FLAC-in-Ogg (r13): the native decoder through the rebuilt
+      // stream — lossless, so the row is "lossless" like bare FLAC
+      if (OggFlac.isOggFlac(b)) {
+        OggFlac.decode(b) match {
+          case Some((x, sr)) if x.nonEmpty =>
+            val channels = OggFlac.info(b).map(_._2).getOrElse(1)
+            return Some(MediaFeatures(r.doc_id, b.length, "audio/ogg-flac",
+              "lossless", byteChecksum(b),
+              Array(channels.toFloat, sr.toFloat,
+                (x.length.toDouble / sr).toFloat, rmsOf(x))))
+          case _ => return None // corrupt mapping: byte-stats
+        }
+      }
       var mime: String = null
       var channels = 0
       var rate = 0L
@@ -3051,6 +3064,51 @@ object Multimodal {
             total.toFloat / sampleRate, rms.toFloat))
       }
 
+    /** AIFF/AIFC (r13): pure container math through [[Aiff.decode]] —
+      * PCM/sowt/G.711/float32 forms are "pcm" rows with the WAV
+      * feature layout; an AIFC compression outside that surface
+      * (ima4 etc.) keeps COMM geometry on the census-visible
+      * container side.
+      */
+    private def decodeAiff(r: MediaRow): Option[MediaFeatures] = {
+      Aiff.decode(r.media) match {
+        case Some((x, sampleRate)) if x.nonEmpty =>
+          val channels = Aiff.info(r.media).map(_._1).getOrElse(1)
+          return Some(MediaFeatures(r.doc_id, r.media.length, "audio/aiff",
+            "pcm", byteChecksum(r.media),
+            Array(channels.toFloat, sampleRate.toFloat,
+              (x.length.toDouble / sampleRate).toFloat, rmsOf(x))))
+        case _ => ()
+      }
+      Aiff.info(r.media).map { case (channels, rate, frames, _) =>
+        MediaFeatures(r.doc_id, r.media.length, "audio/aiff", "container",
+          byteChecksum(r.media),
+          Array(channels.toFloat, rate.toFloat,
+            (frames / rate).toFloat, 0f))
+      }
+    }
+
+    /** AU/.snd (r13): [[Au.decode]] — all documented PCM/G.711/float
+      * encodings decode; anything else is a container row with the
+      * header geometry.
+      */
+    private def decodeAu(r: MediaRow): Option[MediaFeatures] = {
+      Au.decode(r.media) match {
+        case Some((x, sampleRate)) if x.nonEmpty =>
+          val channels = Au.info(r.media).map(_._1).getOrElse(1)
+          return Some(MediaFeatures(r.doc_id, r.media.length, "audio/basic",
+            "pcm", byteChecksum(r.media),
+            Array(channels.toFloat, sampleRate.toFloat,
+              (x.length.toDouble / sampleRate).toFloat, rmsOf(x))))
+        case _ => ()
+      }
+      Au.info(r.media).map { case (channels, rate, _, _, dataLen) =>
+        MediaFeatures(r.doc_id, r.media.length, "audio/basic", "container",
+          byteChecksum(r.media),
+          Array(channels.toFloat, rate.toFloat, 0f, dataLen.toFloat))
+      }
+    }
+
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val parsed =
@@ -3088,6 +3146,8 @@ object Multimodal {
             icoRgb(r.media).map { case (px, w, h) =>
               rgbFeatures(r, "image/x-icon", px, w, h) }
           else if (isOgg(r.media)) decodeOgg(r)
+          else if (Aiff.isAiff(r.media)) decodeAiff(r)
+          else if (Au.isAu(r.media)) decodeAu(r)
           else if (isMp3(r.media)) decodeMp3(r)
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)

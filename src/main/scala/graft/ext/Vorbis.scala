@@ -90,14 +90,16 @@ object Vorbis {
           b(po + 5) == 'i' && b(po + 6) == 's'
       }
 
-  /** Reassemble the packets of the FIRST Vorbis logical stream:
-    * (packets in order, final granule position of that stream, or -1
-    * if none seen). CRC-checked per page; a corrupt page stops the
-    * walk (packets so far are returned — truncation degrades, the
-    * codec-family rule).
+  /** Reassemble the packets of the FIRST logical stream whose BOS
+    * payload satisfies `bosMatch`: (packets in order, final granule
+    * position of that stream, or -1 if none seen). CRC-checked per
+    * page; a corrupt page stops the walk (packets so far are
+    * returned — truncation degrades, the codec-family rule). Shared
+    * by the Vorbis decode and the Ogg-FLAC mapping.
     */
-  private def vorbisPackets(
-      b: Array[Byte]): Option[(Vector[Array[Byte]], Long)] = {
+  private[ext] def oggPackets(b: Array[Byte],
+      bosMatch: (Array[Byte], Int, Int) => Boolean)
+      : Option[(Vector[Array[Byte]], Long)] = {
     var serial = 0L
     var haveSerial = false
     var finalGranule = -1L
@@ -129,10 +131,7 @@ object Vorbis {
           if (oggCrc(page, 0, pageLen) != stored) walking = false
           else {
             if (!haveSerial && (flags & 2) != 0 && nSegs >= 1 &&
-                paySize >= 7 && b(payOff) == 1 && b(payOff + 1) == 'v' &&
-                b(payOff + 2) == 'o' && b(payOff + 3) == 'r' &&
-                b(payOff + 4) == 'b' && b(payOff + 5) == 'i' &&
-                b(payOff + 6) == 's') {
+                bosMatch(b, payOff, paySize)) {
               serial = pageSerial
               haveSerial = true
             }
@@ -1185,9 +1184,23 @@ object Vorbis {
     * on anything outside the implemented surface (floor0, bad
     * headers, CRC-corrupt first page, non-Vorbis Ogg).
     */
+  private val VorbisBos: (Array[Byte], Int, Int) => Boolean = (p, o, n) =>
+    n >= 7 && p(o) == 1 && p(o + 1) == 'v' && p(o + 2) == 'o' &&
+      p(o + 3) == 'r' && p(o + 4) == 'b' && p(o + 5) == 'i' &&
+      p(o + 6) == 's'
+
+  /** The comment-header (second) packet of the first Vorbis stream —
+    * the provenance surface [[AudioTags]] reads.
+    */
+  private[ext] def commentPacketOf(b: Array[Byte]): Option[Array[Byte]] =
+    if (!isOggVorbis(b)) None
+    else oggPackets(b, VorbisBos).flatMap { case (ps, _) =>
+      ps.lift(1).filter(p => p.length >= 7 && p(0) == 3)
+    }
+
   def decode(b: Array[Byte]): Option[(Array[Double], Int)] = try {
     if (!isOggVorbis(b)) return None
-    val (packets, finalGranule) = vorbisPackets(b) match {
+    val (packets, finalGranule) = oggPackets(b, VorbisBos) match {
       case Some(v) => v
       case None    => return None
     }
@@ -1464,14 +1477,20 @@ object Vorbis {
     w.toBytes
   }
 
-  private def commentPacket(): Array[Byte] = {
+  private def commentPacket(
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     val w = new BitWriter
     w.write(3, 8)
     "vorbis".getBytes("US-ASCII").foreach(c => w.write(c & 0xffL, 8))
     val vendor = "graft".getBytes("US-ASCII")
     w.write(vendor.length.toLong, 32)
     vendor.foreach(c => w.write(c & 0xffL, 8))
-    w.write(0, 32) // no user comments
+    w.write(comments.length.toLong, 32)
+    comments.foreach { case (k, v) =>
+      val f = s"$k=$v".getBytes("UTF-8")
+      w.write(f.length.toLong, 32)
+      f.foreach(c => w.write(c & 0xffL, 8))
+    }
     w.write(1, 1)
     w.toBytes
   }
@@ -1479,7 +1498,8 @@ object Vorbis {
   private val FloorRangeBits = 12
 
   private def setupPacket(books: Array[Codebook], resType: Int,
-      coupled: Boolean, floor0: Boolean = false): Array[Byte] = {
+      coupled: Boolean, floor0: Boolean = false,
+      submaps: Int = 1): Array[Byte] = {
     val w = new BitWriter
     w.write(5, 8)
     "vorbis".getBytes("US-ASCII").foreach(c => w.write(c & 0xffL, 8))
@@ -1524,11 +1544,15 @@ object Vorbis {
     w.write(3, 3); w.write(0, 1) // class 1 cascade: passes 0 and 1
     w.write(1, 8) // class 1 pass 0 -> coarse book
     w.write(2, 8) // class 1 pass 1 -> fine book
-    // one mapping: type 0, one submap, square-polar stereo coupling
-    // when asked (magnitude ch 0, angle ch 1)
+    // one mapping: type 0; one submap, or two (stereo channels routed
+    // by mux — the multiplexed-submap decode path); square-polar
+    // stereo coupling when asked (magnitude ch 0, angle ch 1)
     w.write(0, 6)
     w.write(0, 16)
-    w.write(0, 1) // one submap
+    if (submaps == 2) {
+      w.write(1, 1)
+      w.write(1, 4) // submaps - 1
+    } else w.write(0, 1)
     if (coupled) {
       w.write(1, 1)
       w.write(0, 8) // one coupling step
@@ -1536,7 +1560,15 @@ object Vorbis {
       w.write(1, 1) // angle = channel 1
     } else w.write(0, 1)
     w.write(0, 2) // reserved
-    w.write(0, 8); w.write(0, 8); w.write(0, 8) // time, floor, residue
+    if (submaps == 2) { // mux: channel ch -> submap ch % 2
+      w.write(0, 4)
+      w.write(1, 4)
+    }
+    var sm = 0
+    while (sm < submaps) {
+      w.write(0, 8); w.write(0, 8); w.write(0, 8) // time, floor, residue
+      sm += 1
+    }
     // two modes: short and long
     w.write(1, 6)
     w.write(0, 1); w.write(0, 16); w.write(0, 16); w.write(0, 8)
@@ -1562,7 +1594,7 @@ object Vorbis {
   private def audioPacket(books: Array[Codebook],
       spectra: Array[Array[Double]], longBlock: Boolean,
       prevLong: Boolean, nextLong: Boolean, resType: Int,
-      coupled: Boolean): Array[Byte] = {
+      coupled: Boolean, submaps: Int = 1): Array[Byte] = {
     val w = new BitWriter
     val channels = spectra.length
     val n2 = spectra(0).length
@@ -1685,20 +1717,29 @@ object Vorbis {
     if (coupled && channels == 2 && (!dnd(0) || !dnd(1))) {
       dnd(0) = false; dnd(1) = false
     }
-    if (resType == 2) {
-      val v = new Array[Double](channels * n2)
-      var i = 0
-      while (i < n2) {
-        ch = 0
-        while (ch < channels) {
-          v(i * channels + ch) = res(ch)(i)
-          ch += 1
+    // one residue block per submap, channels routed by mux = ch % submaps
+    var sm = 0
+    while (sm < submaps) {
+      val chIdx = (0 until channels).filter(_ % submaps == sm)
+      if (resType == 2) {
+        if (!chIdx.forall(dnd(_))) { // all-silent submap: decoder skips
+          val v = new Array[Double](chIdx.length * n2)
+          var i = 0
+          while (i < n2) {
+            var c = 0
+            while (c < chIdx.length) {
+              v(i * chIdx.length + c) = res(chIdx(c))(i)
+              c += 1
+            }
+            i += 1
+          }
+          emitResidue(w, books, Array(v), Array(false), format1 = true)
         }
-        i += 1
+      } else {
+        emitResidue(w, books, chIdx.map(res(_)).toArray,
+          chIdx.map(dnd(_)).toArray, format1 = resType == 1)
       }
-      emitResidue(w, books, Array(v), Array(false), format1 = true)
-    } else {
-      emitResidue(w, books, res, dnd, format1 = resType == 1)
+      sm += 1
     }
     w.toBytes
   }
@@ -1785,9 +1826,9 @@ object Vorbis {
   }
 
   /** Wrap packets into an Ogg physical stream with correct lacing,
-    * granules and page CRCs.
+    * granules and page CRCs. Shared with the Ogg-FLAC fixture writer.
     */
-  private def oggWrap(packets: Seq[(Array[Byte], Long)]): Array[Byte] = {
+  private[ext] def oggWrap(packets: Seq[(Array[Byte], Long)]): Array[Byte] = {
     // group packets into pages of at most 255 lacing segments
     val out = new java.io.ByteArrayOutputStream()
     val serial = 0x67726166L // "graf"
@@ -1847,11 +1888,13 @@ object Vorbis {
     * window-slope tests.
     */
   def encode(pcm: Array[Double], rate: Int, channels: Int = 1,
-      forceShort: Boolean = false): Array[Byte] = {
+      forceShort: Boolean = false,
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     val L = pcm.length / channels
     val n = if (forceShort) ShortBlock else LongBlock
     val frames = math.max(2, (2 * L + n - 1) / n + 1)
-    encodeSchedule(pcm, rate, channels, Seq.fill(frames)(!forceShort))
+    encodeSchedule(pcm, rate, channels, Seq.fill(frames)(!forceShort),
+      comments = comments)
   }
 
   /** Encode with an explicit per-frame long/short schedule, residue
@@ -1860,11 +1903,15 @@ object Vorbis {
     */
   private[ext] def encodeSchedule(pcm: Array[Double], rate: Int,
       channels: Int, schedule: Seq[Boolean], resType: Int = 2,
-      coupled: Boolean = false, floor0Stub: Boolean = false): Array[Byte] = {
+      coupled: Boolean = false, floor0Stub: Boolean = false,
+      submaps: Int = 1,
+      comments: Seq[(String, String)] = Nil): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(rate > 0 && schedule.nonEmpty, "encode args")
     require(resType >= 0 && resType <= 2 && (!coupled || channels == 2),
       s"resType $resType coupled $coupled")
+    require(submaps == 1 || (submaps == 2 && channels == 2 && !coupled),
+      s"submaps $submaps") // coupled channels must share a submap
     val books = fixtureBooks()
     val L = pcm.length / channels
     def in(ch: Int, t: Long): Double =
@@ -1872,8 +1919,9 @@ object Vorbis {
     val packets = scala.collection.mutable.ArrayBuffer
       .empty[(Array[Byte], Long)]
     packets += ((idHeaderPacket(channels, rate), 0L))
-    packets += ((commentPacket(), 0L))
-    packets += ((setupPacket(books, resType, coupled, floor0Stub), 0L))
+    packets += ((commentPacket(comments), 0L))
+    packets += ((setupPacket(books, resType, coupled, floor0Stub,
+      submaps), 0L))
     // extend the schedule with long frames until the frame centers
     // span the whole input (decoded output = last center - first)
     val sizes = scala.collection.mutable.ArrayBuffer(
@@ -1904,7 +1952,7 @@ object Vorbis {
         mdct(s)
       }
       val pk = audioPacket(books, spectra, nf == LongBlock,
-        prevLong, nextLong, resType, coupled)
+        prevLong, nextLong, resType, coupled, submaps)
       // granule = output decodable after this packet = frames' center
       // span so far, capped at the true input length on the last one
       val granule = math.min(center - c0, L.toLong)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, AudioFingerprint, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -1751,9 +1751,9 @@ object ExtQueries {
 
     // THE DISPATCH TABLE, oracled in one row set: one synthesized
     // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
-    // lossless-WebP pixels, WAV pcm, FLAC lossless, lossy-WebP/MP3/
-    // Ogg-Vorbis/Opus/MP4/WebM/Matroska/AVIF/HEIC/HEIF container,
-    // junk byte-stats — with a DISTINCT
+    // lossless-WebP pixels, WAV/MP3/Vorbis/AIFF/AU pcm, FLAC lossless,
+    // lossy-WebP/MP3-torso/Vorbis-torso/Opus/MP4/WebM/Matroska/AVIF/
+    // HEIC/HEIF/AIFC-ima4 container, junk byte-stats — with a DISTINCT
     // planted count per class, rolled up by decodeCensus. Every
     // misrouted or regressed decoder moves a count and fails the hash:
     // the whole media-regime inventory is pinned by one CORRECTNESS
@@ -1847,6 +1847,9 @@ object ExtQueries {
         (1, "image/webp", lossyWebp),
         (2, "audio/wav", AudioDsp.pcmWav(tone.map(_ / 32767.0), 8000)),
         (3, "audio/flac", graft.ext.Flac.encode(tone, 8000)),
+        // FLAC-in-Ogg (r13): the native decoder through the rebuilt
+        // stream, so the envelope hop keeps the lossless class
+        (22, "audio/ogg", graft.ext.OggFlac.encode(tone, 8000)),
         (4, "audio/mpeg", mp3Pcm),
         (13, "audio/mpeg", mp3Container),
         (12, "audio/wav", mp3Wav),
@@ -1857,6 +1860,20 @@ object ExtQueries {
           Array.tabulate(2048)(i =>
             0.4 * math.sin(2 * math.Pi * 440 * i / 8000)), 8000)),
         (6, "audio/ogg", opus),
+        // legacy PCM containers (r13): AIFF and AU decode as real pcm;
+        // an AIFC 'ima4' keeps COMM geometry on the container side
+        (19, "audio/aiff", graft.ext.Aiff.encode(
+          tone.map(_ / 32767.0), 8000)),
+        (20, "audio/basic", graft.ext.Au.encode(
+          tone.map(_ / 32767.0), 8000, encoding = 1)),
+        (21, "audio/aiff", {
+          val a = graft.ext.Aiff.encode(
+            tone.map(_ / 32767.0), 8000, compression = "fl32")
+          // patch the compression 4cc to the unimplemented 'ima4'
+          val i = a.indexOfSlice("fl32".getBytes("US-ASCII"))
+          a(i) = 'i'; a(i + 1) = 'm'; a(i + 2) = 'a'; a(i + 3) = '4'
+          a
+        }),
         (7, "video/mp4", Multimodal.minimalMp4(600, 1200, 1, 320, 240)),
         // the ISO-BMFF IMAGE heap (r13): stills, a sequence, and the
         // generic mif1 brand rescued by its compatible avif — four
@@ -2084,6 +2101,91 @@ object ExtQueries {
           (wavs ++ mp3s).toDF("doc_id", "media"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Audio PROVENANCE extraction (oracled, closed form — the
+    // ext_image_exif discipline on the audio heap): 12 ID3v2-tagged
+    // MP3 carriers (alternating v2.3/latin-1 and v2.4/UTF-8), 12
+    // FLACs with real VORBIS_COMMENT blocks, 12 Ogg-Vorbis streams
+    // with comment-header fields — every field doc_id-derived, every
+    // fourth doc carrying embedded cover art (APIC / PICTURE block /
+    // base64 METADATA_BLOCK_PICTURE respectively), plus one untagged
+    // payload that must land the all-null row. The tag walk is
+    // container-independent, so all three envelopes land identical
+    // row shapes.
+    "ext_audio_tags" -> ((s, dir) => {
+      import s.implicits._
+      def artist(d: Long) = s"artist_${d % 7}"
+      def title(d: Long) = s"track_${d % 5}"
+      def album(d: Long) = s"album_${d % 3}"
+      def year(d: Long) = (1990 + d % 30).toInt
+      val cover = Multimodal.encodePng(6, 5, 0,
+        Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))
+      val torso = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+        o.write(new Array[Byte](96)); o.toByteArray
+      }
+      val tagTone = Array.tabulate(1500)(i => math.round(
+        0.4 * math.sin(2 * math.Pi * 500 * i / 8000) * 32767).toInt)
+      val mp3s = (0L until 12L).map(d => (d, AudioTags.id3v2Wrap(torso,
+        artist(d), title(d), album(d), year(d),
+        cover = if (d % 4 == 0) cover else null,
+        v24 = d % 2 == 1, utf8 = d % 2 == 1)))
+      val flacs = (0L until 12L).map { k =>
+        val d = k + 100
+        (d, AudioTags.flacWithTags(Flac.encode(tagTone, 8000),
+          artist(d), title(d), album(d), year(d),
+          cover = if (d % 4 == 0) cover else null))
+      }
+      val oggs = (0L until 12L).map { k =>
+        val d = k + 200
+        val cm = Seq("ARTIST" -> artist(d), "TITLE" -> title(d),
+          "ALBUM" -> album(d), "DATE" -> year(d).toString) ++
+          (if (d % 4 == 0)
+            Seq("METADATA_BLOCK_PICTURE" -> AudioTags.oggPictureField(cover))
+          else Nil)
+        (d, graft.ext.Vorbis.encode(tagTone.map(_ / 32768.0), 8000,
+          comments = cm))
+      }
+      AudioTags.table(s,
+          (mp3s ++ flacs ++ oggs ++ Seq((999L, torso)))
+            .toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-modal COVER-ART dedup (oracled on PLANTED truth): six
+    // standalone PNG artworks, each also embedded in an MP3 (ID3v2
+    // APIC), a FLAC (PICTURE block) and an Ogg-Vorbis stream (base64
+    // METADATA_BLOCK_PICTURE). The extracted cover IS the original
+    // image file, so the perceptual hashes join exactly artwork-with-
+    // carriers and nothing else — embedded-image provenance crossing
+    // into the image-dedup surface.
+    "ext_audio_cover_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def art(k: Int) = Multimodal.encodePng(8, 6, 0,
+        Array.tabulate(48)(p => ((p * 23 + k * 41 + 3) % 251).toByte),
+        (0 until 6).map(_ % 5))
+      val torso = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+        o.write(new Array[Byte](96)); o.toByteArray
+      }
+      val coverTone = Array.tabulate(1500)(i => math.round(
+        0.4 * math.sin(2 * math.Pi * 500 * i / 8000) * 32767).toInt)
+      val images = (0 until 6).map(k => (k.toLong, art(k)))
+      val mp3s = (0 until 6).map(k =>
+        (100L + k, AudioTags.id3v2Wrap(torso, cover = art(k))))
+      val flacs = (0 until 6).map(k => (200L + k,
+        AudioTags.flacWithTags(Flac.encode(coverTone, 8000),
+          cover = art(k))))
+      val oggs = (0 until 6).map(k => (300L + k,
+        graft.ext.Vorbis.encode(coverTone.map(_ / 32768.0), 8000,
+          comments = Seq("METADATA_BLOCK_PICTURE" ->
+            AudioTags.oggPictureField(art(k))))))
+      AudioTags.coverPairs(s, images.toDF("doc_id", "media"),
+          (mp3s ++ flacs ++ oggs).toDF("doc_id", "media"))
+        .orderBy("image_id", "audio_id")
     }),
 
     // Duplicate AUDIO across the Ogg-Vorbis codec boundary (oracled on
@@ -3835,6 +3937,31 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
+    // closed-form provenance: the same doc_id-derived fields through
+    // all three containers, nulls for the untagged payload
+    "ext_audio_tags" ->
+      """WITH ids AS (
+        |  SELECT k AS doc_id FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 100 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 200 FROM UNNEST(range(0, 12)) AS t(k))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'artist_' || (doc_id % 7) AS artist,
+        |  'track_' || (doc_id % 5) AS title,
+        |  'album_' || (doc_id % 3) AS album,
+        |  CAST(1990 + doc_id % 30 AS INTEGER) AS year,
+        |  doc_id % 4 = 0 AS has_cover
+        |FROM ids
+        |UNION ALL SELECT 999, NULL, NULL, NULL, NULL, false
+        |ORDER BY doc_id""".stripMargin,
+
+    // planted truth: artwork k pairs with exactly its three carriers
+    "ext_audio_cover_pairs" ->
+      """SELECT CAST(k AS BIGINT) AS image_id,
+        |       CAST(k + o AS BIGINT) AS audio_id
+        |FROM UNNEST(range(0, 6)) AS t(k),
+        |     UNNEST([100, 200, 300]) AS u(o)
+        |ORDER BY image_id, audio_id""".stripMargin,
+
     "ext_audio_incr" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
         |FROM UNNEST(range(0, 10)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
@@ -4016,7 +4143,11 @@ object ExtQueries {
     "ext_decode_census_all" ->
       """SELECT * FROM (VALUES
         |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
+        |  ('audio/aiff', 'container', 21),
+        |  ('audio/aiff', 'pcm', 19),
+        |  ('audio/basic', 'pcm', 20),
         |  ('audio/flac', 'lossless', 3),
+        |  ('audio/ogg-flac', 'lossless', 22),
         |  ('audio/mpeg', 'container', 13),
         |  ('audio/mpeg', 'pcm', 4),
         |  ('audio/ogg-opus', 'container', 6),

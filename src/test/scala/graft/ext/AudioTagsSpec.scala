@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audio provenance gates: ID3v2.3/2.4 frame walk (encodings,
+  * syncsafe vs raw sizes, APIC), FLAC VORBIS_COMMENT + PICTURE
+  * blocks, Ogg-Vorbis comment fields with the base64 picture, the
+  * refusal boundaries, and totality over hostile bytes.
+  */
+class AudioTagsSpec extends AnyFunSuite {
+
+  private val torso = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+    o.write(new Array[Byte](64)); o.toByteArray
+  }
+  private val png = Multimodal.encodePng(6, 5, 0,
+    Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))
+  private val tone = Array.tabulate(1200)(i => math.round(
+    0.4 * math.sin(2 * math.Pi * 440 * i / 8000) * 32767).toInt)
+
+  test("ID3v2.3 latin-1 and v2.4 UTF-8 land the same fields") {
+    for ((v24, utf8) <- Seq((false, false), (true, true), (true, false))) {
+      val b = AudioTags.id3v2Wrap(torso, "The Rolling Stones",
+        "Gimme Shelter", "Let It Bleed", 1969, cover = png,
+        v24 = v24, utf8 = utf8)
+      val t = AudioTags.of(b).get
+      assert(t.artist.contains("The Rolling Stones") && // spaces survive
+        t.title.contains("Gimme Shelter") &&
+        t.album.contains("Let It Bleed") &&
+        t.year.contains(1969), s"v24=$v24 utf8=$utf8: $t")
+      assert(t.cover.get.toSeq == png.toSeq, "APIC bytes verbatim")
+    }
+    // non-latin text through UTF-8 v2.4
+    val nb = AudioTags.id3v2Wrap(torso, "Motörhead", v24 = true,
+      utf8 = true)
+    assert(AudioTags.of(nb).get.artist.contains("Motörhead"))
+    // the wrapped payload still routes as MP3 elsewhere (a frame-
+    // length-exact torso: 144*128000/44100 + padding = 418 bytes)
+    val frameTorso = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+      o.write(new Array[Byte](414)); o.toByteArray
+    }
+    assert(Mp3.isMp3(frameTorso))
+    assert(Mp3.isMp3(AudioTags.id3v2Wrap(frameTorso, "a")))
+  }
+
+  test("ID3v2 UTF-16 text and description terminators parse") {
+    // hand-build a v2.3 frame with encoding 1 (UTF-16 + BOM)
+    val txt = "ACDC".getBytes("UTF-16") // BOM-led
+    val frames = new java.io.ByteArrayOutputStream()
+    frames.write("TPE1".getBytes("US-ASCII"))
+    val sz = 1 + txt.length
+    frames.write(0); frames.write(0); frames.write(0); frames.write(sz)
+    frames.write(0); frames.write(0)
+    frames.write(1); frames.write(txt)
+    val body = frames.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(body.length >> 7)
+    out.write(body.length & 0x7f)
+    out.write(body); out.write(torso)
+    val t = AudioTags.of(out.toByteArray).get
+    assert(t.artist.contains("ACDC"), s"$t")
+  }
+
+  test("unsynchronisation and v2.2 refuse; compressed frames skip") {
+    val b = AudioTags.id3v2Wrap(torso, "x", "y")
+    val unsync = b.clone(); unsync(5) = 0x80.toByte
+    assert(AudioTags.of(unsync) == None)
+    val v22 = b.clone(); v22(3) = 2
+    assert(AudioTags.of(v22) == None)
+  }
+
+  test("FLAC VORBIS_COMMENT + PICTURE splice keeps the stream decodable") {
+    val native = Flac.encode(tone, 8000)
+    val tagged = AudioTags.flacWithTags(native, "artist", "title",
+      "album", 2001, cover = png)
+    val t = AudioTags.of(tagged).get
+    assert(t.artist.contains("artist") && t.title.contains("title") &&
+      t.album.contains("album") && t.year.contains(2001))
+    assert(t.cover.get.toSeq == png.toSeq, "PICTURE data verbatim")
+    // the spliced stream still sample-decodes identically
+    assert(Flac.decode(tagged).get._1.toSeq ==
+      Flac.decode(native).get._1.toSeq,
+      "metadata blocks must not move one sample")
+    // tagless native: no provenance row
+    assert(AudioTags.of(native) == None)
+  }
+
+  test("Ogg-Vorbis comment fields + base64 picture parse; stream still decodes") {
+    val pcm = tone.map(_ / 32768.0)
+    val ogg = Vorbis.encode(pcm, 8000, comments = Seq(
+      "ARTIST" -> "someone", "TITLE" -> "something", "ALBUM" -> "somewhere",
+      "DATE" -> "1997-06-01",
+      "METADATA_BLOCK_PICTURE" -> AudioTags.oggPictureField(png)))
+    val t = AudioTags.of(ogg).get
+    assert(t.artist.contains("someone") && t.title.contains("something") &&
+      t.album.contains("somewhere") && t.year.contains(1997), s"$t")
+    assert(t.cover.get.toSeq == png.toSeq, "base64 picture verbatim")
+    assert(Vorbis.decode(ogg).isDefined, "comments must not break decode")
+    // a comment-less stream has no provenance row
+    assert(AudioTags.of(Vorbis.encode(pcm, 8000)) == None)
+  }
+
+  test("hostile inputs: truncations and bit flips are total") {
+    val fixtures = Seq(
+      AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),
+      AudioTags.flacWithTags(Flac.encode(tone, 8000), "a", cover = png),
+      Vorbis.encode(tone.map(_ / 32768.0), 8000, comments = Seq(
+        "ARTIST" -> "a",
+        "METADATA_BLOCK_PICTURE" -> AudioTags.oggPictureField(png))))
+    val r = new scala.util.Random(9)
+    for (f <- fixtures) {
+      for (cut <- 1 until f.length by 61) AudioTags.of(f.take(cut))
+      for (_ <- 0 until 150) {
+        val mut = f.clone()
+        for (_ <- 0 to r.nextInt(4))
+          mut(r.nextInt(mut.length)) = r.nextInt(256).toByte
+        AudioTags.of(mut)
+      }
+    }
+    assert(AudioTags.of(null) == None)
+    assert(AudioTags.of("ID3".getBytes) == None)
+  }
+}

@@ -32,6 +32,8 @@ object CodecProperties extends Properties("codecs") {
     "RIFF0000WAVE".getBytes("US-ASCII"),
     "fLaC".getBytes("US-ASCII"),
     "OggS".getBytes("US-ASCII"),
+    "FORM0000AIFC".getBytes("US-ASCII"),
+    ".snd".getBytes("US-ASCII"),
     "ID3".getBytes("US-ASCII"),
     Array[Byte](0xff.toByte, 0xfb.toByte),
     Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p'),
@@ -60,6 +62,21 @@ object CodecProperties extends Properties("codecs") {
     AudioDsp.g711Wav(tone.toArray, 8000),
     Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
     Vorbis.encode(tone.toArray, 8000),
+    OggFlac.encode(tone.map(v =>
+      math.round(v * 32767).toInt).toArray, 8000),
+    AudioTags.id3v2Wrap(
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x40) ++
+        new Array[Byte](64),
+      "artist", "title", "album", 2001,
+      cover = Multimodal.encodePng(6, 5, 0,
+        Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
+    AudioTags.flacWithTags(
+      Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
+      "artist", "title", cover = Multimodal.encodePng(6, 5, 0,
+        Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
+    Aiff.encode(tone.toArray, 8000),
+    Aiff.encode(tone.toArray, 8000, compression = "ulaw"),
+    Au.encode(tone.toArray, 8000, encoding = 1, annotation = "note"),
     Vorbis.encode(
       Array.tabulate(3000)(i => 0.3 * math.sin(0.4 * i) * (i % 2)), 8000,
       channels = 2, forceShort = true),
@@ -191,6 +208,15 @@ object CodecProperties extends Properties("codecs") {
           Set("gif", "apng", "webp").contains(c) &&
             s.frameCount > 0 && s.durationMs >= 0 &&
             s.frameHashes.length <= s.frameCount
+        case None => true
+      }
+    }
+
+  property("audio provenance extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      AudioTags.of(bytes) match {
+        case Some(t) =>
+          t.nonEmpty && t.year.forall(y => y >= -9999 && y <= 99999)
         case None => true
       }
     }

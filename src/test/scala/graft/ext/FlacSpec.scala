@@ -114,4 +114,28 @@ class FlacSpec extends AnyFunSuite {
     // either fails cleanly or still decodes structurally — never throws
     Flac.decode(flipped)
   }
+
+  test("FLAC-in-Ogg: the rebuilt native stream decodes bit-identically") {
+    val x = sig(3000, 4)
+    val nativeRef = Flac.decode(Flac.encode(x, 8000)).get
+    val ogg = OggFlac.encode(x, 8000)
+    assert(OggFlac.isOggFlac(ogg) && !Flac.isFlac(ogg))
+    val (y, sr) = OggFlac.decode(ogg).get
+    assert(sr == 8000 && y.toSeq == nativeRef._1.toSeq,
+      "Ogg envelope must not change one sample")
+    assert(OggFlac.info(ogg) == Flac.info(Flac.encode(x, 8000)),
+      "STREAMINFO through the BOS torso")
+    // routed: the whole audio family consumes the Ogg envelope
+    assert(AudioDsp.monoSamples(ogg).get._1.toSeq == nativeRef._1.toSeq)
+    // hostile: truncation/bit flips are total; a corrupt first page
+    // refuses
+    val r = new scala.util.Random(3)
+    for (cut <- 1 until ogg.length by 53) OggFlac.decode(ogg.take(cut))
+    for (_ <- 0 until 120) {
+      val mut = ogg.clone()
+      for (_ <- 0 to r.nextInt(4))
+        mut(r.nextInt(mut.length)) = r.nextInt(256).toByte
+      OggFlac.decode(mut)
+    }
+  }
 }

@@ -236,6 +236,28 @@ class VorbisSpec extends AnyFunSuite {
     assert(snr > 15, s"coupled SNR $snr dB")
   }
 
+  test("two submaps: stereo channels routed by mux decode independently") {
+    val rate = 8000
+    val n = 4096
+    val l = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 375 * i / rate))
+    val rr = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 1375 * i / rate))
+    val inter = new Array[Double](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = l(i); inter(2 * i + 1) = rr(i) }
+    val mixRef = Array.tabulate(n)(i => (l(i) + rr(i)) / 2)
+    val frames = (2 * n + 1023) / 1024 + 1
+    val ogg = Vorbis.encodeSchedule(inter, rate, 2,
+      Seq.fill(frames)(true), submaps = 2)
+    val (out, r) = Vorbis.decode(ogg).get
+    assert(r == rate && out.length == n)
+    var err = 0.0; var sig = 0.0
+    for (i <- 0 until n) {
+      err += (out(i) - mixRef(i)) * (out(i) - mixRef(i))
+      sig += mixRef(i) * mixRef(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 18, s"submap SNR $snr dB")
+  }
+
   test("a coupled pair with one silent channel still reconstructs (the rescue path)") {
     val rate = 8000
     val n = 2048
