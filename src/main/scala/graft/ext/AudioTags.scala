@@ -45,9 +45,82 @@ object AudioTags {
       if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') id3v2(b)
       else if (Flac.isFlac(b)) flacTags(b)
       else if (Vorbis.isOggVorbis(b)) vorbisTags(b)
+      else if (Aiff.isAiff(b)) // the 'ID3 ' chunk AIFF taggers write
+        iffChunk(b, 12, "ID3 ", bigEndian = true)
+          .map(id3v2).getOrElse(Empty)
+      else if (Multimodal.ContainerCodec.isWav(b)) // RIFF 'id3 ' chunk
+        iffChunk(b, 12, "id3 ", bigEndian = false)
+          .orElse(iffChunk(b, 12, "ID3 ", bigEndian = false))
+          .map(id3v2).getOrElse(Empty)
       else Empty
     if (t.nonEmpty) Some(t) else None
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** First `id` chunk payload in a FORM/RIFF chunk sequence starting
+    * at `off0` (AIFF sizes big-endian, RIFF little-endian; both pad
+    * chunks to even).
+    */
+  private def iffChunk(b: Array[Byte], off0: Int, id: String,
+      bigEndian: Boolean): Option[Array[Byte]] = {
+    var off = off0
+    while (off + 8 <= b.length) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val sz = (if (bigEndian) u32be(b, off + 4) else u32le(b, off + 4))
+        .toInt
+      val po = off + 8
+      if (sz < 0 || po + sz > b.length) return None
+      if (cid == id) return Some(java.util.Arrays.copyOfRange(b, po, po + sz))
+      off = po + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** Append an 'ID3 '/'id3 ' chunk carrying a full ID3v2 tag to an
+    * existing AIFF or WAV file (patching the FORM/RIFF size).
+    */
+  def withId3Chunk(container: Array[Byte], tag: Array[Byte])
+      : Array[Byte] = {
+    val aiff = Aiff.isAiff(container)
+    require(aiff || Multimodal.ContainerCodec.isWav(container),
+      "withId3Chunk: AIFF or WAV")
+    val id = if (aiff) "ID3 " else "id3 "
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(container)
+    out.write(id.getBytes("US-ASCII"))
+    val sz = tag.length
+    if (aiff) {
+      out.write((sz >>> 24) & 0xff); out.write((sz >>> 16) & 0xff)
+      out.write((sz >>> 8) & 0xff); out.write(sz & 0xff)
+    } else {
+      out.write(sz & 0xff); out.write((sz >>> 8) & 0xff)
+      out.write((sz >>> 16) & 0xff); out.write((sz >>> 24) & 0xff)
+    }
+    out.write(tag)
+    if ((sz & 1) == 1) out.write(0)
+    val arr = out.toByteArray
+    val total = arr.length - 8 // FORM/RIFF payload size
+    if (aiff) {
+      arr(4) = ((total >>> 24) & 0xff).toByte
+      arr(5) = ((total >>> 16) & 0xff).toByte
+      arr(6) = ((total >>> 8) & 0xff).toByte
+      arr(7) = (total & 0xff).toByte
+    } else {
+      arr(4) = (total & 0xff).toByte
+      arr(5) = ((total >>> 8) & 0xff).toByte
+      arr(6) = ((total >>> 16) & 0xff).toByte
+      arr(7) = ((total >>> 24) & 0xff).toByte
+    }
+    arr
+  }
+
+  /** A bare ID3v2 tag block (no audio payload) — the chunk body
+    * [[withId3Chunk]] embeds.
+    */
+  def id3Tag(artist: String = null, title: String = null,
+      album: String = null, year: Int = 0, cover: Array[Byte] = null,
+      v24: Boolean = false, utf8: Boolean = false): Array[Byte] =
+    id3v2Wrap(Array.emptyByteArray, artist, title, album, year, cover,
+      v24, utf8)
 
   // ------------------------------------------------------------------
   // ID3v2

@@ -2107,11 +2107,12 @@ object ExtQueries {
     // ext_image_exif discipline on the audio heap): 12 ID3v2-tagged
     // MP3 carriers (alternating v2.3/latin-1 and v2.4/UTF-8), 12
     // FLACs with real VORBIS_COMMENT blocks, 12 Ogg-Vorbis streams
-    // with comment-header fields — every field doc_id-derived, every
+    // with comment-header fields, 12 WAVs with 'id3 ' chunks and 12
+    // AIFFs with 'ID3 ' chunks — every field doc_id-derived, every
     // fourth doc carrying embedded cover art (APIC / PICTURE block /
-    // base64 METADATA_BLOCK_PICTURE respectively), plus one untagged
-    // payload that must land the all-null row. The tag walk is
-    // container-independent, so all three envelopes land identical
+    // base64 METADATA_BLOCK_PICTURE / chunked APIC), plus one
+    // untagged payload that must land the all-null row. The tag walk
+    // is container-independent, so all five envelopes land identical
     // row shapes.
     "ext_audio_tags" -> ((s, dir) => {
       import s.implicits._
@@ -2148,8 +2149,24 @@ object ExtQueries {
         (d, graft.ext.Vorbis.encode(tagTone.map(_ / 32768.0), 8000,
           comments = cm))
       }
+      // the chunked carriers: WAV 'id3 ' and AIFF 'ID3 ' chunks hold
+      // a full ID3v2 tag appended after the sample data
+      val wavs = (0L until 12L).map { k =>
+        val d = k + 300
+        (d, AudioTags.withId3Chunk(
+          AudioDsp.pcmWav(tagTone.map(_ / 32768.0), 8000),
+          AudioTags.id3Tag(artist(d), title(d), album(d), year(d),
+            cover = if (d % 4 == 0) cover else null)))
+      }
+      val aiffs = (0L until 12L).map { k =>
+        val d = k + 400
+        (d, AudioTags.withId3Chunk(
+          graft.ext.Aiff.encode(tagTone.map(_ / 32768.0), 8000),
+          AudioTags.id3Tag(artist(d), title(d), album(d), year(d),
+            cover = if (d % 4 == 0) cover else null, v24 = true)))
+      }
       AudioTags.table(s,
-          (mp3s ++ flacs ++ oggs ++ Seq((999L, torso)))
+          (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ Seq((999L, torso)))
             .toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
@@ -3943,7 +3960,9 @@ object ExtQueries {
       """WITH ids AS (
         |  SELECT k AS doc_id FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 100 FROM UNNEST(range(0, 12)) AS t(k)
-        |  UNION ALL SELECT k + 200 FROM UNNEST(range(0, 12)) AS t(k))
+        |  UNION ALL SELECT k + 200 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 300 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 400 FROM UNNEST(range(0, 12)) AS t(k))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  'artist_' || (doc_id % 7) AS artist,
         |  'track_' || (doc_id % 5) AS title,

@@ -105,6 +105,26 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(AudioTags.of(Vorbis.encode(pcm, 8000)) == None)
   }
 
+  test("WAV 'id3 ' and AIFF 'ID3 ' chunks carry the same provenance") {
+    val pcm = tone.map(_ / 32768.0)
+    val tag = AudioTags.id3Tag("chunked artist", "chunked title",
+      year = 1988, cover = png)
+    for (container <- Seq(AudioDsp.pcmWav(pcm, 8000),
+        Aiff.encode(pcm, 8000))) {
+      val wrapped = AudioTags.withId3Chunk(container, tag)
+      val t = AudioTags.of(wrapped).get
+      assert(t.artist.contains("chunked artist") &&
+        t.title.contains("chunked title") && t.year.contains(1988) &&
+        t.cover.get.toSeq == png.toSeq, s"$t")
+      // the audio still decodes identically with the chunk appended
+      assert(AudioDsp.monoSamples(wrapped).get._1.toSeq ==
+        AudioDsp.monoSamples(container).get._1.toSeq,
+        "the ID3 chunk must not move one sample")
+      // an untagged container has no provenance row
+      assert(AudioTags.of(container) == None)
+    }
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),
