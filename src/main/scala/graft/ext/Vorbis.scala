@@ -1499,7 +1499,7 @@ object Vorbis {
 
   private def setupPacket(books: Array[Codebook], resType: Int,
       coupled: Boolean, floor0: Boolean = false,
-      submaps: Int = 1): Array[Byte] = {
+      submaps: Int = 1, resBegin: Int = 0): Array[Byte] = {
     val w = new BitWriter
     w.write(5, 8)
     "vorbis".getBytes("US-ASCII").foreach(c => w.write(c & 0xffL, 8))
@@ -1535,7 +1535,7 @@ object Vorbis {
     // (silent / two-pass coded)
     w.write(0, 6)
     w.write(resType, 16)
-    w.write(0, 24)
+    w.write(resBegin, 24)
     w.write(1024, 24)
     w.write(63, 24) // partition size - 1
     w.write(1, 6) // classifications - 1
@@ -1594,7 +1594,8 @@ object Vorbis {
   private def audioPacket(books: Array[Codebook],
       spectra: Array[Array[Double]], longBlock: Boolean,
       prevLong: Boolean, nextLong: Boolean, resType: Int,
-      coupled: Boolean, submaps: Int = 1): Array[Byte] = {
+      coupled: Boolean, submaps: Int = 1, resBegin: Int = 0)
+      : Array[Byte] = {
     val w = new BitWriter
     val channels = spectra.length
     val n2 = spectra(0).length
@@ -1733,11 +1734,12 @@ object Vorbis {
             }
             i += 1
           }
-          emitResidue(w, books, Array(v), Array(false), format1 = true)
+          emitResidue(w, books, Array(v), Array(false),
+            format1 = true, resBegin)
         }
       } else {
         emitResidue(w, books, chIdx.map(res(_)).toArray,
-          chIdx.map(dnd(_)).toArray, format1 = resType == 1)
+          chIdx.map(dnd(_)).toArray, format1 = resType == 1, resBegin)
       }
       sm += 1
     }
@@ -1750,16 +1752,17 @@ object Vorbis {
     */
   private def emitResidue(w: BitWriter, books: Array[Codebook],
       vectors: Array[Array[Double]], dnd: Array[Boolean],
-      format1: Boolean): Unit = {
+      format1: Boolean, resBegin: Int = 0): Unit = {
     val size = vectors(0).length
+    val limitBegin = math.min(resBegin, size)
     val limitEnd = math.min(1024, size)
-    val partitions = limitEnd / 64
+    val partitions = math.max(0, limitEnd - limitBegin) / 64
     if (partitions == 0) return
     val ch = vectors.length
     val classes = Array.tabulate(ch, partitions) { (c, p) =>
       var any = false
-      var j = p * 64
-      while (j < p * 64 + 64) {
+      var j = limitBegin + p * 64
+      while (j < limitBegin + p * 64 + 64) {
         if (math.abs(vectors(c)(j)) >= 0.03125) any = true
         j += 1
       }
@@ -1790,7 +1793,7 @@ object Vorbis {
           while (c < ch) {
             if (!dnd(c) && classes(c)(pc) == 1) {
               val book = if (pass == 0) coarse else fine
-              val off = pc * 64
+              val off = limitBegin + pc * 64
               if (format1) {
                 var j = off
                 while (j < off + 64) {
@@ -1828,10 +1831,11 @@ object Vorbis {
   /** Wrap packets into an Ogg physical stream with correct lacing,
     * granules and page CRCs. Shared with the Ogg-FLAC fixture writer.
     */
-  private[ext] def oggWrap(packets: Seq[(Array[Byte], Long)]): Array[Byte] = {
+  private[ext] def oggWrap(packets: Seq[(Array[Byte], Long)],
+      serial0: Int = 0x67726166): Array[Byte] = { // default: "graf"
     // group packets into pages of at most 255 lacing segments
     val out = new java.io.ByteArrayOutputStream()
-    val serial = 0x67726166L // "graf"
+    val serial = serial0.toLong & 0xffffffffL
     var pageSeq = 0
     // page boundaries: id header alone (BOS), then greedy fill
     val groups = scala.collection.mutable.ArrayBuffer
@@ -1865,7 +1869,7 @@ object Vorbis {
       header.put("OggS".getBytes("US-ASCII"))
         .put(0.toByte).put(flags.toByte)
         .putLong(granule).putInt(serial.toInt).putInt(pageSeq)
-        .putInt(0) // CRC placeholder
+        .putInt(0) // CRC placeholder (filled below)
         .put(laces.length.toByte)
       laces.foreach(l => header.put(l.toByte))
       val page = header.array() ++ payload.flatten
@@ -1905,7 +1909,8 @@ object Vorbis {
       channels: Int, schedule: Seq[Boolean], resType: Int = 2,
       coupled: Boolean = false, floor0Stub: Boolean = false,
       submaps: Int = 1,
-      comments: Seq[(String, String)] = Nil): Array[Byte] = {
+      comments: Seq[(String, String)] = Nil,
+      resBegin: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(rate > 0 && schedule.nonEmpty, "encode args")
     require(resType >= 0 && resType <= 2 && (!coupled || channels == 2),
@@ -1921,7 +1926,7 @@ object Vorbis {
     packets += ((idHeaderPacket(channels, rate), 0L))
     packets += ((commentPacket(comments), 0L))
     packets += ((setupPacket(books, resType, coupled, floor0Stub,
-      submaps), 0L))
+      submaps, resBegin), 0L))
     // extend the schedule with long frames until the frame centers
     // span the whole input (decoded output = last center - first)
     val sizes = scala.collection.mutable.ArrayBuffer(
@@ -1952,7 +1957,7 @@ object Vorbis {
         mdct(s)
       }
       val pk = audioPacket(books, spectra, nf == LongBlock,
-        prevLong, nextLong, resType, coupled, submaps)
+        prevLong, nextLong, resType, coupled, submaps, resBegin)
       // granule = output decodable after this packet = frames' center
       // span so far, capped at the true input length on the last one
       val granule = math.min(center - c0, L.toLong)
@@ -1960,6 +1965,11 @@ object Vorbis {
       if (f + 1 < sizes.length) center += nf / 4 + sizes(f + 1) / 4
       f += 1
     }
-    oggWrap(packets.toSeq)
+    // chained physical streams need DISTINCT serials (Ogg spec), so
+    // derive one deterministically from the content
+    var serial = 0x67726166 ^ (rate * 2654435761L).toInt ^
+      (pcm.length * 40503) ^ (channels << 28)
+    if (serial == 0) serial = 1
+    oggWrap(packets.toSeq, serial)
   }
 }

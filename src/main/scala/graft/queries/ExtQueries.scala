@@ -2393,7 +2393,8 @@ object ExtQueries {
         Multimodal.extractFeatures(s,
           Multimodal.mediaTable(Tables.documents(s, dir))
             .unionByName(audioMedia(s, dir))
-            .unionByName(videoMedia(s, dir))).toDF())),
+            .unionByName(videoMedia(s, dir))
+            .unionByName(heifMedia(s, dir))).toDF())),
 
     // ---- audio DSP (real STFT/mel over synthesized RIFF bytes) ------
     // Each doc gets a deterministic 16-bit PCM sine (freq and duration
@@ -4596,6 +4597,12 @@ object ExtQueries {
         |      UNION ALL SELECT doc_id, 'fake/rgb8', 'byte-stats'
         |        FROM documents
         |      UNION ALL SELECT doc_id, 'video/mp4', 'container'
+        |        FROM documents
+        |      UNION ALL SELECT doc_id,
+        |        CASE doc_id % 5 WHEN 0 THEN 'image/avif'
+        |          WHEN 1 THEN 'image/avif-seq' WHEN 2 THEN 'image/heic'
+        |          WHEN 3 THEN 'image/heif' ELSE 'image/heif-seq' END,
+        |        'container'
         |        FROM documents)
         |GROUP BY 1 ORDER BY metric""".stripMargin,
 

@@ -494,6 +494,38 @@ class VorbisSpec extends AnyFunSuite {
       "continued-packet reassembly must decode bit-identically")
   }
 
+  test("a nonzero residue begin offsets partitions correctly") {
+    // energy above the uncoded low band: 1375 Hz at 8 kHz / 1024-MDCT
+    // sits at bin ~176, beyond begin=64
+    val rate = 8000
+    val n = 4096
+    val pcm = Array.tabulate(n)(i =>
+      0.5 * math.sin(2 * math.Pi * 1375 * i / rate))
+    val frames = (2 * n + 1023) / 1024 + 1
+    val ogg = Vorbis.encodeSchedule(pcm, rate, 1,
+      Seq.fill(frames)(true), resBegin = 64)
+    val (out, r) = Vorbis.decode(ogg).get
+    assert(r == rate && out.length == n)
+    var err = 0.0; var sig = 0.0
+    for (i <- 0 until n) {
+      err += (out(i) - pcm(i)) * (out(i) - pcm(i)); sig += pcm(i) * pcm(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 18, s"resBegin SNR $snr dB")
+  }
+
+  test("a chained physical stream decodes its first logical stream") {
+    val rate = 8000
+    val a = Array.tabulate(2048)(i => 0.5 * math.sin(2 * math.Pi * 500 * i / rate))
+    val b = Array.tabulate(2048)(i => 0.4 * math.sin(2 * math.Pi * 900 * i / rate))
+    val oggA = Vorbis.encode(a, rate)
+    val refA = Vorbis.decode(oggA).get._1
+    val chained = oggA ++ Vorbis.encode(b, rate)
+    val (out, r) = Vorbis.decode(chained).get
+    assert(r == rate && out.toSeq == refA.toSeq,
+      "the serial lock must keep the first stream's samples exactly")
+  }
+
   test("square-polar coupling inverse matches the spec pseudocode golden") {
     // hand-worked examples straight off spec 4.3.5's branch table
     // (M,A) -> (newM, newA)
