@@ -53,8 +53,47 @@ object AudioTags {
           .orElse(iffChunk(b, 12, "ID3 ", bigEndian = false))
           .map(id3v2).getOrElse(Empty)
       else Empty
-    if (t.nonEmpty) Some(t) else None
+    // the ID3v1 trailer (128-byte "TAG" block at EOF) is the
+    // fallback old MP3 rips carry when nothing richer matched
+    val t2 = if (t.nonEmpty) t else id3v1(b)
+    if (t2.nonEmpty) Some(t2) else None
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ID3v1: fixed 128-byte trailer — title/artist/album 30 bytes
+    * each (space- or nul-padded latin-1), year 4 digits.
+    */
+  private def id3v1(b: Array[Byte]): Tags = {
+    val o = b.length - 128
+    if (o < 0 || b(o) != 'T' || b(o + 1) != 'A' || b(o + 2) != 'G')
+      return Empty
+    def field(off: Int, len: Int): Option[String] = {
+      val s = new String(b, o + off, len, "ISO-8859-1")
+        .takeWhile(_ != '\u0000').trim
+      if (s.isEmpty) None else Some(s)
+    }
+    Tags(field(33, 30), field(3, 30), field(63, 30),
+      field(93, 4).flatMap(_.toIntOption), None)
+  }
+
+  /** Fixture writer: append an ID3v1 trailer. */
+  def id3v1Wrap(audio: Array[Byte], artist: String = "",
+      title: String = "", album: String = "", year: Int = 0)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(audio)
+    out.write("TAG".getBytes("US-ASCII"))
+    def field(s: String, len: Int): Unit = {
+      val raw = s.getBytes("ISO-8859-1").take(len)
+      out.write(raw)
+      out.write(new Array[Byte](len - raw.length))
+    }
+    field(title, 30)
+    field(artist, 30)
+    field(album, 30)
+    field(if (year > 0) year.toString else "", 4)
+    out.write(new Array[Byte](30 + 1)) // comment + genre
+    out.toByteArray
+  }
 
   /** First `id` chunk payload in a FORM/RIFF chunk sequence starting
     * at `off0` (AIFF sizes big-endian, RIFF little-endian; both pad

@@ -1385,18 +1385,28 @@ object Vorbis {
     * steps) for the two residue passes, and a 256-entry scalar book
     * for the floor's coded Y values.
     */
-  private def fixtureBooks(): Array[Codebook] = {
+  private def fixtureBooks(lookup1: Boolean = false): Array[Codebook] = {
     def lattice(delta: Double): Codebook = {
       val entries = 225
-      val mults = new Array[Int](entries * 2)
-      var e = 0
-      while (e < entries) {
-        mults(e * 2) = e / 15
-        mults(e * 2 + 1) = e % 15
-        e += 1
-      }
-      val cb = new Codebook(2, entries, balancedLengths(entries), 2,
-        -7 * delta, delta, sequenceP = false, mults, entries * 2)
+      // lookup type 2: explicit per-entry values; lookup type 1: the
+      // implicit 15-value lattice (lookup_values = 15, 15^2 = entries)
+      // indexed (entry / 15^d) % 15 per dimension
+      val mults =
+        if (lookup1) Array.tabulate(15)(identity)
+        else {
+          val m = new Array[Int](entries * 2)
+          var e = 0
+          while (e < entries) {
+            m(e * 2) = e / 15
+            m(e * 2 + 1) = e % 15
+            e += 1
+          }
+          m
+        }
+      val cb = new Codebook(2, entries, balancedLengths(entries),
+        if (lookup1) 1 else 2,
+        -7 * delta, delta, sequenceP = false, mults,
+        if (lookup1) 15 else entries * 2)
       require(cb.build() && cb.isComplete, "fixture lattice book")
       cb
     }
@@ -1824,7 +1834,11 @@ object Vorbis {
     val (a0, a1) = quantize(va)
     val (b0, b1) = quantize(vb)
     val (qa, qb) = if (pass == 0) (a0, b0) else (a1, b1)
-    val entry = (qa + 7) * 15 + (qb + 7)
+    // lookup 2 lays dims out explicitly as (e/15, e%15); lookup 1
+    // decodes dim d from (e / 15^d) % 15, so dim 0 is e%15
+    val entry =
+      if (book.lookupType == 1) (qb + 7) * 15 + (qa + 7)
+      else (qa + 7) * 15 + (qb + 7)
     w.writeCode(book.codes(entry), book.lengths(entry))
   }
 
@@ -1910,14 +1924,14 @@ object Vorbis {
       coupled: Boolean = false, floor0Stub: Boolean = false,
       submaps: Int = 1,
       comments: Seq[(String, String)] = Nil,
-      resBegin: Int = 0): Array[Byte] = {
+      resBegin: Int = 0, lookup1Books: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(rate > 0 && schedule.nonEmpty, "encode args")
     require(resType >= 0 && resType <= 2 && (!coupled || channels == 2),
       s"resType $resType coupled $coupled")
     require(submaps == 1 || (submaps == 2 && channels == 2 && !coupled),
       s"submaps $submaps") // coupled channels must share a submap
-    val books = fixtureBooks()
+    val books = fixtureBooks(lookup1Books)
     val L = pcm.length / channels
     def in(ch: Int, t: Long): Double =
       if (t < 0 || t >= L) 0.0 else pcm(t.toInt * channels + ch)

@@ -125,6 +125,24 @@ class AudioTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("ID3v1 trailer: the old-rip fallback parses, v2 wins when both present") {
+    val v1 = AudioTags.id3v1Wrap(torso, "Old Artist Name",
+      "Some Long Title Here", "An Album", 1985)
+    val t = AudioTags.of(v1).get
+    assert(t.artist.contains("Old Artist Name") &&
+      t.title.contains("Some Long Title Here") &&
+      t.album.contains("An Album") && t.year.contains(1985) &&
+      t.cover.isEmpty, s"$t")
+    // both tags present: ID3v2 takes precedence
+    val both = AudioTags.id3v1Wrap(
+      AudioTags.id3v2Wrap(torso, "New Artist", year = 2005), "Old Artist")
+    assert(AudioTags.of(both).get.artist.contains("New Artist"))
+    assert(AudioTags.of(both).get.year.contains(2005))
+    // a bare trailer on arbitrary bytes is still a tag
+    assert(AudioTags.of(AudioTags.id3v1Wrap(
+      Array.tabulate(50)(_.toByte), "x")).isDefined)
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),

@@ -494,6 +494,25 @@ class VorbisSpec extends AnyFunSuite {
       "continued-packet reassembly must decode bit-identically")
   }
 
+  test("lookup-type-1 residue books round-trip (implicit lattice in a real stream)") {
+    val rate = 8000
+    val n = 4096
+    val pcm = Array.tabulate(n)(i =>
+      0.5 * math.sin(2 * math.Pi * 625 * i / rate) +
+        0.2 * math.sin(2 * math.Pi * 1875 * i / rate))
+    val frames = (2 * n + 1023) / 1024 + 1
+    val ogg = Vorbis.encodeSchedule(pcm, rate, 1,
+      Seq.fill(frames)(true), lookup1Books = true)
+    val (out, r) = Vorbis.decode(ogg).get
+    assert(r == rate && out.length == n)
+    var err = 0.0; var sig = 0.0
+    for (i <- 0 until n) {
+      err += (out(i) - pcm(i)) * (out(i) - pcm(i)); sig += pcm(i) * pcm(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 20, s"lookup1 SNR $snr dB")
+  }
+
   test("a nonzero residue begin offsets partitions correctly") {
     // energy above the uncoded low band: 1375 Hz at 8 kHz / 1024-MDCT
     // sits at bin ~176, beyond begin=64
