@@ -308,6 +308,22 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("codeword assignment matches the spec's own worked example") {
+    // Vorbis I spec 3.2.1: lengths [2,4,4,4,4,2,3,3] assign
+    // 00, 0100, 0101, 0110, 0111, 10, 110, 111 — the canonical
+    // first-fit example, decoded here through the real tree
+    val b = new Bits
+    b.w(0x564342, 24).w(1, 16).w(8, 24)
+    b.w(0, 1).w(0, 1) // unordered, dense
+    for (l <- Seq(2, 4, 4, 4, 4, 2, 3, 3)) b.w(l - 1, 5)
+    b.w(0, 4) // lookup 0
+    // decode entries 0, 5, 6, 1, 7, 4 via their spec codewords
+    b.code(0x0, 2).code(0x2, 2).code(0x6, 3)
+      .code(0x4, 4).code(0x7, 3).code(0x7, 4)
+    val Some((scalars, _)) = Vorbis.testCodebook(b.bytes, 6)
+    assert(scalars == Seq(0, 5, 6, 1, 7, 4), scalars)
+  }
+
   test("ordered-length codebook parse: run-length lengths, canonical codes") {
     // 4 entries, ordered, all length 2 -> codes 00 01 10 11
     val b = new Bits
