@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Classifier EVALUATION metrics — the measurement half of the
@@ -21,13 +20,11 @@ import org.apache.spark.sql.functions._
   *    collapses the corpus to O(distinct scores) / O(bins) / O(1) rows —
   *    partial aggregation does the heavy lifting map-side, and nothing
   *    after the first shuffle ever touches a per-document row again.
-  *  - `rocAuc`'s cumulative pass runs a window over the AGGREGATED
-  *    score-group table. That window is single-partition by construction
-  *    (a global cumulative needs a total order), but over O(distinct
-  *    scores) rows — bounded by score resolution (quality scores are
-  *    round(_, 6) ∈ [0,1]: ≤ 1e6 groups), not by corpus size. The same
-  *    cumulative-over-aggregated discipline as `Bpe.wordHistogram` and
-  *    the rollup reads.
+  *  - `rocAuc`'s cumulative pass is a DISTRIBUTED prefix sum over the
+  *    aggregated score-group table ([[graft.ops.PrefixSum]]): continuous
+  *    model scores make distinct ≈ n, so "over the aggregated table" is
+  *    no size bound at all — the cumulative must range-partition, not
+  *    fall into one unpartitioned-window task (asserted in PlanSpec).
   */
 object Eval {
 
@@ -49,11 +46,14 @@ object Eval {
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("n"))
-    // cumulative negatives strictly below this score: window over the
-    // aggregated table only (O(distinct scores) rows — see scale note)
-    val w = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("nb", coalesce(sum("n").over(w), lit(0L)))
+    // cumulative negatives strictly below this score: continuous model
+    // scores make distinct ≈ n, so this is a distributed prefix sum
+    // (graft.ops.PrefixSum: range-partition by score → per-partition
+    // subtotals → broadcast prefix → partition-local cumulative), never
+    // an unpartitioned window over a data-scale frame
+    val (cum, _) = graft.ops.PrefixSum.runningSums(g, Seq("score"),
+      Seq(("n", "nb", false)))
+    cum
       .agg(
         sum("p").as("pos_cnt"),
         sum("n").as("neg_cnt"),

@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   * so the output is engine-portable and `ext_triplets` is DuckDB-oracled
   * end-to-end.
   *
-  * Scale shape: all work is PAIR-GRAPH-sized, never corpus-sized — the
-  * rotation is one window over the pair list (global order: a triplet
-  * set is bounded by the dedup graph, orders of magnitude below the
-  * corpus; for a pathological pair explosion, rotate within hash
-  * buckets instead), and the safety filter is one broadcast-able
-  * anti-join of candidates against the same pair list.
+  * Scale shape: pair lists at corpus scale are themselves billions of
+  * rows, so the global rotation must NOT be a single-partition window.
+  * It is computed distributed while keeping the exact global-order
+  * semantics the oracle states: range-partition by (anchor, positive)
+  * and `lead` WITHIN each partition (parallel), then stitch the one
+  * boundary row per partition — whose successor lives in the next
+  * partition — from the per-partition FIRST rows, an O(partitions)
+  * driver-side list broadcast back as a flat array literal (the same
+  * subtotal-to-driver discipline as [[graft.ops.PrefixSum]]). The global
+  * last row wraps to the global first positive, exactly the old
+  * `first_value` semantics. The safety filter is one anti-join of
+  * candidates against the same pair list.
   */
 object Triplets {
 
@@ -38,12 +44,47 @@ object Triplets {
     // provably sees the same pair set the rotation used
     val pairs = pairs0.select("id_a", "id_b").localCheckpoint(false)
     val p = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
-    val w = Window.orderBy("anchor", "positive")
-    val rotated = p
-      .withColumn("negative",
-        coalesce(lead("positive", 1).over(w),
-          first("positive").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+    val spark = pairs.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = p
+      .repartitionByRange(parts, col("anchor"), col("positive"))
+      .sortWithinPartitions("anchor", "positive")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // pid must be identical in both passes
+
+    // pass 1: each partition's FIRST (anchor, positive) — the struct min
+    // under the same lexicographic order the range partitioning uses.
+    // O(partitions) driver rows: metadata, not data.
+    val firsts = ranged.groupBy("__pid")
+      .agg(min(struct(col("anchor"), col("positive"))).as("f"))
+      .select(col("__pid"), col("f").getField("positive").as("fp"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .sortBy(_._1)
+    if (firsts.isEmpty) {
+      // no pairs → no triplets, with the full output schema intact
+      return p.withColumn("negative", col("positive"))
+        .select("anchor", "positive", "negative")
+    }
+
+    // successor of partition i's LAST row = first positive of the next
+    // NON-EMPTY partition; the global last row wraps to the global first
+    val fps = firsts.map(_._2)
+    val nextFirst: Map[Int, Any] = firsts.map(_._1).zipWithIndex.map {
+      case (pid, i) => pid -> fps((i + 1) % fps.length)
+    }.toMap
+    // flat array literal indexed by pid (empty partitions never evaluate
+    // their slot — any placeholder keeps the array total)
+    val boundary = element_at(
+      array((0 until parts).map(pid =>
+        lit(nextFirst.getOrElse(pid, fps(0)))): _*),
+      col("__pid") + 1)
+
+    // pass 2: parallel partition-local lead; only each partition's last
+    // row falls through to the stitched boundary value
+    val w = Window.partitionBy("__pid").orderBy("anchor", "positive")
+    val rotated = ranged
+      .withColumn("negative", coalesce(lead("positive", 1).over(w), boundary))
     // never train against yourself…
     val noSelf = rotated.filter(
       col("negative") =!= col("anchor") && col("negative") =!= col("positive"))

@@ -93,33 +93,32 @@ object Drift {
     * bins can blur). Exact, not sampled.
     *
     * Scale shape: one map-combinable aggregate collapses both sides to
-    * O(distinct values) rows (tagged union, conditional counts); the
-    * CDF difference is a cumulative window over that AGGREGATED table —
-    * single-partition by construction but distinct-value-sized, the
-    * same discipline as `Eval.rocAuc`. Returns one row
-    * (n_ref, n_cur, ks round 6); ks null when either side is empty.
+    * O(distinct values) rows (tagged union, conditional counts) — but
+    * for a CONTINUOUS column distinct ≈ rows, so the CDFs over that
+    * table are computed with [[PrefixSum.runningSums]] (range-partition
+    * by value → per-partition subtotals → broadcast prefix →
+    * partition-local cumulative), never an unpartitioned window. The
+    * grand totals fall out of the subtotal pass for free. Returns one
+    * row (n_ref, n_cur, ks round 6); ks null when either side is empty.
     */
   def ksStatistic(ref: DataFrame, cur: DataFrame,
       valueCol: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(Long.MinValue, 0)
-    val WholeW = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
     val tagged = ref.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("v"), lit(1L).as("r"), lit(0L).as("c"))
       .unionByName(cur.filter(col(valueCol).isNotNull)
         .select(col(valueCol).as("v"), lit(0L).as("r"), lit(1L).as("c")))
-    tagged.groupBy("v")
+    val g = tagged.groupBy("v")
       .agg(sum("r").as("nr"), sum("c").as("nc"))
-      .withColumn("cr", sum("nr").over(W))
-      .withColumn("cc", sum("nc").over(W))
-      .withColumn("tr", sum("nr").over(WholeW))
-      .withColumn("tc", sum("nc").over(WholeW))
-      .withColumn("diff", when(col("tr") > 0 && col("tc") > 0,
-        abs(col("cr") / col("tr") - col("cc") / col("tc"))))
-      .agg(coalesce(max("tr"), lit(0L)).as("n_ref"),
-        coalesce(max("tc"), lit(0L)).as("n_cur"),
-        round(max("diff"), 6).as("ks"))
+    val (cum, totals) = PrefixSum.runningSums(g, Seq("v"),
+      Seq(("nr", "cr", true), ("nc", "cc", true)))
+    val (tr, tc) = (totals("nr"), totals("nc"))
+    val diff =
+      if (tr > 0 && tc > 0)
+        abs(col("cr") / lit(tr.toDouble) - col("cc") / lit(tc.toDouble))
+      else lit(null).cast("double")
+    cum.withColumn("diff", diff)
+      .agg(round(max("diff"), 6).as("ks"))
+      .select(lit(tr).as("n_ref"), lit(tc).as("n_cur"), col("ks"))
   }
 
   /** CHI-SQUARE drift over a CATEGORICAL column: Σ over observed

@@ -230,6 +230,31 @@ class PlanSpec extends SparkSpec {
       "shipdate split not pushed to the scans")
   }
 
+  test("cumulative ops (KS / AUC / triplet rotation) carry NO unpartitioned window") {
+    // the r13-weak shape: Window.orderBy with no partitionBy over a
+    // distinct-value-sized frame — single-partition by construction,
+    // data-scale on continuous inputs. All three now run the PrefixSum
+    // discipline (range-partition → subtotals → broadcast prefix →
+    // partition-local window), so every Window node left in the plan
+    // must carry a partition spec. Checked on the logical plan: the
+    // physical WindowExec inherits its partitioning 1:1, and AQE
+    // wrapping can't hide nodes there.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val dfs = Seq(
+      "drift_ks_price" -> ParityQueries.queries("drift_ks_price")(spark, dir),
+      "ext_eval_auc" ->
+        graft.queries.ExtQueries.queries("ext_eval_auc")(spark, dir),
+      "ext_triplets" ->
+        graft.queries.ExtQueries.queries("ext_triplets")(spark, dir))
+    for ((name, df) <- dfs) {
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name: unpartitioned Window crept back in:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("r8 tpch shapes: dims broadcast, semis stay semi, no cartesian") {
     // every new shape must keep the fact side shuffle-free of dim joins
     // and never degenerate to a nested-loop/cartesian product
