@@ -402,6 +402,23 @@ private[graft] object Flac {
   def encode(samples: Array[Int], sampleRate: Int, channels: Int = 1,
       mode: String = "fixed2", blockSize: Int = 4096,
       bits: Int = 16): Array[Byte] = {
+    val (header, frames) =
+      encodeParts(samples, sampleRate, channels, mode, blockSize, bits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    frames.foreach { case (f, _) => out.write(f) }
+    out.toByteArray
+  }
+
+  /** [[encode]] split at FRAME boundaries: (fLaC+STREAMINFO header,
+    * per-frame (coded bytes, end-sample position)) — the granularity
+    * the Ogg mapping needs (each Ogg audio packet must be exactly ONE
+    * native frame, with the frame's last-sample granule). encode() is
+    * the concatenation.
+    */
+  private[ext] def encodeParts(samples: Array[Int], sampleRate: Int,
+      channels: Int = 1, mode: String = "fixed2", blockSize: Int = 4096,
+      bits: Int = 16): (Array[Byte], Seq[(Array[Byte], Long)]) = {
     require(channels == 1 || channels == 2, s"flac encode: $channels ch")
     val bitsCode = Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
       .getOrElse(bits, sys.error(s"flac encode: unsupported width $bits"))
@@ -426,7 +443,9 @@ private[graft] object Flac {
     out.write(0x80) // last + type 0
     out.write(0); out.write(0); out.write(siBytes.length)
     out.write(siBytes)
+    val header = out.toByteArray
 
+    val frames = Seq.newBuilder[(Array[Byte], Long)]
     var frameIdx = 0
     var pos = 0
     while (pos < nSamples) {
@@ -465,11 +484,11 @@ private[graft] object Flac {
       w.align()
       val frameNoCrc = w.buf.toByteArray
       w.bits(crc16(frameNoCrc, 0, frameNoCrc.length).toLong, 16)
-      out.write(w.toBytes)
       pos += bs
+      frames += ((w.toBytes, pos.toLong))
       frameIdx += 1
     }
-    out.toByteArray
+    (header, frames.result())
   }
 
   private def writeSubframe(w: Writer, data: Array[Long], bps: Int,
@@ -585,16 +604,19 @@ object OggFlac {
     Flac.decode(native.toByteArray)
   } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Deterministic Ogg-FLAC synthesizer: [[Flac.encode]]'s native
+  /** Deterministic Ogg-FLAC synthesizer: [[Flac.encodeParts]]'s native
     * stream re-enveloped per the mapping — BOS packet with the
     * 0x7F FLAC prologue and the STREAMINFO (last-flag cleared), one
-    * VORBIS_COMMENT header packet (exercising the skip), the coded
-    * frames as the audio packet, real page CRCs via the shared
-    * [[Vorbis.oggWrap]].
+    * VORBIS_COMMENT header packet (exercising the skip), then ONE
+    * audio packet PER native frame (the mapping's rule — a multi-frame
+    * packet round-trips through the in-repo concatenating decoder but
+    * is not a conformant stream) with per-packet last-sample granule
+    * positions, real page CRCs via the shared [[Vorbis.oggWrap]].
     */
   def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
-    val native = Flac.encode(samples, sampleRate)
-    require(native.length > 42 && native(0) == 'f', "native flac shape")
+    val (header, frames) = Flac.encodeParts(samples, sampleRate)
+    val native = header
+    require(native.length >= 42 && native(0) == 'f', "native flac shape")
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(0x7f)
     bos.write("FLAC".getBytes("US-ASCII"))
@@ -612,10 +634,7 @@ object OggFlac {
     comment.write(0)
     comment.write(vendor)
     comment.write(new Array[Byte](4)) // zero user comments
-    val frames = java.util.Arrays.copyOfRange(native, 42, native.length)
-    Vorbis.oggWrap(Seq(
-      (bos.toByteArray, 0L),
-      (comment.toByteArray, 0L),
-      (frames, samples.length.toLong)))
+    Vorbis.oggWrap(
+      Seq((bos.toByteArray, 0L), (comment.toByteArray, 0L)) ++ frames)
   }
 }

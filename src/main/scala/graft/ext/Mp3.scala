@@ -12,9 +12,10 @@ package graft.ext
   * documented geometry-only boundary (`Multimodal.scala` mp3Geometry);
   * the decode census flips those rows from "container" to "pcm".
   *
-  * What is implemented FROM THE SPEC (all of it algorithmic or
-  * closed-form — nothing here is a from-memory transcription of a
-  * numeric table):
+  * What is implemented FROM THE SPEC (algorithmic or closed-form,
+  * EXCEPT the three documented substitutions below — of which #3, the
+  * scalefactor-band tables, IS a transcribed numeric table with only
+  * structural validation):
   *  - frame header walk, CBR/VBR frames, ID3v2/ID3v1 envelopes;
   *  - side info (mono/stereo), the BIT RESERVOIR (main_data_begin
   *    back-pointer into prior frames' main data);
@@ -33,10 +34,12 @@ package graft.ext
   *  - the 32-band polyphase synthesis in the spec's exact V-fifo /
   *    U-stride / 512-tap windowed structure.
   *
-  * DOCUMENTED SUBSTITUTIONS (the two places the spec's content is a
+  * DOCUMENTED SUBSTITUTIONS (the places the spec's content is a
   * tabulated numeric artifact that cannot be re-derived — transcribing
   * such tables from memory would be fabrication, the failure mode
-  * SURVEY.md §0 exists to prevent):
+  * SURVEY.md §0 exists to prevent). Items 1 and 2 carry strong
+  * structural validation; item 3 is VALIDATED MORE WEAKLY and is the
+  * honest fabrication-risk residue of this module:
   *  1. Polyphase prototype: ISO Table B.3 ("synthesis window D") is a
   *     512-value near-PR filter design with no closed form. This codec
   *     uses a MATCHED prototype DERIVED AT INIT from a closed-form
@@ -62,8 +65,22 @@ package graft.ext
   *     (exactly like the other documented codec boundaries). The same
   *     conservative None covers MPEG-2/2.5 (LSF scalefactor coding)
   *     and intensity stereo.
+  *  3. Scalefactor-band boundaries and pretab (ISO Table B.8 /
+  *     pretab): [[SfbLong]], [[SfbShort]], [[Pretab]] are transcribed
+  *     tables like B.7, but their only available validation is
+  *     STRUCTURAL (correct entry counts, strictly ascending, exact
+  *     full-spectrum endpoints 576/192, pretab shape) — far short of
+  *     the Kraft-sum completeness proof the Huffman subset gets, and
+  *     the per-rate encode→decode round trips (Mp3Spec, all three
+  *     MPEG-1 rates) are CIRCULAR because the fixture encoder shares
+  *     these tables. A transcription error here would silently
+  *     mis-requantize WILD files while every fixture stays green.
+  *     There is no spec worked example to pin against; the residual
+  *     risk is accepted and recorded here rather than overstated away.
   *
-  * Both substitutions fail LOUD (census rows), never wrong-note.
+  * Substitutions 1 and 2 fail LOUD (census rows), never wrong-note;
+  * substitution 3 is the one place a wrong table could be quiet, on
+  * wild files only.
   */
 private[graft] object Mp3 {
 
@@ -234,6 +251,8 @@ private[graft] object Mp3 {
 
   private val Pretab =
     Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+  require(Pretab.length == 22 && Pretab.forall(v => v >= 0 && v <= 3),
+    "mp3 pretab malformed") // one value per long band; substitution #3
 
   private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
   private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
@@ -848,6 +867,74 @@ private[graft] object Mp3 {
     * structurally broken — conservative and total, like every decode
     * path in this engine.
     */
+  /** MEASURED coverage of the embedded Huffman subset (documented
+    * substitution #2): walk the frame headers + side info and count,
+    * per stream, (framesTotal, framesDecodable) — the data-card number
+    * that turns "the subset covers this corpus" from an assumption
+    * into a measurement. A frame counts decodable when its side info
+    * avoids every boundary the sample decoder refuses on: intensity
+    * stereo, the forbidden windowSwitching+blockType-0 combination,
+    * and any big-values region selecting an unembedded pair table
+    * (bigValues == 0 never consults a pair table, so selects are then
+    * irrelevant). Slightly conservative: a frame whose TRAILING region
+    * is empty but declares an unembedded select still counts
+    * undecodable — declared selects are what's measured. None when no
+    * frame parses (not an MP3 / pure-container bytes). Side info only:
+    * no Huffman work, no requantize — O(frames) header arithmetic.
+    */
+  def frameCoverage(b: Array[Byte]): Option[(Int, Int)] = try {
+    val start = firstFrame(b)
+    if (start < 0) return None
+    var off = start
+    var frames = 0
+    var good = 0
+    var rate0 = -1
+    var nch0 = -1
+    while (off + 4 <= b.length) {
+      header(b, off) match {
+        case None =>
+          return if (frames > 0) Some((frames, good)) else None
+        case Some((br, rate, channels, mode, modeExt, padding, crc, _)) =>
+          if (frames == 0) { rate0 = rate; nch0 = channels }
+          else if (rate != rate0 || channels != nch0)
+            return Some((frames, good)) // mid-stream switch ends the walk
+          val fl = frameBytes(br, rate, padding)
+          if (off + fl > b.length)
+            return if (frames > 0) Some((frames, good)) else None
+          var p = off + 4
+          if (crc) p += 2
+          val sideBytes = if (channels == 1) 17 else 32
+          var ok = p + sideBytes <= off + fl
+          if (ok && mode == 1 && (modeExt & 0x1) != 0) ok = false
+          if (ok) {
+            val side = readSideInfo(new BitReader(b, p * 8), channels)
+            var gr = 0
+            while (ok && gr < 2) {
+              var ch = 0
+              while (ok && ch < channels) {
+                val g = side.granules(gr)(ch)
+                if (g.windowSwitching && g.blockType == 0) ok = false
+                else if (g.bigValues > 0) {
+                  val nRegions = if (g.windowSwitching) 2 else 3
+                  var i = 0
+                  while (ok && i < nRegions) {
+                    if (pairTable(g.tableSelect(i)).isEmpty) ok = false
+                    i += 1
+                  }
+                }
+                ch += 1
+              }
+              gr += 1
+            }
+          }
+          frames += 1
+          if (ok) good += 1
+          off += fl
+      }
+    }
+    if (frames > 0) Some((frames, good)) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   def decode(b: Array[Byte]): Option[(Array[Double], Int)] = try {
     val start = firstFrame(b)
     if (start < 0) return None

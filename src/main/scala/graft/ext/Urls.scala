@@ -125,9 +125,16 @@ object Urls {
     val isIp = h.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")
     val last2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    val suffixIsTwoLevel = TwoLevelSuffixes
-      .map(sfx => h.endsWith("." + sfx) || h === sfx)
-      .reduce(_ || _)
+    // membership of the LAST-TWO-LABELS capture, not an OR-chain of
+    // endsWith over the host: every suffix in the list is exactly two
+    // labels, so the two are equivalent ("a.co.uk" → last2 "co.uk";
+    // bare "co.uk" → last2 itself; "xco.uk" → last2 "xco.uk" ≠) — and
+    // the chain form re-inlined the whole host expression once per
+    // suffix in codegen, blowing the generated sort method past
+    // janino's 64 KB limit downstream of a synthesized-URL projection
+    // (interpreted fallback on every ext_domain_quota sort stage)
+    val suffixIsTwoLevel =
+      array_contains(typedLit(TwoLevelSuffixes), last2)
     when(h.isNull || h === "", null)
       .when(isIp, h)
       .when(suffixIsTwoLevel && last3 =!= "", last3)

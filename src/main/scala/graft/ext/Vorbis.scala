@@ -316,8 +316,6 @@ object Vorbis {
       }
       if (c == 1) e else -1
     }
-    private val singleLen: Int =
-      if (singleEntry >= 0) lengths(singleEntry) else 0
 
     /** Encoder-side codeword per entry (root branch at bit len-1). */
     val codes = new Array[Long](entries)
@@ -377,13 +375,12 @@ object Vorbis {
     def isComplete: Boolean = singleEntry >= 0 || root.full
 
     def decodeScalar(br: BitReader): Int = {
-      if (singleEntry >= 0) {
-        // the one legal underpopulated tree: read the entry's length
-        // in bits, value is the single entry regardless
-        var i = 0
-        while (i < singleLen) { br.readBit(); i += 1 }
-        return singleEntry
-      }
+      // the one legal underpopulated tree: spec 3.2.1 — a codebook with
+      // a single used entry "consists of a single codework of zero
+      // bits", so decoding it SINKS NO BITS (pinned in VorbisSpec;
+      // sinking the entry's declared length here would bit-desync every
+      // following read in the packet)
+      if (singleEntry >= 0) return singleEntry
       var node = root
       while (true) {
         node = if (br.readBit() == 0) node.c0 else node.c1
@@ -460,14 +457,17 @@ object Vorbis {
       deltaV = float32Unpack(br.readLong(32))
       val valueBits = br.read(4) + 1
       seqP = br.readBit() == 1
-      lookupValues =
+      val lookupValuesL: Long =
         if (lookupType == 1) {
           // largest integer x with x^dim <= entries
-          var x = 1
+          var x = 1L
           while (math.pow(x + 1, dim) <= entries + 0.5) x += 1
           x
-        } else entries * dim
-      if (lookupValues > (1 << 22)) return None
+        } else entries.toLong * dim // spec-legal up to 2^20 · 65535:
+      // overflows Int, so the cap check MUST run in Long — a wrapped
+      // product here would slip the guard and allocate garbage
+      if (lookupValuesL > (1 << 22)) return None
+      lookupValues = lookupValuesL.toInt
       mults = new Array[Int](lookupValues)
       var i = 0
       while (i < lookupValues) { mults(i) = br.read(valueBits); i += 1 }
@@ -1238,45 +1238,63 @@ object Vorbis {
               nextFlag = br.readBit()
             }
             val n2 = n / 2
-            // ---- floors ----
-            val floorYs = new Array[Array[Int]](channels)
-            val noResidue = new Array[Boolean](channels)
+            // floor0 refuses the WHOLE frame (documented boundary) —
+            // checked before any vector decode so the EOP-zeroing rule
+            // below can't turn a refusal into silent zeros
             var ch = 0
             while (ch < channels) {
-              val submap = mapping.mux(ch)
-              val fIdx = mapping.submapFloor(submap)
-              val f = setup.floors(fIdx)
-              if (f == null) throw new EndOfPacket // floor0: refuse frame
-              floorYs(ch) = decodeFloor1Header(br, f, setup.codebooks)
-              noResidue(ch) = floorYs(ch) == null
+              if (setup.floors(mapping.submapFloor(mapping.mux(ch))) == null)
+                throw new EndOfPacket
               ch += 1
             }
-            // coupling rescue: a coupled pair decodes residue if
-            // EITHER side is audible
-            var st = 0
-            while (st < mapping.couplingMag.length) {
-              val m = mapping.couplingMag(st)
-              val a = mapping.couplingAng(st)
-              if (!noResidue(m) || !noResidue(a)) {
-                noResidue(m) = false; noResidue(a) = false
-              }
-              st += 1
-            }
-            // ---- residues, per submap ----
+            // ---- floors + residues: spec 4.3 — EOP from here on is NOT
+            // packet loss; every vector not fully decoded is zeroed and
+            // decode "continues as normal" through synthesis and
+            // overlap-add (abandoning the frame would drop the lapped
+            // tail and drift against granule positions)
+            val floorYs = new Array[Array[Int]](channels)
+            val noResidue = new Array[Boolean](channels)
             val residueVec = Array.ofDim[Double](channels, n2)
-            var sm = 0
-            while (sm < mapping.submaps) {
-              val chIdx = (0 until channels).filter(mapping.mux(_) == sm)
-              if (chIdx.nonEmpty) {
-                val vecs = chIdx.map(residueVec(_)).toArray
-                val dnd = chIdx.map(noResidue(_)).toArray
-                decodeResidue(br, setup.residues(mapping.submapResidue(sm)),
-                  setup.codebooks, vecs, dnd, n2)
+            try {
+              ch = 0
+              while (ch < channels) {
+                val submap = mapping.mux(ch)
+                val f = setup.floors(mapping.submapFloor(submap))
+                floorYs(ch) = decodeFloor1Header(br, f, setup.codebooks)
+                noResidue(ch) = floorYs(ch) == null
+                ch += 1
               }
-              sm += 1
+              // coupling rescue: a coupled pair decodes residue if
+              // EITHER side is audible
+              var st = 0
+              while (st < mapping.couplingMag.length) {
+                val m = mapping.couplingMag(st)
+                val a = mapping.couplingAng(st)
+                if (!noResidue(m) || !noResidue(a)) {
+                  noResidue(m) = false; noResidue(a) = false
+                }
+                st += 1
+              }
+              // ---- residues, per submap ----
+              var sm = 0
+              while (sm < mapping.submaps) {
+                val chIdx = (0 until channels).filter(mapping.mux(_) == sm)
+                if (chIdx.nonEmpty) {
+                  val vecs = chIdx.map(residueVec(_)).toArray
+                  val dnd = chIdx.map(noResidue(_)).toArray
+                  decodeResidue(br, setup.residues(mapping.submapResidue(sm)),
+                    setup.codebooks, vecs, dnd, n2)
+                }
+                sm += 1
+              }
+            } catch {
+              // truncated packet: un-decoded floors stay null (zero
+              // curve → silent channel), partially-written residues
+              // keep their zero tails — fall through to synthesis
+              case _: EndOfPacket => ()
             }
             // ---- inverse coupling (square polar), reverse order ----
-            st = mapping.couplingMag.length - 1
+            var st = mapping.couplingMag.length - 1
             while (st >= 0) {
               val mv = residueVec(mapping.couplingMag(st))
               val av = residueVec(mapping.couplingAng(st))
@@ -1348,9 +1366,13 @@ object Vorbis {
             prevN = n
           }
         } catch {
-          // end-of-packet mid-decode OR any malformed-packet arithmetic
-          // (bad mode index, hostile sizes): the FRAME is abandoned,
-          // the stream continues — the spec's packet-loss rule
+          // Reaching here means EOP BEFORE the mode/window flags were
+          // fully read (spec: the packet yields no frame), a floor0
+          // reference (documented refusal boundary), or malformed-packet
+          // arithmetic (bad mode index, hostile sizes): the FRAME is
+          // abandoned, the stream continues. EOP DURING vector decode
+          // never lands here — the inner handler zeroes the remaining
+          // vectors and falls through to overlap-add per spec 4.3.
           case _: EndOfPacket                  => ()
           case scala.util.control.NonFatal(_) => ()
         }

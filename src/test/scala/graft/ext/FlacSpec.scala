@@ -115,6 +115,27 @@ class FlacSpec extends AnyFunSuite {
     Flac.decode(flipped)
   }
 
+  test("FLAC-in-Ogg conformance: one audio packet per native frame") {
+    // the Xiph mapping requires each audio packet to be exactly ONE
+    // FLAC frame — a single multi-frame packet round-trips through the
+    // in-repo concatenating decoder but is not a conformant stream, and
+    // per-frame packets are the layout a third-party muxer produces
+    val n = 10000 // 3 frames at blockSize 4096: 4096 + 4096 + 1808
+    val x = sig(n, 9)
+    val ogg = OggFlac.encode(x, 8000)
+    val flacBos: (Array[Byte], Int, Int) => Boolean = (p, o, len) =>
+      len >= 5 && (p(o) & 0xff) == 0x7f && p(o + 1) == 'F' &&
+        p(o + 2) == 'L' && p(o + 3) == 'A' && p(o + 4) == 'C'
+    val Some((pkts, fg)) = Vorbis.oggPackets(ogg, flacBos)
+    assert(pkts.length == 2 + 3, s"2 headers + 3 frames, got ${pkts.length}")
+    for (pk <- pkts.drop(2)) // every audio packet opens with frame sync
+      assert((pk(0) & 0xff) == 0xff && (pk(1) & 0xfc) == 0xf8,
+        "audio packet does not start at a frame boundary")
+    assert(fg == n, s"final granule $fg != $n samples")
+    assert(OggFlac.decode(ogg).get._1.toSeq ==
+      Flac.decode(Flac.encode(x, 8000)).get._1.toSeq)
+  }
+
   test("FLAC-in-Ogg: the rebuilt native stream decodes bit-identically") {
     val x = sig(3000, 4)
     val nativeRef = Flac.decode(Flac.encode(x, 8000)).get

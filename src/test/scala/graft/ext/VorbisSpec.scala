@@ -410,6 +410,77 @@ class VorbisSpec extends AnyFunSuite {
     assert(Vorbis.testCodebook(sync.bytes, 0) == None)
   }
 
+  test("single-used-entry codebook decodes with ZERO bits sunk (spec 3.2.1)") {
+    // spec 3.2.1: a codebook with one used entry "consists of a single
+    // codework of zero bits" — decoding must sink NOTHING. Sparse book:
+    // 4 entries, only e2 present (declared len 3). Eight scalar decodes
+    // follow with NO payload bits at all: if decode sank the declared
+    // length (the pre-fix bug) the reader would EOP after the byte
+    // padding ran out and bit-desync any real packet that follows.
+    val b = new Bits
+    b.w(0x564342, 24).w(1, 16).w(4, 24)
+    b.w(0, 1).w(1, 1) // unordered, sparse
+    b.w(0, 1) // e0 absent
+    b.w(0, 1) // e1 absent
+    b.w(1, 1).w(2, 5) // e2 present, declared len 3
+    b.w(0, 1) // e3 absent
+    b.w(0, 4) // lookup 0
+    val Some((scalars, _)) = Vorbis.testCodebook(b.bytes, 8)
+    assert(scalars == Seq.fill(8)(2), scalars)
+  }
+
+  test("lookup-2 size guard runs in Long: 2^16 x 2^16 refuses, no wrap") {
+    // entries * dim = 2^32 wraps Int to a negative; the cap compare must
+    // promote to Long or the guard passes and the mult allocation throws
+    // NegativeArraySizeException (testCodebook propagates non-EOP).
+    // Ordered lengths: 65536 entries all len 16 (Kraft exactly 1).
+    val b = new Bits
+    b.w(0x564342, 24).w(65535, 16).w(65536, 24) // dim 65535, entries 2^16
+    b.w(1, 1) // ordered
+    b.w(15, 5) // initial length 16
+    b.w(65536, 17) // ilog(65536) = 17 bits: all entries at len 16
+    b.w(2, 4) // lookup type 2
+    b.w(0, 32).w(0, 32) // min, delta
+    b.w(0, 4).w(0, 1) // value_bits 1, sequence_p 0
+    assert(Vorbis.testCodebook(b.bytes, 0) == None)
+  }
+
+  test("EOP mid-vector-decode zeroes the rest and still overlap-adds (spec 4.3)") {
+    // Truncate one mid-stream audio packet after the mode/window flags:
+    // the spec zeroes the undecoded vectors and runs synthesis anyway,
+    // so the decoded SAMPLE COUNT must not change (abandoning the frame
+    // — the pre-fix behavior — drops the lapped joint and drifts
+    // against the granule positions for the rest of the stream).
+    val rate = 8000
+    val pcm = Array.tabulate(4096)(i => 0.5 * math.sin(0.21 * i))
+    val ogg = Vorbis.encode(pcm, rate)
+    val bos: (Array[Byte], Int, Int) => Boolean = (p, o, n) =>
+      n >= 7 && p(o) == 1 && p(o + 1) == 'v' && p(o + 6) == 's'
+    val Some((pkts, fg)) = Vorbis.oggPackets(ogg, bos)
+    assert(pkts.length > 6, s"need several audio packets, got ${pkts.length}")
+    val cut = 5 // an interior audio packet (headers are 0..2)
+    val mangled = pkts.zipWithIndex.map { case (pk, i) =>
+      if (i == cut) java.util.Arrays.copyOf(pk, 3) else pk
+    }
+    val truncated = Vorbis.oggWrap(
+      mangled.zipWithIndex.map { case (pk, i) =>
+        (pk, if (i == mangled.length - 1) fg else 0L)
+      })
+    val Some((ref, _)) = Vorbis.decode(ogg)
+    val Some((got, gotRate)) = Vorbis.decode(truncated)
+    assert(gotRate == rate)
+    assert(got.length == ref.length,
+      s"sample-count drift: ${got.length} vs ${ref.length}")
+    // the stream before the damaged frame's overlap region is
+    // untouched: packet 5 = audio frame 2, whose first lapped joint
+    // (frames 1-2) starts at sample 512 for 1024-sample long blocks
+    assert((0 until 512).forall(i => got(i) == ref(i)),
+      "samples before the truncated frame changed")
+    // and the damage is real: the zeroed frame changes the joint region
+    assert((512 until 1536).exists(i => got(i) != ref(i)),
+      "truncation had no effect — the test cut nothing")
+  }
+
   test("a floor0 (legacy LSP) stream refuses into the container regime") {
     val pcm = Array.tabulate(2048)(i => 0.4 * math.sin(0.3 * i))
     val frames = (2 * 2048 + 1023) / 1024 + 1
