@@ -40,7 +40,9 @@ val headline = Seq(
   ("ext_decontaminate_embed", "semantic decontamination: broadcast nested-loop LEFT SEMI, corpus unshuffled"),
   ("tpch_q8_mktshare", "Q8 shape: 7-way join — every dim broadcast, ZERO SortMergeJoin, one fact shuffle"),
   ("ext_bm25_indexed", "durable inverted index: term IN pushed into the postings scan, no corpus read"),
-  ("ext_eval_auc", "ROC-AUC: corpus collapses to score groups map-side; window over the aggregate only"),
+  ("ext_eval_auc", "ROC-AUC: score groups map-side, then a DISTRIBUTED prefix sum — no SinglePartition window"),
+  ("drift_ks_price", "KS drift: prefix-sum CDFs over the value groups — range partition, no SinglePartition window"),
+  ("ext_triplets", "triplet mining: partition-local rotation + O(partitions) boundary stitch, no global-order window"),
   ("ext_pca_ann_topk", "PCA-ANN: subspace shortlist TakeOrdered, exact re-rank semi-join only"),
   ("ext_sample_weighted", "A-ES weighted sample: key arithmetic in the scan, TakeOrdered, no global sort"),
   ("fuzzy_join_suppliers", "fuzzy join: rarest-gram prefix blocking, exact levenshtein verify — no cross product"),
@@ -69,10 +71,16 @@ val headline = Seq(
   ("ext_image_anim", "cross-container animation surface (GIF/APNG/WebP): ONE partition-parallel decode map, no shuffle"),
   ("ext_image_anim_pairs", "animation landmark dedup: map-side-combinable frame-hash buckets, hub-capped pair expansion, no all-pairs"),
   ("ext_image_anim_incr", "durable animation-landmark probe: batch hashes broadcast along ONE unshuffled store scan (LandmarkStore shape, shared with audio)"),
-  ("ext_audio_search_indexed", "indexed audio search: the serving result (<= k rows/probe) materialized inside the pushed-In conf window, so this plan shows the checkpoint scan; the underlying postings scan carries PushedFilters In(fp, ...) and its row-group pruning is held by AudioIndexSpec via task bytes-read"))
+  ("ext_audio_search_indexed", "indexed audio search: the serving result (<= k rows/probe) materialized inside the pushed-In conf window, so this plan shows the checkpoint scan; the underlying postings scan carries PushedFilters In(fp, ...) and its row-group pruning is held by AudioIndexSpec via task bytes-read"),
+  ("ext_audio_mp3_pairs", "MP3-vs-WAV dedup: one decode+fingerprint mapPartitions scan, map-combinable shared counts"),
+  ("ext_audio_vorbis_pairs", "Vorbis-vs-WAV dedup: the same one-scan fingerprint shape across the Ogg codec boundary"),
+  ("ext_audio_cover_pairs", "cross-modal cover dedup: both sides collapse to (id, hash) pre-join, NO forced broadcast — AQE decides"),
+  ("ext_audio_tags", "audio provenance: ONE batched map over six carrier formats, no hash shuffle"),
+  ("ext_audio_mp3_coverage", "wild-MP3 coverage measurement: side-info walk in one map, O(frames) arithmetic, no Huffman work"),
+  ("ext_image_heif_meta", "AVIF/HEIC/HEIF geometry census: one container-walk map into O(classes) groups"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
-ExtQueries.ensureImageIndex(spark, dir)
+// the image-index probe query self-ensures its index (private[graft])
 for ((name, desc) <- headline) {
   val df = ParityQueries.queries.get(name).orElse(ExtQueries.queries.get(name)).get(spark, dir)
   df.count() // let AQE finalize so the printed plan is the executed one

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Regenerate PLANS.md from the live query plans (run after sbt compile).
-/opt/spark/bin/spark-shell --master 'local[8]' --conf spark.ui.enabled=false \
+/opt/spark/bin/spark-shell --master 'local[8]' \
+  --driver-java-options '-Dfile.encoding=UTF-8' \
+  --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.shuffle.partitions=8 \
   --conf spark.sql.extensions=graft.functions.GraftExtensions \

@@ -137,6 +137,27 @@ object AudioFingerprint {
     * `maxBucket` drop as degenerate (a hash shared by thousands of
     * documents identifies nothing).
     */
+  /** Per-stream WILD-MP3 coverage table ([[Mp3.frameCoverage]]):
+    * (doc_id, frames_total, frames_decodable, decodable_fraction,
+    * round 6). The data-card companion to the decode census: the
+    * census says which REGIME each file landed in; this measures,
+    * inside the MP3 regime, what fraction of FRAMES the embedded
+    * Huffman subset actually covers — so the subset's real-world
+    * coverage is a reported number, never an assumption. Rows whose
+    * payload walks no MPEG frame contribute nothing. One mapPartitions
+    * pass, side-info arithmetic only (no Huffman decode).
+    */
+  def mp3Coverage(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        Mp3.frameCoverage(b).map { case (total, dec) => (id, total, dec) }
+      }
+      .toDF("doc_id", "frames_total", "frames_decodable")
+      .withColumn("decodable_fraction",
+        round(col("frames_decodable").cast("double") / col("frames_total"), 6))
+  }
+
   def audioNearDups(
       spark: SparkSession,
       media: DataFrame,

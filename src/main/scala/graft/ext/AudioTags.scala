@@ -3,10 +3,13 @@ package graft.ext
 /** Audio PROVENANCE extraction — the [[Multimodal.ContainerCodec]]
   * EXIF analog for the audio heap, from the public tag layouts:
   * ID3v2.3/2.4 (id3.org informal standards), FLAC VORBIS_COMMENT and
-  * PICTURE metadata blocks (RFC 9639 sections 8.6/8.8), and the
+  * PICTURE metadata blocks (RFC 9639 sections 8.6/8.8), the
   * Ogg-Vorbis comment header (Vorbis I section 5), including the
   * METADATA_BLOCK_PICTURE field (base64 of the FLAC PICTURE
-  * structure). One container-independent row shape, so the same
+  * structure), and the MP4-family iTunes `ilst` atoms
+  * (moov/udta/meta/ilst per ISO/IEC 14496-12 box grammar — the
+  * M4A/AAC/ALAC and MP4-video metadata carrier, the most common after
+  * ID3). One container-independent row shape, so the same
   * recording tagged through any envelope lands the identical
   * provenance — and the embedded COVER ART crosses into the image
   * surface: the extracted bytes are the original image file, so its
@@ -52,6 +55,8 @@ object AudioTags {
         iffChunk(b, 12, "id3 ", bigEndian = false)
           .orElse(iffChunk(b, 12, "ID3 ", bigEndian = false))
           .map(id3v2).getOrElse(Empty)
+      else if (Multimodal.ContainerCodec.isMp4(b)) // iTunes ilst
+        mp4Tags(b)
       else Empty
     // the ID3v1 trailer (128-byte "TAG" block at EOF) is the
     // fallback old MP3 rips carry when nothing richer matched
@@ -491,8 +496,14 @@ object AudioTags {
   /** Cross-modal cover dedup: embedded cover art joins standalone
     * images on the shared perceptual hash (the extracted bytes ARE
     * the original image file, so identical artwork lands hash
-    * equality — hamming-0 exact, broadcast-friendly at the artwork
-    * side's scale).
+    * equality — hamming-0 exact).
+    *
+    * Scale shape: both sides collapse to (id, 64-bit hash) BEFORE the
+    * join — media bytes never shuffle — and the equi-join carries NO
+    * build-side hint: `images` is a caller-supplied frame of unbounded
+    * size, so force-broadcasting it OOMs at corpus scale; AQE picks
+    * broadcast at runtime exactly when the hashed side is actually
+    * small (asserted hint-free in PlanSpec).
     */
   def coverPairs(s: org.apache.spark.sql.SparkSession,
       images: org.apache.spark.sql.DataFrame,
@@ -510,8 +521,153 @@ object AudioTags {
           graft.functions.DHashPixels.computeExternal(c, 0, 0)
             .map(h => (id, h.sh)))
       }.toDF("audio_id", "hash")
-    cov.join(org.apache.spark.sql.functions.broadcast(img), "hash")
+    cov.join(img, "hash")
       .select("image_id", "audio_id")
+  }
+
+  // ------------------------------------------------------------------
+  // MP4-family carrier (iTunes `ilst`): M4A/AAC/ALAC audio, MP4 video
+  // ------------------------------------------------------------------
+
+  /** ISO-BMFF box walk (ISO/IEC 14496-12 §4.2): 32-bit size + 4-char
+    * type, size 1 = 64-bit largesize, size 0 = to-end-of-enclosure.
+    * Types decode as ISO-8859-1 — the `ilst` item names carry the 0xA9
+    * copyright byte ("©ART") that a US-ASCII decode would mangle to
+    * U+FFFD. Callback gets (type, payloadStart, payloadEnd); return
+    * false to stop the walk.
+    */
+  private def walkMp4(b: Array[Byte], off0: Int, end: Int)(
+      f: (String, Int, Int) => Boolean): Boolean = {
+    var off = off0
+    while (off + 8 <= end) {
+      val sz32 = u32be(b, off)
+      val typ = new String(b, off + 4, 4, "ISO-8859-1")
+      var hdr = 8L
+      var sz = sz32
+      if (sz32 == 1) {
+        if (off + 16 > end) return false
+        sz = (u32be(b, off + 8) << 32) | u32be(b, off + 12)
+        hdr = 16L
+      } else if (sz32 == 0) sz = (end - off).toLong
+      if (sz < hdr || off.toLong + sz > end) return false
+      if (!f(typ, (off + hdr).toInt, (off + sz).toInt)) return false
+      off += sz.toInt
+    }
+    true
+  }
+
+  /** iTunes-style metadata: `moov/udta/meta/ilst` items ©ART (artist),
+    * ©nam (title), ©alb (album), ©day (year — a date string whose
+    * leading 4 digits are the year), covr (cover art, JPEG/PNG bytes
+    * verbatim). Each item holds a `data` box: 4-byte version+well-known
+    * type (1 = UTF-8 text, 13 = JPEG, 14 = PNG, 0 = implicit), 4-byte
+    * locale, then the value. `meta` is a FULL box — 4 bytes of
+    * version/flags precede its children (the classic off-by-four that
+    * breaks naive walkers).
+    */
+  private def mp4Tags(b: Array[Byte]): Tags = {
+    var artist, title, album: Option[String] = None
+    var year: Option[Int] = None
+    var cover: Option[Array[Byte]] = None
+    def dataOf(po: Int, pe: Int): Option[(Int, Array[Byte])] = {
+      var res: Option[(Int, Array[Byte])] = None
+      walkMp4(b, po, pe) { (t, qo, qe) =>
+        if (t == "data" && qe - qo >= 8) {
+          res = Some(((u32be(b, qo) & 0xffffff).toInt,
+            java.util.Arrays.copyOfRange(b, qo + 8, qe)))
+          false // first data box wins
+        } else true
+      }
+      res
+    }
+    def str(po: Int, pe: Int): Option[String] = dataOf(po, pe).collect {
+      case (t, v) if (t == 1 || t == 0) && v.nonEmpty =>
+        new String(v, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    walkMp4(b, 0, b.length) { (t1, po, pe) =>
+      if (t1 == "moov") walkMp4(b, po, pe) { (t2, qo, qe) =>
+        if (t2 == "udta") walkMp4(b, qo, qe) { (t3, ro, re) =>
+          if (t3 == "meta" && re - ro >= 4)
+            walkMp4(b, ro + 4, re) { (t4, so, se) =>
+              if (t4 == "ilst") walkMp4(b, so, se) { (item, io, ie) =>
+                item match {
+                  case "©ART" => artist = str(io, ie).orElse(artist)
+                  case "©nam" => title = str(io, ie).orElse(title)
+                  case "©alb" => album = str(io, ie).orElse(album)
+                  case "©day" => year = str(io, ie)
+                    .map(_.take(4)).filter(_.forall(_.isDigit))
+                    .filter(_.length == 4).map(_.toInt).orElse(year)
+                  case "covr" => cover = dataOf(io, ie).collect {
+                    case (t, v) if (t == 13 || t == 14 || t == 0) &&
+                      v.nonEmpty => v
+                  }.orElse(cover)
+                  case _ => ()
+                }
+                true
+              }
+              true
+            }
+          true
+        }
+        true
+      }
+      true
+    }
+    Tags(artist, title, album, year, cover)
+  }
+
+  private def mp4TextBe(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  private def mp4TagBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8 + payload.length)
+      .putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1"))
+      .put(payload).array()
+
+  /** Fixture side: splice an iTunes `udta{meta{hdlr,ilst}}` into an
+    * existing MP4's top-level `moov` (size rewritten in place) — the
+    * layout iTunes/ffmpeg write for M4A. Null/zero fields are omitted;
+    * `cover` type code is sniffed PNG (14) vs JPEG (13).
+    */
+  def mp4WithTags(mp4: Array[Byte], artist: String = null,
+      title: String = null, album: String = null, year: Int = 0,
+      cover: Array[Byte] = null): Array[Byte] = {
+    def data(typeCode: Int, payload: Array[Byte]): Array[Byte] =
+      mp4TagBox("data", mp4TextBe(typeCode) ++ mp4TextBe(0) ++ payload)
+    def text(item: String, v: String): Array[Byte] =
+      mp4TagBox(item, data(1, v.getBytes("UTF-8")))
+    val items = Seq.newBuilder[Array[Byte]]
+    if (artist != null) items += text("©ART", artist)
+    if (title != null) items += text("©nam", title)
+    if (album != null) items += text("©alb", album)
+    if (year > 0) items += text("©day", year.toString)
+    if (cover != null) {
+      val isPng = cover.length >= 8 && (cover(0) & 0xff) == 0x89 &&
+        cover(1) == 'P'
+      items += mp4TagBox("covr", data(if (isPng) 14 else 13, cover))
+    }
+    val ilst = mp4TagBox("ilst", items.result().flatten.toArray)
+    val hdlr = mp4TagBox("hdlr",
+      mp4TextBe(0) ++ mp4TextBe(0) ++ // version/flags, pre_defined
+        "mdir".getBytes("ISO-8859-1") ++
+        "appl".getBytes("ISO-8859-1") ++ new Array[Byte](9))
+    val udta = mp4TagBox("udta",
+      mp4TagBox("meta", mp4TextBe(0) ++ hdlr ++ ilst))
+    var mo = -1
+    var me = -1
+    walkMp4(mp4, 0, mp4.length) { (t, po, pe) =>
+      if (t == "moov" && mo < 0) { mo = po - 8; me = pe }
+      true
+    }
+    require(mo >= 0 && u32be(mp4, mo) == (me - mo).toLong,
+      "mp4WithTags: no 32-bit-size top-level moov")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(mp4, 0, mo)
+    out.write(mp4TextBe(me - mo + udta.length), 0, 4)
+    out.write(mp4, mo + 4, me - mo - 4)
+    out.write(udta, 0, udta.length)
+    out.write(mp4, me, mp4.length - me)
+    out.toByteArray
   }
 
   private def vorbisTags(b: Array[Byte]): Tags = {

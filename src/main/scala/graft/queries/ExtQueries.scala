@@ -2165,16 +2165,75 @@ object ExtQueries {
           AudioTags.id3Tag(artist(d), title(d), album(d), year(d),
             cover = if (d % 4 == 0) cover else null, v24 = true)))
       }
+      // the sixth carrier: M4A-shaped ISO-BMFF with iTunes ilst atoms
+      // spliced into moov (udta/meta/hdlr/ilst — the layout
+      // iTunes/ffmpeg write)
+      val m4as = (0L until 12L).map { k =>
+        val d = k + 500
+        (d, AudioTags.mp4WithTags(
+          Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+            mdat = Array.tabulate(64)(i => (d * 31 + i).toByte)),
+          artist(d), title(d), album(d), year(d),
+          cover = if (d % 4 == 0) cover else null))
+      }
       AudioTags.table(s,
-          (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ Seq((999L, torso)))
+          (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ m4as ++
+            Seq((999L, torso)))
             .toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // Wild-MP3 coverage MEASUREMENT (oracled on PLANTED side info):
+    // the embedded Huffman subset (Mp3 documented substitution #2)
+    // covers graft-encoded fixtures by construction — this gate makes
+    // its REAL coverage a per-stream measured number. Three
+    // hand-rolled streams plant the side-info geometry directly
+    // (44.1 kHz 128 kbps mono, 417-byte frames): all-subset frames,
+    // all-wild frames (table_select 13, the LAME/FhG staple the subset
+    // lacks), and a 5/8 mixed stream; two graft-encoded streams pin
+    // the frames-from-samples arithmetic. The oracle is the closed-form
+    // (total, decodable, fraction) list.
+    "ext_audio_mp3_coverage" -> ((s, dir) => {
+      import s.implicits._
+      def frame(decodable: Boolean): Array[Byte] = {
+        val o = new Array[Byte](417)
+        o(0) = 0xff.toByte; o(1) = 0xfb.toByte // MPEG-1 L3, no CRC
+        o(2) = 0x90.toByte                     // 128 kbps, 44.1 kHz
+        o(3) = 0xc0.toByte                     // mono
+        def set(startBit: Int, width: Int, v: Int): Unit =
+          (0 until width).foreach { i =>
+            if (((v >> (width - 1 - i)) & 1) == 1) {
+              val pos = startBit + i
+              o(4 + pos / 8) = (o(4 + pos / 8) | (0x80 >> (pos % 8))).toByte
+            }
+          }
+        if (!decodable) {
+          // granule 0: big_values = 9 (regions live), table_select(0)
+          // = 13 — side-info layout: mdb(9) priv(5) scfsi(4) |
+          // part23(12) bv(9) gg(8) sfc(4) wsf(1) tsel 3x5 ...
+          set(30, 9, 9)
+          set(52, 5, 13)
+        }
+        o
+      }
+      def stream(flags: Seq[Boolean]): Array[Byte] =
+        flags.flatMap(frame(_)).toArray
+      val docs = Seq(
+        (0L, stream(Seq.fill(8)(true))),
+        (1L, stream(Seq.fill(8)(false))),
+        (2L, stream(Seq.fill(5)(true) ++ Seq.fill(3)(false))),
+        (10L, AudioFingerprint.tonesMp3(44100, Seq((440.0, 2304)), 0.5)),
+        (11L, AudioFingerprint.tonesMp3(32000, Seq((523.25, 3456)), 0.5)),
+        (20L, AudioDsp.sineWav(8000, 800, 440.0))) // non-MP3: no row
+      AudioFingerprint.mp3Coverage(s, docs.toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
 
     // Cross-modal COVER-ART dedup (oracled on PLANTED truth): six
     // standalone PNG artworks, each also embedded in an MP3 (ID3v2
-    // APIC), a FLAC (PICTURE block) and an Ogg-Vorbis stream (base64
-    // METADATA_BLOCK_PICTURE). The extracted cover IS the original
+    // APIC), a FLAC (PICTURE block), an Ogg-Vorbis stream (base64
+    // METADATA_BLOCK_PICTURE) and an M4A (iTunes covr atom). The
+    // extracted cover IS the original
     // image file, so the perceptual hashes join exactly artwork-with-
     // carriers and nothing else — embedded-image provenance crossing
     // into the image-dedup surface.
@@ -2200,8 +2259,13 @@ object ExtQueries {
         graft.ext.Vorbis.encode(coverTone.map(_ / 32768.0), 8000,
           comments = Seq("METADATA_BLOCK_PICTURE" ->
             AudioTags.oggPictureField(art(k))))))
+      val m4as = (0 until 6).map(k => (400L + k,
+        AudioTags.mp4WithTags(
+          Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+            mdat = Array.tabulate(64)(i => (k * 37 + i).toByte)),
+          cover = art(k))))
       AudioTags.coverPairs(s, images.toDF("doc_id", "media"),
-          (mp3s ++ flacs ++ oggs).toDF("doc_id", "media"))
+          (mp3s ++ flacs ++ oggs ++ m4as).toDF("doc_id", "media"))
         .orderBy("image_id", "audio_id")
     }),
 
@@ -3963,7 +4027,8 @@ object ExtQueries {
         |  UNION ALL SELECT k + 100 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 200 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 300 FROM UNNEST(range(0, 12)) AS t(k)
-        |  UNION ALL SELECT k + 400 FROM UNNEST(range(0, 12)) AS t(k))
+        |  UNION ALL SELECT k + 400 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 500 FROM UNNEST(range(0, 12)) AS t(k))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  'artist_' || (doc_id % 7) AS artist,
         |  'track_' || (doc_id % 5) AS title,
@@ -3974,12 +4039,26 @@ object ExtQueries {
         |UNION ALL SELECT 999, NULL, NULL, NULL, NULL, false
         |ORDER BY doc_id""".stripMargin,
 
-    // planted truth: artwork k pairs with exactly its three carriers
+    // planted side-info truth: 8/8, 0/8, 5/8 hand-rolled streams; the
+    // graft-encoded streams cover every frame (2304 -> 2, 3456 -> 3
+    // frames at 1152 samples/frame); the WAV row contributes nothing
+    "ext_audio_mp3_coverage" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(t AS INTEGER) AS frames_total,
+        |  CAST(d AS INTEGER) AS frames_decodable,
+        |  CAST(f AS DOUBLE) AS decodable_fraction
+        |FROM (VALUES (0, 8, 8, 1.0), (1, 8, 0, 0.0), (2, 8, 5, 0.625),
+        |             (10, 2, 2, 1.0), (11, 3, 3, 1.0))
+        |  AS v(doc_id, t, d, f)
+        |ORDER BY doc_id""".stripMargin,
+
+    // planted truth: artwork k pairs with exactly its four carriers
+    // (MP3 APIC, FLAC PICTURE, Ogg base64 picture, M4A covr)
     "ext_audio_cover_pairs" ->
       """SELECT CAST(k AS BIGINT) AS image_id,
         |       CAST(k + o AS BIGINT) AS audio_id
         |FROM UNNEST(range(0, 6)) AS t(k),
-        |     UNNEST([100, 200, 300]) AS u(o)
+        |     UNNEST([100, 200, 300, 400]) AS u(o)
         |ORDER BY image_id, audio_id""".stripMargin,
 
     "ext_audio_incr" ->

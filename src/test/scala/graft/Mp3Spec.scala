@@ -138,6 +138,42 @@ class Mp3Spec extends AnyFunSuite {
       "unembedded huffman table must be a loud None boundary")
   }
 
+  test("frameCoverage measures the subset, agreeing with decode's verdict") {
+    val rate = 32000
+    // graft-encoded: every frame inside the subset, count = ceil(n/1152)
+    val good = Mp3.encode(tone(2304, Seq(440.0), rate), rate)
+    assert(Mp3.frameCoverage(good).contains((2, 2)))
+    assert(Mp3.decode(good).isDefined)
+    // patch frame 0's granule-0 table_select to a wild table: coverage
+    // drops exactly that frame while decode refuses the whole stream
+    val patched = good.clone()
+    val flen = good.length / 2
+    def setBit(frameOff: Int, bitInSide: Int, v: Int): Unit = {
+      val abs = (frameOff + 4) * 8 + bitInSide
+      val byteAt = abs / 8; val bit = 7 - (abs % 8)
+      patched(byteAt) =
+        ((patched(byteAt) & ~(1 << bit)) | ((v & 1) << bit)).toByte
+    }
+    // big_values (bits 30..38) nonzero so the select is live, then
+    // table_select(0) (bits 52..56) = 13
+    for (k <- 0 until 9) setBit(0, 30 + k, (9 >> (8 - k)) & 1)
+    for (k <- 0 until 5) setBit(0, 52 + k, (13 >> (4 - k)) & 1)
+    assert(Mp3.frameCoverage(patched).contains((2, 1)),
+      s"got ${Mp3.frameCoverage(patched)}")
+    assert(Mp3.decode(patched).isEmpty,
+      "decode stays a loud whole-stream refusal on a wild table")
+    // second frame patched too: zero coverage
+    for (k <- 0 until 9) setBit(flen, 30 + k, (9 >> (8 - k)) & 1)
+    for (k <- 0 until 5) setBit(flen, 52 + k, (13 >> (4 - k)) & 1)
+    assert(Mp3.frameCoverage(patched).contains((2, 0)))
+    // the census-container torso (truncated single frame) measures None
+    val torso = Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte) ++
+      new Array[Byte](400)
+    assert(Mp3.frameCoverage(torso).isEmpty)
+    assert(Mp3.frameCoverage(null).isEmpty &&
+      Mp3.frameCoverage("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("landmarks: an MP3 re-encode pairs with its WAV master") {
     val rate = 32000
     def tones(k: Int) = (0 until 6).map(i => (400.0 + (k * 6 + i) * 45.0, 4096))

@@ -230,6 +230,41 @@ class PlanSpec extends SparkSpec {
       "shipdate split not pushed to the scans")
   }
 
+  test("audio provenance/coverage/census gates: one map stage, no hash shuffle") {
+    // the r13/r14 audio surface: provenance rows, the MP3 coverage
+    // measurement and the HEIF geometry census are per-row container
+    // walks — any Exchange hashpartitioning here means a decode map
+    // acquired a shuffle (presentation orderBy range-partitions, fine)
+    for (q <- Seq("ext_audio_tags", "ext_audio_mp3_coverage",
+        "ext_image_heif_meta")) {
+      val p = extPlan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: row-local walk acquired a hash shuffle:\n$p")
+    }
+    // the codec-boundary pair gates: fingerprint buckets keep their
+    // map-side combine and the pair search is never all-pairs
+    for (q <- Seq("ext_audio_mp3_pairs", "ext_audio_vorbis_pairs")) {
+      val p = extPlan(q)
+      assert(p.contains("partial_"),
+        s"$q: fingerprint buckets lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q: pair search degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("cover-pair join carries no forced broadcast of a caller-supplied frame") {
+    // the r13-weak shape: broadcast(img) pinned an UNBOUNDED caller
+    // frame as the build side — an OOM at corpus scale. The join must
+    // stay hint-free so AQE picks broadcast only when the hashed side
+    // is actually small at runtime.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.queries.ExtQueries.queries("ext_audio_cover_pairs")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty,
+      s"unconditional join-side hint crept back in:\n${df.queryExecution.analyzed}")
+  }
+
   test("cumulative ops (KS / AUC / triplet rotation) carry NO unpartitioned window") {
     // the r13-weak shape: Window.orderBy with no partitionBy over a
     // distinct-value-sized frame — single-partition by construction,

@@ -143,10 +143,40 @@ class AudioTagsSpec extends AnyFunSuite {
       Array.tabulate(50)(_.toByte), "x")).isDefined)
   }
 
+  test("M4A iTunes ilst: the sixth carrier lands the same provenance row") {
+    val m4a = AudioTags.mp4WithTags(
+      Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+        mdat = Array.tabulate(32)(_.toByte)),
+      "Danger Mouse", "Encore", "The Grey Album", 2004, cover = png)
+    val t = AudioTags.of(m4a).get
+    assert(t.artist.contains("Danger Mouse") &&
+      t.title.contains("Encore") && t.album.contains("The Grey Album") &&
+      t.year.contains(2004), s"$t")
+    assert(t.cover.exists(_.sameElements(png)),
+      "covr bytes must come back verbatim (the cross-modal identity)")
+    // still a structurally valid MP4: the geometry walk reads through it
+    assert(Multimodal.ContainerCodec.isMp4(m4a))
+    // partial tags: omitted fields stay None, bare moov yields no row
+    val partial = AudioTags.of(AudioTags.mp4WithTags(
+      Multimodal.minimalMp4(1000, 2000, 1, 0, 0), title = "Solo")).get
+    assert(partial.title.contains("Solo") && partial.artist.isEmpty &&
+      partial.cover.isEmpty)
+    assert(AudioTags.of(Multimodal.minimalMp4(1000, 2000, 1, 0, 0)).isEmpty,
+      "an untagged MP4 must not mint an empty provenance row")
+    // ©day carries a full date string in the wild: leading year parses
+    val full = AudioTags.mp4WithTags(
+      Multimodal.minimalMp4(1000, 2000, 1, 0, 0), year = 1994)
+    assert(AudioTags.of(full).get.year.contains(1994))
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),
       AudioTags.flacWithTags(Flac.encode(tone, 8000), "a", cover = png),
+      AudioTags.mp4WithTags(
+        Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+          mdat = Array.tabulate(32)(_.toByte)),
+        "a", "b", "c", 2000, cover = png),
       Vorbis.encode(tone.map(_ / 32768.0), 8000, comments = Seq(
         "ARTIST" -> "a",
         "METADATA_BLOCK_PICTURE" -> AudioTags.oggPictureField(png))))
