@@ -313,17 +313,20 @@ object AudioFingerprint {
     * lossy like MP3, but with NO embedded-table boundary (Vorbis
     * codebooks are in-band), so the pairing claim extends to wild
     * streams. Any sample rate works (Vorbis is rate-agnostic).
+    * `floor0` routes the stream through the legacy LSP floor (the
+    * pre-2002 encoder vintage) instead of floor1.
     */
   def tonesVorbis(
       sampleRate: Int,
       tones: Seq[(Double, Int)],
-      amplitude: Double = 0.5): Array[Byte] = {
+      amplitude: Double = 0.5,
+      floor0: Boolean = false): Array[Byte] = {
     val pcm = tones.flatMap { case (freq, len) =>
       (0 until len).map(i => math.round(
         amplitude * math.sin(2.0 * math.Pi * freq * i / sampleRate)
           * 32767.0) / 32768.0)
     }.toArray
-    Vorbis.encode(pcm, sampleRate)
+    Vorbis.encode(pcm, sampleRate, floor0 = floor0)
   }
 
   def tonesWav(

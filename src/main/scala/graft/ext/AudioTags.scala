@@ -9,18 +9,24 @@ package graft.ext
   * structure), and the MP4-family iTunes `ilst` atoms
   * (moov/udta/meta/ilst per ISO/IEC 14496-12 box grammar — the
   * M4A/AAC/ALAC and MP4-video metadata carrier, the most common after
-  * ID3). One container-independent row shape, so the same
-  * recording tagged through any envelope lands the identical
-  * provenance — and the embedded COVER ART crosses into the image
-  * surface: the extracted bytes are the original image file, so its
-  * perceptual hash pairs with the standalone artwork (the
+  * ID3), and Matroska/WebM Tags + Attachments (SimpleTag name/string
+  * pairs and attached cover art per the public Matroska element
+  * registry — the EBML heap's carrier). One container-independent row
+  * shape, so the same recording tagged through any envelope lands the
+  * identical provenance — and the embedded COVER ART crosses into the
+  * image surface: the extracted bytes are the original image file, so
+  * its perceptual hash pairs with the standalone artwork (the
   * cross-modal dedup class the cover gate pins).
   *
-  * Boundaries (refuse, never mis-parse): ID3v2.2 three-byte frames,
-  * the unsynchronisation flag, and compressed/encrypted frames all
-  * return None for the affected scope; text encodings 0 (latin-1),
-  * 1 (UTF-16 with BOM) and 3 (UTF-8) are decoded, 2 (UTF-16BE) reads
-  * as UTF-16 without a BOM.
+  * ID3v2.2 (three-byte TP1/TT2/TAL/TYE/PIC frames, the old-iTunes-rip
+  * vintage) and the UNSYNCHRONISATION scheme (whole-tag FF-00
+  * de-stuffing for v2.2/v2.3, per-frame for v2.4 with the data-length
+  * indicator skip) both parse since r14. Boundaries (refuse, never
+  * mis-parse): compressed/encrypted frames and the v2.2 compression
+  * header bit (no scheme was ever standardized — the spec's own rule
+  * is "ignore the tag") return None for the affected scope; text
+  * encodings 0 (latin-1), 1 (UTF-16 with BOM) and 3 (UTF-8) are
+  * decoded, 2 (UTF-16BE) reads as UTF-16 without a BOM.
   */
 object AudioTags {
 
@@ -57,6 +63,8 @@ object AudioTags {
           .map(id3v2).getOrElse(Empty)
       else if (Multimodal.ContainerCodec.isMp4(b)) // iTunes ilst
         mp4Tags(b)
+      else if (Multimodal.ContainerCodec.isEbml(b)) // Matroska Tags
+        mkvTags(b)
       else Empty
     // the ID3v1 trailer (128-byte "TAG" block at EOF) is the
     // fallback old MP3 rips carry when nothing richer matched
@@ -191,115 +199,201 @@ object AudioTags {
     Some(s.takeWhile(_ != '\u0000'))
   }
 
+  /** Reverse the unsynchronisation scheme (id3v2.3 section 5): drop
+    * every 0x00 that directly follows a 0xFF in [from, to).
+    */
+  private def deUnsync(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(0, to - from))
+    var i = from
+    while (i < to) {
+      out.write(b(i))
+      if (b(i) == 0xff.toByte && i + 1 < to && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
   private def id3v2(b: Array[Byte]): Tags = {
     val major = b(3) & 0xff
-    if (major != 3 && major != 4) return Empty
+    if (major != 2 && major != 3 && major != 4) return Empty
     val flags = b(5) & 0xff
-    if ((flags & 0x80) != 0) return Empty // unsynchronisation: refuse
+    // v2.2 header bit 6 is COMPRESSION (never standardized; the spec's
+    // rule is "ignore the tag"); v2.3/v2.4 bit 6 is the ext header
+    if (major == 2 && (flags & 0x40) != 0) return Empty
     val tagEnd = math.min(b.length, 10 + syncsafe(b, 6))
-    var off = 10
-    if ((flags & 0x40) != 0) { // extended header: skip by its size
-      if (off + 4 > tagEnd) return Empty
+    if (tagEnd <= 10) return Empty
+    // v2.2/v2.3 unsynchronisation applies to the WHOLE tag body; v2.4
+    // moved it per-frame (the tag-level flag just says all frames use
+    // it), handled in the frame loop below
+    val wholeTagUnsync = (flags & 0x80) != 0 && major != 4
+    val body =
+      if (wholeTagUnsync) deUnsync(b, 10, tagEnd)
+      else java.util.Arrays.copyOfRange(b, 10, tagEnd)
+    val end = body.length
+    var off = 0
+    if (major != 2 && (flags & 0x40) != 0) { // extended header skip
+      if (off + 4 > end) return Empty
       val ehSize =
-        if (major == 4) syncsafe(b, off)
-        else u32be(b, off).toInt + 4 // v2.3 size excludes itself
+        if (major == 4) syncsafe(body, off)
+        else u32be(body, off).toInt + 4 // v2.3 size excludes itself
       off += ehSize
     }
+    val headerLen = if (major == 2) 6 else 10
     var artist, title, album: Option[String] = None
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
-    while (off + 10 <= tagEnd) {
-      val id = new String(b, off, 4, "US-ASCII")
+    while (off >= 0 && off + headerLen <= end) {
+      val id = new String(body, off, if (major == 2) 3 else 4, "US-ASCII")
       if (id(0) == 0) return Tags(artist, title, album, year, cover)
       val size =
-        if (major == 4) syncsafe(b, off + 4) else u32be(b, off + 4).toInt
-      val frameFlags = ((b(off + 8) & 0xff) << 8) | (b(off + 9) & 0xff)
-      val po = off + 10
+        if (major == 4) syncsafe(body, off + 4)
+        else if (major == 2) ((body(off + 3) & 0xff) << 16) |
+          ((body(off + 4) & 0xff) << 8) | (body(off + 5) & 0xff)
+        else u32be(body, off + 4).toInt
+      val frameFlags =
+        if (major == 2) 0
+        else ((body(off + 8) & 0xff) << 8) | (body(off + 9) & 0xff)
+      var po = off + headerLen
       val pe = po + size
-      if (size < 0 || pe > tagEnd) return Tags(artist, title, album,
-        year, cover)
+      if (size < 0 || pe > end || pe < po) return Tags(artist, title,
+        album, year, cover)
       // compressed/encrypted frames: skip rather than mis-parse
       val skip =
         if (major == 4) (frameFlags & 0x0c) != 0
+        else if (major == 2) false // no frame flags in v2.2
         else (frameFlags & 0xc0) != 0
-      if (!skip) id match {
-        case "TPE1" if size >= 1 =>
-          artist = artist.orElse(text(b, po + 1, pe, b(po) & 0xff))
-        case "TIT2" if size >= 1 =>
-          title = title.orElse(text(b, po + 1, pe, b(po) & 0xff))
-        case "TALB" if size >= 1 =>
-          album = album.orElse(text(b, po + 1, pe, b(po) & 0xff))
-        case "TYER" | "TDRC" if size >= 1 =>
-          year = year.orElse(text(b, po + 1, pe, b(po) & 0xff)
+      // v2.4 per-frame transforms: de-unsync (format bit 1), then the
+      // optional 4-byte data-length indicator (format bit 0)
+      var fb = body
+      var fpo = po
+      var fpe = pe
+      if (!skip && major == 4 && (frameFlags & 0x03) != 0) {
+        if ((frameFlags & 0x02) != 0) {
+          fb = deUnsync(body, po, pe); fpo = 0; fpe = fb.length
+        }
+        if ((frameFlags & 0x01) != 0) fpo += 4 // declared inflated size
+        if (fpo > fpe) return Tags(artist, title, album, year, cover)
+      }
+      val psize = fpe - fpo
+      def tid(v4: String, v2: String): Boolean =
+        if (major == 2) id == v2 else id == v4
+      if (!skip) {
+        if (tid("TPE1", "TP1") && psize >= 1)
+          artist = artist.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff))
+        else if (tid("TIT2", "TT2") && psize >= 1)
+          title = title.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff))
+        else if (tid("TALB", "TAL") && psize >= 1)
+          album = album.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff))
+        else if ((tid("TYER", "TYE") || (major != 2 && id == "TDRC")) &&
+          psize >= 1)
+          year = year.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff)
             .flatMap(_.take(4).toIntOption))
-        case "APIC" if size >= 4 && cover.isEmpty =>
-          val enc = b(po) & 0xff
-          var p = po + 1
-          while (p < pe && b(p) != 0) p += 1 // MIME (latin-1, nul-term)
-          p += 1 // past the nul
-          if (p < pe) {
+        else if (tid("APIC", "PIC") && psize >= 4 && cover.isEmpty) {
+          val enc = fb(fpo) & 0xff
+          var p = fpo + 1
+          if (major == 2) p += 3 // 3-byte image format ("PNG"/"JPG")
+          else {
+            while (p < fpe && fb(p) != 0) p += 1 // MIME (latin-1)
+            p += 1 // past the nul
+          }
+          if (p < fpe) {
             p += 1 // picture type byte
             // description: nul-terminated in `enc` (UTF-16 uses 0x0000)
             if (enc == 1 || enc == 2) {
-              while (p + 1 < pe && !(b(p) == 0 && b(p + 1) == 0)) p += 2
+              while (p + 1 < fpe && !(fb(p) == 0 && fb(p + 1) == 0)) p += 2
               p += 2
             } else {
-              while (p < pe && b(p) != 0) p += 1
+              while (p < fpe && fb(p) != 0) p += 1
               p += 1
             }
-            if (p <= pe && p < pe)
-              cover = Some(java.util.Arrays.copyOfRange(b, p, pe))
+            if (p < fpe)
+              cover = Some(java.util.Arrays.copyOfRange(fb, p, fpe))
           }
-        case _ => ()
+        }
       }
       off = pe
     }
     Tags(artist, title, album, year, cover)
   }
 
-  /** Fixture writer: prepend a real ID3v2.3 or v2.4 tag (text frames +
-    * optional APIC) to any audio payload.
+  /** The unsynchronisation WRITE side: a 0x00 after every 0xFF —
+    * stricter than the spec's minimum (only false syncs and FF-00),
+    * which is legal and what [[deUnsync]] reverses exactly.
+    */
+  private def unsyncStuff(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      out.write(b(i))
+      if (b(i) == 0xff.toByte) out.write(0)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture writer: prepend a real ID3v2.2, v2.3 or v2.4 tag (text
+    * frames + optional APIC/PIC) to any audio payload. `unsync`
+    * applies the spec-correct scheme for the chosen version:
+    * whole-tag stuffing for v2.2/v2.3, per-frame stuffing with the
+    * frame-format flag for v2.4.
     */
   def id3v2Wrap(audio: Array[Byte],
       artist: String = null, title: String = null, album: String = null,
       year: Int = 0, cover: Array[Byte] = null,
-      v24: Boolean = false, utf8: Boolean = false): Array[Byte] = {
+      v24: Boolean = false, utf8: Boolean = false,
+      v22: Boolean = false, unsync: Boolean = false): Array[Byte] = {
+    require(!(v22 && v24), "pick one ID3v2 version")
     val frames = new java.io.ByteArrayOutputStream()
-    def frame(id: String, payload: Array[Byte]): Unit = {
+    def frame(id: String, payload0: Array[Byte]): Unit = {
+      val payload =
+        if (unsync && v24) unsyncStuff(payload0) else payload0
       frames.write(id.getBytes("US-ASCII"))
       val sz = payload.length
-      if (v24) {
+      if (v22) {
+        frames.write((sz >>> 16) & 0xff); frames.write((sz >>> 8) & 0xff)
+        frames.write(sz & 0xff)
+      } else if (v24) {
         frames.write((sz >>> 21) & 0x7f); frames.write((sz >>> 14) & 0x7f)
         frames.write((sz >>> 7) & 0x7f); frames.write(sz & 0x7f)
       } else {
         frames.write((sz >>> 24) & 0xff); frames.write((sz >>> 16) & 0xff)
         frames.write((sz >>> 8) & 0xff); frames.write(sz & 0xff)
       }
-      frames.write(0); frames.write(0) // frame flags
+      if (!v22) {
+        frames.write(0)
+        frames.write(if (unsync && v24) 2 else 0) // v2.4 unsync bit
+      }
       frames.write(payload)
     }
-    def tf(id: String, v: String): Unit = if (v != null) {
+    def tf(id4: String, id2: String, v: String): Unit = if (v != null) {
       val enc = if (utf8 && v24) 3 else 0
       val cs = if (enc == 3) "UTF-8" else "ISO-8859-1"
-      frame(id, Array((enc & 0xff).toByte) ++ v.getBytes(cs))
+      frame(if (v22) id2 else id4,
+        Array((enc & 0xff).toByte) ++ v.getBytes(cs))
     }
-    tf("TPE1", artist)
-    tf("TIT2", title)
-    tf("TALB", album)
-    if (year > 0) tf(if (v24) "TDRC" else "TYER", year.toString)
+    tf("TPE1", "TP1", artist)
+    tf("TIT2", "TT2", title)
+    tf("TALB", "TAL", album)
+    if (year > 0)
+      tf(if (v24) "TDRC" else "TYER", "TYE", year.toString)
     if (cover != null) {
       val p = new java.io.ByteArrayOutputStream()
       p.write(0) // latin-1
-      p.write("image/png".getBytes("ISO-8859-1")); p.write(0)
+      if (v22) p.write("PNG".getBytes("ISO-8859-1"))
+      else { p.write("image/png".getBytes("ISO-8859-1")); p.write(0) }
       p.write(3) // front cover
       p.write("cover".getBytes("ISO-8859-1")); p.write(0)
       p.write(cover)
-      frame("APIC", p.toByteArray)
+      frame(if (v22) "PIC" else "APIC", p.toByteArray)
     }
-    val body = frames.toByteArray
+    val body0 = frames.toByteArray
+    val body =
+      if (unsync && !v24) unsyncStuff(body0) // whole-tag (v2.2/v2.3)
+      else body0
     val out = new java.io.ByteArrayOutputStream()
     out.write("ID3".getBytes("US-ASCII"))
-    out.write(if (v24) 4 else 3); out.write(0); out.write(0) // ver, flags
+    out.write(if (v22) 2 else if (v24) 4 else 3); out.write(0)
+    out.write(if (unsync) 0x80 else 0) // flags
     val sz = body.length
     out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
     out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
@@ -678,5 +772,183 @@ object AudioTags {
         tagsFromFields(commentFields(p, 7, p.length))
       case _ => Empty
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Matroska / WebM Tags + Attachments
+  // ------------------------------------------------------------------
+
+  /** Matroska provenance — the EBML heap's ID3 analog, from the
+    * public Matroska element registry: Segment > Tags > Tag >
+    * SimpleTag (TagName/TagString UTF-8 pairs: ARTIST, TITLE, ALBUM,
+    * DATE_RELEASED/DATE_RECORDED; a TITLE inside a Tag whose Targets
+    * carries TargetTypeValue 50 is the ALBUM title per the spec's
+    * target-type table) and Segment > Attachments > AttachedFile
+    * (cover art convention: the first image-typed attachment's
+    * FileData is the artwork verbatim). The element IDs are structural
+    * identifiers, not decode tables — a mis-recalled ID would MISS a
+    * field (walkEbml validates every size), never mis-parse one.
+    */
+  private def mkvTags(b: Array[Byte]): Tags = {
+    val C = Multimodal.ContainerCodec
+    var artist, title, album: Option[String] = None
+    var year: Option[Int] = None
+    var cover: Option[Array[Byte]] = None
+    C.walkEbml(b, 0, b.length) { (id, po, pe) =>
+      if (id == 0x18538067L) { // Segment
+        C.walkEbml(b, po, pe) { (id2, qo, qe) =>
+          if (id2 == 0x1254C367L) { // Tags
+            C.walkEbml(b, qo, qe) { (id3, ro, re) =>
+              if (id3 == 0x7373L) { // Tag
+                var targetAlbum = false
+                C.walkEbml(b, ro, re) { (id4, so, se) =>
+                  if (id4 == 0x63C0L) { // Targets
+                    C.walkEbml(b, so, se) { (id5, to, te) =>
+                      if (id5 == 0x68CAL) // TargetTypeValue
+                        targetAlbum = C.ebmlUint(b, to, te) == 50L
+                      true
+                    }
+                  } else if (id4 == 0x67C8L) { // SimpleTag
+                    var name: String = null
+                    var value: String = null
+                    C.walkEbml(b, so, se) { (id5, to, te) =>
+                      if (id5 == 0x45A3L)
+                        name = new String(b, to, te - to, "UTF-8")
+                      else if (id5 == 0x4487L)
+                        value = new String(b, to, te - to, "UTF-8")
+                      true
+                    }
+                    if (name != null && value != null) name match {
+                      case "ARTIST" => artist = artist.orElse(Some(value))
+                      case "TITLE" =>
+                        if (targetAlbum) album = album.orElse(Some(value))
+                        else title = title.orElse(Some(value))
+                      case "ALBUM" => album = album.orElse(Some(value))
+                      case "DATE_RELEASED" | "DATE_RECORDED" =>
+                        year = year.orElse(
+                          value.take(4).toIntOption.filter(_ > 0))
+                      case _ => ()
+                    }
+                  }
+                  true
+                }
+              }
+              true
+            }
+          } else if (id2 == 0x1941A469L && cover.isEmpty) { // Attachments
+            C.walkEbml(b, qo, qe) { (id3, ro, re) =>
+              if (id3 == 0x61A7L && cover.isEmpty) { // AttachedFile
+                var mime: String = null
+                var data: Array[Byte] = null
+                C.walkEbml(b, ro, re) { (id4, so, se) =>
+                  if (id4 == 0x4660L) // FileMimeType
+                    mime = new String(b, so, se - so, "ISO-8859-1")
+                  else if (id4 == 0x465CL) // FileData
+                    data = java.util.Arrays.copyOfRange(b, so, se)
+                  true
+                }
+                if (mime != null && mime.startsWith("image/") &&
+                  data != null) cover = Some(data)
+              }
+              true
+            }
+          }
+          true
+        }
+      }
+      true
+    }
+    Tags(artist, title, album, year, cover)
+  }
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    var len = 1
+    while ((id >>> (8 * len)) != 0) len += 1
+    val a = new Array[Byte](len)
+    var i = 0
+    while (i < len) { a(i) = ((id >>> (8 * (len - 1 - i))) & 0xff).toByte; i += 1 }
+    a
+  }
+
+  /** 8-byte explicit-size vint (0x01 marker + 7 value bytes) — always
+    * legal, sidesteps minimal-length bookkeeping in the splicer.
+    */
+  private def ebmlSize8(n: Long): Array[Byte] = {
+    val a = new Array[Byte](8)
+    a(0) = 1
+    var i = 7
+    var v = n
+    while (i >= 1) { a(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+    a
+  }
+
+  private def ebmlElem(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSize8(payload.length.toLong) ++ payload
+
+  /** Fixture side: splice a Tags element (SimpleTag fields, plus an
+    * album TITLE under a TargetTypeValue-50 target — the spec's own
+    * album form, so the reader's target handling is exercised) and an
+    * Attachments cover into an existing WebM/Matroska Segment, size
+    * rewritten. Null/zero fields are omitted.
+    */
+  def mkvWithTags(mkv: Array[Byte], artist: String = null,
+      title: String = null, album: String = null, year: Int = 0,
+      cover: Array[Byte] = null): Array[Byte] = {
+    val C = Multimodal.ContainerCodec
+    def simpleTag(name: String, value: String): Array[Byte] =
+      ebmlElem(0x67C8L,
+        ebmlElem(0x45A3L, name.getBytes("UTF-8")) ++
+          ebmlElem(0x4487L, value.getBytes("UTF-8")))
+    val trackTags = Seq.newBuilder[Array[Byte]]
+    if (artist != null) trackTags += simpleTag("ARTIST", artist)
+    if (title != null) trackTags += simpleTag("TITLE", title)
+    if (year > 0) trackTags += simpleTag("DATE_RELEASED", year.toString)
+    val tags = Seq.newBuilder[Array[Byte]]
+    val trackBody = trackTags.result()
+    if (trackBody.nonEmpty)
+      tags += ebmlElem(0x7373L, trackBody.flatten.toArray)
+    if (album != null) // the TargetTypeValue-50 TITLE form
+      tags += ebmlElem(0x7373L,
+        ebmlElem(0x63C0L, ebmlElem(0x68CAL, Array[Byte](50))) ++
+          simpleTag("TITLE", album))
+    val extra = new java.io.ByteArrayOutputStream()
+    val tagBody = tags.result()
+    if (tagBody.nonEmpty)
+      extra.write(ebmlElem(0x1254C367L, tagBody.flatten.toArray))
+    if (cover != null) {
+      val isPng = cover.length >= 8 && (cover(0) & 0xff) == 0x89 &&
+        cover(1) == 'P'
+      extra.write(ebmlElem(0x1941A469L, ebmlElem(0x61A7L,
+        ebmlElem(0x466EL,
+          (if (isPng) "cover.png" else "cover.jpg").getBytes("UTF-8")) ++
+          ebmlElem(0x4660L,
+            (if (isPng) "image/png" else "image/jpeg").getBytes("UTF-8")) ++
+          ebmlElem(0x465CL, cover) ++
+          ebmlElem(0x46AEL, Array[Byte](1))))) // FileUID (required)
+    }
+    val extraBytes = extra.toByteArray
+    if (extraBytes.isEmpty) return mkv
+    // locate the top-level Segment header and rewrite its size
+    var off = 0
+    while (off < mkv.length) {
+      val (id, idLen) = C.ebmlVint(mkv, off, mkv.length, keepMarker = true)
+      require(idLen > 0, "mkvWithTags: malformed EBML")
+      val (sz, szLen) = C.ebmlVint(mkv, off + idLen, mkv.length,
+        keepMarker = false)
+      require(szLen > 0, "mkvWithTags: malformed EBML size")
+      val po = off + idLen + szLen
+      val pe = if (sz < 0) mkv.length else po + sz.toInt
+      if (id == 0x18538067L) {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(mkv, 0, off + idLen)
+        out.write(ebmlSize8((pe - po).toLong + extraBytes.length))
+        out.write(mkv, po, pe - po)
+        out.write(extraBytes)
+        out.write(mkv, pe, mkv.length - pe)
+        return out.toByteArray
+      }
+      off = pe
+    }
+    throw new IllegalArgumentException("mkvWithTags: no Segment")
   }
 }

@@ -82,4 +82,27 @@ object DataCard {
           .as("metric"),
         col("cnt").cast("double").as("value"))
       .orderBy("metric")
+
+  /** Corpus-level wild-MP3 coverage rows in the card's (metric,
+    * value) long format, from [[AudioFingerprint.mp3Coverage]]'s
+    * per-stream table: `mp3_frames_total`, `mp3_frames_decodable`
+    * and `mp3_decodable_fraction` (frame-weighted). This is the
+    * datasheet number that keeps the [[Mp3]] embedded-Huffman-subset
+    * boundary HONEST at corpus scale — the census says how many
+    * files landed in the MP3 regime, this says what fraction of
+    * their frames the subset can actually decode, measured on the
+    * corpus rather than assumed. A corpus with no MP3 frames yields
+    * totals of 0 and a null-safe fraction of 0.
+    */
+  def mp3CoverageCard(coverage: DataFrame): DataFrame =
+    coverage.agg(
+      coalesce(sum("frames_total"), lit(0L)).as("t"),
+      coalesce(sum("frames_decodable"), lit(0L)).as("d"))
+      .select(explode(map(
+        lit("mp3_frames_total"), col("t").cast("double"),
+        lit("mp3_frames_decodable"), col("d").cast("double"),
+        lit("mp3_decodable_fraction"),
+        round(when(col("t") > 0, col("d").cast("double") / col("t"))
+          .otherwise(lit(0.0)), 6))).as(Seq("metric", "value")))
+      .orderBy("metric")
 }

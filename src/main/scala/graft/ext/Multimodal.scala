@@ -2415,10 +2415,11 @@ object Multimodal {
       }
       if (mime == null) return None
       rates.keySet.toSeq.foreach(flush)
-      // full sample decode first (r13, ext.Vorbis): a Vorbis stream
-      // the from-spec decoder consumes end-to-end is a "pcm" row with
-      // the WAV feature layout; floor0/bad-setup/Opus streams keep the
-      // census-visible container treatment below
+      // full sample decode first (r13, ext.Vorbis; floor0 decodes too
+      // since r14): a Vorbis stream the from-spec decoder consumes
+      // end-to-end is a "pcm" row with the WAV feature layout;
+      // bad-setup/Opus streams keep the census-visible container
+      // treatment below
       if (mime == "audio/ogg-vorbis") Vorbis.decode(b) match {
         case Some((x, sr)) if x.nonEmpty =>
           var sum = 0.0
@@ -2781,7 +2782,7 @@ object Multimodal {
       * all-ones size ("unknown, streamed") returns -1 so the walker can
       * extend it to the enclosing end.
       */
-    private def ebmlVint(b: Array[Byte], off: Int, end: Int,
+    private[ext] def ebmlVint(b: Array[Byte], off: Int, end: Int,
         keepMarker: Boolean): (Long, Int) = {
       if (off >= end) return (0L, 0)
       val first = b(off) & 0xff
@@ -2805,7 +2806,7 @@ object Multimodal {
       * the first malformed header and the caller falls back to
       * byte-stats.
       */
-    private def walkEbml(b: Array[Byte], off0: Int, end: Int)(
+    private[ext] def walkEbml(b: Array[Byte], off0: Int, end: Int)(
         f: (Long, Int, Int) => Boolean): Boolean = {
       var off = off0
       while (off < end) {
@@ -2825,7 +2826,7 @@ object Multimodal {
     /** Big-endian unsigned integer element payload (0..8 bytes; EBML
       * uints are stored minimally). Empty payload = 0 per the spec.
       */
-    private def ebmlUint(b: Array[Byte], po: Int, pe: Int): Long = {
+    private[ext] def ebmlUint(b: Array[Byte], po: Int, pe: Int): Long = {
       var v = 0L
       var i = po
       while (i < pe && i < po + 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }

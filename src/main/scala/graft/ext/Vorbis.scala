@@ -14,33 +14,42 @@ package graft.ext
   * continued packets), LSB-first bit unpack, codebook parse with
   * canonical first-fit Huffman assignment (Kraft-validated: over- or
   * under-specified trees refuse the stream), both scalar and VQ
-  * (lookup types 1 and 2) contexts, floor type 1 (the modern floor:
-  * class/subclass books, low/high-neighbor prediction, integer
-  * render_line), residue types 0, 1 and 2 (cascaded passes, partition
-  * classification words), square-polar channel-coupling inverse,
-  * IMDCT via a zero-padded FFT evaluation of the odd-frequency DCT
-  * kernel (validated bit-for-bit against the direct O(n^2) spec
-  * definition in VorbisSpec), Vorbis windows with long/short slope
-  * matching, center-aligned overlap-add, and final-granule
-  * truncation.
+  * (lookup types 1 and 2) contexts, BOTH floor types — floor 1 (the
+  * modern floor: class/subclass books, low/high-neighbor prediction,
+  * integer render_line) and floor 0 (the legacy LSP envelope: VQ
+  * coefficient decode, bark-warped frequency map, the closed-form
+  * line-spectral-pair curve of spec 6.2.3, pinned in VorbisSpec
+  * against a direct complex polynomial evaluation) — residue types
+  * 0, 1 and 2 (cascaded passes, partition classification words),
+  * square-polar channel-coupling inverse, IMDCT via a zero-padded
+  * FFT evaluation of the odd-frequency DCT kernel (validated
+  * bit-for-bit against the direct O(n^2) spec definition in
+  * VorbisSpec), Vorbis windows with long/short slope matching,
+  * center-aligned overlap-add, and final-granule truncation.
   *
   * Documented boundaries (census-visible, the [[Mp3]] discipline):
-  * floor type 0 (legacy LSP synthesis, abandoned by encoders in the
-  * early 2000s) refuses the stream rather than risking a wrong
-  * transcription of the Bark-cepstral math; so do mapping types != 0
-  * and any header the validators reject. One spec TABLE is derived
-  * rather than transcribed: `floor1_inverse_dB_table[i]` is exactly
-  * `10^((i-255)*7/256)` — the published table spans 1.0649863e-07 to
-  * 1.0 in a uniform 140/256 dB step, so the closed form is
-  * unambiguous (the spec's float32 digits are roundings of it).
+  * mapping types != 0 and any header the validators reject. One spec
+  * TABLE is derived rather than transcribed: `floor1_inverse_dB_table
+  * [i]` is exactly `10^((i-255)*7/256)` — the published table spans
+  * 1.0649863e-07 to 1.0 in a uniform 140/256 dB step, so the closed
+  * form is unambiguous (the spec's float32 digits are roundings of
+  * it). Honest caveat of the same kind as [[Mp3]]'s substitution #3:
+  * floor0's bark() warp constants (13.1/0.00074, 2.24/1.85e-8,
+  * 0.0001 — spec 6.2.3) are transcribed numerics validated only
+  * structurally (monotone map, DC at zero, clamped top); the LSP
+  * curve itself is a mathematical identity and IS independently
+  * pinned.
   *
   * The fixture encoder (the [[Flac]]/[[Mp3]]/[[Vp8l]] discipline:
   * real bitstreams, deterministic, no library) emits spec-valid
   * streams with self-made codebooks — a two-point floor-1 line
-  * (partitions=0), residue type 2 with a two-pass coarse+fine
-  * cascade over 15x15 explicit-lookup lattice books, mono or stereo,
-  * long or short blocks — which the decoder consumes through the
-  * exact code paths wild files take.
+  * (partitions=0) OR a floor-0 LSP envelope (bark-warped LPC via
+  * Levinson-Durbin, Chebyshev root isolation, coefficients through a
+  * real dim-1 VQ delta book, error-minimizing amplitude search),
+  * residue type 2 with a two-pass coarse+fine cascade over 15x15
+  * explicit-lookup lattice books, mono or stereo, long or short
+  * blocks — which the decoder consumes through the exact code paths
+  * wild files take.
   */
 object Vorbis {
 
@@ -502,6 +511,25 @@ object Vorbis {
   // Setup-header components (spec sections 6-8)
   // ------------------------------------------------------------------
 
+  private[ext] sealed trait Floor
+
+  /** Floor type 0 (spec section 6): the legacy LSP envelope. Entirely
+    * formulaic — amplitude + LSP coefficients decode from in-band
+    * codebooks and the curve is the closed-form line-spectral-pair
+    * evaluation of spec 6.2.3 (no numeric tables), so wild floor0
+    * streams decode by construction. `mapCache` memoizes the bark map
+    * per half-block size (decode is single-threaded per stream).
+    */
+  private[ext] final case class Floor0(
+      order: Int,
+      rate: Int,
+      barkMapSize: Int,
+      ampBits: Int,
+      ampOffset: Int,
+      bookList: Array[Int]) extends Floor {
+    val mapCache = scala.collection.mutable.HashMap.empty[Int, Array[Int]]
+  }
+
   private final case class Floor1(
       partitions: Int,
       classList: Array[Int],
@@ -512,6 +540,7 @@ object Vorbis {
       multiplier: Int,
       xList: Array[Int],
       sortOrder: Array[Int]) // indices of xList in ascending-X order
+      extends Floor
 
   private final case class Residue(
       resType: Int,
@@ -537,7 +566,7 @@ object Vorbis {
 
   private final case class Setup(
       codebooks: Array[Codebook],
-      floors: Array[Floor1], // null slot = floor0 (refused at use)
+      floors: Array[Floor], // Floor0 (legacy LSP) or Floor1
       residues: Array[Residue],
       mappings: Array[Mapping],
       modes: Array[Mode])
@@ -626,7 +655,7 @@ object Vorbis {
         i += 1
       }
       val floorCount = br.read(6) + 1
-      val floors = new Array[Floor1](floorCount)
+      val floors = new Array[Floor](floorCount)
       i = 0
       while (i < floorCount) {
         val t = br.read(16)
@@ -636,17 +665,27 @@ object Vorbis {
             case None    => return None
           }
         } else if (t == 0) {
-          // floor0: parse past it so LATER components stay aligned,
-          // but leave the slot null — any MODE that routes here
-          // refuses at decode (the documented legacy-LSP boundary)
-          br.read(8); br.read(16); br.read(16) // order, rate, barkMapSize
-          br.read(6); br.read(8) // amplitude bits, offset
+          // floor0 (legacy LSP, spec 6.2): zero order/rate/barkMapSize
+          // make the curve synthesis degenerate — spec 6.2.2's header
+          // validation refuses them; every listed book must carry a
+          // value mapping (the coefficients decode "in VQ context")
+          val order = br.read(8)
+          val rate = br.read(16)
+          val barkMapSize = br.read(16)
+          val ampBits = br.read(6)
+          val ampOffset = br.read(8)
+          if (order < 1 || rate < 1 || barkMapSize < 1) return None
           val nb = br.read(4) + 1
+          val bookList = new Array[Int](nb)
           var j = 0
           while (j < nb) {
-            if (br.read(8) >= nBooks) return None
+            bookList(j) = br.read(8)
+            if (bookList(j) >= nBooks ||
+              books(bookList(j)).lookupType == 0) return None
             j += 1
           }
+          floors(i) = Floor0(order, rate, barkMapSize, ampBits,
+            ampOffset, bookList)
         } else return None
         i += 1
       }
@@ -800,6 +839,139 @@ object Vorbis {
   /** Decoded floor-1 state for one channel in one frame: the quantized
     * Y list (before curve synthesis), or null for an unaudible channel.
     */
+  /** Floor0 packet decode (spec 6.2.2): amplitude, then LSP
+    * coefficients accumulated "in VQ context" — each vector's scalars
+    * get the running `last` added, `last` becomes the final scalar of
+    * the vector, vectors concatenate until `order` coefficients exist
+    * (excess discarded). Returns [amplitude, coeff0, coeff1, ...], or
+    * null for an unused (amplitude 0) channel. A book number past the
+    * floor's book list is a bit-desync, not a lost vector — the whole
+    * FRAME abandons (IllegalStateException past the EOP handler).
+    */
+  private def decodeFloor0Header(br: BitReader, f: Floor0,
+      books: Array[Codebook]): Array[Double] = {
+    val amplitude = br.read(f.ampBits)
+    if (amplitude == 0) return null
+    val booknumber = br.read(ilog(f.bookList.length))
+    if (booknumber >= f.bookList.length)
+      throw new IllegalStateException("floor0 book number")
+    val book = books(f.bookList(booknumber))
+    val out = new Array[Double](1 + f.order)
+    out(0) = amplitude.toDouble
+    val vec = new Array[Double](book.dim)
+    var last = 0.0
+    var i = 0
+    while (i < f.order) {
+      book.decodeVq(br, vec, 0)
+      var j = 0
+      while (j < book.dim) {
+        vec(j) += last
+        if (i + j < f.order) out(1 + i + j) = vec(j)
+        j += 1
+      }
+      last = vec(book.dim - 1)
+      i += book.dim
+    }
+    out
+  }
+
+  /** Bark map (spec 6.2.3): bin i of an n2-bin half-spectrum maps to
+    * min(barkMapSize-1, floor(bark(rate*i/(2*n2)) * barkMapSize /
+    * bark(rate/2))). The bark warp constants (13.1/0.00074, 2.24/
+    * 1.85e-8, 0.0001) are transcribed from the spec's own bark()
+    * definition — validation is structural only (monotone
+    * non-decreasing, 0 at DC, clamped top), the same honest caveat as
+    * [[Mp3]]'s substitution #3; a mis-recalled constant would warp
+    * wild-stream envelopes while fixtures (encoder shares the map)
+    * stay green.
+    */
+  private[ext] def barkMap(f: Floor0, n2: Int): Array[Int] =
+    f.mapCache.getOrElseUpdate(n2, {
+      def bark(x: Double): Double =
+        13.1 * math.atan(0.00074 * x) +
+          2.24 * math.atan(1.85e-8 * x * x) + 1e-4 * x
+      val c = f.barkMapSize / bark(0.5 * f.rate)
+      Array.tabulate(n2) { i =>
+        math.min(f.barkMapSize - 1,
+          math.floor(bark(f.rate.toDouble * i / (2.0 * n2)) * c).toInt)
+      }
+    })
+
+  /** Floor0 curve synthesis (spec 6.2.3): the closed-form LSP
+    * evaluation. With A(z) the LPC polynomial, P/Q its symmetric/
+    * antisymmetric line-spectral decompositions (roots on the unit
+    * circle at the coefficient angles, plus the trivial roots at
+    * z = +-1), |A(e^jw)|^2 = (|P|^2 + |Q|^2)/4 because e^{jw(M+1)/2}P
+    * is real and e^{jw(M+1)/2}Q imaginary; each conjugate root pair
+    * contributes |.|^2 = 4(cos(theta) - cos(w))^2 and the trivial
+    * roots 2 -+ 2cos(w) — which is exactly the spec's p/q product
+    * form (even order: odd-indexed coefficients with (1-cos w)/2,
+    * even-indexed with (1+cos w)/2; odd order: (1-cos^2 w) against
+    * the odd-indexed product, 1/4 against the even-indexed). The
+    * identity is pinned in VorbisSpec against a direct complex
+    * polynomial evaluation of P and Q built from the same roots. The
+    * dB-to-linear step uses the spec's own 0.11512925 (= ln(10)/20
+    * truncated). Values repeat across bins sharing a bark index (the
+    * spec's step-7 run-length rule — equal by construction here since
+    * the curve depends on the bin only through map[i]).
+    */
+  private[ext] def renderFloor0(f: Floor0, data: Array[Double],
+      n2: Int): Array[Double] = {
+    val amplitude = data(0)
+    val order = f.order
+    val cosC = new Array[Double](order)
+    var k = 0
+    while (k < order) { cosC(k) = math.cos(data(1 + k)); k += 1 }
+    val map = barkMap(f, n2)
+    val out = new Array[Double](n2)
+    val ampDiv = (1L << f.ampBits) - 1
+    var i = 0
+    while (i < n2) {
+      val m = map(i)
+      val cosW = math.cos(math.Pi * m / f.barkMapSize)
+      var p = 0.0
+      var q = 0.0
+      if ((order & 1) == 1) {
+        p = 1.0 - cosW * cosW
+        q = 0.25
+        var j = 0
+        while (j <= (order - 3) / 2) {
+          val d = cosC(2 * j + 1) - cosW
+          p *= 4.0 * d * d
+          j += 1
+        }
+        j = 0
+        while (j <= (order - 1) / 2) {
+          val d = cosC(2 * j) - cosW
+          q *= 4.0 * d * d
+          j += 1
+        }
+      } else {
+        p = (1.0 - cosW) / 2.0
+        q = (1.0 + cosW) / 2.0
+        var j = 0
+        while (j < order / 2) {
+          val dp = cosC(2 * j + 1) - cosW
+          val dq = cosC(2 * j) - cosW
+          p *= 4.0 * dp * dp
+          q *= 4.0 * dq * dq
+          j += 1
+        }
+      }
+      val den = math.max(math.sqrt(p + q), 1e-300)
+      // cap the exponent so a wild stream's pinched LSP pair yields a
+      // huge-but-FINITE peak (exp overflow to Infinity would turn the
+      // spec's 0 * curve unaudible bins into NaN samples)
+      val linear = math.exp(math.min(700.0, 0.11512925 *
+        (amplitude * f.ampOffset / (ampDiv * den) - f.ampOffset)))
+      out(i) = linear
+      var n = i + 1
+      while (n < n2 && map(n) == m) { out(n) = linear; n += 1 }
+      i = n
+    }
+    out
+  }
+
   private def decodeFloor1Header(br: BitReader, f: Floor1,
       books: Array[Codebook]): Array[Int] = {
     if (br.readBit() == 0) return null // unaudible
@@ -1181,8 +1353,9 @@ object Vorbis {
 
   /** Decode a complete Ogg-Vorbis stream to a mono mix — the
     * [[Mp3.decode]] contract: (samples in [-1,1], sampleRate), None
-    * on anything outside the implemented surface (floor0, bad
-    * headers, CRC-corrupt first page, non-Vorbis Ogg).
+    * on anything outside the implemented surface (bad headers,
+    * CRC-corrupt first page, non-Vorbis Ogg). Both floor types decode
+    * (floor1 piecewise-linear, floor0 legacy LSP).
     */
   private val VorbisBos: (Array[Byte], Int, Int) => Boolean = (p, o, n) =>
     n >= 7 && p(o) == 1 && p(o + 1) == 'v' && p(o + 2) == 'o' &&
@@ -1238,30 +1411,29 @@ object Vorbis {
               nextFlag = br.readBit()
             }
             val n2 = n / 2
-            // floor0 refuses the WHOLE frame (documented boundary) —
-            // checked before any vector decode so the EOP-zeroing rule
-            // below can't turn a refusal into silent zeros
-            var ch = 0
-            while (ch < channels) {
-              if (setup.floors(mapping.submapFloor(mapping.mux(ch))) == null)
-                throw new EndOfPacket
-              ch += 1
-            }
             // ---- floors + residues: spec 4.3 — EOP from here on is NOT
             // packet loss; every vector not fully decoded is zeroed and
             // decode "continues as normal" through synthesis and
             // overlap-add (abandoning the frame would drop the lapped
-            // tail and drift against granule positions)
-            val floorYs = new Array[Array[Int]](channels)
+            // tail and drift against granule positions). floorData holds
+            // Array[Int] quantized Ys for floor1, [amplitude, coeffs...]
+            // doubles for floor0; null = unaudible channel.
+            var ch = 0
+            val floorData = new Array[AnyRef](channels)
             val noResidue = new Array[Boolean](channels)
             val residueVec = Array.ofDim[Double](channels, n2)
             try {
               ch = 0
               while (ch < channels) {
                 val submap = mapping.mux(ch)
-                val f = setup.floors(mapping.submapFloor(submap))
-                floorYs(ch) = decodeFloor1Header(br, f, setup.codebooks)
-                noResidue(ch) = floorYs(ch) == null
+                floorData(ch) =
+                  setup.floors(mapping.submapFloor(submap)) match {
+                    case f: Floor1 =>
+                      decodeFloor1Header(br, f, setup.codebooks)
+                    case f: Floor0 =>
+                      decodeFloor0Header(br, f, setup.codebooks)
+                  }
+                noResidue(ch) = floorData(ch) == null
                 ch += 1
               }
               // coupling rescue: a coupled pair decodes residue if
@@ -1321,11 +1493,15 @@ object Vorbis {
             ch = 0
             while (ch < channels) {
               val spectrum =
-                if (floorYs(ch) == null) new Array[Double](n2)
+                if (floorData(ch) == null) new Array[Double](n2)
                 else {
-                  val f =
-                    setup.floors(mapping.submapFloor(mapping.mux(ch)))
-                  val curve = renderFloor1(f, floorYs(ch), n2)
+                  val curve =
+                    setup.floors(mapping.submapFloor(mapping.mux(ch))) match {
+                      case f: Floor1 =>
+                        renderFloor1(f, floorData(ch).asInstanceOf[Array[Int]], n2)
+                      case f: Floor0 =>
+                        renderFloor0(f, floorData(ch).asInstanceOf[Array[Double]], n2)
+                    }
                   val r = residueVec(ch)
                   var i = 0
                   while (i < n2) { r(i) *= curve(i); i += 1 }
@@ -1368,11 +1544,12 @@ object Vorbis {
         } catch {
           // Reaching here means EOP BEFORE the mode/window flags were
           // fully read (spec: the packet yields no frame), a floor0
-          // reference (documented refusal boundary), or malformed-packet
-          // arithmetic (bad mode index, hostile sizes): the FRAME is
-          // abandoned, the stream continues. EOP DURING vector decode
-          // never lands here — the inner handler zeroes the remaining
-          // vectors and falls through to overlap-add per spec 4.3.
+          // book number past its book list (a bit-desync, spec 6.2.2
+          // "undecodable"), or malformed-packet arithmetic (bad mode
+          // index, hostile sizes): the FRAME is abandoned, the stream
+          // continues. EOP DURING vector decode never lands here — the
+          // inner handler zeroes the remaining vectors and falls
+          // through to overlap-add per spec 4.3.
           case _: EndOfPacket                  => ()
           case scala.util.control.NonFatal(_) => ()
         }
@@ -1402,12 +1579,16 @@ object Vorbis {
     Array.tabulate(n)(i => if (i < short) lp - 1 else lp)
   }
 
-  /** The fixture's four codebooks: a 2-class classification book, two
+  /** The fixture's codebooks: a 2-class classification book, two
     * 15x15 explicit-lookup lattice books (coarse 0.5, fine 0.0625
-    * steps) for the two residue passes, and a 256-entry scalar book
-    * for the floor's coded Y values.
+    * steps) for the two residue passes, a 256-entry scalar book for
+    * the floor1 coded Y values, and (when `floor0` is set) a dim-1
+    * 64-level LSP-delta book — dyadic min/delta (1/64) so the values
+    * survive float32Pack exactly and encoder/decoder curves agree
+    * bit-for-bit.
     */
-  private def fixtureBooks(lookup1: Boolean = false): Array[Codebook] = {
+  private def fixtureBooks(lookup1: Boolean = false,
+      floor0: Boolean = false): Array[Codebook] = {
     def lattice(delta: Double): Codebook = {
       val entries = 225
       // lookup type 2: explicit per-entry values; lookup type 1: the
@@ -1438,7 +1619,162 @@ object Vorbis {
     val floorBook = new Codebook(1, 256, balancedLengths(256), 0, 0, 0,
       sequenceP = false, Array.emptyIntArray, 0)
     require(floorBook.build() && floorBook.isComplete, "fixture floorbook")
-    Array(classBook, lattice(0.5), lattice(0.0625), floorBook)
+    val base = Array(classBook, lattice(0.5), lattice(0.0625), floorBook)
+    if (!floor0) base
+    else {
+      val deltaBook = new Codebook(1, 64, balancedLengths(64), 2,
+        Floor0Delta, Floor0Delta, sequenceP = false,
+        Array.tabulate(64)(identity), 64)
+      require(deltaBook.build() && deltaBook.isComplete, "floor0 book")
+      base :+ deltaBook
+    }
+  }
+
+  /** Floor0 fixture config: min/delta of the LSP-delta book (dyadic so
+    * float32Pack round-trips exactly) and the header the decoder will
+    * parse — shared so the encoder fits and renders through the EXACT
+    * decode-path curve.
+    */
+  private val Floor0Delta = 1.0 / 64
+  private[ext] def fixtureFloor0(rate: Int, order: Int = 8): Floor0 =
+    Floor0(order = order, rate = math.min(rate, 65535), barkMapSize = 256,
+      ampBits = 6, ampOffset = 64, bookList = Array(4))
+
+  /** Bark-warped LPC -> LSP fit for the floor0 fixture encoder (the
+    * floor1 real-envelope-fit precedent): autocorrelation of the
+    * frame's MDCT power spectrum ON THE WARPED AXIS the decoder
+    * evaluates (r_k = sum_i P_i cos(k*phi_i), phi_i = pi*map[i]/
+    * barkMapSize), Levinson-Durbin to the floor's order, P/Q
+    * symmetric decomposition reduced by the trivial +-1 roots, and
+    * Chebyshev-form root isolation by grid scan + bisection — all
+    * classic public DSP (Levinson recursion; Itakura line spectral
+    * pairs). Degenerate frames (silence, reflection blowup, a root
+    * deficit from numerically coincident roots) fall back to the even
+    * LSP spread — still a valid stream, just a flatter envelope.
+    */
+  private[ext] def lspFit(spec: Array[Double], cfg: Floor0): Array[Double] = {
+    val n2 = spec.length
+    val m0 = cfg.order
+    val fallback = Array.tabulate(m0)(j => (j + 1) * math.Pi / (m0 + 1))
+    val map = barkMap(cfg, n2)
+    val r = new Array[Double](m0 + 1)
+    var k = 0
+    while (k <= m0) {
+      var s = 0.0
+      var i = 0
+      while (i < n2) {
+        val p = spec(i) * spec(i)
+        s += p * math.cos(k * math.Pi * map(i) / cfg.barkMapSize)
+        i += 1
+      }
+      r(k) = s
+      k += 1
+    }
+    if (r(0) <= 1e-12) return fallback
+    r(0) *= 1.001 // white-noise ridge: bounds the fit's spectral tilt
+    // Levinson-Durbin: A(z) = 1 + sum a_j z^-j minimizing warped error
+    val a = new Array[Double](m0 + 1)
+    a(0) = 1.0
+    var err = r(0)
+    var m = 1
+    while (m <= m0) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc += a(j) * r(m - j); j += 1 }
+      val kref = -acc / err
+      if (!(math.abs(kref) < 1.0)) return fallback
+      val prev = a.clone()
+      j = 1
+      while (j < m) { a(j) = prev(j) + kref * prev(m - j); j += 1 }
+      a(m) = kref
+      err *= 1.0 - kref * kref
+      if (err <= 0) return fallback
+      m += 1
+    }
+    // bandwidth expansion (a_j *= gamma^j): tonal frames put LPC poles
+    // ON the unit circle, pinching LSP pairs shut — the envelope then
+    // swallows all the energy and the residue lattice has nothing left
+    // to resolve. Damping the poles keeps the curve's dynamic range
+    // lattice-sized; the amplitude search makes up the level.
+    var g = 1.0
+    var bj = 1
+    while (bj <= m0) { g *= 0.85; a(bj) *= g; bj += 1 }
+    // P = A(z) + z^-(M+1) A(1/z), Q = A(z) - z^-(M+1) A(1/z); even M:
+    // P carries the trivial root at z=-1, Q at z=+1 — divide them out
+    val h = m0 / 2
+    val pc = new Array[Double](m0 + 1)
+    val qc = new Array[Double](m0 + 1)
+    var j = 0
+    while (j <= m0) {
+      val aj = a(j)
+      val ar = if (j >= 1) a(m0 + 1 - j) else 0.0
+      val pj = aj + ar
+      val qj = aj - ar
+      pc(j) = if (j == 0) pj else pj - pc(j - 1)
+      qc(j) = if (j == 0) qj else qj + qc(j - 1)
+      j += 1
+    }
+    // symmetric degree-M poly on the unit circle as a Chebyshev series
+    // in x = cos(w): g(x) = c_h + 2 sum_{k=1..h} c_{h-k} T_k(x)
+    def cheb(c: Array[Double], x: Double): Double = {
+      var sum = c(h)
+      var tkm1 = 1.0
+      var tk = x
+      var kk = 1
+      while (kk <= h) {
+        sum += 2.0 * c(h - kk) * tk
+        val t = 2.0 * x * tk - tkm1
+        tkm1 = tk
+        tk = t
+        kk += 1
+      }
+      sum
+    }
+    def roots(c: Array[Double]): Array[Double] = {
+      val found = new scala.collection.mutable.ArrayBuffer[Double](h)
+      val grid = 1024
+      var prevX = 1.0 - 1e-9
+      var prevV = cheb(c, prevX)
+      var g = 1
+      while (g <= grid && found.length < h) {
+        val x = 1.0 - 1e-9 - (2.0 - 2e-9) * g / grid
+        val v = cheb(c, x)
+        if (v == 0.0) found += x
+        else if (v * prevV < 0) {
+          var lo = x // cheb(lo) = v side
+          var hi = prevX
+          var it = 0
+          while (it < 60) {
+            val mid = 0.5 * (lo + hi)
+            if (cheb(c, mid) * v > 0) lo = mid else hi = mid
+            it += 1
+          }
+          found += 0.5 * (lo + hi)
+        }
+        prevX = x
+        prevV = v
+        g += 1
+      }
+      found.toArray
+    }
+    val pr = roots(pc) // descending x = ascending angle
+    val qr = roots(qc)
+    if (pr.length != h || qr.length != h) return fallback
+    // interlace: ascending LSP angles alternate P, Q, P, Q... with the
+    // sum polynomial P owning the lowest (even 0-based) slots
+    val out = new Array[Double](m0)
+    k = 0
+    while (k < h) {
+      out(2 * k) = math.acos(pr(k))
+      out(2 * k + 1) = math.acos(qr(k))
+      k += 1
+    }
+    k = 1
+    while (k < m0) {
+      if (out(k) <= out(k - 1)) return fallback // lost interlacing
+      k += 1
+    }
+    out
   }
 
   /** The fixture floor's X grid: 0 and 2^rangebits implicit, eight
@@ -1530,7 +1866,7 @@ object Vorbis {
   private val FloorRangeBits = 12
 
   private def setupPacket(books: Array[Codebook], resType: Int,
-      coupled: Boolean, floor0: Boolean = false,
+      coupled: Boolean, floor0: Option[Floor0] = None,
       submaps: Int = 1, resBegin: Int = 0): Array[Byte] = {
     val w = new BitWriter
     w.write(5, 8)
@@ -1539,17 +1875,17 @@ object Vorbis {
     books.foreach(writeCodebook(w, _))
     w.write(0, 6); w.write(0, 16) // one time transform, value 0
     w.write(0, 6)
-    if (floor0) {
-      // the legacy-LSP config (for refusal tests): parseable envelope,
-      // frames routed here decode to None
+    if (floor0.isDefined) {
+      // the legacy-LSP floor, exactly as fixtureFloor0 parses back
+      val f = floor0.get
       w.write(0, 16)
-      w.write(8, 8) // order
-      w.write(8000, 16) // rate
-      w.write(64, 16) // bark_map_size
-      w.write(6, 6) // amplitude bits
-      w.write(10, 8) // amplitude offset
-      w.write(0, 4) // number_of_books - 1
-      w.write(1, 8) // book 1
+      w.write(f.order, 8)
+      w.write(f.rate, 16)
+      w.write(f.barkMapSize, 16)
+      w.write(f.ampBits, 6)
+      w.write(f.ampOffset, 8)
+      w.write(f.bookList.length - 1, 4)
+      f.bookList.foreach(b => w.write(b, 8))
     } else {
       // one floor: type 1, two partitions of one dim-4 class over the
       // fixture X grid (real neighbor-prediction geometry), mult 1
@@ -1626,8 +1962,8 @@ object Vorbis {
   private def audioPacket(books: Array[Codebook],
       spectra: Array[Array[Double]], longBlock: Boolean,
       prevLong: Boolean, nextLong: Boolean, resType: Int,
-      coupled: Boolean, submaps: Int = 1, resBegin: Int = 0)
-      : Array[Byte] = {
+      coupled: Boolean, submaps: Int = 1, resBegin: Int = 0,
+      floor0Cfg: Option[Floor0] = None): Array[Byte] = {
     val w = new BitWriter
     val channels = spectra.length
     val n2 = spectra(0).length
@@ -1637,7 +1973,98 @@ object Vorbis {
       w.write(if (prevLong) 1 else 0, 1)
       w.write(if (nextLong) 1 else 0, 1)
     }
-    // floors: a real envelope fit over the fixture X grid, coded
+    val floorCurve = new Array[Array[Double]](channels)
+    if (floor0Cfg.isDefined) {
+      // floor0: bark-warped LPC -> LSP fit, coefficients quantized
+      // through the delta book with cumulative error feedback, then
+      // the smallest amplitude whose SHARED renderFloor0 curve keeps
+      // every residue inside the lattice's coarse range
+      val cfg = floor0Cfg.get
+      val book = books(4)
+      var ch = 0
+      while (ch < channels) {
+        var peak = 0.0
+        var i = 0
+        while (i < n2) {
+          val v = math.abs(spectra(ch)(i))
+          if (v > peak) peak = v
+          i += 1
+        }
+        if (peak < 1e-10) {
+          w.write(0, cfg.ampBits) // amplitude 0: unused channel
+          floorCurve(ch) = null
+        } else {
+          val lsp = lspFit(spectra(ch), cfg)
+          val idxs = new Array[Int](cfg.order)
+          val data = new Array[Double](1 + cfg.order)
+          var last = 0.0
+          var k = 0
+          while (k < cfg.order) {
+            val want = math.min(lsp(k), 3.10) - last
+            idxs(k) = math.max(0, math.min(63,
+              math.round(want / Floor0Delta - 1.0).toInt))
+            last += (idxs(k) + 1) * Floor0Delta
+            data(1 + k) = last
+            k += 1
+          }
+          // amplitude: curve_a(i) = exp(.11512925*(a*K_i - off)) with
+          // K_i = off/(ampDiv*den_i) recovered from the a=1 curve.
+          // One global amplitude can't put every residue in the
+          // lattice's sweet spot (the LSP curve's dynamic range is not
+          // the spectrum's), so search ALL amplitudes for the one
+          // minimizing the PREDICTED quantized spectral error —
+          // threshold-to-silence and clip included.
+          data(0) = 1.0
+          val c1 = renderFloor0(cfg, data, n2)
+          val kArr = new Array[Double](n2)
+          i = 0
+          while (i < n2) {
+            kArr(i) = math.log(c1(i)) / 0.11512925 + cfg.ampOffset
+            i += 1
+          }
+          val aMax = (1 << cfg.ampBits) - 1
+          var amp = 1
+          var bestErr = Double.MaxValue
+          var a = 1
+          while (a <= aMax) {
+            var e = 0.0
+            i = 0
+            while (i < n2) {
+              val cv = math.exp(math.min(700.0,
+                0.11512925 * (a * kArr(i) - cfg.ampOffset)))
+              val s = spectra(ch)(i)
+              val r = s / cv
+              val rq =
+                if (math.abs(r) < 0.03125) 0.0
+                else {
+                  val q0 = math.max(-7, math.min(7, math.round(r / 0.5).toInt))
+                  val q1 = math.max(-7, math.min(7,
+                    math.round((r - q0 * 0.5) / 0.0625).toInt))
+                  q0 * 0.5 + q1 * 0.0625
+                }
+              val d = rq * cv - s
+              e += d * d
+              i += 1
+            }
+            if (e < bestErr) { bestErr = e; amp = a }
+            a += 1
+          }
+          w.write(amp, cfg.ampBits)
+          w.write(0, ilog(cfg.bookList.length)) // book number 0
+          k = 0
+          while (k < cfg.order) {
+            w.writeCode(book.codes(idxs(k)), book.lengths(idxs(k)))
+            k += 1
+          }
+          data(0) = amp.toDouble
+          floorCurve(ch) = renderFloor0(cfg, data, n2)
+        }
+        ch += 1
+      }
+      return audioPacketResidues(w, books, spectra, floorCurve,
+        resType, coupled, submaps, resBegin)
+    }
+    // floor1: a real envelope fit over the fixture X grid, coded
     // through the prediction-inverse so the decoder reconstructs the
     // exact same Y points; the curve itself comes from the SHARED
     // renderFloor1, so encoder and decoder divide/multiply by
@@ -1645,7 +2072,6 @@ object Vorbis {
     val floorCfg = fixtureFloor()
     val floorBook = books(3)
     val range = 256
-    val floorCurve = new Array[Array[Double]](channels)
     var ch = 0
     while (ch < channels) {
       var peak = 0.0
@@ -1720,8 +2146,22 @@ object Vorbis {
       }
       ch += 1
     }
+    audioPacketResidues(w, books, spectra, floorCurve, resType, coupled,
+      submaps, resBegin)
+  }
+
+  /** The residue half of an audio packet, shared by the floor1 and
+    * floor0 encode paths: floor-normalized residues, the coupling
+    * FORWARD transform, one residue block per submap.
+    */
+  private def audioPacketResidues(w: BitWriter, books: Array[Codebook],
+      spectra: Array[Array[Double]], floorCurve: Array[Array[Double]],
+      resType: Int, coupled: Boolean, submaps: Int,
+      resBegin: Int): Array[Byte] = {
+    val channels = spectra.length
+    val n2 = spectra(0).length
     var silent = true
-    ch = 0
+    var ch = 0
     while (ch < channels) { if (floorCurve(ch) != null) silent = false; ch += 1 }
     if (silent) return w.toBytes // residue skipped: all do-not-decode
     // floor-normalized residues, then the coupling FORWARD transform
@@ -1929,12 +2369,13 @@ object Vorbis {
     */
   def encode(pcm: Array[Double], rate: Int, channels: Int = 1,
       forceShort: Boolean = false,
-      comments: Seq[(String, String)] = Nil): Array[Byte] = {
+      comments: Seq[(String, String)] = Nil,
+      floor0: Boolean = false): Array[Byte] = {
     val L = pcm.length / channels
     val n = if (forceShort) ShortBlock else LongBlock
     val frames = math.max(2, (2 * L + n - 1) / n + 1)
     encodeSchedule(pcm, rate, channels, Seq.fill(frames)(!forceShort),
-      comments = comments)
+      comments = comments, floor0 = floor0)
   }
 
   /** Encode with an explicit per-frame long/short schedule, residue
@@ -1943,17 +2384,22 @@ object Vorbis {
     */
   private[ext] def encodeSchedule(pcm: Array[Double], rate: Int,
       channels: Int, schedule: Seq[Boolean], resType: Int = 2,
-      coupled: Boolean = false, floor0Stub: Boolean = false,
+      coupled: Boolean = false, floor0: Boolean = false,
       submaps: Int = 1,
       comments: Seq[(String, String)] = Nil,
-      resBegin: Int = 0, lookup1Books: Boolean = false): Array[Byte] = {
+      resBegin: Int = 0, lookup1Books: Boolean = false,
+      floor0Cfg: Option[Floor0] = None): Array[Byte] = {
     require(channels == 1 || channels == 2, s"channels $channels")
     require(rate > 0 && schedule.nonEmpty, "encode args")
     require(resType >= 0 && resType <= 2 && (!coupled || channels == 2),
       s"resType $resType coupled $coupled")
     require(submaps == 1 || (submaps == 2 && channels == 2 && !coupled),
       s"submaps $submaps") // coupled channels must share a submap
-    val books = fixtureBooks(lookup1Books)
+    // floor0Cfg overrides the fixture header — the hostile-floor0 test
+    // hook (the emitted stream must still assemble without crashing)
+    val f0cfg = floor0Cfg.orElse(
+      if (floor0) Some(fixtureFloor0(rate)) else None)
+    val books = fixtureBooks(lookup1Books, f0cfg.isDefined)
     val L = pcm.length / channels
     def in(ch: Int, t: Long): Double =
       if (t < 0 || t >= L) 0.0 else pcm(t.toInt * channels + ch)
@@ -1961,7 +2407,7 @@ object Vorbis {
       .empty[(Array[Byte], Long)]
     packets += ((idHeaderPacket(channels, rate), 0L))
     packets += ((commentPacket(comments), 0L))
-    packets += ((setupPacket(books, resType, coupled, floor0Stub,
+    packets += ((setupPacket(books, resType, coupled, f0cfg,
       submaps, resBegin), 0L))
     // extend the schedule with long frames until the frame centers
     // span the whole input (decoded output = last center - first)
@@ -1993,7 +2439,7 @@ object Vorbis {
         mdct(s)
       }
       val pk = audioPacket(books, spectra, nf == LongBlock,
-        prevLong, nextLong, resType, coupled, submaps, resBegin)
+        prevLong, nextLong, resType, coupled, submaps, resBegin, f0cfg)
       // granule = output decodable after this packet = frames' center
       // span so far, capped at the true input length on the last one
       val granule = math.min(center - c0, L.toLong)

@@ -1859,6 +1859,14 @@ object ExtQueries {
         (18, "audio/ogg", graft.ext.Vorbis.encode(
           Array.tabulate(2048)(i =>
             0.4 * math.sin(2 * math.Pi * 440 * i / 8000)), 8000)),
+        // a FLOOR0 Vorbis stream (the legacy LSP floor, decodes -> pcm
+        // since r14): lands in the same (mime, pcm) class as floor1 —
+        // a refusal would split 23 of these rows into the container
+        // class and fail the count oracle
+        (23, "audio/ogg", graft.ext.Vorbis.encode(
+          Array.tabulate(2048)(i =>
+            0.4 * math.sin(2 * math.Pi * 440 * i / 8000)), 8000,
+          floor0 = true)),
         (6, "audio/ogg", opus),
         // legacy PCM containers (r13): AIFF and AU decode as real pcm;
         // an AIFC 'ima4' keeps COMM geometry on the container side
@@ -2107,13 +2115,17 @@ object ExtQueries {
     // ext_image_exif discipline on the audio heap): 12 ID3v2-tagged
     // MP3 carriers (alternating v2.3/latin-1 and v2.4/UTF-8), 12
     // FLACs with real VORBIS_COMMENT blocks, 12 Ogg-Vorbis streams
-    // with comment-header fields, 12 WAVs with 'id3 ' chunks and 12
-    // AIFFs with 'ID3 ' chunks — every field doc_id-derived, every
-    // fourth doc carrying embedded cover art (APIC / PICTURE block /
-    // base64 METADATA_BLOCK_PICTURE / chunked APIC), plus one
-    // untagged payload that must land the all-null row. The tag walk
-    // is container-independent, so all five envelopes land identical
-    // row shapes.
+    // with comment-header fields, 12 WAVs with 'id3 ' chunks, 12
+    // AIFFs with 'ID3 ' chunks, 12 M4As with iTunes ilst atoms, 12
+    // ID3v2.2-tagged MP3s (three-byte frames, half through the
+    // unsynchronisation scheme) and 12 Matroska/WebM files with Tags
+    // elements (album via the TargetTypeValue-50 TITLE form) — every
+    // field doc_id-derived, every fourth doc carrying embedded cover
+    // art (APIC / PIC / PICTURE block / base64
+    // METADATA_BLOCK_PICTURE / chunked APIC / covr atom / image
+    // attachment), plus one untagged payload that must land the
+    // all-null row. The tag walk is container-independent, so all
+    // eight envelopes land identical row shapes.
     "ext_audio_tags" -> ((s, dir) => {
       import s.implicits._
       def artist(d: Long) = s"artist_${d % 7}"
@@ -2176,9 +2188,31 @@ object ExtQueries {
           artist(d), title(d), album(d), year(d),
           cover = if (d % 4 == 0) cover else null))
       }
+      // the seventh carrier: ID3v2.2 (three-byte frames, the
+      // old-iTunes-rip vintage), half of them through the
+      // unsynchronisation scheme (whole-tag FF-00 stuffing)
+      val v22s = (0L until 12L).map { k =>
+        val d = k + 600
+        (d, AudioTags.id3v2Wrap(torso,
+          artist(d), title(d), album(d), year(d),
+          cover = if (d % 4 == 0) cover else null,
+          v22 = true, unsync = d % 2 == 1))
+      }
+      // the eighth carrier: Matroska/WebM Tags (SimpleTag fields, the
+      // album through the spec's TargetTypeValue-50 TITLE form) with
+      // cover art as an image-typed attachment
+      val mkvs = (0L until 12L).map { k =>
+        val d = k + 700
+        (d, AudioTags.mkvWithTags(
+          Multimodal.minimalWebm(1000000L, 1500.0 + k, 320, 240,
+            Seq(Array.tabulate(40)(i => ((d * 13 + i) % 251).toByte)),
+            audioTrack = true),
+          artist(d), title(d), album(d), year(d),
+          cover = if (d % 4 == 0) cover else null))
+      }
       AudioTags.table(s,
-          (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ m4as ++
-            Seq((999L, torso)))
+          (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ m4as ++ v22s ++
+            mkvs ++ Seq((999L, torso)))
             .toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
@@ -2232,11 +2266,11 @@ object ExtQueries {
     // Cross-modal COVER-ART dedup (oracled on PLANTED truth): six
     // standalone PNG artworks, each also embedded in an MP3 (ID3v2
     // APIC), a FLAC (PICTURE block), an Ogg-Vorbis stream (base64
-    // METADATA_BLOCK_PICTURE) and an M4A (iTunes covr atom). The
-    // extracted cover IS the original
-    // image file, so the perceptual hashes join exactly artwork-with-
-    // carriers and nothing else — embedded-image provenance crossing
-    // into the image-dedup surface.
+    // METADATA_BLOCK_PICTURE), an M4A (iTunes covr atom) and a
+    // Matroska file (image attachment). The extracted cover IS the
+    // original image file, so the perceptual hashes join exactly
+    // artwork-with-carriers and nothing else — embedded-image
+    // provenance crossing into the image-dedup surface.
     "ext_audio_cover_pairs" -> ((s, dir) => {
       import s.implicits._
       def art(k: Int) = Multimodal.encodePng(8, 6, 0,
@@ -2264,8 +2298,14 @@ object ExtQueries {
           Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
             mdat = Array.tabulate(64)(i => (k * 37 + i).toByte)),
           cover = art(k))))
+      val mkvs = (0 until 6).map(k => (500L + k,
+        AudioTags.mkvWithTags(
+          Multimodal.minimalWebm(1000000L, 1000.0 + k, 320, 240,
+            Seq(Array.tabulate(40)(i => ((k * 19 + i) % 251).toByte)),
+            audioTrack = true),
+          cover = art(k))))
       AudioTags.coverPairs(s, images.toDF("doc_id", "media"),
-          (mp3s ++ flacs ++ oggs ++ m4as).toDF("doc_id", "media"))
+          (mp3s ++ flacs ++ oggs ++ m4as ++ mkvs).toDF("doc_id", "media"))
         .orderBy("image_id", "audio_id")
     }),
 
@@ -2276,10 +2316,13 @@ object ExtQueries {
     // floor-1 line, two-pass type-2 residue cascade) and decoded back
     // through the general wild-file decoder paths (Ogg lacing,
     // canonical Huffman, floor render, residue cascade, IMDCT,
-    // slope-matched overlap-add). Same tone geometry as the mp3 gate
-    // (125 Hz = multiple STFT bins apart, ranges 500 Hz apart) so
-    // planted pairs share landmarks and cross pairs share zero. The
-    // oracle is the closed-form pair list.
+    // slope-matched overlap-add), PLUS 3 re-encoded through the
+    // legacy FLOOR0 path (LSP envelope, the pre-2002 encoder vintage
+    // — bark-warped LPC fit, coefficients through a real VQ book).
+    // Same tone geometry as the mp3 gate (125 Hz = multiple STFT bins
+    // apart, ranges 500 Hz apart) so planted pairs share landmarks
+    // and cross pairs share zero. The oracle is the closed-form pair
+    // list.
     "ext_audio_vorbis_pairs" -> ((s, dir) => {
       import s.implicits._
       def tones(k: Int) =
@@ -2289,8 +2332,11 @@ object ExtQueries {
         (k.toLong, AudioFingerprint.tonesWav(32000, tones(k), 0.5)))
       val oggs = (0 until 6).map(k =>
         (100L + k, AudioFingerprint.tonesVorbis(32000, tones(k), 0.5)))
+      val floor0s = (6 until 9).map(k =>
+        (144L + k, AudioFingerprint.tonesVorbis(32000, tones(k), 0.5,
+          floor0 = true)))
       AudioFingerprint.audioNearDups(s,
-          (wavs ++ oggs).toDF("doc_id", "media"))
+          (wavs ++ oggs ++ floor0s).toDF("doc_id", "media"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -4017,7 +4063,10 @@ object ExtQueries {
 
     "ext_audio_vorbis_pairs" ->
       """SELECT CAST(k AS BIGINT) AS id_a, CAST(k + 100 AS BIGINT) AS id_b
-        |FROM UNNEST(range(0, 6)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
+        |FROM UNNEST(range(0, 6)) AS t(k)
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT), CAST(k + 144 AS BIGINT)
+        |FROM UNNEST(range(6, 9)) AS t(k) ORDER BY id_a, id_b""".stripMargin,
 
     // closed-form provenance: the same doc_id-derived fields through
     // all three containers, nulls for the untagged payload
@@ -4028,7 +4077,9 @@ object ExtQueries {
         |  UNION ALL SELECT k + 200 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 300 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 400 FROM UNNEST(range(0, 12)) AS t(k)
-        |  UNION ALL SELECT k + 500 FROM UNNEST(range(0, 12)) AS t(k))
+        |  UNION ALL SELECT k + 500 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 600 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 700 FROM UNNEST(range(0, 12)) AS t(k))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  'artist_' || (doc_id % 7) AS artist,
         |  'track_' || (doc_id % 5) AS title,
@@ -4058,7 +4109,7 @@ object ExtQueries {
       """SELECT CAST(k AS BIGINT) AS image_id,
         |       CAST(k + o AS BIGINT) AS audio_id
         |FROM UNNEST(range(0, 6)) AS t(k),
-        |     UNNEST([100, 200, 300, 400]) AS u(o)
+        |     UNNEST([100, 200, 300, 400, 500]) AS u(o)
         |ORDER BY image_id, audio_id""".stripMargin,
 
     "ext_audio_incr" ->
@@ -4251,7 +4302,7 @@ object ExtQueries {
         |  ('audio/mpeg', 'pcm', 4),
         |  ('audio/ogg-opus', 'container', 6),
         |  ('audio/ogg-vorbis', 'container', 5),
-        |  ('audio/ogg-vorbis', 'pcm', 18),
+        |  ('audio/ogg-vorbis', 'pcm', 41),
         |  ('audio/wav', 'pcm', 2),
         |  ('audio/wav-mp3', 'pcm', 12),
         |  ('image/avif', 'container', 14),

@@ -37,4 +37,23 @@ class DataCardSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("mp3CoverageCard: frame-weighted rollup, zero-safe on no MP3s") {
+    // per-stream rows as AudioFingerprint.mp3Coverage emits them:
+    // 8/8, 0/8 and 5/8 decodable frames -> 13/24 corpus-weighted
+    val cov = Seq((1L, 8L, 8L, 1.0), (2L, 8L, 0L, 0.0),
+      (3L, 8L, 5L, 0.625))
+      .toDF("doc_id", "frames_total", "frames_decodable",
+        "decodable_fraction")
+    val card = DataCard.mp3CoverageCard(cov)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("mp3_frames_total") === 24.0)
+    assert(card("mp3_frames_decodable") === 13.0)
+    assert(card("mp3_decodable_fraction") === 0.541667)
+    // a corpus with no MP3 frames: totals 0, fraction 0 (not null/NaN)
+    val empty = DataCard.mp3CoverageCard(cov.limit(0))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(empty("mp3_frames_total") === 0.0)
+    assert(empty("mp3_decodable_fraction") === 0.0)
+  }
 }

@@ -66,12 +66,41 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(t.artist.contains("ACDC"), s"$t")
   }
 
-  test("unsynchronisation and v2.2 refuse; compressed frames skip") {
-    val b = AudioTags.id3v2Wrap(torso, "x", "y")
-    val unsync = b.clone(); unsync(5) = 0x80.toByte
-    assert(AudioTags.of(unsync) == None)
-    val v22 = b.clone(); v22(3) = 2
-    assert(AudioTags.of(v22) == None)
+  test("ID3v2.2 three-byte frames parse: the old-iTunes-rip vintage") {
+    val b = AudioTags.id3v2Wrap(torso, "Nick Drake", "River Man",
+      "Five Leaves Left", 1969, cover = png, v22 = true)
+    val t = AudioTags.of(b).get
+    assert(t.artist.contains("Nick Drake") &&
+      t.title.contains("River Man") &&
+      t.album.contains("Five Leaves Left") && t.year.contains(1969), s"$t")
+    assert(t.cover.get.toSeq == png.toSeq, "PIC bytes verbatim")
+    // v2.2's compression header bit: no scheme was standardized — the
+    // spec's own rule is "ignore the tag"
+    val comp = b.clone(); comp(5) = (comp(5) | 0x40).toByte
+    assert(AudioTags.of(comp) == None)
+  }
+
+  test("unsynchronisation round-trips: whole-tag v2.2/v2.3, per-frame v2.4") {
+    // 0xFF bytes in both text (latin-1 'ÿ') and the cover payload
+    // force real FF-00 stuffing — the stuffed tag must differ from the
+    // plain one, and parse must land identical fields
+    val ffCover = Array.tabulate(64)(i =>
+      if (i % 3 == 0) 0xff.toByte else (i * 7).toByte)
+    for ((v22, v24) <- Seq((true, false), (false, false), (false, true))) {
+      val plain = AudioTags.id3v2Wrap(torso, "ÿakÿuza", "tÿtle",
+        "albÿm", 2003, cover = ffCover, v22 = v22, v24 = v24)
+      val stuffed = AudioTags.id3v2Wrap(torso, "ÿakÿuza", "tÿtle",
+        "albÿm", 2003, cover = ffCover, v22 = v22, v24 = v24,
+        unsync = true)
+      assert(stuffed.length > plain.length,
+        s"v22=$v22 v24=$v24: stuffing inserted nothing")
+      val t = AudioTags.of(stuffed).get
+      assert(t.artist.contains("ÿakÿuza") && t.title.contains("tÿtle") &&
+        t.album.contains("albÿm") && t.year.contains(2003),
+        s"v22=$v22 v24=$v24: $t")
+      assert(t.cover.get.toSeq == ffCover.toSeq,
+        s"v22=$v22 v24=$v24: cover bytes after de-unsync")
+    }
   }
 
   test("FLAC VORBIS_COMMENT + PICTURE splice keeps the stream decodable") {
@@ -167,6 +196,54 @@ class AudioTagsSpec extends AnyFunSuite {
     val full = AudioTags.mp4WithTags(
       Multimodal.minimalMp4(1000, 2000, 1, 0, 0), year = 1994)
     assert(AudioTags.of(full).get.year.contains(1994))
+  }
+
+  test("Matroska Tags + attached cover: the EBML carrier round-trips") {
+    val webm = Multimodal.minimalWebm(1000000L, 2000.0, 320, 240,
+      Seq(Array.tabulate(50)(i => (i * 7).toByte)), audioTrack = true)
+    val tagged = AudioTags.mkvWithTags(webm, "Boards of Canada",
+      "Roygbiv", "Music Has the Right to Children", 1998, cover = png)
+    val t = AudioTags.of(tagged).get
+    assert(t.artist.contains("Boards of Canada") &&
+      t.title.contains("Roygbiv") &&
+      t.album.contains("Music Has the Right to Children") &&
+      t.year.contains(1998), s"$t")
+    assert(t.cover.get.toSeq == png.toSeq, "FileData bytes verbatim")
+    // the fixture writes album as a TargetTypeValue-50 TITLE (checked
+    // above); the other wild form — a plain ALBUM SimpleTag — must
+    // land the same field. Hand-built minimal EBML stream:
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      var len = 1
+      while ((id >>> (8 * len)) != 0) len += 1
+      val idb = (0 until len).map(i =>
+        ((id >>> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+      val sz = new Array[Byte](8)
+      sz(0) = 1
+      var v = payload.length.toLong
+      for (i <- 7 to 1 by -1) { sz(i) = (v & 0xff).toByte; v >>= 8 }
+      idb ++ sz ++ payload
+    }
+    val plainAlbum = el(0x1A45DFA3L, Array.emptyByteArray) ++
+      el(0x18538067L, el(0x1254C367L, el(0x7373L,
+        el(0x67C8L, el(0x45A3L, "ALBUM".getBytes("UTF-8")) ++
+          el(0x4487L, "Geogaddi".getBytes("UTF-8"))))))
+    assert(AudioTags.of(plainAlbum).get.album.contains("Geogaddi"))
+    // no fields -> the splice is an identity -> no row
+    assert(AudioTags.mkvWithTags(webm).toSeq == webm.toSeq)
+    // the splice must not move the container's own metadata or coded
+    // frames: geometry and payload fingerprint identical to untagged
+    def feat(b: Array[Byte]) = Multimodal.ContainerCodec
+      .decode(Seq(Multimodal.MediaRow(1L, b, "video/webm", 0, 0))).head
+    val mu = feat(webm)
+    val mt = feat(tagged)
+    assert(mu.feature.toSeq == mt.feature.toSeq &&
+      mu.format == mt.format && mu.kind == mt.kind,
+      s"container features moved: $mu vs $mt")
+    val fu = Multimodal.ContainerCodec.videoPayloadFp(webm)
+    val ft = Multimodal.ContainerCodec.videoPayloadFp(tagged)
+    assert(fu.isDefined && fu == ft, "coded-frame fingerprint moved")
+    // untagged webm: no provenance row
+    assert(AudioTags.of(webm) == None)
   }
 
   test("hostile inputs: truncations and bit flips are total") {

@@ -74,12 +74,23 @@ object CodecProperties extends Properties("codecs") {
       Flac.encode(tone.map(v => math.round(v * 32767).toInt).toArray, 8000),
       "artist", "title", cover = Multimodal.encodePng(6, 5, 0,
         Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
+    AudioTags.id3v2Wrap(
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x40) ++
+        new Array[Byte](64),
+      "ÿrtist", "title", year = 1999, v22 = true, unsync = true),
+    AudioTags.mkvWithTags(
+      Multimodal.minimalWebm(1000000L, 900.0, 160, 120,
+        Seq(Array.tabulate(30)(i => (i * 5).toByte)), audioTrack = true),
+      "artist", "title", "album", 2004,
+      cover = Multimodal.encodePng(6, 5, 0,
+        Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
     Aiff.encode(tone.toArray, 8000),
     Aiff.encode(tone.toArray, 8000, compression = "ulaw"),
     Au.encode(tone.toArray, 8000, encoding = 1, annotation = "note"),
     Vorbis.encode(
       Array.tabulate(3000)(i => 0.3 * math.sin(0.4 * i) * (i % 2)), 8000,
       channels = 2, forceShort = true),
+    Vorbis.encode(tone.toArray, 8000, floor0 = true),
     Multimodal.minimalMp4(600, 1200, 1, 320, 240,
       mdat = Array.tabulate(64)(_.toByte)),
     Multimodal.minimalFmp4(600, 320, 240,

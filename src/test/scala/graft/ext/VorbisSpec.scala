@@ -481,13 +481,157 @@ class VorbisSpec extends AnyFunSuite {
       "truncation had no effect — the test cut nothing")
   }
 
-  test("a floor0 (legacy LSP) stream refuses into the container regime") {
+  test("floor0 mono round trip: the legacy-LSP envelope path decodes") {
+    val rate = 16000
+    val n = 8192
+    val pcm = Array.tabulate(n)(i =>
+      0.4 * math.sin(2 * math.Pi * 500 * i / rate) +
+        0.2 * math.sin(2 * math.Pi * 2250 * i / rate))
+    val frames = (2 * n + 1023) / 1024 + 1
+    val ogg = Vorbis.encodeSchedule(pcm, rate, 1,
+      Seq.fill(frames)(true), floor0 = true)
+    assert(Vorbis.isOggVorbis(ogg))
+    val (out, r) = Vorbis.decode(ogg).get
+    assert(r == rate)
+    assert(out.length == n, s"decoded ${out.length} of $n")
+    var err = 0.0; var sig = 0.0
+    for (i <- 0 until n) {
+      err += (out(i) - pcm(i)) * (out(i) - pcm(i)); sig += pcm(i) * pcm(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 15, s"floor0 SNR $snr dB")
+  }
+
+  test("floor0 stereo + short blocks round-trip (mode/coupling orthogonal to floor type)") {
+    val rate = 8000
+    val n = 4096
+    val l = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 400 * i / rate))
+    val rr = Array.tabulate(n)(i => 0.3 * math.sin(2 * math.Pi * 900 * i / rate))
+    val inter = new Array[Double](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = l(i); inter(2 * i + 1) = rr(i) }
+    val frames = (2 * n + 255) / 256 + 1
+    val ogg = Vorbis.encodeSchedule(inter, rate, 2,
+      Seq.fill(frames)(false), floor0 = true)
+    val (out, r) = Vorbis.decode(ogg).get
+    assert(r == rate && out.length == n)
+    val mix = Array.tabulate(n)(i => (l(i) + rr(i)) / 2)
+    var err = 0.0; var sig = 0.0
+    for (i <- 0 until n) {
+      err += (out(i) - mix(i)) * (out(i) - mix(i)); sig += mix(i) * mix(i)
+    }
+    val snr = 10 * math.log10(sig / err)
+    assert(snr > 12, s"floor0 stereo/short SNR $snr dB")
+  }
+
+  test("renderFloor0 equals direct LSP polynomial evaluation (the product-form identity)") {
+    // independent oracle: build P(z) = (1+z^-1) PROD (1 - 2cos(t)z^-1
+    // + z^-2) over even-indexed coefficients, Q likewise with (1-z^-1)
+    // over odd-indexed, evaluate |P|^2, |Q|^2 by complex summation at
+    // the decoder's own warped omegas, and form the spec's dB curve
+    // from sqrt((|P|^2+|Q|^2)/4). renderFloor0's 4(cos t - cos w)^2
+    // product must agree to rounding error.
+    val cfg = Vorbis.fixtureFloor0(16000, order = 8)
+    val coeffs = Array(0.35, 0.52, 0.91, 1.18, 1.55, 1.9, 2.3, 2.7)
+    val amp = 37
+    val n2 = 512
+    val data = amp.toDouble +: coeffs
+    val got = Vorbis.renderFloor0(cfg, data, n2)
+    val map = Vorbis.barkMap(cfg, n2)
+    def polyMag2(roots: Seq[Double], trivialSign: Int, w: Double): Double = {
+      // coefficients of (1 + trivialSign*z^-1) * PROD(1-2cos(t)z^-1+z^-2)
+      var c = Array(1.0, trivialSign.toDouble)
+      for (t <- roots) {
+        val f = Array(1.0, -2 * math.cos(t), 1.0)
+        val next = new Array[Double](c.length + 2)
+        for (i <- c.indices; j <- 0 to 2) next(i + j) += c(i) * f(j)
+        c = next
+      }
+      var re = 0.0; var im = 0.0
+      for (k <- c.indices) {
+        re += c(k) * math.cos(-k * w); im += c(k) * math.sin(-k * w)
+      }
+      re * re + im * im
+    }
+    val even = Seq(0, 2, 4, 6).map(coeffs(_))
+    val odd = Seq(1, 3, 5, 7).map(coeffs(_))
+    var maxRel = 0.0
+    for (i <- 0 until n2) {
+      val w = math.Pi * map(i) / cfg.barkMapSize
+      val den = math.sqrt((polyMag2(even, 1, w) + polyMag2(odd, -1, w)) / 4)
+      val expect = math.exp(0.11512925 *
+        (amp * cfg.ampOffset / (63.0 * den) - cfg.ampOffset))
+      maxRel = math.max(maxRel, math.abs(got(i) - expect) /
+        math.max(expect, 1e-300))
+    }
+    assert(maxRel < 1e-9, s"identity deviation $maxRel")
+  }
+
+  test("floor0 bark map is structural: zero at DC, monotone, clamped top") {
+    for ((rate, n2) <- Seq((8000, 128), (16000, 512), (48000, 1024))) {
+      val cfg = Vorbis.fixtureFloor0(rate)
+      val map = Vorbis.barkMap(cfg, n2)
+      assert(map(0) == 0, s"rate $rate: DC bin maps to ${map(0)}")
+      assert(map.sliding(2).forall(p => p(0) <= p(1)),
+        s"rate $rate: bark map not monotone")
+      assert(map.last <= cfg.barkMapSize - 1 && map.last >=
+        cfg.barkMapSize / 2, // top bin lands in the upper half
+        s"rate $rate: top bin ${map.last} of ${cfg.barkMapSize}")
+    }
+  }
+
+  test("floor0 EOP mid-coefficients: channel goes silent, sample count holds") {
+    // spec 4.3 through the floor0 path: truncating an audio packet
+    // inside the LSP coefficient decode must zero that channel's
+    // vectors and still synthesize the frame — the decoded sample
+    // count cannot drift
+    val rate = 8000
+    val pcm = Array.tabulate(4096)(i => 0.5 * math.sin(0.21 * i))
+    val frames = (2 * 4096 + 1023) / 1024 + 1
+    val ogg = Vorbis.encodeSchedule(pcm, rate, 1,
+      Seq.fill(frames)(true), floor0 = true)
+    val bos: (Array[Byte], Int, Int) => Boolean = (p, o, n) =>
+      n >= 7 && p(o) == 1 && p(o + 1) == 'v' && p(o + 6) == 's'
+    val Some((pkts, fg)) = Vorbis.oggPackets(ogg, bos)
+    assert(pkts.length > 6)
+    val cut = 5
+    // 2 bytes = 16 bits: past mode+window flags (3 bits) and the
+    // amplitude (6), into the coefficient codewords
+    val mangled = pkts.zipWithIndex.map { case (pk, i) =>
+      if (i == cut) java.util.Arrays.copyOf(pk, 2) else pk
+    }
+    val truncated = Vorbis.oggWrap(
+      mangled.zipWithIndex.map { case (pk, i) =>
+        (pk, if (i == mangled.length - 1) fg else 0L)
+      })
+    val Some((ref, _)) = Vorbis.decode(ogg)
+    val Some((got, _)) = Vorbis.decode(truncated)
+    assert(got.length == ref.length,
+      s"sample-count drift: ${got.length} vs ${ref.length}")
+    assert((0 until 512).forall(i => got(i) == ref(i)),
+      "samples before the truncated frame changed")
+  }
+
+  test("floor0 hostile headers refuse: zero order/rate/barkMapSize, bad books") {
     val pcm = Array.tabulate(2048)(i => 0.4 * math.sin(0.3 * i))
     val frames = (2 * 2048 + 1023) / 1024 + 1
-    val ogg = Vorbis.encodeSchedule(pcm, 8000, 1,
-      Seq.fill(frames)(true), floor0Stub = true)
-    assert(Vorbis.isOggVorbis(ogg)) // a real Vorbis stream...
-    assert(Vorbis.decode(ogg) == None) // ...outside the decode surface
+    def stream(cfg: Vorbis.Floor0): Array[Byte] =
+      Vorbis.encodeSchedule(pcm, 8000, 1, Seq.fill(frames)(true),
+        floor0Cfg = Some(cfg))
+    val good = Vorbis.fixtureFloor0(8000)
+    assert(Vorbis.decode(stream(good)).isDefined)
+    val hostile = Seq(
+      "zero order" -> good.copy(order = 0),
+      "zero rate" -> good.copy(rate = 0),
+      "zero barkMapSize" -> good.copy(barkMapSize = 0),
+      // book 0 is the lookup-less classification book: floor0
+      // coefficients decode "in VQ context", so it must refuse
+      "lookup-less book" -> good.copy(bookList = Array(0)),
+      "book out of range" -> good.copy(bookList = Array(9)))
+    for ((name, cfg) <- hostile) {
+      val b = stream(cfg)
+      assert(Vorbis.isOggVorbis(b), name)
+      assert(Vorbis.decode(b) == None, s"$name must refuse")
+    }
   }
 
   test("packets spanning pages: continued-packet reassembly decodes identically") {
