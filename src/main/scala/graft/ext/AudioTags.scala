@@ -257,11 +257,15 @@ object AudioTags {
       val pe = po + size
       if (size < 0 || pe > end || pe < po) return Tags(artist, title,
         album, year, cover)
-      // compressed/encrypted frames: skip rather than mis-parse
+      // compressed/encrypted/GROUPED frames: skip rather than
+      // mis-parse. Grouping (v2.3 format 0x20, v2.4 format 0x40)
+      // prepends a 1-byte group id to the payload — parsing it as the
+      // text-encoding byte would shift every offset by one and, on an
+      // APIC, silently corrupt the extracted cover
       val skip =
-        if (major == 4) (frameFlags & 0x0c) != 0
+        if (major == 4) (frameFlags & 0x4c) != 0
         else if (major == 2) false // no frame flags in v2.2
-        else (frameFlags & 0xc0) != 0
+        else (frameFlags & 0xe0) != 0
       // v2.4 per-frame transforms: de-unsync (format bit 1), then the
       // optional 4-byte data-length indicator (format bit 0)
       var fb = body
@@ -800,15 +804,24 @@ object AudioTags {
           if (id2 == 0x1254C367L) { // Tags
             C.walkEbml(b, qo, qe) { (id3, ro, re) =>
               if (id3 == 0x7373L) { // Tag
+                // EBML does not mandate child order: resolve the Tag's
+                // Targets FIRST (a wild Tag may put Targets after its
+                // SimpleTags), then classify. Only an EXPLICIT
+                // TargetTypeValue of 50 is album-scoped — honoring the
+                // spec's default of 50 on an absent value would misfile
+                // every plain track TITLE the common muxers write.
                 var targetAlbum = false
                 C.walkEbml(b, ro, re) { (id4, so, se) =>
-                  if (id4 == 0x63C0L) { // Targets
+                  if (id4 == 0x63C0L) // Targets
                     C.walkEbml(b, so, se) { (id5, to, te) =>
                       if (id5 == 0x68CAL) // TargetTypeValue
                         targetAlbum = C.ebmlUint(b, to, te) == 50L
                       true
                     }
-                  } else if (id4 == 0x67C8L) { // SimpleTag
+                  true
+                }
+                C.walkEbml(b, ro, re) { (id4, so, se) =>
+                  if (id4 == 0x67C8L) { // SimpleTag
                     var name: String = null
                     var value: String = null
                     C.walkEbml(b, so, se) { (id5, to, te) =>
@@ -861,30 +874,6 @@ object AudioTags {
     Tags(artist, title, album, year, cover)
   }
 
-  private def ebmlIdBytes(id: Long): Array[Byte] = {
-    var len = 1
-    while ((id >>> (8 * len)) != 0) len += 1
-    val a = new Array[Byte](len)
-    var i = 0
-    while (i < len) { a(i) = ((id >>> (8 * (len - 1 - i))) & 0xff).toByte; i += 1 }
-    a
-  }
-
-  /** 8-byte explicit-size vint (0x01 marker + 7 value bytes) — always
-    * legal, sidesteps minimal-length bookkeeping in the splicer.
-    */
-  private def ebmlSize8(n: Long): Array[Byte] = {
-    val a = new Array[Byte](8)
-    a(0) = 1
-    var i = 7
-    var v = n
-    while (i >= 1) { a(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
-    a
-  }
-
-  private def ebmlElem(id: Long, payload: Array[Byte]): Array[Byte] =
-    ebmlIdBytes(id) ++ ebmlSize8(payload.length.toLong) ++ payload
-
   /** Fixture side: splice a Tags element (SimpleTag fields, plus an
     * album TITLE under a TargetTypeValue-50 target — the spec's own
     * album form, so the reader's target handling is exercised) and an
@@ -896,9 +885,9 @@ object AudioTags {
       cover: Array[Byte] = null): Array[Byte] = {
     val C = Multimodal.ContainerCodec
     def simpleTag(name: String, value: String): Array[Byte] =
-      ebmlElem(0x67C8L,
-        ebmlElem(0x45A3L, name.getBytes("UTF-8")) ++
-          ebmlElem(0x4487L, value.getBytes("UTF-8")))
+      C.ebmlElem(0x67C8L,
+        C.ebmlElem(0x45A3L, name.getBytes("UTF-8")) ++
+          C.ebmlElem(0x4487L, value.getBytes("UTF-8")))
     val trackTags = Seq.newBuilder[Array[Byte]]
     if (artist != null) trackTags += simpleTag("ARTIST", artist)
     if (title != null) trackTags += simpleTag("TITLE", title)
@@ -906,25 +895,25 @@ object AudioTags {
     val tags = Seq.newBuilder[Array[Byte]]
     val trackBody = trackTags.result()
     if (trackBody.nonEmpty)
-      tags += ebmlElem(0x7373L, trackBody.flatten.toArray)
+      tags += C.ebmlElem(0x7373L, trackBody.flatten.toArray)
     if (album != null) // the TargetTypeValue-50 TITLE form
-      tags += ebmlElem(0x7373L,
-        ebmlElem(0x63C0L, ebmlElem(0x68CAL, Array[Byte](50))) ++
+      tags += C.ebmlElem(0x7373L,
+        C.ebmlElem(0x63C0L, C.ebmlElem(0x68CAL, Array[Byte](50))) ++
           simpleTag("TITLE", album))
     val extra = new java.io.ByteArrayOutputStream()
     val tagBody = tags.result()
     if (tagBody.nonEmpty)
-      extra.write(ebmlElem(0x1254C367L, tagBody.flatten.toArray))
+      extra.write(C.ebmlElem(0x1254C367L, tagBody.flatten.toArray))
     if (cover != null) {
       val isPng = cover.length >= 8 && (cover(0) & 0xff) == 0x89 &&
         cover(1) == 'P'
-      extra.write(ebmlElem(0x1941A469L, ebmlElem(0x61A7L,
-        ebmlElem(0x466EL,
+      extra.write(C.ebmlElem(0x1941A469L, C.ebmlElem(0x61A7L,
+        C.ebmlElem(0x466EL,
           (if (isPng) "cover.png" else "cover.jpg").getBytes("UTF-8")) ++
-          ebmlElem(0x4660L,
+          C.ebmlElem(0x4660L,
             (if (isPng) "image/png" else "image/jpeg").getBytes("UTF-8")) ++
-          ebmlElem(0x465CL, cover) ++
-          ebmlElem(0x46AEL, Array[Byte](1))))) // FileUID (required)
+          C.ebmlElem(0x465CL, cover) ++
+          C.ebmlElem(0x46AEL, Array[Byte](1))))) // FileUID (required)
     }
     val extraBytes = extra.toByteArray
     if (extraBytes.isEmpty) return mkv
@@ -941,7 +930,7 @@ object AudioTags {
       if (id == 0x18538067L) {
         val out = new java.io.ByteArrayOutputStream()
         out.write(mkv, 0, off + idLen)
-        out.write(ebmlSize8((pe - po).toLong + extraBytes.length))
+        out.write(C.ebmlSize8((pe - po).toLong + extraBytes.length))
         out.write(mkv, po, pe - po)
         out.write(extraBytes)
         out.write(mkv, pe, mkv.length - pe)

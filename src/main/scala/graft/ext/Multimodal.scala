@@ -2833,6 +2833,35 @@ object Multimodal {
       v
     }
 
+    /** EBML element WRITE side (shared with the AudioTags Matroska
+      * splicer): raw marker-carrying id bytes, an 8-byte explicit-size
+      * vint (0x01 marker + 7 value bytes — always legal, sidesteps
+      * minimal-length bookkeeping), and a whole element.
+      */
+    private[ext] def ebmlIdBytes(id: Long): Array[Byte] = {
+      var len = 1
+      while ((id >>> (8 * len)) != 0) len += 1
+      val a = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        a(i) = ((id >>> (8 * (len - 1 - i))) & 0xff).toByte
+        i += 1
+      }
+      a
+    }
+
+    private[ext] def ebmlSize8(n: Long): Array[Byte] = {
+      val a = new Array[Byte](8)
+      a(0) = 1
+      var i = 7
+      var v = n
+      while (i >= 1) { a(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+      a
+    }
+
+    private[ext] def ebmlElem(id: Long, payload: Array[Byte]): Array[Byte] =
+      ebmlIdBytes(id) ++ ebmlSize8(payload.length.toLong) ++ payload
+
     /** EBML float element payload: 4-byte IEEE single or 8-byte double,
       * big-endian; anything else is malformed (NaN).
       */

@@ -850,8 +850,12 @@ object Vorbis {
     */
   private def decodeFloor0Header(br: BitReader, f: Floor0,
       books: Array[Codebook]): Array[Double] = {
-    val amplitude = br.read(f.ampBits)
-    if (amplitude == 0) return null
+    // amplitude_bits is a 6-bit header field (up to 63): read in Long —
+    // read()'s Int accumulator wraps shifts mod 32, so a spec-legal
+    // ampBits > 31 would decode garbage (a true-zero unused channel
+    // could read nonzero and fabricate an envelope)
+    val amplitude = br.readLong(f.ampBits)
+    if (amplitude == 0L) return null
     val booknumber = br.read(ilog(f.bookList.length))
     if (booknumber >= f.bookList.length)
       throw new IllegalStateException("floor0 book number")
@@ -2022,7 +2026,10 @@ object Vorbis {
             kArr(i) = math.log(c1(i)) / 0.11512925 + cfg.ampOffset
             i += 1
           }
-          val aMax = (1 << cfg.ampBits) - 1
+          // Long shift then cap at 63: (1 << 40) wraps in Int, and the
+          // exhaustive search stays bounded for any header-legal width
+          val aMax = math.min((1L << math.min(cfg.ampBits, 62)) - 1, 63L)
+            .toInt
           var amp = 1
           var bestErr = Double.MaxValue
           var a = 1

@@ -198,6 +198,22 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(AudioTags.of(full).get.year.contains(1994))
   }
 
+  test("grouped frames skip, never shift: v2.3 0x20 and v2.4 0x40 format flags") {
+    // grouping prepends a 1-byte group id to the payload; parsing it
+    // as the text-encoding byte would shift every offset by one. The
+    // refuse-never-mis-parse rule: the frame is SKIPPED.
+    for (v24 <- Seq(false, true)) {
+      val b = AudioTags.id3v2Wrap(torso, "Shifted", "Kept", v24 = v24)
+      // set the grouping bit on the FIRST frame (TPE1) only: locate
+      // its format-flag byte (header 10 + "TPE1" 4 + size 4 + status 1)
+      val g = b.clone()
+      g(10 + 9) = (g(10 + 9) | (if (v24) 0x40 else 0x20)).toByte
+      val t = AudioTags.of(g).get
+      assert(t.artist.isEmpty, s"v24=$v24: grouped TPE1 must skip, got $t")
+      assert(t.title.contains("Kept"), s"v24=$v24: next frame intact")
+    }
+  }
+
   test("Matroska Tags + attached cover: the EBML carrier round-trips") {
     val webm = Multimodal.minimalWebm(1000000L, 2000.0, 320, 240,
       Seq(Array.tabulate(50)(i => (i * 7).toByte)), audioTrack = true)
@@ -228,6 +244,17 @@ class AudioTagsSpec extends AnyFunSuite {
         el(0x67C8L, el(0x45A3L, "ALBUM".getBytes("UTF-8")) ++
           el(0x4487L, "Geogaddi".getBytes("UTF-8"))))))
     assert(AudioTags.of(plainAlbum).get.album.contains("Geogaddi"))
+    // EBML does not mandate child order: a Tag with its SimpleTag
+    // BEFORE the TargetTypeValue-50 Targets must still file the TITLE
+    // as the album (the Targets resolve in a first pass)
+    val targetsLast = el(0x1A45DFA3L, Array.emptyByteArray) ++
+      el(0x18538067L, el(0x1254C367L, el(0x7373L,
+        el(0x67C8L, el(0x45A3L, "TITLE".getBytes("UTF-8")) ++
+          el(0x4487L, "Tomorrow's Harvest".getBytes("UTF-8"))) ++
+          el(0x63C0L, el(0x68CAL, Array[Byte](50))))))
+    val tl = AudioTags.of(targetsLast).get
+    assert(tl.album.contains("Tomorrow's Harvest") && tl.title.isEmpty,
+      s"Targets-after-SimpleTag misfiled: $tl")
     // no fields -> the splice is an identity -> no row
     assert(AudioTags.mkvWithTags(webm).toSeq == webm.toSeq)
     // the splice must not move the container's own metadata or coded

@@ -632,6 +632,17 @@ class VorbisSpec extends AnyFunSuite {
       assert(Vorbis.isOggVorbis(b), name)
       assert(Vorbis.decode(b) == None, s"$name must refuse")
     }
+    // spec-legal amplitude_bits > 31 (the 6-bit field goes to 63): the
+    // amplitude reads in Long (an Int accumulator wraps shifts mod 32)
+    // and the 40-bit field must consume exactly 40 bits — a count
+    // drift would desync every following packet read. The stream
+    // stays decodable with the right sample count and finite values.
+    val wideAmp = Vorbis.decode(stream(good.copy(ampBits = 40))).get._1
+    val ref = Vorbis.decode(stream(good)).get._1
+    assert(wideAmp.length == ref.length,
+      s"ampBits=40 sample count ${wideAmp.length} vs ${ref.length}")
+    assert(wideAmp.forall(v => !v.isNaN && !v.isInfinite),
+      "ampBits=40 produced non-finite samples")
   }
 
   test("packets spanning pages: continued-packet reassembly decodes identically") {
