@@ -75,9 +75,10 @@ val headline = Seq(
   ("ext_audio_mp3_pairs", "MP3-vs-WAV dedup: one decode+fingerprint mapPartitions scan, map-combinable shared counts"),
   ("ext_audio_vorbis_pairs", "Vorbis-vs-WAV dedup: the same one-scan fingerprint shape across the Ogg codec boundary"),
   ("ext_audio_cover_pairs", "cross-modal cover dedup: both sides collapse to (id, hash) pre-join, NO forced broadcast — AQE decides"),
-  ("ext_audio_tags", "audio provenance: ONE batched map over eight carrier formats, no hash shuffle"),
+  ("ext_audio_tags", "audio provenance: ONE batched map over nine carrier formats, no hash shuffle"),
   ("ext_audio_mp3_coverage", "wild-MP3 coverage measurement: side-info walk in one map, O(frames) arithmetic, no Huffman work"),
-  ("ext_image_heif_meta", "AVIF/HEIC/HEIF geometry census: one container-walk map into O(classes) groups"))
+  ("ext_image_heif_meta", "AVIF/HEIC/HEIF geometry census: one container-walk map into O(classes) groups"),
+  ("ext_video_subtitles", "subtitle extraction: cues explode per doc in one batched map, no shuffle"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 // the image-index probe query self-ensures its index (private[graft])

@@ -9,9 +9,11 @@ package graft.ext
   * structure), and the MP4-family iTunes `ilst` atoms
   * (moov/udta/meta/ilst per ISO/IEC 14496-12 box grammar — the
   * M4A/AAC/ALAC and MP4-video metadata carrier, the most common after
-  * ID3), and Matroska/WebM Tags + Attachments (SimpleTag name/string
+  * ID3), Matroska/WebM Tags + Attachments (SimpleTag name/string
   * pairs and attached cover art per the public Matroska element
-  * registry — the EBML heap's carrier). One container-independent row
+  * registry — the EBML heap's carrier), and APEv1/v2 trailer tags
+  * (the Monkey's-Audio-era ripper footer, found before an ID3v1
+  * block when both are stacked). One container-independent row
   * shape, so the same recording tagged through any envelope lands the
   * identical provenance — and the embedded COVER ART crosses into the
   * image surface: the extracted bytes are the original image file, so
@@ -66,11 +68,127 @@ object AudioTags {
       else if (Multimodal.ContainerCodec.isEbml(b)) // Matroska Tags
         mkvTags(b)
       else Empty
-    // the ID3v1 trailer (128-byte "TAG" block at EOF) is the
-    // fallback old MP3 rips carry when nothing richer matched
-    val t2 = if (t.nonEmpty) t else id3v1(b)
-    if (t2.nonEmpty) Some(t2) else None
+    // trailer fallbacks when nothing richer matched: APEv2 first (the
+    // Monkey's-Audio-era ripper tag, richer), then the 128-byte ID3v1
+    // "TAG" block — the two footers old MP3 rips carry
+    val t2 = if (t.nonEmpty) t else apeTags(b)
+    val t3 = if (t2.nonEmpty) t2 else id3v1(b)
+    if (t3.nonEmpty) Some(t3) else None
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** APEv1/v2 trailer tag (the public Monkey's Audio tag layout):
+    * a 32-byte footer at EOF — or just before an ID3v1 trailer —
+    * ("APETAGEX", version u32le 1000/2000, size u32le of items+footer,
+    * item count, flags, 8 reserved), items walked forward from
+    * footerEnd - size: value length u32le, item flags u32le (bits 1-2:
+    * 0 text UTF-8, 1 binary), nul-terminated ASCII key, value. Keys
+    * are case-insensitive; "Cover Art (Front)" is binary with a
+    * nul-terminated filename prefixed to the image bytes. Every size
+    * is validated against the enclosing range — malformed tags return
+    * Empty, never a shifted parse.
+    */
+  private def apeTags(b: Array[Byte]): Tags = {
+    def footerAt(end: Int): Int = {
+      val o = end - 32
+      if (o < 0) return -1
+      val pre = new String(b, o, 8, "ISO-8859-1")
+      if (pre == "APETAGEX") o else -1
+    }
+    var fo = footerAt(b.length)
+    if (fo < 0 && b.length >= 128 &&
+      b(b.length - 128) == 'T' && b(b.length - 127) == 'A' &&
+      b(b.length - 126) == 'G')
+      fo = footerAt(b.length - 128)
+    if (fo < 0) return Empty
+    val version = u32le(b, fo + 8)
+    if (version != 1000L && version != 2000L) return Empty
+    val size = u32le(b, fo + 12).toInt
+    val items = u32le(b, fo + 16).toInt
+    if (size < 32 || items < 0 || items > 1024) return Empty
+    val start = fo + 32 - size
+    if (start < 0) return Empty
+    var artist, title, album: Option[String] = None
+    var year: Option[Int] = None
+    var cover: Option[Array[Byte]] = None
+    var off = start
+    var i = 0
+    while (i < items && off + 8 <= fo) {
+      val len = u32le(b, off).toInt
+      val flags = u32le(b, off + 4)
+      var ko = off + 8
+      while (ko < fo && b(ko) != 0) ko += 1
+      if (ko >= fo) return Tags(artist, title, album, year, cover)
+      val key = new String(b, off + 8, ko - (off + 8), "ISO-8859-1")
+        .toLowerCase(java.util.Locale.ROOT)
+      val vo = ko + 1
+      val ve = vo + len
+      if (len < 0 || ve > fo) return Tags(artist, title, album, year, cover)
+      val isText = ((flags >> 1) & 3) == 0
+      def txt = new String(b, vo, len, "UTF-8")
+      key match {
+        case "artist" if isText => artist = artist.orElse(Some(txt))
+        case "title" if isText  => title = title.orElse(Some(txt))
+        case "album" if isText  => album = album.orElse(Some(txt))
+        case "year" if isText =>
+          year = year.orElse(txt.take(4).toIntOption.filter(_ > 0))
+        case "cover art (front)" if !isText && cover.isEmpty =>
+          // nul-terminated filename, then the image bytes verbatim
+          var p = vo
+          while (p < ve && b(p) != 0) p += 1
+          if (p + 1 < ve)
+            cover = Some(java.util.Arrays.copyOfRange(b, p + 1, ve))
+        case _ => ()
+      }
+      off = ve
+      i += 1
+    }
+    Tags(artist, title, album, year, cover)
+  }
+
+  /** Fixture writer: append an APEv2 tag (header + items + footer,
+    * the layout Monkey's Audio-era rippers write) to any payload.
+    */
+  def apeWrap(audio: Array[Byte], artist: String = null,
+      title: String = null, album: String = null, year: Int = 0,
+      cover: Array[Byte] = null): Array[Byte] = {
+    val items = new java.io.ByteArrayOutputStream()
+    var count = 0
+    def le32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(k => o.write(((v >> (8 * k)) & 0xff).toInt))
+    def item(key: String, value: Array[Byte], binary: Boolean): Unit = {
+      le32(items, value.length.toLong)
+      le32(items, if (binary) 2L else 0L)
+      items.write(key.getBytes("ISO-8859-1")); items.write(0)
+      items.write(value)
+      count += 1
+    }
+    if (artist != null) item("Artist", artist.getBytes("UTF-8"), false)
+    if (title != null) item("Title", title.getBytes("UTF-8"), false)
+    if (album != null) item("Album", album.getBytes("UTF-8"), false)
+    if (year > 0) item("Year", year.toString.getBytes("UTF-8"), false)
+    if (cover != null)
+      item("Cover Art (Front)",
+        "cover.png".getBytes("ISO-8859-1") ++ Array[Byte](0) ++ cover,
+        binary = true)
+    val body = items.toByteArray
+    val size = body.length + 32L // items + footer, excluding header
+    def block(isHeader: Boolean): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("APETAGEX".getBytes("ISO-8859-1"))
+      le32(o, 2000L)
+      le32(o, size)
+      le32(o, count.toLong)
+      le32(o, (1L << 31) | (if (isHeader) 1L << 29 else 0L))
+      o.write(new Array[Byte](8))
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(audio)
+    out.write(block(isHeader = true))
+    out.write(body)
+    out.write(block(isHeader = false))
+    out.toByteArray
+  }
 
   /** ID3v1: fixed 128-byte trailer — title/artist/album 30 bytes
     * each (space- or nul-padded latin-1), year 4 digits.
@@ -634,7 +752,7 @@ object AudioTags {
     * U+FFFD. Callback gets (type, payloadStart, payloadEnd); return
     * false to stop the walk.
     */
-  private def walkMp4(b: Array[Byte], off0: Int, end: Int)(
+  private[ext] def walkMp4(b: Array[Byte], off0: Int, end: Int)(
       f: (String, Int, Int) => Boolean): Boolean = {
     var off = off0
     while (off + 8 <= end) {

@@ -3278,6 +3278,106 @@ object Multimodal {
     else mp4Ftyp ++ mdatBox ++ free ++ moov
   }
 
+  /** Minimal MP4 with ONE 3GPP timed-text (tx3g) track and FULL sample
+    * tables (stsd/stts/stsc/stsz/stco) over an mdat of u16be-length
+    * text samples — the layout MP4Box/ffmpeg write for subtitle muxes,
+    * and the first fixture exercising a real sample-table walk. Cues
+    * are (durationTicks, text), contiguous from t=0 on the mdhd
+    * `timescale` clock. Samples pack TWO per chunk so the stsc
+    * run-length mapping is genuinely walked (an odd count adds a
+    * second one-sample run).
+    */
+  def minimalMp4Tx3g(timescale: Int,
+      cues: Seq[(Long, String)]): Array[Byte] = {
+    require(timescale > 0 && cues.nonEmpty, "minimalMp4Tx3g args")
+    val samples = cues.map { case (_, t) =>
+      val tb = t.getBytes("UTF-8")
+      java.nio.ByteBuffer.allocate(2 + tb.length)
+        .putShort(tb.length.toShort).put(tb).array()
+    }
+    val totalTicks = cues.map(_._1).sum
+    val chunkGroups = samples.grouped(2).toSeq
+    def full(p: Array[Byte]) = Array[Byte](0, 0, 0, 0) ++ p
+    // tx3g sample entry: 6 reserved + u16 data_ref_index, then the
+    // 3GPP fields (display flags, justification, bg color, text box,
+    // default style record) — zeroed defaults
+    val stsd = mp4Box("stsd",
+      full(java.nio.ByteBuffer.allocate(4).putInt(1).array() ++
+        mp4Box("tx3g", new Array[Byte](38))))
+    val stts = mp4Box("stts", full {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * cues.length)
+      bb.putInt(cues.length)
+      cues.foreach { case (d, _) => bb.putInt(1).putInt(d.toInt) }
+      bb.array()
+    })
+    val stscRuns =
+      if (chunkGroups.length <= 1) Seq((1, samples.length))
+      else if (samples.length % 2 == 0) Seq((1, 2))
+      else Seq((1, 2), (chunkGroups.length, 1))
+    val stsc = mp4Box("stsc", full {
+      val bb = java.nio.ByteBuffer.allocate(4 + 12 * stscRuns.length)
+      bb.putInt(stscRuns.length)
+      stscRuns.foreach { case (fc, spc) =>
+        bb.putInt(fc).putInt(spc).putInt(1)
+      }
+      bb.array()
+    })
+    val stsz = mp4Box("stsz", full {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * samples.length)
+      bb.putInt(0).putInt(samples.length)
+      samples.foreach(s => bb.putInt(s.length))
+      bb.array()
+    })
+    def buildMoov(chunkOffs: Seq[Int]): Array[Byte] = {
+      val stco = mp4Box("stco", full {
+        val bb = java.nio.ByteBuffer.allocate(4 + 4 * chunkOffs.length)
+        bb.putInt(chunkOffs.length)
+        chunkOffs.foreach(bb.putInt)
+        bb.array()
+      })
+      val stbl = mp4Box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val mdhd = mp4Box("mdhd",
+        java.nio.ByteBuffer.allocate(20)
+          .putInt(0).putInt(0).putInt(0)
+          .putInt(timescale).putInt(totalTicks.toInt).array())
+      val hdlr = mp4Box("hdlr",
+        full(java.nio.ByteBuffer.allocate(20).putInt(0)
+          .put("sbtl".getBytes("US-ASCII"))
+          .putInt(0).putInt(0).putInt(0).array() ++ Array[Byte](0)))
+      val mdia = mp4Box("mdia", mdhd ++ hdlr ++ mp4Box("minf", stbl))
+      val tkhd = mp4Box("tkhd", {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0)
+          .putInt(totalTicks.toInt).putLong(0L)
+          .putShort(0).putShort(0).putShort(0).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(0).putInt(0)
+        bb.array()
+      })
+      val mvhd = mp4Box("mvhd", {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.putInt(0).putInt(0).putInt(0)
+          .putInt(timescale).putInt(totalTicks.toInt)
+          .putInt(0x00010000).putShort(0x0100.toShort)
+          .putShort(0).putLong(0L)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.position(bb.position() + 24)
+        bb.putInt(2)
+        bb.array()
+      })
+      mp4Box("moov", mvhd ++ mp4Box("trak", tkhd ++ mdia))
+    }
+    val probe = buildMoov(Seq.fill(chunkGroups.length)(0))
+    val mdatPayloadOff = mp4Ftyp.length + probe.length + 8
+    val offs = chunkGroups.scanLeft(mdatPayloadOff)(
+      (o, g) => o + g.map(_.length).sum).dropRight(1)
+    val moov = buildMoov(offs)
+    require(moov.length == probe.length, "tx3g moov size drifted")
+    mp4Ftyp ++ moov ++ mp4Box("mdat", samples.flatten.toArray)
+  }
+
   /** Deterministic AVIF/HEIC/HEIF synthesizer — the [[minimalMp4]]
     * analog for the ISO-BMFF IMAGE heap: `ftyp` with the image brand,
     * `meta{hdlr(pict), iinf{infe ×items}, iprp{ipco{ispe (+ a smaller
@@ -3421,7 +3521,11 @@ object Multimodal {
       docType: String = "webm",
       // live-capture muxers commonly omit Info.Duration — the fixture
       // knob for the duration-less geometry class
-      noDuration: Boolean = false): Array[Byte] = {
+      noDuration: Boolean = false,
+      // subtitle cues (startTicks, durTicks, text) on an S_TEXT/UTF8
+      // track (number 3): each cue a BlockGroup with BlockDuration in
+      // its own Cluster — the layout mkvmerge writes for SRT muxes
+      subtitleCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(timestampScale > 0 && durationTicks >= 0 && width > 0 &&
       height > 0, s"minimalWebm: ts=$timestampScale dur=$durationTicks " +
       s"${width}x$height")
@@ -3472,7 +3576,9 @@ object Multimodal {
     val tracks = elem(0x1654AE6BL,
       track(1, 1, "V_VP9", video = true) ++
         (if (audioTrack) track(2, 2, "A_OPUS", video = false)
-         else Array.empty[Byte]))
+         else Array.empty[Byte]) ++
+        (if (subtitleCues.isEmpty) Array.empty[Byte]
+         else track(3, 0x11, "S_TEXT/UTF8", video = false)))
     def simpleBlock(fs: Seq[Array[Byte]]): Array[Byte] = {
       // one block per call: unlaced single frame, or a Xiph lace of all
       val flags = if (fs.length > 1) 0x82 else 0x80 // key [+ Xiph lacing]
@@ -3501,8 +3607,17 @@ object Multimodal {
     val void =
       if (voidPad == 0) Array.empty[Byte]
       else elem(0xECL, new Array[Byte](voidPad))
+    val subClusters = subtitleCues.map { case (start, dur, text) =>
+      elem(0x1F43B675L,
+        elem(0xE7L, uintPayload(start)) ++
+          elem(0xA0L, // BlockGroup: Block (track 3, rel 0) + duration
+            elem(0xA1L, Array[Byte](0x83.toByte, 0, 0, 0) ++
+              text.getBytes("UTF-8")) ++
+              elem(0x9BL, uintPayload(dur))))
+    }
     header ++ elem(0x18538067L,
-      info ++ tracks ++ void ++ clusters.flatten.toArray)
+      info ++ tracks ++ void ++ clusters.flatten.toArray ++
+        subClusters.flatten.toArray)
   }
 
   /** Deterministic PNG encoder (the [[minimalMp4]]/[[AudioDsp.sineWav]]

@@ -1,0 +1,328 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** [EXT] Subtitle/caption TEXT extraction — the text modality carried
+  * inside the video heap, a first-class training-corpus source (every
+  * captioned video is a timestamped transcript). Four wild carriers,
+  * all pure container/text math with zero codec work:
+  *
+  *  - Matroska/WebM `S_TEXT/UTF8` tracks (the mkvmerge SRT-mux layout):
+  *    Tracks declares the codec per track number, each cue is a Block
+  *    whose payload IS the UTF-8 cue text, timed by the cluster
+  *    timestamp + the block's relative offset in TimestampScale ticks,
+  *    with BlockDuration for the span. Reuses the size-validated
+  *    [[Multimodal.ContainerCodec.walkEbml]] — malformed elements stop
+  *    the walk, never shift it.
+  *  - MP4 3GPP timed text (`tx3g`, QuickTime `text`): the full
+  *    ISO-BMFF sample-table walk — stsd codec check, stts timing,
+  *    stsc run-length sample-to-chunk mapping, stco/co64 + stsz
+  *    sample location — each sample a u16be-length UTF-8 string.
+  *  - SubRip (.srt): `index / HH:MM:SS,mmm --> HH:MM:SS,mmm / text`
+  *    blocks separated by blank lines.
+  *  - WebVTT (.vtt): the `WEBVTT` header and `HH:MM:SS.mmm -->
+  *    HH:MM:SS.mmm` cues (hours optional), dot or comma millis — one
+  *    parser covers both text forms.
+  *
+  * Scale shape: [[table]] is one batched map over the media column
+  * (the [[AudioTags.table]] discipline) — rows explode per cue, no
+  * shuffle, no driver collect.
+  */
+object Subtitles {
+
+  /** One cue; `track` is 0 for text-file carriers. */
+  final case class Cue(track: Int, startMs: Long, durMs: Long,
+      text: String)
+
+  /** Matroska S_TEXT/UTF8 cue extraction. Returns None when the bytes
+    * are not EBML or carry no subtitle track; laced subtitle blocks
+    * (never written by real muxers — one cue per block is the spec'd
+    * layout) are skipped rather than guessed at.
+    */
+  def mkvCues(b: Array[Byte]): Option[Seq[Cue]] = try {
+    val C = Multimodal.ContainerCodec
+    if (b == null || !C.isEbml(b)) return None
+    var tsScale = 1000000L // Matroska default: 1 ms ticks
+    val subTracks = scala.collection.mutable.Set.empty[Long]
+    val cues = scala.collection.mutable.ArrayBuffer.empty[(Long, Cue)]
+    C.walkEbml(b, 0, b.length) { (id, po, pe) =>
+      if (id == 0x18538067L) { // Segment
+        C.walkEbml(b, po, pe) { (id2, qo, qe) =>
+          if (id2 == 0x1549A966L) { // Info
+            C.walkEbml(b, qo, qe) { (id3, ro, re) =>
+              if (id3 == 0x2AD7B1L) tsScale = C.ebmlUint(b, ro, re)
+              true
+            }
+          } else if (id2 == 0x1654AE6BL) { // Tracks
+            C.walkEbml(b, qo, qe) { (id3, ro, re) =>
+              if (id3 == 0xAEL) { // TrackEntry
+                var num = -1L
+                var codec = ""
+                C.walkEbml(b, ro, re) { (id4, so, se) =>
+                  if (id4 == 0xD7L) num = C.ebmlUint(b, so, se)
+                  else if (id4 == 0x86L)
+                    codec = new String(b, so, se - so, "US-ASCII")
+                  true
+                }
+                if (num > 0 && codec == "S_TEXT/UTF8") subTracks += num
+              }
+              true
+            }
+          } else if (id2 == 0x1F43B675L) { // Cluster
+            var clusterTs = 0L
+            def block(so: Int, se: Int, durTicks: Long): Unit = {
+              val (track, tLen) = C.ebmlVint(b, so, se, keepMarker = false)
+              if (tLen == 0 || !subTracks.contains(track)) return
+              val fo = so + tLen
+              if (fo + 3 > se) return
+              val rel = (((b(fo) & 0xff) << 8) | (b(fo + 1) & 0xff)).toShort
+              val flags = b(fo + 2) & 0xff
+              if ((flags & 0x06) != 0) return // laced: skip, don't guess
+              val text = new String(b, fo + 3, se - (fo + 3), "UTF-8")
+              val startMs = (clusterTs + rel) * tsScale / 1000000L
+              val durMs = durTicks * tsScale / 1000000L
+              cues += ((track, Cue(track.toInt, startMs, durMs, text)))
+            }
+            C.walkEbml(b, qo, qe) { (id3, ro, re) =>
+              if (id3 == 0xE7L) clusterTs = C.ebmlUint(b, ro, re)
+              else if (id3 == 0xA3L) block(ro, re, 0L) // SimpleBlock
+              else if (id3 == 0xA0L) { // BlockGroup
+                var bo = -1
+                var be = -1
+                var dur = 0L
+                C.walkEbml(b, ro, re) { (id4, so, se) =>
+                  if (id4 == 0xA1L) { bo = so; be = se }
+                  else if (id4 == 0x9BL) dur = C.ebmlUint(b, so, se)
+                  true
+                }
+                if (bo >= 0) block(bo, be, dur)
+              }
+              true
+            }
+          }
+          true
+        }
+      }
+      true
+    }
+    if (subTracks.isEmpty) None
+    else Some(cues.map(_._2).toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** MP4 timed-text (3GPP `tx3g` / QuickTime `text`) cue extraction —
+    * the full sample-table walk: stsd declares the per-track codec,
+    * stts expands to per-sample (start, duration) on the mdhd
+    * timescale, stsc's run-length sample-to-chunk mapping + stco/co64
+    * chunk offsets + stsz sizes locate each sample in mdat, and a
+    * sample's payload is u16be text length + UTF-8 text. Every offset
+    * and count is validated against the file (capped entry counts, no
+    * over-reads); None when the bytes aren't MP4 or no text track
+    * exists.
+    */
+  def mp4Cues(b: Array[Byte]): Option[Seq[Cue]] = try {
+    if (b == null || !Multimodal.ContainerCodec.isMp4(b)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Cue]
+    var anyText = false
+    var trackNo = 0
+    val Cap = 1 << 20
+    AudioTags.walkMp4(b, 0, b.length) { (t, po, pe) =>
+      if (t == "moov") AudioTags.walkMp4(b, po, pe) { (t2, qo, qe) =>
+        if (t2 == "trak") {
+          trackNo += 1
+          var timescale = 0L
+          var isText = false
+          var sttsRuns = Array.empty[(Long, Long)]
+          var sizes = Array.empty[Int]
+          var stscRuns = Array.empty[(Int, Int)]
+          var chunkOffs = Array.empty[Long]
+          def stbl(so: Int, se: Int): Unit = {
+            AudioTags.walkMp4(b, so, se) { (t5, vo, ve) =>
+              t5 match {
+                case "stsd" if ve - vo >= 16 =>
+                  val fmt = new String(b, vo + 12, 4, "ISO-8859-1")
+                  isText = fmt == "tx3g" || fmt == "text"
+                case "stts" if ve - vo >= 8 =>
+                  val n = u32(b, vo + 4).toInt
+                  if (n >= 0 && n <= Cap && vo + 8 + 8L * n <= ve)
+                    sttsRuns = Array.tabulate(n)(k =>
+                      (u32(b, vo + 8 + 8 * k), u32(b, vo + 12 + 8 * k)))
+                case "stsz" if ve - vo >= 12 =>
+                  val fixed = u32(b, vo + 4)
+                  val n = u32(b, vo + 8).toInt
+                  if (n >= 0 && n <= Cap) {
+                    if (fixed != 0) sizes = Array.fill(n)(fixed.toInt)
+                    else if (vo + 12 + 4L * n <= ve)
+                      sizes = Array.tabulate(n)(k =>
+                        u32(b, vo + 12 + 4 * k).toInt)
+                  }
+                case "stsc" if ve - vo >= 8 =>
+                  val n = u32(b, vo + 4).toInt
+                  if (n >= 0 && n <= Cap && vo + 8 + 12L * n <= ve)
+                    stscRuns = Array.tabulate(n)(k =>
+                      (u32(b, vo + 8 + 12 * k).toInt,
+                        u32(b, vo + 12 + 12 * k).toInt))
+                case "stco" if ve - vo >= 8 =>
+                  val n = u32(b, vo + 4).toInt
+                  if (n >= 0 && n <= Cap && vo + 8 + 4L * n <= ve)
+                    chunkOffs = Array.tabulate(n)(k =>
+                      u32(b, vo + 8 + 4 * k))
+                case "co64" if ve - vo >= 8 =>
+                  val n = u32(b, vo + 4).toInt
+                  if (n >= 0 && n <= Cap && vo + 8 + 8L * n <= ve)
+                    chunkOffs = Array.tabulate(n)(k =>
+                      (u32(b, vo + 8 + 8 * k) << 32) |
+                        u32(b, vo + 12 + 8 * k))
+                case _ => ()
+              }
+              true
+            }
+            ()
+          }
+          AudioTags.walkMp4(b, qo, qe) { (t3, ro, re) =>
+            if (t3 == "mdia") AudioTags.walkMp4(b, ro, re) { (t4, so, se) =>
+              if (t4 == "mdhd" && se - so >= 4) {
+                val v = b(so) & 0xff
+                if (v == 0 && se - so >= 16) timescale = u32(b, so + 12)
+                else if (v == 1 && se - so >= 24) timescale = u32(b, so + 20)
+              } else if (t4 == "minf") AudioTags.walkMp4(b, so, se) {
+                (t5, vo, ve) =>
+                  if (t5 == "stbl") stbl(vo, ve)
+                  true
+              }
+              true
+            }
+            true
+          }
+          if (isText && timescale > 0 && sizes.nonEmpty &&
+            chunkOffs.nonEmpty && stscRuns.nonEmpty && sttsRuns.nonEmpty) {
+            anyText = true
+            // per-sample (startTicks, durTicks) from the stts runs
+            val starts = new Array[Long](sizes.length)
+            val durs = new Array[Long](sizes.length)
+            var s = 0
+            var tAcc = 0L
+            var r = 0
+            while (r < sttsRuns.length && s < sizes.length) {
+              val (cnt, delta) = sttsRuns(r)
+              var k = 0L
+              while (k < cnt && s < sizes.length) {
+                starts(s) = tAcc
+                durs(s) = delta
+                tAcc += delta
+                s += 1
+                k += 1
+              }
+              r += 1
+            }
+            // walk chunks through the stsc run map, reading samples
+            s = 0
+            var chunk = 0
+            var run = 0
+            while (s < sizes.length && chunk < chunkOffs.length) {
+              while (run + 1 < stscRuns.length &&
+                stscRuns(run + 1)._1 <= chunk + 1) run += 1
+              val spc = stscRuns(run)._2
+              var off = chunkOffs(chunk)
+              var k = 0
+              while (k < spc && s < sizes.length) {
+                val sz = sizes(s)
+                if (off >= 0 && sz >= 2 && off + sz <= b.length) {
+                  val o = off.toInt
+                  val tl = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+                  if (tl >= 0 && 2 + tl <= sz) {
+                    val text = new String(b, o + 2, tl, "UTF-8")
+                    if (text.nonEmpty)
+                      out += Cue(trackNo,
+                        starts(s) * 1000 / timescale,
+                        durs(s) * 1000 / timescale, text)
+                  }
+                }
+                off += sz
+                s += 1
+                k += 1
+              }
+              chunk += 1
+            }
+          }
+        }
+        true
+      }
+      true
+    }
+    if (!anyText) None else Some(out.toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // `HH:` optional; exactly 3 millisecond digits; SRT comma or VTT dot
+  private val TimeLine =
+    ("""(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""" +
+      """\s*-->\s*""" +
+      """(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3}).*""").r
+
+  /** SubRip / WebVTT cue parse. Lines before the first timing line
+    * (indices, the WEBVTT header, NOTE blocks without timings) are
+    * ignored; a cue's text is every non-blank line after its timing
+    * line, newline-joined.
+    */
+  def parseSrt(s: String): Seq[Cue] = {
+    def ms(h: String, m: String, sec: String, milli: String): Long =
+      (if (h == null) 0L else h.toLong) * 3600000L +
+        m.toLong * 60000L + sec.toLong * 1000L + milli.toLong
+    val lines = s.replace("\r\n", "\n").replace('\r', '\n').split('\n')
+    val out = Seq.newBuilder[Cue]
+    var i = 0
+    while (i < lines.length) {
+      lines(i).trim match {
+        case TimeLine(h1, m1, s1, f1, h2, m2, s2, f2) =>
+          val start = ms(h1, m1, s1, f1)
+          val end = ms(h2, m2, s2, f2)
+          val text = new StringBuilder
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            if (text.nonEmpty) text += '\n'
+            text ++= lines(i).trim
+            i += 1
+          }
+          if (text.nonEmpty)
+            out += Cue(0, start, math.max(0L, end - start), text.toString)
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Does the payload look like an SRT/WebVTT text file? (UTF-8 text
+    * whose head carries a timing arrow or the WEBVTT magic.)
+    */
+  private def isSubtitleText(b: Array[Byte]): Boolean = {
+    val head = new String(b, 0, math.min(b.length, 512),
+      java.nio.charset.StandardCharsets.UTF_8)
+    head.startsWith("WEBVTT") || head.contains("-->")
+  }
+
+  /** Cue rows for a media corpus: (doc_id, cue_idx, start_ms, dur_ms,
+    * text) — Matroska subtitle tracks and bare SRT/VTT payloads both
+    * land here; rows explode per cue in one batched map.
+    */
+  def table(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val cues =
+          if (b == null || b.length < 8) Nil
+          else mkvCues(b).orElse(mp4Cues(b)).getOrElse {
+            if (isSubtitleText(b))
+              parseSrt(new String(b,
+                java.nio.charset.StandardCharsets.UTF_8))
+            else Nil
+          }
+        cues.zipWithIndex.map { case (c, i) =>
+          (id, i, c.startMs, c.durMs, c.text)
+        }
+      }
+      .toDF("doc_id", "cue_idx", "start_ms", "dur_ms", "text")
+  }
+}

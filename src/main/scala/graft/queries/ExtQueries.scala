@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, Subtitles, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -2118,14 +2118,16 @@ object ExtQueries {
     // with comment-header fields, 12 WAVs with 'id3 ' chunks, 12
     // AIFFs with 'ID3 ' chunks, 12 M4As with iTunes ilst atoms, 12
     // ID3v2.2-tagged MP3s (three-byte frames, half through the
-    // unsynchronisation scheme) and 12 Matroska/WebM files with Tags
-    // elements (album via the TargetTypeValue-50 TITLE form) — every
+    // unsynchronisation scheme), 12 Matroska/WebM files with Tags
+    // elements (album via the TargetTypeValue-50 TITLE form) and 12
+    // APEv2 trailer tags (half stacked under an ID3v1 block) — every
     // field doc_id-derived, every fourth doc carrying embedded cover
     // art (APIC / PIC / PICTURE block / base64
     // METADATA_BLOCK_PICTURE / chunked APIC / covr atom / image
-    // attachment), plus one untagged payload that must land the
-    // all-null row. The tag walk is container-independent, so all
-    // eight envelopes land identical row shapes.
+    // attachment / Cover Art (Front) item), plus one untagged payload
+    // that must land the all-null row. The tag walk is
+    // container-independent, so all nine envelopes land identical row
+    // shapes.
     "ext_audio_tags" -> ((s, dir) => {
       import s.implicits._
       def artist(d: Long) = s"artist_${d % 7}"
@@ -2210,9 +2212,19 @@ object ExtQueries {
           artist(d), title(d), album(d), year(d),
           cover = if (d % 4 == 0) cover else null))
       }
+      // the ninth carrier: APEv2 trailer tags (the Monkey's-Audio-era
+      // ripper footer), stacked under an ID3v1 trailer on odd ids —
+      // the wild layout where APE must be found before the v1 block
+      val apes = (0L until 12L).map { k =>
+        val d = k + 800
+        val ape = AudioTags.apeWrap(torso,
+          artist(d), title(d), album(d), year(d),
+          cover = if (d % 4 == 0) cover else null)
+        (d, if (d % 2 == 1) AudioTags.id3v1Wrap(ape, "x", "x") else ape)
+      }
       AudioTags.table(s,
           (mp3s ++ flacs ++ oggs ++ wavs ++ aiffs ++ m4as ++ v22s ++
-            mkvs ++ Seq((999L, torso)))
+            mkvs ++ apes ++ Seq((999L, torso)))
             .toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
@@ -2339,6 +2351,56 @@ object ExtQueries {
           (wavs ++ oggs ++ floor0s).toDF("doc_id", "media"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Subtitle/caption TEXT extraction from the video heap (oracled,
+    // closed form): 6 Matroska files carrying S_TEXT/UTF8 tracks (3
+    // cues each in the mkvmerge BlockGroup+BlockDuration layout,
+    // riding alongside real video frames), 4 MP4s with 3GPP tx3g
+    // timed-text tracks (full stsd/stts/stsc/stsz/stco sample-table
+    // walk, contiguous cues whose starts are duration prefix sums),
+    // 4 bare SubRip payloads and 4 WebVTT payloads (dot millis,
+    // WEBVTT header), plus one subtitle-less WebM that must
+    // contribute no rows — cue text, start and duration all
+    // doc_id-derived. The captioned-video transcript is a first-class
+    // training-text source; this pins the extraction end-to-end on
+    // real container bytes.
+    "ext_video_subtitles" -> ((s, dir) => {
+      import s.implicits._
+      def stamp(ms: Long, sep: Char): String = {
+        val h = ms / 3600000; val m = ms / 60000 % 60
+        val sec = ms / 1000 % 60; val f = ms % 1000
+        f"$h%02d:$m%02d:$sec%02d" + sep + f"$f%03d"
+      }
+      val mkvs = (0L until 6L).map { d =>
+        (d, Multimodal.minimalWebm(1000000L, 30000.0, 320, 240,
+          frames = Seq(Array.tabulate(32)(i => ((d * 11 + i) % 251).toByte)),
+          subtitleCues = (0 until 3).map(j =>
+            (1000L * j + d, 500L + j, s"cue_${d}_$j"))))
+      }
+      val srts = (0 until 4).map { k =>
+        val body = (0 until 2).map { j =>
+          val st = 60000L * j + k * 1000L
+          s"${j + 1}\n${stamp(st, ',')} --> ${stamp(st + 1500, ',')}\nsrt_${k}_$j\n"
+        }.mkString("\n")
+        (100L + k, body.getBytes("UTF-8"))
+      }
+      val vtts = (0 until 4).map { k =>
+        val body = "WEBVTT\n\n" + (0 until 2).map { j =>
+          val st = 90000L * j + k * 2000L
+          s"${stamp(st, '.')} --> ${stamp(st + 2250, '.')}\nvtt_${k}_$j\n"
+        }.mkString("\n")
+        (200L + k, body.getBytes("UTF-8"))
+      }
+      val mp4s = (0 until 4).map { k =>
+        (300L + k, Multimodal.minimalMp4Tx3g(1000,
+          (0 until 3).map(j => (1000L + 100 * j + k, s"tx3g_${k}_$j"))))
+      }
+      val none = Seq((999L, Multimodal.minimalWebm(1000000L, 1000.0,
+        160, 120, frames = Seq(Array.tabulate(24)(_.toByte)))))
+      Subtitles.table(s,
+          (mkvs ++ srts ++ vtts ++ mp4s ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "cue_idx")
     }),
 
     // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
@@ -4079,7 +4141,8 @@ object ExtQueries {
         |  UNION ALL SELECT k + 400 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 500 FROM UNNEST(range(0, 12)) AS t(k)
         |  UNION ALL SELECT k + 600 FROM UNNEST(range(0, 12)) AS t(k)
-        |  UNION ALL SELECT k + 700 FROM UNNEST(range(0, 12)) AS t(k))
+        |  UNION ALL SELECT k + 700 FROM UNNEST(range(0, 12)) AS t(k)
+        |  UNION ALL SELECT k + 800 FROM UNNEST(range(0, 12)) AS t(k))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  'artist_' || (doc_id % 7) AS artist,
         |  'track_' || (doc_id % 5) AS title,
@@ -4105,6 +4168,33 @@ object ExtQueries {
 
     // planted truth: artwork k pairs with exactly its four carriers
     // (MP3 APIC, FLAC PICTURE, Ogg base64 picture, M4A covr)
+    // closed-form planted cues across the three carriers; the
+    // subtitle-less doc 999 contributes nothing
+    "ext_video_subtitles" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(j AS INT) AS cue_idx,
+        |  CAST(start_ms AS BIGINT) AS start_ms,
+        |  CAST(dur_ms AS BIGINT) AS dur_ms, text
+        |FROM (
+        |  SELECT d AS doc_id, j, 1000*j + d AS start_ms,
+        |         500 + j AS dur_ms, 'cue_' || d || '_' || j AS text
+        |  FROM UNNEST(range(0, 6)) AS t(d), UNNEST(range(0, 3)) AS u(j)
+        |  UNION ALL
+        |  SELECT k + 100, j, 60000*j + k*1000, 1500,
+        |         'srt_' || k || '_' || j
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL
+        |  SELECT k + 200, j, 90000*j + k*2000, 2250,
+        |         'vtt_' || k || '_' || j
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL
+        |  -- tx3g: contiguous cues, start = prefix sum of durations
+        |  -- 1000+100*i+k for i < j  ->  1000*j + 100*j*(j-1)/2 + k*j
+        |  SELECT k + 300, j, 1000*j + 100*j*(j-1)/2 + k*j,
+        |         1000 + 100*j + k, 'tx3g_' || k || '_' || j
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j))
+        |ORDER BY doc_id, cue_idx""".stripMargin,
+
     "ext_audio_cover_pairs" ->
       """SELECT CAST(k AS BIGINT) AS image_id,
         |       CAST(k + o AS BIGINT) AS audio_id

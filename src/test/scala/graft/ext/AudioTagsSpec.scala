@@ -273,6 +273,34 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(AudioTags.of(webm) == None)
   }
 
+  test("APEv2 trailer tag: round trip, ID3v1 coexistence, hostile totality") {
+    val b = AudioTags.apeWrap(torso, "Aphex Twin", "Xtal",
+      "Selected Ambient Works 85-92", 1992, cover = png)
+    val t = AudioTags.of(b).get
+    assert(t.artist.contains("Aphex Twin") && t.title.contains("Xtal") &&
+      t.album.contains("Selected Ambient Works 85-92") &&
+      t.year.contains(1992), s"$t")
+    assert(t.cover.get.toSeq == png.toSeq,
+      "cover bytes after the filename prefix, verbatim")
+    // the wild stacking old rips carry: audio + APE + ID3v1 trailer —
+    // APE is found before the ID3v1 block and wins (richer fields)
+    val stacked = AudioTags.id3v1Wrap(
+      AudioTags.apeWrap(torso, "Ape Artist", "Ape Title"),
+      artist = "V1 Artist", title = "V1 Title")
+    val ts = AudioTags.of(stacked).get
+    assert(ts.artist.contains("Ape Artist") && ts.title.contains("Ape Title"),
+      s"APE must win over ID3v1: $ts")
+    // ID3v1 alone still works as the last fallback
+    val v1only = AudioTags.id3v1Wrap(torso, artist = "V1 Artist")
+    assert(AudioTags.of(v1only).get.artist.contains("V1 Artist"))
+    // hostile: bad version refuses; truncated items never shift-parse
+    val badVer = b.clone()
+    badVer(b.length - 24) = 99 // version -> garbage
+    assert(AudioTags.of(badVer) == None)
+    val cut = java.util.Arrays.copyOfRange(b, 0, b.length - 40)
+    assert(AudioTags.of(cut) == None || AudioTags.of(cut).isEmpty)
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),

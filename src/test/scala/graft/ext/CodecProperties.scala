@@ -84,6 +84,17 @@ object CodecProperties extends Properties("codecs") {
       "artist", "title", "album", 2004,
       cover = Multimodal.encodePng(6, 5, 0,
         Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
+    AudioTags.id3v1Wrap(
+      AudioTags.apeWrap(
+        Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x40) ++
+          new Array[Byte](64),
+        "artist", "title", "album", 1996),
+      artist = "v1", title = "v1"),
+    Multimodal.minimalWebm(1000000L, 6000.0, 160, 120,
+      Seq(Array.tabulate(28)(i => (i * 9).toByte)),
+      subtitleCues = Seq((500L, 900L, "sub one"), (2000L, 700L, "two"))),
+    Multimodal.minimalMp4Tx3g(1000,
+      Seq((800L, "tx3g a"), (600L, "tx3g b"), (400L, "tx3g c"))),
     Aiff.encode(tone.toArray, 8000),
     Aiff.encode(tone.toArray, 8000, compression = "ulaw"),
     Au.encode(tone.toArray, 8000, encoding = 1, annotation = "note"),
@@ -238,5 +249,14 @@ object CodecProperties extends Properties("codecs") {
         case None    => true
         case Some(h) => h.kind == "pixels" || h.kind == "payload"
       }
+    }
+
+  property("subtitle extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      // totality: never throws; any cue that does surface carries
+      // non-null text (timing values are whatever the fuzz data says)
+      (Subtitles.mkvCues(bytes).toSeq.flatten ++
+        Subtitles.mp4Cues(bytes).toSeq.flatten)
+        .forall(_.text != null)
     }
 }

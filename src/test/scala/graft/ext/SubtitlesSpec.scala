@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Subtitle extraction: Matroska S_TEXT/UTF8 tracks and SRT/WebVTT
+  * text files — hand-computed cue goldens, scaling, totality.
+  */
+class SubtitlesSpec extends AnyFunSuite {
+
+  test("Matroska S_TEXT/UTF8 cues round-trip through minimalWebm") {
+    val cues = Seq((1000L, 500L, "first cue"), (2500L, 750L, "second\ncue"),
+      (10000L, 1200L, "ünïcode ok"))
+    val mkv = Multimodal.minimalWebm(1000000L, 20000.0, 320, 240,
+      frames = Seq(Array.tabulate(40)(_.toByte)),
+      subtitleCues = cues)
+    val got = Subtitles.mkvCues(mkv).get
+    assert(got.map(c => (c.startMs, c.durMs, c.text)) == cues,
+      s"got $got")
+    // exact equality above already proves the track-1 video
+    // frames never leak into the cue list
+    assert(got.forall(_.track == 3))
+  }
+
+  test("TimestampScale scales block times: 100 us ticks halve to ms correctly") {
+    // scale 100000 ns = 0.1 ms per tick: tick 4000 -> 400 ms
+    val mkv = Multimodal.minimalWebm(100000L, 90000.0, 160, 120,
+      subtitleCues = Seq((4000L, 2500L, "scaled")))
+    val Seq(c) = Subtitles.mkvCues(mkv).get
+    assert(c.startMs == 400L && c.durMs == 250L, s"$c")
+  }
+
+  test("a subtitle-less WebM yields None, not an empty table row set") {
+    val mkv = Multimodal.minimalWebm(1000000L, 1000.0, 320, 240,
+      frames = Seq(Array.tabulate(30)(_.toByte)))
+    assert(Subtitles.mkvCues(mkv) == None)
+  }
+
+  test("MP4 tx3g cues round-trip the full sample-table walk (odd count = 2 stsc runs)") {
+    val cues = Seq((750L, "mp4 one"), (1250L, "mp4 twö"), (500L, "mp4 three"))
+    val mp4 = Multimodal.minimalMp4Tx3g(1000, cues)
+    val got = Subtitles.mp4Cues(mp4).get
+    // contiguous from t=0: starts are the duration prefix sums
+    assert(got.map(c => (c.startMs, c.durMs, c.text)) == Seq(
+      (0L, 750L, "mp4 one"), (750L, 1250L, "mp4 twö"),
+      (2000L, 500L, "mp4 three")), s"$got")
+  }
+
+  test("MP4 tx3g timescale scaling: 600-tick clock lands exact millis") {
+    val mp4 = Multimodal.minimalMp4Tx3g(600, Seq((1200L, "two sec"),
+      (300L, "half sec")))
+    val got = Subtitles.mp4Cues(mp4).get
+    assert(got.map(c => (c.startMs, c.durMs)) ==
+      Seq((0L, 2000L), (2000L, 500L)), s"$got")
+  }
+
+  test("a text-less MP4 yields None; tx3g hostile totality") {
+    val plain = Multimodal.minimalMp4(600, 1200, 1, 320, 240,
+      mdat = Array.tabulate(64)(_.toByte))
+    assert(Subtitles.mp4Cues(plain) == None)
+    val mp4 = Multimodal.minimalMp4Tx3g(1000, Seq((500L, "target")))
+    val r = new scala.util.Random(43)
+    for (_ <- 0 until 200) {
+      val b = mp4.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      Subtitles.mp4Cues(b) // must not throw
+    }
+    for (len <- Seq(0, 9, 40, mp4.length / 2))
+      Subtitles.mp4Cues(java.util.Arrays.copyOf(mp4, len))
+  }
+
+  test("SRT parse: indices, comma millis, multi-line text, blank separation") {
+    val srt =
+      """1
+        |00:00:01,000 --> 00:00:02,500
+        |Hello there.
+        |Second line.
+        |
+        |2
+        |00:01:00,250 --> 00:01:03,000
+        |Goodbye.
+        |""".stripMargin
+    val cues = Subtitles.parseSrt(srt)
+    assert(cues == Seq(
+      Subtitles.Cue(0, 1000L, 1500L, "Hello there.\nSecond line."),
+      Subtitles.Cue(0, 60250L, 2750L, "Goodbye.")), s"$cues")
+  }
+
+  test("WebVTT parse: header, dot millis, hour-less timings, NOTE ignored") {
+    val vtt =
+      """WEBVTT
+        |
+        |NOTE this block has no timing line and is skipped
+        |
+        |00:04.000 --> 00:06.500
+        |Caption one
+        |
+        |01:02:03.450 --> 01:02:04.000
+        |Caption two
+        |""".stripMargin
+    val cues = Subtitles.parseSrt(vtt)
+    assert(cues == Seq(
+      Subtitles.Cue(0, 4000L, 2500L, "Caption one"),
+      Subtitles.Cue(0, 3723450L, 550L, "Caption two")), s"$cues")
+  }
+
+  test("hostile totality: junk bytes, truncations, bit flips never throw") {
+    val r = new scala.util.Random(41)
+    val mkv = Multimodal.minimalWebm(1000000L, 5000.0, 160, 120,
+      subtitleCues = Seq((100L, 200L, "target")))
+    for (_ <- 0 until 200) {
+      val b = mkv.clone()
+      b(r.nextInt(b.length)) = r.nextInt(256).toByte
+      Subtitles.mkvCues(b) // must not throw
+    }
+    for (len <- Seq(0, 3, 17, mkv.length / 2)) {
+      Subtitles.mkvCues(java.util.Arrays.copyOf(mkv, len))
+    }
+    assert(Subtitles.mkvCues(Array.fill(64)(0x5a.toByte)) == None)
+    assert(Subtitles.parseSrt("no cues here at all") == Nil)
+  }
+}
