@@ -3179,6 +3179,18 @@ object Multimodal {
           else if (Aiff.isAiff(r.media)) decodeAiff(r)
           else if (Au.isAu(r.media)) decodeAu(r)
           else if (isMp3(r.media)) decodeMp3(r)
+          else if (Pdf.isPdf(r.media))
+            // PDF (r14, ext.Pdf): a document whose pages extract is a
+            // "text" row — [pages, totalChars, refusedCodes, 0] — so
+            // the census counts the crawl's long-form text heap; a
+            // PDF header whose body refuses parse falls to byte-stats
+            Pdf.text(r.media).map { t =>
+              MediaFeatures(r.doc_id, r.media.length, "application/pdf",
+                "text", byteChecksum(r.media),
+                Array(t.pages.length.toFloat,
+                  t.pages.map(_.length).sum.toFloat,
+                  t.refused.toFloat, 0f))
+            }
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pq, Quantize, Similarity, Subtitles, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pdf, Pq, Quantize, Similarity, Subtitles, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -1902,6 +1902,13 @@ object ExtQueries {
         (11, "video/x-matroska", Multimodal.minimalWebm(1000000L, 800.0,
           160, 120, Seq(Array.tabulate(44)(i => ((i * 11) % 251).toByte)),
           docType = "matroska")),
+        // PDF (r14): extracted pages land the "text" regime — the
+        // long-form document heap becomes a counted census class; a
+        // PDF header with an unparseable body stays byte-stats
+        (24, "application/pdf", Pdf.encode(Seq(
+          Seq("census page one", "line"), Seq("census page two")))),
+        (25, "application/pdf",
+          ("%PDF-1.7\n" + "garbage " * 40).getBytes("UTF-8")),
         (9, "application/junk", "not any known container".getBytes("UTF-8")))
       val rows = classes.zipWithIndex.flatMap { case ((n, fmt, bytes), ci) =>
         (0 until n).map(j => Multimodal.MediaRow(
@@ -2351,6 +2358,40 @@ object ExtQueries {
           (wavs ++ oggs ++ floor0s).toDF("doc_id", "media"))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // PDF TEXT extraction (oracled, closed form): the dominant
+    // long-form-document format in any crawl, through every
+    // implemented layer — 4 multi-page FlateDecode docs, a TJ-kerned
+    // doc (the space heuristic must reinsert exactly one space), a
+    // /WinAnsiEncoding doc whose cp1252 high bytes decode through the
+    // JDK charset, a /ToUnicode bfrange doc whose uppercase letters
+    // are only recoverable THROUGH the CMap (A..Z -> a..z), a
+    // composite Type0/Identity-H doc with two-byte codes, a PDF-1.5
+    // object-stream layout, and one non-PDF payload contributing no
+    // rows. Text, page counts and the zero refused-code fidelity all
+    // doc_id-derived.
+    "ext_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      val plain = (0L until 4L).map { k =>
+        (k, Pdf.encode((0 until (1 + k.toInt % 3)).map(p =>
+          (0 until 2).map(l => s"pdf_${k}_p${p}_l$l"))))
+      }
+      val kern = Seq((10L, Pdf.encode(Seq(Seq("kern_a gap_a",
+        "kern_b gap_b")), kerning = true)))
+      val ansi = Seq((11L, Pdf.encode(Seq(Seq("café_11 — naïve")),
+        winAnsi = true)))
+      val cmap = Seq((12L, Pdf.encode(Seq(Seq("UPPER_12 MIX")),
+        toUnicodeShift = true)))
+      val t0 = Seq((13L, Pdf.encode(Seq(Seq("composite thirteen",
+        "two byte")), type0 = true)))
+      val packed = Seq((14L, Pdf.encode(Seq(Seq("packed fourteen"),
+        Seq("page two")), objStm = true)))
+      val none = Seq((999L, "not a pdf".getBytes("UTF-8")))
+      Pdf.table(s,
+          (plain ++ kern ++ ansi ++ cmap ++ t0 ++ packed ++ none)
+            .toDF("doc_id", "media"))
+        .orderBy("doc_id", "page")
     }),
 
     // Subtitle/caption TEXT extraction from the video heap (oracled,
@@ -4168,6 +4209,26 @@ object ExtQueries {
 
     // planted truth: artwork k pairs with exactly its four carriers
     // (MP3 APIC, FLAC PICTURE, Ogg base64 picture, M4A covr)
+    // closed-form page texts; the non-PDF doc 999 contributes nothing
+    "ext_pdf_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page AS INT) AS page,
+        |  text, CAST(0 AS BIGINT) AS refused
+        |FROM (
+        |  SELECT k AS doc_id, p AS page,
+        |    'pdf_' || k || '_p' || p || '_l0' || chr(10) ||
+        |    'pdf_' || k || '_p' || p || '_l1' AS text
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(p)
+        |  WHERE p < 1 + k % 3
+        |  UNION ALL SELECT 10, 0,
+        |    'kern_a gap_a' || chr(10) || 'kern_b gap_b'
+        |  UNION ALL SELECT 11, 0, 'café_11 — naïve'
+        |  UNION ALL SELECT 12, 0, 'upper_12 mix'
+        |  UNION ALL SELECT 13, 0, 'composite thirteen' || chr(10) ||
+        |    'two byte'
+        |  UNION ALL SELECT 14, 0, 'packed fourteen'
+        |  UNION ALL SELECT 14, 1, 'page two')
+        |ORDER BY doc_id, page""".stripMargin,
+
     // closed-form planted cues across the three carriers; the
     // subtitle-less doc 999 contributes nothing
     "ext_video_subtitles" ->
@@ -4383,6 +4444,8 @@ object ExtQueries {
     "ext_decode_census_all" ->
       """SELECT * FROM (VALUES
         |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
+        |  ('application/pdf', 'byte-stats', 25),
+        |  ('application/pdf', 'text', 24),
         |  ('audio/aiff', 'container', 21),
         |  ('audio/aiff', 'pcm', 19),
         |  ('audio/basic', 'pcm', 20),

@@ -32,6 +32,7 @@ object CodecProperties extends Properties("codecs") {
     "RIFF0000WAVE".getBytes("US-ASCII"),
     "fLaC".getBytes("US-ASCII"),
     "OggS".getBytes("US-ASCII"),
+    "%PDF-1.4\n".getBytes("US-ASCII"),
     "FORM0000AIFC".getBytes("US-ASCII"),
     ".snd".getBytes("US-ASCII"),
     "ID3".getBytes("US-ASCII"),
@@ -95,6 +96,9 @@ object CodecProperties extends Properties("codecs") {
       subtitleCues = Seq((500L, 900L, "sub one"), (2000L, 700L, "two"))),
     Multimodal.minimalMp4Tx3g(1000,
       Seq((800L, "tx3g a"), (600L, "tx3g b"), (400L, "tx3g c"))),
+    Pdf.encode(Seq(Seq("fuzz page one", "line"), Seq("page two")),
+      flate = true, kerning = true),
+    Pdf.encode(Seq(Seq("objstm fuzz")), objStm = true),
     Aiff.encode(tone.toArray, 8000),
     Aiff.encode(tone.toArray, 8000, compression = "ulaw"),
     Au.encode(tone.toArray, 8000, encoding = 1, annotation = "note"),
@@ -248,6 +252,15 @@ object CodecProperties extends Properties("codecs") {
       graft.functions.DHashPixels.computeExternal(bytes, 5, 4) match {
         case None    => true
         case Some(h) => h.kind == "pixels" || h.kind == "payload"
+      }
+    }
+
+  property("pdf text extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Pdf.text(bytes) match {
+        case Some(t) =>
+          t.pages.nonEmpty && t.refused >= 0 && t.pages.forall(_ != null)
+        case None => true
       }
     }
 

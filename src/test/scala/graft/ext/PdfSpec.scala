@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF text extraction: encoder round trips through every variant
+  * knob, a HAND-AUTHORED raw PDF (independent of the fixture writer),
+  * encoding boundaries, and hostile totality.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("hand-authored raw PDF extracts its text (writer-independent pin)") {
+    // a complete minimal PDF written out longhand — nothing here went
+    // through Pdf.encode, so reader bugs can't cancel writer bugs
+    val raw =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+        |   /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+        |endobj
+        |4 0 obj
+        |<< /Length 60 >>
+        |stream
+        |BT /F1 12 Tf 72 720 Td (Hello World) Tj 0 -14 Td (Line 2) Tj ET
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+        |endobj
+        |trailer
+        |<< /Size 6 /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val t = Pdf.text(raw).get
+    assert(t.pages == Vector("Hello World\nLine 2"), s"$t")
+    assert(t.refused == 0)
+  }
+
+  test("encoder round trip: multi-page, flate and plain, escapes") {
+    for (flate <- Seq(false, true)) {
+      val pages = Seq(
+        Seq("First page line one", "and (escaped) \\ line"),
+        Seq("Second page"))
+      val b = Pdf.encode(pages, flate = flate)
+      assert(Pdf.isPdf(b))
+      val t = Pdf.text(b).get
+      assert(t.pages == Vector(
+        "First page line one\nand (escaped) \\ line",
+        "Second page"), s"flate=$flate: $t")
+      assert(t.refused == 0)
+    }
+  }
+
+  test("TJ kerning gap reinserts exactly one space") {
+    val b = Pdf.encode(Seq(Seq("alpha beta", "gamma delta")),
+      kerning = true)
+    assert(Pdf.text(b).get.pages == Vector("alpha beta\ngamma delta"))
+  }
+
+  test("WinAnsiEncoding: cp1252 high bytes decode without a table") {
+    val b = Pdf.encode(Seq(Seq("café naïve — dash")), winAnsi = true)
+    val t = Pdf.text(b).get
+    // the em dash U+2014 is cp1252 0x97 — only reachable via the
+    // JDK charset, never the ASCII fallback
+    assert(t.pages == Vector("café naïve — dash"), s"$t")
+    assert(t.refused == 0)
+    // WITHOUT the encoding the high bytes refuse into the counter
+    // (never a mojibake guess)
+    val plain = Pdf.encode(Seq(Seq("café")), winAnsi = false)
+    val tp = Pdf.text(plain).get
+    assert(tp.pages == Vector("caf") && tp.refused == 1, s"$tp")
+  }
+
+  test("ToUnicode CMap overrides the byte interpretation (A..Z -> a..z)") {
+    val b = Pdf.encode(Seq(Seq("MIXED Case 42")), toUnicodeShift = true)
+    // uppercase letters travel through the bfrange; everything else
+    // (lowercase, digits, space) passes as ASCII
+    assert(Pdf.text(b).get.pages == Vector("mixed case 42"))
+  }
+
+  test("Type0/Identity-H: two-byte codes through a bfrange CMap") {
+    val b = Pdf.encode(Seq(Seq("composite text", "two byte")),
+      type0 = true)
+    assert(Pdf.text(b).get.pages == Vector("composite text\ntwo byte"))
+  }
+
+  test("object-stream PDFs (1.5 compressed layout) extract identically") {
+    val pages = Seq(Seq("packed objects", "second line"), Seq("page two"))
+    val a = Pdf.text(Pdf.encode(pages)).get
+    val o = Pdf.text(Pdf.encode(pages, objStm = true)).get
+    assert(a == o, s"$a vs $o")
+    assert(o.pages.length == 2 && o.pages(0).startsWith("packed"))
+  }
+
+  test("unimplemented filters refuse into the fidelity counter, never guess") {
+    // patch a content stream's filter name to LZWDecode: the page goes
+    // dark but the document still parses and COUNTS the loss
+    val b = Pdf.encode(Seq(Seq("will vanish")), flate = true)
+    val s = new String(b, "ISO-8859-1")
+      .replace("/FlateDecode", "/LZWDecode33") // same length: offsets hold
+    val t = Pdf.text(s.getBytes("ISO-8859-1")).get
+    assert(t.pages == Vector("") && t.refused >= 1, s"$t")
+  }
+
+  test("hostile totality: junk, truncations, bit flips never throw") {
+    assert(Pdf.text("not a pdf at all".getBytes("UTF-8")) == None)
+    assert(Pdf.text(Array.emptyByteArray) == None)
+    val b = Pdf.encode(Seq(Seq("target text", "more")), flate = true)
+    val r = new scala.util.Random(47)
+    for (_ <- 0 until 300) {
+      val m = b.clone()
+      m(r.nextInt(m.length)) = r.nextInt(256).toByte
+      Pdf.text(m) // must not throw
+    }
+    for (len <- Seq(4, 9, 40, b.length / 2, b.length - 3))
+      Pdf.text(java.util.Arrays.copyOf(b, len))
+    // a pdf header with garbage body
+    assert(Pdf.text(("%PDF-1.7\n" + "garbage " * 50).getBytes("UTF-8"))
+      == None)
+  }
+
+  test("page rows table shape: per-page rows, refused repeated") {
+    // exercised end-to-end by the ext_pdf_text gate; here the pure
+    // text() contract on a 3-page doc
+    val t = Pdf.text(Pdf.encode(Seq(Seq("a"), Seq("b"), Seq("c")))).get
+    assert(t.pages == Vector("a", "b", "c"))
+  }
+}
