@@ -108,8 +108,12 @@ object Pdf {
         }
         if (pos < end) pos += 1 // ]
         PArr(items.result())
-      } else if (c == ']' || c == '>' || c == ')' || c == '}') {
-        pos += 1 // stray close: consumed so the caller makes progress
+      } else if (c == ']' || c == '>' || c == ')' || c == '}' ||
+        c == '{') {
+        // stray close — or a type-4-function brace — consumed so the
+        // enclosing array/dict loop always makes progress (an
+        // unconsumed '{' would spin value() forever: a one-byte DoS)
+        pos += 1
         PNull
       } else {
         val t = token()
@@ -143,9 +147,13 @@ object Pdf {
       val out = new StringBuilder
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '#' && i + 2 < s.length) {
-          val h = Integer.parseInt(s.substring(i + 1, i + 3), 16)
-          out += h.toChar
+        // '#' not followed by two hex digits stays literal — a single
+        // malformed name must never abort the whole document
+        val hex = i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0
+        if (s.charAt(i) == '#' && hex) {
+          out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
           i += 3
         } else { out += s.charAt(i); i += 1 }
       }
@@ -263,7 +271,11 @@ object Pdf {
     * the scan so their contents participate too.
     */
   private def scanObjects(b: Array[Byte]): Map[Int, Obj] = {
-    val out = scala.collection.mutable.Map.empty[Int, Obj]
+    // track each definition's FILE OFFSET: "later wins" must hold
+    // between top-level objects AND objects packed into a later
+    // incremental-update ObjStm (an Acrobat re-save stores the edited
+    // object inside a compressed stream appended after the original)
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Obj)]
     var i = 0
     while (i >= 0 && i < b.length) {
       val idx = indexOf(b, "obj", i, b.length)
@@ -285,37 +297,45 @@ object Pdf {
           val num = new String(b, numStart, numEnd - numStart,
             "ISO-8859-1").toInt
           val lex = new Lexer(b, idx + 3, b.length)
-          out(num) = lex.value()
+          out(num) = ((idx, lex.value()))
           i = lex.pos
         } else i = idx + 3
       }
     }
     // expand object streams: decoded payload = N (objnum, offset)
-    // pairs, then the objects themselves relative to /First
+    // pairs, then the objects themselves relative to /First; a packed
+    // object overrides an earlier-in-file definition
     val objStms = out.collect {
-      case (_, s @ PStream(d, _)) if d.v.get("Type").contains(PName("ObjStm")) => s
+      case (_, (at, s @ PStream(d, _)))
+        if d.v.get("Type").contains(PName("ObjStm")) => (at, s)
     }.toSeq
-    objStms.foreach { s =>
-      decodeStream(s, out.toMap).foreach { data =>
-        (s.dict.v.get("N"), s.dict.v.get("First")) match {
-          case (Some(PNum(n)), Some(PNum(first))) if n > 0 && n < 65536 =>
-            val hdr = new Lexer(data, 0, math.min(data.length, first.toInt))
-            val pairs = (0 until n.toInt).flatMap { _ =>
-              (hdr.value(), hdr.value()) match {
-                case (PNum(num), PNum(off)) => Some((num.toInt, off.toInt))
-                case _                      => None
+    objStms.foreach { case (stmAt, s) =>
+      decodeStream(s, out.map { case (k, (_, v)) => (k, v) }.toMap)
+        .foreach { data =>
+          (s.dict.v.get("N"), s.dict.v.get("First")) match {
+            case (Some(PNum(n)), Some(PNum(first)))
+              if n > 0 && n < 65536 =>
+              val hdr = new Lexer(data, 0,
+                math.min(data.length, first.toInt))
+              val pairs = (0 until n.toInt).flatMap { _ =>
+                (hdr.value(), hdr.value()) match {
+                  case (PNum(num), PNum(off)) =>
+                    Some((num.toInt, off.toInt))
+                  case _ => None
+                }
               }
-            }
-            pairs.foreach { case (num, off) =>
-              val at = first.toInt + off
-              if (at >= 0 && at < data.length && !out.contains(num))
-                out(num) = new Lexer(data, at, data.length).value()
-            }
-          case _ => ()
+              pairs.foreach { case (num, off) =>
+                val at = first.toInt + off
+                val older = out.get(num).forall(_._1 < stmAt)
+                if (at >= 0 && at < data.length && older)
+                  out(num) =
+                    ((stmAt, new Lexer(data, at, data.length).value()))
+              }
+            case _ => ()
+          }
         }
-      }
     }
-    out.toMap
+    out.map { case (k, (_, v)) => (k, v) }.toMap
   }
 
   /** Apply the stream's filter chain. None = a filter outside the
@@ -333,14 +353,22 @@ object Pdf {
       case PArr(fs)  => fs.map(resolve).collect { case PName(f) => f }
       case _         => Nil
     }
-    val parms = resolve(s.dict.v.getOrElse("DecodeParms", PNull))
-    val hasPredictor = parms match {
-      case PDict(m) => m.get("Predictor").exists {
+    // /DecodeParms may be a dict OR an array of per-filter dicts (the
+    // spec's required form when /Filter is an array) — both must hit
+    // the predictor refusal or a PNG-filtered stream mis-inflates
+    // silently
+    def dictHasPredictor(o: Obj): Boolean = resolve(o) match {
+      case PDict(m) => resolve(m.getOrElse("Predictor", PNull)) match {
         case PNum(p) => p > 1
         case _       => false
       }
       case _ => false
     }
+    val hasPredictor =
+      resolve(s.dict.v.getOrElse("DecodeParms", PNull)) match {
+        case PArr(items) => items.exists(dictHasPredictor)
+        case other       => dictHasPredictor(other)
+      }
     if (hasPredictor) return None
     var data = s.raw
     for (f <- filters) f match {
@@ -640,10 +668,13 @@ object Pdf {
           case s: PStream =>
             decodeStream(s, objs).getOrElse { refused += 1; Array.emptyByteArray }
           case PArr(parts) =>
+            // join with an injected newline: the spec only promises the
+            // split falls between tokens of ONE logical stream — raw
+            // concatenation could merge "Tj" with a following "0" into
+            // an unknown operator and drop its pending string
             parts.flatMap(p => resolve(p) match {
-              case s: PStream => decodeStream(s, objs).getOrElse {
-                refused += 1; Array.emptyByteArray
-              }
+              case s: PStream => decodeStream(s, objs).map(_ :+ '\n'.toByte)
+                .getOrElse { refused += 1; Array.emptyByteArray }
               case _ => Array.emptyByteArray
             }).toArray
           case _ => Array.emptyByteArray
@@ -687,6 +718,7 @@ object Pdf {
     }
     val lex = new Lexer(content, 0, content.length)
     var stack = Vector.empty[Obj]
+    var lastTmY = Double.NaN
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out += '\n'
     while (lex.pos < content.length) {
@@ -736,7 +768,13 @@ object Pdf {
                   case Some(PStr(v)) => show(v)
                   case _             => ()
                 }
-              case "T*" | "TD" => newline()
+              case "T*" => newline()
+              case "TD" => stack.takeRight(2) match {
+                // TD = Td + set-leading: a purely horizontal move is
+                // NOT a new line (OCR layers emit one per word)
+                case Vector(PNum(_), PNum(ty)) => if (ty != 0) newline()
+                case _                         => newline()
+              }
               case "ID" =>
                 // inline image: raw binary follows to EI — skip it
                 // whole so stray parens in pixel data can't swallow
@@ -747,7 +785,16 @@ object Pdf {
                 case Vector(PNum(_), PNum(ty)) => if (ty != 0) newline()
                 case _                         => ()
               }
-              case "Tm" => newline()
+              case "Tm" =>
+                // newline only on a VERTICAL move: OCR text layers
+                // emit one Tm per word on a shared baseline, and a
+                // per-word newline would shred the whole corpus
+                stack.lastOption match {
+                  case Some(PNum(f)) =>
+                    if (!lastTmY.isNaN && f != lastTmY) newline()
+                    lastTmY = f
+                  case _ => newline()
+                }
               case "ET" => newline()
               case _    => () // every other operator: operands dropped
             }

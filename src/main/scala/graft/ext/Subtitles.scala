@@ -44,7 +44,7 @@ object Subtitles {
     if (b == null || !C.isEbml(b)) return None
     var tsScale = 1000000L // Matroska default: 1 ms ticks
     val subTracks = scala.collection.mutable.Set.empty[Long]
-    val cues = scala.collection.mutable.ArrayBuffer.empty[(Long, Cue)]
+    val cues = scala.collection.mutable.ArrayBuffer.empty[Cue]
     C.walkEbml(b, 0, b.length) { (id, po, pe) =>
       if (id == 0x18538067L) { // Segment
         C.walkEbml(b, po, pe) { (id2, qo, qe) =>
@@ -71,7 +71,13 @@ object Subtitles {
           } else if (id2 == 0x1F43B675L) { // Cluster
             var clusterTs = 0L
             def block(so: Int, se: Int, durTicks: Long): Unit = {
-              val (track, tLen) = C.ebmlVint(b, so, se, keepMarker = false)
+              val (track0, tLen) = C.ebmlVint(b, so, se, keepMarker = false)
+              // ebmlVint maps an all-ones value to -1 (the SIZE field's
+              // unknown sentinel) — wrong for a track-number vint,
+              // where e.g. the 1-byte 0xFF legitimately means track
+              // 127: undo the mapping or every cue on that track drops
+              val track =
+                if (track0 == -1L) (1L << (7 * tLen)) - 1 else track0
               if (tLen == 0 || !subTracks.contains(track)) return
               val fo = so + tLen
               if (fo + 3 > se) return
@@ -81,7 +87,7 @@ object Subtitles {
               val text = new String(b, fo + 3, se - (fo + 3), "UTF-8")
               val startMs = (clusterTs + rel) * tsScale / 1000000L
               val durMs = durTicks * tsScale / 1000000L
-              cues += ((track, Cue(track.toInt, startMs, durMs, text)))
+              cues += Cue(track.toInt, startMs, durMs, text)
             }
             C.walkEbml(b, qo, qe) { (id3, ro, re) =>
               if (id3 == 0xE7L) clusterTs = C.ebmlUint(b, ro, re)
@@ -106,7 +112,7 @@ object Subtitles {
       true
     }
     if (subTracks.isEmpty) None
-    else Some(cues.map(_._2).toSeq)
+    else Some(cues.toSeq)
   } catch { case scala.util.control.NonFatal(_) => None }
 
   private def u32(b: Array[Byte], o: Int): Long =

@@ -107,6 +107,96 @@ class PdfSpec extends AnyFunSuite {
     assert(t.pages == Vector("") && t.refused >= 1, s"$t")
   }
 
+  test("review pins: brace DoS, array DecodeParms, bad name hex, Tm baseline, split Contents, ObjStm override") {
+    // 1. a '{' inside an array must consume, not spin value() forever
+    val brace = ("%PDF-1.4\n1 0 obj\n[ { ] \nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.text(brace) == None) // returns (quickly), no hang
+
+    // 2. /DecodeParms in ARRAY form must still refuse predictors
+    def onePage(contentObj: String): Array[Byte] =
+      ("""%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R
+        |  /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj
+        |""".stripMargin + contentObj + """
+        |5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+        |trailer << /Root 1 0 R >>
+        |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    val pred = onePage(
+      "4 0 obj << /Length 8 /Filter [/FlateDecode] " +
+        "/DecodeParms [<< /Predictor 12 /Columns 4 >>] >>\n" +
+        "stream\nXXXXXXXX\nendstream\nendobj")
+    val tp = Pdf.text(pred).get
+    assert(tp.pages == Vector("") && tp.refused >= 1,
+      s"array-form predictor must refuse: $tp")
+
+    // 3. a malformed name hex escape stays literal, never aborts
+    val badName = onePage(
+      "4 0 obj << /Length 40 /X#zz (ignored) >>\n" +
+        "stream\nBT /F1 12 Tf 72 720 Td (ok) Tj ET\nendstream\nendobj")
+    assert(Pdf.text(badName).get.pages == Vector("ok"))
+
+    // 4. Tm on the SAME baseline joins; a vertical Tm move breaks
+    val tm = onePage(
+      "4 0 obj << /Length 96 >>\nstream\n" +
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (Hello) Tj " +
+        "1 0 0 1 150 700 Tm ( World) Tj " +
+        "1 0 0 1 72 686 Tm (Next) Tj ET\nendstream\nendobj")
+    assert(Pdf.text(tm).get.pages == Vector("Hello World\nNext"),
+      s"${Pdf.text(tm).get}")
+
+    // 5. split /Contents: the token boundary gets an injected
+    // whitespace so "Tj" + "0" never merges into an unknown operator
+    val split =
+      ("""%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R
+        |  /Resources << /Font << /F1 7 0 R >> >>
+        |  /Contents [4 0 R 6 0 R] >> endobj
+        |4 0 obj << /Length 34 >>
+        |stream
+        |BT /F1 12 Tf 72 720 Td (hello) Tj
+        |endstream
+        |endobj
+        |6 0 obj << /Length 23 >>
+        |stream
+        |0 -14 Td (world) Tj ET
+        |endstream
+        |endobj
+        |7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+        |trailer << /Root 1 0 R >>
+        |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    assert(Pdf.text(split).get.pages == Vector("hello\nworld"))
+
+    // 6. an object packed into a LATER incremental-update ObjStm
+    // overrides the original top-level definition (later-wins by file
+    // offset, not just top-level-vs-top-level)
+    val base = Pdf.encode(Seq(Seq("old text")), flate = false)
+    val newPage = "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 9 0 R >>"
+    val inner = newPage.replaceFirst("^3 0 obj ", "")
+    val hdr = s"3 0 "
+    val stmData = hdr + inner
+    val update =
+      (s"""9 0 obj << /Length 46 >>
+         |stream
+         |BT /F1 12 Tf 72 720 Td (updated text) Tj ET
+         |endstream
+         |endobj
+         |10 0 obj << /Type /ObjStm /N 1 /First ${hdr.length} /Length ${stmData.length} >>
+         |stream
+         |$stmData
+         |endstream
+         |endobj
+         |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    val updated = base ++ update
+    assert(Pdf.text(updated).get.pages == Vector("updated text"),
+      s"${Pdf.text(updated).get}")
+  }
+
   test("hostile totality: junk, truncations, bit flips never throw") {
     assert(Pdf.text("not a pdf at all".getBytes("UTF-8")) == None)
     assert(Pdf.text(Array.emptyByteArray) == None)

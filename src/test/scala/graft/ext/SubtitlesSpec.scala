@@ -103,6 +103,42 @@ class SubtitlesSpec extends AnyFunSuite {
       Subtitles.Cue(0, 3723450L, 550L, "Caption two")), s"$cues")
   }
 
+  test("track 127 (the all-ones 1-byte vint) keeps its cues") {
+    // the block's track-number vint 0xFF is a legitimate track 127 —
+    // the size-field 'unknown' sentinel must NOT apply here
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      var len = 1
+      while ((id >>> (8 * len)) != 0) len += 1
+      val idb = (0 until len).map(i =>
+        ((id >>> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+      val sz = new Array[Byte](8)
+      sz(0) = 1
+      var v = payload.length.toLong
+      for (i <- 7 to 1 by -1) { sz(i) = (v & 0xff).toByte; v >>= 8 }
+      idb ++ sz ++ payload
+    }
+    def uint(v: Long): Array[Byte] = {
+      var len = 1
+      while ((v >>> (8 * len)) != 0) len += 1
+      (0 until len).map(i =>
+        ((v >>> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+    }
+    val trackEntry = el(0xAEL,
+      el(0xD7L, uint(127)) ++ el(0x83L, uint(0x11)) ++
+        el(0x86L, "S_TEXT/UTF8".getBytes("US-ASCII")))
+    val block = el(0xA0L, // BlockGroup: Block(track 0xFF, rel 0) + dur
+      el(0xA1L, Array[Byte](0xff.toByte, 0, 0, 0) ++
+        "high track".getBytes("UTF-8")) ++
+        el(0x9BL, uint(640)))
+    val mkv = el(0x1A45DFA3L, Array.emptyByteArray) ++
+      el(0x18538067L,
+        el(0x1654AE6BL, trackEntry) ++
+          el(0x1F43B675L, el(0xE7L, uint(100)) ++ block))
+    val got = Subtitles.mkvCues(mkv).get
+    assert(got == Seq(Subtitles.Cue(127, 100L, 640L, "high track")),
+      s"$got")
+  }
+
   test("hostile totality: junk bytes, truncations, bit flips never throw") {
     val r = new scala.util.Random(41)
     val mkv = Multimodal.minimalWebm(1000000L, 5000.0, 160, 120,
