@@ -807,6 +807,102 @@ object Pdf {
   }
 
   // ------------------------------------------------------------------
+  // Document information (/Info) provenance
+  // ------------------------------------------------------------------
+
+  /** One provenance row — the [[AudioTags.Tags]] analog for the
+    * document heap.
+    */
+  final case class DocInfo(title: Option[String], author: Option[String],
+      year: Option[Int])
+
+  /** PDF text-string decode: UTF-16BE with BOM, else the ASCII subset
+    * of PDFDocEncoding (identical to ASCII by construction); non-ASCII
+    * PDFDocEncoding bytes are dropped rather than transcribing the
+    * 0x80-0xA0 special block from memory.
+    */
+  private def textString(v: Array[Byte]): String = {
+    if (v.length >= 2 && (v(0) & 0xff) == 0xfe && (v(1) & 0xff) == 0xff)
+      new String(v, 2, v.length - 2, "UTF-16BE")
+    else new String(v.filter(b => b >= 0x20 && b < 0x7f), "US-ASCII")
+  }
+
+  /** Title/Author/creation-year from the document information
+    * dictionary. The /Info reference is taken from trailer
+    * dictionaries (keyword scan — the same damaged-file-tolerant
+    * route as the object scan; the LAST trailer in file order wins,
+    * matching incremental updates) or, for xref-stream files, from
+    * the /Type/XRef stream dict. None when no Info dict resolves or
+    * every field is empty.
+    */
+  def docInfo(b: Array[Byte]): Option[DocInfo] = try {
+    if (!isPdf(b)) return None
+    val objs = scanObjects(b)
+    def resolve(o: Obj): Obj = o match {
+      case PRef(n, _) => objs.getOrElse(n, PNull)
+      case x          => x
+    }
+    var infoRef: Option[Obj] = None
+    var at = 0
+    var scanning = true
+    while (scanning) {
+      val idx = indexOf(b, "trailer", at, b.length)
+      if (idx < 0) scanning = false
+      else {
+        val lex = new Lexer(b, idx + 7, b.length)
+        lex.value() match {
+          case PDict(m) if m.contains("Info") => infoRef = m.get("Info")
+          case _                              => ()
+        }
+        at = idx + 7
+      }
+    }
+    if (infoRef.isEmpty)
+      infoRef = objs.values.collectFirst {
+        case PStream(d, _) if d.v.get("Type").contains(PName("XRef")) &&
+          d.v.contains("Info") => d.v("Info")
+      }
+    val info = infoRef.map(resolve) match {
+      case Some(PDict(m)) => m
+      case _              => return None
+    }
+    def str(k: String): Option[String] = resolve(info.getOrElse(k, PNull)) match {
+      case PStr(v) =>
+        val s = textString(v).trim
+        if (s.isEmpty) None else Some(s)
+      case _ => None
+    }
+    val year = resolve(info.getOrElse("CreationDate", PNull)) match {
+      case PStr(v) =>
+        val s = new String(v.filter(b => b >= 0x20 && b < 0x7f),
+          "US-ASCII")
+        // "D:YYYYMMDD..." — the D: prefix is optional per spec
+        val digits = (if (s.startsWith("D:")) s.drop(2) else s).take(4)
+        if (digits.length == 4 && digits.forall(_.isDigit))
+          Some(digits.toInt).filter(_ > 0)
+        else None
+      case _ => None
+    }
+    val d = DocInfo(str("Title"), str("Author"), year)
+    if (d.title.isEmpty && d.author.isEmpty && d.year.isEmpty) None
+    else Some(d)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Provenance rows: (doc_id, title, author, year) — one batched
+    * map, PDFs without an Info dict contribute nothing.
+    */
+  def infoTable(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        docInfo(b).map(d => (id, d.title, d.author, d.year))
+      }
+      .toDF("doc_id", "title", "author", "year")
+  }
+
+  // ------------------------------------------------------------------
   // Spark surface
   // ------------------------------------------------------------------
 
@@ -852,7 +948,9 @@ object Pdf {
   def encode(pages: Seq[Seq[String]], flate: Boolean = true,
       kerning: Boolean = false, winAnsi: Boolean = false,
       toUnicodeShift: Boolean = false, type0: Boolean = false,
-      objStm: Boolean = false): Array[Byte] = {
+      objStm: Boolean = false,
+      title: String = null, author: String = null, infoYear: Int = 0,
+      utf16Info: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty && pages.forall(_.nonEmpty), "encode args")
     require(!(type0 && (winAnsi || toUnicodeShift || kerning)),
       "type0 is its own variant")
@@ -924,6 +1022,24 @@ object Pdf {
         s"/Contents ${3 + n + i} 0 R >>"
     }
     plain(fontNum) = fontObj
+    // /Info document-information dict (title/author/creation date),
+    // UTF-16BE-with-BOM hex strings on request; packed into the
+    // ObjStm in that mode (it is not a stream)
+    val infoNum = cmapNum + 1
+    if (title != null || author != null || infoYear > 0) {
+      def pdfStr(v: String): String =
+        if (utf16Info) "<FEFF" + v.flatMap(c => f"${c.toInt}%04X") + ">"
+        else "(" + esc(v) + ")"
+      val parts = Seq(
+        Option(title).map(t => s"/Title ${pdfStr(t)}"),
+        Option(author).map(a => s"/Author ${pdfStr(a)}"),
+        if (infoYear > 0)
+          Some(s"/CreationDate (D:${infoYear}0102030405)")
+        else None).flatten.mkString(" ")
+      plain(infoNum) = s"<< $parts >>"
+    }
+    val infoRef =
+      if (plain.contains(infoNum)) s" /Info $infoNum 0 R" else ""
     // streams are always top-level (the spec forbids them in ObjStms)
     val streams = scala.collection.mutable.LinkedHashMap.empty[Int, (String, Array[Byte])]
     (0 until n).foreach { i =>
@@ -954,21 +1070,23 @@ object Pdf {
       streams.foreach { case (num, (dict, d)) =>
         writeObj(num, dict, Some(d))
       }
-      // classic xref table + trailer
+      // classic xref table + trailer (unused numbers = free entries)
       val maxNum = (plain.keys ++ streams.keys).max
       val xrefOff = out.size()
       w(s"xref\n0 ${maxNum + 1}\n")
       w("0000000000 65535 f \n")
       (1 to maxNum).foreach { num =>
-        val o = offsets.getOrElse(num, 0)
-        w(f"$o%010d 00000 n \n")
+        offsets.get(num) match {
+          case Some(o) => w(f"$o%010d 00000 n \n")
+          case None    => w("0000000000 65535 f \n")
+        }
       }
-      w(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\n" +
+      w(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$infoRef >>\n" +
         s"startxref\n$xrefOff\n%%EOF\n")
     } else {
       // pack the non-stream objects into an ObjStm + xref STREAM
-      val stmNum = cmapNum + 1
-      val xrefNum = cmapNum + 2
+      val stmNum = cmapNum + 2
+      val xrefNum = cmapNum + 3
       val hdr = new StringBuilder
       val body = new StringBuilder
       plain.foreach { case (num, s) =>
@@ -1007,8 +1125,8 @@ object Pdf {
       require(out.size() < 65536,
         "objStm fixture too large for 2-byte xref-stream offsets")
       writeObj(xrefNum,
-        s"<< /Type /XRef /Size ${maxNum + 1} /W [1 2 2] /Root 1 0 R " +
-          s"/Length ${rd.length} >>", Some(rd))
+        s"<< /Type /XRef /Size ${maxNum + 1} /W [1 2 2] /Root 1 0 R" +
+          s"$infoRef /Length ${rd.length} >>", Some(rd))
       w(s"startxref\n$xrefOff\n%%EOF\n")
     }
     out.toByteArray

@@ -2394,6 +2394,25 @@ object ExtQueries {
         .orderBy("doc_id", "page")
     }),
 
+    // PDF document-information PROVENANCE (oracled, closed form —
+    // the ext_audio_tags analog for the document heap): 8 PDFs with
+    // doc_id-derived /Title, /Author and /CreationDate — odd ids
+    // through UTF-16BE-with-BOM info strings, ids 6-7 through the
+    // PDF-1.5 layout (/Info on the xref STREAM dict, the dict packed
+    // in the ObjStm) — plus one Info-less PDF contributing no row.
+    "ext_pdf_info" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (0L until 8L).map { k =>
+        (k, Pdf.encode(Seq(Seq(s"body_$k")),
+          title = s"title_${k % 5}", author = s"author_${k % 3}",
+          infoYear = (1990 + k).toInt,
+          utf16Info = k % 2 == 1, objStm = k >= 6))
+      }
+      val none = Seq((999L, Pdf.encode(Seq(Seq("untitled")))))
+      Pdf.infoTable(s, (docs ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
     // Subtitle/caption TEXT extraction from the video heap (oracled,
     // closed form): 6 Matroska files carrying S_TEXT/UTF8 tracks (3
     // cues each in the mkvmerge BlockGroup+BlockDuration layout,
@@ -4209,6 +4228,14 @@ object ExtQueries {
 
     // planted truth: artwork k pairs with exactly its four carriers
     // (MP3 APIC, FLAC PICTURE, Ogg base64 picture, M4A covr)
+    // closed-form provenance; the Info-less doc 999 contributes nothing
+    "ext_pdf_info" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id,
+        |  'title_' || (k % 5) AS title,
+        |  'author_' || (k % 3) AS author,
+        |  CAST(1990 + k AS INTEGER) AS year
+        |FROM UNNEST(range(0, 8)) AS t(k) ORDER BY doc_id""".stripMargin,
+
     // closed-form page texts; the non-PDF doc 999 contributes nothing
     "ext_pdf_text" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page AS INT) AS page,

@@ -236,7 +236,10 @@ class PlanSpec extends SparkSpec {
     // walks — any Exchange hashpartitioning here means a decode map
     // acquired a shuffle (presentation orderBy range-partitions, fine)
     for (q <- Seq("ext_audio_tags", "ext_audio_mp3_coverage",
-        "ext_image_heif_meta")) {
+        "ext_image_heif_meta",
+        // r14: subtitle/PDF extraction rows are the same per-row
+        // container-walk class — cues/pages explode inside the map
+        "ext_video_subtitles", "ext_pdf_text", "ext_pdf_info")) {
       val p = extPlan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: row-local walk acquired a hash shuffle:\n$p")

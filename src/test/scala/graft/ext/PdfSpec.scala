@@ -107,6 +107,30 @@ class PdfSpec extends AnyFunSuite {
     assert(t.pages == Vector("") && t.refused >= 1, s"$t")
   }
 
+  test("document /Info provenance: trailer ref, UTF-16 strings, xref-stream ref") {
+    val a = Pdf.encode(Seq(Seq("x")), title = "The Title",
+      author = "An Author", infoYear = 1997)
+    assert(Pdf.docInfo(a).contains(Pdf.DocInfo(Some("The Title"),
+      Some("An Author"), Some(1997))))
+    // UTF-16BE-with-BOM strings carry non-latin text losslessly
+    val u = Pdf.encode(Seq(Seq("x")), title = "Grüße 标题",
+      utf16Info = true, infoYear = 2008)
+    val du = Pdf.docInfo(u).get
+    assert(du.title.contains("Grüße 标题") && du.year.contains(2008), s"$du")
+    // the PDF-1.5 layout: /Info riding the xref STREAM dict, the
+    // Info object itself packed inside the ObjStm
+    val o = Pdf.encode(Seq(Seq("x")), objStm = true, title = "Packed",
+      infoYear = 2015)
+    assert(Pdf.docInfo(o).contains(Pdf.DocInfo(Some("Packed"), None,
+      Some(2015))), s"${Pdf.docInfo(o)}")
+    // no Info dict -> no row; text extraction unaffected either way
+    assert(Pdf.docInfo(Pdf.encode(Seq(Seq("x")))) == None)
+    assert(Pdf.text(a).get.pages == Vector("x"))
+    // non-ASCII PDFDocEncoding bytes (no BOM) are dropped, not guessed
+    val raw = Pdf.encode(Seq(Seq("x")), title = "café", utf16Info = false)
+    assert(Pdf.docInfo(raw).get.title.contains("caf"))
+  }
+
   test("review pins: brace DoS, array DecodeParms, bad name hex, Tm baseline, split Contents, ObjStm override") {
     // 1. a '{' inside an array must consume, not spin value() forever
     val brace = ("%PDF-1.4\n1 0 obj\n[ { ] \nendobj\n" +
