@@ -57,8 +57,14 @@ object Pdf {
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
       c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
 
-  /** Recursive-descent PDF value lexer over a byte window. */
+  /** Recursive-descent PDF value lexer over a byte window. Container
+    * recursion is depth-capped: a wild file nesting thousands of
+    * `[`/`<<` would StackOverflow PAST the NonFatal catch (an Error,
+    * not an Exception) — past the cap the lexer consumes bytes as
+    * PNull and the document degrades instead of killing the executor.
+    */
   private final class Lexer(b: Array[Byte], var pos: Int, val end: Int) {
+    private var depth = 0
     def skipWs(): Unit = {
       var run = true
       while (run && pos < end) {
@@ -96,10 +102,15 @@ object Pdf {
         pos += 1
         literalString()
       } else if (c == '<') {
-        if (pos + 1 < end && b(pos + 1) == '<') { pos += 2; dict() }
-        else { pos += 1; hexString() }
+        if (pos + 1 < end && b(pos + 1) == '<') {
+          pos += 2
+          if (depth >= 128) { pos = end; PNull }
+          else { depth += 1; val d = dict(); depth -= 1; d }
+        } else { pos += 1; hexString() }
       } else if (c == '[') {
         pos += 1
+        if (depth >= 128) { pos = end; return PNull }
+        depth += 1
         val items = Vector.newBuilder[Obj]
         skipWs()
         while (pos < end && b(pos) != ']') {
@@ -107,6 +118,7 @@ object Pdf {
           skipWs()
         }
         if (pos < end) pos += 1 // ]
+        depth -= 1
         PArr(items.result())
       } else if (c == ']' || c == '>' || c == ')' || c == '}' ||
         c == '{') {

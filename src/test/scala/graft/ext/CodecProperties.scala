@@ -17,8 +17,8 @@ object CodecProperties extends Properties("codecs") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(120)
 
-  private val KnownKinds =
-    Set("pixels", "header", "pcm", "lossless", "container", "byte-stats")
+  private val KnownKinds = Set("pixels", "header", "pcm", "lossless",
+    "container", "byte-stats", "text") // text: PDF page extraction (r14)
 
   private val magics: Seq[Array[Byte]] = Seq(
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),

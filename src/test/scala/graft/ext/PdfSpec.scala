@@ -236,6 +236,14 @@ class PdfSpec extends AnyFunSuite {
     // a pdf header with garbage body
     assert(Pdf.text(("%PDF-1.7\n" + "garbage " * 50).getBytes("UTF-8"))
       == None)
+    // hostile deep nesting: thousands of '[' would StackOverflow PAST
+    // the NonFatal catch without the lexer's depth cap
+    val deep = ("%PDF-1.4\n1 0 obj\n" + "[" * 50000 +
+      "\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.text(deep) == None)
+    val deepDict = ("%PDF-1.4\n1 0 obj\n" + "<<" * 50000 +
+      "\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.text(deepDict) == None)
   }
 
   test("page rows table shape: per-page rows, refused repeated") {
