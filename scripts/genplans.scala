@@ -79,8 +79,10 @@ val headline = Seq(
   ("ext_audio_mp3_coverage", "wild-MP3 coverage measurement: side-info walk in one map, O(frames) arithmetic, no Huffman work"),
   ("ext_image_heif_meta", "AVIF/HEIC/HEIF geometry census: one container-walk map into O(classes) groups"),
   ("ext_video_subtitles", "subtitle extraction: cues explode per doc in one batched map, no shuffle"),
-  ("ext_pdf_text", "PDF text extraction: page rows from one batched map, no shuffle"),
-  ("ext_pdf_info", "PDF /Info provenance: one batched map, no shuffle"))
+  ("ext_pdf_text", "PDF text extraction (incl. LZW + predictor streams): page rows from one batched map, no shuffle"),
+  ("ext_pdf_info", "PDF /Info provenance: one batched map, no shuffle"),
+  ("ext_html_text", "HTML text extraction: title/text/refused rows from one batched map, no shuffle"),
+  ("ext_office_text", "DOCX/EPUB extraction: zip+XML walk in one batched map, no shuffle"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 // the image-index probe query self-ensures its index (private[graft])

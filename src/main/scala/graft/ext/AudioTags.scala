@@ -121,8 +121,12 @@ object AudioTags {
       val key = new String(b, off + 8, ko - (off + 8), "ISO-8859-1")
         .toLowerCase(java.util.Locale.ROOT)
       val vo = ko + 1
+      // bound check without `vo + len`: a len just under 2^31 wraps
+      // the sum negative and slips past `ve > fo`, then new String
+      // throws and the NonFatal catch discards the whole tag instead
+      // of stopping at the malformed item
+      if (len < 0 || len > fo - vo) return Tags(artist, title, album, year, cover)
       val ve = vo + len
-      if (len < 0 || ve > fo) return Tags(artist, title, album, year, cover)
       val isText = ((flags >> 1) & 3) == 0
       def txt = new String(b, vo, len, "UTF-8")
       key match {

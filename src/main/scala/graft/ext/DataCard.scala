@@ -105,4 +105,34 @@ object DataCard {
         round(when(col("t") > 0, col("d").cast("double") / col("t"))
           .otherwise(lit(0.0)), 6))).as(Seq("metric", "value")))
       .orderBy("metric")
+
+  /** Corpus-level TEXT-EXTRACTION fidelity rows (r15) — the
+    * mp3CoverageCard analog for the document heap. Input is any of
+    * the extraction tables ([[Pdf.table]], [[Html.table]],
+    * [[Office.table]]): rows carrying `doc_id`, `text` and a
+    * `refused` counter. Refused is a PER-DOCUMENT number that
+    * [[Pdf.table]] repeats on each page row, so the rollup
+    * aggregates per doc first (max — identical within a doc).
+    * Emits `{prefix}_docs`, `{prefix}_chars`, `{prefix}_refused`
+    * and `{prefix}_refused_per_mchar` (per million extracted chars,
+    * round 6, 0 on an empty extraction) — the datasheet numbers
+    * that keep the entity/encoding refusal boundaries measured at
+    * corpus scale.
+    */
+  def textExtractionCard(rows: DataFrame, prefix: String): DataFrame =
+    rows.groupBy("doc_id")
+      .agg(sum(length(col("text"))).as("chars"),
+        max("refused").as("refused"))
+      .agg(count(lit(1)).as("docs"),
+        coalesce(sum("chars"), lit(0L)).as("c"),
+        coalesce(sum("refused"), lit(0L)).as("r"))
+      .select(explode(map(
+        lit(s"${prefix}_docs"), col("docs").cast("double"),
+        lit(s"${prefix}_chars"), col("c").cast("double"),
+        lit(s"${prefix}_refused"), col("r").cast("double"),
+        lit(s"${prefix}_refused_per_mchar"),
+        round(when(col("c") > 0,
+          col("r").cast("double") * 1000000.0 / col("c"))
+          .otherwise(lit(0.0)), 6))).as(Seq("metric", "value")))
+      .orderBy("metric")
 }

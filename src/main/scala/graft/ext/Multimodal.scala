@@ -3191,6 +3191,32 @@ object Multimodal {
                   t.pages.map(_.length).sum.toFloat,
                   t.refused.toFloat, 0f))
             }
+          else if (Html.isHtml(r.media))
+            // HTML (r15, ext.Html): the crawl's dominant text format —
+            // a "text" row [textChars, titleChars, refusedEntities, 0];
+            // the extractor is total once sniffed, so no byte-stats
+            // fallback class exists for the html brand
+            Html.text(r.media).map { t =>
+              MediaFeatures(r.doc_id, r.media.length, "text/html",
+                "text", byteChecksum(r.media),
+                Array(t.text.length.toFloat,
+                  t.title.map(_.length).getOrElse(0).toFloat,
+                  t.refused.toFloat, 0f))
+            }
+          else if (Office.isZip(r.media))
+            // DOCX/EPUB (r15, ext.Office): zip-container documents
+            // land the "text" regime; a plain zip that is NEITHER
+            // stays byte-stats (an archive is not a document)
+            Office.text(r.media).map { t =>
+              val mime =
+                if (t.kind == "docx") "application/docx"
+                else "application/epub+zip"
+              MediaFeatures(r.doc_id, r.media.length, mime, "text",
+                byteChecksum(r.media),
+                Array(t.text.length.toFloat,
+                  t.title.map(_.length).getOrElse(0).toFloat,
+                  t.refused.toFloat, 0f))
+            }
           else None
         parsed.getOrElse(StubCodec.decode(Seq(r)).head)
       }
@@ -3537,7 +3563,11 @@ object Multimodal {
       // subtitle cues (startTicks, durTicks, text) on an S_TEXT/UTF8
       // track (number 3): each cue a BlockGroup with BlockDuration in
       // its own Cluster — the layout mkvmerge writes for SRT muxes
-      subtitleCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      subtitleCues: Seq[(Long, Long, String)] = Nil,
+      // streamed/live-mux layout: Clusters written before Info/Tracks
+      // in segment order (legal Matroska — a single-pass reader that
+      // binds tracks only after seeing Tracks drops every such cue)
+      clustersFirst: Boolean = false): Array[Byte] = {
     require(timestampScale > 0 && durationTicks >= 0 && width > 0 &&
       height > 0, s"minimalWebm: ts=$timestampScale dur=$durationTicks " +
       s"${width}x$height")
@@ -3628,8 +3658,12 @@ object Multimodal {
               elem(0x9BL, uintPayload(dur))))
     }
     header ++ elem(0x18538067L,
-      info ++ tracks ++ void ++ clusters.flatten.toArray ++
-        subClusters.flatten.toArray)
+      if (clustersFirst)
+        clusters.flatten.toArray ++ subClusters.flatten.toArray ++
+          info ++ tracks ++ void
+      else
+        info ++ tracks ++ void ++ clusters.flatten.toArray ++
+          subClusters.flatten.toArray)
   }
 
   /** Deterministic PNG encoder (the [[minimalMp4]]/[[AudioDsp.sineWav]]

@@ -10,10 +10,14 @@ package graft.ext
   *    definitions of the same object number win, matching update
   *    semantics). Object streams (/Type/ObjStm, PDF 1.5 compressed
   *    object containers) are expanded after the scan.
-  *  - FILTERS: FlateDecode via the JDK Inflater, ASCIIHexDecode and
-  *    ASCII85Decode (both purely algorithmic). LZWDecode and
-  *    predictor-coded streams REFUSE into the fidelity counter rather
-  *    than risking a silent mis-inflate.
+  *  - FILTERS: FlateDecode via the JDK Inflater, LZWDecode (the PDF
+  *    MSB-first 9..12-bit variant with /EarlyChange both ways — pure
+  *    algorithm, no tables), ASCIIHexDecode and ASCII85Decode, and
+  *    the full predictor family (/Predictor 2 TIFF differencing and
+  *    10-15 PNG row filters — the same five reconstructions as the
+  *    PNG pixel path) [r15; LZW + predictors previously refused].
+  *    DCTDecode/CCITT/JBIG2/JPX/crypt REFUSE into the fidelity
+  *    counter rather than risking a fabricated decode.
   *  - TEXT LAYER: the page tree (/Catalog -> /Pages -> /Page with
   *    /Resources inheritance), content-stream tokenization, and the
   *    text operators (BT/ET, Tf, Td/TD/Tm/TL, T-star, Tj/TJ and the
@@ -351,8 +355,16 @@ object Pdf {
   }
 
   /** Apply the stream's filter chain. None = a filter outside the
-    * implemented surface (LZW, predictors, crypt) — the caller counts
-    * it as refused content rather than guessing.
+    * implemented surface (DCT, CCITT, JBIG2, JPX, crypt — the
+    * fabrication-risk holds), a corrupt stream, or unsupported
+    * predictor geometry — the caller counts it as refused content
+    * rather than guessing. FlateDecode (JDK Inflater), LZWDecode
+    * (PDF variant: 9..12-bit MSB-first codes, 256 clear / 257 EOD,
+    * /EarlyChange both settings), ASCIIHex/ASCII85, and the full
+    * predictor family (TIFF /Predictor 2 horizontal differencing and
+    * the five PNG row filters, /Predictor 10-15) all decode —
+    * per-filter /DecodeParms in both the single-dict and the aligned
+    * array form.
     */
   private def decodeStream(s: PStream, objs: Map[Int, Obj])
       : Option[Array[Byte]] = {
@@ -366,48 +378,204 @@ object Pdf {
       case _         => Nil
     }
     // /DecodeParms may be a dict OR an array of per-filter dicts (the
-    // spec's required form when /Filter is an array) — both must hit
-    // the predictor refusal or a PNG-filtered stream mis-inflates
-    // silently
-    def dictHasPredictor(o: Obj): Boolean = resolve(o) match {
-      case PDict(m) => resolve(m.getOrElse("Predictor", PNull)) match {
-        case PNum(p) => p > 1
-        case _       => false
+    // spec's required form when /Filter is an array) — align by index
+    val parms: Seq[Obj] =
+      resolve(s.dict.v.getOrElse("DecodeParms",
+        s.dict.v.getOrElse("DP", PNull))) match {
+        case PArr(items) => items.map(resolve)
+        case PNull       => Nil
+        case other       => Seq(other)
       }
-      case _ => false
-    }
-    val hasPredictor =
-      resolve(s.dict.v.getOrElse("DecodeParms", PNull)) match {
-        case PArr(items) => items.exists(dictHasPredictor)
-        case other       => dictHasPredictor(other)
-      }
-    if (hasPredictor) return None
     var data = s.raw
-    for (f <- filters) f match {
-      case "FlateDecode" | "Fl" =>
-        data = inflate(data).getOrElse(return None)
-      case "ASCIIHexDecode" | "AHx" =>
-        val out = new java.io.ByteArrayOutputStream()
-        var hi = -1
-        var stop = false
-        data.foreach { c =>
-          if (!stop) {
-            if (c == '>') stop = true
-            else {
-              val d = Character.digit(c & 0xff, 16)
-              if (d >= 0) {
-                if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+    for ((f, fi) <- filters.zipWithIndex) {
+      val pm: Map[String, Obj] = parms.lift(fi).map(resolve) match {
+        case Some(PDict(m)) => m
+        case _              => Map.empty
+      }
+      def num(k: String, dflt: Int): Int =
+        resolve(pm.getOrElse(k, PNull)) match {
+          case PNum(v) => v.toInt
+          case _       => dflt
+        }
+      f match {
+        case "FlateDecode" | "Fl" =>
+          data = inflate(data).getOrElse(return None)
+        case "LZWDecode" | "LZW" =>
+          data = lzwDecode(data, num("EarlyChange", 1) != 0)
+            .getOrElse(return None)
+        case "ASCIIHexDecode" | "AHx" =>
+          val out = new java.io.ByteArrayOutputStream()
+          var hi = -1
+          var stop = false
+          data.foreach { c =>
+            if (!stop) {
+              if (c == '>') stop = true
+              else {
+                val d = Character.digit(c & 0xff, 16)
+                if (d >= 0) {
+                  if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+                }
               }
             }
           }
-        }
-        if (hi >= 0) out.write(hi << 4)
-        data = out.toByteArray
-      case "ASCII85Decode" | "A85" =>
-        data = ascii85(data).getOrElse(return None)
-      case _ => return None // LZW/DCT/CCITT/crypt: refuse, never guess
+          if (hi >= 0) out.write(hi << 4)
+          data = out.toByteArray
+        case "ASCII85Decode" | "A85" =>
+          data = ascii85(data).getOrElse(return None)
+        case _ => return None // DCT/CCITT/JBIG2/crypt: refuse, never guess
+      }
+      // the predictor is an LZW/Flate parameter and applies to the
+      // DECOMPRESSED bytes (ISO 32000 7.4.4.4)
+      if (f == "FlateDecode" || f == "Fl" || f == "LZWDecode" ||
+        f == "LZW") {
+        val pred = num("Predictor", 1)
+        if (pred > 1)
+          data = unpredict(data, pred, num("Colors", 1),
+            num("BitsPerComponent", 8), num("Columns", 1))
+            .getOrElse(return None)
+      }
     }
     Some(data)
+  }
+
+  /** PDF LZWDecode (ISO 32000 7.4.4): MSB-first variable-width codes
+    * starting at 9 bits, growing to 12 as the table fills — one code
+    * EARLY when /EarlyChange is 1 (the default) — code 256 clears the
+    * table, 257 is EOD. Structurally the GIF decoder at
+    * [[Multimodal.ContainerCodec]] with the bit order flipped and the
+    * fixed 258-entry base table; output is byte-capped so a crafted
+    * few-KB stream can't balloon the heap. None on any structural
+    * violation — conservative, like every other decode path here.
+    */
+  private[ext] def lzwDecode(d: Array[Byte],
+      earlyChange: Boolean): Option[Array[Byte]] = try {
+    val Clear = 256
+    val Eod = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(d.length * 4, 1 << 20)))
+    val early = if (earlyChange) 1 else 0
+    var dictSize = 258
+    var w = 9
+    var bitPos = 0
+    var prev = -1
+    val totalBits = d.length * 8
+    var done = false
+    while (!done && bitPos + w <= totalBits) {
+      var code = 0
+      var i = 0
+      while (i < w) {
+        val p = bitPos + i
+        code = (code << 1) | ((d(p >> 3) >> (7 - (p & 7))) & 1)
+        i += 1
+      }
+      bitPos += w
+      if (code == Clear) { dictSize = 258; w = 9; prev = -1 }
+      else if (code == Eod) done = true
+      else {
+        val isNew = code >= dictSize
+        if (isNew && (code != dictSize || prev < 0)) return None
+        var c = if (isNew) prev else code
+        var sp = 0
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= 256) return None // clear/EOD can never head a chain
+        val first = c.toByte
+        out.write(first)
+        var j = sp - 1
+        while (j >= 0) { out.write(stack(j)); j -= 1 }
+        if (isNew) out.write(first)
+        if (out.size > (1 << 26)) return None // expansion bomb guard
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = first
+          dictSize += 1
+        }
+        if (dictSize + early >= (1 << w) && w < 12) w += 1
+        prev = code
+      }
+    }
+    if (out.size == 0) None else Some(out.toByteArray)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Undo an LZW/Flate predictor (ISO 32000 7.4.4.4). /Predictor 2 is
+    * TIFF horizontal differencing (8-bit components — the wild norm;
+    * sub-byte/16-bit differencing refuses into the fidelity counter);
+    * 10-15 are the PNG row filters: each row is one filter-type byte
+    * plus the packed row, undone with the same five reconstructions
+    * as the PNG pixel path (None/Sub/Up/Average/Paeth). Truncated or
+    * misaligned data refuses — never a shifted reconstruction.
+    */
+  private def unpredict(data: Array[Byte], predictor: Int, colors: Int,
+      bpc: Int, columns: Int): Option[Array[Byte]] = {
+    if (colors < 1 || colors > 64 || columns < 1 ||
+      columns > (1 << 24)) return None
+    if (predictor == 2) {
+      if (bpc != 8) return None
+      val rowLen = colors * columns // <= 2^30 under the bounds above
+      if (rowLen > data.length || data.length % rowLen != 0) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = colors
+        while (i < rowLen) {
+          out(r + i) = ((out(r + i) + out(r + i - colors)) & 0xff).toByte
+          i += 1
+        }
+        r += rowLen
+      }
+      Some(out)
+    } else if (predictor >= 10 && predictor <= 15) {
+      if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8 && bpc != 16)
+        return None
+      // row size in LONG arithmetic: colors*bpc*columns reaches 2^34
+      // under the bounds above — an Int wrap here would pass the
+      // alignment check with SHIFTED row geometry (review find r15).
+      // A real stream holds >= 1 full row, so rb+1 > data.length
+      // refuses; the explicit cap also bounds the Int scratch rows.
+      val bitsPerPx = colors.toLong * bpc
+      val bpp = math.max(1L, (bitsPerPx + 7) / 8).toInt
+      val rbL = (bitsPerPx * columns + 7) / 8
+      if (rbL <= 0 || rbL > (1 << 24) || rbL + 1 > data.length ||
+        data.length % (rbL + 1) != 0) return None
+      val rb = rbL.toInt
+      val rows = data.length / (rb + 1)
+      val prev = new Array[Int](rb)
+      val cur = new Array[Int](rb)
+      val out = new Array[Byte](rb * rows)
+      var y = 0
+      while (y < rows) {
+        val rowOff = y * (rb + 1)
+        val fType = data(rowOff) & 0xff
+        if (fType > 4) return None
+        var x = 0
+        while (x < rb) {
+          val v = data(rowOff + 1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) else 0
+          val u = prev(x)
+          val c = if (x >= bpp) prev(x - bpp) else 0
+          val recon = fType match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + u
+            case 3 => v + ((a + u) >> 1)
+            case _ =>
+              val p = a + u - c
+              val pa = math.abs(p - a); val pb = math.abs(p - u)
+              val pc = math.abs(p - c)
+              v + (if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) u else c)
+          }
+          cur(x) = recon & 0xff
+          out(y * rb + x) = cur(x).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rb)
+        y += 1
+      }
+      Some(out)
+    } else None
   }
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = try {
@@ -494,9 +662,17 @@ object Pdf {
     basics.get(name)
   }
 
-  /** Parse a ToUnicode CMap's bfchar/bfrange sections. */
+  /** Parse a ToUnicode CMap's bfchar/bfrange sections. Total map
+    * entries are budgeted (1M — far past any real font's code space,
+    * which tops out at 65536 two-byte codes): without it a few-KB
+    * hostile stream of near-full bfranges forces hundreds of millions
+    * of insertions before any exception can fire. Past the budget the
+    * rest of the CMap is dropped; the affected codes then land in the
+    * per-document `refused` counter like any unmapped code.
+    */
   private def parseCMap(data: Array[Byte]): Map[Int, String] = {
     val out = Map.newBuilder[Int, String]
+    var budget = 1 << 20
     val lex = new Lexer(data, 0, data.length)
     def hexOf(o: Obj): Option[Array[Byte]] = o match {
       case PStr(v) => Some(v)
@@ -524,7 +700,7 @@ object Pdf {
           pending :+= lex.value()
           if (mode == 1 && pending.length == 2) {
             for (k <- hexOf(pending(0)); v <- hexOf(pending(1)))
-              out += ((codeOf(k), strOf(v)))
+              if (budget > 0) { out += ((codeOf(k), strOf(v))); budget -= 1 }
             pending = Vector.empty
           } else if (mode == 2 && pending.length == 3) {
             (hexOf(pending(0)), hexOf(pending(1)), pending(2)) match {
@@ -533,10 +709,11 @@ object Pdf {
                 val base = strOf(dst)
                 if (base.nonEmpty && h >= l && h - l < 65536) {
                   var k = l
-                  while (k <= h) {
+                  while (k <= h && budget > 0) {
                     val s = base.dropRight(1) +
                       (base.last + (k - l)).toChar
                     out += ((k, s))
+                    budget -= 1
                     k += 1
                   }
                 }
@@ -544,8 +721,9 @@ object Pdf {
                 val l = codeOf(lo); val h = codeOf(hi)
                 if (h >= l && h - l < dsts.length + 1) {
                   dsts.zipWithIndex.foreach {
-                    case (PStr(v), k) if l + k <= h =>
+                    case (PStr(v), k) if l + k <= h && budget > 0 =>
                       out += ((l + k, strOf(v)))
+                      budget -= 1
                     case _ => ()
                   }
                 }
@@ -621,6 +799,35 @@ object Pdf {
 
   final case class PdfText(pages: Vector[String], refused: Long)
 
+  /** A trailer-dictionary key (`/Root`, `/Info`), resolved the
+    * damaged-file-tolerant way: keyword-scan every classic `trailer`
+    * dict — the LAST one in file order carrying the key wins, matching
+    * incremental-update semantics — then fall back to any
+    * /Type/XRef cross-reference STREAM dict (PDF 1.5 files have no
+    * trailer keyword at all).
+    */
+  private def trailerValue(b: Array[Byte], objs: Map[Int, Obj],
+      key: String): Option[Obj] = {
+    var found: Option[Obj] = None
+    var at = 0
+    var scanning = true
+    while (scanning) {
+      val idx = indexOf(b, "trailer", at, b.length)
+      if (idx < 0) scanning = false
+      else {
+        new Lexer(b, idx + 7, b.length).value() match {
+          case PDict(m) if m.contains(key) => found = m.get(key)
+          case _                           => ()
+        }
+        at = idx + 7
+      }
+    }
+    found.orElse(objs.values.collectFirst {
+      case PStream(d, _) if d.v.get("Type").contains(PName("XRef")) &&
+        d.v.contains(key) => d.v(key)
+    })
+  }
+
   def isPdf(b: Array[Byte]): Boolean =
     b != null && b.length >= 8 && b(0) == '%' && b(1) == 'P' &&
       b(2) == 'D' && b(3) == 'F' && b(4) == '-'
@@ -632,16 +839,30 @@ object Pdf {
       case PRef(n, _) => objs.getOrElse(n, PNull)
       case x          => x
     }
-    // the LAST catalog in object-number order of appearance wins; with
-    // the scan map, any catalog works — incremental updates replaced
-    // the object under its own number already
-    val catalog = objs.values.collectFirst {
+    // the catalog: /Root from the LAST trailer in file order (matching
+    // incremental-update semantics — a re-save may write the
+    // replacement catalog under a NEW object number, leaving the stale
+    // one in the scan map), then the xref-stream dict, then — only when
+    // neither resolves — any /Type/Catalog dict from the scan
+    val catalog = trailerValue(b, objs, "Root").map(resolve).collect {
       case d @ PDict(m) if m.get("Type").contains(PName("Catalog")) => d
-    }.getOrElse(return None)
-    // walk the page tree, inheriting /Resources
+    }.orElse(objs.values.collectFirst {
+      case d @ PDict(m) if m.get("Type").contains(PName("Catalog")) => d
+    }).getOrElse(return None)
+    // walk the page tree, inheriting /Resources. Cycle hardening: a
+    // /Kids entry referencing an ancestor would expand exponentially
+    // under the depth cap alone (e.g. `/Kids [2 0 R 2 0 R]` on object
+    // 2 is 2^64 calls — a 60-byte DoS), so every visited indirect
+    // object number is walked at most once, and total pages are capped.
     val pages = Vector.newBuilder[(PDict, Map[String, Obj])]
+    var pageCount = 0
+    val visited = scala.collection.mutable.Set.empty[Int]
     def walk(node: Obj, inherited: Map[String, Obj], depth: Int): Unit = {
-      if (depth > 64) return
+      if (depth > 64 || pageCount >= 65536) return
+      node match {
+        case PRef(num, _) => if (!visited.add(num)) return
+        case _            => ()
+      }
       resolve(node) match {
         case d @ PDict(m) =>
           val res = resolve(m.getOrElse("Resources", PNull)) match {
@@ -654,8 +875,9 @@ object Pdf {
                 case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
                 case _          => ()
               }
-            case Some(PName("Page")) => pages += ((d, res))
-            case _                   => ()
+            case Some(PName("Page")) =>
+              pages += ((d, res)); pageCount += 1
+            case _ => ()
           }
         case _ => ()
       }
@@ -854,27 +1076,7 @@ object Pdf {
       case PRef(n, _) => objs.getOrElse(n, PNull)
       case x          => x
     }
-    var infoRef: Option[Obj] = None
-    var at = 0
-    var scanning = true
-    while (scanning) {
-      val idx = indexOf(b, "trailer", at, b.length)
-      if (idx < 0) scanning = false
-      else {
-        val lex = new Lexer(b, idx + 7, b.length)
-        lex.value() match {
-          case PDict(m) if m.contains("Info") => infoRef = m.get("Info")
-          case _                              => ()
-        }
-        at = idx + 7
-      }
-    }
-    if (infoRef.isEmpty)
-      infoRef = objs.values.collectFirst {
-        case PStream(d, _) if d.v.get("Type").contains(PName("XRef")) &&
-          d.v.contains("Info") => d.v("Info")
-      }
-    val info = infoRef.map(resolve) match {
+    val info = trailerValue(b, objs, "Info").map(resolve) match {
       case Some(PDict(m)) => m
       case _              => return None
     }
@@ -955,17 +1157,28 @@ object Pdf {
     * `toUnicodeShift` adds a /ToUnicode CMap mapping A..Z one
     * codepoint up (B..[) — text only recoverable THROUGH the CMap;
     * `type0` writes a composite Identity-H font with two-byte codes
-    * and a bfrange CMap.
+    * and a bfrange CMap; `lzw` compresses content streams with
+    * LZWDecode instead of Flate (`earlyChange = false` adds
+    * /EarlyChange 0); `predictor` (2 = TIFF differencing, 10-15 = the
+    * PNG row filter of that number) forward-codes content rows of
+    * `predictorColumns` bytes before compression (content padded to a
+    * whole row with spaces — insignificant whitespace).
     */
   def encode(pages: Seq[Seq[String]], flate: Boolean = true,
       kerning: Boolean = false, winAnsi: Boolean = false,
       toUnicodeShift: Boolean = false, type0: Boolean = false,
       objStm: Boolean = false,
+      lzw: Boolean = false, earlyChange: Boolean = true,
+      predictor: Int = 0, predictorColumns: Int = 16,
       title: String = null, author: String = null, infoYear: Int = 0,
       utf16Info: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty && pages.forall(_.nonEmpty), "encode args")
     require(!(type0 && (winAnsi || toUnicodeShift || kerning)),
       "type0 is its own variant")
+    require(predictor == 0 || predictor == 2 ||
+      (predictor >= 10 && predictor <= 14), s"predictor $predictor")
+    require(predictor == 0 || flate || lzw,
+      "a predictor needs a compression filter")
     val n = pages.length
     def esc(s: String): String =
       s.flatMap {
@@ -989,6 +1202,56 @@ object Pdf {
       }
       sb ++= "ET\n"
       sb.toString.getBytes(Cp1252) // latin-1 high bytes stay bytes
+    }
+    def lzwEncode(data: Array[Byte], early: Boolean): Array[Byte] = {
+      // greedy LZW mirroring the decoder's width schedule: the width
+      // used for code k+1 follows the DECODER's table size after
+      // processing code k (258 + k - 1 entries — the decoder adds
+      // nothing on the first data code), bumped one early under
+      // /EarlyChange 1
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L
+      var bitCnt = 0
+      var w = 9
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << w) | code
+        bitCnt += w
+        while (bitCnt >= 8) {
+          out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+          bitCnt -= 8
+        }
+      }
+      val e = if (early) 1 else 0
+      val dict = scala.collection.mutable.Map.empty[(Int, Byte), Int]
+      var nextCode = 258
+      var decSize = 258
+      var emitted = 0
+      def emitData(code: Int): Unit = {
+        put(code)
+        if (emitted > 0 && decSize < 4096) decSize += 1
+        emitted += 1
+        if (decSize + e >= (1 << w) && w < 12) w += 1
+      }
+      put(256) // clear
+      if (data.nonEmpty) {
+        var cur = data(0) & 0xff
+        var i = 1
+        while (i < data.length) {
+          val b = data(i)
+          dict.get((cur, b)) match {
+            case Some(c) => cur = c
+            case None =>
+              emitData(cur)
+              if (nextCode < 4096) { dict((cur, b)) = nextCode; nextCode += 1 }
+              cur = b & 0xff
+          }
+          i += 1
+        }
+        emitData(cur)
+      }
+      put(257) // EOD
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
     }
     def deflate(d: Array[Byte]): Array[Byte] = {
       val df = new java.util.zip.Deflater()
@@ -1052,13 +1315,78 @@ object Pdf {
     }
     val infoRef =
       if (plain.contains(infoNum)) s" /Info $infoNum 0 R" else ""
+    // predictor FORWARD pass (colors=1, bpc=8): content padded to a
+    // whole row with spaces, then TIFF-differenced or PNG-row-filtered
+    def predict(raw0: Array[Byte]): Array[Byte] = {
+      val cols = predictorColumns
+      val pad = (cols - raw0.length % cols) % cols
+      val p = raw0 ++ Array.fill(pad)(' '.toByte)
+      if (predictor == 2) {
+        val d = p.clone()
+        var r = 0
+        while (r < d.length) {
+          var x = cols - 1
+          while (x >= 1) {
+            d(r + x) = ((p(r + x) - p(r + x - 1)) & 0xff).toByte
+            x -= 1
+          }
+          r += cols
+        }
+        d
+      } else {
+        val ft = predictor - 10
+        val rows = p.length / cols
+        val d = new Array[Byte]((cols + 1) * rows)
+        var y = 0
+        while (y < rows) {
+          d(y * (cols + 1)) = ft.toByte
+          var x = 0
+          while (x < cols) {
+            val v = p(y * cols + x) & 0xff
+            val a = if (x >= 1) p(y * cols + x - 1) & 0xff else 0
+            val u = if (y >= 1) p((y - 1) * cols + x) & 0xff else 0
+            val c =
+              if (x >= 1 && y >= 1) p((y - 1) * cols + x - 1) & 0xff
+              else 0
+            val pv = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => u
+              case 3 => (a + u) >> 1
+              case _ =>
+                val pr = a + u - c
+                val pa = math.abs(pr - a); val pb = math.abs(pr - u)
+                val pc = math.abs(pr - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+            }
+            d(y * (cols + 1) + 1 + x) = ((v - pv) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        d
+      }
+    }
+    val parmEntries = Seq(
+      if (predictor > 1)
+        Some(s"/Predictor $predictor /Colors 1 /BitsPerComponent 8 " +
+          s"/Columns $predictorColumns")
+      else None,
+      if (lzw && !earlyChange) Some("/EarlyChange 0") else None).flatten
+    val parmStr =
+      if (parmEntries.isEmpty) ""
+      else s" /DecodeParms << ${parmEntries.mkString(" ")} >>"
     // streams are always top-level (the spec forbids them in ObjStms)
     val streams = scala.collection.mutable.LinkedHashMap.empty[Int, (String, Array[Byte])]
     (0 until n).foreach { i =>
-      val raw = contentFor(pages(i))
-      val data = if (flate) deflate(raw) else raw
-      val filter = if (flate) " /Filter /FlateDecode" else ""
-      streams(3 + n + i) = (s"<< /Length ${data.length}$filter >>", data)
+      val raw0 = contentFor(pages(i))
+      val raw = if (predictor > 1) predict(raw0) else raw0
+      val (data, filter) =
+        if (lzw) (lzwEncode(raw, earlyChange), " /Filter /LZWDecode")
+        else if (flate) (deflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
+      streams(3 + n + i) =
+        (s"<< /Length ${data.length}$filter$parmStr >>", data)
     }
     cmap.foreach { c =>
       val d = c.getBytes("ISO-8859-1")

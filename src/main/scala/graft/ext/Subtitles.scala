@@ -38,6 +38,12 @@ object Subtitles {
     * are not EBML or carry no subtitle track; laced subtitle blocks
     * (never written by real muxers — one cue per block is the spec'd
     * layout) are skipped rather than guessed at.
+    *
+    * TWO passes per Segment: track declarations (Tracks) and the
+    * timestamp scale (Info) are collected FIRST, then Clusters are
+    * walked — a streamed/live mux may legally write Clusters before
+    * Tracks in file order, and a single pass would silently drop every
+    * cue in such a file.
     */
   def mkvCues(b: Array[Byte]): Option[Seq[Cue]] = try {
     val C = Multimodal.ContainerCodec
@@ -47,7 +53,7 @@ object Subtitles {
     val cues = scala.collection.mutable.ArrayBuffer.empty[Cue]
     C.walkEbml(b, 0, b.length) { (id, po, pe) =>
       if (id == 0x18538067L) { // Segment
-        C.walkEbml(b, po, pe) { (id2, qo, qe) =>
+        C.walkEbml(b, po, pe) { (id2, qo, qe) => // pass 1: Info + Tracks
           if (id2 == 0x1549A966L) { // Info
             C.walkEbml(b, qo, qe) { (id3, ro, re) =>
               if (id3 == 0x2AD7B1L) tsScale = C.ebmlUint(b, ro, re)
@@ -68,7 +74,11 @@ object Subtitles {
               }
               true
             }
-          } else if (id2 == 0x1F43B675L) { // Cluster
+          }
+          true
+        }
+        C.walkEbml(b, po, pe) { (id2, qo, qe) => // pass 2: Clusters
+          if (id2 == 0x1F43B675L) { // Cluster
             var clusterTs = 0L
             def block(so: Int, se: Int, durTicks: Long): Unit = {
               val (track0, tLen) = C.ebmlVint(b, so, se, keepMarker = false)

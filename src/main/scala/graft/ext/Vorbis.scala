@@ -28,7 +28,14 @@ package graft.ext
   * center-aligned overlap-add, and final-granule truncation.
   *
   * Documented boundaries (census-visible, the [[Mp3]] discipline):
-  * mapping types != 0 and any header the validators reject. One spec
+  * mapping types != 0 and any header the validators reject. DECISION
+  * RECORD (r15): mapping type is a 16-bit field the Vorbis I spec
+  * (4.2.4) defines only for value 0 — every other value is RESERVED,
+  * never assigned in any spec revision, and a compliant decoder MUST
+  * reject it as undecodable. Refusal here is therefore the spec's
+  * own prescribed behavior, not a closable implementation gap; there
+  * is nothing to implement without inventing semantics. CLOSED as
+  * spec-complete. One spec
   * TABLE is derived rather than transcribed: `floor1_inverse_dB_table
   * [i]` is exactly `10^((i-255)*7/256)` — the published table spans
   * 1.0649863e-07 to 1.0 in a uniform 140/256 dB step, so the closed

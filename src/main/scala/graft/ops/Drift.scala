@@ -126,22 +126,26 @@ object Drift {
     * reference proportions scaled to the current total. Categories with
     * zero reference mass contribute through an eps floor (new-category
     * drift is signal, not a division error). One map-combinable
-    * aggregate to O(categories) rows; the scalar fold is a second
-    * O(categories) pass. Output: (n_categories, chi2 round 6), chi2
-    * null when either side is empty.
+    * aggregate to O(categories) rows; the side totals are a 1-row
+    * aggregate broadcast back onto those rows (agg-and-broadcast — the
+    * category shuffle is reused via ReuseExchange, and the plan carries
+    * NO unpartitioned window, so a caller misfeeding a continuous
+    * column degrades to a big-but-distributed aggregate instead of a
+    * single-partition sort); the scalar fold is a final O(categories)
+    * pass. Output: (n_categories, chi2 round 6), chi2 null when either
+    * side is empty.
     */
   def chiSquare(ref: DataFrame, cur: DataFrame, catCol: String,
       eps: Double = 0.5): DataFrame = {
-    val WholeW = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
     val tagged = ref.filter(col(catCol).isNotNull)
       .select(col(catCol).as("k"), lit(1L).as("r"), lit(0L).as("c"))
       .unionByName(cur.filter(col(catCol).isNotNull)
         .select(col(catCol).as("k"), lit(0L).as("r"), lit(1L).as("c")))
-    tagged.groupBy("k")
+    val counts = tagged.groupBy("k")
       .agg(sum("r").as("nr"), sum("c").as("nc"))
-      .withColumn("tr", sum("nr").over(WholeW))
-      .withColumn("tc", sum("nc").over(WholeW))
+    counts
+      .crossJoin(broadcast(
+        counts.agg(sum("nr").as("tr"), sum("nc").as("tc"))))
       .withColumn("e", when(col("tr") > 0 && col("tc") > 0,
         // promote BEFORE the product: nr·tc in long arithmetic wraps
         // silently (ANSI off) once counts reach ~3e9 × 3e9 — real at

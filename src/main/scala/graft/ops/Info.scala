@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
   * Exact and closed-form (natural log), no sampling — DuckDB-oracle-able
   * (`ext_mutual_info`). Scale shape: ONE map-combinable aggregate
   * collapses the corpus to the O(|X|·|Y|) joint contingency table;
-  * marginals and every Σ term are window/aggregate math over that table
-  * — nothing after the first shuffle touches a corpus row.
+  * marginals are PARTITIONED windows over that table (each frame is one
+  * x's or one y's rows — hash-distributed, never a single-partition
+  * collapse even when a caller misfeeds a continuous column and the
+  * joint approaches corpus size), the grand total is a 1-row aggregate
+  * broadcast back (the Transforms.scala agg-and-broadcast idiom; the
+  * joint's shuffle is computed once and reused via ReuseExchange) —
+  * nothing after the first shuffle touches a corpus row, and no
+  * unpartitioned window exists in the plan (PlanSpec-guarded).
   */
 object Info {
 
@@ -24,15 +30,14 @@ object Info {
     * separately).
     */
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
     val Wx = org.apache.spark.sql.expressions.Window.partitionBy("x")
     val Wy = org.apache.spark.sql.expressions.Window.partitionBy("y")
-    val joint = df
+    val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("n", sum("c").over(W))
+    val joint = cells
+      .crossJoin(broadcast(cells.agg(sum("c").as("n"))))
       .withColumn("cx", sum("c").over(Wx))
       .withColumn("cy", sum("c").over(Wy))
     joint

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pdf, Pq, Quantize, Similarity, Subtitles, TextAnalysis, Tfidf, Urls}
+import graft.ext.{AudioDsp, AudioFingerprint, AudioTags, Bpe, Classifier, CorpusOverlap, Decontaminate, Dedup, Eval, HeavyHitters, Flac, Html, IncrementalDedup, LineDedup, Mix, Multimodal, NgramLm, Packer, Pdf, Pq, Quantize, Similarity, Subtitles, TextAnalysis, Tfidf, Urls}
 
 /** [EXT] query surface (SURVEY §2.11): LLM-data-pipeline operators over
   * documents/embeddings. SQL-expressible ops carry DuckDB oracles (same
@@ -1909,6 +1909,20 @@ object ExtQueries {
           Seq("census page one", "line"), Seq("census page two")))),
         (25, "application/pdf",
           ("%PDF-1.7\n" + "garbage " * 40).getBytes("UTF-8")),
+        // HTML (r15): the crawl's dominant text format joins the
+        // census "text" regime alongside PDF
+        (26, "text/html", ("<!DOCTYPE html><html><head>" +
+          "<title>census</title><style>p{x:1}</style></head><body>" +
+          "<p>census html body</p></body></html>").getBytes("UTF-8")),
+        // DOCX/EPUB (r15): zip-container documents are "text"; a
+        // plain zip is an archive, NOT a document — byte-stats
+        (27, "application/docx", graft.ext.Office.encodeDocx(
+          Seq("census docx para"), title = "census")),
+        (28, "application/epub+zip", graft.ext.Office.encodeEpub(
+          Seq(("Census Ch", Seq("census epub para"))), title = "census")),
+        (29, "application/zip", graft.ext.Office.zipWrap(
+          Seq(("data/blob.bin", Array.tabulate(96)(i =>
+            ((i * 13) % 251).toByte))))),
         (9, "application/junk", "not any known container".getBytes("UTF-8")))
       val rows = classes.zipWithIndex.flatMap { case ((n, fmt, bytes), ci) =>
         (0 until n).map(j => Multimodal.MediaRow(
@@ -2387,11 +2401,96 @@ object ExtQueries {
         "two byte")), type0 = true)))
       val packed = Seq((14L, Pdf.encode(Seq(Seq("packed fourteen"),
         Seq("page two")), objStm = true)))
+      // r15: LZW + predictor-coded streams decode (previously the
+      // refusal boundary) — Flate+PNG-Up (the Acrobat norm), plain
+      // LZW, and LZW+TIFF-differencing with /EarlyChange 0
+      val coded = Seq(
+        (15L, Pdf.encode(Seq(Seq("pred_15 up", "row two")),
+          predictor = 12, predictorColumns = 11)),
+        (16L, Pdf.encode(Seq(Seq("lzw_16 body", "lzw line")),
+          lzw = true)),
+        (17L, Pdf.encode(Seq(Seq("tiff_17 text")), lzw = true,
+          earlyChange = false, predictor = 2, predictorColumns = 9)))
       val none = Seq((999L, "not a pdf".getBytes("UTF-8")))
       Pdf.table(s,
-          (plain ++ kern ++ ansi ++ cmap ++ t0 ++ packed ++ none)
-            .toDF("doc_id", "media"))
+          (plain ++ kern ++ ansi ++ cmap ++ t0 ++ packed ++ coded ++
+            none).toDF("doc_id", "media"))
         .orderBy("doc_id", "page")
+    }),
+
+    // General HTML -> text extraction (oracled, closed form — the
+    // dominant crawl text format; r15): 4 full pages exercising
+    // title capture, script/style/comment drop and block structure;
+    // plus the entity boundary (XML core + numeric decode, unknown
+    // named stays literal AND counts into `refused`), a
+    // windows-1252 meta-charset page decoded through the JDK
+    // charset, inline flow, list/table blocks, and a UTF-16BE BOM
+    // page — with one non-HTML payload contributing no row. All
+    // text doc_id-derived and restated literally in SQL.
+    "ext_html_text" -> ((s, dir) => {
+      import s.implicits._
+      def page(k: Long): Array[Byte] =
+        (s"<!DOCTYPE html><html><head><title>title_$k</title>" +
+          "<meta charset=\"utf-8\"><style>p{color:red}</style>" +
+          "<script>var j=1<2;//</script></head><body>" +
+          s"<h1>head_$k</h1><p>para_$k one</p><p>para_$k   two</p>" +
+          "<!-- dropped --></body></html>").getBytes("UTF-8")
+      val plain = (0L until 4L).map(k => (k, page(k)))
+      val ents = Seq((10L,
+        ("<html><body><p>&amp; &#65;&#x42; x&nbsp;y &eacute;</p>" +
+          "</body></html>").getBytes("UTF-8")))
+      val cp1252 = Seq((11L,
+        ("<html><head><meta charset=\"windows-1252\"></head>" +
+          "<body><p>café — naïve</p></body></html>")
+          .getBytes("windows-1252")))
+      val inline = Seq((12L,
+        ("<html><body><p>a <b>bold</b> and <i>ital</i>.</p>" +
+          "</body></html>").getBytes("UTF-8")))
+      val lists = Seq((13L,
+        ("<html><body><ul><li>li_0</li><li>li_1</li></ul>" +
+          "<table><tr><td>c1</td><td>c2</td></tr></table>" +
+          "</body></html>").getBytes("UTF-8")))
+      val utf16 = Seq((14L,
+        Array[Byte](0xfe.toByte, 0xff.toByte) ++
+          ("<html><head><title>wide_14</title></head>" +
+            "<body><p>wide body</p></body></html>")
+            .getBytes("UTF-16BE")))
+      val none = Seq((999L, "plain text, no markup".getBytes("UTF-8")))
+      Html.table(s,
+          (plain ++ ents ++ cp1252 ++ inline ++ lists ++ utf16 ++ none)
+            .toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // DOCX/EPUB text + provenance extraction (oracled, closed form —
+    // r15): 4 DOCX (paragraph text, Dublin Core title/creator/created
+    // year; id 2 stored instead of deflated) and 4 EPUB (two spine-
+    // ordered chapters each; odd ids store chapter entries in REVERSE
+    // zip order so only a correct OPF spine walk sequences them),
+    // plus one plain-zip archive and one non-zip payload contributing
+    // no rows. Everything doc_id-derived, restated in SQL.
+    "ext_office_text" -> ((s, dir) => {
+      import s.implicits._
+      val docx = (0L until 4L).map { k =>
+        (k, graft.ext.Office.encodeDocx(
+          (0 until 2).map(p => s"docx_${k}_p$p body"),
+          title = s"dt_$k", author = s"da_${k % 2}",
+          createdYear = (2000 + k).toInt, stored = k == 2))
+      }
+      val epub = (0L until 4L).map { k =>
+        (100L + k, graft.ext.Office.encodeEpub(
+          (0 until 2).map(c => (s"ch_${k}_$c", Seq(s"ep_${k}_$c one",
+            s"ep_${k}_$c two"))),
+          title = s"et_$k", author = s"ea_${k % 3}",
+          year = (2010 + k).toInt, scrambleOrder = k % 2 == 1))
+      }
+      val nones = Seq(
+        (900L, graft.ext.Office.zipWrap(Seq(
+          ("plain.txt", "archive member".getBytes("UTF-8"))))),
+        (999L, "not a zip".getBytes("UTF-8")))
+      graft.ext.Office.table(s,
+          (docx ++ epub ++ nones).toDF("doc_id", "media"))
+        .orderBy("doc_id")
     }),
 
     // PDF document-information PROVENANCE (oracled, closed form —
@@ -4253,8 +4352,53 @@ object ExtQueries {
         |  UNION ALL SELECT 13, 0, 'composite thirteen' || chr(10) ||
         |    'two byte'
         |  UNION ALL SELECT 14, 0, 'packed fourteen'
-        |  UNION ALL SELECT 14, 1, 'page two')
+        |  UNION ALL SELECT 14, 1, 'page two'
+        |  UNION ALL SELECT 15, 0, 'pred_15 up' || chr(10) || 'row two'
+        |  UNION ALL SELECT 16, 0, 'lzw_16 body' || chr(10) || 'lzw line'
+        |  UNION ALL SELECT 17, 0, 'tiff_17 text')
         |ORDER BY doc_id, page""".stripMargin,
+
+    // closed-form planted pages; the non-HTML doc 999 contributes
+    // nothing, unknown entities stay literal and count into refused
+    "ext_html_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, title, text,
+        |  CAST(refused AS BIGINT) AS refused
+        |FROM (
+        |  SELECT k AS doc_id, 'title_' || k AS title,
+        |    'head_' || k || chr(10) || 'para_' || k || ' one' ||
+        |      chr(10) || 'para_' || k || ' two' AS text,
+        |    0 AS refused
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL SELECT 10, NULL, '& AB x y &eacute;', 1
+        |  UNION ALL SELECT 11, NULL, 'café — naïve', 0
+        |  UNION ALL SELECT 12, NULL, 'a bold and ital.', 0
+        |  UNION ALL SELECT 13, NULL,
+        |    'li_0' || chr(10) || 'li_1' || chr(10) || 'c1 c2', 0
+        |  UNION ALL SELECT 14, 'wide_14', 'wide body', 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // closed-form planted documents; the plain-zip archive (900) and
+    // the non-zip payload (999) contribute nothing
+    "ext_office_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, title, author,
+        |  CAST(year AS INT) AS year, text, CAST(0 AS BIGINT) AS refused
+        |FROM (
+        |  SELECT k AS doc_id, 'docx' AS kind, 'dt_' || k AS title,
+        |    'da_' || (k % 2) AS author, 2000 + k AS year,
+        |    'docx_' || k || '_p0 body' || chr(10) ||
+        |      'docx_' || k || '_p1 body' AS text
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL
+        |  SELECT 100 + k, 'epub', 'et_' || k, 'ea_' || (k % 3),
+        |    2010 + k,
+        |    'ch_' || k || '_0' || chr(10) ||
+        |    'ep_' || k || '_0 one' || chr(10) ||
+        |    'ep_' || k || '_0 two' || chr(10) ||
+        |    'ch_' || k || '_1' || chr(10) ||
+        |    'ep_' || k || '_1 one' || chr(10) ||
+        |    'ep_' || k || '_1 two'
+        |  FROM UNNEST(range(0, 4)) AS t(k))
+        |ORDER BY doc_id""".stripMargin,
 
     // closed-form planted cues across the three carriers; the
     // subtitle-less doc 999 contributes nothing
@@ -4471,6 +4615,9 @@ object ExtQueries {
     "ext_decode_census_all" ->
       """SELECT * FROM (VALUES
         |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
+        |  ('application/docx', 'text', 27),
+        |  ('application/epub+zip', 'text', 28),
+        |  ('application/zip', 'byte-stats', 29),
         |  ('application/pdf', 'byte-stats', 25),
         |  ('application/pdf', 'text', 24),
         |  ('audio/aiff', 'container', 21),
@@ -4497,6 +4644,7 @@ object ExtQueries {
         |  ('image/webp', 'container', 1),
         |  ('image/webp', 'pixels', 8),
         |  ('image/x-icon', 'pixels', 7),
+        |  ('text/html', 'text', 26),
         |  ('video/mp4', 'container', 7),
         |  ('video/webm', 'container', 10),
         |  ('video/x-matroska', 'container', 11)) AS t(format, kind, cnt)

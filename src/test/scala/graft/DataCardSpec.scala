@@ -56,4 +56,23 @@ class DataCardSpec extends SparkSpec {
     assert(empty("mp3_frames_total") === 0.0)
     assert(empty("mp3_decodable_fraction") === 0.0)
   }
+
+  test("textExtractionCard: per-doc refused dedupe (pdf page repeat), rate, zero-safe") {
+    // Pdf.table repeats the DOC-level refused on each page row: doc 1
+    // has two pages with refused=3 — counted ONCE (max per doc).
+    // chars: doc1 "abcde"+"fgh" = 8, doc2 "xy" = 2 -> 10; refused 3+1
+    val rows = Seq(
+      (1L, "abcde", 3L), (1L, "fgh", 3L), (2L, "xy", 1L))
+      .toDF("doc_id", "text", "refused")
+    val card = DataCard.textExtractionCard(rows, "pdf_text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("pdf_text_docs") === 2.0)
+    assert(card("pdf_text_chars") === 10.0)
+    assert(card("pdf_text_refused") === 4.0)
+    assert(card("pdf_text_refused_per_mchar") === 400000.0)
+    val empty = DataCard.textExtractionCard(rows.limit(0), "html")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(empty("html_docs") === 0.0)
+    assert(empty("html_refused_per_mchar") === 0.0)
+  }
 }

@@ -239,7 +239,9 @@ class PlanSpec extends SparkSpec {
         "ext_image_heif_meta",
         // r14: subtitle/PDF extraction rows are the same per-row
         // container-walk class — cues/pages explode inside the map
-        "ext_video_subtitles", "ext_pdf_text", "ext_pdf_info")) {
+        "ext_video_subtitles", "ext_pdf_text", "ext_pdf_info",
+        // r15: HTML and DOCX/EPUB extraction — same class
+        "ext_html_text", "ext_office_text")) {
       val p = extPlan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: row-local walk acquired a hash shuffle:\n$p")
@@ -278,10 +280,20 @@ class PlanSpec extends SparkSpec {
     // physical WindowExec inherits its partitioning 1:1, and AQE
     // wrapping can't hide nodes there.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    // drift_chi2_priority / ext_mutual_info joined the list in r15:
+    // their grand totals moved from a whole-frame window to the
+    // agg-and-broadcast idiom, so a caller misfeeding a continuous
+    // column degrades to a distributed aggregate, never a
+    // single-partition sort (the marginal windows that remain in
+    // ext_mutual_info are partitioned by x / by y).
     val dfs = Seq(
       "drift_ks_price" -> ParityQueries.queries("drift_ks_price")(spark, dir),
+      "drift_chi2_priority" ->
+        ParityQueries.queries("drift_chi2_priority")(spark, dir),
       "ext_eval_auc" ->
         graft.queries.ExtQueries.queries("ext_eval_auc")(spark, dir),
+      "ext_mutual_info" ->
+        graft.queries.ExtQueries.queries("ext_mutual_info")(spark, dir),
       "ext_triplets" ->
         graft.queries.ExtQueries.queries("ext_triplets")(spark, dir))
     for ((name, df) <- dfs) {

@@ -301,6 +301,22 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(AudioTags.of(cut) == None || AudioTags.of(cut).isEmpty)
   }
 
+  test("APE item length near 2^31 stops at the item, keeping earlier fields") {
+    // vo + len wraps Int-negative for len just under 2^31, slipping a
+    // `ve > fo` bound check; the walk must stop at the malformed item
+    // (keeping Artist) — not throw into the NonFatal catch and discard
+    // the whole tag
+    val b = AudioTags.apeWrap(torso, "Ape Artist", "Evil")
+    val item2 = torso.length + 32 +
+      (8 + "Artist".length + 1 + "Ape Artist".length)
+    b(item2) = 0xf0.toByte // len -> 0x7ffffff0 little-endian
+    b(item2 + 1) = 0xff.toByte
+    b(item2 + 2) = 0xff.toByte
+    b(item2 + 3) = 0x7f.toByte
+    val t = AudioTags.of(b).get
+    assert(t.artist.contains("Ape Artist") && t.title.isEmpty, s"$t")
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),

@@ -99,6 +99,16 @@ object CodecProperties extends Properties("codecs") {
     Pdf.encode(Seq(Seq("fuzz page one", "line"), Seq("page two")),
       flate = true, kerning = true),
     Pdf.encode(Seq(Seq("objstm fuzz")), objStm = true),
+    Pdf.encode(Seq(Seq("lzw pred fuzz", "line")), lzw = true,
+      predictor = 12, predictorColumns = 7),
+    Office.encodeDocx(Seq("fuzz docx para", "two"), title = "t",
+      author = "a", createdYear = 2002),
+    Office.encodeEpub(Seq(("Fz", Seq("p1", "p2"))), title = "t",
+      year = 2003, scrambleOrder = true),
+    ("<!DOCTYPE html><html><head><meta charset=utf-8><title>fz</title>" +
+      "<style>p{}</style><script>var a='</p>';</script></head><body>" +
+      "<p>fuzz &amp; body</p><table><tr><td>c</td></tr></table>" +
+      "</body></html>").getBytes("UTF-8"),
     Aiff.encode(tone.toArray, 8000),
     Aiff.encode(tone.toArray, 8000, compression = "ulaw"),
     Au.encode(tone.toArray, 8000, encoding = 1, annotation = "note"),
@@ -260,6 +270,25 @@ object CodecProperties extends Properties("codecs") {
       Pdf.text(bytes) match {
         case Some(t) =>
           t.pages.nonEmpty && t.refused >= 0 && t.pages.forall(_ != null)
+        case None => true
+      }
+    }
+
+  property("office (docx/epub) extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Office.text(bytes) match {
+        case Some(t) =>
+          Set("docx", "epub").contains(t.kind) && t.text != null &&
+            t.refused >= 0
+        case None => true
+      }
+    }
+
+  property("html text extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Html.text(bytes) match {
+        case Some(t) =>
+          t.text != null && t.refused >= 0 && t.title.forall(_ != null)
         case None => true
       }
     }

@@ -148,13 +148,16 @@ class PdfSpec extends AnyFunSuite {
         |5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
         |trailer << /Root 1 0 R >>
         |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    // (r15: predictors now DECODE — garbage under the filter still
+    // refuses into the counter, array-form parms exercised in the
+    // LZW/predictor round-trip tests below)
     val pred = onePage(
       "4 0 obj << /Length 8 /Filter [/FlateDecode] " +
         "/DecodeParms [<< /Predictor 12 /Columns 4 >>] >>\n" +
         "stream\nXXXXXXXX\nendstream\nendobj")
     val tp = Pdf.text(pred).get
     assert(tp.pages == Vector("") && tp.refused >= 1,
-      s"array-form predictor must refuse: $tp")
+      s"garbage under an array-form predictor filter must refuse: $tp")
 
     // 3. a malformed name hex escape stays literal, never aborts
     val badName = onePage(
@@ -219,6 +222,248 @@ class PdfSpec extends AnyFunSuite {
     val updated = base ++ update
     assert(Pdf.text(updated).get.pages == Vector("updated text"),
       s"${Pdf.text(updated).get}")
+  }
+
+  test("LZW: the ISO 32000 worked example decodes (writer-independent pin)") {
+    // spec 7.4.4.2, Example 2: input (hex) 45 45 45 45 45 65 45 45 45
+    // 66 encodes as codes 256, 0x45, 258, 258, 0x65, 259, 0x66, 257 —
+    // hand-packed here at 9 bits MSB-first by an independent
+    // test-side packer
+    val codes = Seq(256, 0x45, 258, 258, 0x65, 259, 0x66, 257)
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L
+    var cnt = 0
+    codes.foreach { c =>
+      buf = (buf << 9) | c; cnt += 9
+      while (cnt >= 8) { out.write(((buf >> (cnt - 8)) & 0xff).toInt); cnt -= 8 }
+    }
+    if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xff).toInt)
+    val got = Pdf.lzwDecode(out.toByteArray, earlyChange = true).get
+    assert(got.toSeq == Seq[Byte](0x45, 0x45, 0x45, 0x45, 0x45, 0x65,
+      0x45, 0x45, 0x45, 0x66), got.toSeq.toString)
+  }
+
+  test("LZW round trip: width growth past 9 bits, both /EarlyChange settings") {
+    // enough distinct lines that the dictionary crosses 511 entries
+    // (the 9->10-bit boundary, where EarlyChange desync would garble)
+    val pages = Seq((0 until 60).map(l =>
+      s"lzw line $l with some repeating repeating text $l"))
+    for (early <- Seq(true, false)) {
+      val b = Pdf.encode(pages, lzw = true, earlyChange = early)
+      assert(new String(b, "ISO-8859-1").contains("/LZWDecode"))
+      if (!early)
+        assert(new String(b, "ISO-8859-1").contains("/EarlyChange 0"))
+      val t = Pdf.text(b).get
+      assert(t.pages == Vector(pages.head.mkString("\n")),
+        s"early=$early: $t")
+      assert(t.refused == 0)
+    }
+  }
+
+  test("predictors: PNG rows (Up/Paeth) and TIFF differencing round trip") {
+    val pages = Seq(Seq("predictor page", "second line of it"))
+    for ((pred, lzw) <- Seq((12, false), (14, false), (2, false),
+        (12, true), (2, true))) {
+      val b = Pdf.encode(pages, lzw = lzw, predictor = pred,
+        predictorColumns = 11)
+      val t = Pdf.text(b).get
+      assert(t.pages == Vector("predictor page\nsecond line of it"),
+        s"pred=$pred lzw=$lzw: $t")
+      assert(t.refused == 0)
+    }
+  }
+
+  test("review pin: predictor geometry whose row size Int-wraps refuses, no OOM") {
+    // /Colors 17 /BitsPerComponent 16 /Columns 16777216: the true row
+    // is ~570 MB but a 32-bit product wraps to a plausible size — the
+    // Long-arithmetic guard must refuse (rb+1 > data) instead of
+    // reconstructing with shifted rows or allocating GB-scale scratch
+    val z = {
+      val df = new java.util.zip.Deflater()
+      df.setInput(Array.fill(64)('X'.toByte)); df.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!df.finished()) o.write(buf, 0, df.deflate(buf))
+      df.end(); o.toByteArray
+    }
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${z.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 10 /Colors 17 /BitsPerComponent 16 " +
+      "/Columns 16777216 >> >>\nstream\n").getBytes("ISO-8859-1") ++ z ++
+      ("\nendstream\nendobj\n" +
+        "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    val t = Pdf.text(pdf).get
+    assert(t.pages == Vector("") && t.refused >= 1, s"$t")
+  }
+
+  test("TIFF predictor hand golden: test-side differencing, reader-side undo") {
+    // the content stream differenced COLUMN-WISE by the test itself
+    // (not Pdf.encode) over 8-byte rows, then raw (no compression is
+    // not legal for predictors — so flate via the JDK, which this
+    // test trusts both ways)
+    val content = "BT /F1 12 Tf (hand) Tj ET" // 25 bytes -> pad to 32
+    val raw = (content + " " * 7).getBytes("ISO-8859-1")
+    val cols = 8
+    val diff = raw.clone()
+    for (r <- raw.indices by cols; x <- (cols - 1) until 0 by -1)
+      diff(r + x) = ((raw(r + x) - raw(r + x - 1)) & 0xff).toByte
+    val df = new java.util.zip.Deflater()
+    df.setInput(diff); df.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val zBuf = new Array[Byte](256)
+    while (!df.finished()) zOut.write(zBuf, 0, df.deflate(zBuf))
+    df.end()
+    val z = zOut.toByteArray
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${z.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 2 /Colors 1 /BitsPerComponent 8 " +
+      "/Columns 8 >> >>\nstream\n").getBytes("ISO-8859-1") ++ z ++
+      ("\nendstream\nendobj\n" +
+        "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(Pdf.text(pdf).get.pages == Vector("hand"))
+  }
+
+  test("cyclic /Kids terminates: self-referencing Pages is a 60-byte DoS otherwise") {
+    // `/Kids [2 0 R 2 0 R 3 0 R]` on object 2: without visited-object
+    // tracking the depth cap alone admits ~2^64 recursive calls — the
+    // page must extract exactly ONCE and the walk return immediately
+    val raw =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [2 0 R 2 0 R 3 0 R] /Count 1 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+        |   /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+        |endobj
+        |4 0 obj
+        |<< /Length 33 >>
+        |stream
+        |BT /F1 12 Tf (Survived) Tj ET
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+        |endobj
+        |trailer
+        |<< /Size 6 /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val t = Pdf.text(raw).get
+    assert(t.pages == Vector("Survived"), s"$t")
+  }
+
+  test("incremental update: /Root from the LAST trailer beats a stale catalog") {
+    // a re-save may write the replacement catalog under a NEW object
+    // number, leaving the stale one live in the object scan — picking
+    // any /Type/Catalog dict can resurrect the OLD page tree
+    val raw =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+        |   /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+        |endobj
+        |4 0 obj
+        |<< /Length 33 >>
+        |stream
+        |BT /F1 12 Tf (OLD TEXT) Tj ET
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+        |endobj
+        |trailer
+        |<< /Size 6 /Root 1 0 R >>
+        |6 0 obj
+        |<< /Type /Catalog /Pages 7 0 R >>
+        |endobj
+        |7 0 obj
+        |<< /Type /Pages /Kids [8 0 R] /Count 1 >>
+        |endobj
+        |8 0 obj
+        |<< /Type /Page /Parent 7 0 R /MediaBox [0 0 612 792]
+        |   /Resources << /Font << /F1 5 0 R >> >> /Contents 9 0 R >>
+        |endobj
+        |9 0 obj
+        |<< /Length 33 >>
+        |stream
+        |BT /F1 12 Tf (NEW TEXT) Tj ET
+        |endstream
+        |endobj
+        |trailer
+        |<< /Size 10 /Root 6 0 R /Prev 9 >>
+        |%%EOF
+        |""".stripMargin.getBytes("ISO-8859-1")
+    val t = Pdf.text(raw).get
+    assert(t.pages == Vector("NEW TEXT"), s"stale catalog won: $t")
+    // a trailer-less damaged file still falls back to the catalog scan
+    val noTrailer = new String(raw, "ISO-8859-1")
+      .replace("trailer", "%railer").getBytes("ISO-8859-1")
+    assert(Pdf.text(noTrailer).isDefined, "catalog-scan fallback lost")
+  }
+
+  test("hostile bfrange flood is budgeted: 17 full-width ranges don't OOM/lock") {
+    // 17 x <0000>..<ffff> = 1,114,112 insertions requested > the 2^20
+    // budget — must complete promptly with the budget's prefix mapped
+    val flood = (1 to 17).map(_ =>
+      "1 beginbfrange\n<0000> <ffff> <0041>\nendbfrange\n").mkString
+    val cmap = "/CIDInit /ProcSet findresource begin 1 begincmap\n" +
+      flood + "endcmap end\n"
+    val body =
+      s"""1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]
+        |   /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+        |endobj
+        |4 0 obj
+        |<< /Length 35 >>
+        |stream
+        |BT /F1 12 Tf <00070008> Tj ET
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Type /Font /Subtype /Type0 /BaseFont /X
+        |   /Encoding /Identity-H /ToUnicode 6 0 R >>
+        |endobj
+        |6 0 obj
+        |<< /Length ${cmap.length} >>
+        |stream
+        |$cmap
+        |endstream
+        |endobj
+        |trailer
+        |<< /Size 7 /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin
+    val raw = ("%PDF-1.4\n" + body).getBytes("ISO-8859-1")
+    val t = Pdf.text(raw).get
+    // codes 0x0007/0x0008 sit inside the budgeted prefix of range 1
+    // (dst base <0041>: code k maps to 'A' + k) -> "HI"
+    assert(t.pages == Vector("HI"), s"$t")
   }
 
   test("hostile totality: junk, truncations, bit flips never throw") {

@@ -29,6 +29,21 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(c.startMs == 400L && c.durMs == 250L, s"$c")
   }
 
+  test("streamed-mux layout: Clusters before Tracks keep every cue (two-pass pin)") {
+    // legal in live/streamed Matroska: the muxer flushes Clusters
+    // before Info/Tracks land in segment order — a single-pass reader
+    // that binds subtitle tracks only on seeing Tracks drops ALL cues
+    val cues = Seq((800L, 400L, "early cue"), (3000L, 600L, "late cue"))
+    val mkv = Multimodal.minimalWebm(100000L, 50000.0, 160, 120,
+      frames = Seq(Array.tabulate(20)(_.toByte)),
+      subtitleCues = cues, clustersFirst = true)
+    val got = Subtitles.mkvCues(mkv).get
+    // Info (TimestampScale 100 us) also trails the clusters: the
+    // two-pass walk must still scale 800 ticks -> 80 ms
+    assert(got.map(c => (c.startMs, c.durMs, c.text)) ==
+      Seq((80L, 40L, "early cue"), (300L, 60L, "late cue")), s"$got")
+  }
+
   test("a subtitle-less WebM yields None, not an empty table row set") {
     val mkv = Multimodal.minimalWebm(1000000L, 1000.0, 320, 240,
       frames = Seq(Array.tabulate(30)(_.toByte)))
