@@ -82,7 +82,10 @@ val headline = Seq(
   ("ext_pdf_text", "PDF text extraction (incl. LZW + predictor streams): page rows from one batched map, no shuffle"),
   ("ext_pdf_info", "PDF /Info provenance: one batched map, no shuffle"),
   ("ext_html_text", "HTML text extraction: title/text/refused rows from one batched map, no shuffle"),
-  ("ext_office_text", "DOCX/EPUB extraction: zip+XML walk in one batched map, no shuffle"))
+  ("ext_office_text", "DOCX/EPUB extraction: zip+XML walk in one batched map, no shuffle"),
+  ("ext_rtf_text", "RTF extraction: control-word walk in one batched map, no shuffle"),
+  ("ext_email_text", "email/MBOX extraction: RFC 5322 + MIME decode in one batched map, no shuffle"),
+  ("ext_warc_docs", "WARC crawl -> documents: record walk + HTTP decode + doc dispatch in one batched map"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 // the image-index probe query self-ensures its index (private[graft])

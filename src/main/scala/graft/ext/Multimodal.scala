@@ -3141,6 +3141,21 @@ object Multimodal {
 
     def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
+        classify(r, unwrapGzip = true)
+          .getOrElse(StubCodec.decode(Seq(r)).head)
+      }
+
+    /** The format dispatch. `unwrapGzip` allows ONE transparent gzip
+      * unwrap (r15): a gzipped payload whose inflated bytes classify
+      * to a real class reports that class with a `gzip:` format
+      * prefix (outer byte length and checksum — dedup keys stay on
+      * the stored bytes); gzip of unclassifiable content falls to
+      * byte-stats under the DECLARED format (the wrapper carries no
+      * information). One layer only — nested gzip cannot recurse.
+      * A `.warc.gz` never reaches here: Warc.isWarc sniffs it first.
+      */
+    private def classify(r: MediaRow,
+        unwrapGzip: Boolean): Option[MediaFeatures] = {
         val parsed =
           if (isPng(r.media)) decodePng(r)
           else if (isWav(r.media)) decodeWav(r)
@@ -3191,18 +3206,10 @@ object Multimodal {
                   t.pages.map(_.length).sum.toFloat,
                   t.refused.toFloat, 0f))
             }
-          else if (Html.isHtml(r.media))
-            // HTML (r15, ext.Html): the crawl's dominant text format —
-            // a "text" row [textChars, titleChars, refusedEntities, 0];
-            // the extractor is total once sniffed, so no byte-stats
-            // fallback class exists for the html brand
-            Html.text(r.media).map { t =>
-              MediaFeatures(r.doc_id, r.media.length, "text/html",
-                "text", byteChecksum(r.media),
-                Array(t.text.length.toFloat,
-                  t.title.map(_.length).getOrElse(0).toFloat,
-                  t.refused.toFloat, 0f))
-            }
+          // ORDER: the zip/rtf/warc magics are exact at offset 0;
+          // the HTML sniff is a loose 1 KiB scan that would claim a
+          // WARC (or any container) whose head happens to carry an
+          // '<html' payload — precise magics go first
           else if (Office.isZip(r.media))
             // DOCX/EPUB (r15, ext.Office): zip-container documents
             // land the "text" regime; a plain zip that is NEITHER
@@ -3217,8 +3224,61 @@ object Multimodal {
                   t.title.map(_.length).getOrElse(0).toFloat,
                   t.refused.toFloat, 0f))
             }
+          else if (Rtf.isRtf(r.media))
+            // RTF (r15, ext.Rtf): the legacy rich-text class joins
+            // the "text" regime — [textChars, titleChars, 0, 0]
+            Rtf.text(r.media).map { t =>
+              MediaFeatures(r.doc_id, r.media.length, "application/rtf",
+                "text", byteChecksum(r.media),
+                Array(t.text.length.toFloat,
+                  t.title.map(_.length).getOrElse(0).toFloat, 0f, 0f))
+            }
+          else if (Warc.isWarc(r.media))
+            // WARC (r15, ext.Warc): crawl archives are a container
+            // class — [records, responses, 0, 0]; the document text
+            // inside flows through Warc.docTable, not the census
+            Warc.records(r.media).map { rs =>
+              MediaFeatures(r.doc_id, r.media.length,
+                "application/warc", "container", byteChecksum(r.media),
+                Array(rs.length.toFloat,
+                  rs.count(_.warcType == "response").toFloat, 0f, 0f))
+            }
+
+          else if (Email.isEmail(r.media))
+            // Email/MBOX (r15, ext.Email): the mailing-list heap is
+            // "text" — [messages, totalChars, 0, 0]; must sniff
+            // BEFORE the loose HTML scan (an html-bodied message
+            // would otherwise classify by its payload)
+            Email.messages(r.media).map { ms =>
+              MediaFeatures(r.doc_id, r.media.length, "message/rfc822",
+                "text", byteChecksum(r.media),
+                Array(ms.length.toFloat,
+                  ms.map(_.text.length).sum.toFloat, 0f, 0f))
+            }
+          else if (Html.isHtml(r.media))
+            // HTML (r15, ext.Html): the crawl's dominant text format —
+            // a "text" row [textChars, titleChars, refusedEntities, 0];
+            // the extractor is total once sniffed, so no byte-stats
+            // fallback class exists for the html brand
+            Html.text(r.media).map { t =>
+              MediaFeatures(r.doc_id, r.media.length, "text/html",
+                "text", byteChecksum(r.media),
+                Array(t.text.length.toFloat,
+                  t.title.map(_.length).getOrElse(0).toFloat,
+                  t.refused.toFloat, 0f))
+            }
           else None
-        parsed.getOrElse(StubCodec.decode(Seq(r)).head)
+        parsed.orElse {
+          if (unwrapGzip && r.media != null && r.media.length >= 18 &&
+            (r.media(0) & 0xff) == 0x1f && (r.media(1) & 0xff) == 0x8b)
+            Warc.gunzip(r.media, 1 << 26).flatMap { inner =>
+              classify(r.copy(media = inner), unwrapGzip = false)
+                .map(f => f.copy(byte_len = r.media.length,
+                  format = "gzip:" + f.format,
+                  checksum = byteChecksum(r.media)))
+            }
+          else None
+        }
       }
   }
 

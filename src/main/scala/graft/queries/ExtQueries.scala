@@ -1923,6 +1923,39 @@ object ExtQueries {
         (29, "application/zip", graft.ext.Office.zipWrap(
           Seq(("data/blob.bin", Array.tabulate(96)(i =>
             ((i * 13) % 251).toByte))))),
+        // RTF (r15): the legacy rich-text class is "text"
+        (31, "application/rtf", graft.ext.Rtf.encode(
+          Seq("census rtf body"), title = "census")),
+        // Email/MBOX (r15): two messages, one html-bodied — the
+        // rfc822 magic must win over the loose HTML sniff
+        (32, "message/rfc822", graft.ext.Email.encodeMbox(Seq(
+          ("a@census", "s1", 2001, "census mail one"),
+          ("b@census", "s2", 2002, "census mail two")),
+          shape = Map(0 -> "plain", 1 -> "multipart"))),
+        // WARC (r15): crawl archives are a counted container class
+        (30, "application/warc", graft.ext.Warc.encode(Seq(
+          ("warcinfo", "", "2020-01-01T00:00:00Z",
+            "crawler=census".getBytes("UTF-8")),
+          ("response", "http://census/a", "2020-01-01T00:00:00Z",
+            graft.ext.Warc.httpBlock(200, "text/html",
+              "<html><body><p>census warc</p></body></html>"
+                .getBytes("UTF-8")))))),
+        // gzip transparency (r15): a gzipped payload classifies by
+        // its INFLATED bytes under a gzip: prefix; gzip of nothing
+        // recognizable is plain byte-stats (the wrapper says nothing)
+        (33, "application/gzip", {
+          val o = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(o)
+          gz.write(("<!DOCTYPE html><html><body><p>gzipped census" +
+            "</p></body></html>").getBytes("UTF-8"))
+          gz.close(); o.toByteArray
+        }),
+        (34, "application/gzip", {
+          val o = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(o)
+          gz.write(Array.tabulate(128)(i => ((i * 31) % 251).toByte))
+          gz.close(); o.toByteArray
+        }),
         (9, "application/junk", "not any known container".getBytes("UTF-8")))
       val rows = classes.zipWithIndex.flatMap { case ((n, fmt, bytes), ci) =>
         (0 until n).map(j => Multimodal.MediaRow(
@@ -2491,6 +2524,89 @@ object ExtQueries {
       graft.ext.Office.table(s,
           (docx ++ epub ++ nones).toDF("doc_id", "media"))
         .orderBy("doc_id")
+    }),
+
+    // RTF text + provenance extraction (oracled, closed form — r15):
+    // 5 RTF documents with font/color tables that must be skipped,
+    // doc_id-derived paragraphs, an {\info} group (title/author/
+    // creation year), and — on doc 4 — cp1252 high bytes (é) plus a
+    // \uN unicode word, both restated literally in SQL. One non-RTF
+    // payload contributes no row.
+    "ext_rtf_text" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (0L until 4L).map { k =>
+        (k, graft.ext.Rtf.encode(
+          (0 until 2).map(p => s"rtf_${k}_p$p body"),
+          title = s"rt_$k", author = s"ra_${k % 2}",
+          year = (1995 + k).toInt))
+      }
+      val uni = Seq((4L, graft.ext.Rtf.encode(
+        Seq("café σ dash — end"), title = "rt_4")))
+      val none = Seq((999L, "not rtf at all".getBytes("UTF-8")))
+      graft.ext.Rtf.table(s,
+          (docs ++ uni ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // Email/MBOX extraction (oracled, closed form — r15): 4 MBOX
+    // archives of 3 messages each cycling the four body shapes
+    // (plain, quoted-printable, base64, multipart/alternative whose
+    // duplicate html part must NOT double the text), doc_id-derived
+    // from/subject/year/body; one non-email payload contributes
+    // nothing.
+    "ext_email_text" -> ((s, dir) => {
+      import s.implicits._
+      val shapes = Array("plain", "qp", "b64", "multipart")
+      val docs = (0L until 4L).map { k =>
+        (k, graft.ext.Email.encodeMbox(
+          (0 until 3).map(j => (s"u${k}_$j@h", s"subj_${k}_$j",
+            (1990 + k * 3 + j).toInt, s"mail_${k}_$j body")),
+          shape = j => shapes((k.toInt + j) % 4)))
+      }
+      val none = Seq((999L, "not an email payload".getBytes("UTF-8")))
+      graft.ext.Email.table(s, (docs ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "msg_idx")
+    }),
+
+    // WARC crawl-archive -> clean-documents pipeline (oracled, closed
+    // form — r15): 4 WARCs each carrying a warcinfo record, two 200
+    // text/html responses (closed-form page text; doc 2's first
+    // response chunked-transfer-coded, doc 3's second gzip
+    // content-encoded), a 404 and an image response (both must NOT
+    // land); odd ids in the standard per-record-gzip .warc.gz member
+    // layout. Plus one WARC whose response payload is a PDF (the
+    // document dispatch must route it through Pdf.text) and one
+    // non-WARC payload contributing nothing.
+    "ext_warc_docs" -> ((s, dir) => {
+      import s.implicits._
+      val W = graft.ext.Warc
+      def page(k: Long, j: Int): Array[Byte] =
+        (s"<html><head><title>wt_${k}_$j</title></head><body>" +
+          s"<p>crawl_${k}_$j text</p></body></html>").getBytes("UTF-8")
+      val docs = (0L until 4L).map { k =>
+        val d = s"201$k-02-03T04:05:06Z"
+        (k, W.encode(Seq(
+          ("warcinfo", "", d, s"crawler=fixture_$k".getBytes("UTF-8")),
+          ("response", s"http://site$k/0", d,
+            W.httpBlock(200, "text/html", page(k, 0), chunked = k == 2)),
+          ("response", s"http://site$k/1", d,
+            W.httpBlock(200, "text/html", page(k, 1), gzipBody = k == 3)),
+          ("response", s"http://site$k/gone", d,
+            W.httpBlock(404, "text/html",
+              "<html><body><p>gone</p></body></html>".getBytes("UTF-8"))),
+          ("response", s"http://site$k/img", d,
+            W.httpBlock(200, "image/png",
+              Array.tabulate(24)(i => ((k * 7 + i) % 251).toByte)))),
+          perRecordGzip = k % 2 == 1))
+      }
+      val pdfDoc = Seq((10L, W.encode(Seq(
+        ("response", "http://site/report.pdf", "2020-01-01T00:00:00Z",
+          W.httpBlock(200, "application/pdf",
+            Pdf.encode(Seq(Seq("pdf_in_crawl")))))))))
+      val none = Seq((999L, "not a warc".getBytes("UTF-8")))
+      graft.ext.Warc.docTable(s,
+          (docs ++ pdfDoc ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "rec_idx")
     }),
 
     // PDF document-information PROVENANCE (oracled, closed form —
@@ -4400,6 +4516,48 @@ object ExtQueries {
         |  FROM UNNEST(range(0, 4)) AS t(k))
         |ORDER BY doc_id""".stripMargin,
 
+    // closed-form planted rtf documents; doc 999 contributes nothing
+    "ext_rtf_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, title, author,
+        |  CAST(year AS INT) AS year, text
+        |FROM (
+        |  SELECT k AS doc_id, 'rt_' || k AS title,
+        |    'ra_' || (k % 2) AS author, 1995 + k AS year,
+        |    'rtf_' || k || '_p0 body' || chr(10) ||
+        |      'rtf_' || k || '_p1 body' AS text
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL SELECT 4, 'rt_4', NULL, NULL,
+        |    'café σ dash — end')
+        |ORDER BY doc_id""".stripMargin,
+
+    // closed-form planted messages; doc 999 contributes nothing
+    "ext_email_text" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id, CAST(j AS INT) AS msg_idx,
+        |  'u' || k || '_' || j || '@h' AS "from",
+        |  'subj_' || k || '_' || j AS subject,
+        |  CAST(1990 + k * 3 + j AS INT) AS year,
+        |  'mail_' || k || '_' || j || ' body' AS text
+        |FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j)
+        |ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // closed-form planted crawl pages: responses at record indices 1
+    // and 2 (warcinfo is 0); the 404, the image response, and the
+    // non-WARC payload contribute nothing; doc 10 is the PDF response
+    "ext_warc_docs" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(rec_idx AS INT) AS rec_idx, url,
+        |  CAST(200 AS INT) AS http_status, mime, text,
+        |  CAST(0 AS BIGINT) AS refused
+        |FROM (
+        |  SELECT k AS doc_id, j + 1 AS rec_idx,
+        |    'http://site' || k || '/' || j AS url,
+        |    'text/html' AS mime,
+        |    'crawl_' || k || '_' || j || ' text' AS text
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL SELECT 10, 0, 'http://site/report.pdf',
+        |    'application/pdf', 'pdf_in_crawl')
+        |ORDER BY doc_id, rec_idx""".stripMargin,
+
     // closed-form planted cues across the three carriers; the
     // subtitle-less doc 999 contributes nothing
     "ext_video_subtitles" ->
@@ -4615,8 +4773,13 @@ object ExtQueries {
     "ext_decode_census_all" ->
       """SELECT * FROM (VALUES
         |  ('application/junk', 'byte-stats', CAST(9 AS BIGINT)),
+        |  ('application/gzip', 'byte-stats', 34),
+        |  ('gzip:text/html', 'text', 33),
         |  ('application/docx', 'text', 27),
         |  ('application/epub+zip', 'text', 28),
+        |  ('application/rtf', 'text', 31),
+        |  ('message/rfc822', 'text', 32),
+        |  ('application/warc', 'container', 30),
         |  ('application/zip', 'byte-stats', 29),
         |  ('application/pdf', 'byte-stats', 25),
         |  ('application/pdf', 'text', 24),

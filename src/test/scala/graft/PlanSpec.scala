@@ -240,8 +240,10 @@ class PlanSpec extends SparkSpec {
         // r14: subtitle/PDF extraction rows are the same per-row
         // container-walk class — cues/pages explode inside the map
         "ext_video_subtitles", "ext_pdf_text", "ext_pdf_info",
-        // r15: HTML and DOCX/EPUB extraction — same class
-        "ext_html_text", "ext_office_text")) {
+        // r15: HTML, DOCX/EPUB, RTF, email and WARC extraction —
+        // same class
+        "ext_html_text", "ext_office_text", "ext_rtf_text",
+        "ext_email_text", "ext_warc_docs")) {
       val p = extPlan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: row-local walk acquired a hash shuffle:\n$p")

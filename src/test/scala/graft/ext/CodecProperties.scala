@@ -105,6 +105,18 @@ object CodecProperties extends Properties("codecs") {
       author = "a", createdYear = 2002),
     Office.encodeEpub(Seq(("Fz", Seq("p1", "p2"))), title = "t",
       year = 2003, scrambleOrder = true),
+    Rtf.encode(Seq("fuzz rtf — body", "σ two"), title = "t",
+      author = "a", year = 2004),
+    Email.encodeMbox(Seq(
+      ("f@z", "=?utf-8?B?c3Viag==?=", 2005, "fuzz mail body"),
+      ("g@z", "plain subj", 2006, "two")),
+      shape = Map(0 -> "multipart", 1 -> "qp")),
+    Warc.encode(Seq(
+      ("warcinfo", "", "2020-01-01T00:00:00Z", "c=f".getBytes("UTF-8")),
+      ("response", "http://f/1", "2020-01-01T00:00:00Z",
+        Warc.httpBlock(200, "text/html",
+          "<html><body><p>warc fuzz</p></body></html>".getBytes("UTF-8"),
+          chunked = true))), perRecordGzip = true),
     ("<!DOCTYPE html><html><head><meta charset=utf-8><title>fz</title>" +
       "<style>p{}</style><script>var a='</p>';</script></head><body>" +
       "<p>fuzz &amp; body</p><table><tr><td>c</td></tr></table>" +
@@ -270,6 +282,34 @@ object CodecProperties extends Properties("codecs") {
       Pdf.text(bytes) match {
         case Some(t) =>
           t.pages.nonEmpty && t.refused >= 0 && t.pages.forall(_ != null)
+        case None => true
+      }
+    }
+
+  property("email extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Email.messages(bytes) match {
+        case Some(ms) => ms.nonEmpty && ms.forall(m => m.text != null &&
+          m.year.forall(y => y > 1000 && y < 10000))
+        case None => true
+      }
+    }
+
+  property("rtf text extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Rtf.text(bytes) match {
+        case Some(t) => t.text != null && t.title.forall(_ != null)
+        case None    => true
+      }
+    }
+
+  property("warc record extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Warc.records(bytes) match {
+        case Some(rs) =>
+          rs.nonEmpty && rs.forall(r => r.warcType != null &&
+            r.body != null && r.httpStatus.forall(s =>
+              s >= 100 && s < 600))
         case None => true
       }
     }
