@@ -34,16 +34,23 @@ object Email {
   private val HeaderNames = Seq("from:", "to:", "subject:", "date:",
     "received:", "message-id:", "mime-version:")
 
-  /** MBOX (`From ` at offset 0) or a bare RFC 5322 message (>= 2
-    * standard headers at line starts before the first blank line).
+  /** MBOX (`From ` at offset 0 AND a real header block on the next
+    * lines — plain prose that happens to start "From the..." must NOT
+    * sniff) or a bare RFC 5322 message (>= 2 standard headers at line
+    * starts before the first blank line).
     */
   def isEmail(b: Array[Byte]): Boolean = {
     if (b == null || b.length < 16) return false
     val head = new String(b, 0, math.min(b.length, 2048), "ISO-8859-1")
-    if (head.startsWith("From ") && head.contains("\n")) return true
-    val pre = head.split("\r?\n\r?\n", 2)(0)
-    val lines = pre.split("\r?\n").map(_.toLowerCase(java.util.Locale.ROOT))
-    lines.count(l => HeaderNames.exists(l.startsWith)) >= 2
+    def headerish(s: String): Boolean = {
+      val pre = s.split("\r?\n\r?\n", 2)(0)
+      pre.split("\r?\n").map(_.toLowerCase(java.util.Locale.ROOT))
+        .count(l => HeaderNames.exists(l.startsWith)) >= 2
+    }
+    if (head.startsWith("From ")) {
+      val nl = head.indexOf('\n')
+      nl > 0 && headerish(head.substring(nl + 1))
+    } else headerish(head)
   }
 
   // ------------------------------------------------------------------
@@ -87,12 +94,13 @@ object Email {
     * encoded-words joined without the intervening whitespace (the
     * RFC's own rule). Undecodable words stay literal.
     */
+  private val EncodedWord = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
+
   private[ext] def decodeWords(s: String): String = {
-    val re = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
     val sb = new StringBuilder
     var last = 0
     var lastWasWord = false
-    for (m <- re.findAllMatchIn(s)) {
+    for (m <- EncodedWord.findAllMatchIn(s)) {
       val gap = s.substring(last, m.start)
       // whitespace BETWEEN encoded-words is transparent per RFC
       if (!(lastWasWord && gap.forall(ch => ch == ' ' || ch == '\t')))
@@ -128,7 +136,8 @@ object Email {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var i = 0
     var lastKey: String = null
-    var bodyAt = s.length
+    var lastKept = false // a duplicate's continuation must not append
+    var bodyAt = s.length //   to the FIRST header's value
     var scanning = true
     while (scanning && i < s.length) {
       var e = s.indexOf('\n', i)
@@ -139,15 +148,15 @@ object Email {
         val line = s.substring(i, lineEnd)
         if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') &&
           lastKey != null) {
-          m(lastKey) = m(lastKey) + " " + line.trim // unfold
+          if (lastKept) m(lastKey) = m(lastKey) + " " + line.trim // unfold
         } else {
           val c = line.indexOf(':')
           if (c > 0) {
             val k = line.substring(0, c).trim
               .toLowerCase(java.util.Locale.ROOT)
             lastKey = k
-            if (!m.contains(k)) m(k) = line.substring(c + 1).trim
-            else m(k) = m(k) // duplicates: first wins
+            lastKept = !m.contains(k) // duplicates: first wins
+            if (lastKept) m(k) = line.substring(c + 1).trim
           } else { scanning = false; bodyAt = i } // malformed: body here
         }
         i = e + 1
@@ -175,17 +184,24 @@ object Email {
   private def entityText(s: String, depth: Int): String = {
     if (depth > 8) return ""
     val (h, bodyAt) = headerBlock(s)
-    val body = s.substring(bodyAt)
+    entityTextParsed(h, s.substring(bodyAt), depth)
+  }
+
+  private def entityTextParsed(h: Map[String, String], body: String,
+      depth: Int): String = {
     val ctype = h.getOrElse("content-type", "text/plain")
     val mime = ctype.split(';')(0).trim
       .toLowerCase(java.util.Locale.ROOT)
     if (mime.startsWith("multipart/")) {
       val boundary = param(ctype, "boundary").getOrElse(return "")
-      val parts = body.split(
-        java.util.regex.Pattern.quote("--" + boundary))
+      // RFC 2046: a delimiter is '--boundary' at a LINE START — a
+      // part whose text merely CONTAINS the string must not split
+      val parts = body.split("(?m)^--" +
+        java.util.regex.Pattern.quote(boundary))
         .drop(1) // preamble
         .takeWhile(p => !p.startsWith("--"))
-        .map(_.dropWhile(c => c == '\r' || c == '\n'))
+        .map(_.dropWhile(c => c == '\r' || c == '\n' || c == ' ' ||
+          c == '\t'))
       val texts = parts.map(entityText(_, depth + 1)).filter(_.nonEmpty)
       // multipart/alternative carries the SAME content in rising
       // preference order — taking all of them would duplicate the
@@ -221,9 +237,11 @@ object Email {
     }
   }
 
-  /** Parse one RFC 5322 message. */
+  /** Parse one RFC 5322 message (headers parsed ONCE — the body walk
+    * reuses them).
+    */
   private[ext] def message(s: String): Message = {
-    val (h, _) = headerBlock(s)
+    val (h, bodyAt) = headerBlock(s)
     val from = h.get("from").map(decodeWords).map(_.trim)
       .filter(_.nonEmpty)
     val subject = h.get("subject").map(decodeWords).map(_.trim)
@@ -235,7 +253,8 @@ object Email {
         t.length == 4 && t.forall(_.isDigit)).map(_.toInt)
         .filter(y => y > 1000 && y < 10000)
     }
-    Message(from, subject, year, entityText(s, 0))
+    Message(from, subject, year,
+      entityTextParsed(h, s.substring(bodyAt), 0))
   }
 
   /** All messages: an MBOX splits on `From ` separator lines (mboxrd

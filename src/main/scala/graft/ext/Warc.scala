@@ -218,7 +218,10 @@ object Warc {
     val status = statusLine.split(' ')
       .lift(1).flatMap(_.toIntOption).filter(s => s >= 100 && s < 600)
     headers(block, e + 1, block.length) match {
-      case None => (status, None, Array.emptyByteArray)
+      // no terminating blank line (truncated capture) or past the
+      // header-line cap: keep the RAW block as the body — degraded,
+      // never dropped (the scaladoc contract)
+      case None => (status, None, block)
       case Some((h, payloadOff)) =>
         val mime = h.get("content-type")
           .map(_.split(';')(0).trim.toLowerCase(java.util.Locale.ROOT))

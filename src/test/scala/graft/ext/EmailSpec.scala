@@ -104,6 +104,27 @@ class EmailSpec extends AnyFunSuite {
     }
   }
 
+  test("review pins: prose 'From ' no-sniff, duplicate-header fold, mid-line boundary") {
+    // plain prose starting "From " must NOT sniff as an MBOX (it
+    // would lose its first line and misclassify in the census)
+    assert(Email.messages(b("From the archives of the society\n" +
+      "we present a collection of texts.\nMore lines.")) == None)
+    // a folded continuation of a DUPLICATE header must not append to
+    // the first header's value
+    val dup = "From: a@b\nSubject: Real\nSubject: Fake\n" +
+      "  continued\nDate: Mon, 1 Jan 2001 00:00:00 +0000\n\nbody\n"
+    val Seq(md) = Email.messages(b(dup)).get
+    assert(md.subject.contains("Real"), s"${md.subject}")
+    // '--boundary' INSIDE a line is content, not a delimiter
+    val tricky = "From: a@b\nSubject: s\n" +
+      "Content-Type: multipart/mixed; boundary=XY\n\n" +
+      "--XY\nContent-Type: text/plain\n\n" +
+      "see --XY mid-line stays\n" +
+      "--XY--\n"
+    val Seq(mt) = Email.messages(b(tricky)).get
+    assert(mt.text == "see --XY mid-line stays", s"[${mt.text}]")
+  }
+
   test("non-email returns None; table shape") {
     assert(Email.messages(b("just some text\nwith lines")) == None)
     assert(Email.messages(null) == None)

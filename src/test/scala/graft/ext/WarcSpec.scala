@@ -96,6 +96,18 @@ class WarcSpec extends AnyFunSuite {
       rows(0).getString(5) == "crawl text")
   }
 
+  test("review pin: truncated HTTP headers keep the RAW block as body, never drop it") {
+    // a capture cut mid-headers (no blank line) must degrade to the
+    // raw block — the bytes were present and stay extractable
+    val block = b("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Truncated-Header-No-Blank-Line: yes")
+    val w = Warc.encode(Seq(("response", "http://h/t",
+      "2020-01-01T00:00:00Z", block)))
+    val r = Warc.records(w).get.head
+    assert(r.httpStatus.contains(200))
+    assert(r.body.toSeq == block.toSeq, "raw block must be kept")
+  }
+
   test("record table shape; a junk tail stops the walk without shifting") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
