@@ -85,7 +85,9 @@ val headline = Seq(
   ("ext_office_text", "DOCX/EPUB extraction: zip+XML walk in one batched map, no shuffle"),
   ("ext_rtf_text", "RTF extraction: control-word walk in one batched map, no shuffle"),
   ("ext_email_text", "email/MBOX extraction: RFC 5322 + MIME decode in one batched map, no shuffle"),
-  ("ext_warc_docs", "WARC crawl -> documents: record walk + HTTP decode + doc dispatch in one batched map"))
+  ("ext_warc_docs", "WARC crawl -> documents: record walk + HTTP decode + doc dispatch in one batched map"),
+  ("ext_tar_docs", "TAR archive -> documents: ustar walk + doc dispatch in one batched map"),
+  ("ext_crawl_dedup", "crawl re-crawl dedup: extraction map, then ONE text-partitioned window (no global sort)"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)
 // the image-index probe query self-ensures its index (private[graft])

@@ -3244,6 +3244,19 @@ object Multimodal {
                   rs.count(_.warcType == "response").toFloat, 0f, 0f))
             }
 
+          else if (Tar.isTar(r.media))
+            // TAR (r15, ext.Tar): dump archives are a container
+            // class — [members, docMembers, 0, 0]; member text flows
+            // through Tar.docTable, not the census. Exact ustar magic
+            // must also beat the loose HTML sniff (the first member's
+            // bytes sit inside the 1 KiB window)
+            Tar.entries(r.media).map { es =>
+              MediaFeatures(r.doc_id, r.media.length,
+                "application/x-tar", "container", byteChecksum(r.media),
+                Array(es.length.toFloat,
+                  es.count(e => Documents.dispatch(e.data).isDefined)
+                    .toFloat, 0f, 0f))
+            }
           else if (Email.isEmail(r.media))
             // Email/MBOX (r15, ext.Email): the mailing-list heap is
             // "text" — [messages, totalChars, 0, 0]; must sniff

@@ -258,9 +258,9 @@ object Warc {
   }
 
   /** Crawl → clean documents: response payloads routed through the
-    * document dispatch (HTML / PDF / DOCX / EPUB; 2xx only). Rows:
-    * (doc_id, rec_idx, url, http_status, mime, text, refused). One
-    * batched map — a crawl member becomes corpus text in one pass.
+    * shared [[Documents.dispatch]] (2xx only). Rows: (doc_id,
+    * rec_idx, url, http_status, mime, text, refused). One batched
+    * map — a crawl member becomes corpus text in one pass.
     */
   def docTable(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
@@ -269,14 +269,7 @@ object Warc {
         records(b).toSeq.flatten.zipWithIndex.flatMap {
           case (r, k) if r.warcType == "response" &&
             r.httpStatus.exists(st => st >= 200 && st < 300) =>
-            val doc: Option[(String, Long)] =
-              Html.text(r.body).map(h => (h.text, h.refused))
-                .orElse(Pdf.text(r.body)
-                  .map(p => (p.pages.mkString("\n"), p.refused)))
-                .orElse(Office.text(r.body)
-                  .map(o => (o.text, o.refused)))
-                .orElse(Rtf.text(r.body).map(t => (t.text, 0L)))
-            doc.map { case (text, refused) =>
+            Documents.dispatch(r.body).map { case (text, refused) =>
               (id, k, r.url, r.httpStatus, r.mime, text, refused)
             }
           case _ => None

@@ -1940,6 +1940,11 @@ object ExtQueries {
             graft.ext.Warc.httpBlock(200, "text/html",
               "<html><body><p>census warc</p></body></html>"
                 .getBytes("UTF-8")))))),
+        // TAR (r15): dump archives are a counted container class
+        (35, "application/x-tar", graft.ext.Tar.encode(Seq(
+          ("docs/a.html", ("<html><body><p>census tar member" +
+            "</p></body></html>").getBytes("UTF-8")),
+          ("raw/b.bin", Array.tabulate(40)(i => ((i * 17) % 251).toByte))))),
         // gzip transparency (r15): a gzipped payload classifies by
         // its INFLATED bytes under a gzip: prefix; gzip of nothing
         // recognizable is plain byte-stats (the wrapper says nothing)
@@ -2546,6 +2551,77 @@ object ExtQueries {
       graft.ext.Rtf.table(s,
           (docs ++ uni ++ none).toDF("doc_id", "media"))
         .orderBy("doc_id")
+    }),
+
+    // TAR archive -> documents (oracled, closed form — r15): 4
+    // tarballs (odd ids whole-archive gzipped) of 2 HTML members +
+    // one binary member + one GZIPPED-member HTML (the one-layer
+    // member unwrap) + one >100-char GNU long-named RTF member; the
+    // binary member contributes nothing. One non-tar payload, no
+    // rows.
+    "ext_tar_docs" -> ((s, dir) => {
+      import s.implicits._
+      def gz(p: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(o)
+        g.write(p); g.close(); o.toByteArray
+      }
+      val docs = (0L until 4L).map { k =>
+        val longName = "deep/" + ("d" * 110) + s"/long_$k.rtf"
+        (k, graft.ext.Tar.encode(Seq(
+          (s"site/p${k}_0.html",
+            (s"<html><head><title>tt_${k}_0</title></head><body>" +
+              s"<p>tar_${k}_0 text</p></body></html>").getBytes("UTF-8")),
+          (s"raw/blob_$k.bin",
+            Array.tabulate(32)(i => ((k * 5 + i) % 251).toByte)),
+          (s"site/p${k}_1.html",
+            (s"<html><body><p>tar_${k}_1 text</p></body></html>")
+              .getBytes("UTF-8")),
+          (s"gz/p${k}_2.html.gz",
+            gz((s"<html><body><p>tar_${k}_2 gzipped</p></body></html>")
+              .getBytes("UTF-8"))),
+          (longName, graft.ext.Rtf.encode(Seq(s"tar_${k}_rtf body")))),
+          gzipAll = k % 2 == 1))
+      }
+      val none = Seq((999L, "not a tar".getBytes("UTF-8")))
+      graft.ext.Tar.docTable(s, (docs ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "member_idx")
+    }),
+
+    // Crawl re-crawl DEDUP, composed end-to-end (oracled — r15): the
+    // first thing a crawl corpus needs after extraction is exact
+    // dedup across captures. Three WARCs where page text
+    // 'shared_page body' appears in BOTH warc 0 and warc 1 (a
+    // re-crawl under a different URL) and every other page is
+    // unique: extract via Warc.docTable, keep the FIRST copy of each
+    // text (row_number over a text-partitioned window ordered by
+    // (doc_id, rec_idx) — hash-distributed by text, never a global
+    // sort). The oracle restates the surviving set.
+    "ext_crawl_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = graft.ext.Warc
+      def html(t: String) =
+        s"<html><body><p>$t</p></body></html>".getBytes("UTF-8")
+      def warc(k: Long, pages: Seq[(String, String)]) =
+        (k, W.encode(pages.map { case (u, t) =>
+          ("response", u, "2020-01-01T00:00:00Z",
+            W.httpBlock(200, "text/html", html(t)))
+        }))
+      import s.implicits._
+      val media = Seq(
+        warc(0L, Seq(("http://a/0", "unique_0 body"),
+          ("http://a/s", "shared_page body"))),
+        warc(1L, Seq(("http://b/s", "shared_page body"),
+          ("http://b/1", "unique_1 body"))),
+        warc(2L, Seq(("http://c/2", "unique_2 body"))))
+        .toDF("doc_id", "media")
+      val docs = W.docTable(s, media)
+      val w = Window.partitionBy("text")
+        .orderBy(col("doc_id"), col("rec_idx"))
+      docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("url"), col("text"))
+        .orderBy("text")
     }),
 
     // Email/MBOX extraction (oracled, closed form — r15): 4 MBOX
@@ -4530,6 +4606,38 @@ object ExtQueries {
         |    'café σ dash — end')
         |ORDER BY doc_id""".stripMargin,
 
+    // closed-form planted tar members; the binary member (idx 1 in
+    // archive order) and the non-tar payload contribute nothing —
+    // member_idx counts REGULAR FILES in archive order, so the
+    // surviving docs sit at 0, 2, 3, 4
+    "ext_tar_docs" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id, CAST(m AS INT) AS member_idx,
+        |  CASE m
+        |    WHEN 0 THEN 'site/p' || k || '_0.html'
+        |    WHEN 2 THEN 'site/p' || k || '_1.html'
+        |    WHEN 3 THEN 'gz/p' || k || '_2.html.gz'
+        |    ELSE 'deep/' || repeat('d', 110) || '/long_' || k || '.rtf'
+        |  END AS name,
+        |  CASE m
+        |    WHEN 0 THEN 'tar_' || k || '_0 text'
+        |    WHEN 2 THEN 'tar_' || k || '_1 text'
+        |    WHEN 3 THEN 'tar_' || k || '_2 gzipped'
+        |    ELSE 'tar_' || k || '_rtf body'
+        |  END AS text,
+        |  CAST(0 AS BIGINT) AS refused
+        |FROM UNNEST(range(0, 4)) AS t(k),
+        |     UNNEST([0, 2, 3, 4]) AS u(m)
+        |ORDER BY doc_id, member_idx""".stripMargin,
+
+    // the surviving copy of each page: warc 0 wins the shared page
+    "ext_crawl_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'http://a/s', 'shared_page body'),
+        |  (0, 'http://a/0', 'unique_0 body'),
+        |  (1, 'http://b/1', 'unique_1 body'),
+        |  (2, 'http://c/2', 'unique_2 body')) AS t(doc_id, url, text)
+        |ORDER BY text""".stripMargin,
+
     // closed-form planted messages; doc 999 contributes nothing
     "ext_email_text" ->
       """SELECT CAST(k AS BIGINT) AS doc_id, CAST(j AS INT) AS msg_idx,
@@ -4780,6 +4888,7 @@ object ExtQueries {
         |  ('application/rtf', 'text', 31),
         |  ('message/rfc822', 'text', 32),
         |  ('application/warc', 'container', 30),
+        |  ('application/x-tar', 'container', 35),
         |  ('application/zip', 'byte-stats', 29),
         |  ('application/pdf', 'byte-stats', 25),
         |  ('application/pdf', 'text', 24),

@@ -111,6 +111,10 @@ object CodecProperties extends Properties("codecs") {
       ("f@z", "=?utf-8?B?c3Viag==?=", 2005, "fuzz mail body"),
       ("g@z", "plain subj", 2006, "two")),
       shape = Map(0 -> "multipart", 1 -> "qp")),
+    Tar.encode(Seq(
+      ("f/h.html", "<html><p>tar fuzz</p></html>".getBytes("UTF-8")),
+      ("f/b.bin", Array.tabulate(48)(i => (i * 3).toByte))),
+      gzipAll = true),
     Warc.encode(Seq(
       ("warcinfo", "", "2020-01-01T00:00:00Z", "c=f".getBytes("UTF-8")),
       ("response", "http://f/1", "2020-01-01T00:00:00Z",
@@ -300,6 +304,15 @@ object CodecProperties extends Properties("codecs") {
       Rtf.text(bytes) match {
         case Some(t) => t.text != null && t.title.forall(_ != null)
         case None    => true
+      }
+    }
+
+  property("tar extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Tar.entries(bytes) match {
+        case Some(es) => es.nonEmpty && es.forall(e =>
+          e.name != null && e.data != null)
+        case None => true
       }
     }
 
