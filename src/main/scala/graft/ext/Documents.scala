@@ -14,9 +14,7 @@ object Documents {
   def dispatch(b: Array[Byte]): Option[(String, Long)] = {
     if (b == null || b.length < 6) return None
     val inner =
-      if (b.length >= 18 && (b(0) & 0xff) == 0x1f &&
-        (b(1) & 0xff) == 0x8b)
-        Warc.gunzip(b, 1 << 26).getOrElse(b)
+      if (Warc.isGzip(b)) Warc.gunzip(b, 1 << 26).getOrElse(b)
       else b
     Html.text(inner).map(h => (h.text, h.refused))
       .orElse(Pdf.text(inner)

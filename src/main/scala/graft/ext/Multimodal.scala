@@ -3282,8 +3282,7 @@ object Multimodal {
             }
           else None
         parsed.orElse {
-          if (unwrapGzip && r.media != null && r.media.length >= 18 &&
-            (r.media(0) & 0xff) == 0x1f && (r.media(1) & 0xff) == 0x8b)
+          if (unwrapGzip && Warc.isGzip(r.media))
             Warc.gunzip(r.media, 1 << 26).flatMap { inner =>
               classify(r.copy(media = inner), unwrapGzip = false)
                 .map(f => f.copy(byte_len = r.media.length,

@@ -25,9 +25,7 @@ object Tar {
 
   final case class Entry(name: String, data: Array[Byte])
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b != null && b.length >= 18 && (b(0) & 0xff) == 0x1f &&
-      (b(1) & 0xff) == 0x8b
+  private def isGzip(b: Array[Byte]): Boolean = Warc.isGzip(b)
 
   private def hasUstar(b: Array[Byte]): Boolean =
     b.length >= 512 && b(257) == 'u' && b(258) == 's' &&
@@ -182,7 +180,10 @@ object Tar {
         val nb = name.getBytes("UTF-8")
         out.write(header("././@LongLink", nb.length, 'L'))
         out.write(nb)
-        out.write(new Array[Byte](512 - nb.length % 512))
+        // pad guard: a name of exactly N*512 bytes must not emit a
+        // full zero block (the reader would read end-of-archive)
+        if (nb.length % 512 != 0)
+          out.write(new Array[Byte](512 - nb.length % 512))
         out.write(header(name.take(100), data.length, '0'))
       } else out.write(header(name, data.length, '0'))
       out.write(data)

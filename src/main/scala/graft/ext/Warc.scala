@@ -38,7 +38,10 @@ object Warc {
       year: Option[Int], httpStatus: Option[Int], mime: Option[String],
       body: Array[Byte])
 
-  private def isGzip(b: Array[Byte]): Boolean =
+  /** THE gzip magic sniff — one definition shared by the WARC walk,
+    * [[Tar]], [[Documents.dispatch]] and the census unwrap.
+    */
+  private[ext] def isGzip(b: Array[Byte]): Boolean =
     b != null && b.length >= 18 && (b(0) & 0xff) == 0x1f &&
       (b(1) & 0xff) == 0x8b
 
