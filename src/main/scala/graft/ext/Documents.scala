@@ -23,5 +23,6 @@ object Documents {
       .orElse(Rtf.text(inner).map(t => (t.text, 0L)))
       .orElse(Email.messages(inner).map(ms =>
         (ms.map(_.text).filter(_.nonEmpty).mkString("\n"), 0L)))
+      .orElse(Xml.text(inner).map(t => (t.text, t.refused)))
   }
 }

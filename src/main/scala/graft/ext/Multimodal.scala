@@ -3280,6 +3280,14 @@ object Multimodal {
                   t.title.map(_.length).getOrElse(0).toFloat,
                   t.refused.toFloat, 0f))
             }
+          else if (Xml.isXml(r.media))
+            // generic XML (r15, ext.Xml) — AFTER the Html check, so
+            // XHTML routes through the html extractor
+            Xml.text(r.media).map { t =>
+              MediaFeatures(r.doc_id, r.media.length, "application/xml",
+                "text", byteChecksum(r.media),
+                Array(t.text.length.toFloat, 0f, t.refused.toFloat, 0f))
+            }
           else None
         parsed.orElse {
           if (unwrapGzip && Warc.isGzip(r.media))

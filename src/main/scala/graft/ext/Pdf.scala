@@ -1439,9 +1439,12 @@ object Pdf {
       streams.foreach { case (num, (dict, d)) =>
         writeObj(num, dict, Some(d))
       }
+      // real files always Flate their ObjStms — the fixture does too,
+      // so scanObjects' expansion exercises the filter chain
+      val stmZ = deflate(stmData)
       writeObj(stmNum,
         s"<< /Type /ObjStm /N ${plain.size} /First $first " +
-          s"/Length ${stmData.length} >>", Some(stmData))
+          s"/Filter /FlateDecode /Length ${stmZ.length} >>", Some(stmZ))
       // xref stream: W [1 2 2]; type-1 rows for top-level objects,
       // type-2 (objstm, index) for the packed ones
       val maxNum = xrefNum

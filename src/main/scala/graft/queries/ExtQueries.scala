@@ -1940,6 +1940,9 @@ object ExtQueries {
             graft.ext.Warc.httpBlock(200, "text/html",
               "<html><body><p>census warc</p></body></html>"
                 .getBytes("UTF-8")))))),
+        // generic XML (r15): "text" class (XHTML would be text/html)
+        (36, "application/xml", ("<?xml version=\"1.0\"?><doc>" +
+          "<p>census xml body</p></doc>").getBytes("UTF-8")),
         // TAR (r15): dump archives are a counted container class
         (35, "application/x-tar", graft.ext.Tar.encode(Seq(
           ("docs/a.html", ("<html><body><p>census tar member" +
@@ -2550,6 +2553,27 @@ object ExtQueries {
       val none = Seq((999L, "not rtf at all".getBytes("UTF-8")))
       graft.ext.Rtf.table(s,
           (docs ++ uni ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
+    // Generic XML text extraction (oracled, closed form — r15):
+    // 4 DocBook-ish documents with dropped comments/PI/doctype, a
+    // DTD-entity refusal (counts, stays literal), one ISO-8859-1
+    // declared encoding; one non-XML payload contributes nothing.
+    "ext_xml_text" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (0L until 4L).map { k =>
+        (k, (s"""<?xml version="1.0"?><!DOCTYPE art SYSTEM "a.dtd">""" +
+          s"<art><title>xt_$k</title><!-- note --><para>xml_$k one" +
+          s"</para><para>xml_$k two &amp; &dtdent;</para></art>")
+          .getBytes("UTF-8"))
+      }
+      val latin = Seq((10L,
+        ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>" +
+          "<d><t>café xml touché</t></d>").getBytes("ISO-8859-1")))
+      val none = Seq((999L, "not xml".getBytes("UTF-8")))
+      graft.ext.Xml.table(s, (docs ++ latin ++ none)
+        .toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
 
@@ -4606,6 +4630,19 @@ object ExtQueries {
         |    'café σ dash — end')
         |ORDER BY doc_id""".stripMargin,
 
+    // closed-form planted xml documents; the DTD entity stays
+    // literal with refused = 1; doc 999 contributes nothing
+    "ext_xml_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, root, text,
+        |  CAST(refused AS BIGINT) AS refused
+        |FROM (
+        |  SELECT k AS doc_id, 'art' AS root,
+        |    'xt_' || k || chr(10) || 'xml_' || k || ' one' || chr(10) ||
+        |      'xml_' || k || ' two & &dtdent;' AS text, 1 AS refused
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL SELECT 10, 'd', 'café xml touché', 0)
+        |ORDER BY doc_id""".stripMargin,
+
     // closed-form planted tar members; the binary member (idx 1 in
     // archive order) and the non-tar payload contribute nothing —
     // member_idx counts REGULAR FILES in archive order, so the
@@ -4889,6 +4926,7 @@ object ExtQueries {
         |  ('message/rfc822', 'text', 32),
         |  ('application/warc', 'container', 30),
         |  ('application/x-tar', 'container', 35),
+        |  ('application/xml', 'text', 36),
         |  ('application/zip', 'byte-stats', 29),
         |  ('application/pdf', 'byte-stats', 25),
         |  ('application/pdf', 'text', 24),

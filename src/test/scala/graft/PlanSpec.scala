@@ -243,7 +243,8 @@ class PlanSpec extends SparkSpec {
         // r15: HTML, DOCX/EPUB, RTF, email and WARC extraction —
         // same class
         "ext_html_text", "ext_office_text", "ext_rtf_text",
-        "ext_email_text", "ext_warc_docs", "ext_tar_docs")) {
+        "ext_email_text", "ext_warc_docs", "ext_tar_docs",
+        "ext_xml_text")) {
       val p = extPlan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: row-local walk acquired a hash shuffle:\n$p")

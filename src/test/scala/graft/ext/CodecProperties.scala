@@ -111,6 +111,8 @@ object CodecProperties extends Properties("codecs") {
       ("f@z", "=?utf-8?B?c3Viag==?=", 2005, "fuzz mail body"),
       ("g@z", "plain subj", 2006, "two")),
       shape = Map(0 -> "multipart", 1 -> "qp")),
+    ("<?xml version=\"1.0\" encoding=\"utf-8\"?><a><b attr=\"v>w\">" +
+      "fuzz &amp; xml</b><![CDATA[cd]]></a>").getBytes("UTF-8"),
     Tar.encode(Seq(
       ("f/h.html", "<html><p>tar fuzz</p></html>".getBytes("UTF-8")),
       ("f/b.bin", Array.tabulate(48)(i => (i * 3).toByte))),
@@ -303,6 +305,14 @@ object CodecProperties extends Properties("codecs") {
     forAll(anyPayload) { bytes =>
       Rtf.text(bytes) match {
         case Some(t) => t.text != null && t.title.forall(_ != null)
+        case None    => true
+      }
+    }
+
+  property("xml text extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Xml.text(bytes) match {
+        case Some(t) => t.text != null && t.root != null && t.refused >= 0
         case None    => true
       }
     }
