@@ -88,6 +88,7 @@ val headline = Seq(
   ("ext_warc_docs", "WARC crawl -> documents: record walk + HTTP decode + doc dispatch in one batched map"),
   ("ext_tar_docs", "TAR archive -> documents: ustar walk + doc dispatch in one batched map"),
   ("ext_xml_text", "generic XML extraction: element walk in one batched map, no shuffle"),
+  ("ext_text_fidelity_card", "text-extraction fidelity datasheet: extraction maps into two tiny per-doc aggregates, O(metrics) output"),
   ("ext_crawl_dedup", "crawl re-crawl dedup: extraction map, then ONE text-partitioned window (no global sort)"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)

@@ -113,21 +113,26 @@ object DataCard {
     * `refused` counter. Refused is a PER-DOCUMENT number that
     * [[Pdf.table]] repeats on each page row, so the rollup
     * aggregates per doc first (max — identical within a doc).
-    * Emits `{prefix}_docs`, `{prefix}_chars`, `{prefix}_refused`
-    * and `{prefix}_refused_per_mchar` (per million extracted chars,
+    * Emits `{prefix}_docs`, `{prefix}_rows` (total extraction rows —
+    * PAGES for [[Pdf.table]], messages/cues/members for the others),
+    * `{prefix}_chars`, `{prefix}_refused` and
+    * `{prefix}_refused_per_mchar` (per million extracted chars,
     * round 6, 0 on an empty extraction) — the datasheet numbers
-    * that keep the entity/encoding refusal boundaries measured at
-    * corpus scale.
+    * that keep the entity/encoding/filter refusal boundaries
+    * measured at corpus scale.
     */
   def textExtractionCard(rows: DataFrame, prefix: String): DataFrame =
     rows.groupBy("doc_id")
-      .agg(sum(length(col("text"))).as("chars"),
+      .agg(count(lit(1)).as("rows"),
+        sum(length(col("text"))).as("chars"),
         max("refused").as("refused"))
       .agg(count(lit(1)).as("docs"),
+        coalesce(sum("rows"), lit(0L)).as("p"),
         coalesce(sum("chars"), lit(0L)).as("c"),
         coalesce(sum("refused"), lit(0L)).as("r"))
       .select(explode(map(
         lit(s"${prefix}_docs"), col("docs").cast("double"),
+        lit(s"${prefix}_rows"), col("p").cast("double"),
         lit(s"${prefix}_chars"), col("c").cast("double"),
         lit(s"${prefix}_refused"), col("r").cast("double"),
         lit(s"${prefix}_refused_per_mchar"),

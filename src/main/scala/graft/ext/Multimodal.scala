@@ -3644,6 +3644,11 @@ object Multimodal {
       // track (number 3): each cue a BlockGroup with BlockDuration in
       // its own Cluster — the layout mkvmerge writes for SRT muxes
       subtitleCues: Seq[(Long, Long, String)] = Nil,
+      // styled cues on an S_TEXT/ASS track (number 4): each payload
+      // the Dialogue-line remnant mkvmerge stores — ReadOrder, Layer,
+      // Style, Name, margins, Effect, then the RAW text field (which
+      // may itself carry commas and {\...} override blocks)
+      assCues: Seq[(Long, Long, String)] = Nil,
       // streamed/live-mux layout: Clusters written before Info/Tracks
       // in segment order (legal Matroska — a single-pass reader that
       // binds tracks only after seeing Tracks drops every such cue)
@@ -3700,7 +3705,9 @@ object Multimodal {
         (if (audioTrack) track(2, 2, "A_OPUS", video = false)
          else Array.empty[Byte]) ++
         (if (subtitleCues.isEmpty) Array.empty[Byte]
-         else track(3, 0x11, "S_TEXT/UTF8", video = false)))
+         else track(3, 0x11, "S_TEXT/UTF8", video = false)) ++
+        (if (assCues.isEmpty) Array.empty[Byte]
+         else track(4, 0x11, "S_TEXT/ASS", video = false)))
     def simpleBlock(fs: Seq[Array[Byte]]): Array[Byte] = {
       // one block per call: unlaced single frame, or a Xiph lace of all
       val flags = if (fs.length > 1) 0x82 else 0x80 // key [+ Xiph lacing]
@@ -3735,6 +3742,14 @@ object Multimodal {
           elem(0xA0L, // BlockGroup: Block (track 3, rel 0) + duration
             elem(0xA1L, Array[Byte](0x83.toByte, 0, 0, 0) ++
               text.getBytes("UTF-8")) ++
+              elem(0x9BL, uintPayload(dur))))
+    } ++ assCues.zipWithIndex.map { case ((start, dur, text), ro) =>
+      val payload = s"$ro,0,Default,,0,0,0,,$text"
+      elem(0x1F43B675L,
+        elem(0xE7L, uintPayload(start)) ++
+          elem(0xA0L, // BlockGroup: Block (track 4, rel 0) + duration
+            elem(0xA1L, Array[Byte](0x84.toByte, 0, 0, 0) ++
+              payload.getBytes("UTF-8")) ++
               elem(0x9BL, uintPayload(dur))))
     }
     header ++ elem(0x18538067L,

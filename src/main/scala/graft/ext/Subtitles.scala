@@ -14,6 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    with BlockDuration for the span. Reuses the size-validated
   *    [[Multimodal.ContainerCodec.walkEbml]] — malformed elements stop
   *    the walk, never shift it.
+  *  - Matroska `S_TEXT/ASS` / `S_TEXT/SSA` tracks (the dominant styled
+  *    codec in wild MKVs): the block payload is the script's Dialogue
+  *    line with Start/End removed — `ReadOrder, Layer, Style, Name,
+  *    MarginL, MarginR, MarginV, Effect, Text` — so the cue text is
+  *    everything after the 8th comma, run through [[cleanAss]].
   *  - MP4 3GPP timed text (`tx3g`, QuickTime `text`): the full
   *    ISO-BMFF sample-table walk — stsd codec check, stts timing,
   *    stsc run-length sample-to-chunk mapping, stco/co64 + stsz
@@ -23,6 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - WebVTT (.vtt): the `WEBVTT` header and `HH:MM:SS.mmm -->
   *    HH:MM:SS.mmm` cues (hours optional), dot or comma millis — one
   *    parser covers both text forms.
+  *  - Standalone SubStation Alpha (.ass/.ssa): `[Events]` section,
+  *    `Format:` field order honored (Text is the spec'd LAST field —
+  *    it may itself contain commas), `Dialogue:` lines with
+  *    `H:MM:SS.cc` centisecond timings; `Comment:` lines and every
+  *    other section ([V4+ Styles], [Fonts], …) contribute nothing.
+  *
+  * ASS text cleanup ([[cleanAss]]): `{...}` override blocks drop,
+  * `\N` is a hard line break, `\n` a soft break (a space under the
+  * default WrapStyle — the one rendering-mode choice, documented),
+  * `\h` the spec's hard space (U+00A0). Nothing else is interpreted.
   *
   * Scale shape: [[table]] is one batched map over the media column
   * (the [[AudioTags.table]] discipline) — rows explode per cue, no
@@ -49,7 +64,9 @@ object Subtitles {
     val C = Multimodal.ContainerCodec
     if (b == null || !C.isEbml(b)) return None
     var tsScale = 1000000L // Matroska default: 1 ms ticks
-    val subTracks = scala.collection.mutable.Set.empty[Long]
+    // track number -> is the payload an ASS/SSA Dialogue remnant
+    // (true) or bare UTF-8 cue text (false)?
+    val subTracks = scala.collection.mutable.Map.empty[Long, Boolean]
     val cues = scala.collection.mutable.ArrayBuffer.empty[Cue]
     C.walkEbml(b, 0, b.length) { (id, po, pe) =>
       if (id == 0x18538067L) { // Segment
@@ -70,7 +87,11 @@ object Subtitles {
                     codec = new String(b, so, se - so, "US-ASCII")
                   true
                 }
-                if (num > 0 && codec == "S_TEXT/UTF8") subTracks += num
+                if (num > 0 && codec == "S_TEXT/UTF8")
+                  subTracks(num) = false
+                else if (num > 0 &&
+                  (codec == "S_TEXT/ASS" || codec == "S_TEXT/SSA"))
+                  subTracks(num) = true
               }
               true
             }
@@ -94,7 +115,20 @@ object Subtitles {
               val rel = (((b(fo) & 0xff) << 8) | (b(fo + 1) & 0xff)).toShort
               val flags = b(fo + 2) & 0xff
               if ((flags & 0x06) != 0) return // laced: skip, don't guess
-              val text = new String(b, fo + 3, se - (fo + 3), "UTF-8")
+              val raw = new String(b, fo + 3, se - (fo + 3), "UTF-8")
+              // S_TEXT/ASS blocks carry the Dialogue line minus its
+              // Start/End fields: ReadOrder, Layer, Style, Name,
+              // MarginL, MarginR, MarginV, Effect, Text — the text is
+              // everything past the 8th comma. A payload with fewer
+              // fields is not a Dialogue remnant: skip the cue, never
+              // guess at a field split.
+              val text =
+                if (!subTracks(track)) raw
+                else {
+                  val at = afterNthComma(raw, 8)
+                  if (at < 0) return
+                  cleanAss(raw.substring(at))
+                }
               val startMs = (clusterTs + rel) * tsScale / 1000000L
               val durMs = durTicks * tsScale / 1000000L
               cues += Cue(track.toInt, startMs, durMs, text)
@@ -310,6 +344,121 @@ object Subtitles {
     out.result()
   }
 
+  /** Index just past the `n`th comma of `s`, or -1 when `s` holds
+    * fewer than `n` commas.
+    */
+  private def afterNthComma(s: String, n: Int): Int = {
+    var seen = 0
+    var i = 0
+    while (i < s.length && seen < n) {
+      if (s.charAt(i) == ',') seen += 1
+      i += 1
+    }
+    if (seen == n) i else -1
+  }
+
+  /** ASS/SSA dialogue-text cleanup: `{...}` override blocks drop
+    * whole (an unterminated `{` drops the tail — renderers treat it
+    * as an open block), `\N` is a hard line break, `\n` a soft break
+    * (a space under the default WrapStyle — the documented rendering
+    * choice), `\h` the spec's hard space (U+00A0). Every other
+    * backslash sequence is literal text.
+    */
+  def cleanAss(t: String): String = {
+    val out = new StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '{') {
+        val close = t.indexOf('}', i + 1)
+        i = if (close < 0) t.length else close + 1
+      } else if (c == '\\' && i + 1 < t.length) {
+        t.charAt(i + 1) match {
+          case 'N' => out += '\n'; i += 2
+          case 'n' => out += ' '; i += 2
+          case 'h' => out += '\u00A0'; i += 2
+          case _ => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  // `H:MM:SS.cc` — the ASS timestamp; centiseconds per spec, a lone
+  // or triple fraction digit scaled rather than refused
+  private val AssTime = """(\d+):(\d{1,2}):(\d{1,2})\.(\d{1,3})""".r
+
+  private def assMs(t: String): Option[Long] = t.trim match {
+    case AssTime(h, m, sec, f) =>
+      val frac = f.length match {
+        case 1 => f.toLong * 100
+        case 2 => f.toLong * 10
+        case _ => f.toLong
+      }
+      Some(h.toLong * 3600000L + m.toLong * 60000L +
+        sec.toLong * 1000L + frac)
+    case _ => None
+  }
+
+  /** Standalone SubStation Alpha (.ass/.ssa) parse: only the
+    * `[Events]` section speaks; its `Format:` line fixes the field
+    * order (Start/End positions honored; Text is the spec'd last
+    * field, so it keeps its own commas), defaulting to the standard
+    * V4+ ten-field layout when absent. `Dialogue:` lines become cues;
+    * `Comment:` lines and all other sections are dropped.
+    */
+  def parseAss(s: String): Seq[Cue] = {
+    val lines = s.replace("\r\n", "\n").replace('\r', '\n').split('\n')
+    val out = Seq.newBuilder[Cue]
+    var inEvents = false
+    var startIdx = 1
+    var endIdx = 2
+    var nFields = 10
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.startsWith("[")) {
+        inEvents = line.equalsIgnoreCase("[Events]")
+      } else if (inEvents && line.regionMatches(true, 0, "Format:", 0, 7)) {
+        val fields = line.substring(7).split(',').map(_.trim.toLowerCase)
+        if (fields.nonEmpty) {
+          nFields = fields.length
+          val si = fields.indexOf("start")
+          val ei = fields.indexOf("end")
+          if (si >= 0) startIdx = si
+          if (ei >= 0) endIdx = ei
+        }
+      } else if (inEvents &&
+        line.regionMatches(true, 0, "Dialogue:", 0, 9)) {
+        val rest = line.substring(9).dropWhile(_ == ' ')
+        val parts = rest.split(",", nFields)
+        if (parts.length == nFields && startIdx < nFields - 1 &&
+          endIdx < nFields - 1) {
+          (assMs(parts(startIdx)), assMs(parts(endIdx))) match {
+            case (Some(st), Some(en)) =>
+              val text = cleanAss(parts(nFields - 1))
+              if (text.nonEmpty)
+                out += Cue(0, st, math.max(0L, en - st), text)
+            case _ => ()
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Does the payload look like a standalone ASS/SSA script? (The
+    * `[Script Info]` section opener, past an optional BOM and `;`
+    * comment lines — the layout every real script starts with.)
+    */
+  private def isAssText(b: Array[Byte]): Boolean = {
+    val head = new String(b, 0, math.min(b.length, 512),
+      java.nio.charset.StandardCharsets.UTF_8)
+    head.stripPrefix("\uFEFF").linesIterator
+      .map(_.trim)
+      .find(l => l.nonEmpty && !l.startsWith(";"))
+      .exists(_.equalsIgnoreCase("[Script Info]"))
+  }
+
   /** Does the payload look like an SRT/WebVTT text file? (UTF-8 text
     * whose head carries a timing arrow or the WEBVTT magic.)
     */
@@ -330,7 +479,10 @@ object Subtitles {
         val cues =
           if (b == null || b.length < 8) Nil
           else mkvCues(b).orElse(mp4Cues(b)).getOrElse {
-            if (isSubtitleText(b))
+            if (isAssText(b))
+              parseAss(new String(b,
+                java.nio.charset.StandardCharsets.UTF_8))
+            else if (isSubtitleText(b))
               parseSrt(new String(b,
                 java.nio.charset.StandardCharsets.UTF_8))
             else Nil

@@ -2459,6 +2459,53 @@ object ExtQueries {
         .orderBy("doc_id", "page")
     }),
 
+    // Text-extraction FIDELITY datasheet (oracled, closed form —
+    // r15): the textExtractionCard rollup over a planted PDF corpus
+    // with MEASURED refusals — two unmapped non-WinAnsi high bytes
+    // and one hand-authored /DCTDecode content stream (the
+    // documented fabrication-risk filter hold refusing whole) — and
+    // a planted HTML corpus with one unknown-entity refusal per
+    // page. This makes the PDF/HTML refusal boundary a corpus-level
+    // datasheet number (the mp3CoverageCard discipline); every
+    // metric value is a hand-derived literal in the SQL.
+    "ext_text_fidelity_card" -> ((s, dir) => {
+      import s.implicits._
+      // 4 clean two-page docs: 22 + 10 chars each, refused 0
+      val clean = (0L until 4L).map { k =>
+        (k, Pdf.encode(Seq(Seq(s"pdf_${k}_alpha", s"pdf_${k}_beta"),
+          Seq(s"pdf_${k}_solo"))))
+      }
+      // no /WinAnsiEncoding: é and ï REFUSE (text keeps "caf nave",
+      // 8 chars, refused 2) — the documented never-mojibake rule
+      val ansiLess = Seq((10L, Pdf.encode(Seq(Seq("café naïve")))))
+      // hand-authored (writer-independent) single-page doc whose
+      // content stream declares /DCTDecode: the stream refuses
+      // whole, the page lands empty — rows 1, chars 0, refused 1
+      val dct = ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n" +
+        "endobj\n" +
+        "4 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\nABCD\n" +
+        "endstream\nendobj\n" +
+        "trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+      val pdfRows = Pdf.table(s,
+        (clean ++ ansiLess ++ Seq((11L, dct))).toDF("doc_id", "media"))
+      // 4 pages, each: "html_k one\ntwo & &unk;" = 22 chars, the
+      // unknown entity stays literal and counts refused 1
+      val htmls = (0L until 4L).map { k =>
+        (k, (s"<html><head><title>t_$k</title></head><body>" +
+          s"<p>html_$k one</p><p>two &amp; &unk;</p></body></html>")
+          .getBytes("UTF-8"))
+      }
+      val htmlRows = Html.table(s, htmls.toDF("doc_id", "media"))
+      graft.ext.DataCard.textExtractionCard(pdfRows, "pdf_text")
+        .unionByName(
+          graft.ext.DataCard.textExtractionCard(htmlRows, "html"))
+        .orderBy("metric")
+    }),
+
     // General HTML -> text extraction (oracled, closed form — the
     // dominant crawl text format; r15): 4 full pages exercising
     // title capture, script/style/comment drop and block structure;
@@ -2771,10 +2818,38 @@ object ExtQueries {
         (300L + k, Multimodal.minimalMp4Tx3g(1000,
           (0 until 3).map(j => (1000L + 100 * j + k, s"tx3g_${k}_$j"))))
       }
+      // S_TEXT/ASS Matroska tracks (r15): the raw Dialogue text field
+      // carries an override block, a comma of its own, and a \N hard
+      // break — the extractor must split at the 8th payload comma and
+      // clean to the closed form restated in SQL
+      val assMkvs = (0 until 4).map { k =>
+        (400L + k, Multimodal.minimalWebm(1000000L, 20000.0, 320, 240,
+          frames = Seq(Array.tabulate(28)(i => ((k * 7 + i) % 249).toByte)),
+          assCues = (0 until 2).map(j =>
+            (2000L * j + 10 * k, 800L + j,
+              s"{\\i1}ass_${k}_$j, x\\Ny"))))
+      }
+      // standalone .ass scripts (r15): Script Info + Styles sections
+      // contribute nothing, Format fixes the field order, centisecond
+      // timings, an override block cleans away, Comment lines drop
+      val assDocs = (0 until 4).map { k =>
+        val evs = (0 until 2).map { j =>
+          s"Dialogue: 0,0:0$j:0$k.25,0:0$j:0${k + 1}.75," +
+            s"Default,,0,0,0,,{\\b1}sta_${k}_$j"
+        }.mkString("\n")
+        val body = "[Script Info]\nTitle: g\nScriptType: v4.00+\n\n" +
+          "[V4+ Styles]\nFormat: Name, Fontname\nStyle: Default,Arial\n\n" +
+          "[Events]\nFormat: Layer, Start, End, Style, Name, " +
+          "MarginL, MarginR, MarginV, Effect, Text\n" +
+          "Comment: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,dropped\n" +
+          evs
+        (500L + k, body.getBytes("UTF-8"))
+      }
       val none = Seq((999L, Multimodal.minimalWebm(1000000L, 1000.0,
         160, 120, frames = Seq(Array.tabulate(24)(_.toByte)))))
       Subtitles.table(s,
-          (mkvs ++ srts ++ vtts ++ mp4s ++ none).toDF("doc_id", "media"))
+          (mkvs ++ srts ++ vtts ++ mp4s ++ assMkvs ++ assDocs ++ none)
+            .toDF("doc_id", "media"))
         .orderBy("doc_id", "cue_idx")
     }),
 
@@ -4574,6 +4649,23 @@ object ExtQueries {
         |  UNION ALL SELECT 17, 0, 'tiff_17 text')
         |ORDER BY doc_id, page""".stripMargin,
 
+    // hand-derived rollup literals: pdf = 4 clean docs x (22+10)
+    // chars + the 8-char unmapped-bytes doc (refused 2) + the empty
+    // /DCTDecode doc (refused 1) over 10 page rows; html = 4 docs x
+    // 22 chars, one literal unknown entity each; the fractions are
+    // refused per million chars, round 6
+    "ext_text_fidelity_card" ->
+      """SELECT metric, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |  ('html_chars', 88.0), ('html_docs', 4.0),
+        |  ('html_refused', 4.0),
+        |  ('html_refused_per_mchar', 45454.545455),
+        |  ('html_rows', 4.0),
+        |  ('pdf_text_chars', 136.0), ('pdf_text_docs', 6.0),
+        |  ('pdf_text_refused', 3.0),
+        |  ('pdf_text_refused_per_mchar', 22058.823529),
+        |  ('pdf_text_rows', 10.0)) AS t(metric, value)
+        |ORDER BY metric""".stripMargin,
+
     // closed-form planted pages; the non-HTML doc 999 contributes
     // nothing, unknown entities stay literal and count into refused
     "ext_html_text" ->
@@ -4727,7 +4819,19 @@ object ExtQueries {
         |  -- 1000+100*i+k for i < j  ->  1000*j + 100*j*(j-1)/2 + k*j
         |  SELECT k + 300, j, 1000*j + 100*j*(j-1)/2 + k*j,
         |         1000 + 100*j + k, 'tx3g_' || k || '_' || j
-        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j))
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j)
+        |  UNION ALL
+        |  -- S_TEXT/ASS MKV tracks: override block stripped, the text
+        |  -- field keeps its own comma, \N becomes a hard line break
+        |  SELECT k + 400, j, 2000*j + 10*k, 800 + j,
+        |         'ass_' || k || '_' || j || ', x' || chr(10) || 'y'
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL
+        |  -- standalone .ass scripts: centisecond timings, {\b1} and
+        |  -- the Comment line drop
+        |  SELECT k + 500, j, 60000*j + 1000*k + 250, 1500,
+        |         'sta_' || k || '_' || j
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j))
         |ORDER BY doc_id, cue_idx""".stripMargin,
 
     "ext_audio_cover_pairs" ->

@@ -67,6 +67,7 @@ class DataCardSpec extends SparkSpec {
     val card = DataCard.textExtractionCard(rows, "pdf_text")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(card("pdf_text_docs") === 2.0)
+    assert(card("pdf_text_rows") === 3.0)
     assert(card("pdf_text_chars") === 10.0)
     assert(card("pdf_text_refused") === 4.0)
     assert(card("pdf_text_refused_per_mchar") === 400000.0)

@@ -94,6 +94,13 @@ object CodecProperties extends Properties("codecs") {
     Multimodal.minimalWebm(1000000L, 6000.0, 160, 120,
       Seq(Array.tabulate(28)(i => (i * 9).toByte)),
       subtitleCues = Seq((500L, 900L, "sub one"), (2000L, 700L, "two"))),
+    Multimodal.minimalWebm(1000000L, 6000.0, 160, 120,
+      Seq(Array.tabulate(26)(i => (i * 11).toByte)),
+      assCues = Seq((500L, 900L, "{\\i1}ass fuzz, x\\Ny"))),
+    ("[Script Info]\nTitle: f\n\n[Events]\nFormat: Layer, Start, End, " +
+      "Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+      "Dialogue: 0,0:00:01.00,0:00:02.00,Default,,0,0,0,,fuzz ass\n")
+      .getBytes("UTF-8"),
     Multimodal.minimalMp4Tx3g(1000,
       Seq((800L, "tx3g a"), (600L, "tx3g b"), (400L, "tx3g c"))),
     Pdf.encode(Seq(Seq("fuzz page one", "line"), Seq("page two")),
@@ -361,7 +368,9 @@ object CodecProperties extends Properties("codecs") {
       // totality: never throws; any cue that does surface carries
       // non-null text (timing values are whatever the fuzz data says)
       (Subtitles.mkvCues(bytes).toSeq.flatten ++
-        Subtitles.mp4Cues(bytes).toSeq.flatten)
+        Subtitles.mp4Cues(bytes).toSeq.flatten ++
+        Subtitles.parseAss(new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8)))
         .forall(_.text != null)
     }
 }

@@ -154,6 +154,93 @@ class SubtitlesSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("S_TEXT/ASS MKV track: 8th-comma split, override strip, mixed with UTF8") {
+    // one file carrying BOTH a plain-text track (3) and a styled
+    // track (4): the ASS text field keeps its own comma, the {\i1}
+    // override block drops, \N is a hard break
+    val mkv = Multimodal.minimalWebm(1000000L, 20000.0, 320, 240,
+      frames = Seq(Array.tabulate(24)(_.toByte)),
+      subtitleCues = Seq((1000L, 500L, "plain cue")),
+      assCues = Seq((3000L, 800L, "{\\i1}styled, a\\Nb"),
+        (5000L, 600L, "plain styled")))
+    val got = Subtitles.mkvCues(mkv).get
+    assert(got == Seq(
+      Subtitles.Cue(3, 1000L, 500L, "plain cue"),
+      Subtitles.Cue(4, 3000L, 800L, "styled, a\nb"),
+      Subtitles.Cue(4, 5000L, 600L, "plain styled")), s"$got")
+  }
+
+  test("a malformed ASS payload (fewer than 8 commas) skips that cue only") {
+    // same-length byte substitution keeps every EBML size valid: the
+    // second cue's field commas become semicolons, so it is no longer
+    // a Dialogue remnant and must drop without guessing a split —
+    // while the first cue survives
+    val mkv = Multimodal.minimalWebm(1000000L, 20000.0, 320, 240,
+      assCues = Seq((1000L, 500L, "keep me"),
+        (2000L, 500L, "drop me")))
+    val needle = "1,0,Default,,0,0,0,,drop me".getBytes("UTF-8")
+    val swap = "1;0;Default;;0;0;0;;drop me".getBytes("UTF-8")
+    val idx = mkv.indexOfSlice(needle)
+    assert(idx >= 0)
+    val b = mkv.clone()
+    System.arraycopy(swap, 0, b, idx, swap.length)
+    val got = Subtitles.mkvCues(b).get
+    assert(got == Seq(Subtitles.Cue(4, 1000L, 500L, "keep me")), s"$got")
+  }
+
+  test("standalone .ass: Format order honored, centiseconds, comments drop") {
+    // a NONSTANDARD Format (Start/End shifted right by a leading
+    // Effect field) must still time the cues; the Text field is last
+    // and keeps its commas; \h maps to the spec's hard space; an unterminated {
+    // drops the tail
+    val ass =
+      """[Script Info]
+        |Title: golden
+        |
+        |[V4+ Styles]
+        |Format: Name, Fontname
+        |Style: Default,Arial
+        |
+        |[Events]
+        |Format: Effect, Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Text
+        |Comment: ,0,0:00:00.00,0:00:01.00,Default,,0,0,0,never
+        |Dialogue: ,0,0:00:01.50,0:00:03.00,Default,,0,0,0,one, two\hthree
+        |Dialogue: ,0,0:01:00.25,0:01:02.00,Default,,0,0,0,tail{\i1 open
+        |""".stripMargin
+    val got = Subtitles.parseAss(ass)
+    assert(got == Seq(
+      Subtitles.Cue(0, 1500L, 1500L, "one, two\u00A0three"),
+      Subtitles.Cue(0, 60250L, 1750L, "tail")), s"$got")
+  }
+
+  test("SSA v4 (Marked=) scripts parse with the default ten-field layout") {
+    // no Format line: the standard layout applies; SSA's Marked=0
+    // first field sits where Layer would — Start/End stay at 1/2
+    val ssa =
+      """[Script Info]
+        |ScriptType: v4.00
+        |
+        |[Events]
+        |Dialogue: Marked=0,0:00:02.00,0:00:04.50,Default,,0,0,0,,ssa line
+        |""".stripMargin
+    val got = Subtitles.parseAss(ssa)
+    assert(got == Seq(Subtitles.Cue(0, 2000L, 2500L, "ssa line")), s"$got")
+  }
+
+  test("ASS cues route through table() by the [Script Info] sniff") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val ass = ("[Script Info]\nTitle: t\n\n[Events]\n" +
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, " +
+      "MarginV, Effect, Text\n" +
+      "Dialogue: 0,0:00:01.00,0:00:02.00,Default,,0,0,0,,via table\n")
+      .getBytes("UTF-8")
+    val rows = Subtitles.table(spark,
+        Seq((7L, ass)).toDF("doc_id", "media"))
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    assert(rows == Seq((7L, 0, 1000L, 1000L, "via table")), s"$rows")
+  }
+
   test("hostile totality: junk bytes, truncations, bit flips never throw") {
     val r = new scala.util.Random(41)
     val mkv = Multimodal.minimalWebm(1000000L, 5000.0, 160, 120,
