@@ -89,6 +89,11 @@ val headline = Seq(
   ("ext_tar_docs", "TAR archive -> documents: ustar walk + doc dispatch in one batched map"),
   ("ext_xml_text", "generic XML extraction: element walk in one batched map, no shuffle"),
   ("ext_text_fidelity_card", "text-extraction fidelity datasheet: extraction maps into two tiny per-doc aggregates, O(metrics) output"),
+  ("ext_image_pngtext", "PNG textual metadata: chunk walk in one batched map, no shuffle"),
+  ("ext_audio_lyrics", "embedded lyrics: six-carrier tag walk in one batched map, no shuffle"),
+  ("ext_zip_docs", "ZIP archive -> documents: central-directory walk + doc dispatch in one batched map"),
+  ("ext_html_meta", "HTML head-metadata provenance: one batched map, no shuffle"),
+  ("ext_robots_filter", "robots.txt compliance: rules compiled once per host, host equi-join (AQE broadcast), typed filter"),
   ("ext_crawl_dedup", "crawl re-crawl dedup: extraction map, then ONE text-partitioned window (no global sort)"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)

@@ -32,16 +32,21 @@ package graft.ext
   */
 object AudioTags {
 
-  /** One provenance row; `cover` is the embedded image file verbatim. */
+  /** One provenance row; `cover` is the embedded image file verbatim,
+    * `lyrics` the embedded full-text transcript (ID3v2 USLT/ULT,
+    * Vorbis-comment LYRICS/UNSYNCEDLYRICS, M4A `©lyr`) — the audio
+    * heap's in-band TEXT modality.
+    */
   final case class Tags(
       artist: Option[String],
       title: Option[String],
       album: Option[String],
       year: Option[Int],
-      cover: Option[Array[Byte]]) {
+      cover: Option[Array[Byte]],
+      lyrics: Option[String] = None) {
     def nonEmpty: Boolean =
       artist.nonEmpty || title.nonEmpty || album.nonEmpty ||
-        year.nonEmpty || cover.nonEmpty
+        year.nonEmpty || cover.nonEmpty || lyrics.nonEmpty
   }
 
   private val Empty = Tags(None, None, None, None, None)
@@ -110,6 +115,7 @@ object AudioTags {
     var artist, title, album: Option[String] = None
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
+    var lyrics: Option[String] = None
     var off = start
     var i = 0
     while (i < items && off + 8 <= fo) {
@@ -117,7 +123,7 @@ object AudioTags {
       val flags = u32le(b, off + 4)
       var ko = off + 8
       while (ko < fo && b(ko) != 0) ko += 1
-      if (ko >= fo) return Tags(artist, title, album, year, cover)
+      if (ko >= fo) return Tags(artist, title, album, year, cover, lyrics)
       val key = new String(b, off + 8, ko - (off + 8), "ISO-8859-1")
         .toLowerCase(java.util.Locale.ROOT)
       val vo = ko + 1
@@ -125,7 +131,7 @@ object AudioTags {
       // the sum negative and slips past `ve > fo`, then new String
       // throws and the NonFatal catch discards the whole tag instead
       // of stopping at the malformed item
-      if (len < 0 || len > fo - vo) return Tags(artist, title, album, year, cover)
+      if (len < 0 || len > fo - vo) return Tags(artist, title, album, year, cover, lyrics)
       val ve = vo + len
       val isText = ((flags >> 1) & 3) == 0
       def txt = new String(b, vo, len, "UTF-8")
@@ -135,6 +141,7 @@ object AudioTags {
         case "album" if isText  => album = album.orElse(Some(txt))
         case "year" if isText =>
           year = year.orElse(txt.take(4).toIntOption.filter(_ > 0))
+        case "lyrics" if isText => lyrics = lyrics.orElse(Some(txt))
         case "cover art (front)" if !isText && cover.isEmpty =>
           // nul-terminated filename, then the image bytes verbatim
           var p = vo
@@ -146,7 +153,7 @@ object AudioTags {
       off = ve
       i += 1
     }
-    Tags(artist, title, album, year, cover)
+    Tags(artist, title, album, year, cover, lyrics)
   }
 
   /** Fixture writer: append an APEv2 tag (header + items + footer,
@@ -154,7 +161,7 @@ object AudioTags {
     */
   def apeWrap(audio: Array[Byte], artist: String = null,
       title: String = null, album: String = null, year: Int = 0,
-      cover: Array[Byte] = null): Array[Byte] = {
+      cover: Array[Byte] = null, lyrics: String = null): Array[Byte] = {
     val items = new java.io.ByteArrayOutputStream()
     var count = 0
     def le32(o: java.io.ByteArrayOutputStream, v: Long): Unit =
@@ -170,6 +177,7 @@ object AudioTags {
     if (title != null) item("Title", title.getBytes("UTF-8"), false)
     if (album != null) item("Album", album.getBytes("UTF-8"), false)
     if (year > 0) item("Year", year.toString.getBytes("UTF-8"), false)
+    if (lyrics != null) item("Lyrics", lyrics.getBytes("UTF-8"), false)
     if (cover != null)
       item("Cover Art (Front)",
         "cover.png".getBytes("ISO-8859-1") ++ Array[Byte](0) ++ cover,
@@ -364,9 +372,10 @@ object AudioTags {
     var artist, title, album: Option[String] = None
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
+    var lyrics: Option[String] = None
     while (off >= 0 && off + headerLen <= end) {
       val id = new String(body, off, if (major == 2) 3 else 4, "US-ASCII")
-      if (id(0) == 0) return Tags(artist, title, album, year, cover)
+      if (id(0) == 0) return Tags(artist, title, album, year, cover, lyrics)
       val size =
         if (major == 4) syncsafe(body, off + 4)
         else if (major == 2) ((body(off + 3) & 0xff) << 16) |
@@ -398,7 +407,7 @@ object AudioTags {
           fb = deUnsync(body, po, pe); fpo = 0; fpe = fb.length
         }
         if ((frameFlags & 0x01) != 0) fpo += 4 // declared inflated size
-        if (fpo > fpe) return Tags(artist, title, album, year, cover)
+        if (fpo > fpe) return Tags(artist, title, album, year, cover, lyrics)
       }
       val psize = fpe - fpo
       def tid(v4: String, v2: String): Boolean =
@@ -410,6 +419,20 @@ object AudioTags {
           title = title.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff))
         else if (tid("TALB", "TAL") && psize >= 1)
           album = album.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff))
+        else if (tid("USLT", "ULT") && psize >= 5 && lyrics.isEmpty) {
+          // enc byte, 3-byte language, descriptor NUL-terminated in
+          // enc (UTF-16 uses 0x0000), then the transcript text
+          val enc = fb(fpo) & 0xff
+          var p = fpo + 4
+          if (enc == 1 || enc == 2) {
+            while (p + 1 < fpe && !(fb(p) == 0 && fb(p + 1) == 0)) p += 2
+            p += 2
+          } else {
+            while (p < fpe && fb(p) != 0) p += 1
+            p += 1
+          }
+          if (p <= fpe) lyrics = text(fb, p, fpe, enc)
+        }
         else if ((tid("TYER", "TYE") || (major != 2 && id == "TDRC")) &&
           psize >= 1)
           year = year.orElse(text(fb, fpo + 1, fpe, fb(fpo) & 0xff)
@@ -439,7 +462,7 @@ object AudioTags {
       }
       off = pe
     }
-    Tags(artist, title, album, year, cover)
+    Tags(artist, title, album, year, cover, lyrics)
   }
 
   /** The unsynchronisation WRITE side: a 0x00 after every 0xFF —
@@ -467,7 +490,8 @@ object AudioTags {
       artist: String = null, title: String = null, album: String = null,
       year: Int = 0, cover: Array[Byte] = null,
       v24: Boolean = false, utf8: Boolean = false,
-      v22: Boolean = false, unsync: Boolean = false): Array[Byte] = {
+      v22: Boolean = false, unsync: Boolean = false,
+      lyrics: String = null): Array[Byte] = {
     require(!(v22 && v24), "pick one ID3v2 version")
     val frames = new java.io.ByteArrayOutputStream()
     def frame(id: String, payload0: Array[Byte]): Unit = {
@@ -502,6 +526,14 @@ object AudioTags {
     tf("TALB", "TAL", album)
     if (year > 0)
       tf(if (v24) "TDRC" else "TYER", "TYE", year.toString)
+    if (lyrics != null) {
+      // USLT/ULT: enc, 3-byte language, empty NUL-ended descriptor
+      val enc = if (utf8 && v24) 3 else 0
+      val cs = if (enc == 3) "UTF-8" else "ISO-8859-1"
+      frame(if (v22) "ULT" else "USLT",
+        Array((enc & 0xff).toByte) ++ "eng".getBytes("US-ASCII") ++
+          Array[Byte](0) ++ lyrics.getBytes(cs))
+    }
     if (cover != null) {
       val p = new java.io.ByteArrayOutputStream()
       p.write(0) // latin-1
@@ -574,7 +606,9 @@ object AudioTags {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     Tags(m.get("ARTIST"), m.get("TITLE"), m.get("ALBUM"),
-      m.get("DATE").flatMap(_.take(4).toIntOption), cover)
+      m.get("DATE").flatMap(_.take(4).toIntOption), cover,
+      m.get("LYRICS").orElse(m.get("UNSYNCEDLYRICS"))
+        .filter(_.nonEmpty))
   }
 
   /** The image bytes out of a FLAC PICTURE structure at [off, end). */
@@ -611,7 +645,8 @@ object AudioTags {
         val t = tagsFromFields(commentFields(b, po, pe))
         tags = Tags(tags.artist.orElse(t.artist),
           tags.title.orElse(t.title), tags.album.orElse(t.album),
-          tags.year.orElse(t.year), tags.cover.orElse(t.cover))
+          tags.year.orElse(t.year), tags.cover.orElse(t.cover),
+          tags.lyrics.orElse(t.lyrics))
       } else if (typ == 6 && tags.cover.isEmpty) {
         tags = tags.copy(cover = pictureData(b, po, pe))
       }
@@ -625,7 +660,8 @@ object AudioTags {
     */
   def flacWithTags(native: Array[Byte],
       artist: String = null, title: String = null, album: String = null,
-      year: Int = 0, cover: Array[Byte] = null): Array[Byte] = {
+      year: Int = 0, cover: Array[Byte] = null,
+      lyrics: String = null): Array[Byte] = {
     require(Flac.isFlac(native) && native.length > 42, "native flac")
     val out = new java.io.ByteArrayOutputStream()
     out.write(native, 0, 42)
@@ -633,7 +669,8 @@ object AudioTags {
     arr(4) = (arr(4) & 0x7f).toByte // STREAMINFO is no longer last
     out.reset(); out.write(arr)
     val fields = Seq("ARTIST" -> artist, "TITLE" -> title,
-      "ALBUM" -> album, "DATE" -> (if (year > 0) year.toString else null))
+      "ALBUM" -> album, "DATE" -> (if (year > 0) year.toString else null),
+      "LYRICS" -> lyrics)
       .collect { case (k, v) if v != null => s"$k=$v" }
     val vc = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit =
@@ -713,6 +750,22 @@ object AudioTags {
       .toDF("doc_id", "artist", "title", "album", "year", "has_cover")
   }
 
+  /** Embedded-LYRICS rows for a media corpus: (doc_id, lyrics) — the
+    * audio heap's in-band TEXT modality (USLT, Vorbis-comment LYRICS,
+    * M4A `©lyr`, APE Lyrics, Matroska LYRICS SimpleTag), one batched
+    * map, rows only where a transcript exists.
+    */
+  def lyricsTable(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        of(b).flatMap(_.lyrics).map(l => (id, l))
+      }
+      .toDF("doc_id", "lyrics")
+  }
+
   /** Cross-modal cover dedup: embedded cover art joins standalone
     * images on the shared perceptual hash (the extracted bytes ARE
     * the original image file, so identical artwork lands hash
@@ -789,6 +842,7 @@ object AudioTags {
     var artist, title, album: Option[String] = None
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
+    var lyrics: Option[String] = None
     def dataOf(po: Int, pe: Int): Option[(Int, Array[Byte])] = {
       var res: Option[(Int, Array[Byte])] = None
       walkMp4(b, po, pe) { (t, qo, qe) =>
@@ -817,6 +871,7 @@ object AudioTags {
                   case "©day" => year = str(io, ie)
                     .map(_.take(4)).filter(_.forall(_.isDigit))
                     .filter(_.length == 4).map(_.toInt).orElse(year)
+                  case "©lyr" => lyrics = str(io, ie).orElse(lyrics)
                   case "covr" => cover = dataOf(io, ie).collect {
                     case (t, v) if (t == 13 || t == 14 || t == 0) &&
                       v.nonEmpty => v
@@ -833,7 +888,7 @@ object AudioTags {
       }
       true
     }
-    Tags(artist, title, album, year, cover)
+    Tags(artist, title, album, year, cover, lyrics)
   }
 
   private def mp4TextBe(v: Int): Array[Byte] =
@@ -851,7 +906,7 @@ object AudioTags {
     */
   def mp4WithTags(mp4: Array[Byte], artist: String = null,
       title: String = null, album: String = null, year: Int = 0,
-      cover: Array[Byte] = null): Array[Byte] = {
+      cover: Array[Byte] = null, lyrics: String = null): Array[Byte] = {
     def data(typeCode: Int, payload: Array[Byte]): Array[Byte] =
       mp4TagBox("data", mp4TextBe(typeCode) ++ mp4TextBe(0) ++ payload)
     def text(item: String, v: String): Array[Byte] =
@@ -861,6 +916,7 @@ object AudioTags {
     if (title != null) items += text("©nam", title)
     if (album != null) items += text("©alb", album)
     if (year > 0) items += text("©day", year.toString)
+    if (lyrics != null) items += text("©lyr", lyrics)
     if (cover != null) {
       val isPng = cover.length >= 8 && (cover(0) & 0xff) == 0x89 &&
         cover(1) == 'P'
@@ -920,6 +976,7 @@ object AudioTags {
     var artist, title, album: Option[String] = None
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
+    var lyrics: Option[String] = None
     C.walkEbml(b, 0, b.length) { (id, po, pe) =>
       if (id == 0x18538067L) { // Segment
         C.walkEbml(b, po, pe) { (id2, qo, qe) =>
@@ -962,6 +1019,8 @@ object AudioTags {
                       case "DATE_RELEASED" | "DATE_RECORDED" =>
                         year = year.orElse(
                           value.take(4).toIntOption.filter(_ > 0))
+                      case "LYRICS" =>
+                        lyrics = lyrics.orElse(Some(value))
                       case _ => ()
                     }
                   }
@@ -993,7 +1052,7 @@ object AudioTags {
       }
       true
     }
-    Tags(artist, title, album, year, cover)
+    Tags(artist, title, album, year, cover, lyrics)
   }
 
   /** Fixture side: splice a Tags element (SimpleTag fields, plus an
@@ -1004,7 +1063,7 @@ object AudioTags {
     */
   def mkvWithTags(mkv: Array[Byte], artist: String = null,
       title: String = null, album: String = null, year: Int = 0,
-      cover: Array[Byte] = null): Array[Byte] = {
+      cover: Array[Byte] = null, lyrics: String = null): Array[Byte] = {
     val C = Multimodal.ContainerCodec
     def simpleTag(name: String, value: String): Array[Byte] =
       C.ebmlElem(0x67C8L,
@@ -1014,6 +1073,7 @@ object AudioTags {
     if (artist != null) trackTags += simpleTag("ARTIST", artist)
     if (title != null) trackTags += simpleTag("TITLE", title)
     if (year > 0) trackTags += simpleTag("DATE_RELEASED", year.toString)
+    if (lyrics != null) trackTags += simpleTag("LYRICS", lyrics)
     val tags = Seq.newBuilder[Array[Byte]]
     val trackBody = trackTags.result()
     if (trackBody.nonEmpty)

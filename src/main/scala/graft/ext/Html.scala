@@ -304,6 +304,175 @@ object Html {
     Some(HtmlText(title, out.toString, refused))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Head metadata for crawl curation: description / author /
+    * canonical URL / published year / og:title.
+    */
+  final case class HtmlMeta(description: Option[String],
+      author: Option[String], canonical: Option[String],
+      publishedYear: Option[Int], ogTitle: Option[String])
+
+  /** The attributes of one tag's source text, tokenized LEFT TO RIGHT
+    * the way a real parser reads them (a `name=` occurrence inside
+    * another attribute's quoted value can never match — substring
+    * scans misattribute there): skip the tag name, then repeat
+    * [whitespace/slash]* name [= value]? with quoted or WHATWG-legal
+    * unquoted values (unquoted ends at whitespace or `>` — a `/` is
+    * ordinary value text, so unquoted URLs survive). Names lowercase;
+    * first occurrence wins (the spec's duplicate rule); entities in
+    * values decode through the shared boundary.
+    */
+  private def attrsOf(tagSrc: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    val n = tagSrc.length
+    var i = 0
+    // past '<' and the element name
+    if (i < n && tagSrc.charAt(i) == '<') i += 1
+    while (i < n && !tagSrc.charAt(i).isWhitespace &&
+      tagSrc.charAt(i) != '>') i += 1
+    while (i < n) {
+      while (i < n && (tagSrc.charAt(i).isWhitespace ||
+        tagSrc.charAt(i) == '/')) i += 1
+      if (i >= n || tagSrc.charAt(i) == '>') return out.toMap
+      val ns = i
+      while (i < n && !tagSrc.charAt(i).isWhitespace &&
+        tagSrc.charAt(i) != '=' && tagSrc.charAt(i) != '>' &&
+        tagSrc.charAt(i) != '/') i += 1
+      val name = tagSrc.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && tagSrc.charAt(i).isWhitespace) i += 1
+      var value = ""
+      if (i < n && tagSrc.charAt(i) == '=') {
+        i += 1
+        while (i < n && tagSrc.charAt(i).isWhitespace) i += 1
+        if (i < n) {
+          val quote = tagSrc.charAt(i)
+          val (vs, ve, next) =
+            if (quote == '"' || quote == '\'') {
+              val e = tagSrc.indexOf(quote, i + 1)
+              if (e < 0) (i + 1, n, n) else (i + 1, e, e + 1)
+            } else {
+              var e = i
+              while (e < n && !tagSrc.charAt(e).isWhitespace &&
+                tagSrc.charAt(e) != '>') e += 1
+              (i, e, e)
+            }
+          val vb = new StringBuilder
+          var k = vs
+          while (k < ve) {
+            if (tagSrc.charAt(k) == '&') {
+              val (rep, nx, _) = entityAt(tagSrc, k)
+              if (rep == null) { vb += '&'; k += 1 }
+              else { vb ++= rep; k = nx }
+            } else { vb += tagSrc.charAt(k); k += 1 }
+          }
+          value = collapseWs(vb.toString)
+          i = next
+        }
+      }
+      if (name.nonEmpty && !out.contains(name)) out(name) = value
+    }
+    out.toMap
+  }
+
+  /** Crawl-provenance metadata: `<meta name=/property= content=>`
+    * pairs (description/og:description, author/article:author,
+    * og:title, article:published_time/date → leading year) and the
+    * `<link rel="canonical" href>` URL. The scan reuses the
+    * quoted-attribute-aware tag walk (a `>` inside content="" cannot
+    * truncate a tag) and the raw-text drops, so a meta tag quoted
+    * inside a script never misreports. None for non-HTML payloads; a
+    * page without any of the fields yields the all-None row.
+    */
+  def meta(b: Array[Byte]): Option[HtmlMeta] = try {
+    if (!isHtml(b)) return None
+    val full = new String(b, sniffCharset(b))
+    val s = if (full.nonEmpty && full.charAt(0) == '\uFEFF')
+      full.substring(1) else full
+    val n = s.length
+    var description, author, canonical, ogTitle: Option[String] = None
+    var year: Option[Int] = None
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (s.regionMatches(true, i, "<![cdata[", 0, 9)) {
+          // character data to text(); never metadata here either
+          val e = s.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+          (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          // DOCTYPE / processing instruction: skip like text() does
+          val e = s.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+          s.charAt(i + 1) == '/')) {
+          var j = i + 1
+          val closing = s.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (s.charAt(j).isLetterOrDigit ||
+            s.charAt(j) == '-' || s.charAt(j) == ':')) j += 1
+          val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+          var q = 0.toChar
+          while (j < n && (q != 0.toChar || s.charAt(j) != '>')) {
+            val cj = s.charAt(j)
+            if (q != 0.toChar) { if (cj == q) q = 0.toChar }
+            else if (cj == '"' || cj == '\'') q = cj
+            j += 1
+          }
+          val tagEnd = if (j < n) j + 1 else n
+          val selfClosed = j < n && j >= 1 && s.charAt(j - 1) == '/'
+          if (!closing && !selfClosed && RawDrop(name)) {
+            val e = indexOfCi(s, "</" + name, tagEnd)
+            i = if (e < 0) n else e
+          } else {
+            if (name == "meta") {
+              val attrs = attrsOf(s.substring(i, tagEnd))
+              val key = attrs.get("name").orElse(attrs.get("property"))
+                .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+              val content = attrs.get("content").filter(_.nonEmpty)
+              key match {
+                case "description" | "og:description" =>
+                  description = description.orElse(content)
+                case "author" | "article:author" =>
+                  author = author.orElse(content)
+                case "og:title" => ogTitle = ogTitle.orElse(content)
+                case "article:published_time" | "date" | "dcterms.date" =>
+                  year = year.orElse(content.map(_.take(4))
+                    .filter(y => y.length == 4 && y.forall(_.isDigit))
+                    .map(_.toInt).filter(_ > 0))
+                case _ => ()
+              }
+            } else if (name == "link") {
+              val attrs = attrsOf(s.substring(i, tagEnd))
+              if (attrs.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                canonical = canonical
+                  .orElse(attrs.get("href").filter(_.nonEmpty))
+            }
+            i = tagEnd
+          }
+        } else i += 1
+      } else i += 1
+    }
+    Some(HtmlMeta(description, author, canonical, year, ogTitle))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Metadata rows for a media corpus: (doc_id, description, author,
+    * canonical, published_year, og_title) — one batched map; non-HTML
+    * payloads contribute nothing.
+    */
+  def metaTable(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        meta(b).map(m => (id, m.description, m.author, m.canonical,
+          m.publishedYear, m.ogTitle))
+      }
+      .toDF("doc_id", "description", "author", "canonical",
+        "published_year", "og_title")
+  }
+
   /** Page rows for a media corpus: (doc_id, title, text, refused) —
     * one batched map; non-HTML payloads contribute nothing.
     */

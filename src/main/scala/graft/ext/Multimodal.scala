@@ -3211,19 +3211,30 @@ object Multimodal {
           // WARC (or any container) whose head happens to carry an
           // '<html' payload — precise magics go first
           else if (Office.isZip(r.media))
-            // DOCX/EPUB (r15, ext.Office): zip-container documents
-            // land the "text" regime; a plain zip that is NEITHER
-            // stays byte-stats (an archive is not a document)
+            // DOCX/EPUB/ODT (r15, ext.Office): zip-container documents
+            // land the "text" regime; a plain zip that is NONE of them
+            // is a counted CONTAINER class like tar — [members,
+            // docMembers] — with members flowing through
+            // Office.zipDocTable (an archive is not a document, but
+            // since r15 it is no longer an opaque byte blob either)
             Office.text(r.media).map { t =>
-              val mime =
-                if (t.kind == "docx") "application/docx"
-                else "application/epub+zip"
+              val mime = t.kind match {
+                case "docx" => "application/docx"
+                case "epub" => "application/epub+zip"
+                case _ => "application/vnd.oasis.opendocument.text"
+              }
               MediaFeatures(r.doc_id, r.media.length, mime, "text",
                 byteChecksum(r.media),
                 Array(t.text.length.toFloat,
                   t.title.map(_.length).getOrElse(0).toFloat,
                   t.refused.toFloat, 0f))
-            }
+            }.orElse(Office.zipMembersRaw(r.media).map { ms =>
+              MediaFeatures(r.doc_id, r.media.length, "application/zip",
+                "container", byteChecksum(r.media),
+                Array(ms.length.toFloat,
+                  ms.count(m => Documents.dispatch(m._2).isDefined)
+                    .toFloat, 0f, 0f))
+            })
           else if (Rtf.isRtf(r.media))
             // RTF (r15, ext.Rtf): the legacy rich-text class joins
             // the "text" regime — [textChars, titleChars, 0, 0]

@@ -38,7 +38,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Office {
 
-  /** One extracted document: kind is "docx" or "epub". */
+  /** One extracted document: kind is "docx", "epub" or "odt". */
   final case class DocText(kind: String, title: Option[String],
       author: Option[String], year: Option[Int], text: String,
       refused: Long)
@@ -360,12 +360,159 @@ object Office {
       parts.filter(_.nonEmpty).mkString("\n"), refused))
   } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Dispatch: DOCX, then EPUB. None for any other payload (plain
-    * zips stay byte-stats in the census — an archive is not a
-    * document).
+  // ------------------------------------------------------------------
+  // ODT (OpenDocument text)
+  // ------------------------------------------------------------------
+
+  /** OpenDocument body text (content.xml): character data inside
+    * `<office:body>` with the ODF whitespace-collapse rule (runs of
+    * layout whitespace become one space, dropped at line starts —
+    * explicit space runs travel as `<text:s text:c="n"/>`),
+    * `</text:p>`/`</text:h>` paragraph breaks, `<text:line-break/>`
+    * a break, `<text:tab/>` a space, and `<office:annotation>`
+    * subtrees dropped whole (reviewer comments are not document
+    * text). Entities through the shared [[Html.entityAt]] boundary.
+    */
+  private def odtBody(xml: String): (String, Long) = {
+    val out = new StringBuilder
+    var refused = 0L
+    def brk(): Unit = {
+      while (out.nonEmpty && out.last == ' ')
+        out.setLength(out.length - 1)
+      if (out.nonEmpty && out.last != '\n') out += '\n'
+    }
+    def isTag(tag: String, name: String): Boolean =
+      tag.startsWith(name) && (tag.length == name.length || {
+        val c = tag.charAt(name.length)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/'
+      })
+    var inBody = false
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else {
+        if (inBody && lt > i) {
+          val (t, r) = xmlText(xml.substring(i, lt))
+          refused += r
+          var k = 0
+          while (k < t.length) {
+            val c = t.charAt(k)
+            if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+              if (out.nonEmpty && out.last != ' ' && out.last != '\n')
+                out += ' '
+            } else out += c
+            k += 1
+          }
+        }
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) { i = n }
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          if (isTag(tag, "office:body")) inBody = true
+          else if (isTag(tag, "/office:body")) inBody = false
+          else if (inBody) {
+            if (isTag(tag, "office:annotation") && !tag.endsWith("/")) {
+              val end = xml.indexOf("</office:annotation>", gt + 1)
+              if (end >= 0) { i = end; () }
+              else i = n
+            } else if (isTag(tag, "/text:p") || isTag(tag, "/text:h") ||
+              isTag(tag, "text:line-break")) brk()
+            else if (isTag(tag, "text:tab")) {
+              if (out.nonEmpty && out.last != ' ' && out.last != '\n')
+                out += ' '
+            } else if (isTag(tag, "text:s")) {
+              // an EXPLICIT space run: text:c spaces (default 1,
+              // capped — a hostile count can't balloon the heap)
+              val c = attr(tag, "text:c")
+                .flatMap(_.toIntOption).getOrElse(1)
+              out ++= " " * math.min(math.max(c, 0), 64)
+            }
+          }
+          if (!(inBody && isTag(tag, "office:annotation") &&
+            !tag.endsWith("/"))) i = gt + 1
+        }
+      }
+    }
+    brk()
+    (out.toString.stripSuffix("\n"), refused)
+  }
+
+  /** ODT extraction: the OpenDocument `mimetype` entry gates the
+    * format (the OCF discipline EPUB already uses), body from
+    * `content.xml`, Dublin Core provenance from `meta.xml`.
+    */
+  def odtText(b: Array[Byte]): Option[DocText] = try {
+    if (!isZip(b)) return None
+    val es = entries(b).getOrElse(return None)
+    val isOdt = entry(b, es, "mimetype").exists(m =>
+      new String(m, "US-ASCII").trim ==
+        "application/vnd.oasis.opendocument.text")
+    if (!isOdt) return None
+    val content = entry(b, es, "content.xml").getOrElse(return None)
+    val (body, refused) = odtBody(new String(content, "UTF-8"))
+    val meta = entry(b, es, "meta.xml").map(new String(_, "UTF-8"))
+    val title = meta.flatMap(tagContent(_, "dc:title"))
+    val author = meta.flatMap(tagContent(_, "dc:creator"))
+      .orElse(meta.flatMap(tagContent(_, "meta:initial-creator")))
+    val year = meta.flatMap(tagContent(_, "meta:creation-date"))
+      .map(_.take(4)).filter(s => s.length == 4 && s.forall(_.isDigit))
+      .map(_.toInt).filter(_ > 0)
+    Some(DocText("odt", title, author, year, body, refused))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Dispatch: DOCX, then EPUB, then ODT. None for any other payload
+    * (a plain zip is an ARCHIVE, not a document — it lands the
+    * census's container class and its members flow through
+    * [[zipDocs]] instead).
     */
   def text(b: Array[Byte]): Option[DocText] =
-    docxText(b).orElse(epubText(b))
+    docxText(b).orElse(epubText(b)).orElse(odtText(b))
+
+  /** Member listing WITHOUT the document probe — for callers that
+    * have already established the payload is a plain archive (the
+    * census calls this after its own [[text]] miss; re-probing would
+    * pay the three-format zip+XML walk twice per archive).
+    */
+  private[ext] def zipMembersRaw(b: Array[Byte])
+      : Option[Seq[(String, Array[Byte])]] = try {
+    if (!isZip(b)) return None
+    entries(b).map(_.flatMap(e =>
+      entryData(b, e).map(d => (e.name, d))))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Plain-zip member listing (name, bytes) in central-directory
+    * order — None when the bytes are not a zip OR when they are one
+    * of the zip-branded document formats (those are documents, not
+    * archives; [[text]] owns them).
+    */
+  def zipMembers(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] =
+    try {
+      if (!isZip(b) || text(b).isDefined) return None
+      zipMembersRaw(b)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ZIP archive → clean documents (the [[Tar.docTable]] shape): one
+    * row per member the shared [[Documents.dispatch]] recognizes —
+    * (doc_id, member_idx, name, text, refused); one batched map, no
+    * shuffle, ONE document probe per archive.
+    */
+  def zipDocTable(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val members =
+          if (b == null || !isZip(b) || text(b).isDefined) Nil
+          else zipMembersRaw(b).getOrElse(Nil)
+        members.zipWithIndex.flatMap { case ((name, data), i) =>
+          Documents.dispatch(data).map { case (text, refused) =>
+            (id, i, name, text, refused)
+          }
+        }
+      }
+      .toDF("doc_id", "member_idx", "name", "text", "refused")
+  }
 
   /** Document rows for a media corpus: (doc_id, kind, title, author,
     * year, text, refused) — one batched map.
@@ -529,5 +676,44 @@ object Office {
       ("mimetype", "application/epub+zip".getBytes("US-ASCII")),
       ("META-INF/container.xml", container.getBytes("UTF-8")),
       ("OEBPS/content.opf", opf.getBytes("UTF-8"))) ++ ordered)
+  }
+
+  /** Fixture ODT: mimetype, content.xml (one text:p per paragraph,
+    * each split across a styled text:span so span boundaries are
+    * exercised), meta.xml Dublin Core provenance.
+    */
+  def encodeOdt(paragraphs: Seq[String], title: String = null,
+      author: String = null, createdYear: Int = 0,
+      stored: Boolean = false): Array[Byte] = {
+    require(paragraphs.nonEmpty, "encodeOdt: paragraphs")
+    val body = paragraphs.map { p =>
+      val cut = p.length / 2
+      s"<text:p>${xmlEsc(p.take(cut))}<text:span text:style-name=" +
+        s""""T1">${xmlEsc(p.drop(cut))}</text:span></text:p>"""
+    }.mkString
+    val content = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<office:document-content xmlns:office=\"urn:oasis:names:tc:" +
+      "opendocument:xmlns:office:1.0\" xmlns:text=\"urn:oasis:names:" +
+      "tc:opendocument:xmlns:text:1.0\"><office:body><office:text>" +
+      body + "</office:text></office:body></office:document-content>"
+    val meta = "<?xml version=\"1.0\"?><office:document-meta " +
+      "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:" +
+      "1.0\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\" " +
+      "xmlns:meta=\"urn:oasis:names:tc:opendocument:xmlns:meta:1.0\">" +
+      "<office:meta>" +
+      Option(title).map(t => s"<dc:title>${xmlEsc(t)}</dc:title>")
+        .getOrElse("") +
+      Option(author).map(a => s"<dc:creator>${xmlEsc(a)}</dc:creator>")
+        .getOrElse("") +
+      (if (createdYear > 0)
+        s"<meta:creation-date>$createdYear-01-02T03:04:05</meta" +
+          ":creation-date>"
+      else "") +
+      "</office:meta></office:document-meta>"
+    zipWrap(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text"
+        .getBytes("US-ASCII")),
+      ("content.xml", content.getBytes("UTF-8")),
+      ("meta.xml", meta.getBytes("UTF-8"))), stored = stored)
   }
 }

@@ -306,11 +306,14 @@ object Subtitles {
     if (!anyText) None else Some(out.toSeq)
   } catch { case scala.util.control.NonFatal(_) => None }
 
-  // `HH:` optional; exactly 3 millisecond digits; SRT comma or VTT dot
+  // `HH:` optional; exactly 3 millisecond digits; SRT comma or VTT
+  // dot. Hours are BOUNDED at 6 digits: an unbounded (\d+) lets a
+  // hostile cue overflow Long in toLong and throw out of the Spark
+  // task (review find r15) — 999999 hours is past any real media
   private val TimeLine =
-    ("""(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""" +
+    ("""(?:(\d{1,6}):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""" +
       """\s*-->\s*""" +
-      """(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3}).*""").r
+      """(?:(\d{1,6}):)?(\d{1,2}):(\d{1,2})[.,](\d{3}).*""").r
 
   /** SubRip / WebVTT cue parse. Lines before the first timing line
     * (indices, the WEBVTT header, NOTE blocks without timings) are
@@ -385,8 +388,9 @@ object Subtitles {
   }
 
   // `H:MM:SS.cc` — the ASS timestamp; centiseconds per spec, a lone
-  // or triple fraction digit scaled rather than refused
-  private val AssTime = """(\d+):(\d{1,2}):(\d{1,2})\.(\d{1,3})""".r
+  // or triple fraction digit scaled rather than refused. Hours
+  // bounded like [[TimeLine]]'s (the same Long-overflow class)
+  private val AssTime = """(\d{1,6}):(\d{1,2}):(\d{1,2})\.(\d{1,3})""".r
 
   private def assMs(t: String): Option[Long] = t.trim match {
     case AssTime(h, m, sec, f) =>

@@ -1749,6 +1749,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // PNG textual metadata (oracled, closed form — r15): the image
+    // heap's in-band provenance channel; 4 PNGs each carrying a tEXt
+    // Software tag, a deflated iTXt "parameters" blob (the
+    // image-generator prompt convention) and a zTXt comment — plus a
+    // text-less PNG and a non-PNG contributing nothing
+    "ext_image_pngtext" -> ((s, dir) => {
+      import s.implicits._
+      val base = Multimodal.encodePng(6, 5, 0,
+        Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))
+      val docs = (0L until 4L).map { k =>
+        (k, graft.ext.PngText.withText(base, Seq(
+          ("Software", s"gen_$k v1.$k", null, false),
+          ("parameters", s"prompt_$k seed ${k * 7}", "en", true),
+          ("Comment", s"note_$k", null, true))))
+      }
+      val none = Seq((8L, base), (9L, "not a png".getBytes("UTF-8")))
+      graft.ext.PngText.table(s, (docs ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // THE DISPATCH TABLE, oracled in one row set: one synthesized
     // fixture per (format -> regime) class — PNG/GIF/BMP/TIFF/ICO/
     // lossless-WebP pixels, WAV/MP3/Vorbis/AIFF/AU pcm, FLAC lossless,
@@ -1943,6 +1963,10 @@ object ExtQueries {
         // generic XML (r15): "text" class (XHTML would be text/html)
         (36, "application/xml", ("<?xml version=\"1.0\"?><doc>" +
           "<p>census xml body</p></doc>").getBytes("UTF-8")),
+        // ODT (r15): OpenDocument text joins the zip-document regime
+        (37, "application/vnd.oasis.opendocument.text",
+          graft.ext.Office.encodeOdt(Seq("census odt body"),
+            title = "odt census")),
         // TAR (r15): dump archives are a counted container class
         (35, "application/x-tar", graft.ext.Tar.encode(Seq(
           ("docs/a.html", ("<html><body><p>census tar member" +
@@ -2301,6 +2325,64 @@ object ExtQueries {
     // lacks), and a 5/8 mixed stream; two graft-encoded streams pin
     // the frames-from-samples arithmetic. The oracle is the closed-form
     // (total, decodable, fraction) list.
+    // Embedded LYRICS extraction (oracled, closed form — r15): the
+    // audio heap's in-band TEXT modality across SIX carriers —
+    // ID3v2.2 ULT / v2.3 / v2.4-utf8 USLT, FLAC + Ogg Vorbis-comment
+    // LYRICS, M4A ©lyr, APE Lyrics, Matroska LYRICS SimpleTag; a
+    // tagged-but-lyricless file and a junk payload contribute nothing
+    "ext_audio_lyrics" -> ((s, dir) => {
+      import s.implicits._
+      def ly(d: Long) = s"ly_$d line0\nly_$d line1"
+      val torso = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+        o.write(new Array[Byte](96)); o.toByteArray
+      }
+      val tone = Array.tabulate(1500)(i => math.round(
+        0.4 * math.sin(2 * math.Pi * 500 * i / 8000) * 32767).toInt)
+      val mp3s = (0L until 4L).map(d => (d, AudioTags.id3v2Wrap(torso,
+        artist = s"a_$d", lyrics = ly(d),
+        v24 = d % 2 == 1, utf8 = d % 2 == 1)))
+      val v22 = Seq((4L, AudioTags.id3v2Wrap(torso, title = "t4",
+        v22 = true, lyrics = ly(4))))
+      val flacs = (0L until 3L).map { k =>
+        val d = k + 100
+        (d, AudioTags.flacWithTags(Flac.encode(tone, 8000),
+          title = s"t_$d", lyrics = ly(d)))
+      }
+      val oggs = (0L until 3L).map { k =>
+        val d = k + 200
+        (d, graft.ext.Vorbis.encode(tone.map(_ / 32768.0), 8000,
+          comments = Seq("TITLE" -> s"t_$d", "LYRICS" -> ly(d))))
+      }
+      val m4as = (0L until 3L).map { k =>
+        val d = k + 300
+        (d, AudioTags.mp4WithTags(
+          Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+            mdat = Array.tabulate(64)(i => (d * 31 + i).toByte)),
+          title = s"t_$d", lyrics = ly(d)))
+      }
+      val apes = (0L until 2L).map { k =>
+        val d = k + 400
+        (d, AudioTags.apeWrap(torso, artist = s"a_$d", lyrics = ly(d)))
+      }
+      val mkvs = (0L until 2L).map { k =>
+        val d = k + 500
+        (d, AudioTags.mkvWithTags(
+          Multimodal.minimalWebm(1000000L, 900.0, 160, 120,
+            Seq(Array.tabulate(30)(i => (i * 5 + k).toByte)),
+            audioTrack = true),
+          artist = s"a_$d", lyrics = ly(d)))
+      }
+      val none = Seq(
+        (998L, AudioTags.id3v2Wrap(torso, artist = "no lyrics")),
+        (999L, "not audio".getBytes("UTF-8")))
+      AudioTags.lyricsTable(s,
+          (mp3s ++ v22 ++ flacs ++ oggs ++ m4as ++ apes ++ mkvs ++ none)
+            .toDF("doc_id", "media"))
+        .orderBy("doc_id")
+    }),
+
     "ext_audio_mp3_coverage" -> ((s, dir) => {
       import s.implicits._
       def frame(decodable: Boolean): Array[Byte] = {
@@ -2572,12 +2654,20 @@ object ExtQueries {
           title = s"et_$k", author = s"ea_${k % 3}",
           year = (2010 + k).toInt, scrambleOrder = k % 2 == 1))
       }
+      // ODT (r15): the OpenDocument class rides the same zip walk;
+      // mimetype-gated, span boundaries inside each paragraph
+      val odt = (0L until 4L).map { k =>
+        (200L + k, graft.ext.Office.encodeOdt(
+          (0 until 2).map(p => s"odt_${k}_p$p body"),
+          title = s"ot_$k", author = s"oa_${k % 2}",
+          createdYear = (2020 + k).toInt, stored = k == 1))
+      }
       val nones = Seq(
         (900L, graft.ext.Office.zipWrap(Seq(
           ("plain.txt", "archive member".getBytes("UTF-8"))))),
         (999L, "not a zip".getBytes("UTF-8")))
       graft.ext.Office.table(s,
-          (docx ++ epub ++ nones).toDF("doc_id", "media"))
+          (docx ++ epub ++ odt ++ nones).toDF("doc_id", "media"))
         .orderBy("doc_id")
     }),
 
@@ -2657,6 +2747,96 @@ object ExtQueries {
       val none = Seq((999L, "not a tar".getBytes("UTF-8")))
       graft.ext.Tar.docTable(s, (docs ++ none).toDF("doc_id", "media"))
         .orderBy("doc_id", "member_idx")
+    }),
+
+    // ZIP archive -> documents (oracled, closed form — r15): the tar
+    // shape on the zip walk — 2 HTML members + a binary member (no
+    // row) + a DOCX member (nested container: the dispatch routes it
+    // through Office) + a gzipped-member HTML; one archive stored
+    // uncompressed; a zip-branded DOCUMENT (bare docx) and a non-zip
+    // payload contribute nothing (documents are not archives)
+    "ext_zip_docs" -> ((s, dir) => {
+      import s.implicits._
+      def gz(p: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(o)
+        g.write(p); g.close(); o.toByteArray
+      }
+      val docs = (0L until 4L).map { k =>
+        (k, graft.ext.Office.zipWrap(Seq(
+          (s"site/a_$k.html",
+            (s"<html><head><title>zt_$k</title></head><body>" +
+              s"<p>zip_${k}_0 text</p></body></html>").getBytes("UTF-8")),
+          (s"raw/blob_$k.bin",
+            Array.tabulate(40)(i => ((k * 7 + i) % 251).toByte)),
+          (s"site/b_$k.html",
+            s"<html><body><p>zip_${k}_1 text</p></body></html>"
+              .getBytes("UTF-8")),
+          (s"docs/r_$k.docx",
+            graft.ext.Office.encodeDocx(Seq(s"zip_${k}_docx body"))),
+          (s"gz/c_$k.html.gz",
+            gz(s"<html><body><p>zip_${k}_2 gzipped</p></body></html>"
+              .getBytes("UTF-8")))),
+          stored = k == 1))
+      }
+      val nones = Seq(
+        (900L, graft.ext.Office.encodeDocx(Seq("bare docx member"))),
+        (999L, "not a zip".getBytes("UTF-8")))
+      graft.ext.Office.zipDocTable(s,
+          (docs ++ nones).toDF("doc_id", "media"))
+        .orderBy("doc_id", "member_idx")
+    }),
+
+    // robots.txt compliance filter (oracled, closed form — r15): the
+    // crawl pipeline's legal/etiquette gate. Host h0 blocks /blk but
+    // allows the longer /blk/ok; h1 blocks the "graft" agent
+    // entirely via an agent-specific group while allowing everyone
+    // else; h2 has no robots row (allowed by default). 18 URLs cycle
+    // hosts x three path classes; the oracle is the hand-derived
+    // allowed set restated with the same modular url formula.
+    "ext_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("h0.ex", "User-agent: *\nDisallow: /blk\nAllow: /blk/ok\n"),
+        ("h1.ex", "User-agent: graft\nDisallow: /\n" +
+          "User-agent: *\nAllow: /\n")).toDF("host", "robots_txt")
+      val urls = (0 until 18).map { k =>
+        val path = (k / 3) % 3 match {
+          case 0 => s"/pub/p$k"
+          case 1 => s"/blk/p$k"
+          case _ => s"/blk/ok/p$k"
+        }
+        (k.toLong, s"https://h${k % 3}.ex$path")
+      }.toDF("id", "url")
+      graft.ext.Robots.filterAllowed(s, urls, "url",
+          robots, "host", "robots_txt", "graft")
+        .select("id", "url")
+        .orderBy("id")
+    }),
+
+    // HTML head-metadata provenance (oracled, closed form — r15):
+    // description/author/canonical/published-year/og:title per page —
+    // the crawl-curation fields; a meta-less page yields the all-null
+    // row, a non-HTML payload contributes nothing
+    "ext_html_meta" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (0L until 4L).map { k =>
+        (k, (s"<html><head><title>t_$k</title>" +
+          s"""<meta name="description" content="desc_$k here">""" +
+          s"""<meta name="author" content="auth_${k % 2}">""" +
+          s"""<meta property="og:title" content="og_$k">""" +
+          s"""<meta property="article:published_time" """ +
+          s"""content="201$k-03-04T05:06:07Z">""" +
+          s"""<link rel="canonical" href="https://ex.org/p/$k">""" +
+          s"</head><body><p>body_$k</p></body></html>")
+          .getBytes("UTF-8"))
+      }
+      val bare = Seq((10L,
+        "<html><body><p>no meta at all</p></body></html>"
+          .getBytes("UTF-8")))
+      val none = Seq((999L, "plain prose, not html".getBytes("UTF-8")))
+      Html.metaTable(s, (docs ++ bare ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id")
     }),
 
     // Crawl re-crawl DEDUP, composed end-to-end (oracled — r15): the
@@ -4603,6 +4783,17 @@ object ExtQueries {
         |UNION ALL SELECT 999, NULL, NULL, NULL, NULL, false
         |ORDER BY doc_id""".stripMargin,
 
+    // closed-form planted lyrics across the six carriers; the
+    // lyricless docs 998/999 contribute nothing
+    "ext_audio_lyrics" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  'ly_' || doc_id || ' line0' || chr(10) ||
+        |    'ly_' || doc_id || ' line1' AS lyrics
+        |FROM (SELECT UNNEST([0, 1, 2, 3, 4, 100, 101, 102,
+        |  200, 201, 202, 300, 301, 302, 400, 401, 500, 501])
+        |  AS doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // planted side-info truth: 8/8, 0/8, 5/8 hand-rolled streams; the
     // graft-encoded streams cover every frame (2304 -> 2, 3456 -> 3
     // frames at 1152 samples/frame); the WAV row contributes nothing
@@ -4705,6 +4896,12 @@ object ExtQueries {
         |    'ch_' || k || '_1' || chr(10) ||
         |    'ep_' || k || '_1 one' || chr(10) ||
         |    'ep_' || k || '_1 two'
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL
+        |  SELECT 200 + k, 'odt', 'ot_' || k, 'oa_' || (k % 2),
+        |    2020 + k,
+        |    'odt_' || k || '_p0 body' || chr(10) ||
+        |      'odt_' || k || '_p1 body'
         |  FROM UNNEST(range(0, 4)) AS t(k))
         |ORDER BY doc_id""".stripMargin,
 
@@ -4757,6 +4954,55 @@ object ExtQueries {
         |FROM UNNEST(range(0, 4)) AS t(k),
         |     UNNEST([0, 2, 3, 4]) AS u(m)
         |ORDER BY doc_id, member_idx""".stripMargin,
+
+    // the zip analog of ext_tar_docs: member_idx counts every member
+    // (the binary blob at 1 yields no row); the nested DOCX member
+    // extracts through the document dispatch
+    "ext_zip_docs" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id, CAST(m AS INT) AS member_idx,
+        |  CASE m
+        |    WHEN 0 THEN 'site/a_' || k || '.html'
+        |    WHEN 2 THEN 'site/b_' || k || '.html'
+        |    WHEN 3 THEN 'docs/r_' || k || '.docx'
+        |    ELSE 'gz/c_' || k || '.html.gz'
+        |  END AS name,
+        |  CASE m
+        |    WHEN 0 THEN 'zip_' || k || '_0 text'
+        |    WHEN 2 THEN 'zip_' || k || '_1 text'
+        |    WHEN 3 THEN 'zip_' || k || '_docx body'
+        |    ELSE 'zip_' || k || '_2 gzipped'
+        |  END AS text,
+        |  CAST(0 AS BIGINT) AS refused
+        |FROM UNNEST(range(0, 4)) AS t(k),
+        |     UNNEST([0, 2, 3, 4]) AS u(m)
+        |ORDER BY doc_id, member_idx""".stripMargin,
+
+    // the hand-derived allowed set: h0 rows where the path class is
+    // pub (0) or /blk/ok (2), every h2 row, no h1 row
+    "ext_robots_filter" ->
+      """SELECT CAST(k AS BIGINT) AS id,
+        |  'https://h' || (k % 3) || '.ex' ||
+        |  CASE (k // 3) % 3
+        |    WHEN 0 THEN '/pub/p'
+        |    WHEN 1 THEN '/blk/p'
+        |    ELSE '/blk/ok/p' END || k AS url
+        |FROM UNNEST([0, 2, 5, 6, 8, 9, 11, 14, 15, 17]) AS t(k)
+        |ORDER BY id""".stripMargin,
+
+    // closed-form head metadata; the meta-less page 10 is the
+    // all-null row, the non-HTML doc 999 contributes nothing
+    "ext_html_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, description, author,
+        |  canonical, CAST(published_year AS INT) AS published_year,
+        |  og_title
+        |FROM (
+        |  SELECT k AS doc_id, 'desc_' || k || ' here' AS description,
+        |    'auth_' || (k % 2) AS author,
+        |    'https://ex.org/p/' || k AS canonical,
+        |    2010 + k AS published_year, 'og_' || k AS og_title
+        |  FROM UNNEST(range(0, 4)) AS t(k)
+        |  UNION ALL SELECT 10, NULL, NULL, NULL, NULL, NULL)
+        |ORDER BY doc_id""".stripMargin,
 
     // the surviving copy of each page: warc 0 wins the shared page
     "ext_crawl_dedup" ->
@@ -5031,7 +5277,8 @@ object ExtQueries {
         |  ('application/warc', 'container', 30),
         |  ('application/x-tar', 'container', 35),
         |  ('application/xml', 'text', 36),
-        |  ('application/zip', 'byte-stats', 29),
+        |  ('application/vnd.oasis.opendocument.text', 'text', 37),
+        |  ('application/zip', 'container', 29),
         |  ('application/pdf', 'byte-stats', 25),
         |  ('application/pdf', 'text', 24),
         |  ('audio/aiff', 'container', 21),
@@ -5063,6 +5310,20 @@ object ExtQueries {
         |  ('video/webm', 'container', 10),
         |  ('video/x-matroska', 'container', 11)) AS t(format, kind, cnt)
         |ORDER BY format, kind""".stripMargin,
+
+    // closed-form planted chunks; docs 8 (text-less PNG) and 9
+    // (non-PNG) contribute nothing
+    "ext_image_pngtext" ->
+      """SELECT CAST(k AS BIGINT) AS doc_id, CAST(j AS INT) AS chunk_idx,
+        |  CASE j WHEN 0 THEN 'Software' WHEN 1 THEN 'parameters'
+        |         ELSE 'Comment' END AS keyword,
+        |  CASE j WHEN 1 THEN 'en' END AS lang,
+        |  j >= 1 AS compressed,
+        |  CASE j WHEN 0 THEN 'gen_' || k || ' v1.' || k
+        |         WHEN 1 THEN 'prompt_' || k || ' seed ' || (k * 7)
+        |         ELSE 'note_' || k END AS text
+        |FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // planted truth: each re-crawl probe's top-1 is its source at
     // Hamming 0; the never-seen probe (q_id 900) contributes no row

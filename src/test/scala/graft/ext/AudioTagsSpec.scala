@@ -317,6 +317,62 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(t.artist.contains("Ape Artist") && t.title.isEmpty, s"$t")
   }
 
+  test("embedded lyrics: all six carriers round trip the transcript") {
+    val lyr = "verse one line\nverse two line"
+    // ID3v2.2 / v2.3 / v2.4-utf8 USLT/ULT
+    for ((v22, v24, utf8) <- Seq((true, false, false),
+        (false, false, false), (false, true, true))) {
+      val t = AudioTags.of(AudioTags.id3v2Wrap(torso, artist = "a",
+        v22 = v22, v24 = v24, utf8 = utf8, lyrics = lyr)).get
+      assert(t.lyrics.contains(lyr), s"v22=$v22 v24=$v24: $t")
+    }
+    val flac = AudioTags.flacWithTags(Flac.encode(tone, 8000),
+      title = "t", lyrics = lyr)
+    assert(AudioTags.of(flac).get.lyrics.contains(lyr))
+    val ogg = Vorbis.encode(tone.map(_ / 32768.0), 8000,
+      comments = Seq("TITLE" -> "t", "LYRICS" -> lyr))
+    assert(AudioTags.of(ogg).get.lyrics.contains(lyr))
+    val m4a = AudioTags.mp4WithTags(
+      Multimodal.minimalMp4(1000, 2000, 1, 0, 0,
+        mdat = Array.tabulate(48)(_.toByte)),
+      title = "t", lyrics = lyr)
+    assert(AudioTags.of(m4a).get.lyrics.contains(lyr))
+    val ape = AudioTags.apeWrap(torso, artist = "a", lyrics = lyr)
+    assert(AudioTags.of(ape).get.lyrics.contains(lyr))
+    val mkv = AudioTags.mkvWithTags(
+      Multimodal.minimalWebm(1000000L, 900.0, 160, 120,
+        Seq(Array.tabulate(30)(i => (i * 5).toByte)),
+        audioTrack = true),
+      artist = "a", lyrics = lyr)
+    assert(AudioTags.of(mkv).get.lyrics.contains(lyr))
+    // a lyricless tag stays None on the lyrics field
+    assert(AudioTags.of(AudioTags.id3v2Wrap(torso, artist = "a"))
+      .get.lyrics == None)
+  }
+
+  test("hand-built UTF-16 USLT: the descriptor scan steps 16-bit units") {
+    // enc 1 (UTF-16 with BOM), language "eng", NON-EMPTY descriptor
+    // terminated by 0x0000, then the BOM-led UTF-16 transcript — the
+    // descriptor walk must step two bytes at a time or it lands
+    // mid-code-unit and shears the text
+    def utf16(s: String): Array[Byte] =
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ s.flatMap(c =>
+        Seq(((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    val payload = Array[Byte](1) ++ "eng".getBytes("US-ASCII") ++
+      utf16("desc") ++ Array[Byte](0, 0) ++ utf16("löng text ünïts")
+    val frames = "USLT".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, (payload.length >> 8).toByte,
+        (payload.length & 0xff).toByte) ++
+      Array[Byte](0, 0) ++ payload
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      Array[Byte]((frames.length >> 21 & 0x7f).toByte,
+        (frames.length >> 14 & 0x7f).toByte,
+        (frames.length >> 7 & 0x7f).toByte,
+        (frames.length & 0x7f).toByte) ++ frames
+    val t = AudioTags.of(tag ++ torso).get
+    assert(t.lyrics.contains("löng text ünïts"), s"$t")
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),

@@ -50,6 +50,10 @@ object CodecProperties extends Properties("codecs") {
   /** One valid fixture per codec family — the mutation substrate. */
   private val fixtures: Seq[Array[Byte]] = Seq(
     Multimodal.encodePng(15, 11, 0, plane, (0 until 11).map(_ % 5), 6),
+    PngText.withText(
+      Multimodal.encodePng(15, 11, 0, plane, (0 until 11).map(_ % 5)),
+      Seq(("Software", "fuzz tool", null, false),
+        ("parameters", "fuzz prompt", "en", true))),
     Multimodal.encodeGif(15, 11, plane, grayCt),
     Multimodal.encodeBmp(15, 11, plane.flatMap(b => Array(b, b, b))),
     Multimodal.encodeBmpRle8(15, 11, plane, grayCt),
@@ -112,6 +116,8 @@ object CodecProperties extends Properties("codecs") {
       author = "a", createdYear = 2002),
     Office.encodeEpub(Seq(("Fz", Seq("p1", "p2"))), title = "t",
       year = 2003, scrambleOrder = true),
+    Office.encodeOdt(Seq("fuzz odt para", "two"), title = "t",
+      author = "a", createdYear = 2005),
     Rtf.encode(Seq("fuzz rtf — body", "σ two"), title = "t",
       author = "a", year = 2004),
     Email.encodeMbox(Seq(
@@ -356,11 +362,18 @@ object CodecProperties extends Properties("codecs") {
 
   property("html text extraction is total over arbitrary bytes") =
     forAll(anyPayload) { bytes =>
+      Html.meta(bytes) // metadata scan: same totality bar
       Html.text(bytes) match {
         case Some(t) =>
           t.text != null && t.refused >= 0 && t.title.forall(_ != null)
         case None => true
       }
+    }
+
+  property("png textual metadata is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      PngText.chunks(bytes).toSeq.flatten
+        .forall(r => r.keyword != null && r.text != null)
     }
 
   property("subtitle extraction is total over arbitrary bytes") =

@@ -151,19 +151,80 @@ class HtmlSpec extends AnyFunSuite {
       .text == "seen")
   }
 
+  test("head metadata: description/author/og/canonical/year, all hand-derived") {
+    val page = ("<html><head><title>T</title>" +
+      "<meta name=\"Description\" content=\"A &amp; B  desc\">" +
+      "<meta name=\"author\" content='Quoted Author'>" +
+      "<meta property=\"og:title\" content=\"OG Title\">" +
+      "<meta property=\"article:published_time\" " +
+      "content=\"2019-11-02T03:04:05Z\">" +
+      "<link href=\"https://ex.org/canon\" rel=\"canonical\">" +
+      "</head><body><p>b</p></body></html>").getBytes("UTF-8")
+    val m = Html.meta(page).get
+    // attribute entities decode; whitespace collapses; attr order in
+    // <link> must not matter; case-insensitive name= lookup
+    assert(m == Html.HtmlMeta(Some("A & B desc"), Some("Quoted Author"),
+      Some("https://ex.org/canon"), Some(2019), Some("OG Title")), s"$m")
+  }
+
+  test("meta edge cases: '>' inside content, meta in script never reads, unquoted value") {
+    val page = ("<html><head>" +
+      "<meta name=\"description\" content=\"x > y still desc\">" +
+      "<script>var s = '<meta name=\"author\" content=\"fake\">';" +
+      "</script>" +
+      "<meta name=author content=barewood>" +
+      "</head><body></body></html>").getBytes("UTF-8")
+    val m = Html.meta(page).get
+    assert(m.description.contains("x > y still desc"), s"$m")
+    // the script-quoted meta is raw-text content, never metadata
+    assert(m.author.contains("barewood"), s"$m")
+    assert(m.canonical == None && m.publishedYear == None)
+    // meta-less page: the all-None row, not a miss
+    val bare = Html.meta(
+      "<html><body><p>no head</p></body></html>".getBytes("UTF-8")).get
+    assert(bare == Html.HtmlMeta(None, None, None, None, None))
+    // non-HTML: no row at all
+    assert(Html.meta("just words".getBytes("UTF-8")) == None)
+  }
+
+  test("review pins: unquoted URLs keep their slashes; name= inside a value never misattributes; CDATA meta ignored") {
+    // WHATWG-legal unquoted href: '/' is ordinary value text — the
+    // old scan truncated at it, extracting just the scheme
+    val m1 = Html.meta(("<html><head>" +
+      "<link rel=canonical href=https://ex.org/a/b>" +
+      "</head><body></body></html>").getBytes("UTF-8")).get
+    assert(m1.canonical.contains("https://ex.org/a/b"), s"$m1")
+    // a ' name=description' INSIDE another attribute's quoted value
+    // must not shadow the real property= attribute
+    val m2 = Html.meta(("<html><head>" +
+      "<meta content=\"try name=description here\" property=\"og:title\">" +
+      "</head><body></body></html>").getBytes("UTF-8")).get
+    assert(m2.ogTitle.contains("try name=description here") &&
+      m2.description == None, s"$m2")
+    // a meta inside CDATA is character data, never metadata (the
+    // text() walk already treats it so — the walks must agree)
+    val m3 = Html.meta(("<html><body><svg><![CDATA[" +
+      "<meta name=\"description\" content=\"phantom\">]]></svg>" +
+      "</body></html>").getBytes("UTF-8")).get
+    assert(m3.description == None, s"$m3")
+  }
+
   test("hostile totality: junk, truncations, bit flips never throw") {
     val base = b("<!DOCTYPE html><html><head><meta charset=utf-8>" +
       "<title>t</title></head><body><p>a&amp;b</p><table><tr><td>c" +
       "</td></tr></table><script>s</script></body></html>")
     val r = new scala.util.Random(15)
-    for (cut <- 1 until base.length by 7) Html.text(base.take(cut))
+    for (cut <- 1 until base.length by 7) {
+      Html.text(base.take(cut)); Html.meta(base.take(cut))
+    }
     for (_ <- 0 until 300) {
       val mut = base.clone()
       for (_ <- 0 to r.nextInt(5))
         mut(r.nextInt(mut.length)) = r.nextInt(256).toByte
-      Html.text(mut)
+      Html.text(mut); Html.meta(mut)
     }
     Html.text(Array.fill(512)(0xa5.toByte))
+    Html.meta(Array.fill(512)(0xa5.toByte))
   }
 
   test("table explodes one row per HTML doc, non-HTML contributes nothing") {

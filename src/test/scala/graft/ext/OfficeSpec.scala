@@ -107,6 +107,71 @@ class OfficeSpec extends AnyFunSuite {
     assert(t.text == "before after", s"[${t.text}]")
   }
 
+  test("JDK-written zip + handwritten content.xml: the ODT walk (writer-independent pin)") {
+    // pretty-printed content.xml: the inter-element whitespace is
+    // layout (ODF collapse rule), the annotation subtree is a
+    // reviewer comment and never corpus text, text:s is an EXPLICIT
+    // three-space run that must survive verbatim
+    val content =
+      """<?xml version="1.0"?>
+        |<office:document-content xmlns:office="o" xmlns:text="t">
+        |  <office:body>
+        |    <office:text>
+        |      <text:h text:outline-level="1">Head &amp; One</text:h>
+        |      <text:p>alpha <text:span text:style-name="T1">beta</text:span> gamma</text:p>
+        |      <text:p>tabs<text:tab/>here<text:line-break/>wide<text:s text:c="3"/>gap</text:p>
+        |      <office:annotation><dc:creator>rev</dc:creator><text:p>never in corpus</text:p></office:annotation>
+        |      <text:p>last one</text:p>
+        |    </office:text>
+        |  </office:body>
+        |</office:document-content>
+        |""".stripMargin
+    val meta = "<office:document-meta><office:meta><dc:title>Odt T" +
+      "</dc:title><dc:creator>Odt A</dc:creator><meta:creation-date>" +
+      "2018-07-08T00:00:00</meta:creation-date></office:meta>" +
+      "</office:document-meta>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    for ((n, d) <- Seq(
+        ("mimetype", "application/vnd.oasis.opendocument.text"),
+        ("content.xml", content), ("meta.xml", meta))) {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(d.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    val t = Office.odtText(bos.toByteArray).get
+    assert(t.text == "Head & One\nalpha beta gamma\ntabs here\n" +
+      "wide   gap\nlast one", s"[${t.text}]")
+    assert(t.title.contains("Odt T") && t.author.contains("Odt A") &&
+      t.year.contains(2018), s"$t")
+    assert(t.refused == 0)
+  }
+
+  test("odt round trip: spans join, paragraphs break, provenance, dispatcher") {
+    for (stored <- Seq(false, true)) {
+      val b = Office.encodeOdt(
+        Seq("First paragraph here", "Second & more"),
+        title = "O Title", author = "O Author", createdYear = 2022,
+        stored = stored)
+      val t = Office.odtText(b).get
+      assert(t.kind == "odt")
+      assert(t.text == "First paragraph here\nSecond & more",
+        s"stored=$stored: [${t.text}]")
+      assert(t.title.contains("O Title") &&
+        t.author.contains("O Author") && t.year.contains(2022))
+      assert(Office.text(b).map(_.kind).contains("odt"))
+    }
+  }
+
+  test("a zip with content.xml but no OpenDocument mimetype is not an ODT") {
+    val b = Office.zipWrap(Seq(("content.xml",
+      ("<office:document-content><office:body><office:text>" +
+        "<text:p>unbranded</text:p></office:text></office:body>" +
+        "</office:document-content>").getBytes("UTF-8"))))
+    assert(Office.text(b) == None)
+  }
+
   test("a plain zip is NOT a document; a docx-less epub-less zip returns None") {
     val plain = Office.zipWrap(Seq(
       ("a.txt", "hello".getBytes("UTF-8")),
@@ -124,13 +189,52 @@ class OfficeSpec extends AnyFunSuite {
     assert(Office.docxText(b).get.text == "commented")
   }
 
+  test("plain zip: members list, doc dispatch, container census — documents excluded") {
+    val zip = Office.zipWrap(Seq(
+      ("a.html", "<html><body><p>member text</p></body></html>"
+        .getBytes("UTF-8")),
+      ("b.bin", Array.tabulate(32)(_.toByte)),
+      ("c.docx", Office.encodeDocx(Seq("nested docx")))))
+    val ms = Office.zipMembers(zip).get
+    assert(ms.map(_._1) == Seq("a.html", "b.bin", "c.docx"), s"$ms")
+    // a zip-BRANDED document is not an archive: members refuse
+    assert(Office.zipMembers(Office.encodeDocx(Seq("doc"))) == None)
+    assert(Office.zipMembers("not zip".getBytes("UTF-8")) == None)
+    // census: the plain zip is a counted container class [members,
+    // docMembers] — the r15 tar precedent (an archive is not a
+    // document, but no longer an opaque byte blob either)
+    val f = Multimodal.ContainerCodec
+      .decode(Seq(Multimodal.MediaRow(1L, zip, "application/zip", 0, 0)))
+      .head
+    assert(f.format == "application/zip" && f.kind == "container", s"$f")
+    assert(f.feature.take(2).toSeq == Seq(3f, 2f), s"${f.feature.toSeq}")
+  }
+
+  test("zipDocTable: rows per recognized member, nested docx extracts") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val zip = Office.zipWrap(Seq(
+      ("p.html", "<html><body><p>zip html</p></body></html>"
+        .getBytes("UTF-8")),
+      ("skip.bin", Array.tabulate(16)(_.toByte)),
+      ("d.docx", Office.encodeDocx(Seq("zip docx")))))
+    val rows = Office.zipDocTable(spark, Seq(
+        (5L, zip), (6L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"))
+      .as[(Long, Int, String, String, Long)].collect().toSeq.sorted
+    assert(rows == Seq(
+      (5L, 0, "p.html", "zip html", 0L),
+      (5L, 2, "d.docx", "zip docx", 0L)), s"$rows")
+  }
+
   test("hostile totality: junk, truncations, bit flips never throw") {
     val base = Office.encodeDocx(Seq("fuzz paragraph", "two"),
       title = "t", author = "a", createdYear = 2000)
     val epub = Office.encodeEpub(Seq(("C", Seq("p1", "p2"))),
       title = "t", year = 2001)
+    val odt = Office.encodeOdt(Seq("fuzz odt", "two"),
+      title = "t", author = "a", createdYear = 2002)
     val r = new scala.util.Random(31)
-    for (f <- Seq(base, epub)) {
+    for (f <- Seq(base, epub, odt)) {
       for (cut <- 1 until f.length by 13) Office.text(f.take(cut))
       for (_ <- 0 until 200) {
         val mut = f.clone()

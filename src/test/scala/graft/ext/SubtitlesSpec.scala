@@ -241,6 +241,21 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(rows == Seq((7L, 0, 1000L, 1000L, "via table")), s"$rows")
   }
 
+  test("review pin: a 20-digit hours field drops the cue, never throws") {
+    // an unbounded hours capture would overflow Long in toLong and
+    // throw NumberFormatException out of the Spark task
+    val ass = ("[Script Info]\n\n[Events]\n" +
+      "Dialogue: 0,99999999999999999999:00:00.00,0:00:01.00," +
+      "Default,,0,0,0,,hostile\n" +
+      "Dialogue: 0,0:00:01.00,0:00:02.00,Default,,0,0,0,,kept\n")
+    val gotA = Subtitles.parseAss(ass)
+    assert(gotA == Seq(Subtitles.Cue(0, 1000L, 1000L, "kept")), s"$gotA")
+    val srt = "1\n99999999999999999999:00:00,000 --> 0:00:01,000\n" +
+      "hostile\n\n2\n00:00:01,000 --> 00:00:02,000\nkept\n"
+    val gotS = Subtitles.parseSrt(srt)
+    assert(gotS == Seq(Subtitles.Cue(0, 1000L, 1000L, "kept")), s"$gotS")
+  }
+
   test("hostile totality: junk bytes, truncations, bit flips never throw") {
     val r = new scala.util.Random(41)
     val mkv = Multimodal.minimalWebm(1000000L, 5000.0, 160, 120,
