@@ -94,6 +94,9 @@ val headline = Seq(
   ("ext_zip_docs", "ZIP archive -> documents: central-directory walk + doc dispatch in one batched map"),
   ("ext_html_meta", "HTML head-metadata provenance: one batched map, no shuffle"),
   ("ext_robots_filter", "robots.txt compliance: rules compiled once per host, host equi-join (AQE broadcast), typed filter"),
+  ("ext_audio_synced_lyrics", "SYLT synced lyrics: tag walk in one batched map, no shuffle"),
+  ("ext_sitemap_urls", "sitemap extraction: three protocol forms in one batched map, no shuffle"),
+  ("ext_crawl_frontier", "composed crawl frontier: sitemap extraction -> robots compliance in one plan"),
   ("ext_crawl_dedup", "crawl re-crawl dedup: extraction map, then ONE text-partitioned window (no global sort)"))
 // ivf index must exist so the probe plan shows the real (cached) shape
 ExtQueries.buildIndexes(spark, dir)

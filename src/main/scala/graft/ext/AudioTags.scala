@@ -55,24 +55,30 @@ object AudioTags {
     * blocks, Ogg-Vorbis comment packet. None when the payload carries
     * no recognizable tag structure.
     */
+  /** The ID3v2 tag bytes of a payload, whatever carried them: the
+    * raw prologue, the AIFF 'ID3 ' chunk, or the RIFF 'id3 '/'ID3 '
+    * chunk — ONE dispatch shared by [[of]] and [[syncedLyrics]].
+    */
+  private def id3Body(b: Array[Byte]): Option[Array[Byte]] =
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') Some(b)
+    else if (Aiff.isAiff(b)) // the 'ID3 ' chunk AIFF taggers write
+      iffChunk(b, 12, "ID3 ", bigEndian = true)
+    else if (Multimodal.ContainerCodec.isWav(b)) // RIFF 'id3 ' chunk
+      iffChunk(b, 12, "id3 ", bigEndian = false)
+        .orElse(iffChunk(b, 12, "ID3 ", bigEndian = false))
+    else None
+
   def of(b: Array[Byte]): Option[Tags] = try {
     if (b == null || b.length < 10) return None
-    val t =
-      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') id3v2(b)
-      else if (Flac.isFlac(b)) flacTags(b)
+    val t = id3Body(b).map(id3v2).getOrElse {
+      if (Flac.isFlac(b)) flacTags(b)
       else if (Vorbis.isOggVorbis(b)) vorbisTags(b)
-      else if (Aiff.isAiff(b)) // the 'ID3 ' chunk AIFF taggers write
-        iffChunk(b, 12, "ID3 ", bigEndian = true)
-          .map(id3v2).getOrElse(Empty)
-      else if (Multimodal.ContainerCodec.isWav(b)) // RIFF 'id3 ' chunk
-        iffChunk(b, 12, "id3 ", bigEndian = false)
-          .orElse(iffChunk(b, 12, "ID3 ", bigEndian = false))
-          .map(id3v2).getOrElse(Empty)
       else if (Multimodal.ContainerCodec.isMp4(b)) // iTunes ilst
         mp4Tags(b)
       else if (Multimodal.ContainerCodec.isEbml(b)) // Matroska Tags
         mkvTags(b)
       else Empty
+    }
     // trailer fallbacks when nothing richer matched: APEv2 first (the
     // Monkey's-Audio-era ripper tag, richer), then the 128-byte ID3v1
     // "TAG" block — the two footers old MP3 rips carry
@@ -343,15 +349,24 @@ object AudioTags {
     out.toByteArray
   }
 
-  private def id3v2(b: Array[Byte]): Tags = {
+  /** Scalar tags only — the [[of]] dispatch shape. */
+  private def id3v2(b: Array[Byte]): Tags = id3v2Full(b)._1
+
+  /** Tags plus SYLT synced-lyrics entries (startMs, text) — absolute
+    * millisecond timestamps only (format 2); MPEG-frame-clocked SYLT
+    * (format 1) needs decode context this walk does not have, so it
+    * REFUSES (no entries), never a guessed timeline.
+    */
+  private[ext] def id3v2Full(b: Array[Byte])
+      : (Tags, Seq[(Long, String)]) = {
     val major = b(3) & 0xff
-    if (major != 2 && major != 3 && major != 4) return Empty
+    if (major != 2 && major != 3 && major != 4) return (Empty, Nil)
     val flags = b(5) & 0xff
     // v2.2 header bit 6 is COMPRESSION (never standardized; the spec's
     // rule is "ignore the tag"); v2.3/v2.4 bit 6 is the ext header
-    if (major == 2 && (flags & 0x40) != 0) return Empty
+    if (major == 2 && (flags & 0x40) != 0) return (Empty, Nil)
     val tagEnd = math.min(b.length, 10 + syncsafe(b, 6))
-    if (tagEnd <= 10) return Empty
+    if (tagEnd <= 10) return (Empty, Nil)
     // v2.2/v2.3 unsynchronisation applies to the WHOLE tag body; v2.4
     // moved it per-frame (the tag-level flag just says all frames use
     // it), handled in the frame loop below
@@ -362,7 +377,7 @@ object AudioTags {
     val end = body.length
     var off = 0
     if (major != 2 && (flags & 0x40) != 0) { // extended header skip
-      if (off + 4 > end) return Empty
+      if (off + 4 > end) return (Empty, Nil)
       val ehSize =
         if (major == 4) syncsafe(body, off)
         else u32be(body, off).toInt + 4 // v2.3 size excludes itself
@@ -373,9 +388,12 @@ object AudioTags {
     var year: Option[Int] = None
     var cover: Option[Array[Byte]] = None
     var lyrics: Option[String] = None
+    val synced = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def done() = (Tags(artist, title, album, year, cover, lyrics),
+      synced.toSeq)
     while (off >= 0 && off + headerLen <= end) {
       val id = new String(body, off, if (major == 2) 3 else 4, "US-ASCII")
-      if (id(0) == 0) return Tags(artist, title, album, year, cover, lyrics)
+      if (id(0) == 0) return done()
       val size =
         if (major == 4) syncsafe(body, off + 4)
         else if (major == 2) ((body(off + 3) & 0xff) << 16) |
@@ -386,8 +404,7 @@ object AudioTags {
         else ((body(off + 8) & 0xff) << 8) | (body(off + 9) & 0xff)
       var po = off + headerLen
       val pe = po + size
-      if (size < 0 || pe > end || pe < po) return Tags(artist, title,
-        album, year, cover)
+      if (size < 0 || pe > end || pe < po) return done()
       // compressed/encrypted/GROUPED frames: skip rather than
       // mis-parse. Grouping (v2.3 format 0x20, v2.4 format 0x40)
       // prepends a 1-byte group id to the payload — parsing it as the
@@ -407,7 +424,7 @@ object AudioTags {
           fb = deUnsync(body, po, pe); fpo = 0; fpe = fb.length
         }
         if ((frameFlags & 0x01) != 0) fpo += 4 // declared inflated size
-        if (fpo > fpe) return Tags(artist, title, album, year, cover, lyrics)
+        if (fpo > fpe) return done()
       }
       val psize = fpe - fpo
       def tid(v4: String, v2: String): Boolean =
@@ -432,6 +449,39 @@ object AudioTags {
             p += 1
           }
           if (p <= fpe) lyrics = text(fb, p, fpe, enc)
+        }
+        else if (tid("SYLT", "SLT") && psize >= 7 && synced.isEmpty) {
+          // enc, 3-byte language, timestamp FORMAT (2 = absolute ms —
+          // the only self-contained clock; 1 = MPEG frames REFUSES),
+          // content type, descriptor NUL in enc, then repeated
+          // [text NUL(enc)][u32be timestamp]
+          val enc = fb(fpo) & 0xff
+          val tsFormat = fb(fpo + 4) & 0xff
+          if (tsFormat == 2) {
+            var p = fpo + 6
+            def pastNul(from: Int): Int = {
+              var k = from
+              if (enc == 1 || enc == 2) {
+                while (k + 1 < fpe && !(fb(k) == 0 && fb(k + 1) == 0))
+                  k += 2
+                k + 2
+              } else {
+                while (k < fpe && fb(k) != 0) k += 1
+                k + 1
+              }
+            }
+            p = pastNul(p) // descriptor
+            while (p < fpe) {
+              val tEnd = pastNul(p)
+              val nulLen = if (enc == 1 || enc == 2) 2 else 1
+              if (tEnd + 4 <= fpe) {
+                val t = text(fb, p, tEnd - nulLen, enc).getOrElse("")
+                val ms = u32be(fb, tEnd)
+                if (t.nonEmpty) synced += ((ms, t.stripPrefix("\n")))
+                p = tEnd + 4
+              } else p = fpe // truncated entry: stop, never shift
+            }
+          }
         }
         else if ((tid("TYER", "TYE") || (major != 2 && id == "TDRC")) &&
           psize >= 1)
@@ -462,7 +512,7 @@ object AudioTags {
       }
       off = pe
     }
-    Tags(artist, title, album, year, cover, lyrics)
+    done()
   }
 
   /** The unsynchronisation WRITE side: a 0x00 after every 0xFF —
@@ -491,7 +541,8 @@ object AudioTags {
       year: Int = 0, cover: Array[Byte] = null,
       v24: Boolean = false, utf8: Boolean = false,
       v22: Boolean = false, unsync: Boolean = false,
-      lyrics: String = null): Array[Byte] = {
+      lyrics: String = null,
+      synced: Seq[(Long, String)] = Nil): Array[Byte] = {
     require(!(v22 && v24), "pick one ID3v2 version")
     val frames = new java.io.ByteArrayOutputStream()
     def frame(id: String, payload0: Array[Byte]): Unit = {
@@ -533,6 +584,21 @@ object AudioTags {
       frame(if (v22) "ULT" else "USLT",
         Array((enc & 0xff).toByte) ++ "eng".getBytes("US-ASCII") ++
           Array[Byte](0) ++ lyrics.getBytes(cs))
+    }
+    if (synced.nonEmpty) {
+      // SYLT/SLT: enc, language, format 2 (absolute ms), content
+      // type 1 (lyrics), empty descriptor, then [text NUL][u32be ms]
+      val enc = if (utf8 && v24) 3 else 0
+      val cs = if (enc == 3) "UTF-8" else "ISO-8859-1"
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(enc)
+      body.write("eng".getBytes("US-ASCII"))
+      body.write(2); body.write(1); body.write(0) // fmt, type, desc
+      for ((ms, t) <- synced) {
+        body.write(t.getBytes(cs)); body.write(0)
+        for (k <- 3 to 0 by -1) body.write(((ms >> (8 * k)) & 0xff).toInt)
+      }
+      frame(if (v22) "SLT" else "SYLT", body.toByteArray)
     }
     if (cover != null) {
       val p = new java.io.ByteArrayOutputStream()
@@ -764,6 +830,32 @@ object AudioTags {
         of(b).flatMap(_.lyrics).map(l => (id, l))
       }
       .toDF("doc_id", "lyrics")
+  }
+
+  /** SYLT synced-lyrics entries (startMs, text) of an ID3v2-bearing
+    * payload: raw ID3 prologue or the WAV/AIFF id3 chunk. None when
+    * no absolute-ms SYLT frame exists.
+    */
+  def syncedLyrics(b: Array[Byte]): Option[Seq[(Long, String)]] = try {
+    if (b == null || b.length < 10) return None
+    val entries = id3Body(b).map(id3v2Full(_)._2).getOrElse(Nil)
+    if (entries.isEmpty) None else Some(entries)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Timestamped-transcript rows: (doc_id, idx, start_ms, text) —
+    * the audio analog of the subtitle cue table, one batched map.
+    */
+  def syncedLyricsTable(s: org.apache.spark.sql.SparkSession,
+      media: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        syncedLyrics(b).getOrElse(Nil).zipWithIndex.map {
+          case ((ms, t), i) => (id, i, ms, t)
+        }
+      }
+      .toDF("doc_id", "idx", "start_ms", "text")
   }
 
   /** Cross-modal cover dedup: embedded cover art joins standalone

@@ -450,6 +450,61 @@ object Subtitles {
     out.result()
   }
 
+  // leading [mm:ss.xx] stamps (minutes unbounded to 3 digits — LRC
+  // has no hours field; fraction centiseconds or millis, optional)
+  private val LrcStamp = """\[(\d{1,3}):(\d{1,2})(?:\.(\d{1,3}))?\]""".r
+
+  /** LRC lyrics-file parse: each line is one or MORE `[mm:ss.xx]`
+    * stamps followed by the line text (a multi-stamp line repeats
+    * for every stamp — the compressed-chorus form); `[ar:]`/`[ti:]`
+    * metadata tags and stampless lines contribute nothing. Duration
+    * is 0 — LRC lines carry no span.
+    */
+  def parseLrc(s: String): Seq[Cue] = {
+    val out = Seq.newBuilder[Cue]
+    val matcher = LrcStamp.pattern.matcher("")
+    for (raw <- s.linesIterator) {
+      val line = raw.trim
+      val stamps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var at = 0
+      var go = true
+      // region + lookingAt: each stamp scans in place — a crafted
+      // megabyte of back-to-back stamps must stay linear, never a
+      // substring copy per stamp (review find r15)
+      matcher.reset(line)
+      while (go) {
+        matcher.region(at, line.length)
+        if (matcher.lookingAt()) {
+          val f = matcher.group(3)
+          val frac =
+            if (f == null) 0L
+            else f.length match {
+              case 1 => f.toLong * 100
+              case 2 => f.toLong * 10
+              case _ => f.toLong
+            }
+          stamps += matcher.group(1).toLong * 60000L +
+            matcher.group(2).toLong * 1000L + frac
+          at = matcher.end
+        } else go = false
+      }
+      val text = line.substring(at).trim
+      if (text.nonEmpty) stamps.foreach(ms => out += Cue(0, ms, 0L, text))
+    }
+    out.result()
+  }
+
+  /** Does the payload look like an LRC lyrics file? (A `[mm:ss`
+    * stamp at a line start within the head — metadata tags like
+    * `[ar:...]` may precede it.)
+    */
+  private def isLrcText(b: Array[Byte]): Boolean = {
+    val head = new String(b, 0, math.min(b.length, 512),
+      java.nio.charset.StandardCharsets.UTF_8)
+    head.stripPrefix("\uFEFF").linesIterator.take(20)
+      .exists(l => LrcStamp.findPrefixMatchOf(l.trim).isDefined)
+  }
+
   /** Does the payload look like a standalone ASS/SSA script? (The
     * `[Script Info]` section opener, past an optional BOM and `;`
     * comment lines — the layout every real script starts with.)
@@ -485,6 +540,12 @@ object Subtitles {
           else mkvCues(b).orElse(mp4Cues(b)).getOrElse {
             if (isAssText(b))
               parseAss(new String(b,
+                java.nio.charset.StandardCharsets.UTF_8))
+            // the anchored LRC stamp sniff is far stricter than the
+            // '-->' substring scan and must win: an LRC lyric line
+            // containing an arrow is still an LRC file (review find)
+            else if (isLrcText(b))
+              parseLrc(new String(b,
                 java.nio.charset.StandardCharsets.UTF_8))
             else if (isSubtitleText(b))
               parseSrt(new String(b,

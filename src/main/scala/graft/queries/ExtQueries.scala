@@ -2814,6 +2814,57 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    // Sitemap extraction (oracled, closed form — r15): the crawl
+    // frontier next to robots — 4 urlsets (odd ids gzipped) with
+    // loc/lastmod/priority, one sitemapindex, one plain-text list;
+    // a non-sitemap XML and junk contribute nothing
+    "ext_sitemap_urls" -> ((s, dir) => {
+      import s.implicits._
+      val urlsets = (0 until 4).map { k =>
+        (k.toLong, graft.ext.Sitemaps.encode(
+          (0 until 3).map(j => (s"https://s$k.ex/p$j?a=$j&b=$k",
+            s"201$k-0${j + 1}-15", (j + 5) / 10.0)),
+          gzipped = k % 2 == 1))
+      }
+      val index = Seq((10L, graft.ext.Sitemaps.encode(
+        (0 until 2).map(j => (s"https://s.ex/child$j.xml",
+          s"202$j-01-01", -1.0)), index = true)))
+      val text = Seq((20L,
+        "https://t.ex/a\nhttps://t.ex/b\n".getBytes("UTF-8")))
+      val nones = Seq(
+        (900L, ("<?xml version=\"1.0\"?><doc><p>xml, not a sitemap" +
+          "</p></doc>").getBytes("UTF-8")),
+        (999L, "prose with no urls".getBytes("UTF-8")))
+      graft.ext.Sitemaps.table(s,
+          (urlsets ++ index ++ text ++ nones).toDF("doc_id", "media"))
+        .orderBy("doc_id", "entry_idx")
+    }),
+
+    // Crawl FRONTIER, composed end to end (oracled — r15): the
+    // literal first step of a polite crawl — sitemap-published URLs
+    // filtered by per-host robots rules. Host f0 blocks /blk, f1
+    // blocks everything except /pub (the longer Allow wins), f2 has
+    // no robots row (default-allowed). Extraction and compliance
+    // compose in one plan: Sitemaps.table -> Robots.filterAllowed.
+    "ext_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val maps = (0 until 3).map { k =>
+        (k.toLong, graft.ext.Sitemaps.encode(
+          (0 until 4).map(j => (s"https://f$k.ex/" +
+            s"${if (j % 2 == 0) "pub" else "blk"}/p$j", "", -1.0))))
+      }
+      val robots = Seq(
+        ("f0.ex", "User-agent: *\nDisallow: /blk\n"),
+        ("f1.ex", "User-agent: *\nDisallow: /\nAllow: /pub\n"))
+        .toDF("host", "robots_txt")
+      val urls = graft.ext.Sitemaps.table(s,
+          maps.toDF("doc_id", "media"))
+        .select(col("doc_id"), col("loc"))
+      graft.ext.Robots.filterAllowed(s, urls, "loc",
+          robots, "host", "robots_txt", "graft")
+        .orderBy("doc_id", "loc")
+    }),
+
     // HTML head-metadata provenance (oracled, closed form — r15):
     // description/author/canonical/published-year/og:title per page —
     // the crawl-curation fields; a meta-less page yields the all-null
@@ -3025,12 +3076,50 @@ object ExtQueries {
           evs
         (500L + k, body.getBytes("UTF-8"))
       }
+      // LRC lyrics files (r15): the [mm:ss.xx] stamp format; the
+      // second line carries TWO stamps (the compressed-chorus form)
+      // and must expand to two cues; the [ar:] tag contributes none
+      val lrcs = (0 until 4).map { k =>
+        val body = s"[ar:a_$k]\n" +
+          s"[00:0$k.25]lrc_${k}_0 line\n" +
+          s"[01:1$k.50][02:2$k.75]lrc_${k}_1 chorus\n"
+        (600L + k, body.getBytes("UTF-8"))
+      }
       val none = Seq((999L, Multimodal.minimalWebm(1000000L, 1000.0,
         160, 120, frames = Seq(Array.tabulate(24)(_.toByte)))))
       Subtitles.table(s,
-          (mkvs ++ srts ++ vtts ++ mp4s ++ assMkvs ++ assDocs ++ none)
+          (mkvs ++ srts ++ vtts ++ mp4s ++ assMkvs ++ assDocs ++
+            lrcs ++ none)
             .toDF("doc_id", "media"))
         .orderBy("doc_id", "cue_idx")
+    }),
+
+    // SYLT synced lyrics (oracled, closed form — r15): the
+    // timestamped-transcript analog of the subtitle cue table —
+    // absolute-ms SYLT frames across v2.2 (SLT) / v2.3 / v2.4-utf8;
+    // an unsynced-only tag and a junk payload contribute nothing
+    "ext_audio_synced_lyrics" -> ((s, dir) => {
+      import s.implicits._
+      val torso = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(Array(0xff, 0xfb, 0x92, 0x40).map(_.toByte))
+        o.write(new Array[Byte](96)); o.toByteArray
+      }
+      val docs = (0L until 4L).map { d =>
+        (d, AudioTags.id3v2Wrap(torso, artist = s"a_$d",
+          v24 = d % 2 == 1, utf8 = d % 2 == 1,
+          synced = (0 until 3).map(j =>
+            (4000L * j + 100 * d, s"sl_${d}_$j"))))
+      }
+      val v22 = Seq((4L, AudioTags.id3v2Wrap(torso, title = "t",
+        v22 = true, synced = Seq((1500L, "sl_4_0"), (3000L, "sl_4_1")))))
+      val none = Seq(
+        (998L, AudioTags.id3v2Wrap(torso, artist = "x",
+          lyrics = "unsynced only")),
+        (999L, "not audio at all".getBytes("UTF-8")))
+      AudioTags.syncedLyricsTable(s,
+          (docs ++ v22 ++ none).toDF("doc_id", "media"))
+        .orderBy("doc_id", "idx")
     }),
 
     // Duplicate VIDEO by remux-robust payload fingerprint (oracled on
@@ -4783,6 +4872,19 @@ object ExtQueries {
         |UNION ALL SELECT 999, NULL, NULL, NULL, NULL, false
         |ORDER BY doc_id""".stripMargin,
 
+    // closed-form planted SYLT entries; docs 998 (USLT only) and
+    // 999 contribute nothing
+    "ext_audio_synced_lyrics" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS INT) AS idx,
+        |  CAST(start_ms AS BIGINT) AS start_ms, text
+        |FROM (
+        |  SELECT d AS doc_id, j, 4000*j + 100*d AS start_ms,
+        |    'sl_' || d || '_' || j AS text
+        |  FROM UNNEST(range(0, 4)) AS t(d), UNNEST(range(0, 3)) AS u(j)
+        |  UNION ALL SELECT 4, 0, 1500, 'sl_4_0'
+        |  UNION ALL SELECT 4, 1, 3000, 'sl_4_1')
+        |ORDER BY doc_id, idx""".stripMargin,
+
     // closed-form planted lyrics across the six carriers; the
     // lyricless docs 998/999 contribute nothing
     "ext_audio_lyrics" ->
@@ -4989,6 +5091,39 @@ object ExtQueries {
         |FROM UNNEST([0, 2, 5, 6, 8, 9, 11, 14, 15, 17]) AS t(k)
         |ORDER BY id""".stripMargin,
 
+    // the hand-derived frontier: pub paths survive everywhere, blk
+    // paths only on the robots-less host f2
+    "ext_crawl_frontier" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, loc FROM (
+        |  SELECT k AS doc_id,
+        |    'https://f' || k || '.ex/pub/p' || j AS loc
+        |  FROM UNNEST(range(0, 3)) AS t(k), UNNEST([0, 2]) AS u(j)
+        |  UNION ALL
+        |  SELECT 2, 'https://f2.ex/blk/p' || j
+        |  FROM UNNEST([1, 3]) AS u(j))
+        |ORDER BY doc_id, loc""".stripMargin,
+
+    // closed-form planted entries across the three forms; the
+    // non-sitemap XML (900) and the prose (999) contribute nothing
+    "ext_sitemap_urls" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(j AS INT) AS entry_idx, kind, loc, lastmod,
+        |  CAST(year AS INT) AS year, CAST(priority AS DOUBLE) AS priority
+        |FROM (
+        |  SELECT k AS doc_id, j, 'urlset' AS kind,
+        |    'https://s' || k || '.ex/p' || j || '?a=' || j || '&b=' || k
+        |      AS loc,
+        |    '201' || k || '-0' || (j + 1) || '-15' AS lastmod,
+        |    2010 + k AS year, (j + 5) / 10.0 AS priority
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j)
+        |  UNION ALL
+        |  SELECT 10, j, 'index', 'https://s.ex/child' || j || '.xml',
+        |    '202' || j || '-01-01', 2020 + j, NULL
+        |  FROM UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL SELECT 20, 0, 'text', 'https://t.ex/a', NULL, NULL, NULL
+        |  UNION ALL SELECT 20, 1, 'text', 'https://t.ex/b', NULL, NULL, NULL)
+        |ORDER BY doc_id, entry_idx""".stripMargin,
+
     // closed-form head metadata; the meta-less page 10 is the
     // all-null row, the non-HTML doc 999 contributes nothing
     "ext_html_meta" ->
@@ -5077,7 +5212,18 @@ object ExtQueries {
         |  -- the Comment line drop
         |  SELECT k + 500, j, 60000*j + 1000*k + 250, 1500,
         |         'sta_' || k || '_' || j
-        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j))
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 2)) AS u(j)
+        |  UNION ALL
+        |  -- LRC lyrics files: dur 0, the two-stamp chorus line
+        |  -- expands to cues 1 and 2 with the same text
+        |  SELECT k + 600, j,
+        |    CASE j WHEN 0 THEN 1000*k + 250
+        |           WHEN 1 THEN 70500 + 1000*k
+        |           ELSE 140750 + 1000*k END,
+        |    0,
+        |    CASE j WHEN 0 THEN 'lrc_' || k || '_0 line'
+        |           ELSE 'lrc_' || k || '_1 chorus' END
+        |  FROM UNNEST(range(0, 4)) AS t(k), UNNEST(range(0, 3)) AS u(j))
         |ORDER BY doc_id, cue_idx""".stripMargin,
 
     "ext_audio_cover_pairs" ->

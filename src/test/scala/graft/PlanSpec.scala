@@ -245,7 +245,8 @@ class PlanSpec extends SparkSpec {
         "ext_html_text", "ext_office_text", "ext_rtf_text",
         "ext_email_text", "ext_warc_docs", "ext_tar_docs",
         "ext_xml_text", "ext_image_pngtext", "ext_audio_lyrics",
-        "ext_zip_docs", "ext_html_meta")) {
+        "ext_zip_docs", "ext_html_meta", "ext_audio_synced_lyrics",
+        "ext_sitemap_urls")) {
       val p = extPlan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: row-local walk acquired a hash shuffle:\n$p")

@@ -373,6 +373,40 @@ class AudioTagsSpec extends AnyFunSuite {
     assert(t.lyrics.contains("löng text ünïts"), s"$t")
   }
 
+  test("SYLT synced lyrics: ms entries round trip; frame-clocked format refuses") {
+    val entries = Seq((0L, "line one"), (4200L, "line twö"),
+      (9000L, "line three"))
+    for ((v22, v24, utf8) <- Seq((false, false, false),
+        (false, true, true), (true, false, false))) {
+      val b = AudioTags.id3v2Wrap(torso, artist = "a",
+        v22 = v22, v24 = v24, utf8 = utf8, synced = entries)
+      assert(AudioTags.syncedLyrics(b).contains(entries),
+        s"v22=$v22 v24=$v24: ${AudioTags.syncedLyrics(b)}")
+      // the scalar walk is untouched by the SYLT frame
+      assert(AudioTags.of(b).get.artist.contains("a"))
+    }
+    // hand-built format-1 (MPEG-frame clock) SYLT: REFUSES — a frame
+    // count is not a timestamp without decode context
+    val p = new java.io.ByteArrayOutputStream()
+    p.write(0); p.write("eng".getBytes("US-ASCII"))
+    p.write(1); p.write(1); p.write(0) // format 1, type, empty desc
+    p.write("text".getBytes("ISO-8859-1")); p.write(0)
+    p.write(Array[Byte](0, 0, 0, 42))
+    val pay = p.toByteArray
+    val frame = "SYLT".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, (pay.length >> 8).toByte,
+        (pay.length & 0xff).toByte, 0, 0) ++ pay
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      Array[Byte]((frame.length >> 21 & 0x7f).toByte,
+        (frame.length >> 14 & 0x7f).toByte,
+        (frame.length >> 7 & 0x7f).toByte,
+        (frame.length & 0x7f).toByte) ++ frame
+    assert(AudioTags.syncedLyrics(tag ++ torso) == None)
+    // no SYLT at all
+    assert(AudioTags.syncedLyrics(
+      AudioTags.id3v2Wrap(torso, lyrics = "unsynced")) == None)
+  }
+
   test("hostile inputs: truncations and bit flips are total") {
     val fixtures = Seq(
       AudioTags.id3v2Wrap(torso, "a", "b", "c", 2000, cover = png),

@@ -72,6 +72,11 @@ object CodecProperties extends Properties("codecs") {
     AudioTags.id3v2Wrap(
       Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x40) ++
         new Array[Byte](64),
+      lyrics = "fuzz lyric line",
+      synced = Seq((1000L, "fuzz synced"), (2000L, "two"))),
+    AudioTags.id3v2Wrap(
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0x40) ++
+        new Array[Byte](64),
       "artist", "title", "album", 2001,
       cover = Multimodal.encodePng(6, 5, 0,
         Array.tabulate(30)(i => (i * 8).toByte), (0 until 5).map(_ => 0))),
@@ -101,6 +106,10 @@ object CodecProperties extends Properties("codecs") {
     Multimodal.minimalWebm(1000000L, 6000.0, 160, 120,
       Seq(Array.tabulate(26)(i => (i * 11).toByte)),
       assCues = Seq((500L, 900L, "{\\i1}ass fuzz, x\\Ny"))),
+    "[ar:fz]\n[00:01.00]lrc fuzz line\n[00:02.5][00:03.25]chorus\n"
+      .getBytes("UTF-8"),
+    Sitemaps.encode(Seq(("https://f.ex/a", "2020-01-01", 0.4),
+      ("https://f.ex/b?x=1&y=2", "", -1.0)), gzipped = true),
     ("[Script Info]\nTitle: f\n\n[Events]\nFormat: Layer, Start, End, " +
       "Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
       "Dialogue: 0,0:00:01.00,0:00:02.00,Default,,0,0,0,,fuzz ass\n")
@@ -376,14 +385,21 @@ object CodecProperties extends Properties("codecs") {
         .forall(r => r.keyword != null && r.text != null)
     }
 
+  property("sitemap extraction is total over arbitrary bytes") =
+    forAll(anyPayload) { bytes =>
+      Sitemaps.parse(bytes).toSeq.flatten
+        .forall(e => e.kind != null && e.loc != null)
+    }
+
   property("subtitle extraction is total over arbitrary bytes") =
     forAll(anyPayload) { bytes =>
       // totality: never throws; any cue that does surface carries
       // non-null text (timing values are whatever the fuzz data says)
+      val txt = new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8)
       (Subtitles.mkvCues(bytes).toSeq.flatten ++
         Subtitles.mp4Cues(bytes).toSeq.flatten ++
-        Subtitles.parseAss(new String(bytes,
-          java.nio.charset.StandardCharsets.UTF_8)))
+        Subtitles.parseAss(txt) ++ Subtitles.parseLrc(txt))
         .forall(_.text != null)
     }
 }

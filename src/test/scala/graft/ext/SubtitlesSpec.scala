@@ -241,6 +241,51 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(rows == Seq((7L, 0, 1000L, 1000L, "via table")), s"$rows")
   }
 
+  test("LRC lyrics files: stamps, centis/millis fractions, multi-stamp lines") {
+    val lrc =
+      """[ar:an artist]
+        |[ti:a title]
+        |[00:05.25]first line
+        |[00:12.5][01:30.125]repeated chorus
+        |[99:59.99]deep line
+        |no stamp, contributes nothing
+        |""".stripMargin
+    val got = Subtitles.parseLrc(lrc)
+    // .5 is 5 deciseconds (500 ms), .125 millis, .99 centis
+    assert(got == Seq(
+      Subtitles.Cue(0, 5250L, 0L, "first line"),
+      Subtitles.Cue(0, 12500L, 0L, "repeated chorus"),
+      Subtitles.Cue(0, 90125L, 0L, "repeated chorus"),
+      Subtitles.Cue(0, 5999990L, 0L, "deep line")), s"$got")
+    // table() routing by the stamp sniff
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rows = Subtitles.table(spark,
+        Seq((3L, "[00:01.00]via table\n".getBytes("UTF-8")))
+          .toDF("doc_id", "media"))
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    assert(rows == Seq((3L, 0, 1000L, 0L, "via table")), s"$rows")
+  }
+
+  test("review pins: LRC with an arrow routes to LRC; stamp-flood stays linear") {
+    // an LRC lyric containing '-->' must not be shadowed by the
+    // loose SRT sniff into zero rows
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rows = Subtitles.table(spark,
+        Seq((1L, "[00:02.00]love --> hate\n".getBytes("UTF-8")))
+          .toDF("doc_id", "media"))
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    assert(rows == Seq((1L, 0, 2000L, 0L, "love --> hate")), s"$rows")
+    // a ~700 KB single line of back-to-back stamps: the region-based
+    // matcher walks it linearly (the substring-per-stamp version
+    // would spend minutes here)
+    val flood = (0 until 70000).map(i =>
+      f"[${i / 600}%02d:${i / 10 % 60}%02d.${i % 10}]").mkString + "end"
+    val got = Subtitles.parseLrc(flood)
+    assert(got.length == 70000 && got.head.text == "end")
+  }
+
   test("review pin: a 20-digit hours field drops the cue, never throws") {
     // an unbounded hours capture would overflow Long in toLong and
     // throw NumberFormatException out of the Spark task
