@@ -20,6 +20,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Scale-adaptive reduce-side sizing (opt guide §2.2/§6): let AQE
+      // coalesce post-shuffle partitions toward a BYTE target instead of
+      // stopping at the core count (`parallelismFirst=true` pins tiny
+      // shuffles at `spark.sql.shuffle.partitions` ~KB-sized tasks whose
+      // scheduling overhead exceeds their work; at cluster scale the
+      // same setting yields advisory-sized partitions). The advisory
+      // size is env-tunable for production (guide §9 suggests 256m on a
+      // real cluster); the local default stays Spark's own 64m so the
+      // driver's bench remains comparable.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/parquet-reader paths on the tiny SF so the first

@@ -199,8 +199,10 @@ object IncrementalDedup {
       // state the existence check above re-classifies as absent, so the
       // rerun overwrites both — same result, still idempotent). Skips
       // UpsertIgnore's cache/count/anti-join job overhead per table.
-      shingleRows.write.mode("overwrite").parquet(shinglesPath)
-      newBands.write.mode("overwrite").parquet(bandsPath)
+      graft.sinks.WriteLayout.sizedForWrite(shingleRows)
+        .write.mode("overwrite").parquet(shinglesPath)
+      graft.sinks.WriteLayout.sizedForWrite(newBands)
+        .write.mode("overwrite").parquet(bandsPath)
     } else {
       // count-free registration: one shared id-range scan + one
       // anti-join append per table (the generic UpsertIgnore's

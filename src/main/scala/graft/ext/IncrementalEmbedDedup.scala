@@ -236,10 +236,13 @@ object IncrementalEmbedDedup {
         // the same family discipline as the minhash signature store)
         val cb = Pq.train(e, "doc_id", "v", params.pqM, params.pqK)
         Pq.writeCodebooks(spark, cb, cbPath)
-        encodedBatch(e, cb).write.mode("overwrite").parquet(codesPath)
+        graft.sinks.WriteLayout.sizedForWrite(encodedBatch(e, cb))
+          .write.mode("overwrite").parquet(codesPath)
       } else
-        e.select("doc_id", "v", "n").write.mode("overwrite").parquet(vecsPath)
-      chunks.write.mode("overwrite").parquet(sigsPath)
+        graft.sinks.WriteLayout.sizedForWrite(e.select("doc_id", "v", "n"))
+          .write.mode("overwrite").parquet(vecsPath)
+      graft.sinks.WriteLayout.sizedForWrite(chunks)
+        .write.mode("overwrite").parquet(sigsPath)
     } else {
       // count-free registration: one shared id-range scan + one
       // anti-join append per table (see UpsertIgnore.appendAbsent)

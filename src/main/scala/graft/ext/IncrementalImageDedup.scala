@@ -353,7 +353,8 @@ object IncrementalImageDedup {
       // marker with no sigs (next ingest re-creates both), never sigs
       // with no marker (which would fail the regime check forever)
       writeRegime(spark, storePath, params)
-      e.write.mode("overwrite").parquet(sigsPath)
+      graft.sinks.WriteLayout.sizedForWrite(e)
+        .write.mode("overwrite").parquet(sigsPath)
     } else {
       val idBounds = e.agg(min(col("doc_id")), max(col("doc_id"))).head()
       UpsertIgnore.appendAbsent(spark, e, sigsPath, keys = Seq("doc_id"),

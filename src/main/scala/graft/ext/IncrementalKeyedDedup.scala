@@ -177,7 +177,8 @@ object IncrementalKeyedDedup {
     }
     // register only keys NEW to the store — an already-mine row is its
     // own registration, and re-appending it would duplicate the key
-    newKeys.write.mode("append").parquet(keysPath)
+    graft.sinks.WriteLayout.sizedForWrite(newKeys)
+      .write.mode("append").parquet(keysPath)
     // survivors join on (key, id) — id alone would resurrect a row
     // whose OTHER key lost when the same id carries several keys
     keyed.join(mat.select(col("key_hash").as("_kh"), col(idCol)),

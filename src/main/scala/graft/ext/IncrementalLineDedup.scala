@@ -143,7 +143,8 @@ object IncrementalLineDedup {
         KeyBloom.writeSidecar(spark, bloomPath,
           KeyBloom.build(spark, hashes, n, bitsPerKey), n)
     }
-    survivors.select(col("line_hash"), col(idCol), col("line_no"))
+    graft.sinks.WriteLayout.sizedForWrite(
+        survivors.select(col("line_hash"), col(idCol), col("line_no")))
       .write.mode("append").parquet(linesPath)
   }
 

@@ -126,8 +126,10 @@ object IncrementalSubstring {
     val out = pairs.orderBy("id_a", "id_b").localCheckpoint(true)
 
     if (!storeExists) {
-      grams.write.mode("overwrite").parquet(gramsPath)
-      fps.write.mode("overwrite").parquet(fpsPath)
+      graft.sinks.WriteLayout.sizedForWrite(grams)
+        .write.mode("overwrite").parquet(gramsPath)
+      graft.sinks.WriteLayout.sizedForWrite(fps)
+        .write.mode("overwrite").parquet(fpsPath)
     } else {
       // count-free registration: one shared id-range scan + one
       // anti-join append per table (see UpsertIgnore.appendAbsent)

@@ -113,7 +113,8 @@ private[ext] object LandmarkStore {
       .localCheckpoint(true) // materialize BEFORE mutating the store
 
     if (!storeExists)
-      fps.write.mode("overwrite").parquet(fpsPath)
+      graft.sinks.WriteLayout.sizedForWrite(fps)
+        .write.mode("overwrite").parquet(fpsPath)
     else {
       val ids = fps.select("doc_id")
       val idBounds = ids.agg(min(col("doc_id")), max(col("doc_id"))).head()

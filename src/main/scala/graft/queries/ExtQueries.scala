@@ -25,6 +25,39 @@ object ExtQueries {
     Tables.documents(s, dir).filter(col("doc_id") < 500)
       .repartition(s.sessionState.conf.numShufflePartitions)
 
+  /** Bounded-gate execution regime — the ext_takedown_e2e discipline
+    * (r13-adjudicated) factored out for every store-lifecycle / recall
+    * gate whose universe is BOUNDED BY CONSTRUCTION at every scale
+    * factor (≤500-doc planted corpora, fixture batches): these flows
+    * stack tens of small stages over KB-sized frames, and their
+    * HOF-heavy expressions (gates, shingles, minhash, pair expansion)
+    * carry fresh lambda expression ids, so per-action codegen misses
+    * the Janino cache and compile time dwarfs the row work (measured:
+    * the incremental-recall gate halves under this regime, 6.0 s →
+    * 3.2 s warm, job-time sum 4.6 s → 1.5 s). Interpreted execution +
+    * batch-sized shuffle partitioning is exactly how a real deployment
+    * sizes a bounded compliance check; production-sized batches keep
+    * codegen and amortize the compile. Results are identical — every
+    * wrapped gate stays oracle-hashed — and the body must MATERIALIZE
+    * its result (all wrapped gates end in localCheckpoint(true)), so
+    * nothing escapes to run under restored confs.
+    */
+  private def boundedGate[T](s: SparkSession)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevWs = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = s.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      body
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      s.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
   /** The exact char-3-gram ground-truth pair graph the five recall /
     * components gates share is all-pairs quadratic BY DESIGN (it is the
     * measuring stick) — build it ONCE per (session, dir) and hand every
@@ -405,7 +438,7 @@ object ExtQueries {
     // all-pairs oracle) reports over the union — winnowing guarantees
     // candidate recall, the gram-set verify keeps precision exact, so
     // the hash must match, not just overlap.
-    "ext_substring_incr" -> ((s, dir) => {
+    "ext_substring_incr" -> ((s, dir) => boundedGate(s) {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
         .repartition(s.sessionState.conf.numShufflePartitions)
       val store = java.nio.file.Files
@@ -457,7 +490,7 @@ object ExtQueries {
     // surface via store-bucket collisions, not an in-memory one-shot
     // run). Hash equality with the all-pairs oracle proves the
     // incremental path loses nothing at the batch boundary.
-    "ext_incremental_recall" -> ((s, dir) => {
+    "ext_incremental_recall" -> ((s, dir) => boundedGate(s) {
       val docs = gateDocs(s, dir)
       val gt = sharedGroundTruth(s, dir)
       val store = java.nio.file.Files
@@ -659,7 +692,7 @@ object ExtQueries {
     // ext_rplsh_recall): two store-backed ingests — base vectors first,
     // planted twins second — must find every cross-batch ground-truth
     // pair via store collisions, or the hash differs.
-    "ext_embed_incr_recall" -> ((s, dir) => {
+    "ext_embed_incr_recall" -> ((s, dir) => boundedGate(s) {
       val (corpus, gt) = sharedPlantedGt(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incembed").toString + "/store"
@@ -689,7 +722,7 @@ object ExtQueries {
     // exact-cosine>=0.99 pairs: hash equality proves the codes-backed
     // store misses no true near-dup (recall 1.0); extra found pairs
     // below 0.99 exact are invisible to the semi-join.
-    "ext_embed_incr_pq_recall" -> ((s, dir) => {
+    "ext_embed_incr_pq_recall" -> ((s, dir) => boundedGate(s) {
       val (corpus, gt) = sharedPlantedGt(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incembedpq").toString + "/store"
@@ -1274,7 +1307,7 @@ object ExtQueries {
     // strongest gate shape: found pairs are BOTH exact-precision
     // (hamming-verified) and complete, so plain equality with the
     // all-pairs oracle proves the batch boundary loses nothing.
-    "ext_image_incr" -> ((s, dir) => {
+    "ext_image_incr" -> ((s, dir) => boundedGate(s) {
       val media = Multimodal.mediaTable(
         Tables.documents(s, dir).filter(col("doc_id") < 300))
       val store = java.nio.file.Files
@@ -3201,7 +3234,7 @@ object ExtQueries {
     // fingerprint store — re-mastered copies must surface via stored-
     // fingerprint collisions, not a one-shot run (the image-store gate
     // shape applied to audio).
-    "ext_audio_incr" -> ((s, dir) => {
+    "ext_audio_incr" -> ((s, dir) => boundedGate(s) {
       import s.implicits._
       def rec(k: Int, amp: Double) = AudioFingerprint.tonesWav(8000,
         (0 until 6).map(i => (300.0 + (k * 6 + i) * 25.0, 1024)), amp)
@@ -3332,7 +3365,7 @@ object ExtQueries {
     // to ingest first) must keep exactly the lines the one-shot
     // keep-first keeps — the oracle is the one-shot DuckDB form over the
     // same bounded universe. Store lives in a temp dir torn down after.
-    "ext_line_dedup_incr" -> ((s, dir) => {
+    "ext_line_dedup_incr" -> ((s, dir) => boundedGate(s) {
       val lined = linedDocs(s, dir).filter(col("doc_id") < 500)
       val store = java.nio.file.Files
         .createTempDirectory("graft_inclines").toString + "/store"
@@ -3387,7 +3420,7 @@ object ExtQueries {
     // Incremental URL dedup (oracled DIFFERENTIAL): two id-ordered
     // crawl batches through the durable canonical-URL key store must
     // keep exactly the docs the one-shot canonical keep-first keeps.
-    "ext_url_dedup_incr" -> ((s, dir) => {
+    "ext_url_dedup_incr" -> ((s, dir) => boundedGate(s) {
       val (stage, out1) = urlStage1(s, dir)
       val store = java.nio.file.Files
         .createTempDirectory("graft_incurl").toString + "/store"
@@ -3410,7 +3443,7 @@ object ExtQueries {
     // whose key is new OR owned by a forgotten id (re-admission), and
     // drop the rest (still blocked). DuckDB restates the whole
     // first-owner/tombstone algebra independently.
-    "ext_url_dedup_forget" -> ((s, dir) => {
+    "ext_url_dedup_forget" -> ((s, dir) => boundedGate(s) {
       val crawl = urlCrawl(s, dir)
       // crawl-1 registration comes from the shared staged store (its
       // survivors frame is unused here — the gate grades crawl 2)

@@ -140,12 +140,13 @@ object UpsertIgnore {
       pruneCol: Option[String] = None,
       bounds: Option[Row] = None): Unit =
     if (!targetExists(spark, targetPath))
-      incoming.write.mode("append").parquet(targetPath)
+      WriteLayout.sizedForWrite(incoming).write.mode("append").parquet(targetPath)
     else {
       val existingAll = spark.read.parquet(targetPath)
       SchemaGuard.requireAligned(spark, incoming, existingAll, Nil, targetPath)
-      deltaPlan(spark, incoming, existingAll, keys, pruneCol, bounds)
-        .select(existingAll.columns.toSeq.map(col): _*)
+      WriteLayout.sizedForWrite(
+        deltaPlan(spark, incoming, existingAll, keys, pruneCol, bounds)
+          .select(existingAll.columns.toSeq.map(col): _*))
         .write.mode("append").parquet(targetPath)
     }
 
