@@ -95,22 +95,39 @@ object Bm25 {
       path: String,
       partitions: Int = 0): Unit = {
     val spark = docs.sparkSession
-    val parts =
-      if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
-    val cRow = base.agg(count(lit(1)).as("n"), avg(col("__dl")).as("avgdl")).head()
+    // Corpus constants WITHOUT a second tokenize pass (opt guide §1.2:
+    // don't pay a full text scan for two scalars the postings already
+    // determine). `n` (idf denominator) counts ALL docs and
+    // `count(textCol)` the non-null-text docs — a null-mask read, no
+    // tokenization; `avgdl` = Σtf / count(text): every token occurrence
+    // is exactly one postings count, and null-text docs contribute
+    // neither (matching avg()'s null-skipping over __dl), so the
+    // constants are bit-identical to the old two-pass form (Bm25Spec
+    // pins search == searchIndexed score equality).
+    val cRow = docs.agg(count(lit(1)).as("n"),
+      count(col(textCol)).as("nText")).head()
     require(cRow.getLong(0) > 0, "BM25 buildIndex over an empty corpus")
-    base
+    val postings = base
       .select(col(idCol), col("__dl").as("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(parts, col("term"))
+    // term-sorted layout: explicit `partitions` pins the file count;
+    // default derives it from the data — a no-count range repartition
+    // lets AQE size partitions by bytes (advisory), so the postings
+    // artifact gets few files for a small corpus and advisory-sized
+    // files at 100 TB instead of a fixed core-count fanout (guide §6)
+    (if (partitions > 0) postings.repartitionByRange(partitions, col("term"))
+     else postings.repartitionByRange(col("term")))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
-    val meta = s"""{"n":${cRow.getLong(0)},"avgdl":${cRow.getDouble(1)},""" +
+    val totTokens = spark.read.parquet(s"$path/postings")
+      .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    val avgdl =
+      if (cRow.getLong(1) > 0) totTokens.toDouble / cRow.getLong(1) else 0.0
+    val meta = s"""{"n":${cRow.getLong(0)},"avgdl":$avgdl,""" +
       s""""id_col":"$idCol"}"""
     val p = new org.apache.hadoop.fs.Path(path, "_constants")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -78,13 +78,21 @@ object Graph {
     val danglingNodes = nodes
       .join(deg, nodes("id") === deg("src"), "left_anti")
       .localCheckpoint(true)
+    // the set is static; when it is EMPTY (every undirected graph, and
+    // any directed graph without sinks) the per-iteration dangling-mass
+    // aggregate is provably 0.0 — skip those driver jobs outright (one
+    // O(1) count on the checkpointed set decides; opt guide §1.2: don't
+    // compute what is known to be zero)
+    val hasDangling = danglingNodes.count() > 0
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
       // dangling mass: rank sitting on the precomputed set (O(1) to
       // the driver — the only per-iteration driver traffic)
-      val dangling = ranks
-        .join(danglingNodes, Seq("id"), "left_semi")
-        .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks
+          .join(danglingNodes, Seq("id"), "left_semi")
+          .agg(coalesce(sum("pr"), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(deg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
